@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes one entry per implemented operator from SURVEY.md §2
+(plus the training-data-pipeline extensions); ``oracle_sql()`` gives the
+DuckDB-equivalent SQL for every SQL-expressible operator. Approximate /
+hash-family operators (MinHash, SimHash, LSH/IVF ANN) intentionally have
+no oracle — the driver records the weaker rows-only check for those.
 """
 
 from __future__ import annotations
@@ -12,27 +12,456 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
+from epicsarchiver_spark.operators import (
+    cull,
+    dedup,
+    deadband,
+    related,
+    relational,
+    search,
+    similarity,
+    text_ops,
+    timeseries,
+)
+
+# Fixed query constants (UTC epoch seconds; events span 2024-01-01..30).
+T0 = 1704672000.0  # 2024-01-08
+T1 = 1705881600.0  # 2024-01-22
+T_ASOF = 1705276800.0  # 2024-01-15
+GRID_STEP = 86400.0
+DEADTIME = 3600.0
+DEADBAND = 25.0
+RELATED_NODE = "S:1"
+
+_PTS = "event_id", "pvname", "time", "value"
+
+
+def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return points_view(spark, sf_dir).select(*_PTS)
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-item edge list derived from lineitem: part↔supplier edges
+    weighted by quantity (plays the reference's pairs table,
+    epicsarchiver/schema.py:71-78)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.concat_ws(":", F.lit("P"), F.col("l_partkey")).alias("pv1"),
+        F.concat_ws(":", F.lit("S"), F.col("l_suppkey")).alias("pv2"),
+        F.col("l_quantity").alias("score"),
+    )
+
+
+_EDGES_CTE = """
+edges AS (
+  SELECT 'P:' || l_partkey AS pv1,
+         'S:' || l_suppkey AS pv2,
+         l_quantity        AS score
+  FROM lineitem
+)
+"""
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's get_data() spine — run-pruned range scan
+    + early-point seed per series (SURVEY §3.2) on sf0.001."""
+    pts = _points(spark, "/root/testdata/sf0.001")
+    return timeseries.get_data(pts, T0, T1).orderBy("pvname", "time")
 
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # --- time-series surface (SURVEY §2.1/2.3/2.4/2.5) ---
+    q["ts_range_read"] = lambda s, d: timeseries.range_read(_points(s, d), T0, T1)
+    q["ts_get_data"] = lambda s, d: timeseries.get_data(_points(s, d), T0, T1)
+    q["ts_value_at"] = lambda s, d: timeseries.value_at_time(_points(s, d), T_ASOF)
+    q["ts_latest"] = lambda s, d: timeseries.latest_per_key(_points(s, d)).select(*_PTS)
+    q["ts_minmax"] = lambda s, d: timeseries.minmax_times(_points(s, d))
+    q["ts_nchanged"] = lambda s, d: timeseries.n_changed(
+        points_view(s, d), T1, by="event_type"
+    )
+    q["ts_cull_band"] = lambda s, d: cull.cull_pass(_points(s, d))
+    q["ts_deadband"] = lambda s, d: deadband.deadband_lag(_points(s, d), DEADTIME, DEADBAND)
+    q["ts_locf_grid"] = lambda s, d: timeseries.locf_grid(
+        _points(s, d), T0, T1, GRID_STEP
+    ).select("pvname", "t", "value")
 
+    # --- related-pairs graph (SURVEY §2.3 J5 / §2.4 A3-A4) ---
+    q["rel_pair_scores"] = lambda s, d: related.canonical_pairs(_edges(s, d))
+    q["rel_related_topk"] = lambda s, d: related.related_topk(_edges(s, d), RELATED_NODE, k=20)
+
+    # --- catalog / search (SURVEY §2.2 F4, §2.4 A6) ---
+    q["cat_wildcard"] = lambda s, d: search.wildcard_search(
+        load_table(s, d, "customer"), "Customer#0000001*", name_col="c_name"
+    ).select("c_custkey", "c_name", "c_mktsegment")
+    q["cat_distinct_series"] = lambda s, d: search.distinct_names(_points(s, d))
+
+    # --- relational bench queries ---
+    q["rel_pricing_summary"] = lambda s, d: relational.pricing_summary(
+        load_table(s, d, "lineitem")
+    )
+    q["rel_top_orders"] = lambda s, d: relational.top_unshipped_orders(
+        load_table(s, d, "customer"), load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+    q["rel_regional_revenue"] = lambda s, d: relational.regional_revenue(
+        *[load_table(s, d, t) for t in ("region", "nation", "customer", "orders", "lineitem")]
+    )
+    q["rel_order_priority"] = lambda s, d: relational.order_priority_counts(
+        load_table(s, d, "orders"), load_table(s, d, "lineitem")
+    )
+
+    # --- documents: dedup + text analysis ---
+    q["doc_fingerprints"] = lambda s, d: text_ops.text_stats(load_table(s, d, "documents"))
+    q["doc_exact_dups"] = lambda s, d: dedup.exact_duplicates(load_table(s, d, "documents"))
+    q["doc_quality"] = lambda s, d: text_ops.quality_scores(load_table(s, d, "documents"))
+    q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
+    q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
+        load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+    ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+    # --- embeddings: similarity search ---
+    def _query_vec(s: SparkSession, d: str) -> list[float]:
+        row = load_table(s, d, "embeddings").filter(F.col("vec_id") == 0).head()
+        return [float(x) for x in row["embedding"]]
+
+    q["emb_topk_cosine"] = lambda s, d: similarity.brute_force_topk(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10
+    )
+
+    # --- approximate families: no SQL oracle (rows-only check) ---
+    q["doc_minhash_neardups"] = lambda s, d: dedup.minhash_near_duplicates(
+        load_table(s, d, "documents"), threshold=0.5, shingle_k=2
+    )
+    q["doc_simhash_neardups"] = lambda s, d: dedup.simhash_near_duplicates(
+        load_table(s, d, "documents"), shingle_k=2, max_hamming=8
+    )
+    q["emb_topk_lsh"] = lambda s, d: similarity.lsh_bucket_topk(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_planes=8, max_hamming=2
+    )
+    q["emb_topk_ivf"] = lambda s, d: similarity.ivf_topk(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_cells=8, n_probe=4
+    )
+    q["ts_compress_exact"] = lambda s, d: deadband.compress_sequential(
+        _points(s, d), DEADTIME, DEADBAND
+    )
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# oracles
+# ---------------------------------------------------------------------------
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    P = f"WITH {POINTS_ORACLE_CTE}"
+    E = f"WITH {_EDGES_CTE}"
+    o: dict[str, str] = {}
+
+    o["ts_range_read"] = (
+        P
+        + f"SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}"
+    )
+
+    o["ts_get_data"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL
+        SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        """
+    )
+
+    o["ts_value_at"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T_ASOF} + 1e-4
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    o["ts_latest"] = (
+        P
+        + """,
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    o["ts_minmax"] = (
+        P
+        + """
+        SELECT pvname, min(time) AS t_first, max(time) AS t_last,
+               count(*) AS n_points
+        FROM points GROUP BY pvname
+        """
+    )
+
+    o["ts_nchanged"] = (
+        P + f"SELECT event_type, count(*) AS n FROM points WHERE time > {T1} GROUP BY event_type"
+    )
+
+    o["ts_cull_band"] = (
+        P
+        + """,
+        bands AS (
+          SELECT pvname,
+                 quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM points GROUP BY pvname
+        ),
+        numbered AS (
+          SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                 row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn
+          FROM points p JOIN bands b USING (pvname)
+        )
+        SELECT event_id, pvname, time, value FROM numbered
+        WHERE rn % 3 = 0 OR value < lo OR value > hi
+        """
+    )
+
+    o["ts_deadband"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+        """
+    )
+
+    o["ts_locf_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        )
+        SELECT g.pvname, g.t, p.value
+        FROM grid g
+        ASOF LEFT JOIN points p
+          ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["rel_pair_scores"] = (
+        E
+        + """
+        SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2, max(score) AS score
+        FROM edges GROUP BY least(pv1, pv2), greatest(pv1, pv2)
+        """
+    )
+
+    o["rel_related_topk"] = (
+        E
+        + f""",
+        nbrs AS (
+          SELECT pv2 AS pvname, score FROM edges WHERE pv1 = '{RELATED_NODE}'
+          UNION ALL
+          SELECT pv1 AS pvname, score FROM edges WHERE pv2 = '{RELATED_NODE}'
+        )
+        SELECT pvname, max(score) AS score FROM nbrs GROUP BY pvname
+        ORDER BY score DESC, pvname LIMIT 20
+        """
+    )
+
+    o["cat_wildcard"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_name LIKE 'Customer#0000001%' ORDER BY c_name"
+    )
+
+    o["cat_distinct_series"] = P + "SELECT DISTINCT pvname FROM points ORDER BY pvname"
+
+    o["rel_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
     """
-    return {}
+
+    o["rel_top_orders"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+    o["rel_regional_revenue"] = """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """
+
+    o["rel_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-01-01'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    # tokens = whitespace split with empties removed — shared by the doc oracles
+    TOK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+    o["doc_fingerprints"] = f"""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len({TOK}) AS n_tokens,
+               round(CASE WHEN len({TOK}) > 0
+                     THEN list_sum(list_transform({TOK}, x -> length(x))) * 1.0 / len({TOK})
+                     ELSE 0.0 END, 6) AS mean_token_len,
+               lower(substr(md5(text), 1, 16)) AS fingerprint
+        FROM documents
+    """
+
+    o["doc_exact_dups"] = """
+        SELECT lower(substr(md5(text), 1, 16)) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1 HAVING count(*) >= 2
+    """
+
+    PUNCT = r"""length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))"""
+    STOPS = "['the','and','of','to','in']"
+    o["doc_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 length(text) AS n,
+                 {TOK} AS toks,
+                 {PUNCT} AS np
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CASE WHEN n > 0 THEN np * 1.0 / n ELSE 0.0 END AS praw,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains({STOPS}, lower(x)))) * 1.0 / len(toks)
+                      ELSE 0.0 END AS sraw,
+                 least(n / 500.0, 1.0) AS len_score
+          FROM t
+        )
+        SELECT doc_id,
+               round(praw, 6) AS punct_ratio,
+               round(sraw, 6) AS stopword_ratio,
+               round(0.4 * len_score + 0.3 * (1.0 - least(praw * 5, 1.0))
+                     + 0.3 * least(sraw * 10, 1.0), 6) AS quality
+        FROM r
+    """
+
+    # language-ID: distinct-stopword hits per language, argmax w/ lexicographic tie-break
+    from epicsarchiver_spark.functions.text import LANG_STOPWORDS
+
+    score_cols = ", ".join(
+        f"len(list_filter({lst}, w -> list_contains(toks, w))) AS hits_{lang}"
+        for lang, lst in (
+            (lang, "[" + ",".join(f"'{w}'" for w in words) + "]")
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        )
+    )
+    langs = sorted(LANG_STOPWORDS)
+    greatest_expr = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    case_pred = (
+        "CASE WHEN "
+        + greatest_expr
+        + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{la} = {greatest_expr} THEN '{la}'" for la in langs)
+        + " END"
+    )
+    o["doc_langid"] = f"""
+        WITH t AS (
+          SELECT lang AS lang_true,
+                 list_transform({TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT lang_true, {score_cols} FROM t
+        )
+        SELECT lang_true, {case_pred} AS lang_pred, count(*) AS n
+        FROM s GROUP BY lang_true, lang_pred
+        ORDER BY lang_true, lang_pred
+    """
+
+    SHING2 = (
+        f"list_distinct(list_transform(range(1, greatest(len({TOK}) - 1, 0) + 1), "
+        f"i -> array_to_string(({TOK})[i:i+1], ' ')))"
+    )
+    o["doc_jaccard_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(i / u, 6) AS jaccard
+        FROM pairs WHERE u > 0 AND i / u >= 0.05
+    """
+
+    o["emb_topk_cosine"] = """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT e.vec_id,
+                 round(
+                   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                   / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+          FROM embeddings e, q
+        )
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    return o

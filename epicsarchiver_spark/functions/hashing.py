@@ -1,0 +1,106 @@
+"""Hash-family machinery for MinHash / SimHash dedup — all JVM-side.
+
+Performance-critical layout note: higher-order functions (transform/
+aggregate) are interpreted, not codegen'd, and Spark does no
+common-subexpression elimination across separate project expressions — so
+the shingle construction MUST be materialized once (its own projection)
+and the 64-function family must operate on that materialized
+``array<long>`` attribute. Referencing the base column from 64 sibling
+expressions is safe: CollapseProject refuses to inline non-cheap
+expressions referenced more than once. Doing it wrong (family over the
+raw shingle expression) recomputes shingling 64× — measured 196 s vs 8 s
+on 5 000 docs.
+
+The hash family itself is multiplication-free (xorshift mixing over
+xxhash64 ⊕ salt): a bijective permutation per salt, valid for MinHash,
+and immune to ANSI-mode long-overflow errors that kill an affine
+(a·h+b) mod p family in Spark SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+LONG_MAX = (1 << 63) - 1
+
+
+def family_salts(num_hashes: int, seed: int = 42) -> list[int]:
+    """Deterministic 63-bit salts from a small LCG — no RNG state."""
+    salts, x = [], seed
+    for _ in range(num_hashes):
+        x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        salts.append(x)
+    return salts
+
+
+def hashed_shingles(shingles: Column) -> Column:
+    """array<string> shingles → array<long> of xxhash64 values over the
+    DISTINCT shingle set (MinHash is a set similarity). Materialize this
+    as its own column before applying a signature family."""
+    return F.transform(F.array_distinct(shingles), lambda s: F.xxhash64(s))
+
+
+def _xorshift_mix(salt: int):
+    """Bijective mixer: h ⊕ salt, then two xorshift rounds."""
+
+    def f(h: Column) -> Column:
+        x = h.bitwiseXOR(F.lit(salt))
+        x = x.bitwiseXOR(F.shiftrightunsigned(x, 33))
+        x = x.bitwiseXOR(F.shiftright(x, 17))
+        return x
+
+    return f
+
+
+def minhash_signature(base_hashes: Column, num_hashes: int = 64, seed: int = 42) -> Column:
+    """array<long> base hashes (a *materialized column*, see module note)
+    → array<long> MinHash signature: sig_i = min over shingles of
+    mix_i(h). Empty shingle sets get a Long.MaxValue sentinel."""
+    return F.array(
+        *[
+            F.coalesce(
+                F.array_min(F.transform(base_hashes, _xorshift_mix(salt))), F.lit(LONG_MAX)
+            )
+            for salt in family_salts(num_hashes, seed)
+        ]
+    )
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Split a signature into band-hash structs for the LSH bucket join:
+    array<struct<band:int, bucket:long>>. Docs sharing any (band, bucket)
+    become candidate pairs."""
+    entries = []
+    for band in range(bands):
+        chunk = F.slice(signature, band * rows_per_band + 1, rows_per_band)
+        entries.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.xxhash64(F.concat_ws(",", F.transform(chunk, lambda x: x.cast("string")))).alias(
+                    "bucket"
+                ),
+            )
+        )
+    return F.array(*entries)
+
+
+def simhash64(base_hashes: Column) -> Column:
+    """array<long> base hashes (materialized column) → 64-bit SimHash:
+    bit j is set when Σ over shingles of ±1 (by bit j of the hash) > 0."""
+
+    def _bit_sum(j: int):
+        return lambda acc, h: acc + F.when(
+            F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        s = F.aggregate(base_hashes, F.lit(0), _bit_sum(j))
+        bit_val = -(1 << 63) if j == 63 else (1 << j)  # bit 63 = sign bit
+        out = out + F.when(s > 0, F.lit(bit_val).cast("long")).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))

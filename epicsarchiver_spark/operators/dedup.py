@@ -1,0 +1,200 @@
+"""Document deduplication operators for the training-data pipeline surface.
+
+Exact (hash-groupBy), MinHash+LSH, SimHash, and blocked n-gram Jaccard —
+each expressed as a shuffle-conscious DataFrame plan over a ``documents``
+frame ``(doc_id, text, ...)``.
+
+Scale notes (100 TB posture):
+- Exact dedup: one hash aggregate on a 16-byte fingerprint — map-side
+  partial, no wide rows move.
+- MinHash+LSH: candidate generation explodes (band, bucket) keys and
+  self-joins *within buckets only* — the classic way to avoid the O(n²)
+  similarity join; signatures (64 longs) travel, texts do not. Verification
+  re-joins texts only for the candidate pairs.
+- SimHash: signature is a single long; near-dup = hamming ≤ r within
+  LSH-style bit-block buckets.
+- Blocked Jaccard: deterministic cheap blocking key (lang, length band)
+  bounds the pair blow-up; exact Jaccard verified on shingle sets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.functions.hashing import (
+    hamming64,
+    hashed_shingles,
+    lsh_bands,
+    minhash_signature,
+    simhash64,
+)
+from epicsarchiver_spark.functions.text import fingerprint64, word_shingles
+
+
+def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup groups: fingerprint → (canonical keeper, dup count).
+    Returns one row per duplicated fingerprint (n_docs >= 2)."""
+    return (
+        docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def dedup_exact(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep one doc (min id) per distinct text fingerprint."""
+    keep = (
+        docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return docs.join(keep.select(id_col), id_col, "left_semi")
+
+
+def minhash_candidates(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH candidate pairs with estimated Jaccard from signature
+    agreement. Pipeline: shingle → signature → explode band buckets →
+    bucket self-join (a.id < b.id) → distinct pair → signature-agreement
+    estimate. Only ids+signatures shuffle; bucket join is an equi-join
+    Catalyst plans as a shuffled hash join on (band, bucket)."""
+    rows_per_band = num_hashes // bands
+    # two-projection layout: shingle-hash once, THEN the 64-fn family over
+    # the materialized array (see functions/hashing.py module note)
+    base = docs.select(
+        F.col(id_col), hashed_shingles(word_shingles(F.col(text), shingle_k)).alias("bh")
+    )
+    sigs = base.select(
+        F.col(id_col), minhash_signature(F.col("bh"), num_hashes, seed).alias("sig")
+    )
+    bucketed = sigs.select(
+        id_col,
+        "sig",
+        F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
+    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = bucketed.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
+    )
+    right = bucketed.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
+    )
+    pairs = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        (agree.cast("double") / F.size("sig_a")).alias("est_jaccard"),
+    )
+
+
+def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
+    """Near-dup pairs with estimated Jaccard ≥ threshold."""
+    return (
+        minhash_candidates(docs, **kw)
+        .filter(F.col("est_jaccard") >= threshold)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def simhash_near_duplicates(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 2,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit signatures, candidates share at least
+    one of `blocks` 16-bit blocks (pigeonhole: any pair within hamming r <
+    blocks shares a block), verified by exact hamming distance."""
+    base = docs.select(
+        F.col(id_col), hashed_shingles(word_shingles(F.col(text), shingle_k)).alias("bh")
+    )
+    sigs = base.select(F.col(id_col), simhash64(F.col("bh")).alias("sh"))
+    block_width = 64 // blocks
+    mask = (1 << block_width) - 1
+    blocked = sigs.select(
+        id_col,
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("sh", i * block_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "sh", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    left = blocked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "blk", "val")
+    right = blocked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "blk", "val")
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
+def jaccard_pairs_blocked(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    block_cols: tuple[str, ...] = ("lang",),
+    length_band: int = 100,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs within deterministic blocks
+    (same block_cols + n_chars//length_band). The blocking key is part of
+    the operator spec — reproducible in the SQL oracle — and bounds the
+    candidate pair count so the plan scales as Σ block².
+    """
+    sh = docs.select(
+        F.col(id_col),
+        *[F.col(c) for c in block_cols],
+        (F.floor(F.length(text) / length_band)).alias("_lb"),
+        F.array_distinct(word_shingles(F.col(text), shingle_k)).alias("sh"),
+    )
+    join_keys = [*block_cols, "_lb"]
+    left = sh.select(
+        *join_keys, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    right = sh.select(
+        *join_keys, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead of
+    # intersect + union (arrays are already distinct)
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
+    return (
+        left.join(right, join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    )

@@ -1,0 +1,169 @@
+"""Read-side time-series operators (SURVEY §2: S4/S6, J3/J4/J8, A1/A2/A5,
+W4/W5/W9, O1/O2).
+
+All operators take a *points* frame — ``(pvname, time DOUBLE-epoch-sec,
+value, ...)`` — and compose pure DataFrame plans: filters push down to the
+parquet scan, per-series work partitions by ``pvname`` (the natural shuffle
+key; at 100 TB the points table is written bucketed by series so these
+windows are shuffle-free), and nothing collects to the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def range_read(points: DataFrame, t0: float, t1: float, key: str = "pvname") -> DataFrame:
+    """S4/F3/O1 — time-range scan: rows with t0 <= time <= t1.
+
+    The reference over-fetches ±1 day and re-filters client-side
+    (epicsarchiver/archiver.py:186-211); with predicate pushdown the exact
+    `between` reaches the parquet scan, so the slop is dropped.
+    """
+    return points.filter(F.col("time").between(t0, t1))
+
+
+def early_point(points: DataFrame, t0: float, key: str = "pvname") -> DataFrame:
+    """J4/W4 — per series, the single most recent point strictly before t0,
+    so a range read starts with a defined value
+    (ref epicsarchiver/archiver.py:192-206).
+
+    row_number over (series, time desc) then rn=1 — one shuffle on the
+    series key; at scale the pre-t0 filter prunes partitions first.
+    """
+    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
+    return (
+        points.filter(F.col("time") < t0)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def get_data(points: DataFrame, t0: float, t1: float, key: str = "pvname") -> DataFrame:
+    """§3.2 spine — `get_data(pv, tmin, tmax)`: in-window rows plus the
+    early-point seed, one frame, time-ordered downstream
+    (ref epicsarchiver/archiver.py:149-223). The reference's per-run loop
+    + zarr/SQL dual path collapses into one partition-pruned scan + union.
+    """
+    return range_read(points, t0, t1, key).unionByName(early_point(points, t0, key))
+
+
+def value_at_time(points: DataFrame, t: float, key: str = "pvname", tol: float = 1e-4) -> DataFrame:
+    """J3/W5 — as-of lookup: per series, the last value with time < t + tol
+    (ref epicsarchiver/archiver.py:112-129, which scans [t-60, t+1] and
+    takes the last row with time < t+1e-4)."""
+    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
+    return (
+        points.filter(F.col("time") < t + tol)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def asof_join(
+    points: DataFrame,
+    probes: DataFrame,
+    key: str = "pvname",
+    probe_time: str = "t",
+    tol: float = 1e-4,
+) -> DataFrame:
+    """J8 — grouped as-of join: for each (key, t) probe row, the latest
+    point at-or-before t (ref epicsarchiver/web/WebInstruments.py:255-259:
+    instrument positions restored as of a timestamp).
+
+    Formulated as union-tag-and-window: tag probes, union with points,
+    LOCF the point columns over (key, time) — a single shuffle on the
+    series key, no per-probe scans. Scales to arbitrary probe counts,
+    unlike the reference's per-PV loop.
+    """
+    pcols = [c for c in points.columns if c != key]
+    tagged_points = points.select(
+        F.col(key),
+        F.col("time").alias("_t"),
+        F.lit(0).alias("_is_probe"),
+        *[F.col(c) for c in pcols],
+    )
+    tagged_probes = probes.select(
+        F.col(key),
+        (F.col(probe_time) + tol).alias("_t"),
+        F.lit(1).alias("_is_probe"),
+        *[F.lit(None).cast(points.schema[c].dataType).alias(c) for c in pcols],
+    )
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col("_t"), F.col("_is_probe"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged_points.unionByName(tagged_probes).select(
+        F.col(key),
+        F.col("_t"),
+        F.col("_is_probe"),
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in pcols],
+    )
+    return filled.filter(F.col("_is_probe") == 1).select(
+        key, (F.col("_t") - tol).alias(probe_time), *[c for c in pcols if c != "time"]
+    )
+
+
+def latest_per_key(points: DataFrame, key: str = "pvname") -> DataFrame:
+    """A5 (batch) — the latest-value cache as a query: newest row per
+    series (ref epicsarchiver/cache.py:433-462's continuously-upserted
+    cache table, reproduced as max_by over the series key).
+
+    Uses max_by (one-pass hash aggregate with map-side partials) instead of
+    a row_number window — no full sort, half the shuffle volume at scale.
+    """
+    others = [c for c in points.columns if c != key]
+    order = F.struct(F.col("time"), F.col("event_id"))
+    return points.groupBy(key).agg(
+        *[F.max_by(c, order).alias(c) for c in others if c != "time"],
+        F.max("time").alias("time"),
+    )
+
+
+def with_current(frame: DataFrame, cache: DataFrame) -> DataFrame:
+    """W9 — append the live cached value to an archive read when the window
+    reaches 'now' (ref epicsarchiver/archiver.py:212-218)."""
+    return frame.unionByName(cache.select(*frame.columns))
+
+
+def minmax_times(points: DataFrame, key: str = "pvname") -> DataFrame:
+    """A2 — per-series first/last timestamp + point count
+    (ref epicsarchiver/cache.py:254-288 set_runinfo; the per-bucket-table
+    min/max loop becomes one hash aggregate)."""
+    return points.groupBy(key).agg(
+        F.min("time").alias("t_first"),
+        F.max("time").alias("t_last"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+
+
+def n_changed(points: DataFrame, since: float, by: str | None = None) -> DataFrame:
+    """A1 — recent-change counts: points newer than `since`
+    (ref epicsarchiver/archiver.py:475-487 get_narchived /
+    cache.py:208-223 get_nchanged — the Σ-over-128-tables loop is a single
+    pushed-down count)."""
+    recent = points.filter(F.col("time") > since)
+    if by is None:
+        return recent.agg(F.count(F.lit(1)).alias("n"))
+    return recent.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
+
+
+def locf_grid(points: DataFrame, t0: float, t1: float, step: float, key: str = "pvname") -> DataFrame:
+    """W6 — step/LOCF resampling onto a regular grid: value holds until the
+    next change (ref epicsarchiver/web_utils.py:202 'hv' step rendering).
+    Grid generated with sequence() per series — no driver loop."""
+    keys = points.select(key).distinct()
+    grid = keys.select(
+        F.col(key),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(int(t0)), F.lit(int(t1)), F.lit(int(step))),
+                lambda x: x.cast("double"),
+            )
+        ).alias("t"),
+    )
+    return asof_join(points.select(key, "time", "value", "event_id"), grid, key=key)
