@@ -1,0 +1,121 @@
+"""Alert engine — SURVEY §2.9 alert transitions + C16/C17.
+
+Reference semantics (epicsarchiver/cache.py:601-630, doc/alerts.rst:42-48):
+an alert row defines (pvname, compare ∈ {eq,ne,le,lt,ge,gt}, trippoint,
+timeout). A notification fires only on the ok→alarm *transition*, and only
+if ``now > last_notice + timeout``; staying in alarm does not re-fire.
+
+Spark formulation: broadcast-join the (small) rules table onto the event
+stream, then a keyed stateful transition detector per (pvname, alert_id)
+via ``applyInPandasWithState``. State = (status, last_notice) — the exact
+fields the reference keeps (cache.py:754-770). "Mail" is a sink table of
+notification records (side-effect-free engine; delivery is an edge
+concern)."""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+import operator as _op
+
+_OPS = {
+    "eq": _op.eq,
+    "ne": _op.ne,
+    "le": _op.le,
+    "lt": _op.lt,
+    "ge": _op.ge,
+    "gt": _op.gt,
+}
+
+NOTIFY_SCHEMA = StructType(
+    [
+        StructField("alert_id", LongType()),
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("trippoint", DoubleType()),
+        StructField("compare", StringType()),
+    ]
+)
+
+ALERT_STATE_SCHEMA = StructType(
+    [
+        StructField("status", StringType()),  # 'ok' | 'alarm'
+        StructField("last_notice", DoubleType()),
+    ]
+)
+
+
+def evaluate_transitions(
+    rows: pd.DataFrame, status: str, last_notice: float
+) -> tuple[list[dict], str, float]:
+    """Executable spec shared by the streaming kernel and batch tests:
+    process time-ordered events for one (alert, pv), returning
+    notifications + final state. Mirrors cache.py:617-630."""
+    out: list[dict] = []
+    for r in rows.itertuples():
+        fires = _OPS[r.compare](r.value, r.trippoint)
+        if fires and status == "ok":
+            if r.time > last_notice + r.timeout:
+                out.append(
+                    {
+                        "alert_id": r.alert_id,
+                        "pvname": r.pvname,
+                        "time": r.time,
+                        "value": r.value,
+                        "trippoint": r.trippoint,
+                        "compare": r.compare,
+                    }
+                )
+                last_notice = r.time
+            status = "alarm"
+        elif not fires:
+            status = "ok"
+    return out, status, last_notice
+
+
+def _alert_kernel():
+    def fn(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - no timeouts registered
+            yield from ()
+            return
+        status, last_notice = state.get if state.exists else ("ok", float("-inf"))
+        rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+        if len(rows):
+            rows = rows.sort_values("time")
+            out, status, last_notice = evaluate_transitions(rows, status, last_notice)
+            state.update((status, last_notice))
+            if out:
+                yield pd.DataFrame(out)
+
+    return fn
+
+
+def alert_stream(events: DataFrame, rules: DataFrame) -> DataFrame:
+    """Notifications stream: events (pvname, time, value) × rules
+    (alert_id, pvname, compare, trippoint, timeout, active). Rules are
+    broadcast (small dimension); state keyed by (alert_id, pvname)."""
+    joined = events.join(
+        F.broadcast(rules.filter(F.col("active") == "yes")), "pvname"
+    ).select("alert_id", "pvname", "time", "value", "trippoint", "compare", "timeout")
+    return joined.groupBy("alert_id", "pvname").applyInPandasWithState(
+        _alert_kernel(),
+        outputStructType=NOTIFY_SCHEMA,
+        stateStructType=ALERT_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

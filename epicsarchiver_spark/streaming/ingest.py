@@ -1,0 +1,185 @@
+"""Streaming ingest pipeline — SURVEY §2.9 / §3.1.
+
+The reference runs two daemons around a MySQL mailbox: a cache process
+upserting latest values (epicsarchiver/cache.py:433-462) and an archiver
+applying deadtime/deadband/limbo compression before appending points
+(epicsarchiver/archiver.py:362-472). Here both collapse into Structured
+Streaming queries over one event stream:
+
+- ``compressed_stream``   : the stateful deadtime/deadband/limbo operator
+  (W1/W2) via ``applyInPandasWithState`` keyed by series — Spark has no
+  built-in debounce, this is the one genuinely custom operator.
+- ``latest_value_query``  : last-per-key cache upsert via ``foreachBatch``
+  merge into a parquet "cache" table (S14).
+- ``archive_query``       : compressed stream appended to the points
+  store (S15).
+
+Semantics contract: on the same finite event set, ``compressed_stream``
+output == ``operators.deadband.compress_reference`` (the executable spec);
+the pending ("limbo") tail flushes on processing-time timeout, or when a
+later event arrives past the deadtime window (tested in
+tests/test_streaming.py with sentinel tail events).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EVENT_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+OUT_SCHEMA = EVENT_SCHEMA
+
+# state: last emitted (t, v) + pending limbo entry (t, v) — exactly the
+# per-PV fields the reference keeps (epicsarchiver/archiver.py:79-81)
+STATE_SCHEMA = StructType(
+    [
+        StructField("last_t", DoubleType()),
+        StructField("last_v", DoubleType()),
+        StructField("pend_t", DoubleType()),
+        StructField("pend_v", DoubleType()),
+    ]
+)
+
+
+def _compress_kernel(deadtime: float, deadband: float, flush_ms: int):
+    """Build the applyInPandasWithState kernel closed over the config."""
+
+    def fn(
+        key: tuple,
+        pdfs: Iterable[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        if state.exists:
+            last_t, last_v, pend_t, pend_v = state.get
+        else:
+            last_t = last_v = pend_t = pend_v = None
+
+        out_t: list[float] = []
+        out_v: list[float] = []
+
+        if state.hasTimedOut:
+            # flush the limbo tail (ref archiver.py:404-414: pending entry
+            # becomes a real point once the deadtime window elapses)
+            if pend_t is not None:
+                out_t.append(pend_t)
+                out_v.append(pend_v)
+                last_t, last_v = pend_t, pend_v
+                pend_t = pend_v = None
+            state.update((last_t, last_v, pend_t, pend_v))
+        else:
+            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if len(rows):
+                rows = rows.sort_values("time")
+                for t, v in zip(rows["time"], rows["value"]):
+                    if last_t is None:
+                        out_t.append(t), out_v.append(v)
+                        last_t, last_v = t, v
+                        continue
+                    if pend_t is not None and t > last_t + deadtime:
+                        out_t.append(pend_t), out_v.append(pend_v)
+                        last_t, last_v = pend_t, pend_v
+                        pend_t = pend_v = None
+                    if abs(v - last_v) <= deadband:
+                        continue
+                    if t <= last_t + deadtime:
+                        pend_t, pend_v = t, v
+                    else:
+                        out_t.append(t), out_v.append(v)
+                        last_t, last_v = t, v
+            state.update((last_t, last_v, pend_t, pend_v))
+            if pend_t is not None:
+                state.setTimeoutDuration(flush_ms)
+
+        if out_t:
+            yield pd.DataFrame({"pvname": pvname, "time": out_t, "value": out_v})
+
+    return fn
+
+
+def compressed_stream(
+    events: DataFrame,
+    deadtime: float = 5.0,
+    deadband: float = 0.0,
+    flush_ms: int = 1000,
+) -> DataFrame:
+    """W1/W2 — stateful deadtime/deadband/limbo compression of a streaming
+    ``(pvname, time, value)`` frame. Keyed state per series; bursts inside
+    the deadtime window collapse to the final value carrying its original
+    event timestamp."""
+    return events.groupBy("pvname").applyInPandasWithState(
+        _compress_kernel(deadtime, deadband, flush_ms),
+        outputStructType=OUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def upsert_latest(batch: DataFrame, cache_path: str) -> None:
+    """S14 — merge a micro-batch into the latest-value cache table
+    (ref epicsarchiver/cache.py:454-462's per-batch UPDATE transaction).
+    Parquet overwrite of the merged max_by — at production scale this is
+    a Delta MERGE; the merge logic is identical."""
+    spark = batch.sparkSession
+    order = F.struct(F.col("time"))
+    fresh = batch.groupBy("pvname").agg(
+        F.max_by("value", order).alias("value"), F.max("time").alias("time")
+    )
+    try:
+        old = spark.read.parquet(cache_path)
+    except Exception:
+        old = None
+    if old is not None:
+        fresh = (
+            old.unionByName(fresh)
+            .groupBy("pvname")
+            .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
+        )
+    fresh.cache().count()  # materialize before overwriting the source path
+    fresh.write.mode("overwrite").parquet(cache_path)
+    fresh.unpersist()
+
+
+def latest_value_query(events: DataFrame, cache_path: str, checkpoint: str) -> Any:
+    """The cache daemon as one streaming query: last-per-key upsert."""
+    return (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda b, _id: upsert_latest(b, cache_path))
+    )
+
+
+def archive_query(
+    compressed: DataFrame, points_path: str, checkpoint: str, buckets: int = 128
+) -> Any:
+    """S15 — append the compressed stream to the points store, hashed into
+    series buckets (the reference's 128 pvdat tables as a partition
+    column, epicsarchiver/schema.py:21-23)."""
+    bucketed = compressed.withColumn(
+        "bucket", F.pmod(F.xxhash64("pvname"), F.lit(buckets)).cast("int")
+    )
+    return (
+        bucketed.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", points_path)
+        .option("checkpointLocation", checkpoint)
+        .partitionBy("bucket")
+    )

@@ -1,0 +1,199 @@
+"""Streaming ↔ batch equivalence tests (SURVEY §5.4): the stateful
+deadtime/deadband/limbo operator, the alert transition engine, and the
+latest-value cache upsert, each checked against its executable batch spec
+on a deterministic synthetic event set."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from epicsarchiver_spark.operators.deadband import compress_reference
+from epicsarchiver_spark.streaming.alerts import alert_stream, evaluate_transitions
+from epicsarchiver_spark.streaming.ingest import (
+    EVENT_SCHEMA,
+    compressed_stream,
+    latest_value_query,
+)
+
+DEADTIME, DEADBAND = 10.0, 0.5
+
+
+def synth_events() -> pd.DataFrame:
+    """Bursts inside the deadtime window (limbo), sub-deadband wiggles,
+    normal spaced changes, and a far tail event per series."""
+    rows = []
+    # series A: burst at t=100..104 (inside deadtime) then quiet
+    a = [(0.0, 1.0), (100.0, 2.0), (101.0, 3.0), (104.0, 4.0), (200.0, 5.0), (1000.0, 6.0)]
+    rows += [("A", t, v) for t, v in a]
+    # series B: deadband suppression (wiggles < 0.5), one real move
+    b = [(0.0, 10.0), (20.0, 10.2), (40.0, 10.4), (60.0, 9.9), (80.0, 12.0), (1000.0, 12.1)]
+    rows += [("B", t, v) for t, v in b]
+    # series C: strictly spaced changes — everything kept
+    c = [(0.0, 0.0), (50.0, 1.0), (100.0, 2.0), (150.0, 3.0), (1000.0, 4.0)]
+    rows += [("C", t, v) for t, v in c]
+    return pd.DataFrame(rows, columns=["pvname", "time", "value"])
+
+
+def batch_spec(events: pd.DataFrame) -> set[tuple]:
+    out = set()
+    for pv, grp in events.groupby("pvname"):
+        kept = compress_reference(
+            list(zip(grp.sort_values("time")["time"], grp["value"])), DEADTIME, DEADBAND
+        )
+        out |= {(pv, t, v) for t, v in kept}
+    return out
+
+
+def test_limbo_semantics_unit():
+    """Burst inside deadtime collapses to its final value with the
+    ORIGINAL timestamp (ref archiver.py:404-414, doc/setup.rst:82-85)."""
+    kept = compress_reference(
+        [(0.0, 1.0), (100.0, 2.0), (101.0, 3.0), (104.0, 4.0), (200.0, 5.0)], 10.0, 0.0
+    )
+    assert (104.0, 4.0) in kept  # limbo flushed with original ts
+    assert (101.0, 3.0) not in kept  # replaced while in limbo
+    assert kept == [(0.0, 1.0), (100.0, 2.0), (104.0, 4.0), (200.0, 5.0)]
+
+
+def test_deadband_suppression_unit():
+    kept = compress_reference(
+        [(0.0, 10.0), (20.0, 10.2), (40.0, 10.4), (60.0, 9.9), (80.0, 12.0)], 10.0, 0.5
+    )
+    assert kept == [(0.0, 10.0), (80.0, 12.0)]
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    df = synth_events()
+    path = tmp_path / "events_in"
+    path.mkdir()
+    df.to_parquet(path / "part-0.parquet", index=False)
+    return str(path)
+
+
+def test_streaming_matches_batch_spec(spark, events_dir, tmp_path):
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    compressed = compressed_stream(stream, DEADTIME, DEADBAND)
+    q = (
+        compressed.writeStream.format("memory")
+        .queryName("compressed_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from compressed_out").collect()
+    }
+    assert got == batch_spec(synth_events())
+
+
+def test_streaming_matches_applyinpandas_batch(spark, events_dir):
+    """The distributed batch twin (compress_sequential) agrees too."""
+    from epicsarchiver_spark.operators.deadband import compress_sequential
+
+    df = spark.read.schema(EVENT_SCHEMA).parquet(events_dir)
+    got = {
+        (r.pvname, r.time, r.value)
+        for r in compress_sequential(df, DEADTIME, DEADBAND).collect()
+    }
+    assert got == batch_spec(synth_events())
+
+
+def test_latest_value_upsert(spark, events_dir, tmp_path):
+    cache_path = str(tmp_path / "cache")
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q = (
+        latest_value_query(stream, cache_path, str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.pvname, r.time, r.value) for r in spark.read.parquet(cache_path).collect()}
+    assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
+
+
+# ---------------------------------------------------------------------------
+# alerts
+# ---------------------------------------------------------------------------
+
+def test_alert_transitions_spec():
+    rows = pd.DataFrame(
+        {
+            "alert_id": 1,
+            "pvname": "A",
+            "time": [0.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+            "value": [1.0, 9.0, 9.5, 1.0, 9.0, 9.0],
+            "trippoint": 5.0,
+            "compare": "gt",
+            "timeout": 15.0,
+        }
+    )
+    out, status, last_notice = evaluate_transitions(rows, "ok", -math.inf)
+    # fires at t=10 (ok->alarm); t=20 still alarm (no refire);
+    # t=30 back to ok; t=40 ok->alarm again and 40 > 10+15 -> fires
+    assert [n["time"] for n in out] == [10.0, 40.0]
+    assert status == "alarm"
+    assert last_notice == 40.0
+
+
+def test_alert_timeout_gates_refire():
+    rows = pd.DataFrame(
+        {
+            "alert_id": 1,
+            "pvname": "A",
+            "time": [0.0, 1.0, 2.0, 3.0],
+            "value": [9.0, 1.0, 9.0, 1.0],
+            "trippoint": 5.0,
+            "compare": "gt",
+            "timeout": 100.0,
+        }
+    )
+    out, *_ = evaluate_transitions(rows, "ok", -math.inf)
+    # second ok->alarm transition at t=2 suppressed: 2 < 0 + 100
+    assert [n["time"] for n in out] == [0.0]
+
+
+def test_alert_stream(spark, tmp_path):
+    events = pd.DataFrame(
+        {
+            "pvname": ["A"] * 4 + ["B"] * 2,
+            "time": [0.0, 10.0, 20.0, 30.0, 0.0, 10.0],
+            "value": [1.0, 9.0, 1.0, 9.0, 3.0, 2.0],
+        }
+    )
+    path = tmp_path / "ev"
+    path.mkdir()
+    events.to_parquet(path / "p.parquet", index=False)
+    rules = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "alert_id": [1, 2],
+                "pvname": ["A", "B"],
+                "compare": ["gt", "lt"],
+                "trippoint": [5.0, 2.5],
+                "timeout": [5.0, 5.0],
+                "active": ["yes", "yes"],
+            }
+        )
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(path))
+    q = (
+        alert_stream(stream, rules)
+        .writeStream.format("memory")
+        .queryName("alerts_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt3"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.alert_id, r.pvname, r.time)
+        for r in spark.sql("select * from alerts_out").collect()
+    }
+    assert got == {(1, "A", 10.0), (1, "A", 30.0), (2, "B", 10.0)}
