@@ -42,7 +42,7 @@ def clean_value_num(col: Column) -> Column:
     stray ``"b'1.23'"`` byte-reprs; non-numeric → NULL
     (ref epicsarchiver/archiver.py:34-44)."""
     unwrapped = F.regexp_replace(col, r"""^b['"](.*)['"]$""", r"$1")
-    return unwrapped.cast("double")
+    return unwrapped.try_cast("double")  # ANSI-safe: malformed → NULL
 
 
 def bucket_id(name: Column, n_buckets: int = 128) -> Column:
@@ -113,14 +113,13 @@ def chararray_as_string(col: Column) -> Column:
     chr() via transform → join. Stays in codegen, no UDF.
     """
     stripped = F.regexp_replace(col, r"[\[\]\s]", "")
-    ints = F.transform(F.split(stripped, ","), lambda x: x.cast("int"))
+    ints = F.filter(
+        F.transform(F.split(stripped, ","), lambda x: x.try_cast("int")),
+        lambda x: x.isNotNull(),
+    )
+    nul_pos = F.array_position(ints, F.lit(0)).cast("int")  # 0 when absent
     upto_nul = F.slice(
-        ints,
-        F.lit(1),
-        F.coalesce(
-            F.array_position(ints, F.lit(0)).cast("int") - F.lit(1),
-            F.size(ints),
-        ),
+        ints, F.lit(1), F.when(nul_pos > 0, nul_pos - F.lit(1)).otherwise(F.size(ints))
     )
     return F.array_join(F.transform(upto_nul, F.char), "")
 
@@ -129,7 +128,7 @@ def enum_label(value_int: Column, enum_strs: Column) -> Column:
     """C13 — enum integer → label through the per-PV ``enum_strs`` array
     (ref epicsarchiver/cache.py:171-178, applied webapp.py:302-305).
     Out-of-range indices fall back to the raw integer as text."""
-    label = F.element_at(enum_strs, value_int + F.lit(1))
+    label = F.try_element_at(enum_strs, value_int + F.lit(1))
     return F.coalesce(label, value_int.cast("string"))
 
 
@@ -145,7 +144,7 @@ ALERT_OPS = {"eq": "=", "ne": "!=", "le": "<=", "lt": "<", "ge": ">=", "gt": ">"
 def alert_fires(value: Column, compare: Column, trippoint: Column) -> Column:
     """C16 — value <op> trippoint, numeric when both sides cast, else string
     comparison (ref epicsarchiver/cache.py:609-621)."""
-    v_num, t_num = value.cast("double"), trippoint.cast("double")
+    v_num, t_num = value.try_cast("double"), trippoint.try_cast("double")
     numeric = v_num.isNotNull() & t_num.isNotNull()
 
     def both(op):

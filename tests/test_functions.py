@@ -1,0 +1,194 @@
+"""Scalar/text/vector function unit tests (SURVEY §2.8) with
+hand-computed expectations, including the reference's quirky operators:
+normalize (C1), clean_value byte-repr unwrap (C4), chararray (C12), enum
+mapping (C13), alert comparison cast-fallback (C16)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.functions import scalar, text, vector
+from epicsarchiver_spark.operators.multimodal import extract_features, media_stats
+
+
+def _col1(spark, values, fn, in_type="string"):
+    df = spark.createDataFrame([(v,) for v in values], schema=f"x {in_type}")
+    return [r.y for r in df.select(fn(F.col("x")).alias("y")).collect()]
+
+
+def test_normalize_pvname(spark):
+    got = _col1(spark, ["XXX:m1", "XXX:m1.VAL", " XXX:m2.RBV ", "a.b"], scalar.normalize_pvname)
+    assert got == ["XXX:m1.VAL", "XXX:m1.VAL", "XXX:m2.RBV", "a.b"]
+
+
+def test_valid_pvname(spark):
+    got = _col1(spark, ["XXX:m1.VAL", "bad name", "ok{}<>;"], scalar.valid_pvname)
+    assert got == [True, False, True]
+
+
+def test_clean_string_truncates_injection(spark):
+    got = _col1(spark, ["abc;drop table", "x # comment", "plain"], scalar.clean_string)
+    assert got == ["abc", "x ", "plain"]
+
+
+def test_clean_value_num(spark):
+    got = _col1(spark, ["1.25", "b'2.5'", 'b"3.5"', "nope", "7"], scalar.clean_value_num)
+    assert got == [1.25, 2.5, 3.5, None, 7.0]
+
+
+def test_bucket_id_range(spark):
+    got = _col1(spark, [f"PV:{i}" for i in range(50)], scalar.bucket_id)
+    assert all(0 <= b < 128 for b in got)
+    assert len(set(got)) > 1
+
+
+def test_hashname_parity_matches_reference_algorithm(spark):
+    """Independent check of C5 parity: sha256 → base64 → Σ bytes mod 128
+    (ref epicsarchiver/archiver.py:25-32)."""
+    import base64
+    import hashlib
+
+    names = ["XXX:m1.VAL", "S13:ip1.VAL", "ABC"]
+    expect = [
+        sum(base64.b64encode(hashlib.sha256(n.encode()).digest())) % 128 for n in names
+    ]
+    df = spark.createDataFrame([(n,) for n in names], schema="x string")
+    got = [r.y for r in df.select(scalar.hashname_parity(F.col("x")).alias("y")).collect()]
+    assert got == expect
+
+
+def test_chararray_as_string(spark):
+    got = _col1(
+        spark,
+        ["[72, 105, 0, 33]", "[72, 101, 108, 108, 111]", "[]"],
+        scalar.chararray_as_string,
+    )
+    assert got == ["Hi", "Hello", ""]
+
+
+def test_enum_label(spark):
+    df = spark.createDataFrame(
+        [(0, ["Off", "On", "Fault"]), (2, ["Off", "On", "Fault"]), (7, ["Off", "On"])],
+        schema="v int, labels array<string>",
+    )
+    got = [
+        r.y
+        for r in df.select(
+            scalar.enum_label(F.col("v"), F.col("labels")).alias("y")
+        ).collect()
+    ]
+    assert got == ["Off", "Fault", "7"]
+
+
+def test_yes_no(spark):
+    got = _col1(spark, ["0", "1", "2"], scalar.yes_no)
+    assert got == ["No", "Yes", "Yes"]
+
+
+def test_alert_fires_numeric_and_string(spark):
+    df = spark.createDataFrame(
+        [
+            ("9.5", "gt", "5"),
+            ("3", "gt", "5"),
+            ("abc", "eq", "abc"),
+            ("abc", "lt", "abd"),
+            ("10", "le", "9"),
+        ],
+        schema="v string, c string, t string",
+    )
+    got = [
+        r.y
+        for r in df.select(
+            scalar.alert_fires(F.col("v"), F.col("c"), F.col("t")).alias("y")
+        ).collect()
+    ]
+    assert got == [True, False, True, True, False]
+
+
+def test_hformat_shape(spark):
+    df = spark.createDataFrame([(1.5,), (float("nan"),), (1234567.0,)], schema="x double")
+    got = [r.y for r in df.select(scalar.hformat(F.col("x")).alias("y")).collect()]
+    assert all(len(s) == 11 for s in got)
+    assert got[0].strip() == "1.5" and got[1].strip() == "nan"
+
+
+def test_tformat_ts2iso(spark):
+    df = spark.createDataFrame([(1704067200.0,)], schema="x double")
+    r = df.select(
+        scalar.tformat(F.col("x")).alias("t"), scalar.ts2iso(F.col("x")).alias("i")
+    ).head()
+    assert r.t == "2024-Jan-01 00:00:00"
+    assert r.i == "2024-01-01 00:00:00.000"
+
+
+def test_null_norm(spark):
+    got = _col1(spark, ["", "none", "None", "x", None], scalar.null_norm)
+    assert got == [None, None, None, "x", None]
+
+
+# --- text functions ---
+
+def test_tokens_and_counts(spark):
+    got = _col1(spark, ["a  b c", "", "  x "], text.token_count, "string")
+    assert got == [3, 0, 1]
+
+
+def test_word_shingles(spark):
+    df = spark.createDataFrame([("a b c d",)], schema="x string")
+    got = df.select(text.word_shingles(F.col("x"), 2).alias("y")).head().y
+    assert list(got) == ["a b", "b c", "c d"]
+
+
+def test_langid(spark):
+    got = _col1(
+        spark,
+        ["the cat and the dog of to in", "der hund ist nicht und", "zzz qqq"],
+        text.langid,
+    )
+    assert got == ["en", "de", "und"]
+
+
+# --- vector functions ---
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0], [1.0, 2.0, 3.0])], "a array<double>, b array<double>")
+    r = df.select(vector.cosine(F.col("a"), F.col("b")).alias("c")).head()
+    assert math.isclose(r.c, 1.0)
+
+
+def test_l2_distance(spark):
+    df = spark.createDataFrame([([0.0, 3.0], [4.0, 0.0])], "a array<double>, b array<double>")
+    assert math.isclose(
+        df.select(vector.l2_distance(F.col("a"), F.col("b")).alias("d")).head().d, 5.0
+    )
+
+
+# --- multimodal plumbing ---
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        ("m1", "image", "image/png", 64, 64, None, b"\x01\x02\x03\x04" * 16),
+        ("m2", "audio", "audio/wav", None, None, 2000, b"\x10\x20" * 32),
+        ("m3", "image", "image/png", 32, 32, None, None),
+    ]
+    return spark.createDataFrame(
+        rows, schema="media_id string, kind string, mime string, width int, height int, duration_ms int, payload binary"
+    )
+
+
+def test_extract_features_deterministic(spark, media):
+    out = {r.media_id: (r.n_bytes, list(r.feature)) for r in extract_features(media).collect()}
+    assert out["m1"][0] == 64 and len(out["m1"][1]) == 8
+    assert out["m3"] == (0, [0.0] * 8)
+    again = {r.media_id: (r.n_bytes, list(r.feature)) for r in extract_features(media).collect()}
+    assert out == again
+
+
+def test_media_stats(spark, media):
+    rows = {r.kind: r.n for r in media_stats(media).collect()}
+    assert rows == {"image": 2, "audio": 1}

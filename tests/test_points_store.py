@@ -1,0 +1,112 @@
+"""Points-store layout tests: write → read round-trip, bucket/run
+partition pruning visible in the physical plan, and time-predicate
+pushdown — the 100 TB design assertions."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.plans import (
+    pushed_filters,
+    read_schema_columns,
+    scan_partition_filters,
+)
+from epicsarchiver_spark.sources.points_store import (
+    bucket_of,
+    range_read_store,
+    read_points,
+    runs_for_window,
+    series_filter,
+    write_points,
+)
+
+N_BUCKETS = 8
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("points") / "store")
+    rows = []
+    for run_i, trange in ((1, range(0, 1000, 10)), (2, range(1000, 2000, 10))):
+        for pv in ("PV:A", "PV:B", "PV:C", "PV:D"):
+            rows += [(pv, float(t), float(t % 13)) for t in trange]
+        pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+        write_points(spark.createDataFrame(pdf), path, run=f"run_{run_i:03d}", n_buckets=N_BUCKETS)
+        rows = []
+    return path
+
+
+def test_round_trip(spark, store):
+    pts = read_points(spark, store)
+    assert pts.count() == 800
+    assert {r.run for r in pts.select("run").distinct().collect()} == {"run_001", "run_002"}
+
+
+def test_series_filter_prunes_bucket_partitions(spark, store):
+    pts = read_points(spark, store)
+    q = series_filter(pts, "PV:A", N_BUCKETS)
+    pf = scan_partition_filters(q)
+    assert any("bucket" in f for f in pf), f"no bucket partition filter in {pf}"
+    got = q.select("pvname").distinct().collect()
+    assert [r.pvname for r in got] == ["PV:A"]
+
+
+def test_time_filter_pushed_to_scan(spark, store):
+    pts = read_points(spark, store)
+    q = pts.filter(F.col("time").between(100.0, 200.0)).select("pvname", "time")
+    filters = pushed_filters(q)
+    assert any("time" in f for f in filters), f"time not pushed: {filters}"
+
+
+def test_column_pruning(spark, store):
+    pts = read_points(spark, store)
+    q = pts.select("pvname").distinct()
+    cols = read_schema_columns(q)
+    assert "value" not in cols and "time" not in cols, f"over-read: {cols}"
+
+
+def test_range_read_with_run_pruning(spark, store):
+    runs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "db": ["run_001", "run_002"],
+                "start_time": [0.0, 1000.0],
+                "stop_time": [1000.0, 2147483647.0],
+            }
+        )
+    )
+    q = range_read_store(spark, store, "PV:B", 100.0, 500.0, runs=runs, n_buckets=N_BUCKETS)
+    rows = q.collect()
+    assert len(rows) == 41  # t = 100,110,...,500
+    assert {r.run for r in rows} == {"run_001"}
+    pf = scan_partition_filters(q)
+    assert any("run" in f for f in pf) and any("bucket" in f for f in pf), pf
+
+
+def test_runs_interval_join():
+    import pandas as pd
+
+    from epicsarchiver_spark.session import get_spark
+
+    spark = get_spark("t")
+    runs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "db": ["r1", "r2", "r3"],
+                "start_time": [0.0, 100.0, 200.0],
+                "stop_time": [100.0, 200.0, 300.0],
+            }
+        )
+    )
+    got = {r.db for r in runs_for_window(runs, 150.0, 250.0).collect()}
+    assert got == {"r2", "r3"}
+
+
+def test_bucket_of_is_deterministic(spark):
+    df = spark.range(1).select(
+        bucket_of(F.lit("PV:A"), 8).alias("b1"), bucket_of(F.lit("PV:A"), 8).alias("b2")
+    )
+    r = df.head()
+    assert r.b1 == r.b2 and 0 <= r.b1 < 8

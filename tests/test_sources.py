@@ -1,0 +1,116 @@
+"""File-format source/sink tests (S7/S8/S9/S13) on synthetic fixtures
+matching the reference's documented formats (FIXTURES.md §10)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.sources.pvlist import pvlist_pairs, read_pvlist
+from epicsarchiver_spark.sources.sinks import ascii_rows, saverestore_lines
+from epicsarchiver_spark.sources.template import page_model, read_template
+
+PVLIST = """\
+# a comment line
+XXX:m1.VAL
+XXX:m2.VAL XXX:m3.VAL
+YYY:scaler1 , YYY:scaler2  # trailing comment
+
+XXX:m1.VAL XXX:m2.VAL
+"""
+
+TEMPLATE = """\
+# status page
+[Section One]
+XXX:m1.VAL | Motor 1 | %8.3f
+XXX:m2.VAL,XXX:m3.VAL | Motors 2+3 | yes/no
+--
+[Section Two]
+<>
+YYY:scaler1.VAL | Scaler | %d
+"""
+
+
+@pytest.fixture()
+def pvlist_file(tmp_path):
+    p = tmp_path / "pvlist.txt"
+    p.write_text(PVLIST)
+    return str(p)
+
+
+@pytest.fixture()
+def template_file(tmp_path):
+    p = tmp_path / "page.txt"
+    p.write_text(TEMPLATE)
+    return str(p)
+
+
+def test_read_pvlist(spark, pvlist_file):
+    names = {r.pvname for r in read_pvlist(spark, pvlist_file).collect()}
+    assert names == {
+        "XXX:m1.VAL",
+        "XXX:m2.VAL",
+        "XXX:m3.VAL",
+        "YYY:scaler1.VAL",  # .VAL appended (C1)
+        "YYY:scaler2.VAL",
+    }
+
+
+def test_pvlist_pairs(spark, pvlist_file):
+    pairs = {
+        (r.pv1, r.pv2, r.score) for r in pvlist_pairs(spark, pvlist_file).collect()
+    }
+    assert pairs == {
+        ("XXX:m2.VAL", "XXX:m3.VAL", 10),
+        ("YYY:scaler1.VAL", "YYY:scaler2.VAL", 10),
+        ("XXX:m1.VAL", "XXX:m2.VAL", 10),
+    }
+
+
+def test_read_template(spark, template_file):
+    rows = read_template(spark, template_file).collect()
+    by_kind = {}
+    for r in rows:
+        by_kind.setdefault(r.kind, []).append(r)
+    assert len(by_kind["rule"]) == 1 and by_kind["rule"][0].section == "Section One"
+    assert len(by_kind["spacer"]) == 1 and by_kind["spacer"][0].section == "Section Two"
+    data_rows = by_kind["row"]
+    assert [list(r.pvnames) for r in data_rows] == [
+        ["XXX:m1.VAL"],
+        ["XXX:m2.VAL", "XXX:m3.VAL"],
+        ["YYY:scaler1.VAL"],
+    ]
+    assert [r.format for r in data_rows] == ["%8.3f", "yes/no", "%d"]
+
+
+def test_page_model_join(spark, template_file):
+    cache = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["XXX:m1.VAL", "XXX:m2.VAL", "YYY:scaler1.VAL"],
+                "value": ["1.5", "2.5", "100"],
+            }
+        )
+    )
+    model = page_model(read_template(spark, template_file), cache).collect()
+    vals = {(r.pvname, r.value) for r in model}
+    assert ("XXX:m1.VAL", "1.5") in vals
+    assert ("XXX:m3.VAL", None) in vals  # missing from cache -> left join null
+
+
+def test_ascii_rows(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"pvname": ["A"], "time": [1704067200.0], "value": [3.25]})
+    )
+    line = ascii_rows(df).head().line
+    assert line == "1704067200.000  3.25  20240101 000000"
+
+
+def test_saverestore_formats(spark):
+    df = spark.createDataFrame(pd.DataFrame({"pvname": ["A.VAL"], "value": [2.5]}))
+    assert saverestore_lines(df, "plain").head().line == "A.VAL  2.5"
+    assert saverestore_lines(df, "idl").head().line == "s = caput('A.VAL', 2.5)"
+    assert saverestore_lines(df, "python").head().line == "caput('A.VAL', 2.5)"
+    with pytest.raises(ValueError):
+        saverestore_lines(df, "nope")
