@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
 from epicsarchiver_spark.operators import (
+    control,
     cull,
     dedup,
     deadband,
@@ -34,7 +35,17 @@ T_ASOF = 1705276800.0  # 2024-01-15
 GRID_STEP = 86400.0
 DEADTIME = 3600.0
 DEADBAND = 25.0
+HEARTBEAT = 172800.0  # 2-day forced-heartbeat floor (24 h in the reference)
 RELATED_NODE = "S:1"
+ENUM_LABELS = ("OFF", "LOW", "MED", "HIGH")
+
+def _enum_label_col():
+    """C13 enum mapping applied to the numeric value (floor → 0..3 →
+    label). Lazy: Column construction needs an active SparkContext."""
+    return F.element_at(
+        F.array(*[F.lit(x) for x in ENUM_LABELS]),
+        (F.pmod(F.floor(F.col("value")).cast("int"), F.lit(4)) + F.lit(1)).cast("int"),
+    )
 
 _PTS = "event_id", "pvname", "time", "value"
 
@@ -93,10 +104,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_locf_grid"] = lambda s, d: timeseries.locf_grid(
         _points(s, d), T0, T1, GRID_STEP
     ).select("pvname", "t", "value")
+    q["ts_heartbeat_fill"] = lambda s, d: deadband.heartbeat_fill(
+        _points(s, d), max_silence=HEARTBEAT
+    )
+    q["ts_status_activity"] = lambda s, d: control.status_activity(
+        points_view(s, d), T1
+    )
+    q["ts_enum_labels"] = lambda s, d: points_view(s, d).groupBy(
+        _enum_label_col().alias("label")
+    ).agg(F.count(F.lit(1)).alias("n"))
 
     # --- related-pairs graph (SURVEY §2.3 J5 / §2.4 A3-A4) ---
     q["rel_pair_scores"] = lambda s, d: related.canonical_pairs(_edges(s, d))
     q["rel_related_topk"] = lambda s, d: related.related_topk(_edges(s, d), RELATED_NODE, k=20)
+    q["rel_score_sums"] = lambda s, d: related.score_sums(_edges(s, d), ["S:1", "S:2"])
+    q["rel_orders_no_lineitem"] = lambda s, d: (
+        load_table(s, d, "orders")
+        .join(
+            load_table(s, d, "lineitem").select("l_orderkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+            "left_anti",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
 
     # --- catalog / search (SURVEY §2.2 F4, §2.4 A6) ---
     q["cat_wildcard"] = lambda s, d: search.wildcard_search(
@@ -135,6 +167,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_topk_cosine"] = lambda s, d: similarity.brute_force_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10
     )
+    q["emb_pairwise_topk"] = lambda s, d: similarity.pairwise_topk(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") < 5),
+        k=5,
+    ).select("probe_id", "corpus_id", F.round("cosine_sim", 6).alias("cosine_sim"))
 
     # --- approximate families: no SQL oracle (rows-only check) ---
     q["doc_minhash_neardups"] = lambda s, d: dedup.minhash_near_duplicates(
@@ -268,6 +305,96 @@ def oracle_sql() -> dict[str, str]:
           ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
         """
     )
+
+    o["ts_heartbeat_fill"] = (
+        P
+        + f""",
+        nxt AS (
+          SELECT pvname, time, value,
+                 lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS next_t
+          FROM points
+        ),
+        gaps AS (
+          SELECT pvname, time, value,
+                 CAST(ceil((next_t - time) / {HEARTBEAT}) AS INT) - 1 AS n_fill
+          FROM nxt
+          WHERE next_t IS NOT NULL AND next_t - time > {HEARTBEAT}
+        )
+        SELECT pvname, time, value, FALSE AS is_heartbeat FROM points
+        UNION ALL
+        SELECT g.pvname,
+               g.time + CAST(i.i AS DOUBLE) * {HEARTBEAT} AS time,
+               g.value, TRUE AS is_heartbeat
+        FROM gaps g, LATERAL (SELECT unnest(generate_series(1, g.n_fill)) AS i) i
+        """
+    )
+
+    o["ts_status_activity"] = (
+        P
+        + f"""
+        SELECT event_type,
+               count(*) AS n_total,
+               sum(CASE WHEN time > {T1} THEN 1 ELSE 0 END) AS n_recent,
+               max(time) AS t_last
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    enum_arr = "['" + "','".join(ENUM_LABELS) + "']"
+    o["ts_enum_labels"] = (
+        P
+        + f"""
+        SELECT ({enum_arr})[((CAST(floor(value) AS INT) % 4 + 4) % 4) + 1] AS label,
+               count(*) AS n
+        FROM points GROUP BY 1
+        """
+    )
+
+    o["rel_score_sums"] = (
+        E
+        + """,
+        canon AS (
+          SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2, max(score) AS score
+          FROM edges GROUP BY 1, 2
+        ),
+        nbrs AS (
+          SELECT pv2 AS pvname, score FROM canon WHERE pv1 IN ('S:1','S:2')
+          UNION ALL
+          SELECT pv1 AS pvname, score FROM canon WHERE pv2 IN ('S:1','S:2')
+        )
+        SELECT pvname, sum(score) AS total_score FROM nbrs
+        WHERE pvname NOT IN ('S:1','S:2')
+        GROUP BY pvname ORDER BY total_score DESC, pvname
+        """
+    )
+
+    o["rel_orders_no_lineitem"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["emb_pairwise_topk"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                 list_dot_product(c.e, p.e)
+                 / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e)))
+                   AS sim,
+                 row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(c.e, p.e)
+                            / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e))) DESC,
+                            c.vec_id
+                 ) AS rn
+          FROM v p JOIN v c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+        )
+        SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
+        FROM scored WHERE rn <= 5
+    """
 
     o["rel_pair_scores"] = (
         E

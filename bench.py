@@ -28,6 +28,12 @@ HEADLINE = [
     "ts_cull_band",
     "ts_deadband",
     "ts_locf_grid",
+    "ts_heartbeat_fill",
+    "ts_status_activity",
+    "ts_enum_labels",
+    "rel_score_sums",
+    "rel_orders_no_lineitem",
+    "emb_pairwise_topk",
     "rel_pair_scores",
     "rel_related_topk",
     "rel_pricing_summary",

@@ -1,0 +1,108 @@
+"""Control-plane / lifecycle operators — SURVEY §2.9 control plane, §3.3
+pvarch CLI surface, A8 status metrics, J6 description join.
+
+The reference's control plane is a MySQL mailbox polled by the cache
+daemon (requests add/drop/suspend/ignore, epicsarchiver/cache.py:705-752),
+run rotation creating a new DB + copying the pv dimension forward
+(cache.py:82-144), and usage-incremented pair scores (cache.py:804-880).
+Here: small-DataFrame transforms over the catalog dimensions — every one
+broadcastable, none touching the fact table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+MAX_EPOCH = 2147483647.0
+MAX_PAIR_SCORE = 500_000  # ref epicsarchiver/cache.py:30
+
+
+def apply_requests(pv: DataFrame, requests: DataFrame) -> DataFrame:
+    """Process the request queue against the pv catalog: the *latest*
+    request per pvname wins (the daemon drains the whole queue each pass,
+    ref cache.py:705-752). add → ensure row active; drop → remove;
+    suspend → active='no'; ignore → no-op."""
+    w = Window.partitionBy("pvname").orderBy(F.col("ts").desc(), F.col("id").desc())
+    latest = (
+        requests.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("action") != "ignore"))
+        .select("pvname", "action")
+    )
+    joined = pv.join(latest, "pvname", "left")
+    kept = joined.filter((F.col("action").isNull()) | (F.col("action") != "drop"))
+    updated = kept.select(
+        *[c for c in pv.columns if c != "active"],
+        F.when(F.col("action") == "suspend", F.lit("no"))
+        .when(F.col("action") == "add", F.lit("yes"))
+        .otherwise(F.col("active"))
+        .alias("active"),
+    )
+    additions = (
+        latest.filter(F.col("action") == "add")
+        .join(pv.select("pvname"), "pvname", "left_anti")
+        .select("pvname", F.lit("yes").alias("active"))
+    )
+    return updated.unionByName(additions, allowMissingColumns=True)
+
+
+def rotate_runs(runs: DataFrame, now: float, next_db: str) -> DataFrame:
+    """Run rotation as pure metadata (ref cache.py:82-144
+    create_next_archive: new DB, runs row, stop_time of the old current
+    run set to now). The engine's partitioned store makes the data move a
+    no-op; only the runs dimension changes."""
+    spark = runs.sparkSession
+    closed = runs.select(
+        "db",
+        "start_time",
+        F.when(F.col("stop_time") >= MAX_EPOCH, F.lit(now)).otherwise(
+            F.col("stop_time")
+        ).alias("stop_time"),
+    )
+    new_row = spark.createDataFrame(
+        [(next_db, float(now), MAX_EPOCH)], schema="db string, start_time double, stop_time double"
+    )
+    return closed.unionByName(new_row)
+
+
+def increment_pair_scores(pairs: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Merge usage increments into the pairs graph (ref cache.py:836-880
+    increment_pair_score: +1 per co-use, capped at MAX_PAIR_SCORE,
+    canonical order). Both frames are (pv1, pv2[, score]) edges."""
+    canon = lambda df, s: df.select(  # noqa: E731
+        F.least("pv1", "pv2").alias("pv1"),
+        F.greatest("pv1", "pv2").alias("pv2"),
+        s.alias("score"),
+    )
+    base = canon(pairs, F.col("score"))
+    incr = canon(new_edges, F.coalesce(F.col("score"), F.lit(1)) if "score" in new_edges.columns else F.lit(1))
+    return (
+        base.unionByName(incr)
+        .groupBy("pv1", "pv2")
+        .agg(F.least(F.sum("score"), F.lit(MAX_PAIR_SCORE)).alias("score"))
+    )
+
+
+def status_activity(points: DataFrame, since: float, by: str = "event_type") -> DataFrame:
+    """A8 — pvarch status/activity: totals, recent counts, and newest
+    timestamp per group (ref epicsarchiver/pvarch.py:172-177,225-229,
+    cache.py:225-252) in one hash aggregate."""
+    return (
+        points.groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(F.when(F.col("time") > since, 1).otherwise(0)).alias("n_recent"),
+            F.max("time").alias("t_last"),
+        )
+        .orderBy(by)
+    )
+
+
+def desc_join(cache: DataFrame) -> DataFrame:
+    """J6 — description join: each PV's label is the cached value of its
+    ``.DESC`` sibling row (ref epicsarchiver/web/WebStatus.py:73-83;
+    ingest pairing cache.py:533-541). Self-join on the derived key."""
+    descs = cache.filter(F.col("pvname").endswith(".DESC")).select(
+        F.regexp_replace("pvname", r"\.DESC$", ".VAL").alias("pvname"),
+        F.col("value").alias("description"),
+    )
+    return cache.filter(~F.col("pvname").endswith(".DESC")).join(descs, "pvname", "left")

@@ -137,19 +137,24 @@ def heartbeat_fill(
     prev_t + i*max_silence carrying the held value
     (ref epicsarchiver/archiver.py:419-440 forced heartbeat; jitter is an
     ingest-side anti-thundering-herd concern, dropped in batch).
-    sequence() generates fill timestamps JVM-side — no driver loop."""
+    sequence() generates fill indices JVM-side — no driver loop; the
+    index form (1..ceil(gap/ms)-1, integral sequence) is reproducible in
+    ANSI SQL, unlike a double-stepped sequence."""
     w = Window.partitionBy(key).orderBy(time_col, "event_id")
     nxt = F.lead(time_col).over(w)
     gaps = points.withColumn("_next_t", nxt).filter(
         F.col("_next_t").isNotNull() & (F.col("_next_t") - F.col(time_col) > max_silence)
     )
+    n_fill = (
+        F.ceil((F.col("_next_t") - F.col(time_col)) / F.lit(max_silence)).cast("int")
+        - F.lit(1)
+    )
     fills = gaps.select(
         key,
         F.explode(
-            F.sequence(
-                F.col(time_col) + max_silence,
-                F.col("_next_t") - F.lit(1e-9),
-                F.lit(max_silence),
+            F.transform(
+                F.sequence(F.lit(1), n_fill),
+                lambda i: F.col(time_col) + i.cast("double") * F.lit(max_silence),
             )
         ).alias(time_col),
         F.col(value_col),

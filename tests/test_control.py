@@ -1,0 +1,117 @@
+"""Control-plane / lifecycle operator tests (requests queue, run
+rotation, pair-score increments, description join, heartbeat fill)."""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from epicsarchiver_spark.operators.control import (
+    MAX_EPOCH,
+    apply_requests,
+    desc_join,
+    increment_pair_scores,
+    rotate_runs,
+)
+from epicsarchiver_spark.operators.deadband import heartbeat_fill
+
+
+def test_apply_requests(spark):
+    pv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["A.VAL", "B.VAL", "C.VAL", "D.VAL"],
+                "active": ["yes", "yes", "no", "yes"],
+            }
+        )
+    )
+    requests = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id": [1, 2, 3, 4, 5],
+                "pvname": ["B.VAL", "C.VAL", "D.VAL", "D.VAL", "E.VAL"],
+                "ts": [1.0, 2.0, 3.0, 4.0, 5.0],
+                "action": ["suspend", "add", "drop", "ignore", "add"],
+            }
+        )
+    )
+    got = {(r.pvname, r.active) for r in apply_requests(pv, requests).collect()}
+    # B suspended; C re-activated; D's latest action is 'ignore' (keeps row,
+    # earlier drop superseded); E added fresh
+    assert got == {
+        ("A.VAL", "yes"),
+        ("B.VAL", "no"),
+        ("C.VAL", "yes"),
+        ("D.VAL", "yes"),
+        ("E.VAL", "yes"),
+    }
+
+
+def test_apply_requests_drop_wins_when_latest(spark):
+    pv = spark.createDataFrame(pd.DataFrame({"pvname": ["X.VAL"], "active": ["yes"]}))
+    requests = spark.createDataFrame(
+        pd.DataFrame(
+            {"id": [1, 2], "pvname": ["X.VAL", "X.VAL"], "ts": [1.0, 2.0], "action": ["add", "drop"]}
+        )
+    )
+    assert apply_requests(pv, requests).count() == 0
+
+
+def test_rotate_runs(spark):
+    runs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "db": ["r1", "r2"],
+                "start_time": [0.0, 100.0],
+                "stop_time": [100.0, MAX_EPOCH],
+            }
+        )
+    )
+    got = {(r.db, r.start_time, r.stop_time) for r in rotate_runs(runs, 250.0, "r3").collect()}
+    assert got == {
+        ("r1", 0.0, 100.0),
+        ("r2", 100.0, 250.0),
+        ("r3", 250.0, MAX_EPOCH),
+    }
+
+
+def test_increment_pair_scores(spark):
+    pairs = spark.createDataFrame(
+        pd.DataFrame({"pv1": ["A", "B"], "pv2": ["B", "C"], "score": [5, 499999]})
+    )
+    new = spark.createDataFrame(
+        # reversed order (B,A) must canonicalize onto (A,B); (C,B)+2 hits the cap
+        pd.DataFrame({"pv1": ["B", "C", "A"], "pv2": ["A", "B", "Z"], "score": [1, 2, 1]})
+    )
+    got = {(r.pv1, r.pv2, r.score) for r in increment_pair_scores(pairs, new).collect()}
+    assert got == {("A", "B", 6), ("B", "C", 500000), ("A", "Z", 1)}
+
+
+def test_desc_join(spark):
+    cache = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["M1.VAL", "M1.DESC", "M2.VAL"],
+                "value": ["3.5", "Sample X motor", "7"],
+            }
+        )
+    )
+    got = {(r.pvname, r.description) for r in desc_join(cache).collect()}
+    assert got == {("M1.VAL", "Sample X motor"), ("M2.VAL", None)}
+
+
+def test_heartbeat_fill_floor(spark):
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["A"] * 3,
+                "event_id": [1, 2, 3],
+                "time": [0.0, 10.0, 250.0],  # 240 s gap, 100 s floor
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    got = heartbeat_fill(pts, max_silence=100.0).collect()
+    hb = sorted((r.time, r.value) for r in got if r.is_heartbeat)
+    assert hb == [(110.0, 2.0), (210.0, 2.0)]  # held value repeated
+    times = sorted(r.time for r in got)
+    assert max(b - a for a, b in zip(times, times[1:])) <= 100.0
