@@ -32,18 +32,24 @@ def token_count(text: Column) -> Column:
 
 
 def word_shingles(text: Column, k: int) -> Column:
-    """k-word shingles as joined strings — the unit for MinHash / Jaccard."""
+    """k-word shingles as joined strings — the unit for MinHash / Jaccard.
+    Texts with fewer than k tokens yield an empty array (sequence(1,0)
+    would otherwise descend)."""
     toks = tokens(text)
     n = F.size(toks)
-    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    return F.when(
+        n >= k, F.transform(idx, lambda i: F.array_join(F.slice(toks, i, k), " "))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def char_ngrams(text: Column, n: int) -> Column:
-    """Character n-grams of the raw text."""
+    """Character n-grams of the raw text; shorter texts → empty array."""
     length = F.length(text)
-    idx = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(0)))
-    return F.transform(idx, lambda i: F.substring(text, i, n))
+    idx = F.sequence(F.lit(1), length - F.lit(n - 1))
+    return F.when(
+        length >= n, F.transform(idx, lambda i: F.substring(text, i, n))
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def punct_ratio(text: Column) -> Column:

@@ -24,12 +24,12 @@ from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.hashing import (
     hamming64,
-    hashed_shingles,
     lsh_bands,
-    minhash_signature,
-    simhash64,
+    minhash_signature_udf,
+    shingle_hashes,
+    simhash64_udf,
 )
-from epicsarchiver_spark.functions.text import fingerprint64, word_shingles
+from epicsarchiver_spark.functions.text import fingerprint64, tokens, word_shingles
 
 
 def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -68,31 +68,42 @@ def minhash_candidates(
     estimate. Only ids+signatures shuffle; bucket join is an equi-join
     Catalyst plans as a shuffled hash join on (band, bucket)."""
     rows_per_band = num_hashes // bands
-    # two-projection layout: shingle-hash once, THEN the 64-fn family over
-    # the materialized array (see functions/hashing.py module note)
+    # two-projection layout: shingle-hash once (string-free sliding
+    # combine), THEN the 64-fn family over the materialized array (see
+    # functions/hashing.py module note)
     base = docs.select(
-        F.col(id_col), hashed_shingles(word_shingles(F.col(text), shingle_k)).alias("bh")
+        F.col(id_col), shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh")
     )
     sigs = base.select(
-        F.col(id_col), minhash_signature(F.col("bh"), num_hashes, seed).alias("sig")
+        F.col(id_col),
+        minhash_signature_udf(num_hashes, seed)(F.col("bh")).alias("sig"),
     )
+    # the signature subplan feeds candidate generation AND two pair-side
+    # re-joins — persist so the (expensive) signatures compute once. The
+    # cluster-scale analog is writing the signature table out once and
+    # reading it back for both sides.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs.count()  # eager: fill the cache before three consumers race on it
+    # candidate generation moves only (id, band, bucket) — signatures
+    # (64×8 B each) stay out of the explode/join/dedup shuffles and are
+    # re-attached once per surviving pair
     bucketed = sigs.select(
         id_col,
-        "sig",
         F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-    left = bucketed.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band", "bucket"
-    )
-    right = bucketed.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band", "bucket"
-    )
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    left = bucketed.select(F.col(id_col).alias("id_a"), "band", "bucket")
+    right = bucketed.select(F.col(id_col).alias("id_b"), "band", "bucket")
     pairs = (
         left.join(right, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    pairs = pairs.join(
+        sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a")), "id_a"
+    ).join(sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b")), "id_b")
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     )
@@ -124,9 +135,9 @@ def simhash_near_duplicates(
     one of `blocks` 16-bit blocks (pigeonhole: any pair within hamming r <
     blocks shares a block), verified by exact hamming distance."""
     base = docs.select(
-        F.col(id_col), hashed_shingles(word_shingles(F.col(text), shingle_k)).alias("bh")
+        F.col(id_col), shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh")
     )
-    sigs = base.select(F.col(id_col), simhash64(F.col("bh")).alias("sh"))
+    sigs = base.select(F.col(id_col), simhash64_udf()(F.col("bh")).alias("sh"))
     block_width = 64 // blocks
     mask = (1 << block_width) - 1
     blocked = sigs.select(
