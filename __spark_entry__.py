@@ -114,6 +114,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _enum_label_col().alias("label")
     ).agg(F.count(F.lit(1)).alias("n"))
 
+    q["ts_meta_join"] = lambda s, d: (
+        points_view(s, d)
+        .join(
+            F.broadcast(load_table(s, d, "customer")),
+            F.col("pv_id") == F.col("c_custkey"),
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+    q["ts_percentiles"] = lambda s, d: (
+        points_view(s, d)
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", F.lit(0.01)).alias("p01"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .orderBy("event_type")
+    )
+    q["ts_time_format"] = lambda s, d: points_view(s, d).select(
+        "event_id",
+        F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd HH:mm:ss").alias("iso"),
+    )
+
     # --- related-pairs graph (SURVEY §2.3 J5 / §2.4 A3-A4) ---
     q["rel_pair_scores"] = lambda s, d: related.canonical_pairs(_edges(s, d))
     q["rel_related_topk"] = lambda s, d: related.related_topk(_edges(s, d), RELATED_NODE, k=20)
@@ -395,6 +423,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
         FROM scored WHERE rn <= 5
     """
+
+    o["ts_meta_join"] = (
+        P
+        + """
+        SELECT c_mktsegment,
+               count(*) AS n_points,
+               round(sum(value), 2) AS sum_value
+        FROM points JOIN customer ON pv_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+    o["ts_percentiles"] = (
+        P
+        + """
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.99) AS p99
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_time_format"] = (
+        P
+        + """
+        SELECT event_id,
+               strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S') AS iso
+        FROM points
+        """
+    )
 
     o["rel_pair_scores"] = (
         E
