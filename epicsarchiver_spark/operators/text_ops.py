@@ -31,15 +31,51 @@ def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
+def _with_lang_pred(docs: DataFrame, text: str, keep: list) -> DataFrame:
+    """Three-projection language-ID: tokenize once, score once, argmax
+    once — inline `T.langid(text)` would re-tokenize per language per
+    reference (~10× the work; see functions/hashing.py on CollapseProject
+    and interpreted higher-order functions)."""
+    toks = docs.select(
+        *keep, F.transform(T.tokens(F.col(text)), lambda t: F.lower(t)).alias("_toks")
+    )
+    keep_names = [c for c in toks.columns if c != "_toks"]
+    scored = toks.select(
+        *keep_names,
+        F.array(
+            *[
+                F.struct(
+                    F.lit(lang).alias("lang"),
+                    F.size(
+                        F.array_intersect("_toks", F.array(*[F.lit(w) for w in words]))
+                    ).alias("hits"),
+                )
+                for lang, words in sorted(T.LANG_STOPWORDS.items())
+            ]
+        ).alias("_scores"),
+    )
+    max_hits = F.array_max(F.transform("_scores", lambda s: s["hits"]))
+    best = F.array_min(
+        F.transform(
+            F.filter("_scores", lambda s: s["hits"] == F.col("_max")), lambda s: s["lang"]
+        )
+    )
+    return (
+        scored.withColumn("_max", max_hits)
+        .withColumn("lang_pred", F.when(F.col("_max") > 0, best).otherwise(F.lit("und")))
+        .drop("_toks", "_scores", "_max")
+    )
+
+
 def langid_table(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc predicted language via the stopword-hits heuristic."""
-    return docs.select(F.col(id_col), T.langid(F.col(text)).alias("lang_pred"))
+    return _with_lang_pred(docs, text, [F.col(id_col)])
 
 
 def langid_eval(docs: DataFrame, text: str = "text", label: str = "lang") -> DataFrame:
     """Confusion counts of predicted vs labeled language."""
     return (
-        docs.select(F.col(label).alias("lang_true"), T.langid(F.col(text)).alias("lang_pred"))
+        _with_lang_pred(docs, text, [F.col(label).alias("lang_true")])
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_true", "lang_pred")

@@ -1,0 +1,57 @@
+"""Physical-plan shape assertions for the headline queries: broadcasts
+where dimensions are small, map-side partial aggregation, pushdown — the
+"would this survive 100×" checks, enforced as tests."""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+from epicsarchiver_spark.plans import explain_str, pushed_filters
+from tests.conftest import SF_ORACLE
+
+
+def _plan(spark, name: str) -> str:
+    return explain_str(entrymod.queries()[name](spark, SF_ORACLE))
+
+
+def test_regional_revenue_broadcasts_dimensions(spark):
+    plan = _plan(spark, "rel_regional_revenue")
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:2000]
+    # the fact table shuffles once for the aggregate, not for the joins
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 1
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    plan = _plan(spark, "rel_pricing_summary")
+    assert "partial_" in plan, "no map-side partial aggregate"
+
+
+def test_range_read_pushes_time_filter(spark):
+    df = entrymod.queries()["ts_range_read"](spark, SF_ORACLE)
+    filters = pushed_filters(df)
+    assert any("ts" in f or "time" in f for f in filters), filters
+
+
+def test_meta_join_is_broadcast(spark):
+    plan = _plan(spark, "ts_meta_join")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_top_orders_uses_take_ordered(spark):
+    plan = _plan(spark, "rel_top_orders")
+    assert "TakeOrderedAndProject" in plan, "top-k should not be a global sort"
+
+
+def test_latest_uses_hash_aggregate_not_window(spark):
+    """latest_per_key is max_by (hash agg + partial), not a sort window."""
+    plan = _plan(spark, "ts_latest")
+    assert "Window" not in plan
+    assert re.search(r"(HashAggregate|SortAggregate)", plan)
+
+
+def test_anti_join_stays_anti(spark):
+    plan = _plan(spark, "rel_orders_no_lineitem")
+    assert "LeftAnti" in plan
