@@ -181,6 +181,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- documents: dedup + text analysis ---
     q["doc_fingerprints"] = lambda s, d: text_ops.text_stats(load_table(s, d, "documents"))
     q["doc_exact_dups"] = lambda s, d: dedup.exact_duplicates(load_table(s, d, "documents"))
+    q["doc_dedup_exact"] = lambda s, d: dedup.dedup_exact(
+        load_table(s, d, "documents")
+    ).select("doc_id", "lang", "source")
     q["doc_quality"] = lambda s, d: text_ops.quality_scores(load_table(s, d, "documents"))
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
@@ -547,6 +550,11 @@ def oracle_sql() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS mean_token_len,
                lower(substr(md5(text), 1, 16)) AS fingerprint
         FROM documents
+    """
+
+    o["doc_dedup_exact"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
     """
 
     o["doc_exact_dups"] = """

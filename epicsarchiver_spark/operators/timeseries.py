@@ -24,43 +24,64 @@ def range_read(points: DataFrame, t0: float, t1: float, key: str = "pvname") -> 
     return points.filter(F.col("time").between(t0, t1))
 
 
-def early_point(points: DataFrame, t0: float, key: str = "pvname") -> DataFrame:
+def early_point(
+    points: DataFrame, t0: float, key: str = "pvname", lookback: float | None = None
+) -> DataFrame:
     """J4/W4 — per series, the single most recent point strictly before t0,
     so a range read starts with a defined value
     (ref epicsarchiver/archiver.py:192-206).
 
     row_number over (series, time desc) then rn=1 — one shuffle on the
-    series key; at scale the pre-t0 filter prunes partitions first.
+    series key.
+
+    ``lookback`` bounds the pre-t0 scan to [t0-lookback, t0). Unbounded is
+    the safe default for arbitrary data, but it scans ALL history at
+    100 TB. When the store honors the forced-heartbeat floor (W3: ≥1
+    point/series/24 h, ref util.py:348-354), lookback = a little over the
+    heartbeat period is *exact* — the heartbeat guarantee is precisely
+    what makes the bounded as-of scan correct at scale.
     """
+    pre = points.filter(F.col("time") < t0)
+    if lookback is not None:
+        pre = pre.filter(F.col("time") >= t0 - lookback)
     w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
-    return (
-        points.filter(F.col("time") < t0)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
-def get_data(points: DataFrame, t0: float, t1: float, key: str = "pvname") -> DataFrame:
+def get_data(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    key: str = "pvname",
+    lookback: float | None = None,
+) -> DataFrame:
     """§3.2 spine — `get_data(pv, tmin, tmax)`: in-window rows plus the
     early-point seed, one frame, time-ordered downstream
     (ref epicsarchiver/archiver.py:149-223). The reference's per-run loop
     + zarr/SQL dual path collapses into one partition-pruned scan + union.
+    ``lookback`` bounds the seed scan (see early_point).
     """
-    return range_read(points, t0, t1, key).unionByName(early_point(points, t0, key))
-
-
-def value_at_time(points: DataFrame, t: float, key: str = "pvname", tol: float = 1e-4) -> DataFrame:
-    """J3/W5 — as-of lookup: per series, the last value with time < t + tol
-    (ref epicsarchiver/archiver.py:112-129, which scans [t-60, t+1] and
-    takes the last row with time < t+1e-4)."""
-    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
-    return (
-        points.filter(F.col("time") < t + tol)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    return range_read(points, t0, t1, key).unionByName(
+        early_point(points, t0, key, lookback=lookback)
     )
+
+
+def value_at_time(
+    points: DataFrame,
+    t: float,
+    key: str = "pvname",
+    tol: float = 1e-4,
+    lookback: float | None = None,
+) -> DataFrame:
+    """J3/W5 — as-of lookup: per series, the last value with time < t + tol
+    (ref epicsarchiver/archiver.py:112-129, which scans a bounded window
+    [t-60, t+1] and takes the last row with time < t+1e-4 — its own
+    bounded-lookback trick; see early_point for the scale rationale)."""
+    pre = points.filter(F.col("time") < t + tol)
+    if lookback is not None:
+        pre = pre.filter(F.col("time") >= t - lookback)
+    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
+    return pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
 def asof_join(
