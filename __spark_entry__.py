@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
+from epicsarchiver_spark.functions.scalar import clean_value_num
 from epicsarchiver_spark.operators import (
     control,
     cull,
@@ -114,6 +115,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _enum_label_col().alias("label")
     ).agg(F.count(F.lit(1)).alias("n"))
 
+    q["ts_daily_rollup"] = lambda s, d: (
+        points_view(s, d)
+        .groupBy(
+            F.col("event_type"),
+            F.date_format(
+                F.timestamp_seconds(F.col("time")), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.round(F.min("value"), 2).alias("min_value"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+        .orderBy("event_type", "day")
+    )
+    q["ts_clean_values"] = lambda s, d: (
+        points_view(s, d)
+        .select("event_type", clean_value_num(F.col("value_str")).alias("v"))
+        .groupBy("event_type")
+        .agg(
+            F.count("v").alias("n_numeric"),
+            F.round(F.avg("v"), 6).alias("avg_value"),
+        )
+        .orderBy("event_type")
+    )
     q["ts_meta_join"] = lambda s, d: (
         points_view(s, d)
         .join(
@@ -426,6 +453,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
         FROM scored WHERE rn <= 5
     """
+
+    o["ts_daily_rollup"] = (
+        P
+        + """
+        SELECT event_type,
+               strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM points GROUP BY event_type, day ORDER BY event_type, day
+        """
+    )
+
+    o["ts_clean_values"] = (
+        P
+        + """
+        SELECT event_type,
+               count(TRY_CAST(value_str AS DOUBLE)) AS n_numeric,
+               round(avg(TRY_CAST(value_str AS DOUBLE)), 6) AS avg_value
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
 
     o["ts_meta_join"] = (
         P

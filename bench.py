@@ -50,7 +50,62 @@ HEADLINE = [
 ]
 
 
+def bench_ingest(spark, tmp: str) -> float:
+    """Streaming ingest throughput: the full archiver pipeline
+    (compress → bucketed parquet append) over the sf events, availableNow.
+    The reference's operational ceiling is ~750 inserts/s (BASELINE.md);
+    this measures the engine's equivalent end-to-end path."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.catalog import points_view
+    from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
+
+    src = f"{tmp}/events_in"
+    points_view(spark, SF_DIR).select("pvname", "time", "value").coalesce(4).write.mode(
+        "overwrite"
+    ).parquet(src)
+    stream = spark.readStream.schema("pvname string, time double, value double").parquet(src)
+    t0 = time.perf_counter()
+    q = (
+        archive_query(
+            compressed_stream(stream, deadtime=60.0, deadband=0.0, flush_ms=None),
+            f"{tmp}/points_out",
+            f"{tmp}/ckpt",
+            buckets=32,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(600)
+    return time.perf_counter() - t0
+
+
+def bench_store(spark, tmp: str) -> dict[str, float]:
+    """Points-store read path: write the sf events as a run+bucket
+    partitioned store once, then time pruned single-series range reads."""
+    from epicsarchiver_spark.catalog import points_view
+    from epicsarchiver_spark.sources.points_store import range_read_store, write_points
+
+    path = f"{tmp}/store"
+    pts = points_view(spark, SF_DIR).select("pvname", "time", "value")
+    t0 = time.perf_counter()
+    write_points(pts, path, run="run_001", n_buckets=32, mode="overwrite")
+    t_write = time.perf_counter() - t0
+
+    name = pts.select("pvname").head().pvname
+    t0 = time.perf_counter()
+    for _ in range(5):
+        range_read_store(spark, path, name, 1.7045e9, 1.7055e9, n_buckets=32).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    t_read = (time.perf_counter() - t0) / 5
+    return {"store_write": round(t_write, 4), "store_series_read": round(t_read, 4)}
+
+
 def main() -> None:
+    import shutil
+    import tempfile
+
     import __spark_entry__ as entrymod
     from epicsarchiver_spark.session import get_spark
 
@@ -69,6 +124,13 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    tmp = tempfile.mkdtemp(prefix="pvarch_bench_")
+    try:
+        timings["stream_ingest_pipeline"] = round(bench_ingest(spark, tmp), 4)
+        timings.update(bench_store(spark, tmp))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     print(

@@ -58,7 +58,7 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _compress_kernel(deadtime: float, deadband: float, flush_ms: int):
+def _compress_kernel(deadtime: float, deadband: float, flush_ms: int | None):
     """Build the applyInPandasWithState kernel closed over the config."""
 
     def fn(
@@ -105,7 +105,7 @@ def _compress_kernel(deadtime: float, deadband: float, flush_ms: int):
                         out_t.append(t), out_v.append(v)
                         last_t, last_v = t, v
             state.update((last_t, last_v, pend_t, pend_v))
-            if pend_t is not None:
+            if pend_t is not None and flush_ms is not None:
                 state.setTimeoutDuration(flush_ms)
 
         if out_t:
@@ -118,18 +118,32 @@ def compressed_stream(
     events: DataFrame,
     deadtime: float = 5.0,
     deadband: float = 0.0,
-    flush_ms: int = 1000,
+    flush_ms: int | None = 1000,
 ) -> DataFrame:
     """W1/W2 — stateful deadtime/deadband/limbo compression of a streaming
     ``(pvname, time, value)`` frame. Keyed state per series; bursts inside
     the deadtime window collapse to the final value carrying its original
-    event timestamp."""
+    event timestamp.
+
+    ``flush_ms`` — processing-time timer that flushes a pending limbo
+    entry after quiet time. Use it for CONTINUOUS deployments. For bounded
+    runs (``trigger(availableNow=True)`` backfills, benchmarks) pass
+    ``None``: once any group registers a processing-time timeout, Spark's
+    availableNow executor keeps scheduling empty micro-batches and the
+    query never terminates (observed on 4.1: endless 0-row batches). With
+    ``None`` the pending tail simply stays in state — the same outcome as
+    stopping the reference's archiver mid-deadtime-window; a later event
+    past the window still flushes it with its original timestamp.
+    """
+    timeout = (
+        GroupStateTimeout.NoTimeout if flush_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+    )
     return events.groupBy("pvname").applyInPandasWithState(
         _compress_kernel(deadtime, deadband, flush_ms),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=timeout,
     )
 
 

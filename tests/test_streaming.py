@@ -104,6 +104,39 @@ def test_streaming_matches_applyinpandas_batch(spark, events_dir):
     assert got == batch_spec(synth_events())
 
 
+def test_available_now_terminates_without_timers(spark, tmp_path):
+    """Bounded-run mode (flush_ms=None): a stream whose series END inside
+    a deadtime window (pending limbo, no sentinel) must still terminate
+    under availableNow — with timers registered Spark 4.1 loops empty
+    micro-batches forever. The pending tail stays unflushed, matching the
+    batch spec minus in-flight limbo entries."""
+    df = pd.DataFrame(
+        {
+            "pvname": ["P"] * 3,
+            "time": [0.0, 100.0, 101.0],  # 101.0 lands in limbo, never flushed
+            "value": [1.0, 2.0, 3.0],
+        }
+    )
+    path = tmp_path / "ev2"
+    path.mkdir()
+    df.to_parquet(path / "p.parquet", index=False)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(path))
+    q = (
+        compressed_stream(stream, DEADTIME, DEADBAND, flush_ms=None)
+        .writeStream.format("memory")
+        .queryName("noflush_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_noflush"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120), "query did not terminate"
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from noflush_out").collect()
+    }
+    assert got == {("P", 0.0, 1.0), ("P", 100.0, 2.0)}  # (101, 3) pending in state
+
+
 def test_latest_value_upsert(spark, events_dir, tmp_path):
     cache_path = str(tmp_path / "cache")
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
