@@ -69,21 +69,34 @@ def hashname_parity(names: pd.Series) -> pd.Series:
     return names.map(_h).astype("int32")
 
 
-def _hformat_one(value: float, length: int = 11) -> str:
-    """C6 core — fixed-width float rendering: '%g'-like, exact field width,
-    leading blank for the sign column (behavioral spec from
-    ref epicsarchiver/util.py:427-491 docstring examples)."""
-    if value is None or value != value:  # NaN
-        return " " * (length - 3) + "nan"
+def _hformat_one(value: float, length: int = 10) -> str:
+    """C6 core — '%g'-like fixed-width float rendering, reimplemented to
+    the documented behavior of the reference formatter
+    (ref epicsarchiver/util.py:427-491): width-padded with a leading
+    blank for positives, trailing zeros kept, 'f' form within the
+    precision window and 'e' outside it (the docstring's own example:
+    99999995.2 → ' 99999995.2' but +10 more → ' 1.0000e+08' at length
+    11), and a trailing '000' triple stripped."""
+    import math
+
+    if value is None or value != value:  # None / NaN
+        return "nan".rjust(max(length, 7))
+    width = max(length, 7)
+    digits = width - 7
     try:
-        out = f"%.{max(length - 7, 0)}g" % value
-        if len(out) > length - 1:
-            out = f"%.{max(length - 8, 0)}g" % value
-        if "e" not in out and "." not in out and "n" not in out and "i" not in out:
-            out += "."
-        return out.rjust(length)
-    except (TypeError, ValueError):
-        return "?".rjust(length)
+        magnitude = int(math.log10(abs(value)))
+    except (ValueError, OverflowError):
+        magnitude = 0
+    kind = "e"
+    if abs(magnitude) > 99:
+        digits -= 1
+    elif (0 < magnitude < digits + 6) or (magnitude <= 0 and -magnitude < digits - 1):
+        kind = "f"
+        digits += 4
+        if magnitude > 0:
+            digits = max(0, digits - magnitude)
+    rendered = format(value, f" {width}.{digits}{kind}")[:width]
+    return rendered[:-3] if rendered.endswith("000") else rendered
 
 
 @F.pandas_udf(StringType())

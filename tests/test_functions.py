@@ -109,11 +109,30 @@ def test_alert_fires_numeric_and_string(spark):
     assert got == [True, False, True, True, False]
 
 
-def test_hformat_shape(spark):
-    df = spark.createDataFrame([(1.5,), (float("nan"),), (1234567.0,)], schema="x double")
+def test_hformat_reference_vectors():
+    """Vectors captured by EXECUTING the reference formatter
+    (epicsarchiver/util.py:427-491) on representative inputs. Note the
+    reference's own docstring example (' 1.0000e+08' for 1e8+5.2 at
+    length 11) does not match its implementation, which yields
+    '  100000005' — parity follows the implementation."""
+    from epicsarchiver_spark.functions.scalar import _hformat_one
+
+    assert _hformat_one(99999995.2, 11) == " 99999995.2"
+    assert _hformat_one(100000005.2, 11) == "  100000005"
+    assert _hformat_one(1.5, 11) == " 1.50000"  # trailing '000' stripped
+    assert _hformat_one(1.5, 10) == " 1.5000"
+    assert _hformat_one(-2.25, 10) == "-2.2500"
+    assert _hformat_one(0.001, 11) == " 1.0000e-03"
+    assert _hformat_one(123456.789, 10) == " 123456.79"
+    assert _hformat_one(0.0, 10) == " 0.0000"
+    assert _hformat_one(1e120, 10) == " 1.00e+120"
+    assert _hformat_one(float("nan"), 10) == "       nan"
+
+
+def test_hformat_udf(spark):
+    df = spark.createDataFrame([(1.5,), (float("nan"),)], schema="x double")
     got = [r.y for r in df.select(scalar.hformat(F.col("x")).alias("y")).collect()]
-    assert all(len(s) == 11 for s in got)
-    assert got[0].strip() == "1.5" and got[1].strip() == "nan"
+    assert got[0] == " 1.5000" and got[1].strip() == "nan"  # default length 10
 
 
 def test_tformat_ts2iso(spark):
