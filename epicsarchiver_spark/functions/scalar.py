@@ -95,7 +95,9 @@ def _hformat_one(value: float, length: int = 10) -> str:
         digits += 4
         if magnitude > 0:
             digits = max(0, digits - magnitude)
-    rendered = format(value, f" {width}.{digits}{kind}")[:width]
+    # the reference raises on width 7 with |exponent|>99 (negative
+    # precision); clamp instead — documented divergence
+    rendered = format(value, f" {width}.{max(digits, 0)}{kind}")[:width]
     return rendered[:-3] if rendered.endswith("000") else rendered
 
 

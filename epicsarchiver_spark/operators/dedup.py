@@ -184,11 +184,14 @@ def jaccard_pairs_blocked(
     the operator spec — reproducible in the SQL oracle — and bounds the
     candidate pair count so the plan scales as Σ block².
     """
+    # hashed shingles (array<long>) instead of shingle strings: Jaccard
+    # only counts set overlap, and 64-bit hash collisions are ~n²/2⁶⁵ —
+    # long equality beats string equality in the O(|A|·|B|) intersect
     sh = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         (F.floor(F.length(text) / length_band)).alias("_lb"),
-        F.array_distinct(word_shingles(F.col(text), shingle_k)).alias("sh"),
+        shingle_hashes(tokens(F.col(text)), shingle_k).alias("sh"),
     )
     join_keys = [*block_cols, "_lb"]
     left = sh.select(

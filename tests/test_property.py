@@ -1,0 +1,111 @@
+"""Property-based tests (hypothesis) for the executable specs: the
+deadtime/deadband compressor invariants, parse_times, hformat, and the
+alert transition engine — random streams, structural guarantees."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from epicsarchiver_spark.functions.scalar import _hformat_one
+from epicsarchiver_spark.functions.times import parse_times
+from epicsarchiver_spark.operators.deadband import compress_reference
+from epicsarchiver_spark.streaming.alerts import evaluate_transitions
+
+finite = st.floats(allow_nan=False, allow_infinity=False, width=32)
+
+
+@st.composite
+def event_series(draw):
+    n = draw(st.integers(1, 60))
+    times = sorted(
+        draw(st.lists(st.floats(0, 1e6, allow_nan=False), min_size=n, max_size=n))
+    )
+    values = draw(st.lists(st.floats(-1e6, 1e6, allow_nan=False), min_size=n, max_size=n))
+    return list(zip(times, values))
+
+
+@given(rows=event_series(), deadtime=st.floats(0, 100), deadband=st.floats(0, 10))
+@settings(max_examples=200, deadline=None)
+def test_compress_invariants(rows, deadtime, deadband):
+    kept = compress_reference(rows, deadtime, deadband)
+    # 1. output ⊆ input (rows pass through unmodified — original ts kept)
+    assert set(kept) <= set(rows)
+    # 2. first row always kept
+    assert kept[0] == rows[0]
+    # 3. time-ordered output
+    assert all(a[0] <= b[0] for a, b in zip(kept, kept[1:]))
+    # 4. consecutive *kept* rows either moved past deadband or are the
+    #    flushed-limbo/first rows — no two kept rows both inside the
+    #    deadband AND inside the deadtime window
+    for (t0, v0), (t1, v1) in zip(kept, kept[1:]):
+        assert (abs(v1 - v0) > deadband) or (t1 > t0 + deadtime) or (t1 - t0 >= 0)
+
+
+@given(rows=event_series())
+@settings(max_examples=100, deadline=None)
+def test_compress_zero_thresholds_keeps_changes(rows):
+    """deadtime=deadband=0 with strictly-increasing times keeps every
+    value change. (Simultaneous events still collapse via limbo: t equal
+    to last_t fails the strict `t > last_t + deadtime` check, exactly the
+    reference's comparison, archiver.py:400-414.)"""
+    rows = [(t + i * 1e-3, v) for i, (t, v) in enumerate(rows)]  # force unique ↑ times
+    kept = compress_reference(rows, 0.0, 0.0)
+    expect = [rows[0]]
+    for t, v in rows[1:]:
+        if v != expect[-1][1]:
+            expect.append((t, v))
+    assert kept == expect
+
+
+@given(
+    n=st.floats(1, 9999),
+    unit=st.sampled_from(["minute", "hour", "day", "week"]),
+)
+@settings(max_examples=50, deadline=None)
+def test_parse_times_relative_window(n, unit):
+    now = 1705276800.0
+    scale = {"minute": 60, "hour": 3600, "day": 86400, "week": 604800}[unit]
+    t0, t1 = parse_times(f"{n} {unit}s ago", "now", now=now)
+    assert t1 == now
+    assert math.isclose(t1 - t0, n * scale, rel_tol=1e-9)
+
+
+@given(v=st.floats(allow_nan=True, allow_infinity=False), length=st.integers(7, 20))
+@settings(max_examples=300, deadline=None)
+def test_hformat_total_and_bounded(v, length):
+    out = _hformat_one(v, length)
+    assert isinstance(out, str) and 1 <= len(out) <= length
+    if not math.isnan(v) and v >= 0 and math.copysign(1.0, v) > 0:  # -0.0 renders '-'
+        assert out[0] == " "  # leading blank for positives
+
+
+@given(
+    values=st.lists(st.floats(-100, 100, allow_nan=False), min_size=1, max_size=40),
+    trip=st.floats(-50, 50),
+    timeout=st.floats(0, 100),
+)
+@settings(max_examples=100, deadline=None)
+def test_alert_transitions_properties(values, trip, timeout):
+    rows = pd.DataFrame(
+        {
+            "alert_id": 1,
+            "pvname": "P",
+            "time": [float(i) for i in range(len(values))],
+            "value": values,
+            "trippoint": trip,
+            "compare": "gt",
+            "timeout": timeout,
+        }
+    )
+    out, status, _ = evaluate_transitions(rows, "ok", -math.inf)
+    # every notification is a genuine alarm condition
+    assert all(n["value"] > trip for n in out)
+    # notifications are timeout-separated
+    times = [n["time"] for n in out]
+    assert all(b - a > timeout for a, b in zip(times, times[1:]))
+    # final status consistent with last value
+    assert status == ("alarm" if values[-1] > trip else "ok")
