@@ -1,0 +1,150 @@
+"""Reference-shaped facade: the method surface a user of
+newville/epicsarchiver calls today, backed by the Spark engine.
+
+Method names and signatures mirror the reference's ``Archiver`` /
+``Cache`` classes (epicsarchiver/archiver.py:46-487,
+cache.py:160-802) so a migrating user keeps their call sites; each
+method delegates to the DataFrame operators and returns DataFrames (or
+small python values where the reference returns scalars/lists). One
+class instead of two daemons: the engine has no cache/archiver process
+split (SURVEY §3.1 — multiple streaming queries on one session replace
+it)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.functions.times import parse_times
+from epicsarchiver_spark.operators import control, cull, related, search, timeseries
+from epicsarchiver_spark.sources import points_store, pvlist
+
+
+class PVArchEngine:
+    """Query surface over a points store + dimension tables.
+
+    Parameters
+    ----------
+    spark : SparkSession
+    points : DataFrame
+        (pvname, time, value, ...) fact frame — e.g.
+        ``points_store.read_points(spark, path)`` or any view.
+    runs, pairs, cache : optional dimension DataFrames.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        points: DataFrame,
+        runs: DataFrame | None = None,
+        pairs: DataFrame | None = None,
+        cache: DataFrame | None = None,
+    ) -> None:
+        self.spark = spark
+        self.points = points
+        self.runs = runs
+        self.pairs = pairs
+        self._cache = cache
+
+    # --- archiver surface (epicsarchiver/archiver.py) ---
+
+    def get_data(
+        self,
+        pvname: str,
+        tmin: float | str | None = None,
+        tmax: float | str | None = None,
+        with_current: bool = False,
+        lookback: float | None = None,
+    ) -> DataFrame:
+        """ref archiver.py:131-223 — range read + early-point seed,
+        optional live-value append, time-ordered."""
+        t0, t1 = self._window(tmin, tmax)
+        series = self.points.filter(F.col("pvname") == pvname)
+        out = timeseries.get_data(series, t0, t1, lookback=lookback)
+        if with_current and self._cache is not None:
+            out = timeseries.with_current(
+                out, self._cache.filter(F.col("pvname") == pvname)
+            )
+        return out.orderBy("time")
+
+    def get_value_at_time(self, pvname: str, t: float, lookback: float | None = None):
+        """ref archiver.py:112-129 — (time, value) as of t, or None."""
+        row = (
+            timeseries.value_at_time(
+                self.points.filter(F.col("pvname") == pvname), t, lookback=lookback
+            )
+            .select("time", "value")
+            .head()
+        )
+        return (row.time, row.value) if row is not None else None
+
+    def get_nchanged(self, minutes: float = 10, now: float | None = None) -> int:
+        """ref archiver.py:475-487 — points archived in the last window."""
+        import time as _time
+
+        since = (now if now is not None else _time.time()) - minutes * 60.0
+        return timeseries.n_changed(self.points, since).head().n
+
+    def dbs_for_time(self, t0: float, t1: float) -> list[str]:
+        """ref archiver.py:104-110 — runs overlapping [t0, t1]."""
+        if self.runs is None:
+            return []
+        return [r.db for r in points_store.runs_for_window(self.runs, t0, t1).collect()]
+
+    # --- cache surface (epicsarchiver/cache.py) ---
+
+    def get_pvnames(self) -> list[str]:
+        """ref cache.py:160-169."""
+        return [r.pvname for r in search.distinct_names(self.points).collect()]
+
+    def get_values(self, time_ago: float = 60.0, now: float | None = None) -> DataFrame:
+        """ref cache.py:464-473 — latest rows newer than now - time_ago."""
+        import time as _time
+
+        cutoff = (now if now is not None else _time.time()) - time_ago
+        latest = timeseries.latest_per_key(self.points)
+        return latest.filter(F.col("time") > cutoff)
+
+    def get_related_pvs(self, pvname: str, limit: int = 20) -> DataFrame:
+        """ref cache.py:785-802 — top-k related by pair score."""
+        if self.pairs is None:
+            raise ValueError("no pairs dimension attached")
+        return related.related_topk(self.pairs, pvname, k=limit)
+
+    def set_pair_score(self, new_edges: DataFrame) -> DataFrame:
+        """ref cache.py:836-880 — merge usage increments; returns the
+        updated pairs frame (caller persists)."""
+        if self.pairs is None:
+            raise ValueError("no pairs dimension attached")
+        self.pairs = control.increment_pair_scores(self.pairs, new_edges)
+        return self.pairs
+
+    def add_pvfile(self, path: str) -> DataFrame:
+        """ref cache.py:570-588 — parse a PV-list file; returns the name
+        frame (pair edges via sources.pvlist.pvlist_pairs)."""
+        return pvlist.read_pvlist(self.spark, path)
+
+    def show_status(self, since: float, by: str = "pvname") -> DataFrame:
+        """ref cache.py:225-252 / pvarch status — per-group totals,
+        recent counts, newest timestamp."""
+        return control.status_activity(self.points, since, by=by)
+
+    # --- web-layer operators (epicsarchiver/webapp.py, web_utils.py) ---
+
+    def cull_for_plot(self, frame: DataFrame, max_points: int = 30_000) -> DataFrame:
+        """ref webapp.py:396-401 — decimate for rendering."""
+        return cull.cull_data(frame, max_points=max_points)
+
+    def search_names(self, pattern: str) -> DataFrame:
+        """ref web/WebAdmin.py:56-57 — '*' wildcard search."""
+        return search.wildcard_search(self.points.select("pvname").distinct(), pattern)
+
+    # --- helpers ---
+
+    def _window(self, tmin, tmax) -> tuple[float, float]:
+        if isinstance(tmin, str) or isinstance(tmax, str) or tmin is None:
+            return parse_times(
+                tmin if isinstance(tmin, str) else None,
+                tmax if isinstance(tmax, str) else "now",
+            )
+        return float(tmin), float(tmax if tmax is not None else 2147483647.0)

@@ -1,0 +1,77 @@
+"""Facade test: the reference-shaped API over a real points store —
+the migration surface exercised end-to-end."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from epicsarchiver_spark.api import PVArchEngine
+from epicsarchiver_spark.sources.points_store import read_points, write_points
+
+
+@pytest.fixture(scope="module")
+def engine(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("api") / "store")
+    rows = []
+    for pv in ("S1:m1.VAL", "S1:m2.VAL", "S2:det1.VAL"):
+        rows += [(pv, float(t), float(t % 11)) for t in range(0, 5000, 50)]
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    write_points(spark.createDataFrame(pdf), path, run="run_001", n_buckets=8)
+    pts = read_points(spark, path)
+    pts = pts.withColumn("event_id", pts["time"].cast("long"))
+    runs = spark.createDataFrame(
+        pd.DataFrame({"db": ["run_001"], "start_time": [0.0], "stop_time": [2147483647.0]})
+    )
+    pairs = spark.createDataFrame(
+        pd.DataFrame(
+            {"pv1": ["S1:m1.VAL", "S1:m2.VAL"], "pv2": ["S1:m2.VAL", "S2:det1.VAL"], "score": [30, 10]}
+        )
+    )
+    return PVArchEngine(spark, pts, runs=runs, pairs=pairs)
+
+
+def test_get_data_with_seed(engine):
+    rows = engine.get_data("S1:m1.VAL", 1000.0, 2000.0).collect()
+    times = [r.time for r in rows]
+    assert times[0] == 950.0  # early-point seed before the window
+    assert times[-1] == 2000.0
+    assert times == sorted(times)
+
+
+def test_get_value_at_time(engine):
+    t, v = engine.get_value_at_time("S1:m1.VAL", 1234.0)
+    assert t == 1200.0 and v == 1200 % 11
+
+
+def test_get_value_at_time_missing(engine):
+    assert engine.get_value_at_time("NOPE.VAL", 100.0) is None
+
+
+def test_get_pvnames(engine):
+    assert engine.get_pvnames() == ["S1:m1.VAL", "S1:m2.VAL", "S2:det1.VAL"]
+
+
+def test_get_nchanged(engine):
+    # since = 5000 - 120 = 4880 → times {4900, 4950} × 3 series
+    assert engine.get_nchanged(minutes=2, now=5000.0) == 6
+
+
+def test_dbs_for_time(engine):
+    assert engine.dbs_for_time(10.0, 20.0) == ["run_001"]
+
+
+def test_related(engine):
+    got = [(r.pvname, r.score) for r in engine.get_related_pvs("S1:m2.VAL").collect()]
+    assert got == [("S1:m1.VAL", 30), ("S2:det1.VAL", 10)]
+
+
+def test_wildcard(engine):
+    got = [r.pvname for r in engine.search_names("S1:*").collect()]
+    assert got == ["S1:m1.VAL", "S1:m2.VAL"]
+
+
+def test_get_values_recent(engine):
+    got = engine.get_values(time_ago=100.0, now=5000.0).collect()
+    assert {r.pvname for r in got} == {"S1:m1.VAL", "S1:m2.VAL", "S2:det1.VAL"}
+    assert all(r.time == 4950.0 for r in got)
