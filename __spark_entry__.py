@@ -37,6 +37,7 @@ GRID_STEP = 86400.0
 DEADTIME = 3600.0
 DEADBAND = 25.0
 HEARTBEAT = 172800.0  # 2-day forced-heartbeat floor (24 h in the reference)
+ALARM_TRIP = 150.0
 RELATED_NODE = "S:1"
 ENUM_LABELS = ("OFF", "LOW", "MED", "HIGH")
 
@@ -115,6 +116,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _enum_label_col().alias("label")
     ).agg(F.count(F.lit(1)).alias("n"))
 
+    def _alarm_transitions(s, d):
+        """C16/§2.9 batch analog — ok→alarm crossings of a per-type
+        threshold: value > trip while the previous sample was <= trip
+        (the transition-only core of the alert engine; timeout gating is
+        the stateful streaming variant, streaming/alerts.py)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("pvname").orderBy("time", "event_id")
+        prev = F.lag("value").over(w)
+        return (
+            points_view(s, d)
+            .withColumn("_prev", prev)
+            .filter(
+                (F.col("value") > ALARM_TRIP)
+                & F.col("_prev").isNotNull()
+                & (F.col("_prev") <= ALARM_TRIP)
+            )
+            .select("event_id", "pvname", "time", "value")
+        )
+
+    q["ts_alarm_transitions"] = _alarm_transitions
+    q["ts_cull_full"] = lambda s, d: cull.cull_data(_points(s, d), max_points=2000)
     q["ts_daily_rollup"] = lambda s, d: (
         points_view(s, d)
         .groupBy(
@@ -453,6 +476,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
         FROM scored WHERE rn <= 5
     """
+
+    o["ts_alarm_transitions"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS prev
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE value > {ALARM_TRIP} AND prev IS NOT NULL AND prev <= {ALARM_TRIP}
+        """
+    )
 
     o["ts_daily_rollup"] = (
         P

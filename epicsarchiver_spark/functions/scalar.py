@@ -176,6 +176,19 @@ def alert_fires(value: Column, compare: Column, trippoint: Column) -> Column:
     )
 
 
+def enum_strs_from_json(col: Column) -> Column:
+    """C19 — pvextra.data JSON array → array<string> enum labels
+    (ref epicsarchiver/cache.py:177,198)."""
+    from pyspark.sql.types import ArrayType
+
+    return F.from_json(col, ArrayType(StringType()))
+
+
+def enum_strs_to_json(col: Column) -> Column:
+    """C19 inverse — array<string> → JSON text for storage parity."""
+    return F.to_json(col)
+
+
 def null_norm(col: Column) -> Column:
     """F8 — '', 'none', NULL → NULL (ref epicsarchiver/web_utils.py:11-22)."""
     return F.when(col.isNull() | F.lower(col).isin("", "none"), F.lit(None)).otherwise(col)

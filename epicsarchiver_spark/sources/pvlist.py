@@ -19,6 +19,37 @@ from epicsarchiver_spark.functions.scalar import normalize_pvname
 
 PAIR_SCORE = 10
 
+# motor record sibling fields auto-archived with a motor .VAL
+# (ref epicsarchiver/util.py:15-16, applied cache.py:544-559)
+MOTOR_FIELDS = (
+    ".VAL",
+    ".OFF",
+    ".FOFF",
+    ".SET",
+    ".HLS",
+    ".LLS",
+    ".DIR",
+    "_able.VAL",
+    ".SPMG",
+    ".DESC",
+)
+
+
+def expand_motor_fields(names: DataFrame, name_col: str = "pvname") -> DataFrame:
+    """Catalog expansion for motor PVs: each ``<prefix>.VAL`` name fans
+    out to the full motor field family (ref epicsarchiver/cache.py:544-559
+    — there gated on a live `.RTYP == 'motor'` read; batch-side the
+    caller supplies the names already known to be motors). Returns
+    (pvname, base) rows — base links fields of one motor for pair
+    scoring."""
+    vals = names.filter(F.col(name_col).endswith(".VAL")).select(
+        F.regexp_replace(name_col, r"\.VAL$", "").alias("base")
+    )
+    fields = F.array(*[F.lit(s) for s in MOTOR_FIELDS])
+    return vals.select(
+        "base", F.explode(fields).alias("_suffix")
+    ).select(F.concat(F.col("base"), F.col("_suffix")).alias("pvname"), "base")
+
 
 def _lines(spark: SparkSession, path: str) -> DataFrame:
     raw = spark.read.text(path)

@@ -99,6 +99,29 @@ def test_page_model_join(spark, template_file):
     assert ("XXX:m3.VAL", None) in vals  # missing from cache -> left join null
 
 
+def test_expand_motor_fields(spark):
+    from epicsarchiver_spark.sources.pvlist import MOTOR_FIELDS, expand_motor_fields
+
+    names = spark.createDataFrame(
+        pd.DataFrame({"pvname": ["XXX:m1.VAL", "XXX:scaler.CNT"]})
+    )
+    got = expand_motor_fields(names).collect()
+    assert {r.base for r in got} == {"XXX:m1"}
+    assert {r.pvname for r in got} == {f"XXX:m1{s}" for s in MOTOR_FIELDS}
+
+
+def test_enum_strs_json_round_trip(spark):
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.functions.scalar import enum_strs_from_json, enum_strs_to_json
+
+    df = spark.createDataFrame(pd.DataFrame({"data": ['["Off","On","Fault"]']}))
+    arr = df.select(enum_strs_from_json(F.col("data")).alias("a"))
+    assert list(arr.head().a) == ["Off", "On", "Fault"]
+    back = arr.select(enum_strs_to_json(F.col("a")).alias("j")).head().j
+    assert back == '["Off","On","Fault"]'
+
+
 def test_ascii_rows(spark):
     df = spark.createDataFrame(
         pd.DataFrame({"pvname": ["A"], "time": [1704067200.0], "value": [3.25]})
