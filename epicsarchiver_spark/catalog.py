@@ -36,11 +36,29 @@ TABLES = (
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# runtime-settable confs the engine depends on — applied defensively so
+# externally-created SparkSessions (e.g. the driver's) work too
+_REQUIRED_CONF = {
+    "spark.sql.legacy.parquet.nanosAsLong": "true",  # events.ts is TIMESTAMP(NANOS)
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def ensure_conf(spark: SparkSession) -> None:
+    for k, v in _REQUIRED_CONF.items():
+        try:
+            if spark.conf.get(k, None) != v:
+                spark.conf.set(k, v)
+        except Exception:
+            pass  # static conf on some deployment — builder must set it
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Scans stay columnar; filters and
     column pruning push down to the parquet reader (verified in
     tests/test_plans.py)."""
+    ensure_conf(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
