@@ -45,6 +45,9 @@ HEADLINE = [
     "doc_langid",
     "doc_minhash_neardups",
     "doc_simhash_neardups",
+    "doc_jaccard_pairs",
+    "ts_alarm_transitions",
+    "ts_daily_rollup",
     "emb_topk_cosine",
     "emb_topk_lsh",
 ]

@@ -184,30 +184,41 @@ def jaccard_pairs_blocked(
     the operator spec — reproducible in the SQL oracle — and bounds the
     candidate pair count so the plan scales as Σ block².
     """
-    # hashed shingles (array<long>) instead of shingle strings: Jaccard
-    # only counts set overlap, and 64-bit hash collisions are ~n²/2⁶⁵ —
-    # long equality beats string equality in the O(|A|·|B|) intersect
+    # Inverted-index (explode-join-aggregate) formulation: explode each
+    # doc's distinct 64-bit shingle hashes, equi-join within blocks on
+    # the hash, and COUNT co-occurrences per (id_a, id_b) — |A∩B| without
+    # per-pair array intersects (which measured 34 s at 5 000 docs as an
+    # O(|A|+|B|)-per-pair interpreted loop). All hash joins + partial
+    # aggregates; shuffle volume = Σ_shingle df(s)² within blocks, the
+    # standard cost model for set-similarity joins. Docs sharing NO
+    # shingle never meet (J=0 < threshold, correctly absent).
     sh = docs.select(
         F.col(id_col),
         *[F.col(c) for c in block_cols],
         (F.floor(F.length(text) / length_band)).alias("_lb"),
         shingle_hashes(tokens(F.col(text)), shingle_k).alias("sh"),
     )
-    join_keys = [*block_cols, "_lb"]
-    left = sh.select(
-        *join_keys, F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+    flat = sh.select(
+        *block_cols,
+        "_lb",
+        F.col(id_col).alias("id"),
+        F.size("sh").alias("n"),
+        F.explode("sh").alias("h"),
     )
-    right = sh.select(
-        *join_keys, F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-    )
-    # |A∪B| = |A|+|B|-|A∩B|: one array_intersect per pair instead of
-    # intersect + union (arrays are already distinct)
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = (F.size("sh_a") + F.size("sh_b")).cast("double") - inter
-    return (
+    join_keys = [*block_cols, "_lb", "h"]
+    left = flat.select(*join_keys, F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    right = flat.select(*join_keys, F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    inter = (
         left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    union = (F.col("n_a") + F.col("n_b") - F.col("_i")).cast("double")
+    return (
+        inter.withColumn(
+            "jaccard", F.when(union > 0, F.col("_i").cast("double") / union).otherwise(F.lit(0.0))
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")

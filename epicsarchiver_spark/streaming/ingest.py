@@ -58,7 +58,23 @@ STATE_SCHEMA = StructType(
 )
 
 
-def _compress_kernel(deadtime: float, deadband: float, flush_ms: int | None):
+def _heartbeat_jitter(pvname: str, heartbeat_s: float) -> float:
+    """Deterministic per-key jitter (±25%) — the reference randomizes each
+    PV's force_time over 13-21 h to spread load (util.py:348-354); a
+    replayable stream needs the jitter derived from the key, not an RNG
+    (SURVEY §7 'hard parts')."""
+    import hashlib
+
+    frac = int(hashlib.md5(pvname.encode()).hexdigest()[:8], 16) / 0xFFFFFFFF
+    return heartbeat_s * (0.75 + 0.5 * frac)
+
+
+def _compress_kernel(
+    deadtime: float,
+    deadband: float,
+    flush_ms: int | None,
+    heartbeat_s: float | None = None,
+):
     """Build the applyInPandasWithState kernel closed over the config."""
 
     def fn(
@@ -75,15 +91,30 @@ def _compress_kernel(deadtime: float, deadband: float, flush_ms: int | None):
         out_t: list[float] = []
         out_v: list[float] = []
 
+        def arm_timer(has_pending: bool) -> None:
+            if flush_ms is not None and has_pending:
+                state.setTimeoutDuration(flush_ms)
+            elif heartbeat_s is not None and last_t is not None:
+                state.setTimeoutDuration(int(_heartbeat_jitter(pvname, heartbeat_s) * 1000))
+
         if state.hasTimedOut:
-            # flush the limbo tail (ref archiver.py:404-414: pending entry
-            # becomes a real point once the deadtime window elapses)
             if pend_t is not None:
+                # flush the limbo tail (ref archiver.py:404-414: pending
+                # entry becomes a real point once the window elapses)
                 out_t.append(pend_t)
                 out_v.append(pend_v)
                 last_t, last_v = pend_t, pend_v
                 pend_t = pend_v = None
+            elif heartbeat_s is not None and last_t is not None:
+                # W3 forced heartbeat: silent series re-emits its held
+                # value at the current processing time, guaranteeing the
+                # staleness floor (ref archiver.py:419-440)
+                now_s = state.getCurrentProcessingTimeMs() / 1000.0
+                out_t.append(now_s)
+                out_v.append(last_v)
+                last_t = now_s
             state.update((last_t, last_v, pend_t, pend_v))
+            arm_timer(False)
         else:
             rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
             if len(rows):
@@ -105,8 +136,7 @@ def _compress_kernel(deadtime: float, deadband: float, flush_ms: int | None):
                         out_t.append(t), out_v.append(v)
                         last_t, last_v = t, v
             state.update((last_t, last_v, pend_t, pend_v))
-            if pend_t is not None and flush_ms is not None:
-                state.setTimeoutDuration(flush_ms)
+            arm_timer(pend_t is not None)
 
         if out_t:
             yield pd.DataFrame({"pvname": pvname, "time": out_t, "value": out_v})
@@ -119,6 +149,7 @@ def compressed_stream(
     deadtime: float = 5.0,
     deadband: float = 0.0,
     flush_ms: int | None = 1000,
+    heartbeat_s: float | None = None,
 ) -> DataFrame:
     """W1/W2 — stateful deadtime/deadband/limbo compression of a streaming
     ``(pvname, time, value)`` frame. Keyed state per series; bursts inside
@@ -134,12 +165,19 @@ def compressed_stream(
     ``None`` the pending tail simply stays in state — the same outcome as
     stopping the reference's archiver mid-deadtime-window; a later event
     past the window still flushes it with its original timestamp.
+
+    ``heartbeat_s`` — W3 forced heartbeat (continuous mode only): a
+    series silent longer than ~heartbeat_s re-emits its held value at
+    the current processing time, with deterministic ±25% per-key jitter
+    replacing the reference's random 13-21 h spread (util.py:348-354) so
+    replays are reproducible.
     """
+    use_timers = flush_ms is not None or heartbeat_s is not None
     timeout = (
-        GroupStateTimeout.NoTimeout if flush_ms is None else GroupStateTimeout.ProcessingTimeTimeout
+        GroupStateTimeout.ProcessingTimeTimeout if use_timers else GroupStateTimeout.NoTimeout
     )
     return events.groupBy("pvname").applyInPandasWithState(
-        _compress_kernel(deadtime, deadband, flush_ms),
+        _compress_kernel(deadtime, deadband, flush_ms, heartbeat_s),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",

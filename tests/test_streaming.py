@@ -137,6 +137,44 @@ def test_available_now_terminates_without_timers(spark, tmp_path):
     assert got == {("P", 0.0, 1.0), ("P", 100.0, 2.0)}  # (101, 3) pending in state
 
 
+def test_heartbeat_timer_emits_held_value(spark, tmp_path):
+    """W3 continuous mode: a silent series re-emits its held value on the
+    processing-time heartbeat timer (real timers — this test runs the
+    query live for a few seconds)."""
+    import time as _time
+
+    df = pd.DataFrame({"pvname": ["H"], "time": [100.0], "value": [7.0]})
+    path = tmp_path / "hb"
+    path.mkdir()
+    df.to_parquet(path / "p.parquet", index=False)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(path))
+    q = (
+        compressed_stream(stream, DEADTIME, DEADBAND, flush_ms=None, heartbeat_s=2.0)
+        .writeStream.format("memory")
+        .queryName("hb_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_hb"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 30
+        rows = []
+        while _time.time() < deadline:
+            rows = spark.sql("select * from hb_out").collect()
+            if len(rows) >= 2:
+                break
+            _time.sleep(1)
+    finally:
+        q.stop()
+    assert len(rows) >= 2, "no heartbeat emitted within 30 s"
+    first = [r for r in rows if r.time == 100.0]
+    beats = [r for r in rows if r.time != 100.0]
+    assert len(first) == 1
+    assert all(r.value == 7.0 for r in beats)  # held value repeated
+    assert all(r.time > 1e9 for r in beats)  # stamped at processing time
+
+
 def test_latest_value_upsert(spark, events_dir, tmp_path):
     cache_path = str(tmp_path / "cache")
     stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
