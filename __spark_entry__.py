@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
-from epicsarchiver_spark.functions.scalar import clean_value_num
+from epicsarchiver_spark.functions.scalar import clean_value_num, hformat
 from epicsarchiver_spark.operators import (
     control,
     cull,
@@ -137,6 +137,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ts_alarm_transitions"] = _alarm_transitions
+
+    def _with_current(s, d):
+        """W9 — range read + early seed + live cache value appended
+        (ref archiver.py:212-218); the 'cache' is latest_per_key."""
+        pts = _points(s, d)
+        cache = timeseries.latest_per_key(pts).select(*_PTS)
+        return timeseries.with_current(timeseries.get_data(pts, T0, T1), cache)
+
+    q["ts_with_current"] = _with_current
+    q["ts_cvalue"] = lambda s, d: points_view(s, d).select(
+        "event_id", hformat(F.col("value")).alias("cvalue")
+    )
     q["ts_cull_full"] = lambda s, d: cull.cull_data(_points(s, d), max_points=2000)
     q["ts_daily_rollup"] = lambda s, d: (
         points_view(s, d)
@@ -487,6 +499,25 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT event_id, pvname, time, value FROM lagged
         WHERE value > {ALARM_TRIP} AND prev IS NOT NULL AND prev <= {ALARM_TRIP}
+        """
+    )
+
+    o["ts_with_current"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        ),
+        latest AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        UNION ALL SELECT event_id, pvname, time, value FROM latest WHERE rn = 1
         """
     )
 

@@ -125,7 +125,10 @@ def asof_join(
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in pcols],
     )
     return filled.filter(F.col("_is_probe") == 1).select(
-        key, (F.col("_t") - tol).alias(probe_time), *[c for c in pcols if c != "time"]
+        key,
+        (F.col("_t") - tol).alias(probe_time),
+        *([F.col("time").alias("asof_time")] if "time" in pcols else []),
+        *[c for c in pcols if c != "time"],
     )
 
 
