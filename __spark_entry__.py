@@ -265,8 +265,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings").filter(F.col("vec_id") < 5),
         k=5,
     ).select("probe_id", "corpus_id", F.round("cosine_sim", 6).alias("cosine_sim"))
+    q["emb_cosine_neardups"] = lambda s, d: similarity.cosine_near_duplicates(
+        load_table(s, d, "embeddings"), threshold=0.38
+    )
 
     # --- approximate families: no SQL oracle (rows-only check) ---
+    q["emb_cosine_neardups_banded"] = lambda s, d: similarity.cosine_near_duplicates_banded(
+        load_table(s, d, "embeddings"), threshold=0.38, n_planes=16, bands=8
+    )
     q["doc_minhash_neardups"] = lambda s, d: dedup.minhash_near_duplicates(
         load_table(s, d, "documents"), threshold=0.5, shingle_k=2
     )
@@ -487,6 +493,21 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
         FROM scored WHERE rn <= 5
+    """
+
+    o["emb_cosine_neardups"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                     6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                    6) >= 0.38
     """
 
     o["ts_alarm_transitions"] = (

@@ -66,6 +66,99 @@ def pairwise_topk(
     return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
 
 
+def cosine_near_duplicates(
+    vectors: DataFrame,
+    threshold: float = 0.38,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs: all (id_a < id_b) with
+    cosine(a, b) >= threshold. The brute-force baseline for the dedup
+    surface (brief: 'embedding-cosine near-dup') — an O(n²) theta-join that
+    Spark executes as a broadcast nested-loop when one side is small.
+
+    Scale path: this is the *verifier* semantics; at corpus scale use
+    ``cosine_near_duplicates_banded`` (hyperplane-band candidate
+    generation, equi-join shuffle instead of n²) and accept banding recall,
+    or raise n_planes/bands until the miss rate is acceptable."""
+    a = vectors.select(F.col(id_col).alias("id_a"), as_double(F.col(vec_col)).alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"), as_double(F.col(vec_col)).alias("vb"))
+    sim = cosine(F.col("va"), F.col("vb"))
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim.alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def cosine_near_duplicates_banded(
+    vectors: DataFrame,
+    threshold: float = 0.38,
+    n_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate cosine near-dup at scale: random-hyperplane signature
+    split into ``bands`` bit-blocks; candidate pairs share at least one
+    block (equi-join on (band_idx, band_bits) — a shuffle join on bucket
+    keys, never n²); candidates are then verified with the exact cosine.
+    Output ⊆ the exact operator's output; recall governed by
+    (n_planes, bands) vs the angle implied by ``threshold``."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[0])
+    planes = _hyperplanes(dim, n_planes, seed)
+    bits_per_band = n_planes // bands
+
+    base = vectors.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
+    sig = F.lit(0).cast("long")
+    for j, plane in enumerate(planes):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(F.zip_with(F.col("v"), p, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
+        sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+    signed = base.withColumn("sig", sig)
+
+    mask = (1 << bits_per_band) - 1
+    banded = signed.select(
+        "_id",
+        "v",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("sig"), i * bits_per_band)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("bits"),
+                    )
+                    for i in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("_id", "v", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+
+    left = banded.select(
+        F.col("band"), F.col("bits"), F.col("_id").alias("id_a"), F.col("v").alias("va")
+    )
+    right = banded.select(
+        F.col("band"), F.col("bits"), F.col("_id").alias("id_b"), F.col("v").alias("vb")
+    )
+    cand = (
+        left.join(right, ["band", "bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= threshold)
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from an LCG —
     reproducible across runs without RNG state."""

@@ -47,6 +47,42 @@ def test_asof_join_agrees_with_value_at_time(spark):
         assert via_window == via_join, f"t={t}"
 
 
+def test_banded_cosine_neardups_subset_of_exact(spark):
+    """The banded (LSH candidate-generation) near-dup operator must emit a
+    subset of the exact O(n²) operator's pairs — verification is exact, so
+    banding can only lose pairs, never invent them."""
+    from epicsarchiver_spark.operators.similarity import (
+        cosine_near_duplicates,
+        cosine_near_duplicates_banded,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    for i in range(120):
+        base = [rng.gauss(0, 1) for _ in range(16)]
+        rows.append((i, [float(x) for x in base]))
+        if i % 10 == 0:  # planted near-duplicate
+            rows.append((1000 + i, [float(x + rng.gauss(0, 0.01)) for x in base]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    exact = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in cosine_near_duplicates(df, threshold=0.8).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b, r.cosine_sim)
+        for r in cosine_near_duplicates_banded(
+            df, threshold=0.8, n_planes=16, bands=8
+        ).collect()
+    }
+    assert banded <= exact
+    planted = {(i, 1000 + i) for i in range(0, 120, 10)}
+    assert planted <= {(a, b) for a, b, _ in exact}
+    # near-identical vectors agree on almost every hyperplane sign → banding
+    # keeps them; require high recall on the planted pairs
+    assert len(planted & {(a, b) for a, b, _ in banded}) >= len(planted) - 1
+
+
 def test_lag_deadband_agrees_with_sequential_when_deadtime_zero(spark):
     """With deadtime=0 and strictly increasing times, 'compare to
     previous kept' and 'compare to previous row' coincide only when every
