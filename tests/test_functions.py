@@ -211,3 +211,39 @@ def test_extract_features_deterministic(spark, media):
 def test_media_stats(spark, media):
     rows = {r.kind: r.n for r in media_stats(media).collect()}
     assert rows == {"image": 2, "audio": 1}
+
+
+def test_resize_images_plumbing(spark, media):
+    from epicsarchiver_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, 8, 4).collect()}
+    # image rows: payload resampled to exactly w*h bytes, metadata stamped
+    assert len(out["m1"].payload) == 32 and (out["m1"].width, out["m1"].height) == (8, 4)
+    # null payload passes through null
+    assert out["m3"].payload is None
+    # non-image rows untouched
+    assert bytes(out["m2"].payload) == b"\x10\x20" * 32 and out["m2"].width is None
+    # schema closed under resize → composes with extract_features
+    feats = extract_features(resize_images(media, 8, 4))
+    assert {r.media_id for r in feats.collect()} == {"m1", "m2", "m3"}
+
+
+def test_sample_video_frames_plumbing(spark, media):
+    from epicsarchiver_spark.operators.multimodal import sample_video_frames
+
+    vid = media.unionByName(
+        spark.createDataFrame(
+            [("v1", "video", "video/mp4", None, None, 3000, bytes(range(30)))],
+            schema=media.schema,
+        )
+    )
+    rows = sample_video_frames(vid, every_ms=1000).collect()
+    frames = {(r.media_id, r.frame_idx): r for r in rows}
+    # 3000ms/1000ms = 3 frames for the video; 2 for the 2000ms audio; images none
+    assert sorted(k for k in frames if k[0] == "v1") == [("v1", 0), ("v1", 1), ("v1", 2)]
+    assert len([k for k in frames if k[0] == "m2"]) == 2
+    assert not [k for k in frames if k[0] in ("m1", "m3")]
+    assert frames[("v1", 1)].offset_ms == 1000
+    # frame payload slices partition the source bytes
+    got = b"".join(bytes(frames[("v1", i)].frame) for i in range(3))
+    assert got == bytes(range(30))
