@@ -50,6 +50,9 @@ def _enum_label_col():
     )
 
 _PTS = "event_id", "pvname", "time", "value"
+# instrument member list for the J8 position-restore query (a saved PV
+# group; membership is data, not schema — arbitrary deterministic picks)
+INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purchase"]
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -146,6 +149,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return timeseries.with_current(timeseries.get_data(pts, T0, T1), cache)
 
     q["ts_with_current"] = _with_current
+
+    def _instrument_restore(s, d):
+        """J8 — instrument 'position' restore: each member PV's value as of
+        T_ASOF (ref WebInstruments.py:255-259); literal member list → isin
+        predicate pushed to the scan."""
+        return control.instrument_restore(_points(s, d), INSTRUMENT, T_ASOF).select(*_PTS)
+
+    q["ts_instrument_restore"] = _instrument_restore
     q["ts_cvalue"] = lambda s, d: points_view(s, d).select(
         "event_id", hformat(F.col("value")).alias("cvalue")
     )
@@ -327,6 +338,20 @@ def oracle_sql() -> dict[str, str]:
           SELECT event_id, pvname, time, value,
                  row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
           FROM points WHERE time < {T_ASOF} + 1e-4
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    _members_sql = ", ".join(f"'{m}'" for m in INSTRUMENT)
+    o["ts_instrument_restore"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < {T_ASOF} + 1e-4 AND pvname IN ({_members_sql})
         )
         SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
         """

@@ -106,3 +106,28 @@ def desc_join(cache: DataFrame) -> DataFrame:
         F.col("value").alias("description"),
     )
     return cache.filter(~F.col("pvname").endswith(".DESC")).join(descs, "pvname", "left")
+
+
+def instrument_restore(
+    points: DataFrame, members: DataFrame | list[str], t: float, tol: float = 1e-4
+) -> DataFrame:
+    """J8 — instrument position restore: for each PV in an instrument's
+    member list, its value as of timestamp ``t`` (ref
+    epicsarchiver/web/WebInstruments.py:255-259; doc/setup.rst:214-220 —
+    a saved "position" is just a timestamp, restore = as-of lookup per
+    member).
+
+    ``members`` is either a Python list of pvnames — compiled to an
+    ``isin`` predicate that *pushes down to the parquet scan* (the best
+    plan for the typical tens-of-PVs instrument: no join at all, row
+    groups without the members never leave storage) — or a members
+    DataFrame ``(pvname, ...)``, broadcast so membership filtering
+    happens map-side before the per-series as-of window; either way only
+    the instrument's series shuffle."""
+    from epicsarchiver_spark.operators.timeseries import value_at_time
+
+    if isinstance(members, (list, tuple)):
+        scoped = points.filter(F.col("pvname").isin(list(members)))
+    else:
+        scoped = points.join(F.broadcast(members.select("pvname").distinct()), "pvname")
+    return value_at_time(scoped, t, tol=tol)

@@ -115,3 +115,33 @@ def test_heartbeat_fill_floor(spark):
     assert hb == [(110.0, 2.0), (210.0, 2.0)]  # held value repeated
     times = sorted(r.time for r in got)
     assert max(b - a for a, b in zip(times, times[1:])) <= 100.0
+
+
+def test_instrument_restore_list_and_frame_agree(spark):
+    from epicsarchiver_spark.operators.control import instrument_restore
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["A", "A", "B", "B", "C"],
+                "event_id": [1, 2, 3, 4, 5],
+                "time": [10.0, 20.0, 5.0, 30.0, 12.0],
+                "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            }
+        )
+    )
+    members = ["A", "B", "ZZ:missing"]
+    via_list = {
+        (r.pvname, r.time, r.value)
+        for r in instrument_restore(pts, members, 25.0).collect()
+    }
+    mdf = spark.createDataFrame([(m,) for m in members], "pvname string")
+    via_frame = {
+        (r.pvname, r.time, r.value)
+        for r in instrument_restore(pts, mdf, 25.0).collect()
+    }
+    # as-of 25: A→(20,2.0), B→(5,3.0); C not a member; missing PV absent
+    assert via_list == via_frame == {("A", 20.0, 2.0), ("B", 5.0, 3.0)}
+    # literal-list path pushes membership into the scan: no join in plan
+    plan = instrument_restore(pts, members, 25.0)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
