@@ -21,6 +21,7 @@ from epicsarchiver_spark.operators import (
     cull,
     dedup,
     deadband,
+    multimodal,
     related,
     relational,
     search,
@@ -280,7 +281,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), threshold=0.38
     )
 
+    def _media(s, d):
+        """Deterministic media frame derived from documents: payload =
+        utf-8 bytes of text, kind cycles image/audio/video by doc_id —
+        makes the multimodal operators driver-checkable without binary
+        fixtures."""
+        docs = load_table(s, d, "documents")
+        kind = F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        )
+        return docs.select(
+            F.col("doc_id").cast("string").alias("media_id"),
+            kind.alias("kind"),
+            F.concat(F.lit("x/"), kind).alias("mime"),
+            F.when(kind == "image", (F.col("doc_id") % 64 + 1).cast("int")).alias("width"),
+            F.when(kind == "image", (F.col("doc_id") % 48 + 1).cast("int")).alias("height"),
+            F.when(kind != "image", (F.col("n_chars") * 10).cast("int")).alias("duration_ms"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+
+    q["mm_media_stats"] = lambda s, d: multimodal.media_stats(_media(s, d)).select(
+        "kind", "n", F.round("avg_bytes", 6).alias("avg_bytes"), "max_width"
+    )
+
     # --- approximate families: no SQL oracle (rows-only check) ---
+    q["mm_features"] = lambda s, d: multimodal.extract_features(_media(s, d))
+    q["mm_frame_sample"] = lambda s, d: multimodal.sample_video_frames(
+        _media(s, d), every_ms=10_000
+    ).select("media_id", "frame_idx", "offset_ms", F.length("frame").alias("frame_bytes"))
     q["emb_cosine_neardups_banded"] = lambda s, d: similarity.cosine_near_duplicates_banded(
         load_table(s, d, "embeddings"), threshold=0.38, n_planes=16, bands=8
     )
@@ -518,6 +547,19 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
         FROM scored WHERE rn <= 5
+    """
+
+    o["mm_media_stats"] = """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        )
+        SELECT kind, count(*) AS n, round(avg(n_bytes), 6) AS avg_bytes,
+               max(width) AS max_width
+        FROM media GROUP BY kind ORDER BY kind
     """
 
     o["emb_cosine_neardups"] = """
