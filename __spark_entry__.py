@@ -329,6 +329,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), DEADTIME, DEADBAND
     )
 
+    def _stream_compress(s, d):
+        """W1/W2 end-to-end through Structured Streaming: the sf events
+        replayed as a file stream → stateful deadtime/deadband compressor →
+        bucketed parquet append (S15), availableNow-bounded. Rows-only gate
+        (sequential state isn't SQL-expressible); streaming↔batch
+        equivalence against compress_sequential is pinned in
+        tests/test_streaming.py."""
+        import tempfile
+
+        from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
+
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_stream_")
+        src, out, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        _points(s, d).select("pvname", "time", "value").coalesce(2).write.mode(
+            "overwrite"
+        ).parquet(src)
+        stream = s.readStream.schema("pvname string, time double, value double").parquet(src)
+        qh = (
+            archive_query(
+                compressed_stream(stream, deadtime=DEADTIME, deadband=DEADBAND, flush_ms=None),
+                out,
+                ckpt,
+                buckets=32,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(600)
+        return s.read.parquet(out).select("pvname", "time", "value")
+
+    q["stream_compress"] = _stream_compress
+
     return q
 
 
@@ -750,6 +782,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id,
                length(text) AS n_chars_actual,
                len({TOK}) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+                   AS n_bpe_tokens,
                round(CASE WHEN len({TOK}) > 0
                      THEN list_sum(list_transform({TOK}, x -> length(x))) * 1.0 / len({TOK})
                      ELSE 0.0 END, 6) AS mean_token_len,

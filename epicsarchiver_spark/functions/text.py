@@ -31,6 +31,19 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenizer, lookahead-free so the SAME pattern runs on
+# Java regex (Spark) and RE2 (DuckDB oracle): contraction suffixes, then
+# space-prefixed letter/digit/punct runs, then whitespace runs.
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: number of pre-tokenizer segments — the unit an
+    actual BPE vocab would split further, and the standard cheap proxy for
+    LLM token budgeting. Pure JVM regexp, codegen-friendly."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+
+
 def word_shingles(text: Column, k: int) -> Column:
     """k-word shingles as joined strings — the unit for MinHash / Jaccard.
     Texts with fewer than k tokens yield an empty array (sequence(1,0)

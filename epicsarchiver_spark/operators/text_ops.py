@@ -16,6 +16,7 @@ def text_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
         F.col(id_col),
         F.length(text).alias("n_chars_actual"),
         T.token_count(F.col(text)).alias("n_tokens"),
+        T.bpe_token_count(F.col(text)).alias("n_bpe_tokens"),
         F.round(T.mean_token_len(F.col(text)), 6).alias("mean_token_len"),
         T.fingerprint64(F.col(text)).alias("fingerprint"),
     )

@@ -247,3 +247,13 @@ def test_sample_video_frames_plumbing(spark, media):
     # frame payload slices partition the source bytes
     got = b"".join(bytes(frames[("v1", i)].frame) for i in range(3))
     assert got == bytes(range(30))
+
+
+def test_bpe_token_count(spark):
+    got = _col1(
+        spark,
+        ["I'll have 42 tokens!", "hello  world", ""],
+        text.bpe_token_count,
+    )
+    # "I"/"'ll"/" have"/" 42"/" tokens"/"!" → 6; "hello"/"  world"→... split
+    assert got[0] == 6 and got[2] == 0

@@ -55,3 +55,21 @@ def test_latest_uses_hash_aggregate_not_window(spark):
 def test_anti_join_stays_anti(spark):
     plan = _plan(spark, "rel_orders_no_lineitem")
     assert "LeftAnti" in plan
+
+
+def test_banded_cosine_candidates_equi_join(spark):
+    """The banded near-dup operator's candidate generation must plan as a
+    hash equi-join on (band, bits) — never a nested-loop/cartesian pair
+    blow-up (that is exactly what banding exists to avoid)."""
+    plan = _plan(spark, "emb_cosine_neardups_banded")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", plan)
+
+
+def test_instrument_restore_pushes_membership(spark):
+    """Literal member lists compile to an In() predicate pushed at the
+    scan — no join for the typical tens-of-PVs instrument."""
+    df = entrymod.queries()["ts_instrument_restore"](spark, SF_ORACLE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
