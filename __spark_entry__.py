@@ -462,6 +462,35 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # W7 full loop: cull_data iterates cull_pass until ≤ max_points. At
+    # sf0.01 (10 000 rows, max_points=2000) that is exactly 3 passes —
+    # the driver-side loop unrolled as chained CTEs. Valid at sf0.01 only
+    # (the driver's correctness scale); other scales change pass count.
+    def _cull_pass_sql(src: str, dst: str) -> str:
+        return f"""
+        {dst}_bands AS (
+          SELECT pvname, quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM {src} GROUP BY pvname
+        ),
+        {dst} AS (
+          SELECT event_id, pvname, time, value FROM (
+            SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                   row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn
+            FROM {src} p JOIN {dst}_bands b USING (pvname)
+          ) WHERE rn % 3 = 0 OR value < lo OR value > hi
+        )"""
+
+    o["ts_cull_full"] = (
+        P
+        + ","
+        + ",".join(
+            _cull_pass_sql(src, dst)
+            for src, dst in (("points", "c1"), ("c1", "c2"), ("c2", "c3"))
+        )
+        + "\nSELECT event_id, pvname, time, value FROM c3"
+    )
+
     o["ts_deadband"] = (
         P
         + f""",

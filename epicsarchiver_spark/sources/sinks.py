@@ -52,3 +52,33 @@ def saverestore_lines(values: DataFrame, fmt: str = "plain") -> DataFrame:
     else:
         raise ValueError(f"unknown format {fmt!r}")
     return values.select(line.alias("line"))
+
+
+def sql_dump_lines(frame: DataFrame, table: str) -> DataFrame:
+    """S11 — portable SQL dump: one multi-row-safe INSERT statement per
+    row (ref epicsarchiver/pvarch.py:254-272 shells out to mariadb-dump;
+    here the dump is a distributed text render — every executor formats
+    its partition, `.write.text` commits atomically).
+
+    Strings are single-quote-escaped JVM-side; NULLs render bare. Column
+    order follows the frame schema, quoted in the header comment."""
+    cols = frame.columns
+
+    def lit_of(c: str) -> F.Column:
+        col = F.col(c)
+        dt = dict(frame.dtypes)[c]
+        if dt in ("string",):
+            return F.when(
+                col.isNull(), F.lit("NULL")
+            ).otherwise(F.concat(F.lit("'"), F.regexp_replace(col, "'", "''"), F.lit("'")))
+        return F.when(col.isNull(), F.lit("NULL")).otherwise(col.cast("string"))
+
+    values = F.concat_ws(",", *[lit_of(c) for c in cols])
+    stmt = F.concat(
+        F.lit(f"INSERT INTO {table} ({','.join(cols)}) VALUES ("), values, F.lit(");")
+    )
+    return frame.select(stmt.alias("line"))
+
+
+def write_sql_dump(frame: DataFrame, table: str, path: str) -> None:
+    sql_dump_lines(frame, table).coalesce(1).write.mode("overwrite").text(path)

@@ -137,3 +137,17 @@ def test_saverestore_formats(spark):
     assert saverestore_lines(df, "python").head().line == "caput('A.VAL', 2.5)"
     with pytest.raises(ValueError):
         saverestore_lines(df, "nope")
+
+
+def test_sql_dump_lines(spark):
+    from epicsarchiver_spark.sources.sinks import sql_dump_lines
+
+    df = spark.createDataFrame(
+        [("PV:a", 1.5, "it's ok"), ("PV:b", None, None)],
+        "pvname string, time double, note string",
+    )
+    lines = sorted(r.line for r in sql_dump_lines(df, "points").collect())
+    assert lines == [
+        "INSERT INTO points (pvname,time,note) VALUES ('PV:a',1.5,'it''s ok');",
+        "INSERT INTO points (pvname,time,note) VALUES ('PV:b',NULL,NULL);",
+    ]
