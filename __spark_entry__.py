@@ -54,6 +54,8 @@ _PTS = "event_id", "pvname", "time", "value"
 # instrument member list for the J8 position-restore query (a saved PV
 # group; membership is data, not schema — arbitrary deterministic picks)
 INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purchase"]
+# alert rules keyed by event_type: (key, compare op, trippoint) — C16
+ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0.0)]
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -158,6 +160,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return control.instrument_restore(_points(s, d), INSTRUMENT, T_ASOF).select(*_PTS)
 
     q["ts_instrument_restore"] = _instrument_restore
+
+    def _alert_eval(s, d):
+        """C16 — threshold alert evaluation over the latest-value cache
+        (ref cache.py:601-630); rules keyed by event_type, broadcast."""
+        rules = s.createDataFrame(ALERT_RULES, "event_type string, compare string, trippoint double")
+        cache = timeseries.latest_per_key(
+            points_view(s, d).select("event_id", "pvname", "event_type", "time", "value")
+        )
+        return control.alert_eval(cache, rules).select(
+            "pvname", "event_type", "time", "value", "compare", "trippoint"
+        )
+
+    q["ts_alert_eval"] = _alert_eval
     q["ts_cvalue"] = lambda s, d: points_view(s, d).select(
         "event_id", hformat(F.col("value")).alias("cvalue")
     )
@@ -401,6 +416,30 @@ def oracle_sql() -> dict[str, str]:
           FROM points WHERE time < {T_ASOF} + 1e-4
         )
         SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    _rules_sql = ", ".join(f"('{k}','{c}',{t})" for k, c, t in ALERT_RULES)
+    o["ts_alert_eval"] = (
+        P
+        + f""",
+        latest AS (
+          SELECT pvname, event_type, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        ),
+        rules(event_type, compare, trippoint) AS (VALUES {_rules_sql})
+        SELECT l.pvname, l.event_type, l.time, l.value, r.compare,
+               CAST(r.trippoint AS DOUBLE) AS trippoint
+        FROM latest l JOIN rules r USING (event_type)
+        WHERE l.rn = 1 AND CASE r.compare
+          WHEN 'eq' THEN l.value =  r.trippoint
+          WHEN 'ne' THEN l.value <> r.trippoint
+          WHEN 'le' THEN l.value <= r.trippoint
+          WHEN 'lt' THEN l.value <  r.trippoint
+          WHEN 'ge' THEN l.value >= r.trippoint
+          WHEN 'gt' THEN l.value >  r.trippoint
+          ELSE FALSE END
         """
     )
 

@@ -131,3 +131,24 @@ def instrument_restore(
     else:
         scoped = points.join(F.broadcast(members.select("pvname").distinct()), "pvname")
     return value_at_time(scoped, t, tol=tol)
+
+
+def alert_eval(cache: DataFrame, rules: DataFrame, rule_key: str = "event_type") -> DataFrame:
+    """C16 batch — evaluate threshold alert rules against the latest-value
+    cache (ref epicsarchiver/cache.py:601-630: `value <op> trippoint`,
+    op ∈ {eq,ne,le,lt,ge,gt}, numeric compare when both sides cast else
+    string compare). Rules are a tiny broadcast dimension; the cache is
+    the A5 latest-per-key aggregate, so the whole evaluation is one
+    broadcast join + a codegen'd conditional — no shuffle beyond the
+    cache aggregation itself. Streaming twin: streaming/alerts.py
+    (ok→alarm transitions with timeout state)."""
+    from epicsarchiver_spark.functions.scalar import alert_fires
+
+    joined = cache.join(F.broadcast(rules), rule_key)
+    return joined.filter(
+        alert_fires(
+            F.col("value").cast("string"),
+            F.col("compare"),
+            F.col("trippoint").cast("string"),
+        )
+    )
