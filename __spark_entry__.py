@@ -268,7 +268,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # --- documents: dedup + text analysis ---
-    q["doc_fingerprints"] = lambda s, d: text_ops.text_stats(load_table(s, d, "documents"))
+    q["doc_fingerprints"] = lambda s, d: text_ops.text_stats(
+        load_table(s, d, "documents")
+    ).select(
+        "doc_id",
+        # long on both sides: DuckDB length()/len() are BIGINT and the
+        # driver hash is pandas-dtype-sensitive
+        F.col("n_chars_actual").cast("long").alias("n_chars_actual"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "mean_token_len",
+        "fingerprint",
+    )
     q["doc_exact_dups"] = lambda s, d: dedup.exact_duplicates(load_table(s, d, "documents"))
     q["doc_dedup_exact"] = lambda s, d: dedup.dedup_exact(
         load_table(s, d, "documents")
@@ -320,8 +331,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kind", "n", F.round("avg_bytes", 6).alias("avg_bytes"), "max_width"
     )
 
-    # --- approximate families: no SQL oracle (rows-only check) ---
-    q["mm_features"] = lambda s, d: multimodal.extract_features(_media(s, d))
+    def _mm_features(s, d):
+        """Feature extraction presented canonically: the fake codec's
+        feature f_j = (chunk_sum_j % 997)/997 stored as float32 — project
+        the exact integer k_j = round(f_j*997) per dimension (float32
+        error ≤ ~1e-4 ≪ 0.5, so recovery is exact) so the frame is
+        lexsortable and oracle-comparable with no float noise."""
+        feats = multimodal.extract_features(_media(s, d))
+        ks = [
+            F.round(F.element_at("feature", j + 1).cast("double") * 997).cast("long").alias(f"k{j}")
+            for j in range(multimodal.DeterministicFakeCodec.dim)
+        ]
+        return feats.select("media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), *ks)
+
+    q["mm_features"] = _mm_features
     q["mm_frame_sample"] = lambda s, d: multimodal.sample_video_frames(
         _media(s, d), every_ms=10_000
     ).select("media_id", "frame_idx", "offset_ms", F.length("frame").alias("frame_bytes"))
@@ -587,7 +610,7 @@ def oracle_sql() -> dict[str, str]:
         + f"""
         SELECT event_type,
                count(*) AS n_total,
-               sum(CASE WHEN time > {T1} THEN 1 ELSE 0 END) AS n_recent,
+               CAST(sum(CASE WHEN time > {T1} THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
                max(time) AS t_last
         FROM points GROUP BY event_type ORDER BY event_type
         """
@@ -660,6 +683,61 @@ def oracle_sql() -> dict[str, str]:
         SELECT kind, count(*) AS n, round(avg(n_bytes), 6) AS avg_bytes,
                max(width) AS max_width
         FROM media GROUP BY kind ORDER BY kind
+    """
+
+    # mm_features oracle: re-derive the DeterministicFakeCodec chunk sums in
+    # SQL. Text is ASCII (verified: octet_length == length for every row), so
+    # unicode(char) == payload byte value; np.array_split boundaries are
+    # lo_j = j*(n//8) + min(j, n%8), size_j = n//8 + (j < n%8).
+    _kcols = []
+    for _j in range(8):
+        _kcols.append(
+            f"CAST(coalesce(list_aggregate(list_slice(codes, "
+            f"{_j}*(n//8) + least({_j}, n%8) + 1, "
+            f"{_j}*(n//8) + least({_j}, n%8) + (n//8) + (CASE WHEN {_j} < n%8 THEN 1 ELSE 0 END)"
+            f"), 'sum'), 0) % 997 AS BIGINT) AS k{_j}"
+        )
+    o["mm_features"] = (
+        """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 list_transform(string_split_regex(text, ''), x -> unicode(x)) AS codes,
+                 length(text) AS n
+          FROM documents
+        )
+        SELECT media_id, kind, n_bytes, """
+        + ", ".join(_kcols)
+        + " FROM media"
+    )
+
+    # mm_frame_sample oracle: the fake sampler is pure arithmetic —
+    # n_frames = max(1, duration_ms // every_ms); frame i covers payload
+    # bytes [floor(n*i/nf), floor(n*(i+1)/nf)).
+    o["mm_frame_sample"] = """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars * 10 AS INT) END AS duration_ms,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        f AS (
+          SELECT media_id, n, greatest(1, duration_ms // 10000) AS nf
+          FROM media
+          WHERE kind IN ('audio', 'video') AND duration_ms IS NOT NULL AND duration_ms > 0
+        ),
+        expanded AS (
+          SELECT media_id, n, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i
+          FROM f
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 10000 AS INT) AS offset_ms,
+               CAST(CAST(floor(n * (i + 1) / nf) AS BIGINT)
+                    - CAST(floor(n * i / nf) AS BIGINT) AS INT) AS frame_bytes
+        FROM expanded
     """
 
     o["emb_cosine_neardups"] = """

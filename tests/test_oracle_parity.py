@@ -20,16 +20,30 @@ def test_oracle_keys_subset_of_queries():
 
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
-    sdf = QUERIES[name](spark, SF_ORACLE)
-    scols = sdf.columns
-    srows = [tuple(r) for r in sdf.collect()]
+    import pandas as pd
 
-    res = duck.execute(ORACLES[name])
-    dcols = [d[0] for d in res.description]
-    drows = res.fetchall()
+    def _rows(pdf):
+        # null → None uniformly (itertuples yields NaN, and NaN != NaN)
+        obj = pdf.astype(object).where(pd.notna(pdf), None)
+        return [tuple(r) for r in obj.itertuples(index=False, name=None)]
+
+    spdf = QUERIES[name](spark, SF_ORACLE).toPandas()
+    scols = list(spdf.columns)
+    srows = _rows(spdf)
+
+    dpdf = duck.execute(ORACLES[name]).df()
+    dcols = list(dpdf.columns)
+    drows = _rows(dpdf)
 
     assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
     assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+
+    # The driver's value-hash runs over pandas frames, so dtype differences
+    # (int64 vs float64 from a DuckDB HUGEINT sum, say) fail its hash even
+    # when the values compare equal in python — pin dtypes exactly.
+    sdt = {c: str(spdf[c].dtype) for c in scols}
+    ddt = {c: str(dpdf[c].dtype) for c in dcols}
+    assert sdt == ddt, f"{name}: pandas dtype mismatch {sdt} vs {ddt}"
 
     snorm = normalize_rows(scols, srows)
     dnorm = normalize_rows(dcols, drows)
