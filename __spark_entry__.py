@@ -37,6 +37,11 @@ T_ASOF = 1705276800.0  # 2024-01-15
 GRID_STEP = 86400.0
 DEADTIME = 3600.0
 DEADBAND = 25.0
+# W1 exact-compression constants: ~4-day window vs the data's ~1.5-day median
+# event spacing, so the limbo path genuinely collapses bursts (6212 of 10000
+# rows survive at sf0.01) instead of degenerating to keep-everything
+COMPRESS_DEADTIME = 4 * 86400.0
+COMPRESS_DEADBAND = 25.0
 HEARTBEAT = 172800.0  # 2-day forced-heartbeat floor (24 h in the reference)
 ALARM_TRIP = 150.0
 RELATED_NODE = "S:1"
@@ -173,9 +178,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ts_alert_eval"] = _alert_eval
-    q["ts_cvalue"] = lambda s, d: points_view(s, d).select(
-        "event_id", hformat(F.col("value")).alias("cvalue")
-    )
+    def _ts_cvalue(s, d):
+        """C6 — hformat parity against vectors produced by EXECUTING the
+        reference formatter (ref epicsarchiver/util.py:426-491; generated
+        by tools/gen_hformat_vectors.py). The engine formats the raw
+        inputs with the vectorized pandas UDF; the oracle is the
+        reference's own recorded output — a true cross-implementation
+        check, not Spark-vs-Spark."""
+        from epicsarchiver_spark.functions.hformat_vectors import CVALUE_VECTORS
+
+        src = s.createDataFrame(
+            [(i, v) for i, v, _ in CVALUE_VECTORS], "vec_id long, value double"
+        )
+        return src.select("vec_id", hformat(F.col("value")).alias("cvalue"))
+
+    q["ts_cvalue"] = _ts_cvalue
     q["ts_cull_full"] = lambda s, d: cull.cull_data(_points(s, d), max_points=2000)
     q["ts_daily_rollup"] = lambda s, d: (
         points_view(s, d)
@@ -364,16 +381,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_cells=8, n_probe=4
     )
     q["ts_compress_exact"] = lambda s, d: deadband.compress_sequential(
-        _points(s, d), DEADTIME, DEADBAND
+        _points(s, d), COMPRESS_DEADTIME, COMPRESS_DEADBAND
     )
 
     def _stream_compress(s, d):
         """W1/W2 end-to-end through Structured Streaming: the sf events
         replayed as a file stream → stateful deadtime/deadband compressor →
-        bucketed parquet append (S15), availableNow-bounded. Rows-only gate
-        (sequential state isn't SQL-expressible); streaming↔batch
-        equivalence against compress_sequential is pinned in
-        tests/test_streaming.py."""
+        bucketed parquet append (S15), availableNow-bounded. Oracle: the
+        same recursive-CTE state walk as ts_compress_exact, minus the
+        final pending flush — with flush_ms=None the limbo tail stays in
+        state at end of a bounded run (see compressed_stream docstring)."""
         import tempfile
 
         from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
@@ -386,7 +403,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         stream = s.readStream.schema("pvname string, time double, value double").parquet(src)
         qh = (
             archive_query(
-                compressed_stream(stream, deadtime=DEADTIME, deadband=DEADBAND, flush_ms=None),
+                compressed_stream(
+                    stream,
+                    deadtime=COMPRESS_DEADTIME,
+                    deadband=COMPRESS_DEADBAND,
+                    flush_ms=None,
+                ),
                 out,
                 ckpt,
                 buckets=32,
@@ -684,6 +706,93 @@ def oracle_sql() -> dict[str, str]:
                max(width) AS max_width
         FROM media GROUP BY kind ORDER BY kind
     """
+
+    # W1 oracle — an independent DuckDB implementation of the sequential
+    # deadtime/deadband/limbo state machine (ref archiver.py:386-414,
+    # executed-behavior semantics: non-saved changes >1 ms go to limbo and
+    # flush one deadtime after the last save) as a recursive CTE: one
+    # recursion step per event per series (depth = longest series, 24 at
+    # sf0.01), kept rows accumulated in a struct list and unnested at the
+    # end. `include_pending` distinguishes the batch operator (end-of-
+    # stream flushes the tail) from the bounded streaming run
+    # (flush_ms=None leaves the tail in state).
+    def _compress_walk(dt: float, db: float, include_pending: bool) -> str:
+        empty = "CAST([] AS STRUCT(t DOUBLE, v DOUBLE)[])"
+        tail = (
+            f"""w.kept || (CASE WHEN w.pend_t IS NOT NULL
+                           THEN [{{'t': w.pend_t, 'v': w.pend_v}}]
+                           ELSE {empty} END)"""
+            if include_pending
+            else "w.kept"
+        )
+        return f"""
+        WITH RECURSIVE {POINTS_ORACLE_CTE},
+        seq AS (
+          SELECT pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time) AS rn
+          FROM points
+        ),
+        walk(pvname, rn, last_t, last_v, pend_t, pend_v, kept) AS (
+          SELECT pvname, rn, time, value,
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 [{{'t': time, 'v': value}}]
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT pvname, rn,
+                 CASE WHEN save THEN t ELSE lt1 END,
+                 CASE WHEN save THEN v ELSE lv1 END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN t
+                      WHEN flush THEN NULL ELSE pend_t END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN v
+                      WHEN flush THEN NULL ELSE pend_v END,
+                 kept
+                   || (CASE WHEN flush THEN [{{'t': pend_t, 'v': pend_v}}]
+                            ELSE {empty} END)
+                   || (CASE WHEN save THEN [{{'t': t, 'v': v}}]
+                            ELSE {empty} END)
+          FROM (
+            SELECT i2.*, (t > lt1 + {dt} AND abs(v - lv1) > {db}) AS save
+            FROM (
+              SELECT i1.*,
+                     CASE WHEN flush THEN pend_t ELSE last_t END AS lt1,
+                     CASE WHEN flush THEN pend_v ELSE last_v END AS lv1
+              FROM (
+                SELECT s.pvname, s.rn, s.time AS t, s.value AS v,
+                       w.last_t, w.last_v, w.pend_t, w.pend_v, w.kept,
+                       (w.pend_t IS NOT NULL AND s.time > w.last_t + {dt}) AS flush
+                FROM walk w JOIN seq s ON s.pvname = w.pvname AND s.rn = w.rn + 1
+              ) i1
+            ) i2
+          ) i3
+        ),
+        final AS (
+          SELECT w.pvname, {tail} AS res
+          FROM walk w
+          JOIN (SELECT pvname, max(rn) AS mrn FROM walk GROUP BY pvname) m
+            ON w.pvname = m.pvname AND w.rn = m.mrn
+        )
+        SELECT pvname, r.t AS time, r.v AS value
+        FROM (SELECT pvname, unnest(res) AS r FROM final)
+        """
+
+    o["ts_compress_exact"] = _compress_walk(
+        COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=True
+    )
+    o["stream_compress"] = _compress_walk(
+        COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=False
+    )
+
+    # ts_cvalue oracle: the reference formatter's own outputs, recorded by
+    # executing ref epicsarchiver/util.py hformat (tools/gen_hformat_vectors.py)
+    # — DuckDB just serves the expected strings back as a VALUES table.
+    from epicsarchiver_spark.functions.hformat_vectors import CVALUE_VECTORS
+
+    _cvrows = ", ".join(
+        "(CAST({} AS BIGINT), '{}')".format(i, exp) for i, _, exp in CVALUE_VECTORS
+    )
+    o["ts_cvalue"] = (
+        f"SELECT vec_id, cvalue FROM (VALUES {_cvrows}) AS t(vec_id, cvalue)"
+    )
 
     # mm_features oracle: re-derive the DeterministicFakeCodec chunk sums in
     # SQL. Text is ASCII (verified: octet_length == length for every row), so

@@ -60,11 +60,22 @@ def compress_reference(
     """Pure-Python exact reference semantics on one series (time-sorted
     (t, v) rows) — the executable spec for tests and the pandas kernel.
 
-    Mirrors epicsarchiver/archiver.py:390-414: a change inside the deadtime
-    window replaces the pending ("limbo") entry, keeping its own original
-    timestamp; the pending entry flushes when a later event arrives after
-    the window (or at end of stream). Deadband suppresses sub-threshold
-    moves relative to the last *saved* value.
+    Mirrors the EXECUTED behavior of epicsarchiver/archiver.py:386-414
+    (not just doc/setup.rst): a point saves immediately only when deadtime
+    has passed since the last save AND the move exceeds deadband; every
+    other change newer than 1 ms goes into the per-PV "limbo" slot —
+    including sub-deadband moves, because the reference's ``elif ts >
+    0.001 + last_ts`` limbo branch runs whenever ``do_save`` is false for
+    EITHER reason. The limbo entry (most recent change, original
+    timestamp) is archived once wall-clock passes ``last_ts + deadtime``
+    (archiver.py:410-414) — so deadband *delays* small changes by up to
+    one deadtime, it never suppresses them — and is discarded if a direct
+    save happens first (archiver.py:401-403 pops limbo). In this batch
+    twin the wall clock is advanced by event time: a pending entry flushes
+    when a later event arrives past the window, and the tail flushes at
+    end of stream. Saves update last_ts/last_value to the saved row
+    (archiver.py:455-456), so the window restarts from a flushed limbo
+    entry's original timestamp.
     """
     out: list[tuple[float, float]] = []
     last_t = last_v = None
@@ -78,13 +89,12 @@ def compress_reference(
             out.append(pending)
             last_t, last_v = pending
             pending = None
-        if abs(v - last_v) <= deadband:
-            continue
-        if t <= last_t + deadtime:
-            pending = (t, v)
-        else:
+        if t > last_t + deadtime and abs(v - last_v) > deadband:
             out.append((t, v))
             last_t, last_v = t, v
+            pending = None
+        elif t > last_t + 0.001:
+            pending = (t, v)
     if pending is not None:
         out.append(pending)
     return out

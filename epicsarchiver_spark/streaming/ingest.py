@@ -128,13 +128,16 @@ def _compress_kernel(
                         out_t.append(pend_t), out_v.append(pend_v)
                         last_t, last_v = pend_t, pend_v
                         pend_t = pend_v = None
-                    if abs(v - last_v) <= deadband:
-                        continue
-                    if t <= last_t + deadtime:
-                        pend_t, pend_v = t, v
-                    else:
+                    # executed-reference order (archiver.py:386-414):
+                    # deadtime gate first, then deadband; any non-saved
+                    # change newer than 1 ms becomes the limbo entry —
+                    # sub-deadband moves are DELAYED, not dropped
+                    if t > last_t + deadtime and abs(v - last_v) > deadband:
                         out_t.append(t), out_v.append(v)
                         last_t, last_v = t, v
+                        pend_t = pend_v = None
+                    elif t > last_t + 0.001:
+                        pend_t, pend_v = t, v
             state.update((last_t, last_v, pend_t, pend_v))
             arm_timer(pend_t is not None)
 

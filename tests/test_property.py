@@ -47,18 +47,16 @@ def test_compress_invariants(rows, deadtime, deadband):
 
 @given(rows=event_series())
 @settings(max_examples=100, deadline=None)
-def test_compress_zero_thresholds_keeps_changes(rows):
-    """deadtime=deadband=0 with strictly-increasing times keeps every
-    value change. (Simultaneous events still collapse via limbo: t equal
-    to last_t fails the strict `t > last_t + deadtime` check, exactly the
-    reference's comparison, archiver.py:400-414.)"""
-    rows = [(t + i * 1e-3, v) for i, (t, v) in enumerate(rows)]  # force unique ↑ times
+def test_compress_zero_thresholds_archives_everything(rows):
+    """deadtime=deadband=0 with well-separated times archives EVERY event:
+    value changes save immediately; repeats go to limbo (the reference's
+    `elif ts > 0.001 + last_ts` branch runs whenever do_save is false,
+    archiver.py:400-414) and flush as soon as any later event — or end of
+    stream — advances the clock past the zero-width window. Nothing is
+    ever dropped when deadtime is 0."""
+    rows = [(t + i * 1.0, v) for i, (t, v) in enumerate(rows)]  # gaps ≥ 1 s
     kept = compress_reference(rows, 0.0, 0.0)
-    expect = [rows[0]]
-    for t, v in rows[1:]:
-        if v != expect[-1][1]:
-            expect.append((t, v))
-    assert kept == expect
+    assert kept == rows
 
 
 @given(

@@ -58,11 +58,23 @@ def test_limbo_semantics_unit():
     assert kept == [(0.0, 1.0), (100.0, 2.0), (104.0, 4.0), (200.0, 5.0)]
 
 
-def test_deadband_suppression_unit():
+def test_deadband_delays_not_drops():
+    """Executed-reference deadband semantics (archiver.py:386-414): a
+    sub-deadband change outside the deadtime window goes to limbo and is
+    archived once deadtime elapses — deadband DELAYS small moves by up to
+    one deadtime, it never suppresses them. Only changes superseded while
+    pending inside a window are lost."""
+    # slow wiggles (spacing > deadtime): every one eventually archived
     kept = compress_reference(
         [(0.0, 10.0), (20.0, 10.2), (40.0, 10.4), (60.0, 9.9), (80.0, 12.0)], 10.0, 0.5
     )
-    assert kept == [(0.0, 10.0), (80.0, 12.0)]
+    assert kept == [(0.0, 10.0), (20.0, 10.2), (40.0, 10.4), (60.0, 9.9), (80.0, 12.0)]
+    # fast wiggles (inside one deadtime window): collapse to the last one,
+    # flushed with its original timestamp before the next real save
+    kept = compress_reference(
+        [(0.0, 10.0), (2.0, 10.2), (4.0, 10.4), (6.0, 9.9), (80.0, 12.0)], 10.0, 0.5
+    )
+    assert kept == [(0.0, 10.0), (6.0, 9.9), (80.0, 12.0)]
 
 
 @pytest.fixture()
