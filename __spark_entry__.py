@@ -193,7 +193,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return src.select("vec_id", hformat(F.col("value")).alias("cvalue"))
 
     q["ts_cvalue"] = _ts_cvalue
-    q["ts_cull_full"] = lambda s, d: cull.cull_data(_points(s, d), max_points=2000)
+    # max_points sits above the cull's per-series floor (~3 rows/series:
+    # first point + band extremes always survive a pass → ~2146 rows at
+    # sf0.01's 750 series), so the loop terminates: 10000 → 5670 → 3500 →
+    # 2402 ≤ 2500 in exactly 3 passes
+    q["ts_cull_full"] = lambda s, d: cull.cull_data(_points(s, d), max_points=2500)
     q["ts_daily_rollup"] = lambda s, d: (
         points_view(s, d)
         .groupBy(
@@ -538,16 +542,17 @@ def oracle_sql() -> dict[str, str]:
         ),
         numbered AS (
           SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
-                 row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn
+                 row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                 count(*) OVER (PARTITION BY p.pvname) AS cnt
           FROM points p JOIN bands b USING (pvname)
         )
         SELECT event_id, pvname, time, value FROM numbered
-        WHERE rn % 3 = 0 OR value < lo OR value > hi
+        WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
         """
     )
 
     # W7 full loop: cull_data iterates cull_pass until ≤ max_points. At
-    # sf0.01 (10 000 rows, max_points=2000) that is exactly 3 passes —
+    # sf0.01 (10 000 rows, max_points=2500) that is exactly 3 passes —
     # the driver-side loop unrolled as chained CTEs. Valid at sf0.01 only
     # (the driver's correctness scale); other scales change pass count.
     def _cull_pass_sql(src: str, dst: str) -> str:
@@ -560,9 +565,10 @@ def oracle_sql() -> dict[str, str]:
         {dst} AS (
           SELECT event_id, pvname, time, value FROM (
             SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
-                   row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn
+                   row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                   count(*) OVER (PARTITION BY p.pvname) AS cnt
             FROM {src} p JOIN {dst}_bands b USING (pvname)
-          ) WHERE rn % 3 = 0 OR value < lo OR value > hi
+          ) WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
         )"""
 
     o["ts_cull_full"] = (

@@ -105,6 +105,37 @@ def bench_store(spark, tmp: str) -> dict[str, float]:
     return {"store_write": round(t_write, 4), "store_series_read": round(t_read, 4)}
 
 
+def bench_lsh_highdim(spark, n: int = 20_000, dim: int = 768) -> float:
+    """ANN at real embedding width: 20k synthetic 768-dim vectors →
+    LSH-bucket top-k. Signatures are computed by the Arrow-batched GEMM
+    UDF, so the logical plan stays flat in dim (the literal-hyperplane
+    formulation put n_planes × dim nodes in the expression tree and
+    collapsed at this width)."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.similarity import lsh_bucket_topk
+
+    vecs = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(dim)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id"), i), F.lit(1000)).cast("double") / 500.0 - 1.0
+            ),
+        ).alias("embedding"),
+    )
+    vecs = vecs.persist()
+    vecs.count()  # materialize: time the ANN query, not the synth generator
+    query = [((7 * j) % 1000) / 500.0 - 1.0 for j in range(dim)]
+    t0 = time.perf_counter()
+    lsh_bucket_topk(vecs, query, k=10, n_planes=16, max_hamming=4).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    dt = time.perf_counter() - t0
+    vecs.unpersist()
+    return dt
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -127,6 +158,8 @@ def main() -> None:
         t0 = time.perf_counter()
         fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    timings["emb_topk_lsh_d768"] = round(bench_lsh_highdim(spark), 4)
 
     tmp = tempfile.mkdtemp(prefix="pvarch_bench_")
     try:

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from epicsarchiver_spark.functions.times import parse_times
+from epicsarchiver_spark.functions.times import parse_bound
 from epicsarchiver_spark.operators import control, cull, related, search, timeseries
 from epicsarchiver_spark.sources import points_store, pvlist
 
@@ -142,9 +142,16 @@ class PVArchEngine:
     # --- helpers ---
 
     def _window(self, tmin, tmax) -> tuple[float, float]:
-        if isinstance(tmin, str) or isinstance(tmax, str) or tmin is None:
-            return parse_times(
-                tmin if isinstance(tmin, str) else None,
-                tmax if isinstance(tmax, str) else "now",
-            )
-        return float(tmin), float(tmax if tmax is not None else 2147483647.0)
+        """Resolve each bound INDEPENDENTLY — mixed windows like
+        ``(1000.0, "now")`` keep the numeric bound (a shared
+        string-branch dispatch would silently replace it with the
+        default-week window). Relative 'N units ago' strings resolve
+        against the upper bound; tmin defaults to one week before it."""
+        import time as _time
+
+        now = _time.time()
+        t1 = parse_bound(tmax, default=now, now=now)
+        t0 = parse_bound(tmin, default=t1 - 7 * 86400.0, now=now, rel_to=t1)
+        if t1 < t0:
+            t0, t1 = t1, t0
+        return t0, min(t1, 2147483647.0)

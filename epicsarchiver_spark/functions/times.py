@@ -43,6 +43,32 @@ def time_str2sec(s: str, now: float | None = None) -> float:
     return datetime(y, m, d, hh, mm, ss, tzinfo=timezone.utc).timestamp()
 
 
+def parse_bound(
+    bound: float | str | None,
+    default: float,
+    now: float | None = None,
+    rel_to: float | None = None,
+) -> float:
+    """Resolve ONE time bound independently of the other (so mixed
+    numeric/string windows like ``(1000.0, "now")`` keep the numeric
+    bound): None → ``default``; numeric → float as-is; ``'now'``/'' →
+    now; ``'N units ago'`` → ``rel_to - span`` (rel_to defaults to now);
+    anything else → lenient datetime parse, truncated to the second."""
+    now_s = float(int(now if now is not None else datetime.now(timezone.utc).timestamp()))
+    if bound is None:
+        return float(default)
+    if isinstance(bound, (int, float)):
+        return float(bound)
+    s = bound.strip()
+    if s in ("", "now"):
+        return now_s
+    m = _AGO_RE.match(s)
+    if m:
+        span = float(m.group(1)) * _UNITS[m.group(2).lower()]
+        return float(rel_to if rel_to is not None else now_s) - span
+    return float(int(time_str2sec(s, now_s)))
+
+
 def parse_times(date1: str | None, date2: str | None, now: float | None = None) -> tuple[float, float]:
     """C10 — relative window parsing: when date2 is 'now' (or None),
     date1 is 'N minutes/hours/days/weeks/years ago' (default 1 week);

@@ -9,13 +9,17 @@ Spark formulation: exact `percentile` aggregate (matches SQL
 percentile_cont interpolation) broadcast back over the frame + a
 row_number-modulo sample — two narrow shuffles, no driver iteration for
 the single-pass case; the rarely-needed repeat loop stays in the driver
-exactly as the reference does it.
+exactly as the reference does it, with each pass persisted so pass N
+reads pass N-1's materialization rather than recomputing the whole
+lineage from the scan (quadratic at scale).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from epicsarchiver_spark.operators.ordering import order_cols
 
 
 def cull_pass(
@@ -27,32 +31,46 @@ def cull_pass(
     pct_hi: float = 0.85,
 ) -> DataFrame:
     """One cull pass: keep rows with value outside the per-series
-    [pct_lo, pct_hi] percentile band, plus every `stride`-th row in time
-    order (ref epicsarchiver/web_utils.py:140-158)."""
+    [pct_lo, pct_hi] percentile band, plus the reference's stride sample
+    ``range(0, len-1, sample)`` (ref epicsarchiver/web_utils.py:140-158):
+    0-based indices 0, stride, 2·stride, … with an EXCLUSIVE stop at the
+    last index — the first point of every series always survives the
+    sample; the last survives only via the percentile band."""
     bands = frame.groupBy(key).agg(
         F.percentile(value_col, F.lit(pct_lo)).alias("_lo"),
         F.percentile(value_col, F.lit(pct_hi)).alias("_hi"),
     )
-    w = Window.partitionBy(key).orderBy("time", "event_id")
+    w = Window.partitionBy(key).orderBy(*order_cols(frame))
+    n = Window.partitionBy(key)
     return (
         frame.join(bands, key)
         .withColumn("_rn", F.row_number().over(w))
+        .withColumn("_n", F.count(F.lit(1)).over(n))
         .filter(
-            (F.col("_rn") % stride == 0)
+            (((F.col("_rn") - 1) % stride == 0) & (F.col("_rn") < F.col("_n")))
             | (F.col(value_col) < F.col("_lo"))
             | (F.col(value_col) > F.col("_hi"))
         )
-        .drop("_lo", "_hi", "_rn")
+        .drop("_lo", "_hi", "_rn", "_n")
     )
 
 
 def cull_data(frame: DataFrame, max_points: int = 30_000, max_iter: int = 16, **kw) -> DataFrame:
     """W7 — iterate cull_pass until the frame is ≤ max_points (ref loop
     epicsarchiver/webapp.py:396-401). Each iteration shrinks ~3×, so the
-    driver loop runs O(log) times; counts use the cached frame."""
+    driver loop runs O(log) times. Every pass is persisted and its
+    predecessor unpersisted — without this, pass N's count() re-executes
+    passes 1..N-1 from the raw scan (including their percentile
+    aggregations), which is quadratic work in pass count and a real
+    scale-killer at 100 TB. The returned frame is left persisted; callers
+    that are done with it may ``unpersist()``."""
     out = frame
+    prev: DataFrame | None = None
     for _ in range(max_iter):
         if out.count() <= max_points:
             break
-        out = cull_pass(out, **kw)
+        out = cull_pass(out, **kw).persist()
+        if prev is not None:
+            prev.unpersist()
+        prev = out
     return out

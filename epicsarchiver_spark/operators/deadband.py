@@ -30,6 +30,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from epicsarchiver_spark.operators.ordering import order_cols
+
 
 def deadband_lag(
     points: DataFrame,
@@ -43,7 +45,7 @@ def deadband_lag(
     previous row's value OR ≥ deadtime seconds passed; first row per series
     always kept. Declarative lag-window formulation (one shuffle on the
     series key)."""
-    w = Window.partitionBy(key).orderBy(time_col, "event_id")
+    w = Window.partitionBy(key).orderBy(*order_cols(points, time_col))
     prev_t = F.lag(time_col).over(w)
     prev_v = F.lag(value_col).over(w)
     keep = (
@@ -150,7 +152,7 @@ def heartbeat_fill(
     sequence() generates fill indices JVM-side — no driver loop; the
     index form (1..ceil(gap/ms)-1, integral sequence) is reproducible in
     ANSI SQL, unlike a double-stepped sequence."""
-    w = Window.partitionBy(key).orderBy(time_col, "event_id")
+    w = Window.partitionBy(key).orderBy(*order_cols(points, time_col))
     nxt = F.lead(time_col).over(w)
     gaps = points.withColumn("_next_t", nxt).filter(
         F.col("_next_t").isNotNull() & (F.col("_next_t") - F.col(time_col) > max_silence)

@@ -13,10 +13,63 @@
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.vector import as_double, cosine
+
+
+def _signature_udf(planes: list[list[float]]):
+    """Arrow-batched random-hyperplane signature: one matrix multiply per
+    batch (V @ Pᵀ → sign bits packed into int64). The planes live in the
+    UDF closure — broadcast once per executor — instead of being inlined
+    as n_planes × dim literal expression nodes, which explodes the plan at
+    real embedding dims (768+: ~12k literal nodes per signature column).
+    n_planes must be ≤ 62 so the packed signature stays a positive long."""
+    P = np.asarray(planes, dtype=np.float64)
+    if P.shape[0] > 62:
+        raise ValueError("n_planes must be <= 62 for int64 signature packing")
+    weights = (1 << np.arange(P.shape[0], dtype=np.uint64))
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (M @ P.T) > 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return sig
+
+
+def _signature_of(planes: list[list[float]], vec: list[float]) -> int:
+    """Driver-side twin of _signature_udf for a single (query) vector —
+    same numpy ops, so query and corpus signatures agree bit-for-bit."""
+    P = np.asarray(planes, dtype=np.float64)
+    bits = (np.asarray(vec, dtype=np.float64) @ P.T) > 0
+    weights = (1 << np.arange(P.shape[0], dtype=np.uint64))
+    return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))
+
+
+def _nearest_cell_udf(cents: list[list[float]]):
+    """Arrow-batched IVF cell assignment: argmin ‖v−c‖² over the centroid
+    matrix via one GEMM per batch (argmin(‖c‖² − 2 v·c)); returns 1-based
+    cell ids. Centroids ride the closure, not the expression tree."""
+    C = np.asarray(cents, dtype=np.float64)
+    c_norms = (C * C).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def cell(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        scores = c_norms[None, :] - 2.0 * (M @ C.T)
+        return pd.Series((scores.argmin(axis=1) + 1).astype(np.int32))
+
+    return cell
 
 
 def brute_force_topk(
@@ -109,24 +162,25 @@ def cosine_near_duplicates_banded(
     block (equi-join on (band_idx, band_bits) — a shuffle join on bucket
     keys, never n²); candidates are then verified with the exact cosine.
     Output ⊆ the exact operator's output; recall governed by
-    (n_planes, bands) vs the angle implied by ``threshold``."""
+    (n_planes, bands) vs the angle implied by ``threshold``.
+
+    Shuffle discipline (same as dedup.minhash_candidates): only
+    (id, band, bits) moves through the explode/join/dedup — the embedding
+    vector (the widest column, dim × 8 B) stays out of the candidate
+    shuffle and is re-attached once per *surviving* pair for the exact
+    verification. Signatures come from the Arrow-batched GEMM UDF, so the
+    plan size is flat in dim."""
     if dim is None:
         dim = len(vectors.select(vec_col).first()[0])
     planes = _hyperplanes(dim, n_planes, seed)
     bits_per_band = n_planes // bands
 
     base = vectors.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
-    sig = F.lit(0).cast("long")
-    for j, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
-        d = F.aggregate(F.zip_with(F.col("v"), p, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b)
-        sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-    signed = base.withColumn("sig", sig)
+    signed = base.withColumn("sig", _signature_udf(planes)(F.col("v")))
 
     mask = (1 << bits_per_band) - 1
     banded = signed.select(
         "_id",
-        "v",
         F.explode(
             F.array(
                 *[
@@ -140,21 +194,20 @@ def cosine_near_duplicates_banded(
                 ]
             )
         ).alias("bk"),
-    ).select("_id", "v", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
+    ).select("_id", F.col("bk.band").alias("band"), F.col("bk.bits").alias("bits"))
 
-    left = banded.select(
-        F.col("band"), F.col("bits"), F.col("_id").alias("id_a"), F.col("v").alias("va")
-    )
-    right = banded.select(
-        F.col("band"), F.col("bits"), F.col("_id").alias("id_b"), F.col("v").alias("vb")
-    )
+    left = banded.select(F.col("band"), F.col("bits"), F.col("_id").alias("id_a"))
+    right = banded.select(F.col("band"), F.col("bits"), F.col("_id").alias("id_b"))
     cand = (
         left.join(right, ["band", "bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    return cand.select(
+    pairs = cand.join(
+        base.select(F.col("_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+    ).join(base.select(F.col("_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+    return pairs.select(
         "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine_sim")
     ).filter(F.col("cosine_sim") >= threshold)
 
@@ -184,26 +237,18 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signature buckets;
     search only buckets within `max_hamming` bits of the query's bucket.
-    Recall/VS-cost dial = (n_planes, max_hamming)."""
+    Recall/VS-cost dial = (n_planes, max_hamming). Corpus signatures via
+    the Arrow-batched GEMM UDF (plan flat in dim); the query's signature
+    is plain driver-side numpy — same ops, bit-identical."""
     planes = _hyperplanes(len(query), n_planes, seed)
-
-    def signature(vec_col_expr):
-        sig = F.lit(0).cast("long")
-        for j, plane in enumerate(planes):
-            p = F.array(*[F.lit(float(v)) for v in plane])
-            d = F.aggregate(
-                F.zip_with(vec_col_expr, p, lambda x, y: x * y), F.lit(0.0), lambda a, b: a + b
-            )
-            sig = sig + F.when(d > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
-        return sig
+    qsig = _signature_of(planes, query)
 
     q = F.array(*[F.lit(float(x)) for x in query])
     corpus = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", signature(F.col("v")))
-    qsig = corpus.sparkSession.range(1).select(signature(q).alias("qsig"))
-    cand = corpus.crossJoin(F.broadcast(qsig)).filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.col("qsig"))) <= max_hamming
+    ).withColumn("sig", _signature_udf(planes)(F.col("v")))
+    cand = corpus.filter(
+        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
     )
     return (
         cand.select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine_sim"))
@@ -225,23 +270,15 @@ def ivf_topk(
     """IVF-flat ANN: corpus assigned to its nearest of `n_cells` seed
     centroids (deterministic LCG seeds — a stand-in for trained k-means
     centroids, which would come from MLlib KMeans on a sample); the query
-    searches the `n_probe` nearest cells. Centroids broadcast; assignment
-    is a scan + argmin over a small array, no shuffle until top-k."""
+    searches the `n_probe` nearest cells. Centroid assignment is the
+    Arrow-batched GEMM UDF (centroids in the closure, one matmul per
+    batch — the literal nested-array form put n_cells × dim nodes in the
+    expression tree); no shuffle until top-k."""
     dim = len(query)
     cents = _hyperplanes(dim, n_cells, seed)
-    cent_arr = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in cents])
-
-    def nearest_cell(vexpr):
-        dists = F.transform(
-            cent_arr,
-            lambda c: F.aggregate(
-                F.zip_with(vexpr, c, lambda x, y: (x - y) * (x - y)), F.lit(0.0), lambda a, b: a + b
-            ),
-        )
-        return F.array_position(dists, F.array_min(dists)).cast("int")
 
     corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
-    assigned = corpus.withColumn("cell", nearest_cell(F.col("v")))
+    assigned = corpus.withColumn("cell", _nearest_cell_udf(cents)(F.col("v")))
 
     import heapq
 

@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from epicsarchiver_spark.operators.ordering import order_cols, order_struct
+
 
 def range_read(points: DataFrame, t0: float, t1: float, key: str = "pvname") -> DataFrame:
     """S4/F3/O1 — time-range scan: rows with t0 <= time <= t1.
@@ -44,7 +46,7 @@ def early_point(
     pre = points.filter(F.col("time") < t0)
     if lookback is not None:
         pre = pre.filter(F.col("time") >= t0 - lookback)
-    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
+    w = Window.partitionBy(key).orderBy(*order_cols(points, descending=True))
     return pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -80,7 +82,7 @@ def value_at_time(
     pre = points.filter(F.col("time") < t + tol)
     if lookback is not None:
         pre = pre.filter(F.col("time") >= t - lookback)
-    w = Window.partitionBy(key).orderBy(F.col("time").desc(), F.col("event_id").desc())
+    w = Window.partitionBy(key).orderBy(*order_cols(points, descending=True))
     return pre.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
 
@@ -141,7 +143,7 @@ def latest_per_key(points: DataFrame, key: str = "pvname") -> DataFrame:
     a row_number window — no full sort, half the shuffle volume at scale.
     """
     others = [c for c in points.columns if c != key]
-    order = F.struct(F.col("time"), F.col("event_id"))
+    order = order_struct(points)
     return points.groupBy(key).agg(
         *[F.max_by(c, order).alias(c) for c in others if c != "time"],
         F.max("time").alias("time"),
@@ -190,4 +192,5 @@ def locf_grid(points: DataFrame, t0: float, t1: float, step: float, key: str = "
             )
         ).alias("t"),
     )
-    return asof_join(points.select(key, "time", "value", "event_id"), grid, key=key)
+    keep = [key, "time", "value"] + (["event_id"] if "event_id" in points.columns else [])
+    return asof_join(points.select(*keep), grid, key=key)

@@ -188,29 +188,70 @@ def compressed_stream(
     )
 
 
+def _hadoop_fs(spark, path: str):
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    return p.getFileSystem(conf), jvm
+
+
 def upsert_latest(batch: DataFrame, cache_path: str) -> None:
     """S14 — merge a micro-batch into the latest-value cache table
     (ref epicsarchiver/cache.py:454-462's per-batch UPDATE transaction).
-    Parquet overwrite of the merged max_by — at production scale this is
-    a Delta MERGE; the merge logic is identical."""
+
+    Crash-safe write-temp + atomic-swap: the merged frame is FULLY written
+    to ``<path>.tmp`` while the live cache is untouched (so the merge can
+    re-read it safely — no cache()/count() materialization dance, which is
+    not a durability guarantee: an evicted block between count() and an
+    in-place overwrite recomputes from the path mid-overwrite and corrupts
+    the cache). Then two directory renames swap it in:
+    live → ``.bak``, tmp → live. A crash leaves, in every window, either
+    the old cache at live, or the old cache at .bak with tmp complete —
+    the recovery step at the top of the next batch (or of ``read_cache``)
+    restores it. At production scale the same contract is one Delta/Iceberg
+    MERGE; this is the filesystem-parquet equivalent."""
     spark = batch.sparkSession
+    tmp, bak = cache_path + ".tmp", cache_path + ".bak"
+    fs, jvm = _hadoop_fs(spark, cache_path)
+    P = jvm.org.apache.hadoop.fs.Path
+    _recover_cache_swap(fs, P, cache_path)
+
     order = F.struct(F.col("time"))
     fresh = batch.groupBy("pvname").agg(
         F.max_by("value", order).alias("value"), F.max("time").alias("time")
     )
-    try:
+    if fs.exists(P(cache_path)):
         old = spark.read.parquet(cache_path)
-    except Exception:
-        old = None
-    if old is not None:
         fresh = (
             old.unionByName(fresh)
             .groupBy("pvname")
             .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
         )
-    fresh.cache().count()  # materialize before overwriting the source path
-    fresh.write.mode("overwrite").parquet(cache_path)
-    fresh.unpersist()
+    fresh.write.mode("overwrite").parquet(tmp)
+
+    fs.delete(P(bak), True)
+    if fs.exists(P(cache_path)):
+        fs.rename(P(cache_path), P(bak))
+    fs.rename(P(tmp), P(cache_path))
+    fs.delete(P(bak), True)
+
+
+def _recover_cache_swap(fs, P, cache_path: str) -> None:
+    """If a previous swap died between its two renames, the live dir is
+    missing and the old cache sits at .bak — put it back before merging
+    (the half-finished .tmp is discarded; its batch will be reprocessed by
+    the checkpointed stream)."""
+    tmp, bak = cache_path + ".tmp", cache_path + ".bak"
+    if not fs.exists(P(cache_path)) and fs.exists(P(bak)):
+        fs.rename(P(bak), P(cache_path))
+    fs.delete(P(tmp), True)
+
+
+def read_cache(spark, cache_path: str) -> DataFrame:
+    """Read the latest-value cache, recovering a half-swapped state first."""
+    fs, jvm = _hadoop_fs(spark, cache_path)
+    _recover_cache_swap(fs, jvm.org.apache.hadoop.fs.Path, cache_path)
+    return spark.read.parquet(cache_path)
 
 
 def latest_value_query(events: DataFrame, cache_path: str, checkpoint: str) -> Any:

@@ -18,8 +18,9 @@ def engine(spark, tmp_path_factory):
         rows += [(pv, float(t), float(t % 11)) for t in range(0, 5000, 50)]
     pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
     write_points(spark.createDataFrame(pdf), path, run="run_001", n_buckets=8)
+    # exactly the advertised usage: the engine's own store output, which
+    # carries NO event_id — operators must fall back to time-only ordering
     pts = read_points(spark, path)
-    pts = pts.withColumn("event_id", pts["time"].cast("long"))
     runs = spark.createDataFrame(
         pd.DataFrame({"db": ["run_001"], "start_time": [0.0], "stop_time": [2147483647.0]})
     )
@@ -75,3 +76,35 @@ def test_get_values_recent(engine):
     got = engine.get_values(time_ago=100.0, now=5000.0).collect()
     assert {r.pvname for r in got} == {"S1:m1.VAL", "S1:m2.VAL", "S2:det1.VAL"}
     assert all(r.time == 4950.0 for r in got)
+
+
+def test_window_mixed_numeric_string_bounds(engine):
+    """A numeric bound paired with a string bound must survive: (1000.0,
+    'now') keeps t0=1000.0 (regression: the str-branch dispatch replaced
+    it with the default last-week window), and (None, 2000.0) keeps the
+    numeric upper bound instead of substituting 'now'."""
+    import time as _time
+
+    t0, t1 = engine._window(1000.0, "now")
+    assert t0 == 1000.0
+    assert abs(t1 - _time.time()) < 5
+
+    t0, t1 = engine._window(None, 2000.0)
+    assert t1 == 2000.0
+    assert t0 == 2000.0 - 7 * 86400.0
+
+    t0, t1 = engine._window("2 hours ago", 10000.0)
+    assert (t0, t1) == (10000.0 - 7200.0, 10000.0)
+
+
+def test_windowed_operators_accept_storeonly_columns(engine):
+    """deadband/cull/heartbeat over a store frame with no event_id —
+    the ordering contract must degrade to time-only, not raise."""
+    from epicsarchiver_spark.operators.cull import cull_pass
+    from epicsarchiver_spark.operators.deadband import deadband_lag, heartbeat_fill
+
+    pts = engine.points
+    assert "event_id" not in pts.columns
+    assert deadband_lag(pts, 100.0, 0.5).count() > 0
+    assert cull_pass(pts).count() > 0
+    assert heartbeat_fill(pts, max_silence=1000.0).count() > 0

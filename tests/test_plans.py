@@ -67,6 +67,57 @@ def test_banded_cosine_candidates_equi_join(spark):
     assert re.search(r"(ShuffledHashJoin|SortMergeJoin|BroadcastHashJoin)", plan)
 
 
+def test_lsh_plan_size_flat_in_dim(spark):
+    """The hyperplane signature must NOT inline n_planes × dim literal
+    nodes: plan text at dim 512 stays within 2× of dim 8 (the literal
+    formulation grew ~64×)."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.similarity import lsh_bucket_topk
+
+    def plan_at(dim):
+        vecs = spark.range(50).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(dim)),
+                lambda i: (F.pmod(F.xxhash64(F.col("id"), i), F.lit(100)).cast("double")),
+            ).alias("embedding"),
+        )
+        q = [float((3 * j) % 7 + 1) for j in range(dim)]
+        return explain_str(lsh_bucket_topk(vecs, q, k=5, n_planes=8, max_hamming=1))
+
+    small, large = len(plan_at(8)), len(plan_at(512))
+    assert large < 2 * small + 20_000, (small, large)
+
+
+def test_banded_cosine_shuffles_ids_not_vectors(spark):
+    """Candidate generation must move only (id, band, bits) — the
+    embedding vector is re-attached after the pair dedup, so the explode/
+    join exchanges must not carry the array column."""
+    plan = _plan(spark, "emb_cosine_neardups_banded")
+    gen = plan.split("Generate")  # the explode node
+    assert len(gen) > 1, plan[:1500]
+    # between the explode and the first join there must be no vector col;
+    # cheap proxy: the Generate node's output lists only scalar cols
+    gen_node = gen[1].split("\n")[0]
+    assert "v#" not in gen_node.replace("vec", ""), gen_node
+
+
+def test_cull_loop_reads_predecessor_cache(spark):
+    """cull_data's driver loop must persist each pass: pass N's plan reads
+    pass N-1's in-memory materialization, not the raw scan re-derived
+    (which is quadratic work in pass count)."""
+    from epicsarchiver_spark.operators import cull
+
+    df = entrymod.queries()["ts_cull_full"](spark, SF_ORACLE)
+    plan = explain_str(df)
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    # the final frame's lineage must NOT contain the parquet scan — only
+    # the cached predecessor
+    assert "Scan parquet" not in plan.split("InMemoryTableScan")[0]
+    df.unpersist()
+
+
 def test_instrument_restore_pushes_membership(spark):
     """Literal member lists compile to an In() predicate pushed at the
     scan — no join for the typical tens-of-PVs instrument."""

@@ -200,6 +200,37 @@ def test_latest_value_upsert(spark, events_dir, tmp_path):
     assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
 
 
+def test_upsert_crash_mid_swap_recovers(spark, tmp_path):
+    """Kill mid-swap: live dir renamed away, .bak holding the old cache —
+    the next read/upsert must restore it (not lose the whole cache) and a
+    stale .tmp must be discarded."""
+    import os
+    import shutil
+
+    from epicsarchiver_spark.streaming.ingest import read_cache, upsert_latest
+
+    cache = str(tmp_path / "cache")
+    b1 = spark.createDataFrame([("A", 1.0, 10.0)], "pvname string, time double, value double")
+    upsert_latest(b1, cache)
+
+    # simulate dying between rename(live→bak) and rename(tmp→live)
+    os.rename(cache, cache + ".bak")
+    shutil.copytree(cache + ".bak", cache + ".tmp")  # half-finished tmp
+
+    got = {(r.pvname, r.time, r.value) for r in read_cache(spark, cache).collect()}
+    assert got == {("A", 1.0, 10.0)}  # old cache restored
+    assert not os.path.exists(cache + ".tmp")
+
+    # and the next merge proceeds normally on the recovered cache
+    b2 = spark.createDataFrame(
+        [("A", 2.0, 20.0), ("B", 1.0, 5.0)], "pvname string, time double, value double"
+    )
+    upsert_latest(b2, cache)
+    got = {(r.pvname, r.time, r.value) for r in read_cache(spark, cache).collect()}
+    assert got == {("A", 2.0, 20.0), ("B", 1.0, 5.0)}
+    assert not os.path.exists(cache + ".bak")
+
+
 # ---------------------------------------------------------------------------
 # alerts
 # ---------------------------------------------------------------------------
