@@ -1,0 +1,190 @@
+"""``pvarch`` CLI equivalent — the reference's operational entry point
+(ref epicsarchiver/pvarch.py:85-355) over the Spark engine.
+
+Command mapping (daemon lifecycle commands have no engine analog — the
+cache/archiver processes are Structured Streaming queries started from
+code, SURVEY §3.1):
+
+    status            → status_activity over the store     (pvarch status)
+    activity [n]      → most recently updated PVs          (pvarch cache activity)
+    list              → runs / run-partitions of the store (pvarch list)
+    search PATTERN    → wildcard name search               (WebAdmin search)
+    save FOLDER       → portable SQL dump of the store     (pvarch save)
+    save_zarr OUT.zip → reference-format zarr zip export   (pvarch save_zarr)
+    import_zarr ZIP   → legacy archive → points store      (engine-only: migration)
+    add_pvfile FILE   → parse a PV-list file, print counts (pvarch add_pvfile)
+
+Run as ``python -m epicsarchiver_spark.cli <command> ...``.
+Config is plain argv (--store/--runs), not the reference's toml — the
+engine has no MySQL connection block to configure.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def _spark(app: str):
+    from epicsarchiver_spark.session import get_spark
+
+    s = get_spark(f"pvarch-{app}")
+    s.sparkContext.setLogLevel("ERROR")
+    return s
+
+
+def _points(spark, args):
+    from epicsarchiver_spark.sources.points_store import read_points
+
+    return read_points(spark, args.store)
+
+
+def cmd_status(args) -> int:
+    from epicsarchiver_spark.operators.control import status_activity
+
+    spark = _spark("status")
+    since = time.time() - args.time
+    df = status_activity(_points(spark, args), since, by="pvname")
+    rows = df.orderBy(df.t_last.desc()).limit(args.limit).collect()
+    print(f"{'pvname':<32} {'n_total':>8} {'n_recent':>8}  last")
+    for r in rows:
+        print(f"{r[0]:<32} {r.n_total:>8} {r.n_recent:>8}  {time.ctime(r.t_last)}")
+    return 0
+
+
+def cmd_activity(args) -> int:
+    from epicsarchiver_spark.operators.timeseries import latest_per_key
+
+    spark = _spark("activity")
+    rows = (
+        latest_per_key(_points(spark, args))
+        .orderBy("time", ascending=False)
+        .limit(args.limit)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r.pvname:<32} {r.value!s:>14}  {time.ctime(r.time)}")
+    return 0
+
+
+def cmd_list(args) -> int:
+    spark = _spark("list")
+    pts = _points(spark, args)
+    if "run" in pts.columns:
+        from pyspark.sql import functions as F
+
+        rows = (
+            pts.groupBy("run")
+            .agg(F.min("time").alias("t0"), F.max("time").alias("t1"), F.count(F.lit(1)).alias("n"))
+            .orderBy("run")
+            .collect()
+        )
+        for r in rows:
+            print(f"{r.run:<20} {r.n:>10} points   {time.ctime(r.t0)} .. {time.ctime(r.t1)}")
+    else:
+        print("(store has no run partitions)")
+    return 0
+
+
+def cmd_search(args) -> int:
+    from epicsarchiver_spark.operators.search import wildcard_search
+
+    spark = _spark("search")
+    names = _points(spark, args).select("pvname").distinct()
+    for r in wildcard_search(names, args.pattern).collect():
+        print(r.pvname)
+    return 0
+
+
+def cmd_save(args) -> int:
+    from epicsarchiver_spark.sources.sinks import write_sql_dump
+
+    spark = _spark("save")
+    pts = _points(spark, args).select("pvname", "time", "value")
+    out = f"{args.folder}/points_dump.sql"
+    write_sql_dump(pts, "pvdat", out)
+    print(f"wrote SQL dump to {out}")
+    return 0
+
+
+def cmd_save_zarr(args) -> int:
+    from epicsarchiver_spark.sources.zarr_import import write_zarr_zip
+
+    spark = _spark("save_zarr")
+    pdf = _points(spark, args).select("pvname", "time", "value").toPandas()
+    write_zarr_zip(pdf, args.out)
+    print(f"wrote {len(pdf)} points / {pdf.pvname.nunique()} PVs to {args.out}")
+    return 0
+
+
+def cmd_import_zarr(args) -> int:
+    from epicsarchiver_spark.sources.zarr_import import import_zarr_zip
+
+    spark = _spark("import_zarr")
+    import_zarr_zip(spark, args.zip, args.store, run=args.run, n_buckets=args.buckets)
+    print(f"imported {args.zip} into {args.store} (run={args.run})")
+    return 0
+
+
+def cmd_add_pvfile(args) -> int:
+    from epicsarchiver_spark.sources.pvlist import pvlist_pairs, read_pvlist
+
+    spark = _spark("add_pvfile")
+    names = read_pvlist(spark, args.file)
+    pairs = pvlist_pairs(spark, args.file)
+    print(f"{names.count()} PVs, {pairs.count()} related pairs from {args.file}")
+    return 0
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="pvarch", description="EpicsArchiver (Spark engine) operations"
+    )
+    p.add_argument("--store", default="./points", help="points store path")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    s = sub.add_parser("status", help="per-PV totals / recent counts")
+    s.add_argument("-t", "--time", type=float, default=60.0, help="recent window seconds")
+    s.add_argument("-n", "--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_status)
+
+    s = sub.add_parser("activity", help="most recently updated PVs")
+    s.add_argument("-n", "--limit", type=int, default=20)
+    s.set_defaults(fn=cmd_activity)
+
+    s = sub.add_parser("list", help="list runs in the store")
+    s.set_defaults(fn=cmd_list)
+
+    s = sub.add_parser("search", help="wildcard PV-name search")
+    s.add_argument("pattern")
+    s.set_defaults(fn=cmd_search)
+
+    s = sub.add_parser("save", help="portable SQL dump")
+    s.add_argument("folder", nargs="?", default=".")
+    s.set_defaults(fn=cmd_save)
+
+    s = sub.add_parser("save_zarr", help="export reference-format zarr zip")
+    s.add_argument("out", nargs="?", default="pvarch_zarr.zip")
+    s.set_defaults(fn=cmd_save_zarr)
+
+    s = sub.add_parser("import_zarr", help="import a reference zarr zip archive")
+    s.add_argument("zip")
+    s.add_argument("--run", default="imported")
+    s.add_argument("--buckets", type=int, default=128)
+    s.set_defaults(fn=cmd_import_zarr)
+
+    s = sub.add_parser("add_pvfile", help="parse a PV-list file")
+    s.add_argument("file")
+    s.set_defaults(fn=cmd_add_pvfile)
+
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

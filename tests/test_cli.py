@@ -1,0 +1,66 @@
+"""pvarch CLI equivalent: the operational commands drive the engine
+end-to-end (status/list/search over a store; zarr export → import round
+trip) — the reference's pvarch.py surface, minus daemon lifecycle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from epicsarchiver_spark import cli
+from epicsarchiver_spark.sources.points_store import read_points, write_points
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("cli") / "store")
+    rows = []
+    for pv in ("CLI:a.VAL", "CLI:b.VAL"):
+        rows += [(pv, float(t), float(t % 7)) for t in range(0, 3000, 30)]
+    write_points(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["pvname", "time", "value"])),
+        path,
+        run="run_001",
+        n_buckets=4,
+    )
+    return path
+
+
+def test_status_and_list_and_search(spark, store, capsys):
+    assert cli.main(["--store", store, "status", "-t", "1e12"]) == 0
+    out = capsys.readouterr().out
+    assert "CLI:a.VAL" in out and "CLI:b.VAL" in out
+
+    assert cli.main(["--store", store, "list"]) == 0
+    assert "run_001" in capsys.readouterr().out
+
+    assert cli.main(["--store", store, "search", "CLI:a*"]) == 0
+    out = capsys.readouterr().out
+    assert "CLI:a.VAL" in out and "CLI:b.VAL" not in out
+
+
+def test_zarr_export_import_roundtrip(spark, store, tmp_path, capsys):
+    zip_path = str(tmp_path / "export_zarr.zip")
+    assert cli.main(["--store", store, "save_zarr", zip_path]) == 0
+    store2 = str(tmp_path / "store2")
+    assert (
+        cli.main(
+            ["--store", store2, "import_zarr", zip_path, "--run", "r2", "--buckets", "4"]
+        )
+        == 0
+    )
+    a = read_points(spark, store).select("pvname", "time", "value").toPandas()
+    b = read_points(spark, store2).select("pvname", "time", "value").toPandas()
+    key = lambda df: sorted(map(tuple, df.to_numpy()))  # noqa: E731
+    assert key(a) == key(b)
+
+
+def test_sql_dump(spark, store, tmp_path, capsys):
+    assert cli.main(["--store", store, "save", str(tmp_path)]) == 0
+    out_dir = tmp_path / "points_dump.sql"
+    lines = []
+    for part in out_dir.glob("part-*"):
+        lines += part.read_text().splitlines()
+    assert len(lines) == 200
+    assert all(line.startswith("INSERT INTO pvdat") for line in lines)
