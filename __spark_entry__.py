@@ -2,9 +2,12 @@
 
 ``queries()`` exposes one entry per implemented operator from SURVEY.md §2
 (plus the training-data-pipeline extensions); ``oracle_sql()`` gives the
-DuckDB-equivalent SQL for every SQL-expressible operator. Approximate /
-hash-family operators (MinHash, SimHash, LSH/IVF ANN) intentionally have
-no oracle — the driver records the weaker rows-only check for those.
+DuckDB-equivalent SQL for every SQL-expressible operator — including the
+LSH/IVF plane families (deterministic LCG planes embedded as SQL list
+literals). Only the xxhash64-based MinHash/SimHash families have no
+cross-engine oracle (DuckDB lacks xxhash64); those carry a rows-only
+check here plus the quantified recall/precision cross-check against the
+exact Jaccard oracle in tests/test_operator_consistency.py.
 """
 
 from __future__ import annotations
@@ -15,7 +18,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
+from epicsarchiver_spark.functions import scalar
 from epicsarchiver_spark.functions.scalar import clean_value_num, hformat
+from epicsarchiver_spark.sources import points_store, sinks
 from epicsarchiver_spark.operators import (
     control,
     cull,
@@ -425,6 +430,140 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["stream_compress"] = _stream_compress
 
+    # --- driver-gate coverage for the catalog / sink / source surface ----
+    def _names(s, d):
+        return points_view(s, d).select("pvname").distinct()
+
+    q["cat_normalize"] = lambda s, d: _names(s, d).select(
+        "pvname",
+        scalar.normalize_pvname(F.col("pvname")).alias("normalized"),
+        scalar.valid_pvname(F.col("pvname")).alias("valid"),
+        scalar.clean_string(F.concat(F.col("pvname"), F.lit(" ;comment # x"))).alias(
+            "cleaned"
+        ),
+    )
+
+    q["cat_hashname"] = lambda s, d: _names(s, d).select(
+        "pvname", scalar.hashname_parity(F.col("pvname")).alias("bucket")
+    )
+
+    def _cat_chararray(s, d):
+        """C12 — identity round-trip: event_type → int-waveform string
+        ("[99,108,...,0,120]" with a NUL stop + trailing junk) → decoded
+        text; the oracle pins decoded == original."""
+        et = points_view(s, d).select("event_type").distinct()
+        codes = F.array_join(
+            F.transform(F.split(F.col("event_type"), ""), lambda c: F.ascii(c).cast("string")),
+            ",",
+        )
+        encoded = F.concat(F.lit("["), codes, F.lit(",0,120]"))
+        return et.select(
+            "event_type", scalar.chararray_as_string(encoded).alias("decoded")
+        )
+
+    q["cat_chararray"] = _cat_chararray
+
+    def _cat_desc_join(s, d):
+        """J6 — the .DESC description join over a derived cache: each
+        series contributes a '<pv>.VAL' row (latest value) and a
+        '<pv>.DESC' row (its event_type as the description text)."""
+        latest = timeseries.latest_per_key(
+            points_view(s, d).select("event_id", "pvname", "time", "value", "event_type")
+        )
+        vals = latest.select(
+            F.concat("pvname", F.lit(".VAL")).alias("pvname"),
+            F.format_string("%.2f", F.col("value")).alias("value"),
+        )
+        descs = latest.select(
+            F.concat("pvname", F.lit(".DESC")).alias("pvname"),
+            F.col("event_type").alias("value"),
+        )
+        return control.desc_join(vals.unionByName(descs)).select(
+            "pvname", "value", "description"
+        )
+
+    q["cat_desc_join"] = _cat_desc_join
+
+    q["cat_yesno_json"] = lambda s, d: (
+        points_view(s, d)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type",
+            scalar.yes_no(F.pmod(F.col("n"), F.lit(2))).alias("odd_yn"),
+            scalar.enum_strs_to_json(
+                F.array(F.col("event_type"), F.lit("other"))
+            ).alias("enum_json"),
+            F.element_at(
+                scalar.enum_strs_from_json(
+                    scalar.enum_strs_to_json(F.array(F.col("event_type")))
+                ),
+                1,
+            ).alias("roundtrip"),
+        )
+    )
+
+    def _rel_runs_window(s, d):
+        """J2 — interval join over a derived daily runs dimension."""
+        runs = (
+            points_view(s, d)
+            .groupBy(F.floor(F.col("time") / 86400.0).cast("long").alias("dayn"))
+            .agg(F.min("time").alias("start_time"), F.max("time").alias("stop_time"))
+            .select(
+                F.concat(F.lit("run_"), F.col("dayn")).alias("db"),
+                "start_time",
+                "stop_time",
+            )
+        )
+        return points_store.runs_for_window(runs, T0, T1)
+
+    q["rel_runs_window"] = _rel_runs_window
+
+    def _store_roundtrip(s, d):
+        """S10+S5 — write the points through the run/bucket-partitioned
+        store layout and read them back; the oracle (a plain scan) pins
+        byte-exact value/time survival through the parquet round trip."""
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_store_")
+        pts = points_view(s, d).select("pvname", "time", "value")
+        points_store.write_points(pts, f"{tmp}/store", run="r1", n_buckets=16, mode="overwrite")
+        return points_store.read_points(s, f"{tmp}/store").select("pvname", "time", "value")
+
+    q["store_roundtrip"] = _store_roundtrip
+
+    # time quantized to exact milliseconds with explicit arithmetic
+    # (floor(t*1000+0.5)/1000) — Java's %.3f rounds the shortest decimal
+    # repr HALF_UP while C printf rounds the binary value half-even, so
+    # a raw double time diverges cross-engine at ...xxx5 µs values
+    q["sink_ascii"] = lambda s, d: sinks.ascii_rows(
+        points_view(s, d).select(
+            "pvname",
+            (F.floor(F.col("time") * 1000 + 0.5) / 1000.0).alias("time"),
+            F.format_string("%.2f", F.col("value")).alias("value"),
+        )
+    )
+
+    def _sink_saverestore(s, d):
+        latest = timeseries.latest_per_key(
+            points_view(s, d).select("event_id", "pvname", "time", "value")
+        )
+        vals = latest.select(
+            "pvname", F.format_string("%.2f", F.col("value")).alias("value")
+        )
+        return sinks.saverestore_lines(vals, fmt="python")
+
+    q["sink_saverestore"] = _sink_saverestore
+
+    q["sink_sqldump"] = lambda s, d: sinks.sql_dump_lines(
+        points_view(s, d).select(
+            "pvname",
+            F.format_string("%.6f", F.col("time")).alias("ts"),
+            F.format_string("%.2f", F.col("value")).alias("val"),
+        ),
+        "pvdat",
+    )
+
     return q
 
 
@@ -787,6 +926,211 @@ def oracle_sql() -> dict[str, str]:
     o["stream_compress"] = _compress_walk(
         COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=False
     )
+
+    # --- catalog / sink / source surface -------------------------------
+    _NAMES = "names AS (SELECT DISTINCT pvname FROM points)"
+    o["cat_normalize"] = (
+        P
+        + f""",
+        {_NAMES}
+        SELECT pvname,
+               CASE WHEN contains(trim(pvname), '.') THEN trim(pvname)
+                    ELSE trim(pvname) || '.VAL' END AS normalized,
+               regexp_full_match(pvname, '[A-Za-z0-9:._+\\[\\]<>;{{}}\\-]+') AS valid,
+               substring(regexp_replace(pvname || ' ;comment # x', '[;#].*$', ''), 1, 4090)
+                 AS cleaned
+        FROM names
+        """
+    )
+
+    o["cat_hashname"] = (
+        P
+        + f""",
+        {_NAMES}
+        SELECT pvname,
+               CAST(list_aggregate(list_transform(
+                      string_split_regex(to_base64(unhex(sha256(pvname))), ''),
+                      x -> unicode(x)), 'sum') % 128 AS INT) AS bucket
+        FROM names
+        """
+    )
+
+    o["cat_chararray"] = (
+        P
+        + """
+        SELECT DISTINCT event_type, event_type AS decoded FROM points
+        """
+    )
+
+    _LATEST = """latest AS (
+          SELECT pvname, value, event_type FROM (
+            SELECT pvname, value, event_type,
+                   row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+            FROM points
+          ) WHERE rn = 1
+        )"""
+    o["cat_desc_join"] = (
+        P
+        + f""",
+        {_LATEST}
+        SELECT pvname || '.VAL' AS pvname,
+               printf('%.2f', value) AS value,
+               event_type AS description
+        FROM latest
+        """
+    )
+
+    o["cat_yesno_json"] = (
+        P
+        + """
+        SELECT event_type,
+               CASE WHEN count(*) % 2 = 0 THEN 'No' ELSE 'Yes' END AS odd_yn,
+               '["' || event_type || '","other"]' AS enum_json,
+               event_type AS roundtrip
+        FROM points GROUP BY event_type
+        """
+    )
+
+    o["rel_runs_window"] = (
+        P
+        + f""",
+        runs AS (
+          SELECT 'run_' || CAST(CAST(floor(time / 86400.0) AS BIGINT) AS VARCHAR) AS db,
+                 min(time) AS start_time, max(time) AS stop_time
+          FROM points GROUP BY floor(time / 86400.0)
+        )
+        SELECT db, start_time, stop_time FROM runs
+        WHERE stop_time > {T0} AND start_time < {T1}
+        """
+    )
+
+    o["store_roundtrip"] = P + " SELECT pvname, time, value FROM points"
+
+    o["sink_ascii"] = (
+        P
+        + """
+        SELECT pvname,
+               printf('%.3f  %s  %s', floor(time * 1000 + 0.5) / 1000.0,
+                      printf('%.2f', value),
+                      strftime(make_timestamp(CAST(floor(time * 1000 + 0.5) AS BIGINT) * 1000),
+                               '%Y%m%d %H%M%S')) AS line
+        FROM points
+        """
+    )
+
+    o["sink_saverestore"] = (
+        P
+        + f""",
+        {_LATEST}
+        SELECT printf('caput(''%s'', %s)', pvname, printf('%.2f', value)) AS line
+        FROM latest
+        """
+    )
+
+    o["sink_sqldump"] = (
+        P
+        + """
+        SELECT 'INSERT INTO pvdat (pvname,ts,val) VALUES ('
+               || '''' || pvname || ''','
+               || '''' || printf('%.6f', time) || ''','
+               || '''' || printf('%.2f', value) || ''');' AS line
+        FROM points
+        """
+    )
+
+    # --- LSH plane-family oracles -------------------------------------
+    # The hyperplanes/centroids are a deterministic LCG (similarity.
+    # _hyperplanes), so the "approximate" operators are exactly
+    # reproducible in SQL with the planes embedded as list literals.
+    # Cross-engine float safety: numpy GEMM vs DuckDB list_dot_product
+    # differ by ≤ 9e-16 on this data while the smallest |plane·v| is
+    # 1.4e-4 — eleven orders of magnitude of sign margin (measured at
+    # sf0.01; see tests/test_oracle_parity.py for the standing check).
+    from epicsarchiver_spark.operators.similarity import _hyperplanes
+
+    def _lits(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def _sig_sql(evar: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({evar}, {_lits(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    _V = """v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )"""
+    _COS = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    _bp = _hyperplanes(64, 16, 42)  # banded: n_planes=16, bands=8 → 2 bits/band
+    o["emb_cosine_neardups_banded"] = f"""
+        WITH {_V},
+        sig AS (
+          SELECT vec_id, CAST({_sig_sql("e", _bp)} AS BIGINT) AS sig FROM v
+        ),
+        banded AS (
+          SELECT vec_id, band, (sig >> (band * 2)) & 3 AS bits
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.bits = b2.bits AND a.vec_id < b2.vec_id
+        )
+        SELECT id_a, id_b,
+               round({_COS.format(a="x.e", b="y.e")}, 6) AS cosine_sim
+        FROM cand JOIN v x ON x.vec_id = cand.id_a JOIN v y ON y.vec_id = cand.id_b
+        WHERE round({_COS.format(a="x.e", b="y.e")}, 6) >= 0.38
+    """
+
+    _lp = _hyperplanes(64, 8, 42)  # lsh_bucket_topk: n_planes=8, max_hamming=2
+    o["emb_topk_lsh"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        sig AS (SELECT vec_id, e, CAST({_sig_sql("e", _lp)} AS BIGINT) AS sig FROM v),
+        qsig AS (SELECT CAST({_sig_sql("qe", _lp)} AS BIGINT) AS qs FROM q)
+        SELECT vec_id, round({_COS.format(a="e", b="qe")}, 6) AS cosine_sim
+        FROM sig, qsig, q
+        WHERE bit_count(xor(sig, qs)) <= 2
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    # ivf_topk: n_cells=8, n_probe=4. Cell scores use the same
+    # ‖c‖² − 2·v·c formula (with ‖c‖² precomputed in python, matching the
+    # UDF's closure constant); probe selection uses the full ‖q−c‖²
+    # ordered by (dist, cell) exactly as the operator's heapq does.
+    _cents = _hyperplanes(64, 8, 42)
+    _cnorm = [sum(x * x for x in c) for c in _cents]
+    _score_list = "[" + ", ".join(
+        f"{_cnorm[i]!r} - 2 * list_dot_product(e, {_lits(c)})" for i, c in enumerate(_cents)
+    ) + "]"
+    _cell_rows = ", ".join(f"({i + 1}, {_lits(c)})" for i, c in enumerate(_cents))
+    o["emb_topk_ivf"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, e, list_position(dl, list_min(dl)) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        cells(cell, c) AS (SELECT * FROM (VALUES {_cell_rows}) t(cell, c)),
+        probe AS (
+          SELECT cell FROM cells, q
+          ORDER BY list_dot_product(qe, qe)
+                   - 2 * list_dot_product(qe, list_transform(c, x -> CAST(x AS DOUBLE)))
+                   + list_dot_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                      list_transform(c, x -> CAST(x AS DOUBLE))),
+                   cell
+          LIMIT 4
+        )
+        SELECT vec_id, round({_COS.format(a="e", b="qe")}, 6) AS cosine_sim
+        FROM assigned, q
+        WHERE cell IN (SELECT cell FROM probe)
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
 
     # ts_cvalue oracle: the reference formatter's own outputs, recorded by
     # executing ref epicsarchiver/util.py hformat (tools/gen_hformat_vectors.py)
