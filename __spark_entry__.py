@@ -564,6 +564,129 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pvdat",
     )
 
+    def _cat_parse_times(s, d):
+        """C8/C10 — window parsing vs vectors recorded by EXECUTING the
+        reference parser with a frozen clock (tools/gen_parse_time_vectors
+        .py; ref web_utils.py:31-90). Driver-side per SURVEY — the query
+        just presents the helper's outputs for the hash gate."""
+        from epicsarchiver_spark.functions.parse_time_vectors import (
+            PARSE_TIME_NOW,
+            PARSE_TIME_VECTORS,
+        )
+        from epicsarchiver_spark.functions.times import parse_times
+
+        rows = [
+            (i, *parse_times(d1, d2, now=PARSE_TIME_NOW))
+            for i, d1, d2, _, _ in PARSE_TIME_VECTORS
+        ]
+        return s.createDataFrame(rows, "vec_id long, t0 double, t1 double")
+
+    q["cat_parse_times"] = _cat_parse_times
+
+    def _src_pvlist(s, d):
+        """S7 — PV-list file source driven end-to-end: a pairs file
+        derived from the catalog (two names per line, comments, blanks)
+        is written driver-side, then parsed DISTRIBUTED by read_pvlist /
+        pvlist_pairs; the oracle re-derives the same pairing from the
+        sorted distinct names in SQL."""
+        import tempfile
+
+        names = sorted(r.pvname for r in points_view(s, d).select("pvname").distinct().collect())
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_pvlist_")
+        path = f"{tmp}/pvlist.txt"
+        with open(path, "w") as fh:
+            fh.write("# generated pairs file\n\n")
+            for i in range(0, len(names) - 1, 2):
+                fh.write(f"{names[i]}, {names[i + 1]}  # pair\n")
+            if len(names) % 2:
+                fh.write(f"{names[-1]}\n")
+        from epicsarchiver_spark.sources import pvlist
+
+        return pvlist.pvlist_pairs(s, path)
+
+    q["src_pvlist"] = _src_pvlist
+
+    def _src_template(s, d):
+        """S8+J7 — template page compiled and resolved against the
+        latest-value cache: six catalog names in three rows under one
+        section, with rules/spacers/comments exercising the parser."""
+        import tempfile
+
+        from epicsarchiver_spark.sources import template as tpl_mod
+
+        names = sorted(
+            r.pvname for r in points_view(s, d).select("pvname").distinct().collect()
+        )[:6]
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_tpl_")
+        path = f"{tmp}/page.tpl"
+        with open(path, "w") as fh:
+            fh.write("# status page\n[Main]\n")
+            for i in range(3):
+                fh.write(f"{names[2 * i]}, {names[2 * i + 1]} | pair {i} | %8.3f\n")
+            fh.write("--\n<>\n")
+        tpl = tpl_mod.read_template(s, path)
+        latest = timeseries.latest_per_key(
+            points_view(s, d).select("event_id", "pvname", "time", "value")
+        )
+        cache = latest.select("pvname", F.format_string("%.2f", F.col("value")).alias("value"))
+        return tpl_mod.page_model(tpl, cache).select(
+            "section", "description", "format", "pvname", "value"
+        )
+
+    q["src_template"] = _src_template
+
+    def _ctl_apply_requests(s, d):
+        """§2.9 control plane — request-queue drain against the catalog:
+        every ':error' series suspended, ':click' dropped, one new name
+        added; latest request per pvname wins."""
+        pv = points_view(s, d).select("pvname").distinct().select(
+            "pvname", F.lit("yes").alias("active")
+        )
+        reqs = pv.select(
+            "pvname",
+            F.when(F.col("pvname").endswith(":error"), F.lit("suspend"))
+            .when(F.col("pvname").endswith(":click"), F.lit("drop"))
+            .otherwise(F.lit("ignore"))
+            .alias("action"),
+            F.lit(1.0).alias("ts"),
+            F.lit(1).alias("id"),
+        ).unionByName(
+            s.createDataFrame(
+                [("NEW:0:added", "add", 2.0, 2)], "pvname string, action string, ts double, id int"
+            )
+        )
+        return control.apply_requests(pv, reqs)
+
+    q["ctl_apply_requests"] = _ctl_apply_requests
+
+    def _ctl_rotate_runs(s, d):
+        """Run rotation as metadata: daily runs + an open current run;
+        rotate at T1 closes the open run and appends the next."""
+        runs = (
+            points_view(s, d)
+            .groupBy(F.floor(F.col("time") / 86400.0).cast("long").alias("dayn"))
+            .agg(F.min("time").alias("start_time"), F.max("time").alias("stop_time"))
+            .select(
+                F.concat(F.lit("run_"), F.col("dayn")).alias("db"), "start_time", "stop_time"
+            )
+        )
+        cur = s.createDataFrame(
+            [("run_current", T1 - 86400.0, control.MAX_EPOCH)],
+            "db string, start_time double, stop_time double",
+        )
+        return control.rotate_runs(runs.unionByName(cur), now=T1, next_db="run_next")
+
+    q["ctl_rotate_runs"] = _ctl_rotate_runs
+
+    def _ctl_pair_increment(s, d):
+        """Pair-score usage increment: +1 per co-use edge, canonical
+        order, capped (ref cache.py:836-880) — incremented with its own
+        edge set, so every canonical pair gains exactly +1."""
+        edges = related.canonical_pairs(_edges(s, d))
+        return control.increment_pair_scores(edges, edges.drop("score"))
+
+    q["ctl_pair_increment"] = _ctl_pair_increment
+
     return q
 
 
@@ -1038,6 +1161,91 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # cat_parse_times oracle: the EXECUTED reference parser's outputs at a
+    # frozen clock (tools/gen_parse_time_vectors.py) served as VALUES.
+    from epicsarchiver_spark.functions.parse_time_vectors import PARSE_TIME_VECTORS
+
+    _ptrows = ", ".join(
+        f"(CAST({i} AS BIGINT), {t0!r}, {t1!r})" for i, _, _, t0, t1 in PARSE_TIME_VECTORS
+    )
+    o["cat_parse_times"] = (
+        f"SELECT vec_id, t0, t1 FROM (VALUES {_ptrows}) AS t(vec_id, t0, t1)"
+    )
+
+    o["src_pvlist"] = (
+        P
+        + """,
+        names AS (SELECT DISTINCT pvname FROM points),
+        ordered AS (SELECT pvname, row_number() OVER (ORDER BY pvname) AS rn FROM names),
+        paired AS (
+          SELECT a.pvname AS n1, b.pvname AS n2
+          FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+          WHERE a.rn % 2 = 1
+        )
+        SELECT least(n1 || '.VAL', n2 || '.VAL') AS pv1,
+               greatest(n1 || '.VAL', n2 || '.VAL') AS pv2,
+               CAST(10 AS INT) AS score
+        FROM paired
+        """
+    )
+
+    o["src_template"] = (
+        P
+        + f""",
+        {_LATEST},
+        names6 AS (
+          SELECT pvname, rn FROM (
+            SELECT pvname, row_number() OVER (ORDER BY pvname) AS rn
+            FROM (SELECT DISTINCT pvname FROM points)
+          ) WHERE rn <= 6
+        ),
+        tpl_rows AS (
+          SELECT 'Main' AS section,
+                 'pair ' || CAST((rn - 1) // 2 AS VARCHAR) AS description,
+                 '%8.3f' AS format,
+                 pvname
+          FROM names6
+        )
+        SELECT section, description, format, r.pvname,
+               printf('%.2f', l.value) AS value
+        FROM tpl_rows r LEFT JOIN latest l USING (pvname)
+        """
+    )
+
+    o["ctl_apply_requests"] = (
+        P
+        + """,
+        names AS (SELECT DISTINCT pvname FROM points)
+        SELECT pvname,
+               CASE WHEN pvname LIKE '%:error' THEN 'no' ELSE 'yes' END AS active
+        FROM names WHERE pvname NOT LIKE '%:click'
+        UNION ALL SELECT 'NEW:0:added', 'yes'
+        """
+    )
+
+    o["ctl_rotate_runs"] = (
+        P
+        + f""",
+        runs AS (
+          SELECT 'run_' || CAST(CAST(floor(time / 86400.0) AS BIGINT) AS VARCHAR) AS db,
+                 min(time) AS start_time, max(time) AS stop_time
+          FROM points GROUP BY floor(time / 86400.0)
+        )
+        SELECT db, start_time, stop_time FROM runs
+        UNION ALL SELECT 'run_current', {T1 - 86400.0!r}, {T1!r}
+        UNION ALL SELECT 'run_next', {T1!r}, 2147483647.0
+        """
+    )
+
+    o["ctl_pair_increment"] = (
+        E
+        + """
+        SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2,
+               least(max(score) + 1, 500000) AS score
+        FROM edges GROUP BY least(pv1, pv2), greatest(pv1, pv2)
+        """
+    )
+
     # --- LSH plane-family oracles -------------------------------------
     # The hyperplanes/centroids are a deterministic LCG (similarity.
     # _hyperplanes), so the "approximate" operators are exactly
@@ -1383,7 +1591,7 @@ def oracle_sql() -> dict[str, str]:
     # tokens = whitespace split with empties removed — shared by the doc oracles
     TOK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
 
-    o["doc_fingerprints"] = f"""
+    o["doc_fingerprints"] = rf"""
         SELECT doc_id,
                length(text) AS n_chars_actual,
                len({TOK}) AS n_tokens,

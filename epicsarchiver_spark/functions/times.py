@@ -17,8 +17,12 @@ _UNITS = {
     "hour": 3600.0,
     "day": 86400.0,
     "week": 7 * 86400.0,
+    # month is an ENGINE EXTENSION: the executed reference has no month
+    # keyword and silently falls back to its 1-week default for it
     "month": 31 * 86400.0,
-    "year": 365.25 * 86400.0,
+    # 525600 minutes — matches the executed reference exactly
+    # (web_utils.py:75: 'year' → 525600 min = 365 d, not 365.25)
+    "year": 365 * 86400.0,
 }
 
 _AGO_RE = re.compile(r"^\s*(\d+(?:\.\d+)?)\s*(minute|hour|day|week|month|year)s?(?:\s+ago)?\s*$", re.I)
@@ -71,18 +75,27 @@ def parse_bound(
 
 def parse_times(date1: str | None, date2: str | None, now: float | None = None) -> tuple[float, float]:
     """C10 — relative window parsing: when date2 is 'now' (or None),
-    date1 is 'N minutes/hours/days/weeks/years ago' (default 1 week);
-    otherwise both are absolute datetimes. Returns (t0, t1) epoch seconds
-    truncated to the second (ref epicsarchiver/web_utils.py:31-90)."""
+    date1 is 'N minutes/hours/days/weeks/years [ago]' (default 1 week —
+    including for UNRECOGNIZED date1, matching the executed reference's
+    silent fallback, web_utils.py:66-78); otherwise both are absolute
+    datetimes. '_' separators accepted ('3_weeks', web_utils.py:68).
+    Returns (t0, t1) epoch seconds truncated to the second
+    (ref epicsarchiver/web_utils.py:31-90). Engine extensions over the
+    reference: an optional 'ago' suffix (the reference raises on it) and
+    a 'month' unit (the reference falls back to 1 week)."""
     now_s = float(int(now if now is not None else datetime.now(timezone.utc).timestamp()))
     if date2 in (None, "", "now") :
         if not date1:
             return now_s - _UNITS["week"], now_s
+        date1 = date1.replace("_", " ")
         m = _AGO_RE.match(date1)
         if m:
             span = float(m.group(1)) * _UNITS[m.group(2).lower()]
             return now_s - span, now_s
-        return float(int(time_str2sec(date1, now_s))), now_s
+        try:
+            return float(int(time_str2sec(date1, now_s))), now_s
+        except (ValueError, TypeError):
+            return now_s - _UNITS["week"], now_s  # ref default for junk
     t0 = float(int(time_str2sec(date1, now_s))) if date1 else now_s - _UNITS["week"]
     t1 = float(int(time_str2sec(date2, now_s)))
     if t1 < t0:
