@@ -195,55 +195,88 @@ def _hadoop_fs(spark, path: str):
     return p.getFileSystem(conf), jvm
 
 
-def upsert_latest(batch: DataFrame, cache_path: str) -> None:
+def upsert_latest(batch: DataFrame, cache_path: str, buckets: int = 64) -> None:
     """S14 — merge a micro-batch into the latest-value cache table
     (ref epicsarchiver/cache.py:454-462's per-batch UPDATE transaction).
 
-    Crash-safe write-temp + atomic-swap: the merged frame is FULLY written
-    to ``<path>.tmp`` while the live cache is untouched (so the merge can
-    re-read it safely — no cache()/count() materialization dance, which is
-    not a durability guarantee: an evicted block between count() and an
-    in-place overwrite recomputes from the path mid-overwrite and corrupts
-    the cache). Then two directory renames swap it in:
-    live → ``.bak``, tmp → live. A crash leaves, in every window, either
-    the old cache at live, or the old cache at .bak with tmp complete —
-    the recovery step at the top of the next batch (or of ``read_cache``)
-    restores it. At production scale the same contract is one Delta/Iceberg
-    MERGE; this is the filesystem-parquet equivalent."""
+    The cache is parquet partitioned by ``bucket = pmod(xxhash64(pvname),
+    buckets)`` and the merge is **partition-pruned**: only the buckets
+    whose keys appear in the micro-batch are read (Spark prunes the scan
+    to ``bucket IN touched``) and only those bucket directories are
+    rewritten — per-batch work is O(batch ∪ touched buckets), not
+    O(cache). A batch touching 100 of 10⁶ series reads and writes ~2 of
+    64 buckets, while the untouched 62 directories are never opened.
+
+    Crash-safe write-temp + per-bucket atomic swap: merged buckets are
+    FULLY written to ``<path>.tmp`` while the live cache is untouched (so
+    the merge can re-read it safely — no cache()/count() materialization
+    dance, which is not a durability guarantee: an evicted block between
+    count() and an in-place overwrite recomputes from the path
+    mid-overwrite and corrupts the cache). Then each touched bucket dir is
+    swapped with two renames: live/bucket=k → .bak/bucket=k, tmp/bucket=k
+    → live/bucket=k. A crash mid-sequence leaves every bucket either old
+    (possibly parked in .bak — restored by the recovery step at the top of
+    the next batch / ``read_cache``) or fully merged; a mixed old/new
+    cache is safe because the merge is idempotent (max_by time) and the
+    checkpointed stream replays the interrupted batch. At production scale
+    the same contract is one Delta/Iceberg MERGE; this is the
+    filesystem-parquet equivalent."""
     spark = batch.sparkSession
     tmp, bak = cache_path + ".tmp", cache_path + ".bak"
     fs, jvm = _hadoop_fs(spark, cache_path)
     P = jvm.org.apache.hadoop.fs.Path
     _recover_cache_swap(fs, P, cache_path)
 
+    bucket_of = F.pmod(F.xxhash64("pvname"), F.lit(buckets)).cast("int")
     order = F.struct(F.col("time"))
     fresh = batch.groupBy("pvname").agg(
         F.max_by("value", order).alias("value"), F.max("time").alias("time")
     )
+    # tiny driver list (≤ buckets ints) — names which partitions this
+    # batch touches; everything downstream is pruned to them
+    touched = sorted(r[0] for r in fresh.select(bucket_of.alias("b")).distinct().collect())
     if fs.exists(P(cache_path)):
-        old = spark.read.parquet(cache_path)
+        old = spark.read.parquet(cache_path).filter(F.col("bucket").isin(touched))
         fresh = (
-            old.unionByName(fresh)
+            old.drop("bucket")
+            .unionByName(fresh)
             .groupBy("pvname")
             .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
         )
-    fresh.write.mode("overwrite").parquet(tmp)
+    fresh.withColumn("bucket", bucket_of).write.mode("overwrite").partitionBy(
+        "bucket"
+    ).parquet(tmp)
 
     fs.delete(P(bak), True)
-    if fs.exists(P(cache_path)):
-        fs.rename(P(cache_path), P(bak))
-    fs.rename(P(tmp), P(cache_path))
+    if not fs.exists(P(cache_path)):
+        fs.rename(P(tmp), P(cache_path))
+        return
+    fs.mkdirs(P(bak))
+    for k in touched:
+        part = f"bucket={k}"
+        if fs.exists(P(f"{cache_path}/{part}")):
+            fs.rename(P(f"{cache_path}/{part}"), P(f"{bak}/{part}"))
+        fs.rename(P(f"{tmp}/{part}"), P(f"{cache_path}/{part}"))
     fs.delete(P(bak), True)
+    fs.delete(P(tmp), True)
 
 
 def _recover_cache_swap(fs, P, cache_path: str) -> None:
-    """If a previous swap died between its two renames, the live dir is
-    missing and the old cache sits at .bak — put it back before merging
-    (the half-finished .tmp is discarded; its batch will be reprocessed by
-    the checkpointed stream)."""
+    """If a previous swap died mid-rename, old state sits under .bak —
+    restore whatever the live tree is missing before merging (whole cache
+    dir, or individual bucket dirs), never overwriting a live entry that
+    already received its merged replacement. The half-finished .tmp is
+    discarded; its batch will be reprocessed by the checkpointed stream."""
     tmp, bak = cache_path + ".tmp", cache_path + ".bak"
-    if not fs.exists(P(cache_path)) and fs.exists(P(bak)):
-        fs.rename(P(bak), P(cache_path))
+    if fs.exists(P(bak)):
+        if not fs.exists(P(cache_path)):
+            fs.rename(P(bak), P(cache_path))
+        else:
+            for st in fs.listStatus(P(bak)):
+                name = st.getPath().getName()
+                if name.startswith("bucket=") and not fs.exists(P(f"{cache_path}/{name}")):
+                    fs.rename(st.getPath(), P(f"{cache_path}/{name}"))
+            fs.delete(P(bak), True)
     fs.delete(P(tmp), True)
 
 
@@ -254,12 +287,14 @@ def read_cache(spark, cache_path: str) -> DataFrame:
     return spark.read.parquet(cache_path)
 
 
-def latest_value_query(events: DataFrame, cache_path: str, checkpoint: str) -> Any:
+def latest_value_query(
+    events: DataFrame, cache_path: str, checkpoint: str, buckets: int = 64
+) -> Any:
     """The cache daemon as one streaming query: last-per-key upsert."""
     return (
         events.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(lambda b, _id: upsert_latest(b, cache_path))
+        .foreachBatch(lambda b, _id: upsert_latest(b, cache_path, buckets=buckets))
     )
 
 

@@ -9,6 +9,7 @@ import math
 
 import pandas as pd
 import pytest
+from pyspark.sql import functions as F
 
 from epicsarchiver_spark.operators.deadband import compress_reference
 from epicsarchiver_spark.streaming.alerts import alert_stream, evaluate_transitions
@@ -229,6 +230,84 @@ def test_upsert_crash_mid_swap_recovers(spark, tmp_path):
     got = {(r.pvname, r.time, r.value) for r in read_cache(spark, cache).collect()}
     assert got == {("A", 2.0, 20.0), ("B", 1.0, 5.0)}
     assert not os.path.exists(cache + ".bak")
+
+
+def _bucket_of(spark, names: list[str], buckets: int) -> dict[str, int]:
+    rows = (
+        spark.createDataFrame([(n,) for n in names], "pvname string")
+        .select(
+            "pvname",
+            F.pmod(F.xxhash64("pvname"), F.lit(buckets)).cast("int").alias("b"),
+        )
+        .collect()
+    )
+    return {r.pvname: r.b for r in rows}
+
+
+def test_upsert_rewrites_only_touched_buckets(spark, tmp_path):
+    """The 100 TB property of S14: a micro-batch touching one series must
+    not rewrite (or even reopen) bucket directories holding other series —
+    per-batch cost is O(touched buckets), not O(cache)."""
+    import glob
+    import os
+
+    from epicsarchiver_spark.streaming.ingest import read_cache, upsert_latest
+
+    cache = str(tmp_path / "cache")
+    # pick two keys hashing to different buckets (deterministic)
+    names = [f"PV{i}" for i in range(20)]
+    bk = _bucket_of(spark, names, 16)
+    a = names[0]
+    b = next(n for n in names if bk[n] != bk[a])
+
+    b1 = spark.createDataFrame(
+        [(a, 1.0, 10.0), (b, 1.0, 20.0)], "pvname string, time double, value double"
+    )
+    upsert_latest(b1, cache, buckets=16)
+    other_dir = f"{cache}/bucket={bk[b]}"
+    before = {p: os.stat(p).st_mtime_ns for p in glob.glob(other_dir + "/*")}
+    assert before, "expected bucket dir for untouched key"
+
+    b2 = spark.createDataFrame([(a, 2.0, 11.0)], "pvname string, time double, value double")
+    upsert_latest(b2, cache, buckets=16)
+    after = {p: os.stat(p).st_mtime_ns for p in glob.glob(other_dir + "/*")}
+    assert after == before  # untouched bucket files byte-identical on disk
+
+    got = {(r.pvname, r.time, r.value) for r in read_cache(spark, cache).collect()}
+    assert got == {(a, 2.0, 11.0), (b, 1.0, 20.0)}
+
+
+def test_upsert_crash_mid_bucket_swap_recovers(spark, tmp_path):
+    """Kill between the two per-bucket renames: the bucket dir sits in
+    .bak and is missing from live — recovery must move it back without
+    touching buckets that already got their merged replacement."""
+    import os
+    import shutil
+
+    from epicsarchiver_spark.streaming.ingest import read_cache, upsert_latest
+
+    cache = str(tmp_path / "cache")
+    names = [f"PV{i}" for i in range(20)]
+    bk = _bucket_of(spark, names, 16)
+    a = names[0]
+    b = next(n for n in names if bk[n] != bk[a])
+
+    b1 = spark.createDataFrame(
+        [(a, 1.0, 10.0), (b, 1.0, 20.0)], "pvname string, time double, value double"
+    )
+    upsert_latest(b1, cache, buckets=16)
+
+    # simulate a crash mid-swap: bucket for `b` parked in .bak, gone from
+    # live; a stale tmp left behind
+    part = f"bucket={bk[b]}"
+    os.makedirs(cache + ".bak")
+    os.rename(f"{cache}/{part}", f"{cache}.bak/{part}")
+    shutil.copytree(cache + ".bak", cache + ".tmp")
+
+    got = {(r.pvname, r.time, r.value) for r in read_cache(spark, cache).collect()}
+    assert got == {(a, 1.0, 10.0), (b, 1.0, 20.0)}  # bucket restored
+    assert not os.path.exists(cache + ".bak")
+    assert not os.path.exists(cache + ".tmp")
 
 
 # ---------------------------------------------------------------------------
