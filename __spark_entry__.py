@@ -256,6 +256,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd HH:mm:ss").alias("iso"),
     )
+    # S12 plot-JSON data plane: per-series aligned (x-ISO, y) arrays,
+    # string-encoded so the driver canon can lexsort them
+    q["ts_plot_traces"] = lambda s, d: (
+        sinks.plot_traces(
+            points_view(s, d).filter(F.col("pv_id") < 3).select("pvname", "time", "value")
+        )
+        .select(
+            "pvname",
+            F.concat_ws("|", "x").alias("x_iso"),
+            F.concat_ws(
+                "|", F.transform("y", lambda v: F.format_string("%.6f", v))
+            ).alias("y_fmt"),
+        )
+        .orderBy("pvname")
+    )
 
     # --- related-pairs graph (SURVEY §2.3 J5 / §2.4 A3-A4) ---
     q["rel_pair_scores"] = lambda s, d: related.canonical_pairs(_edges(s, d))
@@ -1505,6 +1520,19 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id,
                strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S') AS iso
         FROM points
+        """
+    )
+
+    o["ts_plot_traces"] = (
+        P
+        + """
+        SELECT pvname,
+               string_agg(strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S.%g'),
+                          '|' ORDER BY time, value) AS x_iso,
+               string_agg(printf('%.6f', value), '|' ORDER BY time, value) AS y_fmt
+        FROM points
+        WHERE pv_id < 3
+        GROUP BY pvname
         """
     )
 

@@ -135,6 +135,18 @@ class PVArchEngine:
         """ref webapp.py:396-401 — decimate for rendering."""
         return cull.cull_data(frame, max_points=max_points)
 
+    def plot_json(self, frame: DataFrame, path: str | None = None, **plot_kw) -> str | None:
+        """S12 — cull then render the reference's plotly figure JSON
+        (ref web_utils.py:177-237 make_plot, fed by webapp.py:396-401)."""
+        from epicsarchiver_spark.sources import sinks
+
+        culled = self.cull_for_plot(frame)
+        if path is not None:
+            return sinks.write_plot_json(culled, path, **plot_kw)
+        return sinks.make_plot_json(
+            sinks.plot_traces(culled).orderBy("pvname").collect(), **plot_kw
+        )
+
     def search_names(self, pattern: str) -> DataFrame:
         """ref web/WebAdmin.py:56-57 — '*' wildcard search."""
         return search.wildcard_search(self.points.select("pvname").distinct(), pattern)

@@ -243,9 +243,12 @@ def upsert_latest(batch: DataFrame, cache_path: str, buckets: int = 64) -> None:
             .groupBy("pvname")
             .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
         )
-    fresh.withColumn("bucket", bucket_of).write.mode("overwrite").partitionBy(
-        "bucket"
-    ).parquet(tmp)
+    # one output file per bucket dir (repartition on the partition column),
+    # not tasks × buckets small files — the cache stays ≤ `buckets` files
+    # total no matter how many batches have merged into it
+    fresh.withColumn("bucket", bucket_of).repartition(
+        max(len(touched), 1), "bucket"
+    ).write.mode("overwrite").partitionBy("bucket").parquet(tmp)
 
     fs.delete(P(bak), True)
     if not fs.exists(P(cache_path)):

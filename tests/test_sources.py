@@ -151,3 +151,57 @@ def test_sql_dump_lines(spark):
         "INSERT INTO points (pvname,time,note) VALUES ('PV:a',1.5,'it''s ok');",
         "INSERT INTO points (pvname,time,note) VALUES ('PV:b',NULL,NULL);",
     ]
+
+
+def test_plot_json_sink(spark, tmp_path):
+    """S12 round trip: the written document has the reference figure shape
+    (web_utils.py:177-237) — step-'hv' traces with ISO x, per-trace y-axes
+    anchored right of the first, enum tick labels, None for empty input."""
+    import json
+
+    from epicsarchiver_spark.sources.sinks import make_plot_json, write_plot_json
+
+    df = spark.createDataFrame(
+        [
+            ("PV:a", 1704067200.0, 1.0),
+            ("PV:a", 1704067260.5, 2.0),
+            ("PV:b", 1704067200.0, 0.0),
+        ],
+        "pvname string, time double, value double",
+    )
+    out = str(tmp_path / "plot.json")
+    doc = write_plot_json(df, out, enum_labels={"PV:b": ["Off", "On"]})
+    fig = json.loads(open(out).read())
+    assert json.loads(doc) == fig
+    assert set(fig) == {"data", "layout", "config"}
+
+    t_a, t_b = fig["data"]
+    assert t_a["name"] == "PV:a" and t_b["name"] == "PV:b"
+    assert t_a["line"]["shape"] == "hv" and t_a["yaxis"] == "y"
+    assert t_a["x"] == ["2024-01-01 00:00:00.000", "2024-01-01 00:01:00.500"]
+    assert t_a["y"] == [1.0, 2.0]
+    # second trace: its own axis overlaying the first, on the right
+    assert t_b["yaxis"] == "y2"
+    ax2 = fig["layout"]["yaxis2"]
+    assert ax2["overlaying"] == "y" and ax2["side"] == "right"
+    assert ax2["ticktext"] == ["Off", "On"] and ax2["tickvals"] == [0, 1]
+    # enum trace shifts the x domain exactly as the reference does
+    assert fig["layout"]["xaxis"]["domain"][0] == 0.15
+
+    assert make_plot_json([]) is None
+
+
+def test_plot_json_ylog(spark):
+    from epicsarchiver_spark.sources.sinks import make_plot_json, plot_traces
+
+    df = spark.createDataFrame(
+        [("PV:log", 1704067200.0 + i, v) for i, v in enumerate([0.001, 1.0, 500.0] * 40)],
+        "pvname string, time double, value double",
+    )
+    rows = plot_traces(df).collect()
+    fig_lin = make_plot_json(rows)
+    fig_log = make_plot_json(rows, auto_ylog=True)
+    import json
+
+    assert json.loads(fig_lin)["layout"]["yaxis"]["type"] == "linear"
+    assert json.loads(fig_log)["layout"]["yaxis"]["type"] == "log"
