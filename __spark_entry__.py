@@ -330,6 +330,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    # near-dup GROUP resolution: pairs → connected components (min-id label)
+    q["doc_dedup_groups"] = lambda s, d: dedup.connected_components(
+        dedup.jaccard_pairs_blocked(load_table(s, d, "documents"), shingle_k=2, threshold=0.05)
+    ).select(F.col("id").alias("doc_id"), "component")
+    # ...and the canonical survivors after dropping non-representatives
+    q["doc_dedup_survivors"] = lambda s, d: dedup.dedup_near(
+        load_table(s, d, "documents"),
+        dedup.jaccard_pairs_blocked(load_table(s, d, "documents"), shingle_k=2, threshold=0.05),
+    ).select("doc_id", "lang", "source")
 
     # --- embeddings: similarity search ---
     def _query_vec(s: SparkSession, d: str) -> list[float]:
@@ -1721,6 +1730,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT id_a, id_b, round(i / u, 6) AS jaccard
         FROM pairs WHERE u > 0 AND i / u >= 0.05
     """
+
+    # shared prefix: the jaccard pair graph as symmetric edges + closure —
+    # component(v) = min id reachable (recursive CTE = the oracle analog of
+    # the engine's min-label propagation)
+    CC = f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM jp WHERE u > 0 AND i / u >= 0.05
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ), comp AS (
+          SELECT id, min(root) AS component FROM reach GROUP BY id
+        )
+    """
+    o["doc_dedup_groups"] = (
+        CC + "SELECT id AS doc_id, component FROM comp"
+    )
+    o["doc_dedup_survivors"] = (
+        CC
+        + """
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        """
+    )
 
     o["emb_topk_cosine"] = """
         WITH q AS (

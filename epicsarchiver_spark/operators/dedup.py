@@ -223,3 +223,75 @@ def jaccard_pairs_blocked(
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate *pairs* into duplicate *groups*:
+    ``(id, component)`` where component is the minimum id reachable in the
+    undirected pair graph — the step every dedup pipeline needs between
+    "these two match" and "keep one per cluster".
+
+    Min-label propagation: each round every vertex takes the min of its
+    own label and its neighbors' labels (one equi-join + one partial-agg
+    shuffle per round), converging in graph-diameter rounds. Near-dup
+    graphs are unions of small dense cliques — diameter is tiny, so this
+    beats the O(log n)-round large-star/small-star scheme (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") in practice; swap that
+    in if an adversarial long-chain graph ever shows up. Every round's
+    labels are CHECKPOINTED, not merely persisted: persist caches the data
+    but leaves the logical plan growing (round N's plan embeds rounds
+    1..N-1 — analysis cost doubles per round and OOMs the driver by ~10
+    rounds). Reliable checkpoint when the session has a checkpoint dir
+    (production: survives executor loss); localCheckpoint otherwise.
+    """
+    edges = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        sc = df.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
+    labels = _truncate(
+        edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels, edges.src == labels.id)
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("label").alias("_cand"))
+        )
+        upd = _truncate(
+            labels.join(nbr, "id", "left").select(
+                "id",
+                F.least("label", "_cand").alias("label"),
+                (F.col("_cand") < F.col("label")).cast("int").alias("_chg"),
+            )
+        )
+        changed = upd.agg(F.sum("_chg")).head()[0] or 0
+        labels = upd.select("id", "label")
+        if changed == 0:
+            break
+    return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def dedup_near(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Keep one doc (the min-id component representative) per near-dup
+    group; docs in no pair survive untouched. Only the non-canonical
+    member ids — a frame far smaller than the corpus — drive the anti-join."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b)
+    losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
+    return docs.join(losers, id_col, "left_anti")

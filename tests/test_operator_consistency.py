@@ -139,3 +139,32 @@ def test_lag_deadband_agrees_with_sequential_when_deadtime_zero(spark):
         for r in compress_sequential(pts, deadtime=0.0, deadband=0.0).collect()
     }
     assert a == b
+
+
+def test_connected_components_and_dedup_near(spark):
+    """Pairs → groups → one survivor per group: a 3-chain (1-2-3) and a
+    2-clique (5-6) resolve to min-id components; unpaired doc 4 survives."""
+    from epicsarchiver_spark.operators.dedup import connected_components, dedup_near
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.95)], "id_a long, id_b long, jaccard double"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(1, 7)], "doc_id long, text string"
+    )
+    kept = sorted(r.doc_id for r in dedup_near(docs, pairs).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_connected_components_long_chain(spark):
+    """Diameter > 1 path graph exercises multi-round propagation."""
+    from epicsarchiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(10)], "id_a long, id_b long, jaccard double"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(11)}
