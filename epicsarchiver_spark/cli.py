@@ -127,6 +127,22 @@ def cmd_import_zarr(args) -> int:
     return 0
 
 
+def cmd_compact(args) -> int:
+    from epicsarchiver_spark.sources.points_store import compact_store
+
+    spark = _spark("compact")
+    done = compact_store(
+        spark,
+        args.store,
+        runs=args.runs or None,
+        target_file_bytes=args.target_mb * 1024 * 1024,
+    )
+    for part, n in sorted(done.items()):
+        print(f"{part}: -> {n} file(s)")
+    print(f"compacted {len(done)} partition(s)")
+    return 0
+
+
 def cmd_add_pvfile(args) -> int:
     from epicsarchiver_spark.sources.pvlist import pvlist_pairs, read_pvlist
 
@@ -173,6 +189,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--run", default="imported")
     s.add_argument("--buckets", type=int, default=128)
     s.set_defaults(fn=cmd_import_zarr)
+
+    s = sub.add_parser("compact", help="merge streaming small files per (run,bucket)")
+    s.add_argument("--runs", nargs="*", help="only these (rotated) runs; default all")
+    s.add_argument("--target-mb", type=int, default=256, help="target file size")
+    s.set_defaults(fn=cmd_compact)
 
     s = sub.add_parser("add_pvfile", help="parse a PV-list file")
     s.add_argument("file")

@@ -77,6 +77,78 @@ def runs_for_window(runs: DataFrame, t0: float, t1: float) -> DataFrame:
     return runs.filter((F.col("stop_time") > t0) & (F.col("start_time") < t1))
 
 
+def compact_store(
+    spark: SparkSession,
+    path: str,
+    runs: list[str] | None = None,
+    target_file_bytes: int = 256 * 1024 * 1024,
+) -> dict[str, int]:
+    """Small-file compaction for the points store. Streaming append (S15)
+    commits one parquet file per micro-batch per bucket — after months of
+    ingest a run's bucket dir holds thousands of KB-sized files and the
+    scan cost is dominated by file-open overhead, the classic streaming
+    small-file problem. Compaction rewrites each (run, bucket) partition
+    as ~size/target_file_bytes files, re-sorted by (pvname, time) so
+    row-group min/max stats prune again (appends interleave series).
+
+    Runs one partition-dir at a time with the same crash-safe two-rename
+    swap as the cache upsert: rewrite to ``<dir>.tmp``, park the old dir at
+    ``<dir>.bak``, swap, delete. A crash leaves the partition either old,
+    old-at-.bak (restored by the next compaction pass), or new — never
+    half-written, and readers of OTHER partitions are never disturbed.
+    The hot (currently-appended) run should be skipped via ``runs``:
+    compact only rotated runs, which are immutable.
+
+    Returns {partition: files_after} for the partitions rewritten."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(conf)
+
+    result: dict[str, int] = {}
+    for run_status in fs.listStatus(P(path)):
+        run_name = run_status.getPath().getName()
+        if not run_name.startswith("run="):
+            continue
+        if runs is not None and run_name.removeprefix("run=") not in runs:
+            continue
+        names = {st.getPath().getName() for st in fs.listStatus(run_status.getPath())}
+        # recover a previous half-swap first: a parked .bak whose live dir
+        # is missing goes back; stale .bak/.tmp next to a live dir are junk
+        for name in sorted(names):
+            if name.endswith(".bak"):
+                base = name.removesuffix(".bak")
+                if base not in names:
+                    fs.rename(P(f"{path}/{run_name}/{name}"), P(f"{path}/{run_name}/{base}"))
+                    names.add(base)
+                else:
+                    fs.delete(P(f"{path}/{run_name}/{name}"), True)
+            elif name.endswith(".tmp"):
+                fs.delete(P(f"{path}/{run_name}/{name}"), True)
+        for bk_name in sorted(names):
+            if not bk_name.startswith("bucket=") or bk_name.endswith((".bak", ".tmp")):
+                continue
+            part_dir = f"{path}/{run_name}/{bk_name}"
+            files = [st for st in fs.listStatus(P(part_dir)) if st.isFile()]
+            size = sum(st.getLen() for st in files)
+            n_out = max(1, -(-size // target_file_bytes))
+            if len(files) <= n_out:
+                continue  # already compact
+            (
+                spark.read.parquet(part_dir)
+                .repartition(int(n_out))
+                .sortWithinPartitions("pvname", "time")
+                .write.mode("overwrite")
+                .parquet(part_dir + ".tmp")
+            )
+            fs.delete(P(part_dir + ".bak"), True)
+            fs.rename(P(part_dir), P(part_dir + ".bak"))
+            fs.rename(P(part_dir + ".tmp"), P(part_dir))
+            fs.delete(P(part_dir + ".bak"), True)
+            result[f"{run_name}/{bk_name}"] = int(n_out)
+    return result
+
+
 def range_read_store(
     spark: SparkSession,
     path: str,

@@ -64,3 +64,22 @@ def test_sql_dump(spark, store, tmp_path, capsys):
         lines += part.read_text().splitlines()
     assert len(lines) == 200
     assert all(line.startswith("INSERT INTO pvdat") for line in lines)
+
+
+def test_compact_cli(spark, tmp_path, capsys):
+    path = str(tmp_path / "cstore")
+    for i in range(4):
+        write_points(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [("CLI:c.VAL", float(i), 1.0)], columns=["pvname", "time", "value"]
+                )
+            ),
+            path,
+            run="run_001",
+            n_buckets=2,
+        )
+    assert cli.main(["--store", path, "compact"]) == 0
+    out = capsys.readouterr().out
+    assert "compacted 1 partition(s)" in out
+    assert read_points(spark, path).count() == 4

@@ -110,3 +110,54 @@ def test_bucket_of_is_deterministic(spark):
     )
     r = df.head()
     assert r.b1 == r.b2 and 0 <= r.b1 < 8
+
+
+def test_compact_store_merges_small_files(spark, tmp_path):
+    """N micro-batch appends → N files per (run,bucket); compaction folds
+    them to ~1 without changing a row, skips the hot run when excluded,
+    and recovers a partition parked at .bak by a crashed previous pass."""
+    import glob
+    import os
+
+    from epicsarchiver_spark.sources.points_store import (
+        compact_store,
+        read_points,
+        write_points,
+    )
+
+    path = str(tmp_path / "store")
+    for i in range(6):  # six tiny appends = six files per partition
+        df = spark.createDataFrame(
+            [("PV:a", float(i * 10 + j), float(j)) for j in range(4)],
+            "pvname string, time double, value double",
+        )
+        write_points(df, path, run="run_001", n_buckets=4)
+    before = read_points(spark, path)
+    rows_before = sorted((r.pvname, r.time, r.value) for r in before.collect())
+    part = glob.glob(f"{path}/run=run_001/bucket=*")[0]
+    assert len(glob.glob(f"{part}/part-*.parquet")) == 6
+
+    done = compact_store(spark, path)
+    assert done and all(n == 1 for n in done.values())
+    assert len(glob.glob(f"{part}/part-*.parquet")) == 1
+    rows_after = sorted(
+        (r.pvname, r.time, r.value) for r in read_points(spark, path).collect()
+    )
+    assert rows_after == rows_before
+
+    # excluded run untouched
+    write_points(
+        spark.createDataFrame([("PV:a", 1.0, 1.0)], "pvname string, time double, value double"),
+        path, run="run_002", n_buckets=4,
+    )
+    assert compact_store(spark, path, runs=["run_999"]) == {}
+
+    # crash recovery: partition parked at .bak, live dir missing
+    os.rename(part, part + ".bak")
+    compact_store(spark, path, runs=["run_001"])
+    assert os.path.isdir(part) and not os.path.exists(part + ".bak")
+    rows_rec = sorted(
+        (r.pvname, r.time, r.value)
+        for r in read_points(spark, path).filter(F.col("run") == "run_001").collect()
+    )
+    assert rows_rec == rows_before
