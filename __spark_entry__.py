@@ -326,6 +326,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     ).select("doc_id", "lang", "source")
     q["doc_quality"] = lambda s, d: text_ops.quality_scores(load_table(s, d, "documents"))
+    q["doc_tfidf_top_terms"] = lambda s, d: text_ops.tfidf_top_terms(
+        load_table(s, d, "documents"), k=3
+    )
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
@@ -356,6 +359,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_cosine_neardups"] = lambda s, d: similarity.cosine_near_duplicates(
         load_table(s, d, "embeddings"), threshold=0.38
     )
+    # semantic dedup groups: components of the exact-cosine pair graph
+    q["emb_dedup_groups"] = lambda s, d: dedup.connected_components(
+        similarity.cosine_near_duplicates(load_table(s, d, "embeddings"), threshold=0.38)
+    ).select(F.col("id").alias("vec_id"), "component")
 
     def _media(s, d):
         """Deterministic media frame derived from documents: payload =
@@ -1446,6 +1453,28 @@ def oracle_sql() -> dict[str, str]:
                     6) >= 0.38
     """
 
+    o["emb_dedup_groups"] = """
+        WITH RECURSIVE v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                      6) >= 0.38
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        )
+        SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
+    """
+
     o["ts_alarm_transitions"] = (
         P
         + f""",
@@ -1652,6 +1681,32 @@ def oracle_sql() -> dict[str, str]:
                min(doc_id) AS keep_id, count(*) AS n_docs
         FROM documents
         GROUP BY 1 HAVING count(*) >= 2
+    """
+
+    o["doc_tfidf_top_terms"] = """
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+          )
+          GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 3
     """
 
     PUNCT = r"""length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))"""

@@ -4,7 +4,7 @@ the column functions in functions/text.py; everything JVM-side."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions import text as T
@@ -80,4 +80,37 @@ def langid_eval(docs: DataFrame, text: str = "text", label: str = "lang") -> Dat
         .groupBy("lang_true", "lang_pred")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy("lang_true", "lang_pred")
+    )
+
+
+def tfidf_top_terms(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF
+    (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — fully
+    SQL-reproducible). The keyword/feature-extraction step of a
+    training-data pipeline.
+
+    Plan: explode → (doc,term) partial-agg count → term-level df agg →
+    term-keyed join (vocab side is |V| rows — AQE broadcasts it when it
+    fits) → per-doc top-k window. Ties broken by term for determinism.
+    """
+    n_docs = docs.count()
+    tf = (
+        docs.select(F.col(id_col), F.explode(T.tokens(F.lower(F.col(text)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.join(df, "term")
+        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
