@@ -266,6 +266,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-flat ANN: corpus assigned to its nearest of `n_cells` seed
     centroids (deterministic LCG seeds — a stand-in for trained k-means
@@ -273,9 +274,13 @@ def ivf_topk(
     searches the `n_probe` nearest cells. Centroid assignment is the
     Arrow-batched GEMM UDF (centroids in the closure, one matmul per
     batch — the literal nested-array form put n_cells × dim nodes in the
-    expression tree); no shuffle until top-k."""
+    expression tree); no shuffle until top-k.
+
+    Pass ``centroids`` (e.g. from ``train_ivf_centroids``) to use trained
+    cells; the LCG seeds are the deterministic fallback that keeps the
+    operator oracle-reproducible."""
     dim = len(query)
-    cents = _hyperplanes(dim, n_cells, seed)
+    cents = centroids if centroids is not None else _hyperplanes(dim, n_cells, seed)
 
     corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
     assigned = corpus.withColumn("cell", _nearest_cell_udf(cents)(F.col("v")))
@@ -292,3 +297,27 @@ def ivf_topk(
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def train_ivf_centroids(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+    max_iter: int = 20,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with MLlib KMeans (the production path
+    the LCG seeds stand in for). Train on a SAMPLE at corpus scale —
+    k-means quality saturates long before 100 TB of vectors; the sample is
+    one scan + a driver-sized model (n_cells × dim floats). The returned
+    plain-list centroids feed ``ivf_topk(..., centroids=...)``, keeping
+    assignment in the same Arrow-batched GEMM UDF."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    df = vectors.select(array_to_vector(as_double(F.col(vec_col))).alias("features"))
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=seed)
+    model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
+    return [[float(x) for x in c] for c in model.clusterCenters()]

@@ -168,3 +168,72 @@ def test_connected_components_long_chain(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {i: 0 for i in range(11)}
+
+
+def test_ivf_trained_centroids_recall(spark):
+    """MLlib-KMeans-trained centroids must give the IVF search ≥0.8
+    recall@10 vs brute force on clustered synthetic data (and the
+    operator must accept external centroids at all)."""
+    from epicsarchiver_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    rng = random.Random(5)
+    centers = [[rng.uniform(-5, 5) for _ in range(8)] for _ in range(4)]
+    rows = []
+    for i in range(400):
+        c = centers[i % 4]
+        rows.append((i, [float(x + rng.gauss(0, 0.3)) for x in c]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x + 0.1) for x in centers[0]]
+
+    cents = train_ivf_centroids(df, n_cells=4, max_iter=10)
+    assert len(cents) == 4 and len(cents[0]) == 8
+
+    exact = [r.vec_id for r in brute_force_topk(df, query, k=10).collect()]
+    approx = [
+        r.vec_id
+        for r in ivf_topk(df, query, k=10, n_cells=4, n_probe=1, centroids=cents).collect()
+    ]
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.8, f"recall@10 {recall}"
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized graphs vs a driver-side union-find spec: identical
+    (vertex → min-id-of-component) maps."""
+    from epicsarchiver_spark.operators.dedup import connected_components
+
+    for seed in (1, 2):
+        rng = random.Random(seed)
+        edges = sorted(
+            {
+                tuple(sorted(rng.sample(range(60), 2)))
+                for _ in range(80)
+            }
+        )
+        parent = list(range(60))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        members = [v for v in range(60) if any(v in e for e in edges)]
+        expected = {}
+        roots = {}
+        for v in sorted(members):
+            r = find(v)
+            roots.setdefault(r, v)  # min id first encountered
+            expected[v] = roots[r]
+
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "id_a long, id_b long, jaccard double"
+        )
+        got = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed {seed}"
