@@ -329,6 +329,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_tfidf_top_terms"] = lambda s, d: text_ops.tfidf_top_terms(
         load_table(s, d, "documents"), k=3
     )
+    q["doc_chunks"] = lambda s, d: text_ops.chunk_documents(
+        load_table(s, d, "documents"), chunk_tokens=32, overlap=8
+    )
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
@@ -1707,6 +1710,26 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY tfidf DESC, term) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """
+
+    o["doc_chunks"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), ch AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS INT), 0) + 1)) AS i
+          FROM nz
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 24 AS BIGINT) AS start_token,
+               array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+               CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
+        FROM ch
     """
 
     PUNCT = r"""length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))"""

@@ -114,3 +114,47 @@ def tfidf_top_terms(
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into token-bounded overlapping chunks — the
+    context-window packing step of a training/RAG pipeline. Chunk i covers
+    tokens [i·stride, i·stride + chunk_tokens), stride = chunk_tokens −
+    overlap; the final partial chunk is kept (min 1 chunk per non-empty
+    doc).
+
+    All JVM-side: tokenize once, `sequence` over chunk starts, one
+    posexplode — no UDF, so chunking a 100 TB corpus is a single narrow
+    scan (output ≈ input × (1 + overlap/stride) bytes). Token = whitespace
+    token; swap T.tokens for a BPE tokenizer UDF at production."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = F.col("_toks")
+    n = F.size(toks)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"), F.lit(0)),
+    )
+    return (
+        docs.select(F.col(id_col), T.tokens(F.col(text)).alias("_toks"))
+        .filter(n > 0)
+        .select(F.col(id_col), toks, F.posexplode(starts).alias("chunk_id", "_i"))
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("_i") * stride).cast("long").alias("start_token"),
+            F.array_join(
+                F.slice(toks, F.col("_i") * stride + 1, chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(n - F.col("_i") * stride, F.lit(chunk_tokens))
+            .cast("long")
+            .alias("n_tokens"),
+        )
+    )

@@ -390,3 +390,42 @@ def test_alert_stream(spark, tmp_path):
         for r in spark.sql("select * from alerts_out").collect()
     }
     assert got == {(1, "A", 10.0), (1, "A", 30.0), (2, "B", 10.0)}
+
+
+def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
+    """W10 analog: replaying overlapping micro-batches must not duplicate
+    points downstream — dropDuplicatesWithinWatermark on (pvname, time)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.streaming.ingest import dedup_stream
+
+    src = str(tmp_path / "in")
+    (tmp_path / "in").mkdir()
+    # batch 1 and an overlapping re-delivery of the same rows + one new
+    pd.DataFrame(
+        {"pvname": ["A", "A", "B"], "time": [1.7e9, 1.7e9 + 60, 1.7e9], "value": [1.0, 2.0, 3.0]}
+    ).to_parquet(src + "/b1.parquet")
+    pd.DataFrame(
+        {"pvname": ["A", "A"], "time": [1.7e9 + 60, 1.7e9 + 120], "value": [2.0, 4.0]}
+    ).to_parquet(src + "/b2.parquet")
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(src)
+    out = str(tmp_path / "out")
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r.pvname, r.time, r.value) for r in spark.read.parquet(out).collect()
+    )
+    assert rows == [
+        ("A", 1.7e9, 1.0),
+        ("A", 1.7e9 + 60, 2.0),
+        ("A", 1.7e9 + 120, 4.0),
+        ("B", 1.7e9, 3.0),
+    ]
