@@ -332,6 +332,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_chunks"] = lambda s, d: text_ops.chunk_documents(
         load_table(s, d, "documents"), chunk_tokens=32, overlap=8
     )
+    q["doc_splits"] = lambda s, d: text_ops.assign_splits(
+        load_table(s, d, "documents")
+    ).select("doc_id", "split")
+    q["doc_pii_scrub"] = lambda s, d: text_ops.scrub_pii(load_table(s, d, "documents"))
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
@@ -1730,6 +1734,33 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
                CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
         FROM ch
+    """
+
+    o["doc_pii_scrub"] = r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+               CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_longnum
+        FROM documents
+    """
+
+    o["doc_splits"] = """
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS b
+          FROM documents
+        )
     """
 
     PUNCT = r"""length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))"""

@@ -158,3 +158,59 @@ def chunk_documents(
             .alias("n_tokens"),
         )
     )
+
+
+def assign_splits(
+    docs: DataFrame,
+    key_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (("train", 0.9), ("val", 0.05), ("test", 0.05)),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by content-independent key
+    hash — the split step of a training pipeline. md5(key) mod `buckets`
+    lands each doc in a stable bucket (reproducible across runs, engines,
+    and cluster sizes — no sample() RNG, no ordering dependence), and
+    cumulative weight ranges map buckets to split names. Pure JVM
+    expressions; adding a split later only moves docs at range boundaries."""
+    total = sum(w for _, w in splits)
+    h = (
+        F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    expr = None
+    acc = 0.0
+    for name, w in splits[:-1]:
+        acc += w / total
+        cond = h < int(round(acc * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return docs.withColumn("split", expr)
+
+
+# Patterns deliberately lookahead-free so the SAME regex runs on Java
+# (Spark) and RE2 (DuckDB oracle) — same discipline as BPE_TOKEN_RE.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("longnum", r"[0-9]{9,}", "<NUM>"),
+)
+
+
+def scrub_pii(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Mask emails, URLs, and ≥9-digit runs (phone/account/card shaped)
+    before training — returns the scrubbed text plus per-kind match counts
+    for corpus-level leak auditing. Pure JVM regexp (one pass per
+    pattern); counts computed on the ORIGINAL text so they survive
+    masking order."""
+    out = docs.select(F.col(id_col), F.col(text).alias("_t"))
+    counts = [
+        F.size(F.regexp_extract_all(F.col("_t"), F.lit(pat), F.lit(0)))
+        .cast("long")
+        .alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col("_t")
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return out.select(id_col, clean.alias("clean_text"), *counts)

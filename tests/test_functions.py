@@ -257,3 +257,52 @@ def test_bpe_token_count(spark):
     )
     # "I"/"'ll"/" have"/" 42"/" tokens"/"!" → 6; "hello"/"  world"→... split
     assert got[0] == 6 and got[2] == 0
+
+
+def test_scrub_pii_masks_and_counts(spark):
+    from epicsarchiver_spark.operators.text_ops import scrub_pii
+
+    df = spark.createDataFrame(
+        [(1, "a.b@x.co.uk then https://ex.com/p?q=1 and 1234567890123"), (2, "clean 1234")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in scrub_pii(df).collect()}
+    assert rows[1].clean_text == "<EMAIL> then <URL> and <NUM>"
+    assert (rows[1].n_email, rows[1].n_url, rows[1].n_longnum) == (1, 1, 1)
+    assert rows[2].clean_text == "clean 1234"  # short digit runs kept
+    assert (rows[2].n_email, rows[2].n_url, rows[2].n_longnum) == (0, 0, 0)
+
+
+def test_assign_splits_deterministic_and_proportional(spark):
+    from epicsarchiver_spark.operators.text_ops import assign_splits
+
+    df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in assign_splits(df).collect()}
+    b = {r.doc_id: r.split for r in assign_splits(df).collect()}
+    assert a == b  # reproducible, no RNG
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert set(c) == {"train", "val", "test"}
+    assert abs(c["train"] / 5000 - 0.9) < 0.03
+    assert abs(c["val"] / 5000 - 0.05) < 0.02
+    assert abs(c["test"] / 5000 - 0.05) < 0.02
+
+
+def test_chunk_documents_cover_and_overlap(spark):
+    from epicsarchiver_spark.operators.text_ops import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))), (2, "a b"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        ((r.doc_id, r.chunk_id, r.start_token, r.chunk_text, r.n_tokens)
+         for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect())
+    )
+    assert rows == [
+        (1, 0, 0, "w0 w1 w2 w3", 4),
+        (1, 1, 3, "w3 w4 w5 w6", 4),
+        (1, 2, 6, "w6 w7 w8 w9", 4),
+        (2, 0, 0, "a b", 2),
+    ]  # empty doc 3 yields no chunks; every token covered; 1-token overlap

@@ -124,3 +124,22 @@ def test_instrument_restore_pushes_membership(spark):
     df = entrymod.queries()["ts_instrument_restore"](spark, SF_ORACLE)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_upsert_merge_read_prunes_cache_partitions(spark, tmp_path):
+    """The cache-merge read must carry the touched-bucket predicate as a
+    PartitionFilter — the property that makes the per-batch upsert
+    O(batch), not O(cache)."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.streaming.ingest import upsert_latest
+
+    cache = str(tmp_path / "cache")
+    b = spark.createDataFrame(
+        [("A", 1.0, 1.0), ("B", 1.0, 2.0)], "pvname string, time double, value double"
+    )
+    upsert_latest(b, cache, buckets=16)
+    pruned = spark.read.parquet(cache).filter(F.col("bucket").isin([3, 7]))
+    plan = explain_str(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "bucket" in m.group(1), plan[:1500]
