@@ -335,6 +335,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_splits"] = lambda s, d: text_ops.assign_splits(
         load_table(s, d, "documents")
     ).select("doc_id", "split")
+    q["doc_repetition"] = lambda s, d: text_ops.repetition_stats(load_table(s, d, "documents"))
+
+    def _contamination(s, d):
+        docs = load_table(s, d, "documents")
+        return text_ops.contamination_overlap(
+            docs.filter(F.col("doc_id") % 97 != 0), docs.filter(F.col("doc_id") % 97 == 0), n=3
+        )
+
+    q["doc_contamination"] = _contamination
+    q["doc_global_shuffle"] = lambda s, d: text_ops.global_shuffle(load_table(s, d, "documents"))
     q["doc_pii_scrub"] = lambda s, d: text_ops.scrub_pii(load_table(s, d, "documents"))
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
@@ -1734,6 +1744,79 @@ def oracle_sql() -> dict[str, str]:
                array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
                CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
         FROM ch
+    """
+
+    o["doc_repetition"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS ld
+          FROM t
+        ), bg AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+        ), bgc AS (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        ), bga AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS bn,
+                 CAST(count(*) AS BIGINT) AS bd, CAST(max(c) AS BIGINT) AS bmax
+          FROM bgc GROUP BY 1
+        )
+        SELECT b.doc_id, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN round((n_tokens - nd) / CAST(n_tokens AS DOUBLE), 6) END AS dup_token_frac,
+               n_lines,
+               CASE WHEN n_lines > 0
+                    THEN round((n_lines - ld) / CAST(n_lines AS DOUBLE), 6) END AS dup_line_frac,
+               CAST(COALESCE(bn, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN bn > 0
+                    THEN round((bn - bd) / CAST(bn AS DOUBLE), 6) END AS dup_bigram_frac,
+               CASE WHEN bn > 0
+                    THEN round(bmax / CAST(bn AS DOUBLE), 6) END AS top_bigram_frac
+        FROM b LEFT JOIN bga ON b.doc_id = bga.doc_id
+    """
+
+    o["doc_contamination"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+          FROM t
+        ), bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+        ), cand AS (
+          SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0
+        ), hits AS (
+          SELECT c.doc_id, count(*) AS n_hits
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM cand) c
+          JOIN bench USING (gram)
+          GROUP BY c.doc_id
+        )
+        SELECT cand.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               CASE WHEN len(grams) > 0
+                    THEN round(COALESCE(n_hits, 0) / CAST(len(grams) AS DOUBLE), 6)
+               END AS contaminated_frac
+        FROM cand LEFT JOIN hits USING (doc_id)
+    """
+
+    o["doc_global_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS shuffle_index
+        FROM documents
     """
 
     o["doc_pii_scrub"] = r"""

@@ -188,6 +188,123 @@ def assign_splits(
     return docs.withColumn("split", expr)
 
 
+def repetition_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals for quality filtering: duplicate
+    token / line fractions and the duplicate / most-frequent bigram share.
+
+    Token- and line-level stats are pure array expressions (no shuffle —
+    a narrow scan at 100 TB). Bigram mode needs per-(doc, bigram) counts:
+    explode → map-side-combined count → per-doc agg, shuffling only
+    (doc_id, bigram, partial count); re-attached to the narrow stats with
+    a doc_id join. Fractions are null for degenerate docs (0 tokens /
+    <2 tokens) rather than 0 — absent evidence, not clean evidence."""
+    toks = T.tokens(F.col(text))
+    lines = F.filter(F.split(F.col(text), r"\n"), lambda ln: ln != "")
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("_nd"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(lines)).cast("long").alias("_ld"),
+    )
+    bga = (
+        docs.select(F.col(id_col), F.explode(T.word_shingles(F.col(text), 2)).alias("_bg"))
+        .groupBy(id_col, "_bg")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.sum("_c").alias("_bn"),
+            F.count(F.lit(1)).alias("_bd"),
+            F.max("_c").alias("_bmax"),
+        )
+    )
+    frac = lambda num, den: F.round(num / den.cast("double"), 6)
+    return (
+        base.join(bga, id_col, "left")
+        .select(
+            id_col,
+            "n_tokens",
+            F.when(F.col("n_tokens") > 0, frac(F.col("n_tokens") - F.col("_nd"), F.col("n_tokens"))).alias("dup_token_frac"),
+            "n_lines",
+            F.when(F.col("n_lines") > 0, frac(F.col("n_lines") - F.col("_ld"), F.col("n_lines"))).alias("dup_line_frac"),
+            F.coalesce(F.col("_bn"), F.lit(0)).cast("long").alias("n_bigrams"),
+            F.when(F.col("_bn") > 0, frac(F.col("_bn") - F.col("_bd"), F.col("_bn"))).alias("dup_bigram_frac"),
+            F.when(F.col("_bn") > 0, frac(F.col("_bmax"), F.col("_bn"))).alias("top_bigram_frac"),
+        )
+    )
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination audit: for each candidate document, the
+    fraction of its DISTINCT word n-grams that also occur anywhere in a
+    benchmark corpus — the standard pre-training decontamination check.
+
+    The benchmark n-gram set is tiny relative to the corpus (eval suites,
+    not training data), so it is deduplicated and broadcast: the 100 TB
+    candidate side never shuffles its text — explode distinct n-grams →
+    broadcast semi-ish inner join → per-doc count (map-side combined,
+    only (doc_id, partial count) shuffles)."""
+    grams = lambda frame, *keep: frame.select(
+        *keep, F.explode(F.array_distinct(T.word_shingles(F.col(text), n))).alias("gram")
+    )
+    bench_grams = grams(benchmark).distinct()
+    hits = (
+        grams(docs, F.col(id_col))
+        .join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(F.array_distinct(T.word_shingles(F.col(text), n))).cast("long").alias("n_grams"),
+    )
+    return totals.join(hits, id_col, "left").select(
+        id_col,
+        "n_grams",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+        F.when(
+            F.col("n_grams") > 0,
+            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams").cast("double"), 6),
+        ).alias("contaminated_frac"),
+    )
+
+
+def global_shuffle(docs: DataFrame, key_col: str = "doc_id", hex_digits: int = 2) -> DataFrame:
+    """Deterministic global shuffle for training-data export: a stable,
+    contiguous 0..N−1 ``shuffle_index`` in md5(key) order — reproducible
+    across runs, engines, and cluster sizes (no RNG, no
+    monotonically_increasing_id partition dependence).
+
+    A naive row_number over a global ORDER BY is a single-partition window
+    — dead at 100 TB. Instead the hash's first ``hex_digits`` chars bucket
+    rows into 16^hex_digits groups whose string order is consistent with
+    the global hash order (fixed-width lowercase hex), so: row_number
+    within bucket (16^hex_digits-way parallel) + per-bucket offsets
+    (cumsum over a 16^hex_digits-row aggregate, broadcast back). Raise
+    hex_digits to 4 (65 536 buckets) at cluster scale."""
+    h = F.md5(F.col(key_col).cast("string"))
+    hashed = docs.select(F.col(key_col), h.alias("_h")).withColumn(
+        "_b", F.conv(F.substring("_h", 1, hex_digits), 16, 10).cast("int")
+    )
+    ranked = hashed.withColumn(
+        "_rn", F.row_number().over(Window.partitionBy("_b").orderBy("_h", key_col))
+    )
+    counts = hashed.groupBy("_b").agg(F.count(F.lit(1)).alias("_c"))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "_b", F.coalesce(F.sum("_c").over(off_w), F.lit(0)).alias("_off")
+    )
+    return ranked.join(F.broadcast(offsets), "_b").select(
+        key_col, (F.col("_off") + F.col("_rn") - 1).cast("long").alias("shuffle_index")
+    )
+
+
 # Patterns deliberately lookahead-free so the SAME regex runs on Java
 # (Spark) and RE2 (DuckDB oracle) — same discipline as BPE_TOKEN_RE.
 PII_PATTERNS = (

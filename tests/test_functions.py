@@ -306,3 +306,50 @@ def test_chunk_documents_cover_and_overlap(spark):
         (1, 2, 6, "w6 w7 w8 w9", 4),
         (2, 0, 0, "a b", 2),
     ]  # empty doc 3 yields no chunks; every token covered; 1-token overlap
+
+
+def test_repetition_stats_counts(spark):
+    from epicsarchiver_spark.operators.text_ops import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "x y"), (3, "")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in repetition_stats(df).collect()}
+    r1 = rows[1]
+    # tokens a,a,a,b → 4 total / 2 distinct; bigrams "a a","a a","a b"
+    assert (r1.n_tokens, r1.dup_token_frac) == (4, 0.5)
+    assert (r1.n_bigrams, r1.dup_bigram_frac) == (3, round(1 / 3, 6))
+    assert r1.top_bigram_frac == round(2 / 3, 6)
+    assert rows[2].dup_token_frac == 0.0 and rows[2].top_bigram_frac == 1.0
+    r3 = rows[3]  # degenerate doc: null fractions, not fake zeros
+    assert (r3.n_tokens, r3.n_bigrams) == (0, 0)
+    assert r3.dup_token_frac is None and r3.top_bigram_frac is None
+
+
+def test_contamination_overlap_counts(spark):
+    from epicsarchiver_spark.operators.text_ops import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "nothing shared here at all")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox runs")], "doc_id long, text string"
+    )
+    rows = {r.doc_id: r for r in contamination_overlap(docs, bench, n=3).collect()}
+    # doc1 3-grams: {the quick brown, quick brown fox, brown fox jumps};
+    # bench contributes "quick brown fox" → 1 of 3 contaminated
+    assert (rows[1].n_grams, rows[1].n_hits) == (3, 1)
+    assert rows[1].contaminated_frac == round(1 / 3, 6)
+    assert (rows[2].n_hits, rows[2].contaminated_frac) == (0, 0.0)
+
+
+def test_global_shuffle_matches_hash_order(spark):
+    import hashlib
+
+    from epicsarchiver_spark.operators.text_ops import global_shuffle
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    got = {r.doc_id: r.shuffle_index for r in global_shuffle(df).collect()}
+    order = sorted(range(1000), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    assert got == {k: i for i, k in enumerate(order)}

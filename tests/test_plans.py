@@ -143,3 +143,16 @@ def test_upsert_merge_read_prunes_cache_partitions(spark, tmp_path):
     plan = explain_str(pruned)
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "bucket" in m.group(1), plan[:1500]
+
+
+def test_global_shuffle_windows_per_bucket_not_globally(spark):
+    """The stable-index window must partition by the hash bucket — a
+    global ORDER BY row_number would be a single-partition sort."""
+    plan = _plan(spark, "doc_global_shuffle")
+    assert "hashpartitioning(_b" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan  # offsets re-attach is broadcast
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    plan = _plan(spark, "doc_contamination")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
