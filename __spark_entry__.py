@@ -345,6 +345,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_contamination"] = _contamination
     q["doc_global_shuffle"] = lambda s, d: text_ops.global_shuffle(load_table(s, d, "documents"))
+    q["doc_pack_sequences"] = lambda s, d: text_ops.pack_sequences(
+        text_ops.chunk_documents(load_table(s, d, "documents"), chunk_tokens=32, overlap=8),
+        seq_tokens=64,
+    )
+    q["doc_rebalance"] = lambda s, d: text_ops.rebalance_sources(
+        load_table(s, d, "documents"), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    ).select("doc_id", "source")
     q["doc_pii_scrub"] = lambda s, d: text_ops.scrub_pii(load_table(s, d, "documents"))
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
@@ -1817,6 +1824,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
                     AS BIGINT) AS shuffle_index
         FROM documents
+    """
+
+    o["doc_pack_sequences"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), nz AS (
+          SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), ch AS (
+          SELECT doc_id,
+                 CAST(i AS BIGINT) AS chunk_id,
+                 CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
+          FROM (
+            SELECT doc_id, n,
+                   unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS INT), 0) + 1)) AS i
+            FROM nz
+          )
+        ), s AS (
+          SELECT doc_id, chunk_id, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)),
+                            doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM ch
+        )
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(floor(cum / 64) AS BIGINT) AS seq_id,
+               CAST(cum % 64 AS BIGINT) AS seq_offset
+        FROM s
+    """
+
+    o["doc_rebalance"] = """
+        WITH counts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+        ), rated AS (
+          SELECT source, n,
+                 CASE source WHEN 'src0' THEN 0.5::DOUBLE
+                             WHEN 'src1' THEN 0.3::DOUBLE
+                             WHEN 'src2' THEN 0.2::DOUBLE END AS p
+          FROM counts
+          WHERE source IN ('src0', 'src1', 'src2')
+        ), t AS (
+          SELECT min(n / p) AS T FROM rated
+        ), thr AS (
+          SELECT source,
+                 CAST(floor(least(1.0::DOUBLE, p * T / n) * 10000) AS BIGINT) AS thr
+          FROM rated CROSS JOIN t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < thr
     """
 
     o["doc_pii_scrub"] = r"""

@@ -46,6 +46,10 @@ HEADLINE = [
     "doc_minhash_neardups",
     "doc_simhash_neardups",
     "doc_jaccard_pairs",
+    "doc_repetition",
+    "doc_contamination",
+    "doc_global_shuffle",
+    "doc_chunks",
     "ts_alarm_transitions",
     "ts_daily_rollup",
     "emb_topk_cosine",

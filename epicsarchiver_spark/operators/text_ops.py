@@ -198,14 +198,21 @@ def repetition_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id"
     (doc_id, bigram, partial count); re-attached to the narrow stats with
     a doc_id join. Fractions are null for degenerate docs (0 tokens /
     <2 tokens) rather than 0 — absent evidence, not clean evidence."""
-    toks = T.tokens(F.col(text))
-    lines = F.filter(F.split(F.col(text), r"\n"), lambda ln: ln != "")
+    # Two subtrees (scan twice), measured 2× faster locally than a single
+    # scan that rides the per-doc stats through the bigram explode — the
+    # wide Generate + double-width shuffle costs more than the re-scan.
+    # Tokens/lines are materialized in their own projection first (no CSE
+    # across sibling project expressions — see functions/hashing.py).
     base = docs.select(
         F.col(id_col),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.size(F.array_distinct(toks)).cast("long").alias("_nd"),
-        F.size(lines).cast("long").alias("n_lines"),
-        F.size(F.array_distinct(lines)).cast("long").alias("_ld"),
+        T.tokens(F.col(text)).alias("_toks"),
+        F.filter(F.split(F.col(text), r"\n"), lambda ln: ln != "").alias("_lines"),
+    ).select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.size(F.array_distinct("_toks")).cast("long").alias("_nd"),
+        F.size("_lines").cast("long").alias("n_lines"),
+        F.size(F.array_distinct("_lines")).cast("long").alias("_ld"),
     )
     bga = (
         docs.select(F.col(id_col), F.explode(T.word_shingles(F.col(text), 2)).alias("_bg"))
@@ -246,32 +253,37 @@ def contamination_overlap(
     benchmark corpus — the standard pre-training decontamination check.
 
     The benchmark n-gram set is tiny relative to the corpus (eval suites,
-    not training data), so it is deduplicated and broadcast: the 100 TB
-    candidate side never shuffles its text — explode distinct n-grams →
-    broadcast semi-ish inner join → per-doc count (map-side combined,
-    only (doc_id, partial count) shuffles)."""
-    grams = lambda frame, *keep: frame.select(
-        *keep, F.explode(F.array_distinct(T.word_shingles(F.col(text), n))).alias("gram")
-    )
-    bench_grams = grams(benchmark).distinct()
-    hits = (
-        grams(docs, F.col(id_col))
-        .join(F.broadcast(bench_grams), "gram")
-        .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_hits"))
-    )
-    totals = docs.select(
+    not training data), so it is deduplicated and broadcast. The candidate
+    side is ONE scan: tokenize/shingle once, carry the per-doc gram count
+    through the explode, broadcast LEFT join to mark hits, re-aggregate —
+    the corpus text itself never shuffles, only (doc_id, count) partials."""
+    bench_grams = benchmark.select(
+        F.explode(F.array_distinct(T.word_shingles(F.col(text), n))).alias("gram")
+    ).distinct().withColumn("_hit", F.lit(1))
+    ex = docs.select(
         F.col(id_col),
-        F.size(F.array_distinct(T.word_shingles(F.col(text), n))).cast("long").alias("n_grams"),
+        F.array_distinct(T.word_shingles(F.col(text), n)).alias("_grams"),
+    ).select(
+        F.col(id_col),
+        F.size("_grams").cast("long").alias("n_grams"),
+        F.explode_outer("_grams").alias("gram"),
     )
-    return totals.join(hits, id_col, "left").select(
-        id_col,
-        "n_grams",
-        F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
-        F.when(
-            F.col("n_grams") > 0,
-            F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / F.col("n_grams").cast("double"), 6),
-        ).alias("contaminated_frac"),
+    return (
+        ex.join(F.broadcast(bench_grams), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.max("n_grams").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.when(
+                F.col("n_grams") > 0,
+                F.round(F.col("n_hits") / F.col("n_grams").cast("double"), 6),
+            ).alias("contaminated_frac"),
+        )
     )
 
 
@@ -302,6 +314,95 @@ def global_shuffle(docs: DataFrame, key_col: str = "doc_id", hex_digits: int = 2
     )
     return ranked.join(F.broadcast(offsets), "_b").select(
         key_col, (F.col("_off") + F.col("_rn") - 1).cast("long").alias("shuffle_index")
+    )
+
+
+def pack_sequences(
+    chunks: DataFrame,
+    seq_tokens: int = 2048,
+    id_col: str = "doc_id",
+    chunk_col: str = "chunk_id",
+    tokens_col: str = "n_tokens",
+    hex_digits: int = 2,
+) -> DataFrame:
+    """Pack chunks into fixed-width training sequences by token offset:
+    chunks are laid out as one continuous token stream in deterministic
+    md5 order (shuffled, so adjacent chunks come from different docs) and
+    chunk → sequence ``floor(stream_offset / seq_tokens)`` — the
+    concat-then-window packing used for pre-training batches. Every
+    sequence except the last holds exactly ``seq_tokens`` tokens once
+    consumers split straddling chunks at the boundary (``seq_offset``
+    says where the chunk starts inside its sequence).
+
+    The global running token sum uses the same two-level trick as
+    global_shuffle: exclusive cumsum within a hash bucket (parallel) +
+    per-bucket token totals cumsum'd (16^hex_digits tiny rows) and
+    broadcast back — no single-partition sort at 100 TB."""
+    h = F.md5(F.concat_ws(":", F.col(id_col).cast("string"), F.col(chunk_col).cast("string")))
+    hashed = chunks.select(
+        F.col(id_col), F.col(chunk_col), F.col(tokens_col), h.alias("_h")
+    ).withColumn("_b", F.conv(F.substring("_h", 1, hex_digits), 16, 10).cast("int"))
+    w = (
+        Window.partitionBy("_b")
+        .orderBy("_h", id_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    in_bucket = F.coalesce(F.sum(tokens_col).over(w), F.lit(0))
+    totals = hashed.groupBy("_b").agg(F.sum(tokens_col).alias("_t"))
+    off_w = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("_b", F.coalesce(F.sum("_t").over(off_w), F.lit(0)).alias("_off"))
+    return (
+        hashed.withColumn("_cum", in_bucket)
+        .join(F.broadcast(offsets), "_b")
+        .select(
+            id_col,
+            chunk_col,
+            F.col(tokens_col).cast("long").alias(tokens_col),
+            F.floor((F.col("_off") + F.col("_cum")) / seq_tokens).cast("long").alias("seq_id"),
+            ((F.col("_off") + F.col("_cum")) % seq_tokens).cast("long").alias("seq_offset"),
+        )
+    )
+
+
+def rebalance_sources(
+    docs: DataFrame,
+    target: dict[str, float],
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Down-sample per-source so the surviving corpus matches a target mix
+    (the domain-mixing step of a training pipeline, e.g. 60% web / 30%
+    code / 10% academic). The largest feasible total is T = minₛ
+    countₛ/targetₛ; each source keeps rate = targetₛ·T/countₛ of its docs
+    (the binding source keeps 100%). Selection is the same deterministic
+    md5-bucket Bernoulli as assign_splits — reproducible everywhere, and
+    the kept set only shrinks monotonically as a source's rate falls.
+
+    Source counts are one map-side-combined aggregate (|sources| rows);
+    rates broadcast back, so the corpus scan never shuffles. Rate →
+    integer bucket threshold (floor(rate·buckets)) keeps the kept-set
+    decision integer-vs-integer."""
+    if not target or abs(sum(target.values()) - 1.0) > 1e-9:
+        raise ValueError("target fractions must sum to 1")
+    counts = docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("_n"))
+    tmap = F.create_map(*[F.lit(x) for kv in target.items() for x in kv])
+    rated = counts.withColumn("_p", tmap[F.col(source_col)]).filter(F.col("_p").isNotNull())
+    feasible = rated.select(F.min(F.col("_n") / F.col("_p")).alias("_T"))
+    thresholds = rated.crossJoin(F.broadcast(feasible)).select(
+        source_col,
+        F.floor(
+            F.least(F.lit(1.0), F.col("_p") * F.col("_T") / F.col("_n")) * buckets
+        ).cast("long").alias("_thr"),
+    )
+    b = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long")
+        % buckets
+    )
+    return (
+        docs.join(F.broadcast(thresholds), source_col)
+        .filter(b < F.col("_thr"))
+        .drop("_thr")
     )
 
 

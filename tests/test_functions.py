@@ -353,3 +353,42 @@ def test_global_shuffle_matches_hash_order(spark):
     got = {r.doc_id: r.shuffle_index for r in global_shuffle(df).collect()}
     order = sorted(range(1000), key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
     assert got == {k: i for i, k in enumerate(order)}
+
+
+def test_pack_sequences_matches_stream_layout(spark):
+    import hashlib
+
+    from epicsarchiver_spark.operators.text_ops import pack_sequences
+
+    chunks = [(d, c, 10 + (d * 7 + c) % 23) for d in range(40) for c in range(3)]
+    df = spark.createDataFrame(chunks, "doc_id long, chunk_id long, n_tokens long")
+    got = {
+        (r.doc_id, r.chunk_id): (r.seq_id, r.seq_offset)
+        for r in pack_sequences(df, seq_tokens=64).collect()
+    }
+    order = sorted(chunks, key=lambda t: (hashlib.md5(f"{t[0]}:{t[1]}".encode()).hexdigest(), t[0], t[1]))
+    cum = 0
+    for d, c, n in order:
+        assert got[(d, c)] == (cum // 64, cum % 64), (d, c)
+        cum += n
+    assert len(got) == len(chunks)
+
+
+def test_rebalance_sources_rates_and_determinism(spark):
+    import hashlib
+
+    from epicsarchiver_spark.operators.text_ops import rebalance_sources
+
+    rows = [(i, "a" if i < 100 else "b") for i in range(150)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    kept = {r.doc_id for r in rebalance_sources(df, {"a": 0.5, "b": 0.5}).collect()}
+    # T = min(100/0.5, 50/0.5) = 100 → a keeps 50%, b keeps 100%
+    assert all(i in kept for i in range(100, 150))
+    thr_a = int((0.5 * (50 / 0.5) / 100) * 10000)  # floor(0.5·10000)
+    expect_a = {
+        i for i in range(100)
+        if int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) % 10000 < thr_a
+    }
+    assert kept - set(range(100, 150)) == expect_a
+    kept2 = {r.doc_id for r in rebalance_sources(df, {"a": 0.5, "b": 0.5}).collect()}
+    assert kept == kept2  # deterministic, no RNG
