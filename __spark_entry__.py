@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_topk_cosine"] = lambda s, d: similarity.brute_force_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10
     )
+    q["emb_quantize"] = lambda s, d: similarity.quantize_embeddings(
+        load_table(s, d, "embeddings")
+    )
     q["emb_pairwise_topk"] = lambda s, d: similarity.pairwise_topk(
         load_table(s, d, "embeddings"),
         load_table(s, d, "embeddings").filter(F.col("vec_id") < 5),
@@ -994,6 +997,22 @@ def oracle_sql() -> dict[str, str]:
         FROM orders
         WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
         GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["emb_quantize"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+        )
+        SELECT vec_id,
+               floor(amax / 127.0 * 1e9 + 0.5) / 1e9 AS scale,
+               CASE WHEN amax > 0 THEN
+                 array_to_string(list_transform(v,
+                   x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT)), ',')
+               ELSE array_to_string(list_transform(v, x -> 0), ',')
+               END AS qvec
+        FROM m
     """
 
     o["emb_pairwise_topk"] = """

@@ -186,15 +186,18 @@ def sample_video_frames(
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            sel = pdf[pdf["kind"].isin(("video", "audio"))]
             out = {"media_id": [], "frame_idx": [], "offset_ms": [], "frame": []}
-            for _, row in pdf.iterrows():
-                if row["kind"] not in ("video", "audio"):
-                    continue
-                frames = codec.sample_frames(
-                    row["payload"], row["duration_ms"], every_ms
-                )
-                for i, (off, fb) in enumerate(frames):
-                    out["media_id"].append(row["media_id"])
+            # row selection is vectorized; the residual python loop is the
+            # per-payload codec call itself (zip over raw arrays — no
+            # pandas per-row Series construction)
+            for mid, payload, dur in zip(
+                sel["media_id"].to_numpy(),
+                sel["payload"].to_numpy(),
+                sel["duration_ms"].to_numpy(),
+            ):
+                for i, (off, fb) in enumerate(codec.sample_frames(payload, dur, every_ms)):
+                    out["media_id"].append(mid)
                     out["frame_idx"].append(i)
                     out["offset_ms"].append(off)
                     out["frame"].append(fb)

@@ -321,3 +321,39 @@ def train_ivf_centroids(
         df = df.sample(fraction=sample_fraction, seed=seed)
     model = KMeans(k=n_cells, seed=seed, maxIter=max_iter).fit(df)
     return [[float(x) for x in c] for c in model.clusterCenters()]
+
+
+def quantize_embeddings(
+    vecs: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization for ANN index export (4×
+    smaller than float32, the standard scalar-quantized ANN layout):
+    scale = max|xᵢ|/127, qᵢ = floor(xᵢ/scale + 0.5) ∈ [−127, 127] — the
+    floor(+0.5) form so both the engine and the SQL oracle round the
+    binary double identically (Java HALF_UP formatting diverges at ties).
+
+    All JVM array expressions, one narrow scan, no shuffle. The max|x| is
+    materialized as its own column first — transform lambdas are
+    interpreted, so an inlined array_max would re-reduce the vector once
+    per element (the functions/hashing.py CSE pitfall). Quantized vector
+    is emitted as a comma-joined string (driver-canon-sortable; parse
+    back to array<tinyint> at the consumer)."""
+    stream = vecs.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v")).select(
+        F.col(id_col),
+        F.col("_v"),
+        F.array_max(F.transform("_v", lambda x: F.abs(x))).alias("_amax"),
+    )
+    scale = F.col("_amax") / F.lit(127.0)
+    q = F.transform("_v", lambda x: F.floor(x / scale + F.lit(0.5)).cast("int"))
+    zeros = F.transform("_v", lambda x: F.lit(0))
+    return stream.select(
+        F.col(id_col),
+        (F.floor(scale * 1e9 + F.lit(0.5)) / 1e9).alias("scale"),
+        F.array_join(
+            F.transform(
+                F.when(F.col("_amax") > 0, q).otherwise(zeros),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("qvec"),
+    )

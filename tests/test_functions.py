@@ -392,3 +392,26 @@ def test_rebalance_sources_rates_and_determinism(spark):
     assert kept - set(range(100, 150)) == expect_a
     kept2 = {r.doc_id for r in rebalance_sources(df, {"a": 0.5, "b": 0.5}).collect()}
     assert kept == kept2  # deterministic, no RNG
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    from epicsarchiver_spark.operators.similarity import quantize_embeddings
+
+    rows = [
+        (1, [0.5, -1.0, 0.25, 0.0]),
+        (2, [0.003, 0.001, -0.002, 0.004]),
+        (3, [0.0, 0.0, 0.0, 0.0]),  # zero vector: scale 0, all-zero qvec
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    for vid, vec in rows:
+        q = [int(x) for x in got[vid].qvec.split(",")]
+        assert all(-127 <= x <= 127 for x in q)
+        amax = max(abs(x) for x in vec)
+        scale = amax / 127.0
+        if amax == 0:
+            assert q == [0, 0, 0, 0] and got[vid].scale == 0.0
+            continue
+        for orig, qi in zip(vec, q):
+            assert abs(qi * scale - orig) <= scale / 2 + 1e-12  # round-trip bound
+    assert got[1].qvec == "64,-127,32,0"  # 0.5/scale = 63.5 → floor(+0.5) = 64
