@@ -745,6 +745,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ctl_pair_increment"] = _ctl_pair_increment
 
+    def _ctl_position_save(s, d):
+        """Instrument position save + named restore (ref
+        WebInstruments.py:79-84 save, 255-259 restore): saving stores
+        only (instrument, name, ts); a re-save of the same name moves it
+        (REPLACE semantics); restore is the J8 as-of read at the looked-up
+        ts. 'park' is saved at T0 then re-saved at T_ASOF — the restore
+        must see the re-save."""
+        pos = control.save_position(None, s, "beamline", "park", T0)
+        pos = control.save_position(pos, s, "beamline", "run", T1)
+        pos = control.save_position(pos, s, "beamline", "park", T_ASOF)
+        return control.restore_position(
+            _points(s, d), pos, INSTRUMENT, "beamline", "park"
+        ).select(*_PTS)
+
+    q["ctl_position_save"] = _ctl_position_save
+
     return q
 
 
@@ -1317,6 +1333,29 @@ def oracle_sql() -> dict[str, str]:
         SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2,
                least(max(score) + 1, 500000) AS score
         FROM edges GROUP BY least(pv1, pv2), greatest(pv1, pv2)
+        """
+    )
+
+    # position save/restore: the saved-positions dimension resolves the
+    # name 'park' to its RE-SAVED timestamp T_ASOF (latest save of a name
+    # wins); the restore is then the same as-of read as
+    # ts_instrument_restore at that ts.
+    o["ctl_position_save"] = (
+        P
+        + f""",
+        positions(instrument, position, ts) AS (
+          VALUES ('beamline', 'run', {T1!r}),
+                 ('beamline', 'park', {T_ASOF!r})
+        ),
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < (SELECT ts FROM positions
+                        WHERE instrument = 'beamline' AND position = 'park') + 1e-4
+            AND pvname IN ({_members_sql})
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
         """
     )
 

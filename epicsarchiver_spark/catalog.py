@@ -81,18 +81,26 @@ def points_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     column alongside the numeric one (schema.py:22 stores VARCHAR; numeric
     semantics are re-imposed by casting, archiver.py:34-44).
 
-    ``ts`` arrives as int64 nanoseconds (see session.py nanosAsLong).
-    DuckDB's parquet reader truncates ns timestamps to µs, so ``time`` is
-    defined as µs-truncated epoch seconds — ``(ts div 1000) / 1e6`` here,
-    ``epoch_us(ts) / 1e6`` in the oracle: the same integer-µs double
-    division on both engines, bit-identical.
+    ``time`` is integer-µs epoch seconds as a double — the same µs-count
+    division on both engines (``epoch_us(ts) / 1e6`` in the oracle), so
+    values are bit-identical. The physical ``ts`` type is
+    schema-adaptive: the driver has shipped both TIMESTAMP(NANOS)
+    (surfacing as int64 ns under the nanosAsLong conf — ``ts div 1000``)
+    and timestamp[us] (surfacing as TIMESTAMP_NTZ — ``unix_micros`` after
+    a UTC-session cast, which keeps the naive value as the instant,
+    matching DuckDB's epoch_us on naive timestamps).
     """
     ev = load_table(spark, sf_dir, "events")
+    ts_type = ev.schema["ts"].dataType.simpleString()
+    if ts_type in ("bigint", "long"):
+        t_us = F.expr("ts div 1000")
+    else:
+        t_us = F.unix_micros(F.col("ts").cast("timestamp"))
     return ev.select(
         F.col("event_id"),
         F.col("user_id").cast("long").alias("pv_id"),
         F.concat_ws(":", F.lit("EV"), F.col("user_id"), F.col("event_type")).alias("pvname"),
-        (F.expr("ts div 1000").cast("double") / F.lit(1e6)).alias("time"),
+        (t_us.cast("double") / F.lit(1e6)).alias("time"),
         F.col("value").cast("double").alias("value"),
         F.col("value").cast("string").alias("value_str"),
         F.col("event_type"),

@@ -13,6 +13,10 @@ code, SURVEY §3.1):
     save_zarr OUT.zip → reference-format zarr zip export   (pvarch save_zarr)
     import_zarr ZIP   → legacy archive → points store      (engine-only: migration)
     add_pvfile FILE   → parse a PV-list file, print counts (pvarch add_pvfile)
+    next              → rotate the runs dimension          (pvarch next / set_runinfo)
+    check             → ≥1-point liveness watchdog         (pvarch check, doc/setup.rst:40-42)
+    save_position     → save named instrument position     (WebInstruments save)
+    restore_position  → member values as of a position     (WebInstruments restore)
 
 Run as ``python -m epicsarchiver_spark.cli <command> ...``.
 Config is plain argv (--store/--runs), not the reference's toml — the
@@ -143,6 +147,99 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _read_runs(spark, path: str):
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        return None
+
+
+def _overwrite_dim(spark, df, path: str) -> None:
+    """Overwrite a tiny dimension parquet that the frame may itself be
+    reading from: materialize to .tmp first, re-read, then overwrite the
+    live path (overwriting a path mid-read self-corrupts)."""
+    tmp = path + ".tmp"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(tmp)
+    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+
+
+def cmd_next(args) -> int:
+    """``pvarch next`` (ref epicsarchiver/pvarch.py:204-216 + set_runinfo
+    297-306): close the current run at now, open the next one. The
+    engine's rotation is pure metadata over the runs dimension — the
+    partitioned store needs no data move."""
+    from epicsarchiver_spark.operators.control import MAX_EPOCH, rotate_runs
+
+    spark = _spark("next")
+    now = time.time()
+    runs = _read_runs(spark, args.runs_file)
+    if runs is None:
+        next_name = args.name or "run_00001"
+        rotated = spark.createDataFrame(
+            [(next_name, float(now), MAX_EPOCH)],
+            "db string, start_time double, stop_time double",
+        )
+    else:
+        import re as _re
+
+        current = max(r.db for r in runs.collect())
+        m = _re.search(r"(\d+)$", current)
+        next_name = args.name or (
+            f"{current[: m.start()]}{int(m.group(1)) + 1:0{len(m.group(1))}d}"
+            if m
+            else current + "_1"
+        )
+        rotated = rotate_runs(runs, now=now, next_db=next_name)
+    _overwrite_dim(spark, rotated, args.runs_file)
+    print(f"current run is now {next_name}")
+    return 0
+
+
+def cmd_check(args) -> int:
+    """``pvarch check`` liveness watchdog (ref doc/setup.rst:40-42): ok
+    iff ≥1 point archived in the last cadence window; exit 1 otherwise
+    (cron restarts the ingest on failure, as the reference documents)."""
+    from epicsarchiver_spark.operators.control import check_liveness
+
+    spark = _spark("check")
+    row = check_liveness(_points(spark, args), now=time.time(), cadence_s=args.cadence).head()
+    n = row.n_recent if row is not None else 0
+    alive = bool(row.alive) if row is not None else False
+    print(f"{'ok' if alive else 'DEAD'}: {n} point(s) in the last {args.cadence:.0f}s")
+    return 0 if alive else 1
+
+
+def cmd_save_position(args) -> int:
+    """Create/overwrite a named instrument position (ref
+    WebInstruments.py:79-84) — stores (instrument, name, ts) only."""
+    from epicsarchiver_spark.operators.control import save_position
+
+    spark = _spark("save_position")
+    ts = args.ts if args.ts is not None else time.time()
+    existing = _read_runs(spark, args.positions_file)
+    updated = save_position(existing, spark, args.instrument, args.position, ts)
+    _overwrite_dim(spark, updated, args.positions_file)
+    print(f"saved position {args.instrument}/{args.position} @ {ts:.3f}")
+    return 0
+
+
+def cmd_restore_position(args) -> int:
+    """Print each member PV's value as of a named saved position."""
+    from epicsarchiver_spark.operators.control import restore_position
+
+    spark = _spark("restore_position")
+    positions = spark.read.parquet(args.positions_file)
+    out = restore_position(
+        _points(spark, args), positions, args.pvs, args.instrument, args.position
+    )
+    for r in out.orderBy("pvname").collect():
+        print(f"{r.pvname:<32} {r.value!s:>14}  @ {r.time:.3f}")
+    return 0
+
+
 def cmd_add_pvfile(args) -> int:
     from epicsarchiver_spark.sources.pvlist import pvlist_pairs, read_pvlist
 
@@ -198,6 +295,29 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("add_pvfile", help="parse a PV-list file")
     s.add_argument("file")
     s.set_defaults(fn=cmd_add_pvfile)
+
+    s = sub.add_parser("next", help="rotate to the next run (metadata only)")
+    s.add_argument("--runs-file", default="./runs.parquet", help="runs dimension path")
+    s.add_argument("--name", help="explicit next run name (default: increment)")
+    s.set_defaults(fn=cmd_next)
+
+    s = sub.add_parser("check", help="liveness watchdog: >=1 point per cadence")
+    s.add_argument("-c", "--cadence", type=float, default=600.0, help="window seconds")
+    s.set_defaults(fn=cmd_check)
+
+    s = sub.add_parser("save_position", help="save a named instrument position")
+    s.add_argument("instrument")
+    s.add_argument("position")
+    s.add_argument("--ts", type=float, help="timestamp (default: now)")
+    s.add_argument("--positions-file", default="./positions.parquet")
+    s.set_defaults(fn=cmd_save_position)
+
+    s = sub.add_parser("restore_position", help="member values as of a saved position")
+    s.add_argument("instrument")
+    s.add_argument("position")
+    s.add_argument("pvs", nargs="+", help="instrument member PV names")
+    s.add_argument("--positions-file", default="./positions.parquet")
+    s.set_defaults(fn=cmd_restore_position)
 
     return p
 

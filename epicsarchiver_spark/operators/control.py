@@ -133,6 +133,83 @@ def instrument_restore(
     return value_at_time(scoped, t, tol=tol)
 
 
+POSITION_SCHEMA = "instrument string, position string, ts double"
+
+
+def save_position(
+    positions: DataFrame | None,
+    spark,
+    instrument: str,
+    position: str,
+    ts: float,
+) -> DataFrame:
+    """Create/overwrite a named instrument position (ref
+    epicsarchiver/web/WebInstruments.py:79-84: saving a position stores
+    only (instrument, name, timestamp) — the member PVs' values are NOT
+    copied; restore re-reads them as of ``ts``). Returns the updated
+    positions dimension with the latest save of a (instrument, position)
+    name winning — re-saving a name moves it, matching the reference's
+    REPLACE semantics. Pure tiny-dimension transform; caller persists
+    (e.g. ``write_positions``)."""
+    row = spark.createDataFrame([(instrument, position, float(ts))], POSITION_SCHEMA)
+    if positions is None:
+        return row
+    return (
+        positions.join(
+            row.select("instrument", "position"), ["instrument", "position"], "left_anti"
+        )
+        .unionByName(row)
+    )
+
+
+def restore_position(
+    points: DataFrame,
+    positions: DataFrame,
+    members: DataFrame | list[str],
+    instrument: str,
+    position: str,
+    tol: float = 1e-4,
+) -> DataFrame:
+    """Instrument position restore by NAME: look up the saved timestamp
+    in the positions dimension (tiny — one driver lookup, exactly the
+    reference's position query, WebInstruments.py:255-259) and as-of
+    read every member PV at it via ``instrument_restore``."""
+    row = (
+        positions.filter(
+            (F.col("instrument") == instrument) & (F.col("position") == position)
+        )
+        .select("ts")
+        .head()
+    )
+    if row is None:
+        raise KeyError(f"no saved position {instrument!r}/{position!r}")
+    return instrument_restore(points, members, float(row.ts), tol=tol)
+
+
+def write_positions(positions: DataFrame, path: str) -> None:
+    """Persist the positions dimension (single tiny parquet — coalesce(1)
+    keeps it one file; it is metadata, not data)."""
+    positions.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def check_liveness(
+    points: DataFrame, now: float, cadence_s: float = 600.0, by: str | None = None
+) -> DataFrame:
+    """``pvarch check`` watchdog (ref doc/setup.rst:40-42: cron verifies
+    the archiver saved ≥1 point in the last 10 min and restarts it
+    otherwise). Returns one row (or one per ``by`` group): n_recent and
+    an ``alive`` boolean; the CLI turns the global row into an exit
+    code."""
+    recent = points.filter(F.col("time") > now - cadence_s)  # pushes to scan
+    if by is None:
+        agg = recent.agg(F.count(F.lit(1)).alias("n_recent"))
+    else:
+        # groups with no recent point simply don't appear — compare
+        # against the expected name list to find dead series
+        agg = recent.groupBy(by).agg(F.count(F.lit(1)).alias("n_recent"))
+    return agg.withColumn("alive", F.col("n_recent") >= 1)
+
+
 def alert_eval(cache: DataFrame, rules: DataFrame, rule_key: str = "event_type") -> DataFrame:
     """C16 batch — evaluate threshold alert rules against the latest-value
     cache (ref epicsarchiver/cache.py:601-630: `value <op> trippoint`,

@@ -45,6 +45,35 @@ def _signature_udf(planes: list[list[float]]):
     return sig
 
 
+def _signature_udf_lazy(n_planes: int, seed: int):
+    """``_signature_udf`` with the planes derived lazily from the FIRST
+    batch's vector length, executor-side. Used when the caller does not
+    know the embedding dim: Spark array columns carry no length in the
+    schema, and probing with ``.first()`` costs a driver-blocking job
+    before the real one. ``_hyperplanes`` is a pure function of
+    (dim, n_planes, seed), so every executor derives bit-identical planes
+    (dim·n_planes LCG steps — microseconds, once per python worker)."""
+    if n_planes > 62:
+        raise ValueError("n_planes must be <= 62 for int64 signature packing")
+    weights = (1 << np.arange(n_planes, dtype=np.uint64))
+    state: dict = {}
+
+    @F.pandas_udf("long")
+    def sig(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int64")
+        if "P" not in state:
+            state["P"] = np.asarray(
+                _hyperplanes(len(vs.iloc[0]), n_planes, seed), dtype=np.float64
+            )
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        bits = (M @ state["P"].T) > 0
+        packed = (bits.astype(np.uint64) * weights).sum(axis=1).astype(np.int64)
+        return pd.Series(packed)
+
+    return sig
+
+
 def _signature_of(planes: list[list[float]], vec: list[float]) -> int:
     """Driver-side twin of _signature_udf for a single (query) vector —
     same numpy ops, so query and corpus signatures agree bit-for-bit."""
@@ -169,14 +198,18 @@ def cosine_near_duplicates_banded(
     vector (the widest column, dim × 8 B) stays out of the candidate
     shuffle and is re-attached once per *surviving* pair for the exact
     verification. Signatures come from the Arrow-batched GEMM UDF, so the
-    plan size is flat in dim."""
-    if dim is None:
-        dim = len(vectors.select(vec_col).first()[0])
-    planes = _hyperplanes(dim, n_planes, seed)
+    plan size is flat in dim. When ``dim`` is None the planes are derived
+    executor-side from the first batch (``_signature_udf_lazy``) — no
+    driver action before the job."""
+    sig_udf = (
+        _signature_udf(_hyperplanes(dim, n_planes, seed))
+        if dim is not None
+        else _signature_udf_lazy(n_planes, seed)
+    )
     bits_per_band = n_planes // bands
 
     base = vectors.select(F.col(id_col).alias("_id"), as_double(F.col(vec_col)).alias("v"))
-    signed = base.withColumn("sig", _signature_udf(planes)(F.col("v")))
+    signed = base.withColumn("sig", sig_udf(F.col("v")))
 
     mask = (1 << bits_per_band) - 1
     banded = signed.select(

@@ -88,6 +88,7 @@ def tfidf_top_terms(
     text: str = "text",
     id_col: str = "doc_id",
     k: int = 5,
+    n_docs: int | None = None,
 ) -> DataFrame:
     """Top-k characteristic terms per document by smoothed TF-IDF
     (idf = ln((1+N)/(1+df)) + 1, the sklearn smoothing — fully
@@ -97,19 +98,32 @@ def tfidf_top_terms(
     Plan: explode → (doc,term) partial-agg count → term-level df agg →
     term-keyed join (vocab side is |V| rows — AQE broadcasts it when it
     fits) → per-doc top-k window. Ties broken by term for determinism.
+
+    ``n_docs`` — corpus size N for the idf. Pass it when the caller
+    already knows it (pipeline scale); when None, N is computed INSIDE
+    the job as a broadcast 1-row cross join (the SQL ``CROSS JOIN
+    (SELECT count(*) ...)`` shape) — never as an eager ``docs.count()``,
+    which is a driver-blocking extra scan of the corpus before the real
+    job starts.
     """
-    n_docs = docs.count()
     tf = (
         docs.select(F.col(id_col), F.explode(T.tokens(F.lower(F.col(text)))).alias("term"))
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    if n_docs is not None:
+        n_col = F.lit(float(n_docs))
+        joined = tf.join(df, "term")
+    else:
+        n_col = F.col("_n_docs").cast("double")
+        joined = tf.join(df, "term").crossJoin(
+            F.broadcast(docs.agg(F.count(F.lit(1)).alias("_n_docs")))
+        )
+    idf = F.log((F.lit(1.0) + n_col) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
     w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
-        tf.join(df, "term")
-        .withColumn("tfidf", F.round(F.col("tf") * idf, 6))
+        joined.withColumn("tfidf", F.round(F.col("tf") * idf, 6))
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "tfidf", "rank")

@@ -83,3 +83,50 @@ def test_compact_cli(spark, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "compacted 1 partition(s)" in out
     assert read_points(spark, path).count() == 4
+
+
+def test_next_rotates_runs(spark, tmp_path, capsys):
+    """pvarch next (ref pvarch.py:204-216): first call seeds the runs
+    dimension; later calls close the open run and increment the name."""
+    runs_file = str(tmp_path / "runs.parquet")
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    assert "run_00001" in capsys.readouterr().out
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    assert "run_00002" in capsys.readouterr().out
+
+    runs = spark.read.parquet(runs_file).orderBy("db").collect()
+    assert [r.db for r in runs] == ["run_00001", "run_00002"]
+    assert runs[0].stop_time < 2147483647.0  # closed at rotation
+    assert runs[1].stop_time == 2147483647.0  # open current run
+    assert runs[0].stop_time == runs[1].start_time
+
+
+def test_check_liveness_exit_codes(spark, store, capsys):
+    """pvarch check (doc/setup.rst:40-42): the store's points are at
+    epoch 0..3000, ancient vs now → DEAD/1; with a huge cadence → ok/0."""
+    assert cli.main(["--store", store, "check"]) == 1
+    assert "DEAD" in capsys.readouterr().out
+    assert cli.main(["--store", store, "check", "-c", "1e12"]) == 0
+    assert "ok" in capsys.readouterr().out
+
+
+def test_position_save_restore_roundtrip(spark, store, tmp_path, capsys):
+    """Save a named position, restore by name: values as of the saved ts
+    (WebInstruments.py:79-84 save / 255-259 restore)."""
+    pos_file = str(tmp_path / "positions.parquet")
+    assert (
+        cli.main(["save_position", "beamline", "park", "--ts", "1500.5",
+                  "--positions-file", pos_file]) == 0
+    )
+    # re-save another name; both persist, latest save of a name wins
+    assert (
+        cli.main(["save_position", "beamline", "run", "--ts", "2990.0",
+                  "--positions-file", pos_file]) == 0
+    )
+    assert (
+        cli.main(["--store", store, "restore_position", "beamline", "park",
+                  "CLI:a.VAL", "CLI:b.VAL", "--positions-file", pos_file]) == 0
+    )
+    out = capsys.readouterr().out
+    # as of t=1500.5 the last point per series is t=1500 (grid step 30)
+    assert out.count("@ 1500.000") == 2

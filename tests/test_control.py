@@ -4,6 +4,7 @@ rotation, pair-score increments, description join, heartbeat fill)."""
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 
 from epicsarchiver_spark.operators.control import (
     MAX_EPOCH,
@@ -145,3 +146,52 @@ def test_instrument_restore_list_and_frame_agree(spark):
     # literal-list path pushes membership into the scan: no join in plan
     plan = instrument_restore(pts, members, 25.0)._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
+
+
+def test_save_restore_position_by_name(spark):
+    from epicsarchiver_spark.operators.control import restore_position, save_position
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["A", "A", "B", "B"],
+                "event_id": [1, 2, 3, 4],
+                "time": [10.0, 20.0, 5.0, 30.0],
+                "value": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    pos = save_position(None, spark, "beamline", "park", 15.0)
+    pos = save_position(pos, spark, "beamline", "run", 25.0)
+    pos = save_position(pos, spark, "beamline", "park", 12.0)  # re-save wins
+    assert sorted((r.instrument, r.position, r.ts) for r in pos.collect()) == [
+        ("beamline", "park", 12.0),
+        ("beamline", "run", 25.0),
+    ]
+    got = {
+        (r.pvname, r.time, r.value)
+        for r in restore_position(pts, pos, ["A", "B"], "beamline", "park").collect()
+    }
+    assert got == {("A", 10.0, 1.0), ("B", 5.0, 3.0)}
+    with pytest.raises(KeyError):
+        restore_position(pts, pos, ["A"], "beamline", "nope")
+
+
+def test_check_liveness(spark):
+    from epicsarchiver_spark.operators.control import check_liveness
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "pvname": ["A", "A", "B"],
+                "time": [100.0, 950.0, 100.0],
+                "value": [1.0, 2.0, 3.0],
+            }
+        )
+    )
+    glob = check_liveness(pts, now=1000.0, cadence_s=600.0).head()
+    assert glob.n_recent == 1 and bool(glob.alive)
+    per = {r.pvname: r.n_recent for r in check_liveness(pts, 1000.0, 600.0, by="pvname").collect()}
+    assert per == {"A": 1}  # B silent -> absent (dead)
+    dead = check_liveness(pts, now=10_000.0, cadence_s=600.0).head()
+    assert dead.n_recent == 0 and not bool(dead.alive)

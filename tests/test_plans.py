@@ -156,3 +156,44 @@ def test_global_shuffle_windows_per_bucket_not_globally(spark):
 def test_contamination_broadcasts_benchmark(spark):
     plan = _plan(spark, "doc_contamination")
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def _assert_no_jobs_during(spark, build, group: str):
+    """Building a DataFrame must be plan-only: zero Spark jobs. Catches
+    eager driver actions (.count()/.first() probes) hidden in operator
+    constructors — at scale every such action is a full extra job before
+    the real one starts."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "plan-only construction")
+    try:
+        df = build()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    assert list(sc.statusTracker().getJobIdsForGroup(group)) == []
+    return df
+
+
+def test_tfidf_builds_without_eager_count(spark):
+    """tfidf_top_terms must derive N inside the job (broadcast 1-row
+    cross join), not via an eager docs.count() scan."""
+    from epicsarchiver_spark.operators import text_ops
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    df = _assert_no_jobs_during(
+        spark, lambda: text_ops.tfidf_top_terms(docs, k=3), "tfidf-plan-only"
+    )
+    plan = explain_str(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_banded_cosine_builds_without_dim_probe(spark):
+    """cosine_near_duplicates_banded with dim=None must not run a
+    .first() probe job — planes are derived executor-side."""
+    from epicsarchiver_spark.operators import similarity
+
+    vecs = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    _assert_no_jobs_during(
+        spark,
+        lambda: similarity.cosine_near_duplicates_banded(vecs, threshold=0.5),
+        "banded-plan-only",
+    )
