@@ -225,6 +225,17 @@ def jaccard_pairs_blocked(
     )
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Checkpoint a per-round frame so the logical plan does not embed
+    every previous round (analysis cost doubles per round otherwise).
+    Reliable checkpoint when the session has a checkpoint dir
+    (production: survives executor loss); localCheckpoint otherwise."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -240,9 +251,9 @@ def connected_components(
     own label and its neighbors' labels (one equi-join + one partial-agg
     shuffle per round), converging in graph-diameter rounds. Near-dup
     graphs are unions of small dense cliques — diameter is tiny, so this
-    beats the O(log n)-round large-star/small-star scheme (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond") in practice; swap that
-    in if an adversarial long-chain graph ever shows up. Every round's
+    beats the O(log n)-round large-star/small-star scheme in practice;
+    for adversarial long-chain graphs use ``connected_components_star``
+    (same contract, ~log² n rounds regardless of diameter). Every round's
     labels are CHECKPOINTED, not merely persisted: persist caches the data
     but leaves the logical plan growing (round N's plan embeds rounds
     1..N-1 — analysis cost doubles per round and OOMs the driver by ~10
@@ -253,11 +264,7 @@ def connected_components(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
 
-    def _truncate(df: DataFrame) -> DataFrame:
-        sc = df.sparkSession.sparkContext
-        if sc.getCheckpointDir() is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+    _truncate = _truncate_lineage
 
     labels = _truncate(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
@@ -280,6 +287,89 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("id"), F.col("label").alias("component"))
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round guard for ADVERSARIAL graphs. Same contract as
+    ``connected_components``: ``(id, component)``, component = min
+    reachable id. Min-label propagation needs diameter rounds (a
+    10³-node path = 10³ rounds); this converges on the same path in
+    ~log² n rounds, so it is the correct default when the pair graph is
+    not known to be clique-like (at true 100 TB assume it isn't).
+
+    Per round, on canonically-oriented edges (u > v):
+
+    - large-star: every center connects its LARGER neighbors to the min
+      of its closed neighborhood (keeps connectivity, shrinks tall
+      chains exponentially);
+    - small-star: every center folds itself and its smaller neighbors
+      onto its min neighbor (forms the stars).
+
+    Both are one groupBy-min + one equi-join — no global sort. The fixed
+    point is a forest of stars rooted at component minima, detected with
+    a count+hash fingerprint (two scalars per round; same action budget
+    as the propagation loop's convergence count). Rounds checkpoint via
+    the shared lineage truncation."""
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v"))
+        .distinct()
+    )
+    edges = _truncate_lineage(edges)
+    prev_fp = None
+    for _ in range(max_iter):
+        # large-star: undirected view, m(center) = min(closed nbhd)
+        both = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        mins = (
+            both.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            both.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: edges are (u > v); fold u and its smaller
+        # neighbors onto min(Γ(u))
+        mins2 = large.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            large.join(mins2, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(mins2.select("u", F.col("m").alias("v")))
+            .filter(F.col("u") != F.col("v"))
+            .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+            .distinct()
+        )
+        edges = _truncate_lineage(small)
+        # order-independent, overflow-free fingerprint (ANSI sum() on
+        # xxhash64 values overflows long)
+        fp = tuple(
+            edges.agg(
+                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
+            ).head()
+        )
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # converged: every non-root points straight at its component min
+    roots = edges.select(F.col("v").alias("id")).distinct().join(
+        edges.select(F.col("u").alias("id")).distinct(), "id", "left_anti"
+    )
+    return edges.select(F.col("u").alias("id"), F.col("v").alias("component")).unionByName(
+        roots.select("id", F.col("id").alias("component"))
+    )
 
 
 def dedup_near(

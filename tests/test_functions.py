@@ -415,3 +415,125 @@ def test_quantize_embeddings_roundtrip_bound(spark):
         for orig, qi in zip(vec, q):
             assert abs(qi * scale - orig) <= scale / 2 + 1e-12  # round-trip bound
     assert got[1].qvec == "64,-127,32,0"  # 0.5/scale = 63.5 → floor(+0.5) = 64
+
+
+# --- PurePythonCodec: REAL decode (BMP / PCM-WAV), zero container deps ---
+
+def _make_bmp(px_rows):
+    """Hand-build a 24-bit BMP from [[(r,g,b), ...], ...] (top-down)."""
+    import struct
+
+    import numpy as np
+
+    px = np.array(px_rows, dtype=np.uint8)
+    h, w = px.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = np.zeros((h, stride), dtype=np.uint8)
+    body[:, : w * 3] = px[::-1, :, ::-1].reshape(h, w * 3)
+    raw = body.tobytes()
+    return (
+        struct.pack("<2sIHHI", b"BM", 54 + len(raw), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(raw), 2835, 2835, 0, 0)
+        + raw
+    )
+
+
+def _make_wav(samples, rate=8000):
+    """Hand-build a mono PCM16 WAV from an int16 sample list."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_pure_python_codec_decodes_real_bmp_end_to_end(spark):
+    """A genuine 24-bit BMP flows through the Spark mapInPandas operator
+    and comes back with features computed from the DECODED pixels — the
+    proof that the plumbing carries real decode, not just byte-counting."""
+    from epicsarchiver_spark.operators.multimodal import PurePythonCodec, extract_features
+
+    # 2x2: red, green / blue, white  → meanR = (255+0+0+255)/4 = 127.5
+    bmp = _make_bmp([[(255, 0, 0), (0, 255, 0)], [(0, 0, 255), (255, 255, 255)]])
+    media = spark.createDataFrame(
+        [("img1", "image", "image/bmp", 2, 2, None, bmp)],
+        schema="media_id string, kind string, mime string, width int, height int, duration_ms int, payload binary",
+    )
+    feat = extract_features(media, codec=PurePythonCodec()).head().feature
+    assert feat[0] == 1.0  # image branch, not the fake fallback
+    assert feat[1] == pytest.approx(2 / 4096) and feat[2] == pytest.approx(2 / 4096)
+    assert feat[3] == pytest.approx(127.5 / 255)  # mean R from decoded pixels
+    assert feat[4] == pytest.approx(127.5 / 255)
+    assert feat[5] == pytest.approx(127.5 / 255)
+
+
+def test_pure_python_codec_resize_produces_valid_bmp(spark):
+    """Resize decodes, resamples the real pixel grid, re-encodes: output
+    is itself a parseable BMP with the requested dims and the source's
+    corner pixels (nearest-neighbor)."""
+    from epicsarchiver_spark.operators.multimodal import (
+        PurePythonCodec,
+        _parse_bmp,
+        resize_images,
+    )
+
+    quad = [
+        [(10, 0, 0), (10, 0, 0), (0, 20, 0), (0, 20, 0)],
+        [(10, 0, 0), (10, 0, 0), (0, 20, 0), (0, 20, 0)],
+        [(0, 0, 30), (0, 0, 30), (40, 40, 40), (40, 40, 40)],
+        [(0, 0, 30), (0, 0, 30), (40, 40, 40), (40, 40, 40)],
+    ]
+    media = spark.createDataFrame(
+        [("img1", "image", "image/bmp", 4, 4, None, _make_bmp(quad))],
+        schema="media_id string, kind string, mime string, width int, height int, duration_ms int, payload binary",
+    )
+    row = resize_images(media, 2, 2, codec=PurePythonCodec()).head()
+    px = _parse_bmp(bytes(row.payload))
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (10, 0, 0) and tuple(px[0, 1]) == (0, 20, 0)
+    assert tuple(px[1, 0]) == (0, 0, 30) and tuple(px[1, 1]) == (40, 40, 40)
+
+
+def test_pure_python_codec_wav_features_and_frames(spark):
+    """PCM16 WAV: features come from the decoded samples (peak/rms of a
+    known square wave), and audio frame sampling slices the true PCM
+    stream so the frames re-concatenate to the original samples."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.multimodal import (
+        PurePythonCodec,
+        extract_features,
+        sample_video_frames,
+    )
+
+    samples = ([16384] * 400 + [-16384] * 400) * 10  # 8000 samples @ 8kHz = 1 s
+    wav = _make_wav(samples, rate=8000)
+    media = spark.createDataFrame(
+        [("a1", "audio", "audio/wav", None, None, 1000, wav)],
+        schema="media_id string, kind string, mime string, width int, height int, duration_ms int, payload binary",
+    )
+    feat = extract_features(media, codec=PurePythonCodec()).head().feature
+    assert feat[0] == 2.0  # audio branch
+    assert feat[1] == pytest.approx(8000 / 96000)
+    assert feat[2] == pytest.approx(1.0 / 3600)  # 1 s decoded duration
+    assert feat[3] == pytest.approx(0.5) and feat[4] == pytest.approx(0.5)  # rms = peak
+
+    frames = sample_video_frames(media, every_ms=250, codec=PurePythonCodec()).collect()
+    assert [r.offset_ms for r in sorted(frames, key=lambda r: r.frame_idx)] == [0, 250, 500, 750]
+    rejoined = b"".join(bytes(r.frame) for r in sorted(frames, key=lambda r: r.frame_idx))
+    assert np.array_equal(np.frombuffer(rejoined, dtype="<i2"), np.asarray(samples))
+
+
+def test_pure_python_codec_falls_back_on_unknown_bytes():
+    from epicsarchiver_spark.operators.multimodal import (
+        DeterministicFakeCodec,
+        PurePythonCodec,
+    )
+
+    junk = b"\x01\x02\x03\x04" * 16
+    assert PurePythonCodec().decode_features(junk) == DeterministicFakeCodec().decode_features(junk)

@@ -237,3 +237,43 @@ def test_connected_components_matches_union_find(spark):
         )
         got = {r.id: r.component for r in connected_components(pairs).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_star_cc_agrees_with_propagation_and_union_find(spark):
+    """large-star/small-star CC: same (vertex → min-id) map as both the
+    propagation operator and a driver-side union-find, on random graphs
+    and on shapes that stress it (clique, two components, self-dup)."""
+    from epicsarchiver_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    cases = [
+        [(1, 2), (2, 3), (5, 6)],
+        [(a, b) for a in range(5) for b in range(a + 1, 5)],  # clique
+        [(10, 11), (12, 13), (11, 12), (20, 21)],
+    ]
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        cases.append(sorted({tuple(sorted(rng.sample(range(40), 2))) for _ in range(50)}))
+    for edges in cases:
+        pairs = spark.createDataFrame(
+            [(a, b, 1.0) for a, b in edges], "id_a long, id_b long, jaccard double"
+        )
+        via_star = {r.id: r.component for r in connected_components_star(pairs).collect()}
+        via_prop = {r.id: r.component for r in connected_components(pairs).collect()}
+        assert via_star == via_prop, edges
+
+
+def test_star_cc_converges_on_1000_node_path(spark):
+    """The adversarial case the star variant exists for: a 10³-node path
+    (diameter 999 — propagation would need 999 rounds) must fully
+    converge within the default ~log²n round budget."""
+    from epicsarchiver_spark.operators.dedup import connected_components_star
+
+    n = 1000
+    pairs = spark.createDataFrame(
+        [(i, i + 1, 1.0) for i in range(n - 1)], "id_a long, id_b long, jaccard double"
+    )
+    comp = {r.id: r.component for r in connected_components_star(pairs).collect()}
+    assert comp == {i: 0 for i in range(n)}
