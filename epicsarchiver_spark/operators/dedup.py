@@ -123,6 +123,96 @@ def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7, **kw) -> Da
     )
 
 
+def dedup_against_corpus(
+    new_docs: DataFrame, corpus: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Incremental EXACT dedup — the continuous-crawl shape: drop rows of
+    a NEW batch whose text fingerprint already exists in the standing
+    corpus. Only 16-byte fingerprints move (the corpus side reduces to
+    distinct fps map-side; its text never shuffles); the anti-join is an
+    equi-join on fp, and with a small batch AQE broadcasts the batch
+    side. Compose with ``dedup_exact(new_docs)`` first to also collapse
+    duplicates WITHIN the batch."""
+    corpus_fps = corpus.select(fingerprint64(F.col(text)).alias("fp")).distinct()
+    return (
+        new_docs.withColumn("fp", fingerprint64(F.col(text)))
+        .join(corpus_fps, "fp", "left_anti")
+        .drop("fp")
+    )
+
+
+def minhash_candidates_between(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Cross-corpus MinHash+LSH candidates: (new_id, corpus_id,
+    est_jaccard) for pairs sharing ≥1 band bucket — the near-dup analog
+    of ``dedup_against_corpus`` for incremental ingest. Same shuffle
+    discipline as the self-join variant: only (id, band, bucket) moves
+    through candidate generation; signatures re-attach per surviving
+    pair. The corpus signature table is the thing a real pipeline
+    persists between batches — recompute here is the stand-in for
+    reading it back."""
+    rows_per_band = num_hashes // bands
+
+    def bucketed(df: DataFrame, out_id: str):
+        base = df.select(
+            F.col(id_col).alias(out_id),
+            shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh"),
+        )
+        sigs = base.select(
+            out_id, minhash_signature_udf(num_hashes, seed)(F.col("bh")).alias("sig")
+        )
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        bb = sigs.select(
+            out_id, F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
+        ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+        return sigs, bb
+
+    new_sigs, new_bb = bucketed(new_docs, "new_id")
+    cor_sigs, cor_bb = bucketed(corpus, "corpus_id")
+    pairs = (
+        new_bb.join(cor_bb, ["band", "bucket"])
+        .select("new_id", "corpus_id")
+        .dropDuplicates(["new_id", "corpus_id"])
+    )
+    pairs = pairs.join(
+        new_sigs.select("new_id", F.col("sig").alias("sig_a")), "new_id"
+    ).join(cor_sigs.select("corpus_id", F.col("sig").alias("sig_b")), "corpus_id")
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+    )
+    return pairs.select(
+        "new_id", "corpus_id", (agree.cast("double") / F.size("sig_a")).alias("est_jaccard")
+    )
+
+
+def dedup_against_corpus_near(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    **kw,
+) -> DataFrame:
+    """Drop new-batch docs with an estimated-Jaccard ≥ threshold match
+    anywhere in the corpus (near-dup incremental dedup)."""
+    matches = (
+        minhash_candidates_between(new_docs, corpus, id_col=id_col, **kw)
+        .filter(F.col("est_jaccard") >= threshold)
+        .select(F.col("new_id").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(matches, id_col, "left_anti")
+
+
 def simhash_near_duplicates(
     docs: DataFrame,
     text: str = "text",
@@ -260,11 +350,17 @@ def connected_components(
     rounds). Reliable checkpoint when the session has a checkpoint dir
     (production: survives executor loss); localCheckpoint otherwise.
     """
-    edges = pairs.select(
-        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
-    ).unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-
     _truncate = _truncate_lineage
+
+    # materialize the edge list ONCE: pair generation is often the most
+    # expensive plan in the pipeline (O(n²) cosine, minhash banding) and
+    # each round joins against edges — without truncation every round
+    # re-executes that upstream plan from scratch
+    edges = _truncate(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst")).unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+    )
 
     labels = _truncate(
         edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))

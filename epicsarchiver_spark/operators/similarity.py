@@ -290,6 +290,76 @@ def lsh_bucket_topk(
     )
 
 
+def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
+    """All XOR masks within hamming distance ``max_hamming`` of zero over
+    ``n_planes`` bits — Σ C(n_planes, i) masks (n=8, h=2 → 37)."""
+    from itertools import combinations
+
+    masks = [0]
+    for r in range(1, max_hamming + 1):
+        for bits in combinations(range(n_planes), r):
+            m = 0
+            for b in bits:
+                m |= 1 << b
+            masks.append(m)
+    return masks
+
+
+def lsh_pairwise_topk(
+    vectors: DataFrame,
+    probes: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    max_hamming: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    dim: int | None = None,
+) -> DataFrame:
+    """Multi-probe ANN — the scale path ``pairwise_topk`` (brute-force
+    probes × corpus) lacks: both sides signed with the SAME hyperplane
+    GEMM UDF, then candidates found by an **equi-join on signature**:
+    each probe explodes into its hamming ball (Σ C(n_planes, max_hamming)
+    signature variants — 37 rows/probe at 8/2), the ball side broadcasts,
+    and the corpus streams through a BroadcastHashJoin. No bit_count
+    theta-join (that plans as a nested loop over probes × corpus), no
+    corpus shuffle before the per-probe top-k on surviving candidates.
+    Each corpus signature matches at most one ball variant per probe, so
+    pairs are already distinct."""
+    sig_udf = (
+        _signature_udf(_hyperplanes(dim, n_planes, seed))
+        if dim is not None
+        else _signature_udf_lazy(n_planes, seed)
+    )
+    corpus = vectors.select(
+        F.col(id_col).alias("corpus_id"), as_double(F.col(vec_col)).alias("cv")
+    ).withColumn("sig", sig_udf(F.col("cv")))
+    probe = probes.select(
+        F.col(id_col).alias("probe_id"), as_double(F.col(vec_col)).alias("pv")
+    ).withColumn("psig", sig_udf(F.col("pv")))
+    masks = _hamming_ball_masks(n_planes, max_hamming)
+    ball = probe.select(
+        "probe_id",
+        "pv",
+        "psig",
+        F.explode(F.array(*[F.lit(m) for m in masks])).alias("_mask"),
+    ).select("probe_id", "pv", F.col("psig").bitwiseXOR(F.col("_mask")).alias("sig"))
+
+    from pyspark.sql import Window
+
+    scored = (
+        corpus.join(F.broadcast(ball), "sig")
+        .filter(F.col("corpus_id") != F.col("probe_id"))
+        .select(
+            "probe_id",
+            "corpus_id",
+            F.round(cosine(F.col("cv"), F.col("pv")), 6).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.col("cosine_sim").desc(), F.col("corpus_id"))
+    return scored.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k).drop("_rn")
+
+
 def ivf_topk(
     vectors: DataFrame,
     query: list[float],

@@ -22,6 +22,40 @@ def text_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> D
     )
 
 
+def dedup_segments(
+    docs: DataFrame, sep: str = "\n", text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """WITHIN-document segment dedup — remove exact repeated segments
+    (lines / paragraphs / sep-delimited units), keeping the FIRST
+    occurrence in order (the C4/Gopher de-boilerplating step at segment
+    granularity: repeated nav bars, footers, chorus lines).
+
+    Entirely array-local: split → filter empties → first-occurrence fold
+    via ``aggregate`` (accumulator = segments seen so far, in order).
+    Zero shuffle, embarrassingly parallel — the per-row fold is O(s²) in
+    the segment count of ONE document, which is bounded; nothing about
+    the corpus size appears anywhere. Returns (id, n_segments, n_kept,
+    text_dedup)."""
+    import re as _re
+
+    segs = F.filter(
+        F.split(F.col(text), _re.escape(sep)), lambda x: x != F.lit("")
+    )
+    kept = F.aggregate(
+        segs,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(F.array_contains(acc, x), acc).otherwise(
+            F.array_append(acc, x)
+        ),
+    )
+    return docs.select(
+        F.col(id_col),
+        F.size(segs).cast("long").alias("n_segments"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, sep).alias("text_dedup"),
+    )
+
+
 def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality heuristics (length / punctuation / stopwords)."""
     return docs.select(

@@ -277,3 +277,36 @@ def test_star_cc_converges_on_1000_node_path(spark):
     )
     comp = {r.id: r.component for r in connected_components_star(pairs).collect()}
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_incremental_dedup_exact_and_near(spark):
+    """Cross-corpus dedup: verbatim re-crawls drop, new/edited docs
+    survive; the minhash variant also drops shingle-level near-dups the
+    exact fingerprint misses."""
+    from epicsarchiver_spark.operators.dedup import (
+        dedup_against_corpus,
+        dedup_against_corpus_near,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    corpus = spark.createDataFrame(
+        [(1, base), (2, "completely different reference text about spark plans")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (10, base),                              # exact re-crawl → drop
+            (11, base + " extra"),                   # near-dup → near drops it
+            (12, "entirely novel content with no overlap whatsoever here"),
+        ],
+        "doc_id long, text string",
+    )
+    exact_kept = sorted(r.doc_id for r in dedup_against_corpus(new, corpus).collect())
+    assert exact_kept == [11, 12]
+    near_kept = sorted(
+        r.doc_id
+        for r in dedup_against_corpus_near(
+            new, corpus, threshold=0.5, shingle_k=3, num_hashes=64, bands=16
+        ).collect()
+    )
+    assert near_kept == [12]

@@ -197,3 +197,13 @@ def test_banded_cosine_builds_without_dim_probe(spark):
         lambda: similarity.cosine_near_duplicates_banded(vecs, threshold=0.5),
         "banded-plan-only",
     )
+
+
+def test_lsh_multi_probe_is_broadcast_equi_join(spark):
+    """Multi-probe ANN must candidate-generate via a broadcast hash
+    equi-join on the exploded hamming ball — a bit_count theta-join
+    would plan as a nested loop over probes × corpus."""
+    plan = _plan(spark, "emb_topk_lsh_multi")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
