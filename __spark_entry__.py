@@ -358,6 +358,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), sep=" "
     )
 
+    q["doc_unigram_logprob"] = lambda s, d: text_ops.unigram_logprob(
+        load_table(s, d, "documents")
+    )
+
+    q["ts_rate_windowed"] = lambda s, d: timeseries.rate_windowed(
+        _points(s, d), window_s=3600.0
+    )
+
     def _doc_incremental_dedup(s, d):
         """Incremental exact dedup: a synthetic NEW batch built from the
         corpus itself — every doc_id%5==0 text verbatim (must be dropped:
@@ -814,6 +822,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh_multi",
         "doc_incremental_dedup",
         "doc_segment_dedup",
+        "doc_unigram_logprob",
+        "ts_rate_windowed",
         "mm_features",
         "mm_frame_sample",
         "mm_media_stats",
@@ -2055,6 +2065,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT stats.doc_id, n_segments, n_kept, text_dedup
         FROM stats JOIN agg USING (doc_id)
     """
+
+    o["doc_unigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), model AS (
+          SELECT term, sum(tf) AS c FROM tf GROUP BY term
+        ), tot AS (
+          SELECT sum(c) AS n, count(*) AS v FROM model
+        )
+        SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(-sum(tf.tf * ln((model.c + 0.5) / (tot.n + 0.5 * tot.v)))
+                     / sum(tf.tf), 6) AS mean_neg_logprob
+        FROM tf JOIN model USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    """
+
+    o["ts_rate_windowed"] = (
+        P
+        + """
+        SELECT pvname, floor(time / 3600.0) * 3600.0 AS win_start,
+               count(*) AS n_events,
+               round(count(*) / 3600.0, 6) AS events_per_sec
+        FROM points GROUP BY pvname, floor(time / 3600.0) * 3600.0
+        """
+    )
 
     o["doc_incremental_dedup"] = """
         WITH newb AS (

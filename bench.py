@@ -50,6 +50,11 @@ HEADLINE = [
     "doc_contamination",
     "doc_global_shuffle",
     "doc_chunks",
+    "doc_segment_dedup",
+    "doc_incremental_dedup",
+    "doc_unigram_logprob",
+    "emb_topk_lsh_multi",
+    "ts_rate_windowed",
     "ts_alarm_transitions",
     "ts_daily_rollup",
     "emb_topk_cosine",

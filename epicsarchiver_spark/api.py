@@ -151,6 +151,37 @@ class PVArchEngine:
         """ref web/WebAdmin.py:56-57 — '*' wildcard search."""
         return search.wildcard_search(self.points.select("pvname").distinct(), pattern)
 
+    # --- instrument surface (epicsarchiver/web/WebInstruments.py) ---
+
+    def save_position(self, positions: DataFrame | None, instrument: str,
+                      position: str, ts: float | None = None) -> DataFrame:
+        """ref WebInstruments.py:79-84 — record a named (instrument,
+        position, ts); returns the updated positions dimension (caller
+        persists, e.g. control.write_positions)."""
+        import time as _time
+
+        return control.save_position(
+            positions, self.spark, instrument, position,
+            ts if ts is not None else _time.time(),
+        )
+
+    def restore_position(self, positions: DataFrame, members, instrument: str,
+                         position: str) -> DataFrame:
+        """ref WebInstruments.py:255-259 — member values as of the named
+        saved position."""
+        return control.restore_position(self.points, positions, members,
+                                        instrument, position)
+
+    def check(self, cadence_s: float = 600.0, now: float | None = None) -> bool:
+        """pvarch check (ref doc/setup.rst:40-42) — True iff ≥1 point
+        archived within the cadence window."""
+        import time as _time
+
+        row = control.check_liveness(
+            self.points, now if now is not None else _time.time(), cadence_s
+        ).head()
+        return bool(row.alive) if row is not None else False
+
     # --- helpers ---
 
     def _window(self, tmin, tmax) -> tuple[float, float]:

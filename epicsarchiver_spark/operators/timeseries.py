@@ -178,6 +178,23 @@ def n_changed(points: DataFrame, since: float, by: str | None = None) -> DataFra
     return recent.groupBy(by).agg(F.count(F.lit(1)).alias("n"))
 
 
+def rate_windowed(
+    points: DataFrame, window_s: float = 60.0, key: str = "pvname"
+) -> DataFrame:
+    """Tumbling-window event rate per series: (key, win_start, n_events,
+    events_per_sec) for each window that has ≥1 event — the batch twin of
+    ``streaming.ingest.rate_stream`` (same windows: floor(time/w)·w
+    aligns with F.window's epoch-aligned tumbling buckets, so batch
+    backfill and live streaming produce the same rows). One hash
+    aggregate, map-side partials; empty windows are absent, not zero
+    (join a window grid if a dense series is needed)."""
+    win = (F.floor(F.col("time") / F.lit(window_s)) * F.lit(window_s)).alias("win_start")
+    return points.groupBy(key, win).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.count(F.lit(1)) / F.lit(window_s), 6).alias("events_per_sec"),
+    )
+
+
 def locf_grid(points: DataFrame, t0: float, t1: float, step: float, key: str = "pvname") -> DataFrame:
     """W6 — step/LOCF resampling onto a regular grid: value holds until the
     next change (ref epicsarchiver/web_utils.py:202 'hv' step rendering).

@@ -202,6 +202,37 @@ def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
     return ev.dropDuplicatesWithinWatermark(["pvname", "time"]).drop("_ts")
 
 
+def rate_stream(
+    events: DataFrame, window: str = "1 minute", watermark: str = "2 minutes"
+) -> DataFrame:
+    """Streaming per-series event-rate metric: tumbling event-time
+    windows with a watermark bounding state (late events inside the
+    horizon still count; beyond it the window is finalized and emitted).
+    Exactly the ops dashboard the reference reads from its cache counts
+    (cache.py:208-223) — here it is a first-class windowed aggregate.
+
+    Append-mode semantics: a window row is emitted ONLY once the
+    watermark passes its end — the tail windows of a bounded replay stay
+    in state (same as any watermark aggregate). Continuous deployments
+    flush them as later events advance the watermark; bounded
+    backfills/tests either append a watermark-advancing sentinel or read
+    the tail from state via outputMode('update'/'complete').
+    Batch twin: ``operators.timeseries.rate_windowed`` (same epoch-aligned
+    windows; equivalence tested in tests/test_streaming.py)."""
+    ev = events.withColumn("_ts", F.timestamp_seconds(F.col("time"))).withWatermark(
+        "_ts", watermark
+    )
+    return (
+        ev.groupBy("pvname", F.window("_ts", window).alias("_w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "pvname",
+            F.col("_w.start").cast("double").alias("win_start"),
+            "n_events",
+        )
+    )
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

@@ -108,3 +108,19 @@ def test_windowed_operators_accept_storeonly_columns(engine):
     assert deadband_lag(pts, 100.0, 0.5).count() > 0
     assert cull_pass(pts).count() > 0
     assert heartbeat_fill(pts, max_silence=1000.0).count() > 0
+
+
+def test_position_and_check_facade(engine):
+    """WebInstruments save/restore + pvarch check via the facade."""
+    pos = engine.save_position(None, "beamline", "park", ts=2525.0)
+    pos = engine.save_position(pos, "beamline", "park", ts=2575.0)  # re-save
+    got = {
+        (r.pvname, r.time)
+        for r in engine.restore_position(
+            pos, ["S1:m1.VAL", "S2:det1.VAL"], "beamline", "park"
+        ).collect()
+    }
+    # as of 2575: last point per series is t=2550 (grid step 50)
+    assert got == {("S1:m1.VAL", 2550.0), ("S2:det1.VAL", 2550.0)}
+    assert engine.check(cadence_s=600.0, now=5000.0) is True
+    assert engine.check(cadence_s=600.0, now=1e9) is False

@@ -429,3 +429,46 @@ def test_dedup_stream_drops_redelivered_events(spark, tmp_path):
         ("A", 1.7e9 + 120, 4.0),
         ("B", 1.7e9, 3.0),
     ]
+
+
+def test_rate_stream_matches_batch_twin(spark, events_dir, tmp_path):
+    """Windowed rate metric: the streaming watermark aggregate and the
+    batch floor(time/w) aggregate must produce the same (pvname, window,
+    count) rows on the same finite event set (epoch-aligned tumbling
+    windows on both sides). Append mode emits a window only after the
+    watermark passes it, so the replay carries a far-future sentinel
+    event that flushes every real window (excluded from the compare)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import rate_windowed
+    from epicsarchiver_spark.streaming.ingest import rate_stream
+
+    sentinel = pd.DataFrame(
+        [("ZZ:sentinel", 1e6, 0.0)], columns=["pvname", "time", "value"]
+    )
+    sdir = str(tmp_path / "rate_events")
+    spark.createDataFrame(
+        pd.concat([synth_events(), sentinel])
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
+    q = (
+        rate_stream(stream, window="1 minute", watermark="2 minutes")
+        .writeStream.format("memory")
+        .queryName("rate_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "rate_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.win_start, r.n_events)
+        for r in spark.sql("select * from rate_out").collect()
+        if r.pvname != "ZZ:sentinel"
+    }
+    batch = spark.createDataFrame(synth_events())
+    want = {
+        (r.pvname, r.win_start, r.n_events)
+        for r in rate_windowed(batch, window_s=60.0).collect()
+    }
+    assert got == want and len(want) > 3
