@@ -301,6 +301,14 @@ def jaccard_pairs_blocked(
     inter = (
         left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))
+        # size-ratio prefilter (sound): J = i/(na+nb−i) ≤ min/max, so a
+        # pair with min < t·max can never reach the threshold — its
+        # co-occurrence rows are dropped BEFORE the pair aggregate,
+        # shrinking the hash map the classic set-similarity way
+        .filter(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(threshold) * F.greatest("n_a", "n_b")
+        )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("_i"))
     )

@@ -69,13 +69,49 @@ def _heartbeat_jitter(pvname: str, heartbeat_s: float) -> float:
     return heartbeat_s * (0.75 + 0.5 * frac)
 
 
+def _compress_step(
+    last_t, last_v, pend_t, pend_v, times, values, deadtime: float, deadband: float
+):
+    """One pass of the reference compression over time-sorted events given
+    incoming per-series state; returns (out_t, out_v, new state 4-tuple).
+    Shared by the applyInPandasWithState kernel and the
+    transformWithState processor — one copy of the W1 branch logic."""
+    out_t: list = []
+    out_v: list = []
+    for t, v in zip(times, values):
+        if last_t is None:
+            out_t.append(t), out_v.append(v)
+            last_t, last_v = t, v
+            continue
+        if pend_t is not None and t > last_t + deadtime:
+            out_t.append(pend_t), out_v.append(pend_v)
+            last_t, last_v = pend_t, pend_v
+            pend_t = pend_v = None
+        # executed-reference order (archiver.py:386-414): deadtime gate
+        # first, then deadband; any non-saved change newer than 1 ms
+        # becomes the limbo entry — sub-deadband moves are DELAYED, not
+        # dropped
+        if t > last_t + deadtime and abs(v - last_v) > deadband:
+            out_t.append(t), out_v.append(v)
+            last_t, last_v = t, v
+            pend_t = pend_v = None
+        elif t > last_t + 0.001:
+            pend_t, pend_v = t, v
+    return out_t, out_v, last_t, last_v, pend_t, pend_v
+
+
 def _compress_kernel(
     deadtime: float,
     deadband: float,
     flush_ms: int | None,
     heartbeat_s: float | None = None,
+    seeds: dict | None = None,
 ):
-    """Build the applyInPandasWithState kernel closed over the config."""
+    """Build the applyInPandasWithState kernel closed over the config.
+
+    ``seeds`` — optional {pvname: (last_t, last_v)} warm-start map: a
+    series with no checkpointed state starts from its last ARCHIVED
+    point instead of cold (see compressed_stream)."""
 
     def fn(
         key: tuple,
@@ -87,6 +123,10 @@ def _compress_kernel(
             last_t, last_v, pend_t, pend_v = state.get
         else:
             last_t = last_v = pend_t = pend_v = None
+            if seeds is not None and pvname in seeds:
+                # warm start: continue the deadtime window from the last
+                # archived point; the seed itself is NOT re-emitted
+                last_t, last_v = seeds[pvname]
 
         out_t: list[float] = []
         out_v: list[float] = []
@@ -119,25 +159,10 @@ def _compress_kernel(
             rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
             if len(rows):
                 rows = rows.sort_values("time")
-                for t, v in zip(rows["time"], rows["value"]):
-                    if last_t is None:
-                        out_t.append(t), out_v.append(v)
-                        last_t, last_v = t, v
-                        continue
-                    if pend_t is not None and t > last_t + deadtime:
-                        out_t.append(pend_t), out_v.append(pend_v)
-                        last_t, last_v = pend_t, pend_v
-                        pend_t = pend_v = None
-                    # executed-reference order (archiver.py:386-414):
-                    # deadtime gate first, then deadband; any non-saved
-                    # change newer than 1 ms becomes the limbo entry —
-                    # sub-deadband moves are DELAYED, not dropped
-                    if t > last_t + deadtime and abs(v - last_v) > deadband:
-                        out_t.append(t), out_v.append(v)
-                        last_t, last_v = t, v
-                        pend_t = pend_v = None
-                    elif t > last_t + 0.001:
-                        pend_t, pend_v = t, v
+                out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
+                    last_t, last_v, pend_t, pend_v,
+                    rows["time"], rows["value"], deadtime, deadband,
+                )
             state.update((last_t, last_v, pend_t, pend_v))
             arm_timer(pend_t is not None)
 
@@ -153,6 +178,7 @@ def compressed_stream(
     deadband: float = 0.0,
     flush_ms: int | None = 1000,
     heartbeat_s: float | None = None,
+    seeds: dict | None = None,
 ) -> DataFrame:
     """W1/W2 — stateful deadtime/deadband/limbo compression of a streaming
     ``(pvname, time, value)`` frame. Keyed state per series; bursts inside
@@ -174,17 +200,118 @@ def compressed_stream(
     the current processing time, with deterministic ±25% per-key jitter
     replacing the reference's random 13-21 h spread (util.py:348-354) so
     replays are reproducible.
+
+    ``seeds`` — {pvname: (last_t, last_v)} warm-start map, e.g. from
+    ``latest_per_key(read_points(...))`` collected: the reference
+    archiver's RESTART behavior (startup reloads last_ts/last_value from
+    the cache so the deadtime window continues across the restart). A
+    new query with a fresh checkpoint then does not re-emit each
+    series' first event or reset its window. Seeds ride the kernel
+    closure — fine to ~10⁵ series; beyond that use
+    ``compressed_stream_resumable`` (transformWithState initialState, a
+    distributed frame instead of a driver dict). Checkpointed state
+    always wins over a seed; pending limbo entries are not recoverable
+    from the store (the reference loses them on restart too).
     """
     use_timers = flush_ms is not None or heartbeat_s is not None
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if use_timers else GroupStateTimeout.NoTimeout
     )
     return events.groupBy("pvname").applyInPandasWithState(
-        _compress_kernel(deadtime, deadband, flush_ms, heartbeat_s),
+        _compress_kernel(deadtime, deadband, flush_ms, heartbeat_s, seeds),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
+    )
+
+
+def compressed_stream_resumable(
+    events: DataFrame,
+    deadtime: float = 5.0,
+    deadband: float = 0.0,
+    initial_state: DataFrame | None = None,
+) -> DataFrame:
+    """W1/W2 compression via Spark 4's ``transformWithStateInPandas``,
+    with WARM-START: ``initial_state`` — a batch ``(pvname, time, value)``
+    frame, e.g. ``timeseries.latest_per_key(read_points(...))`` — seeds
+    each series' (last_t, last_v) before the first event arrives.
+
+    This is the reference archiver's restart behavior (its startup reads
+    last_ts/last_value from the cache before collecting, so the deadtime
+    window CONTINUES across the restart): a new streaming query with a
+    fresh checkpoint — migration, reconfiguration, checkpoint loss — does
+    not re-emit each series' first event or restart every deadtime
+    window. The checkpoint-backed ``compressed_stream`` covers same-query
+    recovery; this covers new-query recovery from the store itself. The
+    in-memory limbo entry is not recoverable from the store (the
+    reference loses it on restart too) — seeds carry pend = null.
+
+    Uses the RocksDB state store (required by transformWithState; conf is
+    set on the session here — it applies to queries started afterwards).
+    No processing-time timers: the pending tail stays in state at end of
+    a bounded run, exactly like ``compressed_stream(flush_ms=None)``.
+
+    Requires ``protobuf`` (the transformWithState python worker's state
+    protocol) — absent in minimal containers; there
+    ``compressed_stream(seeds=...)`` is the warm-start path (driver-dict
+    seeds, fine to ~10⁵ series)."""
+    try:
+        import google.protobuf  # noqa: F401  (TWS state-server protocol dep)
+    except ImportError as e:
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package; "
+            "use compressed_stream(seeds=...) where it is unavailable"
+        ) from e
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark = events.sparkSession
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    dt, db = deadtime, deadband
+
+    class _CompressProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("compress", STATE_SCHEMA)
+
+        def handleInitialState(self, key, initialState: pd.DataFrame, timerValues) -> None:
+            row = initialState.sort_values("time").iloc[-1]
+            self._state.update((float(row["time"]), float(row["value"]), None, None))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_t, last_v, pend_t, pend_v = self._state.get()
+            else:
+                last_t = last_v = pend_t = pend_v = None
+            pdf = pd.concat(list(rows))
+            if len(pdf):
+                pdf = pdf.sort_values("time")
+                out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
+                    last_t, last_v, pend_t, pend_v, pdf["time"], pdf["value"], dt, db
+                )
+                self._state.update((last_t, last_v, pend_t, pend_v))
+                if out_t:
+                    yield pd.DataFrame({"pvname": key[0], "time": out_t, "value": out_v})
+
+        def close(self) -> None:
+            pass
+
+    init_grouped = (
+        initial_state.select("pvname", "time", "value").groupBy("pvname")
+        if initial_state is not None
+        else None
+    )
+    return events.groupBy("pvname").transformWithStateInPandas(
+        statefulProcessor=_CompressProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Append",
+        timeMode="None",
+        initialState=init_grouped,
     )
 
 

@@ -472,3 +472,126 @@ def test_rate_stream_matches_batch_twin(spark, events_dir, tmp_path):
         for r in rate_windowed(batch, window_s=60.0).collect()
     }
     assert got == want and len(want) > 3
+
+
+def _has_protobuf() -> bool:
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState python worker needs protobuf (absent in this container)",
+)
+def test_tws_cold_matches_batch_spec(spark, events_dir, tmp_path):
+    """transformWithState variant, no initial state: identical output to
+    the applyInPandasWithState path / executable batch spec."""
+    from epicsarchiver_spark.streaming.ingest import compressed_stream_resumable
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q = (
+        compressed_stream_resumable(stream, DEADTIME, DEADBAND)
+        .writeStream.format("memory")
+        .queryName("tws_cold")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from tws_cold").collect()
+    }
+    assert got == batch_spec(synth_events())
+
+
+def _warm_start_case():
+    """deadtime 10, deadband 0.5; cut at t=60 — the t=50 event is KEPT
+    and nothing is pending at the cut (40→50 gap > deadtime, |Δv| > db),
+    so a seeded restart must reproduce the full run's second half."""
+    full = [(0.0, 1.0), (40.0, 2.0), (50.0, 3.0),
+            (62.0, 3.1), (75.0, 5.0), (100.0, 6.0)]
+    first = [e for e in full if e[0] < 60]
+    second = [e for e in full if e[0] > 60]
+    want_full = compress_reference(full, 10.0, 0.5)
+    want_first = compress_reference(first, 10.0, 0.5)
+    assert want_first[-1] == (50.0, 3.0)  # clean cut: last point kept
+    want_second = {("W:a", t, v) for t, v in want_full if (t, v) not in want_first}
+    return second, want_second
+
+
+def test_seeded_warm_start_continues_deadtime_window(spark, tmp_path):
+    """Restart parity (ref archiver startup: last values reloaded from
+    the cache): a NEW query seeded with each series' last archived point
+    must emit exactly what a never-restarted run would emit for the
+    second half — the first post-restart event falls back under the
+    deadtime/deadband gates instead of being treated as a fresh series.
+    A cold restart would wrongly emit the in-window t=62 event
+    immediately as a 'first point'."""
+    second, want_second = _warm_start_case()
+    sdir = str(tmp_path / "warm_events")
+    spark.createDataFrame(
+        pd.DataFrame([("W:a", t, v) for t, v in second],
+                     columns=["pvname", "time", "value"])
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
+    q = (
+        compressed_stream(
+            stream, 10.0, 0.5, flush_ms=None, seeds={"W:a": (50.0, 3.0)}
+        )
+        .writeStream.format("memory")
+        .queryName("seeded_warm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "warm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value)
+        for r in spark.sql("select * from seeded_warm").collect()
+    }
+    # 62.0 is inside 50+deadtime → limbo; it flushes when 75 arrives,
+    # then 75 saves; 100 saves.
+    assert got == want_second
+    assert ("W:a", 62.0, 3.1) in got  # limbo flushed with original ts
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState python worker needs protobuf (absent in this container)",
+)
+def test_tws_warm_start_continues_deadtime_window(spark, tmp_path):
+    """Same restart-parity contract through the transformWithState
+    initialState path (the beyond-10⁵-series variant)."""
+    from epicsarchiver_spark.streaming.ingest import compressed_stream_resumable
+
+    second, want_second = _warm_start_case()
+    sdir = str(tmp_path / "tws_warm_events")
+    spark.createDataFrame(
+        pd.DataFrame([("W:a", t, v) for t, v in second],
+                     columns=["pvname", "time", "value"])
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    seed = spark.createDataFrame(
+        pd.DataFrame([("W:a", 50.0, 3.0)], columns=["pvname", "time", "value"])
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
+    q = (
+        compressed_stream_resumable(stream, 10.0, 0.5, initial_state=seed)
+        .writeStream.format("memory")
+        .queryName("tws_warm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "tws_warm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from tws_warm").collect()
+    }
+    assert got == want_second
+    assert ("W:a", 62.0, 3.1) in got
