@@ -147,7 +147,17 @@ def cmd_compact(args) -> int:
     return 0
 
 
+def _recover_dim(spark, path: str) -> None:
+    """Restore a dimension parked at .bak by a crash mid-swap."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(path + ".bak")) and not fs.exists(P(path)):
+        fs.rename(P(path + ".bak"), P(path))
+
+
 def _read_runs(spark, path: str):
+    _recover_dim(spark, path)
     try:
         return spark.read.parquet(path)
     except Exception:
@@ -156,14 +166,22 @@ def _read_runs(spark, path: str):
 
 def _overwrite_dim(spark, df, path: str) -> None:
     """Overwrite a tiny dimension parquet that the frame may itself be
-    reading from: materialize to .tmp first, re-read, then overwrite the
-    live path (overwriting a path mid-read self-corrupts)."""
-    tmp = path + ".tmp"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).coalesce(1).write.mode("overwrite").parquet(path)
+    reading from: fully materialize to .tmp first (overwriting a path
+    mid-read self-corrupts), then the same crash-safe two-rename swap as
+    the points-cache upsert — a crash leaves the dimension either old
+    (possibly parked at .bak, restored by the next call) or new, never
+    half-written."""
     jvm = spark._jvm
-    p = jvm.org.apache.hadoop.fs.Path(tmp)
-    p.getFileSystem(spark._jsc.hadoopConfiguration()).delete(p, True)
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    tmp, bak = path + ".tmp", path + ".bak"
+    _recover_dim(spark, path)
+    fs.delete(P(bak), True)
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    if fs.exists(P(path)):
+        fs.rename(P(path), P(bak))
+    fs.rename(P(tmp), P(path))
+    fs.delete(P(bak), True)
 
 
 def cmd_next(args) -> int:
@@ -231,6 +249,7 @@ def cmd_restore_position(args) -> int:
     from epicsarchiver_spark.operators.control import restore_position
 
     spark = _spark("restore_position")
+    _recover_dim(spark, args.positions_file)
     positions = spark.read.parquet(args.positions_file)
     out = restore_position(
         _points(spark, args), positions, args.pvs, args.instrument, args.position

@@ -130,3 +130,21 @@ def test_position_save_restore_roundtrip(spark, store, tmp_path, capsys):
     out = capsys.readouterr().out
     # as of t=1500.5 the last point per series is t=1500 (grid step 30)
     assert out.count("@ 1500.000") == 2
+
+
+def test_dim_swap_crash_recovery(spark, tmp_path, capsys):
+    """A runs dimension parked at .bak (crash between the two renames)
+    must be restored on the next read — `next` keeps incrementing from
+    the old state instead of re-seeding run_00001."""
+    import shutil
+
+    runs_file = str(tmp_path / "runs.parquet")
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    capsys.readouterr()
+    # simulate the crash window: live renamed to .bak, tmp never landed
+    shutil.move(runs_file, runs_file + ".bak")
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    assert "run_00003" in capsys.readouterr().out
+    runs = {r.db for r in spark.read.parquet(runs_file).collect()}
+    assert runs == {"run_00001", "run_00002", "run_00003"}

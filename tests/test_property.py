@@ -107,3 +107,48 @@ def test_alert_transitions_properties(values, trip, timeout):
     assert all(b - a > timeout for a, b in zip(times, times[1:]))
     # final status consistent with last value
     assert status == ("alarm" if values[-1] > trip else "ok")
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=0.0, max_value=500.0, allow_nan=False),
+            st.floats(min_value=-10.0, max_value=10.0, allow_nan=False),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    st.integers(min_value=1, max_value=5),
+    st.randoms(),
+)
+@settings(max_examples=60, deadline=None)
+def test_compress_step_is_batch_split_invariant(events, n_splits, rng):
+    """The micro-batch boundary must be invisible: feeding the same
+    time-sorted events through _compress_step in ANY partition into
+    consecutive chunks (carrying state between calls) yields exactly the
+    single-shot compress_reference output. This is the state-correctness
+    property that makes checkpoint recovery and batch-size changes
+    safe."""
+    from epicsarchiver_spark.operators.deadband import compress_reference
+    from epicsarchiver_spark.streaming.ingest import _compress_step
+
+    events = sorted(events)
+    deadtime, deadband = 10.0, 0.5
+    want = compress_reference(events, deadtime, deadband)
+    # drop the end-of-stream pending flush — a stream's tail stays in
+    # state (flush_ms=None semantics); compare against the prefix
+    cuts = sorted(rng.sample(range(len(events) + 1), min(n_splits, len(events) + 1)))
+    out = []
+    state = (None, None, None, None)
+    lo = 0
+    for hi in cuts + [len(events)]:
+        chunk = events[lo:hi]
+        lo = hi
+        ts = [t for t, _ in chunk]
+        vs = [v for _, v in chunk]
+        out_t, out_v, *state = _compress_step(*state, ts, vs, deadtime, deadband)
+        out += list(zip(out_t, out_v))
+    last_t, last_v, pend_t, pend_v = state
+    if pend_t is not None:
+        out.append((pend_t, pend_v))  # simulate the end-of-stream flush
+    assert out == want
