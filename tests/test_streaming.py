@@ -595,3 +595,41 @@ def test_tws_warm_start_continues_deadtime_window(spark, tmp_path):
     }
     assert got == want_second
     assert ("W:a", 62.0, 3.1) in got
+
+
+def test_archive_append_exactly_once_across_restarts(spark, tmp_path):
+    """§2.9 exactly-once: re-running the archive query from its
+    checkpoint with no new source data appends NOTHING (offsets + file
+    sink transaction log make replays idempotent); adding a source file
+    and re-running appends exactly the new events once."""
+    from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
+
+    src = tmp_path / "ao_events"
+    src.mkdir()
+    pd.DataFrame(
+        {"pvname": ["X"] * 3, "time": [0.0, 50.0, 100.0], "value": [1.0, 2.0, 3.0]}
+    ).to_parquet(src / "p0.parquet", index=False)
+    out, ckpt = str(tmp_path / "ao_points"), str(tmp_path / "ao_ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENT_SCHEMA).parquet(str(src))
+        q = (
+            archive_query(
+                compressed_stream(stream, DEADTIME, DEADBAND, flush_ms=None),
+                out, ckpt, buckets=4,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {(r.pvname, r.time, r.value) for r in spark.read.parquet(out).collect()}
+
+    first = run_once()
+    assert first == {("X", 0.0, 1.0), ("X", 50.0, 2.0), ("X", 100.0, 3.0)}
+    assert run_once() == first  # replay from checkpoint: no duplicates
+
+    pd.DataFrame(
+        {"pvname": ["X"], "time": [200.0], "value": [4.0]}
+    ).to_parquet(src / "p1.parquet", index=False)
+    third = run_once()
+    assert third == first | {("X", 200.0, 4.0)}  # only the new event, once
