@@ -489,6 +489,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["emb_topk_lsh_multi"] = _emb_topk_lsh_multi
+
+    q["emb_cell_assign"] = lambda s, d: similarity.assign_cells(
+        load_table(s, d, "embeddings"), n_cells=8, dim=64
+    )
     q["ts_compress_exact"] = lambda s, d: deadband.compress_sequential(
         _points(s, d), COMPRESS_DEADTIME, COMPRESS_DEADBAND
     )
@@ -820,6 +824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_topk_lsh",
         "emb_topk_ivf",
         "emb_topk_lsh_multi",
+        "emb_cell_assign",
         "doc_incremental_dedup",
         "doc_segment_dedup",
         "doc_unigram_logprob",
@@ -1544,6 +1549,13 @@ def oracle_sql() -> dict[str, str]:
         f"{_cnorm[i]!r} - 2 * list_dot_product(e, {_lits(c)})" for i, c in enumerate(_cents)
     ) + "]"
     _cell_rows = ", ".join(f"({i + 1}, {_lits(c)})" for i, c in enumerate(_cents))
+    # cluster assignment alone — same cell arithmetic as emb_topk_ivf
+    o["emb_cell_assign"] = f"""
+        WITH {_V}
+        SELECT vec_id, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+    """
+
     o["emb_topk_ivf"] = f"""
         WITH {_V},
         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),

@@ -402,6 +402,31 @@ def ivf_topk(
     )
 
 
+def assign_cells(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Corpus clustering assignment: each vector's nearest coarse
+    centroid as a 1-based cell id — semantic bucketing of a training
+    corpus (per-cluster sampling/dedup, curriculum mixing) and the build
+    step of an IVF index (``ivf_topk`` searches what this materializes).
+    Same Arrow-batched GEMM assignment as ivf_topk — centroids ride the
+    UDF closure, one narrow scan, no shuffle. Pass trained ``centroids``
+    (``train_ivf_centroids``) for production; the LCG fallback (requires
+    ``dim``) keeps the operator oracle-reproducible."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    return corpus.select(id_col, _nearest_cell_udf(centroids)(F.col("_v")).alias("cell"))
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     n_cells: int = 16,
