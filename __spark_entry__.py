@@ -811,12 +811,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (CORRECTNESS_r02 = exactly the first 50 keys of
     # the r2 ordering). Everything green in r2 already has its driver
-    # row; the 33 queries below were rotated out of that sample — W1
-    # (the reference's one genuinely custom operator, two rounds without
-    # a driver row) first, then the embedding/multimodal family, then
-    # the sources/sinks/control plane — so the r3 sample certifies what
-    # the gate has never seen. The r2-green 50 follow and fill the rest
-    # of any larger sample.
+    # row; the queries below either were rotated out of that sample or
+    # are new this round — W1 (the reference's one genuinely custom
+    # operator, two rounds without a driver row) first, then the
+    # embedding/multimodal family, then the sources/sinks/control plane
+    # — so the r3 sample certifies what the gate has never seen. The
+    # r2-green 50 follow and fill the rest of any larger sample.
     front = [
         "ts_compress_exact",
         "stream_compress",
