@@ -537,3 +537,21 @@ def test_pure_python_codec_falls_back_on_unknown_bytes():
 
     junk = b"\x01\x02\x03\x04" * 16
     assert PurePythonCodec().decode_features(junk) == DeterministicFakeCodec().decode_features(junk)
+
+
+def test_dedup_segments_line_mode(spark):
+    """Default newline mode: repeated lines (boilerplate) drop, first
+    occurrence and order preserved, empties ignored."""
+    from epicsarchiver_spark.operators.text_ops import dedup_segments
+
+    docs = spark.createDataFrame(
+        [
+            (1, "nav bar\ncontent one\nnav bar\nfooter\ncontent two\nfooter"),
+            (2, "\n\nonly\n\n"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_segments(docs).collect()}
+    assert out[1].text_dedup == "nav bar\ncontent one\nfooter\ncontent two"
+    assert (out[1].n_segments, out[1].n_kept) == (6, 4)
+    assert (out[2].n_segments, out[2].n_kept, out[2].text_dedup) == (1, 1, "only")
