@@ -39,12 +39,23 @@ class PVArchEngine:
         runs: DataFrame | None = None,
         pairs: DataFrame | None = None,
         cache: DataFrame | None = None,
+        heartbeat_s: float | None = 86400.0,
     ) -> None:
         self.spark = spark
         self.points = points
         self.runs = runs
         self.pairs = pairs
         self._cache = cache
+        # W3 forced-heartbeat floor of the attached store (ref
+        # util.py:348-354: every live series re-emits at least daily).
+        # As-of reads then need only a 2×heartbeat_s lookback — EXACT for
+        # a compliant store, and the difference between "scan all history"
+        # and "scan two days" at 100 TB. None = store makes no heartbeat
+        # promise → as-of scans are unbounded (correct for arbitrary data).
+        self.heartbeat_s = heartbeat_s
+
+    def _default_lookback(self) -> float | None:
+        return 2.0 * self.heartbeat_s if self.heartbeat_s is not None else None
 
     # --- archiver surface (epicsarchiver/archiver.py) ---
 
@@ -54,11 +65,15 @@ class PVArchEngine:
         tmin: float | str | None = None,
         tmax: float | str | None = None,
         with_current: bool = False,
-        lookback: float | None = None,
+        lookback: float | None | str = "auto",
     ) -> DataFrame:
         """ref archiver.py:131-223 — range read + early-point seed,
-        optional live-value append, time-ordered."""
+        optional live-value append, time-ordered. ``lookback="auto"``
+        bounds the seed scan to 2×heartbeat_s (exact under the store's W3
+        heartbeat floor; see __init__); pass None to scan all history."""
         t0, t1 = self._window(tmin, tmax)
+        if lookback == "auto":
+            lookback = self._default_lookback()
         series = self.points.filter(F.col("pvname") == pvname)
         out = timeseries.get_data(series, t0, t1, lookback=lookback)
         if with_current and self._cache is not None:
@@ -67,8 +82,14 @@ class PVArchEngine:
             )
         return out.orderBy("time")
 
-    def get_value_at_time(self, pvname: str, t: float, lookback: float | None = None):
-        """ref archiver.py:112-129 — (time, value) as of t, or None."""
+    def get_value_at_time(
+        self, pvname: str, t: float, lookback: float | None | str = "auto"
+    ):
+        """ref archiver.py:112-129 — (time, value) as of t, or None.
+        ``lookback="auto"`` bounds the scan to 2×heartbeat_s (see
+        get_data); the reference itself scans only [t-60, t+1]."""
+        if lookback == "auto":
+            lookback = self._default_lookback()
         row = (
             timeseries.value_at_time(
                 self.points.filter(F.col("pvname") == pvname), t, lookback=lookback
@@ -77,6 +98,19 @@ class PVArchEngine:
             .head()
         )
         return (row.time, row.value) if row is not None else None
+
+    def locf_grid(
+        self,
+        t0: float,
+        t1: float,
+        step: float,
+        lookback: float | None | str = "auto",
+    ) -> DataFrame:
+        """W6 — LOCF grid over every attached series; the pre-window seed
+        scan is heartbeat-bounded by default (see get_data)."""
+        if lookback == "auto":
+            lookback = self._default_lookback()
+        return timeseries.locf_grid(self.points, t0, t1, step, lookback=lookback)
 
     def get_nchanged(self, minutes: float = 10, now: float | None = None) -> int:
         """ref archiver.py:475-487 — points archived in the last window."""

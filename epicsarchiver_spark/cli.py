@@ -203,7 +203,18 @@ def cmd_next(args) -> int:
     else:
         import re as _re
 
-        current = max(r.db for r in runs.collect())
+        def _runkey(db: str):
+            m = _re.search(r"(\d+)$", db)
+            return (int(m.group(1)) if m else -1, db)
+
+        # current run = the OPEN row (stop_time pinned at MAX_EPOCH), not
+        # a lexicographic max — "run_99999" > "run_100000" as strings, so
+        # string max would re-mint run_100000 forever once the counter
+        # outgrows its padding (ADVICE r3). Numeric tiebreak covers dims
+        # that were hand-edited to have no open row.
+        rows = runs.collect()
+        open_rows = [r.db for r in rows if r.stop_time >= MAX_EPOCH]
+        current = max(open_rows or [r.db for r in rows], key=_runkey)
         m = _re.search(r"(\d+)$", current)
         next_name = args.name or (
             f"{current[: m.start()]}{int(m.group(1)) + 1:0{len(m.group(1))}d}"

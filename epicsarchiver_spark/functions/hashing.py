@@ -24,6 +24,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 LONG_MAX = (1 << 63) - 1
+MERSENNE31 = (1 << 31) - 1  # modulus of the SQL-portable affine family
 
 
 def family_salts(num_hashes: int, seed: int = 42) -> list[int]:
@@ -33,6 +34,29 @@ def family_salts(num_hashes: int, seed: int = 42) -> list[int]:
         x = (x * 6364136223846793005 + 1442695040888963407) % (1 << 63)
         salts.append(x)
     return salts
+
+
+def affine31_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    """(a_i, b_i) pairs for the SQL-portable MinHash family
+    v = (a·(h mod p) + b) mod p, p = 2³¹−1. With a < p and h mod p < p the
+    product stays < 2⁶² — exact in plain BIGINT arithmetic in BOTH Spark
+    (ANSI-safe, no long overflow) and any SQL oracle engine, which is the
+    whole point of this family (the xorshift family needs 64-bit
+    wraparound that portable SQL cannot express)."""
+    salts = family_salts(2 * num_hashes, seed)
+    return [
+        (salts[2 * i] % (MERSENNE31 - 1) + 1, salts[2 * i + 1] % MERSENNE31)
+        for i in range(num_hashes)
+    ]
+
+
+def md5_hash60(c: Column) -> Column:
+    """60-bit non-negative hash: first 15 hex digits of md5, base-16 →
+    long. Reproducible in any SQL engine with md5() (DuckDB: fold hex
+    digits with shifts) — the *oracle-portable* shingle basis. JVM-side
+    (md5/conv/substring are builtins); prefer xxhash64 when cross-engine
+    reproducibility is not required (no hex-string materialization)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
 
 
 def hashed_shingles(shingles: Column) -> Column:
@@ -141,31 +165,60 @@ def hamming64(a: Column, b: Column) -> Column:
 # ---------------------------------------------------------------------------
 
 
-def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42, family: str = "xorshift"):
     """pandas_udf: array<long> base hashes → array<long> signature.
-    Same xorshift family as minhash_signature (uint64 wraparound)."""
+
+    family="xorshift" (default): the xorshift-mix permutation family above
+    (uint64 wraparound) over 64-bit bases — fastest, not SQL-portable.
+    family="affine31": v_i = (a_i·(h mod p) + b_i) mod p over p = 2³¹−1 —
+    every step exact in BIGINT, so an independent SQL engine reproduces
+    the signature bit-for-bit (the oracle mode; pair with md5_hash60
+    bases). Empty shingle sets get a sentinel (LONG_MAX / p)."""
     import numpy as np
     from pyspark.sql.types import ArrayType, LongType
 
-    salts = np.array(family_salts(num_hashes, seed), dtype=np.uint64)
+    if family == "xorshift":
+        salts = np.array(family_salts(num_hashes, seed), dtype=np.uint64)
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def fn(bh: pd.Series) -> pd.Series:
+            sentinel = np.uint64(LONG_MAX)
+
+            def sig(arr) -> list[int]:
+                if arr is None or len(arr) == 0:
+                    return [int(sentinel)] * num_hashes
+                h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
+                x = h[None, :] ^ salts[:, None]
+                x ^= x >> np.uint64(33)
+                # match the expression path: arithmetic shift on signed values
+                x = (x.view(np.int64) ^ (x.view(np.int64) >> np.int64(17))).view(np.uint64)
+                return x.min(axis=1).astype(np.int64).tolist()
+
+            return bh.map(sig)
+
+        return fn
+
+    if family != "affine31":
+        raise ValueError(f"unknown minhash family: {family!r}")
+
+    params = affine31_params(num_hashes, seed)
+    a = np.array([p[0] for p in params], dtype=np.int64)
+    b = np.array([p[1] for p in params], dtype=np.int64)
+    p31 = np.int64(MERSENNE31)
 
     @F.pandas_udf(ArrayType(LongType()))
-    def fn(bh: pd.Series) -> pd.Series:
-        sentinel = np.uint64(LONG_MAX)
-
+    def fn31(bh: pd.Series) -> pd.Series:
         def sig(arr) -> list[int]:
             if arr is None or len(arr) == 0:
-                return [int(sentinel)] * num_hashes
-            h = np.asarray(arr, dtype=np.int64).astype(np.uint64)
-            x = h[None, :] ^ salts[:, None]
-            x ^= x >> np.uint64(33)
-            # match the expression path: arithmetic shift on signed values
-            x = (x.view(np.int64) ^ (x.view(np.int64) >> np.int64(17))).view(np.uint64)
-            return x.min(axis=1).astype(np.int64).tolist()
+                return [int(p31)] * num_hashes
+            h = np.asarray(arr, dtype=np.int64) % p31
+            # a < p, h < p → a·h < 2⁶² : exact in int64, same as the oracle
+            v = (a[:, None] * h[None, :] + b[:, None]) % p31
+            return v.min(axis=1).tolist()
 
         return bh.map(sig)
 
-    return fn
+    return fn31
 
 
 def simhash64_udf():

@@ -25,11 +25,32 @@ from pyspark.sql import functions as F
 from epicsarchiver_spark.functions.hashing import (
     hamming64,
     lsh_bands,
+    md5_hash60,
     minhash_signature_udf,
     shingle_hashes,
     simhash64_udf,
 )
 from epicsarchiver_spark.functions.text import fingerprint64, tokens, word_shingles
+
+
+def _shingle_basis(text_col, shingle_k: int, basis: str):
+    """array<long> distinct shingle hashes under the chosen basis.
+
+    "xxhash" (default): string-free sliding xxhash64 combine — fastest
+    (no shingle-string materialization), JVM-only, NOT reproducible
+    outside Spark. "md5": explicit k-word shingle strings hashed with
+    md5_hash60 — bit-for-bit reproducible in any SQL engine with md5(),
+    so MinHash/SimHash results can be certified against an independent
+    oracle. Both are engine-native (no Python)."""
+    if basis == "xxhash":
+        return shingle_hashes(tokens(text_col), shingle_k)
+    if basis == "md5":
+        return F.array_distinct(F.transform(word_shingles(text_col, shingle_k), md5_hash60))
+    raise ValueError(f"unknown shingle basis: {basis!r}")
+
+
+def _sig_family(basis: str) -> str:
+    return "affine31" if basis == "md5" else "xorshift"
 
 
 def exact_duplicates(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -53,39 +74,72 @@ def dedup_exact(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> 
     return docs.join(keep.select(id_col), id_col, "left_semi")
 
 
-def minhash_candidates(
+def minhash_signatures(
     docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    num_hashes: int = 64,
+    seed: int = 42,
+    basis: str = "xxhash",
+) -> DataFrame:
+    """The MinHash signature table ``(id, sig: array<long>)`` — the
+    artifact a production pipeline writes out ONCE per corpus and reads
+    back for every candidate join (self-join and incremental between-
+    crawls alike). Pass the persisted frame to ``minhash_candidates(...,
+    signatures=)`` / ``minhash_candidates_between(...,
+    corpus_signatures=)`` so signatures never recompute per call."""
+    # two-projection layout: shingle-hash once, THEN the 64-fn family
+    # over the materialized array (see functions/hashing.py module note)
+    base = docs.select(
+        F.col(id_col), _shingle_basis(F.col(text), shingle_k, basis).alias("bh")
+    )
+    return base.select(
+        F.col(id_col),
+        minhash_signature_udf(num_hashes, seed, _sig_family(basis))(F.col("bh")).alias("sig"),
+    )
+
+
+def minhash_candidates(
+    docs: DataFrame | None,
     text: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    basis: str = "xxhash",
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH candidate pairs with estimated Jaccard from signature
     agreement. Pipeline: shingle → signature → explode band buckets →
     bucket self-join (a.id < b.id) → distinct pair → signature-agreement
     estimate. Only ids+signatures shuffle; bucket join is an equi-join
-    Catalyst plans as a shuffled hash join on (band, bucket)."""
-    rows_per_band = num_hashes // bands
-    # two-projection layout: shingle-hash once (string-free sliding
-    # combine), THEN the 64-fn family over the materialized array (see
-    # functions/hashing.py module note)
-    base = docs.select(
-        F.col(id_col), shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh")
-    )
-    sigs = base.select(
-        F.col(id_col),
-        minhash_signature_udf(num_hashes, seed)(F.col("bh")).alias("sig"),
-    )
-    # the signature subplan feeds candidate generation AND two pair-side
-    # re-joins — persist so the (expensive) signatures compute once. The
-    # cluster-scale analog is writing the signature table out once and
-    # reading it back for both sides.
-    from pyspark import StorageLevel
+    Catalyst plans as a shuffled hash join on (band, bucket).
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
-    sigs.count()  # eager: fill the cache before three consumers race on it
+    ``signatures``: a precomputed ``(id, sig)`` frame (from
+    ``minhash_signatures``, typically read back from a persisted table).
+    When given, ``docs`` may be None and NO caching happens here — the
+    caller owns the signature storage, which is the production shape.
+    When absent, signatures are derived from ``docs`` and persisted
+    lazily for the three consumers in this plan; the caller may
+    ``unpersist`` the returned frame's cached ancestor via
+    ``spark.catalog.clearCache()`` or simply prefer the signatures= path."""
+    rows_per_band = num_hashes // bands
+    if signatures is not None:
+        sigs = signatures.select(F.col(id_col), "sig")
+    else:
+        sigs = minhash_signatures(
+            docs, text=text, id_col=id_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, seed=seed, basis=basis,
+        )
+        # the signature subplan feeds candidate generation AND two
+        # pair-side re-joins — persist (lazily: the first job fills the
+        # cache, later consumers in the same action reuse it) so the
+        # expensive signatures compute once.
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     # candidate generation moves only (id, band, bucket) — signatures
     # (64×8 B each) stay out of the explode/join/dedup shuffles and are
     # re-attached once per surviving pair
@@ -143,42 +197,57 @@ def dedup_against_corpus(
 
 def minhash_candidates_between(
     new_docs: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | None,
     text: str = "text",
     id_col: str = "doc_id",
     shingle_k: int = 3,
     num_hashes: int = 64,
     bands: int = 16,
     seed: int = 42,
+    basis: str = "xxhash",
+    corpus_signatures: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus MinHash+LSH candidates: (new_id, corpus_id,
     est_jaccard) for pairs sharing ≥1 band bucket — the near-dup analog
     of ``dedup_against_corpus`` for incremental ingest. Same shuffle
     discipline as the self-join variant: only (id, band, bucket) moves
     through candidate generation; signatures re-attach per surviving
-    pair. The corpus signature table is the thing a real pipeline
-    persists between batches — recompute here is the stand-in for
-    reading it back."""
+    pair.
+
+    ``corpus_signatures``: the persisted corpus signature table (from
+    ``minhash_signatures``) — the thing a real pipeline writes once and
+    reads back every batch; when given, ``corpus`` may be None and the
+    corpus text is never touched, and nothing is cached on the session.
+    When absent, both signature frames are derived here and persisted
+    MEMORY_AND_DISK; in a per-batch ingest LOOP that cache accumulates
+    for the life of the session — callers running this repeatedly MUST
+    either pass ``corpus_signatures=`` (preferred) or clear the cache
+    between batches (``spark.catalog.clearCache()``)."""
     rows_per_band = num_hashes // bands
 
-    def bucketed(df: DataFrame, out_id: str):
-        base = df.select(
-            F.col(id_col).alias(out_id),
-            shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh"),
-        )
-        sigs = base.select(
-            out_id, minhash_signature_udf(num_hashes, seed)(F.col("bh")).alias("sig")
-        )
-        from pyspark import StorageLevel
-
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    def bucketed_from(sigs: DataFrame, out_id: str):
         bb = sigs.select(
             out_id, F.explode(lsh_bands(F.col("sig"), bands, rows_per_band)).alias("bb")
         ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
         return sigs, bb
 
+    def bucketed(df: DataFrame, out_id: str):
+        sigs = minhash_signatures(
+            df, text=text, id_col=id_col, shingle_k=shingle_k,
+            num_hashes=num_hashes, seed=seed, basis=basis,
+        ).select(F.col(id_col).alias(out_id), "sig")
+        from pyspark import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        return bucketed_from(sigs, out_id)
+
     new_sigs, new_bb = bucketed(new_docs, "new_id")
-    cor_sigs, cor_bb = bucketed(corpus, "corpus_id")
+    if corpus_signatures is not None:
+        cor_sigs, cor_bb = bucketed_from(
+            corpus_signatures.select(F.col(id_col).alias("corpus_id"), "sig"), "corpus_id"
+        )
+    else:
+        cor_sigs, cor_bb = bucketed(corpus, "corpus_id")
     pairs = (
         new_bb.join(cor_bb, ["band", "bucket"])
         .select("new_id", "corpus_id")
@@ -220,12 +289,18 @@ def simhash_near_duplicates(
     shingle_k: int = 2,
     max_hamming: int = 3,
     blocks: int = 4,
+    basis: str = "xxhash",
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit signatures, candidates share at least
     one of `blocks` 16-bit blocks (pigeonhole: any pair within hamming r <
-    blocks shares a block), verified by exact hamming distance."""
+    blocks shares a block), verified by exact hamming distance.
+
+    ``basis="md5"`` swaps the shingle hashes for the SQL-portable 60-bit
+    md5 basis (see ``_shingle_basis``) — signature bits 60–63 are then
+    always 0, shrinking the top block's entropy to 12 bits but making the
+    whole pipeline reproducible in an independent SQL engine."""
     base = docs.select(
-        F.col(id_col), shingle_hashes(tokens(F.col(text)), shingle_k).alias("bh")
+        F.col(id_col), _shingle_basis(F.col(text), shingle_k, basis).alias("bh")
     )
     sigs = base.select(F.col(id_col), simhash64_udf()(F.col("bh")).alias("sh"))
     block_width = 64 // blocks

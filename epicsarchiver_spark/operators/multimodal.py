@@ -148,21 +148,31 @@ def _parse_wav(payload: bytes):
 
     if payload is None or len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         return None
-    pos, rate, n_ch, bits, data = 12, None, None, None, None
-    while pos + 8 <= len(payload):
-        tag = payload[pos : pos + 4]
-        size = struct.unpack_from("<I", payload, pos + 4)[0]
-        if tag == b"fmt ":
-            fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
-            bits = struct.unpack_from("<H", payload, pos + 22)[0]
-            if fmt != 1:
-                return None
-        elif tag == b"data":
-            data = payload[pos + 8 : pos + 8 + size]
-        pos += 8 + size + (size & 1)
-    if rate is None or data is None or bits != 16:
+    # the chunk walk must NEVER raise on malformed bytes — one bad blob
+    # would kill the whole Spark task/stage; unparseable → None and the
+    # caller falls back to the deterministic fake features
+    try:
+        pos, rate, n_ch, bits, data = 12, None, None, None, None
+        while pos + 8 <= len(payload):
+            tag = payload[pos : pos + 4]
+            size = struct.unpack_from("<I", payload, pos + 4)[0]
+            if tag == b"fmt ":
+                # a truncated fmt chunk makes unpack_from raise → caught
+                fmt, n_ch, rate = struct.unpack_from("<HHI", payload, pos + 8)
+                bits = struct.unpack_from("<H", payload, pos + 22)[0]
+                if fmt != 1:
+                    return None
+            elif tag == b"data":
+                data = payload[pos + 8 : pos + 8 + size]
+            pos += 8 + size + (size & 1)
+        if rate is None or not rate or data is None or bits != 16 or not n_ch:
+            return None
+        # truncated/odd-length data: clamp to whole int16 samples so
+        # frombuffer cannot raise on a ragged tail
+        data = data[: len(data) // 2 * 2]
+        return np.frombuffer(data, dtype="<i2"), rate, n_ch
+    except (struct.error, ValueError):
         return None
-    return np.frombuffer(data, dtype="<i2"), rate, n_ch
 
 
 class PurePythonCodec(DeterministicFakeCodec):

@@ -74,15 +74,6 @@ def _signature_udf_lazy(n_planes: int, seed: int):
     return sig
 
 
-def _signature_of(planes: list[list[float]], vec: list[float]) -> int:
-    """Driver-side twin of _signature_udf for a single (query) vector —
-    same numpy ops, so query and corpus signatures agree bit-for-bit."""
-    P = np.asarray(planes, dtype=np.float64)
-    bits = (np.asarray(vec, dtype=np.float64) @ P.T) > 0
-    weights = (1 << np.arange(P.shape[0], dtype=np.uint64))
-    return int((bits.astype(np.uint64) * weights).sum().astype(np.int64))
-
-
 def _nearest_cell_udf(cents: list[list[float]]):
     """Arrow-batched IVF cell assignment: argmin ‖v−c‖² over the centroid
     matrix via one GEMM per batch (argmin(‖c‖² − 2 v·c)); returns 1-based
@@ -270,21 +261,32 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane signature buckets;
     search only buckets within `max_hamming` bits of the query's bucket.
-    Recall/VS-cost dial = (n_planes, max_hamming). Corpus signatures via
-    the Arrow-batched GEMM UDF (plan flat in dim); the query's signature
-    is plain driver-side numpy — same ops, bit-identical."""
-    planes = _hyperplanes(len(query), n_planes, seed)
-    qsig = _signature_of(planes, query)
+    Recall/VS-cost dial = (n_planes, max_hamming).
 
-    q = F.array(*[F.lit(float(x)) for x in query])
-    corpus = vectors.select(
-        F.col(id_col), as_double(F.col(vec_col)).alias("v")
-    ).withColumn("sig", _signature_udf(planes)(F.col("v")))
-    cand = corpus.filter(
-        F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
+    Routed through the hamming-ball equi-join (``lsh_pairwise_topk``)
+    with a one-row probe frame: the query's signature explodes into its
+    Σ C(n_planes, h) ball variants, the ball broadcasts, and candidates
+    come from a BroadcastHashJoin on signature — identical candidate set
+    to (and replacing) the old full-corpus ``bit_count(sig XOR q)``
+    filter, which scanned and signed every row per probe (r3 VERDICT)."""
+    probe = vectors.sparkSession.createDataFrame(
+        [(0, [float(x) for x in query])],
+        f"{id_col} bigint, {vec_col} array<double>",
+    )
+    hits = lsh_pairwise_topk(
+        vectors,
+        probe,
+        k=k,
+        n_planes=n_planes,
+        max_hamming=max_hamming,
+        id_col=id_col,
+        vec_col=vec_col,
+        seed=seed,
+        dim=len(query),
+        exclude_self=False,  # an external query vector excludes nothing
     )
     return (
-        cand.select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine_sim"))
+        hits.select(F.col("corpus_id").alias(id_col), "cosine_sim")
         .orderBy(F.col("cosine_sim").desc(), F.col(id_col))
         .limit(k)
     )
@@ -315,6 +317,7 @@ def lsh_pairwise_topk(
     vec_col: str = "embedding",
     seed: int = 42,
     dim: int | None = None,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Multi-probe ANN — the scale path ``pairwise_topk`` (brute-force
     probes × corpus) lacks: both sides signed with the SAME hyperplane
@@ -325,7 +328,9 @@ def lsh_pairwise_topk(
     theta-join (that plans as a nested loop over probes × corpus), no
     corpus shuffle before the per-probe top-k on surviving candidates.
     Each corpus signature matches at most one ball variant per probe, so
-    pairs are already distinct."""
+    pairs are already distinct. ``exclude_self=False`` keeps corpus rows
+    whose id equals the probe id — for probes that are NOT corpus members
+    (e.g. an external query routed through ``lsh_bucket_topk``)."""
     sig_udf = (
         _signature_udf(_hyperplanes(dim, n_planes, seed))
         if dim is not None
@@ -347,9 +352,11 @@ def lsh_pairwise_topk(
 
     from pyspark.sql import Window
 
+    joined = corpus.join(F.broadcast(ball), "sig")
+    if exclude_self:
+        joined = joined.filter(F.col("corpus_id") != F.col("probe_id"))
     scored = (
-        corpus.join(F.broadcast(ball), "sig")
-        .filter(F.col("corpus_id") != F.col("probe_id"))
+        joined
         .select(
             "probe_id",
             "corpus_id",

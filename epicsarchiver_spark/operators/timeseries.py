@@ -195,10 +195,29 @@ def rate_windowed(
     )
 
 
-def locf_grid(points: DataFrame, t0: float, t1: float, step: float, key: str = "pvname") -> DataFrame:
+def locf_grid(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    key: str = "pvname",
+    lookback: float | None = None,
+) -> DataFrame:
     """W6 — step/LOCF resampling onto a regular grid: value holds until the
     next change (ref epicsarchiver/web_utils.py:202 'hv' step rendering).
-    Grid generated with sequence() per series — no driver loop."""
+    Grid generated with sequence() per series — no driver loop.
+
+    Points after the last grid probe can never be a LOCF source, so the
+    scan is always pruned to time <= t1 + tol (semantics-preserving).
+    ``lookback`` additionally bounds the pre-window side to
+    [t0 - lookback, ...] — exact when the store honors the W3
+    forced-heartbeat floor (see ``early_point``); without it, a series
+    whose last point predates the bound loses its seed and its grid rows
+    lead with nulls."""
+    tol = 1e-4
+    # keys from the UNPRUNED frame: every series keeps its grid rows even
+    # when all its points fall outside the pruned scan (they become nulls,
+    # not missing series)
     keys = points.select(key).distinct()
     grid = keys.select(
         F.col(key),
@@ -209,5 +228,8 @@ def locf_grid(points: DataFrame, t0: float, t1: float, step: float, key: str = "
             )
         ).alias("t"),
     )
+    pruned = points.filter(F.col("time") <= t1 + tol)
+    if lookback is not None:
+        pruned = pruned.filter(F.col("time") >= t0 - lookback)
     keep = [key, "time", "value"] + (["event_id"] if "event_id" in points.columns else [])
-    return asof_join(points.select(*keep), grid, key=key)
+    return asof_join(pruned.select(*keep), grid, key=key)

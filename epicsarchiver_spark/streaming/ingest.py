@@ -226,11 +226,48 @@ def compressed_stream(
     )
 
 
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _ensure_rocksdb_provider(spark, set_provider: bool) -> None:
+    """transformWithState requires the RocksDB state store, and the
+    provider class is a SESSION-wide conf — flipping it here also changes
+    the provider for every streaming query started on this session
+    afterwards (their checkpoints are then created under RocksDB). So:
+    loudly warn when we change an effective value, and let callers who
+    manage the conf themselves pass ``set_provider=False`` (then a
+    non-RocksDB session is an error, not a silent misconfiguration)."""
+    current = spark.conf.get(_PROVIDER_KEY, None)
+    if current == _ROCKSDB_PROVIDER:
+        return
+    if not set_provider:
+        raise ValueError(
+            f"transformWithState needs {_PROVIDER_KEY}={_ROCKSDB_PROVIDER} "
+            f"(session has {current!r}); set it on the session or pass "
+            "set_provider=True"
+        )
+    import warnings
+
+    warnings.warn(
+        f"switching session-wide {_PROVIDER_KEY} from {current!r} to RocksDB: "
+        "streaming queries started on this session AFTER this call will also "
+        "use RocksDB state stores (their checkpoints become provider-specific). "
+        "Pass set_provider=False and manage the conf explicitly to opt out.",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
+
+
 def compressed_stream_resumable(
     events: DataFrame,
     deadtime: float = 5.0,
     deadband: float = 0.0,
     initial_state: DataFrame | None = None,
+    set_provider: bool = True,
 ) -> DataFrame:
     """W1/W2 compression via Spark 4's ``transformWithStateInPandas``,
     with WARM-START: ``initial_state`` — a batch ``(pvname, time, value)``
@@ -247,8 +284,12 @@ def compressed_stream_resumable(
     in-memory limbo entry is not recoverable from the store (the
     reference loses it on restart too) — seeds carry pend = null.
 
-    Uses the RocksDB state store (required by transformWithState; conf is
-    set on the session here — it applies to queries started afterwards).
+    Uses the RocksDB state store (required by transformWithState). NOTE
+    the conf is SESSION-wide: building this frame switches the provider
+    for every streaming query started on the session afterwards — a
+    RuntimeWarning is emitted when the value actually changes, and
+    ``set_provider=False`` refuses to touch the session (raising unless
+    the conf is already RocksDB) for callers who manage it themselves.
     No processing-time timers: the pending tail stays in state at end of
     a bounded run, exactly like ``compressed_stream(flush_ms=None)``.
 
@@ -269,10 +310,7 @@ def compressed_stream_resumable(
     )
 
     spark = events.sparkSession
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
+    _ensure_rocksdb_provider(spark, set_provider)
     dt, db = deadtime, deadband
 
     class _CompressProcessor(StatefulProcessor):

@@ -110,6 +110,50 @@ def test_windowed_operators_accept_storeonly_columns(engine):
     assert heartbeat_fill(pts, max_silence=1000.0).count() > 0
 
 
+def test_bounded_lookback_exact_on_compliant_store(engine):
+    """50 s spacing ≪ the default 24 h heartbeat: the bounded default
+    must return exactly what an unbounded scan returns — the W3-floor
+    exactness claim, tested."""
+    bounded = [(r.time, r.value) for r in engine.get_data("S1:m1.VAL", 1000.0, 2000.0).collect()]
+    unbounded = [
+        (r.time, r.value)
+        for r in engine.get_data("S1:m1.VAL", 1000.0, 2000.0, lookback=None).collect()
+    ]
+    assert bounded == unbounded and bounded[0][0] == 950.0
+
+    g_b = sorted(
+        (r.pvname, r.t, r.value) for r in engine.locf_grid(1000.0, 2000.0, 250.0).collect()
+    )
+    g_u = sorted(
+        (r.pvname, r.t, r.value)
+        for r in engine.locf_grid(1000.0, 2000.0, 250.0, lookback=None).collect()
+    )
+    assert g_b == g_u and len(g_b) == 3 * 5
+
+
+def test_bounded_lookback_misses_seed_beyond_gap(spark):
+    """A series silent for longer than the lookback loses its seed (the
+    documented failure mode a compliant heartbeat store cannot hit):
+    bounded get_data returns only in-window rows, unbounded still seeds."""
+    import pandas as pd
+
+    from epicsarchiver_spark.api import PVArchEngine
+
+    pts = spark.createDataFrame(
+        pd.DataFrame(
+            [("G1", 100.0, 1.0), ("G1", 5000.0, 2.0), ("G1", 5500.0, 3.0)],
+            columns=["pvname", "time", "value"],
+        )
+    )
+    eng = PVArchEngine(spark, pts, heartbeat_s=500.0)  # lookback = 1000 < gap
+    bounded = [r.time for r in eng.get_data("G1", 4900.0, 6000.0).collect()]
+    assert bounded == [5000.0, 5500.0]  # no seed: last point is 4800 s back
+    unbounded = [r.time for r in eng.get_data("G1", 4900.0, 6000.0, lookback=None).collect()]
+    assert unbounded == [100.0, 5000.0, 5500.0]
+    assert eng.get_value_at_time("G1", 4900.0) is None  # bounded as-of
+    assert eng.get_value_at_time("G1", 4900.0, lookback=None) == (100.0, 1.0)
+
+
 def test_position_and_check_facade(engine):
     """WebInstruments save/restore + pvarch check via the facade."""
     pos = engine.save_position(None, "beamline", "park", ts=2525.0)

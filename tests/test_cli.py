@@ -101,6 +101,27 @@ def test_next_rotates_runs(spark, tmp_path, capsys):
     assert runs[0].stop_time == runs[1].start_time
 
 
+def test_next_survives_padding_overflow(spark, tmp_path, capsys):
+    """Once the counter outgrows its zero-padding, rotation must keep
+    advancing numerically (string max would pick run_99999 over
+    run_100000 forever and mint duplicate names — ADVICE r3)."""
+    from epicsarchiver_spark.operators.control import MAX_EPOCH
+
+    runs_file = str(tmp_path / "runs.parquet")
+    spark.createDataFrame(
+        [
+            ("run_99999", 1000.0, 2000.0),
+            ("run_100000", 2000.0, MAX_EPOCH),  # open current run
+        ],
+        "db string, start_time double, stop_time double",
+    ).write.parquet(runs_file)
+    assert cli.main(["next", "--runs-file", runs_file]) == 0
+    assert "run_100001" in capsys.readouterr().out
+    names = sorted(r.db for r in spark.read.parquet(runs_file).collect())
+    assert names == ["run_100000", "run_100001", "run_99999"]
+    assert len(set(names)) == 3  # no duplicate run names
+
+
 def test_check_liveness_exit_codes(spark, store, capsys):
     """pvarch check (doc/setup.rst:40-42): the store's points are at
     epoch 0..3000, ancient vs now → DEAD/1; with a huge cadence → ok/0."""

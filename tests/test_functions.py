@@ -539,6 +539,55 @@ def test_pure_python_codec_falls_back_on_unknown_bytes():
     assert PurePythonCodec().decode_features(junk) == DeterministicFakeCodec().decode_features(junk)
 
 
+def test_pure_python_codec_never_raises_on_malformed_riff():
+    """Adversarial RIFF payloads must fall back, not raise — a struct
+    error inside the codec would kill the whole Spark task (ADVICE r3):
+    truncated fmt chunk, odd-length data chunk, data size overrunning the
+    payload, and a fmt chunk cut at every possible byte length."""
+    import struct
+
+    from epicsarchiver_spark.operators.multimodal import (
+        DeterministicFakeCodec,
+        PurePythonCodec,
+        _parse_wav,
+    )
+
+    fake, real = DeterministicFakeCodec(), PurePythonCodec()
+
+    def must_fall_back(payload):
+        assert _parse_wav(payload) is None
+        assert real.decode_features(payload) == fake.decode_features(payload)
+        assert real.sample_frames(payload, 1000, 250) == fake.sample_frames(payload, 1000, 250)
+
+    base = b"RIFF" + struct.pack("<I", 100) + b"WAVE"
+    # fmt chunk claiming 16 bytes but truncated mid-struct, at every cut
+    for cut in range(16):
+        must_fall_back(base + b"fmt " + struct.pack("<I", 16) + b"\x01\x00"[:cut] + b"\x00" * min(cut, 14))
+    # odd-length data chunk (ragged int16 tail)
+    odd = (
+        b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 5) + b"\x01\x02\x03\x04\x05"
+    )
+    got = _parse_wav(odd)  # parseable: clamps to 2 whole samples
+    assert got is not None and len(got[0]) == 2
+    # data size field far beyond the actual payload
+    overrun = (
+        b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 1 << 30) + b"\x01\x02\x03\x04"
+    )
+    got = _parse_wav(overrun)
+    assert got is not None and len(got[0]) == 2  # clamped to real bytes
+    # zero sample rate must not divide-by-zero downstream
+    zrate = (
+        b"RIFF" + struct.pack("<I", 60) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 0, 0, 2, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x01\x02\x03\x04"
+    )
+    must_fall_back(zrate)
+
+
 def test_dedup_segments_line_mode(spark):
     """Default newline mode: repeated lines (boilerplate) drop, first
     occurrence and order preserved, empties ignored."""
@@ -555,3 +604,30 @@ def test_dedup_segments_line_mode(spark):
     assert out[1].text_dedup == "nav bar\ncontent one\nfooter\ncontent two"
     assert (out[1].n_segments, out[1].n_kept) == (6, 4)
     assert (out[2].n_segments, out[2].n_kept, out[2].text_dedup) == (1, 1, "only")
+
+
+def test_dedup_segments_oracle_agrees_on_degenerate_docs(spark):
+    """Empty and separator-only docs: the engine emits (0, 0, '') rows and
+    the DuckDB oracle must keep them too (ADVICE r3: the old stats-JOIN
+    oracle dropped such docs — masked because the sf corpus has none)."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from epicsarchiver_spark.operators.text_ops import dedup_segments
+
+    rows = [(1, ""), (2, "   "), (3, "a b a"), (4, " ")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r.doc_id, r.n_segments, r.n_kept, r.text_dedup)
+        for r in dedup_segments(docs, sep=" ").collect()
+    )
+    assert got == [(1, 0, 0, ""), (2, 0, 0, ""), (3, 3, 2, "a b"), (4, 0, 0, "")]
+
+    con = duckdb.connect()
+    con.register("documents", pd.DataFrame(rows, columns=["doc_id", "text"]))
+    oracle = sorted(
+        tuple(r) for r in con.execute(entrymod.oracle_sql()["doc_segment_dedup"]).fetchall()
+    )
+    con.close()
+    assert oracle == got

@@ -84,3 +84,88 @@ def test_similar_docs_high_estimated_jaccard(spark):
     df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}))
     cands = {(r.id_a, r.id_b): r.est_jaccard for r in minhash_candidates(df).collect()}
     assert (0, 1) in cands and cands[(0, 1)] > 0.5  # one-word difference
+
+
+def test_md5_basis_matches_python_reference(spark):
+    """basis="md5": the 60-bit shingle hash and the affine-mod-p MinHash
+    family must match an independent pure-python recompute bit-for-bit —
+    the property the DuckDB oracle relies on."""
+    import hashlib
+
+    from epicsarchiver_spark.functions.hashing import (
+        MERSENNE31,
+        affine31_params,
+        md5_hash60,
+        minhash_signature_udf,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}))
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", md5_hash60(F.col("text")).alias("h")).collect()
+    }
+    for i, t in enumerate(TEXTS):
+        assert got[i] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+
+    # signature over the md5 shingle basis vs python
+    base = df.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(word_shingles(F.col("text"), 2), md5_hash60)
+        ).alias("bh"),
+    )
+    sigs = {
+        r.doc_id: list(r.sig)
+        for r in base.select(
+            "doc_id", minhash_signature_udf(16, 42, family="affine31")(F.col("bh")).alias("sig")
+        ).collect()
+    }
+    params = affine31_params(16, 42)
+    for i, t in enumerate(TEXTS):
+        toks = [w for w in t.split() if w]
+        sh = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
+        hs = sorted({int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh})
+        if not hs:
+            expect = [MERSENNE31] * 16
+        else:
+            expect = [
+                min((a * (h % MERSENNE31) + b) % MERSENNE31 for h in hs) for a, b in params
+            ]
+        assert sigs[i] == expect, f"doc {i}"
+
+
+def test_minhash_signature_table_reuse(spark, tmp_path):
+    """The production shape: write the signature table once, read it back,
+    feed it to both the self-join and the incremental between-crawls
+    candidate generators — results identical to the inline path and the
+    corpus text is never re-read."""
+    from epicsarchiver_spark.operators.dedup import (
+        minhash_candidates,
+        minhash_candidates_between,
+        minhash_signatures,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}))
+    sig_path = str(tmp_path / "sigs")
+    minhash_signatures(df, shingle_k=2).write.parquet(sig_path)
+    stored = spark.read.parquet(sig_path)
+
+    inline = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_candidates(df, shingle_k=2).collect()
+    )
+    reused = sorted(
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_candidates(None, signatures=stored).collect()
+    )
+    assert inline == reused and inline
+
+    new = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [100], "text": [TEXTS[0]]})
+    )
+    between = minhash_candidates_between(
+        new, None, shingle_k=2, corpus_signatures=stored
+    ).collect()
+    assert {(r.new_id, r.corpus_id) for r in between} >= {(100, 0)}
+    exact = [r for r in between if r.new_id == 100 and r.corpus_id == 0]
+    assert exact[0].est_jaccard == 1.0

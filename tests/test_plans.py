@@ -199,6 +199,68 @@ def test_banded_cosine_builds_without_dim_probe(spark):
     )
 
 
+def test_bounded_asof_prunes_seed_scan(spark):
+    """The heartbeat-bounded as-of read must apply time >= t0 - lookback
+    BEFORE the per-series window sort — at 100 TB that bound is the
+    difference between windowing two days and windowing all history.
+    (On the events harness view `time` is derived from `ts`, so the
+    bound lands as an early Filter, not in PushedFilters — the physical
+    points store has a real double `time` column and gets true scan
+    pushdown, asserted in test_facade_defaults_to_heartbeat_lookback.)"""
+    import __spark_entry__ as em
+
+    lo = em.T0 - em.ASOF_LOOKBACK
+    # Java renders the double in scientific notation (1.7043264E9)
+    forms = (f">= {lo}", f">= {int(lo)}", f">= {lo / 1e9}E9")
+
+    plan = explain_str(entrymod.queries()["ts_get_data_bounded"](spark, SF_ORACLE))
+    assert any(f in plan for f in forms), plan[:3000]
+
+    gplan = explain_str(entrymod.queries()["ts_locf_grid_bounded"](spark, SF_ORACLE))
+    assert any(f in gplan for f in forms), gplan[:3000]
+
+
+def test_facade_defaults_to_heartbeat_lookback(spark, tmp_path):
+    """PVArchEngine.get_data's DEFAULT plan must push the bounded seed
+    scan (lookback='auto' → 2×heartbeat_s) down to the parquet scan of a
+    physical points store, and heartbeat_s=None must restore the
+    unbounded seed scan."""
+    import pandas as pd
+
+    from epicsarchiver_spark.api import PVArchEngine
+
+    path = str(tmp_path / "pts")
+    pdf = pd.DataFrame(
+        [("P1", float(t), 1.0) for t in range(0, 5000, 50)],
+        columns=["pvname", "time", "value"],
+    )
+    spark.createDataFrame(pdf).write.parquet(path)
+    pts = spark.read.parquet(path)
+
+    # heartbeat 1000 → lookback 2000 → seed scan bound = 3000 - 2000
+    bounded = " ".join(
+        pushed_filters(PVArchEngine(spark, pts, heartbeat_s=1000.0).get_data("P1", 3000.0, 4000.0))
+    )
+    assert "GreaterThanOrEqual(time" in bounded and "1000.0" in bounded, bounded
+
+    unbounded = " ".join(
+        pushed_filters(PVArchEngine(spark, pts, heartbeat_s=None).get_data("P1", 3000.0, 4000.0))
+    )
+    assert "1000.0" not in unbounded, unbounded  # only the range bounds remain
+
+
+def test_minhash_builds_without_eager_count(spark):
+    """minhash_candidates must be plan-only at construction: the old
+    cache-priming sigs.count() was one driver-blocking full scan before
+    the real job (r3 VERDICT nit #1)."""
+    from epicsarchiver_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    _assert_no_jobs_during(
+        spark, lambda: dedup.minhash_candidates(docs, shingle_k=2), "minhash-plan-only"
+    )
+
+
 def test_lsh_multi_probe_is_broadcast_equi_join(spark):
     """Multi-probe ANN must candidate-generate via a broadcast hash
     equi-join on the exploded hamming ball — a bit_count theta-join
@@ -207,3 +269,14 @@ def test_lsh_multi_probe_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_lsh_single_query_is_broadcast_equi_join(spark):
+    """The single-query path routes through the same hamming-ball
+    equi-join (1-row probe frame): no full-corpus bit_count filter —
+    the corpus must meet a BroadcastHashJoin on signature (r3 VERDICT
+    nit #2)."""
+    plan = _plan(spark, "emb_topk_lsh")
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "bit_count" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -483,6 +483,40 @@ def _has_protobuf() -> bool:
         return False
 
 
+def test_rocksdb_provider_switch_is_loud_and_scoped(spark):
+    """Flipping the session-wide state-store provider must WARN (other
+    queries started afterwards inherit it — ADVICE r3), and
+    set_provider=False must refuse a non-RocksDB session instead of
+    silently reconfiguring it. Testable without protobuf: the conf logic
+    is independent of transformWithState itself."""
+    from epicsarchiver_spark.streaming.ingest import (
+        _PROVIDER_KEY,
+        _ROCKSDB_PROVIDER,
+        _ensure_rocksdb_provider,
+    )
+
+    prev = spark.conf.get(_PROVIDER_KEY, None)
+    try:
+        spark.conf.unset(_PROVIDER_KEY)
+        with pytest.raises(ValueError, match="set_provider"):
+            _ensure_rocksdb_provider(spark, set_provider=False)
+        with pytest.warns(RuntimeWarning, match="session-wide"):
+            _ensure_rocksdb_provider(spark, set_provider=True)
+        assert spark.conf.get(_PROVIDER_KEY) == _ROCKSDB_PROVIDER
+        # already RocksDB: idempotent, no warning, no error either way
+        import warnings as _w
+
+        with _w.catch_warnings():
+            _w.simplefilter("error")
+            _ensure_rocksdb_provider(spark, set_provider=True)
+            _ensure_rocksdb_provider(spark, set_provider=False)
+    finally:
+        if prev is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev)
+
+
 @pytest.mark.skipif(
     not _has_protobuf(),
     reason="transformWithState python worker needs protobuf (absent in this container)",
