@@ -105,13 +105,24 @@ def _compress_kernel(
     deadband: float,
     flush_ms: int | None,
     heartbeat_s: float | None = None,
-    seeds: dict | None = None,
+    seeds=None,
+    seed_col: str | None = None,
 ):
     """Build the applyInPandasWithState kernel closed over the config.
 
-    ``seeds`` — optional {pvname: (last_t, last_v)} warm-start map: a
-    series with no checkpointed state starts from its last ARCHIVED
-    point instead of cold (see compressed_stream)."""
+    ``seeds`` — optional {pvname: (last_t, last_v)} warm-start map (plain
+    dict, or a ``pyspark.Broadcast`` of one — the broadcast ships once
+    per executor instead of pickling into every task closure): a series
+    with no checkpointed state starts from its last ARCHIVED point
+    instead of cold (see compressed_stream).
+
+    ``seed_col`` — name of a boolean column marking IN-STREAM seed rows:
+    the fully distributed warm start (no driver dict at any size). Seed
+    rows carry each series' last archived (time, value); on a series
+    with no checkpointed state the newest seed row becomes (last_t,
+    last_v) and is NOT emitted; with existing state seed rows are
+    ignored (checkpoint wins). Seed rows never reach the compressor as
+    events."""
 
     def fn(
         key: tuple,
@@ -119,14 +130,15 @@ def _compress_kernel(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         pvname = key[0]
+        seed_map = seeds.value if hasattr(seeds, "value") else seeds
         if state.exists:
             last_t, last_v, pend_t, pend_v = state.get
         else:
             last_t = last_v = pend_t = pend_v = None
-            if seeds is not None and pvname in seeds:
+            if seed_map is not None and pvname in seed_map:
                 # warm start: continue the deadtime window from the last
                 # archived point; the seed itself is NOT re-emitted
-                last_t, last_v = seeds[pvname]
+                last_t, last_v = seed_map[pvname]
 
         out_t: list[float] = []
         out_v: list[float] = []
@@ -157,6 +169,13 @@ def _compress_kernel(
             arm_timer(False)
         else:
             rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            if seed_col is not None and len(rows) and seed_col in rows.columns:
+                is_seed = rows[seed_col].fillna(False).astype(bool)
+                seed_rows = rows[is_seed]
+                rows = rows[~is_seed]
+                if last_t is None and len(seed_rows):
+                    srow = seed_rows.sort_values("time").iloc[-1]
+                    last_t, last_v = float(srow["time"]), float(srow["value"])
             if len(rows):
                 rows = rows.sort_values("time")
                 out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
@@ -178,7 +197,8 @@ def compressed_stream(
     deadband: float = 0.0,
     flush_ms: int | None = 1000,
     heartbeat_s: float | None = None,
-    seeds: dict | None = None,
+    seeds=None,
+    seed_col: str | None = None,
 ) -> DataFrame:
     """W1/W2 — stateful deadtime/deadband/limbo compression of a streaming
     ``(pvname, time, value)`` frame. Keyed state per series; bursts inside
@@ -206,24 +226,47 @@ def compressed_stream(
     archiver's RESTART behavior (startup reloads last_ts/last_value from
     the cache so the deadtime window continues across the restart). A
     new query with a fresh checkpoint then does not re-emit each
-    series' first event or reset its window. Seeds ride the kernel
-    closure — fine to ~10⁵ series; beyond that use
-    ``compressed_stream_resumable`` (transformWithState initialState, a
-    distributed frame instead of a driver dict). Checkpointed state
-    always wins over a seed; pending limbo entries are not recoverable
-    from the store (the reference loses them on restart too).
+    series' first event or reset its window. A plain dict rides the
+    kernel closure (re-pickled into every task — fine to ~10⁴ series);
+    pass ``spark.sparkContext.broadcast(the_dict)`` instead to ship it
+    once per executor (~10⁶ series, driver-memory-bound). Checkpointed
+    state always wins over a seed; pending limbo entries are not
+    recoverable from the store (the reference loses them on restart
+    too).
+
+    ``seed_col`` — the FULLY DISTRIBUTED warm start, no driver
+    materialization at any scale: name a boolean column on ``events``
+    that marks in-stream seed rows (build them with ``seed_frame(
+    latest_per_key(read_points(...)))`` and place them in the stream
+    source ahead of the first trigger — the first file of a file-stream
+    directory, a bootstrap topic, etc.; real event rows carry false/
+    null). The newest seed row per cold series becomes its (last_t,
+    last_v) without being emitted; series with checkpointed state
+    ignore seed rows, so replaying the seed file after a
+    checkpoint-backed restart is harmless. Seed rows that arrive only
+    AFTER a series' first real event are ignored too (the series has
+    state by then) — ordering them first is the caller's contract.
+    Composable with ``seeds`` (explicit map wins per key).
     """
     use_timers = flush_ms is not None or heartbeat_s is not None
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout if use_timers else GroupStateTimeout.NoTimeout
     )
     return events.groupBy("pvname").applyInPandasWithState(
-        _compress_kernel(deadtime, deadband, flush_ms, heartbeat_s, seeds),
+        _compress_kernel(deadtime, deadband, flush_ms, heartbeat_s, seeds, seed_col),
         outputStructType=OUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def seed_frame(latest: DataFrame, seed_col: str = "is_seed") -> DataFrame:
+    """(pvname, time, value) latest-per-series batch frame → in-stream
+    seed rows for ``compressed_stream(seed_col=...)``: the events schema
+    plus ``seed_col = true``. Write this into the stream source BEFORE
+    the first trigger; event rows must carry ``seed_col`` false/null."""
+    return latest.select("pvname", "time", "value", F.lit(True).alias(seed_col))
 
 
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"

@@ -483,6 +483,77 @@ def _has_protobuf() -> bool:
         return False
 
 
+def test_instream_seed_rows_warm_start(spark, tmp_path):
+    """The fully distributed warm start: seed rows travel IN the stream
+    (is_seed=true, written ahead of the events), so no driver dict exists
+    at any series count. Output must equal the dict-seeded path — the
+    second half of a never-restarted run — and the seed row itself is
+    never emitted."""
+    from epicsarchiver_spark.streaming.ingest import compressed_stream, seed_frame
+
+    second, want_second = _warm_start_case()
+    sdir = str(tmp_path / "iss_events")
+    latest = spark.createDataFrame(
+        pd.DataFrame([("W:a", 50.0, 3.0)], columns=["pvname", "time", "value"])
+    )
+    # seed file first, then the events (both with the full schema)
+    seed_frame(latest).coalesce(1).write.mode("overwrite").parquet(sdir)
+    spark.createDataFrame(
+        pd.DataFrame(
+            [("W:a", t, v, False) for t, v in second],
+            columns=["pvname", "time", "value", "is_seed"],
+        )
+    ).coalesce(1).write.mode("append").parquet(sdir)
+    stream = spark.readStream.schema(
+        "pvname string, time double, value double, is_seed boolean"
+    ).parquet(sdir)
+    q = (
+        compressed_stream(stream, 10.0, 0.5, flush_ms=None, seed_col="is_seed")
+        .writeStream.format("memory")
+        .queryName("iss_warm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "iss_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from iss_warm").collect()
+    }
+    assert got == want_second
+    assert ("W:a", 50.0, 3.0) not in got  # the seed row is state, not output
+
+
+def test_broadcast_dict_seed_warm_start(spark, tmp_path):
+    """seeds= accepts a Broadcast of the seed map — shipped once per
+    executor instead of pickled into every task closure (the ~10⁶-series
+    warm-start shape); output identical to the plain-dict path."""
+    from epicsarchiver_spark.streaming.ingest import compressed_stream
+
+    second, want_second = _warm_start_case()
+    sdir = str(tmp_path / "bc_events")
+    spark.createDataFrame(
+        pd.DataFrame([("W:a", t, v) for t, v in second],
+                     columns=["pvname", "time", "value"])
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
+    bc = spark.sparkContext.broadcast({"W:a": (50.0, 3.0)})
+    q = (
+        compressed_stream(stream, 10.0, 0.5, flush_ms=None, seeds=bc)
+        .writeStream.format("memory")
+        .queryName("bc_warm")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "bc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.time, r.value) for r in spark.sql("select * from bc_warm").collect()
+    }
+    assert got == want_second
+
+
 def test_rocksdb_provider_switch_is_loud_and_scoped(spark):
     """Flipping the session-wide state-store provider must WARN (other
     queries started afterwards inherit it — ADVICE r3), and
