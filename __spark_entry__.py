@@ -50,6 +50,7 @@ COMPRESS_DEADTIME = 4 * 86400.0
 COMPRESS_DEADBAND = 25.0
 HEARTBEAT = 172800.0  # 2-day forced-heartbeat floor (24 h in the reference)
 ASOF_LOOKBACK = 2 * HEARTBEAT  # heartbeat-bounded as-of seed scan (W3-exact)
+SESSION_GAP = 2 * 86400.0  # sessionization gap (burst/quiet segmentation)
 ALARM_TRIP = 150.0
 RELATED_NODE = "S:1"
 ENUM_LABELS = ("OFF", "LOW", "MED", "HIGH")
@@ -135,6 +136,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_locf_grid_bounded"] = lambda s, d: timeseries.locf_grid(
         _points(s, d), T0, T1, GRID_STEP, lookback=ASOF_LOOKBACK
     ).select("pvname", "t", "value")
+    # gap-based sessionization (batch twin of streaming session_window;
+    # same strict-merge boundary). 2-day gap on ~1.5-day median spacing
+    # → real burst/quiet segmentation, not one-session-per-series
+    q["ts_sessions"] = lambda s, d: timeseries.sessionize(
+        _points(s, d), gap_s=SESSION_GAP
+    )
     q["ts_heartbeat_fill"] = lambda s, d: deadband.heartbeat_fill(
         _points(s, d), max_silence=HEARTBEAT
     )
@@ -373,6 +380,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_unigram_logprob"] = lambda s, d: text_ops.unigram_logprob(
         load_table(s, d, "documents")
+    )
+
+    # corpus vocabulary audit: top-k terms by tf with df, deterministic
+    # term tiebreak (two-level aggregate, no count-distinct; top-k is a
+    # TakeOrderedAndProject)
+    q["doc_vocab_topk"] = lambda s, d: text_ops.vocabulary_topk(
+        load_table(s, d, "documents"), k=200
     )
 
     q["ts_rate_windowed"] = lambda s, d: timeseries.rate_windowed(
@@ -878,9 +892,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # newly oracled this round (r3 rows were no_oracle)
         "doc_minhash_neardups",
         "doc_simhash_neardups",
-        # new in r4: heartbeat-bounded as-of scans
+        # new in r4: heartbeat-bounded as-of scans, sessionization,
+        # vocabulary audit
         "ts_get_data_bounded",
         "ts_locf_grid_bounded",
+        "ts_sessions",
+        "doc_vocab_topk",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1100,6 +1117,29 @@ def oracle_sql() -> dict[str, str]:
         FROM grid g
         ASOF LEFT JOIN pp p
           ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["ts_sessions"] = (
+        P
+        + f""",
+        flg AS (
+          SELECT pvname, time, event_id,
+                 CASE WHEN lag(time) OVER w IS NULL
+                           OR time - lag(time) OVER w > {SESSION_GAP}
+                      THEN 1 ELSE 0 END AS nf
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        sid AS (
+          SELECT pvname, time,
+                 sum(nf) OVER (PARTITION BY pvname ORDER BY time, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flg
+        )
+        SELECT pvname, min(time) AS session_start, max(time) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sid GROUP BY pvname, sid
         """
     )
 
@@ -2268,6 +2308,19 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY lang_true, lang_pred
     """
 
+    o["doc_vocab_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOK.replace("text", "lower(text)")}) AS term
+          FROM documents
+        ), pd AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), st AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+          FROM pd GROUP BY term
+        )
+        SELECT term, tf, df FROM st ORDER BY tf DESC, term LIMIT 200
+    """
+
     SHING2 = (
         f"list_distinct(list_transform(range(1, greatest(len({TOK}) - 1, 0) + 1), "
         f"i -> array_to_string(({TOK})[i:i+1], ' ')))"
@@ -2288,29 +2341,42 @@ def oracle_sql() -> dict[str, str]:
     """
 
     # --- MinHash / SimHash (basis="md5"): bit-for-bit reproduction -----
-    # Engine and oracle share the 60-bit md5 shingle basis (first 15 hex
-    # digits of md5 → BIGINT; DuckDB folds hex digits with shifts) and,
-    # for MinHash, the affine family v=(a·(h mod p)+b) mod p over
-    # p=2³¹−1 — every step exact BIGINT arithmetic in both engines.
-    from epicsarchiver_spark.functions.hashing import MERSENNE31, affine31_params
+    # Engine and oracle share the md5 token basis: per-token 60-bit hash
+    # (first 15 hex digits of md5 → BIGINT; DuckDB folds hex digits with
+    # shifts), split into two 30-bit lanes, k=2 shingles combined by the
+    # two-lane sliding fold acc=(acc·R+next) mod p — and, for MinHash,
+    # the affine family v=(a·(h mod p)+b) mod p over p=2³¹−1. Every step
+    # is exact BIGINT arithmetic in both engines; no shingle strings.
+    from epicsarchiver_spark.functions.hashing import (
+        LANE_MASK,
+        MERSENNE31,
+        P30_HI,
+        P30_LO,
+        R_HI,
+        R_LO,
+        affine31_params,
+    )
 
     _P31 = MERSENNE31
-    # all k=2 word shingles (NOT string-distinct: engine distincts the
-    # hash list, mirrored by list_distinct over hashes below)
-    _SHING2_ALL = (
-        f"list_transform(range(1, greatest(len({TOK}) - 1, 0) + 1), "
-        f"i -> array_to_string(({TOK})[i:i+1], ' '))"
-    )
-    _HEX60 = (
+    _HEX60_TOK = (
         "list_aggregate(list_transform(range(1, 16), j -> "
-        "(strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)::BIGINT "
+        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)::BIGINT "
         "<< (4 * (15 - j))), 'sum')"
     )
+    _PACK2 = (
+        f"(((th[i] & {LANE_MASK}) * {R_LO} + (th[i + 1] & {LANE_MASK})) % {P30_LO})"
+        f" + ((((th[i] >> 30) * {R_HI}) + (th[i + 1] >> 30)) % {P30_HI}) * (1::BIGINT << 30)"
+    )
     _HS_CTE = f"""
+        th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ),
         hs AS (
           SELECT doc_id,
-                 list_distinct(list_transform({_SHING2_ALL}, s -> {_HEX60})) AS hs
-          FROM documents
+                 list_distinct(list_transform(
+                   range(1, greatest(len(th) - 1, 0) + 1), i -> {_PACK2})) AS hs
+          FROM th
         )
     """
     _sig_exprs = ", ".join(

@@ -66,6 +66,12 @@ HEADLINE = [
     "ts_daily_rollup",
     "emb_topk_cosine",
     "emb_topk_lsh",
+    # new in r4: the bounded as-of twins (show the pruned-scan win next
+    # to ts_get_data / ts_locf_grid), sessionization, vocabulary audit
+    "ts_get_data_bounded",
+    "ts_locf_grid_bounded",
+    "ts_sessions",
+    "doc_vocab_topk",
 ]
 
 

@@ -53,10 +53,46 @@ def affine31_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
 def md5_hash60(c: Column) -> Column:
     """60-bit non-negative hash: first 15 hex digits of md5, base-16 →
     long. Reproducible in any SQL engine with md5() (DuckDB: fold hex
-    digits with shifts) — the *oracle-portable* shingle basis. JVM-side
+    digits with shifts) — the *oracle-portable* hash basis. JVM-side
     (md5/conv/substring are builtins); prefer xxhash64 when cross-engine
-    reproducibility is not required (no hex-string materialization)."""
+    reproducibility is not required."""
     return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+# Two-lane sliding shingle fold over per-TOKEN md5 hashes — the
+# oracle-portable analog of the xxhash rotl-combine. Lane math is exact
+# BIGINT everywhere: lane values < 2³⁰, multipliers < 2³⁰ → products
+# < 2⁶⁰. One md5 per token (never one per shingle, and no shingle-string
+# materialization — that costs ~5× at sf0.1; see the module note).
+P30_LO = 1073741789  # largest prime < 2^30
+P30_HI = 1073741783  # second-largest prime < 2^30
+R_LO = 756607081  # fold multipliers: arbitrary fixed constants < p
+R_HI = 368040403
+LANE_MASK = (1 << 30) - 1
+
+
+def shingle_hashes_md5(tokens_col: Column, k: int) -> Column:
+    """array<string> tokens → array<long> distinct k-shingle hashes on
+    the SQL-portable md5 basis: per-token ``md5_hash60`` split into two
+    30-bit lanes, each lane folded over the k-window as
+    acc = (acc·R + next) mod p (order-sensitive), packed back to a
+    60-bit value lo + hi·2³⁰. An independent SQL engine reproduces every
+    step in plain BIGINT arithmetic; no shingle strings are built."""
+    th = F.transform(tokens_col, md5_hash60)
+    lo = F.transform(th, lambda h: h.bitwiseAND(F.lit(LANE_MASK)))
+    hi = F.transform(th, lambda h: F.shiftrightunsigned(h, 30))
+    n = F.size(th)
+    acc_lo, acc_hi = lo, hi
+    for step in range(1, k):
+        tail = F.greatest(n - step, F.lit(0))
+        sh_lo = F.slice(lo, step + 1, tail)
+        sh_hi = F.slice(hi, step + 1, tail)
+        # zip_with pads the shorter side with nulls → tail rows null out,
+        # filtered below (same contract as the xxhash sliding combine)
+        acc_lo = F.zip_with(acc_lo, sh_lo, lambda a, b: (a * F.lit(R_LO) + b) % F.lit(P30_LO))
+        acc_hi = F.zip_with(acc_hi, sh_hi, lambda a, b: (a * F.lit(R_HI) + b) % F.lit(P30_HI))
+    packed = F.zip_with(acc_lo, acc_hi, lambda a, b: a + b * F.lit(1 << 30))
+    return F.array_distinct(F.filter(packed, lambda x: x.isNotNull()))
 
 
 def hashed_shingles(shingles: Column) -> Column:

@@ -25,27 +25,27 @@ from pyspark.sql import functions as F
 from epicsarchiver_spark.functions.hashing import (
     hamming64,
     lsh_bands,
-    md5_hash60,
     minhash_signature_udf,
     shingle_hashes,
+    shingle_hashes_md5,
     simhash64_udf,
 )
-from epicsarchiver_spark.functions.text import fingerprint64, tokens, word_shingles
+from epicsarchiver_spark.functions.text import fingerprint64, tokens
 
 
 def _shingle_basis(text_col, shingle_k: int, basis: str):
     """array<long> distinct shingle hashes under the chosen basis.
 
-    "xxhash" (default): string-free sliding xxhash64 combine — fastest
-    (no shingle-string materialization), JVM-only, NOT reproducible
-    outside Spark. "md5": explicit k-word shingle strings hashed with
-    md5_hash60 — bit-for-bit reproducible in any SQL engine with md5(),
-    so MinHash/SimHash results can be certified against an independent
-    oracle. Both are engine-native (no Python)."""
+    "xxhash" (default): string-free sliding xxhash64 combine — fastest,
+    JVM-only, NOT reproducible outside Spark. "md5": per-token md5
+    hashes combined by the two-lane mod-p sliding fold — bit-for-bit
+    reproducible in any SQL engine with md5(), so MinHash/SimHash
+    results can be certified against an independent oracle. Both are
+    engine-native (no Python, no shingle-string materialization)."""
     if basis == "xxhash":
         return shingle_hashes(tokens(text_col), shingle_k)
     if basis == "md5":
-        return F.array_distinct(F.transform(word_shingles(text_col, shingle_k), md5_hash60))
+        return shingle_hashes_md5(tokens(text_col), shingle_k)
     raise ValueError(f"unknown shingle basis: {basis!r}")
 
 
@@ -303,6 +303,12 @@ def simhash_near_duplicates(
         F.col(id_col), _shingle_basis(F.col(text), shingle_k, basis).alias("bh")
     )
     sigs = base.select(F.col(id_col), simhash64_udf()(F.col("bh")).alias("sh"))
+    # the signature subplan (shingle hashing + the Arrow UDF) feeds BOTH
+    # sides of the block self-join — persist lazily so it computes once,
+    # not twice (one long per doc; same discipline as minhash_candidates)
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     block_width = 64 // blocks
     mask = (1 << block_width) - 1
     blocked = sigs.select(

@@ -202,6 +202,32 @@ def tfidf_top_terms(
     )
 
 
+def vocabulary_topk(
+    docs: DataFrame, k: int = 1000, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus vocabulary statistics: top-k terms by total term frequency
+    with document frequency — the vocab-building / token-budget audit
+    step of a training-data pipeline. Returns (term, tf, df), tf-desc
+    with term as the deterministic tiebreak.
+
+    Scale shape: a (doc, term) partial count first (map-side combine
+    collapses within-doc repeats before anything shuffles), then a
+    per-term aggregate where df is a plain COUNT of the already-distinct
+    (doc, term) rows — no count-distinct expansion. The final top-k
+    plans as TakeOrderedAndProject (per-partition heap), never a global
+    sort."""
+    per_doc = (
+        docs.select(F.col(id_col), F.explode(T.tokens(F.lower(F.col(text)))).alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    stats = per_doc.groupBy("term").agg(
+        F.sum("_tf").cast("long").alias("tf"),
+        F.count(F.lit(1)).alias("df"),
+    )
+    return stats.orderBy(F.col("tf").desc(), F.col("term")).limit(k)
+
+
 def chunk_documents(
     docs: DataFrame,
     chunk_tokens: int = 128,

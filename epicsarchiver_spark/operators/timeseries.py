@@ -195,6 +195,51 @@ def rate_windowed(
     )
 
 
+def sessionize(
+    points: DataFrame, gap_s: float, key: str = "pvname"
+) -> DataFrame:
+    """Gap-based sessionization: consecutive events closer than ``gap_s``
+    form one session; returns (key, session_start, session_end,
+    n_events) — burst/quiet segmentation for activity audits (the batch
+    twin of Structured Streaming's ``session_window``, see
+    ``streaming.ingest.session_stream``; same (key, gap) semantics so
+    live sessions and batch backfill agree on closed sessions).
+
+    Classic gaps-and-islands: lag → new-session flag → running sum as
+    the session id → one hash aggregate. Both the window and the
+    aggregate key on the series, so the sort-based window's shuffle is
+    reused by the aggregate (one exchange on ``key``), and the aggregate
+    is map-side partial. No driver round-trips.
+
+    Boundary convention matches ``session_window`` exactly: an event
+    merges into the current session iff its distance to the previous
+    event is AT MOST ``gap_s`` — Spark's session merge treats the
+    window end (last + gap) inclusively, verified by the streaming
+    equivalence test — so a new session starts strictly beyond the gap."""
+    w = Window.partitionBy(key).orderBy(*order_cols(points, descending=False))
+    new_flag = F.when(
+        F.lag("time").over(w).isNull()
+        | (F.col("time") - F.lag("time").over(w) > gap_s),
+        1,
+    ).otherwise(0)
+    sid = F.sum("_new").over(
+        Window.partitionBy(key)
+        .orderBy(*order_cols(points, descending=False))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        points.withColumn("_new", new_flag)
+        .withColumn("_sid", sid)
+        .groupBy(key, "_sid")
+        .agg(
+            F.min("time").alias("session_start"),
+            F.max("time").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_sid")
+    )
+
+
 def locf_grid(
     points: DataFrame,
     t0: float,

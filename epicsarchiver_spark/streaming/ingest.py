@@ -441,6 +441,36 @@ def rate_stream(
     )
 
 
+def session_stream(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming gap-based sessionization via Structured Streaming's
+    native ``session_window``: consecutive events per series closer than
+    ``gap`` merge into one growing session; a session is finalized and
+    emitted once the watermark passes its close. State is bounded by the
+    watermark (open sessions only). Returns (pvname, session_start,
+    session_end, n_events) — the live twin of
+    ``operators.timeseries.sessionize`` (same (key, gap) semantics;
+    closed-session equivalence tested in tests/test_streaming.py).
+
+    Note the window-end convention: ``session_window``'s end is
+    last_event + gap; to agree with the batch operator (end = last event
+    time) the emitted ``session_end`` is ``max(_ts)``, not the window
+    end."""
+    ev = events.withColumn("_ts", F.timestamp_seconds(F.col("time"))).withWatermark(
+        "_ts", watermark
+    )
+    return (
+        ev.groupBy("pvname", F.session_window("_ts", gap).alias("_w"))
+        .agg(
+            F.min("_ts").cast("double").alias("session_start"),
+            F.max("_ts").cast("double").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("_w")
+    )
+
+
 def _hadoop_fs(spark, path: str):
     jvm = spark._jvm
     conf = spark._jsc.hadoopConfiguration()

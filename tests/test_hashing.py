@@ -87,17 +87,25 @@ def test_similar_docs_high_estimated_jaccard(spark):
 
 
 def test_md5_basis_matches_python_reference(spark):
-    """basis="md5": the 60-bit shingle hash and the affine-mod-p MinHash
-    family must match an independent pure-python recompute bit-for-bit —
-    the property the DuckDB oracle relies on."""
+    """basis="md5": the 60-bit token hash, the two-lane k-shingle fold,
+    and the affine-mod-p MinHash family must match an independent
+    pure-python recompute bit-for-bit — the property the DuckDB oracle
+    relies on."""
     import hashlib
 
     from epicsarchiver_spark.functions.hashing import (
+        LANE_MASK,
         MERSENNE31,
+        P30_HI,
+        P30_LO,
+        R_HI,
+        R_LO,
         affine31_params,
         md5_hash60,
         minhash_signature_udf,
+        shingle_hashes_md5,
     )
+    from epicsarchiver_spark.functions.text import tokens
 
     df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}))
     got = {
@@ -107,13 +115,34 @@ def test_md5_basis_matches_python_reference(spark):
     for i, t in enumerate(TEXTS):
         assert got[i] == int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
 
-    # signature over the md5 shingle basis vs python
-    base = df.select(
-        "doc_id",
-        F.array_distinct(
-            F.transform(word_shingles(F.col("text"), 2), md5_hash60)
-        ).alias("bh"),
-    )
+    def py_shingles(t: str, k: int) -> list[int]:
+        th = [int(hashlib.md5(w.encode()).hexdigest()[:15], 16) for w in t.split() if w]
+        lo = [h & LANE_MASK for h in th]
+        hi = [h >> 30 for h in th]
+        out = []
+        for j in range(len(th) - k + 1):
+            al, ah = lo[j], hi[j]
+            for s in range(1, k):
+                al = (al * R_LO + lo[j + s]) % P30_LO
+                ah = (ah * R_HI + hi[j + s]) % P30_HI
+            out.append(al + (ah << 30))
+        seen, dedup = set(), []
+        for h in out:
+            if h not in seen:
+                seen.add(h)
+                dedup.append(h)
+        return dedup
+
+    for k in (2, 3):
+        base = df.select(
+            "doc_id", shingle_hashes_md5(tokens(F.col("text")), k).alias("bh")
+        )
+        engine = {r.doc_id: list(r.bh) for r in base.collect()}
+        for i, t in enumerate(TEXTS):
+            assert engine[i] == py_shingles(t, k), f"doc {i} k={k}"
+
+    # affine signature over the md5 basis vs python
+    base = df.select("doc_id", shingle_hashes_md5(tokens(F.col("text")), 2).alias("bh"))
     sigs = {
         r.doc_id: list(r.sig)
         for r in base.select(
@@ -122,9 +151,7 @@ def test_md5_basis_matches_python_reference(spark):
     }
     params = affine31_params(16, 42)
     for i, t in enumerate(TEXTS):
-        toks = [w for w in t.split() if w]
-        sh = [" ".join(toks[j : j + 2]) for j in range(len(toks) - 1)]
-        hs = sorted({int(hashlib.md5(s.encode()).hexdigest()[:15], 16) for s in sh})
+        hs = py_shingles(t, 2)
         if not hs:
             expect = [MERSENNE31] * 16
         else:

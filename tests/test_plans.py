@@ -249,6 +249,24 @@ def test_facade_defaults_to_heartbeat_lookback(spark, tmp_path):
     assert "1000.0" not in unbounded, unbounded  # only the range bounds remain
 
 
+def test_vocab_topk_is_take_ordered_no_count_distinct(spark):
+    """vocabulary_topk: the final top-k must plan as
+    TakeOrderedAndProject (per-partition heaps, no global sort) and df
+    must come from a plain count over pre-distinct (doc, term) rows —
+    no `expand`-based count-distinct in the plan."""
+    plan = _plan(spark, "doc_vocab_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+
+
+def test_sessionize_single_exchange(spark):
+    """sessionize keys both the window and the aggregate on the series:
+    exactly one shuffle on pvname feeds the whole plan."""
+    plan = _plan(spark, "ts_sessions")
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_exchanges == 1, f"{n_exchanges} exchanges\n" + plan[:2000]
+
+
 def test_minhash_builds_without_eager_count(spark):
     """minhash_candidates must be plan-only at construction: the old
     cache-priming sigs.count() was one driver-blocking full scan before

@@ -474,6 +474,61 @@ def test_rate_stream_matches_batch_twin(spark, events_dir, tmp_path):
     assert got == want and len(want) > 3
 
 
+def test_session_stream_matches_batch_twin(spark, tmp_path):
+    """Gap sessionization: Structured Streaming's native session_window
+    and the batch gaps-and-islands twin must agree on every closed
+    session — including the boundary: session_window's merge treats the
+    window end inclusively, so diff == gap MERGES (pinned by series B).
+    A far-future sentinel advances the watermark so all real sessions
+    finalize in append mode."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import sessionize
+    from epicsarchiver_spark.streaming.ingest import session_stream
+
+    rows = [
+        # A: two sessions (gap 300): [0..200] and [700..760]
+        ("A", 0.0, 1.0), ("A", 150.0, 1.0), ("A", 200.0, 1.0),
+        ("A", 700.0, 1.0), ("A", 760.0, 1.0),
+        # B: boundary case — diff EXACTLY 300 merges (inclusive end)
+        ("B", 1000.0, 1.0), ("B", 1300.0, 1.0),
+        # C: single event
+        ("C", 42.0, 1.0),
+        ("ZZ:sentinel", 1e6, 0.0),
+    ]
+    sdir = str(tmp_path / "sess_events")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    ).coalesce(1).write.mode("overwrite").parquet(sdir)
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
+    q = (
+        session_stream(stream, gap="5 minutes", watermark="10 minutes")
+        .writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sess_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, r.session_start, r.session_end, r.n_events)
+        for r in spark.sql("select * from sess_out").collect()
+        if r.pvname != "ZZ:sentinel"
+    }
+    batch = spark.createDataFrame(
+        pd.DataFrame([r for r in rows if r[0] != "ZZ:sentinel"],
+                     columns=["pvname", "time", "value"])
+    )
+    want = {
+        (r.pvname, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(batch, gap_s=300.0).collect()
+    }
+    assert got == want
+    assert ("B", 1000.0, 1300.0, 2) in want  # diff == gap merges
+    assert ("A", 0.0, 200.0, 3) in want and ("A", 700.0, 760.0, 2) in want
+
+
 def _has_protobuf() -> bool:
     try:
         import google.protobuf  # noqa: F401
