@@ -106,13 +106,15 @@ def _rotl(x: Column, r: int) -> Column:
     return F.shiftleft(x, r).bitwiseOR(F.shiftrightunsigned(x, 64 - r))
 
 
-def shingle_hashes(tokens_col: Column, k: int) -> Column:
-    """array<string> tokens → array<long> distinct k-shingle hashes
-    WITHOUT materializing shingle strings: per-token xxhash64 once, then a
-    sliding hash-combine h(i..i+k-1) = rotl(h(i..i+k-2), 13) ⊕ h(i+k-1)
-    via zip_with — O(n) integer ops per doc instead of O(n·k) string
-    builds (the string path measured ~5.6 s / 5 000 docs; this is <1 s).
-    Rotation keeps the combine order-sensitive ("a b" ≠ "b a")."""
+def shingle_hashes_all(tokens_col: Column, k: int) -> Column:
+    """array<string> tokens → array<long> of ALL k-shingle hashes (one
+    per window position, duplicates kept — the multiset the repetition
+    statistics need) WITHOUT materializing shingle strings: per-token
+    xxhash64 once, then a sliding hash-combine
+    h(i..i+k-1) = rotl(h(i..i+k-2), 13) ⊕ h(i+k-1) via zip_with — O(n)
+    integer ops per doc instead of O(n·k) string builds (the string path
+    measured ~5.6 s / 5 000 docs; this is <1 s). Rotation keeps the
+    combine order-sensitive ("a b" ≠ "b a")."""
     th = F.transform(tokens_col, lambda t: F.xxhash64(t))
     n = F.size(th)
     acc = th
@@ -121,7 +123,13 @@ def shingle_hashes(tokens_col: Column, k: int) -> Column:
         # zip_with pads the shorter side with nulls → tail combines null
         # out, filtered below
         acc = F.zip_with(acc, shifted, lambda a, b: _rotl(a, 13).bitwiseXOR(b))
-    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
+    return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingle_hashes(tokens_col: Column, k: int) -> Column:
+    """Distinct k-shingle hashes (the SET for MinHash / Jaccard); see
+    ``shingle_hashes_all`` for the mechanics."""
+    return F.array_distinct(shingle_hashes_all(tokens_col, k))
 
 
 def _xorshift_mix(salt: int):

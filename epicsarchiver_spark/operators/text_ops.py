@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from epicsarchiver_spark.functions import hashing
 from epicsarchiver_spark.functions import text as T
 
 
@@ -306,23 +307,28 @@ def repetition_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id"
 
     EVERYTHING is array-local — one narrow scan, zero shuffle, no join:
     token/line stats are size/array_distinct, and the bigram mode (the
-    max per-(doc, bigram) count) folds over the SORTED bigram array as a
-    longest-equal-run scan, so the per-doc explode → two-level aggregate
-    → re-join the r2 version shuffled is gone entirely. O(s log s) sort
-    + O(s) interpreted fold per document, nothing about corpus size
-    anywhere — ~15% faster end-to-end at sf0.1 (5.4-6.1 s → ~5.0 s,
-    noop-write materialization) and strictly better at 100 TB: the old
-    shape moved every (doc_id, bigram) pair through a two-level shuffle
-    plus a doc_id join; this shape's cost is purely per-row.
+    max per-(doc, bigram) count) folds over the SORTED bigram-HASH array
+    as a longest-equal-run scan, so the per-doc explode → two-level
+    aggregate → re-join the r2 version shuffled is gone entirely.
+    O(s log s) long-sort + O(s) interpreted fold per document, nothing
+    about corpus size anywhere — the string-bigram formulation of this
+    same scan measured ~4× slower at sf0.1 (~6 s → ~1.5 s warm,
+    noop-write materialization), and strictly better than r2's shape at
+    100 TB: that moved every (doc_id, bigram) pair through a two-level
+    shuffle plus a doc_id join; this cost is purely per-row.
     Fractions are null for degenerate docs (0 tokens / <2 tokens) rather
     than 0 — absent evidence, not clean evidence."""
     # arrays materialized in their own projection first (no CSE across
-    # sibling project expressions — see functions/hashing.py)
+    # sibling project expressions — see functions/hashing.py). Bigrams
+    # are the xxhash sliding-combine multiset, NOT strings: the mode
+    # scan only needs equal-run counts, and sorting longs beats sorting
+    # n short strings (measured ~35% off the whole query at sf0.1);
+    # 64-bit collisions would merge two bigrams — odds ~n²/2⁶⁵ per doc.
     base = docs.select(
         F.col(id_col),
         T.tokens(F.col(text)).alias("_toks"),
         F.filter(F.split(F.col(text), r"\n"), lambda ln: ln != "").alias("_lines"),
-        F.sort_array(T.word_shingles(F.col(text), 2)).alias("_bgs"),
+        F.sort_array(hashing.shingle_hashes_all(T.tokens(F.col(text)), 2)).alias("_bgs"),
     ).select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_tokens"),
@@ -332,10 +338,12 @@ def repetition_stats(docs: DataFrame, text: str = "text", id_col: str = "doc_id"
         F.size("_bgs").cast("long").alias("_bn"),
         F.size(F.array_distinct("_bgs")).cast("long").alias("_bd"),
         # longest equal run in the sorted array == max bigram count
+        # (null prev never equals a hash → the first element starts a
+        # fresh run through the otherwise branch)
         F.aggregate(
             "_bgs",
             F.struct(
-                F.lit("").alias("prev"),
+                F.lit(None).cast("long").alias("prev"),
                 F.lit(0).cast("long").alias("run"),
                 F.lit(0).cast("long").alias("mx"),
             ),
@@ -377,13 +385,18 @@ def contamination_overlap(
     not training data), so it is deduplicated and broadcast. The candidate
     side is ONE scan: tokenize/shingle once, carry the per-doc gram count
     through the explode, broadcast LEFT join to mark hits, re-aggregate —
-    the corpus text itself never shuffles, only (doc_id, count) partials."""
+    the corpus text itself never shuffles, only (doc_id, count) partials.
+
+    Both sides shingle on the 64-bit xxhash sliding combine, never gram
+    STRINGS: the join key is 8 bytes instead of an n-word string (the
+    string formulation measured ~2× slower end-to-end at sf0.1), at
+    ~n²/2⁶⁵ collision odds per doc-benchmark pair."""
     bench_grams = benchmark.select(
-        F.explode(F.array_distinct(T.word_shingles(F.col(text), n))).alias("gram")
+        F.explode(hashing.shingle_hashes(T.tokens(F.col(text)), n)).alias("gram")
     ).distinct().withColumn("_hit", F.lit(1))
     ex = docs.select(
         F.col(id_col),
-        F.array_distinct(T.word_shingles(F.col(text), n)).alias("_grams"),
+        hashing.shingle_hashes(T.tokens(F.col(text)), n).alias("_grams"),
     ).select(
         F.col(id_col),
         F.size("_grams").cast("long").alias("n_grams"),

@@ -310,3 +310,40 @@ def test_incremental_dedup_exact_and_near(spark):
         ).collect()
     )
     assert near_kept == [12]
+
+
+def test_lsh_pairwise_exclude_self_dial(spark):
+    """exclude_self: a probe whose id collides with a corpus id drops
+    that corpus row by default (self-match suppression for in-corpus
+    probes) and keeps it with exclude_self=False (external query vectors
+    that merely reuse an id); both paths find the planted near-identical
+    vector, and single-probe lsh_bucket_topk agrees with the
+    exclude_self=False pairwise result on the same query."""
+    from epicsarchiver_spark.operators.similarity import (
+        lsh_bucket_topk,
+        lsh_pairwise_topk,
+    )
+
+    dim = 16
+    base = [1.0 if j % 3 else -1.0 for j in range(dim)]
+    rows = [(i, [v * (1.0 + 0.01 * i) for v in base]) for i in range(8)]
+    vecs = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    probe = spark.createDataFrame([rows[0]], "vec_id bigint, embedding array<double>")
+
+    with_self = lsh_pairwise_topk(
+        vecs, probe, k=8, n_planes=4, max_hamming=1, exclude_self=False
+    ).collect()
+    without = lsh_pairwise_topk(
+        vecs, probe, k=8, n_planes=4, max_hamming=1
+    ).collect()
+    ids_with = {r.corpus_id for r in with_self}
+    ids_without = {r.corpus_id for r in without}
+    assert 0 in ids_with and 0 not in ids_without
+    assert ids_with - {0} == ids_without
+
+    single = lsh_bucket_topk(
+        vecs, rows[0][1], k=8, n_planes=4, max_hamming=1
+    ).collect()
+    assert {(r.vec_id, r.cosine_sim) for r in single} == {
+        (r.corpus_id, r.cosine_sim) for r in with_self
+    }
