@@ -388,6 +388,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_vocab_topk"] = lambda s, d: text_ops.vocabulary_topk(
         load_table(s, d, "documents"), k=200
     )
+    # deterministic stratified sample: ≤20 docs per source by hash order
+    q["doc_sample_stratified"] = lambda s, d: text_ops.sample_stratified(
+        load_table(s, d, "documents"), per_stratum=20, strata=("source",)
+    ).select("doc_id", "source", "lang")
 
     q["ts_rate_windowed"] = lambda s, d: timeseries.rate_windowed(
         _points(s, d), window_s=3600.0
@@ -523,6 +527,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["emb_cell_assign"] = lambda s, d: similarity.assign_cells(
         load_table(s, d, "embeddings"), n_cells=8, dim=64
+    )
+    # per-cluster profile, presented long-form (cell, pos, c) so the
+    # value-hash compares scalars, not array renderings
+    q["emb_cell_stats"] = lambda s, d: similarity.cell_stats(
+        load_table(s, d, "embeddings"), n_cells=8, dim=64
+    ).select(
+        "cell",
+        "n_vectors",
+        "mean_norm",
+        F.posexplode("centroid").alias("pos", "c"),
     )
     q["ts_compress_exact"] = lambda s, d: deadband.compress_sequential(
         _points(s, d), COMPRESS_DEADTIME, COMPRESS_DEADBAND
@@ -898,6 +912,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_locf_grid_bounded",
         "ts_sessions",
         "doc_vocab_topk",
+        "doc_sample_stratified",
+        "emb_cell_stats",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -1654,6 +1670,28 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT vec_id, {_score_list} AS dl FROM v)
     """
 
+    o["emb_cell_stats"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        stats AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                 round(avg(sqrt(list_dot_product(e, e))), 6) AS mean_norm
+          FROM assigned GROUP BY cell
+        ),
+        ex AS (
+          SELECT cell, e[CAST(t.i AS INTEGER)] AS x, CAST(t.i AS INTEGER) - 1 AS pos
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell, pos, round(avg(x), 6) AS c FROM ex GROUP BY cell, pos
+        )
+        SELECT s.cell, s.n_vectors, s.mean_norm, cent.pos, cent.c
+        FROM stats s JOIN cent USING (cell)
+    """
+
     o["emb_topk_ivf"] = f"""
         WITH {_V},
         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -2306,6 +2344,17 @@ def oracle_sql() -> dict[str, str]:
         SELECT lang_true, {case_pred} AS lang_pred, count(*) AS n
         FROM s GROUP BY lang_true, lang_pred
         ORDER BY lang_true, lang_pred
+    """
+
+    o["doc_sample_stratified"] = """
+        WITH r AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source, lang FROM r WHERE rk <= 20
     """
 
     o["doc_vocab_topk"] = f"""

@@ -451,6 +451,53 @@ def assign_cells(
     return corpus.select(id_col, _nearest_cell_udf(centroids)(F.col("_v")).alias("cell"))
 
 
+def cell_stats(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Per-cluster corpus profile: ``(cell, n_vectors, mean_norm,
+    centroid)`` — the audit/monitoring companion of ``assign_cells``
+    (cluster balance for IVF probe planning, drift of per-cluster
+    centroids across crawls, curriculum mixing weights).
+
+    Scale shape: scalar stats are one hash aggregate; the elementwise
+    centroid goes through posexplode → groupBy(cell, pos) — which looks
+    like an n_vectors × dim explosion but ISN'T at the shuffle: partial
+    aggregation reduces every map partition to ≤ n_cells × dim rows
+    before anything moves, so shuffle volume is cells × dim × partitions
+    regardless of corpus size. Centroid components and mean_norm round
+    to 6dp so results are independent of float summation order."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    assigned = corpus.withColumn("cell", _nearest_cell_udf(centroids)(F.col("_v")))
+    norm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    stats = assigned.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg(norm), 6).alias("mean_norm"),
+    )
+    cent = (
+        assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("_ax"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ax"))),
+                lambda s: F.round(s["_ax"], 6),
+            ).alias("centroid")
+        )
+    )
+    return stats.join(cent, "cell")
+
+
 def train_ivf_centroids(
     vectors: DataFrame,
     n_cells: int = 16,

@@ -498,6 +498,35 @@ def pack_sequences(
     )
 
 
+def sample_stratified(
+    docs: DataFrame,
+    per_stratum: int,
+    strata: tuple[str, ...] = ("source",),
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic stratified sampling: AT MOST ``per_stratum`` docs
+    per stratum, chosen by content-independent hash order — the "N
+    examples per source/language for eval or annotation" step. Stable
+    across runs, engines, partitionings, and corpus growth that only
+    APPENDS to a stratum's tail (a doc already selected stays selected
+    until its stratum accumulates per_stratum lower-hashed keys); no
+    sample() RNG, no ordering dependence.
+
+    One row_number window per stratum key — the shuffle is on the
+    stratum columns; with many small strata AQE coalesces, with few
+    huge strata the per-partition sort is the cost, bounded by the
+    top-k semantics downstream. Hash = md5 of (seed, key) so different
+    seeds draw different samples."""
+    h = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(h.asc(), F.col(key_col))
+    return (
+        docs.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= per_stratum)
+        .drop("_rk")
+    )
+
+
 def rebalance_sources(
     docs: DataFrame,
     target: dict[str, float],
