@@ -347,3 +347,47 @@ def test_lsh_pairwise_exclude_self_dial(spark):
     assert {(r.vec_id, r.cosine_sim) for r in single} == {
         (r.corpus_id, r.cosine_sim) for r in with_self
     }
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Randomized series through the gaps-and-islands operator vs a
+    straight-line python fold — session boundaries, extents and counts
+    must agree exactly, including equality-at-gap merges and
+    single-event sessions."""
+    rng = random.Random(99)
+    rows = []
+    for s in range(40):
+        t = 0.0
+        for _ in range(rng.randint(1, 60)):
+            t += rng.choice([0.5, 1.0, 5.0, 10.0, 10.0001, 25.0])
+            rows.append((f"S:{s}", round(t, 4), 0.0))
+    gap = 10.0
+
+    def py_sessions(rows):
+        out = {}
+        for pv, t, _ in rows:
+            out.setdefault(pv, []).append(t)
+        want = set()
+        for pv, ts in out.items():
+            ts.sort()
+            start = prev = ts[0]
+            n = 1
+            for t in ts[1:]:
+                if t - prev > gap:  # inclusive merge boundary
+                    want.add((pv, start, prev, n))
+                    start, n = t, 0
+                n += 1
+                prev = t
+            want.add((pv, start, prev, n))
+        return want
+
+    from epicsarchiver_spark.operators.timeseries import sessionize
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    )
+    got = {
+        (r.pvname, r.session_start, r.session_end, r.n_events)
+        for r in sessionize(df, gap_s=gap).collect()
+    }
+    assert got == py_sessions(rows)

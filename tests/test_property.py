@@ -152,3 +152,56 @@ def test_compress_step_is_batch_split_invariant(events, n_splits, rng):
     if pend_t is not None:
         out.append((pend_t, pend_v))  # simulate the end-of-stream flush
     assert out == want
+
+
+# --- PNG codec: random images × random per-row filter choices ----------
+
+_byte = st.integers(0, 255)
+
+
+@st.composite
+def _rgb_image(draw):
+    h = draw(st.integers(1, 6))
+    w = draw(st.integers(1, 6))
+    px = [
+        [(draw(_byte), draw(_byte), draw(_byte)) for _ in range(w)]
+        for _ in range(h)
+    ]
+    filters = draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    return px, filters
+
+
+@given(img=_rgb_image())
+@settings(max_examples=120, deadline=None)
+def test_png_unfilter_inverts_any_filter_choice(img):
+    """For ANY image and ANY per-row filter assignment the decoder must
+    reconstruct the exact pixels — the unfilter implementations (incl.
+    the sequential average/paeth paths and the vectorized sub cumsum)
+    against the independent straight-line encoder in test_functions."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.multimodal import _parse_png
+    from tests.test_functions import _make_png
+
+    px, filters = img
+    got = _parse_png(_make_png(px, filters))
+    assert got is not None
+    assert np.array_equal(got, np.array(px, dtype=np.uint8))
+
+
+@given(payload=st.binary(min_size=0, max_size=200))
+@settings(max_examples=200, deadline=None)
+def test_png_and_wav_parsers_never_raise_on_noise(payload):
+    """Arbitrary byte noise (including valid-looking magics) must decode
+    to None or a valid result — never raise (one bad blob = one dead
+    Spark stage otherwise). Also fuzzed with forced PNG/RIFF headers."""
+    from epicsarchiver_spark.operators.multimodal import _parse_png, _parse_wav
+
+    for p in (
+        payload,
+        b"\x89PNG\r\n\x1a\n" + payload,
+        b"RIFF" + payload,
+        b"RIFF" + payload[:4] + b"WAVE" + payload[4:],
+    ):
+        _parse_png(p)
+        _parse_wav(p)
