@@ -382,6 +382,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # exact-substring span dedup (ExactSubstr, Lee et al. 2022): excise
+    # every token covered by a length-8 window whose rolling hash occurs
+    # ≥2 times anywhere in the corpus (md5 two-lane fold basis — the
+    # oracle reproduces every hash bit-for-bit)
+    q["doc_substring_dedup"] = lambda s, d: dedup.dedup_substrings(
+        load_table(s, d, "documents"), window=8
+    )
+
     # corpus vocabulary audit: top-k terms by tf with df, deterministic
     # term tiebreak (two-level aggregate, no count-distinct; top-k is a
     # TakeOrderedAndProject)
@@ -416,6 +424,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.dedup_against_corpus(new, docs)
 
     q["doc_incremental_dedup"] = _doc_incremental_dedup
+
+    def _doc_bloom_dedup(s, d):
+        """The SAME incremental-dedup semantics through the bloom-
+        accelerated path: corpus fingerprint bloom built distributed
+        (mapInPandas partial bitmaps, bit_or-reduced), batch rows the
+        bloom clears skip the anti-join, maybe-rows are confirmed
+        exactly. No false negatives → identical result to the plain
+        anti-join, which is what the oracle checks."""
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        new = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" unseen")).alias("text"),
+                )
+            )
+        )
+        bloom = dedup.build_fingerprint_bloom(docs, fpp=0.01)
+        return dedup.dedup_against_corpus_bloom(new, docs, bloom)
+
+    q["doc_bloom_dedup"] = _doc_bloom_dedup
     q["doc_langid"] = lambda s, d: text_ops.langid_eval(load_table(s, d, "documents"))
     q["doc_jaccard_pairs"] = lambda s, d: dedup.jaccard_pairs_blocked(
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
@@ -914,6 +945,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_vocab_topk",
         "doc_sample_stratified",
         "emb_cell_stats",
+        "doc_substring_dedup",
+        "doc_bloom_dedup",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2261,6 +2294,11 @@ def oracle_sql() -> dict[str, str]:
               (SELECT lower(substr(md5(text), 1, 16)) FROM documents)
     """
 
+    # bloom-accelerated path: semantically identical to the plain
+    # anti-join (no false negatives; maybes confirmed exactly) — the
+    # oracle IS the exact formulation
+    o["doc_bloom_dedup"] = o["doc_incremental_dedup"]
+
     o["doc_pii_scrub"] = r"""
         SELECT doc_id,
                regexp_replace(
@@ -2474,6 +2512,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
         FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+    # exact-substring span dedup: the same two-lane md5 fold, POSITIONAL
+    # (window start i), unrolled for window=8; a window is duplicated when
+    # its hash occurs >= 2 times corpus-wide; covered tokens are excised.
+    # DuckDB list_filter's index lambda is 1-based (Spark's is 0-based):
+    # token index j0 = i - 1.
+    _SUB_L = 8
+    _sub_lo = f"(th[i] & {LANE_MASK})"
+    _sub_hi = "(th[i] >> 30)"
+    for _s in range(1, _SUB_L):
+        _sub_lo = f"(({_sub_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _sub_hi = f"(({_sub_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _SUB_PACK = f"({_sub_lo}) + ({_sub_hi}) * (1::BIGINT << 30)"
+    o["doc_substring_dedup"] = f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ), wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM th
+        ), px AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM wh
+        ), dup AS (
+          SELECT h FROM px GROUP BY h HAVING count(*) >= 2
+        ), starts AS (
+          SELECT doc_id, list_sort(list(pos)) AS starts
+          FROM px WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+        ), j AS (
+          SELECT d.doc_id, {TOK} AS t, coalesce(s.starts, CAST([] AS BIGINT[])) AS st
+          FROM documents d LEFT JOIN starts s USING (doc_id)
+        ), k AS (
+          SELECT doc_id, t, st,
+                 list_filter(t, (x, i) ->
+                   len(list_filter(st, s -> s <= i - 1 AND i - 1 < s + {_SUB_L})) = 0) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(st) AS BIGINT) AS n_dup_windows,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_dup_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM k
     """
 
     # shared prefix: the jaccard pair graph as symmetric edges + closure —

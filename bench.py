@@ -72,6 +72,7 @@ HEADLINE = [
     "ts_locf_grid_bounded",
     "ts_sessions",
     "doc_vocab_topk",
+    "doc_substring_dedup",
 ]
 
 

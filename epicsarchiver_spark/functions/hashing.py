@@ -71,28 +71,59 @@ R_HI = 368040403
 LANE_MASK = (1 << 30) - 1
 
 
-def shingle_hashes_md5(tokens_col: Column, k: int) -> Column:
-    """array<string> tokens → array<long> distinct k-shingle hashes on
-    the SQL-portable md5 basis: per-token ``md5_hash60`` split into two
-    30-bit lanes, each lane folded over the k-window as
-    acc = (acc·R + next) mod p (order-sensitive), packed back to a
-    60-bit value lo + hi·2³⁰. An independent SQL engine reproduces every
-    step in plain BIGINT arithmetic; no shingle strings are built."""
-    th = F.transform(tokens_col, md5_hash60)
-    lo = F.transform(th, lambda h: h.bitwiseAND(F.lit(LANE_MASK)))
-    hi = F.transform(th, lambda h: F.shiftrightunsigned(h, 30))
-    n = F.size(th)
+def lane_lo(th: Column) -> Column:
+    """Low 30-bit lane of per-token 60-bit hashes."""
+    return F.transform(th, lambda h: h.bitwiseAND(F.lit(LANE_MASK)))
+
+
+def lane_hi(th: Column) -> Column:
+    """High 30-bit lane of per-token 60-bit hashes."""
+    return F.transform(th, lambda h: F.shiftrightunsigned(h, 30))
+
+
+def window_fold(lo: Column, hi: Column, k: int) -> Column:
+    """Two-lane k-window rolling fold over MATERIALIZED lane arrays →
+    POSITIONAL array<long>: element i (0-based) is the packed 60-bit hash
+    (lo-fold + hi-fold·2³⁰) of the token window starting at i; length =
+    max(n−k+1, 0). Each lane folds as acc = (acc·R + next) mod p —
+    order-sensitive, exact BIGINT everywhere (lane < 2³⁰, R < 2³⁰ →
+    products < 2⁶⁰), so any SQL engine reproduces it.
+
+    ``lo``/``hi`` MUST be attributes of a child projection, not inline
+    expressions: the fold references each lane k times, and CollapseProject
+    would otherwise clone the whole per-token md5 pipeline into every
+    reference — measured 18.7 s vs 2 s at sf0.1 for k=8 (the same pitfall
+    as the module-note signature family)."""
+    n = F.size(lo)
     acc_lo, acc_hi = lo, hi
     for step in range(1, k):
         tail = F.greatest(n - step, F.lit(0))
         sh_lo = F.slice(lo, step + 1, tail)
         sh_hi = F.slice(hi, step + 1, tail)
-        # zip_with pads the shorter side with nulls → tail rows null out,
-        # filtered below (same contract as the xxhash sliding combine)
+        # zip_with pads the shorter side with nulls → tail combines null
+        # out; the slice below drops them while keeping position alignment
         acc_lo = F.zip_with(acc_lo, sh_lo, lambda a, b: (a * F.lit(R_LO) + b) % F.lit(P30_LO))
         acc_hi = F.zip_with(acc_hi, sh_hi, lambda a, b: (a * F.lit(R_HI) + b) % F.lit(P30_HI))
     packed = F.zip_with(acc_lo, acc_hi, lambda a, b: a + b * F.lit(1 << 30))
-    return F.array_distinct(F.filter(packed, lambda x: x.isNotNull()))
+    return F.slice(packed, 1, F.greatest(n - (k - 1), F.lit(0)))
+
+
+def window_hashes_md5(tokens_col: Column, k: int) -> Column:
+    """array<string> tokens → positional array<long> k-window hashes on
+    the SQL-portable md5 basis, as ONE expression. Convenient for small k
+    (the k=2 MinHash shingle basis); for larger k use ``window_fold``
+    over lane columns materialized in a child projection — this inline
+    form re-evaluates the per-token md5 pipeline at every lane reference
+    (~k× overwork; see ``window_fold``)."""
+    th = F.transform(tokens_col, md5_hash60)
+    return window_fold(lane_lo(th), lane_hi(th), k)
+
+
+def shingle_hashes_md5(tokens_col: Column, k: int) -> Column:
+    """array<string> tokens → array<long> DISTINCT k-shingle hashes on
+    the SQL-portable md5 basis (the MinHash/Jaccard set); see
+    ``window_hashes_md5`` for the fold mechanics."""
+    return F.array_distinct(window_hashes_md5(tokens_col, k))
 
 
 def hashed_shingles(shingles: Column) -> Column:

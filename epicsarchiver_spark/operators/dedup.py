@@ -19,6 +19,7 @@ Scale notes (100 TB posture):
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -570,3 +571,253 @@ def dedup_near(
     comp = connected_components(pairs, id_a=id_a, id_b=id_b)
     losers = comp.filter(F.col("id") != F.col("component")).select(F.col("id").alias(id_col))
     return docs.join(losers, id_col, "left_anti")
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    window: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Corpus-wide duplicated token-window positions — the discovery half
+    of exact-substring dedup (the ExactSubstr procedure of Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    re-expressed relationally instead of via a monolithic suffix array):
+    a length-``window`` token span is duplicated when its rolling hash
+    occurs ``min_count``+ times across the corpus (within- and cross-doc
+    occurrences both count, as in the paper).
+
+    Returns ``(id, pos, h)`` rows for DUPLICATED window starts only
+    (``pos`` 0-based token index).
+
+    Scale shape: the positional two-lane window fold is array-local
+    (O(n·k) BIGINT ops per doc, no shingle strings); the explode emits
+    (id, pos, h) — ~24 B per corpus token, the relational analog of the
+    ~8 B/token suffix array — aggregated on ``h`` with map-side partials;
+    the semi-join back is hash-keyed and ids-only. Document text never
+    shuffles here. Layered projections keep the per-token md5 pipeline
+    evaluated exactly once (see ``hashing.window_fold``).
+    """
+    from epicsarchiver_spark.functions.hashing import (
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        window_fold,
+    )
+
+    th = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    )
+    lanes = th.select(
+        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
+    )
+    pos = lanes.select(
+        F.col(id_col),
+        F.posexplode(window_fold(F.col("lo"), F.col("hi"), window)).alias("pos", "h"),
+    )
+    dup = (
+        pos.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+        .select("h")
+    )
+    return pos.join(dup, "h", "left_semi")
+
+
+def dedup_substrings(
+    docs: DataFrame,
+    window: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> DataFrame:
+    """Exact-substring span dedup (ExactSubstr, Lee et al. 2022): remove
+    every token covered by a duplicated length-``window`` span anywhere
+    in the corpus, keeping the rest of each document intact. Unlike
+    document-level dedup this excises boilerplate *inside* otherwise
+    unique documents (licence blocks, navigation chrome, quoted reposts).
+
+    Returns ``(id, n_tokens, n_dup_windows, n_dup_tokens, text_clean)``
+    — text_clean is the source tokens minus covered positions, space-
+    joined (tokenization is whitespace-normalizing by design).
+
+    Scale shape: `duplicated_spans` shuffles only (id, pos, hash)
+    triples; the per-doc duplicated-start lists (skewed tiny — most docs
+    have none) come back via one doc_id-keyed join that AQE broadcasts
+    when small; the span-coverage test is an array-local exists() over
+    the start list, O(n·d) per doc. Nothing quadratic in the corpus.
+    """
+    dup_pos = (
+        duplicated_spans(docs, window, text, id_col, min_count)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    )
+    # layered projections: toks / starts / kept are each referenced more
+    # than once downstream — materialize them as attributes so the split
+    # and the nested exists() evaluate once per doc, not per reference
+    base = docs.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        tokens(F.col(text)).alias("toks"),
+        F.coalesce(F.col("starts"), F.array().cast("array<integer>")).alias("st"),
+    )
+    kept = base.select(
+        F.col(id_col),
+        F.col("toks"),
+        F.col("st"),
+        F.filter(
+            F.col("toks"),
+            lambda x, j: ~F.exists(
+                F.col("st"), lambda s: (s <= j) & (j < s + F.lit(window))
+            ),
+        ).alias("kept"),
+    )
+    return kept.select(
+        F.col(id_col),
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.size("st").cast("long").alias("n_dup_windows"),
+        (F.size("toks") - F.size("kept")).cast("long").alias("n_dup_tokens"),
+        F.array_join("kept", " ").alias("text_clean"),
+    )
+
+
+class FingerprintBloom:
+    """A corpus-fingerprint Bloom filter — the classic streaming-ingest
+    artifact for incremental exact dedup: membership "no" is definitive
+    (no false negatives), so the standing corpus only has to be consulted
+    for the tiny maybe-duplicate slice of each new batch.
+
+    ``bits`` is a numpy uint64 bitmap (m/64 words); k double-hashed
+    probes g_i = h1 + i·h2 (mod m) over the two 64-bit fingerprint hashes
+    computed JVM-side. The object is a few MB for ~10⁶ docs at 1% fpp and
+    ships to executors in the UDF closure; for blooms past ~100 MB pass
+    it through ``SparkContext.broadcast`` and hand ``bloom.value`` to the
+    filter instead. Beyond the single-bitmap tier (~10⁹ docs), shard by
+    fp prefix and use the plain fp anti-join — the bloom is an
+    accelerator, not the source of truth."""
+
+    def __init__(self, bits, m_bits: int, k: int, n_items: int):
+        self.bits = bits
+        self.m_bits = m_bits
+        self.k = k
+        self.n_items = n_items
+
+    def contains_udf(self):
+        """pandas_udf (h1 long, h2 long) → boolean: all k probe bits set."""
+        import numpy as np
+        from pyspark.sql.types import BooleanType
+
+        bits, m, k = self.bits, np.uint64(self.m_bits), self.k
+
+        @F.pandas_udf(BooleanType())
+        def fn(h1: pd.Series, h2: pd.Series) -> pd.Series:
+            a = h1.to_numpy(dtype=np.int64).view(np.uint64)
+            b = h2.to_numpy(dtype=np.int64).view(np.uint64)
+            hit = np.ones(len(a), dtype=bool)
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % m
+                word = bits[(idx >> np.uint64(6)).astype(np.int64)]
+                hit &= (word >> (idx & np.uint64(63))) & np.uint64(1) != 0
+            return pd.Series(hit)
+
+        return fn
+
+
+def _bloom_hashes(text_col):
+    """The two JVM-side 64-bit hashes of the canonical text fingerprint
+    that every bloom probe derives from."""
+    fp = fingerprint64(text_col)
+    return F.xxhash64(fp), F.xxhash64(fp, F.lit(1))
+
+
+def build_fingerprint_bloom(
+    corpus: DataFrame,
+    text: str = "text",
+    fpp: float = 0.01,
+    expected_items: int | None = None,
+) -> FingerprintBloom:
+    """Build the corpus fingerprint bloom ONCE per corpus (like writing
+    the MinHash signature table): a deliberate build job, reused across
+    every subsequent batch. Fully distributed — each input partition
+    emits its local bitmap as (seg, word) rows via an Arrow-batched
+    mapInPandas, Spark OR-reduces them with ``bit_or`` (map-side
+    partials), and only m/64 words are collected. Corpus text never
+    leaves its partition; only hashed fingerprints are read.
+
+    ``expected_items=None`` counts the corpus first (one extra job —
+    pass the known corpus size to skip it)."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    if expected_items is None:
+        expected_items = corpus.count()
+    n = max(1, expected_items)
+    ln2 = math.log(2.0)
+    m_bits = max(64, int(math.ceil(-n * math.log(fpp) / (ln2 * ln2))))
+    m_bits = ((m_bits + 63) // 64) * 64
+    k = min(16, max(1, round(m_bits / n * ln2)))
+
+    h1, h2 = _bloom_hashes(F.col(text))
+    rows = corpus.select(h1.alias("h1"), h2.alias("h2"))
+
+    def mk(batches):
+        bits = np.zeros(m_bits // 64, dtype=np.uint64)
+        m = np.uint64(m_bits)
+        for pdf in batches:
+            a = pdf["h1"].to_numpy(dtype=np.int64).view(np.uint64)
+            b = pdf["h2"].to_numpy(dtype=np.int64).view(np.uint64)
+            for i in range(k):
+                idx = (a + np.uint64(i) * b) % m
+                np.bitwise_or.at(
+                    bits,
+                    (idx >> np.uint64(6)).astype(np.int64),
+                    np.uint64(1) << (idx & np.uint64(63)),
+                )
+        nz = np.nonzero(bits)[0]  # sparse partitions ship only set words
+        yield pd.DataFrame({"seg": nz, "word": bits[nz].view(np.int64)})
+
+    words = (
+        rows.mapInPandas(mk, "seg long, word long")
+        .groupBy("seg")
+        .agg(F.bit_or("word").alias("word"))
+        .collect()
+    )
+    bits = np.zeros(m_bits // 64, dtype=np.uint64)
+    for r in words:
+        bits[r.seg] = np.uint64(r.word % (1 << 64))  # signed long → uint64 word
+    return FingerprintBloom(bits, m_bits, k, n)
+
+
+def dedup_against_corpus_bloom(
+    new_docs: DataFrame,
+    corpus: DataFrame | None,
+    bloom: FingerprintBloom,
+    text: str = "text",
+    id_col: str = "doc_id",
+    corpus_fps: DataFrame | None = None,
+) -> DataFrame:
+    """Bloom-accelerated incremental exact dedup — same RESULT as
+    ``dedup_against_corpus`` (the bloom has no false negatives, so rows
+    it clears are definitively new and only possible duplicates reach the
+    fp anti-join), but the join side of each batch shrinks from |batch|
+    to |batch ∩ maybe| ≈ dup rate + fpp. The standing corpus is consulted
+    only for that slice; pass ``corpus_fps=`` (the persisted distinct-fp
+    table, ideally bucketed by fp) to skip touching corpus text entirely.
+
+    Returns the surviving rows of ``new_docs`` with original columns."""
+    h1, h2 = _bloom_hashes(F.col(text))
+    tagged = new_docs.withColumn("_maybe", bloom.contains_udf()(h1, h2))
+    fresh = tagged.filter(~F.col("_maybe")).drop("_maybe")
+    maybe = tagged.filter(F.col("_maybe")).drop("_maybe")
+    if corpus_fps is None:
+        corpus_fps = corpus.select(fingerprint64(F.col(text)).alias("fp")).distinct()
+    else:
+        corpus_fps = corpus_fps.select("fp")
+    confirmed = (
+        maybe.withColumn("fp", fingerprint64(F.col(text)))
+        .join(corpus_fps, "fp", "left_anti")
+        .drop("fp")
+    )
+    return fresh.unionByName(confirmed)

@@ -391,3 +391,117 @@ def test_sessionize_matches_python_reference(spark):
         for r in sessionize(df, gap_s=gap).collect()
     }
     assert got == py_sessions(rows)
+
+
+def test_dedup_substrings_excises_shared_and_repeated_spans(spark):
+    """ExactSubstr semantics: a length-8 token window shared across two
+    docs is excised from BOTH; a window repeated twice WITHIN one doc is
+    excised too; unique text survives; docs shorter than the window are
+    untouched."""
+    from epicsarchiver_spark.operators.dedup import dedup_substrings
+
+    shared = "a b c d e f g h"  # exactly 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (0, f"intro one two {shared} outro three"),
+            (1, f"{shared} completely different tail here"),
+            (2, f"{shared} mid x y z {shared}"),  # within-doc repeat
+            (3, "totally unique text with no duplicated window at all"),
+            (4, "short doc"),  # < window tokens
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_substrings(docs, window=8).collect()}
+
+    # doc 0: the 8 shared tokens vanish, the unique frame survives
+    assert out[0].text_clean == "intro one two outro three"
+    assert out[0].n_dup_tokens == 8 and out[0].n_dup_windows == 1
+    # doc 1: same window excised at position 0
+    assert out[1].text_clean == "completely different tail here"
+    # doc 2: both occurrences of the repeated window excised
+    assert out[2].text_clean == "mid x y z"
+    assert out[2].n_dup_tokens == 16 and out[2].n_dup_windows == 2
+    # docs 3/4: untouched
+    assert out[3].n_dup_tokens == 0 and out[3].text_clean.startswith("totally unique")
+    assert out[4].n_dup_tokens == 0 and out[4].text_clean == "short doc"
+
+
+def test_dedup_substrings_overlapping_windows_merge(spark):
+    """Overlapping duplicated windows cover a merged span, not 2x window
+    tokens: two docs share a 9-token run -> two overlapping 8-windows,
+    9 excised tokens (not 16)."""
+    from epicsarchiver_spark.operators.dedup import dedup_substrings
+
+    run9 = "t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    docs = spark.createDataFrame(
+        [(0, f"{run9} unique tail alpha"), (1, f"prefix beta {run9}")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in dedup_substrings(docs, window=8).collect()}
+    assert out[0].n_dup_windows == 2 and out[0].n_dup_tokens == 9
+    assert out[0].text_clean == "unique tail alpha"
+    assert out[1].text_clean == "prefix beta"
+
+
+def test_bloom_dedup_matches_exact_path(spark):
+    """Bloom-accelerated incremental dedup returns EXACTLY the plain
+    anti-join result (no false negatives by construction), at normal and
+    at adversarially tiny bloom sizes (high fp rate -> more confirm-join
+    traffic, same answer)."""
+    from epicsarchiver_spark.operators.dedup import (
+        build_fingerprint_bloom,
+        dedup_against_corpus,
+        dedup_against_corpus_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"corpus document number {i} body") for i in range(200)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        # 0-49: verbatim re-crawls (dups); 100-139: novel
+        [(1000 + i, f"corpus document number {i} body") for i in range(50)]
+        + [(2000 + i, f"novel text {i}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    expect = sorted(r.doc_id for r in dedup_against_corpus(new, corpus).collect())
+    assert expect == [2000 + i for i in range(40)]
+
+    for fpp, expected_items in ((0.01, None), (0.5, 10)):  # second = tiny/undersized
+        bloom = build_fingerprint_bloom(corpus, fpp=fpp, expected_items=expected_items)
+        got = sorted(
+            r.doc_id
+            for r in dedup_against_corpus_bloom(new, corpus, bloom).collect()
+        )
+        assert got == expect, f"fpp={fpp}"
+
+
+def test_bloom_prefilter_clears_most_novel_rows(spark):
+    """The scale property the bloom buys: novel rows overwhelmingly skip
+    the confirm join. With 1% fpp, >=90% of 200 novel docs must be
+    cleared by the bloom alone (and every duplicate must be flagged
+    maybe)."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.dedup import (
+        _bloom_hashes,
+        build_fingerprint_bloom,
+    )
+
+    corpus = spark.createDataFrame(
+        [(i, f"standing doc {i}") for i in range(500)], "doc_id long, text string"
+    )
+    bloom = build_fingerprint_bloom(corpus, fpp=0.01)
+    batch = spark.createDataFrame(
+        [(i, f"standing doc {i}") for i in range(100)]  # dups
+        + [(10_000 + i, f"fresh doc {i}") for i in range(200)],  # novel
+        "doc_id long, text string",
+    )
+    h1, h2 = _bloom_hashes(F.col("text"))
+    flags = {
+        r.doc_id: r.maybe
+        for r in batch.select("doc_id", bloom.contains_udf()(h1, h2).alias("maybe")).collect()
+    }
+    assert all(flags[i] for i in range(100)), "a true duplicate escaped the bloom"
+    novel_cleared = sum(not flags[10_000 + i] for i in range(200))
+    assert novel_cleared >= 180
