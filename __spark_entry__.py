@@ -382,6 +382,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    q["doc_bigram_logprob"] = lambda s, d: text_ops.bigram_logprob(
+        load_table(s, d, "documents")
+    )
+
     # exact-substring span dedup (ExactSubstr, Lee et al. 2022): excise
     # every token covered by a length-8 window whose rolling hash occurs
     # ≥2 times anywhere in the corpus (md5 two-lane fold basis — the
@@ -947,6 +951,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_cell_stats",
         "doc_substring_dedup",
         "doc_bloom_dedup",
+        "doc_bigram_logprob",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2270,6 +2275,55 @@ def oracle_sql() -> dict[str, str]:
                      / sum(tf.tf), 6) AS mean_neg_logprob
         FROM tf JOIN model USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
+    """
+
+    # JM-interpolated bigram LM: λ and 1−λ are embedded as the EXACT
+    # Python double reprs the engine uses (1.0-0.8 is not 0.2 in IEEE754)
+    _LAM, _OML, _ALPHA = repr(0.8), repr(1.0 - 0.8), repr(0.5)
+    o["doc_bigram_logprob"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), bi AS (
+          SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+          FROM toks WHERE len(tk) >= 2
+        ), bi_tf AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY doc_id, w1, w2
+        ), bi_model AS (
+          SELECT w1, w2, sum(tf) AS c12 FROM bi_tf GROUP BY w1, w2
+        ), left_model AS (
+          SELECT w1, sum(c12) AS c1 FROM bi_model GROUP BY w1
+        ), uni AS (
+          SELECT doc_id, unnest(tk) AS term FROM toks
+        ), uni_model AS (
+          SELECT term, count(*) AS c FROM uni GROUP BY term
+        ), tot AS (
+          SELECT sum(c) AS n, count(*) AS v FROM uni_model
+        ), bi_scored AS (
+          SELECT bi_tf.doc_id, sum(tf) AS n_bi,
+                 sum(-tf * ln({_LAM} * c12 / c1
+                              + {_OML} * (um.c + {_ALPHA}) / (tot.n + {_ALPHA} * tot.v)))
+                   AS s_bi
+          FROM bi_tf
+          JOIN bi_model USING (w1, w2)
+          JOIN left_model USING (w1)
+          JOIN uni_model um ON um.term = bi_tf.w2
+          CROSS JOIN tot
+          GROUP BY bi_tf.doc_id
+        ), first_t AS (
+          SELECT doc_id, tk[1] AS term FROM toks WHERE len(tk) > 0
+        ), first_scored AS (
+          SELECT doc_id,
+                 -ln((c + {_ALPHA}) / (tot.n + {_ALPHA} * tot.v)) AS s_first
+          FROM first_t JOIN uni_model USING (term) CROSS JOIN tot
+        )
+        SELECT f.doc_id,
+               CAST(coalesce(b.n_bi, 0) + 1 AS BIGINT) AS n_tokens,
+               round((f.s_first + coalesce(b.s_bi, 0.0))
+                     / (coalesce(b.n_bi, 0) + 1), 6) AS mean_neg_logprob
+        FROM first_scored f LEFT JOIN bi_scored b USING (doc_id)
     """
 
     o["ts_rate_windowed"] = (

@@ -73,6 +73,7 @@ HEADLINE = [
     "ts_sessions",
     "doc_vocab_topk",
     "doc_substring_dedup",
+    "doc_bigram_logprob",
 ]
 
 

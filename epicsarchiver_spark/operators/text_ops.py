@@ -595,3 +595,102 @@ def scrub_pii(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     for _, pat, repl in PII_PATTERNS:
         clean = F.regexp_replace(clean, pat, repl)
     return out.select(id_col, clean.alias("clean_text"), *counts)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.8,
+) -> DataFrame:
+    """Interpolated bigram LM quality signal — one rung up from
+    ``unigram_logprob`` toward a KenLM perplexity filter: score each
+    document by the mean negative log-probability of its tokens under a
+    Jelinek-Mercer-interpolated bigram model trained on the corpus
+    itself:
+
+        p(w_i | w_{i-1}) = λ·c(w_{i-1}, w_i)/c_left(w_{i-1})
+                           + (1−λ)·p_uni(w_i)
+
+    with Lidstone unigram p_uni(w) = (c(w)+α)/(N+α·V); the first token
+    of each document is scored by p_uni alone. Repetitive boilerplate
+    scores low, off-distribution/gibberish text scores high.
+
+    Plan shape: one tokenize, bigram pairs built array-locally
+    (zip_with against the shifted token array — no self-join), per-doc
+    (w1, w2, tf) partials map-side; the bigram model and its
+    left-context totals are model-keyed aggregates the per-doc partials
+    join back to (model sides are |bigram vocab| rows — AQE broadcasts
+    at moderate vocab; co-partitioned hash join beyond). N/V ride a
+    broadcast 1-row frame — no eager action anywhere. Docs with zero
+    tokens drop, matching ``unigram_logprob``."""
+    toks = docs.select(
+        F.col(id_col), T.tokens(F.lower(F.col(text))).alias("tk")
+    )
+    # per-position unigrams with an is-first marker (first token scores
+    # under p_uni alone), plus the bigram pair list, all array-local
+    pairs = F.filter(
+        F.zip_with(
+            F.col("tk"),
+            F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bi_tf = (
+        toks.select(F.col(id_col), F.explode(pairs).alias("p"))
+        .groupBy(id_col, F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # corpus models: bigram counts, left-context totals, unigram counts
+    bi_model = bi_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    left_model = bi_model.groupBy("w1").agg(F.sum("c12").alias("c1"))
+    uni_tf = (
+        toks.select(F.col(id_col), F.explode("tk").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("utf"))
+    )
+    uni_model = uni_tf.groupBy("term").agg(F.sum("utf").alias("c"))
+    totals = uni_model.agg(F.sum("c").alias("_N"), F.count(F.lit(1)).alias("_V"))
+    p_uni = (F.col("c") + F.lit(alpha)) / (
+        F.col("_N") + F.lit(alpha) * F.col("_V")
+    ).cast("double")
+
+    # bigram positions: -log(λ·c12/c1 + (1−λ)·p_uni(w2))
+    bi_scored = (
+        bi_tf.join(bi_model, ["w1", "w2"])
+        .join(left_model, "w1")
+        .join(uni_model.select(F.col("term").alias("w2"), "c"), "w2")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_bi"),
+            F.sum(
+                -F.col("tf")
+                * F.log(
+                    F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * p_uni
+                )
+            ).alias("s_bi"),
+        )
+    )
+    # first token of each doc: -log p_uni
+    first_scored = (
+        toks.filter(F.size("tk") > 0)
+        .select(F.col(id_col), F.element_at("tk", 1).alias("term"))
+        .join(uni_model, "term")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(id_col), (-F.log(p_uni)).alias("s_first"))
+    )
+    return (
+        first_scored.join(bi_scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            (F.coalesce(F.col("n_bi"), F.lit(0)) + 1).cast("long").alias("n_tokens"),
+            F.round(
+                (F.col("s_first") + F.coalesce(F.col("s_bi"), F.lit(0.0)))
+                / (F.coalesce(F.col("n_bi"), F.lit(0)) + 1),
+                6,
+            ).alias("mean_neg_logprob"),
+        )
+    )

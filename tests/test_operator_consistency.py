@@ -505,3 +505,30 @@ def test_bloom_prefilter_clears_most_novel_rows(spark):
     assert all(flags[i] for i in range(100)), "a true duplicate escaped the bloom"
     novel_cleared = sum(not flags[10_000 + i] for i in range(200))
     assert novel_cleared >= 180
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """JM-interpolated bigram scores on a 3-doc corpus, checked against
+    closed-form math: vocab a(3) b(2) c(1), N=6 V=3, c(a,b)=2 c(a,c)=1,
+    c_left(a)=3."""
+    import math
+
+    from epicsarchiver_spark.operators.text_ops import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [(0, "a b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in bigram_logprob(docs, alpha=0.5, lam=0.8).collect()}
+
+    def p_uni(c):
+        return (c + 0.5) / (6 + 0.5 * 3)
+
+    s_first = -math.log(p_uni(3))  # all docs start with 'a'
+    ab = -math.log(0.8 * 2 / 3 + (1.0 - 0.8) * p_uni(2))
+    ac = -math.log(0.8 * 1 / 3 + (1.0 - 0.8) * p_uni(1))
+    assert out[0].n_tokens == 2
+    assert out[0].mean_neg_logprob == round((s_first + ab) / 2, 6)
+    assert out[1].mean_neg_logprob == out[0].mean_neg_logprob
+    assert out[2].mean_neg_logprob == round((s_first + ac) / 2, 6)
+    # rarer continuation must score strictly worse
+    assert out[2].mean_neg_logprob > out[0].mean_neg_logprob
