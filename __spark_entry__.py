@@ -386,6 +386,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    q["doc_quality_classifier"] = lambda s, d: text_ops.quality_classifier(
+        load_table(s, d, "documents")
+    )
+
+    # embedding-space decontamination: benchmark = every 25th vector (the
+    # members themselves must flag contaminated; near-copies too)
+    q["emb_contamination"] = lambda s, d: similarity.semantic_contamination(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") % 25 == 0),
+        threshold=0.9,
+    )
+
     # exact-substring span dedup (ExactSubstr, Lee et al. 2022): excise
     # every token covered by a length-8 window whose rolling hash occurs
     # ≥2 times anywhere in the corpus (md5 two-lane fold basis — the
@@ -1638,6 +1650,19 @@ def oracle_sql() -> dict[str, str]:
         "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
     )
 
+    o["emb_contamination"] = f"""
+        WITH {_V},
+        b AS (SELECT vec_id AS bid, e AS be FROM v WHERE vec_id % 25 = 0),
+        sims AS (
+          SELECT v.vec_id, round({_COS.format(a="v.e", b="b.be")}, 6) AS sim
+          FROM v CROSS JOIN b
+        )
+        SELECT vec_id, max(sim) AS max_cosine,
+               CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               max(sim) >= 0.9 AS contaminated
+        FROM sims GROUP BY vec_id
+    """
+
     _bp = _hyperplanes(64, 16, 42)  # banded: n_planes=16, bands=8 → 2 bits/band
     o["emb_cosine_neardups_banded"] = f"""
         WITH {_V},
@@ -2275,6 +2300,53 @@ def oracle_sql() -> dict[str, str]:
                      / sum(tf.tf), 6) AS mean_neg_logprob
         FROM tf JOIN model USING (term) CROSS JOIN tot
         GROUP BY tf.doc_id
+    """
+
+    # logistic quality classifier: every feature replayed as builtin SQL,
+    # weights embedded as exact Python double reprs; z over UNROUNDED
+    # features, prob rounded to 6dp, keep compared on the rounded value
+    from epicsarchiver_spark.operators.text_ops import QC_BIAS, QC_WEIGHTS
+
+    _qc_feats = {
+        "len_log": "ln(1 + length(text))",
+        "mean_tok_len": (
+            f"CASE WHEN len({TOK}) > 0 THEN "
+            f"list_sum(list_transform({TOK}, x -> length(x))) * 1.0 / len({TOK}) "
+            "ELSE 0.0 END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN len({TOK}) > 0 THEN "
+            f"len(list_filter({TOK}, t -> lower(t) IN ('the','and','of','to','in')))"
+            f" * 1.0 / len({TOK}) ELSE 0.0 END"
+        ),
+        "punct_ratio": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]-]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+        "digit_frac": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+        "upper_frac": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+    }
+    _qc_z = repr(QC_BIAS) + "".join(
+        f" + {w!r} * ({_qc_feats[name]})" for name, w in QC_WEIGHTS
+    )
+    _qc_cols = ",\n               ".join(
+        f"round({_qc_feats[name]}, 6) AS {name}" for name, _ in QC_WEIGHTS
+    )
+    o["doc_quality_classifier"] = f"""
+        SELECT doc_id,
+               {_qc_cols},
+               round(1.0 / (1.0 + exp(-({_qc_z}))), 6) AS quality_prob,
+               round(1.0 / (1.0 + exp(-({_qc_z}))), 6) >= 0.5 AS keep
+        FROM documents
     """
 
     # JM-interpolated bigram LM: λ and 1−λ are embedded as the EXACT

@@ -74,6 +74,8 @@ HEADLINE = [
     "doc_vocab_topk",
     "doc_substring_dedup",
     "doc_bigram_logprob",
+    "doc_quality_classifier",
+    "emb_contamination",
 ]
 
 

@@ -556,3 +556,46 @@ def quantize_embeddings(
             ",",
         ).alias("qvec"),
     )
+
+
+def semantic_contamination(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    bench_id: str = "vec_id",
+    bench_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination — the semantic
+    counterpart of ``text_ops.contamination_overlap``: for every corpus
+    vector, the max cosine against ANY benchmark vector, the number of
+    benchmark vectors at/above ``threshold``, and the contaminated flag.
+    Filter ``contaminated`` rows out of the training set (paraphrased or
+    re-formatted benchmark leakage that n-gram overlap misses).
+
+    Scale shape: benchmark suites are small (10³–10⁵ rows) — the
+    benchmark side is broadcast, so the corpus streams through one narrow
+    scan with a per-row fold over the broadcast vectors; no corpus
+    shuffle beyond the final per-id aggregate, which is map-side-partial
+    on (id). For benchmark sets too large to broadcast, generate
+    candidates with the hyperplane-band equi-join
+    (``cosine_near_duplicates_banded`` shape) between the two frames
+    instead."""
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+    b = benchmark.select(
+        F.col(bench_id).alias("_bid"), as_double(F.col(bench_vec)).alias("bv")
+    )
+    sim = F.round(cosine(F.col("cv"), F.col("bv")), 6)
+    return (
+        c.join(F.broadcast(b))
+        .select(F.col(id_col), sim.alias("_sim"))
+        .groupBy(id_col)
+        .agg(
+            F.max("_sim").alias("max_cosine"),
+            F.sum(F.when(F.col("_sim") >= threshold, 1).otherwise(0))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .withColumn("contaminated", F.col("max_cosine") >= F.lit(threshold))
+    )

@@ -694,3 +694,60 @@ def bigram_logprob(
             ).alias("mean_neg_logprob"),
         )
     )
+
+
+# Fixed, deterministic weights for the logistic quality classifier — the
+# oracle-checkable stand-in for a trained fastText/DSIR-style quality
+# model (the container has no trained artifacts; a real deployment swaps
+# these for learned coefficients without touching the plan shape).
+QC_BIAS = -1.0
+QC_WEIGHTS = (
+    ("len_log", 0.9),        # log1p(chars), saturating length prior
+    ("mean_tok_len", 0.25),  # very short/very long tokens → gibberish
+    ("stopword_ratio", 4.0), # function words → natural prose
+    ("punct_ratio", -6.0),   # punctuation soup → markup/boilerplate
+    ("digit_frac", -3.0),    # digit-heavy → tables/serials
+    ("upper_frac", -2.0),    # SHOUTING / header dumps
+)
+
+
+def quality_classifier(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id", threshold: float = 0.5
+) -> DataFrame:
+    """Logistic quality classifier over cheap JVM-side features:
+    p(keep) = sigmoid(b + Σ wᵢ·xᵢ) with the fixed ``QC_WEIGHTS`` above.
+    Returns (id, the 6 features, quality_prob, keep) — filter on ``keep``
+    or rank on ``quality_prob``; the standard corpus-quality gate shape
+    (CCNet / Gopher rules → one score → threshold).
+
+    One narrow scan, zero shuffle, zero UDF — every feature is a builtin
+    expression, so the whole row pipeline stays in WholeStageCodegen."""
+    t = F.col(text)
+    n_chars = F.length(t).cast("double")
+    feats = {
+        "len_log": F.log1p(n_chars),
+        "mean_tok_len": T.mean_token_len(t),
+        "stopword_ratio": T.stopword_ratio(t),
+        "punct_ratio": T.punct_ratio(t),
+        "digit_frac": F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(t, "[^0-9]", "")).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0)),
+        "upper_frac": F.when(
+            n_chars > 0,
+            F.length(F.regexp_replace(t, "[^A-Z]", "")).cast("double") / n_chars,
+        ).otherwise(F.lit(0.0)),
+    }
+    base = docs.select(
+        F.col(id_col), *[v.alias(k) for k, v in feats.items()]
+    )
+    z = F.lit(QC_BIAS)
+    for name, w in QC_WEIGHTS:
+        z = z + F.lit(w) * F.col(name)
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    out = base.select(
+        F.col(id_col),
+        *[F.round(F.col(k), 6).alias(k) for k, _ in QC_WEIGHTS],
+        prob.alias("quality_prob"),
+    )
+    return out.withColumn("keep", F.col("quality_prob") >= F.lit(threshold))

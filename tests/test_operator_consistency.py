@@ -532,3 +532,47 @@ def test_bigram_logprob_hand_computed(spark):
     assert out[2].mean_neg_logprob == round((s_first + ac) / 2, 6)
     # rarer continuation must score strictly worse
     assert out[2].mean_neg_logprob > out[0].mean_neg_logprob
+
+
+def test_quality_classifier_orders_prose_above_noise(spark):
+    """Fixed-weight logistic gate: natural prose with stopwords scores
+    above punctuation soup, digit dumps, and SHOUTING."""
+    from epicsarchiver_spark.operators.text_ops import quality_classifier
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat and looked out of the window to the garden"),
+            (1, ";;;, ,.!? ::: ()[] ,,.. !!! ??? ;;; ,.,., ()() !?!?"),
+            (2, "4920 1123 9583 2291 0042 7731 5550 9182 3311 8822"),
+            (3, "ALL CAPS HEADER DUMP SECTION TWO CONTENTS INDEX TABLE"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in quality_classifier(docs).collect()}
+    assert out[0].keep is True
+    for bad in (1, 2, 3):
+        assert out[0].quality_prob > out[bad].quality_prob
+    assert out[1].keep is False
+
+
+def test_semantic_contamination_flags_members_and_near_copies(spark):
+    """Benchmark members flag contaminated (cosine 1 with themselves),
+    a scaled copy too (cosine invariant to scale), an orthogonal vector
+    does not; n_hits counts benchmark rows above threshold."""
+    from epicsarchiver_spark.operators.similarity import semantic_contamination
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),   # benchmark member
+            (1, [2.0, 0.0, 0.0]),   # scaled copy of it
+            (2, [0.0, 1.0, 0.0]),   # orthogonal
+            (3, [1.0, 0.05, 0.0]),  # near copy
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    bench = corpus.filter("vec_id = 0")
+    out = {r.vec_id: r for r in semantic_contamination(corpus, bench, 0.9).collect()}
+    assert out[0].contaminated and out[0].max_cosine == 1.0 and out[0].n_hits == 1
+    assert out[1].contaminated and out[1].max_cosine == 1.0
+    assert not out[2].contaminated and out[2].n_hits == 0
+    assert out[3].contaminated  # cos ~= 0.99875

@@ -205,3 +205,51 @@ def test_png_and_wav_parsers_never_raise_on_noise(payload):
     ):
         _parse_png(p)
         _parse_wav(p)
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from("ab"), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.integers(min_value=2, max_value=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_dedup_substrings_matches_python_reference(spark, texts, window):
+    """dedup_substrings ≡ a direct python ExactSubstr reference on random
+    tiny corpora over a 2-letter alphabet (dense window collisions)."""
+    from epicsarchiver_spark.operators.dedup import dedup_substrings
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_dup_windows, r.n_dup_tokens, r.text_clean)
+        for r in dedup_substrings(docs, window=window).collect()
+    }
+
+    tok = [t.split() for t in texts]
+    from collections import Counter
+
+    counts = Counter(
+        tuple(tk[i : i + window])
+        for tk in tok
+        for i in range(len(tk) - window + 1)
+    )
+    for d, tk in enumerate(tok):
+        starts = [
+            i
+            for i in range(len(tk) - window + 1)
+            if counts[tuple(tk[i : i + window])] >= 2
+        ]
+        covered = set()
+        for s_ in starts:
+            covered.update(range(s_, s_ + window))
+        kept = [t for j, t in enumerate(tk) if j not in covered]
+        assert got[d] == (
+            len(tk),
+            len(starts),
+            len(tk) - len(kept),
+            " ".join(kept),
+        ), (d, texts, window)
