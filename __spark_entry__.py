@@ -27,6 +27,7 @@ from epicsarchiver_spark.operators import (
     cull,
     dedup,
     deadband,
+    events as ev,
     multimodal,
     related,
     relational,
@@ -69,6 +70,8 @@ _PTS = "event_id", "pvname", "time", "value"
 INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purchase"]
 # alert rules keyed by event_type: (key, compare op, trippoint) — C16
 ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0.0)]
+# ordered-funnel steps for the clickstream analytics family
+FUNNEL_STEPS = ("view", "click", "purchase")
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,6 +349,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     ).select("doc_id", "lang", "source")
     q["doc_quality"] = lambda s, d: text_ops.quality_scores(load_table(s, d, "documents"))
+    q["doc_gopher_rules"] = lambda s, d: text_ops.gopher_rules(load_table(s, d, "documents"))
+    # clickstream analytics over the RAW events table (funnel / cohort /
+    # JSON-props / rolling-DAU) — the product-analytics verbs a complete
+    # engine over the same event log needs; see operators/events.py
+    q["ev_funnel"] = lambda s, d: ev.funnel(
+        load_table(s, d, "events"), FUNNEL_STEPS
+    )
+    q["ev_retention"] = lambda s, d: ev.retention_cohorts(load_table(s, d, "events"))
+    q["ev_props_rollup"] = lambda s, d: ev.props_rollup(load_table(s, d, "events"))
+    q["ev_rolling_dau"] = lambda s, d: ev.rolling_dau(load_table(s, d, "events"))
     q["doc_tfidf_top_terms"] = lambda s, d: text_ops.tfidf_top_terms(
         load_table(s, d, "documents"), k=3
     )
@@ -964,6 +977,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_substring_dedup",
         "doc_bloom_dedup",
         "doc_bigram_logprob",
+        "doc_gopher_rules",
+        "ev_funnel",
+        "ev_retention",
+        "ev_props_rollup",
+        "ev_rolling_dau",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2738,6 +2756,103 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT vec_id, cosine_sim FROM scored
         ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    o["doc_gopher_rules"] = """
+        WITH toks AS (
+          SELECT doc_id, text AS t,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                       / len(tk), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(tk), 6) AS alpha_frac,
+                 round(CAST((length(t) - length(replace(t, '#', '')))
+                            + (length(t) - length(replace(t, '...', ''))) / 3.0
+                            AS DOUBLE) / len(tk), 6) AS symbol_ratio,
+                 CAST(len(list_intersect(list_transform(tk, x -> lower(x)),
+                                         ['and','in','of','the','to'])) AS BIGINT)
+                   AS n_stopwords
+          FROM toks
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stopwords,
+               (n_words BETWEEN 25 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND (symbol_ratio <= 0.1)
+               AND (alpha_frac >= 0.8)
+               AND (n_stopwords >= 1) AS keep
+        FROM stats
+    """
+
+    # --- clickstream analytics (operators/events.py) ------------------
+    step_list = ", ".join(f"'{s}'" for s in FUNNEL_STEPS)
+    cascade = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        if i == 0:
+            cascade.append(
+                f"s0 AS (SELECT user_id, min(t) AS t0 FROM ev"
+                f" WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            cascade.append(
+                f"s{i} AS (SELECT user_id, min(t) AS t{i}"
+                f" FROM ev JOIN s{i - 1} USING (user_id)"
+                f" WHERE event_type = '{s}' AND t > t{i - 1} GROUP BY 1)"
+            )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" (SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    o["ev_funnel"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch(ts) AS t, event_type FROM events
+          WHERE event_type IN ({step_list})
+        ),
+        {",".join(cascade)}
+        {unions}
+    """
+
+    o["ev_retention"] = """
+        WITH base AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS wk
+          FROM events
+        ),
+        coh AS (SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY 1)
+        SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
+        FROM base JOIN coh USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    o["ev_props_rollup"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               round(avg(k), 6) AS avg_k,
+               max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+              FROM events) t
+        GROUP BY 1
+    """
+
+    o["ev_rolling_dau"] = """
+        WITH dau AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+            SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+                   user_id
+            FROM events
+          ) GROUP BY 1
+        )
+        SELECT day, dau,
+               round(avg(dau) OVER (ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS dau_roll_avg
+        FROM dau
     """
 
     return o

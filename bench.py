@@ -76,6 +76,12 @@ HEADLINE = [
     "doc_bigram_logprob",
     "doc_quality_classifier",
     "emb_contamination",
+    # clickstream analytics family + the Gopher rule filter
+    "ev_funnel",
+    "ev_retention",
+    "ev_props_rollup",
+    "ev_rolling_dau",
+    "doc_gopher_rules",
 ]
 
 

@@ -1,0 +1,199 @@
+"""Clickstream / product-analytics operators over the raw ``events``
+table ``(event_id, ts, user_id, event_type, value, props)``.
+
+The archiver reference exposes its event log only through the points
+view; a complete analytics engine over the same log also needs the
+classic user-behavior queries — ordered funnels, cohort retention,
+semi-structured property rollups, rolling active-user counts. Each is
+expressed as a shuffle-minimal DataFrame plan with an exact ANSI-SQL
+oracle.
+
+Scale notes (100 TB posture):
+- ``funnel``: ONE shuffle (groupBy user); the ordered-step cascade is an
+  array-local fold over each user's (ts, type) list — no per-step
+  re-scan of the event log, no self-joins. Event rows are pre-filtered
+  to the funnel's step types before the shuffle, bounding per-user
+  lists by the user's funnel-relevant activity.
+- ``retention_cohorts``: ONE user-keyed shuffle (min-period + period
+  set per user in a single aggregate), then a tiny (cohort, offset)
+  aggregate. No join back to the raw log.
+- ``props_rollup``: JSON extraction is the JVM builtin
+  ``get_json_object`` inside a map-side partial aggregate; only
+  (event_type, partials) move.
+- ``rolling_dau``: the distinct + daily aggregate distribute; only the
+  final rolling window runs single-partition — over the per-DAY frame,
+  whose cardinality is the calendar, not the data (30 rows/month at any
+  corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+DAY_S = 86400.0
+WEEK_S = 604800.0
+
+
+def _epoch_s(df: DataFrame, ts_col: str):
+    """Epoch-seconds double from a schema-adaptive timestamp column —
+    the same µs-count division as ``catalog.points_view`` (the driver
+    has shipped the events ``ts`` as TIMESTAMP(NANOS)-as-long and as
+    timestamp[us]; DuckDB oracles use ``epoch(ts)`` = the identical
+    instant, so comparisons are bit-exact cross-engine)."""
+    t = df.schema[ts_col].dataType.simpleString()
+    c = F.col(ts_col)
+    if t in ("bigint", "long"):
+        return (F.expr(f"{ts_col} div 1000").cast("double")) / F.lit(1e6)
+    if t.startswith("timestamp"):
+        return F.unix_micros(c.cast("timestamp")).cast("double") / F.lit(1e6)
+    return c.cast("double")
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: ``(step, step_name, n_users)`` where a
+    user reaches step i when an event of type ``steps[i]`` occurs
+    STRICTLY AFTER their step i-1 arrival time (step 0 = the user's
+    first event of that type). The cascade t_i = min{t : type = s_i,
+    t > t_{i-1}} is the standard funnel definition; a user whose events
+    arrive out of order does not convert.
+
+    Each step time is materialized as its own projection attribute —
+    t_i references t_{i-1}, and chaining attributes (not inline
+    expressions) keeps the expression tree linear in the number of
+    steps instead of exponential (CollapseProject would clone the whole
+    upstream cascade into every reference otherwise)."""
+    grouped = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .select(
+            F.col(user_col).alias("user"),
+            _epoch_s(events, ts_col).alias("t"),
+            F.col(type_col).alias("et"),
+        )
+        .groupBy("user")
+        .agg(F.collect_list(F.struct("t", "et")).alias("evs"))
+    )
+    cur = grouped
+    for i, s in enumerate(steps):
+        if i == 0:
+            t = F.array_min(
+                F.transform(
+                    F.filter(F.col("evs"), lambda e: e["et"] == F.lit(s)),
+                    lambda e: e["t"],
+                )
+            )
+        else:
+            prev = F.col(f"t{i - 1}")
+            # comparing against a NULL previous step nulls the predicate,
+            # filter drops it, array_min of empty = NULL: dropout cascades
+            t = F.array_min(
+                F.transform(
+                    F.filter(
+                        F.col("evs"),
+                        lambda e: (e["et"] == F.lit(s)) & (e["t"] > prev),
+                    ),
+                    lambda e: e["t"],
+                )
+            )
+        cur = cur.select("*", t.alias(f"t{i}"))
+    counts = cur.agg(
+        *[F.count(F.col(f"t{i}")).alias(f"c{i}") for i in range(len(steps))]
+    )
+    return counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(s).alias("step_name"),
+                        F.col(f"c{i}").alias("n_users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period_s: float = WEEK_S,
+) -> DataFrame:
+    """Cohort retention: ``(cohort_wk, week_offset, n_users)`` — users
+    whose FIRST activity fell in epoch-period ``cohort_wk`` and who were
+    active again ``week_offset`` periods later. Period index =
+    floor(epoch_seconds / period_s), deterministic across engines
+    (calendar-week variants differ by locale; the epoch grid does not).
+
+    One user-keyed shuffle: min-period and the distinct period set come
+    from a single aggregate, so no join back to the raw log and a user's
+    cohort never re-shuffles with the full event volume."""
+    wk = F.floor(_epoch_s(events, ts_col) / F.lit(period_s)).cast("long")
+    per_user = (
+        events.select(F.col(user_col).alias("user"), wk.alias("wk"))
+        .groupBy("user")
+        .agg(F.min("wk").alias("cohort_wk"), F.collect_set("wk").alias("wks"))
+    )
+    return (
+        per_user.select("cohort_wk", F.explode("wks").alias("wk"))
+        .groupBy("cohort_wk", (F.col("wk") - F.col("cohort_wk")).alias("week_offset"))
+        # per_user rows are distinct (user, wk) with one cohort per user,
+        # so count(*) here IS distinct users — no count_distinct shuffle
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+def props_rollup(
+    events: DataFrame,
+    json_path: str = "$.k",
+    type_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Semi-structured rollup: extract a numeric property from the JSON
+    ``props`` payload (JVM ``get_json_object`` — no Python, stays in
+    whole-stage codegen) and aggregate per event type:
+    ``(event_type, n_events, n_missing, avg_k, max_k)``. Missing /
+    non-numeric properties count in ``n_missing`` and drop out of the
+    numeric aggregates (SQL null semantics)."""
+    k = F.get_json_object(F.col(props_col), json_path).cast("double")
+    return events.groupBy(F.col(type_col)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k.isNull().cast("long")).alias("n_missing"),
+        F.round(F.avg(k), 6).alias("avg_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+def rolling_dau(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Daily active users with a trailing ``window_days``-day rolling
+    mean: ``(day, dau, dau_roll_avg)``, day = floor(epoch/86400).
+
+    The distinct (day, user) reduction and the per-day count distribute
+    normally; only the final rolling window is a single-partition sort —
+    over the per-day frame, whose row count is the calendar span (365
+    rows/year regardless of event volume), the one case where a global
+    window is the right plan."""
+    day = F.floor(_epoch_s(events, ts_col) / F.lit(DAY_S)).cast("long")
+    dau = (
+        events.select(day.alias("day"), F.col(user_col).alias("user"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    w = Window.orderBy("day").rangeBetween(-(window_days - 1), 0)
+    return dau.select(
+        "day", "dau", F.round(F.avg("dau").over(w), 6).alias("dau_roll_avg")
+    )

@@ -105,6 +105,75 @@ def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") 
     )
 
 
+def gopher_rules(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 25,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 1,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021,
+    "Scaling Language Models: ... Gopher", App. A): per-doc heuristic
+    signals and a composite ``keep`` verdict —
+    ``(id, n_words, mean_word_len, alpha_frac, symbol_ratio,
+    n_stopwords, keep)``. Rules: word count in [min,max]; mean word
+    length in [min,max]; symbol('#'/'…')-to-word ratio below the cap;
+    ≥ min_alpha_frac of words contain a letter; at least
+    ``min_stopwords`` distinct common stopwords present.
+
+    All JVM builtins over ONE materialized token array (the projection
+    layering discipline of ``_with_lang_pred``); zero shuffle — the
+    filter is a narrow scan however large the corpus."""
+    stop = sorted(T.LANG_STOPWORDS["en"])
+    toks = docs.select(
+        F.col(id_col), F.col(text).alias("_t"), T.tokens(F.col(text)).alias("_toks")
+    )
+    # '#' count = length delta of strip; '...'/'…' counted as one symbol
+    hash_n = F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))
+    ell_n = (
+        F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    stats = toks.select(
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("n_words"),
+        F.round(
+            F.aggregate(
+                "_toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+            ).cast("double")
+            / F.size("_toks"),
+            6,
+        ).alias("mean_word_len"),
+        F.round(
+            F.size(F.filter("_toks", lambda x: x.rlike("[A-Za-z]"))).cast("double")
+            / F.size("_toks"),
+            6,
+        ).alias("alpha_frac"),
+        F.round((hash_n + ell_n).cast("double") / F.size("_toks"), 6).alias(
+            "symbol_ratio"
+        ),
+        F.size(
+            F.array_intersect(
+                F.transform("_toks", F.lower), F.array(*[F.lit(w) for w in stop])
+            )
+        )
+        .cast("long")
+        .alias("n_stopwords"),
+    )
+    keep = (
+        F.col("n_words").between(min_words, max_words)
+        & F.col("mean_word_len").between(min_mean_word_len, max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return stats.select("*", keep.alias("keep"))
+
+
 def _with_lang_pred(docs: DataFrame, text: str, keep: list) -> DataFrame:
     """Three-projection language-ID: tokenize once, score once, argmax
     once — inline `T.langid(text)` would re-tokenize per language per
