@@ -433,6 +433,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_rate_windowed"] = lambda s, d: timeseries.rate_windowed(
         _points(s, d), window_s=3600.0
     )
+    # time-weighted mean of the LOCF staircase (heartbeat-bounded seed
+    # scan) and server-side plot decimation — the two viewer-side
+    # reductions a 100 TB archive must push into the engine
+    q["ts_twa"] = lambda s, d: timeseries.time_weighted_avg(
+        _points(s, d), T0, T1, lookback=ASOF_LOOKBACK
+    )
+    q["ts_decimate"] = lambda s, d: timeseries.decimate_minmax(
+        _points(s, d), T0, T1, n_buckets=16
+    )
+    q["rel_returned_items"] = lambda s, d: relational.returned_item_revenue(
+        load_table(s, d, "customer"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "nation"),
+    )
+    q["rel_supplier_parts"] = lambda s, d: relational.supplier_part_counts(
+        load_table(s, d, "part"),
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "supplier"),
+    )
 
     def _doc_incremental_dedup(s, d):
         """Incremental exact dedup: a synthetic NEW batch built from the
@@ -982,6 +1002,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_retention",
         "ev_props_rollup",
         "ev_rolling_dau",
+        "ts_twa",
+        "ts_decimate",
+        "rel_returned_items",
+        "rel_supplier_parts",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2853,6 +2877,86 @@ def oracle_sql() -> dict[str, str]:
                round(avg(dau) OVER (ORDER BY day
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS dau_roll_avg
         FROM dau
+    """
+
+    # time-weighted LOCF mean; durations quantized to integer µs so the
+    # coverage sum is exact integer math — order-independent across
+    # engines (the float-accumulation low bits would straddle the
+    # 6-decimal rounding otherwise)
+    o["ts_twa"] = (
+        P
+        + f""",
+        seg AS (
+          SELECT pvname, value,
+                 greatest(time, {T0}) AS a,
+                 least(coalesce(lead(time) OVER (PARTITION BY pvname
+                       ORDER BY time, event_id), {T1}), {T1}) AS b
+          FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {ASOF_LOOKBACK}
+        ),
+        q AS (
+          SELECT pvname, value, CAST(round((b - a) * 1e6) AS BIGINT) AS dur_us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname,
+               round(sum(dur_us) / 1e6, 6) AS coverage_s,
+               round(sum(value * dur_us) / sum(dur_us), 6) AS twa
+        FROM q GROUP BY pvname
+        """
+    )
+
+    _DECIMATE_W = (T1 - T0) / 16
+    o["ts_decimate"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value, event_id,
+                 {T0} + floor((time - {T0}) / {_DECIMATE_W!r}) * {_DECIMATE_W!r}
+                   AS bucket_start
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        rk AS (
+          SELECT pvname, bucket_start, value,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time, event_id) AS rf,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time DESC, event_id DESC) AS rl
+          FROM win
+        )
+        SELECT pvname, bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN rf = 1 THEN value END) AS v_first,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               max(CASE WHEN rl = 1 THEN value END) AS v_last
+        FROM rk GROUP BY pvname, bucket_start
+        """
+    )
+
+    o["rel_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+    o["rel_supplier_parts"] = """
+        WITH assoc AS (
+          SELECT DISTINCT p_brand, p_size, l_suppkey
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        )
+        SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+        FROM assoc GROUP BY 1, 2
     """
 
     return o

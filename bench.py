@@ -82,6 +82,12 @@ HEADLINE = [
     "ev_props_rollup",
     "ev_rolling_dau",
     "doc_gopher_rules",
+    # viewer-side reductions pushed into the engine + two more join-heavy
+    # relational shapes (Q10/Q16-style)
+    "ts_twa",
+    "ts_decimate",
+    "rel_returned_items",
+    "rel_supplier_parts",
 ]
 
 

@@ -102,3 +102,59 @@ def order_priority_counts(
         .agg(F.count(F.lit(1)).alias("order_count"))
         .orderBy("o_orderpriority")
     )
+
+
+def returned_item_revenue(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q10-style: revenue lost to returned items per customer —
+    fact filter first (only 'R' lineitems enter the join), orders join
+    shuffles once on the order key, both dimensions broadcast, then a
+    customer-keyed aggregate and a deterministic top-k
+    (TakeOrderedAndProject; ties broken by customer key)."""
+    return (
+        lineitem.filter(F.col("l_returnflag") == "R")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(k)
+    )
+
+
+def supplier_part_counts(
+    part: DataFrame, lineitem: DataFrame, supplier: DataFrame
+) -> DataFrame:
+    """TPC-H Q16-style: distinct suppliers per (p_brand, p_size),
+    excluding suppliers in deficit (negative account balance — the
+    complaints predicate of Q16, adapted to this schema). The fact
+    reduces to distinct (part, supplier) pairs FIRST (map-side partial
+    dedup before any join), the exclusion list rides a broadcast
+    anti-join, the part dimension broadcasts, and the distinct
+    (brand, size, supplier) reduction makes the final count a plain
+    count — no count-distinct Expand doubling the shuffle."""
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        lineitem.select("l_partkey", "l_suppkey")
+        .dropDuplicates()
+        .join(
+            F.broadcast(excluded),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select("p_brand", "p_size", "l_suppkey")
+        .dropDuplicates()
+        .groupBy("p_brand", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+    )

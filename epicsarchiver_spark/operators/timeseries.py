@@ -278,3 +278,86 @@ def locf_grid(
         pruned = pruned.filter(F.col("time") >= t0 - lookback)
     keep = [key, "time", "value"] + (["event_id"] if "event_id" in points.columns else [])
     return asof_join(pruned.select(*keep), grid, key=key)
+
+
+def time_weighted_avg(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    key: str = "pvname",
+    lookback: float | None = None,
+) -> DataFrame:
+    """Time-weighted mean of the LOCF step function over [t0, t1]:
+    ``(key, coverage_s, twa)`` per series — the correct average for
+    irregularly-sampled archived values (a plain avg() over-weights
+    bursts; the reference renders LOCF steps, web_utils.py:202, and this
+    integrates exactly that staircase). ``coverage_s`` is the covered
+    span (< t1−t0 when a series' first point falls inside the window);
+    ``twa`` = ∫value·dt / coverage.
+
+    One window + one hash aggregate, both keyed on the series (the
+    window's sort shuffle is reused by the aggregate — one exchange).
+    No separate as-of seed join: each point's hold segment is
+    [max(time,t0), min(next_time,t1)), so the pre-window seed is simply
+    the last row whose segment clips to a positive length, and every
+    earlier row clips to zero and drops. ``lookback`` bounds the
+    pre-window scan the same way as ``early_point`` (exact under the W3
+    heartbeat floor)."""
+    tol = 1e-4
+    pruned = points.filter(F.col("time") < t1 - tol)
+    if lookback is not None:
+        pruned = pruned.filter(F.col("time") >= t0 - lookback)
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    seg = pruned.select(
+        F.col(key),
+        F.col("value"),
+        F.greatest(F.col("time"), F.lit(t0)).alias("_a"),
+        F.least(F.coalesce(F.lead("time").over(w), F.lit(t1)), F.lit(t1)).alias("_b"),
+    ).filter(F.col("_b") > F.col("_a"))
+    # durations quantized to integer µs (the native resolution of the
+    # source timestamps): the coverage sum becomes exact BIGINT math —
+    # order-independent across partitions AND engines — instead of a
+    # float accumulation whose low bits depend on reduce order
+    dur_us = F.round((F.col("_b") - F.col("_a")) * F.lit(1e6)).cast("long")
+    return seg.groupBy(key).agg(
+        F.round(F.sum(dur_us) / F.lit(1e6), 6).alias("coverage_s"),
+        F.round(F.sum(F.col("value") * dur_us) / F.sum(dur_us), 6).alias("twa"),
+    )
+
+
+def decimate_minmax(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    n_buckets: int = 100,
+    key: str = "pvname",
+) -> DataFrame:
+    """Plot decimation: per (series, time bucket) keep the first / min /
+    max / last values — the archiver-viewer downsample that preserves
+    envelope and edges at any zoom (the reference ships every point to
+    the client and decimates in JS; at 100 TB the server must). Returns
+    ``(key, bucket_start, n_events, v_first, v_min, v_max, v_last)``.
+
+    ONE hash aggregate with map-side partials — first/last via
+    ``min_by``/``max_by`` on the (time, event_id) struct, no sort-based
+    window over the raw points and nothing proportional to the input
+    leaves the executors (output is series × buckets rows)."""
+    width = (t1 - t0) / n_buckets
+    tie = (
+        F.struct("time", "event_id")
+        if "event_id" in points.columns
+        else F.struct("time")
+    )
+    b = F.floor((F.col("time") - F.lit(t0)) / F.lit(width))
+    return (
+        points.filter((F.col("time") >= t0) & (F.col("time") < t1))
+        .groupBy(F.col(key), (F.lit(t0) + b * F.lit(width)).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min_by("value", tie).alias("v_first"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max_by("value", tie).alias("v_last"),
+        )
+    )

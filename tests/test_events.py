@@ -111,3 +111,52 @@ def test_gopher_rules_flags(spark):
     assert not out[2].keep  # too few words
     assert not out[3].keep  # symbol ratio over cap
     assert not out[4].keep and out[4].n_stopwords == 0
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, pvname string, time double, value double"
+    )
+
+
+def test_time_weighted_avg_with_seed(spark):
+    from epicsarchiver_spark.operators.timeseries import time_weighted_avg
+
+    rows = [
+        # seed before the window holds value 10 until t=40
+        (1, "a", 5.0, 10.0),
+        (2, "a", 40.0, 30.0),
+        # window [20, 60): 10 for 20 s, 30 for 20 s -> twa 20
+        (3, "b", 30.0, 8.0),  # no seed: coverage starts at first point
+    ]
+    out = {r.pvname: r for r in time_weighted_avg(_pts(spark, rows), 20.0, 60.0).collect()}
+    assert out["a"].coverage_s == 40.0 and out["a"].twa == 20.0
+    assert out["b"].coverage_s == 30.0 and out["b"].twa == 8.0
+
+
+def test_time_weighted_avg_lookback_prunes_seed(spark):
+    from epicsarchiver_spark.operators.timeseries import time_weighted_avg
+
+    rows = [(1, "a", 5.0, 10.0)]  # only a stale seed outside lookback
+    out = time_weighted_avg(_pts(spark, rows), 20.0, 60.0, lookback=10.0).collect()
+    assert out == []  # seed pruned -> no coverage
+
+
+def test_decimate_minmax_envelope(spark):
+    from epicsarchiver_spark.operators.timeseries import decimate_minmax
+
+    rows = [
+        (1, "a", 1.0, 5.0),
+        (2, "a", 2.0, 9.0),
+        (3, "a", 3.0, 1.0),
+        (4, "a", 4.0, 7.0),  # bucket [0,10): first 5, min 1, max 9, last 7
+        (5, "a", 15.0, 2.0),  # bucket [10,20)
+        (6, "a", 25.0, 3.0),  # outside [0,20) -> dropped
+    ]
+    out = {
+        r.bucket_start: r
+        for r in decimate_minmax(_pts(spark, rows), 0.0, 20.0, n_buckets=2).collect()
+    }
+    b0 = out[0.0]
+    assert (b0.n_events, b0.v_first, b0.v_min, b0.v_max, b0.v_last) == (4, 5.0, 1.0, 9.0, 7.0)
+    assert out[10.0].n_events == 1 and 20.0 not in out
