@@ -72,6 +72,10 @@ INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purcha
 ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0.0)]
 # ordered-funnel steps for the clickstream analytics family
 FUNNEL_STEPS = ("view", "click", "purchase")
+HIST_BINS = 20  # per-series auto-ranged value histogram bins
+OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians)
+PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
+CORR_MIN_R = 0.5  # series-correlation report threshold
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -932,6 +936,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ctl_position_save"] = _ctl_position_save
 
+    # --- new in r4b: distribution / outlier / projection / media-dedup ---
+    q["ts_histogram"] = lambda s, d: timeseries.value_histogram(
+        _points(s, d), n_bins=HIST_BINS
+    )
+    q["ts_outliers"] = lambda s, d: timeseries.robust_outliers(
+        _points(s, d), k=OUTLIER_K
+    )
+    q["rel_disjunctive_revenue"] = lambda s, d: relational.disjunctive_revenue(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    )
+
+    def _emb_project(s, d):
+        """Signed random projection 64→16, presented long-form (vec_id,
+        pos, value) with round(6) so the value-hash compares scalars (the
+        fold is sequential and engine-reproducible; rounding guards the
+        oracle's list_dot_product reduce order)."""
+        proj = similarity.random_project(
+            load_table(s, d, "embeddings"), out_dim=PROJ_DIM, dim=64
+        )
+        return proj.select(
+            "vec_id", F.posexplode("projected").alias("pos", "value")
+        ).select("vec_id", "pos", F.round("value", 6).alias("value"))
+
+    q["emb_project"] = _emb_project
+
+    q["mm_ahash"] = lambda s, d: multimodal.media_ahash(_media(s, d)).select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"), "ahash"
+    )
+    q["mm_near_dups"] = lambda s, d: multimodal.near_dup_media(
+        _media(s, d), max_hamming=3
+    )
+    # exact-integer Pearson correlation between series on the daily LOCF
+    # grid, blocked by the series' trailing name component
+    q["ts_correlation"] = lambda s, d: timeseries.series_correlation(
+        _points(s, d), T0, T1, GRID_STEP, min_abs_r=CORR_MIN_R
+    ).select("pv_a", "pv_b", "n", F.round("r", 6).alias("r"))
+    q["doc_length_trim"] = lambda s, d: text_ops.length_percentile_trim(
+        load_table(s, d, "documents")
+    )
+    q["emb_pq_codes"] = lambda s, d: similarity.pq_codes(
+        load_table(s, d, "embeddings")
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (CORRECTNESS_r02 = exactly the first 50 keys of
@@ -1006,6 +1053,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_decimate",
         "rel_returned_items",
         "rel_supplier_parts",
+        "ts_histogram",
+        "ts_outliers",
+        "rel_disjunctive_revenue",
+        "emb_project",
+        "mm_ahash",
+        "mm_near_dups",
+        "ts_correlation",
+        "doc_length_trim",
+        "emb_pq_codes",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2957,6 +3013,200 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
         FROM assoc GROUP BY 1, 2
+    """
+
+    # per-series auto-ranged histogram: closed-form bin edges, all-double
+    # IEEE arithmetic identical in both engines; max clamps into bin 19
+    o["ts_histogram"] = (
+        P
+        + f""",
+        rng AS (
+          SELECT pvname, min(value) AS lo, max(value) AS hi
+          FROM points GROUP BY pvname
+        ),
+        binned AS (
+          SELECT p.pvname,
+                 CASE WHEN r.hi > r.lo
+                      THEN least(CAST(floor((p.value - r.lo) / ((r.hi - r.lo) / {HIST_BINS})) AS BIGINT),
+                                 {HIST_BINS - 1})
+                      ELSE 0 END AS bin,
+                 r.lo AS lo, (r.hi - r.lo) / {HIST_BINS} AS w
+          FROM points p JOIN rng r USING (pvname)
+        )
+        SELECT pvname, bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
+               count(*) AS n
+        FROM binned GROUP BY pvname, bin, lo, w
+        """
+    )
+
+    # median/MAD outliers: DuckDB median == Spark exact median (continuous
+    # interpolation at q=0.5); all comparisons on deterministic doubles
+    o["ts_outliers"] = (
+        P
+        + f""",
+        med AS (SELECT pvname, median(value) AS med FROM points GROUP BY pvname),
+        mad AS (
+          SELECT p.pvname, median(abs(p.value - m.med)) AS mad
+          FROM points p JOIN med m USING (pvname) GROUP BY p.pvname
+        )
+        SELECT p.pvname, p.time, p.value, m.med, d.mad
+        FROM points p JOIN med m USING (pvname) JOIN mad d USING (pvname)
+        WHERE d.mad > 0 AND abs(p.value - m.med) > {OUTLIER_K} * d.mad
+        """
+    )
+
+    o["rel_disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2'  AND p_size <= 10 AND l_quantity <= 15)
+           OR (p_brand = 'Brand#4'  AND p_size <= 20 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#19' AND p_size <= 30 AND l_quantity <= 45)
+    """
+
+    # signed random projection: the ±1 matrix regenerates from the same
+    # LCG (signed_projection_matrix) and embeds as list literals — the
+    # emb_topk_lsh trick; round(6) guards dot-product reduce order
+    _proj_rows = similarity.signed_projection_matrix(64, PROJ_DIM)
+    _proj_exprs = ", ".join(
+        "round(list_dot_product(e, ["
+        + ", ".join(str(s) for s in row)
+        + "]), 6)"
+        for row in _proj_rows
+    )
+    o["emb_project"] = f"""
+        WITH ev AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        pr AS (SELECT vec_id, [{_proj_exprs}] AS p FROM ev)
+        SELECT vec_id, CAST(i AS INT) AS pos, p[i + 1] AS value
+        FROM pr, range(0, {PROJ_DIM}) t(i)
+    """
+
+    # media aHash: 64-chunk average hash over the payload bytes (ASCII
+    # text → unicode(char) == byte, the mm_features precedent); chunk j
+    # covers [n*j//64, n*(j+1)//64) — all-integer bit test 64·s_j > Σs
+    _ah_terms = []
+    for _j in range(64):
+        _val = "(-9223372036854775807 - 1)" if _j == 63 else str(1 << _j)
+        _ah_terms.append(
+            f"(CASE WHEN 64 * coalesce(list_aggregate(list_slice(codes, "
+            f"(n * {_j}) // 64 + 1, (n * {_j + 1}) // 64), 'sum'), 0) > total "
+            f"THEN {_val} ELSE 0 END)"
+        )
+    _AHASH_CTE = f"""
+        media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 list_transform(string_split_regex(text, ''), x -> unicode(x)) AS codes,
+                 length(text) AS n
+          FROM documents
+        ),
+        tot AS (
+          SELECT media_id, kind, codes, n,
+                 coalesce(list_aggregate(codes, 'sum'), 0) AS total
+          FROM media
+        ),
+        ah AS (
+          SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+                 CAST(CASE WHEN n = 0 THEN 0 ELSE {" + ".join(_ah_terms)} END AS BIGINT) AS ahash
+          FROM tot
+        )
+    """
+    o["mm_ahash"] = f"WITH {_AHASH_CTE} SELECT media_id, kind, n_bytes, ahash FROM ah"
+
+    o["mm_near_dups"] = f"""
+        WITH {_AHASH_CTE},
+        blk AS (
+          SELECT media_id, ahash, i AS blk, (ahash >> (16 * i)) & 65535 AS val
+          FROM ah, range(0, 4) t(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                          a.ahash AS ah_a, b.ahash AS ah_b
+          FROM blk a JOIN blk b
+            ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
+    """
+
+    # Pearson correlation on the LOCF grid: values quantize to exact
+    # integer cents, the five moment sums are exact integers in both
+    # engines, r is one closed-form double — reproducible bit-for-bit
+    _corr_r = (
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))"
+    )
+    o["ts_correlation"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv_a, b.pvname AS pv_b, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname < b.pvname
+          GROUP BY 1, 2
+        )
+        SELECT pv_a, pv_b, n, round({_corr_r}, 6) AS r
+        FROM s
+        WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+          AND abs({_corr_r}) >= {CORR_MIN_R}
+        """
+    )
+
+    o["doc_length_trim"] = """
+        SELECT doc_id, text, lang, source, n_chars, pr FROM (
+          SELECT d.*, percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+          FROM documents d
+        ) WHERE pr >= 0.05 AND pr <= 0.95
+    """
+
+    # product quantization: codebook regenerates from the shared LCG and
+    # embeds as literals; distances are the same left-fold of (x−c)² in
+    # both engines, so argmin codes agree bit-for-bit
+    _pq_cb = similarity.pq_codebook(8, 16, 8)
+    _sl_cols = ", ".join(f"e[{8 * s + 1}:{8 * s + 8}] AS s{s}" for s in range(8))
+
+    def _pq_dist(s: int, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(s{s}[{i + 1}] - ({c}))*(s{s}[{i + 1}] - ({c}))"
+            for i, c in enumerate(cent)
+        ) + ")"
+
+    _d_cols = ", ".join(
+        "[" + ", ".join(_pq_dist(s, cent) for cent in _pq_cb[s]) + f"] AS d{s}"
+        for s in range(8)
+    )
+    _code_items = ", ".join(
+        f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) - 1 AS BIGINT)"
+        for s in range(8)
+    )
+    o["emb_pq_codes"] = f"""
+        WITH ev AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        sl AS (SELECT vec_id, {_sl_cols} FROM ev),
+        d AS (SELECT vec_id, {_d_cols} FROM sl),
+        c AS (SELECT vec_id, [{_code_items}] AS codes FROM d)
+        SELECT vec_id, CAST(i AS INT) AS subspace, codes[i + 1] AS code
+        FROM c, range(0, 8) t(i)
     """
 
     return o

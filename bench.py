@@ -88,6 +88,15 @@ HEADLINE = [
     "ts_decimate",
     "rel_returned_items",
     "rel_supplier_parts",
+    # r4b: distribution/outlier reductions, JL sketch, media near-dup
+    "ts_histogram",
+    "ts_outliers",
+    "rel_disjunctive_revenue",
+    "emb_project",
+    "mm_near_dups",
+    "ts_correlation",
+    "doc_length_trim",
+    "emb_pq_codes",
 ]
 
 

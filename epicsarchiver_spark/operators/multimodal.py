@@ -477,6 +477,123 @@ def sample_video_frames(
     return media.mapInPandas(fn, schema=FRAME_SCHEMA)
 
 
+def _ahash64(arr: "np.ndarray") -> int:
+    """64-bit average-hash of a 1-D int sample sequence: bit j is set
+    when chunk j's sum exceeds the per-chunk mean — all-integer
+    (64·s_j > Σs), so any engine reproduces it bit-for-bit. Chunk j
+    covers samples [⌊j·n/64⌋, ⌊(j+1)·n/64⌋) — the same proportional
+    boundaries as the frame sampler. Empty input → 0."""
+    n = len(arr)
+    if n == 0:
+        return 0
+    c = np.concatenate([[0], np.cumsum(arr, dtype=np.int64)])
+    lo = np.array([n * j // 64 for j in range(65)], dtype=np.int64)
+    s = c[lo[1:]] - c[lo[:-1]]
+    total = int(c[-1])
+    word = 0
+    for j in np.nonzero(64 * s > total)[0]:
+        word |= 1 << int(j)
+    return word - (1 << 64) if word >= (1 << 63) else word
+
+
+def media_ahash(
+    media: DataFrame, codec: DeterministicFakeCodec | None = None
+) -> DataFrame:
+    """Perceptual signature per media row: ``(media_id, kind, n_bytes,
+    ahash: long)`` — a 64-chunk average-hash, the standard cheap
+    image-dedup fingerprint (aHash), generalized to any payload. With a
+    decoding codec (``PurePythonCodec``), images hash their DECODED
+    grayscale pixels (so the same picture in BMP vs PNG containers hashes
+    identically — the real near-dup property) and WAV hashes |PCM|
+    samples; undecodable payloads hash raw bytes, which is also the
+    deterministic oracle lane (``codec=None``).
+
+    Arrow-batched pandas_udf (per-payload decode can't be a builtin);
+    signature is 8 bytes/row, so the downstream dedup join shuffles ids +
+    one long — same 100 TB posture as SimHash."""
+    from pyspark.sql.types import LongType
+
+    def _samples(p: bytes) -> "np.ndarray":
+        if p is None:
+            return np.array([], dtype=np.int64)
+        if codec is not None:
+            px = _parse_image(bytes(p))
+            if px is not None:
+                # integer luma (sum of channels) — deterministic, no floats
+                return px.astype(np.int64).sum(axis=2).ravel()
+            wav = _parse_wav(bytes(p))
+            if wav is not None:
+                return np.abs(wav[0].astype(np.int64))
+        return np.frombuffer(bytes(p), dtype=np.uint8).astype(np.int64)
+
+    @F.pandas_udf(LongType())
+    def ah(payload: pd.Series) -> pd.Series:
+        return payload.map(lambda p: _ahash64(_samples(p)))
+
+    return media.select(
+        "media_id",
+        "kind",
+        F.coalesce(F.length("payload"), F.lit(0)).alias("n_bytes"),
+        ah(F.col("payload")).alias("ahash"),
+    )
+
+
+def near_dup_media(
+    media: DataFrame,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    codec: DeterministicFakeCodec | None = None,
+) -> DataFrame:
+    """Near-duplicate media pairs by aHash hamming distance — the
+    multimodal analog of SimHash text dedup, same pigeonhole plan:
+    candidates must share one of ``blocks`` 16-bit signature blocks, so
+    they come from an equi-join on (block, value), never an all-pairs
+    popcount. Pigeonhole guarantees FULL recall for max_hamming <
+    blocks (default); a larger max_hamming keeps the same candidate gen
+    and becomes best-effort, LSH-style. Only (media_id, ahash) shuffles;
+    payloads stay in their scan. Returns ``(id_a, id_b, hamming)``."""
+    sigs = media_ahash(media, codec=codec).select("media_id", "ahash")
+    from pyspark import StorageLevel
+
+    # signature subplan (per-payload decode) feeds both join sides —
+    # persist lazily so it decodes once (same discipline as SimHash)
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    block_width = 64 // blocks
+    mask = (1 << block_width) - 1
+    blocked = sigs.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftrightunsigned("ahash", i * block_width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for i in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("media_id", "ahash", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    left = blocked.select(
+        F.col("media_id").alias("id_a"), F.col("ahash").alias("ah_a"), "blk", "val"
+    )
+    right = blocked.select(
+        F.col("media_id").alias("id_b"), F.col("ahash").alias("ah_b"), "blk", "val"
+    )
+    return (
+        left.join(right, ["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("ah_a").bitwiseXOR(F.col("ah_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
+
+
 def media_stats(media: DataFrame) -> DataFrame:
     """Pure-JVM aggregation over metadata + payload length — payloads
     stay in the JVM (no Python round-trip)."""

@@ -132,6 +132,49 @@ def returned_item_revenue(
     )
 
 
+def disjunctive_revenue(
+    lineitem: DataFrame,
+    part: DataFrame,
+    tiers: tuple[tuple[str, int, float], ...] = (
+        ("Brand#2", 10, 15.0),
+        ("Brand#4", 20, 30.0),
+        ("Brand#19", 30, 45.0),
+    ),
+) -> DataFrame:
+    """TPC-H Q19-style: discounted revenue under an OR-of-ANDs predicate
+    — per tier, (p_brand = b AND p_size ≤ max_size AND l_quantity ≤
+    max_qty). The classic plan trap is evaluating the disjunction as a
+    theta-join; expressed declaratively, Catalyst keeps the equi-join on
+    the part key (part broadcasts) and runs the disjunction as a residual
+    filter AFTER the join — plus it pushes the derived single-table
+    prefilters (p_brand IN tiers, l_quantity ≤ global max) into both
+    scans, so non-qualifying rows never reach the join."""
+    brands = [b for b, _, _ in tiers]
+    max_q = max(q for _, _, q in tiers)
+    tier_pred = None
+    for b, sz, q in tiers:
+        p = (
+            (F.col("p_brand") == b)
+            & (F.col("p_size") <= sz)
+            & (F.col("l_quantity") <= q)
+        )
+        tier_pred = p if tier_pred is None else (tier_pred | p)
+    return (
+        lineitem.filter(F.col("l_quantity") <= max_q)
+        .join(
+            F.broadcast(part.filter(F.col("p_brand").isin(brands))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .filter(tier_pred)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def supplier_part_counts(
     part: DataFrame, lineitem: DataFrame, supplier: DataFrame
 ) -> DataFrame:

@@ -309,6 +309,163 @@ def lsh_bucket_topk(
     )
 
 
+def signed_projection_matrix(dim: int, out_dim: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 sign matrix (out_dim × dim) — the Achlioptas-style
+    database-friendly random projection basis, derived from the same LCG
+    as ``_hyperplanes`` so any engine can regenerate it without RNG
+    state. With out_dim ≥ O(log n / ε²) the projection preserves pairwise
+    distances to 1±ε (Johnson–Lindenstrauss); ±1 entries make every
+    output component an exact signed SUM of inputs — no float products —
+    so the sequential fold is bit-reproducible across engines."""
+    return [[1.0 if v >= 0 else -1.0 for v in row] for row in _hyperplanes(dim, out_dim, seed)]
+
+
+def random_project(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    gemm: bool = False,
+) -> DataFrame:
+    """Dimensionality reduction by signed random projection:
+    ``(id, projected: array<double>)`` with projected_j = Σ_i sign_ji·v_i
+    (unscaled; divide by √out_dim for JL-normalized distances — callers
+    comparing only relative distances don't need it). The cheap first
+    stage of every embedding pipeline at 100 TB: shrink 768-dim vectors
+    ~10× before ANN/clustering/dedup so downstream shuffles move 1/10th
+    the bytes at a bounded distance distortion.
+
+    One narrow scan, zero shuffle. Default lane is JVM expressions (a
+    sequential ``aggregate`` fold per output dim over the materialized
+    double array — exact, engine-reproducible). ``gemm=True`` switches to
+    one Arrow-batched numpy matmul — the production lane for wide
+    vectors, where out_dim × dim literal expressions bloat codegen (same
+    reasoning as ``_signature_udf``); BLAS reduce order makes it float-
+    noise-equivalent (≤1 ulp per component), not bit-identical."""
+    signs = signed_projection_matrix(dim, out_dim, seed)
+    if gemm:
+        import numpy as np
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        S = np.array(signs)
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def proj(col: pd.Series) -> pd.Series:
+            out = []
+            for v in col:
+                if v is None:
+                    out.append(None)
+                    continue
+                out.append((S @ np.asarray(v, dtype=np.float64)).tolist())
+            return pd.Series(out)
+
+        return vectors.select(
+            F.col(id_col), proj(as_double(F.col(vec_col))).alias("projected")
+        )
+    base = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.lit(s) for s in row]),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        for row in signs
+    ]
+    return base.select(F.col(id_col), F.array(*comps).alias("projected"))
+
+
+def pq_codebook(
+    n_subspaces: int, n_centroids: int, sub_dim: int, seed: int = 42
+) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebook:
+    ``codebook[s][c]`` = centroid c of subspace s (sub_dim floats in
+    [-1, 1)), from the shared LCG — regenerable in any engine. A
+    production index trains these per subspace with k-means on a sample
+    (see ``train_ivf_centroids``); the assignment plan is identical."""
+    return [
+        _hyperplanes(sub_dim, n_centroids, seed + 7919 * s) for s in range(n_subspaces)
+    ]
+
+
+def pq_codes(
+    vectors: DataFrame,
+    n_subspaces: int = 8,
+    n_centroids: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codebook: list[list[list[float]]] | None = None,
+) -> DataFrame:
+    """Product-quantization encoding — the memory side of IVF-PQ, the
+    standard billion-vector ANN layout: split each vector into
+    ``n_subspaces`` contiguous sub-vectors, snap each to its nearest
+    subspace centroid, and keep only the code (4 bits here, 1 byte in
+    the classic 256-centroid setup) — a 64-dim float vector compresses
+    to 8 codes, ~32× smaller, and distance queries scan codes with a
+    lookup table instead of floats. Returns long-form
+    ``(id, subspace, code)``.
+
+    One narrow scan, zero shuffle, pure JVM expressions: sub-slices are
+    materialized attributes (CollapseProject keeps the slice evaluated
+    once per subspace, not per centroid), each distance is a sequential
+    left-fold of (x−c)² — the same associativity any SQL engine uses,
+    so argmin codes are engine-reproducible bit-for-bit. Ties break to
+    the first (lowest) centroid index in every engine."""
+    sub_dim = dim // n_subspaces
+    cb = codebook if codebook is not None else pq_codebook(n_subspaces, n_centroids, sub_dim, seed)
+    base = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("v"))
+    sliced = base.select(
+        F.col(id_col),
+        *[
+            F.slice(F.col("v"), s * sub_dim + 1, sub_dim).alias(f"_s{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+
+    def _dist(sub_col, cent):
+        return F.aggregate(
+            F.zip_with(
+                sub_col,
+                F.array(*[F.lit(c) for c in cent]),
+                lambda x, c: (x - c) * (x - c),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # distance arrays materialize as their own projection so argmin's two
+    # references (position + min) evaluate each distance once, not twice
+    darr = sliced.select(
+        F.col(id_col),
+        *[
+            F.array(*[_dist(F.col(f"_s{s}"), cent) for cent in cb[s]]).alias(f"_d{s}")
+            for s in range(n_subspaces)
+        ],
+    )
+    coded = darr.select(
+        F.col(id_col),
+        *[
+            (F.array_position(F.col(f"_d{s}"), F.array_min(F.col(f"_d{s}"))) - 1).alias(
+                f"_c{s}"
+            )
+            for s in range(n_subspaces)
+        ],
+    )
+    return coded.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[F.col(f"_c{s}") for s in range(n_subspaces)])).alias(
+            "subspace", "code"
+        ),
+    )
+
+
 def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
     """All XOR masks within hamming distance ``max_hamming`` of zero over
     ``n_planes`` bits — Σ C(n_planes, i) masks (n=8, h=2 → 37)."""

@@ -596,6 +596,32 @@ def sample_stratified(
     )
 
 
+def length_percentile_trim(
+    docs: DataFrame,
+    lo: float = 0.05,
+    hi: float = 0.95,
+    strata: tuple[str, ...] = ("lang",),
+    length_col: str = "n_chars",
+) -> DataFrame:
+    """Per-stratum length-percentile trim — drop each language's
+    shortest/longest tails (truncation artifacts, boilerplate walls,
+    concatenation monsters) by RANK, not by a fixed byte cutoff that
+    misfits across languages. Keeps rows whose ``percent_rank`` over
+    ``length_col`` within their stratum lies in [lo, hi]; returns the
+    surviving rows plus the rank (``pr``) that kept them.
+
+    percent_rank = (rank−1)/(n−1) — a universal SQL definition with
+    deterministic tie handling (equal lengths share a rank), so the kept
+    set is identical in any engine. One window per stratum key, shuffle
+    on the strata columns — same posture as ``sample_stratified``; no
+    percentile aggregate, no second pass."""
+    w = Window.partitionBy(*[F.col(c) for c in strata]).orderBy(F.col(length_col))
+    return (
+        docs.withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= lo) & (F.col("pr") <= hi))
+    )
+
+
 def rebalance_sources(
     docs: DataFrame,
     target: dict[str, float],

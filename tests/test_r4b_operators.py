@@ -1,0 +1,283 @@
+"""Unit tests for the r4b additions: per-series value histograms,
+median/MAD outliers, signed random projection, disjunctive revenue, and
+the multimodal aHash near-dup family."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.operators import multimodal, relational, similarity, timeseries
+
+
+# --- value_histogram -------------------------------------------------------
+
+
+def test_value_histogram_bins_and_degenerate(spark):
+    rows = [("a", float(t), float(v)) for t, v in enumerate([0, 1, 2, 3, 4, 5, 6, 7, 8, 10])]
+    rows += [("b", float(t), 7.5) for t in range(4)]  # degenerate: min == max
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.value_histogram(df, n_bins=5)
+    got = {(r.pvname, r.bin): (r.n, r.bin_lo, r.bin_hi) for r in out.collect()}
+    # series a: range [0, 10], width 2 → values 0..8 land in bins 0..4,
+    # and the max (10) clamps into the top bin
+    assert got[("a", 0)][0] == 2  # 0, 1
+    assert got[("a", 4)][0] == 2  # 8, 10 (clamped)
+    assert got[("a", 0)][1:] == (0.0, 2.0)
+    # total count preserved
+    assert sum(n for (pv, _), (n, _, _) in got.items() if pv == "a") == 10
+    # degenerate series: everything in bin 0
+    assert got[("b", 0)][0] == 4
+    assert ("b", 1) not in got
+
+
+# --- robust_outliers -------------------------------------------------------
+
+
+def test_robust_outliers_flags_glitch_not_constant(spark):
+    base = [("a", float(t), 10.0 + (t % 2)) for t in range(20)]  # med 10.5, mad 0.5
+    glitch = [("a", 20.0, 100.0)]
+    const = [("c", float(t), 5.0) for t in range(10)]  # mad 0 → never flags
+    df = spark.createDataFrame(
+        base + glitch + const, "pvname string, time double, value double"
+    )
+    out = timeseries.robust_outliers(df, k=5.0).collect()
+    assert [(r.pvname, r.time, r.value) for r in out] == [("a", 20.0, 100.0)]
+    # approx lane returns the same flag set on this tiny frame
+    out2 = timeseries.robust_outliers(df, k=5.0, exact=False).collect()
+    assert [(r.pvname, r.time, r.value) for r in out2] == [("a", 20.0, 100.0)]
+
+
+# --- random_project --------------------------------------------------------
+
+
+def test_random_project_lanes_agree_and_preserve_distance(spark):
+    rng = np.random.RandomState(7)
+    vecs = [(i, rng.randn(64).astype("float32").tolist()) for i in range(40)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    expr_lane = {
+        r.vec_id: r.projected
+        for r in similarity.random_project(df, out_dim=16, dim=64).collect()
+    }
+    gemm_lane = {
+        r.vec_id: r.projected
+        for r in similarity.random_project(df, out_dim=16, dim=64, gemm=True).collect()
+    }
+    for i in expr_lane:
+        assert np.allclose(expr_lane[i], gemm_lane[i], atol=1e-9)
+    # JL sanity: E[(s·(x−y))²] = |x−y|² per ±1 row, so the sketch's
+    # squared distance / out_dim is an unbiased estimator of the true
+    # squared distance — the per-pair ratio averages to ~1 (per-pair
+    # spread is ~sqrt(2/out_dim) ≈ 35%, so test the MEAN over 100 pairs)
+    ids = sorted(expr_lane)
+    emb = {i: np.array(v, dtype=np.float64) for i, v in vecs}
+    ratios = []
+    for a in ids[:10]:
+        for b in ids[10:20]:
+            true_d = np.sum((emb[a] - emb[b]) ** 2)
+            pa, pb = np.array(expr_lane[a]), np.array(expr_lane[b])
+            ratios.append(np.sum((pa - pb) ** 2) / 16.0 / true_d)
+    m = float(np.mean(ratios))
+    assert 0.8 < m < 1.2, f"projection distance estimator biased (mean ratio={m:.3f})"
+
+
+def test_sign_matrix_deterministic():
+    a = similarity.signed_projection_matrix(64, 16)
+    b = similarity.signed_projection_matrix(64, 16)
+    assert a == b
+    assert all(v in (1.0, -1.0) for row in a for v in row)
+    # seeds differ → different matrix
+    assert a != similarity.signed_projection_matrix(64, 16, seed=43)
+
+
+# --- disjunctive_revenue ---------------------------------------------------
+
+
+def test_disjunctive_revenue_matches_python(spark):
+    li = spark.createDataFrame(
+        [(1, 5.0, 100.0, 0.1), (1, 20.0, 50.0, 0.0), (2, 5.0, 10.0, 0.5), (3, 5.0, 7.0, 0.0)],
+        "l_partkey long, l_quantity double, l_extendedprice double, l_discount double",
+    )
+    part = spark.createDataFrame(
+        [(1, "Brand#2", 5), (2, "Brand#4", 15), (3, "Brand#9", 1)],
+        "p_partkey long, p_brand string, p_size int",
+    )
+    tiers = (("Brand#2", 10, 15.0), ("Brand#4", 20, 30.0))
+    row = relational.disjunctive_revenue(li, part, tiers=tiers).head()
+    # qualifying: (part 1, qty 5) and (part 2, qty 5); part 1 qty 20 fails
+    # the tier qty cap, part 3's brand is in no tier
+    assert row.n_items == 2
+    assert row.revenue == pytest.approx(100.0 * 0.9 + 10.0 * 0.5)
+
+
+def test_disjunctive_revenue_plan_broadcasts_part(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    plan = relational.disjunctive_revenue(li, part)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the derived brand prefilter reaches the part scan as a pushed filter
+    assert "PushedFilters" in plan and "p_brand" in plan
+
+
+# --- media aHash -----------------------------------------------------------
+
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary"
+    ).select(
+        "media_id", "kind", F.lit(None).cast("string").alias("mime"),
+        F.lit(None).cast("int").alias("width"), F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"), "payload",
+    )
+
+
+def test_ahash_container_invariance_bmp_vs_png(spark):
+    """The decoded lane's point: the same picture in BMP and PNG
+    containers hashes identically, while raw-bytes hashing would not."""
+    from epicsarchiver_spark.operators.multimodal import _encode_bmp, _encode_png
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    df = _media_df(
+        spark,
+        [("bmp", "image", bytearray(_encode_bmp(px))), ("png", "image", bytearray(_encode_png(px)))],
+    )
+    got = {
+        r.media_id: r.ahash
+        for r in multimodal.media_ahash(df, codec=multimodal.PurePythonCodec()).collect()
+    }
+    assert got["bmp"] == got["png"]
+    raw = {r.media_id: r.ahash for r in multimodal.media_ahash(df).collect()}
+    assert raw["bmp"] != raw["png"]  # containers differ byte-wise
+
+
+def test_ahash_matches_hand_computation(spark):
+    payload = bytes(range(128))  # chunks of 2 bytes, strictly increasing sums
+    df = _media_df(spark, [("x", "image", bytearray(payload))])
+    got = multimodal.media_ahash(df).head().ahash
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.int64)
+    sums = arr.reshape(64, 2).sum(axis=1)
+    expect = 0
+    for j in np.nonzero(64 * sums > arr.sum())[0]:
+        expect |= 1 << int(j)
+    if expect >= 1 << 63:
+        expect -= 1 << 64
+    assert got == expect
+    # empty payload → 0
+    empty = _media_df(spark, [("e", "image", bytearray(b""))])
+    assert multimodal.media_ahash(empty).head().ahash == 0
+
+
+def test_near_dup_media_finds_noisy_copy(spark):
+    from epicsarchiver_spark.operators.multimodal import _encode_bmp
+
+    rng = np.random.RandomState(11)
+    px = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    near = px.copy()
+    near[0, 0] = [255, 255, 255]  # tiny perturbation: a few ahash bits at most
+    far = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+    df = _media_df(
+        spark,
+        [
+            ("orig", "image", bytearray(_encode_bmp(px))),
+            ("near", "image", bytearray(_encode_bmp(near))),
+            ("far", "image", bytearray(_encode_bmp(far))),
+        ],
+    )
+    pairs = multimodal.near_dup_media(
+        df, max_hamming=3, codec=multimodal.PurePythonCodec()
+    ).collect()
+    assert ("near", "orig") in {(r.id_a, r.id_b) for r in pairs}
+    assert all({"far"} != {r.id_a, r.id_b} - {"orig", "near"} or r.hamming <= 3 for r in pairs)
+
+
+# --- series_correlation ----------------------------------------------------
+
+
+def test_series_correlation_sign_and_blocking(spark):
+    # x and y move together, z moves opposite; w is in another block and
+    # must never pair with them
+    rows = []
+    for t in range(10):
+        v = float(t * 10)
+        rows += [
+            (f"A:{1}:g1", 1000.0 + t * 100, 50.0 + v),
+            (f"A:{2}:g1", 1000.0 + t * 100, 10.0 + 2 * v),
+            (f"A:{3}:g1", 1000.0 + t * 100, 90.0 - v),
+            (f"B:{1}:g2", 1000.0 + t * 100, 50.0 + v),
+        ]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {
+        (r.pv_a, r.pv_b): r.r
+        for r in __import__(
+            "epicsarchiver_spark.operators.timeseries", fromlist=["x"]
+        ).series_correlation(df, 1000.0, 1900.0, 100.0, min_abs_r=0.9).collect()
+    }
+    assert out[("A:1:g1", "A:2:g1")] == pytest.approx(1.0)
+    assert out[("A:1:g1", "A:3:g1")] == pytest.approx(-1.0)
+    assert all("B:" not in a and "B:" not in b for (a, b) in out), "cross-block pair leaked"
+
+
+def test_series_correlation_constant_series_excluded(spark):
+    rows = [("c:1:g", 1000.0 + t, 5.0) for t in range(5)]
+    rows += [("c:2:g", 1000.0 + t, float(t)) for t in range(5)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.series_correlation(df, 1000.0, 1004.0, 1.0, min_abs_r=0.0).collect()
+    assert out == []  # zero-variance side excluded
+
+
+# --- length_percentile_trim ------------------------------------------------
+
+
+def test_length_percentile_trim_bounds_and_ties(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    rows = [(i, "t", "en", "web", n) for i, n in enumerate([10, 20, 30, 40, 50, 60, 70, 80, 90, 100])]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    kept = sorted(r.n_chars for r in text_ops.length_percentile_trim(df, lo=0.2, hi=0.8).collect())
+    # percent_rank of n_chars=10 is 0, 100 is 1; (rank-1)/9 in [0.2, 0.8]
+    # → ranks 2.8..8.2 → n_chars 30..80
+    assert kept == [30, 40, 50, 60, 70, 80]
+    # ties share ranks: all-equal stratum has percent_rank 0 everywhere → kept iff lo <= 0
+    tie = spark.createDataFrame([(i, "t", "de", "web", 7) for i in range(4)],
+                                "doc_id long, text string, lang string, source string, n_chars long")
+    assert text_ops.length_percentile_trim(tie, lo=0.0, hi=0.5).count() == 4
+    assert text_ops.length_percentile_trim(tie, lo=0.1, hi=0.5).count() == 0
+
+
+# --- pq_codes --------------------------------------------------------------
+
+
+def test_pq_codes_match_numpy_argmin(spark):
+    rng = np.random.RandomState(5)
+    vecs = [(i, (rng.rand(64) * 2 - 1).astype("float32").tolist()) for i in range(20)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    got = {}
+    for r in similarity.pq_codes(df).collect():
+        got.setdefault(r.vec_id, {})[r.subspace] = r.code
+    cb = similarity.pq_codebook(8, 16, 8)
+    for i, v in vecs:
+        x = np.array(v, dtype=np.float64)
+        for s in range(8):
+            sub = x[8 * s : 8 * s + 8]
+            d = [float(np.sum((sub - np.array(c)) ** 2)) for c in cb[s]]
+            assert got[i][s] == int(np.argmin(d)), (i, s)
+    # every vector yields exactly 8 codes in [0, 16)
+    assert all(len(c) == 8 and all(0 <= v < 16 for v in c.values()) for c in got.values())
+
+
+def test_series_correlation_gemm_join_lanes_identical(spark):
+    import __spark_entry__ as em
+    from epicsarchiver_spark.catalog import points_view
+
+    pts = points_view(spark, "/root/testdata/sf0.001").select(
+        "event_id", "pvname", "time", "value"
+    )
+    kw = dict(min_abs_r=0.5)
+    g = timeseries.series_correlation(pts, em.T0, em.T1, em.GRID_STEP, method="gemm", **kw)
+    j = timeseries.series_correlation(pts, em.T0, em.T1, em.GRID_STEP, method="join", **kw)
+    gs = sorted((r.pv_a, r.pv_b, r.n, r.r) for r in g.collect())
+    js = sorted((r.pv_a, r.pv_b, r.n, r.r) for r in j.collect())
+    assert gs == js and len(gs) > 0  # bit-identical incl. the float r
