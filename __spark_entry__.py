@@ -76,6 +76,7 @@ HIST_BINS = 20  # per-series auto-ranged value histogram bins
 OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians)
 PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
 CORR_MIN_R = 0.5  # series-correlation report threshold
+RAMP_MIN_STEPS = 3  # monotone-ramp detection: min consecutive same-sign steps
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -978,6 +979,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_pq_codes"] = lambda s, d: similarity.pq_codes(
         load_table(s, d, "embeddings")
     )
+    q["emb_ivfpq_topk"] = lambda s, d: similarity.ivfpq_topk(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_cells=8, n_probe=4
+    ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+    q["ts_ramps"] = lambda s, d: timeseries.ramps(
+        _points(s, d), min_steps=RAMP_MIN_STEPS
+    )
+    # hour-of-day seasonal profile: integer-cent sums keep the mean exact
+    # across engines (a plain avg() of doubles is reduce-order noise)
+    q["ts_seasonal"] = lambda s, d: (
+        points_view(s, d)
+        .groupBy(
+            "event_type",
+            (F.floor(F.col("time") / 3600) % 24).alias("hour"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.round(F.col("value") / 0.01).cast("long")).cast("double")
+                / (F.lit(100.0) * F.count(F.lit(1)))
+            ).alias("avg_value"),
+        )
+    )
 
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
@@ -1062,6 +1085,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_correlation",
         "doc_length_trim",
         "emb_pq_codes",
+        "emb_ivfpq_topk",
+        "ts_ramps",
+        "ts_seasonal",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3183,14 +3209,14 @@ def oracle_sql() -> dict[str, str]:
     _pq_cb = similarity.pq_codebook(8, 16, 8)
     _sl_cols = ", ".join(f"e[{8 * s + 1}:{8 * s + 8}] AS s{s}" for s in range(8))
 
-    def _pq_dist(s: int, cent: list[float]) -> str:
+    def _pq_dist(var: str, cent: list[float]) -> str:
         return "(" + " + ".join(
-            f"(s{s}[{i + 1}] - ({c}))*(s{s}[{i + 1}] - ({c}))"
+            f"({var}[{i + 1}] - ({c}))*({var}[{i + 1}] - ({c}))"
             for i, c in enumerate(cent)
         ) + ")"
 
     _d_cols = ", ".join(
-        "[" + ", ".join(_pq_dist(s, cent) for cent in _pq_cb[s]) + f"] AS d{s}"
+        "[" + ", ".join(_pq_dist(f"s{s}", cent) for cent in _pq_cb[s]) + f"] AS d{s}"
         for s in range(8)
     )
     _code_items = ", ".join(
@@ -3208,5 +3234,96 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, CAST(i AS INT) AS subspace, codes[i + 1] AS code
         FROM c, range(0, 8) t(i)
     """
+
+    # IVF-PQ end-to-end: coarse-cell probe (the emb_topk_ivf machinery)
+    # + the PQ code CTEs + a query-side LUT (the same left-fold (q−c)²
+    # per subspace centroid) — adc = 8 list lookups summed, ordered
+    # ascending. All doubles computed by identical expression chains.
+    _qsl_cols = ", ".join(f"qe[{8 * s + 1}:{8 * s + 8}] AS q{s}" for s in range(8))
+    _lut_cols = ", ".join(
+        "[" + ", ".join(_pq_dist(f"q{s}", cent) for cent in _pq_cb[s]) + f"] AS l{s}"
+        for s in range(8)
+    )
+    _adc = " + ".join(f"l.l{s}[codes[{s + 1}] + 1]" for s in range(8))
+    o["emb_ivfpq_topk"] = f"""
+        WITH {_V},
+        ev AS (SELECT vec_id, e FROM v),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, list_position(dl, list_min(dl)) AS cell
+          FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+        ),
+        cells(cell, c) AS (SELECT * FROM (VALUES {_cell_rows}) t(cell, c)),
+        probe AS (
+          SELECT cell FROM cells, q
+          ORDER BY list_dot_product(qe, qe)
+                   - 2 * list_dot_product(qe, list_transform(c, x -> CAST(x AS DOUBLE)))
+                   + list_dot_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                      list_transform(c, x -> CAST(x AS DOUBLE))),
+                   cell
+          LIMIT 4
+        ),
+        sl AS (SELECT vec_id, {_sl_cols} FROM ev),
+        d AS (SELECT vec_id, {_d_cols} FROM sl),
+        c AS (SELECT vec_id, [{_code_items}] AS codes FROM d),
+        qsl AS (SELECT {_qsl_cols} FROM q),
+        lut AS (SELECT {_lut_cols} FROM qsl),
+        sel AS (
+          SELECT a.vec_id, c.codes
+          FROM assigned a JOIN c USING (vec_id)
+          WHERE a.cell IN (SELECT cell FROM probe)
+        )
+        SELECT vec_id, round({_adc}, 6) AS adc_dist
+        FROM sel, lut l
+        ORDER BY {_adc}, vec_id
+        LIMIT 10
+    """
+
+    # monotone-ramp detection: gaps-and-islands over integer-cent step
+    # signs — run boundaries, counts, and deltas all integer-exact
+    o["ts_ramps"] = (
+        P
+        + f""",
+        stepped AS (
+          SELECT pvname, time, event_id,
+                 lag(time) OVER w AS pt,
+                 CAST(round(value / 0.01) AS BIGINT)
+                   - lag(CAST(round(value / 0.01) AS BIGINT)) OVER w AS dq
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        st AS (SELECT * FROM stepped WHERE dq IS NOT NULL AND dq <> 0),
+        fl AS (
+          SELECT pvname, CAST(sign(dq) AS INT) AS direction, time, event_id, pt, dq,
+                 CASE WHEN lag(CAST(sign(dq) AS INT)) OVER w2 IS NULL
+                        OR lag(CAST(sign(dq) AS INT)) OVER w2 <> CAST(sign(dq) AS INT)
+                      THEN 1 ELSE 0 END AS newrun
+          FROM st
+          WINDOW w2 AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        runs AS (
+          SELECT *, sum(newrun) OVER (
+            PARTITION BY pvname ORDER BY time, event_id ROWS UNBOUNDED PRECEDING
+          ) AS grp
+          FROM fl
+        )
+        SELECT pvname, direction, min(pt) AS t_start, max(time) AS t_end,
+               count(*) AS n_steps, CAST(sum(dq) AS DOUBLE) / 100.0 AS delta
+        FROM runs GROUP BY pvname, direction, grp
+        HAVING count(*) >= {RAMP_MIN_STEPS}
+        """
+    )
+
+    o["ts_seasonal"] = (
+        P
+        + """
+        SELECT event_type,
+               CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS avg_value
+        FROM points GROUP BY 1, 2
+        """
+    )
 
     return o

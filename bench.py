@@ -97,6 +97,9 @@ HEADLINE = [
     "ts_correlation",
     "doc_length_trim",
     "emb_pq_codes",
+    "emb_ivfpq_topk",
+    "ts_ramps",
+    "ts_seasonal",
 ]
 
 

@@ -326,6 +326,78 @@ def time_weighted_avg(
     )
 
 
+def ramps(
+    points: DataFrame,
+    min_steps: int = 3,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Monotone-ramp detection — find maximal strictly
+    increasing/decreasing runs per series (motor moves, temperature
+    ramps, pressure pump-downs: the shapes an operator scans a trace
+    for). Returns one row per run of ≥ ``min_steps`` consecutive
+    same-direction changes: ``(key, direction, t_start, t_end, n_steps,
+    delta)``, direction ∈ {1, −1}, delta = net change over the run.
+
+    Classic gaps-and-islands: one series-keyed sort window computes each
+    step's direction (sign of the change) and the run id as the
+    row_number difference — the second window over (key, direction)
+    reuses the same exchange. Direction and delta come from integer
+    ``quantum`` units (cents by default — exact for 2-decimal archiver
+    values), so run boundaries and sums are engine-exact; equal
+    consecutive values (step 0) break runs, as strictness requires.
+    Nothing leaves the executors but the per-run aggregate rows."""
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    q = F.round(F.col("value") / quantum).cast("long")
+    stepped = points.select(
+        F.col(key),
+        F.col("time"),
+        *[F.col(c) for c in order[1:]],
+        q.alias("_q"),
+        F.lag("time").over(w).alias("_pt"),
+        (q - F.lag(q).over(w)).alias("_dq"),
+    ).filter(F.col("_dq").isNotNull() & (F.col("_dq") != 0))
+    # run ids via a running count of direction changes — every window here
+    # partitions on the series key with the same ordering, so Catalyst
+    # plans ONE exchange+sort for the whole island computation (the
+    # row_number-difference formulation needs a second (key, direction)
+    # exchange)
+    d = F.signum(F.col("_dq")).cast("int")
+    w2 = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    flagged = stepped.select(
+        F.col(key),
+        d.alias("direction"),
+        F.col("time"),
+        *[F.col(c) for c in order[1:]],
+        F.col("_pt"),
+        F.col("_dq"),
+        F.when(F.lag(d).over(w2).isNull() | (F.lag(d).over(w2) != d), 1)
+        .otherwise(0)
+        .alias("_new"),
+    )
+    runs = flagged.withColumn(
+        "_grp",
+        F.sum("_new").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        runs.groupBy(key, "direction", "_grp")
+        .agg(
+            F.min("_pt").alias("t_start"),
+            F.max("time").alias("t_end"),
+            F.count(F.lit(1)).alias("n_steps"),
+            # divide by 1/quantum (an exact 100.0), never multiply by the
+            # inexact 0.01: IEEE division is correctly rounded, so the
+            # exact integer-cent sum maps to the same double in any engine
+            (F.sum("_dq") / F.lit(1.0 / quantum)).alias("delta"),
+        )
+        .filter(F.col("n_steps") >= min_steps)
+        .drop("_grp")
+    )
+
+
 def _correlation_gemm(grid: DataFrame, min_abs_r: float) -> DataFrame:
     """Per-block masked-GEMM Pearson moments over the quantized grid
     ``(key, blk, t, q)`` — see ``series_correlation``. One

@@ -281,3 +281,80 @@ def test_series_correlation_gemm_join_lanes_identical(spark):
     gs = sorted((r.pv_a, r.pv_b, r.n, r.r) for r in g.collect())
     js = sorted((r.pv_a, r.pv_b, r.n, r.r) for r in j.collect())
     assert gs == js and len(gs) > 0  # bit-identical incl. the float r
+
+
+# --- ramps -----------------------------------------------------------------
+
+
+def test_ramps_islands_and_strictness(spark):
+    # a: 4 up-steps, a plateau (breaks the run), then 3 down-steps
+    vals = [1.0, 2.0, 3.0, 4.0, 5.0, 5.0, 4.0, 3.0, 2.0]
+    rows = [("a", float(t), v) for t, v in enumerate(vals)]
+    rows += [("b", float(t), 1.0 + 0.5 * (t % 2)) for t in range(6)]  # zig-zag: no run >= 3
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = sorted(
+        (r.pvname, r.direction, r.t_start, r.t_end, r.n_steps, r.delta)
+        for r in timeseries.ramps(df, min_steps=3).collect()
+    )
+    assert out == [
+        ("a", -1, 5.0, 8.0, 3, -3.0),
+        ("a", 1, 0.0, 4.0, 4, 4.0),
+    ]
+
+
+# --- ivfpq_topk ------------------------------------------------------------
+
+
+def test_ivfpq_topk_ranks_by_adc_and_accepts_index(spark):
+    import pandas as pd
+
+    rng = np.random.RandomState(9)
+    vecs = [(i, (rng.rand(64) * 2 - 1).astype("float32").tolist()) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    query = [float(x) for x in (rng.rand(64) * 2 - 1)]
+    got = similarity.ivfpq_topk(df, query, k=10, n_cells=8, n_probe=8).collect()
+    assert len(got) == 10
+    dists = [r.adc_dist for r in got]
+    assert dists == sorted(dists)
+    # correctness property: Spark's ADC ranking equals an independent
+    # numpy mirror of codes → LUT → summed lookups. (True-L2 recall is a
+    # property of the CODEBOOK, not the operator — the untrained LCG
+    # codebook is deliberately lossy; train per subspace for recall.)
+    cb = similarity.pq_codebook(8, 16, 8)
+    adc = {}
+    for i, v in vecs:
+        x = np.array(v, dtype=np.float64)
+        tot = 0.0
+        for s in range(8):
+            sub = x[8 * s : 8 * s + 8]
+            code = int(np.argmin([np.sum((sub - np.array(c)) ** 2) for c in cb[s]]))
+            qs = np.array(query[8 * s : 8 * s + 8])
+            tot += float(np.sum((qs - np.array(cb[s][code])) ** 2))
+        adc[i] = tot
+    np_top = sorted(adc, key=lambda i: (adc[i], i))[:10]
+    assert [r.vec_id for r in got] == np_top
+
+    # the persisted-index path returns the same ranking
+    from epicsarchiver_spark.operators.similarity import (
+        _hyperplanes,
+        _nearest_cell_udf,
+        _pq_codes_wide,
+        as_double,
+    )
+
+    cents = _hyperplanes(64, 8, 42)
+    cells = df.select(
+        F.col("vec_id"), as_double(F.col("embedding")).alias("v")
+    ).withColumn("cell", _nearest_cell_udf(cents)(F.col("v"))).select("vec_id", "cell")
+    index = cells.join(_pq_codes_wide(df), "vec_id")
+    got2 = similarity.ivfpq_topk(df, query, k=10, n_cells=8, n_probe=8, index=index).collect()
+    assert [(r.vec_id, r.adc_dist) for r in got2] == [(r.vec_id, r.adc_dist) for r in got]
+
+
+def test_pq_gemm_lane_matches_expression_lane(spark):
+    from epicsarchiver_spark.operators.similarity import _pq_codes_wide
+
+    vecs = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    a = {r.vec_id: tuple(r[1:]) for r in _pq_codes_wide(vecs).collect()}
+    b = {r.vec_id: tuple(r[1:]) for r in _pq_codes_wide(vecs, gemm=True).collect()}
+    assert a == b and len(a) == vecs.count()
