@@ -985,6 +985,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
+    # CCNet-style corpus-level segment dedup (sep=' ' on this corpus, as
+    # with doc_segment_dedup — the operator's paragraph use is sep='\n')
+    q["doc_paragraph_dedup"] = lambda s, d: text_ops.dedup_paragraphs_corpus(
+        load_table(s, d, "documents"), sep=" "
+    )
     # hour-of-day seasonal profile: integer-cent sums keep the mean exact
     # across engines (a plain avg() of doubles is reduce-order noise)
     q["ts_seasonal"] = lambda s, d: (
@@ -1088,6 +1093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_topk",
         "ts_ramps",
         "ts_seasonal",
+        "doc_paragraph_dedup",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3313,6 +3319,43 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= {RAMP_MIN_STEPS}
         """
     )
+
+    # corpus-level segment dedup: the oracle groups by the segment TEXT
+    # (it needn't be scale-shaped); the engine groups by md5 — identical
+    # barring a 128-bit collision. Winner = min (doc_id, idx); DuckDB
+    # list_filter's index lambda is 1-based (Spark's is 0-based) → i−1.
+    o["doc_paragraph_dedup"] = """
+        WITH segs AS (
+          SELECT doc_id, unnest(l) AS seg, unnest(range(0, len(l))) AS idx
+          FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+          )
+        ),
+        w AS (
+          SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+            FROM segs
+          ) WHERE rn = 1
+        ),
+        ki AS (SELECT doc_id, list_sort(list(idx)) AS ki FROM w GROUP BY doc_id),
+        j AS (
+          SELECT d.doc_id,
+                 list_filter(string_split(d.text, ' '), x -> x <> '') AS l,
+                 coalesce(k.ki, CAST([] AS BIGINT[])) AS ki
+          FROM documents d LEFT JOIN ki k USING (doc_id)
+        ),
+        f AS (
+          SELECT doc_id, l, ki,
+                 list_filter(l, (x, i) -> list_contains(ki, i - 1)) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(l) AS BIGINT) AS n_segments,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(kept, ' '), '') AS text_dedup
+        FROM f
+    """
 
     o["ts_seasonal"] = (
         P

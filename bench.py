@@ -100,6 +100,7 @@ HEADLINE = [
     "emb_ivfpq_topk",
     "ts_ramps",
     "ts_seasonal",
+    "doc_paragraph_dedup",
 ]
 
 

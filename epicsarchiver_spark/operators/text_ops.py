@@ -95,6 +95,64 @@ def dedup_segments(
     )
 
 
+def dedup_paragraphs_corpus(
+    docs: DataFrame, sep: str = "\n", text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """CORPUS-level paragraph dedup (the CCNet step): keep exactly ONE
+    copy of every distinct segment across the whole corpus — the first
+    occurrence in (doc, position) order — and excise every other
+    instance, including repeats inside the winning document. This is
+    what strips mirrored boilerplate (cookie banners, license blocks,
+    syndicated article bodies) that within-doc dedup
+    (``dedup_segments``) cannot see. Returns ``(id, n_segments, n_kept,
+    text_dedup)``.
+
+    Scale shape: only ``(doc_id, position, md5)`` triples shuffle —
+    segment TEXT never leaves its scan (md5's 128 bits make cross-text
+    collisions ignorable at any corpus size). One hash aggregate picks
+    each segment's global winner as min (doc, position); winners come
+    back per doc as a sorted index list via one id-keyed join (skew-free:
+    ≤ one row per surviving segment), and reassembly is an array-local
+    index filter."""
+    import re as _re
+
+    segs_col = F.filter(
+        F.split(F.col(text), _re.escape(sep)), lambda x: x != F.lit("")
+    )
+    base = docs.select(F.col(id_col), segs_col.alias("_segs"))
+    occ = base.select(
+        F.col(id_col), F.posexplode("_segs").alias("_idx", "_seg")
+    ).select(F.col(id_col), F.col("_idx"), F.md5("_seg").alias("_h"))
+    winners = (
+        occ.groupBy("_h")
+        .agg(F.min(F.struct(F.col(id_col), F.col("_idx"))).alias("_w"))
+        .select(F.col(f"_w.{id_col}").alias(id_col), F.col("_w._idx").alias("_idx"))
+    )
+    keep_idx = winners.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("_idx")).alias("_ki")
+    )
+    joined = base.join(keep_idx, id_col, "left").select(
+        F.col(id_col),
+        F.col("_segs"),
+        F.coalesce(F.col("_ki"), F.array().cast("array<integer>")).alias("_ki"),
+    )
+    # kept is referenced twice below — materialize it as an attribute so
+    # the index filter runs once per doc (CollapseProject discipline)
+    with_kept = joined.select(
+        F.col(id_col),
+        F.col("_segs"),
+        F.filter(
+            F.col("_segs"), lambda x, j: F.array_contains(F.col("_ki"), j)
+        ).alias("_kept"),
+    )
+    return with_kept.select(
+        F.col(id_col),
+        F.size("_segs").cast("long").alias("n_segments"),
+        F.size("_kept").cast("long").alias("n_kept"),
+        F.array_join("_kept", sep).alias("text_dedup"),
+    )
+
+
 def quality_scores(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-doc quality heuristics (length / punctuation / stopwords)."""
     return docs.select(

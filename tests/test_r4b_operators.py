@@ -358,3 +358,42 @@ def test_pq_gemm_lane_matches_expression_lane(spark):
     a = {r.vec_id: tuple(r[1:]) for r in _pq_codes_wide(vecs).collect()}
     b = {r.vec_id: tuple(r[1:]) for r in _pq_codes_wide(vecs, gemm=True).collect()}
     assert a == b and len(a) == vecs.count()
+
+
+# --- corpus-level paragraph dedup ------------------------------------------
+
+
+def test_dedup_paragraphs_corpus_keeps_one_copy_globally(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro\nshared banner\nbody one\nshared banner"),
+            (2, "shared banner\nbody two"),
+            (3, "body three"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: (r.n_segments, r.n_kept, r.text_dedup)
+        for r in text_ops.dedup_paragraphs_corpus(docs).collect()
+    }
+    # 'shared banner' survives ONLY at its first corpus occurrence
+    # (doc 1, position 1); doc 1's own repeat and doc 2's copy vanish
+    assert out[1] == (4, 3, "intro\nshared banner\nbody one")
+    assert out[2] == (2, 1, "body two")
+    assert out[3] == (1, 1, "body three")
+
+
+def test_dedup_paragraphs_corpus_fully_duplicated_doc(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "a\nb"), (2, "a\nb")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: (r.n_kept, r.text_dedup)
+        for r in text_ops.dedup_paragraphs_corpus(docs).collect()
+    }
+    assert out[1] == (2, "a\nb")
+    assert out[2] == (0, "")  # every segment already owned by doc 1
