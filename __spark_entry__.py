@@ -33,6 +33,7 @@ from epicsarchiver_spark.operators import (
     relational,
     search,
     similarity,
+    skew,
     text_ops,
     timeseries,
 )
@@ -985,6 +986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
+    # two-stage salted aggregation — same RESULT as the direct group-by
+    # (the oracle), bounded partition size under any single-series skew
+    q["ts_skew_counts"] = lambda s, d: skew.skew_safe_counts(_points(s, d))
     # CCNet-style corpus-level segment dedup (sep=' ' on this corpus, as
     # with doc_segment_dedup — the operator's paragraph use is sep='\n')
     q["doc_paragraph_dedup"] = lambda s, d: text_ops.dedup_paragraphs_corpus(
@@ -1094,6 +1098,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_ramps",
         "ts_seasonal",
         "doc_paragraph_dedup",
+        "ts_skew_counts",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3298,7 +3303,7 @@ def oracle_sql() -> dict[str, str]:
           FROM points
           WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
         ),
-        st AS (SELECT * FROM stepped WHERE dq IS NOT NULL AND dq <> 0),
+        st AS (SELECT * FROM stepped WHERE dq IS NOT NULL),
         fl AS (
           SELECT pvname, CAST(sign(dq) AS INT) AS direction, time, event_id, pt, dq,
                  CASE WHEN lag(CAST(sign(dq) AS INT)) OVER w2 IS NULL
@@ -3315,8 +3320,20 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT pvname, direction, min(pt) AS t_start, max(time) AS t_end,
                count(*) AS n_steps, CAST(sum(dq) AS DOUBLE) / 100.0 AS delta
-        FROM runs GROUP BY pvname, direction, grp
+        FROM runs WHERE direction <> 0
+        GROUP BY pvname, direction, grp
         HAVING count(*) >= {RAMP_MIN_STEPS}
+        """
+    )
+
+    # salted two-stage aggregate ≡ the plain group-by — the oracle IS the
+    # unsalted form, which is the whole correctness claim
+    o["ts_skew_counts"] = (
+        P
+        + """
+        SELECT pvname, count(*) AS n_points, min(time) AS t_first,
+               max(time) AS t_last
+        FROM points GROUP BY pvname
         """
     )
 

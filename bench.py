@@ -101,6 +101,7 @@ HEADLINE = [
     "ts_ramps",
     "ts_seasonal",
     "doc_paragraph_dedup",
+    "ts_skew_counts",
 ]
 
 

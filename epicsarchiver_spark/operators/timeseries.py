@@ -357,7 +357,7 @@ def ramps(
         q.alias("_q"),
         F.lag("time").over(w).alias("_pt"),
         (q - F.lag(q).over(w)).alias("_dq"),
-    ).filter(F.col("_dq").isNotNull() & (F.col("_dq") != 0))
+    ).filter(F.col("_dq").isNotNull())
     # run ids via a running count of direction changes — every window here
     # partitions on the series key with the same ordering, so Catalyst
     # plans ONE exchange+sort for the whole island computation (the
@@ -376,12 +376,16 @@ def ramps(
         .otherwise(0)
         .alias("_new"),
     )
+    # zero-steps (plateaus) carry direction 0 THROUGH the run numbering —
+    # they break adjacent same-sign runs, as strict monotonicity requires
+    # — and only then drop out; filtering them earlier would silently
+    # merge two ramps separated by a flat stretch
     runs = flagged.withColumn(
         "_grp",
         F.sum("_new").over(
             w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
-    )
+    ).filter(F.col("direction") != 0)
     return (
         runs.groupBy(key, "direction", "_grp")
         .agg(

@@ -397,3 +397,97 @@ def test_dedup_paragraphs_corpus_fully_duplicated_doc(spark):
     }
     assert out[1] == (2, "a\nb")
     assert out[2] == (0, "")  # every segment already owned by doc 1
+
+
+# --- randomized python-mirror checks ---------------------------------------
+
+
+def test_value_histogram_matches_python_mirror_random(spark):
+    rng = np.random.RandomState(21)
+    rows = []
+    for pv in ("x", "y", "z"):
+        n = rng.randint(1, 40)
+        for t in range(n):
+            rows.append((pv, float(t), round(float(rng.randn() * 50), 2)))
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = {
+        (r.pvname, r.bin): r.n for r in timeseries.value_histogram(df, n_bins=7).collect()
+    }
+    # python mirror with the same closed-form edges
+    series = {}
+    for pv, _, v in rows:
+        series.setdefault(pv, []).append(v)
+    expect = {}
+    for pv, vals in series.items():
+        lo, hi = min(vals), max(vals)
+        w = (hi - lo) / 7
+        for v in vals:
+            b = min(int((v - lo) // w), 6) if hi > lo else 0
+            expect[(pv, b)] = expect.get((pv, b), 0) + 1
+    assert got == expect
+
+
+def test_ramps_matches_python_mirror_random(spark):
+    rng = np.random.RandomState(33)
+    rows = []
+    for pv in ("p", "q"):
+        v = 100.0
+        for t in range(60):
+            v = float(round(v + float(rng.choice([-1.0, 0.0, 1.0])) * int(rng.randint(0, 3)), 2))
+            rows.append((pv, float(t), v))
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = sorted(
+        (r.pvname, r.direction, r.t_start, r.t_end, r.n_steps, round(r.delta, 2))
+        for r in timeseries.ramps(df, min_steps=2).collect()
+    )
+    # mirror: walk each series, build maximal same-sign runs on cent deltas
+    expect = []
+    series = {}
+    for pv, t, v in rows:
+        series.setdefault(pv, []).append((t, int(round(v * 100))))
+    for pv, pts in series.items():
+        run = None  # (dir, t_start, t_end, n, cents)
+        for (t0, q0), (t1, q1) in zip(pts, pts[1:]):
+            dq = q1 - q0
+            if dq == 0:
+                if run:
+                    expect.append((pv, *run))
+                run = None
+                continue
+            d = 1 if dq > 0 else -1
+            if run and run[0] == d:
+                run = (d, run[1], t1, run[3] + 1, run[4] + dq)
+            else:
+                if run:
+                    expect.append((pv, *run))
+                run = (d, t0, t1, 1, dq)
+        if run:
+            expect.append((pv, *run))
+    expect = sorted(
+        (pv, d, ts, te, n, round(c / 100.0, 2))
+        for pv, d, ts, te, n, c in expect
+        if n >= 2
+    )
+    assert got == expect
+
+
+def test_dedup_paragraphs_corpus_partition_invariance_and_coverage(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    rng = np.random.RandomState(44)
+    vocab = [f"seg{i}" for i in range(12)]
+    docs = [
+        (i, "\n".join(rng.choice(vocab, size=rng.randint(1, 8))))
+        for i in range(30)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = text_ops.dedup_paragraphs_corpus(df).collect()
+    # every distinct segment of the corpus survives EXACTLY once overall
+    kept_all = [s for r in out for s in r.text_dedup.split("\n") if s]
+    distinct = {s for _, t in docs for s in t.split("\n")}
+    assert sorted(kept_all) == sorted(distinct)
+    # result invariant under input partitioning
+    out2 = text_ops.dedup_paragraphs_corpus(df.repartition(13)).collect()
+    assert {(r.doc_id, r.text_dedup) for r in out} == {
+        (r.doc_id, r.text_dedup) for r in out2
+    }
