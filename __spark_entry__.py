@@ -78,6 +78,8 @@ OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians
 PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
 CORR_MIN_R = 0.5  # series-correlation report threshold
 RAMP_MIN_STEPS = 3  # monotone-ramp detection: min consecutive same-sign steps
+BLOCKWORDS = ["error", "slow", "big"]  # C4-style blocklist (corpus vocab picks)
+BLOCK_MAX_RATIO = 0.02  # keep docs at/below this blocklist hit fraction
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -986,6 +988,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
+    q["ts_availability"] = lambda s, d: timeseries.availability(
+        _points(s, d), T0, T1, HEARTBEAT
+    )
+    q["doc_blocklist"] = lambda s, d: text_ops.blocklist_stats(
+        load_table(s, d, "documents"), BLOCKWORDS, max_hit_ratio=BLOCK_MAX_RATIO
+    )
     # two-stage salted aggregation — same RESULT as the direct group-by
     # (the oracle), bounded partition size under any single-series skew
     q["ts_skew_counts"] = lambda s, d: skew.skew_safe_counts(_points(s, d))
@@ -1099,6 +1107,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_seasonal",
         "doc_paragraph_dedup",
         "ts_skew_counts",
+        "ts_availability",
+        "doc_blocklist",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3325,6 +3335,52 @@ def oracle_sql() -> dict[str, str]:
         HAVING count(*) >= {RAMP_MIN_STEPS}
         """
     )
+
+    # liveness coverage: live segment per point = [max(t, T0),
+    # min(t+HB, next, T1)); µs-quantized sums, same discipline as ts_twa
+    o["ts_availability"] = (
+        P
+        + f""",
+        pruned AS (
+          SELECT pvname, time, event_id FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {HEARTBEAT}
+        ),
+        seg AS (
+          SELECT pvname,
+                 greatest(time, {T0}) AS a,
+                 least(time + {HEARTBEAT},
+                       coalesce(lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id), {T1}),
+                       {T1}) AS b
+          FROM pruned
+        ),
+        d AS (
+          SELECT pvname, CAST(round((b - a) * 1e6) AS BIGINT) AS us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname, round(sum(us) / 1e6, 6) AS covered_s,
+               round(sum(us) / 1e6 / {T1 - T0}, 6) AS uptime
+        FROM d GROUP BY pvname
+        """
+    )
+
+    _bw = ", ".join(f"'{w}'" for w in BLOCKWORDS)
+    o["doc_blocklist"] = rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> list_contains([{_bw}], lower(x)))) AS BIGINT) AS n_hits
+          FROM tk
+        )
+        SELECT doc_id, n_tokens, n_hits,
+               CASE WHEN n_tokens > 0 THEN CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS hit_ratio,
+               (CASE WHEN n_tokens > 0 THEN CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END)
+                 <= {BLOCK_MAX_RATIO} AS keep
+        FROM c
+    """
 
     # salted two-stage aggregate ≡ the plain group-by — the oracle IS the
     # unsalted form, which is the whole correctness claim

@@ -102,6 +102,8 @@ HEADLINE = [
     "ts_seasonal",
     "doc_paragraph_dedup",
     "ts_skew_counts",
+    "ts_availability",
+    "doc_blocklist",
 ]
 
 

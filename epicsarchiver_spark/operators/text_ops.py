@@ -95,6 +95,49 @@ def dedup_segments(
     )
 
 
+def blocklist_stats(
+    docs: DataFrame,
+    words: list[str],
+    max_hit_ratio: float = 0.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style badword filtering, generalized: per doc, the fraction of
+    tokens that hit a blocklist, and the keep/drop verdict
+    (``hit_ratio ≤ max_hit_ratio``; C4's "drop on ANY hit" is the
+    default 0.0). Returns ``(id, n_tokens, n_hits, hit_ratio, keep)`` —
+    callers filter on ``keep`` (the stats themselves are what you audit
+    before committing to a list).
+
+    Zero shuffle: tokenize once (materialized attribute), membership is
+    an array-local scan against the words literal — right for real
+    blocklists (10²–10³ entries, O(W) per token interpreted but W
+    small). For 10⁵+-entry lists, explode tokens and broadcast-join the
+    wordlist instead (the ``contamination_overlap`` shape)."""
+    from epicsarchiver_spark.functions.text import tokens
+
+    wl = F.array(*[F.lit(w.lower()) for w in words])
+    base = docs.select(F.col(id_col), tokens(F.col(text)).alias("_tk"))
+    counted = base.select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(
+            F.filter(F.col("_tk"), lambda x: F.array_contains(wl, F.lower(x)))
+        ).cast("long").alias("n_hits"),
+    )
+    ratio = F.when(
+        F.col("n_tokens") > 0,
+        F.col("n_hits").cast("double") / F.col("n_tokens"),
+    ).otherwise(F.lit(0.0))
+    return counted.select(
+        id_col,
+        "n_tokens",
+        "n_hits",
+        ratio.alias("hit_ratio"),
+        (ratio <= F.lit(max_hit_ratio)).alias("keep"),
+    )
+
+
 def dedup_paragraphs_corpus(
     docs: DataFrame, sep: str = "\n", text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

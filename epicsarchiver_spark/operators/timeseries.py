@@ -326,6 +326,48 @@ def time_weighted_avg(
     )
 
 
+def availability(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    heartbeat: float,
+    key: str = "pvname",
+) -> DataFrame:
+    """Per-series availability over [t0, t1]: a series is LIVE at instant
+    t when its latest point is at most ``heartbeat`` old — under the W3
+    forced-heartbeat contract, any longer silence means the collector
+    lost the PV (the batch analog of `pvarch check`'s liveness verdict,
+    scored as a fraction instead of a point-in-time flag). Returns
+    ``(key, covered_s, uptime)``, uptime = covered/(t1−t0) ∈ [0, 1].
+
+    Same single-window shape as ``time_weighted_avg``: each point's live
+    segment is [max(time, t0), min(time+heartbeat, next_time, t1)) — the
+    pre-window seed falls out of segment clipping (scan pruned to
+    [t0 − heartbeat, t1), which is exact by the liveness definition
+    itself), and µs-quantized durations make the coverage sum exact
+    BIGINT math, engine- and partition-order-independent."""
+    tol = 1e-4
+    pruned = points.filter(
+        (F.col("time") < t1 - tol) & (F.col("time") >= t0 - heartbeat)
+    )
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    seg = pruned.select(
+        F.col(key),
+        F.greatest(F.col("time"), F.lit(t0)).alias("_a"),
+        F.least(
+            F.col("time") + F.lit(heartbeat),
+            F.coalesce(F.lead("time").over(w), F.lit(t1)),
+            F.lit(t1),
+        ).alias("_b"),
+    ).filter(F.col("_b") > F.col("_a"))
+    dur_us = F.round((F.col("_b") - F.col("_a")) * F.lit(1e6)).cast("long")
+    return seg.groupBy(key).agg(
+        F.round(F.sum(dur_us) / F.lit(1e6), 6).alias("covered_s"),
+        F.round(F.sum(dur_us) / F.lit(1e6) / F.lit(t1 - t0), 6).alias("uptime"),
+    )
+
+
 def ramps(
     points: DataFrame,
     min_steps: int = 3,

@@ -491,3 +491,45 @@ def test_dedup_paragraphs_corpus_partition_invariance_and_coverage(spark):
     assert {(r.doc_id, r.text_dedup) for r in out} == {
         (r.doc_id, r.text_dedup) for r in out2
     }
+
+
+# --- availability / blocklist ----------------------------------------------
+
+
+def test_availability_hand_computed(spark):
+    # hb=10 over [0, 100): a has points at 0, 5, 50 → union of live
+    # intervals [0,15)∪[50,60) = 25 s; b is silent after -3 → [−3+… clip:
+    # seed point at -3 covers [0, 7)
+    rows = [("a", 0.0, 1.0), ("a", 5.0, 1.0), ("a", 50.0, 1.0), ("b", -3.0, 1.0)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = {r.pvname: (r.covered_s, r.uptime) for r in
+           timeseries.availability(df, 0.0, 100.0, 10.0).collect()}
+    assert got["a"] == (25.0, 0.25)
+    assert got["b"] == (7.0, 0.07)
+
+
+def test_availability_full_coverage_and_pruning(spark):
+    rows = [("c", float(t), 1.0) for t in range(0, 100, 5)]
+    rows += [("old", -1000.0, 1.0)]  # outside t0 - heartbeat → no row at all
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = {r.pvname: r.uptime for r in timeseries.availability(df, 0.0, 100.0, 10.0).collect()}
+    assert got["c"] == 1.0
+    assert "old" not in got
+
+
+def test_blocklist_stats_c4_semantics(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "clean words only"), (2, "one BAD word here"), (3, "bad bad bad bad")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: (r.n_tokens, r.n_hits, r.keep) for r in
+           text_ops.blocklist_stats(docs, ["bad"], max_hit_ratio=0.0).collect()}
+    assert out[1] == (3, 0, True)
+    assert out[2] == (4, 1, False)  # case-insensitive hit
+    assert out[3] == (4, 4, False)
+    # relaxed threshold keeps the single-hit doc
+    out2 = {r.doc_id: r.keep for r in
+            text_ops.blocklist_stats(docs, ["bad"], max_hit_ratio=0.25).collect()}
+    assert out2 == {1: True, 2: True, 3: False}
