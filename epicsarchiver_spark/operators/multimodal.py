@@ -278,21 +278,40 @@ def _encode_png(px: "np.ndarray") -> bytes:
     )
 
 
+def _parse_jpeg(payload: bytes):
+    """Baseline JPEG → (h, w, 3) uint8 RGB via the pure-python
+    Huffman+IDCT decoder (operators/jpeg_codec.py); None when not a
+    decodable baseline JPEG (progressive/arithmetic fall through)."""
+    if payload is None or payload[:2] != b"\xff\xd8":
+        return None
+    from epicsarchiver_spark.operators.jpeg_codec import decode_jpeg
+
+    return decode_jpeg(bytes(payload))
+
+
 def _parse_image(payload: bytes):
-    """Dispatch on magic: BMP or PNG → (h, w, 3) uint8 RGB, else None."""
+    """Dispatch on magic: BMP, PNG or baseline JPEG → (h, w, 3) uint8
+    RGB, else None."""
     px = _parse_bmp(payload)
-    return px if px is not None else _parse_png(payload)
+    if px is None:
+        px = _parse_png(payload)
+    if px is None:
+        px = _parse_jpeg(payload)
+    return px
 
 
 class PurePythonCodec(DeterministicFakeCodec):
     """REAL decode with zero container deps: uncompressed 24-bit BMP,
     non-interlaced 8-bit RGB PNG (stdlib zlib inflate + full
-    unfiltering), and PCM16 WAV — struct + zlib + numpy only. Exists to
-    prove the mapInPandas plumbing carries genuine decoded content
-    end-to-end (the VERDICT-r2 gap: 'plumbing-complete, not
-    capability-complete') — a production deployment swaps in PIL/ffmpeg
-    for JPEG/MP4, but the operator contracts are exercised for real here,
-    including one genuinely compressed container (PNG).
+    unfiltering), baseline JPEG (pure-python Huffman + dequant + IDCT,
+    4:2:0/4:2:2/4:4:4 sampling and restart markers —
+    operators/jpeg_codec.py), and PCM16 WAV — struct + zlib + numpy
+    only. Exists to prove the mapInPandas plumbing carries genuine
+    decoded content end-to-end (the VERDICT-r2 gap: 'plumbing-complete,
+    not capability-complete') — a production deployment swaps in
+    PIL/ffmpeg for speed and the exotic formats (progressive JPEG, MP4),
+    but the operator contracts are exercised for real here on two
+    genuinely compressed containers (PNG, JPEG).
 
     Feature layout (dim 8) — image: [1, w/4096, h/4096, meanR, meanG,
     meanB, std_gray, 0]; audio: [2, rate/96k, dur_s/3600, rms, peak,
@@ -345,6 +364,10 @@ class PurePythonCodec(DeterministicFakeCodec):
         resized = px[ri][:, ci]
         if payload[:2] == b"BM":
             return _encode_bmp(resized)
+        if payload[:2] == b"\xff\xd8":
+            from epicsarchiver_spark.operators.jpeg_codec import encode_jpeg
+
+            return encode_jpeg(resized)
         return _encode_png(resized)
 
     def sample_frames(self, payload: bytes, duration_ms: int, every_ms: int) -> list[tuple[int, bytes]]:
@@ -369,7 +392,11 @@ class RealCodec(DeterministicFakeCodec):
     PIL/opencv/ffmpeg implementation; the base methods raise."""
 
     def decode_features(self, payload):
-        raise NotImplementedError("real decode requires PIL/torchaudio — not in this container")
+        raise NotImplementedError(
+            "production decode uses PIL/torchaudio (progressive JPEG, MP4, "
+            "lossy audio) — not in this container; PurePythonCodec covers "
+            "BMP/PNG/baseline-JPEG/PCM-WAV for real"
+        )
 
     def resize_image(self, payload, w, h):
         raise NotImplementedError("real image resize requires PIL/opencv — not in this container")
