@@ -991,6 +991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_availability"] = lambda s, d: timeseries.availability(
         _points(s, d), T0, T1, HEARTBEAT
     )
+    q["ts_drift"] = lambda s, d: timeseries.drift(_points(s, d), T0, T1)
     q["doc_blocklist"] = lambda s, d: text_ops.blocklist_stats(
         load_table(s, d, "documents"), BLOCKWORDS, max_hit_ratio=BLOCK_MAX_RATIO
     )
@@ -1109,6 +1110,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_skew_counts",
         "ts_availability",
         "doc_blocklist",
+        "ts_drift",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3360,6 +3362,28 @@ def oracle_sql() -> dict[str, str]:
         SELECT pvname, round(sum(us) / 1e6, 6) AS covered_s,
                round(sum(us) / 1e6 / {T1 - T0}, 6) AS uptime
         FROM d GROUP BY pvname
+        """
+    )
+
+    # least-squares drift: second-quantized times offset from T0,
+    # integer-cent values → exact BIGINT moments, closed-form double slope
+    o["ts_drift"] = (
+        P
+        + f""",
+        s AS (
+          SELECT pvname, count(*) AS n,
+                 sum(t) AS st, sum(q) AS sq, sum(t * q) AS stq, sum(t * t) AS stt
+          FROM (
+            SELECT pvname,
+                   CAST(floor(time) - {int(T0)} AS BIGINT) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points WHERE time >= {T0} AND time <= {T1}
+          ) GROUP BY pvname
+        )
+        SELECT pvname, n,
+               CAST(n * stq - st * sq AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+                 * 0.01 * 86400.0 AS slope_per_day
+        FROM s WHERE n * stt - st * st > 0
         """
     )
 

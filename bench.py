@@ -104,6 +104,7 @@ HEADLINE = [
     "ts_skew_counts",
     "ts_availability",
     "doc_blocklist",
+    "ts_drift",
 ]
 
 

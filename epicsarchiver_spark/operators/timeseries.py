@@ -326,6 +326,45 @@ def time_weighted_avg(
     )
 
 
+def drift(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Per-series drift over [t0, t1]: the least-squares linear trend of
+    value against time — the archiver question "which PVs are slowly
+    walking away?" (vacuum creep, thermal drift, aging sensors) that a
+    min/max or deadband view can't separate from noise. Returns
+    ``(key, n, slope_per_day)`` for series with ≥ 2 distinct sample
+    times; slope in value units per day.
+
+    Engine-exact by the same discipline as ``series_correlation``:
+    times quantize to integer SECONDS offset from t0, values to integer
+    ``quantum`` units, the five moment sums are BIGINTs (one map-side
+    partial aggregate — order-independent), and the slope is one
+    closed-form double over exact integers. Overflow budget:
+    n·span_s²·(v_max/quantum)… the binding term is n·Σt'² <
+    2⁶³ — holds to ~10⁷ points per series on a one-year window; beyond
+    that, pre-aggregate per-day partials first (same formula, partials
+    are themselves exact)."""
+    pruned = points.filter((F.col("time") >= t0) & (F.col("time") <= t1))
+    t = (F.floor(F.col("time")) - F.lit(int(t0))).cast("long")
+    q = F.round(F.col("value") / quantum).cast("long")
+    sums = pruned.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(t).alias("st"),
+        F.sum(q).alias("sq"),
+        F.sum(t * q).alias("stq"),
+        F.sum(t * t).alias("stt"),
+    )
+    den = F.col("n") * F.col("stt") - F.col("st") * F.col("st")
+    num = F.col("n") * F.col("stq") - F.col("st") * F.col("sq")
+    slope = num.cast("double") / den.cast("double") * F.lit(quantum) * F.lit(86400.0)
+    return sums.filter(den > 0).select(key, "n", slope.alias("slope_per_day"))
+
+
 def availability(
     points: DataFrame,
     t0: float,

@@ -533,3 +533,20 @@ def test_blocklist_stats_c4_semantics(spark):
     out2 = {r.doc_id: r.keep for r in
             text_ops.blocklist_stats(docs, ["bad"], max_hit_ratio=0.25).collect()}
     assert out2 == {1: True, 2: True, 3: False}
+
+
+def test_drift_recovers_known_slope(spark):
+    # value = 5 + 2.5/day * t(days), exact cents; slope recovered exactly
+    rows = []
+    for d in range(10):
+        t = 1000.0 + d * 86400.0
+        rows.append(("ramp", t, round(5.0 + 2.5 * d, 2)))
+    rows += [("flat", 1000.0 + d * 86400.0, 7.0) for d in range(5)]
+    rows += [("single", 1000.0, 3.0)]  # n=1 → no trend row
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {r.pvname: (r.n, r.slope_per_day) for r in
+           timeseries.drift(df, 0.0, 1e7).collect()}
+    assert out["ramp"][0] == 10
+    assert abs(out["ramp"][1] - 2.5) < 1e-9
+    assert out["flat"][1] == 0.0
+    assert "single" not in out
