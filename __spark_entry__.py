@@ -80,6 +80,7 @@ CORR_MIN_R = 0.5  # series-correlation report threshold
 RAMP_MIN_STEPS = 3  # monotone-ramp detection: min consecutive same-sign steps
 BLOCKWORDS = ["error", "slow", "big"]  # C4-style blocklist (corpus vocab picks)
 BLOCK_MAX_RATIO = 0.02  # keep docs at/below this blocklist hit fraction
+HH_MIN_COUNT = 800  # heavy-hitter threshold (exact; CMS only prefilters)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -992,6 +993,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, HEARTBEAT
     )
     q["ts_drift"] = lambda s, d: timeseries.drift(_points(s, d), T0, T1)
+    q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
+        load_table(s, d, "documents"), min_count=HH_MIN_COUNT
+    )
+    q["ev_transitions"] = lambda s, d: ev.transitions(load_table(s, d, "events"))
+    q["rel_promo_share"] = lambda s, d: relational.promo_revenue_share(
+        load_table(s, d, "lineitem"), load_table(s, d, "part")
+    )
     q["doc_blocklist"] = lambda s, d: text_ops.blocklist_stats(
         load_table(s, d, "documents"), BLOCKWORDS, max_hit_ratio=BLOCK_MAX_RATIO
     )
@@ -1111,6 +1119,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_availability",
         "doc_blocklist",
         "ts_drift",
+        "doc_heavy_hitters",
+        "ev_transitions",
+        "rel_promo_share",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3386,6 +3397,49 @@ def oracle_sql() -> dict[str, str]:
         FROM s WHERE n * stt - st * st > 0
         """
     )
+
+    # heavy hitters: CMS never undercounts → the prefiltered exact pass
+    # equals the plain group-by, which IS the oracle
+    o["doc_heavy_hitters"] = rf"""
+        WITH t AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        )
+        SELECT term, count(*) AS n FROM t
+        GROUP BY term HAVING count(*) >= {HH_MIN_COUNT}
+    """
+
+    o["ev_transitions"] = """
+        WITH s AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch(ts), event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS n FROM s
+          WHERE src IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        FROM c
+    """
+
+    o["rel_promo_share"] = """
+        SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    """
 
     _bw = ", ".join(f"'{w}'" for w in BLOCKWORDS)
     o["doc_blocklist"] = rf"""

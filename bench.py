@@ -105,6 +105,9 @@ HEADLINE = [
     "ts_availability",
     "doc_blocklist",
     "ts_drift",
+    "doc_heavy_hitters",
+    "ev_transitions",
+    "rel_promo_share",
 ]
 
 

@@ -172,6 +172,37 @@ def props_rollup(
     )
 
 
+def transitions(
+    events: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """First-order behavior model of the event log: the Markov
+    transition matrix over consecutive event types within each user's
+    timeline — ``(src, dst, n, p)`` with p = P(next = dst | current =
+    src). The sequence step is ONE user-keyed sort window (lag); the
+    matrix aggregate and the row-normalizing window both run on the
+    |types|² count frame, whose size is the vocabulary, not the log.
+    p is an exact-integer ratio (long / window-sum of longs), so any
+    engine reproduces it bit-for-bit."""
+    e = events.select(
+        F.col(user_col),
+        F.col(type_col).alias("dst"),
+        _epoch_s(events, ts_col).alias("_t"),
+        F.col("event_id"),
+    )
+    w = Window.partitionBy(user_col).orderBy("_t", "event_id")
+    pairs = e.select(F.lag("dst").over(w).alias("src"), "dst").filter(
+        F.col("src").isNotNull()
+    )
+    counts = pairs.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    wn = Window.partitionBy("src")
+    return counts.select(
+        "src", "dst", "n", (F.col("n") / F.sum("n").over(wn)).alias("p")
+    )
+
+
 def rolling_dau(
     events: DataFrame,
     user_col: str = "user_id",

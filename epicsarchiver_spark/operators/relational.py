@@ -175,6 +175,31 @@ def disjunctive_revenue(
     )
 
 
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    d0: str = "1996-01-01",
+    d1: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q14-style: promotional share of revenue in a shipdate
+    window — one broadcast join, the date range pushed to the fact scan,
+    conditional + total sums in a single aggregate pass (no second scan
+    for the denominator)."""
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1)
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(promo), 2).alias("promo_revenue"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias("promo_pct"),
+        )
+    )
+
+
 def supplier_part_counts(
     part: DataFrame, lineitem: DataFrame, supplier: DataFrame
 ) -> DataFrame:

@@ -95,6 +95,69 @@ def dedup_segments(
     )
 
 
+def heavy_hitters(
+    docs: DataFrame,
+    min_count: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = 2048,
+    depth: int = 4,
+    sketch: bool = True,
+    seed: int = 7,
+) -> DataFrame:
+    """Exact corpus heavy hitters — every term occurring ≥ ``min_count``
+    times, with its exact count — computed with a count-min-sketch
+    prefilter: pass 1 aggregates ``depth × width`` hashed-bucket counts
+    (a BOUNDED shuffle regardless of vocabulary size — the whole point
+    at 100 TB, where the naive per-term aggregate shuffles partials for
+    every distinct term); the collected sketch (≤ depth·width ints, a
+    deliberate small driver artifact like IVF centroids) embeds as
+    literal arrays, and pass 2 drops every token whose sketch estimate
+    is already below threshold BEFORE the exact aggregate — only
+    near-frequent terms' occurrences shuffle. CMS never undercounts, so
+    no true heavy hitter is lost: the final exact filter makes the
+    result IDENTICAL to the plain group-by (the oracle), sketch
+    parameters only tune how much pass-2 shuffle the prefilter saves.
+    ``sketch=False`` is that plain group-by (small corpora / verifier)."""
+    from epicsarchiver_spark.functions.text import tokens
+
+    tok = docs.select(F.explode(tokens(F.col(text))).alias("term"))
+    exact = (
+        tok.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+    if not sketch:
+        return exact
+
+    def _idx(i: int):
+        return F.pmod(F.xxhash64(F.col("term"), F.lit(seed + i)), F.lit(width))
+
+    buckets = tok.select(
+        F.posexplode(F.array(*[_idx(i) for i in range(depth)])).alias("i", "idx")
+    )
+    rows = buckets.groupBy("i", "idx").agg(F.count(F.lit(1)).alias("c")).collect()
+    import numpy as np
+
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for r in rows:
+        cms[r.i, r.idx] = r.c
+    est = F.least(
+        *[
+            F.element_at(
+                F.array(*[F.lit(int(c)) for c in cms[i]]), (_idx(i) + 1).cast("int")
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        tok.filter(est >= min_count)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
 def blocklist_stats(
     docs: DataFrame,
     words: list[str],

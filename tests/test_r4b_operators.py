@@ -550,3 +550,58 @@ def test_drift_recovers_known_slope(spark):
     assert abs(out["ramp"][1] - 2.5) < 1e-9
     assert out["flat"][1] == 0.0
     assert "single" not in out
+
+
+# --- heavy hitters / transitions / promo share ------------------------------
+
+
+def test_heavy_hitters_sketch_equals_exact(spark):
+    from epicsarchiver_spark.operators import text_ops
+
+    rng = np.random.RandomState(8)
+    vocab = [f"w{i}" for i in range(50)]
+    weights = np.array([50, 30, 20] + [1] * 47, dtype=float)
+    weights /= weights.sum()
+    docs = [
+        (i, " ".join(rng.choice(vocab, size=40, p=weights))) for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    # tiny sketch (width 8) forces heavy collision — result must STILL
+    # equal the exact group-by (CMS only ever overcounts)
+    a = {(r.term, r.n) for r in text_ops.heavy_hitters(df, 100, width=8, depth=2).collect()}
+    b = {(r.term, r.n) for r in text_ops.heavy_hitters(df, 100, sketch=False).collect()}
+    assert a == b and len(b) >= 2
+
+
+def test_transitions_rows_normalize_and_count(spark):
+    from epicsarchiver_spark.operators import events as ev_ops
+    import datetime
+
+    rows = []
+    seq = ["a", "b", "a", "c", "a", "b"]
+    for i, t in enumerate(seq):
+        rows.append((i, datetime.datetime(2024, 1, 1, 0, 0, i), 1, t))
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {(r.src, r.dst): (r.n, r.p) for r in ev_ops.transitions(df).collect()}
+    # a→b twice, a→c once; rows for src=a normalize to 1
+    assert out[("a", "b")] == (2, 2 / 3)
+    assert out[("a", "c")] == (1, 1 / 3)
+    assert out[("b", "a")][0] == 1
+    import math
+    srcs = {}
+    for (s, _), (_, p) in out.items():
+        srcs[s] = srcs.get(s, 0.0) + p
+    assert all(math.isclose(v, 1.0) for v in srcs.values())
+
+
+def test_promo_share_math(spark):
+    li = spark.createDataFrame(
+        [(1, "1996-06-01", 100.0, 0.0), (2, "1996-07-01", 300.0, 0.0),
+         (1, "1999-01-01", 999.0, 0.0)],  # outside window
+        "l_partkey long, l_shipdate string, l_extendedprice double, l_discount double",
+    ).withColumn("l_shipdate", F.to_timestamp("l_shipdate"))
+    part = spark.createDataFrame(
+        [(1, "PROMO"), (2, "STANDARD")], "p_partkey long, p_type string"
+    )
+    r = relational.promo_revenue_share(li, part).head()
+    assert (r.promo_revenue, r.total_revenue, r.promo_pct) == (100.0, 400.0, 25.0)
