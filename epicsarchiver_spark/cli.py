@@ -241,6 +241,47 @@ def cmd_check(args) -> int:
     return 0 if alive else 1
 
 
+def cmd_health(args) -> int:
+    """``pvarch health`` — per-series health report over the trailing
+    window: uptime fraction (liveness under the heartbeat floor), drift
+    (value/day trend) and MAD-outlier count, worst uptime first. The
+    batch roll-up of what the reference's status pages + `pvarch check`
+    answer one PV at a time."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.timeseries import (
+        availability,
+        drift,
+        robust_outliers,
+    )
+
+    spark = _spark("health")
+    pts = _points(spark, args)
+    now = args.now if args.now is not None else time.time()
+    t0 = now - args.window
+    av = availability(pts, t0, now, args.heartbeat)
+    dr = drift(pts, t0, now).select("pvname", "slope_per_day")
+    ol = (
+        robust_outliers(
+            pts.filter((F.col("time") >= t0) & (F.col("time") <= now)), k=args.k
+        )
+        .groupBy("pvname")
+        .agg(F.count(F.lit(1)).alias("n_outliers"))
+    )
+    rep = (
+        av.join(dr, "pvname", "left")
+        .join(ol, "pvname", "left")
+        .fillna({"n_outliers": 0})
+        .orderBy("uptime", "pvname")
+    )
+    rows = rep.limit(args.top).collect()
+    print(f"{'pvname':<28}{'uptime':>8}{'drift/day':>12}{'outliers':>10}")
+    for r in rows:
+        slope = f"{r.slope_per_day:+.4f}" if r.slope_per_day is not None else "-"
+        print(f"{r.pvname:<28}{r.uptime:>8.3f}{slope:>12}{r.n_outliers:>10}")
+    return 0
+
+
 def cmd_save_position(args) -> int:
     """Create/overwrite a named instrument position (ref
     WebInstruments.py:79-84) — stores (instrument, name, ts) only."""
@@ -334,6 +375,14 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("check", help="liveness watchdog: >=1 point per cadence")
     s.add_argument("-c", "--cadence", type=float, default=600.0, help="window seconds")
     s.set_defaults(fn=cmd_check)
+
+    s = sub.add_parser("health", help="per-PV uptime / drift / outlier report")
+    s.add_argument("-w", "--window", type=float, default=7 * 86400.0, help="window seconds")
+    s.add_argument("-b", "--heartbeat", type=float, default=86400.0, help="liveness floor")
+    s.add_argument("-k", type=float, default=5.0, help="MAD outlier threshold")
+    s.add_argument("-n", "--top", type=int, default=25, help="rows to print")
+    s.add_argument("--now", type=float, default=None, help="report instant (default: wall clock)")
+    s.set_defaults(fn=cmd_health)
 
     s = sub.add_parser("save_position", help="save a named instrument position")
     s.add_argument("instrument")

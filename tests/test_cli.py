@@ -169,3 +169,18 @@ def test_dim_swap_crash_recovery(spark, tmp_path, capsys):
     assert "run_00003" in capsys.readouterr().out
     runs = {r.db for r in spark.read.parquet(runs_file).collect()}
     assert runs == {"run_00001", "run_00002", "run_00003"}
+
+
+def test_health_report(spark, store, capsys):
+    # points span time 0..2970 with 30 s cadence; heartbeat 60 → high
+    # uptime inside [0, 3000]; deterministic --now pins the window
+    assert cli.main([
+        "--store", store, "health",
+        "--now", "3000", "-w", "3000", "-b", "60", "-n", "10",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "uptime" in out and "CLI:a.VAL" in out and "CLI:b.VAL" in out
+    # uptime column parses as a fraction in (0, 1]
+    for line in out.splitlines()[1:]:
+        up = float(line.split()[1])
+        assert 0.0 < up <= 1.0

@@ -107,3 +107,35 @@ def test_codec_integration_features_resize_ahash(spark):
     assert out["jpg"][:2] == b"\xff\xd8"
     dec = decode_jpeg(out["jpg"])
     assert dec is not None and dec.shape == (8, 16, 3)
+
+
+# --- robustness fuzzing ----------------------------------------------------
+
+
+def test_decoder_never_raises_fuzz():
+    """decode_jpeg must return an image or None on ANY input — one bad
+    blob must never kill a Spark stage (the multimodal robustness
+    contract). Deterministic fuzz corpus: random bytes, random bytes
+    with a JPEG SOI, and random mutations of a valid stream."""
+    rng = np.random.RandomState(99)
+    valid = encode_jpeg(_gradient(16, 24))
+    for trial in range(60):
+        kind = trial % 3
+        if kind == 0:
+            blob = rng.bytes(rng.randint(0, 400))
+        elif kind == 1:
+            blob = b"\xff\xd8" + rng.bytes(rng.randint(0, 400))
+        else:
+            mutated = bytearray(valid)
+            for _ in range(rng.randint(1, 8)):
+                mutated[rng.randint(0, len(mutated))] = rng.randint(0, 256)
+            blob = bytes(mutated)
+        out = decode_jpeg(blob)  # must not raise
+        assert out is None or (out.ndim == 3 and out.dtype == np.uint8)
+
+
+def test_truncation_sweep_never_raises():
+    data = encode_jpeg(_gradient(16, 24), restart_interval=2)
+    for cut in range(0, len(data), 37):
+        out = decode_jpeg(data[:cut])
+        assert out is None or out.dtype == np.uint8

@@ -298,3 +298,51 @@ def test_lsh_single_query_is_broadcast_equi_join(spark):
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "bit_count" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_value_histogram_broadcasts_ranges_and_partials(spark):
+    plan = _plan(spark, "ts_histogram")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "partial_" in plan  # both aggregates combine map-side
+
+
+def test_robust_outliers_broadcasts_both_stat_frames(spark):
+    plan = _plan(spark, "ts_outliers")
+    # median and MAD come back as one-row-per-series broadcast joins —
+    # the raw points never shuffle
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:2000]
+
+
+def test_ivfpq_topk_is_take_ordered(spark):
+    plan = _plan(spark, "emb_ivfpq_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+
+
+def test_heavy_hitters_prefilters_before_exact_aggregate(spark):
+    plan = _plan(spark, "doc_heavy_hitters")
+    # the sketch-estimate filter must sit BELOW the final hash aggregate
+    # (tokens drop before the shuffle) — assert a Filter on the literal
+    # sketch arrays precedes the aggregate on term
+    agg_at = plan.find("HashAggregate")
+    filt_at = plan.find("Filter")
+    assert agg_at != -1 and filt_at != -1
+    assert "least(" in plan.lower() or "element_at" in plan.lower(), plan[:1200]
+
+
+def test_near_dup_media_joins_on_blocks_not_all_pairs(spark):
+    plan = _plan(spark, "mm_near_dups")
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan[:1500]
+
+
+def test_correlation_gemm_single_block_shuffle(spark):
+    plan = _plan(spark, "ts_correlation")
+    # the pair blow-up lives inside applyInPandas (FlatMapGroupsInPandas);
+    # no join between grid copies appears in the plan
+    assert "FlatMapGroupsInPandas" in plan, plan[:1500]
+    assert "SortMergeJoin" not in plan.split("FlatMapGroupsInPandas")[0]
+
+
+def test_skew_counts_two_stage_partials(spark):
+    plan = _plan(spark, "ts_skew_counts")
+    assert plan.count("HashAggregate") >= 3, plan[:1500]  # partial+final × 2 stages
