@@ -15,6 +15,7 @@ code, SURVEY §3.1):
     add_pvfile FILE   → parse a PV-list file, print counts (pvarch add_pvfile)
     next              → rotate the runs dimension          (pvarch next / set_runinfo)
     check             → ≥1-point liveness watchdog         (pvarch check, doc/setup.rst:40-42)
+    health            → per-PV uptime/drift/outlier report (engine-only roll-up of status+check)
     save_position     → save named instrument position     (WebInstruments save)
     restore_position  → member values as of a position     (WebInstruments restore)
 
