@@ -993,6 +993,60 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, HEARTBEAT
     )
     q["ts_drift"] = lambda s, d: timeseries.drift(_points(s, d), T0, T1)
+    def _emb_ivfpq_index(s, d):
+        """IVF-PQ through the PRODUCTION artifact: build the (id, cell,
+        codes) index with the Arrow GEMM encode lane, persist it as
+        parquet, read it back, and answer the query from the index alone
+        — the deployment shape where the scan ranks 9-byte rows, never
+        float vectors. Oracle identical to emb_ivfpq_topk (the gemm lane
+        is equality-tested against the certified expression lane on this
+        corpus)."""
+        import tempfile
+
+        from epicsarchiver_spark.operators.similarity import (
+            _hyperplanes,
+            _nearest_cell_udf,
+            _pq_codes_wide,
+            as_double,
+        )
+
+        vecs = load_table(s, d, "embeddings")
+        cents = _hyperplanes(64, 8, 42)
+        cells = (
+            vecs.select("vec_id", as_double(F.col("embedding")).alias("v"))
+            .withColumn("cell", _nearest_cell_udf(cents)(F.col("v")))
+            .select("vec_id", "cell")
+        )
+        index = cells.join(_pq_codes_wide(vecs, gemm=True), "vec_id")
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_ivfpq_")
+        index.write.mode("overwrite").parquet(f"{tmp}/index")
+        idx = s.read.parquet(f"{tmp}/index")
+        return similarity.ivfpq_topk(
+            vecs, _query_vec(s, d), k=10, n_cells=8, n_probe=4, index=idx
+        ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+
+    q["emb_ivfpq_index"] = _emb_ivfpq_index
+
+    # per-series archive-compression efficiency: what fraction of raw
+    # events the W2 deadband keeps — the dial an operator reads before
+    # tuning per-PV deadbands
+    def _ts_compression_report(s, d):
+        pts = _points(s, d)
+        raw = pts.groupBy("pvname").agg(F.count(F.lit(1)).alias("n_raw"))
+        k = (
+            deadband.deadband_lag(pts, DEADTIME, DEADBAND)
+            .groupBy("pvname")
+            .agg(F.count(F.lit(1)).alias("n_kept"))
+        )
+        return raw.join(k, "pvname").select(
+            "pvname",
+            "n_raw",
+            "n_kept",
+            F.round(F.col("n_kept") / F.col("n_raw"), 6).alias("keep_ratio"),
+        )
+
+    q["ts_compression_report"] = _ts_compression_report
+
     q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
         load_table(s, d, "documents"), min_count=HH_MIN_COUNT
     )
@@ -1122,6 +1176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_heavy_hitters",
         "ev_transitions",
         "rel_promo_share",
+        "emb_ivfpq_index",
+        "ts_compression_report",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3312,6 +3368,31 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY {_adc}, vec_id
         LIMIT 10
     """
+
+    # the persisted-index path answers the SAME question as the inline
+    # build — one oracle serves both
+    o["emb_ivfpq_index"] = o["emb_ivfpq_topk"]
+
+    o["ts_compression_report"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        ),
+        k AS (
+          SELECT pvname, count(*) AS n_kept FROM lagged
+          WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+          GROUP BY pvname
+        ),
+        r AS (SELECT pvname, count(*) AS n_raw FROM points GROUP BY pvname)
+        SELECT pvname, n_raw, n_kept,
+               round(CAST(n_kept AS DOUBLE) / n_raw, 6) AS keep_ratio
+        FROM r JOIN k USING (pvname)
+        """
+    )
 
     # monotone-ramp detection: gaps-and-islands over integer-cent step
     # signs — run boundaries, counts, and deltas all integer-exact

@@ -108,6 +108,7 @@ HEADLINE = [
     "doc_heavy_hitters",
     "ev_transitions",
     "rel_promo_share",
+    "ts_compression_report",
 ]
 
 
