@@ -81,6 +81,8 @@ RAMP_MIN_STEPS = 3  # monotone-ramp detection: min consecutive same-sign steps
 BLOCKWORDS = ["error", "slow", "big"]  # C4-style blocklist (corpus vocab picks)
 BLOCK_MAX_RATIO = 0.02  # keep docs at/below this blocklist hit fraction
 HH_MIN_COUNT = 800  # heavy-hitter threshold (exact; CMS only prefilters)
+SHIFT_WINDOW = 5  # level-shift detection: samples per side
+SHIFT_THRESHOLD = 50.0  # level-shift detection: min |mean_after − mean_before|
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1046,6 +1048,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ts_compression_report"] = _ts_compression_report
+    q["ts_level_shifts"] = lambda s, d: timeseries.level_shifts(
+        _points(s, d), window=SHIFT_WINDOW, threshold=SHIFT_THRESHOLD
+    )
 
     q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
         load_table(s, d, "documents"), min_count=HH_MIN_COUNT
@@ -1178,6 +1183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_promo_share",
         "emb_ivfpq_index",
         "ts_compression_report",
+        "ts_level_shifts",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3391,6 +3397,36 @@ def oracle_sql() -> dict[str, str]:
         SELECT pvname, n_raw, n_kept,
                round(CAST(n_kept AS DOUBLE) / n_raw, 6) AS keep_ratio
         FROM r JOIN k USING (pvname)
+        """
+    )
+
+    # level-shift detection: exact integer-cent frame sums; the mean is
+    # cast→×0.01→/w, the same explicit double chain as the engine
+    _ms = f"CAST(sb AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+    _ma = f"CAST(sa AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+    o["ts_level_shifts"] = (
+        P
+        + f""",
+        framed AS (
+          SELECT pvname, time, value,
+                 count(*) OVER wb AS nb, sum(q) OVER wb AS sb,
+                 count(*) OVER wa AS na, sum(q) OVER wa AS sa
+          FROM (
+            SELECT pvname, time, event_id, value,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points
+          )
+          WINDOW wb AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING),
+                 wa AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN CURRENT ROW AND {SHIFT_WINDOW - 1} FOLLOWING)
+        )
+        SELECT pvname, time, value,
+               {_ms} AS mean_before, {_ma} AS mean_after,
+               {_ma} - {_ms} AS shift
+        FROM framed
+        WHERE nb = {SHIFT_WINDOW} AND na = {SHIFT_WINDOW}
+          AND abs({_ma} - {_ms}) > {SHIFT_THRESHOLD}
         """
     )
 

@@ -109,6 +109,7 @@ HEADLINE = [
     "ev_transitions",
     "rel_promo_share",
     "ts_compression_report",
+    "ts_level_shifts",
 ]
 
 

@@ -326,6 +326,56 @@ def time_weighted_avg(
     )
 
 
+def level_shifts(
+    points: DataFrame,
+    window: int = 5,
+    threshold: float = 50.0,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Change-point (level-shift) detection: flag instants where the
+    mean of the next ``window`` samples differs from the mean of the
+    previous ``window`` by more than ``threshold`` — setpoint changes,
+    valve closures, beam-mode switches; the step events a deadband keeps
+    but nothing annotates. Returns ``(key, time, value, mean_before,
+    mean_after, shift)`` for flagged rows (each side must have the full
+    ``window`` samples — edges are silent, not spuriously flagged).
+
+    One series-keyed sort window serving four frame aggregates
+    (count/sum × before/after). Sums are integer ``quantum`` units —
+    exact and engine-identical — and each mean divides an exact integer
+    by the window constant, so the flag comparison can't waver in the
+    last ulp. Shuffle = one exchange per series; output only flagged
+    rows."""
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    before = w.rowsBetween(-window, -1)
+    after = w.rowsBetween(0, window - 1)
+    q = F.round(F.col("value") / quantum).cast("long")
+    framed = points.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.count(F.lit(1)).over(before).alias("_nb"),
+        F.sum(q).over(before).alias("_sb"),
+        F.count(F.lit(1)).over(after).alias("_na"),
+        F.sum(q).over(after).alias("_sa"),
+    )
+    # cast→×quantum→/window as three explicit double ops (NOT a python
+    # `window/quantum` divisor, whose own rounding differs from the SQL
+    # oracle's literal chain — the ts_ramps lesson)
+    mb = F.col("_sb").cast("double") * F.lit(quantum) / F.lit(float(window))
+    ma = F.col("_sa").cast("double") * F.lit(quantum) / F.lit(float(window))
+    return (
+        framed.filter((F.col("_nb") == window) & (F.col("_na") == window))
+        .withColumn("mean_before", mb)
+        .withColumn("mean_after", ma)
+        .withColumn("shift", F.col("mean_after") - F.col("mean_before"))
+        .filter(F.abs(F.col("shift")) > threshold)
+        .select(key, "time", "value", "mean_before", "mean_after", "shift")
+    )
+
+
 def drift(
     points: DataFrame,
     t0: float,

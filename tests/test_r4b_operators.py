@@ -605,3 +605,22 @@ def test_promo_share_math(spark):
     )
     r = relational.promo_revenue_share(li, part).head()
     assert (r.promo_revenue, r.total_revenue, r.promo_pct) == (100.0, 400.0, 25.0)
+
+
+def test_level_shifts_flags_step_not_noise(spark):
+    rows = []
+    # step series: 10 samples at 0, then 10 at 100 — the boundary rows flag
+    for t in range(10):
+        rows.append(("step", float(t), 0.0))
+    for t in range(10, 20):
+        rows.append(("step", float(t), 100.0))
+    # zig-zag noise of amplitude 1: window means never differ by > 50
+    rows += [("noise", float(t), float(t % 2)) for t in range(20)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.level_shifts(df, window=5, threshold=50.0).collect()
+    assert all(r.pvname == "step" for r in out) and len(out) >= 1
+    # the cleanest cut: before-mean 0, after-mean 100 at t=10
+    best = {r.time: (r.mean_before, r.mean_after, r.shift) for r in out}
+    assert best[10.0] == (0.0, 100.0, 100.0)
+    # edges are silent (not enough samples on a side)
+    assert all(5 <= r.time <= 14 for r in out)
