@@ -587,8 +587,12 @@ def ivfpq_topk(
         cells = base.withColumn("cell", _nearest_cell_udf(cents)(F.col("v"))).select(
             id_col, "cell"
         )
+        # inline index build rides the Arrow GEMM encode lane (argmin
+        # codes equality-tested against the certified expression lane;
+        # a tie flip needs an exact centroid-distance tie — measure-zero)
         codes = _pq_codes_wide(
-            vectors, n_subspaces, n_centroids, dim, seed, id_col, vec_col, cb
+            vectors, n_subspaces, n_centroids, dim, seed, id_col, vec_col, cb,
+            gemm=True,
         )
         index = cells.join(codes, id_col)
     adc = None
