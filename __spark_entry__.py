@@ -83,6 +83,7 @@ BLOCK_MAX_RATIO = 0.02  # keep docs at/below this blocklist hit fraction
 HH_MIN_COUNT = 800  # heavy-hitter threshold (exact; CMS only prefilters)
 SHIFT_WINDOW = 5  # level-shift detection: samples per side
 SHIFT_THRESHOLD = 50.0  # level-shift detection: min |mean_after − mean_before|
+WINNOW_MIN_SHARED = 2  # winnowing: min shared fingerprints per reported pair
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1051,6 +1052,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_level_shifts"] = lambda s, d: timeseries.level_shifts(
         _points(s, d), window=SHIFT_WINDOW, threshold=SHIFT_THRESHOLD
     )
+    q["doc_winnow_pairs"] = lambda s, d: dedup.winnow_matches(
+        load_table(s, d, "documents"), min_shared=WINNOW_MIN_SHARED
+    )
+    q["rel_large_orders"] = lambda s, d: relational.large_orders(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+    )
+    q["ev_top_paths"] = lambda s, d: ev.top_paths(load_table(s, d, "events"))
 
     q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
         load_table(s, d, "documents"), min_count=HH_MIN_COUNT
@@ -1184,6 +1194,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_ivfpq_index",
         "ts_compression_report",
         "ts_level_shifts",
+        "doc_winnow_pairs",
+        "rel_large_orders",
+        "ev_top_paths",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -2904,6 +2917,39 @@ def oracle_sql() -> dict[str, str]:
         FROM k
     """
 
+    # winnowing (MOSS): k=5 positional fold (same two-lane md5 machinery),
+    # window-min selection, distinct fingerprint set, pair join
+    _WIN_K, _WIN_W = 5, 4
+    _win_lo = f"(th[i] & {LANE_MASK})"
+    _win_hi = "(th[i] >> 30)"
+    for _s in range(1, _WIN_K):
+        _win_lo = f"(({_win_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _win_hi = f"(({_win_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _WIN_PACK = f"({_win_lo}) + ({_win_hi}) * (1::BIGINT << 30)"
+    o["doc_winnow_pairs"] = f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_WIN_K - 1}, 0) + 1),
+                                i -> {_WIN_PACK}) AS wh
+          FROM th
+        ),
+        fps AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(wh) - {_WIN_W - 1}, 0) + 1),
+                   i -> list_aggregate(list_slice(wh, i, i + {_WIN_W - 1}), 'min'))) AS fps
+          FROM wh WHERE len(wh) >= {_WIN_W}
+        ),
+        e AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
     # shared prefix: the jaccard pair graph as symmetric edges + closure —
     # component(v) = min id reachable (recursive CTE = the oracle analog of
     # the engine's min-label propagation)
@@ -3399,6 +3445,37 @@ def oracle_sql() -> dict[str, str]:
         FROM r JOIN k USING (pvname)
         """
     )
+
+    # TPC-H Q18 shape: fact reduces first, quantities are integer-valued
+    # doubles so the sum is exact and order-independent
+    o["rel_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 300
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """
+
+    o["ev_top_paths"] = """
+        WITH seqs AS (
+          SELECT user_id, list(event_type ORDER BY epoch(ts), event_id) AS seq
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(seq) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(seq, i, i + 2), '>'))) AS path
+          FROM seqs
+        )
+        SELECT path, count(*) AS n_occurrences FROM g GROUP BY path
+        ORDER BY n_occurrences DESC, path LIMIT 10
+    """
 
     # level-shift detection: exact integer-cent frame sums; the mean is
     # cast→×0.01→/w, the same explicit double chain as the engine

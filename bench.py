@@ -110,6 +110,9 @@ HEADLINE = [
     "rel_promo_share",
     "ts_compression_report",
     "ts_level_shifts",
+    "doc_winnow_pairs",
+    "rel_large_orders",
+    "ev_top_paths",
 ]
 
 

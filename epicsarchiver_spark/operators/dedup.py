@@ -405,6 +405,80 @@ def jaccard_pairs_blocked(
     )
 
 
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken 2003 — the
+    MOSS algorithm): from each sliding window of ``w`` consecutive
+    k-gram hashes keep the window minimum, then the distinct selected
+    hashes form the document's fingerprint set. Guarantees every shared
+    substring of length ≥ k+w−1 yields at least one shared fingerprint,
+    at ~2/(w+1) the density of the full hash set — the classic
+    local-sampling dedup basis between "hash everything" (ExactSubstr)
+    and "one signature per doc" (MinHash). Returns ``(id, fp)`` rows.
+
+    Array-local per doc (two-lane md5 positional fold, O(n·w) BIGINT
+    mins, zero shuffle) on the SQL-portable basis, so the selection is
+    engine-reproducible. Layered projections keep the per-token md5
+    pipeline evaluated once (the ``window_fold`` contract)."""
+    from epicsarchiver_spark.functions.hashing import (
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        window_fold,
+    )
+    from epicsarchiver_spark.functions.text import tokens
+
+    th = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    )
+    lanes = th.select(
+        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
+    )
+    wh = lanes.select(F.col(id_col), window_fold(F.col("lo"), F.col("hi"), k).alias("wh"))
+    fps = wh.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("wh") - (w - 1), F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(F.col("wh"), i, w)),
+            )
+        ).alias("fps"),
+    ).filter(F.size("wh") >= w)
+    return fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+
+
+def winnow_matches(
+    docs: DataFrame,
+    min_shared: int = 2,
+    k: int = 5,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    MOSS-style similarity candidates with the substring-match guarantee.
+    Inverted-index equi-join on the fingerprint (ids + 8-byte hashes
+    shuffle, text never moves), count shared per pair map-side — the
+    same Σ df(fp)² cost model as the blocked Jaccard join."""
+    fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
+    a = fp.select(F.col(id_col).alias("id_a"), "fp")
+    b = fp.select(F.col(id_col).alias("id_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def _truncate_lineage(df: DataFrame) -> DataFrame:
     """Checkpoint a per-round frame so the logical plan does not embed
     every previous round (analysis cost doubles per round otherwise).

@@ -203,6 +203,53 @@ def transitions(
     )
 
 
+def top_paths(
+    events: DataFrame,
+    n: int = 3,
+    k: int = 10,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Most common length-``n`` event paths across user timelines
+    (view>click>purchase and friends) — the sequence-mining staple
+    behind funnel discovery. Returns the top ``k``
+    ``(path, n_occurrences)`` rows, ties broken by path for a
+    deterministic top-k.
+
+    One user-keyed aggregate collects each timeline as a SORTED struct
+    array (sort_array over (t, event_id, type) — deterministic, unlike
+    raw collect_list order); n-grams explode array-locally; the count
+    aggregate runs map-side partials and the top-k is
+    TakeOrderedAndProject. Nothing but (path, partial count) shuffles
+    after the one per-user exchange."""
+    e = events.select(
+        F.col(user_col),
+        F.struct(
+            _epoch_s(events, ts_col).alias("t"),
+            F.col("event_id"),
+            F.col(type_col).alias("typ"),
+        ).alias("s"),
+    )
+    seqs = e.groupBy(user_col).agg(
+        F.transform(F.sort_array(F.collect_list("s")), lambda x: x["typ"]).alias("seq")
+    )
+    grams = seqs.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("seq") - (n - 1), F.lit(0))),
+                lambda i: F.array_join(F.slice(F.col("seq"), i, n), ">"),
+            )
+        ).alias("path")
+    )
+    return (
+        grams.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("path"))
+        .limit(k)
+    )
+
+
 def rolling_dau(
     events: DataFrame,
     user_col: str = "user_id",

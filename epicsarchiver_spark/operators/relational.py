@@ -175,6 +175,41 @@ def disjunctive_revenue(
     )
 
 
+def large_orders(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    min_qty: float = 300.0,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q18-style: the largest orders by total line quantity. The
+    fact reduces FIRST (one order-keyed aggregate with map-side
+    partials, then the HAVING filter drops ~99% of orders before any
+    join); the surviving keys join orders on the order key and broadcast
+    customer; top-k is TakeOrderedAndProject with deterministic ties.
+    Quantities are integer-valued doubles, so the sum is exact and
+    order-independent."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") >= min_qty)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(k)
+    )
+
+
 def promo_revenue_share(
     lineitem: DataFrame,
     part: DataFrame,

@@ -624,3 +624,62 @@ def test_level_shifts_flags_step_not_noise(spark):
     assert best[10.0] == (0.0, 100.0, 100.0)
     # edges are silent (not enough samples on a side)
     assert all(5 <= r.time <= 14 for r in out)
+
+
+# --- winnowing / large orders / top paths ----------------------------------
+
+
+def test_winnow_guarantee_shared_substring_yields_shared_fp(spark):
+    from epicsarchiver_spark.operators import dedup as dd
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, "intro words here " + shared + " tail one"),
+            (2, "completely different lead " + shared + " other tail"),
+            (3, "nothing in common with those documents at all whatsoever"),
+        ],
+        "doc_id long, text string",
+    )
+    # guarantee: a shared run of >= k+w-1 = 8 tokens must surface >= 1
+    # shared fingerprint; the 10-token block gives several
+    pairs = {(r.id_a, r.id_b): r.n_shared for r in
+             dd.winnow_matches(docs, min_shared=1).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 1
+    assert all({a, b} != {1, 3} and {a, b} != {2, 3} for a, b in pairs)
+
+
+def test_winnow_density_below_full_hash_set(spark):
+    from epicsarchiver_spark.operators import dedup as dd
+    from epicsarchiver_spark.functions.text import tokens as _tk
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    n_fp = dd.winnow_fingerprints(docs).count()
+    n_tok = docs.select(F.explode(_tk(F.col("text")))).count()
+    assert 0 < n_fp < n_tok  # selected ≈ 2/(w+1) density, must be well below
+
+
+def test_large_orders_threshold_and_order(spark):
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    od = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+    cu = spark.read.parquet("/root/testdata/sf0.01/customer.parquet")
+    rows = relational.large_orders(li, od, cu, min_qty=300.0, k=20).collect()
+    assert 0 < len(rows) <= 20
+    qtys = [r.total_qty for r in rows]
+    assert qtys == sorted(qtys, reverse=True)
+    assert all(q >= 300.0 for q in qtys)
+
+
+def test_top_paths_counts_ordered_ngrams(spark):
+    from epicsarchiver_spark.operators import events as ev_ops
+    import datetime
+
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):
+        for i, t in enumerate(["view", "click", "purchase", "view"]):
+            rows.append((eid, datetime.datetime(2024, 1, 1, 0, u, i), u, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r.path: r.n_occurrences for r in ev_ops.top_paths(df, n=3, k=5).collect()}
+    assert out == {"view>click>purchase": 3, "click>purchase>view": 3}
