@@ -302,6 +302,12 @@ def gopher_rules(
     ell_n = (
         F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("..."), F.lit("")))
     ) / F.lit(3)
+    # every per-word ratio is guarded for the zero-token doc (ANSI mode
+    # turns x/0 into a stage-killing error, not ±inf — one empty doc
+    # must not fail a 100 TB scan); ratios are NULL there and the keep
+    # verdict is already false via the word-count floor (false AND null
+    # = false)
+    _nz = F.when(F.size("_toks") > 0, F.size("_toks"))
     stats = toks.select(
         F.col(id_col),
         F.size("_toks").cast("long").alias("n_words"),
@@ -309,15 +315,15 @@ def gopher_rules(
             F.aggregate(
                 "_toks", F.lit(0).cast("long"), lambda a, x: a + F.length(x)
             ).cast("double")
-            / F.size("_toks"),
+            / _nz,
             6,
         ).alias("mean_word_len"),
         F.round(
             F.size(F.filter("_toks", lambda x: x.rlike("[A-Za-z]"))).cast("double")
-            / F.size("_toks"),
+            / _nz,
             6,
         ).alias("alpha_frac"),
-        F.round((hash_n + ell_n).cast("double") / F.size("_toks"), 6).alias(
+        F.round((hash_n + ell_n).cast("double") / _nz, 6).alias(
             "symbol_ratio"
         ),
         F.size(

@@ -683,3 +683,38 @@ def test_top_paths_counts_ordered_ngrams(spark):
     df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
     out = {r.path: r.n_occurrences for r in ev_ops.top_paths(df, n=3, k=5).collect()}
     assert out == {"view>click>purchase": 3, "click>purchase>view": 3}
+
+
+# --- degenerate-input sweep -------------------------------------------------
+
+
+def test_text_ops_survive_degenerate_docs(spark):
+    """Empty text, whitespace-only, and single-token docs must flow
+    through every text operator without raising (the ADVICE-r3 class of
+    bug: degenerate rows diverging or killing a stage)."""
+    from epicsarchiver_spark.operators import dedup as dd
+    from epicsarchiver_spark.operators import text_ops
+
+    docs = spark.createDataFrame(
+        [(1, "", "en", "web", 0), (2, "   ", "en", "web", 3),
+         (3, "solo", "de", "web", 4), (4, "two words", "en", "code", 9)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    results = {
+        "stats": text_ops.text_stats(docs).collect(),
+        "quality": text_ops.quality_scores(docs).collect(),
+        "gopher": text_ops.gopher_rules(docs).collect(),
+        "segments": text_ops.dedup_segments(docs).collect(),
+        "paragraphs": text_ops.dedup_paragraphs_corpus(docs).collect(),
+        "blocklist": text_ops.blocklist_stats(docs, ["solo"]).collect(),
+        "hh": text_ops.heavy_hitters(docs, 1, width=16, depth=2).collect(),
+        "winnow": dd.winnow_matches(docs, min_shared=1).collect(),
+        "substr": dd.dedup_substrings(docs, window=2).collect(),
+        "minhash": dd.minhash_near_duplicates(docs, shingle_k=2).collect(),
+        "trim": text_ops.length_percentile_trim(docs, lo=0.0, hi=1.0).collect(),
+    }
+    # every per-doc operator keeps all four rows (incl. the empty doc)
+    for name in ("stats", "quality", "segments", "paragraphs", "blocklist", "substr"):
+        assert len(results[name]) == 4, name
+    assert len(results["trim"]) == 4
+    assert results["winnow"] == []  # nothing long enough to fingerprint
