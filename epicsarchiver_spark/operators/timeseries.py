@@ -533,45 +533,86 @@ def ramps(
     )
 
 
-def _correlation_gemm(grid: DataFrame, min_abs_r: float) -> DataFrame:
+def _correlation_gemm(
+    grid: DataFrame, min_abs_r: float, n_subsplits: int = 8
+) -> DataFrame:
     """Per-block masked-GEMM Pearson moments over the quantized grid
-    ``(key, blk, t, q)`` — see ``series_correlation``. One
-    ``applyInPandas`` per block; emits the same exact (pv_a, pv_b, n, r)
-    rows as the relational lane."""
+    ``(key, blk, t, q)`` — see ``series_correlation``. Emits the same
+    exact (pv_a, pv_b, n, r) rows as the relational lane.
+
+    Two scale guards, both found by tools/scale_probe.py at ×10 data:
+    - row-chunked GEMM inside the kernel — the naive full N×N moment
+      matrices are O(block²) floats (tens of GB at 75k series/block,
+      executor OOM); chunking caps peak memory at ~6·chunk·N doubles
+      while every multiply stays a BLAS call;
+    - ``n_subsplits`` Spark groups per block, each owning the a-side
+      rows with sorted-index ≡ s (mod n_subsplits) against the full
+      block — the PAIR OUTPUT of a dense block can exceed one Arrow
+      batch's direct-memory budget (measured: a 1.2 GB single-group
+      batch vs the 1 GB cap), so it must leave through many groups.
+      Total compute and results are identical; only the grid (tiny)
+      duplicates per split."""
     import numpy as np
     import pandas as pd
 
+    C = max(1, n_subsplits)
+
     def block_corr(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = int(pdf["_sub"].iloc[0])
         names, r_idx = np.unique(pdf["pvname"].to_numpy(), return_inverse=True)
         ts, c_idx = np.unique(pdf["t"].to_numpy(), return_inverse=True)
-        Q = np.zeros((len(names), len(ts)), dtype=np.float64)
+        N = len(names)
+        Q = np.zeros((N, len(ts)), dtype=np.float64)
         M = np.zeros_like(Q)
         Q[r_idx, c_idx] = pdf["q"].to_numpy(dtype=np.float64)
         M[r_idx, c_idx] = 1.0
-        n = M @ M.T
-        sx = Q @ M.T  # Σ q_a over instants where BOTH present (Q is 0 off-mask)
-        sxy = Q @ Q.T
-        sxx = (Q * Q) @ M.T
-        varx = n * sxx - sx * sx
-        vary = varx.T  # n,sxy symmetric; sy_ab = sx_ba, syy_ab = sxx_ba
-        cov = n * sxy - sx * sx.T
-        iu = np.triu_indices(len(names), k=1)
-        ok = (varx[iu] > 0) & (vary[iu] > 0)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            r = cov[iu] / (np.sqrt(varx[iu]) * np.sqrt(vary[iu]))
-        keep = ok & (np.abs(r) >= min_abs_r)
+        QQ = Q * Q
+        own = np.arange(N)[np.arange(N) % C == sub]
+        # ~1M doubles per moment matrix (×~8 live) ≈ 64 MB peak per task
+        # — sized for a full 32-task executor, not one kernel in isolation
+        chunk = max(16, 1_000_000 // max(N, 1))
+        out_a, out_b, out_n, out_r = [], [], [], []
+        for c0 in range(0, len(own), chunk):
+            ids = own[c0 : c0 + chunk]
+            Qa, Ma, QQa = Q[ids], M[ids], QQ[ids]
+            n = Ma @ M.T
+            sx = Qa @ M.T  # Σ q_a over instants where BOTH present
+            sy = Ma @ Q.T
+            sxy = Qa @ Q.T
+            sxx = QQa @ M.T
+            syy = Ma @ QQ.T
+            varx = n * sxx - sx * sx
+            vary = n * syy - sy * sy
+            cov = n * sxy - sx * sy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = cov / (np.sqrt(varx) * np.sqrt(vary))
+            # strictly-upper pairs (global col > own row), both sides
+            # non-constant, |r| over threshold
+            cols = np.arange(N)[None, :]
+            keep = (
+                (cols > ids[:, None])
+                & (varx > 0)
+                & (vary > 0)
+                & (np.abs(r) >= min_abs_r)
+            )
+            ka, kb = np.nonzero(keep)
+            out_a.append(names[ids[ka]])
+            out_b.append(names[kb])
+            out_n.append(n[ka, kb].astype(np.int64))
+            out_r.append(r[ka, kb])
         return pd.DataFrame(
             {
-                "pv_a": names[iu[0][keep]],
-                "pv_b": names[iu[1][keep]],
-                "n": n[iu][keep].astype(np.int64),
-                "r": r[keep],
+                "pv_a": np.concatenate(out_a) if out_a else np.array([], dtype=object),
+                "pv_b": np.concatenate(out_b) if out_b else np.array([], dtype=object),
+                "n": np.concatenate(out_n) if out_n else np.array([], dtype=np.int64),
+                "r": np.concatenate(out_r) if out_r else np.array([], dtype=np.float64),
             }
         )
 
     return (
         grid.withColumnRenamed(grid.columns[0], "pvname")
-        .groupBy("blk")
+        .withColumn("_sub", F.explode(F.array(*[F.lit(i) for i in range(C)])))
+        .groupBy("blk", "_sub")
         .applyInPandas(block_corr, "pv_a string, pv_b string, n long, r double")
     )
 

@@ -48,5 +48,17 @@ def get_spark(app_name: str = "epicsarchiver-spark", shuffle_partitions: int | N
         .config("spark.ui.showConsoleProgress", "false")
     )
     if not os.environ.get("SPARK_GRAFT_ON_CLUSTER"):
-        builder = builder.master(f"local[{cores}]").config("spark.ui.enabled", "false")
+        # local mode = one JVM doing driver + executor work: the 1g/1g
+        # heap/direct defaults cap any Arrow-heavy plan (a grouped-map
+        # whose output exceeds ~1 GB of concurrent batches dies in
+        # netty's direct arena — found by tools/scale_probe.py at ×10
+        # data). Cluster deployments size executors explicitly instead.
+        builder = (
+            builder.master(f"local[{cores}]")
+            .config("spark.ui.enabled", "false")
+            .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+            .config(
+                "spark.driver.extraJavaOptions", "-XX:MaxDirectMemorySize=8g"
+            )
+        )
     return builder.getOrCreate()
