@@ -1052,6 +1052,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_level_shifts"] = lambda s, d: timeseries.level_shifts(
         _points(s, d), window=SHIFT_WINDOW, threshold=SHIFT_THRESHOLD
     )
+    # output-bounded related-PV discovery: top-k partners per series
+    q["ts_related_corr"] = lambda s, d: timeseries.correlated_partners(
+        _points(s, d), T0, T1, GRID_STEP, k=3
+    ).select("pv", "partner", "n", F.round("r", 6).alias("r"))
     q["doc_winnow_pairs"] = lambda s, d: dedup.winnow_matches(
         load_table(s, d, "documents"), min_shared=WINNOW_MIN_SHARED
     )
@@ -1197,6 +1201,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_winnow_pairs",
         "rel_large_orders",
         "ev_top_paths",
+        "ts_related_corr",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3335,6 +3340,46 @@ def oracle_sql() -> dict[str, str]:
         FROM s
         WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
           AND abs({_corr_r}) >= {CORR_MIN_R}
+        """
+    )
+
+    # top-k correlated partners: BOTH-direction pair moments + a ranked
+    # window; ties on |r| break by partner name, mirroring the kernel's
+    # lexsort
+    o["ts_related_corr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv, b.pvname AS partner, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname <> b.pvname
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT pv, partner, n, {_corr_r} AS r
+          FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        ),
+        rk AS (
+          SELECT pv, partner, n, r,
+                 row_number() OVER (PARTITION BY pv ORDER BY abs(r) DESC, partner) AS rn
+          FROM v
+        )
+        SELECT pv, partner, n, round(r, 6) AS r FROM rk WHERE rn <= 3
         """
     )
 

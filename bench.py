@@ -113,6 +113,7 @@ HEADLINE = [
     "doc_winnow_pairs",
     "rel_large_orders",
     "ev_top_paths",
+    "ts_related_corr",
 ]
 
 

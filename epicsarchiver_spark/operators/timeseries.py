@@ -617,6 +617,105 @@ def _correlation_gemm(
     )
 
 
+def correlated_partners(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    k: int = 3,
+    block_expr=None,
+    key: str = "pvname",
+    quantum: float = 0.01,
+    n_subsplits: int = 8,
+) -> DataFrame:
+    """Per-series TOP-K most-correlated partners — the related-PV page's
+    actual shape (each PV shows its k best companions), and the output-
+    bounded form of ``series_correlation``: N·k rows however dense the
+    correlation structure (an all-pairs-over-threshold report on a
+    correlation-dense archive is inherently quadratic — measured 108M
+    rows at the ×10 probe). Returns ``(pv, partner, n, r)``; selection
+    orders by (\\|r\\| desc, partner) for deterministic ties; constant
+    partners (zero variance on the common grid) never rank.
+
+    Same blocked masked-GEMM kernel as ``series_correlation`` (exact
+    integer moments, row-chunked, sub-split) — each owned row ranks
+    against ALL block columns, so a series' top-k is exact within its
+    block."""
+    if block_expr is None:
+        block_expr = F.substring_index(F.col(key), ":", -1)
+    grid = (
+        locf_grid(points, t0, t1, step, key=key)
+        .select(key, "t", "value")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col(key),
+            block_expr.alias("blk"),
+            "t",
+            F.round(F.col("value") / quantum).cast("long").alias("q"),
+        )
+    )
+    import numpy as np
+    import pandas as pd
+
+    C = max(1, n_subsplits)
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = int(pdf["_sub"].iloc[0])
+        names, r_idx = np.unique(pdf["pvname"].to_numpy(), return_inverse=True)
+        ts, c_idx = np.unique(pdf["t"].to_numpy(), return_inverse=True)
+        N = len(names)
+        Q = np.zeros((N, len(ts)), dtype=np.float64)
+        M = np.zeros_like(Q)
+        Q[r_idx, c_idx] = pdf["q"].to_numpy(dtype=np.float64)
+        M[r_idx, c_idx] = 1.0
+        QQ = Q * Q
+        own = np.arange(N)[np.arange(N) % C == sub]
+        chunk = max(16, 1_000_000 // max(N, 1))
+        out_a, out_b, out_n, out_r = [], [], [], []
+        for c0 in range(0, len(own), chunk):
+            ids = own[c0 : c0 + chunk]
+            Qa, Ma, QQa = Q[ids], M[ids], QQ[ids]
+            n = Ma @ M.T
+            sx = Qa @ M.T
+            sy = Ma @ Q.T
+            sxy = Qa @ Q.T
+            sxx = QQa @ M.T
+            syy = Ma @ QQ.T
+            varx = n * sxx - sx * sx
+            vary = n * syy - sy * sy
+            cov = n * sxy - sx * sy
+            with np.errstate(invalid="ignore", divide="ignore"):
+                r = cov / (np.sqrt(varx) * np.sqrt(vary))
+            valid = (varx > 0) & (vary > 0)
+            valid[np.arange(len(ids)), ids] = False  # never pair with self
+            absr = np.where(valid, np.abs(r), -1.0)
+            for li in range(len(ids)):
+                nv = int(valid[li].sum())
+                if nv == 0:
+                    continue
+                kk = min(k, nv)
+                # ties on |r| break by partner name: lexsort, names minor
+                order = np.lexsort((names, -absr[li]))[:kk]
+                out_a.append(np.repeat(names[ids[li]], kk))
+                out_b.append(names[order])
+                out_n.append(n[li, order].astype(np.int64))
+                out_r.append(r[li, order])
+        return pd.DataFrame(
+            {
+                "pv": np.concatenate(out_a) if out_a else np.array([], dtype=object),
+                "partner": np.concatenate(out_b) if out_b else np.array([], dtype=object),
+                "n": np.concatenate(out_n) if out_n else np.array([], dtype=np.int64),
+                "r": np.concatenate(out_r) if out_r else np.array([], dtype=np.float64),
+            }
+        )
+
+    return (
+        grid.withColumn("_sub", F.explode(F.array(*[F.lit(i) for i in range(C)])))
+        .groupBy("blk", "_sub")
+        .applyInPandas(block_topk, "pv string, partner string, n long, r double")
+    )
+
+
 def series_correlation(
     points: DataFrame,
     t0: float,

@@ -718,3 +718,25 @@ def test_text_ops_survive_degenerate_docs(spark):
         assert len(results[name]) == 4, name
     assert len(results["trim"]) == 4
     assert results["winnow"] == []  # nothing long enough to fingerprint
+
+
+def test_correlated_partners_topk_bounded_and_ranked(spark):
+    rows = []
+    for t in range(12):
+        v = float(t)
+        rows += [
+            (f"A:{i}:g", 100.0 + t * 10, 1.0 + v * m)
+            for i, m in enumerate([1.0, 2.0, -1.0, 0.5])
+        ]
+        rows.append(("A:4:g", 100.0 + t * 10, 7.0))  # constant: never ranks
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {}
+    for r in timeseries.correlated_partners(df, 100.0, 210.0, 10.0, k=2).collect():
+        out.setdefault(r.pv, []).append((r.partner, r.r))
+    # every non-constant series gets exactly k partners, all |r| = 1
+    assert set(out) == {f"A:{i}:g" for i in range(4)}
+    assert all(len(v) == 2 for v in out.values())
+    assert all(abs(abs(x) - 1.0) < 1e-12 for v in out.values() for _, x in v)
+    # all-tied |r| = 1 → deterministic name order: A:0's partners are A:1, A:2
+    assert [p for p, _ in out["A:0:g"]] == ["A:1:g", "A:2:g"]
+    assert all(p != "A:4:g" for v in out.values() for p, _ in v)
