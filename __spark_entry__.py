@@ -84,6 +84,7 @@ HH_MIN_COUNT = 800  # heavy-hitter threshold (exact; CMS only prefilters)
 SHIFT_WINDOW = 5  # level-shift detection: samples per side
 SHIFT_THRESHOLD = 50.0  # level-shift detection: min |mean_after − mean_before|
 WINNOW_MIN_SHARED = 2  # winnowing: min shared fingerprints per reported pair
+WINNOW_MAX_DF = 20  # winnowing: ignore fingerprints in more docs (boilerplate)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1057,7 +1058,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, GRID_STEP, k=3
     ).select("pv", "partner", "n", F.round("r", 6).alias("r"))
     q["doc_winnow_pairs"] = lambda s, d: dedup.winnow_matches(
-        load_table(s, d, "documents"), min_shared=WINNOW_MIN_SHARED
+        load_table(s, d, "documents"),
+        min_shared=WINNOW_MIN_SHARED,
+        max_df=WINNOW_MAX_DF,
     )
     q["rel_large_orders"] = lambda s, d: relational.large_orders(
         load_table(s, d, "lineitem"),
@@ -2949,7 +2952,11 @@ def oracle_sql() -> dict[str, str]:
                    i -> list_aggregate(list_slice(wh, i, i + {_WIN_W - 1}), 'min'))) AS fps
           FROM wh WHERE len(wh) >= {_WIN_W}
         ),
-        e AS (SELECT doc_id, unnest(fps) AS fp FROM fps)
+        e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        rare AS (
+          SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+        ),
+        e AS (SELECT doc_id, fp FROM e0 WHERE fp IN (SELECT fp FROM rare))
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
         FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}

@@ -433,6 +433,8 @@ def winnow_fingerprints(
     )
     from epicsarchiver_spark.functions.text import tokens
 
+    from pyspark.sql import Window
+
     th = docs.select(
         F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
     )
@@ -440,18 +442,22 @@ def winnow_fingerprints(
         F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
     )
     wh = lanes.select(F.col(id_col), window_fold(F.col("lo"), F.col("hi"), k).alias("wh"))
-    fps = wh.select(
+    # window-min selection runs over EXPLODED positions with a sliding
+    # frame, NOT as transform(sequence, i -> array_min(slice(wh, i, w))):
+    # the nested higher-order form re-evaluates the whole k-gram fold per
+    # position (CollapseProject inlines it into the lambda) — measured
+    # 310 s for 5 000 docs vs ~2 s for this shape. One doc-keyed window
+    # exchange; identical selected set.
+    pos = wh.select(F.col(id_col), F.posexplode("wh").alias("_p", "_h"))
+    wnd = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
+    full = Window.partitionBy(id_col)
+    sel = pos.select(
         F.col(id_col),
-        F.array_distinct(
-            F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("wh") - (w - 1), F.lit(0))
-                ),
-                lambda i: F.array_min(F.slice(F.col("wh"), i, w)),
-            )
-        ).alias("fps"),
-    ).filter(F.size("wh") >= w)
-    return fps.select(F.col(id_col), F.explode("fps").alias("fp"))
+        F.col("_p"),
+        F.min("_h").over(wnd).alias("fp"),
+        F.count(F.lit(1)).over(full).alias("_n"),
+    ).filter(F.col("_p") <= F.col("_n") - w)
+    return sel.select(id_col, "fp").distinct()
 
 
 def winnow_matches(
@@ -461,13 +467,35 @@ def winnow_matches(
     w: int = 4,
     text: str = "text",
     id_col: str = "doc_id",
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     MOSS-style similarity candidates with the substring-match guarantee.
     Inverted-index equi-join on the fingerprint (ids + 8-byte hashes
     shuffle, text never moves), count shared per pair map-side — the
-    same Σ df(fp)² cost model as the blocked Jaccard join."""
+    same Σ df(fp)² cost model as the blocked Jaccard join.
+
+    ``max_df`` drops fingerprints present in more than that many docs
+    BEFORE the join — exactly what MOSS does with boilerplate (a
+    fingerprint shared by thousands of documents identifies nothing and
+    costs df² join rows; a repetitive corpus measured 600 s without the
+    cap, 2 s with it). The substring guarantee then applies to material
+    shared by ≤ max_df documents — the matches one actually wants."""
     fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
+    # the fingerprint subplan (md5 fold + window-min) feeds the df cap
+    # and BOTH join sides — persist lazily so it computes once (same
+    # discipline as the MinHash/SimHash signature subplans)
+    from pyspark import StorageLevel
+
+    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    if max_df is not None:
+        common = (
+            fp.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > max_df)
+            .select("fp")
+        )
+        fp = fp.join(common, "fp", "left_anti")
     a = fp.select(F.col(id_col).alias("id_a"), "fp")
     b = fp.select(F.col(id_col).alias("id_b"), "fp")
     return (
