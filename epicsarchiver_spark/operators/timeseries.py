@@ -568,9 +568,11 @@ def _correlation_gemm(
         M[r_idx, c_idx] = 1.0
         QQ = Q * Q
         own = np.arange(N)[np.arange(N) % C == sub]
-        # ~1M doubles per moment matrix (×~8 live) ≈ 64 MB peak per task
-        # — sized for a full 32-task executor, not one kernel in isolation
-        chunk = max(16, 1_000_000 // max(N, 1))
+        # ~4M doubles per moment matrix (×~8 live) ≈ 250 MB peak per
+        # task — sized for a full 32-task executor; smaller chunks make
+        # the BLAS calls launch-bound (measured at the ×30 probe: 22-row
+        # chunks at 45k series spent the time in loop overhead)
+        chunk = max(16, 4_000_000 // max(N, 1))
         out_a, out_b, out_n, out_r = [], [], [], []
         for c0 in range(0, len(own), chunk):
             ids = own[c0 : c0 + chunk]
@@ -689,17 +691,35 @@ def correlated_partners(
             valid = (varx > 0) & (vary > 0)
             valid[np.arange(len(ids)), ids] = False  # never pair with self
             absr = np.where(valid, np.abs(r), -1.0)
+            nvalid = valid.sum(axis=1)
+            # top-k selection must be O(N) per row, not a sort: a full
+            # argsort was the ×30 probe's wall (225k rows × 45k·log n
+            # comparisons ≈ 200 s). argpartition finds the k-th |r|
+            # boundary; every column at-or-above it (ALL boundary ties
+            # included) gets a tiny (|r| desc, name asc) lexsort — the
+            # deterministic order the oracle's ranked window uses.
+            if absr.shape[1] > 4 * k:
+                kth = min(k, absr.shape[1]) - 1
+                part = np.argpartition(-absr, kth=kth, axis=1)[:, : kth + 1]
+                bvals = np.take_along_axis(absr, part, axis=1).min(axis=1)
+            else:
+                bvals = None
             for li in range(len(ids)):
-                nv = int(valid[li].sum())
-                if nv == 0:
+                kk = min(k, int(nvalid[li]))
+                if kk == 0:
                     continue
-                kk = min(k, nv)
-                # ties on |r| break by partner name: lexsort, names minor
-                order = np.lexsort((names, -absr[li]))[:kk]
+                row = absr[li]
+                if bvals is not None:
+                    cand = np.nonzero(row >= bvals[li])[0]
+                    if len(cand) < kk:  # invalid (-1) leaked into the boundary
+                        cand = np.nonzero(row > -1.0)[0]
+                else:
+                    cand = np.nonzero(row > -1.0)[0]
+                sel = cand[np.lexsort((cand, -row[cand]))][:kk]
                 out_a.append(np.repeat(names[ids[li]], kk))
-                out_b.append(names[order])
-                out_n.append(n[li, order].astype(np.int64))
-                out_r.append(r[li, order])
+                out_b.append(names[sel])
+                out_n.append(n[li, sel].astype(np.int64))
+                out_r.append(r[li, sel])
         return pd.DataFrame(
             {
                 "pv": np.concatenate(out_a) if out_a else np.array([], dtype=object),
