@@ -1068,6 +1068,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "customer"),
     )
     q["ev_top_paths"] = lambda s, d: ev.top_paths(load_table(s, d, "events"))
+    q["rel_forecast_revenue"] = lambda s, d: relational.forecast_revenue(
+        load_table(s, d, "lineitem")
+    )
 
     q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
         load_table(s, d, "documents"), min_count=HH_MIN_COUNT
@@ -1205,6 +1208,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_large_orders",
         "ev_top_paths",
         "ts_related_corr",
+        "rel_forecast_revenue",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3512,6 +3516,16 @@ def oracle_sql() -> dict[str, str]:
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
         ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """
+
+    o["rel_forecast_revenue"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
+          AND l_quantity < 24
     """
 
     o["ev_top_paths"] = """

@@ -114,6 +114,7 @@ HEADLINE = [
     "rel_large_orders",
     "ev_top_paths",
     "ts_related_corr",
+    "rel_forecast_revenue",
 ]
 
 

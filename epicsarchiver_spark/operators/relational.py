@@ -175,6 +175,37 @@ def disjunctive_revenue(
     )
 
 
+def forecast_revenue(
+    lineitem: DataFrame,
+    d0: str = "1996-01-01",
+    d1: str = "1997-01-01",
+    disc_lo: float = 0.05,
+    disc_hi: float = 0.07,
+    max_qty: float = 24.0,
+) -> DataFrame:
+    """TPC-H Q6-style: revenue increase from discount elimination — the
+    canonical predicate-pushdown probe: a single-table scan whose THREE
+    range predicates must all reach the parquet reader (date, discount
+    band, quantity cap), then one agg with map-side partials. No join,
+    no shuffle beyond the final 1-row combine."""
+    tol = 1e-9  # the double discount column stores exact hundredths
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= d0)
+            & (F.col("l_shipdate") < d1)
+            & (F.col("l_discount") >= disc_lo - tol)
+            & (F.col("l_discount") <= disc_hi + tol)
+            & (F.col("l_quantity") < max_qty)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def large_orders(
     lineitem: DataFrame,
     orders: DataFrame,

@@ -346,3 +346,13 @@ def test_correlation_gemm_single_block_shuffle(spark):
 def test_skew_counts_two_stage_partials(spark):
     plan = _plan(spark, "ts_skew_counts")
     assert plan.count("HashAggregate") >= 3, plan[:1500]  # partial+final × 2 stages
+
+
+def test_forecast_revenue_pushes_all_three_ranges(spark):
+    from epicsarchiver_spark.operators.relational import forecast_revenue
+    from epicsarchiver_spark.plans import pushed_filters
+
+    df = forecast_revenue(spark.read.parquet(f"{SF_ORACLE}/lineitem.parquet"))
+    filters = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in filters, filters
