@@ -63,7 +63,8 @@ def gen_events(spark, n: int, n_users: int, path: str) -> None:
         F.col("id").alias("event_id"),
         F.timestamp_micros(
             F.lit(T0_EPOCH * 1_000_000)
-            + (F.col("id") * F.lit(SPAN_S * 1_000_000) / F.lit(n)).cast("long")
+            # double math: id·span_µs overflows BIGINT past ~3.5M rows
+            + (F.col("id").cast("double") * F.lit(SPAN_S * 1e6 / n)).cast("long")
             + F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1_000_000))
         ).alias("ts"),
         F.pmod(F.xxhash64("id", F.lit(2)), F.lit(n_users)).alias("user_id"),
