@@ -1071,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_forecast_revenue"] = lambda s, d: relational.forecast_revenue(
         load_table(s, d, "lineitem")
     )
+    q["emb_ann_recall"] = lambda s, d: similarity.ann_recall(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_planes=8, max_hamming=2
+    )
 
     q["doc_heavy_hitters"] = lambda s, d: text_ops.heavy_hitters(
         load_table(s, d, "documents"), min_count=HH_MIN_COUNT
@@ -1209,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ev_top_paths",
         "ts_related_corr",
         "rel_forecast_revenue",
+        "emb_ann_recall",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3766,6 +3770,15 @@ def oracle_sql() -> dict[str, str]:
                CAST(len(kept) AS BIGINT) AS n_kept,
                coalesce(array_to_string(kept, ' '), '') AS text_dedup
         FROM f
+    """
+
+    # ANN recall report: the two component oracles nest as subqueries —
+    # the report is the exact overlap of their result sets
+    o["emb_ann_recall"] = f"""
+        SELECT CAST(10 AS INT) AS k, count(*) AS n_matched,
+               count(*) / 10.0 AS recall
+        FROM ({o["emb_topk_cosine"]}) b
+        JOIN ({o["emb_topk_lsh"]}) l USING (vec_id)
     """
 
     o["ts_seasonal"] = (

@@ -115,6 +115,7 @@ HEADLINE = [
     "ev_top_paths",
     "ts_related_corr",
     "rel_forecast_revenue",
+    "emb_ann_recall",
 ]
 
 

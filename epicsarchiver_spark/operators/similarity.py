@@ -380,6 +380,40 @@ def random_project(
     return base.select(F.col(id_col), F.array(*comps).alias("projected"))
 
 
+def ann_recall(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_planes: int = 8,
+    max_hamming: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """ANN index health as a query: recall@k of the LSH-bucketed path
+    against the exact brute-force top-k for one probe — the number a
+    production index monitors to know when (n_planes, max_hamming) need
+    retuning or centroids retraining. Returns one row
+    ``(k, n_matched, recall)``; both sides are the engine's own
+    operators, the overlap is a semi-join + count, and nothing is
+    approximate about the REPORT itself."""
+    brute = brute_force_topk(vectors, query, k=k, id_col=id_col, vec_col=vec_col)
+    approx = lsh_bucket_topk(
+        vectors, query, k=k, n_planes=n_planes, max_hamming=max_hamming,
+        id_col=id_col, vec_col=vec_col, seed=seed,
+    )
+    return (
+        brute.select(id_col)
+        .join(approx.select(id_col), id_col, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+        .select(
+            F.lit(k).alias("k"),
+            "n_matched",
+            (F.col("n_matched") / F.lit(float(k))).alias("recall"),
+        )
+    )
+
+
 def pq_codebook(
     n_subspaces: int, n_centroids: int, sub_dim: int, seed: int = 42
 ) -> list[list[list[float]]]:
