@@ -1071,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_forecast_revenue"] = lambda s, d: relational.forecast_revenue(
         load_table(s, d, "lineitem")
     )
+    q["ts_autocorr"] = lambda s, d: timeseries.autocorrelation(
+        _points(s, d), T0, T1, GRID_STEP, lag=1
+    ).select("pvname", "n", F.round("r", 6).alias("r"))
     q["emb_ann_recall"] = lambda s, d: similarity.ann_recall(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_planes=8, max_hamming=2
     )
@@ -1213,6 +1216,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_related_corr",
         "rel_forecast_revenue",
         "emb_ann_recall",
+        "ts_autocorr",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3771,6 +3775,38 @@ def oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(kept, ' '), '') AS text_dedup
         FROM f
     """
+
+    # autocorrelation at grid lag 1: same grid + exact-integer moments;
+    # the shifted pair is lead over the dense grid row order
+    o["ts_autocorr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        pr AS (
+          SELECT pvname, q AS qa,
+                 lead(q, 1) OVER (PARTITION BY pvname ORDER BY t) AS qb
+          FROM lg
+        ),
+        s AS (
+          SELECT pvname, count(*) AS n, sum(qa) AS sx, sum(qb) AS sy,
+                 sum(qa * qb) AS sxy, sum(qa * qa) AS sxx, sum(qb * qb) AS syy
+          FROM pr WHERE qb IS NOT NULL GROUP BY pvname
+        )
+        SELECT pvname, n, round({_corr_r}, 6) AS r
+        FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """
+    )
 
     # ANN recall report: the two component oracles nest as subqueries —
     # the report is the exact overlap of their result sets

@@ -116,6 +116,7 @@ HEADLINE = [
     "ts_related_corr",
     "rel_forecast_revenue",
     "emb_ann_recall",
+    "ts_autocorr",
 ]
 
 

@@ -619,6 +619,59 @@ def _correlation_gemm(
     )
 
 
+def autocorrelation(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    lag: int = 1,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Per-series autocorrelation at a grid lag — the periodicity /
+    self-similarity screen (daily thermal cycles, oscillating control
+    loops, stuck-then-jump sensors all show distinctive lag profiles).
+    Samples the LOCF grid (so irregular archives compare fairly), pairs
+    each instant with the instant ``lag`` steps later, and computes
+    Pearson r between the two shifted copies. Returns ``(key, n, r)``
+    for series with ≥ 2 valid pairs and variance on both sides.
+
+    No pair join at all: ONE series-keyed window (lead) and one hash
+    aggregate. The same exact-integer moment discipline as
+    ``series_correlation`` — quantized values, BIGINT sums,
+    closed-form double r — so any engine reproduces it bit-for-bit."""
+    grid = (
+        locf_grid(points, t0, t1, step, key=key)
+        .select(key, "t", "value")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col(key), "t", F.round(F.col("value") / quantum).cast("long").alias("q")
+        )
+    )
+    w = Window.partitionBy(key).orderBy("t")
+    # lead over the grid ROW order equals the time-shifted pair ONLY
+    # when intermediate instants exist; grid rows are dense from each
+    # series' first non-null instant, so row-lead == time-lag here
+    paired = grid.select(
+        F.col(key),
+        F.col("q").alias("qa"),
+        F.lead("q", lag).over(w).alias("qb"),
+    ).filter(F.col("qb").isNotNull())
+    sums = paired.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qa").alias("sx"),
+        F.sum("qb").alias("sy"),
+        F.sum(F.col("qa") * F.col("qb")).alias("sxy"),
+        F.sum(F.col("qa") * F.col("qa")).alias("sxx"),
+        F.sum(F.col("qb") * F.col("qb")).alias("syy"),
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / (F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double")))
+    return sums.filter((varx > 0) & (vary > 0)).select(key, "n", r.alias("r"))
+
+
 def correlated_partners(
     points: DataFrame,
     t0: float,

@@ -740,3 +740,22 @@ def test_correlated_partners_topk_bounded_and_ranked(spark):
     # all-tied |r| = 1 → deterministic name order: A:0's partners are A:1, A:2
     assert [p for p, _ in out["A:0:g"]] == ["A:1:g", "A:2:g"]
     assert all(p != "A:4:g" for v in out.values() for p, _ in v)
+
+
+def test_autocorrelation_periodic_vs_noise(spark):
+    import math
+
+    rows = []
+    # alternating series: perfect negative autocorrelation at lag 1
+    rows += [("alt", 100.0 + t * 10, float(t % 2)) for t in range(12)]
+    # linear ramp: strong positive lag-1 autocorrelation
+    rows += [("ramp", 100.0 + t * 10, float(t)) for t in range(12)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {r.pvname: r.r for r in
+           timeseries.autocorrelation(df, 100.0, 210.0, 10.0, lag=1).collect()}
+    assert out["alt"] == pytest.approx(-1.0)
+    assert out["ramp"] == pytest.approx(1.0)
+    # lag 2 flips the alternating series back to +1
+    out2 = {r.pvname: r.r for r in
+            timeseries.autocorrelation(df, 100.0, 210.0, 10.0, lag=2).collect()}
+    assert out2["alt"] == pytest.approx(1.0)
