@@ -1071,6 +1071,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_forecast_revenue"] = lambda s, d: relational.forecast_revenue(
         load_table(s, d, "lineitem")
     )
+    q["ts_interp_grid"] = lambda s, d: timeseries.interp_grid(
+        _points(s, d), T0, T1, GRID_STEP
+    ).select("pvname", "t", F.round("value", 6).alias("value"))
     q["ts_autocorr"] = lambda s, d: timeseries.autocorrelation(
         _points(s, d), T0, T1, GRID_STEP, lag=1
     ).select("pvname", "n", F.round("r", 6).alias("r"))
@@ -1217,6 +1220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_forecast_revenue",
         "emb_ann_recall",
         "ts_autocorr",
+        "ts_interp_grid",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3775,6 +3779,45 @@ def oracle_sql() -> dict[str, str]:
                coalesce(array_to_string(kept, ' '), '') AS text_dedup
         FROM f
     """
+
+    # linear-interpolation grid: the union-tag windows mirrored with
+    # IGNORE NULLS last/first; arithmetic uses the raw probe instant
+    o["ts_interp_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        u AS (
+          SELECT pvname, time AS _t, 0 AS ip, time AS ptt, value AS ptv,
+                 CAST(NULL AS DOUBLE) AS t
+          FROM points WHERE time <= {T1} + 1e-4
+          UNION ALL
+          SELECT pvname, t + 1e-4 AS _t, 1 AS ip, CAST(NULL AS DOUBLE),
+                 CAST(NULL AS DOUBLE), t
+          FROM grid
+        ),
+        f AS (
+          SELECT pvname, ip, t,
+                 last_value(ptt IGNORE NULLS) OVER wp AS t0,
+                 last_value(ptv IGNORE NULLS) OVER wp AS v0,
+                 first_value(ptt IGNORE NULLS) OVER wn AS t1,
+                 first_value(ptv IGNORE NULLS) OVER wn AS v1
+          FROM u
+          WINDOW wp AS (PARTITION BY pvname ORDER BY _t, ip
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY pvname ORDER BY _t, ip
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT pvname, t,
+               round(CASE WHEN v0 IS NULL THEN NULL
+                          WHEN v1 IS NULL OR t1 <= t0 THEN v0
+                          ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END, 6) AS value
+        FROM f WHERE ip = 1
+        """
+    )
 
     # autocorrelation at grid lag 1: same grid + exact-integer moments;
     # the shifted pair is lead over the dense grid row order

@@ -117,6 +117,7 @@ HEADLINE = [
     "rel_forecast_revenue",
     "emb_ann_recall",
     "ts_autocorr",
+    "ts_interp_grid",
 ]
 
 

@@ -280,6 +280,84 @@ def locf_grid(
     return asof_join(pruned.select(*keep), grid, key=key)
 
 
+def interp_grid(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    key: str = "pvname",
+    lookback: float | None = None,
+) -> DataFrame:
+    """LINEAR-interpolation resampling onto a regular grid — the smooth
+    companion to ``locf_grid`` for continuous quantities (temperatures,
+    field strengths) where a staircase misrepresents the physics.
+    Returns ``(key, t, value)``: value = v₀ + (v₁−v₀)·(t−t₀)/(t₁−t₀)
+    between the bracketing points; grid instants before a series' first
+    point are null; after its last point the value HOLDS (no forward
+    extrapolation — what a live strip chart shows).
+
+    One union-tag pass, ONE series-keyed exchange serving two frame
+    windows (last-before via unbounded-preceding, first-after via
+    unbounded-following) — no second as-of join for the right bracket.
+    The tol shift orders a probe after an exactly-coincident point, but
+    the arithmetic uses the raw probe instant, so coincident points
+    reproduce their value exactly. All-double IEEE chain, mirrored
+    op-for-op in the oracle."""
+    tol = 1e-4
+    keys = points.select(key).distinct()
+    grid = keys.select(
+        F.col(key),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(int(t0)), F.lit(int(t1)), F.lit(int(step))),
+                lambda x: x.cast("double"),
+            )
+        ).alias("t"),
+    )
+    pruned = points.filter(F.col("time") <= t1 + tol)
+    if lookback is not None:
+        pruned = pruned.filter(F.col("time") >= t0 - lookback)
+    tagged_points = pruned.select(
+        F.col(key),
+        F.col("time").alias("_t"),
+        F.lit(0).alias("_is_probe"),
+        F.col("time").alias("_pt_time"),
+        F.col("value").alias("_pt_value"),
+        F.lit(None).cast("double").alias("t"),
+    )
+    tagged_probes = grid.select(
+        F.col(key),
+        (F.col("t") + tol).alias("_t"),
+        F.lit(1).alias("_is_probe"),
+        F.lit(None).cast("double").alias("_pt_time"),
+        F.lit(None).cast("double").alias("_pt_value"),
+        F.col("t"),
+    )
+    w = Window.partitionBy(key).orderBy("_t", "_is_probe")
+    wp = w.rowsBetween(Window.unboundedPreceding, 0)
+    wn = w.rowsBetween(0, Window.unboundedFollowing)
+    filled = tagged_points.unionByName(tagged_probes).select(
+        F.col(key),
+        F.col("_is_probe"),
+        F.col("t"),
+        F.last("_pt_time", ignorenulls=True).over(wp).alias("_t0"),
+        F.last("_pt_value", ignorenulls=True).over(wp).alias("_v0"),
+        F.first("_pt_time", ignorenulls=True).over(wn).alias("_t1"),
+        F.first("_pt_value", ignorenulls=True).over(wn).alias("_v1"),
+    )
+    frac = (F.col("t") - F.col("_t0")) / (F.col("_t1") - F.col("_t0"))
+    value = (
+        F.when(F.col("_v0").isNull(), F.lit(None).cast("double"))
+        .when(
+            F.col("_v1").isNull() | (F.col("_t1") <= F.col("_t0")), F.col("_v0")
+        )
+        .otherwise(F.col("_v0") + (F.col("_v1") - F.col("_v0")) * frac)
+    )
+    return filled.filter(F.col("_is_probe") == 1).select(
+        key, "t", value.alias("value")
+    )
+
+
 def time_weighted_avg(
     points: DataFrame,
     t0: float,

@@ -759,3 +759,16 @@ def test_autocorrelation_periodic_vs_noise(spark):
     out2 = {r.pvname: r.r for r in
             timeseries.autocorrelation(df, 100.0, 210.0, 10.0, lag=2).collect()}
     assert out2["alt"] == pytest.approx(1.0)
+
+
+def test_interp_grid_brackets_holds_and_nulls(spark):
+    rows = [("a", 10.0, 100.0), ("a", 30.0, 200.0)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {r.t: r.value for r in
+           timeseries.interp_grid(df, 0.0, 50.0, 10.0).collect()}
+    assert out[0.0] is None            # before first point
+    assert out[10.0] == 100.0          # coincident point reproduces exactly
+    assert out[20.0] == pytest.approx(150.0)  # midpoint interpolates
+    assert out[30.0] == 200.0
+    assert out[40.0] == 200.0          # hold after last point
+    assert out[50.0] == 200.0
