@@ -3791,12 +3791,12 @@ def oracle_sql() -> dict[str, str]:
           CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
         ),
         u AS (
-          SELECT pvname, time AS _t, 0 AS ip, time AS ptt, value AS ptv,
-                 CAST(NULL AS DOUBLE) AS t
+          SELECT pvname, time AS _t, 0 AS ip, event_id AS eid,
+                 time AS ptt, value AS ptv, CAST(NULL AS DOUBLE) AS t
           FROM points WHERE time <= {T1} + 1e-4
           UNION ALL
-          SELECT pvname, t + 1e-4 AS _t, 1 AS ip, CAST(NULL AS DOUBLE),
-                 CAST(NULL AS DOUBLE), t
+          SELECT pvname, t + 1e-4 AS _t, 1 AS ip, CAST(NULL AS BIGINT),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t
           FROM grid
         ),
         f AS (
@@ -3806,9 +3806,9 @@ def oracle_sql() -> dict[str, str]:
                  first_value(ptt IGNORE NULLS) OVER wn AS t1,
                  first_value(ptv IGNORE NULLS) OVER wn AS v1
           FROM u
-          WINDOW wp AS (PARTITION BY pvname ORDER BY _t, ip
+          WINDOW wp AS (PARTITION BY pvname ORDER BY _t, ip, eid
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-                 wn AS (PARTITION BY pvname ORDER BY _t, ip
+                 wn AS (PARTITION BY pvname ORDER BY _t, ip, eid
                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
         )
         SELECT pvname, t,
@@ -3853,11 +3853,14 @@ def oracle_sql() -> dict[str, str]:
 
     # ANN recall report: the two component oracles nest as subqueries —
     # the report is the exact overlap of their result sets
+    # recall denominator = actual brute-force row count (matches the
+    # engine's small-index-safe formula), not the literal k
     o["emb_ann_recall"] = f"""
-        SELECT CAST(10 AS INT) AS k, count(*) AS n_matched,
-               count(*) / 10.0 AS recall
+        SELECT CAST(10 AS INT) AS k,
+               count(l.vec_id) AS n_matched,
+               count(l.vec_id) / CAST(count(*) AS DOUBLE) AS recall
         FROM ({o["emb_topk_cosine"]}) b
-        JOIN ({o["emb_topk_lsh"]}) l USING (vec_id)
+        LEFT JOIN ({o["emb_topk_lsh"]}) l ON b.vec_id = l.vec_id
     """
 
     o["ts_seasonal"] = (

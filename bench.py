@@ -244,6 +244,19 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    # Raw per-run samples go to a side file + stderr, NOT the final stdout
+    # line: r4's driver failed to parse BENCH_r04.json because embedding the
+    # 89×3 query_runs arrays pushed the line past the driver's tail-capture
+    # window (VERDICT r4 item 1). The stdout contract is ONE compact line.
+    runs_payload = json.dumps({"runs_per_query": n_runs, "query_runs": raw})
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"), "w"
+        ) as fh:
+            fh.write(runs_payload + "\n")
+    except OSError:
+        pass
+    print(runs_payload, file=sys.stderr)
     print(
         json.dumps(
             {
@@ -251,8 +264,6 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                "runs_per_query": n_runs,
-                "query_runs": raw,
                 "sf": float(sf),
             }
         )

@@ -234,12 +234,19 @@ def top_paths(
     seqs = e.groupBy(user_col).agg(
         F.transform(F.sort_array(F.collect_list("s")), lambda x: x["typ"]).alias("seq")
     )
+    # Guard short timelines: for a user with < n events, sequence(1, size-(n-1))
+    # would have stop < start, which Spark evaluates as a DESCENDING array
+    # ([1,0]) — slice(seq, 0, n) then throws INVALID_PARAMETER_VALUE.START and
+    # index 1 emits a truncated gram. Emit no grams for those users instead.
     grams = seqs.select(
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("seq") - (n - 1), F.lit(0))),
-                lambda i: F.array_join(F.slice(F.col("seq"), i, n), ">"),
-            )
+            F.when(
+                F.size("seq") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("seq") - (n - 1)),
+                    lambda i: F.array_join(F.slice(F.col("seq"), i, n), ">"),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("path")
     )
     return (

@@ -402,15 +402,19 @@ def ann_recall(
         vectors, query, k=k, n_planes=n_planes, max_hamming=max_hamming,
         id_col=id_col, vec_col=vec_col, seed=seed,
     )
-    return (
-        brute.select(id_col)
-        .join(approx.select(id_col), id_col, "left_semi")
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-        .select(
-            F.lit(k).alias("k"),
-            "n_matched",
-            (F.col("n_matched") / F.lit(float(k))).alias("recall"),
-        )
+    # Denominator is the ACTUAL brute-force row count, not the literal k:
+    # on an index smaller than k the exact top-k has < k rows and dividing
+    # by k would understate recall (it could never reach 1.0) — ADVICE r4.
+    flagged = brute.select(id_col).join(
+        approx.select(id_col).withColumn("_hit", F.lit(1)), id_col, "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("_n_brute"),
+        F.count("_hit").alias("n_matched"),
+    ).select(
+        F.lit(k).alias("k"),
+        "n_matched",
+        (F.col("n_matched") / F.col("_n_brute").cast("double")).alias("recall"),
     )
 
 

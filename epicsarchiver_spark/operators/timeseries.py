@@ -317,10 +317,17 @@ def interp_grid(
     pruned = points.filter(F.col("time") <= t1 + tol)
     if lookback is not None:
         pruned = pruned.filter(F.col("time") >= t0 - lookback)
+    # event_id tiebreak: coincident-timestamp samples would otherwise make
+    # _v0/_v1 nondeterministic across runs (same order-list discipline as
+    # level_shifts/availability/ramps). Probes carry null — a probe never
+    # ties with another probe at the same (_t, _is_probe).
+    has_eid = "event_id" in points.columns
+    eid_pt = F.col("event_id").cast("long") if has_eid else F.lit(None).cast("long")
     tagged_points = pruned.select(
         F.col(key),
         F.col("time").alias("_t"),
         F.lit(0).alias("_is_probe"),
+        eid_pt.alias("_eid"),
         F.col("time").alias("_pt_time"),
         F.col("value").alias("_pt_value"),
         F.lit(None).cast("double").alias("t"),
@@ -329,11 +336,12 @@ def interp_grid(
         F.col(key),
         (F.col("t") + tol).alias("_t"),
         F.lit(1).alias("_is_probe"),
+        F.lit(None).cast("long").alias("_eid"),
         F.lit(None).cast("double").alias("_pt_time"),
         F.lit(None).cast("double").alias("_pt_value"),
         F.col("t"),
     )
-    w = Window.partitionBy(key).orderBy("_t", "_is_probe")
+    w = Window.partitionBy(key).orderBy("_t", "_is_probe", "_eid")
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
     wn = w.rowsBetween(0, Window.unboundedFollowing)
     filled = tagged_points.unionByName(tagged_probes).select(

@@ -576,3 +576,22 @@ def test_semantic_contamination_flags_members_and_near_copies(spark):
     assert out[1].contaminated and out[1].max_cosine == 1.0
     assert not out[2].contaminated and out[2].n_hits == 0
     assert out[3].contaminated  # cos ~= 0.99875
+
+
+def test_ann_recall_small_index_reaches_one(spark):
+    """On an index smaller than k, the exact top-k has < k rows; recall
+    must divide by the ACTUAL brute-force row count so a perfect match
+    reports 1.0 (dividing by the literal k understated it — ADVICE r4)."""
+    from epicsarchiver_spark.operators.similarity import ann_recall
+
+    # 3 vectors, k=10: brute top-k = all 3; exhaustive LSH probing
+    # (max_hamming = n_planes) retrieves everything too → recall 1.0
+    corpus = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    row = ann_recall(
+        corpus, [1.0, 0.0], k=10, n_planes=4, max_hamming=4
+    ).head()
+    assert row.n_matched == 3
+    assert row.recall == 1.0

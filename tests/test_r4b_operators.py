@@ -685,6 +685,28 @@ def test_top_paths_counts_ordered_ngrams(spark):
     assert out == {"view>click>purchase": 3, "click>purchase>view": 3}
 
 
+def test_top_paths_short_timelines(spark):
+    """Users with fewer than n events must contribute zero grams, not
+    crash: sequence(1, size-(n-1)) with stop < start is a DESCENDING
+    array in Spark, so unguarded slice(seq, 0, n) threw
+    INVALID_PARAMETER_VALUE.START (ADVICE r4, high)."""
+    from epicsarchiver_spark.operators import events as ev_ops
+    import datetime
+
+    rows = []
+    eid = 0
+    # user 1: full 3-event path; user 2: two events; user 3: one event
+    for u, seq in ((1, ["view", "click", "purchase"]), (2, ["view", "click"]), (3, ["view"])):
+        for i, t in enumerate(seq):
+            rows.append((eid, datetime.datetime(2024, 1, 1, 0, u, i), u, t))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, user_id long, event_type string")
+    out = {r.path: r.n_occurrences for r in ev_ops.top_paths(df, n=3, k=5).collect()}
+    assert out == {"view>click>purchase": 1}
+    # n larger than every timeline → empty, not an error
+    assert ev_ops.top_paths(df, n=9, k=5).count() == 0
+
+
 # --- degenerate-input sweep -------------------------------------------------
 
 
