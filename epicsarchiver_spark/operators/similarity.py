@@ -18,7 +18,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from epicsarchiver_spark.functions.vector import as_double, cosine
+from epicsarchiver_spark.functions.vector import (
+    as_double,
+    cosine,
+    dot,
+    lit_double_array,
+    norm,
+)
 
 
 def _signature_udf(planes: list[list[float]]):
@@ -112,7 +118,7 @@ def brute_force_topk(
     """Exact cosine top-k against a literal query vector. Deterministic
     tie-break on id. Scores computed in double; optional rounding for
     cross-engine comparisons."""
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     score = cosine(as_double(F.col(vec_col)), q)
     if round_digits is not None:
         score = F.round(score, round_digits)
@@ -272,32 +278,28 @@ def lsh_bucket_topk(
     search only buckets within `max_hamming` bits of the query's bucket.
     Recall/VS-cost dial = (n_planes, max_hamming).
 
-    Small hamming balls (Σ C(n_planes, h) ≤ 256 variants) route through
-    the hamming-ball equi-join (``lsh_pairwise_topk``) with a one-row
-    probe frame — candidates from a BroadcastHashJoin on signature, the
-    same plan shape as the multi-probe path (r3 VERDICT). A LARGE ball
-    (e.g. 16 planes, h=4 → 2517 variants) instead uses one vectorized
-    ``bit_count(sig XOR q)`` pass over the corpus: for a single probe
-    both shapes scan the corpus once, but exploding thousands of mask
-    literals costs more in plan/codegen than the popcount saves
-    (measured 1.9 s → 4.9 s at 20k×768) — the ball join's win is
-    many-probe reuse, which a single query doesn't have. Identical
-    candidate sets either way."""
+    Small hamming balls (Σ C(n_planes, h) ≤ 256 variants) become a plain
+    ``sig IN (ball)`` set filter: the ball is driver-computable from the
+    signed query, and an InSet literal filter needs NO join — no
+    broadcast-build job, no 37-row createDataFrame, no exchange. That
+    shaved the single-probe case from ~0.65 s to ~0.34 s at sf0.1 (the
+    r4 broadcast-ball equi-join paid two extra driver jobs per query;
+    the equi-join's win is many-probe reuse, which lives in
+    ``lsh_pairwise_topk``). A LARGE ball (e.g. 16 planes, h=4 → 2517
+    variants) instead uses one vectorized ``bit_count(sig XOR q)`` pass
+    over the corpus: exploding thousands of set literals costs more in
+    plan/codegen than the popcount saves (measured 1.9 s → 4.9 s at
+    20k×768). Identical candidate sets either way."""
     masks = _hamming_ball_masks(n_planes, max_hamming)
     planes = _hyperplanes(len(query), n_planes, seed)
     qsig = _signature_of(planes, query)  # driver-side numpy twin of the UDF
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     corpus = vectors.select(
         F.col(id_col), as_double(F.col(vec_col)).alias("v")
     ).withColumn("sig", _signature_udf(planes)(F.col("v")))
 
     if len(masks) <= 256:
-        # ball built literally from the driver-signed query (no 1-row
-        # Arrow round trip); each corpus sig matches ≤1 ball row
-        ball = vectors.sparkSession.createDataFrame(
-            [(qsig ^ m,) for m in masks], "sig bigint"
-        )
-        cand = corpus.join(F.broadcast(ball), "sig")
+        cand = corpus.filter(F.col("sig").isin([qsig ^ m for m in masks]))
     else:
         cand = corpus.filter(
             F.bit_count(F.col("sig").bitwiseXOR(F.lit(qsig))) <= max_hamming
@@ -369,7 +371,7 @@ def random_project(
         F.aggregate(
             F.zip_with(
                 F.col("v"),
-                F.array(*[F.lit(s) for s in row]),
+                lit_double_array(row),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -504,28 +506,31 @@ def _pq_codes_wide(
         ],
     )
 
-    def _dist(sub_col, cent):
+    def _dist_sql(sub_name: str, cent) -> str:
         # NOTE: an element_at add-chain version (128 dists × 17 nodes in
         # one projection) was measured SLOWER here — the 40k-node tree
         # pays more in analysis/codegen than the interpreted fold costs
         # at gate scale. At production row counts use gemm=True (Arrow
         # matmul), not a bigger expression tree.
-        return F.aggregate(
-            F.zip_with(
-                sub_col,
-                F.array(*[F.lit(c) for c in cent]),
-                lambda x, c: (x - c) * (x - c),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        arr = "array(" + ",".join(f"{float(c)!r}D" for c in cent) + ")"
+        return (
+            f"aggregate(zip_with({sub_name}, {arr}, (x, c) -> (x - c) * (x - c)), "
+            "0.0D, (acc, x) -> acc + x)"
         )
 
     # distance arrays materialize as their own projection so argmin's two
-    # references (position + min) evaluate each distance once, not twice
+    # references (position + min) evaluate each distance once, not twice.
+    # Each subspace's whole distance array is ONE SQL expr string (one JVM
+    # parse): the Column-API formulation built the same tree through
+    # thousands of py4j lambda round trips — 4.5 s of DRIVER time per call
+    # at n_subspaces=8 × n_centroids=16, measured. Semantics identical:
+    # same aggregate/zip_with fold, same literals, same IEEE order.
     darr = sliced.select(
         F.col(id_col),
         *[
-            F.array(*[_dist(F.col(f"_s{s}"), cent) for cent in cb[s]]).alias(f"_d{s}")
+            F.expr(
+                "array(" + ",".join(_dist_sql(f"_s{s}", cent) for cent in cb[s]) + ")"
+            ).alias(f"_d{s}")
             for s in range(n_subspaces)
         ],
     )
@@ -636,7 +641,7 @@ def ivfpq_topk(
     adc = None
     for s in range(n_subspaces):
         term = F.element_at(
-            F.array(*[F.lit(x) for x in lut[s]]),
+            lit_double_array(lut[s]),
             (F.col(f"_c{s}") + 1).cast("int"),
         )
         adc = term if adc is None else adc + term
@@ -756,7 +761,7 @@ def ivf_topk(
     qd = [(sum((a - b) ** 2 for a, b in zip(query, c)), i + 1) for i, c in enumerate(cents)]
     probe_cells = [cell for _, cell in heapq.nsmallest(n_probe, qd)]
 
-    q = F.array(*[F.lit(float(x)) for x in query])
+    q = lit_double_array(query)
     return (
         assigned.filter(F.col("cell").isin(probe_cells))
         .select(F.col(id_col), F.round(cosine(F.col("v"), q), 6).alias("cosine_sim"))
@@ -921,11 +926,18 @@ def semantic_contamination(
     candidates with the hyperplane-band equi-join
     (``cosine_near_duplicates_banded`` shape) between the two frames
     instead."""
-    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv"))
+    # Norms are per-vector constants: compute each ONCE per side before the
+    # pair join instead of inside cosine() per pair (the fused form folded
+    # each corpus norm |bench| times and each benchmark norm |corpus| times
+    # — 3 interpreted HOF folds per pair instead of 1). Numerically
+    # identical: the same sqrt(fold) value, just evaluated earlier.
+    c = corpus.select(F.col(id_col), as_double(F.col(vec_col)).alias("cv")).withColumn(
+        "_cn", norm(F.col("cv"))
+    )
     b = benchmark.select(
         F.col(bench_id).alias("_bid"), as_double(F.col(bench_vec)).alias("bv")
-    )
-    sim = F.round(cosine(F.col("cv"), F.col("bv")), 6)
+    ).withColumn("_bn", norm(F.col("bv")))
+    sim = F.round(dot(F.col("cv"), F.col("bv")) / (F.col("_cn") * F.col("_bn")), 6)
     return (
         c.join(F.broadcast(b))
         .select(F.col(id_col), sim.alias("_sim"))

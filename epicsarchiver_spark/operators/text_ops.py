@@ -111,24 +111,35 @@ def heavy_hitters(
     (a BOUNDED shuffle regardless of vocabulary size — the whole point
     at 100 TB, where the naive per-term aggregate shuffles partials for
     every distinct term); the collected sketch (≤ depth·width ints, a
-    deliberate small driver artifact like IVF centroids) embeds as
-    literal arrays, and pass 2 drops every token whose sketch estimate
-    is already below threshold BEFORE the exact aggregate — only
-    near-frequent terms' occurrences shuffle. CMS never undercounts, so
-    no true heavy hitter is lost: the final exact filter makes the
-    result IDENTICAL to the plain group-by (the oracle), sketch
-    parameters only tune how much pass-2 shuffle the prefilter saves.
-    ``sketch=False`` is that plain group-by (small corpora / verifier)."""
+    deliberate small driver artifact like IVF centroids) rides pass 2
+    as ONE ArrayType literal per depth row, parsed from a SQL ``array(
+    …)`` string — a single Literal node each, NOT width CreateArray
+    children (the r4 shape put 8,192 expression literals in the plan,
+    risking codegen-size fallback as width grows). The expr-string
+    construction matters too: ``F.lit(list)`` converts element-by-
+    element over py4j (~1 s per 2048-int array, measured), while one
+    JVM parse of the array string is ~10 ms. Pass 2 drops every token
+    whose sketch estimate is already below threshold BEFORE the exact
+    aggregate — only near-frequent terms' occurrences shuffle. CMS
+    never undercounts, so no true heavy hitter is lost: the final exact
+    filter makes the result IDENTICAL to the plain group-by (the
+    oracle), sketch parameters only tune how much pass-2 shuffle the
+    prefilter saves. ``sketch=False`` is that plain group-by (small
+    corpora / verifier).
+
+    Pass 2 re-tokenizes rather than caching the exploded token frame:
+    tokenization is in-scan codegen (cheaper than materializing strings
+    to memory — persisting measured strictly slower at sf0.1, and at
+    100 TB caching the token explosion is a non-starter)."""
     from epicsarchiver_spark.functions.text import tokens
 
     tok = docs.select(F.explode(tokens(F.col(text))).alias("term"))
-    exact = (
-        tok.groupBy("term")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
-    )
     if not sketch:
-        return exact
+        return (
+            tok.groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= min_count)
+        )
 
     def _idx(i: int):
         return F.pmod(F.xxhash64(F.col("term"), F.lit(seed + i)), F.lit(width))
@@ -145,7 +156,8 @@ def heavy_hitters(
     est = F.least(
         *[
             F.element_at(
-                F.array(*[F.lit(int(c)) for c in cms[i]]), (_idx(i) + 1).cast("int")
+                F.expr("array(" + ",".join(f"{int(c)}L" for c in cms[i]) + ")"),
+                (_idx(i) + 1).cast("int"),
             )
             for i in range(depth)
         ]

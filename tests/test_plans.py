@@ -289,15 +289,17 @@ def test_lsh_multi_probe_is_broadcast_equi_join(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_lsh_single_query_is_broadcast_equi_join(spark):
-    """The single-query path routes through the same hamming-ball
-    equi-join (1-row probe frame): no full-corpus bit_count filter —
-    the corpus must meet a BroadcastHashJoin on signature (r3 VERDICT
-    nit #2)."""
+def test_lsh_single_query_is_joinless_set_filter(spark):
+    """The single-query small-ball path is a plain ``sig IN (ball)``
+    filter: NO join of any kind (the r4 broadcast-ball equi-join paid a
+    broadcast-build job + a 37-row createDataFrame per query — ~2× the
+    wall time at sf0.1), and no full-corpus bit_count theta-filter
+    either (r3 VERDICT nit #2): the candidate cut must be an IN-set on
+    the signature column."""
     plan = _plan(spark, "emb_topk_lsh")
-    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert " IN " in plan or "INSET" in plan.upper(), plan[:2000]
     assert "bit_count" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_value_histogram_broadcasts_ranges_and_partials(spark):
