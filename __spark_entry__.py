@@ -292,6 +292,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_id",
         F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd HH:mm:ss").alias("iso"),
     )
+    # C11 timehash (ref util.py:357-362) applied to each event's own
+    # timestamp — deterministic in t, unlike the wall-clock call site
+    q["ts_timehash"] = lambda s, d: points_view(s, d).select(
+        "event_id", scalar.timehash(F.col("time")).alias("thash")
+    )
     # S12 plot-JSON data plane: per-series aligned (x-ISO, y) arrays,
     # string-encoded so the driver canon can lexsort them
     q["ts_plot_traces"] = lambda s, d: (
@@ -2221,6 +2226,18 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT event_id,
                strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S') AS iso
+        FROM points
+        """
+    )
+
+    # C11 timehash: all lower-hex digits of trunc(t*10000) — trunc, not
+    # round (python int() and Spark's double→long cast both truncate;
+    # DuckDB's CAST rounds, hence the explicit trunc)
+    o["ts_timehash"] = (
+        P
+        + """
+        SELECT event_id,
+               printf('%x', CAST(trunc(time * 10000) AS BIGINT)) AS thash
         FROM points
         """
     )

@@ -114,6 +114,19 @@ def tformat(ts_sec: Column) -> Column:
     return F.date_format(F.timestamp_seconds(ts_sec), "yyyy-MMM-dd HH:mm:ss")
 
 
+def timehash(ts_sec: Column) -> Column:
+    """C11 — 0.1-ms timestamp hash for unique filenames
+    (ref epicsarchiver/util.py:357-362): ``hex(int(10000.*t))[2:-1]``.
+    The reference is Python-2 code, where ``hex(long)`` ends with an
+    ``L`` — the ``[2:-1]`` strips the ``0x`` prefix and that suffix, so
+    the value is ALL lower-hex digits of ``floor(t·10000)`` (10 chars
+    for current epochs; the docstring's "10 character" is descriptive,
+    not a truncation). Deterministic in t → oracle-checkable; callers
+    wanting the reference's wall-clock behavior pass
+    ``F.lit(time.time())`` or a processing-time column."""
+    return F.lower(F.hex((ts_sec * 10000).cast("long")))
+
+
 def ts2iso(ts_sec: Column) -> Column:
     """C9 — epoch seconds → ISO with milliseconds
     (ref epicsarchiver/web_utils.py:24-29)."""

@@ -461,13 +461,14 @@ def winnow_fingerprints(
 
 
 def winnow_matches(
-    docs: DataFrame,
+    docs: DataFrame | None,
     min_shared: int = 2,
     k: int = 5,
     w: int = 4,
     text: str = "text",
     id_col: str = "doc_id",
     max_df: int | None = 1000,
+    fingerprints: DataFrame | None = None,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
     MOSS-style similarity candidates with the substring-match guarantee.
@@ -480,14 +481,27 @@ def winnow_matches(
     fingerprint shared by thousands of documents identifies nothing and
     costs df² join rows; a repetitive corpus measured 600 s without the
     cap, 2 s with it). The substring guarantee then applies to material
-    shared by ≤ max_df documents — the matches one actually wants."""
-    fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
-    # the fingerprint subplan (md5 fold + window-min) feeds the df cap
-    # and BOTH join sides — persist lazily so it computes once (same
-    # discipline as the MinHash/SimHash signature subplans)
-    from pyspark import StorageLevel
+    shared by ≤ max_df documents — the matches one actually wants.
 
-    fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+    ``fingerprints``: a precomputed ``(id, fp)`` frame (from
+    ``winnow_fingerprints``, typically read back from a persisted
+    table). When given, ``docs`` may be None and NO caching happens
+    here — the caller owns fingerprint storage, the production shape
+    (same contract as the MinHash ``signatures=`` path). When absent,
+    the fingerprint build materializes on first action (~8–10 s at
+    sf0.1 before the ~1 s steady state — the cold-start cost noted in
+    SCALE.md; one-shot callers should budget for it or persist the
+    fingerprint table themselves)."""
+    if fingerprints is not None:
+        fp = fingerprints.select(F.col(id_col), "fp")
+    else:
+        fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
+        # the fingerprint subplan (md5 fold + window-min) feeds the df
+        # cap and BOTH join sides — persist lazily so it computes once
+        # (same discipline as the MinHash/SimHash signature subplans)
+        from pyspark import StorageLevel
+
+        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         common = (
             fp.groupBy("fp")

@@ -566,6 +566,107 @@ def _recover_cache_swap(fs, P, cache_path: str) -> None:
     fs.delete(P(tmp), True)
 
 
+def upsert_latest_jdbc(
+    batch: DataFrame, url: str, table: str = "cache", ensure_table: bool = True
+) -> None:
+    """S14, JDBC lane — merge a micro-batch into a latest-value cache
+    TABLE over JDBC, one transaction per batch. BASELINE.md's stated
+    deployment shape for the reference's cache daemon is "Structured
+    Streaming + JDBC sink" (ref epicsarchiver/cache.py:454-462: a
+    per-batch UPDATE loop inside one MySQL transaction); this is that
+    sink for deployments with a real SQL cache consumer, alongside the
+    file-native ``upsert_latest``.
+
+    Scale shape: the per-key reduction (max_by over the micro-batch)
+    runs DISTRIBUTED; only the reduced frame — one row per touched
+    series, the same bounded artifact as the reference's cache table
+    (~#PVs rows, not #events) — crosses to the driver's JDBC
+    connection, exactly like the reference daemon. Rows only advance
+    (``UPDATE … WHERE time <= ?``), so replaying a batch after a crash
+    (foreachBatch is at-least-once) is a no-op and out-of-order batches
+    never regress a newer value — the same idempotence contract the
+    parquet lane gets from max_by. The whole batch commits or rolls
+    back atomically; a duplicate-key race on INSERT (SQLState 23505)
+    means a newer row exists and is skipped."""
+    spark = batch.sparkSession
+    order = F.struct(F.col("time"))
+    fresh = batch.groupBy("pvname").agg(
+        F.max_by("value", order).alias("value"), F.max("time").alias("time")
+    )
+    rows = fresh.collect()
+    if not rows:
+        return
+
+    def _sqlstate(ex) -> str:
+        je = getattr(ex, "java_exception", None)
+        try:
+            return je.getSQLState() if je is not None else ""
+        except Exception:
+            return ""
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        if ensure_table:
+            st = conn.createStatement()
+            try:
+                st.executeUpdate(
+                    f"CREATE TABLE {table} "
+                    "(pvname VARCHAR(255) PRIMARY KEY, value DOUBLE, time DOUBLE)"
+                )
+            except Exception as ex:  # noqa: BLE001 — X0Y32/42S01: already exists
+                if _sqlstate(ex) not in ("X0Y32", "42S01", "42P07"):
+                    raise
+            finally:
+                st.close()
+        conn.setAutoCommit(False)
+        upd = conn.prepareStatement(
+            f"UPDATE {table} SET value = ?, time = ? WHERE pvname = ? AND time <= ?"
+        )
+        ins = conn.prepareStatement(
+            f"INSERT INTO {table} (pvname, value, time) VALUES (?, ?, ?)"
+        )
+        try:
+            for r in rows:
+                t = float(r["time"])
+                v = float(r["value"])
+                upd.setDouble(1, v)
+                upd.setDouble(2, t)
+                upd.setString(3, r["pvname"])
+                upd.setDouble(4, t)
+                if upd.executeUpdate() == 0:
+                    try:
+                        ins.setString(1, r["pvname"])
+                        ins.setDouble(2, v)
+                        ins.setDouble(3, t)
+                        ins.executeUpdate()
+                    except Exception as ex:  # noqa: BLE001
+                        if _sqlstate(ex) != "23505":
+                            raise  # only a newer-row duplicate key is benign
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            upd.close()
+            ins.close()
+    finally:
+        conn.close()
+
+
+def latest_value_query_jdbc(
+    events: DataFrame, url: str, checkpoint: str, table: str = "cache"
+) -> Any:
+    """The cache daemon against a SQL store: ``latest_value_query`` with
+    the JDBC merge lane (north-star shape "Structured Streaming + JDBC
+    sink")."""
+    return (
+        events.writeStream.outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(lambda b, _id: upsert_latest_jdbc(b, url, table=table))
+    )
+
+
 def read_cache(spark, cache_path: str) -> DataFrame:
     """Read the latest-value cache, recovering a half-swapped state first."""
     fs, jvm = _hadoop_fs(spark, cache_path)

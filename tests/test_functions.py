@@ -799,3 +799,16 @@ def test_dedup_segments_oracle_agrees_on_degenerate_docs(spark):
     )
     con.close()
     assert oracle == got
+
+
+def test_timehash_matches_reference_formula(spark):
+    """C11 (ref util.py:357-362): hex(int(10000.*t))[2:-1] in Python 2
+    — '0x' prefix and long-suffix 'L' stripped, i.e. all lower-hex
+    digits of the truncated 0.1-ms timestamp."""
+    from epicsarchiver_spark.functions.scalar import timehash
+
+    ts = [1.7045e9, 1704067199.9999, 0.0002, 12345.6789]
+    df = spark.createDataFrame([(t,) for t in ts], "t double")
+    got = [r.h for r in df.select(timehash(F.col("t")).alias("h")).collect()]
+    want = [hex(int(10000.0 * t))[2:] for t in ts]  # py3: no trailing L
+    assert got == want

@@ -196,3 +196,29 @@ def test_minhash_signature_table_reuse(spark, tmp_path):
     assert {(r.new_id, r.corpus_id) for r in between} >= {(100, 0)}
     exact = [r for r in between if r.new_id == 100 and r.corpus_id == 0]
     assert exact[0].est_jaccard == 1.0
+
+
+def test_winnow_fingerprint_table_reuse(spark, tmp_path):
+    """Mirror of the MinHash signatures= contract for winnowing: write
+    the fingerprint table once, read it back, feed winnow_matches —
+    identical pairs to the inline path, and the corpus text is never
+    re-read (no 8-10 s fingerprint rebuild per query)."""
+    from epicsarchiver_spark.operators.dedup import (
+        winnow_fingerprints,
+        winnow_matches,
+    )
+
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(len(TEXTS)), "text": TEXTS}))
+    fp_path = str(tmp_path / "fps")
+    winnow_fingerprints(df, k=2, w=2).write.parquet(fp_path)
+    stored = spark.read.parquet(fp_path)
+
+    inline = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_matches(df, min_shared=1, k=2, w=2).collect()
+    )
+    reused = sorted(
+        (r.id_a, r.id_b, r.n_shared)
+        for r in winnow_matches(None, min_shared=1, fingerprints=stored).collect()
+    )
+    assert inline == reused and inline

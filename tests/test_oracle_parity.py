@@ -58,3 +58,40 @@ def test_rows_only_queries_run(spark, name):
     df = QUERIES[name](spark, SF_ORACLE)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_testdata_fingerprint_unchanged(duck):
+    """Row-count fingerprint of every testdata table at every SF: a
+    driver-side testdata regeneration shows up HERE as one clear failure
+    instead of surfacing as mystery value-hash mismatches across the
+    gate (VERDICT r4 task 8). If the driver regenerated the data on
+    purpose, re-record the fixture:
+    ``python -c "import tests.test_oracle_parity"`` has no side effects —
+    rerun the snippet in the fixture's git history or delete the JSON
+    and run tools/record_testdata_fingerprint.py."""
+    import json
+    import os
+
+    import duckdb
+
+    fixture = os.path.join(os.path.dirname(__file__), "testdata_fingerprint.json")
+    expected = json.load(open(fixture))
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    actual = {}
+    for sf, exp in expected.items():
+        actual[sf] = {}
+        for t in tables:
+            path = f"/root/testdata/sf{sf}/{t}.parquet"
+            try:
+                actual[sf][t] = duckdb.sql(
+                    f"SELECT count(*) FROM read_parquet('{path}')"
+                ).fetchone()[0]
+            except duckdb.Error:
+                actual[sf][t] = None
+    assert actual == expected, (
+        "testdata changed on disk — regenerate tests/testdata_fingerprint.json "
+        "if intentional"
+    )

@@ -793,3 +793,71 @@ def test_archive_append_exactly_once_across_restarts(spark, tmp_path):
     ).to_parquet(src / "p1.parquet", index=False)
     third = run_once()
     assert third == first | {("X", 200.0, 4.0)}  # only the new event, once
+
+
+def test_upsert_jdbc_parity_with_parquet_lane(spark, tmp_path):
+    """S14 JDBC lane (ref cache.py:454-462, north-star 'Structured
+    Streaming + JDBC sink'): the same micro-batch sequence — including
+    a replayed batch (at-least-once foreachBatch) and an out-of-order
+    late batch — must leave the Derby table and the parquet bucket-swap
+    cache with IDENTICAL contents, each batch one transaction."""
+    from epicsarchiver_spark.streaming.ingest import (
+        read_cache,
+        upsert_latest,
+        upsert_latest_jdbc,
+    )
+
+    url = f"jdbc:derby:{tmp_path}/cachedb;create=true"
+    pq = str(tmp_path / "cache_pq")
+    schema = "pvname string, time double, value double"
+    batches = [
+        [("A", 1.0, 10.0), ("B", 1.0, 5.0), ("A", 2.0, 11.0)],
+        [("A", 3.0, 12.0), ("C", 1.0, 7.0)],
+        [("A", 3.0, 12.0), ("C", 1.0, 7.0)],   # replayed batch → no-op
+        [("B", 0.5, 99.0)],                     # late batch → must not regress B
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        upsert_latest(b, pq)
+        upsert_latest_jdbc(b, url, table="cache")
+
+    got_pq = {
+        (r.pvname, r.time, r.value) for r in read_cache(spark, pq).collect()
+    }
+    got_jdbc = {
+        (r.pvname, float(r.time), float(r.value))
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cache")
+        .load()
+        .toDF("pvname", "value", "time")  # Derby reports uppercase names
+        .collect()
+    }
+    expected = {("A", 3.0, 12.0), ("B", 1.0, 5.0), ("C", 1.0, 7.0)}
+    assert got_pq == expected
+    assert got_jdbc == expected
+
+
+def test_upsert_jdbc_streaming_query(spark, events_dir, tmp_path):
+    """End-to-end: the JDBC cache daemon as a streaming foreachBatch
+    query, availableNow over the parquet source."""
+    from epicsarchiver_spark.streaming.ingest import latest_value_query_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q = (
+        latest_value_query_jdbc(stream, url, str(tmp_path / "ckpt_jdbc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, float(r.time), float(r.value))
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cache")
+        .load()
+        .toDF("pvname", "value", "time")  # Derby reports uppercase names
+        .collect()
+    }
+    assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
