@@ -370,16 +370,31 @@ def jaccard_pairs_blocked(
         (F.floor(F.length(text) / length_band)).alias("_lb"),
         shingle_hashes(tokens(F.col(text)), shingle_k).alias("sh"),
     )
+    # explode_OUTER, then drop null h: a plain explode lets the optimizer
+    # infer `size(sh) > 0 AND isnotnull(sh)` filters BELOW the projection
+    # (InferFiltersFromGenerate), duplicating the whole shingle pipeline
+    # into the filter condition — the scan was evaluating it ~3× per row
+    # per join side (visible in the formatted plan). Outer explode infers
+    # nothing; h is null exactly for empty shingle sets, which the
+    # post-filter drops — identical rows, shingles computed once.
     flat = sh.select(
         *block_cols,
         "_lb",
         F.col(id_col).alias("id"),
         F.size("sh").alias("n"),
-        F.explode("sh").alias("h"),
-    )
+        F.explode_outer("sh").alias("h"),
+    ).filter(F.col("h").isNotNull())
     join_keys = [*block_cols, "_lb", "h"]
     left = flat.select(*join_keys, F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    right = flat.select(*join_keys, F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    # SHUFFLE_HASH: without the hint AQE broadcasts the exploded shingle
+    # side (fine at gate scale, a non-starter at corpus scale where the
+    # build side is the whole exploded corpus), and the broadcast build
+    # re-evaluates the shingle pipeline for its copy — the hinted
+    # shuffle join both matches the 100 TB shape and measured ~40%
+    # faster at sf0.1. AQE skew handling still applies to shuffle joins.
+    right = flat.select(
+        *join_keys, F.col("id").alias("id_b"), F.col("n").alias("n_b")
+    ).hint("shuffle_hash")
     inter = (
         left.join(right, join_keys)
         .filter(F.col("id_a") < F.col("id_b"))

@@ -934,21 +934,32 @@ def bigram_logprob(
         F.col("_N") + F.lit(alpha) * F.col("_V")
     ).cast("double")
 
-    # bigram positions: -log(λ·c12/c1 + (1−λ)·p_uni(w2))
-    bi_scored = (
-        bi_tf.join(bi_model, ["w1", "w2"])
-        .join(left_model, "w1")
+    # bigram positions: -log(λ·c12/c1 + (1−λ)·p_uni(w2)). Each distinct
+    # bigram is scored ONCE on the vocab-sized model frames; the big
+    # per-doc frame then joins that score table a single time — the
+    # former shape pushed the doc-keyed frame through three joins
+    # (model, left-context, unigram), 2× the wall time at sf0.1. Same
+    # arithmetic per term (tf·(−log x) ≡ −tf·log x in IEEE).
+    score_bi = (
+        bi_model.join(left_model, "w1")
         .join(uni_model.select(F.col("term").alias("w2"), "c"), "w2")
         .crossJoin(F.broadcast(totals))
+        .select(
+            "w1",
+            "w2",
+            (
+                -F.log(
+                    F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * p_uni
+                )
+            ).alias("_nlp"),
+        )
+    )
+    bi_scored = (
+        bi_tf.join(score_bi, ["w1", "w2"])
         .groupBy(id_col)
         .agg(
             F.sum("tf").alias("n_bi"),
-            F.sum(
-                -F.col("tf")
-                * F.log(
-                    F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * p_uni
-                )
-            ).alias("s_bi"),
+            F.sum(F.col("tf") * F.col("_nlp")).alias("s_bi"),
         )
     )
     # first token of each doc: -log p_uni
