@@ -463,7 +463,15 @@ def winnow_fingerprints(
     # position (CollapseProject inlines it into the lambda) — measured
     # 310 s for 5 000 docs vs ~2 s for this shape. One doc-keyed window
     # exchange; identical selected set.
-    pos = wh.select(F.col(id_col), F.posexplode("wh").alias("_p", "_h"))
+    # posexplode_OUTER + pos-notnull filter: plain posexplode lets
+    # InferFiltersFromGenerate clone the whole md5-fold pipeline into an
+    # inferred size/notnull filter below the projection — measured 8.6 s
+    # vs 0.7 s for this stage at sf0.1. Outer emits one (null, null) row
+    # per empty array, which the position filter drops; element rows are
+    # untouched, so the selected set is identical.
+    pos = wh.select(
+        F.col(id_col), F.posexplode_outer("wh").alias("_p", "_h")
+    ).filter(F.col("_p").isNotNull())
     wnd = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
     full = Window.partitionBy(id_col)
     sel = pos.select(
@@ -743,10 +751,14 @@ def duplicated_spans(
     lanes = th.select(
         F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
     )
+    # outer + pos filter: see winnow_fingerprints — the inferred-filter
+    # clone of the window fold cost ~12× on this stage
     pos = lanes.select(
         F.col(id_col),
-        F.posexplode(window_fold(F.col("lo"), F.col("hi"), window)).alias("pos", "h"),
-    )
+        F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
+            "pos", "h"
+        ),
+    ).filter(F.col("pos").isNotNull())
     dup = (
         pos.groupBy("h")
         .agg(F.count(F.lit(1)).alias("n"))
