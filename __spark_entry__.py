@@ -85,6 +85,16 @@ SHIFT_WINDOW = 5  # level-shift detection: samples per side
 SHIFT_THRESHOLD = 50.0  # level-shift detection: min |mean_after − mean_before|
 WINNOW_MIN_SHARED = 2  # winnowing: min shared fingerprints per reported pair
 WINNOW_MAX_DF = 20  # winnowing: ignore fingerprints in more docs (boilerplate)
+# C17/C18 alert-mail gate: a stored template with escaped newlines (C18
+# unescapes) plus every standard field and one %PV(name)% cache lookup
+# (ref epicsarchiver/cache.py:662-690). Values pre-formatted %.2f so the
+# Python and SQL renders agree digit-for-digit.
+MAIL_LOOKUP_PV = "EV:0:click"
+MAIL_TEMPLATE = (
+    "Alert for %PV%!\\nValue=%VALUE% [%LABEL%]\\n"
+    "Condition: %COMP% %TRIP%\\nMonitor EV:0:click=%PV(EV:0:click)%"
+)
+RECENT_RUNS_LIMIT = 12  # O4 recent-runs listing depth (ref pvarch.py:297-306)
 
 
 def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1121,76 +1131,191 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # --- r6: gate queries for the 8 SURVEY edges that were local-only
+    # (VERDICT r5 task 3) — each converts a "local" row to driver-
+    # certifiable. C17/C18 mail render, F8 null/blank normalization,
+    # O4 recent-runs list, C15 auto_ylog, F9 row→kv projection, W10
+    # overlap re-read dedupe (batch form), S14 upsert→read_cache.
+
+    def _ctl_alert_mail(s, d):
+        """C17+C18 — render alert mail bodies for every tripped rule over
+        the latest-value cache using the REAL template engine
+        (functions/mail.py: clean_mail_message unescape + field and
+        %PV(name)% lookup substitution; ref epicsarchiver/cache.py:662-690,
+        util.py:317-322). The tripped set and the lookup value compute
+        distributed; only the bounded per-series alert rows (≤ #rules ×
+        #series, the same artifact the reference's mail daemon collects)
+        cross the driver for string rendering."""
+        from epicsarchiver_spark.functions.mail import render_alert_mail
+
+        rules = s.createDataFrame(
+            ALERT_RULES, "event_type string, compare string, trippoint double"
+        )
+        cache = timeseries.latest_per_key(
+            points_view(s, d).select("event_id", "pvname", "event_type", "time", "value")
+        )
+        tripped = control.alert_eval(cache, rules).select(
+            "pvname", "event_type", "value", "compare", "trippoint"
+        )
+        look = cache.filter(F.col("pvname") == MAIL_LOOKUP_PV).select("value").collect()
+        lookup = {MAIL_LOOKUP_PV: f"{look[0]['value']:.2f}"} if look else {}
+        rendered = [
+            (
+                r["pvname"],
+                render_alert_mail(
+                    MAIL_TEMPLATE,
+                    r["pvname"],
+                    f"{r['value']:.2f}",
+                    r["event_type"],
+                    r["compare"],
+                    f"{r['trippoint']:.2f}",
+                    lookup,
+                ),
+            )
+            for r in tripped.collect()
+        ]
+        return s.createDataFrame(rendered, "pvname string, mail string")
+
+    q["ctl_alert_mail"] = _ctl_alert_mail
+
+    q["cat_null_norm"] = lambda s, d: (
+        load_table(s, d, "orders")
+        .select(
+            scalar.null_norm(
+                F.when(F.col("o_orderkey") % 4 == 0, F.lit(""))
+                .when(F.col("o_orderkey") % 4 == 1, F.lit("None"))
+                .when(F.col("o_orderkey") % 4 == 2, F.lit(None).cast("string"))
+                .otherwise(F.col("o_orderpriority"))
+            ).alias("cleaned")
+        )
+        .groupBy("cleaned")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    # O4 — the `pvarch list` recent-runs listing (ref pvarch.py:297-306):
+    # monthly run names in the reference's pvarch_YYYYMM scheme, newest
+    # first, with each run's span and point count
+    q["cat_recent_runs"] = lambda s, d: (
+        points_view(s, d)
+        .groupBy(
+            F.concat(
+                F.lit("pvarch_"),
+                F.date_format(F.timestamp_seconds(F.col("time")), "yyyyMM"),
+            ).alias("run")
+        )
+        .agg(
+            F.min("time").alias("t0"),
+            F.max("time").alias("t1"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy(F.col("run").desc())
+        .limit(RECENT_RUNS_LIMIT)
+    )
+
+    def _ts_auto_ylog(s, d):
+        """C15 — the reference's auto_ylog heuristic per series (ref
+        web_utils.py:113-128, mirrored in sinks._auto_ylog): log-scale
+        when the positive 1–99 percentile spread exceeds 200× and no
+        value is negative. Exact index arithmetic (pos[int(q*(n-1))]) on
+        the per-series sorted positives — bounded by per-series
+        cardinality, the same data a plot pass already holds."""
+        arr = F.sort_array(
+            F.collect_list(F.when(F.col("value") > 1.0e-150, F.col("value")))
+        )
+        g = points_view(s, d).groupBy("pvname").agg(
+            arr.alias("arr"), F.min("value").alias("mn")
+        )
+        n = F.size("arr")
+        i01 = F.floor(0.01 * (n - 1)).cast("int") + 1
+        i99 = F.floor(0.99 * (n - 1)).cast("int") + 1
+        return g.select(
+            "pvname",
+            F.when(
+                (n > 0) & (F.col("mn") >= 0),
+                F.element_at("arr", i99) > 200 * F.element_at("arr", i01),
+            )
+            .otherwise(F.lit(False))
+            .alias("ylog"),
+        )
+
+    q["ts_auto_ylog"] = _ts_auto_ylog
+
+    # F9 — row→dict projection (ref util.py:276-278 row2dict) in its
+    # batch-visible form: each row exploded to (key, value) pairs
+    q["cat_row_kv"] = lambda s, d: (
+        points_view(s, d)
+        .filter(F.col("time").between(T0, T0 + 2 * 86400))
+        .select(
+            "event_id",
+            F.explode(
+                F.create_map(
+                    F.lit("pvname"), F.col("pvname"),
+                    F.lit("event_type"), F.col("event_type"),
+                    F.lit("value_str"), F.col("value_str"),
+                )
+            ),
+        )
+    )
+
+    # W10 — overlap re-read window, batch-visible: a restart re-reads a
+    # window that overlaps already-archived points (ref archiver.py's
+    # 1-day overlap); downstream distinct collapses the duplicates
+    q["ts_overlap_dedup"] = lambda s, d: (
+        timeseries.range_read(_points(s, d), T0, T1)
+        .unionByName(
+            timeseries.range_read(_points(s, d), T0 - 4 * 86400, T0 + 4 * 86400)
+        )
+        .distinct()
+    )
+
+    def _cache_readback(s, d):
+        """S14 read-back — seed the parquet latest-value cache with one
+        upsert batch, advance it with a second (the merge path: pruned
+        bucket read + atomic swap), then read_cache. Result = latest per
+        key over both batches, the cache's contract."""
+        import atexit
+        import os as _os
+        import shutil
+        import tempfile
+
+        base = tempfile.mkdtemp(prefix="pvarch_s14_gate_")
+        atexit.register(shutil.rmtree, base, ignore_errors=True)
+        path = _os.path.join(base, "cache")
+        from epicsarchiver_spark.streaming.ingest import read_cache, upsert_latest
+
+        pts = _points(s, d).select("pvname", "value", "time")
+        upsert_latest(pts.filter(F.col("time") < T_ASOF), path, buckets=8)
+        upsert_latest(
+            pts.filter((F.col("time") >= T_ASOF) & (F.col("time") <= T1)),
+            path,
+            buckets=8,
+        )
+        return read_cache(s, path).select("pvname", "value", "time")
+
+    q["cache_upsert_readback"] = _cache_readback
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
-    # FRONT of this dict (CORRECTNESS_r02 = exactly the first 50 keys of
-    # the r2 ordering; r3 likewise). The driver REGENERATED the testdata
-    # between r2 and r3 (events schema changed) — so the 39 queries whose
-    # only green row is from r2 were certified against the OLD data.
-    # They go first so r4 re-certifies them on the current data, followed
-    # by the MinHash/SimHash pair that gained a cross-engine oracle this
-    # round (previously no_oracle rows-only) and any queries new in r4.
-    # The 48 r3-green-on-current-data queries fill the remainder.
+    # FRONT of this dict (r2-r5 each certified exactly the first 50
+    # keys). r5 re-certified r4's sample, leaving 43 of 141 queries
+    # with no driver row in any round (VERDICT r5 item 2). This round
+    # the front IS that never-certified set — all 43 of them (every ev_*,
+    # the PQ/IVF-PQ/projection/recall embedding family, winnowing,
+    # heavy hitters, the r4b ts_* analytics, six rel_* shapes) plus the
+    # 7 brand-new gate queries for the formerly local-only SURVEY edges
+    # (C17/C18, F8, O4, C15, F9, W10, S14) = exactly 50. All 98
+    # previously-certified queries keep their green rows (testdata
+    # unchanged — guarded by tests/testdata_fingerprint.json) and fill
+    # the remainder in their prior order.
     front = [
-        # 39 queries last certified in r2, pre-regeneration
-        "ts_enum_labels",
-        "ts_alarm_transitions",
-        "ts_with_current",
-        "ts_instrument_restore",
-        "ts_alert_eval",
-        "ts_cvalue",
-        "ts_cull_full",
-        "ts_daily_rollup",
-        "ts_clean_values",
-        "ts_meta_join",
-        "ts_percentiles",
-        "ts_time_format",
-        "ts_plot_traces",
-        "rel_pair_scores",
-        "rel_related_topk",
-        "rel_score_sums",
-        "rel_orders_no_lineitem",
-        "cat_wildcard",
-        "cat_distinct_series",
-        "rel_pricing_summary",
-        "rel_top_orders",
-        "rel_regional_revenue",
-        "rel_order_priority",
-        "doc_fingerprints",
-        "doc_exact_dups",
-        "doc_dedup_exact",
-        "doc_quality",
-        "doc_tfidf_top_terms",
-        "doc_chunks",
-        "doc_splits",
-        "doc_repetition",
-        "doc_contamination",
-        "doc_global_shuffle",
-        "doc_pack_sequences",
-        "doc_rebalance",
-        "doc_pii_scrub",
-        "doc_langid",
-        "doc_jaccard_pairs",
-        "doc_dedup_groups",
-        # newly oracled this round (r3 rows were no_oracle)
-        "doc_minhash_neardups",
-        "doc_simhash_neardups",
-        # new in r4: heartbeat-bounded as-of scans, sessionization,
-        # vocabulary audit
-        "ts_get_data_bounded",
-        "ts_locf_grid_bounded",
-        "ts_sessions",
-        "doc_vocab_topk",
-        "doc_sample_stratified",
-        "emb_cell_stats",
-        "doc_substring_dedup",
-        "doc_bloom_dedup",
-        "doc_bigram_logprob",
+        "ts_timehash",
         "doc_gopher_rules",
         "ev_funnel",
         "ev_retention",
         "ev_props_rollup",
         "ev_rolling_dau",
+        "doc_quality_classifier",
+        "emb_contamination",
         "ts_twa",
         "ts_decimate",
         "rel_returned_items",
@@ -1206,26 +1331,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_pq_codes",
         "emb_ivfpq_topk",
         "ts_ramps",
-        "ts_seasonal",
-        "doc_paragraph_dedup",
-        "ts_skew_counts",
         "ts_availability",
-        "doc_blocklist",
         "ts_drift",
-        "doc_heavy_hitters",
-        "ev_transitions",
-        "rel_promo_share",
         "emb_ivfpq_index",
         "ts_compression_report",
         "ts_level_shifts",
+        "ts_related_corr",
         "doc_winnow_pairs",
         "rel_large_orders",
         "ev_top_paths",
-        "ts_related_corr",
         "rel_forecast_revenue",
-        "emb_ann_recall",
-        "ts_autocorr",
         "ts_interp_grid",
+        "ts_autocorr",
+        "emb_ann_recall",
+        "doc_heavy_hitters",
+        "ev_transitions",
+        "rel_promo_share",
+        "doc_blocklist",
+        "ts_skew_counts",
+        "doc_paragraph_dedup",
+        "ts_seasonal",
+        "ctl_alert_mail",
+        "cat_null_norm",
+        "cat_recent_runs",
+        "ts_auto_ylog",
+        "cat_row_kv",
+        "ts_overlap_dedup",
+        "cache_upsert_readback",
     ]
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
@@ -3889,6 +4021,120 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS DOUBLE)
                  / (100.0 * count(*)) AS avg_value
         FROM points GROUP BY 1, 2
+        """
+    )
+
+    # --- r6 gate queries for the formerly local-only SURVEY edges ---
+
+    o["ctl_alert_mail"] = (
+        P
+        + f""",
+        latest AS (
+          SELECT pvname, event_type, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        ),
+        rules(event_type, compare, trippoint) AS (VALUES {_rules_sql}),
+        look AS (
+          SELECT printf('%.2f', value) AS lv FROM latest
+          WHERE rn = 1 AND pvname = '{MAIL_LOOKUP_PV}'
+        )
+        SELECT l.pvname,
+               'Alert for ' || l.pvname || '!' || chr(10) ||
+               'Value=' || printf('%.2f', l.value) || ' [' || l.event_type || ']' || chr(10) ||
+               'Condition: ' || r.compare || ' ' || printf('%.2f', CAST(r.trippoint AS DOUBLE)) || chr(10) ||
+               'Monitor EV:0:click=' ||
+               coalesce((SELECT lv FROM look), '(unknown PV {MAIL_LOOKUP_PV})') AS mail
+        FROM latest l JOIN rules r USING (event_type)
+        WHERE l.rn = 1 AND CASE r.compare
+          WHEN 'eq' THEN l.value =  r.trippoint
+          WHEN 'ne' THEN l.value <> r.trippoint
+          WHEN 'le' THEN l.value <= r.trippoint
+          WHEN 'lt' THEN l.value <  r.trippoint
+          WHEN 'ge' THEN l.value >= r.trippoint
+          WHEN 'gt' THEN l.value >  r.trippoint
+          ELSE FALSE END
+        """
+    )
+
+    o["cat_null_norm"] = """
+        WITH dirty AS (
+          SELECT CASE CAST(o_orderkey % 4 AS INT)
+                   WHEN 0 THEN ''
+                   WHEN 1 THEN 'None'
+                   WHEN 2 THEN NULL
+                   ELSE o_orderpriority END AS raw
+          FROM orders
+        )
+        SELECT CASE WHEN raw IS NULL OR lower(raw) IN ('', 'none') THEN NULL
+                    ELSE raw END AS cleaned,
+               count(*) AS n
+        FROM dirty GROUP BY 1
+        """
+
+    o["cat_recent_runs"] = (
+        P
+        + f"""
+        SELECT 'pvarch_' || strftime(to_timestamp(time), '%Y%m') AS run,
+               min(time) AS t0, max(time) AS t1, count(*) AS n
+        FROM points GROUP BY 1
+        ORDER BY run DESC LIMIT {RECENT_RUNS_LIMIT}
+        """
+    )
+
+    o["ts_auto_ylog"] = (
+        P
+        + """,
+        s AS (
+          SELECT pvname,
+                 list_sort(list(value) FILTER (WHERE value > 1e-150)) AS arr,
+                 min(value) AS mn
+          FROM points GROUP BY pvname
+        )
+        SELECT pvname,
+               CASE WHEN len(arr) > 0 AND mn >= 0
+                         AND arr[CAST(floor(0.99 * (len(arr) - 1)) AS INT) + 1]
+                             > 200 * arr[CAST(floor(0.01 * (len(arr) - 1)) AS INT) + 1]
+                    THEN TRUE ELSE FALSE END AS ylog
+        FROM s
+        """
+    )
+
+    o["cat_row_kv"] = (
+        P
+        + f""",
+        win AS (
+          SELECT event_id, pvname, event_type, value_str FROM points
+          WHERE time BETWEEN {T0} AND {T0 + 2 * 86400}
+        )
+        SELECT event_id, 'pvname' AS key, pvname AS value FROM win
+        UNION ALL
+        SELECT event_id, 'event_type' AS key, event_type AS value FROM win
+        UNION ALL
+        SELECT event_id, 'value_str' AS key, value_str AS value FROM win
+        """
+    )
+
+    o["ts_overlap_dedup"] = (
+        P
+        + f"""
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0} AND {T1}
+        UNION
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0 - 4 * 86400} AND {T0 + 4 * 86400}
+        """
+    )
+
+    o["cache_upsert_readback"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT pvname, value, time,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC) AS rn
+          FROM points WHERE time <= {T1}
+        )
+        SELECT pvname, value, time FROM ranked WHERE rn = 1
         """
     )
 

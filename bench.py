@@ -204,6 +204,52 @@ def bench_lsh_highdim(spark, n: int = 20_000, dim: int = 768) -> float:
     return dt
 
 
+MAX_STDOUT_LINE = 1400  # hard ceiling, well under the driver's 2,000-char tail
+
+
+def final_stdout_line(timings: dict[str, float], sf: float) -> str:
+    """The ONE stdout line the driver parses. Contract (broken in r4 AND
+    r5, VERDICT r5 item 1): must fit the driver's 2,000-char tail-capture
+    window with margin. The full medians live in BENCH_RUNS.json; the
+    line carries only the slowest queries — as many as fit under
+    MAX_STDOUT_LINE — so the schema keeps a "queries" dict without ever
+    outgrowing the window regardless of how many queries are added."""
+    total = round(sum(timings.values()), 4)
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    shown: dict[str, float] = {}
+    line = ""
+    for name, sec in by_cost:
+        trial = dict(shown)
+        trial[name] = sec
+        candidate = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": trial,
+                "queries_note": "slowest shown; full medians in BENCH_RUNS.json",
+            }
+        )
+        if len(candidate) > MAX_STDOUT_LINE:
+            break
+        shown = trial
+        line = candidate
+    if not line:  # degenerate: even one entry overflows — drop the dict
+        line = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "sf": sf,
+                "n_queries": len(timings),
+                "queries": {},
+            }
+        )
+    return line
+
+
 def main() -> None:
     import shutil
     import tempfile
@@ -230,6 +276,12 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             raw.setdefault(name, []).append(round(time.perf_counter() - t0, 4))
+            # isolation: frames persisted inside one query's plan (winnow
+            # fingerprints, LSH signatures, …) must not squat in executor
+            # memory and evict/THROTTLE later queries — r5 saw a ~15-query
+            # 1.2–1.6× drift with no code change in those queries
+            # (VERDICT r5 item 2); every query pays its own cold cost.
+            spark.catalog.clearCache()
 
     timings: dict[str, float] = {k: round(median(v), 4) for k, v in raw.items()}
 
@@ -244,11 +296,17 @@ def main() -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
-    # Raw per-run samples go to a side file + stderr, NOT the final stdout
-    # line: r4's driver failed to parse BENCH_r04.json because embedding the
-    # 89×3 query_runs arrays pushed the line past the driver's tail-capture
-    # window (VERDICT r4 item 1). The stdout contract is ONE compact line.
-    runs_payload = json.dumps({"runs_per_query": n_runs, "query_runs": raw})
+    # Raw per-run samples AND the full per-query medians dict go to a side
+    # file + stderr, NOT the final stdout line: the driver tail-captures
+    # only the last 2,000 chars of stdout. r4 broke it by embedding the
+    # 89×3 query_runs arrays (VERDICT r4 item 1); r5 broke it AGAIN by
+    # leaving the 88-entry medians dict on the line — 2,489 chars
+    # (VERDICT r5 item 1). The stdout contract is ONE compact line,
+    # built by final_stdout_line() and unit-capped at <1,500 chars
+    # (tests/test_bench_contract.py).
+    runs_payload = json.dumps(
+        {"runs_per_query": n_runs, "query_runs": raw, "medians": timings}
+    )
     try:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_RUNS.json"), "w"
@@ -257,17 +315,7 @@ def main() -> None:
     except OSError:
         pass
     print(runs_payload, file=sys.stderr)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    print(final_stdout_line(timings, float(sf)))
     spark.stop()
 
 

@@ -516,7 +516,11 @@ def winnow_matches(
     SCALE.md; one-shot callers should budget for it or persist the
     fingerprint table themselves)."""
     if fingerprints is not None:
+        # k/w/text describe how fingerprints are BUILT; they are unused
+        # on this path — the caller's winnow_fingerprints call fixed them.
         fp = fingerprints.select(F.col(id_col), "fp")
+    elif docs is None:
+        raise ValueError("winnow_matches requires either docs or fingerprints")
     else:
         fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
         # the fingerprint subplan (md5 fold + window-min) feeds the df

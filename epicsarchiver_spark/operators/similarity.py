@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -512,7 +514,14 @@ def _pq_codes_wide(
         # pays more in analysis/codegen than the interpreted fold costs
         # at gate scale. At production row counts use gemm=True (Arrow
         # matmul), not a bigger expression tree.
-        arr = "array(" + ",".join(f"{float(c)!r}D" for c in cent) + ")"
+        vals = [float(c) for c in cent]
+        if not all(math.isfinite(c) for c in vals):
+            raise ValueError(
+                "PQ codebook centroid contains a non-finite value "
+                "(likely an empty k-means cluster); refit the codebook "
+                "or drop the empty centroid before encoding"
+            )
+        arr = "array(" + ",".join(f"{c!r}D" for c in vals) + ")"
         return (
             f"aggregate(zip_with({sub_name}, {arr}, (x, c) -> (x - c) * (x - c)), "
             "0.0D, (acc, x) -> acc + x)"

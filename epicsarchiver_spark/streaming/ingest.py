@@ -305,6 +305,50 @@ def _ensure_rocksdb_provider(spark, set_provider: bool) -> None:
     spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
 
 
+def make_compress_processor(deadtime: float, deadband: float):
+    """The transformWithState processor CLASS for W1/W2 compression,
+    closed over the config. Module-level (not nested in
+    ``compressed_stream_resumable``) so its handleInitialState /
+    handleInputRows / state round-trip mechanics are unit-testable with a
+    fake handle in containers without protobuf — ``StatefulProcessor``
+    itself imports cleanly; only the runtime state-server protocol needs
+    protobuf (tests/test_tws_kernel.py)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    dt, db = deadtime, deadband
+
+    class _CompressProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("compress", STATE_SCHEMA)
+
+        def handleInitialState(self, key, initialState: pd.DataFrame, timerValues) -> None:
+            row = initialState.sort_values("time").iloc[-1]
+            self._state.update((float(row["time"]), float(row["value"]), None, None))
+
+        def handleInputRows(self, key, rows, timerValues):
+            if self._state.exists():
+                last_t, last_v, pend_t, pend_v = self._state.get()
+            else:
+                last_t = last_v = pend_t = pend_v = None
+            pdf = pd.concat(list(rows))
+            if len(pdf):
+                pdf = pdf.sort_values("time")
+                out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
+                    last_t, last_v, pend_t, pend_v, pdf["time"], pdf["value"], dt, db
+                )
+                self._state.update((last_t, last_v, pend_t, pend_v))
+                if out_t:
+                    yield pd.DataFrame({"pvname": key[0], "time": out_t, "value": out_v})
+
+        def close(self) -> None:
+            pass
+
+    return _CompressProcessor
+
+
 def compressed_stream_resumable(
     events: DataFrame,
     deadtime: float = 5.0,
@@ -347,40 +391,10 @@ def compressed_stream_resumable(
             "transformWithStateInPandas needs the protobuf package; "
             "use compressed_stream(seeds=...) where it is unavailable"
         ) from e
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
 
     spark = events.sparkSession
     _ensure_rocksdb_provider(spark, set_provider)
-    dt, db = deadtime, deadband
-
-    class _CompressProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("compress", STATE_SCHEMA)
-
-        def handleInitialState(self, key, initialState: pd.DataFrame, timerValues) -> None:
-            row = initialState.sort_values("time").iloc[-1]
-            self._state.update((float(row["time"]), float(row["value"]), None, None))
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                last_t, last_v, pend_t, pend_v = self._state.get()
-            else:
-                last_t = last_v = pend_t = pend_v = None
-            pdf = pd.concat(list(rows))
-            if len(pdf):
-                pdf = pdf.sort_values("time")
-                out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
-                    last_t, last_v, pend_t, pend_v, pdf["time"], pdf["value"], dt, db
-                )
-                self._state.update((last_t, last_v, pend_t, pend_v))
-                if out_t:
-                    yield pd.DataFrame({"pvname": key[0], "time": out_t, "value": out_v})
-
-        def close(self) -> None:
-            pass
+    _CompressProcessor = make_compress_processor(deadtime, deadband)
 
     init_grouped = (
         initial_state.select("pvname", "time", "value").groupBy("pvname")
@@ -626,23 +640,39 @@ def upsert_latest_jdbc(
         ins = conn.prepareStatement(
             f"INSERT INTO {table} (pvname, value, time) VALUES (?, ?, ?)"
         )
+        double_t = jvm.java.sql.Types.DOUBLE
         try:
             for r in rows:
+                if r["time"] is None:
+                    continue  # unorderable; parquet lane's max(time) drops it too
                 t = float(r["time"])
-                v = float(r["value"])
-                upd.setDouble(1, v)
+                v = r["value"]
+                if v is None:
+                    upd.setNull(1, double_t)  # parity: max_by can carry a null value
+                else:
+                    upd.setDouble(1, float(v))
                 upd.setDouble(2, t)
                 upd.setString(3, r["pvname"])
                 upd.setDouble(4, t)
                 if upd.executeUpdate() == 0:
+                    # On PostgreSQL any statement error aborts the whole
+                    # transaction (every later statement fails 25P02), so a
+                    # benign 23505 here must be fenced with a savepoint —
+                    # rollback TO the savepoint, not the transaction.
+                    sp = conn.setSavepoint()
                     try:
                         ins.setString(1, r["pvname"])
-                        ins.setDouble(2, v)
+                        if v is None:
+                            ins.setNull(2, double_t)
+                        else:
+                            ins.setDouble(2, float(v))
                         ins.setDouble(3, t)
                         ins.executeUpdate()
+                        conn.releaseSavepoint(sp)
                     except Exception as ex:  # noqa: BLE001
                         if _sqlstate(ex) != "23505":
                             raise  # only a newer-row duplicate key is benign
+                        conn.rollback(sp)
             conn.commit()
         except Exception:
             conn.rollback()

@@ -299,7 +299,16 @@ def test_lsh_single_query_is_joinless_set_filter(spark):
     plan = _plan(spark, "emb_topk_lsh")
     assert " IN " in plan or "INSET" in plan.upper(), plan[:2000]
     assert "bit_count" not in plan
-    assert "Join" not in plan, plan[:2000]
+    # assert on concrete join operators, not the bare substring "Join"
+    # (plan-format text like "subquery reuse" notes could contain it)
+    for op in (
+        "BroadcastHashJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert op not in plan, plan[:2000]
 
 
 def test_value_histogram_broadcasts_ranges_and_partials(spark):

@@ -838,6 +838,30 @@ def test_upsert_jdbc_parity_with_parquet_lane(spark, tmp_path):
     assert got_jdbc == expected
 
 
+def test_upsert_jdbc_null_tolerance(spark, tmp_path):
+    """ADVICE r5: a micro-batch row with a NULL value must not crash the
+    whole batch (TypeError on float(None) would wedge the stream in an
+    at-least-once retry loop) — it lands as SQL NULL, matching the
+    parquet lane's max_by. A NULL-time row is unorderable and skipped."""
+    from epicsarchiver_spark.streaming.ingest import upsert_latest_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/nulldb;create=true"
+    schema = "pvname string, time double, value double"
+    b = spark.createDataFrame(
+        [("A", 1.0, 10.0), ("B", 2.0, None), ("C", None, 3.0)], schema
+    )
+    upsert_latest_jdbc(b, url, table="cache")
+    got = {
+        (r[0], r[1], r[2])
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cache")
+        .load()
+        .collect()
+    }
+    assert got == {("A", 10.0, 1.0), ("B", None, 2.0)}  # C skipped
+
+
 def test_upsert_jdbc_streaming_query(spark, events_dir, tmp_path):
     """End-to-end: the JDBC cache daemon as a streaming foreachBatch
     query, availableNow over the parquet source."""

@@ -1,0 +1,145 @@
+"""Pure-batch parity tests for the transformWithState compression
+processor (VERDICT r5 task 6): the protobuf-gated part of
+``compressed_stream_resumable`` is only the runtime state-server
+protocol — the processor CLASS (state round-trip, initial-state seeding,
+per-batch kernel calls) is exercised here with a fake handle, no
+streaming query and no protobuf, against the independently-written batch
+reference ``operators.deadband.compress_reference``."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from epicsarchiver_spark.operators.deadband import compress_reference
+from epicsarchiver_spark.streaming.ingest import make_compress_processor
+
+
+class _FakeValueState:
+    def __init__(self):
+        self._val = None
+
+    def exists(self) -> bool:
+        return self._val is not None
+
+    def get(self):
+        return self._val
+
+    def update(self, val) -> None:
+        self._val = tuple(val)
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.state = _FakeValueState()
+
+    def getValueState(self, name, schema):
+        return self.state
+
+
+def _drive(proc_cls, batches, initial=None, key=("PV:1",)):
+    """Run the processor over a list of event batches; returns
+    (emitted [(t, v)...], final state tuple)."""
+    proc = proc_cls()
+    handle = _FakeHandle()
+    proc.init(handle)
+    if initial is not None:
+        proc.handleInitialState(key, pd.DataFrame(initial, columns=["time", "value"]), None)
+    out = []
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["time", "value"])
+        pdf.insert(0, "pvname", key[0])
+        for emitted in proc.handleInputRows(key, iter([pdf]), None):
+            out.extend(zip(emitted["time"], emitted["value"]))
+    proc.close()
+    return out, handle.state.get()
+
+
+EVENTS = [
+    (0.0, 10.0),
+    (1.0, 10.2),   # inside deadtime → limbo
+    (6.5, 10.1),   # past deadtime but sub-deadband → limbo
+    (12.0, 25.0),  # past deadtime + past deadband → emit (limbo flushed first)
+    (12.5, 25.1),
+    (30.0, 80.0),
+    (31.0, 80.5),
+]
+DEADTIME, DEADBAND = 5.0, 1.0
+
+
+def _expected(events, with_pending=True):
+    kept = compress_reference(list(events), DEADTIME, DEADBAND)
+    return kept if with_pending else kept
+
+
+@pytest.mark.parametrize("split", [1, 2, 3, len(EVENTS)])
+def test_processor_matches_batch_reference_any_batching(split):
+    """Output + final pending must equal the one-shot batch reference
+    regardless of how the stream is micro-batched — the state round-trip
+    through the ValueState carries the window across batch boundaries."""
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    # contiguous time-ordered slices — micro-batches split the stream,
+    # they don't interleave it
+    n = len(EVENTS)
+    size = (n + split - 1) // split
+    chunks = [EVENTS[i : i + size] for i in range(0, n, size)]
+    emitted, state = _drive(proc_cls, chunks)
+    # reference output includes the trailing pending point; the processor
+    # leaves it in state (flush is the timer's job)
+    last_t, last_v, pend_t, pend_v = state
+    full = list(emitted)
+    if pend_t is not None:
+        full.append((pend_t, pend_v))
+    assert full == compress_reference(list(EVENTS), DEADTIME, DEADBAND)
+
+
+def test_initial_state_continues_window_across_restart():
+    """handleInitialState seeds (last_t, last_v) from the newest archived
+    row with pend=None: the deadtime window CONTINUES across a restart —
+    the seeded series' first event is NOT re-emitted, matching the batch
+    reference run over seed+events minus the seed row itself."""
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    seed = [(-3.0, 9.9), (0.0, 10.0)]  # two archived rows; newest wins
+    emitted, state = _drive(proc_cls, [EVENTS[1:]], initial=seed)
+    last_t, last_v, pend_t, pend_v = state
+    full = list(emitted)
+    if pend_t is not None:
+        full.append((pend_t, pend_v))
+    ref = compress_reference([(0.0, 10.0)] + EVENTS[1:], DEADTIME, DEADBAND)
+    assert ref[0] == (0.0, 10.0)
+    assert full == ref[1:]
+
+
+def test_initial_state_picks_newest_row():
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    proc = proc_cls()
+    handle = _FakeHandle()
+    proc.init(handle)
+    proc.handleInitialState(
+        ("PV:1",),
+        pd.DataFrame({"time": [5.0, 1.0, 3.0], "value": [50.0, 10.0, 30.0]}),
+        None,
+    )
+    assert handle.state.get() == (5.0, 50.0, None, None)
+
+
+def test_empty_batch_preserves_state():
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    emitted, state = _drive(proc_cls, [EVENTS[:3], [], EVENTS[3:]])
+    last_t, last_v, pend_t, pend_v = state
+    full = list(emitted)
+    if pend_t is not None:
+        full.append((pend_t, pend_v))
+    assert full == compress_reference(list(EVENTS), DEADTIME, DEADBAND)
+
+
+def test_out_of_order_within_batch_sorted():
+    """handleInputRows sorts each micro-batch by time before the kernel."""
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    shuffled = [EVENTS[3], EVENTS[0], EVENTS[2], EVENTS[1]] + EVENTS[4:]
+    emitted, state = _drive(proc_cls, [shuffled])
+    last_t, last_v, pend_t, pend_v = state
+    full = list(emitted)
+    if pend_t is not None:
+        full.append((pend_t, pend_v))
+    assert full == compress_reference(list(EVENTS), DEADTIME, DEADBAND)
