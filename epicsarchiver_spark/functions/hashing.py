@@ -137,16 +137,13 @@ def _rotl(x: Column, r: int) -> Column:
     return F.shiftleft(x, r).bitwiseOR(F.shiftrightunsigned(x, 64 - r))
 
 
-def shingle_hashes_all(tokens_col: Column, k: int) -> Column:
-    """array<string> tokens → array<long> of ALL k-shingle hashes (one
-    per window position, duplicates kept — the multiset the repetition
-    statistics need) WITHOUT materializing shingle strings: per-token
-    xxhash64 once, then a sliding hash-combine
-    h(i..i+k-1) = rotl(h(i..i+k-2), 13) ⊕ h(i+k-1) via zip_with — O(n)
-    integer ops per doc instead of O(n·k) string builds (the string path
-    measured ~5.6 s / 5 000 docs; this is <1 s). Rotation keeps the
-    combine order-sensitive ("a b" ≠ "b a")."""
-    th = F.transform(tokens_col, lambda t: F.xxhash64(t))
+def shingle_fold_xx(th: Column, k: int) -> Column:
+    """Sliding k-window hash-combine over MATERIALIZED per-token xxhash64
+    values: h(i..i+k-1) = rotl(h(i..i+k-2), 13) ⊕ h(i+k-1) via zip_with.
+    ``th`` should be an attribute of a child projection — the fold
+    references it k+1 times (size + acc + k−1 slices), and an inline
+    expression would be cloned into every reference (the
+    ``window_fold``/module-note pitfall)."""
     n = F.size(th)
     acc = th
     for step in range(1, k):
@@ -155,6 +152,20 @@ def shingle_hashes_all(tokens_col: Column, k: int) -> Column:
         # out, filtered below
         acc = F.zip_with(acc, shifted, lambda a, b: _rotl(a, 13).bitwiseXOR(b))
     return F.filter(acc, lambda x: x.isNotNull())
+
+
+def shingle_hashes_all(tokens_col: Column, k: int) -> Column:
+    """array<string> tokens → array<long> of ALL k-shingle hashes (one
+    per window position, duplicates kept — the multiset the repetition
+    statistics need) WITHOUT materializing shingle strings: per-token
+    xxhash64 once, then the ``shingle_fold_xx`` sliding combine — O(n)
+    integer ops per doc instead of O(n·k) string builds (the string path
+    measured ~5.6 s / 5 000 docs; this is <1 s). Rotation keeps the
+    combine order-sensitive ("a b" ≠ "b a"). Single-expression form: the
+    per-token hash pipeline re-evaluates at each of the fold's k+1
+    references — fine for small k in one-shot stats; dedup operators use
+    the layered-projection path (``operators.dedup._shingle_basis_frame``)."""
+    return shingle_fold_xx(F.transform(tokens_col, lambda t: F.xxhash64(t)), k)
 
 
 def shingle_hashes(tokens_col: Column, k: int) -> Column:

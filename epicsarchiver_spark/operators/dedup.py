@@ -35,18 +35,79 @@ from epicsarchiver_spark.functions.text import fingerprint64, tokens
 
 
 def _shingle_basis(text_col, shingle_k: int, basis: str):
-    """array<long> distinct shingle hashes under the chosen basis.
+    """array<long> distinct shingle hashes under the chosen basis, as a
+    SINGLE expression.
 
     "xxhash" (default): string-free sliding xxhash64 combine — fastest,
     JVM-only, NOT reproducible outside Spark. "md5": per-token md5
     hashes combined by the two-lane mod-p sliding fold — bit-for-bit
     reproducible in any SQL engine with md5(), so MinHash/SimHash
     results can be certified against an independent oracle. Both are
-    engine-native (no Python, no shingle-string materialization)."""
+    engine-native (no Python, no shingle-string materialization).
+
+    PERF: the k-window fold references the per-token hash array k+1
+    times, and in this inline form each reference re-evaluates the whole
+    tokenize+hash pipeline (no CSE across expression-tree references) —
+    measured ~4× the layered cost at sf0.1 even for k=2. Operators
+    should use ``_shingle_basis_frame`` (layered projections) instead;
+    this form remains for contexts that need one Column."""
     if basis == "xxhash":
         return shingle_hashes(tokens(text_col), shingle_k)
     if basis == "md5":
         return shingle_hashes_md5(tokens(text_col), shingle_k)
+    raise ValueError(f"unknown shingle basis: {basis!r}")
+
+
+def _shingle_basis_frame(
+    docs: DataFrame,
+    text: str,
+    id_col: str,
+    shingle_k: int,
+    basis: str,
+    extra: tuple = (),
+) -> DataFrame:
+    """``(id_col, *extra, bh)`` frame of distinct shingle hashes via
+    LAYERED projections (the ``window_fold`` contract, same shape as
+    winnow_fingerprints): the per-token hash array and the two md5 lanes
+    each materialize once as child-projection attributes before the fold
+    references them k times — CollapseProject keeps non-cheap
+    multi-referenced projections as real attributes instead of cloning
+    the tokenize+hash pipeline into every reference. Measured at sf0.1,
+    k=2: md5 basis 1.7 s → 0.4 s per evaluation; the xxhash lane gains
+    the same shape. ``extra`` columns (blocking keys etc.) pass through.
+    """
+    from epicsarchiver_spark.functions.hashing import (
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        shingle_fold_xx,
+        window_fold,
+    )
+
+    keep = [F.col(id_col), *extra]
+    if basis == "md5":
+        th = docs.select(
+            *keep, F.transform(tokens(F.col(text)), md5_hash60).alias("_th")
+        )
+        lanes = th.select(
+            *[F.col(c) for c in th.columns if c != "_th"],
+            lane_lo(F.col("_th")).alias("_lo"),
+            lane_hi(F.col("_th")).alias("_hi"),
+        )
+        return lanes.select(
+            *[F.col(c) for c in lanes.columns if c not in ("_lo", "_hi")],
+            F.array_distinct(
+                window_fold(F.col("_lo"), F.col("_hi"), shingle_k)
+            ).alias("bh"),
+        )
+    if basis == "xxhash":
+        th = docs.select(
+            *keep, F.transform(tokens(F.col(text)), lambda t: F.xxhash64(t)).alias("_th")
+        )
+        return th.select(
+            *[F.col(c) for c in th.columns if c != "_th"],
+            F.array_distinct(shingle_fold_xx(F.col("_th"), shingle_k)).alias("bh"),
+        )
     raise ValueError(f"unknown shingle basis: {basis!r}")
 
 
@@ -90,11 +151,10 @@ def minhash_signatures(
     crawls alike). Pass the persisted frame to ``minhash_candidates(...,
     signatures=)`` / ``minhash_candidates_between(...,
     corpus_signatures=)`` so signatures never recompute per call."""
-    # two-projection layout: shingle-hash once, THEN the 64-fn family
-    # over the materialized array (see functions/hashing.py module note)
-    base = docs.select(
-        F.col(id_col), _shingle_basis(F.col(text), shingle_k, basis).alias("bh")
-    )
+    # layered-projection layout: tokenize+hash once, THEN the 64-fn
+    # family over the materialized array (see functions/hashing.py
+    # module note and _shingle_basis_frame)
+    base = _shingle_basis_frame(docs, text, id_col, shingle_k, basis)
     return base.select(
         F.col(id_col),
         minhash_signature_udf(num_hashes, seed, _sig_family(basis))(F.col("bh")).alias("sig"),
@@ -300,9 +360,7 @@ def simhash_near_duplicates(
     md5 basis (see ``_shingle_basis``) — signature bits 60–63 are then
     always 0, shrinking the top block's entropy to 12 bits but making the
     whole pipeline reproducible in an independent SQL engine."""
-    base = docs.select(
-        F.col(id_col), _shingle_basis(F.col(text), shingle_k, basis).alias("bh")
-    )
+    base = _shingle_basis_frame(docs, text, id_col, shingle_k, basis)
     sigs = base.select(F.col(id_col), simhash64_udf()(F.col("bh")).alias("sh"))
     # the signature subplan (shingle hashing + the Arrow UDF) feeds BOTH
     # sides of the block self-join — persist lazily so it computes once,
@@ -364,12 +422,17 @@ def jaccard_pairs_blocked(
     # aggregates; shuffle volume = Σ_shingle df(s)² within blocks, the
     # standard cost model for set-similarity joins. Docs sharing NO
     # shingle never meet (J=0 < threshold, correctly absent).
-    sh = docs.select(
-        F.col(id_col),
-        *[F.col(c) for c in block_cols],
-        (F.floor(F.length(text) / length_band)).alias("_lb"),
-        shingle_hashes(tokens(F.col(text)), shingle_k).alias("sh"),
-    )
+    sh = _shingle_basis_frame(
+        docs,
+        text,
+        id_col,
+        shingle_k,
+        "xxhash",
+        extra=(
+            *[F.col(c) for c in block_cols],
+            (F.floor(F.length(text) / length_band)).alias("_lb"),
+        ),
+    ).withColumnRenamed("bh", "sh")
     # explode_OUTER, then drop null h: a plain explode lets the optimizer
     # infer `size(sh) > 0 AND isnotnull(sh)` filters BELOW the projection
     # (InferFiltersFromGenerate), duplicating the whole shingle pipeline
