@@ -826,13 +826,25 @@ def duplicated_spans(
             "pos", "h"
         ),
     ).filter(F.col("pos").isNotNull())
-    dup = (
-        pos.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= min_count)
-        .select("h")
+    # occurrence count as a WINDOW over h, not groupBy(h) + semi-join
+    # back: the join formulation evaluates the whole fold+explode subplan
+    # twice (once per join side — Catalyst has no subtree reuse across
+    # the agg/probe branches, and the exchanges diverge under column
+    # pruning so ReuseExchange never fires; measured 1.5 s vs 0.8 s at
+    # sf0.1). The window ships the triples through ONE exchange on h.
+    # Skew: a boilerplate span with huge df puts all copies in one
+    # window group — WindowExec buffers per-group with disk spill
+    # (ExternalAppendOnlyUnsafeRowArray), so mega-skew degrades to
+    # spill, not OOM; the equally-skewed join probe shuffle had the
+    # same per-key placement without even the spillable buffer.
+    from pyspark.sql import Window
+
+    wnd = Window.partitionBy("h")
+    return (
+        pos.withColumn("_n", F.count(F.lit(1)).over(wnd))
+        .filter(F.col("_n") >= min_count)
+        .drop("_n")
     )
-    return pos.join(dup, "h", "left_semi")
 
 
 def dedup_substrings(
