@@ -168,7 +168,12 @@ def _compress_kernel(
             state.update((last_t, last_v, pend_t, pend_v))
             arm_timer(False)
         else:
-            rows = pd.concat(list(pdfs)) if pdfs else pd.DataFrame()
+            chunks = list(pdfs)
+            rows = (
+                chunks[0]
+                if len(chunks) == 1
+                else (pd.concat(chunks) if chunks else pd.DataFrame())
+            )
             if seed_col is not None and len(rows) and seed_col in rows.columns:
                 is_seed = rows[seed_col].fillna(False).astype(bool)
                 seed_rows = rows[is_seed]
@@ -177,10 +182,18 @@ def _compress_kernel(
                     srow = seed_rows.sort_values("time").iloc[-1]
                     last_t, last_v = float(srow["time"]), float(srow["value"])
             if len(rows):
-                rows = rows.sort_values("time")
+                # numpy argsort + bulk .tolist(): the per-group python
+                # cost IS this lane's scale cost (one fn call per key per
+                # batch); iterating pandas Series pays ~3× per element,
+                # and .tolist() yields plain floats so the state tuple
+                # never carries numpy scalars into Arrow serialization
+                t_arr = rows["time"].to_numpy()
+                order = t_arr.argsort(kind="stable")
                 out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
                     last_t, last_v, pend_t, pend_v,
-                    rows["time"], rows["value"], deadtime, deadband,
+                    t_arr[order].tolist(),
+                    rows["value"].to_numpy()[order].tolist(),
+                    deadtime, deadband,
                 )
             state.update((last_t, last_v, pend_t, pend_v))
             arm_timer(pend_t is not None)

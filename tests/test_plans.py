@@ -367,3 +367,48 @@ def test_forecast_revenue_pushes_all_three_ranges(spark):
     filters = " ".join(pushed_filters(df))
     for col in ("l_shipdate", "l_discount", "l_quantity"):
         assert col in filters, filters
+
+
+def test_shingle_basis_hashes_tokens_exactly_once(spark):
+    """The layered-projection contract of _shingle_basis_frame (r6): the
+    per-token hash pipeline must appear EXACTLY ONCE in the optimized
+    plan. The single-expression form let CollapseProject clone the
+    tokenize+hash pipeline into every one of the fold's k+1 references —
+    measured ~4× the basis CPU at sf0.1 even for k=2 (md5 basis
+    1.7 s → 0.4 s after layering). A count > 1 here means a refactor
+    reintroduced the clone."""
+    from epicsarchiver_spark.catalog import load_table
+    from epicsarchiver_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    md5_plan = (
+        dedup.minhash_signatures(docs, shingle_k=2, basis="md5")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert md5_plan.count("md5") == 1, md5_plan[:3000]
+    xx_plan = (
+        dedup._shingle_basis_frame(docs, "text", "doc_id", 2, "xxhash")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert xx_plan.count("xxhash64") == 1, xx_plan[:3000]
+
+
+def test_duplicated_spans_single_fold_single_exchange(spark):
+    """duplicated_spans (r6): the occurrence count is a window over h —
+    ONE evaluation of the md5 fold and ONE exchange; the old
+    groupBy+semi-join shape evaluated the fold once per join branch."""
+    from epicsarchiver_spark.catalog import load_table
+    from epicsarchiver_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    q = dedup.duplicated_spans(docs, window=8)._jdf.queryExecution()
+    opt = q.optimizedPlan().toString()
+    assert opt.count("md5") == 1, opt[:3000]
+    phys = q.executedPlan().toString()
+    import re as _re
+
+    assert len(_re.findall(r"Exchange hashpartitioning", phys)) == 1, phys[:3000]
