@@ -1294,6 +1294,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cache_upsert_readback"] = _cache_readback
 
+    # --- r6: content-defined chunking (CDC) dedup ---------------------
+    # Variable-size chunks cut where the rolling hash meets the boundary
+    # mask — chunk identities stable under edits (the property fixed-
+    # width chunking lacks); chunk-level dedup across the corpus.
+    q["doc_cdc_chunks"] = lambda s, d: dedup.cdc_chunk_signatures(
+        load_table(s, d, "documents"), window=4, boundary_bits=5
+    )
+    q["doc_cdc_dup_chunks"] = lambda s, d: dedup.cdc_duplicate_chunks(
+        load_table(s, d, "documents"), window=4, boundary_bits=5
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
@@ -4123,6 +4134,53 @@ def oracle_sql() -> dict[str, str]:
         UNION
         SELECT event_id, pvname, time, value FROM points
         WHERE time BETWEEN {T0 - 4 * 86400} AND {T0 + 4 * 86400}
+        """
+    )
+
+    # CDC chunking: k=4 rolling fold (same two-lane md5 machinery as the
+    # ExactSubstr/winnow oracles), boundary at h % 2^5 == 0, chunk index
+    # = running boundary count, order-insensitive per-chunk signature
+    _CDC_W, _CDC_BITS = 4, 5
+    _cdc_lo = f"(th[i] & {LANE_MASK})"
+    _cdc_hi = "(th[i] >> 30)"
+    for _s in range(1, _CDC_W):
+        _cdc_lo = f"(({_cdc_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _cdc_hi = f"(({_cdc_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _CDC_PACK = f"({_cdc_lo}) + ({_cdc_hi}) * (1::BIGINT << 30)"
+    _CDC_SIGS = f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ), wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_CDC_W - 1}, 0) + 1),
+                                i -> {_CDC_PACK}) AS wh
+          FROM th
+        ), px AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM wh
+        ), ch AS (
+          SELECT doc_id, h,
+                 sum(CASE WHEN h % {1 << _CDC_BITS} = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+          FROM px
+        ), sigs AS (
+          SELECT doc_id, chunk_idx, count(*) AS n_windows,
+                 CAST(sum(h % {_P31}) % {_P31} AS BIGINT) AS sig_sum,
+                 CAST(min(h) AS BIGINT) AS sig_min,
+                 CAST(max(h) AS BIGINT) AS sig_max
+          FROM ch GROUP BY 1, 2
+        )
+    """
+    o["doc_cdc_chunks"] = (
+        _CDC_SIGS
+        + "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_windows,"
+        " sig_sum, sig_min, sig_max FROM sigs"
+    )
+    o["doc_cdc_dup_chunks"] = (
+        _CDC_SIGS
+        + """
+        SELECT n_windows, sig_sum, sig_min, sig_max, count(*) AS n_chunks
+        FROM sigs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
         """
     )
 

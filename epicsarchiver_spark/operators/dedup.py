@@ -903,6 +903,103 @@ def dedup_substrings(
     )
 
 
+def cdc_chunk_signatures(
+    docs: DataFrame,
+    window: int = 4,
+    boundary_bits: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Content-defined chunking (CDC): cut each document into
+    variable-size chunks at positions where the ``window``-token rolling
+    hash ≡ 0 (mod 2^``boundary_bits``) — the Rabin-style gear/content
+    boundary rule used by dedup stores and incremental-crawl pipelines.
+    Expected chunk length is 2^boundary_bits windows, and an edit only
+    redraws boundaries within one window of the change, so chunk
+    identities are STABLE under insertions — the property fixed-width
+    chunking (``chunk_documents``) lacks and the reason CDC chunk dedup
+    survives page re-crawls with small diffs.
+
+    Returns ``(id, chunk_idx, n_windows, sig_sum, sig_min, sig_max)``
+    — an order-insensitive signature per chunk (window-hash sum mod
+    2³¹−1, min, max, count) for corpus-level chunk dedup. Text never
+    leaves the document row; only (id, pos, hash) triples shuffle, once,
+    keyed by doc (the running boundary count), and the per-chunk
+    aggregate reuses that partitioning (group keys ⊇ partition key ⇒ no
+    second exchange). The two-lane md5 fold makes every value
+    bit-reproducible in an independent SQL engine (same basis as
+    ``duplicated_spans``/``winnow_fingerprints``)."""
+    from pyspark.sql import Window
+
+    from epicsarchiver_spark.functions.hashing import (
+        MERSENNE31,
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        window_fold,
+    )
+
+    th = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    )
+    lanes = th.select(
+        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
+    )
+    # outer + pos filter: see winnow_fingerprints — a plain posexplode
+    # lets InferFiltersFromGenerate clone the fold into an inferred
+    # filter below the projection
+    pos = lanes.select(
+        F.col(id_col),
+        F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
+            "pos", "h"
+        ),
+    ).filter(F.col("pos").isNotNull())
+    flag = F.when(F.pmod(F.col("h"), F.lit(1 << boundary_bits)) == 0, 1).otherwise(0)
+    wnd = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    chunked = pos.select(
+        F.col(id_col),
+        F.col("h"),
+        F.sum(flag).over(wnd).alias("chunk_idx"),
+    )
+    return chunked.groupBy(id_col, "chunk_idx").agg(
+        F.count(F.lit(1)).alias("n_windows"),
+        F.pmod(F.sum(F.pmod(F.col("h"), F.lit(MERSENNE31))), F.lit(MERSENNE31)).alias(
+            "sig_sum"
+        ),
+        F.min("h").alias("sig_min"),
+        F.max("h").alias("sig_max"),
+    )
+
+
+def cdc_duplicate_chunks(
+    docs: DataFrame,
+    window: int = 4,
+    boundary_bits: int = 5,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level CDC chunk dedup: chunk signatures occurring
+    ``min_count``+ times across the corpus — shared boilerplate found at
+    CHUNK granularity, robust to edits elsewhere in the page (compare
+    ``duplicated_spans``: fixed window granularity; ``segment_dedup``:
+    within-doc only). Returns one row per duplicated signature with its
+    occurrence count; signature shuffle volume is #chunks ≈ #windows /
+    2^boundary_bits rows, far below the span table."""
+    sigs = cdc_chunk_signatures(
+        docs, window=window, boundary_bits=boundary_bits, text=text, id_col=id_col
+    )
+    return (
+        sigs.groupBy("n_windows", "sig_sum", "sig_min", "sig_max")
+        .agg(F.count(F.lit(1)).alias("n_chunks"))
+        .filter(F.col("n_chunks") >= min_count)
+    )
+
+
 class FingerprintBloom:
     """A corpus-fingerprint Bloom filter — the classic streaming-ingest
     artifact for incremental exact dedup: membership "no" is definitive

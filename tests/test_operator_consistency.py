@@ -595,3 +595,57 @@ def test_ann_recall_small_index_reaches_one(spark):
     ).head()
     assert row.n_matched == 3
     assert row.recall == 1.0
+
+
+def test_cdc_chunks_stable_under_edits(spark):
+    """The CDC property (r6): inserting tokens near the start of a
+    document only redraws chunk boundaries within one window of the
+    edit — downstream chunk signatures are IDENTICAL, which is why
+    chunk-level dedup survives page re-crawls with small diffs (fixed-
+    width chunking shifts every subsequent chunk)."""
+    import random
+
+    from epicsarchiver_spark.operators.dedup import cdc_chunk_signatures
+
+    rng = random.Random(7)
+    words = [f"w{rng.randrange(500)}" for _ in range(400)]
+    base = " ".join(words)
+    edited = " ".join(words[:3] + ["INSERTED", "TOKENS"] + words[3:])
+    docs = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id long, text string"
+    )
+    sigs = cdc_chunk_signatures(docs, window=4, boundary_bits=4).collect()
+    a = {
+        (r.n_windows, r.sig_sum, r.sig_min, r.sig_max)
+        for r in sigs
+        if r.doc_id == 1
+    }
+    b = {
+        (r.n_windows, r.sig_sum, r.sig_min, r.sig_max)
+        for r in sigs
+        if r.doc_id == 2
+    }
+    shared = a & b
+    # all chunks after the edit's window re-sync: at boundary_bits=4 the
+    # expected chunk is ~16 windows, so ≥ half the chunks must survive
+    assert len(shared) >= max(2, len(a) // 2), (len(shared), len(a), len(b))
+
+
+def test_cdc_duplicate_chunks_finds_shared_boilerplate(spark):
+    """Two docs sharing a long boilerplate block + unique bodies: the
+    shared block's chunks are reported as duplicated signatures."""
+    import random
+
+    from epicsarchiver_spark.operators.dedup import cdc_duplicate_chunks
+
+    rng = random.Random(11)
+    boiler = " ".join(f"b{rng.randrange(100)}" for _ in range(200))
+    u1 = " ".join(f"x{rng.randrange(10**6)}" for _ in range(150))
+    u2 = " ".join(f"y{rng.randrange(10**6)}" for _ in range(150))
+    docs = spark.createDataFrame(
+        [(1, boiler + " " + u1), (2, boiler + " " + u2), (3, u1 + " solo tail here")],
+        "doc_id long, text string",
+    )
+    dups = cdc_duplicate_chunks(docs, window=4, boundary_bits=4).collect()
+    assert len(dups) >= 2  # several interior boilerplate chunks shared
+    assert all(r.n_chunks >= 2 for r in dups)
