@@ -1305,6 +1305,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), window=4, boundary_bits=5
     )
 
+    def _doc_cdc_incremental(s, d):
+        """Incremental CDC dedup report over a synthetic new batch:
+        verbatim re-crawls (%5, every chunk matches → dropped), EDITED
+        re-crawls (%7 + a suffix — the exact-fingerprint lane misses
+        these, but all-but-the-last chunk still matches → dropped:
+        CDC's raison d'être), and novel docs (%11 reversed → survive)."""
+        docs = load_table(s, d, "documents").select("doc_id", "text")
+        new = (
+            docs.filter(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 10000).alias("doc_id"), "text")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" unseen trailing tokens")).alias(
+                        "text"
+                    ),
+                )
+            )
+            .unionByName(
+                docs.filter(F.col("doc_id") % 11 == 1).select(
+                    (F.col("doc_id") + 30000).alias("doc_id"),
+                    F.reverse(F.col("text")).alias("text"),
+                )
+            )
+        )
+        return dedup.cdc_dedup_report(new, corpus=docs, window=4, boundary_bits=5)
+
+    q["doc_cdc_incremental"] = _doc_cdc_incremental
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
@@ -4147,30 +4176,36 @@ def oracle_sql() -> dict[str, str]:
         _cdc_lo = f"(({_cdc_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
         _cdc_hi = f"(({_cdc_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
     _CDC_PACK = f"({_cdc_lo}) + ({_cdc_hi}) * (1::BIGINT << 30)"
-    _CDC_SIGS = f"""
-        WITH th AS (
+    def _cdc_chain(p: str, src: str) -> str:
+        """The CDC signature CTE chain with prefix ``p`` over source
+        relation ``src`` (must expose doc_id, text) — reused for the
+        corpus and batch sides of the incremental report."""
+        return f"""
+        {p}th AS (
           SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
-          FROM documents
-        ), wh AS (
+          FROM {src}
+        ), {p}wh AS (
           SELECT doc_id,
                  list_transform(range(1, greatest(len(th) - {_CDC_W - 1}, 0) + 1),
                                 i -> {_CDC_PACK}) AS wh
-          FROM th
-        ), px AS (
-          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM wh
-        ), ch AS (
+          FROM {p}th
+        ), {p}px AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos
+          FROM {p}wh
+        ), {p}ch AS (
           SELECT doc_id, h,
                  sum(CASE WHEN h % {1 << _CDC_BITS} = 0 THEN 1 ELSE 0 END)
                    OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
-          FROM px
-        ), sigs AS (
+          FROM {p}px
+        ), {p}sig AS (
           SELECT doc_id, chunk_idx, count(*) AS n_windows,
                  CAST(sum(h % {_P31}) % {_P31} AS BIGINT) AS sig_sum,
                  CAST(min(h) AS BIGINT) AS sig_min,
                  CAST(max(h) AS BIGINT) AS sig_max
-          FROM ch GROUP BY 1, 2
-        )
-    """
+          FROM {p}ch GROUP BY 1, 2
+        )"""
+
+    _CDC_SIGS = "WITH " + _cdc_chain("", "documents").lstrip() + ", sigs AS (SELECT * FROM sig)\n"
     o["doc_cdc_chunks"] = (
         _CDC_SIGS
         + "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_windows,"
@@ -4183,6 +4218,32 @@ def oracle_sql() -> dict[str, str]:
         FROM sigs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
         """
     )
+
+    o["doc_cdc_incremental"] = f"""
+        WITH newb AS (
+          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text || ' unseen trailing tokens' AS text
+          FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 30000 AS doc_id, reverse(text) AS text
+          FROM documents WHERE doc_id % 11 = 1
+        ),
+        {_cdc_chain("c", "documents")},
+        {_cdc_chain("b", "newb")},
+        cset AS (
+          SELECT DISTINCT n_windows, sig_sum, sig_min, sig_max FROM csig
+        ),
+        stats AS (
+          SELECT b.doc_id, count(*) AS n_chunks, count(cset.sig_sum) AS n_matched
+          FROM bsig b
+          LEFT JOIN cset USING (n_windows, sig_sum, sig_min, sig_max)
+          GROUP BY 1
+        )
+        SELECT doc_id, n_chunks, n_matched,
+               n_matched >= 0.5 * n_chunks AS dropped
+        FROM stats
+        """
 
     o["cache_upsert_readback"] = (
         P

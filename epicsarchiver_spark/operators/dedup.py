@@ -1000,6 +1000,87 @@ def cdc_duplicate_chunks(
     )
 
 
+_CDC_KEY = ("n_windows", "sig_sum", "sig_min", "sig_max")
+
+
+def cdc_dedup_report(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    corpus_chunks: DataFrame | None = None,
+    window: int = 4,
+    boundary_bits: int = 5,
+    drop_frac: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incremental CDC dedup report — the chunk-level analog of
+    ``dedup_against_corpus``: for each batch document, how many of its
+    CDC chunks already exist anywhere in the standing corpus, and
+    whether the share reaches ``drop_frac`` (a re-crawled page with a
+    small edit shares all but ~one chunk, so it is caught here even
+    though its exact fingerprint is new — the gap exact dedup leaves).
+    Returns ``(id, n_chunks, n_matched, dropped)``.
+
+    ``corpus_chunks``: a precomputed chunk-signature table (from
+    ``cdc_chunk_signatures``, persisted once per corpus) — the
+    production shape; ``corpus`` docs are only chunked here when it is
+    absent. Join moves signature 4-tuples, never text; the corpus side
+    reduces to its DISTINCT signature set first."""
+    bsig = cdc_chunk_signatures(
+        batch, window=window, boundary_bits=boundary_bits, text=text, id_col=id_col
+    )
+    if corpus_chunks is None:
+        if corpus is None:
+            raise ValueError("cdc_dedup_report requires corpus or corpus_chunks")
+        corpus_chunks = cdc_chunk_signatures(
+            corpus, window=window, boundary_bits=boundary_bits, text=text, id_col=id_col
+        )
+    key = list(_CDC_KEY)
+    cset = corpus_chunks.select(*key).distinct()
+    per = bsig.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
+    matched = (
+        bsig.join(cset, key, "left_semi")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    return per.join(matched, id_col, "left").select(
+        F.col(id_col),
+        "n_chunks",
+        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
+        (
+            F.coalesce(F.col("n_matched"), F.lit(0))
+            >= F.lit(drop_frac) * F.col("n_chunks")
+        ).alias("dropped"),
+    )
+
+
+def cdc_dedup_against_corpus(
+    batch: DataFrame,
+    corpus: DataFrame | None = None,
+    corpus_chunks: DataFrame | None = None,
+    window: int = 4,
+    boundary_bits: int = 5,
+    drop_frac: float = 0.5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Batch rows surviving incremental CDC dedup (see
+    ``cdc_dedup_report``); documents too short to produce a chunk are
+    novel by definition and survive."""
+    rep = cdc_dedup_report(
+        batch,
+        corpus=corpus,
+        corpus_chunks=corpus_chunks,
+        window=window,
+        boundary_bits=boundary_bits,
+        drop_frac=drop_frac,
+        text=text,
+        id_col=id_col,
+    )
+    dropped = rep.filter(F.col("dropped")).select(id_col)
+    return batch.join(dropped, id_col, "left_anti")
+
+
 class FingerprintBloom:
     """A corpus-fingerprint Bloom filter — the classic streaming-ingest
     artifact for incremental exact dedup: membership "no" is definitive

@@ -649,3 +649,37 @@ def test_cdc_duplicate_chunks_finds_shared_boilerplate(spark):
     dups = cdc_duplicate_chunks(docs, window=4, boundary_bits=4).collect()
     assert len(dups) >= 2  # several interior boilerplate chunks shared
     assert all(r.n_chunks >= 2 for r in dups)
+
+
+def test_cdc_incremental_catches_edited_recrawls(spark):
+    """The lane's point: an edited re-crawl (new exact fingerprint, so
+    the exact anti-join keeps it) still drops at chunk level, while a
+    genuinely novel doc survives."""
+    import random
+
+    from epicsarchiver_spark.operators.dedup import (
+        cdc_dedup_against_corpus,
+        cdc_dedup_report,
+    )
+
+    rng = random.Random(3)
+    texts = [
+        " ".join(f"t{rng.randrange(300)}" for _ in range(250)) for _ in range(6)
+    ]
+    corpus = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, texts[0]),                        # verbatim re-crawl
+            (101, texts[1] + " tiny appended edit"),  # edited re-crawl
+            (102, " ".join(f"z{rng.randrange(10**6)}" for _ in range(250))),  # novel
+        ],
+        "doc_id long, text string",
+    )
+    rep = {r.doc_id: r for r in cdc_dedup_report(batch, corpus, boundary_bits=4).collect()}
+    assert rep[100].dropped and rep[100].n_matched == rep[100].n_chunks
+    assert rep[101].dropped and 0 < rep[101].n_matched  # edit caught
+    assert not rep[102].dropped and rep[102].n_matched == 0
+    survivors = {r.doc_id for r in cdc_dedup_against_corpus(batch, corpus, boundary_bits=4).collect()}
+    assert survivors == {102}
