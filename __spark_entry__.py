@@ -1334,6 +1334,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_cdc_incremental"] = _doc_cdc_incremental
 
+    q["doc_cdc_chunk_texts"] = lambda s, d: dedup.cdc_chunk_texts(
+        load_table(s, d, "documents"), window=4, boundary_bits=5
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
@@ -4218,6 +4222,27 @@ def oracle_sql() -> dict[str, str]:
         FROM sigs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
         """
     )
+
+    o["doc_cdc_chunk_texts"] = f"""
+        WITH {_cdc_chain("", "documents")},
+        cuts AS (SELECT doc_id, pos FROM px WHERE h % {1 << _CDC_BITS} = 0),
+        tk AS (
+          SELECT doc_id, unnest({TOK}) AS tok,
+                 unnest(range(0, len({TOK}))) AS pos
+          FROM documents
+        ),
+        mk AS (
+          SELECT t.doc_id, t.pos, t.tok,
+                 sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS chunk_idx
+          FROM tk t
+          LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               count(*) AS n_tokens
+        FROM mk GROUP BY 1, 2
+        """
 
     o["doc_cdc_incremental"] = f"""
         WITH newb AS (

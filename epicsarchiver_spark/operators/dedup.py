@@ -1000,6 +1000,82 @@ def cdc_duplicate_chunks(
     )
 
 
+def cdc_chunk_texts(
+    docs: DataFrame,
+    window: int = 4,
+    boundary_bits: int = 5,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The CDC chunks THEMSELVES — ``(id, chunk_idx, chunk_text,
+    n_tokens)`` with chunk_idx numbered exactly as in
+    ``cdc_chunk_signatures`` (token j belongs to chunk = count of
+    boundary windows at positions ≤ j; tokens past the last window stay
+    in the final chunk). This is the materialization step a training
+    pipeline runs AFTER chunk-level dedup decided what to keep —
+    variable-size, edit-stable training units, the CDC counterpart of
+    fixed-width ``text_ops.chunk_documents``.
+
+    Shape: token rows left-join the boundary rows on (id, position) —
+    a join, not an array lambda, because slicing the token array per
+    chunk inside a higher-order lambda re-evaluates the tokenizer per
+    reference (the CollapseProject pitfall measured at 30+ s; a join is
+    a collapse barrier). One running-count window + one grouped
+    reassembly, both keyed by doc — the second reuses the first's
+    partitioning."""
+    from pyspark.sql import Window
+
+    from epicsarchiver_spark.functions.hashing import (
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        window_fold,
+    )
+
+    th = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    )
+    lanes = th.select(
+        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
+    )
+    bounds = (
+        lanes.select(
+            F.col(id_col),
+            F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
+                "pos", "h"
+            ),
+        )
+        .filter(
+            F.col("pos").isNotNull()
+            & (F.pmod(F.col("h"), F.lit(1 << boundary_bits)) == 0)
+        )
+        .select(id_col, "pos", F.lit(1).alias("_cut"))
+    )
+    toks = docs.select(
+        F.col(id_col), F.posexplode_outer(tokens(F.col(text))).alias("pos", "tok")
+    ).filter(F.col("pos").isNotNull())
+    wnd = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = toks.join(bounds, [id_col, "pos"], "left").select(
+        F.col(id_col),
+        "pos",
+        "tok",
+        F.sum(F.coalesce(F.col("_cut"), F.lit(0))).over(wnd).alias("chunk_idx"),
+    )
+    return marked.groupBy(id_col, "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "tok"))), lambda s: s["tok"]
+            ),
+            " ",
+        ).alias("chunk_text"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 _CDC_KEY = ("n_windows", "sig_sum", "sig_min", "sig_max")
 
 

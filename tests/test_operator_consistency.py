@@ -683,3 +683,38 @@ def test_cdc_incremental_catches_edited_recrawls(spark):
     assert not rep[102].dropped and rep[102].n_matched == 0
     survivors = {r.doc_id for r in cdc_dedup_against_corpus(batch, corpus, boundary_bits=4).collect()}
     assert survivors == {102}
+
+
+def test_cdc_chunk_texts_partition_document_and_align_with_signatures(spark):
+    """chunk_texts is a PARTITION of each document's token stream (space-
+    joined concat in chunk order == the tokenized doc) and its chunk set
+    aligns 1:1 with cdc_chunk_signatures' (id, chunk_idx) keys."""
+    import random
+
+    from epicsarchiver_spark.operators.dedup import (
+        cdc_chunk_signatures,
+        cdc_chunk_texts,
+    )
+
+    rng = random.Random(5)
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(f"w{rng.randrange(200)}" for _ in range(rng.randrange(0, 300))))
+            for i in range(8)
+        ],
+        "doc_id long, text string",
+    )
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    chunks = cdc_chunk_texts(docs, window=4, boundary_bits=4).collect()
+    sigs = cdc_chunk_signatures(docs, window=4, boundary_bits=4).collect()
+    by_doc: dict = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text))
+    for did, parts in by_doc.items():
+        joined = " ".join(t for _, t in sorted(parts))
+        assert joined == " ".join(texts[did].split()), did
+    # every signature chunk has a text chunk for docs long enough to
+    # have windows (text chunks also cover the tail past the last window)
+    sig_keys = {(r.doc_id, r.chunk_idx) for r in sigs}
+    text_keys = {(r.doc_id, r.chunk_idx) for r in chunks}
+    assert sig_keys <= text_keys
