@@ -118,6 +118,8 @@ HEADLINE = [
     "emb_ann_recall",
     "ts_autocorr",
     "ts_interp_grid",
+    # r6: content-defined chunking dedup
+    "doc_cdc_dup_chunks",
 ]
 
 

@@ -412,3 +412,24 @@ def test_duplicated_spans_single_fold_single_exchange(spark):
     import re as _re
 
     assert len(_re.findall(r"Exchange hashpartitioning", phys)) == 1, phys[:3000]
+
+
+def test_cdc_single_fold_bounded_exchanges(spark):
+    """CDC lane (r6): each operator evaluates the md5 token fold exactly
+    once; chunk signatures run through ONE hash exchange (running
+    boundary count; the chunk aggregate reuses its partitioning) and
+    corpus-level dup grouping adds exactly one more."""
+    import re as _re
+
+    from epicsarchiver_spark.catalog import load_table
+    from epicsarchiver_spark.operators import dedup
+
+    docs = load_table(spark, SF_ORACLE, "documents")
+    for build, max_ex in (
+        (lambda: dedup.cdc_chunk_signatures(docs), 1),
+        (lambda: dedup.cdc_duplicate_chunks(docs), 2),
+    ):
+        qe = build()._jdf.queryExecution()
+        assert qe.optimizedPlan().toString().count("md5") == 1
+        n = len(_re.findall(r"Exchange hashpartitioning", qe.executedPlan().toString()))
+        assert n <= max_ex, (n, max_ex)
