@@ -1193,14 +1193,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
 
     # O4 — the `pvarch list` recent-runs listing (ref pvarch.py:297-306):
-    # monthly run names in the reference's pvarch_YYYYMM scheme, newest
-    # first, with each run's span and point count
+    # daily run names in the reference's pvarch_<date> scheme (the 30-day
+    # test window holds one month, so day-granularity keeps the listing
+    # non-trivial), newest first, with each run's span and point count
     q["cat_recent_runs"] = lambda s, d: (
         points_view(s, d)
         .groupBy(
             F.concat(
                 F.lit("pvarch_"),
-                F.date_format(F.timestamp_seconds(F.col("time")), "yyyyMM"),
+                F.date_format(F.timestamp_seconds(F.col("time")), "yyyyMMdd"),
             ).alias("run")
         )
         .agg(
@@ -1337,6 +1338,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_cdc_chunk_texts"] = lambda s, d: dedup.cdc_chunk_texts(
         load_table(s, d, "documents"), window=4, boundary_bits=5
     )
+
+    def _doc_dsir(s, d):
+        """DSIR importance scores with the src18 slice as the target
+        domain — rank every corpus doc by log p_target/p_raw under
+        union-vocab Lidstone unigram models (Xie et al. 2023)."""
+        docs = load_table(s, d, "documents")
+        return text_ops.dsir_scores(docs, docs.filter(F.col("source") == "src18"))
+
+    q["doc_dsir_scores"] = _doc_dsir
 
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
@@ -4119,7 +4129,7 @@ def oracle_sql() -> dict[str, str]:
     o["cat_recent_runs"] = (
         P
         + f"""
-        SELECT 'pvarch_' || strftime(to_timestamp(time), '%Y%m') AS run,
+        SELECT 'pvarch_' || strftime(to_timestamp(time), '%Y%m%d') AS run,
                min(time) AS t0, max(time) AS t1, count(*) AS n
         FROM points GROUP BY 1
         ORDER BY run DESC LIMIT {RECENT_RUNS_LIMIT}
@@ -4242,6 +4252,40 @@ def oracle_sql() -> dict[str, str]:
                string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
                count(*) AS n_tokens
         FROM mk GROUP BY 1, 2
+        """
+
+    o["doc_dsir_scores"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), raw_model AS (
+          SELECT term, sum(tf) AS c_raw FROM tf GROUP BY term
+        ), tgt_model AS (
+          SELECT term, count(*) AS c_tgt FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents WHERE source = 'src18'
+          ) GROUP BY term
+        ), vocab AS (
+          SELECT coalesce(r.term, t.term) AS term,
+                 coalesce(c_raw, 0) AS c_raw, coalesce(c_tgt, 0) AS c_tgt
+          FROM raw_model r FULL OUTER JOIN tgt_model t ON r.term = t.term
+        ), tot AS (
+          SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt, count(*) AS v FROM vocab
+        ), w AS (
+          SELECT term,
+                 ln((c_tgt + 0.5) / (tot.nt + 0.5 * tot.v))
+                 - ln((c_raw + 0.5) / (tot.nr + 0.5 * tot.v)) AS w
+          FROM vocab CROSS JOIN tot
+        )
+        SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(sum(tf.tf * w.w) / sum(tf.tf), 6) AS dsir_score
+        FROM tf JOIN w USING (term)
+        GROUP BY tf.doc_id
         """
 
     o["doc_cdc_incremental"] = f"""

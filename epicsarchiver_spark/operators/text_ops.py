@@ -61,6 +61,73 @@ def unigram_logprob(
     )
 
 
+def dsir_scores(
+    docs: DataFrame,
+    target: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): rank raw-corpus
+    documents by how much more likely they are under a TARGET-domain
+    bag-of-words model than under the raw corpus's own model —
+
+        score(d) = (1/|d|) Σ_w tf(w,d) · [log p_target(w) − log p_raw(w)]
+
+    with both unigram models Lidstone-smoothed over the UNION vocabulary
+    (same V on both sides, so out-of-target terms are penalized rather
+    than undefined). Sample top-score (or importance-resample on
+    exp(score)) to tilt the training mix toward the target domain — the
+    standard cheap alternative to classifier-based selection.
+
+    Plan shape (the ``unigram_logprob`` discipline): both models are
+    vocab-sized aggregates; the per-term log-ratio weight computes ONCE
+    on the joined vocab frame (full outer, missing side → count 0); the
+    big per-doc tf frame joins that weight table a single time; N/V
+    totals ride one broadcast 1-row frame. No eager action anywhere."""
+    d_toks = docs.select(
+        F.col(id_col), F.explode(T.tokens(F.lower(F.col(text)))).alias("term")
+    )
+    tf = d_toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    raw_model = tf.groupBy("term").agg(F.sum("tf").alias("c_raw"))
+    tgt_model = (
+        target.select(F.explode(T.tokens(F.lower(F.col(text)))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c_tgt"))
+    )
+    vocab = raw_model.join(tgt_model, "term", "full_outer").select(
+        "term",
+        F.coalesce(F.col("c_raw"), F.lit(0)).alias("c_raw"),
+        F.coalesce(F.col("c_tgt"), F.lit(0)).alias("c_tgt"),
+    )
+    totals = vocab.agg(
+        F.sum("c_raw").alias("_Nr"),
+        F.sum("c_tgt").alias("_Nt"),
+        F.count(F.lit(1)).alias("_V"),
+    )
+    log_ratio = F.log(
+        (F.col("c_tgt") + F.lit(alpha))
+        / (F.col("_Nt") + F.lit(alpha) * F.col("_V")).cast("double")
+    ) - F.log(
+        (F.col("c_raw") + F.lit(alpha))
+        / (F.col("_Nr") + F.lit(alpha) * F.col("_V")).cast("double")
+    )
+    weights = vocab.crossJoin(F.broadcast(totals)).select(
+        "term", log_ratio.alias("_w")
+    )
+    return (
+        tf.join(weights, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            F.round(F.sum(F.col("tf") * F.col("_w")) / F.sum("tf"), 6).alias(
+                "dsir_score"
+            ),
+        )
+    )
+
+
 def dedup_segments(
     docs: DataFrame, sep: str = "\n", text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -718,3 +718,29 @@ def test_cdc_chunk_texts_partition_document_and_align_with_signatures(spark):
     sig_keys = {(r.doc_id, r.chunk_idx) for r in sigs}
     text_keys = {(r.doc_id, r.chunk_idx) for r in chunks}
     assert sig_keys <= text_keys
+
+
+def test_dsir_scores_rank_target_like_docs_higher(spark):
+    """Documents drawn from the target domain's vocabulary must outscore
+    off-domain documents — the property importance resampling relies on."""
+    import random
+
+    from epicsarchiver_spark.operators.text_ops import dsir_scores
+
+    rng = random.Random(9)
+    tgt_vocab = [f"med{j}" for j in range(50)]
+    gen_vocab = [f"gen{j}" for j in range(50)]
+    rows = []
+    for i in range(10):
+        rows.append((i, " ".join(rng.choice(tgt_vocab) for _ in range(80))))
+    for i in range(10, 20):
+        rows.append((i, " ".join(rng.choice(gen_vocab) for _ in range(80))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(100 + i, " ".join(rng.choice(tgt_vocab) for _ in range(80))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.dsir_score for r in dsir_scores(docs, target).collect()}
+    in_domain = [scores[i] for i in range(10)]
+    off_domain = [scores[i] for i in range(10, 20)]
+    assert min(in_domain) > max(off_domain)
