@@ -1348,6 +1348,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dsir_scores"] = _doc_dsir
 
+    # rolling robust anomalies: each point vs the trailing 25 samples of
+    # its own series — fast excursions flag, slow drift does not
+    q["ts_rolling_outliers"] = lambda s, d: timeseries.rolling_robust_outliers(
+        _points(s, d), window=25, k=5.0
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
@@ -4253,6 +4259,31 @@ def oracle_sql() -> dict[str, str]:
                count(*) AS n_tokens
         FROM mk GROUP BY 1, 2
         """
+
+    o["ts_rolling_outliers"] = (
+        P
+        + """,
+        buf AS (
+          SELECT pvname, time, value,
+                 list_sort(list(value) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS arr
+          FROM points
+        ),
+        m AS (
+          SELECT pvname, time, value, arr, len(arr) AS n_win,
+                 arr[(len(arr) + 1) // 2] AS med
+          FROM buf
+        ),
+        d AS (
+          SELECT pvname, time, value, n_win, med,
+                 list_sort(list_transform(arr, x -> abs(x - med)))[(n_win + 1) // 2] AS mad
+          FROM m
+        )
+        SELECT pvname, time, value, med, mad, CAST(n_win AS INT) AS n_win
+        FROM d WHERE mad > 0 AND abs(value - med) > 5.0 * mad
+        """
+    )
 
     o["doc_dsir_scores"] = r"""
         WITH toks AS (

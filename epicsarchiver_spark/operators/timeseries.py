@@ -1045,6 +1045,61 @@ def robust_outliers(
     )
 
 
+def rolling_robust_outliers(
+    points: DataFrame,
+    window: int = 25,
+    k: float = 5.0,
+    key: str = "pvname",
+) -> DataFrame:
+    """ROLLING median/MAD anomaly detection: flag each point against the
+    trailing ``window`` samples of its own series — |v − med| > k·MAD
+    with med/MAD computed over the last ``window`` rows (inclusive).
+    The local complement of ``robust_outliers``: a slow drift moves the
+    rolling median with it, so only FAST excursions flag — glitches and
+    steps, not seasonal wander (which ``ts_drift``/``ts_level_shifts``
+    report instead). Early points use however many samples exist.
+    Returns the flagged rows ``(key, time, value, med, mad, n_win)``.
+
+    One exchange (series key) + sort; the window collects ``window``
+    doubles per row and both medians are array-local on that buffer —
+    O(w log w) per row, no second pass and no re-shuffle (the global
+    operator's two aggregate passes don't port to a per-row window).
+    Lower-median convention (element (n+1)÷2 of the sorted buffer) so
+    any SQL engine reproduces it exactly; MAD = 0 (locally constant)
+    flags nothing, as in the global operator."""
+    from pyspark.sql import Window
+
+    wnd = (
+        Window.partitionBy(key)
+        .orderBy(*order_cols(points))
+        .rowsBetween(-(window - 1), Window.currentRow)
+    )
+    # the window collect materializes once (WindowExec is a projection
+    # barrier); n_win/med/mad all read the _arr attribute
+    buffered = points.select(
+        F.col(key),
+        "time",
+        "value",
+        F.sort_array(F.collect_list("value").over(wnd)).alias("_arr"),
+    ).withColumn("n_win", F.size("_arr"))
+    med_col = F.element_at("_arr", ((F.col("n_win") + 1) / 2).cast("int"))
+    with_med = buffered.select(
+        key, "time", "value", "_arr", "n_win", med_col.alias("med")
+    )
+    resid = F.sort_array(
+        F.transform("_arr", lambda x: F.abs(x - F.col("med")))
+    )
+    mad_col = F.element_at(resid, ((F.col("n_win") + 1) / 2).cast("int"))
+    return (
+        with_med.select(key, "time", "value", "n_win", "med", mad_col.alias("mad"))
+        .filter(
+            (F.col("mad") > 0)
+            & (F.abs(F.col("value") - F.col("med")) > F.lit(k) * F.col("mad"))
+        )
+        .select(key, "time", "value", "med", "mad", "n_win")
+    )
+
+
 def decimate_minmax(
     points: DataFrame,
     t0: float,

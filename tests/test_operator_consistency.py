@@ -744,3 +744,29 @@ def test_dsir_scores_rank_target_like_docs_higher(spark):
     in_domain = [scores[i] for i in range(10)]
     off_domain = [scores[i] for i in range(10, 20)]
     assert min(in_domain) > max(off_domain)
+
+
+def test_rolling_outliers_flag_glitches_not_drift(spark):
+    """A spike against the trailing window flags; a slow monotonic ramp
+    moves the rolling median with it and must NOT flag (the global
+    median/MAD operator would flag the ramp's tails — that contrast is
+    the point of the rolling variant)."""
+    from epicsarchiver_spark.operators.timeseries import rolling_robust_outliers
+
+    rows = []
+    # drifting series: slow ramp 0..99
+    for i in range(100):
+        rows.append((i, "DRIFT", float(i), float(i)))
+    # glitch series: flat with one spike at t=50
+    for i in range(100):
+        v = 500.0 if i == 50 else 10.0 + (i % 3) * 0.1
+        rows.append((1000 + i, "GLITCH", float(i), v))
+    pts = spark.createDataFrame(
+        rows, "event_id long, pvname string, time double, value double"
+    )
+    out = rolling_robust_outliers(pts, window=25, k=5.0).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.pvname, []).append(r.time)
+    assert "DRIFT" not in by, by.get("DRIFT")
+    assert by.get("GLITCH") == [50.0]
