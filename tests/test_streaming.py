@@ -885,3 +885,65 @@ def test_upsert_jdbc_streaming_query(spark, events_dir, tmp_path):
         .collect()
     }
     assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
+
+
+def test_outlier_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming rolling anomalies == the batch operator on the same
+    in-order input, across micro-batch boundaries (the trailing buffer
+    carries the window between batches)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import rolling_robust_outliers
+    from epicsarchiver_spark.streaming.alerts import outlier_stream
+
+    rng = __import__("random").Random(13)
+    rows = []
+    eid = 0
+    for pv in ("A", "B"):
+        base = 10.0 if pv == "A" else -5.0
+        for i in range(120):
+            v = base + rng.random() * 0.5
+            if i in (40, 90):
+                v += 300.0  # glitches
+            rows.append((eid, pv, float(i), v))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "pvname", "time", "value"])
+    src = tmp_path / "src"
+    src.mkdir()
+    # three files → multiple micro-batches with maxFilesPerTrigger=1
+    for j in range(3):
+        part = pdf[pdf["time"].between(j * 40, j * 40 + 39)]
+        part[["pvname", "time", "value"]].to_parquet(src / f"p{j}.parquet", index=False)
+
+    batch_df = spark.createDataFrame(
+        pdf, "event_id long, pvname string, time double, value double"
+    )
+    expected = {
+        (r.pvname, r.time, r.value, r.med, r.mad, r.n_win)
+        for r in rolling_robust_outliers(batch_df, window=25, k=5.0).collect()
+    }
+    glitch_times = {t for (_, t, *_rest) in expected}
+    assert {40.0, 90.0} <= glitch_times  # both glitches flagged per series
+    # (cold-window early points may also flag — tiny MAD; same rows in
+    # both lanes is what the equivalence below asserts)
+
+    stream = (
+        spark.readStream.schema("pvname string, time double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out")
+    q = (
+        outlier_stream(stream, window=25, k=5.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.pvname, r.time, r.value, r.med, r.mad, r.n_win)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
