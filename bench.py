@@ -118,8 +118,10 @@ HEADLINE = [
     "emb_ann_recall",
     "ts_autocorr",
     "ts_interp_grid",
-    # r6: content-defined chunking dedup
+    # r6: content-defined chunking dedup, DSIR selection, rolling anomalies
     "doc_cdc_dup_chunks",
+    "doc_dsir_scores",
+    "ts_rolling_outliers",
 ]
 
 
