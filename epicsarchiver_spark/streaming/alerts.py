@@ -197,6 +197,10 @@ def outlier_stream(
             else (pd.concat(chunks) if chunks else pd.DataFrame())
         )
         if len(rows):
+            # a null time/value row must not wedge the batch in an
+            # at-least-once retry loop (same guard as the JDBC lane)
+            rows = rows.dropna(subset=["time", "value"])
+        if len(rows):
             t_arr = rows["time"].to_numpy()
             order = t_arr.argsort(kind="stable")
             flags, buf_t, buf_v = _rolling_flags(
