@@ -779,6 +779,39 @@ def dedup_near(
     return docs.join(losers, id_col, "left_anti")
 
 
+def _window_hash_positions(
+    docs: "DataFrame", window: int, text: str, id_col: str
+) -> "DataFrame":
+    """``(id, pos, h)`` rows: the positional two-lane md5 window fold,
+    layered projections (per-token pipeline evaluated exactly once —
+    the ``hashing.window_fold`` contract), posexplode_OUTER + pos filter
+    (a plain posexplode lets InferFiltersFromGenerate clone the fold
+    into an inferred filter below the projection — measured ~12× on
+    this stage). Shared by ExactSubstr spans, CDC chunking and the
+    chunk-text materializer."""
+    from epicsarchiver_spark.functions.hashing import (
+        lane_hi,
+        lane_lo,
+        md5_hash60,
+        window_fold,
+    )
+
+    th = docs.select(
+        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    )
+    lanes = th.select(
+        F.col(id_col),
+        lane_lo(F.col("th")).alias("lo"),
+        lane_hi(F.col("th")).alias("hi"),
+    )
+    return lanes.select(
+        F.col(id_col),
+        F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
+            "pos", "h"
+        ),
+    ).filter(F.col("pos").isNotNull())
+
+
 def duplicated_spans(
     docs: DataFrame,
     window: int = 8,
@@ -805,27 +838,7 @@ def duplicated_spans(
     shuffles here. Layered projections keep the per-token md5 pipeline
     evaluated exactly once (see ``hashing.window_fold``).
     """
-    from epicsarchiver_spark.functions.hashing import (
-        lane_hi,
-        lane_lo,
-        md5_hash60,
-        window_fold,
-    )
-
-    th = docs.select(
-        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
-    )
-    lanes = th.select(
-        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
-    )
-    # outer + pos filter: see winnow_fingerprints — the inferred-filter
-    # clone of the window fold cost ~12× on this stage
-    pos = lanes.select(
-        F.col(id_col),
-        F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
-            "pos", "h"
-        ),
-    ).filter(F.col("pos").isNotNull())
+    pos = _window_hash_positions(docs, window, text, id_col)
     # occurrence count as a WINDOW over h, not groupBy(h) + semi-join
     # back: the join formulation evaluates the whole fold+explode subplan
     # twice (once per join side — Catalyst has no subtree reuse across
@@ -931,29 +944,9 @@ def cdc_chunk_signatures(
     ``duplicated_spans``/``winnow_fingerprints``)."""
     from pyspark.sql import Window
 
-    from epicsarchiver_spark.functions.hashing import (
-        MERSENNE31,
-        lane_hi,
-        lane_lo,
-        md5_hash60,
-        window_fold,
-    )
+    from epicsarchiver_spark.functions.hashing import MERSENNE31
 
-    th = docs.select(
-        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
-    )
-    lanes = th.select(
-        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
-    )
-    # outer + pos filter: see winnow_fingerprints — a plain posexplode
-    # lets InferFiltersFromGenerate clone the fold into an inferred
-    # filter below the projection
-    pos = lanes.select(
-        F.col(id_col),
-        F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
-            "pos", "h"
-        ),
-    ).filter(F.col("pos").isNotNull())
+    pos = _window_hash_positions(docs, window, text, id_col)
     flag = F.when(F.pmod(F.col("h"), F.lit(1 << boundary_bits)) == 0, 1).otherwise(0)
     wnd = (
         Window.partitionBy(id_col)
@@ -1025,30 +1018,9 @@ def cdc_chunk_texts(
     partitioning."""
     from pyspark.sql import Window
 
-    from epicsarchiver_spark.functions.hashing import (
-        lane_hi,
-        lane_lo,
-        md5_hash60,
-        window_fold,
-    )
-
-    th = docs.select(
-        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
-    )
-    lanes = th.select(
-        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
-    )
     bounds = (
-        lanes.select(
-            F.col(id_col),
-            F.posexplode_outer(window_fold(F.col("lo"), F.col("hi"), window)).alias(
-                "pos", "h"
-            ),
-        )
-        .filter(
-            F.col("pos").isNotNull()
-            & (F.pmod(F.col("h"), F.lit(1 << boundary_bits)) == 0)
-        )
+        _window_hash_positions(docs, window, text, id_col)
+        .filter(F.pmod(F.col("h"), F.lit(1 << boundary_bits)) == 0)
         .select(id_col, "pos", F.lit(1).alias("_cut"))
     )
     toks = docs.select(
