@@ -1348,6 +1348,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_dsir_scores"] = _doc_dsir
 
+    # span-level benchmark decontamination (GPT-3/PaLM style): excise
+    # every corpus token covered by a window-hash collision with the
+    # benchmark slice; documents keep their clean remainder
+    def _doc_decontaminate(s, d):
+        docs = load_table(s, d, "documents")
+        return dedup.decontaminate_spans(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+            window=8,
+        )
+
+    q["doc_decontaminate_spans"] = _doc_decontaminate
+
     # rolling robust anomalies: each point vs the trailing 25 samples of
     # its own series — fast excursions flag, slow drift does not
     q["ts_rolling_outliers"] = lambda s, d: timeseries.rolling_robust_outliers(
@@ -4258,6 +4271,48 @@ def oracle_sql() -> dict[str, str]:
                string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
                count(*) AS n_tokens
         FROM mk GROUP BY 1, 2
+        """
+
+    # span decontamination: corpus (%97 != 0) windows colliding with the
+    # benchmark slice (%97 == 0) excised — same k=8 fold as ExactSubstr
+    o["doc_decontaminate_spans"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        cth AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th FROM corpus
+        ), cwh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM cth
+        ), cpx AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM cwh
+        ), bth AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th FROM bench
+        ), bwh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM bth
+        ), bh AS (
+          SELECT DISTINCT unnest(wh) AS h FROM bwh
+        ), starts AS (
+          SELECT doc_id, list_sort(list(pos)) AS starts
+          FROM cpx WHERE h IN (SELECT h FROM bh) GROUP BY doc_id
+        ), j AS (
+          SELECT d.doc_id, {TOK} AS t, coalesce(s.starts, CAST([] AS BIGINT[])) AS st
+          FROM corpus d LEFT JOIN starts s USING (doc_id)
+        ), k AS (
+          SELECT doc_id, t, st,
+                 list_filter(t, (x, i) ->
+                   len(list_filter(st, s -> s <= i - 1 AND i - 1 < s + {_SUB_L})) = 0) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(st) AS BIGINT) AS n_dup_windows,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_dup_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM k
         """
 
     o["ts_rolling_outliers"] = (

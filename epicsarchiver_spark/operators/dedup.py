@@ -883,15 +883,23 @@ def dedup_substrings(
     when small; the span-coverage test is an array-local exists() over
     the start list, O(n·d) per doc. Nothing quadratic in the corpus.
     """
-    dup_pos = (
-        duplicated_spans(docs, window, text, id_col, min_count)
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("starts"))
+    flagged = duplicated_spans(docs, window, text, id_col, min_count)
+    return _excise_spans(docs, flagged, window, text, id_col)
+
+
+def _excise_spans(
+    docs: DataFrame, flagged: DataFrame, window: int, text: str, id_col: str
+) -> DataFrame:
+    """Remove every token covered by a flagged (id, pos) window start —
+    the shared excision tail of ExactSubstr dedup and benchmark span
+    decontamination. Layered projections: toks / starts / kept are each
+    referenced more than once downstream — materialize them as
+    attributes (the join is the collapse barrier) so the split and the
+    nested exists() evaluate once per doc, not per reference."""
+    span_pos = flagged.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("starts")
     )
-    # layered projections: toks / starts / kept are each referenced more
-    # than once downstream — materialize them as attributes so the split
-    # and the nested exists() evaluate once per doc, not per reference
-    base = docs.join(dup_pos, id_col, "left").select(
+    base = docs.join(span_pos, id_col, "left").select(
         F.col(id_col),
         tokens(F.col(text)).alias("toks"),
         F.coalesce(F.col("starts"), F.array().cast("array<integer>")).alias("st"),
@@ -914,6 +922,36 @@ def dedup_substrings(
         (F.size("toks") - F.size("kept")).cast("long").alias("n_dup_tokens"),
         F.array_join("kept", " ").alias("text_clean"),
     )
+
+
+def decontaminate_spans(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    window: int = 13,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SPAN-level benchmark decontamination (the GPT-3/PaLM procedure:
+    excise any length-``window`` token span that collides with the
+    evaluation benchmark, rather than dropping whole documents): every
+    token covered by a window whose rolling hash appears anywhere in
+    ``benchmark`` is removed; the rest of the document survives. The
+    surgical counterpart of ``text_ops`` document-level contamination
+    REPORTING — training data keeps its clean remainder.
+
+    Scale shape: the benchmark side reduces to its DISTINCT window-hash
+    set (tiny — benchmarks are MBs against a TB corpus; Catalyst
+    broadcasts the semi-join), corpus text never shuffles, and the
+    excision is the shared array-local ``_excise_spans`` tail. Returns
+    ``(id, n_tokens, n_dup_windows, n_dup_tokens, text_clean)`` with
+    the same column contract as ``dedup_substrings``."""
+    bench_h = (
+        _window_hash_positions(benchmark, window, text, id_col).select("h").distinct()
+    )
+    hits = _window_hash_positions(docs, window, text, id_col).join(
+        bench_h, "h", "left_semi"
+    )
+    return _excise_spans(docs, hits, window, text, id_col)
 
 
 def cdc_chunk_signatures(

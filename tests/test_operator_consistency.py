@@ -770,3 +770,28 @@ def test_rolling_outliers_flag_glitches_not_drift(spark):
         by.setdefault(r.pvname, []).append(r.time)
     assert "DRIFT" not in by, by.get("DRIFT")
     assert by.get("GLITCH") == [50.0]
+
+
+def test_decontaminate_spans_excises_benchmark_collisions_only(spark):
+    """A corpus doc quoting a benchmark passage loses exactly the quoted
+    span; clean docs pass through untouched; a fully-contaminated doc
+    empties."""
+    from epicsarchiver_spark.operators.dedup import decontaminate_spans
+
+    passage = " ".join(f"q{j}" for j in range(20))
+    clean = " ".join(f"c{j}" for j in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, clean + " " + passage + " tail tok here and more padding words"),
+            (2, clean),
+            (3, passage),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, passage)], "doc_id long, text string")
+    out = {r.doc_id: r for r in decontaminate_spans(docs, bench, window=8).collect()}
+    assert out[2].n_dup_tokens == 0 and out[2].text_clean == clean
+    assert out[3].text_clean == "" and out[3].n_dup_tokens == 20
+    assert "q5" not in out[1].text_clean.split()
+    assert out[1].text_clean.startswith(clean)
+    assert out[1].text_clean.split()[-1] == "words"
