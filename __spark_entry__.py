@@ -1361,6 +1361,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_decontaminate_spans"] = _doc_decontaminate
 
+    # cluster-balanced sampling: a deterministic per-cell quota over the
+    # embedding space (uniform sampling over-draws dense clusters)
+    q["emb_cell_sample"] = lambda s, d: similarity.cell_balanced_sample(
+        load_table(s, d, "embeddings"), per_cell=4, n_cells=8, dim=64
+    )
+
     # rolling robust anomalies: each point vs the trailing 25 samples of
     # its own series — fast excursions flag, slow drift does not
     q["ts_rolling_outliers"] = lambda s, d: timeseries.rolling_robust_outliers(
@@ -4271,6 +4277,21 @@ def oracle_sql() -> dict[str, str]:
                string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
                count(*) AS n_tokens
         FROM mk GROUP BY 1, 2
+        """
+
+    _ID_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(vec_id AS VARCHAR))")
+    o["emb_cell_sample"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+        ),
+        h AS (SELECT vec_id, cell, {_ID_HASH60} AS hh FROM assigned)
+        SELECT vec_id, cell, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rk
+          FROM h
+        ) WHERE rk <= 4
         """
 
     # span decontamination: corpus (%97 != 0) windows colliding with the

@@ -804,6 +804,52 @@ def assign_cells(
     return corpus.select(id_col, _nearest_cell_udf(centroids)(F.col("_v")).alias("cell"))
 
 
+def cell_balanced_sample(
+    vectors: DataFrame,
+    per_cell: int = 10,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Cluster-balanced sampling: a deterministic quota of ``per_cell``
+    vectors from every semantic cell — the diversity-sampling step of a
+    curriculum/eval-set builder (uniform sampling over-draws the dense
+    clusters; per-cell quotas cover the embedding space). Returns
+    ``(id, cell, rk)`` with rk ∈ [1, per_cell].
+
+    Order within a cell is the 60-bit md5 hash of the id (portable: any
+    SQL engine reproduces the same sample) with the id as tiebreak — a
+    seeded shuffle, not "first rows win". The rank filter compiles to
+    Spark's WindowGroupLimit: each map partition keeps only its own
+    top-``per_cell`` BEFORE the exchange, so shuffle volume is
+    partitions × cells × per_cell rows, not the corpus."""
+    from pyspark.sql import Window
+
+    from epicsarchiver_spark.functions.hashing import md5_hash60
+
+    assigned = assign_cells(
+        vectors,
+        n_cells=n_cells,
+        centroids=centroids,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    )
+    hashed = assigned.select(
+        F.col(id_col), "cell", md5_hash60(F.col(id_col).cast("string")).alias("_h")
+    )
+    w = Window.partitionBy("cell").orderBy("_h", id_col)
+    return (
+        hashed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= per_cell)
+        .select(id_col, "cell", "rk")
+    )
+
+
 def cell_stats(
     vectors: DataFrame,
     n_cells: int = 16,

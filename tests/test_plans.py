@@ -433,3 +433,17 @@ def test_cdc_single_fold_bounded_exchanges(spark):
         assert qe.optimizedPlan().toString().count("md5") == 1
         n = len(_re.findall(r"Exchange hashpartitioning", qe.executedPlan().toString()))
         assert n <= max_ex, (n, max_ex)
+
+
+def test_cell_sample_uses_window_group_limit(spark):
+    """The per-cell quota filter must compile to WindowGroupLimit: each
+    map partition keeps only its top-per_cell rows BEFORE the exchange —
+    shuffle volume partitions × cells × quota, not the corpus."""
+    from epicsarchiver_spark.catalog import load_table
+    from epicsarchiver_spark.operators.similarity import cell_balanced_sample
+
+    df = cell_balanced_sample(
+        load_table(spark, SF_ORACLE, "embeddings"), per_cell=4, n_cells=8, dim=64
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan, plan[:2000]
