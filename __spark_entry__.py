@@ -1373,6 +1373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), window=25, k=5.0
     )
 
+    # dead-PV triage: each series' 3 largest silent intervals
+    q["ts_largest_gaps"] = lambda s, d: timeseries.largest_gaps(_points(s, d), top_n=3)
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
@@ -4358,6 +4361,28 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT pvname, time, value, med, mad, CAST(n_win AS INT) AS n_win
         FROM d WHERE mad > 0 AND abs(value - med) > 5.0 * mad
+        """
+    )
+
+    o["ts_largest_gaps"] = (
+        P
+        + """,
+        g AS (
+          SELECT pvname,
+                 lag(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS gap_start,
+                 time AS gap_end
+          FROM points
+        ),
+        r AS (
+          SELECT pvname, gap_start, gap_end,
+                 row_number() OVER (
+                   PARTITION BY pvname
+                   ORDER BY gap_end - gap_start DESC, gap_start) AS rk
+          FROM g WHERE gap_start IS NOT NULL
+        )
+        SELECT pvname, gap_start, gap_end,
+               round(gap_end - gap_start, 6) AS gap_s, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 3
         """
     )
 

@@ -195,6 +195,42 @@ def rate_windowed(
     )
 
 
+def largest_gaps(
+    points: DataFrame,
+    top_n: int = 3,
+    key: str = "pvname",
+) -> DataFrame:
+    """Dead-PV triage: each series' ``top_n`` largest silent intervals —
+    ``(key, gap_start, gap_end, gap_s, rk)``. The ops view behind the
+    reference's cadence checking (a healthy archived PV's max gap ≈ its
+    heartbeat; a gap of days means the collector lost the channel).
+    One series-keyed exchange for the lag; the rank filter compiles to
+    WindowGroupLimit (map-side top-N per series). Ties break on
+    gap_start for cross-engine determinism."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(*order_cols(points))
+    gapped = points.select(
+        F.col(key),
+        F.lag("time").over(w).alias("gap_start"),
+        F.col("time").alias("gap_end"),
+    ).filter(F.col("gap_start").isNotNull())
+    rk_w = Window.partitionBy(key).orderBy(
+        (F.col("gap_end") - F.col("gap_start")).desc(), F.col("gap_start")
+    )
+    return (
+        gapped.withColumn("rk", F.row_number().over(rk_w))
+        .filter(F.col("rk") <= top_n)
+        .select(
+            key,
+            "gap_start",
+            "gap_end",
+            F.round(F.col("gap_end") - F.col("gap_start"), 6).alias("gap_s"),
+            "rk",
+        )
+    )
+
+
 def sessionize(
     points: DataFrame, gap_s: float, key: str = "pvname"
 ) -> DataFrame:
