@@ -122,6 +122,12 @@ HEADLINE = [
     "doc_cdc_dup_chunks",
     "doc_dsir_scores",
     "ts_rolling_outliers",
+    # r6b: SemDeDup, CCNet tiers, scalar-subquery relational shapes
+    "emb_semantic_dedup",
+    "doc_ccnet_buckets",
+    "rel_part_value_share",
+    "rel_top_supplier",
+    "rel_idle_customers",
 ]
 
 

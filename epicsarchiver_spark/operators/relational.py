@@ -292,3 +292,79 @@ def supplier_part_counts(
         .groupBy("p_brand", "p_size")
         .agg(F.count(F.lit(1)).alias("supplier_cnt"))
     )
+
+
+def part_value_share(
+    lineitem: DataFrame, part: DataFrame, fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11-style "important stock": parts whose traded value
+    exceeds ``fraction`` of the corpus-wide total (Q11's partsupp value
+    adapted to this schema's lineitem fact). One fact scan produces the
+    per-part aggregate; the SAME aggregate re-reduces to the global
+    total, which rides a broadcast one-row frame into the HAVING filter
+    — no second fact scan, no scalar-subquery recompute. The part
+    dimension broadcasts onto the (already reduced, |parts|-sized)
+    survivor set, never the raw fact."""
+    val = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_part = lineitem.groupBy("l_partkey").agg(F.round(val, 2).alias("part_value"))
+    total = per_part.agg(F.sum("part_value").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") > F.lit(fraction) * F.col("_tot"))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            F.col("p_partkey"), F.col("p_brand"), F.col("p_type"), F.col("part_value")
+        )
+    )
+
+
+def top_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    d0: str = "1996-01-01",
+    d1: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q15-style top supplier: the supplier(s) with maximum
+    revenue in a shipdate quarter. Per-supplier revenue is one map-side
+    partial aggregate over the date-pruned fact scan; the max rides back
+    as a broadcast one-row frame joined on equality of the ROUNDED
+    revenue (2dp before the max, so the tie set is well-defined across
+    engines — Q15's correlated subquery, expressed as aggregate + 
+    broadcast semi-equality instead of a rescan)."""
+    rev = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    per_supp = (
+        lineitem.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .groupBy("l_suppkey")
+        .agg(F.round(rev, 2).alias("total_revenue"))
+    )
+    mx = per_supp.agg(F.max("total_revenue").alias("_mx"))
+    return (
+        per_supp.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("_mx"))
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def idle_wealthy_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q22-style "global sales opportunity": customers with an
+    account balance above the average POSITIVE balance who have never
+    placed an order, rolled up per nation. The average is a broadcast
+    one-row frame (Q22's scalar subquery); the no-orders predicate is a
+    left anti-join against the DISTINCT custkeys of orders — reduced
+    map-side before the join so the anti side shuffles |customers with
+    orders| keys, not |orders| rows."""
+    avg_bal = customer.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("_avg")
+    )
+    buyers = orders.select("o_custkey").dropDuplicates()
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg"))
+        .join(buyers, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )

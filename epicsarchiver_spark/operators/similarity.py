@@ -1005,3 +1005,64 @@ def semantic_contamination(
         )
         .withColumn("contaminated", F.col("max_cosine") >= F.lit(threshold))
     )
+
+
+def semantic_dedup(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication of a training corpus — cluster the embeddings with
+    coarse centroids, then compare pairs ONLY within a cluster and drop
+    every vector that has a same-cell neighbor at/above ``threshold``
+    cosine with a smaller id. Returns the DROP list with its evidence:
+    ``(vec_id, cell, keep_id, max_cosine, n_dups)`` where ``keep_id`` is
+    the smallest-id surviving duplicate. Anti-join the corpus against
+    ``vec_id`` to materialize the deduplicated set.
+
+    Keeper policy: the paper keeps the cluster-medoid-most-distant
+    member; min-id is used here so the result is deterministic and any
+    SQL engine reproduces it (the policy is one ORDER BY away and does
+    not change WHAT is a duplicate group).
+
+    Scale shape: the quadratic blow-up is fenced per cell — the join key
+    is ``cell``, so pair work is Σ n_cell², not n², and only
+    (id, cell, vector, norm) rows shuffle once on the cell key. Norms
+    are computed once per side BEFORE the pair join (the
+    ``semantic_contamination`` lesson: a fused cosine folds each norm
+    once per PAIR — 3 interpreted folds per pair instead of 1). For a
+    mega-cell (skewed corpus), sub-bucket the cell with the hyperplane
+    band trick (``cosine_near_duplicates_banded``) before pairing;
+    recall stays governed by the band count, not the cell size."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    assigned = corpus.select(
+        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    ).withColumn("_n", norm(F.col("_v")))
+    a = assigned.select(
+        F.col(id_col).alias("_aid"), "cell", F.col("_v").alias("_av"), F.col("_n").alias("_an")
+    )
+    b = assigned.select(
+        F.col(id_col).alias("_bid"), "cell", F.col("_v").alias("_bv"), F.col("_n").alias("_bn")
+    )
+    sim = F.round(dot(F.col("_av"), F.col("_bv")) / (F.col("_an") * F.col("_bn")), 6)
+    return (
+        a.join(b, on=[a.cell == b.cell, F.col("_bid") < F.col("_aid")])
+        .select(F.col("_aid"), a.cell.alias("cell"), F.col("_bid"), sim.alias("_sim"))
+        .filter(F.col("_sim") >= F.lit(threshold))
+        .groupBy(F.col("_aid").alias(id_col), "cell")
+        .agg(
+            F.min("_bid").alias("keep_id"),
+            F.max("_sim").alias("max_cosine"),
+            F.count(F.lit(1)).alias("n_dups"),
+        )
+    )

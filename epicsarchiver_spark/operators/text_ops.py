@@ -1106,3 +1106,70 @@ def quality_classifier(
         prob.alias("quality_prob"),
     )
     return out.withColumn("keep", F.col("quality_prob") >= F.lit(threshold))
+
+
+def perplexity_buckets(
+    docs: DataFrame,
+    n_buckets: int = 3,
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    lam: float = 0.8,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
+    corpus into equal-population quality tiers by language-model score —
+    bucket 1 ("head") is the lowest mean negative log-probability (most
+    fluent), the last bucket ("tail") the highest. CCNet keeps head+middle
+    for LM pretraining and routes tail to re-filtering. The LM is the
+    corpus-trained interpolated bigram model of ``bigram_logprob``.
+
+    Exact NTILE semantics WITHOUT a global single-partition window: a
+    global ``F.ntile().over(Window.orderBy(...))`` funnels the whole
+    corpus through ONE task. Instead the global rank is decomposed as
+    rank = (docs with strictly smaller rounded score) + (row_number
+    within my score by id): the first term comes from a score-keyed
+    count + a running sum over the DISTINCT-score frame (vocab-of-scores
+    sized — bounded by 10⁶ six-dp values in practice, so its window is
+    cheap), the second from a window partitioned BY score (parallel over
+    scores). The ntile bucket is then pure arithmetic on (rank, n),
+    reproducing SQL NTILE's first-buckets-get-the-remainder rule, so any
+    engine's ntile() is the oracle."""
+    from pyspark.sql import Window
+
+    scored = bigram_logprob(docs, text=text, id_col=id_col, alpha=alpha, lam=lam)
+    # per-score population, cumulative base over the ordered distinct scores
+    per_score = scored.groupBy("mean_neg_logprob").agg(F.count(F.lit(1)).alias("_c"))
+    wscore = (
+        Window.orderBy("mean_neg_logprob")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = per_score.select(
+        "mean_neg_logprob", (F.sum("_c").over(wscore) - F.col("_c")).alias("_base")
+    )
+    n_total = scored.agg(F.count(F.lit(1)).alias("_n"))
+    within = F.row_number().over(
+        Window.partitionBy("mean_neg_logprob").orderBy(id_col)
+    )
+    ranked = (
+        scored.withColumn("_rw", within)
+        .join(base, "mean_neg_logprob")
+        .crossJoin(F.broadcast(n_total))
+        .withColumn("_rank", F.col("_base") + F.col("_rw"))
+    )
+    k = F.lit(n_buckets)
+    small = (F.col("_n") / k).cast("long")  # floor
+    extra = F.col("_n") % k
+    cut = extra * (small + 1)  # rows living in the size-(small+1) buckets
+    bucket = F.when(
+        F.col("_rank") <= cut, ((F.col("_rank") - 1) / (small + 1)).cast("long") + 1
+    ).otherwise(extra + ((F.col("_rank") - 1 - cut) / small).cast("long") + 1)
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return (
+        ranked.withColumn("bucket", bucket.cast("int"))
+        .withColumn("bucket_label", label)
+        .select(id_col, "n_tokens", "mean_neg_logprob", "bucket", "bucket_label")
+    )

@@ -447,3 +447,39 @@ def test_cell_sample_uses_window_group_limit(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan, plan[:2000]
+
+
+def test_scalar_subquery_shapes_broadcast_the_one_row_frames(spark):
+    """Q11/Q15/Q22 adaptations: the scalar aggregate (total / max / avg)
+    must ride a BroadcastNestedLoopJoin or broadcast exchange — never a
+    shuffled cartesian — and the dimension joins must broadcast."""
+    for name in ("rel_part_value_share", "rel_top_supplier", "rel_idle_customers"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, (
+            name,
+            plan[:1500],
+        )
+
+
+def test_semantic_dedup_joins_on_cell_never_all_pairs(spark):
+    plan = _plan(spark, "emb_semantic_dedup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # equi-join on the cell key (hash or sort-merge both acceptable)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan[:1500]
+
+
+def test_ccnet_buckets_has_no_global_single_partition_window(spark):
+    """The ntile decomposition must not funnel the corpus through one
+    task: every Window over doc-keyed rows is partitioned (the only
+    unpartitioned window runs on the distinct-score frame, which is
+    bounded); assert no `Window` whose partition spec is empty operates
+    directly on the exploded doc frame by checking the doc-side window
+    carries a partitionBy on the score."""
+    plan = _plan(spark, "doc_ccnet_buckets")
+    # row_number window partitioned by score: Spark renders the partition
+    # spec inside the Window operator arguments
+    assert "row_number" in plan
+    m = re.search(r"Window \[row_number\(\).*?\]", plan)
+    assert m is None or "partitionBy" not in m.group(0) or "mean_neg_logprob" in m.group(0)
