@@ -1389,6 +1389,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n_buckets=3
     )
 
+    # data-recipe accounting: natural vs target mixture per source
+    q["doc_mixture_plan"] = lambda s, d: text_ops.mixture_plan(
+        load_table(s, d, "documents")
+    )
+
     # TPC-H Q11/Q15/Q22 adaptations: scalar-subquery-as-broadcast shapes
     q["rel_part_value_share"] = lambda s, d: relational.part_value_share(
         load_table(s, d, "lineitem"), load_table(s, d, "part"), fraction=0.001
@@ -4499,6 +4504,20 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    o["doc_mixture_plan"] = r"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (SELECT sum(n_tokens) AS t, count(*) AS nsrc FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / t, 6) AS natural_share,
+               round(1.0 / nsrc, 6) AS target_share,
+               round((1.0 / nsrc) / (n_tokens / t), 6) AS mix_weight
+        FROM per CROSS JOIN tot
+    """
 
     o["rel_part_value_share"] = """
         WITH pp AS (

@@ -1173,3 +1173,52 @@ def perplexity_buckets(
         .withColumn("bucket_label", label)
         .select(id_col, "n_tokens", "mean_neg_logprob", "bucket", "bucket_label")
     )
+
+
+def mixture_plan(
+    docs: DataFrame,
+    target_weights: dict[str, float] | None = None,
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Data-mixture recipe: per-source token accounting and the
+    sampling weight that reshapes the natural corpus mixture into a
+    target mixture (the Pile/DoReMi-style "data recipe" step that
+    precedes packing). For each source: document and token counts, its
+    natural token share, the target share (uniform across sources when
+    ``target_weights`` is None, else the normalized given weights), and
+    ``mix_weight`` = target/natural — the per-source sampling rate
+    multiplier (>1 ⇒ upsample/repeat epochs, <1 ⇒ downsample).
+
+    Scale shape: token counts are a pure-expression projection (no
+    tokenizer UDF — ``token_count`` is one regexp scan) feeding a
+    source-keyed aggregate with map-side partials; the corpus total and
+    the weight-normalization constant ride broadcast one-row frames.
+    |sources| is dashboard-sized, so everything after the first
+    aggregate is negligible."""
+    per_src = docs.select(
+        F.col(source_col).alias("source"), T.token_count(F.col(text)).alias("_t")
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("_t").alias("n_tokens")
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("_tot"), F.count(F.lit(1)).alias("_nsrc")
+    )
+    base = per_src.crossJoin(F.broadcast(totals))
+    if target_weights is None:
+        tgt = F.lit(1.0) / F.col("_nsrc")
+    else:
+        wsum = float(sum(target_weights.values()))
+        m = F.create_map(
+            *[F.lit(x) for kv in target_weights.items() for x in (kv[0], kv[1] / wsum)]
+        )
+        tgt = F.coalesce(m[F.col("source")], F.lit(0.0))
+    natural = F.col("n_tokens").cast("double") / F.col("_tot")
+    return base.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(natural, 6).alias("natural_share"),
+        F.round(tgt, 6).alias("target_share"),
+        F.round(tgt / natural, 6).alias("mix_weight"),
+    )
