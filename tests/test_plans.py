@@ -462,12 +462,21 @@ def test_scalar_subquery_shapes_broadcast_the_one_row_frames(spark):
         )
 
 
-def test_semantic_dedup_joins_on_cell_never_all_pairs(spark):
+def test_semantic_dedup_one_cell_shuffle_no_pair_join(spark):
+    """The pair space must live inside the per-cell GEMM, not the plan:
+    no join of any kind, exactly one exchange (the cell-keyed shuffle
+    feeding applyInPandas)."""
     plan = _plan(spark, "emb_semantic_dedup")
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # equi-join on the cell key (hash or sort-merge both acceptable)
-    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan[:1500]
+    for op in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert op not in plan, op
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan
 
 
 def test_ccnet_buckets_has_no_global_single_partition_window(spark):
