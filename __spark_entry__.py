@@ -1389,6 +1389,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n_buckets=3
     )
 
+    # per-source report card: volume, quality, lang agreement, dup rate
+    q["doc_corpus_report"] = lambda s, d: text_ops.corpus_report(
+        load_table(s, d, "documents")
+    )
+
+    # D4 prototypicality pruning: top-20%-per-cell by centroid cosine
+    q["emb_prototype_scores"] = lambda s, d: similarity.prototype_scores(
+        load_table(s, d, "embeddings"), drop_frac=0.2, n_cells=8, dim=64
+    )
+
     # data-recipe accounting: natural vs target mixture per source
     q["doc_mixture_plan"] = lambda s, d: text_ops.mixture_plan(
         load_table(s, d, "documents")
@@ -4503,6 +4513,77 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["doc_corpus_report"] = f"""
+        WITH t AS (
+          SELECT source, lang AS lang_true,
+                 length(text) AS n,
+                 {TOK} AS toks0,
+                 list_transform({TOK}, x -> lower(x)) AS toks,
+                 {PUNCT} AS np,
+                 lower(substr(md5(text), 1, 16)) AS fp
+          FROM documents
+        ), s AS (
+          SELECT source, lang_true, n, toks0, np, fp, {score_cols} FROM t
+        ), r AS (
+          SELECT source, lang_true, fp,
+                 len(toks0) AS ntok,
+                 CASE WHEN n > 0 THEN np * 1.0 / n ELSE 0.0 END AS praw,
+                 CASE WHEN len(toks0) > 0
+                      THEN len(list_filter(toks0, x -> list_contains({STOPS}, lower(x))))
+                           * 1.0 / len(toks0)
+                      ELSE 0.0 END AS sraw,
+                 least(n / 500.0, 1.0) AS len_score,
+                 {case_pred} AS lang_pred
+          FROM s
+        ), d AS (
+          SELECT source, lang_true, lang_pred, ntok,
+                 round(0.4 * len_score + 0.3 * (1.0 - least(praw * 5, 1.0))
+                       + 0.3 * least(sraw * 10, 1.0), 6) AS q,
+                 CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS dup
+          FROM r
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               round(avg(q), 6) AS mean_quality,
+               round(avg(CASE WHEN lang_pred = lang_true THEN 1.0 ELSE 0.0 END), 6)
+                 AS lang_match_rate,
+               round(avg(dup * 1.0), 6) AS dup_rate
+        FROM d GROUP BY source
+        """
+
+    o["emb_prototype_scores"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos, e[CAST(t.i AS INTEGER)] AS x
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax FROM ex GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        scored AS (
+          SELECT vec_id, assigned.cell,
+                 round({_COS.format(a="e", b="c")}, 6) AS proto_cosine
+          FROM assigned JOIN cent ON assigned.cell = cent.cell
+        ),
+        ranked AS (
+          SELECT vec_id, cell, proto_cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY proto_cosine DESC, vec_id
+                 ) AS INTEGER) AS rk,
+                 CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+          FROM scored
+        )
+        SELECT vec_id, cell, proto_cosine, rk, cell_n,
+               rk <= ceil(0.2 * cell_n) AS dropped
+        FROM ranked
         """
 
     o["doc_mixture_plan"] = r"""

@@ -128,6 +128,9 @@ HEADLINE = [
     "rel_part_value_share",
     "rel_top_supplier",
     "rel_idle_customers",
+    "emb_prototype_scores",
+    "doc_corpus_report",
+    "doc_mixture_plan",
 ]
 
 

@@ -1094,3 +1094,74 @@ def semantic_dedup(
         )
 
     return assigned.groupBy("cell").applyInPandas(_dedup_cell, schema=out_schema)
+
+
+def prototype_scores(
+    vectors: DataFrame,
+    drop_frac: float = 0.2,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """D4-style prototypicality pruning (Tirumala et al. 2023,
+    arXiv:2308.12284): after near-dup removal, the most PROTOTYPICAL
+    examples of each semantic cluster (highest cosine to the cluster's
+    data centroid) carry the least marginal information — drop the top
+    ``drop_frac`` of every cell by that score. Returns every vector with
+    its ``(cell, proto_cosine, rk, cell_n, dropped)`` so the caller can
+    anti-join or re-rank.
+
+    Cross-engine determinism: the data centroid (component-wise mean of
+    the cell's vectors) is rounded to 6 dp BEFORE the cosine — both
+    engines then feed near-identical operands into the 6-dp-rounded
+    score, so distributed-vs-sequential summation order in the mean
+    cannot flip a rank (margin ~1e-10 vs the 5e-7 rounding step).
+
+    Scale shape: centroids come from the ``cell_stats`` posexplode
+    aggregate (map-side partials reduce to ≤ cells × dim rows per
+    partition before the shuffle) and rejoin as a broadcast
+    (|cells|-row) frame; scoring is one narrow scan; the rank window is
+    partitioned by cell. No pairwise anything — D4's cost is linear
+    after clustering."""
+    from pyspark.sql import Window
+
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    assigned = corpus.select(
+        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    )
+    cents = (
+        assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("_ax"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ax"))),
+                lambda s: F.round(s["_ax"], 6),
+            ).alias("_cent")
+        )
+    )
+    scored = assigned.join(F.broadcast(cents), "cell").select(
+        F.col(id_col),
+        "cell",
+        F.round(
+            dot(F.col("_v"), F.col("_cent")) / (norm(F.col("_v")) * norm(F.col("_cent"))),
+            6,
+        ).alias("proto_cosine"),
+    )
+    w = Window.partitionBy("cell")
+    rk = F.row_number().over(w.orderBy(F.desc("proto_cosine"), id_col))
+    return (
+        scored.withColumn("rk", rk)
+        .withColumn("cell_n", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "dropped", F.col("rk") <= F.ceil(F.lit(float(drop_frac)) * F.col("cell_n"))
+        )
+    )

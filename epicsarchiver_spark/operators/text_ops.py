@@ -1222,3 +1222,46 @@ def mixture_plan(
         F.round(tgt, 6).alias("target_share"),
         F.round(tgt / natural, 6).alias("mix_weight"),
     )
+
+
+def corpus_report(
+    docs: DataFrame, text: str = "text", source_col: str = "source", label: str = "lang"
+) -> DataFrame:
+    """Per-source corpus report card — the monitoring rollup a curation
+    pipeline publishes after every crawl/merge: document and token
+    volume, mean heuristic quality, language-ID agreement with the
+    declared label, and the exact-duplicate rate (share of docs whose
+    md5 text fingerprint occurs more than once CORPUS-wide, so
+    cross-source duplication is charged to every source holding a
+    copy).
+
+    One doc-level projection computes tokens/quality/lang/fingerprint
+    in a single narrow scan (the ``_with_lang_pred`` layering); the dup
+    flag needs the only extra exchange — a fingerprint-keyed window
+    count whose partitions are duplicate groups (bounded); the final
+    per-source aggregate is map-side partial. Linear, two shuffles,
+    no text movement after the scan."""
+    from pyspark.sql import Window
+
+    base = _with_lang_pred(
+        docs,
+        text,
+        [
+            F.col(source_col).alias("source"),
+            F.col(label).alias("_lang_true"),
+            T.token_count(F.col(text)).alias("_ntok"),
+            F.round(T.quality_score(F.col(text)), 6).alias("_q"),
+            T.fingerprint64(F.col(text)).alias("_fp"),
+        ],
+    )
+    dup = F.count(F.lit(1)).over(Window.partitionBy("_fp")) > 1
+    flagged = base.withColumn("_dup", dup.cast("int"))
+    return flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("_ntok").alias("n_tokens"),
+        F.round(F.avg("_q"), 6).alias("mean_quality"),
+        F.round(
+            F.avg((F.col("lang_pred") == F.col("_lang_true")).cast("double")), 6
+        ).alias("lang_match_rate"),
+        F.round(F.avg(F.col("_dup").cast("double")), 6).alias("dup_rate"),
+    )
