@@ -1394,6 +1394,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # n-gram diversity per source (Self-BLEU-style collapse monitor)
+    q["doc_ngram_diversity"] = lambda s, d: text_ops.ngram_diversity(
+        load_table(s, d, "documents"), max_n=3
+    )
+
+    # per-doc OOV rate vs the corpus top-1000 vocab
+    q["doc_oov_rates"] = lambda s, d: text_ops.oov_rates(
+        load_table(s, d, "documents"), vocab_k=1000
+    )
+
     # D4 prototypicality pruning: top-20%-per-cell by centroid cosine
     q["emb_prototype_scores"] = lambda s, d: similarity.prototype_scores(
         load_table(s, d, "embeddings"), drop_frac=0.2, n_cells=8, dim=64
@@ -4513,6 +4523,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["doc_ngram_diversity"] = rf"""
+        WITH toks AS (
+          SELECT source, {TOK} AS tk FROM documents
+        ), grams AS (
+          SELECT source, n,
+                 unnest(list_transform(
+                   range(1, greatest(len(tk) - n + 1, 0) + 1),
+                   i -> array_to_string(
+                     tk[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ')
+                 )) AS gram
+          FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) nn
+        ), cnt AS (
+          SELECT source, n, gram, count(*) AS c FROM grams GROUP BY source, n, gram
+        )
+        SELECT source, CAST(n AS INTEGER) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_grams,
+               CAST(sum(c) AS BIGINT) AS total_grams,
+               round(count(*) * 1.0 / sum(c), 6) AS diversity
+        FROM cnt GROUP BY source, n
+        """
+
+    o["doc_oov_rates"] = rf"""
+        WITH lt AS (
+          SELECT doc_id,
+                 list_transform({TOK}, x -> lower(x)) AS tk
+          FROM documents
+        ), cnt AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(tk) AS term FROM lt) GROUP BY term
+        ), topk AS (
+          SELECT term FROM cnt ORDER BY c DESC, term LIMIT 1000
+        ), vocab AS (SELECT list(term) AS v FROM topk)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tk, t -> NOT list_contains(v, t))) AS BIGINT)
+                 AS n_oov,
+               round(len(list_filter(tk, t -> NOT list_contains(v, t)))
+                     * 1.0 / len(tk), 6) AS oov_rate
+        FROM lt CROSS JOIN vocab
+        WHERE len(tk) > 0
         """
 
     o["doc_corpus_report"] = f"""

@@ -131,6 +131,8 @@ HEADLINE = [
     "emb_prototype_scores",
     "doc_corpus_report",
     "doc_mixture_plan",
+    "doc_ngram_diversity",
+    "doc_oov_rates",
 ]
 
 

@@ -1265,3 +1265,92 @@ def corpus_report(
         ).alias("lang_match_rate"),
         F.round(F.avg(F.col("_dup").cast("double")), 6).alias("dup_rate"),
     )
+
+
+def ngram_diversity(
+    docs: DataFrame, max_n: int = 3, text: str = "text", source_col: str = "source"
+) -> DataFrame:
+    """Distinct-n-gram diversity per source (the corpus-level half of
+    Self-BLEU-style diversity monitoring; low ratios flag boilerplate or
+    synthetic-data mode collapse): for n = 1..max_n, distinct word
+    n-grams over total n-grams, per source.
+
+    All n sizes are built array-locally from ONE token array in one
+    scan (space-joined slices — no self-join, no re-tokenize per n),
+    then a (source, n, gram) partial count reduces map-side before the
+    (source, n) rollup: shuffle volume is the distinct-gram vocabulary,
+    never the corpus."""
+    toks = docs.select(
+        F.col(source_col).alias("source"), T.tokens(F.col(text)).alias("_tk")
+    )
+    def _grams(n: int):
+        # closure, NOT a default arg: transform() passes the element
+        # index as a second lambda parameter when the callable is
+        # binary, so `lambda i, n=n:` silently rebinds n to the index
+        return F.when(F.size("_tk") >= n, F.transform(
+            F.sequence(F.lit(1), F.size("_tk") - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_tk"), i, n)),
+        )).otherwise(F.array().cast("array<string>"))
+
+    per_n = [
+        F.struct(F.lit(n).alias("n"), _grams(n).alias("grams"))
+        for n in range(1, max_n + 1)
+    ]
+    return (
+        toks.select("source", F.explode(F.array(*per_n)).alias("ng"))
+        .select("source", F.col("ng.n").alias("n"), F.explode("ng.grams").alias("gram"))
+        .groupBy("source", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .groupBy("source", "n")
+        .agg(
+            F.count(F.lit(1)).alias("distinct_grams"),
+            F.sum("_c").alias("total_grams"),
+        )
+        .withColumn(
+            "diversity", F.round(F.col("distinct_grams") / F.col("total_grams"), 6)
+        )
+    )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab_k: int = 1000,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc out-of-vocabulary rate against the corpus's own top-K
+    frequency vocabulary (lowercased) — the tokenizer-coverage signal a
+    pipeline checks before committing to a vocab size: docs with high
+    OOV either carry rare-domain text worth keeping or junk worth
+    dropping; either way they need eyes.
+
+    The top-K vocab is a term-count aggregate + one K-row top-k
+    (TakeOrderedAndProject — K rows to the driver side of the plan,
+    broadcast back); per-doc OOV is then an array-local count against
+    the broadcast vocab array — the doc tokens never shuffle at all.
+    Ties at the K boundary break by term for determinism."""
+    lt = docs.select(
+        F.col(id_col),
+        F.transform(T.tokens(F.col(text)), lambda t: F.lower(t)).alias("_tk"),
+    )
+    counts = (
+        lt.select(F.explode("_tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    # TakeOrderedAndProject: every partition keeps its own top-K, the
+    # driver merges K rows — no single-partition window over the vocab
+    topk = counts.orderBy(F.desc("_c"), F.col("term")).limit(vocab_k)
+    vocab = topk.agg(F.array_sort(F.collect_list("term")).alias("_vocab"))
+    return (
+        lt.crossJoin(F.broadcast(vocab))
+        .select(
+            F.col(id_col),
+            F.size("_tk").cast("long").alias("n_tokens"),
+            F.size(F.filter("_tk", lambda t: ~F.array_contains(F.col("_vocab"), t)))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+    )
