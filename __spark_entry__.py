@@ -25,6 +25,7 @@ from epicsarchiver_spark.sources import points_store, sinks
 from epicsarchiver_spark.operators import (
     control,
     cull,
+    curation,
     dedup,
     deadband,
     events as ev,
@@ -1392,6 +1393,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # per-source report card: volume, quality, lang agreement, dup rate
     q["doc_corpus_report"] = lambda s, d: text_ops.corpus_report(
         load_table(s, d, "documents")
+    )
+
+    # curation chain audit: first-failing-stage verdict + funnel rollup
+    q["doc_pipeline_verdicts"] = lambda s, d: curation.pipeline_verdicts(
+        load_table(s, d, "documents")
+    )
+    q["doc_pipeline_funnel"] = lambda s, d: curation.pipeline_funnel(
+        curation.pipeline_verdicts(load_table(s, d, "documents"))
     )
 
     # n-gram diversity per source (Self-BLEU-style collapse monitor)
@@ -4523,6 +4532,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    _verdicts_sql = f"""
+        WITH gop AS (SELECT doc_id, keep FROM ({o["doc_gopher_rules"]})),
+        nd AS (SELECT DISTINCT id_b AS doc_id FROM ({o["doc_jaccard_pairs"]})),
+        cont AS (
+          SELECT doc_id FROM ({o["doc_contamination"]})
+          WHERE contaminated_frac >= 0.05
+        ),
+        fp AS (SELECT doc_id, lower(substr(md5(text), 1, 16)) AS f FROM documents),
+        ed AS (
+          SELECT fp.doc_id
+          FROM fp JOIN (SELECT f, min(doc_id) AS kid FROM fp GROUP BY f) k USING (f)
+          WHERE fp.doc_id <> k.kid
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+                    WHEN NOT gop.keep THEN 'gopher'
+                    WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'kept' END AS stage
+        FROM documents d
+        LEFT JOIN gop USING (doc_id)
+        LEFT JOIN ed USING (doc_id)
+        LEFT JOIN nd USING (doc_id)
+        LEFT JOIN cont USING (doc_id)
+        """
+
+    o["doc_pipeline_verdicts"] = f"""
+        SELECT doc_id, stage, stage = 'kept' AS kept FROM ({_verdicts_sql})
+        """
+
+    o["doc_pipeline_funnel"] = f"""
+        WITH v AS ({_verdicts_sql}),
+        tot AS (SELECT count(*) AS n FROM v)
+        SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+               round(count(*) * 1.0 / tot.n, 6) AS share
+        FROM v CROSS JOIN tot GROUP BY stage, tot.n
         """
 
     o["doc_ngram_diversity"] = rf"""

@@ -133,6 +133,7 @@ HEADLINE = [
     "doc_mixture_plan",
     "doc_ngram_diversity",
     "doc_oov_rates",
+    "doc_pipeline_verdicts",
 ]
 
 

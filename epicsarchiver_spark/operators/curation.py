@@ -1,0 +1,126 @@
+"""End-to-end corpus-curation composition: the RefinedWeb/FineWeb-style
+stage chain (heuristic filter → exact dedup → fuzzy dedup → benchmark
+decontamination) expressed as ONE declarative plan that emits a
+first-failing-stage verdict per document.
+
+The per-stage operators live in ``text_ops`` / ``dedup``; this module is
+the audit view a pipeline owner actually reads: where did each document
+die, and what survived.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.functions.text import fingerprint64
+from epicsarchiver_spark.operators import dedup
+from epicsarchiver_spark.operators.text_ops import contamination_overlap, gopher_rules
+
+# stage priorities: lower = earlier in the chain = wins the verdict
+_STAGES = [(2, "gopher"), (3, "exact_dup"), (4, "near_dup"), (5, "contaminated")]
+
+
+def pipeline_verdicts(
+    docs: DataFrame,
+    bench_mod: int = 97,
+    jaccard_threshold: float = 0.05,
+    shingle_k: int = 2,
+    contamination_n: int = 3,
+    contamination_threshold: float = 0.05,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document curation verdict ``(doc_id, stage, kept)`` where
+    ``stage`` is the FIRST stage that would remove the doc, in pipeline
+    order: ``benchmark`` (the held-out eval split, id % bench_mod == 0 —
+    never trained on), ``gopher`` (Rae et al. 2021 heuristic rules),
+    ``exact_dup`` (a smaller-id byte-identical copy exists),
+    ``near_dup`` (a smaller-id fuzzy duplicate at/above the Jaccard
+    threshold exists), ``contaminated`` (distinct-n-gram overlap with
+    the benchmark split at/above ``contamination_threshold``), else
+    ``kept``.
+
+    Stage signals are computed CORPUS-WIDE and composed by priority —
+    this is the audit view (each per-stage operator is independently
+    certified); a production run that wants dedup evaluated on the
+    post-filter survivor set chains the underlying operators instead.
+
+    Scale shape: every drop-list reduces to bare (id, priority) rows
+    before anything joins — gopher is a narrow scan, exact-dup a
+    fingerprint aggregate, near-dup the blocked shingle join (ids out),
+    contamination a broadcast n-gram probe — then ONE union → min(pri)
+    per id → one left join against the id spine. Text is scanned by
+    each signal but never shuffled; the only doc-keyed exchange is the
+    final priority merge."""
+    spine = docs.select(F.col(id_col))
+
+    g = (
+        gopher_rules(docs, text=text, id_col=id_col)
+        .filter(~F.col("keep"))
+        .select(F.col(id_col), F.lit(2).alias("_pri"))
+    )
+
+    fps = docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp"))
+    keep_fp = fps.groupBy("_fp").agg(F.min(id_col).alias("_kid"))
+    e = (
+        fps.join(keep_fp, "_fp")
+        .filter(F.col(id_col) != F.col("_kid"))
+        .select(F.col(id_col), F.lit(3).alias("_pri"))
+    )
+
+    nd = (
+        dedup.jaccard_pairs_blocked(
+            docs, shingle_k=shingle_k, threshold=jaccard_threshold
+        )
+        .select(F.col("id_b").alias(id_col))
+        .distinct()
+        .select(F.col(id_col), F.lit(4).alias("_pri"))
+    )
+
+    cont = (
+        contamination_overlap(
+            docs.filter(F.col(id_col) % bench_mod != 0),
+            docs.filter(F.col(id_col) % bench_mod == 0),
+            n=contamination_n,
+            text=text,
+            id_col=id_col,
+        )
+        .filter(F.col("contaminated_frac") >= F.lit(contamination_threshold))
+        .select(F.col(id_col), F.lit(5).alias("_pri"))
+    )
+
+    drops = g.unionByName(e).unionByName(nd).unionByName(cont)
+    first = drops.groupBy(id_col).agg(F.min("_pri").alias("_pri"))
+
+    stage = (
+        F.when(F.col(id_col) % bench_mod == 0, F.lit("benchmark"))
+        .when(F.col("_pri") == 2, F.lit("gopher"))
+        .when(F.col("_pri") == 3, F.lit("exact_dup"))
+        .when(F.col("_pri") == 4, F.lit("near_dup"))
+        .when(F.col("_pri") == 5, F.lit("contaminated"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        spine.join(first, id_col, "left")
+        .select(F.col(id_col), stage.alias("stage"))
+        .withColumn("kept", F.col("stage") == "kept")
+    )
+
+
+def pipeline_funnel(verdicts: DataFrame) -> DataFrame:
+    """Stage-level rollup of ``pipeline_verdicts``: docs per verdict
+    stage plus the share of the corpus — the one-glance funnel chart
+    behind every curation report. Input-agnostic: any frame with a
+    ``stage`` column works."""
+    totals = verdicts.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        verdicts.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "stage",
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
+        )
+    )
