@@ -359,6 +359,7 @@ def gopher_rules(
     max_symbol_ratio: float = 0.1,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 1,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Gopher-style rule-based quality filter (Rae et al. 2021,
     "Scaling Language Models: ... Gopher", App. A): per-doc heuristic
@@ -373,8 +374,12 @@ def gopher_rules(
     layering discipline of ``_with_lang_pred``); zero shuffle — the
     filter is a narrow scan however large the corpus."""
     stop = sorted(T.LANG_STOPWORDS["en"])
+    # passthrough: extra columns carried to the output unchanged — lets
+    # a STREAMING caller keep the full row without a (stream-stream)
+    # join back onto the source
+    thru = [F.col(c) for c in passthrough]
     toks = docs.select(
-        F.col(id_col), F.col(text).alias("_t"), T.tokens(F.col(text)).alias("_toks")
+        F.col(id_col), *thru, F.col(text).alias("_t"), T.tokens(F.col(text)).alias("_toks")
     )
     # '#' count = length delta of strip; '...'/'…' counted as one symbol
     hash_n = F.length("_t") - F.length(F.replace(F.col("_t"), F.lit("#"), F.lit("")))
@@ -389,6 +394,7 @@ def gopher_rules(
     _nz = F.when(F.size("_toks") > 0, F.size("_toks"))
     stats = toks.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.size("_toks").cast("long").alias("n_words"),
         F.round(
             F.aggregate(

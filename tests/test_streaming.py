@@ -947,3 +947,62 @@ def test_outlier_stream_matches_batch_operator(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_curated_doc_stream_matches_batch_gates(spark, tmp_path):
+    """Streaming curation lane: availableNow replay of the documents
+    table through gopher gate + in-stream exact dedup + standing-corpus
+    anti-join must land exactly the batch-computed survivor fingerprint
+    set, one row per fingerprint, every row gopher-green."""
+    from epicsarchiver_spark.functions.text import fingerprint64
+    from epicsarchiver_spark.operators.text_ops import gopher_rules
+    from epicsarchiver_spark.streaming.curation import (
+        curated_doc_stream,
+        landing_query,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(2).write.mode("overwrite").parquet(src)
+
+    # standing corpus: every 10th doc is "already archived"
+    corpus_fp = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select(fingerprint64(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    corpus_fp.cache()
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    out = str(tmp_path / "landed")
+    q = (
+        landing_query(
+            curated_doc_stream(stream, corpus_fingerprints=corpus_fp),
+            out,
+            str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    landed = spark.read.parquet(out)
+    # batch expectation: gopher-passing docs, minus corpus fps, one per fp
+    keep_ids = {
+        r.doc_id for r in gopher_rules(docs).filter(F.col("keep")).collect()
+    }
+    expected_fps = {
+        r.fp
+        for r in docs.filter(F.col("doc_id").isin(list(keep_ids)))
+        .select(fingerprint64(F.col("text")).alias("fp"))
+        .join(corpus_fp, "fp", "left_anti")
+        .distinct()
+        .collect()
+    }
+    got = landed.select("fp", "doc_id", "source").collect()
+    assert {r.fp for r in got} == expected_fps
+    assert len(got) == len(expected_fps)  # one survivor per fingerprint
+    assert {r.doc_id for r in got} <= keep_ids  # every survivor is gopher-green
+    # source-partitioned landing layout
+    assert any(p.startswith("source=") for p in __import__("os").listdir(out))
+    corpus_fp.unpersist()
