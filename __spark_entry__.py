@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # fixed-compute data selection: best docs first until the token budget
+    q["doc_budget_selection"] = lambda s, d: text_ops.budget_selection(
+        load_table(s, d, "documents"), token_budget=15000
+    )
+
     # curation chain audit: first-failing-stage verdict + funnel rollup
     q["doc_pipeline_verdicts"] = lambda s, d: curation.pipeline_verdicts(
         load_table(s, d, "documents")
@@ -4532,6 +4537,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["doc_budget_selection"] = f"""
+        WITH qc AS (
+          SELECT doc_id, quality_prob FROM ({o["doc_quality_classifier"]})
+        ),
+        tk AS (
+          SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        b AS (SELECT doc_id, quality_prob, n_tokens FROM qc JOIN tk USING (doc_id))
+        SELECT doc_id, quality_prob, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                 ORDER BY quality_prob DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               sum(n_tokens) OVER (
+                 ORDER BY quality_prob DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) <= 15000 AS selected
+        FROM b
         """
 
     _verdicts_sql = f"""

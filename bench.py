@@ -134,6 +134,7 @@ HEADLINE = [
     "doc_ngram_diversity",
     "doc_oov_rates",
     "doc_pipeline_verdicts",
+    "doc_budget_selection",
 ]
 
 

@@ -1360,3 +1360,56 @@ def oov_rates(
         .filter(F.col("n_tokens") > 0)
         .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
     )
+
+
+def budget_selection(
+    docs: DataFrame,
+    token_budget: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked token-budget selection: walk the corpus from the
+    highest classifier-quality document down and keep documents until
+    the cumulative token count exceeds ``token_budget`` — the "best N
+    tokens" cut every fixed-compute pretraining run makes. Returns
+    every doc with ``(quality_prob, n_tokens, cum_tokens, selected)``;
+    a doc is selected iff the running total THROUGH it stays within
+    budget (the standard greedy prefix; the first over-budget doc is
+    excluded, the walk continues — no partial docs).
+
+    Global prefix-sum WITHOUT a single-partition window, the
+    ``perplexity_buckets`` decomposition: per-score token totals
+    aggregate map-side; the running total over the DISTINCT-score frame
+    (bounded by the 6-dp score vocabulary) is the only unpartitioned
+    window; within a score the cum-sum window partitions BY score. The
+    corpus never funnels through one task."""
+    from pyspark.sql import Window
+
+    scored = quality_classifier(docs, text=text, id_col=id_col).select(
+        F.col(id_col), "quality_prob"
+    )
+    toks = docs.select(F.col(id_col), T.token_count(F.col(text)).cast("long").alias("n_tokens"))
+    base = scored.join(toks, id_col)
+    per_score = base.groupBy("quality_prob").agg(F.sum("n_tokens").alias("_st"))
+    wscore = Window.orderBy(F.desc("quality_prob")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    prior = per_score.select(
+        "quality_prob", (F.sum("_st").over(wscore) - F.col("_st")).alias("_prior")
+    )
+    win = (
+        Window.partitionBy("quality_prob")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        base.join(prior, "quality_prob")
+        .withColumn("cum_tokens", F.col("_prior") + F.sum("n_tokens").over(win))
+        .select(
+            F.col(id_col),
+            "quality_prob",
+            "n_tokens",
+            "cum_tokens",
+            (F.col("cum_tokens") <= F.lit(int(token_budget))).alias("selected"),
+        )
+    )
