@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # tokenizer equity: BPE-per-word fertility per language
+    q["doc_tokenizer_fertility"] = lambda s, d: text_ops.tokenizer_fertility(
+        load_table(s, d, "documents")
+    )
+
     # fixed-compute data selection: best docs first until the token budget
     q["doc_budget_selection"] = lambda s, d: text_ops.budget_selection(
         load_table(s, d, "documents"), token_budget=15000
@@ -4537,6 +4542,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["doc_tokenizer_fertility"] = rf"""
+        WITH b AS (
+          SELECT lang,
+                 CAST(len({TOK}) AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+                   AS BIGINT) AS bp
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(bp) AS BIGINT) AS n_bpe_tokens,
+               round(sum(bp) * 1.0 / sum(w), 6) AS fertility,
+               round(avg(CASE WHEN w > 0 THEN bp * 1.0 / w END), 6)
+                 AS mean_doc_fertility
+        FROM b GROUP BY lang
         """
 
     o["doc_budget_selection"] = f"""

@@ -1413,3 +1413,34 @@ def budget_selection(
             (F.col("cum_tokens") <= F.lit(int(token_budget))).alias("selected"),
         )
     )
+
+
+def tokenizer_fertility(
+    docs: DataFrame, text: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subword tokens per
+    whitespace word — the classic multilingual-tokenizer equity check
+    (high-fertility languages pay more sequence length for the same
+    content; >2 flags a vocabulary that underserves the language).
+    Corpus fertility is the token-weighted ratio (sum/sum); the per-doc
+    mean is reported alongside because the two diverge when long docs
+    tokenize differently from short ones. One narrow scan, two regexp
+    passes per row, one |langs|-sized aggregate — nothing shuffles but
+    the partials."""
+    base = docs.select(
+        F.col(lang_col).alias("lang"),
+        T.token_count(F.col(text)).cast("long").alias("_w"),
+        T.bpe_token_count(F.col(text)).cast("long").alias("_b"),
+    )
+    per_doc = F.when(F.col("_w") > 0, F.col("_b") / F.col("_w"))
+    return (
+        base.withColumn("_r", per_doc)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_w").alias("n_words"),
+            F.sum("_b").alias("n_bpe_tokens"),
+            F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility"),
+            F.round(F.avg("_r"), 6).alias("mean_doc_fertility"),
+        )
+    )
