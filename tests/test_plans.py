@@ -492,3 +492,41 @@ def test_ccnet_buckets_has_no_global_single_partition_window(spark):
     assert "row_number" in plan
     m = re.search(r"Window \[row_number\(\).*?\]", plan)
     assert m is None or "partitionBy" not in m.group(0) or "mean_neg_logprob" in m.group(0)
+
+
+def test_prototype_scores_broadcasts_cells_frame(spark):
+    plan = _plan(spark, "emb_prototype_scores")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "partial_avg" in plan or "partial_" in plan  # centroid map-side partials
+
+
+def test_budget_selection_no_corpus_global_window(spark):
+    """The only unpartitioned running-sum window must consume the
+    distinct-score aggregate, never doc-keyed rows: assert the doc-side
+    cum-sum window is partitioned by the score column."""
+    plan = _plan(spark, "doc_budget_selection")
+    wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+    assert wins, plan[:1500]
+    doc_wins = [w for w in wins if "sum(n_tokens" in w]
+    assert doc_wins and all(
+        "quality_prob" in w.split("], [", 1)[1] for w in doc_wins
+    ), doc_wins
+    # the unpartitioned running total only ever consumes the
+    # distinct-score aggregate (_st), never doc rows
+    for w in wins:
+        if "sum(_st" in w:
+            assert "doc_id" not in w, w
+
+
+def test_pipeline_verdicts_single_spine_join(spark):
+    """Drop lists reduce to (id, pri) before the merge: the final stage
+    must be ONE left join onto the id spine (plus the per-stage internal
+    joins), with no cartesian anywhere."""
+    plan = _plan(spark, "doc_pipeline_verdicts")
+    assert "CartesianProduct" not in plan
+
+
+def test_oov_rates_vocab_is_take_ordered_and_broadcast(spark):
+    plan = _plan(spark, "doc_oov_rates")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
