@@ -1395,6 +1395,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # dedup-aware shard layout: near-dup groups co-located by root hash
+    q["doc_dedup_shards"] = lambda s, d: curation.shard_by_component(
+        load_table(s, d, "documents"),
+        dedup.connected_components(
+            dedup.jaccard_pairs_blocked(
+                load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+            )
+        ),
+        n_shards=8,
+    )
+
+    # TPC-H Q13: order-count distribution incl. zero-order customers
+    q["rel_order_count_dist"] = lambda s, d: relational.order_count_distribution(
+        load_table(s, d, "customer"), load_table(s, d, "orders")
+    )
+
     # tokenizer equity: BPE-per-word fertility per language
     q["doc_tokenizer_fertility"] = lambda s, d: text_ops.tokenizer_fertility(
         load_table(s, d, "documents")
@@ -4543,6 +4559,40 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    _ROOT_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(root AS VARCHAR))")
+    o["doc_dedup_shards"] = (
+        CC
+        + f""",
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        h AS (
+          SELECT doc_id, root,
+                 CAST({_ROOT_HASH60} % 8 AS INTEGER) AS shard
+          FROM rooted
+        ),
+        g AS (SELECT shard, root, count(*) AS gsz FROM h GROUP BY shard, root)
+        SELECT shard, CAST(sum(gsz) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(max(gsz) AS BIGINT) AS max_group_size
+        FROM g GROUP BY shard
+        """
+    )
+
+    o["rel_order_count_dist"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey,
+                 CAST(coalesce(cnt, 0) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+          ) o ON c_custkey = o_custkey
+        )
+        GROUP BY c_count
+    """
 
     o["doc_tokenizer_fertility"] = rf"""
         WITH b AS (

@@ -135,6 +135,8 @@ HEADLINE = [
     "doc_oov_rates",
     "doc_pipeline_verdicts",
     "doc_budget_selection",
+    "doc_dedup_shards",
+    "rel_order_count_dist",
 ]
 
 

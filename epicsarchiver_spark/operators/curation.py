@@ -124,3 +124,49 @@ def pipeline_funnel(verdicts: DataFrame) -> DataFrame:
             F.round(F.col("n_docs") / F.col("_n"), 6).alias("share"),
         )
     )
+
+
+def shard_by_component(
+    docs: DataFrame,
+    components: DataFrame,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Dedup-aware shard layout: route every document to the shard of
+    its near-dup GROUP ROOT (hash of the component representative), so
+    all copies of a duplicate cluster land in the same output shard —
+    the property that lets a later per-shard dedup pass run with no
+    cross-shard traffic, and that keeps eval-split leakage checks local.
+    Returns per-shard stats ``(shard, n_docs, n_groups,
+    max_group_size)``.
+
+    ``components`` is the ``(id, component)`` frame from
+    ``dedup.connected_components``; documents absent from it (never in
+    any candidate pair) are their own singleton root via the left join.
+    The shard hash is the oracle-portable 60-bit md5 (any engine
+    reproduces the layout — shard assignment must be stable across the
+    engines that read the corpus). Shapes: one id-keyed left join, two
+    bounded aggregates (groups, then shards)."""
+    from epicsarchiver_spark.functions.hashing import md5_hash60
+
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_root")
+    )
+    rooted = (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("_root"), F.col(id_col)).alias("root"),
+        )
+    )
+    sharded = rooted.withColumn(
+        "shard",
+        F.pmod(md5_hash60(F.col("root").cast("string")), F.lit(n_shards)).cast("int"),
+    )
+    groups = sharded.groupBy("shard", "root").agg(F.count(F.lit(1)).alias("_gsz"))
+    return groups.groupBy("shard").agg(
+        F.sum("_gsz").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.max("_gsz").alias("max_group_size"),
+    )

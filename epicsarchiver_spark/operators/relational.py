@@ -368,3 +368,22 @@ def idle_wealthy_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
         )
     )
+
+
+def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """TPC-H Q13-style customer distribution: how many customers placed
+    exactly N orders — INCLUDING the zero-order customers, which is why
+    this is the canonical left-outer double-aggregate (an inner join
+    silently drops the biggest bucket). First aggregate reduces orders
+    to per-customer counts keyed by custkey; the left join then runs
+    customer-side with the reduced frame (AQE broadcasts it when it
+    fits); the second aggregate is over the |distinct counts| frame —
+    tiny. No Expand, no count-distinct."""
+    per_cust = orders.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("c_count"))
+    return (
+        customer.select("c_custkey")
+        .join(per_cust, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .select(F.coalesce(F.col("c_count"), F.lit(0)).alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
