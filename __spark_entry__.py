@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # engagement cadence: per-type inter-arrival latency percentiles
+    q["ev_inter_arrival"] = lambda s, d: ev.inter_arrival_stats(
+        load_table(s, d, "events")
+    )
+
     # dedup-aware shard layout: near-dup groups co-located by root hash
     q["doc_dedup_shards"] = lambda s, d: curation.shard_by_component(
         load_table(s, d, "documents"),
@@ -4559,6 +4564,23 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    o["ev_inter_arrival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch(ts), event_id
+                 ) AS gap
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+               round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
+               round(max(gap), 6) AS max_gap_s
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type
+    """
 
     _ROOT_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(root AS VARCHAR))")
     o["doc_dedup_shards"] = (
