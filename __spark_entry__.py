@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # visually-representative plot decimation (parallel LTTB)
+    q["ts_lttb"] = lambda s, d: timeseries.lttb_downsample(
+        _points(s, d), T0, T1, step=6 * 3600.0
+    )
+
     # engagement cadence: per-type inter-arrival latency percentiles
     q["ev_inter_arrival"] = lambda s, d: ev.inter_arrival_stats(
         load_table(s, d, "events")
@@ -4564,6 +4569,44 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    o["ts_lttb"] = (
+        P
+        + f""",
+        pts AS (
+          SELECT pvname, time, value, event_id,
+                 CAST(floor((time - {T0}) / 21600.0) AS BIGINT) AS b,
+                 CAST(round(time * 1e6) AS BIGINT) AS tus,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        bav AS (
+          SELECT pvname, b, sum(tus) AS st, sum(vc) AS sv, count(*) AS n
+          FROM pts GROUP BY pvname, b
+        ),
+        anch AS (
+          SELECT pvname, b, CAST(n AS BIGINT) AS n_in_bucket,
+                 lag(st) OVER w / lag(n) OVER w / 1e6 AS pax,
+                 lag(sv) OVER w / lag(n) OVER w / 100.0 AS pay,
+                 lead(st) OVER w / lead(n) OVER w / 1e6 AS nax,
+                 lead(sv) OVER w / lead(n) OVER w / 100.0 AS nay
+          FROM bav WINDOW w AS (PARTITION BY pvname ORDER BY b)
+        ),
+        ranked AS (
+          SELECT p.pvname, p.b, p.time, p.value, a.n_in_bucket,
+                 row_number() OVER (
+                   PARTITION BY p.pvname, p.b
+                   ORDER BY round(abs((a.pax - a.nax) * (p.value - a.pay)
+                                      - (a.pax - p.time) * (a.nay - a.pay)), 6)
+                            DESC NULLS LAST,
+                            p.time, p.event_id
+                 ) AS rk
+          FROM pts p JOIN anch a USING (pvname, b)
+        )
+        SELECT pvname, b AS bucket, time, value, n_in_bucket
+        FROM ranked WHERE rk = 1
+        """
+    )
 
     o["ev_inter_arrival"] = """
         WITH g AS (

@@ -137,6 +137,8 @@ HEADLINE = [
     "doc_budget_selection",
     "doc_dedup_shards",
     "rel_order_count_dist",
+    "ts_lttb",
+    "ev_inter_arrival",
 ]
 
 

@@ -1171,3 +1171,67 @@ def decimate_minmax(
             F.max_by("value", tie).alias("v_last"),
         )
     )
+
+
+def lttb_downsample(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    key: str = "pvname",
+) -> DataFrame:
+    """Parallel LTTB plot downsampling (largest-triangle-three-buckets,
+    Steinarsson 2013): per time bucket, keep the point forming the
+    largest triangle with the NEIGHBOR BUCKETS' average points — the
+    visually-representative decimation plot frontends use when min/max
+    bars (``decimate_minmax``) over-emphasize noise. This is the
+    parallel variant (anchors are the adjacent buckets' averages, not
+    the previously-selected point), which drops the sequential
+    dependency chain and keeps the whole operator at one series-keyed
+    exchange: bucket aggregate → lag/lead anchors on the bucket frame
+    (bucket-count sized) → rank window per bucket.
+
+    Engine determinism: anchor averages are exact-integer sums (µs
+    times, cent values) divided as identical integers → identical
+    doubles in any engine; the triangle area is then the same IEEE
+    expression, ranked with round-6dp + (time, event_id) tie-break.
+    First/last buckets (one missing anchor) fall back to their earliest
+    point, mirroring LTTB's fixed endpoints."""
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    tus = F.round(F.col("time") * 1e6).cast("long")
+    vc = F.round(F.col("value") * 100).cast("long")
+    pts = points.filter((F.col("time") >= t0) & (F.col("time") < t1)).withColumn(
+        "_b", F.floor((F.col("time") - F.lit(t0)) / F.lit(step)).cast("long")
+    )
+    bav = pts.groupBy(key, "_b").agg(
+        F.sum(tus).alias("_st"), F.sum(vc).alias("_sv"), F.count(F.lit(1)).alias("_n")
+    )
+    wb = Window.partitionBy(key).orderBy("_b")
+    anch = bav.select(
+        F.col(key),
+        "_b",
+        F.col("_n").alias("n_in_bucket"),
+        (F.lag("_st").over(wb) / F.lag("_n").over(wb) / F.lit(1e6)).alias("_pax"),
+        (F.lag("_sv").over(wb) / F.lag("_n").over(wb) / F.lit(100.0)).alias("_pay"),
+        (F.lead("_st").over(wb) / F.lead("_n").over(wb) / F.lit(1e6)).alias("_nax"),
+        (F.lead("_sv").over(wb) / F.lead("_n").over(wb) / F.lit(100.0)).alias("_nay"),
+    )
+    joined = pts.join(anch, [key, "_b"])
+    area = F.abs(
+        (F.col("_pax") - F.col("_nax")) * (F.col("value") - F.col("_pay"))
+        - (F.col("_pax") - F.col("time")) * (F.col("_nay") - F.col("_pay"))
+    )
+    wr = Window.partitionBy(key, "_b").orderBy(
+        F.desc_nulls_last(F.round(area, 6)), *[F.col(c) for c in order]
+    )
+    return (
+        joined.withColumn("_rk", F.row_number().over(wr))
+        .filter(F.col("_rk") == 1)
+        .select(
+            F.col(key),
+            F.col("_b").alias("bucket"),
+            "time",
+            "value",
+            "n_in_bucket",
+        )
+    )
