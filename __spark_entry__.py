@@ -1395,6 +1395,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents")
     )
 
+    # per-PV health dashboard: volume/keep-ratio/uptime/drift/max-gap
+    q["ts_health_report"] = lambda s, d: timeseries.series_health(
+        _points(s, d), T0, T1, HEARTBEAT, DEADTIME, DEADBAND
+    )
+
     # visually-representative plot decimation (parallel LTTB)
     q["ts_lttb"] = lambda s, d: timeseries.lttb_downsample(
         _points(s, d), T0, T1, step=6 * 3600.0
@@ -4568,6 +4573,24 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["ts_health_report"] = f"""
+        WITH av AS (SELECT pvname, uptime FROM ({o["ts_availability"]})),
+        dr AS (SELECT pvname, slope_per_day FROM ({o["ts_drift"]})),
+        cp AS (SELECT pvname, n_raw, keep_ratio FROM ({o["ts_compression_report"]})),
+        gp AS (
+          SELECT pvname, gap_s AS max_gap_s FROM ({o["ts_largest_gaps"]})
+          WHERE rk = 1
+        ),
+        spine AS (SELECT DISTINCT pvname FROM ({P} SELECT pvname FROM points))
+        SELECT s.pvname, cp.n_raw, cp.keep_ratio, av.uptime,
+               dr.slope_per_day, gp.max_gap_s
+        FROM spine s
+        LEFT JOIN cp USING (pvname)
+        LEFT JOIN av USING (pvname)
+        LEFT JOIN dr USING (pvname)
+        LEFT JOIN gp USING (pvname)
         """
 
     o["ts_lttb"] = (

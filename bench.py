@@ -139,6 +139,7 @@ HEADLINE = [
     "rel_order_count_dist",
     "ts_lttb",
     "ev_inter_arrival",
+    "ts_health_report",
 ]
 
 

@@ -1235,3 +1235,50 @@ def lttb_downsample(
             "n_in_bucket",
         )
     )
+
+
+def series_health(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    heartbeat: float,
+    deadtime: float,
+    deadband_v: float,
+    key: str = "pvname",
+) -> DataFrame:
+    """Per-series health report — the archiver's one-glance PV dashboard
+    composing four certified signals: point volume + deadband keep ratio
+    (is the PV's deadband tuned?), availability over [t0, t1] (is the
+    collector keeping up?), least-squares drift (is the device walking?)
+    and the single largest silent gap (did we lose the channel?). The
+    per-PV analog of the corpus report card on the documents side.
+
+    Each signal is its own aggregate to ≤ one-row-per-series; the
+    composite then left-joins them onto the distinct-series spine —
+    series-count-sized frames throughout (AQE broadcasts them), raw
+    points never join anything."""
+    from epicsarchiver_spark.operators.deadband import deadband_lag
+
+    spine = points.select(F.col(key)).distinct()
+    raw = points.groupBy(key).agg(F.count(F.lit(1)).alias("n_raw"))
+    kept = (
+        deadband_lag(points, deadtime, deadband_v)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_nk"))
+    )
+    comp = raw.join(kept, key).select(
+        F.col(key),
+        "n_raw",
+        F.round(F.col("_nk").cast("double") / F.col("n_raw"), 6).alias("keep_ratio"),
+    )
+    av = availability(points, t0, t1, heartbeat, key=key).select(key, "uptime")
+    dr = drift(points, t0, t1, key=key).select(key, "slope_per_day")
+    gp = largest_gaps(points, top_n=1, key=key).select(
+        F.col(key), F.col("gap_s").alias("max_gap_s")
+    )
+    return (
+        spine.join(comp, key, "left")
+        .join(av, key, "left")
+        .join(dr, key, "left")
+        .join(gp, key, "left")
+    )
