@@ -1334,7 +1334,13 @@ def oov_rates(
     (TakeOrderedAndProject — K rows to the driver side of the plan,
     broadcast back); per-doc OOV is then an array-local count against
     the broadcast vocab array — the doc tokens never shuffle at all.
-    Ties at the K boundary break by term for determinism."""
+    Ties at the K boundary break by term for determinism.
+
+    The membership probe is a linear scan of the K-array per token —
+    O(corpus · K), shuffle-free; right for dashboard-sized K (10³-10⁴).
+    For a 10⁵+ vocab, switch to explode → broadcast-hash anti-join →
+    per-doc count: the hash probe is O(1)/token at the cost of one
+    doc-keyed re-aggregation shuffle."""
     lt = docs.select(
         F.col(id_col),
         F.transform(T.tokens(F.col(text)), lambda t: F.lower(t)).alias("_tk"),
