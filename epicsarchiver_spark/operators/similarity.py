@@ -1148,13 +1148,18 @@ def prototype_scores(
             ).alias("_cent")
         )
     )
+    # ANSI guard: a zero vector (or an all-zero cell centroid) must score
+    # 0.0, not kill the stage with DIVIDE_BY_ZERO (double division by
+    # zero is an ERROR under ANSI, not ±inf)
+    _den = norm(F.col("_v")) * norm(F.col("_cent"))
     scored = assigned.join(F.broadcast(cents), "cell").select(
         F.col(id_col),
         "cell",
-        F.round(
-            dot(F.col("_v"), F.col("_cent")) / (norm(F.col("_v")) * norm(F.col("_cent"))),
-            6,
-        ).alias("proto_cosine"),
+        F.when(
+            _den > 0, F.round(dot(F.col("_v"), F.col("_cent")) / _den, 6)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("proto_cosine"),
     )
     w = Window.partitionBy("cell")
     rk = F.row_number().over(w.orderBy(F.desc("proto_cosine"), id_col))

@@ -1226,7 +1226,8 @@ def mixture_plan(
         "n_tokens",
         F.round(natural, 6).alias("natural_share"),
         F.round(tgt, 6).alias("target_share"),
-        F.round(tgt / natural, 6).alias("mix_weight"),
+        # ANSI guard: a zero-token source has no natural share to invert
+        F.round(F.when(F.col("n_tokens") > 0, tgt / natural), 6).alias("mix_weight"),
     )
 
 
@@ -1446,7 +1447,10 @@ def tokenizer_fertility(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("_w").alias("n_words"),
             F.sum("_b").alias("n_bpe_tokens"),
-            F.round(F.sum("_b") / F.sum("_w"), 6).alias("fertility"),
+            # ANSI guard: a language whose docs are all empty has 0 words
+            F.round(
+                F.when(F.sum("_w") > 0, F.sum("_b") / F.sum("_w")), 6
+            ).alias("fertility"),
             F.round(F.avg("_r"), 6).alias("mean_doc_fertility"),
         )
     )

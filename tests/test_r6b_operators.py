@@ -145,3 +145,25 @@ def test_pipeline_funnel_shares_sum_to_one(spark):
     assert sum(r.n_docs for r in f) == docs.count()
     stages = {r.stage for r in f}
     assert "kept" in stages and "benchmark" in stages
+
+
+def test_prototype_scores_zero_vector_ansi_guard(spark):
+    df = _vecs(spark, [(1, [0.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])])
+    rows = {r.vec_id: r for r in prototype_scores(df, n_cells=1, dim=2).collect()}
+    assert rows[1].proto_cosine == 0.0  # zero vector scores 0, no stage kill
+
+
+def test_tokenizer_fertility_empty_lang_ansi_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "", "xx"), (2, "a b", "en")], "doc_id long, text string, lang string"
+    )
+    out = {r.lang: r for r in tokenizer_fertility(df).collect()}
+    assert out["xx"].fertility is None and out["xx"].n_words == 0
+
+
+def test_mixture_plan_zero_token_source_ansi_guard(spark):
+    df = spark.createDataFrame(
+        [(1, "", "empty"), (2, "a b", "full")], "doc_id long, text string, source string"
+    )
+    out = {r.source: r for r in mixture_plan(df).collect()}
+    assert out["empty"].mix_weight is None and out["empty"].natural_share == 0.0
