@@ -140,6 +140,7 @@ HEADLINE = [
     "ts_lttb",
     "ev_inter_arrival",
     "ts_health_report",
+    "doc_tokenizer_fertility",
 ]
 
 
