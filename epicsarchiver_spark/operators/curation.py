@@ -45,6 +45,9 @@ def pipeline_verdicts(
     this is the audit view (each per-stage operator is independently
     certified); a production run that wants dedup evaluated on the
     post-filter survivor set chains the underlying operators instead.
+    The near-dup stage inherits ``jaccard_pairs_blocked``'s default
+    blocking key: ``docs`` must carry ``lang`` and ``n_chars`` columns
+    (the driver documents schema has both).
 
     Scale shape: every drop-list reduces to bare (id, priority) rows
     before anything joins — gopher is a narrow scan, exact-dup a
@@ -71,7 +74,11 @@ def pipeline_verdicts(
 
     nd = (
         dedup.jaccard_pairs_blocked(
-            docs, shingle_k=shingle_k, threshold=jaccard_threshold
+            docs,
+            text=text,
+            id_col=id_col,
+            shingle_k=shingle_k,
+            threshold=jaccard_threshold,
         )
         .select(F.col("id_b").alias(id_col))
         .distinct()

@@ -501,40 +501,21 @@ def winnow_fingerprints(
 
     Array-local per doc (two-lane md5 positional fold, O(n·w) BIGINT
     mins, zero shuffle) on the SQL-portable basis, so the selection is
-    engine-reproducible. Layered projections keep the per-token md5
-    pipeline evaluated once (the ``window_fold`` contract)."""
-    from epicsarchiver_spark.functions.hashing import (
-        lane_hi,
-        lane_lo,
-        md5_hash60,
-        window_fold,
-    )
-    from epicsarchiver_spark.functions.text import tokens
-
+    engine-reproducible. The fold-explode stage is the shared
+    ``_window_hash_positions`` pipeline (layered projections +
+    posexplode_outer; see its docstring for the two CollapseProject /
+    InferFiltersFromGenerate pitfalls it guards, each ~10× here).
+    The window-min selection then runs over the EXPLODED positions with
+    a sliding frame, NOT as transform(sequence, i ->
+    array_min(slice(wh, i, w))): the nested higher-order form
+    re-evaluates the whole k-gram fold per position — measured 310 s
+    for 5 000 docs vs ~2 s for this shape. One doc-keyed window
+    exchange; identical selected set."""
     from pyspark.sql import Window
 
-    th = docs.select(
-        F.col(id_col), F.transform(tokens(F.col(text)), md5_hash60).alias("th")
+    pos = _window_hash_positions(docs, k, text, id_col).select(
+        F.col(id_col), F.col("pos").alias("_p"), F.col("h").alias("_h")
     )
-    lanes = th.select(
-        F.col(id_col), lane_lo(F.col("th")).alias("lo"), lane_hi(F.col("th")).alias("hi")
-    )
-    wh = lanes.select(F.col(id_col), window_fold(F.col("lo"), F.col("hi"), k).alias("wh"))
-    # window-min selection runs over EXPLODED positions with a sliding
-    # frame, NOT as transform(sequence, i -> array_min(slice(wh, i, w))):
-    # the nested higher-order form re-evaluates the whole k-gram fold per
-    # position (CollapseProject inlines it into the lambda) — measured
-    # 310 s for 5 000 docs vs ~2 s for this shape. One doc-keyed window
-    # exchange; identical selected set.
-    # posexplode_OUTER + pos-notnull filter: plain posexplode lets
-    # InferFiltersFromGenerate clone the whole md5-fold pipeline into an
-    # inferred size/notnull filter below the projection — measured 8.6 s
-    # vs 0.7 s for this stage at sf0.1. Outer emits one (null, null) row
-    # per empty array, which the position filter drops; element rows are
-    # untouched, so the selected set is identical.
-    pos = wh.select(
-        F.col(id_col), F.posexplode_outer("wh").alias("_p", "_h")
-    ).filter(F.col("_p").isNotNull())
     wnd = Window.partitionBy(id_col).orderBy("_p").rowsBetween(0, w - 1)
     full = Window.partitionBy(id_col)
     sel = pos.select(
@@ -1122,21 +1103,21 @@ def cdc_dedup_report(
             corpus, window=window, boundary_bits=boundary_bits, text=text, id_col=id_col
         )
     key = list(_CDC_KEY)
-    cset = corpus_chunks.select(*key).distinct()
-    per = bsig.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_chunks"))
-    matched = (
-        bsig.join(cset, key, "left_semi")
+    # one left join with a hit marker + ONE id-keyed aggregate (the
+    # oracle's own shape): the former semi-join + two groupBys + rejoin
+    # shuffled the batch signatures on doc_id three times for the same
+    # two counts
+    cset = corpus_chunks.select(*key).distinct().withColumn("_hit", F.lit(1))
+    return (
+        bsig.join(cset, key, "left")
         .groupBy(id_col)
-        .agg(F.count(F.lit(1)).alias("n_matched"))
-    )
-    return per.join(matched, id_col, "left").select(
-        F.col(id_col),
-        "n_chunks",
-        F.coalesce(F.col("n_matched"), F.lit(0)).alias("n_matched"),
-        (
-            F.coalesce(F.col("n_matched"), F.lit(0))
-            >= F.lit(drop_frac) * F.col("n_chunks")
-        ).alias("dropped"),
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.count("_hit").alias("n_matched"),
+        )
+        .withColumn(
+            "dropped", F.col("n_matched") >= F.lit(drop_frac) * F.col("n_chunks")
+        )
     )
 
 

@@ -1024,8 +1024,12 @@ def semantic_dedup(
     every vector that has a same-cell neighbor at/above ``threshold``
     cosine with a smaller id. Returns the DROP list with its evidence:
     ``(vec_id, cell, keep_id, max_cosine, n_dups)`` where ``keep_id`` is
-    the smallest-id surviving duplicate. Anti-join the corpus against
-    ``vec_id`` to materialize the deduplicated set.
+    the smallest-id SAME-CELL NEIGHBOR over threshold — cosine is not
+    transitive, so in a chain A~B~C (A≁C) keep_id(C)=B even though B is
+    itself dropped; follow keep_id through the drop list (or use the
+    ``dedup.connected_components`` group root) when a chain-resolved
+    survivor pointer is needed. Anti-join the corpus against ``vec_id``
+    to materialize the deduplicated set.
 
     Keeper policy: the paper keeps the cluster-medoid-most-distant
     member; min-id is used here so the result is deterministic and any

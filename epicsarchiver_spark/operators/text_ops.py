@@ -1381,8 +1381,9 @@ def budget_selection(
     tokens" cut every fixed-compute pretraining run makes. Returns
     every doc with ``(quality_prob, n_tokens, cum_tokens, selected)``;
     a doc is selected iff the running total THROUGH it stays within
-    budget (the standard greedy prefix; the first over-budget doc is
-    excluded, the walk continues — no partial docs).
+    budget — a pure prefix cut: cum_tokens is monotone, so once one doc
+    overruns the budget nothing after it is selected either (no
+    skip-and-continue backfill, no partial docs).
 
     Global prefix-sum WITHOUT a single-partition window, the
     ``perplexity_buckets`` decomposition: per-score token totals

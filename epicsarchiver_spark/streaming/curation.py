@@ -37,13 +37,17 @@ def curated_doc_stream(
     id_col: str = "doc_id",
     watermark: tuple[str, str] | None = None,
 ) -> DataFrame:
-    """Gate a streaming documents frame: returns the surviving rows with
-    ``(…, fp, n_words, quality_keep)`` — rows that fail the Gopher gate,
+    """Gate a streaming documents frame: rows that fail the Gopher gate,
     duplicate an earlier in-stream fingerprint, or match the standing
     ``corpus_fingerprints`` (a static frame with an ``fp`` column) never
     appear. Output = every input column plus ``(n_words, fp)``.
-    ``watermark=(col, delay)`` bounds the dedup state; omit it only for
-    bounded (availableNow) replays.
+    ``watermark=(col, delay)`` bounds the dedup state via
+    ``dropDuplicatesWithinWatermark`` — the key stays ``fp`` ALONE
+    (first fingerprint wins; keying on (fp, event-time) would wave the
+    same fingerprint through at a different timestamp), the watermark
+    only bounds how long a fingerprint is remembered. Omit it only for
+    bounded (availableNow) replays, where plain ``dropDuplicates``
+    state lives for the run.
 
     The Gopher signals are the SAME expression columns as the certified
     batch operator (one projection, no state); the only stateful piece
@@ -58,8 +62,10 @@ def curated_doc_stream(
         F.col(id_col), *[F.col(c) for c in thru], F.col("n_words")
     )
     fp = base.withColumn("fp", fingerprint64(F.col(text)))
-    dedup_cols = ["fp"] + ([watermark[0]] if watermark is not None else [])
-    survivors = fp.dropDuplicates(dedup_cols)
+    if watermark is not None:
+        survivors = fp.dropDuplicatesWithinWatermark(["fp"])
+    else:
+        survivors = fp.dropDuplicates(["fp"])
     if corpus_fingerprints is not None:
         survivors = survivors.join(
             F.broadcast(corpus_fingerprints.select("fp")), "fp", "left_anti"

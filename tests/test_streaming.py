@@ -1006,3 +1006,40 @@ def test_curated_doc_stream_matches_batch_gates(spark, tmp_path):
     # source-partitioned landing layout
     assert any(p.startswith("source=") for p in __import__("os").listdir(out))
     corpus_fp.unpersist()
+
+
+def test_curated_doc_stream_watermark_dedup_keys_on_fp_alone(spark, tmp_path):
+    """With a watermark set, a re-crawl of the same text at a LATER
+    event time must still dedup (key = fp alone, bounded by the
+    watermark — not keyed on (fp, ts), which would wave it through)."""
+    from epicsarchiver_spark.streaming.curation import curated_doc_stream
+
+    base = "word " * 30 + "sentence with the useful content and more text here"
+    rows = [
+        (1, base, "en", "s1", "2024-01-01 10:00:00"),
+        (2, base, "en", "s1", "2024-01-01 10:20:00"),  # re-crawl, later ts
+        (3, base + " different tail entirely", "en", "s2", "2024-01-01 10:05:00"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, ts_str string"
+    ).withColumn("event_ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    src = str(tmp_path / "docs_in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    out = str(tmp_path / "landed")
+    q = (
+        curated_doc_stream(stream, watermark=("event_ts", "1 hour"))
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    landed = spark.read.parquet(out)
+    fps = [r.fp for r in landed.select("fp").collect()]
+    assert len(fps) == len(set(fps)) == 2  # one per distinct text
