@@ -795,3 +795,79 @@ def test_decontaminate_spans_excises_benchmark_collisions_only(spark):
     assert "q5" not in out[1].text_clean.split()
     assert out[1].text_clean.startswith(clean)
     assert out[1].text_clean.split()[-1] == "words"
+
+
+def test_lttb_selection_lies_within_bucket_envelope(spark):
+    """Every LTTB-selected point must be one of its bucket's own points
+    (value inside the bucket's min/max envelope, bucket populations
+    conserved) — cross-checks the bucketing against decimate_minmax."""
+    from epicsarchiver_spark.catalog import points_view
+    from epicsarchiver_spark.operators.timeseries import lttb_downsample
+
+    T0, T1, STEP = 1704672000.0, 1705881600.0, 6 * 3600.0
+    pts = points_view(spark, "/root/testdata/sf0.001")
+    sel = lttb_downsample(pts, T0, T1, STEP).collect()
+    raw = (
+        pts.filter((F.col("time") >= T0) & (F.col("time") < T1))
+        .withColumn("b", F.floor((F.col("time") - T0) / STEP).cast("long"))
+        .groupBy("pvname", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    )
+    env = {(r.pvname, r.b): r for r in raw}
+    assert len(sel) == len(env)  # exactly one selection per populated bucket
+    for r in sel:
+        e = env[(r.pvname, r.bucket)]
+        assert e.lo <= r.value <= e.hi
+        assert r.n_in_bucket == e.n
+
+
+def test_budget_selection_is_exact_quality_prefix(spark):
+    """The selected set must equal the pandas-computed greedy prefix of
+    docs sorted by (quality desc, id) — the decomposed distributed
+    prefix-sum agrees with the obvious single-machine formulation."""
+    from epicsarchiver_spark.operators.text_ops import budget_selection
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = budget_selection(docs, token_budget=5000).collect()
+    rows = sorted(out, key=lambda r: (-r.quality_prob, r.doc_id))
+    cum, expected = 0, set()
+    for r in rows:
+        cum += r.n_tokens
+        if cum <= 5000:
+            expected.add(r.doc_id)
+    assert {r.doc_id for r in out if r.selected} == expected
+
+
+def test_pipeline_verdicts_agree_with_component_operators(spark):
+    """Each verdict must be reproducible from the standalone certified
+    operator it composes: 'gopher' docs fail gopher_rules, 'exact_dup'
+    docs have a smaller-id identical text, 'kept' docs pass gopher and
+    have no smaller identical copy."""
+    from epicsarchiver_spark.operators.curation import pipeline_verdicts
+    from epicsarchiver_spark.operators.text_ops import gopher_rules
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    v = {r.doc_id: r.stage for r in pipeline_verdicts(docs).collect()}
+    keep = {r.doc_id for r in gopher_rules(docs).filter(F.col("keep")).collect()}
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    first_by_text = {}
+    for i in sorted(texts):
+        first_by_text.setdefault(texts[i], i)
+    for i, stage in v.items():
+        if stage == "benchmark":
+            assert i % 97 == 0
+            continue
+        assert i % 97 != 0
+        if stage == "gopher":
+            assert i not in keep
+        else:
+            assert i in keep
+        if stage == "exact_dup":
+            assert first_by_text[texts[i]] < i
+        if stage == "kept":
+            assert first_by_text[texts[i]] == i
