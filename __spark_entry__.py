@@ -1478,16 +1478,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r5 each certified exactly the first 50
-    # keys). r5 re-certified r4's sample, leaving 43 of 141 queries
-    # with no driver row in any round (VERDICT r5 item 2). This round
-    # the front IS that never-certified set — all 43 of them (every ev_*,
-    # the PQ/IVF-PQ/projection/recall embedding family, winnowing,
-    # heavy hitters, the r4b ts_* analytics, six rel_* shapes) plus the
-    # 7 brand-new gate queries for the formerly local-only SURVEY edges
-    # (C17/C18, F8, O4, C15, F9, W10, S14) = exactly 50. All 98
-    # previously-certified queries keep their green rows (testdata
-    # unchanged — guarded by tests/testdata_fingerprint.json) and fill
-    # the remainder in their prior order.
+    # keys). Invariant maintained since r6: the front block is exactly
+    # the 50 highest-priority never-driver-certified queries (r5's 43
+    # never-sampled + the 7 then-new SURVEY-edge gates); every query
+    # added later in r6 (SemDeDup, CCNet, curation chain, Q11/Q13/Q15/
+    # Q22, LTTB, health report, …) appends AFTER it so these 50 finally
+    # get driver rows before anything newer. All previously-certified
+    # queries keep their green rows (testdata unchanged — guarded by
+    # tests/testdata_fingerprint.json) and fill the remainder in their
+    # prior order.
     front = [
         "ts_timehash",
         "doc_gopher_rules",
