@@ -1405,6 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, step=6 * 3600.0
     )
 
+    # collocation extraction: top PMI bigrams (tokenizer merge candidates)
+    q["doc_collocations"] = lambda s, d: text_ops.collocations_pmi(
+        load_table(s, d, "documents"), min_count=5, k=20
+    )
+
     # engagement cadence: per-type inter-arrival latency percentiles
     q["ev_inter_arrival"] = lambda s, d: ev.inter_arrival_stats(
         load_table(s, d, "events")
@@ -4572,6 +4577,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_dups
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
+        """
+
+    o["doc_collocations"] = r"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), bi AS (
+          SELECT w1, w2, count(*) AS c12 FROM (
+            SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+            FROM toks WHERE len(tk) >= 2
+          ) GROUP BY w1, w2 HAVING count(*) >= 5
+        ), uni AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY term
+        ), tot AS (SELECT sum(c) AS n FROM uni)
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               round(ln(c12 * tot.n / (u1.c * u2.c)), 6) AS pmi
+        FROM bi
+        JOIN uni u1 ON u1.term = w1
+        JOIN uni u2 ON u2.term = w2
+        CROSS JOIN tot
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
         """
 
     o["ts_health_report"] = f"""

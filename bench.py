@@ -141,6 +141,7 @@ HEADLINE = [
     "ev_inter_arrival",
     "ts_health_report",
     "doc_tokenizer_fertility",
+    "doc_collocations",
 ]
 
 

@@ -1455,3 +1455,59 @@ def tokenizer_fertility(
             F.round(F.avg("_r"), 6).alias("mean_doc_fertility"),
         )
     )
+
+
+def collocations_pmi(
+    docs: DataFrame,
+    min_count: int = 5,
+    k: int = 20,
+    text: str = "text",
+) -> DataFrame:
+    """Top-k collocations by pointwise mutual information: bigrams whose
+    joint frequency beats what their unigram frequencies predict —
+    PMI = ln(c12·N / (c1·c2)) — the classic phrase/term-of-art extractor
+    a corpus-analysis pass runs to build tokenizer merge candidates and
+    domain lexicons. ``min_count`` floors the joint count (PMI explodes
+    on hapax pairs); ties break on the bigram for determinism.
+
+    One tokenize; bigrams built array-locally (the ``bigram_logprob``
+    shifted-zip shape, no self-join); the unigram and bigram models are
+    vocabulary-sized aggregates joined on their terms; N rides a
+    broadcast one-row frame; the final top-k is TakeOrderedAndProject.
+    Shuffle volume is the vocabulary, never the corpus."""
+    toks = docs.select(T.tokens(F.lower(F.col(text))).alias("tk"))
+    pairs = F.filter(
+        F.zip_with(
+            F.col("tk"),
+            F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .filter(F.col("c12") >= min_count)
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_total = uni.agg(F.sum("c").alias("_N"))
+    return (
+        bi.join(uni.select(F.col("term").alias("w1"), F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("term").alias("w2"), F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            F.round(
+                F.log(F.col("c12") * F.col("_N") / (F.col("c1") * F.col("c2"))), 6
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(k)
+    )
