@@ -1405,6 +1405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, step=6 * 3600.0
     )
 
+    # TPC-H Q7: bilateral nation trade volume (dual-dimension star)
+    q["rel_nation_trade"] = lambda s, d: relational.nation_trade_volume(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "customer"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+    )
+
     # collocation extraction: top PMI bigrams (tokenizer merge candidates)
     q["doc_collocations"] = lambda s, d: text_ops.collocations_pmi(
         load_table(s, d, "documents"), min_count=5, k=20
@@ -4578,6 +4587,23 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    o["rel_nation_trade"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+    """
 
     o["doc_collocations"] = r"""
         WITH toks AS (

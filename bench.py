@@ -142,6 +142,7 @@ HEADLINE = [
     "ts_health_report",
     "doc_tokenizer_fertility",
     "doc_collocations",
+    "rel_nation_trade",
 ]
 
 

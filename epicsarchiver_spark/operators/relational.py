@@ -387,3 +387,62 @@ def order_count_distribution(customer: DataFrame, orders: DataFrame) -> DataFram
         .groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
     )
+
+
+def nation_trade_volume(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    nation_a: str = "NATION_1",
+    nation_b: str = "NATION_2",
+    d0: str = "1996-01-01",
+    d1: str = "1998-01-01",
+) -> DataFrame:
+    """TPC-H Q7-style bilateral trade volume: revenue shipped between
+    two nations (either direction), by supplier nation / customer
+    nation / ship year. The canonical DUAL-dimension star shape: the
+    fact resolves its supplier nation through one broadcast chain and
+    its customer nation through a second (orders → customer →
+    nation), with the (a→b | b→a) predicate applied AFTER both
+    resolutions. Date range is pushed to the fact scan; both nation
+    dims and supplier/customer broadcast; orders is the one genuinely
+    big join and carries only (orderkey, custkey) into it."""
+    n1 = nation.select(
+        F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("_cnk"), F.col("n_name").alias("cust_nation")
+    )
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(n1), F.col("s_nationkey") == F.col("_snk")
+    )
+    cust = customer.select("c_custkey", "c_nationkey").join(
+        F.broadcast(n2), F.col("c_nationkey") == F.col("_cnk")
+    )
+    fact = (
+        lineitem.filter((F.col("l_shipdate") >= d0) & (F.col("l_shipdate") < d1))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("_rev"),
+        )
+        .join(F.broadcast(supp.select("s_suppkey", "supp_nation")), 
+              F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust.select("c_custkey", "cust_nation")),
+              F.col("o_custkey") == F.col("c_custkey"))
+    )
+    flow = (
+        (F.col("supp_nation") == nation_a) & (F.col("cust_nation") == nation_b)
+    ) | ((F.col("supp_nation") == nation_b) & (F.col("cust_nation") == nation_a))
+    return (
+        fact.filter(flow)
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
+    )

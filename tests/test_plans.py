@@ -530,3 +530,12 @@ def test_oov_rates_vocab_is_take_ordered_and_broadcast(spark):
     plan = _plan(spark, "doc_oov_rates")
     assert "TakeOrderedAndProject" in plan, plan[:1500]
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_nation_trade_broadcasts_all_dims(spark):
+    """Q7 shape: supplier/customer/nation chains broadcast; only the
+    orders join may shuffle the fact."""
+    plan = _plan(spark, "rel_nation_trade")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1, plan[:2000]
