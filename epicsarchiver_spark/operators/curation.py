@@ -30,6 +30,7 @@ def pipeline_verdicts(
     contamination_threshold: float = 0.05,
     text: str = "text",
     id_col: str = "doc_id",
+    near_dup: str = "jaccard",
 ) -> DataFrame:
     """Per-document curation verdict ``(doc_id, stage, kept)`` where
     ``stage`` is the FIRST stage that would remove the doc, in pipeline
@@ -48,6 +49,14 @@ def pipeline_verdicts(
     The near-dup stage inherits ``jaccard_pairs_blocked``'s default
     blocking key: ``docs`` must carry ``lang`` and ``n_chars`` columns
     (the driver documents schema has both).
+
+    ``near_dup``: ``"jaccard"`` (default) is the EXACT blocked set-
+    similarity join — oracle-certified, but Σ block² work: the ×10
+    scale probe measured 78 s where banded MinHash took 6.7 s, because
+    blocks densify with the corpus. ``"minhash"`` switches the stage to
+    ``minhash_near_duplicates`` (banded signatures, candidates-only
+    verification — the 100 TB shape); its estimated-Jaccard threshold
+    reuses ``jaccard_threshold``.
 
     Scale shape: every drop-list reduces to bare (id, priority) rows
     before anything joins — gopher is a narrow scan, exact-dup a
@@ -72,15 +81,26 @@ def pipeline_verdicts(
         .select(F.col(id_col), F.lit(3).alias("_pri"))
     )
 
-    nd = (
-        dedup.jaccard_pairs_blocked(
+    if near_dup == "minhash":
+        nd_pairs = dedup.minhash_near_duplicates(
+            docs,
+            threshold=jaccard_threshold,
+            text=text,
+            id_col=id_col,
+            shingle_k=shingle_k,
+        )
+    elif near_dup == "jaccard":
+        nd_pairs = dedup.jaccard_pairs_blocked(
             docs,
             text=text,
             id_col=id_col,
             shingle_k=shingle_k,
             threshold=jaccard_threshold,
         )
-        .select(F.col("id_b").alias(id_col))
+    else:
+        raise ValueError(f"near_dup must be 'jaccard' or 'minhash': {near_dup!r}")
+    nd = (
+        nd_pairs.select(F.col("id_b").alias(id_col))
         .distinct()
         .select(F.col(id_col), F.lit(4).alias("_pri"))
     )

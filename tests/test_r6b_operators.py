@@ -167,3 +167,21 @@ def test_mixture_plan_zero_token_source_ansi_guard(spark):
     )
     out = {r.source: r for r in mixture_plan(df).collect()}
     assert out["empty"].mix_weight is None and out["empty"].natural_share == 0.0
+
+
+def test_pipeline_verdicts_minhash_lane_runs_and_agrees_on_non_neardup_stages(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    j = {r.doc_id: r.stage for r in pipeline_verdicts(docs).collect()}
+    m = {
+        r.doc_id: r.stage
+        for r in pipeline_verdicts(docs, near_dup="minhash").collect()
+    }
+    assert set(j) == set(m)
+    # stages other than the near-dup/contamination boundary are identical;
+    # near_dup membership may differ (banded recall), but only between
+    # the near_dup / contaminated / kept verdicts
+    for i in j:
+        if j[i] != m[i]:
+            assert {j[i], m[i]} <= {"near_dup", "contaminated", "kept"}, (i, j[i], m[i])
+    with pytest.raises(ValueError):
+        pipeline_verdicts(docs, near_dup="bogus")

@@ -55,6 +55,17 @@ PROBES = [
     "emb_cosine_neardups_banded",
     "emb_ivfpq_topk",
     "mm_near_dups",
+    # r6b additions: GEMM semantic dedup, prototype pruning, exact
+    # prefix-sum selection, report-card rollups, curation composite
+    "emb_semantic_dedup",
+    "emb_prototype_scores",
+    "doc_budget_selection",
+    "doc_corpus_report",
+    "doc_ngram_diversity",
+    "doc_ccnet_buckets",
+    "doc_pipeline_verdicts",
+    "ts_lttb",
+    "ts_health_report",
 ]
 
 
