@@ -1048,6 +1048,10 @@ def semantic_dedup(
     task holds O(cell·dim + block·cell) doubles, not cell². For a
     mega-cell (skewed corpus), sub-bucket the cell with the hyperplane
     band trick (``cosine_near_duplicates_banded``) before pairing.
+    Scale ``n_cells`` WITH the corpus (SemDeDup uses 11k clusters for
+    LAION): with cell size bounded, Σ cell² — and so total pair work —
+    stays linear in the corpus; a fixed n_cells goes quadratic (the ×30
+    probe measures exactly that, SCALE.md).
 
     Oracle note: the GEMM dot differs from a sequential-fold dot by
     ≤ ~1e-13 relative; a pair only flips the 6-dp HALF_UP rounding if
