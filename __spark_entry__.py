@@ -1405,6 +1405,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, step=6 * 3600.0
     )
 
+    # corpus changelog: v1→v2 snapshot diff by exact fingerprint
+    def _doc_corpus_diff(s, d):
+        """Old = the documents table; new = the CDC-style synthetic second
+        snapshot (every 5th doc re-crawled unchanged under a new id,
+        docs ≡ 3 mod 7 edited, docs ≡ 1 mod 11 replaced, the rest
+        carried over verbatim)."""
+        docs = load_table(s, d, "documents")
+        new = (
+            docs.filter(F.col("doc_id") % 11 != 1)
+            .select("doc_id", "text", "source")
+            .unionByName(
+                docs.filter(F.col("doc_id") % 7 == 3).select(
+                    (F.col("doc_id") + 20000).alias("doc_id"),
+                    F.concat(F.col("text"), F.lit(" unseen trailing tokens")).alias(
+                        "text"
+                    ),
+                    "source",
+                )
+            )
+        )
+        return curation.corpus_diff(docs, new)
+
+    q["doc_corpus_diff"] = _doc_corpus_diff
+
     # TPC-H Q7: bilateral nation trade volume (dual-dimension star)
     q["rel_nation_trade"] = lambda s, d: relational.nation_trade_volume(
         load_table(s, d, "lineitem"),
@@ -4587,6 +4611,36 @@ def oracle_sql() -> dict[str, str]:
         FROM pairs WHERE cos >= 0.4
         GROUP BY vec_id, cell
         """
+
+    o["doc_corpus_diff"] = """
+        WITH newdocs AS (
+          SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 1
+          UNION ALL
+          SELECT doc_id + 20000, text || ' unseen trailing tokens', source
+          FROM documents WHERE doc_id % 7 = 3
+        ),
+        o AS (
+          SELECT DISTINCT source, lower(substr(md5(text), 1, 16)) AS fp
+          FROM documents
+        ),
+        n AS (
+          SELECT DISTINCT source, lower(substr(md5(text), 1, 16)) AS fp
+          FROM newdocs
+        ),
+        j AS (
+          SELECT coalesce(o.source, n.source) AS source,
+                 o.fp AS ofp, n.fp AS nfp
+          FROM o FULL OUTER JOIN n ON o.source = n.source AND o.fp = n.fp
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN ofp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_added,
+               CAST(sum(CASE WHEN nfp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM j GROUP BY source
+    """
 
     o["rel_nation_trade"] = """
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,

@@ -143,6 +143,7 @@ HEADLINE = [
     "doc_tokenizer_fertility",
     "doc_collocations",
     "rel_nation_trade",
+    "doc_corpus_diff",
 ]
 
 

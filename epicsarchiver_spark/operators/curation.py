@@ -197,3 +197,35 @@ def shard_by_component(
         F.count(F.lit(1)).alias("n_groups"),
         F.max("_gsz").alias("max_group_size"),
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Corpus changelog between two snapshots: per source, how many
+    documents were added, removed, and carried over — by exact text
+    fingerprint, so a re-crawled page with identical content counts as
+    unchanged regardless of its id. The review artifact every corpus
+    release ships (and the sanity gate before a retrain: a source whose
+    removed-count spikes usually lost a crawler, not its content).
+
+    Both sides reduce to DISTINCT (source, fp) pairs map-side before the
+    full outer join — 16-byte keys, text never shuffles; the rollup is a
+    source-keyed aggregate of three conditional counts in one pass."""
+    o = old.select(
+        F.col(source_col).alias("source"), fingerprint64(F.col(text)).alias("fp")
+    ).distinct().withColumn("_o", F.lit(1))
+    n = new.select(
+        F.col(source_col).alias("source"), fingerprint64(F.col(text)).alias("fp")
+    ).distinct().withColumn("_n", F.lit(1))
+    j = o.join(n, ["source", "fp"], "full_outer")
+    return j.groupBy("source").agg(
+        F.sum(F.when(F.col("_o").isNull(), 1).otherwise(0)).alias("n_added"),
+        F.sum(F.when(F.col("_n").isNull(), 1).otherwise(0)).alias("n_removed"),
+        F.sum(
+            F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1).otherwise(0)
+        ).alias("n_unchanged"),
+    )
