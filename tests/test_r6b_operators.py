@@ -185,3 +185,21 @@ def test_pipeline_verdicts_minhash_lane_runs_and_agrees_on_non_neardup_stages(sp
             assert {j[i], m[i]} <= {"near_dup", "contaminated", "kept"}, (i, j[i], m[i])
     with pytest.raises(ValueError):
         pipeline_verdicts(docs, near_dup="bogus")
+
+
+def test_corpus_diff_counts(spark):
+    from epicsarchiver_spark.operators.curation import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha", "s1"), (2, "beta", "s1"), (3, "gone entirely", "s2")],
+        "doc_id long, text string, source string",
+    )
+    new = spark.createDataFrame(
+        [(10, "alpha", "s1"), (11, "fresh", "s1"), (12, "alpha", "s1")],
+        "doc_id long, text string, source string",
+    )
+    out = {r.source: r for r in corpus_diff(old, new).collect()}
+    # s1: 'alpha' carried (twice in new = one distinct fp), 'beta' removed,
+    # 'fresh' added; s2 vanished entirely
+    assert (out["s1"].n_added, out["s1"].n_removed, out["s1"].n_unchanged) == (1, 1, 1)
+    assert (out["s2"].n_added, out["s2"].n_removed, out["s2"].n_unchanged) == (0, 1, 0)
