@@ -46,3 +46,15 @@ def test_final_line_handles_empty_timings():
     parsed = json.loads(bench.final_stdout_line({}, 0.01))
     assert parsed["value"] == 0
     assert parsed["n_queries"] == 0
+
+
+def test_every_headline_name_resolves_to_a_query():
+    """bench.py silently skips unknown names (qs.get) — a typo'd
+    headline entry would drop a query from the record without any
+    signal. Pin the list against the registry."""
+    import __spark_entry__ as entrymod
+
+    qs = set(entrymod.queries())
+    missing = [n for n in bench.HEADLINE if n not in qs]
+    assert not missing, missing
+    assert len(set(bench.HEADLINE)) == len(bench.HEADLINE)  # no duplicates
