@@ -1405,6 +1405,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, step=6 * 3600.0
     )
 
+    # embedding-side curation chain: SemDeDup → D4 prune verdicts
+    q["emb_pipeline_verdicts"] = lambda s, d: similarity.embedding_verdicts(
+        load_table(s, d, "embeddings"),
+        threshold=0.4,
+        drop_frac=0.2,
+        n_cells=8,
+        dim=64,
+    )
+
     # corpus changelog: v1→v2 snapshot diff by exact fingerprint
     def _doc_corpus_diff(s, d):
         """Old = the documents table; new = the CDC-style synthetic second
@@ -4858,6 +4867,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, stage, stage = 'kept' AS kept FROM ({_verdicts_sql})
         """
 
+
     o["doc_pipeline_funnel"] = f"""
         WITH v AS ({_verdicts_sql}),
         tot AS (SELECT count(*) AS n FROM v)
@@ -5038,6 +5048,19 @@ def oracle_sql() -> dict[str, str]:
                    AS bucket
           FROM scored
         )
+        """
+
+    o["emb_pipeline_verdicts"] = f"""
+        WITH sd AS (SELECT vec_id FROM ({o["emb_semantic_dedup"]})),
+        pr AS (SELECT vec_id FROM ({o["emb_prototype_scores"]}) WHERE dropped)
+        SELECT e.vec_id,
+               CASE WHEN sd.vec_id IS NOT NULL THEN 'semantic_dup'
+                    WHEN pr.vec_id IS NOT NULL THEN 'prototype'
+                    ELSE 'kept' END AS stage,
+               sd.vec_id IS NULL AND pr.vec_id IS NULL AS kept
+        FROM embeddings e
+        LEFT JOIN sd ON e.vec_id = sd.vec_id
+        LEFT JOIN pr ON e.vec_id = pr.vec_id
         """
 
     return o

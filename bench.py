@@ -144,6 +144,7 @@ HEADLINE = [
     "doc_collocations",
     "rel_nation_trade",
     "doc_corpus_diff",
+    "emb_pipeline_verdicts",
 ]
 
 

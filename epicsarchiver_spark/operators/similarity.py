@@ -1178,3 +1178,65 @@ def prototype_scores(
             "dropped", F.col("rk") <= F.ceil(F.lit(float(drop_frac)) * F.col("cell_n"))
         )
     )
+
+
+def embedding_verdicts(
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    drop_frac: float = 0.2,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding-side curation chain — the D4 recipe (Tirumala et al.
+    2023) as one verdict frame: SemDeDup first (drop near-duplicate
+    vectors within a semantic cell), then prototypicality pruning (drop
+    the most-prototypical ``drop_frac`` of every cell), mirroring
+    ``curation.pipeline_verdicts`` on the documents side. Returns
+    ``(vec_id, stage, kept)`` with stage ∈ {semantic_dup, prototype,
+    kept}; first stage wins.
+
+    Both signals are corpus-wide (the audit view, same convention as
+    the doc pipeline); each reduces to bare ids before the one
+    left-join merge onto the id spine — the SemDeDup GEMM and the
+    prototype rank window dominate, the composition itself adds a
+    single id-keyed aggregate."""
+    sd = semantic_dedup(
+        vectors,
+        threshold=threshold,
+        n_cells=n_cells,
+        centroids=centroids,
+        seed=seed,
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+    ).select(F.col(id_col), F.lit(1).alias("_pri"))
+    pr = (
+        prototype_scores(
+            vectors,
+            drop_frac=drop_frac,
+            n_cells=n_cells,
+            centroids=centroids,
+            seed=seed,
+            id_col=id_col,
+            vec_col=vec_col,
+            dim=dim,
+        )
+        .filter(F.col("dropped"))
+        .select(F.col(id_col), F.lit(2).alias("_pri"))
+    )
+    first = sd.unionByName(pr).groupBy(id_col).agg(F.min("_pri").alias("_pri"))
+    stage = (
+        F.when(F.col("_pri") == 1, F.lit("semantic_dup"))
+        .when(F.col("_pri") == 2, F.lit("prototype"))
+        .otherwise(F.lit("kept"))
+    )
+    return (
+        vectors.select(F.col(id_col))
+        .join(first, id_col, "left")
+        .select(F.col(id_col), stage.alias("stage"))
+        .withColumn("kept", F.col("stage") == "kept")
+    )
