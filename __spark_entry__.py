@@ -1405,6 +1405,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, step=6 * 3600.0
     )
 
+    # cohort value (LTV) curves: the revenue twin of ev_retention
+    q["ev_cohort_value"] = lambda s, d: ev.cohort_value_curves(
+        load_table(s, d, "events")
+    )
+
     # embedding-side curation chain: SemDeDup → D4 prune verdicts
     q["emb_pipeline_verdicts"] = lambda s, d: similarity.embedding_verdicts(
         load_table(s, d, "embeddings"),
@@ -4746,6 +4751,29 @@ def oracle_sql() -> dict[str, str]:
         FROM ranked WHERE rk = 1
         """
     )
+
+    o["ev_cohort_value"] = """
+        WITH uw AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS wk,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS wv
+          FROM events GROUP BY user_id, wk
+        ),
+        cu AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+        cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+               FROM cu GROUP BY cohort),
+        curve AS (
+          SELECT cu.cohort, uw.wk - cu.cohort AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active, sum(uw.wv) AS tv
+          FROM uw JOIN cu USING (user_id)
+          GROUP BY cu.cohort, week_offset
+        )
+        SELECT curve.cohort AS cohort_week,
+               CAST(week_offset AS INTEGER) AS week_offset,
+               n_active, cohort_users,
+               tv / 100.0 AS total_value,
+               round(tv / 100.0 / cohort_users, 6) AS value_per_user
+        FROM curve JOIN cs USING (cohort)
+    """
 
     o["ev_inter_arrival"] = """
         WITH g AS (

@@ -145,6 +145,7 @@ HEADLINE = [
     "rel_nation_trade",
     "doc_corpus_diff",
     "emb_pipeline_verdicts",
+    "ev_cohort_value",
 ]
 
 

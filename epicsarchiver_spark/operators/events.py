@@ -309,3 +309,58 @@ def inter_arrival_stats(events: DataFrame, ts_col: str = "ts") -> DataFrame:
         F.round(F.expr("percentile(_gap, 0.9)"), 6).alias("p90_gap_s"),
         F.round(F.max("_gap"), 6).alias("max_gap_s"),
     )
+
+
+def cohort_value_curves(events: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Cohort value (LTV) curves: users grouped by first-activity week,
+    then for every week offset since joining — active users, total event
+    value, and value per ORIGINAL cohort member (the denominator every
+    LTV chart divides by, so churned users keep dragging the curve).
+    The revenue twin of ``retention_cohorts``.
+
+    One user-keyed aggregate computes (cohort, per-offset value map) —
+    min-week and the offset breakdown in a single pass, no join back to
+    the raw log; the cohort-level rollup is calendar² sized. Value sums
+    quantize to integer cents before aggregation, so cross-engine float
+    summation order cannot move a curve point."""
+    t = _epoch_s(events, ts_col)
+    wk = F.floor(t / F.lit(WEEK_S)).cast("long")
+    vc = F.round(F.col("value") * 100).cast("long")
+    per_user_wk = (
+        events.select(F.col("user_id"), wk.alias("_wk"), vc.alias("_vc"))
+        .groupBy("user_id", "_wk")
+        .agg(F.sum("_vc").alias("_wv"))
+    )
+    w_user = F.min("_wk")
+    per_user = per_user_wk.groupBy("user_id").agg(
+        w_user.alias("_cohort"),
+        F.collect_list(F.struct("_wk", "_wv")).alias("_weeks"),
+    )
+    cohort_sizes = per_user.groupBy("_cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    offsets = per_user.select(
+        "_cohort",
+        F.explode("_weeks").alias("_e"),
+    ).select(
+        "_cohort",
+        (F.col("_e._wk") - F.col("_cohort")).alias("week_offset"),
+        F.col("_e._wv").alias("_wv"),
+    )
+    curve = offsets.groupBy("_cohort", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("_wv").alias("_tv"),
+    )
+    return (
+        curve.join(F.broadcast(cohort_sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            F.col("week_offset").cast("int").alias("week_offset"),
+            "n_active",
+            "cohort_users",
+            (F.col("_tv") / F.lit(100.0)).alias("total_value"),
+            F.round(F.col("_tv") / F.lit(100.0) / F.col("cohort_users"), 6).alias(
+                "value_per_user"
+            ),
+        )
+    )
