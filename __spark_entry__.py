@@ -135,6 +135,12 @@ def entry(spark: SparkSession) -> DataFrame:
 # queries
 # ---------------------------------------------------------------------------
 
+# Gate queries added new in round 7 — kept in a named list so the
+# sample-order priority block (below) can front-load them for driver
+# certification in the same round they are introduced.
+_R7_FRONT: list[str] = []
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
@@ -1529,68 +1535,52 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
-    # FRONT of this dict (r2-r5 each certified exactly the first 50
-    # keys). Invariant maintained since r6: the front block is exactly
-    # the 50 highest-priority never-driver-certified queries (r5's 43
-    # never-sampled + the 7 then-new SURVEY-edge gates); every query
-    # added later in r6 (SemDeDup, CCNet, curation chain, Q11/Q13/Q15/
-    # Q22, LTTB, health report, …) appends AFTER it so these 50 finally
-    # get driver rows before anything newer. All previously-certified
-    # queries keep their green rows (testdata unchanged — guarded by
-    # tests/testdata_fingerprint.json) and fill the remainder in their
-    # prior order.
+    # FRONT of this dict (r2-r6 each certified exactly the first 50
+    # keys).  Invariant (maintained since r6): the front block lists
+    # exactly the never-driver-certified queries, highest priority
+    # first.  For r7 that is the 33 r6b additions that the r6 sample
+    # did not reach (computed as registry minus the union of green
+    # rows in CORRECTNESS_r01..r06), followed by every gate query NEW
+    # in r7 (appended to _R7_FRONT as they are added) so they get
+    # driver rows in the same round they land.  All previously
+    # certified queries keep their green rows (testdata unchanged —
+    # guarded by tests/testdata_fingerprint.json) and fill the
+    # remainder in their prior order.
     front = [
-        "ts_timehash",
-        "doc_gopher_rules",
-        "ev_funnel",
-        "ev_retention",
-        "ev_props_rollup",
-        "ev_rolling_dau",
-        "doc_quality_classifier",
-        "emb_contamination",
-        "ts_twa",
-        "ts_decimate",
-        "rel_returned_items",
-        "rel_supplier_parts",
-        "ts_histogram",
-        "ts_outliers",
-        "rel_disjunctive_revenue",
-        "emb_project",
-        "mm_ahash",
-        "mm_near_dups",
-        "ts_correlation",
-        "doc_length_trim",
-        "emb_pq_codes",
-        "emb_ivfpq_topk",
-        "ts_ramps",
-        "ts_availability",
-        "ts_drift",
-        "emb_ivfpq_index",
-        "ts_compression_report",
-        "ts_level_shifts",
-        "ts_related_corr",
-        "doc_winnow_pairs",
-        "rel_large_orders",
-        "ev_top_paths",
-        "rel_forecast_revenue",
-        "ts_interp_grid",
-        "ts_autocorr",
-        "emb_ann_recall",
-        "doc_heavy_hitters",
-        "ev_transitions",
-        "rel_promo_share",
-        "doc_blocklist",
-        "ts_skew_counts",
-        "doc_paragraph_dedup",
-        "ts_seasonal",
-        "ctl_alert_mail",
-        "cat_null_norm",
-        "cat_recent_runs",
-        "ts_auto_ylog",
-        "cat_row_kv",
-        "ts_overlap_dedup",
-        "cache_upsert_readback",
-    ]
+        "doc_cdc_chunks",
+        "doc_cdc_dup_chunks",
+        "doc_cdc_incremental",
+        "doc_cdc_chunk_texts",
+        "doc_dsir_scores",
+        "doc_decontaminate_spans",
+        "emb_cell_sample",
+        "ts_rolling_outliers",
+        "ts_largest_gaps",
+        "emb_semantic_dedup",
+        "doc_ccnet_buckets",
+        "doc_corpus_report",
+        "ts_health_report",
+        "ts_lttb",
+        "ev_cohort_value",
+        "emb_pipeline_verdicts",
+        "doc_corpus_diff",
+        "rel_nation_trade",
+        "doc_collocations",
+        "ev_inter_arrival",
+        "doc_dedup_shards",
+        "rel_order_count_dist",
+        "doc_tokenizer_fertility",
+        "doc_budget_selection",
+        "doc_pipeline_verdicts",
+        "doc_pipeline_funnel",
+        "doc_ngram_diversity",
+        "doc_oov_rates",
+        "emb_prototype_scores",
+        "doc_mixture_plan",
+        "rel_part_value_share",
+        "rel_top_supplier",
+        "rel_idle_customers",
+    ] + _R7_FRONT
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
