@@ -146,6 +146,17 @@ HEADLINE = [
     "doc_corpus_diff",
     "emb_pipeline_verdicts",
     "ev_cohort_value",
+    # r7: persisted-components read-back lane (production dedup-shard shape)
+    "doc_dedup_shards_indexed",
+    "doc_winnow_indexed",
+    "rel_market_share",
+    "rel_product_profit",
+    "rel_small_qty_revenue",
+    "doc_hapax_zipf",
+    "doc_readability",
+    "ev_attribution",
+    "ev_session_stats",
+    "emb_cell_quality",
 ]
 
 

@@ -31,6 +31,7 @@ def pipeline_verdicts(
     text: str = "text",
     id_col: str = "doc_id",
     near_dup: str = "jaccard",
+    near_dup_kw: dict | None = None,
 ) -> DataFrame:
     """Per-document curation verdict ``(doc_id, stage, kept)`` where
     ``stage`` is the FIRST stage that would remove the doc, in pipeline
@@ -56,7 +57,10 @@ def pipeline_verdicts(
     blocks densify with the corpus. ``"minhash"`` switches the stage to
     ``minhash_near_duplicates`` (banded signatures, candidates-only
     verification — the 100 TB shape); its estimated-Jaccard threshold
-    reuses ``jaccard_threshold``.
+    reuses ``jaccard_threshold``. ``near_dup_kw`` forwards extra lane
+    parameters (minhash: ``num_hashes``/``bands``/``seed``/``basis``;
+    jaccard: ``band_width``-style blocking knobs) so a deployment can
+    tune the LSH S-curve without bypassing the composite.
 
     Scale shape: every drop-list reduces to bare (id, priority) rows
     before anything joins — gopher is a narrow scan, exact-dup a
@@ -88,6 +92,7 @@ def pipeline_verdicts(
             text=text,
             id_col=id_col,
             shingle_k=shingle_k,
+            **(near_dup_kw or {}),
         )
     elif near_dup == "jaccard":
         nd_pairs = dedup.jaccard_pairs_blocked(
@@ -96,6 +101,7 @@ def pipeline_verdicts(
             id_col=id_col,
             shingle_k=shingle_k,
             threshold=jaccard_threshold,
+            **(near_dup_kw or {}),
         )
     else:
         raise ValueError(f"near_dup must be 'jaccard' or 'minhash': {near_dup!r}")
@@ -153,9 +159,25 @@ def pipeline_funnel(verdicts: DataFrame) -> DataFrame:
     )
 
 
+def write_components(components: DataFrame, path: str) -> None:
+    """Persist a ``(id, component)`` frame from
+    ``dedup.connected_components`` as the corpus's DEPLOYMENT artifact.
+    The connected-components iteration is the expensive step of a dedup
+    pipeline (checkpointed rounds over the candidate-pair graph); every
+    downstream consumer — shard layout, survivor selection, leakage
+    audits — only needs the resolved labels. Writing them once per
+    corpus release and reading them back (mirror of the persisted
+    IVF-PQ index in ``similarity.ivfpq_topk(index=...)``) turns those
+    consumers from "rebuild the graph" into a 16-byte-per-doc parquet
+    scan. Repartitioned by id so a later id-keyed join can prune files."""
+    components.select("id", "component").repartition("id").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
 def shard_by_component(
     docs: DataFrame,
-    components: DataFrame,
+    components: DataFrame | str,
     n_shards: int = 8,
     id_col: str = "doc_id",
 ) -> DataFrame:
@@ -168,7 +190,10 @@ def shard_by_component(
     max_group_size)``.
 
     ``components`` is the ``(id, component)`` frame from
-    ``dedup.connected_components``; documents absent from it (never in
+    ``dedup.connected_components``, or a path to the parquet artifact
+    written by ``write_components`` — the production shape, where the
+    CC iteration ran once at corpus-release time and sharding is a
+    join against 16-byte rows. Documents absent from it (never in
     any candidate pair) are their own singleton root via the left join.
     The shard hash is the oracle-portable 60-bit md5 (any engine
     reproduces the layout — shard assignment must be stable across the
@@ -176,6 +201,8 @@ def shard_by_component(
     bounded aggregates (groups, then shards)."""
     from epicsarchiver_spark.functions.hashing import md5_hash60
 
+    if isinstance(components, str):
+        components = docs.sparkSession.read.parquet(components)
     comp = components.select(
         F.col("id").alias(id_col), F.col("component").alias("_root")
     )

@@ -364,3 +364,73 @@ def cohort_value_curves(events: DataFrame, ts_col: str = "ts") -> DataFrame:
             ),
         )
     )
+
+
+def last_touch_attribution(
+    events: DataFrame, conversion: str = "purchase", ts_col: str = "ts"
+) -> DataFrame:
+    """Last-touch conversion attribution: every ``conversion`` event
+    credits the user's IMMEDIATELY PRECEDING event (any type); a
+    conversion with no prior activity credits ``(direct)``. Returns per
+    touch type: conversions attributed and total converted value — the
+    baseline attribution model every marketing funnel starts from.
+
+    One user-keyed lag window over the log (the same exchange every
+    sessionization/path operator takes), then a |event-types|-sized
+    aggregate. Value quantizes to integer cents before summing so
+    cross-engine float order cannot move a total."""
+    t = _epoch_s(events, ts_col)
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    vc = F.round(F.col("value") * 100).cast("long")
+    return (
+        events.select(
+            "user_id", "event_id", "event_type", vc.alias("_vc"), t.alias("_t")
+        )
+        .withColumn("_touch", F.lag("event_type").over(w))
+        .filter(F.col("event_type") == conversion)
+        .groupBy(F.coalesce(F.col("_touch"), F.lit("(direct)")).alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            (F.sum("_vc").cast("double") / 100.0).alias("converted_value"),
+        )
+    )
+
+
+def session_stats(
+    events: DataFrame, gap_s: float = 1800.0, ts_col: str = "ts"
+) -> DataFrame:
+    """Corpus-level session summary after per-user inactivity-gap
+    sessionization (a new session starts when a user's gap exceeds
+    ``gap_s``): session count, exact p50/p90 session duration, mean
+    events per session, and the bounce share (single-event sessions) —
+    the dashboard row behind every session-timeout decision.
+
+    Two user-keyed windows (lag → session index via running sum of
+    boundary flags) that share ONE exchange, a per-session aggregate,
+    then a one-row reduction. Nothing bigger than the session frame
+    ever aggregates, and exact ``percentile()`` matches DuckDB's
+    quantile_cont on these µs-quantized doubles."""
+    t = _epoch_s(events, ts_col)
+    w = Window.partitionBy("user_id").orderBy("_t", "event_id")
+    gap = F.col("_t") - F.lag("_t").over(w)
+    is_new = F.when(gap.isNull() | (gap > gap_s), 1).otherwise(0)
+    run = Window.partitionBy("user_id").orderBy("_t", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = (
+        events.select("user_id", "event_id", t.alias("_t"))
+        .withColumn("_new", is_new)
+        .withColumn("_sid", F.sum("_new").over(run))
+        .groupBy("user_id", "_sid")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.max("_t") - F.min("_t")).alias("_dur"),
+        )
+    )
+    return sessions.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.expr("percentile(_dur, 0.5)"), 6).alias("p50_duration_s"),
+        F.round(F.expr("percentile(_dur, 0.9)"), 6).alias("p90_duration_s"),
+        F.round(F.avg(F.col("_n").cast("double")), 6).alias("mean_events"),
+        F.round(F.avg((F.col("_n") == 1).cast("double")), 6).alias("bounce_share"),
+    )

@@ -446,3 +446,143 @@ def nation_trade_volume(
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.round(F.sum("_rev"), 2).alias("revenue"))
     )
+
+
+def market_share(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    target_nation: str = "NATION_1",
+    region_name: str = "EUROPE",
+    p_type: str = "PROMO",
+) -> DataFrame:
+    """TPC-H Q8-style national market share: of the revenue a region's
+    customers spent on one part type, what fraction was supplied by
+    ``target_nation``, per order year. (Q8's two-level nation→region
+    chain adapted to this schema: part filtered by ``p_type``; no
+    partsupp table exists, so supplier cost never enters.)
+
+    Shape: the conditional-share division happens AFTER a years-sized
+    aggregate — revenue and the target-nation slice sum in ONE pass
+    (sum(when(...))) so the fact scans once. Every dimension chain
+    (part→type, supplier→nation, customer→nation→region) broadcasts;
+    orders is the only shuffled join, carrying (orderkey, custkey,
+    year). Cross-engine-stable: integer-cent-free but both sums round
+    AFTER the divide at 6dp against the 2dp-rounded denominator."""
+    pt = part.filter(F.col("p_type") == p_type).select("p_partkey")
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"),
+                F.col("n_name").alias("supp_nation"),
+            )
+        ),
+        F.col("s_nationkey") == F.col("_snk"),
+    )
+    cust_region = (
+        customer.select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_regionkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    fact = (
+        lineitem.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "supp_nation")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", "o_custkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust_region), F.col("o_custkey") == F.col("c_custkey"))
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    tgt = F.when(F.col("supp_nation") == target_nation, rev).otherwise(F.lit(0.0))
+    return (
+        fact.groupBy("o_year")
+        .agg(
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(F.sum(tgt), 2).alias("nation_revenue"),
+        )
+        .withColumn(
+            "mkt_share",
+            F.round(F.col("nation_revenue") / F.col("total_revenue"), 6),
+        )
+    )
+
+
+def product_profit(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_like: str = "%1%",
+) -> DataFrame:
+    """TPC-H Q9-style product profit by supplier nation and order year:
+    profit = discounted revenue − retail cost of the quantity moved
+    (Q9's ps_supplycost adapted to ``p_retailprice`` — no partsupp
+    table in this schema). Part (name LIKE) and supplier→nation chains
+    broadcast onto the fact; orders joins shuffled carrying only
+    (orderkey, year); one nations×years-sized aggregate."""
+    pt = part.filter(F.col("p_name").like(name_like)).select(
+        "p_partkey", "p_retailprice"
+    )
+    supp = supplier.select("s_suppkey", "s_nationkey").join(
+        F.broadcast(
+            nation.select(
+                F.col("n_nationkey").alias("_snk"), F.col("n_name").alias("nation")
+            )
+        ),
+        F.col("s_nationkey") == F.col("_snk"),
+    )
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        lineitem.join(F.broadcast(pt), F.col("l_partkey") == F.col("p_partkey"))
+        .join(
+            F.broadcast(supp.select("s_suppkey", "nation")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .join(
+            orders.select("o_orderkey", F.year("o_orderdate").alias("o_year")),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+
+
+def small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#1"
+) -> DataFrame:
+    """TPC-H Q17-style small-quantity revenue: average yearly revenue
+    that would be lost by refusing orders below 20% of a part's average
+    quantity, for one brand. Q17's correlated scalar subquery
+    (0.2·avg(l_quantity) per part) is ONE per-part aggregate joined
+    back — the fact scans twice logically but the avg side reduces
+    map-side to |parts| rows and broadcasts; no per-row rescan, no
+    nested-loop correlation."""
+    bp = part.filter(F.col("p_brand") == brand).select("p_partkey")
+    fact = lineitem.join(F.broadcast(bp), F.col("l_partkey") == F.col("p_partkey"))
+    thresholds = fact.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        (F.avg("l_quantity") * 0.2).alias("_cut")
+    )
+    return (
+        fact.join(F.broadcast(thresholds), F.col("l_partkey") == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_cut"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )

@@ -1240,3 +1240,47 @@ def embedding_verdicts(
         .select(F.col(id_col), stage.alias("stage"))
         .withColumn("kept", F.col("stage") == "kept")
     )
+
+
+def cell_quality(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-cell clustering-quality report: vector count, mean/min cosine
+    to the cell's DATA centroid, and the cell's corpus share — the
+    dashboard an IVF/SemDeDup deployment reads before picking n_cells /
+    n_probe (cells with low mean cohesion need splitting; near-empty
+    cells waste probes). Pure rollup of the certified
+    ``prototype_scores`` signal: one narrow scan + broadcast-centroid
+    join feed a |cells|-sized aggregate; nothing pairwise anywhere."""
+    scored = prototype_scores(
+        vectors,
+        n_cells=n_cells,
+        seed=seed,
+        dim=dim,
+        centroids=centroids,
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+    totals = scored.agg(F.count(F.lit(1)).alias("_tot"))
+    return (
+        scored.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("proto_cosine"), 6).alias("mean_cohesion"),
+            F.round(F.min("proto_cosine"), 6).alias("min_cohesion"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "cell",
+            "n_vecs",
+            "mean_cohesion",
+            "min_cohesion",
+            F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
+        )
+    )

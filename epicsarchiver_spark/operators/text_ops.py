@@ -1114,6 +1114,64 @@ def quality_classifier(
     return out.withColumn("keep", F.col("quality_prob") >= F.lit(threshold))
 
 
+def _bounded_exclusive_prefix(
+    per_key: DataFrame,
+    key: str,
+    val: str,
+    out: str,
+    descending: bool = False,
+    n_parts: int = 64,
+) -> DataFrame:
+    """Exact exclusive prefix sum of ``val`` over rows ordered by ``key``
+    (distinct keys), with a STRUCTURALLY bounded single-task frame —
+    the classic distributed scan. The r6 decomposition ran one
+    unpartitioned running-sum window over the distinct-score frame; that
+    frame is small in practice (6-dp rounding) but its size is
+    data-dependent. Here the only unpartitioned window consumes the
+    per-range-partition totals — ≤ ``n_parts`` rows by construction,
+    regardless of the score distribution:
+
+    1. persist the input, then range-partition the keys
+       (``repartitionByRange`` keeps partition ids in key order) — the
+       persist matters doubly: the range partitioner's SAMPLING pass
+       re-reads the input (unpersisted, it would recompute the whole
+       upstream aggregate a second time — measured ~0.9 s of the 3.3 s
+       ccnet gate), and both downstream branches must see one
+       deterministic partition layout;
+    2. per-partition totals (≤ n_parts rows) → exclusive offsets via the
+       one unpartitioned window over those n_parts rows;
+    3. within-partition exclusive running sum, partitioned BY the range
+       partition id (parallel);
+    4. broadcast-join the offsets back: prefix = offset + local.
+
+    Returns ``(key, out)`` where ``out`` is the sum of ``val`` over all
+    keys strictly before ``key`` in the requested order."""
+    from pyspark import StorageLevel
+
+    order = F.col(key).desc() if descending else F.col(key).asc()
+    ranged = (
+        per_key.persist(StorageLevel.MEMORY_AND_DISK)
+        .repartitionByRange(n_parts, order)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = (
+        ranged.groupBy("_pid")
+        .agg(F.sum(val).alias("_pt"))
+        .select("_pid", (F.sum("_pt").over(woff) - F.col("_pt")).alias("_poff"))
+    )
+    wloc = Window.partitionBy("_pid").orderBy(order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        ranged.withColumn("_loc", F.sum(val).over(wloc) - F.col(val))
+        .join(F.broadcast(offsets), "_pid")
+        .select(key, (F.col("_poff") + F.col("_loc")).alias(out))
+    )
+
+
 def perplexity_buckets(
     docs: DataFrame,
     n_buckets: int = 3,
@@ -1133,25 +1191,20 @@ def perplexity_buckets(
     global ``F.ntile().over(Window.orderBy(...))`` funnels the whole
     corpus through ONE task. Instead the global rank is decomposed as
     rank = (docs with strictly smaller rounded score) + (row_number
-    within my score by id): the first term comes from a score-keyed
-    count + a running sum over the DISTINCT-score frame (vocab-of-scores
-    sized — bounded by 10⁶ six-dp values in practice, so its window is
-    cheap), the second from a window partitioned BY score (parallel over
-    scores). The ntile bucket is then pure arithmetic on (rank, n),
-    reproducing SQL NTILE's first-buckets-get-the-remainder rule, so any
-    engine's ntile() is the oracle."""
+    within my score by id): the first term is an exclusive prefix sum of
+    the per-score counts via ``_bounded_exclusive_prefix`` (the only
+    unpartitioned window consumes ≤64 per-range-partition totals —
+    structurally bounded no matter how many distinct scores exist), the
+    second a window partitioned BY score (parallel over scores). The
+    ntile bucket is then pure arithmetic on (rank, n), reproducing SQL
+    NTILE's first-buckets-get-the-remainder rule, so any engine's
+    ntile() is the oracle."""
     from pyspark.sql import Window
 
     scored = bigram_logprob(docs, text=text, id_col=id_col, alpha=alpha, lam=lam)
-    # per-score population, cumulative base over the ordered distinct scores
+    # per-score population, exclusive prefix over the ordered distinct scores
     per_score = scored.groupBy("mean_neg_logprob").agg(F.count(F.lit(1)).alias("_c"))
-    wscore = (
-        Window.orderBy("mean_neg_logprob")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    base = per_score.select(
-        "mean_neg_logprob", (F.sum("_c").over(wscore) - F.col("_c")).alias("_base")
-    )
+    base = _bounded_exclusive_prefix(per_score, "mean_neg_logprob", "_c", "_base")
     n_total = scored.agg(F.count(F.lit(1)).alias("_n"))
     within = F.row_number().over(
         Window.partitionBy("mean_neg_logprob").orderBy(id_col)
@@ -1387,10 +1440,11 @@ def budget_selection(
 
     Global prefix-sum WITHOUT a single-partition window, the
     ``perplexity_buckets`` decomposition: per-score token totals
-    aggregate map-side; the running total over the DISTINCT-score frame
-    (bounded by the 6-dp score vocabulary) is the only unpartitioned
-    window; within a score the cum-sum window partitions BY score. The
-    corpus never funnels through one task."""
+    aggregate map-side; their exclusive prefix comes from
+    ``_bounded_exclusive_prefix`` (the only unpartitioned window
+    consumes ≤64 per-range-partition totals — structurally bounded);
+    within a score the cum-sum window partitions BY score. The corpus
+    never funnels through one task."""
     from pyspark.sql import Window
 
     scored = quality_classifier(docs, text=text, id_col=id_col).select(
@@ -1399,11 +1453,8 @@ def budget_selection(
     toks = docs.select(F.col(id_col), T.token_count(F.col(text)).cast("long").alias("n_tokens"))
     base = scored.join(toks, id_col)
     per_score = base.groupBy("quality_prob").agg(F.sum("n_tokens").alias("_st"))
-    wscore = Window.orderBy(F.desc("quality_prob")).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    prior = per_score.select(
-        "quality_prob", (F.sum("_st").over(wscore) - F.col("_st")).alias("_prior")
+    prior = _bounded_exclusive_prefix(
+        per_score, "quality_prob", "_st", "_prior", descending=True
     )
     win = (
         Window.partitionBy("quality_prob")
@@ -1510,4 +1561,113 @@ def collocations_pmi(
         )
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(k)
+    )
+
+
+def hapax_zipf(
+    docs: DataFrame,
+    top_k: int = 100,
+    text: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source lexical-distribution fingerprint: distinct-term count,
+    hapax share (fraction of the vocabulary occurring exactly once —
+    high hapax = rich/noisy text, near-zero = template spam), and the
+    Zipf slope — the OLS slope of ln(frequency) on ln(rank) over the
+    ``top_k`` most frequent terms (natural language sits near −1;
+    boilerplate and generated text flatten it). The corpus-health
+    companion to ``ngram_diversity``.
+
+    Scale shape: one (source, term) count aggregate (map-side combine
+    collapses repeats before the shuffle — vocabulary-sized, never
+    corpus-sized), a source-partitioned rank window over the SAME
+    aggregate, and two tiny per-source reductions. The OLS slope is
+    computed from the moment sums (Σx, Σy, Σxy, Σxx over ≤ top_k rows
+    per source) so no second pass and no fit library:
+    slope = (Σxy − ΣxΣy/n) / (Σxx − (Σx)²/n). Ranks break ties by term
+    so the top-k set — and therefore the slope — is engine-identical."""
+    terms = (
+        docs.select(
+            F.col(source_col).alias("source"),
+            F.explode(T.tokens(F.lower(F.col(text)))).alias("term"),
+        )
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    vocab = terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(F.avg((F.col("_c") == 1).cast("double")), 6).alias("hapax_share"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.desc("_c"), "term")
+    )
+    top = terms.withColumn("_rk", rk).filter(F.col("_rk") <= top_k)
+    x = F.log(F.col("_rk").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+    fit = (
+        top.select("source", x.alias("_x"), y.alias("_y"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("_n"),
+            F.sum("_x").alias("_sx"),
+            F.sum("_y").alias("_sy"),
+            F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+        .select(
+            "source",
+            # ANSI guard: a source whose top-k collapses to one rank (a
+            # single distinct term) has zero x-variance — slope is
+            # undefined (null), not a DIVIDE_BY_ZERO stage failure
+            F.when(
+                F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n") != 0,
+                F.round(
+                    (F.col("_sxy") - F.col("_sx") * F.col("_sy") / F.col("_n"))
+                    / (F.col("_sxx") - F.col("_sx") * F.col("_sx") / F.col("_n")),
+                    6,
+                ),
+            ).alias("zipf_slope"),
+        )
+    )
+    return vocab.join(fit, "source")
+
+
+# marker unlikely to occur in any document; both engines emit the same
+# single code point so group counting is a pure length difference
+_SEG_MARK = "\x01"
+
+
+def readability(
+    docs: DataFrame, text: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document Flesch reading-ease estimate from pure expression
+    counts: words (whitespace tokens), sentences (runs of ``.!?`` —
+    floored at 1 so unpunctuated text is scored as one sentence rather
+    than dropped), and a syllable proxy (vowel-group runs, the standard
+    dictionary-free approximation). flesch = 206.835 − 1.015·(words/
+    sentences) − 84.6·(syllables/words); null when a doc has no words.
+    One narrow scan, three regexp passes per row, zero shuffle — the
+    quality family's cheapest signal and a classic curation feature
+    (very low scores flag tables/code/garbled text)."""
+
+    def _groups(col, pattern):
+        marked = F.regexp_replace(col, pattern, _SEG_MARK)
+        return (
+            F.length(marked) - F.length(F.regexp_replace(marked, _SEG_MARK, ""))
+        ).cast("long")
+
+    t = F.col(text)
+    counts = docs.select(
+        F.col(id_col),
+        T.token_count(t).cast("long").alias("n_words"),
+        F.greatest(_groups(t, r"[.!?]+"), F.lit(1).cast("long")).alias("n_sentences"),
+        _groups(F.lower(t), r"[aeiouy]+").alias("n_syllables"),
+    )
+    w, s, y = (F.col(c).cast("double") for c in ("n_words", "n_sentences", "n_syllables"))
+    return counts.withColumn(
+        "flesch",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 6),
+        ),
     )

@@ -594,7 +594,11 @@ def _recover_cache_swap(fs, P, cache_path: str) -> None:
 
 
 def upsert_latest_jdbc(
-    batch: DataFrame, url: str, table: str = "cache", ensure_table: bool = True
+    batch: DataFrame,
+    url: str,
+    table: str = "cache",
+    ensure_table: bool = True,
+    n_shards: int = 1,
 ) -> None:
     """S14, JDBC lane — merge a micro-batch into a latest-value cache
     TABLE over JDBC, one transaction per batch. BASELINE.md's stated
@@ -612,40 +616,87 @@ def upsert_latest_jdbc(
     (``UPDATE … WHERE time <= ?``), so replaying a batch after a crash
     (foreachBatch is at-least-once) is a no-op and out-of-order batches
     never regress a newer value — the same idempotence contract the
-    parquet lane gets from max_by. The whole batch commits or rolls
+    parquet lane gets from max_by. Each shard's rows commit or roll
     back atomically; a duplicate-key race on INSERT (SQLState 23505)
-    means a newer row exists and is skipped."""
+    means a newer row exists and is skipped.
+
+    ``n_shards > 1`` is the SCALE.md:97 escape hatch for ≥10⁵ active
+    series: the reduced rows are hashed ``pmod(xxhash64(pvname),
+    n_shards)`` (the same bucketing as the parquet cache lane) and each
+    shard runs its own connection + transaction concurrently. Shard key
+    sets are disjoint, so per-shard transactions preserve the only
+    invariant that matters — per-key monotonicity. A shard failure
+    raises after the others finish; already-committed shards replay as
+    no-ops when foreachBatch retries the batch (monotone upsert)."""
     spark = batch.sparkSession
     order = F.struct(F.col("time"))
     fresh = batch.groupBy("pvname").agg(
         F.max_by("value", order).alias("value"), F.max("time").alias("time")
     )
+    if n_shards > 1:
+        fresh = fresh.withColumn(
+            "_shard", F.pmod(F.xxhash64("pvname"), F.lit(int(n_shards))).cast("int")
+        )
     rows = fresh.collect()
     if not rows:
         return
 
-    def _sqlstate(ex) -> str:
-        je = getattr(ex, "java_exception", None)
-        try:
-            return je.getSQLState() if je is not None else ""
-        except Exception:
-            return ""
-
     jvm = spark._jvm
+    if ensure_table:
+        # create once, up front — concurrent per-shard CREATEs would race
+        conn = jvm.java.sql.DriverManager.getConnection(url)
+        try:
+            _jdbc_ensure_table(conn, table)
+        finally:
+            conn.close()
+
+    if n_shards <= 1:
+        _jdbc_upsert_rows(jvm, url, table, rows)
+        return
+
+    shards: dict[int, list] = {}
+    for r in rows:
+        shards.setdefault(r["_shard"], []).append(r)
+    from concurrent.futures import ThreadPoolExecutor
+
+    # py4j is thread-safe (one gateway connection per Python thread);
+    # each shard holds a private JDBC connection for its transaction
+    with ThreadPoolExecutor(max_workers=len(shards)) as pool:
+        futs = [
+            pool.submit(_jdbc_upsert_rows, jvm, url, table, part)
+            for part in shards.values()
+        ]
+        for f in futs:
+            f.result()
+
+
+def _jdbc_sqlstate(ex) -> str:
+    je = getattr(ex, "java_exception", None)
+    try:
+        return je.getSQLState() if je is not None else ""
+    except Exception:
+        return ""
+
+
+def _jdbc_ensure_table(conn, table: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(
+            f"CREATE TABLE {table} "
+            "(pvname VARCHAR(255) PRIMARY KEY, value DOUBLE, time DOUBLE)"
+        )
+    except Exception as ex:  # noqa: BLE001 — X0Y32/42S01: already exists
+        if _jdbc_sqlstate(ex) not in ("X0Y32", "42S01", "42P07"):
+            raise
+    finally:
+        st.close()
+
+
+def _jdbc_upsert_rows(jvm, url: str, table: str, rows) -> None:
+    """One connection, one transaction: monotone upsert of ``rows``
+    (update-where-older, savepoint-fenced insert on miss)."""
     conn = jvm.java.sql.DriverManager.getConnection(url)
     try:
-        if ensure_table:
-            st = conn.createStatement()
-            try:
-                st.executeUpdate(
-                    f"CREATE TABLE {table} "
-                    "(pvname VARCHAR(255) PRIMARY KEY, value DOUBLE, time DOUBLE)"
-                )
-            except Exception as ex:  # noqa: BLE001 — X0Y32/42S01: already exists
-                if _sqlstate(ex) not in ("X0Y32", "42S01", "42P07"):
-                    raise
-            finally:
-                st.close()
         conn.setAutoCommit(False)
         upd = conn.prepareStatement(
             f"UPDATE {table} SET value = ?, time = ? WHERE pvname = ? AND time <= ?"
@@ -683,7 +734,7 @@ def upsert_latest_jdbc(
                         ins.executeUpdate()
                         conn.releaseSavepoint(sp)
                     except Exception as ex:  # noqa: BLE001
-                        if _sqlstate(ex) != "23505":
+                        if _jdbc_sqlstate(ex) != "23505":
                             raise  # only a newer-row duplicate key is benign
                         conn.rollback(sp)
             conn.commit()

@@ -492,6 +492,21 @@ def test_ccnet_buckets_has_no_global_single_partition_window(spark):
     assert "row_number" in plan
     m = re.search(r"Window \[row_number\(\).*?\]", plan)
     assert m is None or "partitionBy" not in m.group(0) or "mean_neg_logprob" in m.group(0)
+    # r7 structural bound: every UNPARTITIONED window consumes only the
+    # per-range-partition totals (_pt, ≤64 rows by construction) — never
+    # the distinct-score frame, whose size is data-dependent
+    _assert_unpartitioned_windows_bounded(plan)
+
+
+def _assert_unpartitioned_windows_bounded(plan: str) -> None:
+    wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+    # a partitioned Window renders THREE bracket groups ([exprs],
+    # [partition], [order]); with an empty partition spec the middle
+    # group is omitted and only two remain
+    unpart = [w for w in wins if w.count("], [") == 1]
+    assert unpart, "expected the bounded offsets window in the plan"
+    for w in unpart:
+        assert "sum(_pt" in w, f"unpartitioned window over a non-bounded frame: {w}"
 
 
 def test_prototype_scores_broadcasts_cells_frame(spark):
@@ -511,11 +526,9 @@ def test_budget_selection_no_corpus_global_window(spark):
     assert doc_wins and all(
         "quality_prob" in w.split("], [", 1)[1] for w in doc_wins
     ), doc_wins
-    # the unpartitioned running total only ever consumes the
-    # distinct-score aggregate (_st), never doc rows
-    for w in wins:
-        if "sum(_st" in w:
-            assert "doc_id" not in w, w
+    # r7 structural bound: the only unpartitioned window consumes the
+    # ≤64-row per-range-partition totals, never doc or score rows
+    _assert_unpartitioned_windows_bounded(plan)
 
 
 def test_pipeline_verdicts_single_spine_join(spark):

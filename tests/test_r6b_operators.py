@@ -169,12 +169,26 @@ def test_mixture_plan_zero_token_source_ansi_guard(spark):
     assert out["empty"].mix_weight is None and out["empty"].natural_share == 0.0
 
 
-def test_pipeline_verdicts_minhash_lane_runs_and_agrees_on_non_neardup_stages(spark):
+@pytest.mark.parametrize(
+    "lane_kw",
+    [
+        {},  # default S-curve: 64 hashes × 16 bands
+        # second parameterization (VERDICT r6 task 6): steeper curve +
+        # different seed — the agreement property must hold at any
+        # banding, not just the default
+        {"num_hashes": 128, "bands": 32, "seed": 7},
+    ],
+)
+def test_pipeline_verdicts_minhash_lane_runs_and_agrees_on_non_neardup_stages(
+    spark, lane_kw
+):
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     j = {r.doc_id: r.stage for r in pipeline_verdicts(docs).collect()}
     m = {
         r.doc_id: r.stage
-        for r in pipeline_verdicts(docs, near_dup="minhash").collect()
+        for r in pipeline_verdicts(
+            docs, near_dup="minhash", near_dup_kw=lane_kw
+        ).collect()
     }
     assert set(j) == set(m)
     # stages other than the near-dup/contamination boundary are identical;

@@ -1,0 +1,96 @@
+"""Edge/property tests for the round-7 operators — the cases the
+sf-table oracle parity can't hit: degenerate vocabularies, unpunctuated
+or empty text, conversion-free logs, single-event sessions."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.operators.events import (
+    last_touch_attribution,
+    session_stats,
+)
+from epicsarchiver_spark.operators.text_ops import hapax_zipf, readability
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_hapax_zipf_single_term_source_has_null_slope(spark):
+    """A source whose vocabulary is one term has zero x-variance in the
+    rank fit — slope must be null, never a DIVIDE_BY_ZERO failure."""
+    df = _docs(spark, [(1, "same same same", "mono"), (2, "a b b c c c", "tri")])
+    out = {r.source: r for r in hapax_zipf(df).collect()}
+    assert out["mono"].n_terms == 1
+    assert out["mono"].zipf_slope is None
+    assert out["tri"].n_terms == 3
+    # c:3 rank1, b:2 rank2, a:1 rank3 — strictly decreasing → negative slope
+    assert out["tri"].zipf_slope < 0
+    assert out["tri"].hapax_share == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_readability_edge_docs(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "", "s"),                                # no words → null flesch
+            (2, "xyz pqr", "s"),                         # one y-group, no punct
+            (3, "The cat sat. The dog ran! Done?", "s"),  # 3 sentences
+        ],
+    ).drop("source")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    assert out[1].n_words == 0 and out[1].flesch is None
+    assert out[1].n_sentences == 1  # floored, never 0
+    # [aeiouy]+ counts "y" in "xyz"; "pqr" has none
+    assert out[2].n_syllables == 1 and out[2].n_sentences == 1
+    assert out[3].n_sentences == 3 and out[3].n_words == 7
+    assert out[2].flesch is not None
+
+
+def test_readability_y_vowel_groups(spark):
+    df = spark.createDataFrame([(1, "rhythm fly")], "doc_id long, text string")
+    r = readability(df).collect()[0]
+    # rhythm: "y" → 1 group; fly: "y" → 1 group
+    assert r.n_syllables == 2
+
+
+def test_last_touch_attribution_direct_and_ordering(spark):
+    rows = [
+        # user 1: view → purchase (credit view), then purchase right after
+        # the first purchase (credit purchase)
+        (1, 1, 10.0, "view", 5.0),
+        (2, 1, 20.0, "purchase", 7.5),
+        (3, 1, 30.0, "purchase", 2.5),
+        # user 2: purchase with no prior → (direct)
+        (4, 2, 10.0, "purchase", 1.0),
+        # user 3: no purchases at all
+        (5, 3, 10.0, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double, event_type string, value double"
+    )
+    out = {r.touch: r for r in last_touch_attribution(df).collect()}
+    assert out["view"].n_conversions == 1 and out["view"].converted_value == 7.5
+    assert out["purchase"].n_conversions == 1 and out["purchase"].converted_value == 2.5
+    assert out["(direct)"].n_conversions == 1
+    assert set(out) == {"view", "purchase", "(direct)"}
+
+
+def test_session_stats_gap_splits_and_bounce(spark):
+    rows = [
+        # user 1: two events 10 s apart (one session), then one 2h later
+        (1, 1, 0.0), (2, 1, 10.0), (3, 1, 7200.0),
+        # user 2: single event → bounce
+        (4, 2, 100.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts double"
+    ).withColumn("event_type", F.lit("click")).withColumn("value", F.lit(0.0))
+    r = session_stats(df, gap_s=1800.0).collect()[0]
+    assert r.n_sessions == 3
+    assert r.bounce_share == pytest.approx(2 / 3, abs=1e-6)
+    # durations: 10, 0, 0 → p50 = 0
+    assert r.p50_duration_s == 0.0
+    assert r.mean_events == pytest.approx(4 / 3, abs=1e-6)

@@ -838,6 +838,47 @@ def test_upsert_jdbc_parity_with_parquet_lane(spark, tmp_path):
     assert got_jdbc == expected
 
 
+def test_upsert_jdbc_sharded_parity(spark, tmp_path):
+    """SCALE.md's JDBC escape hatch for ≥10⁵ active series: with
+    ``n_shards > 1`` the reduced rows split by pmod(xxhash64(pvname), B)
+    and each shard commits on its OWN concurrent connection. Shard key
+    sets are disjoint, so per-key monotonicity survives: the same batch
+    sequence — replay, out-of-order late batch, a NULL value — must
+    leave the sharded table identical to the single-connection lane's."""
+    from epicsarchiver_spark.streaming.ingest import upsert_latest_jdbc
+
+    url1 = f"jdbc:derby:{tmp_path}/shard1db;create=true"
+    url3 = f"jdbc:derby:{tmp_path}/shard3db;create=true"
+    schema = "pvname string, time double, value double"
+    # 12 series so every one of the 3 shards sees several keys
+    names = [f"PV{i:02d}" for i in range(12)]
+    batches = [
+        [(n, 1.0, float(i)) for i, n in enumerate(names)],
+        [(n, 2.0, float(i) + 100) for i, n in enumerate(names[::2])],
+        [(n, 2.0, float(i) + 100) for i, n in enumerate(names[::2])],  # replay
+        [(names[0], 0.5, 999.0), (names[5], 3.0, None)],  # late + NULL value
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        upsert_latest_jdbc(b, url1, table="cache")
+        upsert_latest_jdbc(b, url3, table="cache", n_shards=3)
+
+    def _read(url):
+        return {
+            (r[0], r[1], r[2])
+            for r in spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "cache")
+            .load()
+            .collect()
+        }
+
+    got1, got3 = _read(url1), _read(url3)
+    assert got3 == got1
+    assert len(got1) == 12
+    assert ("PV00", 999.0, 0.5) not in got1  # late batch never regressed
+
+
 def test_upsert_jdbc_null_tolerance(spark, tmp_path):
     """ADVICE r5: a micro-batch row with a NULL value must not crash the
     whole batch (TypeError on float(None) would wedge the stream in an
@@ -1006,6 +1047,65 @@ def test_curated_doc_stream_matches_batch_gates(spark, tmp_path):
     # source-partitioned landing layout
     assert any(p.startswith("source=") for p in __import__("os").listdir(out))
     corpus_fp.unpersist()
+
+
+def test_curated_doc_stream_redelivery_replay(spark, tmp_path):
+    """At-least-once redelivery: a crawler that re-emits already-seen
+    documents in a LATER micro-batch (new source file, same texts) must
+    not land them twice — the fp-keyed dedup state survives the restart
+    via the checkpoint, so across two availableNow runs of the same
+    checkpointed query the landing store holds exactly one row per
+    distinct surviving text."""
+    import pandas as pd
+
+    from epicsarchiver_spark.streaming.curation import curated_doc_stream
+
+    base = "word " * 30 + "sentence with the useful content and more text here"
+    other = base + " a genuinely different tail of extra content"
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    cols = ["doc_id", "text", "lang", "source"]
+
+    def _file(name, rows):
+        pd.DataFrame(rows, columns=cols).to_parquet(src / name, index=False)
+
+    _file("b0.parquet", [(1, base, "en", "s1"), (2, other, "en", "s1")])
+
+    out = str(tmp_path / "landed")
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "doc_id long, text string, lang string, source string"
+        ).parquet(str(src))
+        q = (
+            curated_doc_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return sorted(
+            (r.doc_id, r.fp) for r in spark.read.parquet(out).collect()
+        )
+
+    first = run_once()
+    assert len(first) == 2  # both texts land once
+
+    # redelivery: same texts again under NEW ids in a NEW file, plus one
+    # genuinely new document
+    fresh = base + " and an unmistakably novel continuation of words"
+    _file(
+        "b1.parquet",
+        [(10, base, "en", "s2"), (11, other, "en", "s2"), (12, fresh, "en", "s2")],
+    )
+    second = run_once()
+    assert [t for t in second if t not in first] == [
+        t for t in second if t[0] == 12
+    ]
+    assert len(second) == 3  # replayed texts dropped by checkpointed state
 
 
 def test_curated_doc_stream_watermark_dedup_keys_on_fp_alone(spark, tmp_path):

@@ -143,3 +143,64 @@ def test_out_of_order_within_batch_sorted():
     if pend_t is not None:
         full.append((pend_t, pend_v))
     assert full == compress_reference(list(EVENTS), DEADTIME, DEADBAND)
+
+
+def test_resumable_seed_routing_multi_key_contract():
+    """The seed-continuation contract of ``compressed_stream_resumable``
+    at the FUNCTION's grouping level (VERDICT r6 task 8), no protobuf:
+    the initial-state frame groups by pvname exactly like
+    ``init_grouped`` — each seeded key gets ONLY its own rows (newest
+    wins), unseeded keys start cold and re-emit their first event, and a
+    seeded key that sees no events in the run emits nothing and keeps
+    its seeded state. Driven per key with the fake handle, mirroring
+    transformWithState's per-key state scoping; compared against the
+    independent batch reference."""
+    proc_cls = make_compress_processor(DEADTIME, DEADBAND)
+    # seed frame as compressed_stream_resumable receives it: extra
+    # columns beyond (pvname, time, value) are dropped by its .select()
+    seed_pdf = pd.DataFrame(
+        {
+            "pvname": ["PV:A", "PV:A", "PV:C"],
+            "time": [-3.0, 0.0, 2.0],
+            "value": [9.9, 10.0, 77.0],
+            "bucket": [1, 1, 2],  # dropped by the select
+        }
+    )[["pvname", "time", "value"]]
+    events = {
+        "PV:A": EVENTS[1:],  # seeded: window continues, first event not re-emitted
+        "PV:B": EVENTS,      # cold: first event emits
+        "PV:C": [],          # seeded, silent this run
+    }
+
+    got: dict[str, tuple] = {}
+    for key in ("PV:A", "PV:B", "PV:C"):
+        proc = proc_cls()
+        handle = _FakeHandle()
+        proc.init(handle)
+        mine = seed_pdf[seed_pdf["pvname"] == key][["time", "value"]]
+        if len(mine):  # TWS only calls handleInitialState for seeded keys
+            proc.handleInitialState((key,), mine, None)
+        out = []
+        pdf = pd.DataFrame(events[key], columns=["time", "value"])
+        if len(pdf):
+            pdf.insert(0, "pvname", key)
+            for emitted in proc.handleInputRows((key,), iter([pdf]), None):
+                out.extend(zip(emitted["time"], emitted["value"]))
+        got[key] = (out, handle.state.get())
+
+    def _with_pending(out, state):
+        full = list(out)
+        if state is not None and state[2] is not None:
+            full.append((state[2], state[3]))
+        return full
+
+    # seeded key: reference over (newest seed row + events) minus the seed
+    ref_a = compress_reference([(0.0, 10.0)] + EVENTS[1:], DEADTIME, DEADBAND)
+    assert _with_pending(*got["PV:A"]) == ref_a[1:]
+    # cold key: plain reference, first event included
+    assert _with_pending(*got["PV:B"]) == compress_reference(
+        list(EVENTS), DEADTIME, DEADBAND
+    )
+    # silent seeded key: nothing emitted, state is exactly the newest seed
+    assert got["PV:C"][0] == []
+    assert got["PV:C"][1] == (2.0, 77.0, None, None)

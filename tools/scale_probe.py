@@ -66,6 +66,14 @@ PROBES = [
     "doc_pipeline_verdicts",
     "ts_lttb",
     "ts_health_report",
+    # r7: persisted-components read-back (first call pays the CC build +
+    # write; rerun the probe name twice to see the steady-state read-back)
+    "doc_dedup_shards_indexed",
+    "doc_winnow_indexed",
+    # r7 (VERDICT r6 task 7): the remaining r6b composites off the sf0.1
+    # floor — component-composition shapes must hold at ×30
+    "emb_pipeline_verdicts",
+    "doc_corpus_diff",
 ]
 
 
