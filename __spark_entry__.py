@@ -149,6 +149,9 @@ _R7_FRONT: list[str] = [
     "ev_attribution",
     "ev_session_stats",
     "emb_cell_quality",
+    "doc_minhash_indexed",
+    "emb_kmeans_refine",
+    "ev_dau_anomalies",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -655,6 +658,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["doc_simhash_neardups"] = lambda s, d: dedup.simhash_near_duplicates(
         load_table(s, d, "documents"), shingle_k=2, max_hamming=8, basis="md5"
     )
+
+    # MinHash through the persisted-signature artifact: the (id, sig)
+    # table is written once per corpus release (minhash_signatures) and
+    # the candidate join reads it back — text never re-shingles. Oracle
+    # identical to doc_minhash_neardups (same signatures, same bands).
+    def _doc_minhash_indexed(s, d):
+        docs = load_table(s, d, "documents")
+
+        def _build(path):
+            dedup.minhash_signatures(
+                docs, shingle_k=2, basis="md5"
+            ).write.mode("overwrite").parquet(path)
+
+        sig = s.read.parquet(_artifact_path(d, "minhash_sig", _build))
+        return dedup.minhash_near_duplicates(
+            None, threshold=0.5, signatures=sig
+        )
+
+    q["doc_minhash_indexed"] = _doc_minhash_indexed
     q["emb_topk_lsh"] = lambda s, d: similarity.lsh_bucket_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_planes=8, max_hamming=2
     )
@@ -1548,6 +1570,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # clustering-quality report per IVF cell (same cells as the D4 chain)
     q["emb_cell_quality"] = lambda s, d: similarity.cell_quality(
         load_table(s, d, "embeddings"), n_cells=8, dim=64
+    )
+
+    # one Lloyd iteration: data-mean centroids, max-cosine reassignment
+    q["emb_kmeans_refine"] = lambda s, d: similarity.kmeans_refine(
+        load_table(s, d, "embeddings"), n_cells=8, dim=64
+    )
+
+    # DAU anomaly days vs the trailing 7-day median
+    q["ev_dau_anomalies"] = lambda s, d: ev.dau_anomalies(
+        load_table(s, d, "events")
     )
 
     # dedup-aware shard layout: near-dup groups co-located by root hash
@@ -3374,6 +3406,8 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
     """
+    # persisted-signature lane reads back the same signatures → same pairs
+    o["doc_minhash_indexed"] = o["doc_minhash_neardups"]
 
     o["doc_simhash_neardups"] = f"""
         WITH {_HS_CTE},
@@ -3628,6 +3662,30 @@ def oracle_sql() -> dict[str, str]:
                round(avg(dau) OVER (ORDER BY day
                      RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS dau_roll_avg
         FROM dau
+    """
+
+    o["ev_dau_anomalies"] = """
+        WITH dau AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+            SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+                   user_id
+            FROM events
+          ) GROUP BY 1
+        ), b AS (
+          SELECT day, dau,
+                 round(quantile_cont(dau, 0.5) OVER w, 6) AS med,
+                 count(*) OVER w AS nwin
+          FROM dau
+          WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, dau,
+               CASE WHEN nwin >= 7 THEN med END AS trailing_med,
+               CASE WHEN nwin >= 7 AND med > 0
+                    THEN round(abs(dau - med) / med, 6) END AS rel_dev,
+               coalesce(CASE WHEN nwin >= 7 AND med > 0
+                             THEN round(abs(dau - med) / med, 6) END > 0.25,
+                        FALSE) AS is_anomaly
+        FROM b
     """
 
     # time-weighted LOCF mean; durations quantized to integer µs so the
@@ -5280,6 +5338,38 @@ def oracle_sql() -> dict[str, str]:
         SELECT vec_id, cell, proto_cosine, rk, cell_n,
                rk <= ceil(0.2 * cell_n) AS dropped
         FROM ranked
+        """
+
+    o["emb_kmeans_refine"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos, e[CAST(t.i AS INTEGER)] AS x
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell AS nc, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax FROM ex GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        scored AS (
+          SELECT vec_id, nc,
+                 CASE WHEN sqrt(list_dot_product(e, e))
+                           * sqrt(list_dot_product(c, c)) > 0
+                      THEN round({_COS.format(a="e", b="c")}, 6)
+                      ELSE 0.0 END AS cs
+          FROM v CROSS JOIN cent
+        ),
+        best AS (
+          SELECT vec_id, nc, cs,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nc) AS rk
+          FROM scored
+        )
+        SELECT vec_id, CAST(nc AS INTEGER) AS cell, cs AS cosine
+        FROM best WHERE rk = 1
         """
 
     o["doc_mixture_plan"] = r"""

@@ -157,6 +157,9 @@ HEADLINE = [
     "ev_attribution",
     "ev_session_stats",
     "emb_cell_quality",
+    "doc_minhash_indexed",
+    "emb_kmeans_refine",
+    "ev_dau_anomalies",
 ]
 
 

@@ -434,3 +434,55 @@ def session_stats(
         F.round(F.avg(F.col("_n").cast("double")), 6).alias("mean_events"),
         F.round(F.avg((F.col("_n") == 1).cast("double")), 6).alias("bounce_share"),
     )
+
+
+def dau_anomalies(
+    events: DataFrame,
+    window_days: int = 7,
+    threshold: float = 0.25,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily-active-user anomaly days: every day whose DAU deviates from
+    the TRAILING ``window_days``-day median by more than ``threshold``
+    (relative) — the pager rule behind "traffic fell off a cliff" /
+    "bot spike" alerts. The median (not the mean of ``rolling_dau``)
+    so a single spike day doesn't poison its own baseline. Days without
+    a full trailing window report a null baseline and never flag.
+
+    Same scale shape as ``rolling_dau``: the distinct-(day, user)
+    reduction and per-day count distribute; the only global window runs
+    over the per-day frame — calendar-sized (365 rows/year regardless
+    of event volume), the one case where a single-partition window is
+    the right plan. Exact windowed ``percentile`` matches DuckDB's
+    windowed quantile_cont on these integer counts."""
+    day = F.floor(_epoch_s(events, ts_col) / F.lit(DAY_S)).cast("long")
+    dau = (
+        events.select(day.alias("day"), F.col(user_col).alias("user"))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    w = Window.orderBy("day").rangeBetween(-window_days, -1)
+    base = dau.select(
+        "day",
+        "dau",
+        F.round(F.expr("percentile(dau, 0.5)").over(w), 6).alias("trailing_med"),
+        F.count(F.lit(1)).over(w).alias("_nwin"),
+    )
+    rel = F.round(
+        F.abs(F.col("dau") - F.col("trailing_med")) / F.col("trailing_med"), 6
+    )
+    return base.select(
+        "day",
+        "dau",
+        F.when(F.col("_nwin") >= window_days, F.col("trailing_med")).alias(
+            "trailing_med"
+        ),
+        F.when(
+            (F.col("_nwin") >= window_days) & (F.col("trailing_med") > 0), rel
+        ).alias("rel_dev"),
+    ).withColumn(
+        "is_anomaly",
+        F.coalesce(F.col("rel_dev") > F.lit(threshold), F.lit(False)),
+    )

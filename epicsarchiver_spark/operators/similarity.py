@@ -1284,3 +1284,66 @@ def cell_quality(
             F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
         )
     )
+
+
+def kmeans_refine(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    dim: int | None = None,
+    centroids: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """One Lloyd iteration over the IVF coarse cells — the actual
+    k-means training step a production IVF index runs instead of
+    keeping the LCG-hyperplane seeds: assign every vector to its seed
+    cell, take each cell's component-wise DATA mean as the new centroid
+    (rounded to 6 dp so cross-engine summation order can't flip a
+    rank), then REASSIGN every vector to the max-cosine new centroid
+    (ties → smallest cell). Returns ``(vec_id, cell, cosine)``. Iterate
+    by feeding the means back through ``centroids=``.
+
+    Scale shape: the new centroids come from the same map-side-partial
+    posexplode aggregate as ``prototype_scores`` and rejoin as ONE
+    broadcast |cells|-row frame; reassignment is a broadcast cross join
+    (|cells| rows per vector — the canonical k-means assignment
+    shuffle-free form) reduced by ``max_by`` map-side. Nothing pairwise
+    between vectors, one narrow scan end-to-end."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    assigned = corpus.select(
+        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    )
+    cents = (
+        assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("_ax"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ax"))),
+                lambda s: F.round(s["_ax"], 6),
+            ).alias("_cent")
+        )
+        .select(F.col("cell").alias("_nc"), "_cent")
+    )
+    _den = norm(F.col("_v")) * norm(F.col("_cent"))
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        F.col(id_col),
+        "_nc",
+        F.when(_den > 0, F.round(dot(F.col("_v"), F.col("_cent")) / _den, 6))
+        .otherwise(F.lit(0.0))
+        .alias("_cos"),
+    )
+    # max cosine wins; on a tie the SMALLEST cell id (lexicographic
+    # struct max of (cos, -cell))
+    return scored.groupBy(id_col).agg(
+        F.max_by("_nc", F.struct(F.col("_cos"), (-F.col("_nc")).cast("int"))).alias(
+            "cell"
+        ),
+        F.max("_cos").alias("cosine"),
+    )

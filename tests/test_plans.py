@@ -552,3 +552,49 @@ def test_nation_trade_broadcasts_all_dims(spark):
     assert "CartesianProduct" not in plan
     assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:2000]
     assert plan.count("SortMergeJoin") <= 1, plan[:2000]
+
+
+def test_market_share_single_fact_pass_and_broadcast_dims(spark):
+    """Q8 shape: part/supplier/customer-region chains broadcast; the
+    fact scans ONCE (the share is a conditional sum, not two scans);
+    only the orders join may shuffle."""
+    plan = _plan(spark, "rel_market_share")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 3, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1, plan[:2000]
+    # one lineitem scan: the conditional-sum decomposition, not a rescan
+    # (formatted plans name the file only in the detail Location line)
+    assert len(re.findall(r"Location:[^\n]*lineitem", plan)) == 1, plan[:2000]
+
+
+def test_product_profit_broadcast_dims(spark):
+    plan = _plan(spark, "rel_product_profit")
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:2000]
+    assert plan.count("SortMergeJoin") <= 1, plan[:2000]
+
+
+def test_small_qty_revenue_threshold_is_broadcast_aggregate(spark):
+    """Q17's correlated scalar subquery must be one per-part aggregate
+    joined back broadcast — never a per-row rescan / nested loop."""
+    plan = _plan(spark, "rel_small_qty_revenue")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_kmeans_refine_broadcast_cells_no_cartesian(spark):
+    """The reassignment cross join must build on the |cells|-row
+    centroid frame (BroadcastNestedLoopJoin over a BroadcastExchange),
+    never a CartesianProduct over vectors."""
+    plan = _plan(spark, "emb_kmeans_refine")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+    # the max_by reassignment reduces map-side
+    assert "partial_max_by" in plan or "partial_" in plan
+
+
+def test_hapax_zipf_rank_window_partitioned_by_source(spark):
+    plan = _plan(spark, "doc_hapax_zipf")
+    wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+    rank_wins = [w for w in wins if "row_number" in w]
+    assert rank_wins and all("source" in w.split("], [", 1)[1] for w in rank_wins)

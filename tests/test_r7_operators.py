@@ -94,3 +94,78 @@ def test_session_stats_gap_splits_and_bounce(spark):
     # durations: 10, 0, 0 → p50 = 0
     assert r.p50_duration_s == 0.0
     assert r.mean_events == pytest.approx(4 / 3, abs=1e-6)
+
+
+def test_kmeans_refine_zero_vector_and_ties(spark):
+    from epicsarchiver_spark.operators.similarity import kmeans_refine
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 0.0]),
+        (4, [0.0, 0.0, 0.0, 0.0]),  # zero vector: cosine 0 to every centroid
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.vec_id: r for r in kmeans_refine(df, n_cells=2, dim=4).collect()}
+    assert len(out) == 4  # every vector assigned exactly once
+    # the two near-parallel vectors end in the same refined cell
+    assert out[1].cell == out[2].cell
+    assert out[4].cosine == 0.0
+    # zero vector ties on every centroid → smallest cell id wins
+    assert out[4].cell == min(r.cell for r in out.values())
+
+
+def test_kmeans_refine_iterates_via_centroids(spark):
+    """Feeding the refined means back through centroids= must be
+    accepted and keep every vector assigned (the Lloyd loop contract)."""
+    from epicsarchiver_spark.operators.similarity import kmeans_refine
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3), float((i * 7) % 5), 1.0, 0.0]) for i in range(12)],
+        "vec_id long, embedding array<double>",
+    )
+    first = kmeans_refine(df, n_cells=3, dim=4)
+    # recover the iteration's means per refined cell, feed them back
+    means = (
+        first.join(df, "vec_id")
+        .select("cell", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("x").alias("ax"))
+        .groupBy("cell")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "ax"))),
+                lambda s: F.round(s["ax"], 6),
+            ).alias("c")
+        )
+        .orderBy("cell")
+        .collect()
+    )
+    second = kmeans_refine(df, centroids=[list(r.c) for r in means])
+    assert second.count() == 12
+
+
+def test_dau_anomalies_spike_flags_and_warmup_does_not(spark):
+    from epicsarchiver_spark.operators.events import dau_anomalies
+
+    rows = []
+    eid = 0
+    # 10 steady days of 4 users, then a 12-user spike day
+    for day in range(10):
+        for u in range(4):
+            eid += 1
+            rows.append((eid, float(day * 86400 + 10), u))
+    for u in range(12):
+        eid += 1
+        rows.append((eid, float(10 * 86400 + 10), u))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts double, user_id long"
+    ).withColumn("event_type", F.lit("click")).withColumn("value", F.lit(0.0))
+    out = {r.day: r for r in dau_anomalies(df, threshold=0.25).collect()}
+    # warm-up days (< 7 prior days) never flag and carry null baseline
+    for day in range(7):
+        assert out[day].trailing_med is None and out[day].is_anomaly is False
+    assert out[8].is_anomaly is False  # steady day vs median 4
+    spike = out[10]
+    assert spike.trailing_med == 4.0 and spike.dau == 12
+    assert spike.is_anomaly is True and spike.rel_dev == 2.0
