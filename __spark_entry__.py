@@ -152,6 +152,7 @@ _R7_FRONT: list[str] = [
     "doc_minhash_indexed",
     "emb_kmeans_refine",
     "ev_dau_anomalies",
+    "doc_split_leakage",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1581,6 +1582,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_dau_anomalies"] = lambda s, d: ev.dau_anomalies(
         load_table(s, d, "events")
     )
+
+    # cross-split near-dup leakage audit (test doc with a train twin)
+    def _doc_split_leakage(s, d):
+        docs = load_table(s, d, "documents")
+        return curation.split_leakage(
+            docs,
+            dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05),
+        )
+
+    q["doc_split_leakage"] = _doc_split_leakage
 
     # dedup-aware shard layout: near-dup groups co-located by root hash
     q["doc_dedup_shards"] = lambda s, d: curation.shard_by_component(
@@ -3541,6 +3552,40 @@ def oracle_sql() -> dict[str, str]:
     o["doc_dedup_groups"] = (
         CC + "SELECT id AS doc_id, component FROM comp"
     )
+
+    o["doc_split_leakage"] = f"""
+        WITH sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM jp WHERE u > 0 AND i / u >= 0.05
+        ), sp AS (
+          SELECT doc_id,
+                 CASE WHEN b < 9000 THEN 'train'
+                      WHEN b < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     % 10000 AS b
+            FROM documents
+          )
+        )
+        SELECT least(a.split, b.split) AS split_a,
+               greatest(a.split, b.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN sp a ON id_a = a.doc_id
+        JOIN sp b ON id_b = b.doc_id
+        WHERE a.split <> b.split
+        GROUP BY split_a, split_b
+    """
     o["doc_dedup_survivors"] = (
         CC
         + """

@@ -160,6 +160,7 @@ HEADLINE = [
     "doc_minhash_indexed",
     "emb_kmeans_refine",
     "ev_dau_anomalies",
+    "doc_split_leakage",
 ]
 
 

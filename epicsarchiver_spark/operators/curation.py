@@ -256,3 +256,45 @@ def corpus_diff(
             F.when(F.col("_o").isNotNull() & F.col("_n").isNotNull(), 1).otherwise(0)
         ).alias("n_unchanged"),
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+) -> DataFrame:
+    """Cross-split contamination audit: near-dup pairs that STRADDLE the
+    deterministic train/val/test boundaries — the leakage every eval
+    suite silently suffers when dedup runs before splitting but not
+    ACROSS splits (a test doc whose near-twin sits in train is a free
+    answer). ``pairs`` is any certified candidate-pair frame
+    (``jaccard_pairs_blocked``, ``minhash_near_duplicates``,
+    ``winnow_matches`` — the audit is lane-agnostic). Returns one row
+    per unordered split pair ``(split_a, split_b, n_pairs)``; an empty
+    result is the state a leakage-free release requires.
+
+    Scale shape: the split dimension is a pure expression over the id
+    spine (``assign_splits`` — no shuffle to build); the pair frame
+    carries bare ids, so both attach joins move 8-byte keys and AQE
+    broadcasts the spine side when it fits. The rollup is at most
+    |splits|²/2 rows."""
+    from epicsarchiver_spark.operators.text_ops import assign_splits
+
+    s = assign_splits(docs.select(F.col(id_col)), key_col=id_col, splits=splits)
+    sa = s.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
+    sb = s.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
+    straddle = (
+        pairs.select("id_a", "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(F.col("_sa") != F.col("_sb"))
+    )
+    return straddle.groupBy(
+        F.least("_sa", "_sb").alias("split_a"),
+        F.greatest("_sa", "_sb").alias("split_b"),
+    ).agg(F.count(F.lit(1)).alias("n_pairs"))

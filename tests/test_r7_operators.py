@@ -169,3 +169,25 @@ def test_dau_anomalies_spike_flags_and_warmup_does_not(spark):
     spike = out[10]
     assert spike.trailing_med == 4.0 and spike.dau == 12
     assert spike.is_anomaly is True and spike.rel_dev == 2.0
+
+
+def test_split_leakage_counts_only_straddling_pairs(spark):
+    from epicsarchiver_spark.operators.curation import split_leakage
+    from epicsarchiver_spark.operators.text_ops import assign_splits
+
+    docs = spark.range(100).select(F.col("id").alias("doc_id"))
+    splits = {r.doc_id: r.split for r in assign_splits(docs).collect()}
+    # build pairs with known split memberships
+    ids_by_split: dict = {}
+    for i, s in splits.items():
+        ids_by_split.setdefault(s, []).append(i)
+    tr = sorted(ids_by_split["train"])
+    te = sorted(ids_by_split.get("test", []))
+    pairs = [(tr[0], tr[1]), (tr[2], tr[3])]  # same-split: excluded
+    pairs += [(tr[0], te[0]), (tr[1], te[0])]  # train<->test: counted
+    pdf = spark.createDataFrame(pairs, "id_a long, id_b long")
+    out = {(r.split_a, r.split_b): r.n_pairs for r in split_leakage(docs, pdf).collect()}
+    assert out == {("test", "train"): 2}
+
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert split_leakage(docs, empty).count() == 0
