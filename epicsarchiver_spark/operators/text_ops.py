@@ -1149,10 +1149,17 @@ def _bounded_exclusive_prefix(
     from pyspark import StorageLevel
 
     order = F.col(key).desc() if descending else F.col(key).asc()
+    # persist BOTH sides of the range shuffle: the input so the
+    # partitioner's sampling pass reads a fixed materialization (A/B'd
+    # variants: input-only 3.4 s, shuffle-only 2.9 s warm but 6.9 s
+    # cold and sampling recomputes upstream, both 2.9–3.1 s across
+    # cold and warm at sf0.1), the shuffled frame so both consumer
+    # branches share one deterministic _pid layout
     ranged = (
         per_key.persist(StorageLevel.MEMORY_AND_DISK)
         .repartitionByRange(n_parts, order)
         .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     woff = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
