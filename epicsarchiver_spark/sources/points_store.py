@@ -167,3 +167,45 @@ def range_read_store(
         run_names = [r.db for r in runs_for_window(runs, t0, t1).collect()]
         pts = pts.filter(F.col("run").isin(run_names))
     return pts.filter(F.col("time").between(t0, t1))
+
+
+def write_points_bucketed(
+    points: DataFrame,
+    table: str,
+    path: str | None = None,
+    n_buckets: int = DEFAULT_BUCKETS,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed variant of the store — the SHUFFLE-FREE lane for
+    per-series operators. ``bucketBy(n, pvname).sortBy(pvname, time)``
+    records the hash distribution in the catalog, so every downstream
+    ``groupBy("pvname")`` / ``Window.partitionBy("pvname")`` is
+    satisfied by the SCAN's layout and Catalyst plans NO Exchange — at
+    100 TB that deletes the single biggest shuffle in the per-series
+    operator family (deadband, compression report, latest, as-of). The
+    directory-partitioned ``write_points`` store keeps the same key
+    bucketing but only as a pruning layout; this lane additionally
+    registers it as table metadata the planner can consume (the
+    SCALE.md "a future bucketBy layout makes them shuffle-free" note,
+    implemented). An Iceberg/Delta deployment gets the same effect from
+    a sorted bucket transform.
+
+    ``path`` makes it an external table (tests point it at a tmp dir);
+    the catalog entry is what carries the bucket spec either way."""
+    w = (
+        points.repartition(F.col("pvname"))
+        .sortWithinPartitions("pvname", "time")
+        .write.mode(mode)
+        .bucketBy(n_buckets, "pvname")
+        .sortBy("pvname", "time")
+    )
+    if path is not None:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_points_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read the bucketed store THROUGH the catalog — reading the parquet
+    path directly would lose the bucket spec and reintroduce the
+    shuffle."""
+    return spark.table(table)

@@ -161,3 +161,54 @@ def test_compact_store_merges_small_files(spark, tmp_path):
         for r in read_points(spark, path).filter(F.col("run") == "run_001").collect()
     )
     assert rows_rec == rows_before
+
+
+def test_bucketed_store_removes_per_series_exchange(spark, tmp_path):
+    """The bucketBy lane's whole point: a per-series window AND a
+    per-series aggregate over the catalog-read table must plan with ZERO
+    Exchange — the scan's bucket layout satisfies the distribution
+    (SCALE.md's 'a future bucketBy layout makes them shuffle-free',
+    implemented). Reading the same files as plain parquet loses the
+    bucket spec and reintroduces the shuffle, so both paths are pinned."""
+    from pyspark.sql import Window
+
+    from epicsarchiver_spark.plans import explain_str
+    from epicsarchiver_spark.sources.points_store import (
+        read_points_bucketed,
+        write_points_bucketed,
+    )
+
+    pts = spark.createDataFrame(
+        [(f"PV:{i % 7}", float(t), float(i)) for i, t in enumerate(range(200))],
+        "pvname string, time double, value double",
+    )
+    table = "pvarch_test_bucketed"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    write_points_bucketed(pts, table, path=str(tmp_path / "bucketed"), n_buckets=8)
+    try:
+        t = read_points_bucketed(spark, table)
+
+        w = Window.partitionBy("pvname").orderBy("time")
+        windowed = t.select("pvname", "time", F.lag("value").over(w).alias("prev"))
+        plan_w = explain_str(windowed)
+        assert "Exchange" not in plan_w, plan_w[:2000]
+
+        agged = t.groupBy("pvname").agg(F.max_by("value", F.col("time")).alias("v"))
+        plan_a = explain_str(agged)
+        assert "Exchange" not in plan_a, plan_a[:2000]
+
+        # same rows, read as bare parquet: the bucket spec is catalog
+        # metadata, so the shuffle comes back — the pin that explains WHY
+        # read_points_bucketed goes through spark.table()
+        bare = spark.read.parquet(str(tmp_path / "bucketed"))
+        plan_bare = explain_str(
+            bare.groupBy("pvname").agg(F.max_by("value", F.col("time")).alias("v"))
+        )
+        assert "Exchange" in plan_bare
+
+        # and the data survives the round trip
+        assert t.count() == 200
+        got = {r.pvname: r.v for r in agged.collect()}
+        assert got["PV:0"] == 196.0  # last multiple of 7 below 200 is 196
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
