@@ -153,6 +153,7 @@ _R7_FRONT: list[str] = [
     "emb_kmeans_refine",
     "ev_dau_anomalies",
     "doc_split_leakage",
+    "ts_latest_bucketed",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -185,6 +186,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_get_data"] = lambda s, d: timeseries.get_data(_points(s, d), T0, T1)
     q["ts_value_at"] = lambda s, d: timeseries.value_at_time(_points(s, d), T_ASOF)
     q["ts_latest"] = lambda s, d: timeseries.latest_per_key(_points(s, d)).select(*_PTS)
+
+    # ...and the same question answered from the BUCKETED catalog store
+    # (points_store.write_points_bucketed): the bucketBy(pvname) table
+    # metadata lets the per-series max_by aggregate plan with no
+    # Exchange — the layout-level shuffle deletion, certified end-to-end
+    # here. Oracle identical to ts_latest (same rows, same reduction).
+    def _ts_latest_bucketed(s, d):
+        import re
+        import tempfile
+
+        from epicsarchiver_spark.sources.points_store import (
+            read_points_bucketed,
+            write_points_bucketed,
+        )
+
+        key = (d, "bucketed_points")
+        tbl = _ARTIFACTS.get(key)
+        if tbl is None:
+            tbl = "pvarch_bucketed_" + re.sub(r"[^0-9a-zA-Z]+", "_", d).strip("_")
+            tmp = tempfile.mkdtemp(prefix="pvarch_q_bucketed_")
+            write_points_bucketed(
+                _points(s, d), tbl, path=f"{tmp}/points", n_buckets=8
+            )
+            _ARTIFACTS[key] = tbl
+        return timeseries.latest_per_key(read_points_bucketed(s, tbl)).select(*_PTS)
+
+    q["ts_latest_bucketed"] = _ts_latest_bucketed
     q["ts_minmax"] = lambda s, d: timeseries.minmax_times(_points(s, d))
     q["ts_nchanged"] = lambda s, d: timeseries.n_changed(
         points_view(s, d), T1, by="event_type"
@@ -1711,9 +1739,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly the never-driver-certified queries, highest priority
     # first.  For r7 that is the 33 r6b additions that the r6 sample
     # did not reach (computed as registry minus the union of green
-    # rows in CORRECTNESS_r01..r06), followed by every gate query NEW
-    # in r7 (appended to _R7_FRONT as they are added) so they get
-    # driver rows in the same round they land.  All previously
+    # rows in CORRECTNESS_r01..r06) plus the 15 queries NEW in r7
+    # (_R7_FRONT) — 48 total, within the 50-query sample with slack,
+    # so CORRECTNESS_r07 certifies the whole registry.  All previously
     # certified queries keep their green rows (testdata unchanged —
     # guarded by tests/testdata_fingerprint.json) and fill the
     # remainder in their prior order.
@@ -1846,6 +1874,9 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
         """
     )
+
+    # bucketed-catalog lane reads the same rows → same reduction
+    o["ts_latest_bucketed"] = o["ts_latest"]
 
     o["ts_minmax"] = (
         P

@@ -161,6 +161,7 @@ HEADLINE = [
     "emb_kmeans_refine",
     "ev_dau_anomalies",
     "doc_split_leakage",
+    "ts_latest_bucketed",
 ]
 
 
