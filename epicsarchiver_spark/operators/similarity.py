@@ -1258,6 +1258,13 @@ def cell_quality(
     cells waste probes). Pure rollup of the certified
     ``prototype_scores`` signal: one narrow scan + broadcast-centroid
     join feed a |cells|-sized aggregate; nothing pairwise anywhere."""
+    from pyspark import StorageLevel
+
+    # the rollup and the totals branch both consume the scored frame:
+    # persist once or the plan replicates the Arrow cell-assignment
+    # subtree into every branch (measured 16 ArrowEvalPython nodes
+    # unpersisted — ~3× the assignment compute for a bounded
+    # n_vecs × 4-column frame)
     scored = prototype_scores(
         vectors,
         n_cells=n_cells,
@@ -1266,7 +1273,7 @@ def cell_quality(
         centroids=centroids,
         id_col=id_col,
         vec_col=vec_col,
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = scored.agg(F.count(F.lit(1)).alias("_tot"))
     return (
         scored.groupBy("cell")

@@ -1120,52 +1120,48 @@ def _bounded_exclusive_prefix(
     val: str,
     out: str,
     descending: bool = False,
-    n_parts: int = 64,
+    coarse: float = 16.0,
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``val`` over rows ordered by ``key``
-    (distinct keys), with a STRUCTURALLY bounded single-task frame —
-    the classic distributed scan. The r6 decomposition ran one
-    unpartitioned running-sum window over the distinct-score frame; that
-    frame is small in practice (6-dp rounding) but its size is
+    (distinct numeric keys), with a structurally bounded single-task
+    frame — the two-level coarse-bucket cumsum. The r6 decomposition ran
+    one unpartitioned running-sum window over the distinct-score frame;
+    that frame is small in practice (6-dp rounding) but its size is
     data-dependent. Here the only unpartitioned window consumes the
-    per-range-partition totals — ≤ ``n_parts`` rows by construction,
-    regardless of the score distribution:
+    per-COARSE-BUCKET totals, where bucket = floor(key·coarse) — a pure
+    deterministic expression, so unlike the repartitionByRange
+    formulation (tried first) there is no sampling pass re-reading the
+    upstream, no spark_partition_id cross-branch consistency question,
+    and no persist: the whole thing is one extra bounded aggregate
+    (measured: the range form cost the ccnet gate 2.4→4.8 s; this form
+    is within noise of the unbounded r6 original while keeping the
+    bound).
 
-    1. persist the input, then range-partition the keys
-       (``repartitionByRange`` keeps partition ids in key order) — the
-       persist matters doubly: the range partitioner's SAMPLING pass
-       re-reads the input (unpersisted, it would recompute the whole
-       upstream aggregate a second time — measured ~0.9 s of the 3.3 s
-       ccnet gate), and both downstream branches must see one
-       deterministic partition layout;
-    2. per-partition totals (≤ n_parts rows) → exclusive offsets via the
-       one unpartitioned window over those n_parts rows;
-    3. within-partition exclusive running sum, partitioned BY the range
-       partition id (parallel);
-    4. broadcast-join the offsets back: prefix = offset + local.
+    The bucket-count bound: quality_prob-style [0,1] scores give
+    ≤ coarse+1 buckets outright; mean-neg-logprob scores are bounded by
+    the Lidstone floor at ln((N+αV)/α) — logarithmic in corpus size, so
+    ≤ ~40·coarse buckets even at 10¹³ tokens. Either way the
+    unpartitioned window input is provably tiny regardless of how many
+    DISTINCT scores exist (the r6 concern).
+
+    1. bucket totals (≤ buckets rows, map-side partials) → exclusive
+       bucket offsets via the one unpartitioned window;
+    2. within-bucket exclusive running sum, partitioned BY bucket
+       (parallel — and bucket order IS key order, floor is monotone);
+    3. broadcast-join the offsets back: prefix = offset + local.
 
     Returns ``(key, out)`` where ``out`` is the sum of ``val`` over all
     keys strictly before ``key`` in the requested order."""
-    from pyspark import StorageLevel
-
-    order = F.col(key).desc() if descending else F.col(key).asc()
-    # persist BOTH sides of the range shuffle: the input so the
-    # partitioner's sampling pass reads a fixed materialization (A/B'd
-    # variants: input-only 3.4 s, shuffle-only 2.9 s warm but 6.9 s
-    # cold and sampling recomputes upstream, both 2.9–3.1 s across
-    # cold and warm at sf0.1), the shuffled frame so both consumer
-    # branches share one deterministic _pid layout
-    ranged = (
-        per_key.persist(StorageLevel.MEMORY_AND_DISK)
-        .repartitionByRange(n_parts, order)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    sign = -1.0 if descending else 1.0
+    keyed = per_key.withColumn(
+        "_pid", F.floor(F.col(key) * F.lit(sign * coarse)).cast("long")
     )
+    order = F.col(key).desc() if descending else F.col(key).asc()
     woff = Window.orderBy("_pid").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     offsets = (
-        ranged.groupBy("_pid")
+        keyed.groupBy("_pid")
         .agg(F.sum(val).alias("_pt"))
         .select("_pid", (F.sum("_pt").over(woff) - F.col("_pt")).alias("_poff"))
     )
@@ -1173,7 +1169,7 @@ def _bounded_exclusive_prefix(
         Window.unboundedPreceding, Window.currentRow
     )
     return (
-        ranged.withColumn("_loc", F.sum(val).over(wloc) - F.col(val))
+        keyed.withColumn("_loc", F.sum(val).over(wloc) - F.col(val))
         .join(F.broadcast(offsets), "_pid")
         .select(key, (F.col("_poff") + F.col("_loc")).alias(out))
     )

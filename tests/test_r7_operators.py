@@ -191,3 +191,29 @@ def test_split_leakage_counts_only_straddling_pairs(spark):
 
     empty = spark.createDataFrame([], "id_a long, id_b long")
     assert split_leakage(docs, empty).count() == 0
+
+
+@pytest.mark.parametrize("descending", [False, True])
+def test_bounded_exclusive_prefix_exact(spark, descending):
+    """The coarse-bucket two-level cumsum is EXACT: equals the
+    driver-computed exclusive prefix for keys spanning negative values,
+    bucket boundaries, and sub-bucket clusters."""
+    import random
+
+    from epicsarchiver_spark.operators.text_ops import _bounded_exclusive_prefix
+
+    rng = random.Random(7)
+    keys = sorted({round(rng.uniform(-3, 3), 4) for _ in range(300)})
+    rows = [(k, rng.randint(1, 9)) for k in keys]
+    df = spark.createDataFrame(rows, "k double, v long")
+    got = {
+        r.k: r.base
+        for r in _bounded_exclusive_prefix(
+            df, "k", "v", "base", descending=descending
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: t[0], reverse=descending)
+    acc = 0
+    for k, v in ordered:
+        assert got[k] == acc, (k, got[k], acc)
+        acc += v
