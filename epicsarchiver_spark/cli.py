@@ -18,6 +18,11 @@ code, SURVEY §3.1):
     health            → per-PV uptime/drift/outlier report (engine-only roll-up of status+check)
     save_position     → save named instrument position     (WebInstruments save)
     restore_position  → member values as of a position     (WebInstruments restore)
+    build_dedup_artifacts → per-release dedup bases        (engine-only: the
+                        components/winnow/minhash parquet the *_indexed
+                        query lanes read back)
+    bucketize         → store → bucketBy(pvname) catalog   (engine-only: the
+                        one-time rewrite that deletes per-series shuffles)
 
 Run as ``python -m epicsarchiver_spark.cli <command> ...``.
 Config is plain argv (--store/--runs), not the reference's toml — the
@@ -322,6 +327,58 @@ def cmd_add_pvfile(args) -> int:
     return 0
 
 
+def cmd_build_dedup_artifacts(args) -> int:
+    """Once-per-corpus-release build of the persisted dedup bases: the
+    connected-components labels (shard/survivor/leakage consumers), the
+    winnowing fingerprint table, and the MinHash signature table — the
+    artifacts the ``*_indexed`` query lanes read back so no steady-state
+    query ever rebuilds a basis."""
+    from epicsarchiver_spark.operators import curation, dedup
+
+    spark = _spark("build_dedup_artifacts")
+    docs = spark.read.parquet(args.documents)
+    out = args.out.rstrip("/")
+    if args.lane == "minhash":
+        pairs = dedup.minhash_near_duplicates(
+            docs, threshold=args.threshold, shingle_k=args.shingle_k
+        )
+    else:
+        pairs = dedup.jaccard_pairs_blocked(
+            docs, shingle_k=args.shingle_k, threshold=args.threshold
+        )
+    curation.write_components(
+        dedup.connected_components(pairs), f"{out}/components"
+    )
+    dedup.winnow_fingerprints(docs).write.mode("overwrite").parquet(
+        f"{out}/winnow_fp"
+    )
+    dedup.minhash_signatures(docs, shingle_k=args.shingle_k).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/minhash_sig")
+    for name in ("components", "winnow_fp", "minhash_sig"):
+        n = spark.read.parquet(f"{out}/{name}").count()
+        print(f"{name}: {n} rows -> {out}/{name}")
+    return 0
+
+
+def cmd_bucketize(args) -> int:
+    """Migrate the directory-partitioned points store into the bucketed
+    catalog table (``write_points_bucketed``) — the one-time full-shuffle
+    rewrite that makes every later per-series window/aggregate
+    shuffle-free."""
+    from epicsarchiver_spark.sources.points_store import (
+        read_points,
+        write_points_bucketed,
+    )
+
+    spark = _spark("bucketize")
+    pts = read_points(spark, args.store).select("pvname", "time", "value")
+    write_points_bucketed(pts, args.table, path=args.path, n_buckets=args.buckets)
+    n = spark.table(args.table).count()
+    print(f"{args.table}: {n} rows bucketed by pvname into {args.buckets} buckets")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pvarch", description="EpicsArchiver (Spark engine) operations"
@@ -398,6 +455,25 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pvs", nargs="+", help="instrument member PV names")
     s.add_argument("--positions-file", default="./positions.parquet")
     s.set_defaults(fn=cmd_restore_position)
+
+    s = sub.add_parser(
+        "build_dedup_artifacts",
+        help="write the per-release dedup bases (components/winnow/minhash)",
+    )
+    s.add_argument("documents", help="documents parquet path")
+    s.add_argument("out", help="artifact output dir")
+    s.add_argument("--lane", choices=("jaccard", "minhash"), default="jaccard")
+    s.add_argument("--threshold", type=float, default=0.05)
+    s.add_argument("--shingle-k", type=int, default=2)
+    s.set_defaults(fn=cmd_build_dedup_artifacts)
+
+    s = sub.add_parser(
+        "bucketize", help="rewrite the store as a bucketBy(pvname) catalog table"
+    )
+    s.add_argument("table", help="catalog table name to create")
+    s.add_argument("--path", default=None, help="external table location")
+    s.add_argument("--buckets", type=int, default=128)
+    s.set_defaults(fn=cmd_bucketize)
 
     return p
 

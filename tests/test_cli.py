@@ -184,3 +184,74 @@ def test_health_report(spark, store, capsys):
     for line in out.splitlines()[1:]:
         up = float(line.split()[1])
         assert 0.0 < up <= 1.0
+
+
+def test_build_dedup_artifacts_cli(spark, tmp_path, capsys):
+    """The once-per-release artifact build: components + winnow fps +
+    minhash signatures land as parquet, and the read-back sharding over
+    the written components equals the inline lane."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators import curation, dedup
+
+    docs_path = str(tmp_path / "docs.parquet")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (i, base if i % 3 == 0 else f"{base} tail {i} extra words here", "en", "s")
+        for i in range(24)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(docs_path)
+
+    out = str(tmp_path / "artifacts")
+    assert cli.main(["build_dedup_artifacts", docs_path, out]) == 0
+    printed = capsys.readouterr().out
+    for name in ("components", "winnow_fp", "minhash_sig"):
+        assert name in printed
+        assert spark.read.parquet(f"{out}/{name}").count() > 0
+
+    docs = spark.read.parquet(docs_path)
+    via_artifact = {
+        (r.shard, r.n_docs, r.n_groups)
+        for r in curation.shard_by_component(
+            docs, f"{out}/components", n_shards=4
+        ).collect()
+    }
+    inline = {
+        (r.shard, r.n_docs, r.n_groups)
+        for r in curation.shard_by_component(
+            docs,
+            dedup.connected_components(
+                dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
+            ),
+            n_shards=4,
+        ).collect()
+    }
+    assert via_artifact == inline
+
+
+def test_bucketize_cli(spark, store, tmp_path, capsys):
+    from epicsarchiver_spark.plans import explain_str
+
+    table = "pvarch_test_cli_bucketized"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        assert (
+            cli.main(
+                [
+                    "--store", store, "bucketize", table,
+                    "--path", str(tmp_path / "bt"), "--buckets", "4",
+                ]
+            )
+            == 0
+        )
+        assert "bucketed by pvname" in capsys.readouterr().out
+        t = spark.table(table)
+        assert t.count() == 200
+        plan = explain_str(
+            t.groupBy("pvname").agg(__import__("pyspark").sql.functions.count("*"))
+        )
+        assert "Exchange" not in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
