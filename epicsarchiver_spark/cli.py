@@ -1,9 +1,13 @@
 """``pvarch`` CLI equivalent — the reference's operational entry point
 (ref epicsarchiver/pvarch.py:85-355) over the Spark engine.
 
-Command mapping (daemon lifecycle commands have no engine analog — the
-cache/archiver processes are Structured Streaming queries started from
-code, SURVEY §3.1):
+Command mapping (the daemon lifecycle commands are the ``archive`` /
+``cache_daemon`` subcommands below — Structured Streaming queries,
+bounded availableNow drains by default, ``--follow`` for the
+continuous daemon shape; SURVEY §3.1):
+
+    archive SRC       → gate→compress→bucketed append      (pvarch start)
+    cache_daemon SRC  → latest-value cache maintenance     (pvarch cache start)
 
     status            → status_activity over the store     (pvarch status)
     activity [n]      → most recently updated PVs          (pvarch cache activity)
@@ -327,6 +331,83 @@ def cmd_add_pvfile(args) -> int:
     return 0
 
 
+def cmd_archive(args) -> int:
+    """``pvarch start`` analog: run the archiver pipeline — gate →
+    deadtime/deadband compression → bucketed parquet append — as a
+    Structured Streaming query over a parquet events directory. Default
+    is a BOUNDED availableNow drain (processes everything present, then
+    exits — cron-able backfill); ``--follow`` keeps the query running on
+    a processing-time trigger, which is the reference daemon's shape
+    (stop it with SIGINT; the checkpoint resumes exactly-once)."""
+    from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
+
+    spark = _spark("archive")
+    stream = spark.readStream.schema(
+        "pvname string, time double, value double"
+    ).parquet(args.events)
+    q = archive_query(
+        compressed_stream(
+            stream,
+            deadtime=args.deadtime,
+            deadband=args.deadband,
+            flush_ms=None if not args.follow else args.flush_ms,
+        ),
+        args.store,
+        args.checkpoint,
+        buckets=args.buckets,
+    )
+    q = (
+        q.trigger(processingTime=f"{args.trigger_s} seconds")
+        if args.follow
+        else q.trigger(availableNow=True)
+    ).start()
+    if args.follow:
+        print(f"archiving {args.events} -> {args.store} (ctrl-c to stop)")
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout)
+        n = _points(spark, args).count()
+        print(f"drained {args.events}: store now holds {n} points")
+    return 0
+
+
+def cmd_cache_daemon(args) -> int:
+    """``pvarch cache start`` analog: maintain the latest-value cache
+    (bucket-swap parquet lane, or the JDBC table lane with --jdbc-url)
+    from a parquet events directory. Bounded availableNow drain by
+    default; ``--follow`` for the continuous daemon shape."""
+    from epicsarchiver_spark.streaming.ingest import (
+        latest_value_query,
+        latest_value_query_jdbc,
+        read_cache,
+    )
+
+    spark = _spark("cache_daemon")
+    stream = spark.readStream.schema(
+        "pvname string, time double, value double"
+    ).parquet(args.events)
+    if args.jdbc_url:
+        q = latest_value_query_jdbc(stream, args.jdbc_url, args.checkpoint)
+    else:
+        q = latest_value_query(stream, args.cache, args.checkpoint, buckets=args.buckets)
+    q = (
+        q.trigger(processingTime=f"{args.trigger_s} seconds")
+        if args.follow
+        else q.trigger(availableNow=True)
+    ).start()
+    if args.follow:
+        print("cache daemon running (ctrl-c to stop)")
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout)
+        if not args.jdbc_url:
+            n = read_cache(spark, args.cache).count()
+            print(f"cache holds {n} series")
+        else:
+            print("JDBC cache updated")
+    return 0
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -455,6 +536,31 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pvs", nargs="+", help="instrument member PV names")
     s.add_argument("--positions-file", default="./positions.parquet")
     s.set_defaults(fn=cmd_restore_position)
+
+    s = sub.add_parser("archive", help="run the archiver pipeline (pvarch start)")
+    s.add_argument("events", help="parquet events source directory")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--deadtime", type=float, default=5.0)
+    s.add_argument("--deadband", type=float, default=0.0)
+    s.add_argument("--buckets", type=int, default=128)
+    s.add_argument("--follow", action="store_true", help="continuous daemon mode")
+    s.add_argument("--trigger-s", type=int, default=30)
+    s.add_argument("--flush-ms", type=int, default=1000)
+    s.add_argument("--timeout", type=int, default=600)
+    s.set_defaults(fn=cmd_archive)
+
+    s = sub.add_parser(
+        "cache_daemon", help="maintain the latest-value cache (pvarch cache start)"
+    )
+    s.add_argument("events", help="parquet events source directory")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--cache", default="./cache")
+    s.add_argument("--jdbc-url", default=None)
+    s.add_argument("--buckets", type=int, default=64)
+    s.add_argument("--follow", action="store_true", help="continuous daemon mode")
+    s.add_argument("--trigger-s", type=int, default=10)
+    s.add_argument("--timeout", type=int, default=600)
+    s.set_defaults(fn=cmd_cache_daemon)
 
     s = sub.add_parser(
         "build_dedup_artifacts",

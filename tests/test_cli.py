@@ -255,3 +255,51 @@ def test_bucketize_cli(spark, store, tmp_path, capsys):
         assert "Exchange" not in plan
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_archive_and_cache_daemon_cli(spark, tmp_path, capsys):
+    """pvarch start analogs: bounded availableNow drains of the archiver
+    pipeline and the latest-value cache from a parquet events dir."""
+    import pandas as pd
+
+    src = tmp_path / "events_in"
+    src.mkdir()
+    rows = []
+    for pv in ("D:a", "D:b"):
+        rows += [(pv, float(t), float(t)) for t in range(0, 400, 100)]
+    pd.DataFrame(rows, columns=["pvname", "time", "value"]).to_parquet(
+        src / "b0.parquet", index=False
+    )
+
+    store = str(tmp_path / "store")
+    assert (
+        cli.main(
+            [
+                "--store", store, "archive", str(src),
+                "--checkpoint", str(tmp_path / "ck_a"),
+                "--deadtime", "50", "--buckets", "4",
+            ]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "store now holds" in out
+    assert read_points(spark, store).count() > 0
+
+    cache = str(tmp_path / "cache")
+    assert (
+        cli.main(
+            [
+                "cache_daemon", str(src),
+                "--checkpoint", str(tmp_path / "ck_c"),
+                "--cache", cache, "--buckets", "4",
+            ]
+        )
+        == 0
+    )
+    assert "cache holds 2 series" in capsys.readouterr().out
+    got = {
+        (r.pvname, r.time, r.value)
+        for r in spark.read.parquet(cache).drop("bucket").collect()
+    }
+    assert got == {("D:a", 300.0, 300.0), ("D:b", 300.0, 300.0)}
