@@ -8,6 +8,8 @@ continuous daemon shape; SURVEY §3.1):
 
     archive SRC       → gate→compress→bucketed append      (pvarch start)
     cache_daemon SRC  → latest-value cache maintenance     (pvarch cache start)
+    alerts RULES.csv  → rule sweep + rendered mail         (cache.py alert daemon,
+                        minus the SMTP send — pipe stdout)
 
     status            → status_activity over the store     (pvarch status)
     activity [n]      → most recently updated PVs          (pvarch cache activity)
@@ -408,6 +410,50 @@ def cmd_cache_daemon(args) -> int:
     return 0
 
 
+def cmd_alerts(args) -> int:
+    """Alert sweep over the store (ref cache.py:601-630 + the mail
+    path): evaluate threshold rules against the latest value per series
+    and print one rendered notification per firing rule — the engine
+    side of the reference's alert daemon, minus the SMTP send
+    (declared non-goal; pipe stdout wherever).
+
+    Rules CSV: ``pvname,compare,trippoint`` with compare ∈
+    {eq,ne,le,lt,ge,gt}. Exit code 2 when anything fires (cron-able,
+    same convention as ``check``)."""
+    import csv
+
+    from epicsarchiver_spark.functions.mail import render_alert_mail
+    from epicsarchiver_spark.operators.control import alert_eval
+    from epicsarchiver_spark.operators.timeseries import latest_per_key
+
+    spark = _spark("alerts")
+    with open(args.rules) as fh:
+        rows = [
+            (r["pvname"], r["compare"], r["trippoint"])
+            for r in csv.DictReader(fh)
+        ]
+    if not rows:
+        print("no rules")
+        return 0
+    rules = spark.createDataFrame(rows, "pvname string, compare string, trippoint string")
+    cache = latest_per_key(_points(spark, args).select("pvname", "time", "value"))
+    fired = alert_eval(cache, rules, rule_key="pvname").collect()
+    lookup = {r.pvname: str(r.value) for r in cache.collect()} if fired else {}
+    template = (
+        open(args.template).read()
+        if args.template
+        else "ALERT %PV%: value %VALUE% %COMP% trippoint %TRIP%"
+    )
+    for r in fired:
+        print(
+            render_alert_mail(
+                template, r.pvname, r.value, args.label, r.compare, r.trippoint, lookup
+            )
+        )
+    print(f"{len(fired)} alert(s) fired over {len(rows)} rule(s)")
+    return 2 if fired else 0
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -536,6 +582,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("pvs", nargs="+", help="instrument member PV names")
     s.add_argument("--positions-file", default="./positions.parquet")
     s.set_defaults(fn=cmd_restore_position)
+
+    s = sub.add_parser("alerts", help="evaluate alert rules, print rendered mail")
+    s.add_argument("rules", help="CSV with pvname,compare,trippoint columns")
+    s.add_argument("--template", default=None, help="mail template file")
+    s.add_argument("--label", default="alarm")
+    s.set_defaults(fn=cmd_alerts)
 
     s = sub.add_parser("archive", help="run the archiver pipeline (pvarch start)")
     s.add_argument("events", help="parquet events source directory")

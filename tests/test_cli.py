@@ -303,3 +303,28 @@ def test_archive_and_cache_daemon_cli(spark, tmp_path, capsys):
         for r in spark.read.parquet(cache).drop("bucket").collect()
     }
     assert got == {("D:a", 300.0, 300.0), ("D:b", 300.0, 300.0)}
+
+
+def test_alerts_cli_fires_and_renders(spark, store, tmp_path, capsys):
+    """Rule sweep over the store's latest values: firing rules render
+    the mail template (incl. a %PV()% cache lookup) and flip the exit
+    code to 2; a quiet rule set exits 0."""
+    rules = tmp_path / "rules.csv"
+    # store series end at t=2970 with value 2970 % 7 == 2.0
+    rules.write_text(
+        "pvname,compare,trippoint\nCLI:a.VAL,gt,1\nCLI:b.VAL,gt,99\n"
+    )
+    tpl = tmp_path / "mail.txt"
+    tpl.write_text("PV %PV% hit %VALUE% (%COMP% %TRIP%); b is %PV(CLI:b.VAL)%")
+    assert (
+        cli.main(["--store", store, "alerts", str(rules), "--template", str(tpl)])
+        == 2
+    )
+    out = capsys.readouterr().out
+    assert "PV CLI:a.VAL hit 2.0 (gt 1); b is 2.0" in out
+    assert "1 alert(s) fired over 2 rule(s)" in out
+
+    quiet = tmp_path / "quiet.csv"
+    quiet.write_text("pvname,compare,trippoint\nCLI:a.VAL,gt,99\n")
+    assert cli.main(["--store", store, "alerts", str(quiet)]) == 0
+    assert "0 alert(s)" in capsys.readouterr().out
