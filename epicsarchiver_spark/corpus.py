@@ -1,0 +1,175 @@
+"""Training-corpus facade: the LLM-data-pipeline surface as one object,
+the way ``api.PVArchEngine`` wraps the archiver surface. Each method
+delegates to a certified operator (operators/text_ops.py, dedup.py,
+curation.py) and returns a DataFrame; the object carries only the
+handles (docs frame, id/text column names, artifact paths) — no state
+beyond what a deployment would keep anyway.
+
+Intended call pattern (the RefinedWeb/FineWeb release loop):
+
+    cp = CorpusPipeline(spark, docs)
+    cp.build_artifacts("s3://corpus/release-42/artifacts")   # once
+    cp.verdicts().write...                                   # audit view
+    cp.survivors().write...                                  # training set
+    cp.shards(n_shards=1024).write...                        # layout
+    assert cp.leakage().count() == 0                         # gate
+    cp.report().show(); cp.mixture().show()                  # dashboards
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.operators import curation, dedup, text_ops
+
+
+class CorpusPipeline:
+    """Curation surface over a documents frame.
+
+    Parameters
+    ----------
+    spark : SparkSession
+    docs : DataFrame
+        ``(doc_id, text, lang, source, n_chars, ...)`` — the driver
+        documents schema; ``lang``/``n_chars`` feed the blocked-join
+        defaults.
+    artifacts : optional path of a ``build_artifacts`` output dir —
+        when set, pair/shard methods read the persisted bases instead
+        of rebuilding them (the steady-state shape).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        docs: DataFrame,
+        id_col: str = "doc_id",
+        text: str = "text",
+        artifacts: str | None = None,
+        shingle_k: int = 2,
+        jaccard_threshold: float = 0.05,
+    ) -> None:
+        self.spark = spark
+        self.docs = docs
+        self.id_col = id_col
+        self.text = text
+        self.artifacts = artifacts.rstrip("/") if artifacts else None
+        self.shingle_k = shingle_k
+        self.jaccard_threshold = jaccard_threshold
+
+    # --- pair / component bases -------------------------------------
+    def near_dup_pairs(self, lane: str = "jaccard", **kw) -> DataFrame:
+        """Candidate near-dup pairs: exact blocked Jaccard (certified
+        default, gate scale) or banded MinHash (the 100 TB lane). With
+        ``artifacts`` set, the minhash lane reads the persisted
+        signature table — text never re-shingles."""
+        if lane == "minhash":
+            sig = None
+            if self.artifacts:
+                sig = self.spark.read.parquet(f"{self.artifacts}/minhash_sig")
+            return dedup.minhash_near_duplicates(
+                None if sig is not None else self.docs,
+                threshold=self.jaccard_threshold,
+                text=self.text,
+                id_col=self.id_col,
+                shingle_k=self.shingle_k,
+                signatures=sig,
+                **kw,
+            )
+        if lane == "jaccard":
+            return dedup.jaccard_pairs_blocked(
+                self.docs,
+                text=self.text,
+                id_col=self.id_col,
+                shingle_k=self.shingle_k,
+                threshold=self.jaccard_threshold,
+                **kw,
+            )
+        raise ValueError(f"lane must be 'jaccard' or 'minhash': {lane!r}")
+
+    def components(self, lane: str = "jaccard") -> DataFrame:
+        """Resolved duplicate groups ``(id, component)`` — read back from
+        the artifact when available, else built from ``near_dup_pairs``."""
+        if self.artifacts:
+            return self.spark.read.parquet(f"{self.artifacts}/components")
+        return dedup.connected_components(self.near_dup_pairs(lane))
+
+    def build_artifacts(self, out: str, lane: str = "jaccard") -> str:
+        """Write the per-release dedup bases (components, winnowing
+        fingerprints, MinHash signatures) and point this pipeline at
+        them. The expensive step runs once; every later method is a
+        read-back (mirrors ``pvarch build_dedup_artifacts``)."""
+        out = out.rstrip("/")
+        curation.write_components(
+            dedup.connected_components(self.near_dup_pairs(lane)),
+            f"{out}/components",
+        )
+        dedup.winnow_fingerprints(
+            self.docs, text=self.text, id_col=self.id_col
+        ).write.mode("overwrite").parquet(f"{out}/winnow_fp")
+        dedup.minhash_signatures(
+            self.docs, text=self.text, id_col=self.id_col, shingle_k=self.shingle_k
+        ).write.mode("overwrite").parquet(f"{out}/minhash_sig")
+        self.artifacts = out
+        return out
+
+    # --- curation chain ----------------------------------------------
+    def verdicts(self, near_dup: str = "jaccard", **kw) -> DataFrame:
+        """First-failing-stage verdict per document (the audit view)."""
+        return curation.pipeline_verdicts(
+            self.docs,
+            jaccard_threshold=self.jaccard_threshold,
+            shingle_k=self.shingle_k,
+            text=self.text,
+            id_col=self.id_col,
+            near_dup=near_dup,
+            **kw,
+        )
+
+    def funnel(self, near_dup: str = "jaccard") -> DataFrame:
+        return curation.pipeline_funnel(self.verdicts(near_dup))
+
+    def survivors(self, near_dup: str = "jaccard") -> DataFrame:
+        """The training set: every input column, kept docs only."""
+        kept = self.verdicts(near_dup).filter(F.col("kept")).select(self.id_col)
+        return self.docs.join(kept, self.id_col)
+
+    def shards(self, n_shards: int = 8) -> DataFrame:
+        """Dedup-aware shard layout over the component base."""
+        comps = (
+            f"{self.artifacts}/components" if self.artifacts else self.components()
+        )
+        return curation.shard_by_component(
+            self.docs, comps, n_shards=n_shards, id_col=self.id_col
+        )
+
+    def leakage(self, pairs: DataFrame | None = None, **split_kw) -> DataFrame:
+        """Cross-split near-dup leakage audit (empty = release-ready)."""
+        return curation.split_leakage(
+            self.docs,
+            pairs if pairs is not None else self.near_dup_pairs(),
+            id_col=self.id_col,
+            **split_kw,
+        )
+
+    # --- dashboards ----------------------------------------------------
+    def report(self) -> DataFrame:
+        return text_ops.corpus_report(self.docs, text=self.text)
+
+    def diff(self, new_docs: DataFrame) -> DataFrame:
+        return curation.corpus_diff(self.docs, new_docs)
+
+    def mixture(self, target_weights: dict[str, float] | None = None) -> DataFrame:
+        return text_ops.mixture_plan(
+            self.docs, target_weights=target_weights, text=self.text
+        )
+
+    def budget(self, token_budget: int) -> DataFrame:
+        return text_ops.budget_selection(
+            self.docs, token_budget, text=self.text, id_col=self.id_col
+        )
+
+    def perplexity_tiers(self, n_buckets: int = 3) -> DataFrame:
+        return text_ops.perplexity_buckets(
+            self.docs, n_buckets=n_buckets, text=self.text, id_col=self.id_col
+        )
