@@ -24,6 +24,9 @@ continuous daemon shape; SURVEY §3.1):
     health            → per-PV uptime/drift/outlier report (engine-only roll-up of status+check)
     save_position     → save named instrument position     (WebInstruments save)
     restore_position  → member values as of a position     (WebInstruments restore)
+    corpus ACTION DOCS → release-loop views/writes         (engine-only:
+                        funnel/report/mixture/leakage/survivors/shards/
+                        verdicts through corpus.CorpusPipeline)
     build_dedup_artifacts → per-release dedup bases        (engine-only: the
                         components/winnow/minhash parquet the *_indexed
                         query lanes read back)
@@ -454,6 +457,42 @@ def cmd_alerts(args) -> int:
     return 2 if fired else 0
 
 
+def cmd_corpus(args) -> int:
+    """Corpus release-loop views through ``corpus.CorpusPipeline``:
+    funnel / report / mixture dashboards to stdout, survivors / shards /
+    verdicts / leakage written to parquet (``--out``). With
+    ``--artifacts`` the component-consuming actions read the persisted
+    bases from ``build_dedup_artifacts`` instead of rebuilding."""
+    from epicsarchiver_spark.corpus import CorpusPipeline
+
+    spark = _spark("corpus")
+    cp = CorpusPipeline(
+        spark, spark.read.parquet(args.documents), artifacts=args.artifacts
+    )
+    action = args.action
+    if action in ("funnel", "report", "mixture"):
+        df = getattr(cp, action)()
+        for r in df.collect():
+            print("  ".join(f"{k}={r[k]}" for k in df.columns))
+        return 0
+    if action == "leakage":
+        rows = cp.leakage().collect()
+        for r in rows:
+            print(f"{r.split_a}<->{r.split_b}: {r.n_pairs} near-dup pairs")
+        print(f"{len(rows)} leaking split pair(s)")
+        return 2 if rows else 0
+    if action in ("survivors", "shards", "verdicts"):
+        if not args.out:
+            print("--out required for survivors/shards/verdicts", file=sys.stderr)
+            return 1
+        df = cp.shards(args.n_shards) if action == "shards" else getattr(cp, action)()
+        df.write.mode("overwrite").parquet(args.out)
+        print(f"{action}: {spark.read.parquet(args.out).count()} rows -> {args.out}")
+        return 0
+    print(f"unknown corpus action {action!r}", file=sys.stderr)
+    return 1
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -613,6 +652,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--trigger-s", type=int, default=10)
     s.add_argument("--timeout", type=int, default=600)
     s.set_defaults(fn=cmd_cache_daemon)
+
+    s = sub.add_parser("corpus", help="corpus release-loop views (CorpusPipeline)")
+    s.add_argument(
+        "action",
+        choices=("funnel", "report", "mixture", "leakage", "survivors", "shards", "verdicts"),
+    )
+    s.add_argument("documents", help="documents parquet path")
+    s.add_argument("--artifacts", default=None, help="build_dedup_artifacts dir")
+    s.add_argument("--out", default=None, help="output parquet for write actions")
+    s.add_argument("--n-shards", type=int, default=8)
+    s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser(
         "build_dedup_artifacts",

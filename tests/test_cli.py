@@ -328,3 +328,43 @@ def test_alerts_cli_fires_and_renders(spark, store, tmp_path, capsys):
     quiet.write_text("pvname,compare,trippoint\nCLI:a.VAL,gt,99\n")
     assert cli.main(["--store", store, "alerts", str(quiet)]) == 0
     assert "0 alert(s)" in capsys.readouterr().out
+
+
+def test_corpus_cli(spark, tmp_path, capsys):
+    """The corpus release loop from the command line: dashboards print,
+    write actions land parquet, leakage gate flips the exit code."""
+    import pandas as pd
+
+    words = (
+        "the quick brown fox jumps over a lazy dog while morning light "
+        "settles on the quiet river and small boats drift past old stone "
+        "bridges carrying baskets of fresh bread toward the market square "
+        "where traders call out prices and children watch the painter mix "
+        "his colors beside the fountain"
+    )
+    rows = []
+    for i in range(30):
+        text = rows[i - 1][1] if (i % 6 == 0 and i > 0) else f"{words} verse {i}."
+        rows.append((i, text, "en", "web" if i % 2 else "code"))
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source"])
+    pdf["n_chars"] = pdf["text"].str.len()
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(docs_path)
+
+    assert cli.main(["corpus", "funnel", docs_path]) == 0
+    out = capsys.readouterr().out
+    assert "stage=" in out and "n_docs=" in out
+
+    surv = str(tmp_path / "survivors")
+    assert cli.main(["corpus", "survivors", docs_path, "--out", surv]) == 0
+    assert "survivors:" in capsys.readouterr().out
+    texts = [r.text for r in spark.read.parquet(surv).collect()]
+    assert len(texts) == len(set(texts))  # exact dups removed
+
+    # leakage gate exit code (0 or 2, never a crash), message printed
+    rc = cli.main(["corpus", "leakage", docs_path])
+    assert rc in (0, 2)
+    assert "leaking split pair(s)" in capsys.readouterr().out
+
+    # write action without --out is a usage error
+    assert cli.main(["corpus", "shards", docs_path]) == 1
