@@ -24,6 +24,9 @@ continuous daemon shape; SURVEY §3.1):
     health            → per-PV uptime/drift/outlier report (engine-only roll-up of status+check)
     save_position     → save named instrument position     (WebInstruments save)
     restore_position  → member values as of a position     (WebInstruments restore)
+    land DOCS         → streaming curated document intake  (engine-only:
+                        gopher gate → fp dedup → standing-corpus anti-join
+                        → source-partitioned parquet landing)
     corpus ACTION DOCS → release-loop views/writes         (engine-only:
                         funnel/report/mixture/leakage/survivors/shards/
                         verdicts through corpus.CorpusPipeline)
@@ -457,6 +460,50 @@ def cmd_alerts(args) -> int:
     return 2 if fired else 0
 
 
+def cmd_land(args) -> int:
+    """Streaming document intake (``streaming/curation.py``) as an
+    operational command: gopher gate → in-stream fingerprint dedup →
+    standing-corpus anti-join → source-partitioned parquet landing.
+    Bounded availableNow drain by default (cron a crawl dump through
+    it); ``--follow`` tails the source directory continuously. The
+    standing corpus re-resolves per micro-batch, so a nightly compaction
+    of the archived corpus is picked up without restarting."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.functions.text import fingerprint64
+    from epicsarchiver_spark.streaming.curation import curated_doc_stream, landing_query
+
+    spark = _spark("land")
+    schema = spark.read.parquet(args.docs).schema
+    stream = spark.readStream.schema(schema).parquet(args.docs)
+    corpus_fp = None
+    if args.corpus:
+        corpus_fp = (
+            spark.read.parquet(args.corpus)
+            .select(fingerprint64(F.col("text")).alias("fp"))
+            .distinct()
+        )
+    survivors = curated_doc_stream(
+        stream,
+        corpus_fingerprints=corpus_fp,
+        watermark=(args.watermark_col, args.watermark) if args.watermark_col else None,
+    )
+    q = landing_query(survivors, args.out, args.checkpoint)
+    q = (
+        q.trigger(processingTime=f"{args.trigger_s} seconds")
+        if args.follow
+        else q.trigger(availableNow=True)
+    ).start()
+    if args.follow:
+        print(f"landing {args.docs} -> {args.out} (ctrl-c to stop)")
+        q.awaitTermination()
+    else:
+        q.awaitTermination(args.timeout)
+        n = spark.read.parquet(args.out).count()
+        print(f"landed {n} curated docs -> {args.out}")
+    return 0
+
+
 def cmd_corpus(args) -> int:
     """Corpus release-loop views through ``corpus.CorpusPipeline``:
     funnel / report / mixture dashboards to stdout, survivors / shards /
@@ -652,6 +699,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--trigger-s", type=int, default=10)
     s.add_argument("--timeout", type=int, default=600)
     s.set_defaults(fn=cmd_cache_daemon)
+
+    s = sub.add_parser("land", help="streaming curated document intake")
+    s.add_argument("docs", help="parquet documents source directory")
+    s.add_argument("--out", required=True, help="landing store path")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--corpus", default=None, help="standing corpus parquet (anti-join)")
+    s.add_argument("--watermark-col", default=None)
+    s.add_argument("--watermark", default="1 hour")
+    s.add_argument("--follow", action="store_true", help="continuous daemon mode")
+    s.add_argument("--trigger-s", type=int, default=30)
+    s.add_argument("--timeout", type=int, default=600)
+    s.set_defaults(fn=cmd_land)
 
     s = sub.add_parser("corpus", help="corpus release-loop views (CorpusPipeline)")
     s.add_argument(

@@ -368,3 +368,46 @@ def test_corpus_cli(spark, tmp_path, capsys):
 
     # write action without --out is a usage error
     assert cli.main(["corpus", "shards", docs_path]) == 1
+
+
+def test_land_cli(spark, tmp_path, capsys):
+    """Streaming curated intake from the command line: the availableNow
+    drain lands gate survivors partitioned by source, dropping in-stream
+    fingerprint duplicates and docs already in the standing corpus."""
+    import pandas as pd
+
+    words = (
+        "the quick brown fox jumps over a lazy dog while morning light "
+        "settles on the quiet river and small boats drift past old stone "
+        "bridges carrying baskets of fresh bread toward the market square "
+        "where traders call out prices and children watch the painter mix "
+        "his colors beside the fountain"
+    )
+    rows = [(i, f"{words} verse {i}.", "web" if i % 2 else "code") for i in range(12)]
+    rows.append((100, rows[3][1], "web"))  # in-stream duplicate of doc 3
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "source"])
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pdf.to_parquet(src / "b0.parquet", index=False)
+
+    # standing corpus already holds doc 5's text
+    corpus = str(tmp_path / "corpus")
+    spark.createDataFrame(pdf[pdf.doc_id == 5]).write.parquet(corpus)
+
+    out = str(tmp_path / "landed")
+    assert (
+        cli.main(
+            [
+                "land", str(src),
+                "--out", out,
+                "--checkpoint", str(tmp_path / "ck_land"),
+                "--corpus", corpus,
+            ]
+        )
+        == 0
+    )
+    assert "landed 11 curated docs" in capsys.readouterr().out
+    landed = spark.read.parquet(out)
+    ids = {r.doc_id for r in landed.select("doc_id").collect()}
+    assert ids == set(range(12)) - {5}  # dup-100 and corpus-member 5 gone
+    assert set(landed.columns) >= {"doc_id", "text", "source", "fp", "n_words"}
