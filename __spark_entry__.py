@@ -154,6 +154,8 @@ _R7_FRONT: list[str] = [
     "ev_dau_anomalies",
     "doc_split_leakage",
     "ts_latest_bucketed",
+    "rel_late_suppliers",
+    "rel_ship_delay_dist",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1731,6 +1733,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_idle_customers"] = lambda s, d: relational.idle_wealthy_customers(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     )
+    q["rel_late_suppliers"] = lambda s, d: relational.late_sole_suppliers(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "orders"),
+        load_table(s, d, "supplier"),
+    )
+    q["rel_ship_delay_dist"] = lambda s, d: relational.ship_delay_distribution(
+        load_table(s, d, "lineitem"), load_table(s, d, "orders")
+    )
 
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
@@ -1739,8 +1749,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # exactly the never-driver-certified queries, highest priority
     # first.  For r7 that is the 33 r6b additions that the r6 sample
     # did not reach (computed as registry minus the union of green
-    # rows in CORRECTNESS_r01..r06) plus the 15 queries NEW in r7
-    # (_R7_FRONT) — 48 total, within the 50-query sample with slack,
+    # rows in CORRECTNESS_r01..r06) plus the 17 queries NEW in r7
+    # (_R7_FRONT) — 50 total, exactly filling the 50-query sample,
     # so CORRECTNESS_r07 certifies the whole registry.  All previously
     # certified queries keep their green rows (testdata unchanged —
     # guarded by tests/testdata_fingerprint.json) and fill the
@@ -5494,6 +5504,43 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY c_nationkey
+    """
+
+    o["rel_late_suppliers"] = """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN CAST(l_shipdate AS DATE)
+                            > CAST(o_orderdate AS DATE) + 90 THEN 1 ELSE 0 END)
+                   AS was_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        flagged AS (
+          SELECT l_suppkey, was_late,
+                 count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM per_os
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+
+    o["rel_ship_delay_dist"] = """
+        SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT)
+                 AS delay_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY delay_bucket
+        ORDER BY delay_bucket
     """
 
     o["doc_ccnet_buckets"] = f"""

@@ -162,6 +162,8 @@ HEADLINE = [
     "ev_dau_anomalies",
     "doc_split_leakage",
     "ts_latest_bucketed",
+    "rel_late_suppliers",
+    "rel_ship_delay_dist",
 ]
 
 

@@ -586,3 +586,104 @@ def small_quantity_revenue(
         .filter(F.col("l_quantity") < F.col("_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
+
+
+def late_sole_suppliers(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    supplier: DataFrame,
+    status: str = "F",
+    late_days: int = 90,
+    k: int = 20,
+) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": on finished
+    multi-supplier orders, the suppliers who were the ONLY late party
+    (shipped > ``late_days`` past the order date while every co-supplier
+    shipped on time), ranked by offence count. (This testdata has no
+    commit/receipt dates, so "late" is defined against o_orderdate.)
+
+    Q21's EXISTS + NOT-EXISTS pair of correlated self-joins is ONE
+    pass here: reduce lines to (order, supplier, was_late), then count
+    suppliers and late suppliers per order with an unordered window.
+    At scale (both sides too big to broadcast → sort-merge join) the
+    order-keyed shuffle happens ONCE, at the orders join: the grouped
+    reduce and both window counts reuse the join's
+    HashPartitioning(l_orderkey) (it satisfies ClusteredDistribution
+    on (l_orderkey, l_suppkey) and on l_orderkey), so no fact-sized
+    Exchange appears between the join and the window — plan-pinned
+    with broadcasts disabled in tests/test_plans.py. When orders
+    broadcasts instead (small SF), the post-join exchanges are the
+    pre-reduced (order, supplier) frame, not raw lines. The final
+    per-supplier rollup is |suppliers|-sized; the name join broadcasts;
+    top-k is TakeOrderedAndProject, never a global sort."""
+    from pyspark.sql import Window
+
+    fin = orders.filter(F.col("o_orderstatus") == status).select(
+        "o_orderkey", "o_orderdate"
+    )
+    late = (
+        F.col("l_shipdate").cast("date")
+        > F.date_add(F.col("o_orderdate").cast("date"), late_days)
+    ).cast("int")
+    per_os = (
+        lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(fin, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", late.alias("_late"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("_late").alias("was_late"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    flagged = per_os.select(
+        "l_suppkey",
+        "was_late",
+        F.count(F.lit(1)).over(w).alias("n_supp"),
+        F.sum("was_late").over(w).alias("n_late"),
+    )
+    return (
+        flagged.filter(
+            (F.col("was_late") == 1) & (F.col("n_supp") > 1) & (F.col("n_late") == 1)
+        )
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(
+            F.broadcast(supplier.select("s_suppkey", "s_name")),
+            F.col("l_suppkey") == F.col("s_suppkey"),
+        )
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(k)
+    )
+
+
+def ship_delay_distribution(
+    lineitem: DataFrame, orders: DataFrame, bucket_days: int = 30
+) -> DataFrame:
+    """TPC-H Q12-style priority-by-delay distribution: line counts of
+    critical (1-URGENT / 2-HIGH) vs other orders per order-to-ship
+    delay bucket. (No l_shipmode in this testdata — the delay bucket
+    stands in as the grouping dimension, which keeps Q12's point: the
+    CASE-conditional dual count inside one aggregate, not two scans.)
+    The orderkey shuffle join carries only (orderkey, priority) against
+    (orderkey, shipdate); the aggregate reduces map-side to the
+    ~hundred-bucket frame."""
+    delay = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    )
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        lineitem.select("l_orderkey", "l_shipdate")
+        .join(
+            orders.select("o_orderkey", "o_orderdate", "o_orderpriority"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select(
+            F.floor(delay / float(bucket_days)).alias("delay_bucket"),
+            crit.alias("_crit"),
+        )
+        .groupBy("delay_bucket")
+        .agg(
+            F.sum("_crit").alias("high_line_count"),
+            F.sum(1 - F.col("_crit")).alias("low_line_count"),
+        )
+        .orderBy("delay_bucket")
+    )

@@ -598,3 +598,37 @@ def test_hapax_zipf_rank_window_partitioned_by_source(spark):
     wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
     rank_wins = [w for w in wins if "row_number" in w]
     assert rank_wins and all("source" in w.split("], [", 1)[1] for w in rank_wins)
+
+
+def test_late_suppliers_window_reuses_join_partitioning(spark):
+    """Q21 shape at scale: with broadcasts off (the 100-TB regime),
+    the (order, supplier) reduce and both per-order window counts must
+    reuse the sort-merge join's HashPartitioning(l_orderkey) — no
+    fact-sized Exchange between the join and the Window — and the
+    top-k must be TakeOrderedAndProject, not a global sort."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(spark, "rel_late_suppliers")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # in the formatted tree (top-down), the span between the Window and
+    # the fact SortMergeJoin is the (order, supplier) reduce — it must
+    # carry no Exchange (the join's orderkey partitioning satisfies it)
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    i_win = next(i for i, ln in enumerate(tree) if "Window" in ln)
+    i_join = next(i for i, ln in enumerate(tree) if "SortMergeJoin" in ln)
+    assert i_win < i_join, plan[:2000]
+    span = "\n".join(tree[i_win:i_join])
+    assert "Exchange" not in span, span
+
+
+def test_ship_delay_dist_single_fact_shuffle(spark):
+    """Q12 shape: one equi-join on orderkey, conditional dual count in
+    ONE aggregate pass (no second fact scan, no Expand)."""
+    plan = _plan(spark, "rel_ship_delay_dist")
+    assert "CartesianProduct" not in plan
+    assert "Expand" not in plan
+    assert "partial_" in plan, "aggregate must reduce map-side"
+    assert len(re.findall(r"Location:[^\n]*lineitem", plan)) == 1, plan[:2000]
