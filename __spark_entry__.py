@@ -1742,6 +1742,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "lineitem"), load_table(s, d, "orders")
     )
 
+    # leakage-free split assignment: split hash keyed on the near-dup
+    # group root (the constructive fix doc_split_leakage audits for)
+    q["doc_component_splits"] = lambda s, d: curation.component_splits(
+        load_table(s, d, "documents"),
+        dedup.connected_components(
+            dedup.jaccard_pairs_blocked(
+                load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+            )
+        ),
+    )
+
+    # GPT-style sequence packing over the deterministic token stream
+    q["doc_pack_sequences"] = lambda s, d: text_ops.pack_sequences(
+        load_table(s, d, "documents"), budget=1024
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r6 each certified exactly the first 50
@@ -5220,6 +5236,52 @@ def oracle_sql() -> dict[str, str]:
     )
     # persisted-components lane reads back the same labels → same layout
     o["doc_dedup_shards_indexed"] = o["doc_dedup_shards"]
+
+    o["doc_component_splits"] = (
+        CC
+        + f""",
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, root,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, root,
+                 ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8))::UBIGINT
+                   % 10000 AS b
+          FROM rooted
+        )
+        """
+    )
+
+    _ID_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(doc_id AS VARCHAR))")
+    o["doc_pack_sequences"] = f"""
+        WITH t AS (
+          SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens,
+                 {_ID_HASH60} AS h
+          FROM documents
+        ), p AS (
+          SELECT doc_id, n_tokens,
+                 CAST(coalesce(sum(n_tokens) OVER (
+                   ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                 ), 0) AS BIGINT) AS start_offset
+          FROM t
+        )
+        SELECT doc_id, n_tokens, start_offset,
+               start_offset // 1024 AS pack_first,
+               CASE WHEN n_tokens > 0
+                    THEN (start_offset + n_tokens - 1) // 1024
+                    ELSE start_offset // 1024 END AS pack_last,
+               (CASE WHEN n_tokens > 0
+                     THEN (start_offset + n_tokens - 1) // 1024
+                     ELSE start_offset // 1024 END)
+                 - start_offset // 1024 + 1 AS n_packs
+        FROM p
+    """
     # persisted-fingerprint lane reads back the same basis → same pairs
     o["doc_winnow_indexed"] = o["doc_winnow_pairs"]
 

@@ -164,6 +164,8 @@ HEADLINE = [
     "ts_latest_bucketed",
     "rel_late_suppliers",
     "rel_ship_delay_dist",
+    "doc_component_splits",
+    "doc_pack_sequences",
 ]
 
 

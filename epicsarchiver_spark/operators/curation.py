@@ -298,3 +298,49 @@ def split_leakage(
         F.least("_sa", "_sb").alias("split_a"),
         F.greatest("_sa", "_sb").alias("split_b"),
     ).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+def component_splits(
+    docs: DataFrame,
+    components: DataFrame | str,
+    id_col: str = "doc_id",
+    splits: tuple[tuple[str, float], ...] = (
+        ("train", 0.9),
+        ("val", 0.05),
+        ("test", 0.05),
+    ),
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Leakage-free train/val/test assignment: hash the near-dup GROUP
+    ROOT, not the document id, so every member of a duplicate cluster
+    lands in the same split — the constructive fix for exactly what
+    ``split_leakage`` audits (a test doc whose near-twin sits in train
+    is a free answer; rooting the split hash makes that structurally
+    impossible for any pair the dedup lane caught). Returns
+    ``(doc_id, root, split)``.
+
+    ``components`` is the ``(id, component)`` frame from
+    ``dedup.connected_components`` or the parquet artifact path from
+    ``write_components`` — the per-release cadence: resolve groups
+    once, then every split/shard/leakage consumer is an id-keyed join
+    against 16-byte rows. Docs in no candidate pair are their own
+    singleton root (left join + coalesce), reproducing the plain
+    ``assign_splits`` assignment for them. The split itself is the same
+    oracle-portable md5-bucket range map as ``assign_splits`` — pure
+    expressions on the joined frame, no extra shuffle beyond the one
+    id-keyed join (AQE broadcasts the label side when it fits)."""
+    from epicsarchiver_spark.operators.text_ops import assign_splits
+
+    if isinstance(components, str):
+        components = docs.sparkSession.read.parquet(components)
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component").alias("_root")
+    )
+    rooted = (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(F.col(id_col), F.coalesce(F.col("_root"), F.col(id_col)).alias("root"))
+    )
+    return assign_splits(rooted, key_col="root", splits=splits, buckets=buckets).select(
+        id_col, "root", "split"
+    )

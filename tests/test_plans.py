@@ -632,3 +632,19 @@ def test_ship_delay_dist_single_fact_shuffle(spark):
     assert "Expand" not in plan
     assert "partial_" in plan, "aggregate must reduce map-side"
     assert len(re.findall(r"Location:[^\n]*lineitem", plan)) == 1, plan[:2000]
+
+
+def test_pack_sequences_no_corpus_global_window(spark):
+    """The packing prefix sum must use the two-level decomposition: the
+    only unpartitioned window consumes the per-bucket totals (≤2^16
+    rows), never the corpus-sized doc frame."""
+    plan = _plan(spark, "doc_pack_sequences")
+    wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
+    assert wins, plan[:2000]
+    unpart = [w for w in wins if "windowspecdefinition(_pid" not in w]
+    # every unpartitioned (global-order) window must be the bucket-total
+    # one: its input is the groupBy(_pid) aggregate, identifiable by the
+    # _pt sum column in its arguments
+    for w in unpart:
+        assert "_pt" in w, w
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]

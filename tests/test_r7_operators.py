@@ -217,3 +217,69 @@ def test_bounded_exclusive_prefix_exact(spark, descending):
     for k, v in ordered:
         assert got[k] == acc, (k, got[k], acc)
         acc += v
+
+
+def test_component_splits_never_straddle(spark):
+    """The constructive guarantee: splits keyed on the component root
+    put every member of a near-dup group in the SAME split, so the
+    leakage audit over those pairs is empty by construction — while
+    plain id-hash splits on the same graph do straddle."""
+    from epicsarchiver_spark.operators.curation import component_splits, split_leakage
+    from epicsarchiver_spark.operators.text_ops import assign_splits
+
+    # a 60-vertex graph of 20 chained triples (i, i+1), (i+1, i+2)
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 60, 3)]
+        + [(i + 1, i + 2) for i in range(0, 60, 3)],
+        "id_a long, id_b long",
+    )
+    docs = spark.range(70).select(F.col("id").alias("doc_id"))
+    from epicsarchiver_spark.operators.dedup import connected_components
+
+    comp = connected_components(pairs)
+    sp = component_splits(docs, comp)
+    rows = {r.doc_id: r for r in sp.collect()}
+    assert len(rows) == 70
+    # every triple shares root and split; singleton docs root to themselves
+    for i in range(0, 60, 3):
+        assert rows[i].root == rows[i + 1].root == rows[i + 2].root == i
+        assert rows[i].split == rows[i + 1].split == rows[i + 2].split
+    assert rows[65].root == 65
+    # audit over the same pairs: zero straddling rows by construction
+    splits_by_root = sp.select("doc_id", "split")
+    sa = splits_by_root.withColumnRenamed("doc_id", "id_a").withColumnRenamed(
+        "split", "_sa"
+    )
+    sb = splits_by_root.withColumnRenamed("doc_id", "id_b").withColumnRenamed(
+        "split", "_sb"
+    )
+    straddle = pairs.join(sa, "id_a").join(sb, "id_b").filter(F.col("_sa") != F.col("_sb"))
+    assert straddle.count() == 0
+
+
+def test_pack_sequences_partitions_token_stream(spark):
+    """Offsets are an exact exclusive prefix sum of token counts in the
+    deterministic order, packs tile the stream with no gaps or overlap,
+    and an empty doc spans zero packs but keeps a stable position."""
+    from epicsarchiver_spark.operators.text_ops import pack_sequences
+
+    docs = _docs(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 11)), "s") for i in range(40)]
+        + [(99, "", "s")],
+    )
+    out = pack_sequences(docs, budget=16).orderBy("start_offset").collect()
+    # contiguous tiling: offsets are the running sum of n_tokens
+    acc = 0
+    for r in out:
+        assert r.start_offset == acc
+        acc += r.n_tokens
+        if r.n_tokens > 0:
+            assert r.pack_first == r.start_offset // 16
+            assert r.pack_last == (r.start_offset + r.n_tokens - 1) // 16
+            assert r.n_packs == r.pack_last - r.pack_first + 1
+        else:
+            assert r.n_packs == 1 and r.pack_first == r.pack_last
+    # determinism: same input → identical assignment
+    again = pack_sequences(docs, budget=16).orderBy("start_offset").collect()
+    assert [tuple(r) for r in again] == [tuple(r) for r in out]
