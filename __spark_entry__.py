@@ -1753,9 +1753,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ),
     )
 
-    # GPT-style sequence packing over the deterministic token stream
-    q["doc_pack_sequences"] = lambda s, d: text_ops.pack_sequences(
-        load_table(s, d, "documents"), budget=1024
+    # cross-modal survivor rule: embeddings define the semantic dup
+    # groups, text quality picks the survivor (threshold/n_cells match
+    # emb_semantic_dedup's calibration for this synthetic corpus)
+    q["doc_quality_survivors"] = lambda s, d: curation.quality_survivors(
+        load_table(s, d, "documents"),
+        load_table(s, d, "embeddings"),
+        threshold=0.4,
+        n_cells=8,
+        dim=64,
     )
 
     # --- sample-order priority -------------------------------------
@@ -4904,6 +4910,56 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY vec_id, cell
         """
 
+    # cross-modal survivor rule: the SemDeDup evidence edges close into
+    # groups (recursive CTE = the engine's connected_components), then
+    # the text-side quality score picks each group's survivor
+    o["doc_quality_survivors"] = f"""
+        WITH RECURSIVE {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        prs AS (
+          SELECT a.vec_id, b.vec_id AS bid,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+        ),
+        sd AS (
+          SELECT vec_id AS a, min(bid) AS b FROM prs WHERE cos >= 0.4 GROUP BY vec_id
+        ),
+        edges AS (SELECT a, b FROM sd UNION ALL SELECT b, a FROM sd),
+        reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        q AS (
+          SELECT doc_id, round(1.0 / (1.0 + exp(-({_qc_z}))), 6) AS quality_prob
+          FROM documents
+        ),
+        m AS (
+          SELECT q.doc_id, coalesce(c.component, q.doc_id) AS group_root,
+                 q.quality_prob
+          FROM q LEFT JOIN comp c ON q.doc_id = c.id
+        ),
+        w AS (
+          SELECT group_root, doc_id AS survivor_id
+          FROM (
+            SELECT group_root, doc_id,
+                   row_number() OVER (
+                     PARTITION BY group_root
+                     ORDER BY quality_prob DESC, doc_id ASC
+                   ) AS rn
+            FROM m
+          ) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.group_root, m.quality_prob, w.survivor_id,
+               m.doc_id = w.survivor_id AS kept
+        FROM m JOIN w ON m.group_root = w.group_root
+        """
+
     o["doc_corpus_diff"] = """
         WITH newdocs AS (
           SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 1
@@ -5257,31 +5313,6 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
-    _ID_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(doc_id AS VARCHAR))")
-    o["doc_pack_sequences"] = f"""
-        WITH t AS (
-          SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens,
-                 {_ID_HASH60} AS h
-          FROM documents
-        ), p AS (
-          SELECT doc_id, n_tokens,
-                 CAST(coalesce(sum(n_tokens) OVER (
-                   ORDER BY h, doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-                 ), 0) AS BIGINT) AS start_offset
-          FROM t
-        )
-        SELECT doc_id, n_tokens, start_offset,
-               start_offset // 1024 AS pack_first,
-               CASE WHEN n_tokens > 0
-                    THEN (start_offset + n_tokens - 1) // 1024
-                    ELSE start_offset // 1024 END AS pack_last,
-               (CASE WHEN n_tokens > 0
-                     THEN (start_offset + n_tokens - 1) // 1024
-                     ELSE start_offset // 1024 END)
-                 - start_offset // 1024 + 1 AS n_packs
-        FROM p
-    """
     # persisted-fingerprint lane reads back the same basis → same pairs
     o["doc_winnow_indexed"] = o["doc_winnow_pairs"]
 

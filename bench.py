@@ -166,6 +166,7 @@ HEADLINE = [
     "rel_ship_delay_dist",
     "doc_component_splits",
     "doc_pack_sequences",
+    "doc_quality_survivors",
 ]
 
 

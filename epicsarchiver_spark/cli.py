@@ -29,7 +29,7 @@ continuous daemon shape; SURVEY §3.1):
                         → source-partitioned parquet landing)
     corpus ACTION DOCS → release-loop views/writes         (engine-only:
                         funnel/report/mixture/leakage/survivors/shards/
-                        verdicts through corpus.CorpusPipeline)
+                        verdicts/splits/packing through corpus.CorpusPipeline)
     build_dedup_artifacts → per-release dedup bases        (engine-only: the
                         components/winnow/minhash parquet the *_indexed
                         query lanes read back)
@@ -507,7 +507,8 @@ def cmd_land(args) -> int:
 def cmd_corpus(args) -> int:
     """Corpus release-loop views through ``corpus.CorpusPipeline``:
     funnel / report / mixture dashboards to stdout, survivors / shards /
-    verdicts / leakage written to parquet (``--out``). With
+    verdicts / splits / packing written to parquet (``--out``),
+    leakage to the exit code. With
     ``--artifacts`` the component-consuming actions read the persisted
     bases from ``build_dedup_artifacts`` instead of rebuilding."""
     from epicsarchiver_spark.corpus import CorpusPipeline
@@ -528,11 +529,16 @@ def cmd_corpus(args) -> int:
             print(f"{r.split_a}<->{r.split_b}: {r.n_pairs} near-dup pairs")
         print(f"{len(rows)} leaking split pair(s)")
         return 2 if rows else 0
-    if action in ("survivors", "shards", "verdicts"):
+    if action in ("survivors", "shards", "verdicts", "splits", "packing"):
         if not args.out:
-            print("--out required for survivors/shards/verdicts", file=sys.stderr)
+            print("--out required for survivors/shards/verdicts/splits/packing", file=sys.stderr)
             return 1
-        df = cp.shards(args.n_shards) if action == "shards" else getattr(cp, action)()
+        if action == "shards":
+            df = cp.shards(args.n_shards)
+        elif action == "packing":
+            df = cp.packing(seq_tokens=args.budget)
+        else:
+            df = getattr(cp, action)()
         df.write.mode("overwrite").parquet(args.out)
         print(f"{action}: {spark.read.parquet(args.out).count()} rows -> {args.out}")
         return 0
@@ -715,12 +721,16 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("corpus", help="corpus release-loop views (CorpusPipeline)")
     s.add_argument(
         "action",
-        choices=("funnel", "report", "mixture", "leakage", "survivors", "shards", "verdicts"),
+        choices=(
+            "funnel", "report", "mixture", "leakage", "survivors",
+            "shards", "verdicts", "splits", "packing",
+        ),
     )
     s.add_argument("documents", help="documents parquet path")
     s.add_argument("--artifacts", default=None, help="build_dedup_artifacts dir")
     s.add_argument("--out", default=None, help="output parquet for write actions")
     s.add_argument("--n-shards", type=int, default=8)
+    s.add_argument("--budget", type=int, default=2048, help="packing sequence width (tokens)")
     s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser(

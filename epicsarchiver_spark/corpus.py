@@ -173,3 +173,30 @@ class CorpusPipeline:
         return text_ops.perplexity_buckets(
             self.docs, n_buckets=n_buckets, text=self.text, id_col=self.id_col
         )
+
+    def splits(self, **split_kw) -> DataFrame:
+        """Leakage-free train/val/test assignment ``(doc_id, root,
+        split)``: the split hash keys on the near-dup group root (the
+        component base — artifact read-back when available), so the
+        ``leakage()`` audit over the same pair lane is empty by
+        construction."""
+        comps = (
+            f"{self.artifacts}/components" if self.artifacts else self.components()
+        )
+        return curation.component_splits(
+            self.docs, comps, id_col=self.id_col, **split_kw
+        )
+
+    def packing(
+        self, seq_tokens: int = 2048, chunk_tokens: int = 512, overlap: int = 0
+    ) -> DataFrame:
+        """Training-batch layout: chunk the corpus, then pack the chunks
+        into fixed-width sequences over the deterministically shuffled
+        token stream (``chunk_documents`` → ``pack_sequences``)."""
+        chunks = text_ops.chunk_documents(
+            self.docs, chunk_tokens=chunk_tokens, overlap=overlap,
+            text=self.text, id_col=self.id_col,
+        )
+        return text_ops.pack_sequences(
+            chunks, seq_tokens=seq_tokens, id_col=self.id_col
+        )

@@ -344,3 +344,72 @@ def component_splits(
     return assign_splits(rooted, key_col="root", splits=splits, buckets=buckets).select(
         id_col, "root", "split"
     )
+
+
+def quality_survivors(
+    docs: DataFrame,
+    vectors: DataFrame,
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    dim: int | None = None,
+    id_col: str = "doc_id",
+    vec_id_col: str = "vec_id",
+    text: str = "text",
+) -> DataFrame:
+    """Quality-aware semantic dedup — the cross-modal survivor rule:
+    the EMBEDDING side decides what is a duplicate (SemDeDup's
+    within-cell cosine evidence), the TEXT side decides what survives
+    (the logistic quality score, not the arbitrary lowest id the plain
+    drop list implies). Returns the full id spine: ``(doc_id,
+    group_root, quality_prob, survivor_id, kept)`` — docs in no
+    semantic group are their own singleton survivor.
+
+    Cosine is not transitive, so the drop list's keep pointers CHAIN
+    (A~B~C with A≁C); the ``(vec_id, keep_id)`` evidence edges resolve
+    into groups via ``dedup.connected_components`` first — the same
+    root-resolution step the exact-dedup pipeline uses — and the
+    argmax-quality pick then runs per GROUP, not per pointer.
+
+    Scale shape: semantic_dedup is the certified per-cell blocked GEMM
+    (pair work fenced at Σ cell², never n²); the component build runs
+    on DROP-LIST edges — duplicates only, orders of magnitude below
+    corpus size — so its checkpointed rounds are cheap; quality is a
+    zero-shuffle scan; the winner pick is one max_by hash aggregate on
+    the root key (no window sort) and the verdict join brings the
+    |groups|-sized winner frame back against the spine (AQE broadcasts
+    it when it fits)."""
+    from epicsarchiver_spark.operators import dedup, similarity, text_ops
+
+    drops = similarity.semantic_dedup(
+        vectors, threshold=threshold, n_cells=n_cells, dim=dim, id_col=vec_id_col
+    )
+    comp = dedup.connected_components(
+        drops.select(
+            F.col(vec_id_col).alias("id_a"), F.col("keep_id").alias("id_b")
+        )
+    )
+    quality = text_ops.quality_classifier(docs, text=text, id_col=id_col).select(
+        F.col(id_col), "quality_prob"
+    )
+    members = (
+        quality.join(
+            comp.select(F.col("id").alias(id_col), "component"), id_col, "left"
+        )
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("group_root"),
+            "quality_prob",
+        )
+    )
+    winners = members.groupBy("group_root").agg(
+        F.max_by(
+            F.col(id_col), F.struct(F.col("quality_prob"), (-F.col(id_col)).alias("_t"))
+        ).alias("survivor_id")
+    )
+    return members.join(winners, "group_root").select(
+        F.col(id_col),
+        "group_root",
+        "quality_prob",
+        "survivor_id",
+        (F.col(id_col) == F.col("survivor_id")).alias("kept"),
+    )

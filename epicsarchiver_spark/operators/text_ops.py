@@ -1674,68 +1674,3 @@ def readability(
             F.round(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 6),
         ),
     )
-
-
-def pack_sequences(
-    docs: DataFrame,
-    budget: int = 2048,
-    text: str = "text",
-    id_col: str = "doc_id",
-) -> DataFrame:
-    """GPT-style sequence packing: concatenate the deterministically
-    shuffled token stream and cut it every ``budget`` tokens — the
-    batching layout step between a curated corpus and a training run.
-    Returns one row per document: ``(doc_id, n_tokens, start_offset,
-    pack_first, pack_last, n_packs)`` where start_offset is the doc's
-    position in the global token stream, pack_first/last the fixed-size
-    packs its tokens land in, and n_packs how many boundary cuts split
-    it (n_packs > 1 = a doc fragmented across sequences — the stat that
-    decides whether the budget or the shuffle granularity needs tuning).
-
-    Stream order is the oracle-portable md5 hash of the id (ties broken
-    by id) — the same deterministic-shuffle contract as
-    ``global_shuffle``: reproducible across runs, engines, and cluster
-    sizes, no RNG state. The global exclusive prefix sum over that
-    order NEVER runs as one corpus-sized window task: the same
-    two-level decomposition as ``_bounded_exclusive_prefix``, with the
-    coarse bucket = the hash's top 16 bits (a pure expression — md5
-    output is uniform, so buckets are balanced by construction). The
-    only unpartitioned window consumes the ≤65,536 per-bucket totals;
-    the within-bucket running sums partition by bucket and the offsets
-    broadcast back."""
-    per = docs.select(
-        F.col(id_col),
-        F.size(T.tokens(F.col(text))).cast("long").alias("n_tokens"),
-        hashing.md5_hash60(F.col(id_col).cast("string")).alias("_h"),
-    )
-    keyed = per.withColumn("_pid", F.shiftright("_h", 44))
-    woff = Window.orderBy("_pid").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    offsets = (
-        keyed.groupBy("_pid")
-        .agg(F.sum("n_tokens").alias("_pt"))
-        .select("_pid", (F.sum("_pt").over(woff) - F.col("_pt")).alias("_poff"))
-    )
-    wloc = Window.partitionBy("_pid").orderBy("_h", id_col).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    start = F.col("_poff") + F.col("_loc")
-    pack_first = F.floor(start / budget)
-    # an empty doc owns no tokens: it "lands" at its offset's pack with
-    # zero span; a doc's last token sits at start + n_tokens - 1
-    pack_last = F.when(
-        F.col("n_tokens") > 0, F.floor((start + F.col("n_tokens") - 1) / budget)
-    ).otherwise(pack_first)
-    return (
-        keyed.withColumn("_loc", F.sum("n_tokens").over(wloc) - F.col("n_tokens"))
-        .join(F.broadcast(offsets), "_pid")
-        .select(
-            F.col(id_col),
-            F.col("n_tokens"),
-            start.cast("long").alias("start_offset"),
-            pack_first.cast("long").alias("pack_first"),
-            pack_last.cast("long").alias("pack_last"),
-            (pack_last - pack_first + 1).cast("long").alias("n_packs"),
-        )
-    )

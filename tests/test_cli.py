@@ -366,6 +366,17 @@ def test_corpus_cli(spark, tmp_path, capsys):
     assert rc in (0, 2)
     assert "leaking split pair(s)" in capsys.readouterr().out
 
+    # splits / packing write actions through the same path
+    spl = str(tmp_path / "splits")
+    assert cli.main(["corpus", "splits", docs_path, "--out", spl]) == 0
+    got = spark.read.parquet(spl)
+    assert set(got.columns) == {"doc_id", "root", "split"}
+    pk = str(tmp_path / "packs")
+    assert cli.main(["corpus", "packing", docs_path, "--out", pk, "--budget", "64"]) == 0
+    packs = spark.read.parquet(pk)
+    assert {"doc_id", "chunk_id", "n_tokens", "seq_id", "seq_offset"} <= set(packs.columns)
+    assert packs.count() >= 30  # every doc contributes >=1 chunk
+
     # write action without --out is a usage error
     assert cli.main(["corpus", "shards", docs_path]) == 1
 

@@ -77,3 +77,37 @@ def test_budget_prefix_matches_operator(spark, docs):
     a = {(r.doc_id, r.selected) for r in cp.budget(500).collect()}
     b = {(r.doc_id, r.selected) for r in budget_selection(docs, 500).collect()}
     assert a == b
+
+
+def test_splits_and_packing_views(spark, docs, tmp_path):
+    """splits: every near-dup group shares one split (empty leakage by
+    construction) and the artifact read-back path agrees with the
+    inline build; packing: offsets tile the token stream exactly."""
+    cp = CorpusPipeline(spark, docs)
+    sp = cp.splits()
+    assert set(sp.columns) == {"doc_id", "root", "split"}
+    by_root = sp.groupBy("root").agg(F.countDistinct("split").alias("ns")).collect()
+    assert all(r.ns == 1 for r in by_root)
+    # the exact-dup docs (i, i-1 for i % 5 == 0) must share a split
+    rows = {r.doc_id: r.split for r in sp.collect()}
+    for i in range(5, 40, 5):
+        assert rows[i] == rows[i - 1]
+
+    # artifact lane reproduces the inline assignment
+    art = cp.build_artifacts(str(tmp_path / "bases"))
+    cp2 = CorpusPipeline(spark, docs, artifacts=art)
+    assert sorted(map(tuple, cp2.splits().collect())) == sorted(
+        map(tuple, sp.collect())
+    )
+
+    packs = cp.packing(seq_tokens=32, chunk_tokens=16).collect()
+    # chunk stream is a contiguous tiling: offsets within a sequence
+    # stay under the width, and total tokens are preserved
+    assert all(0 <= r.seq_offset < 32 for r in packs)
+    # reconstruct each chunk's stream offset: sorted, they must tile the
+    # token stream exactly (exclusive prefix sum of chunk sizes)
+    laid = sorted((r.seq_id * 32 + r.seq_offset, r.n_tokens) for r in packs)
+    acc = 0
+    for off, n in laid:
+        assert off == acc
+        acc += n

@@ -635,16 +635,24 @@ def test_ship_delay_dist_single_fact_shuffle(spark):
 
 
 def test_pack_sequences_no_corpus_global_window(spark):
-    """The packing prefix sum must use the two-level decomposition: the
-    only unpartitioned window consumes the per-bucket totals (≤2^16
-    rows), never the corpus-sized doc frame."""
+    """The packing offsets must use the two-level decomposition: the
+    only unpartitioned window consumes the per-bucket token totals
+    (16^hex_digits tiny rows), never the corpus-sized chunk frame."""
     plan = _plan(spark, "doc_pack_sequences")
     wins = re.findall(r"\(\d+\) Window\nInput[^\n]*\nArguments: ([^\n]*)", plan)
     assert wins, plan[:2000]
-    unpart = [w for w in wins if "windowspecdefinition(_pid" not in w]
-    # every unpartitioned (global-order) window must be the bucket-total
-    # one: its input is the groupBy(_pid) aggregate, identifiable by the
-    # _pt sum column in its arguments
+    unpart = [w for w in wins if "windowspecdefinition(_b" not in w]
     for w in unpart:
-        assert "_pt" in w, w
+        assert "_t" in w, w
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_quality_survivors_hash_agg_winner_no_global_window(spark):
+    """The per-group winner must be a max_by hash aggregate (map-side
+    partials), never a corpus-ordered window; no cartesian anywhere."""
+    plan = _plan(spark, "doc_quality_survivors")
+    assert "CartesianProduct" not in plan
+    assert "partial_max_by" in plan, plan[:2000]
+    # the only Window ops allowed are inside the (drop-edge-sized) CC
+    # lineage, which is checkpointed away — the final plan has none
+    assert "Window" not in plan, plan[:2000]

@@ -257,29 +257,45 @@ def test_component_splits_never_straddle(spark):
     assert straddle.count() == 0
 
 
-def test_pack_sequences_partitions_token_stream(spark):
-    """Offsets are an exact exclusive prefix sum of token counts in the
-    deterministic order, packs tile the stream with no gaps or overlap,
-    and an empty doc spans zero packs but keeps a stable position."""
-    from epicsarchiver_spark.operators.text_ops import pack_sequences
+def test_quality_survivors_chain_and_quality_pick(spark):
+    """Cosine chains (A~B~C, A≁C) must resolve into ONE group, and the
+    survivor is the argmax-quality member (ties → smallest id), not
+    SemDeDup's lowest-id keep pointer."""
+    from epicsarchiver_spark.operators.curation import quality_survivors
 
-    docs = _docs(
-        spark,
-        [(i, " ".join(f"w{j}" for j in range(5 + (i * 7) % 11)), "s") for i in range(40)]
-        + [(99, "", "s")],
+    # three near-parallel vectors forming a chain + one orthogonal
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0, 0.0]),
+            (1, [0.9, 0.45, 0.0, 0.0]),   # ~0: cos .894; ~2: cos .894
+            (2, [0.45, 0.9, 0.0, 0.0]),   # ~0: cos .447 < threshold
+            (3, [0.0, 0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
     )
-    out = pack_sequences(docs, budget=16).orderBy("start_offset").collect()
-    # contiguous tiling: offsets are the running sum of n_tokens
-    acc = 0
-    for r in out:
-        assert r.start_offset == acc
-        acc += r.n_tokens
-        if r.n_tokens > 0:
-            assert r.pack_first == r.start_offset // 16
-            assert r.pack_last == (r.start_offset + r.n_tokens - 1) // 16
-            assert r.n_packs == r.pack_last - r.pack_first + 1
-        else:
-            assert r.n_packs == 1 and r.pack_first == r.pack_last
-    # determinism: same input → identical assignment
-    again = pack_sequences(docs, budget=16).orderBy("start_offset").collect()
-    assert [tuple(r) for r in again] == [tuple(r) for r in out]
+    # doc 2 is the richest text → highest quality_prob must win its group
+    docs = spark.createDataFrame(
+        [
+            (0, "short text"),
+            (1, "short text too"),
+            (2, "the quiet river and the old stone bridges of the town "
+                "carry traders to the market square in the morning light."),
+            (3, "another doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r
+        for r in quality_survivors(
+            docs, vecs, threshold=0.8, n_cells=1, dim=4
+        ).collect()
+    }
+    assert len(out) == 4
+    # 0,1,2 chain into one group rooted at 0; 3 is a singleton
+    assert out[0].group_root == out[1].group_root == out[2].group_root == 0
+    assert out[3].group_root == 3 and out[3].kept
+    best = max((out[i].quality_prob, -i) for i in (0, 1, 2))
+    winner = -best[1]
+    for i in (0, 1, 2):
+        assert out[i].survivor_id == winner
+        assert out[i].kept == (i == winner)
