@@ -602,7 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), shingle_k=2, threshold=0.05
     ).select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     # near-dup GROUP resolution: pairs → connected components (min-id label)
-    q["doc_dedup_groups"] = lambda s, d: dedup.connected_components(
+    q["doc_dedup_groups"] = lambda s, d: dedup.connected_components_star(
         dedup.jaccard_pairs_blocked(load_table(s, d, "documents"), shingle_k=2, threshold=0.05)
     ).select(F.col("id").alias("doc_id"), "component")
     # ...and the canonical survivors after dropping non-representatives
@@ -631,7 +631,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), threshold=0.38
     )
     # semantic dedup groups: components of the exact-cosine pair graph
-    q["emb_dedup_groups"] = lambda s, d: dedup.connected_components(
+    q["emb_dedup_groups"] = lambda s, d: dedup.connected_components_star(
         similarity.cosine_near_duplicates(load_table(s, d, "embeddings"), threshold=0.38)
     ).select(F.col("id").alias("vec_id"), "component")
 
@@ -1626,7 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # dedup-aware shard layout: near-dup groups co-located by root hash
     q["doc_dedup_shards"] = lambda s, d: curation.shard_by_component(
         load_table(s, d, "documents"),
-        dedup.connected_components(
+        dedup.connected_components_star(
             dedup.jaccard_pairs_blocked(
                 load_table(s, d, "documents"), shingle_k=2, threshold=0.05
             )
@@ -1647,7 +1647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         def _build(path):
             curation.write_components(
-                dedup.connected_components(
+                dedup.connected_components_star(
                     dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
                 ),
                 path,
@@ -1746,7 +1746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # group root (the constructive fix doc_split_leakage audits for)
     q["doc_component_splits"] = lambda s, d: curation.component_splits(
         load_table(s, d, "documents"),
-        dedup.connected_components(
+        dedup.connected_components_star(
             dedup.jaccard_pairs_blocked(
                 load_table(s, d, "documents"), shingle_k=2, threshold=0.05
             )

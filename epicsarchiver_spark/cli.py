@@ -566,7 +566,7 @@ def cmd_build_dedup_artifacts(args) -> int:
             docs, shingle_k=args.shingle_k, threshold=args.threshold
         )
     curation.write_components(
-        dedup.connected_components(pairs), f"{out}/components"
+        dedup.connected_components_star(pairs), f"{out}/components"
     )
     dedup.winnow_fingerprints(docs).write.mode("overwrite").parquet(
         f"{out}/winnow_fp"

@@ -92,7 +92,7 @@ class CorpusPipeline:
         the artifact when available, else built from ``near_dup_pairs``."""
         if self.artifacts:
             return self.spark.read.parquet(f"{self.artifacts}/components")
-        return dedup.connected_components(self.near_dup_pairs(lane))
+        return dedup.connected_components_star(self.near_dup_pairs(lane))
 
     def build_artifacts(self, out: str, lane: str = "jaccard") -> str:
         """Write the per-release dedup bases (components, winnowing
@@ -101,7 +101,7 @@ class CorpusPipeline:
         read-back (mirrors ``pvarch build_dedup_artifacts``)."""
         out = out.rstrip("/")
         curation.write_components(
-            dedup.connected_components(self.near_dup_pairs(lane)),
+            dedup.connected_components_star(self.near_dup_pairs(lane)),
             f"{out}/components",
         )
         dedup.winnow_fingerprints(

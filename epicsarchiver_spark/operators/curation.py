@@ -383,7 +383,7 @@ def quality_survivors(
     drops = similarity.semantic_dedup(
         vectors, threshold=threshold, n_cells=n_cells, dim=dim, id_col=vec_id_col
     )
-    comp = dedup.connected_components(
+    comp = dedup.connected_components_star(
         drops.select(
             F.col(vec_id_col).alias("id_a"), F.col("keep_id").alias("id_b")
         )
