@@ -74,6 +74,10 @@ PROBES = [
     # floor — component-composition shapes must hold at ×30
     "emb_pipeline_verdicts",
     "doc_corpus_diff",
+    # r7c: leakage-free splits (CC + hash map), cross-modal survivors
+    # (SemDeDup evidence → star CC → quality argmax), Q21 windowed pass
+    "doc_component_splits",
+    "doc_quality_survivors",
 ]
 
 
