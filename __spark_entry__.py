@@ -457,6 +457,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_funnel"] = lambda s, d: ev.funnel(
         load_table(s, d, "events"), FUNNEL_STEPS
     )
+    q["ev_funnel_times"] = lambda s, d: ev.funnel_times(
+        load_table(s, d, "events"), FUNNEL_STEPS
+    )
     q["ev_retention"] = lambda s, d: ev.retention_cohorts(load_table(s, d, "events"))
     q["ev_props_rollup"] = lambda s, d: ev.props_rollup(load_table(s, d, "events"))
     q["ev_rolling_dau"] = lambda s, d: ev.rolling_dau(load_table(s, d, "events"))
@@ -3732,6 +3735,25 @@ def oracle_sql() -> dict[str, str]:
         ),
         {",".join(cascade)}
         {unions}
+    """
+
+    lat_unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" CAST(count(*) AS BIGINT) AS n_converted,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.5), 6) AS p50_s,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.9), 6) AS p90_s,"
+        f" round(avg(t{i} - t{i - 1}), 6) AS mean_s"
+        f" FROM s{i} JOIN s{i - 1} USING (user_id)"
+        for i, s in enumerate(FUNNEL_STEPS)
+        if i > 0
+    )
+    o["ev_funnel_times"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch(ts) AS t, event_type FROM events
+          WHERE event_type IN ({step_list})
+        ),
+        {",".join(cascade)}
+        {lat_unions}
     """
 
     o["ev_retention"] = """

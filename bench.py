@@ -167,6 +167,7 @@ HEADLINE = [
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",
+    "ev_funnel_times",
 ]
 
 

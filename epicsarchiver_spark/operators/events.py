@@ -50,25 +50,19 @@ def _epoch_s(df: DataFrame, ts_col: str):
     return c.cast("double")
 
 
-def funnel(
+def _funnel_step_times(
     events: DataFrame,
     steps: tuple[str, ...],
-    user_col: str = "user_id",
-    type_col: str = "event_type",
-    ts_col: str = "ts",
+    user_col: str,
+    type_col: str,
+    ts_col: str,
 ) -> DataFrame:
-    """Strictly-ordered funnel: ``(step, step_name, n_users)`` where a
-    user reaches step i when an event of type ``steps[i]`` occurs
-    STRICTLY AFTER their step i-1 arrival time (step 0 = the user's
-    first event of that type). The cascade t_i = min{t : type = s_i,
-    t > t_{i-1}} is the standard funnel definition; a user whose events
-    arrive out of order does not convert.
-
-    Each step time is materialized as its own projection attribute —
-    t_i references t_{i-1}, and chaining attributes (not inline
-    expressions) keeps the expression tree linear in the number of
-    steps instead of exponential (CollapseProject would clone the whole
-    upstream cascade into every reference otherwise)."""
+    """Per-user step-arrival times ``(user, t0..tN)`` for the strict
+    funnel cascade t_i = min{t : type = s_i, t > t_{i-1}} — the frame
+    both ``funnel`` and ``funnel_times`` aggregate. One user-keyed
+    shuffle (collect_list); the cascade itself is array-local, each
+    step time its own projection attribute so the expression tree stays
+    linear in step count."""
     grouped = (
         events.filter(F.col(type_col).isin(list(steps)))
         .select(
@@ -102,6 +96,29 @@ def funnel(
                 )
             )
         cur = cur.select("*", t.alias(f"t{i}"))
+    return cur
+
+
+def funnel(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Strictly-ordered funnel: ``(step, step_name, n_users)`` where a
+    user reaches step i when an event of type ``steps[i]`` occurs
+    STRICTLY AFTER their step i-1 arrival time (step 0 = the user's
+    first event of that type). The cascade t_i = min{t : type = s_i,
+    t > t_{i-1}} is the standard funnel definition; a user whose events
+    arrive out of order does not convert.
+
+    Each step time is materialized as its own projection attribute —
+    t_i references t_{i-1}, and chaining attributes (not inline
+    expressions) keeps the expression tree linear in the number of
+    steps instead of exponential (CollapseProject would clone the whole
+    upstream cascade into every reference otherwise)."""
+    cur = _funnel_step_times(events, steps, user_col, type_col, ts_col)
     counts = cur.agg(
         *[F.count(F.col(f"t{i}")).alias(f"c{i}") for i in range(len(steps))]
     )
@@ -486,3 +503,52 @@ def dau_anomalies(
         "is_anomaly",
         F.coalesce(F.col("rel_dev") > F.lit(threshold), F.lit(False)),
     )
+
+
+def funnel_times(
+    events: DataFrame,
+    steps: tuple[str, ...],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Time-to-convert between adjacent funnel steps: for each step
+    i ≥ 1, the latency distribution ``t_i − t_{i−1}`` over users who
+    reached step i — ``(step, step_name, n_converted, p50_s, p90_s,
+    mean_s)``. The companion view to ``funnel``'s headcounts: WHERE
+    users stall is the counts, HOW LONG converters take is this.
+
+    Same scale shape as ``funnel`` (shared ``_funnel_step_times``
+    cascade): one user-keyed shuffle, array-local step times, then ONE
+    global aggregate producing a |steps|-wide single row that explodes
+    into the output — the exact ``percentile()`` reduction matches
+    DuckDB's ``quantile_cont`` interpolation, and a step nobody reaches
+    yields nulls, not a missing row."""
+    cur = _funnel_step_times(events, steps, user_col, type_col, ts_col)
+    aggs = []
+    for i in range(1, len(steps)):
+        lat = F.col(f"t{i}") - F.col(f"t{i - 1}")
+        aggs += [
+            F.count(F.col(f"t{i}")).alias(f"n{i}"),
+            F.round(F.expr(f"percentile(t{i} - t{i - 1}, 0.5)"), 6).alias(f"p50_{i}"),
+            F.round(F.expr(f"percentile(t{i} - t{i - 1}, 0.9)"), 6).alias(f"p90_{i}"),
+            F.round(F.avg(lat), 6).alias(f"mean_{i}"),
+        ]
+    one = cur.agg(*aggs)
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("step"),
+                        F.lit(steps[i]).alias("step_name"),
+                        F.col(f"n{i}").alias("n_converted"),
+                        F.col(f"p50_{i}").alias("p50_s"),
+                        F.col(f"p90_{i}").alias("p90_s"),
+                        F.col(f"mean_{i}").alias("mean_s"),
+                    )
+                    for i in range(1, len(steps))
+                ]
+            )
+        ).alias("x")
+    ).select("x.*")

@@ -299,3 +299,32 @@ def test_quality_survivors_chain_and_quality_pick(spark):
     for i in (0, 1, 2):
         assert out[i].survivor_id == winner
         assert out[i].kept == (i == winner)
+
+
+def test_funnel_times_latency_and_empty_step(spark):
+    """Latency rows measure t_i - t_{i-1} over converters only; a step
+    nobody reaches still emits its row with nulls (absent evidence),
+    and out-of-order users do not convert."""
+    from epicsarchiver_spark.operators.events import funnel_times
+
+    rows = [
+        # u1 converts view@10 -> click@40 -> buy@100
+        (1, 10.0, "view"), (1, 40.0, "click"), (1, 100.0, "buy"),
+        # u2 converts view@0 -> click@10; never buys
+        (2, 0.0, "view"), (2, 10.0, "click"),
+        # u3 clicked BEFORE viewing: no conversion past step 0
+        (3, 5.0, "click"), (3, 6.0, "view"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, t, et) for u, t, et in rows], "user_id long, ts double, event_type string"
+    )
+    out = {r.step_name: r for r in funnel_times(ev, ("view", "click", "buy")).collect()}
+    assert out["click"].n_converted == 2
+    assert out["click"].p50_s == 20.0  # median of {30, 10}
+    assert out["click"].mean_s == 20.0
+    assert out["buy"].n_converted == 1 and out["buy"].p50_s == 60.0
+
+    # nobody reaches 'signup': the row exists, stats are null
+    out2 = {r.step_name: r for r in funnel_times(ev, ("view", "signup")).collect()}
+    assert out2["signup"].n_converted == 0
+    assert out2["signup"].p50_s is None and out2["signup"].mean_s is None
