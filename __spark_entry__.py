@@ -1484,6 +1484,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "documents"), n_buckets=3
     )
 
+    # ...and the PRODUCTION cadence: the LM tables are written once
+    # (write_bigram_lm — the reference-corpus artifact) and every score
+    # pass reads them back; artifact cached per corpus dir like the
+    # components/winnow/minhash lanes. Oracle identical to
+    # doc_ccnet_buckets (the LM here trains on the same corpus).
+    def _doc_ccnet_indexed(s, d):
+        docs = load_table(s, d, "documents")
+        path = _artifact_path(
+            d, "bigram_lm", lambda p: text_ops.write_bigram_lm(docs, p)
+        )
+        return text_ops.perplexity_buckets(docs, n_buckets=3, model=path)
+
+    q["doc_ccnet_indexed"] = _doc_ccnet_indexed
+
     # per-source report card: volume, quality, lang agreement, dup rate
     q["doc_corpus_report"] = lambda s, d: text_ops.corpus_report(
         load_table(s, d, "documents")
@@ -5671,6 +5685,9 @@ def oracle_sql() -> dict[str, str]:
           FROM scored
         )
         """
+
+    # persisted-LM lane reads back the same tables → same buckets
+    o["doc_ccnet_indexed"] = o["doc_ccnet_buckets"]
 
     o["emb_pipeline_verdicts"] = f"""
         WITH sd AS (SELECT vec_id FROM ({o["emb_semantic_dedup"]})),

@@ -168,6 +168,7 @@ HEADLINE = [
     "doc_pack_sequences",
     "doc_quality_survivors",
     "ev_funnel_times",
+    "doc_ccnet_indexed",
 ]
 
 

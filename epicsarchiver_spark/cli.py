@@ -31,8 +31,8 @@ continuous daemon shape; SURVEY §3.1):
                         funnel/report/mixture/leakage/survivors/shards/
                         verdicts/splits/packing through corpus.CorpusPipeline)
     build_dedup_artifacts → per-release dedup bases        (engine-only: the
-                        components/winnow/minhash parquet the *_indexed
-                        query lanes read back)
+                        components/winnow/minhash/bigram-LM parquet the
+                        *_indexed query lanes read back)
     bucketize         → store → bucketBy(pvname) catalog   (engine-only: the
                         one-time rewrite that deletes per-series shuffles)
 
@@ -574,7 +574,10 @@ def cmd_build_dedup_artifacts(args) -> int:
     dedup.minhash_signatures(docs, shingle_k=args.shingle_k).write.mode(
         "overwrite"
     ).parquet(f"{out}/minhash_sig")
-    for name in ("components", "winnow_fp", "minhash_sig"):
+    from epicsarchiver_spark.operators.text_ops import write_bigram_lm
+
+    write_bigram_lm(docs, f"{out}/bigram_lm")
+    for name in ("components", "winnow_fp", "minhash_sig", "bigram_lm/unigrams"):
         n = spark.read.parquet(f"{out}/{name}").count()
         print(f"{name}: {n} rows -> {out}/{name}")
     return 0

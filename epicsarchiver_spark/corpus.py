@@ -95,8 +95,8 @@ class CorpusPipeline:
         return dedup.connected_components_star(self.near_dup_pairs(lane))
 
     def build_artifacts(self, out: str, lane: str = "jaccard") -> str:
-        """Write the per-release dedup bases (components, winnowing
-        fingerprints, MinHash signatures) and point this pipeline at
+        """Write the per-release bases (components, winnowing
+        fingerprints, MinHash signatures, the bigram LM) and point this pipeline at
         them. The expensive step runs once; every later method is a
         read-back (mirrors ``pvarch build_dedup_artifacts``)."""
         out = out.rstrip("/")
@@ -110,6 +110,7 @@ class CorpusPipeline:
         dedup.minhash_signatures(
             self.docs, text=self.text, id_col=self.id_col, shingle_k=self.shingle_k
         ).write.mode("overwrite").parquet(f"{out}/minhash_sig")
+        text_ops.write_bigram_lm(self.docs, f"{out}/bigram_lm", text=self.text)
         self.artifacts = out
         return out
 
@@ -170,8 +171,12 @@ class CorpusPipeline:
         )
 
     def perplexity_tiers(self, n_buckets: int = 3) -> DataFrame:
+        """CCNet tiers — scored against the persisted LM artifact when
+        available (the reference-corpus cadence), self-trained else."""
+        model = f"{self.artifacts}/bigram_lm" if self.artifacts else None
         return text_ops.perplexity_buckets(
-            self.docs, n_buckets=n_buckets, text=self.text, id_col=self.id_col
+            self.docs, n_buckets=n_buckets, text=self.text, id_col=self.id_col,
+            model=model,
         )
 
     def splits(self, **split_kw) -> DataFrame:

@@ -947,12 +947,57 @@ def scrub_pii(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     return out.select(id_col, clean.alias("clean_text"), *counts)
 
 
+def train_bigram_lm(
+    docs: DataFrame, text: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """Train the interpolated-bigram LM tables once: ``(unigrams(term,
+    c), bigrams(w1, w2, c12))`` — the per-release artifact the CCNet
+    production cadence writes from a REFERENCE corpus (Wikipedia-grade
+    text) and scores every crawl against (``bigram_logprob(model=)``).
+    Totals (N, V) derive from the unigram table at read time."""
+    toks = docs.select(T.tokens(F.lower(F.col(text))).alias("tk"))
+    pairs = F.filter(
+        F.zip_with(
+            F.col("tk"),
+            F.slice(F.col("tk"), 2, F.greatest(F.size("tk") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        toks.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    return uni, bi
+
+
+def write_bigram_lm(docs: DataFrame, path: str, text: str = "text") -> None:
+    """Persist the LM tables under ``path``/{unigrams,bigrams}."""
+    uni, bi = train_bigram_lm(docs, text=text)
+    uni.write.mode("overwrite").parquet(f"{path}/unigrams")
+    bi.write.mode("overwrite").parquet(f"{path}/bigrams")
+
+
+def read_bigram_lm(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    return (
+        spark.read.parquet(f"{path}/unigrams"),
+        spark.read.parquet(f"{path}/bigrams"),
+    )
+
+
 def bigram_logprob(
     docs: DataFrame,
     text: str = "text",
     id_col: str = "doc_id",
     alpha: float = 0.5,
     lam: float = 0.8,
+    model: tuple[DataFrame, DataFrame] | str | None = None,
 ) -> DataFrame:
     """Interpolated bigram LM quality signal — one rung up from
     ``unigram_logprob`` toward a KenLM perplexity filter: score each
@@ -974,7 +1019,16 @@ def bigram_logprob(
     join back to (model sides are |bigram vocab| rows — AQE broadcasts
     at moderate vocab; co-partitioned hash join beyond). N/V ride a
     broadcast 1-row frame — no eager action anywhere. Docs with zero
-    tokens drop, matching ``unigram_logprob``."""
+    tokens drop, matching ``unigram_logprob``.
+
+    ``model``: a ``(unigrams, bigrams)`` pair from ``train_bigram_lm``
+    or the parquet artifact path from ``write_bigram_lm`` — the CCNet
+    production cadence, where the LM trains ONCE on a reference corpus
+    and every crawl scores against the read-back tables (the
+    self-trained default is the calibration/test shape). The external
+    path scores unseen unigrams at the Lidstone floor (c = 0) and
+    unseen bigrams by the (1−λ)·p_uni backoff alone, so scores stay
+    finite on out-of-vocabulary text."""
     toks = docs.select(
         F.col(id_col), T.tokens(F.lower(F.col(text))).alias("tk")
     )
@@ -994,14 +1048,21 @@ def bigram_logprob(
         .agg(F.count(F.lit(1)).alias("tf"))
     )
     # corpus models: bigram counts, left-context totals, unigram counts
-    bi_model = bi_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+    if model is not None:
+        if isinstance(model, str):
+            model = read_bigram_lm(docs.sparkSession, model)
+        uni_model, bi_model = model
+        uni_model = uni_model.select("term", "c")
+        bi_model = bi_model.select("w1", "w2", "c12")
+    else:
+        bi_model = bi_tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c12"))
+        uni_tf = (
+            toks.select(F.col(id_col), F.explode("tk").alias("term"))
+            .groupBy(id_col, "term")
+            .agg(F.count(F.lit(1)).alias("utf"))
+        )
+        uni_model = uni_tf.groupBy("term").agg(F.sum("utf").alias("c"))
     left_model = bi_model.groupBy("w1").agg(F.sum("c12").alias("c1"))
-    uni_tf = (
-        toks.select(F.col(id_col), F.explode("tk").alias("term"))
-        .groupBy(id_col, "term")
-        .agg(F.count(F.lit(1)).alias("utf"))
-    )
-    uni_model = uni_tf.groupBy("term").agg(F.sum("utf").alias("c"))
     totals = uni_model.agg(F.sum("c").alias("_N"), F.count(F.lit(1)).alias("_V"))
     p_uni = (F.col("c") + F.lit(alpha)) / (
         F.col("_N") + F.lit(alpha) * F.col("_V")
@@ -1013,20 +1074,44 @@ def bigram_logprob(
     # former shape pushed the doc-keyed frame through three joins
     # (model, left-context, unigram), 2× the wall time at sf0.1. Same
     # arithmetic per term (tf·(−log x) ≡ −tf·log x in IEEE).
-    score_bi = (
-        bi_model.join(left_model, "w1")
-        .join(uni_model.select(F.col("term").alias("w2"), "c"), "w2")
-        .crossJoin(F.broadcast(totals))
-        .select(
-            "w1",
-            "w2",
-            (
-                -F.log(
-                    F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * p_uni
-                )
-            ).alias("_nlp"),
+    if model is not None:
+        doc_bi = bi_tf.select("w1", "w2").distinct()
+        score_bi = (
+            doc_bi.join(bi_model, ["w1", "w2"], "left")
+            .join(left_model, "w1", "left")
+            .join(uni_model.select(F.col("term").alias("w2"), "c"), "w2", "left")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "w1",
+                "w2",
+                (
+                    -F.log(
+                        F.lit(lam)
+                        * F.coalesce(F.col("c12") / F.col("c1"), F.lit(0.0))
+                        + F.lit(1.0 - lam)
+                        * (
+                            (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                            / (F.col("_N") + F.lit(alpha) * F.col("_V")).cast("double")
+                        )
+                    )
+                ).alias("_nlp"),
+            )
         )
-    )
+    else:
+        score_bi = (
+            bi_model.join(left_model, "w1")
+            .join(uni_model.select(F.col("term").alias("w2"), "c"), "w2")
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "w1",
+                "w2",
+                (
+                    -F.log(
+                        F.lit(lam) * F.col("c12") / F.col("c1") + F.lit(1.0 - lam) * p_uni
+                    )
+                ).alias("_nlp"),
+            )
+        )
     bi_scored = (
         bi_tf.join(score_bi, ["w1", "w2"])
         .groupBy(id_col)
@@ -1036,12 +1121,21 @@ def bigram_logprob(
         )
     )
     # first token of each doc: -log p_uni
+    first_join = "left" if model is not None else "inner"
     first_scored = (
         toks.filter(F.size("tk") > 0)
         .select(F.col(id_col), F.element_at("tk", 1).alias("term"))
-        .join(uni_model, "term")
+        .join(uni_model, "term", first_join)
         .crossJoin(F.broadcast(totals))
-        .select(F.col(id_col), (-F.log(p_uni)).alias("s_first"))
+        .select(
+            F.col(id_col),
+            (
+                -F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + F.lit(alpha))
+                    / (F.col("_N") + F.lit(alpha) * F.col("_V")).cast("double")
+                )
+            ).alias("s_first"),
+        )
     )
     return (
         first_scored.join(bi_scored, id_col, "left")
@@ -1182,6 +1276,7 @@ def perplexity_buckets(
     id_col: str = "doc_id",
     alpha: float = 0.5,
     lam: float = 0.8,
+    model: tuple[DataFrame, DataFrame] | str | None = None,
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): split the
     corpus into equal-population quality tiers by language-model score —
@@ -1204,7 +1299,9 @@ def perplexity_buckets(
     ntile() is the oracle."""
     from pyspark.sql import Window
 
-    scored = bigram_logprob(docs, text=text, id_col=id_col, alpha=alpha, lam=lam)
+    scored = bigram_logprob(
+        docs, text=text, id_col=id_col, alpha=alpha, lam=lam, model=model
+    )
     # per-score population, exclusive prefix over the ordered distinct scores
     per_score = scored.groupBy("mean_neg_logprob").agg(F.count(F.lit(1)).alias("_c"))
     base = _bounded_exclusive_prefix(per_score, "mean_neg_logprob", "_c", "_base")
