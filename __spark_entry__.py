@@ -1793,7 +1793,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # so CORRECTNESS_r07 certifies the whole registry.  All previously
     # certified queries keep their green rows (testdata unchanged —
     # guarded by tests/testdata_fingerprint.json) and fill the
-    # remainder in their prior order.
+    # remainder in their prior order.  Queries added AFTER the r7
+    # front was frozen (doc_component_splits, doc_quality_survivors,
+    # ev_funnel_times, doc_ccnet_indexed) sit past position 50 and are
+    # the r8 front-load list.
     front = [
         "doc_cdc_chunks",
         "doc_cdc_dup_chunks",
