@@ -465,14 +465,27 @@ def cmd_land(args) -> int:
     operational command: gopher gate → in-stream fingerprint dedup →
     standing-corpus anti-join → source-partitioned parquet landing.
     Bounded availableNow drain by default (cron a crawl dump through
-    it); ``--follow`` tails the source directory continuously. The
-    standing corpus re-resolves per micro-batch, so a nightly compaction
-    of the archived corpus is picked up without restarting."""
+    it); ``--follow`` tails the source directory continuously and
+    REQUIRES ``--watermark-col`` (without a watermark the fingerprint
+    dedup state grows forever — the library documents plain
+    dropDuplicates as availableNow-only). The standing-corpus file
+    listing is snapshotted when the command starts (Spark stream-static
+    joins cache the static side's file index), so after a nightly
+    compaction/append of the archive restart the daemon — the cron'd
+    availableNow shape gets this for free."""
     from pyspark.sql import functions as F
 
     from epicsarchiver_spark.functions.text import fingerprint64
     from epicsarchiver_spark.streaming.curation import curated_doc_stream, landing_query
 
+    if args.follow and not args.watermark_col:
+        print(
+            "land --follow requires --watermark-col: without a watermark the "
+            "fingerprint-dedup state is unbounded (use the default availableNow "
+            "drain for one-shot replays)",
+            file=sys.stderr,
+        )
+        return 1
     spark = _spark("land")
     schema = spark.read.parquet(args.docs).schema
     stream = spark.readStream.schema(schema).parquet(args.docs)
@@ -498,8 +511,19 @@ def cmd_land(args) -> int:
         print(f"landing {args.docs} -> {args.out} (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        q.awaitTermination(args.timeout)
-        n = spark.read.parquet(args.out).count()
+        done = q.awaitTermination(args.timeout)
+        if not done:
+            q.stop()
+            print(
+                f"drain still running after {args.timeout}s — stopped; "
+                "rerun with a larger --timeout (checkpoint resumes where it left off)",
+                file=sys.stderr,
+            )
+            return 1
+        try:
+            n = spark.read.parquet(args.out).count()
+        except Exception:
+            n = 0  # every doc gated out: the sink holds only _spark_metadata
         print(f"landed {n} curated docs -> {args.out}")
     return 0
 

@@ -173,7 +173,16 @@ class CorpusPipeline:
     def perplexity_tiers(self, n_buckets: int = 3) -> DataFrame:
         """CCNet tiers — scored against the persisted LM artifact when
         available (the reference-corpus cadence), self-trained else."""
-        model = f"{self.artifacts}/bigram_lm" if self.artifacts else None
+        model = None
+        if self.artifacts:
+            lm = f"{self.artifacts}/bigram_lm"
+            jvm = self.spark._jvm
+            P = jvm.org.apache.hadoop.fs.Path
+            fs = P(lm).getFileSystem(self.spark._jsc.hadoopConfiguration())
+            # artifact dirs written before the LM lane existed lack the
+            # bigram_lm tables — self-train rather than crash
+            if fs.exists(P(f"{lm}/unigrams")):
+                model = lm
         return text_ops.perplexity_buckets(
             self.docs, n_buckets=n_buckets, text=self.text, id_col=self.id_col,
             model=model,

@@ -366,7 +366,7 @@ def quality_survivors(
 
     Cosine is not transitive, so the drop list's keep pointers CHAIN
     (A~B~C with A≁C); the ``(vec_id, keep_id)`` evidence edges resolve
-    into groups via ``dedup.connected_components`` first — the same
+    into groups via ``dedup.connected_components_star`` first — the same
     root-resolution step the exact-dedup pipeline uses — and the
     argmax-quality pick then runs per GROUP, not per pointer.
 

@@ -623,7 +623,7 @@ def connected_components(
     undershoots the component min). Doubling collapses the chain that
     plain propagation walks one hop per round: measured at sf0.1 the
     0.05-threshold jaccard graph took 14 propagation-only rounds and
-    takes 5 with doubling — and the round count grows with log(chain
+    takes 8 with doubling — and the round count grows with log(chain
     length) instead of chain length, which is what matters when a
     100 TB near-dup graph turns out chainy rather than clique-like.
     ``connected_components_star`` (same contract, ~log² n rounds via

@@ -524,6 +524,13 @@ def funnel_times(
     into the output — the exact ``percentile()`` reduction matches
     DuckDB's ``quantile_cont`` interpolation, and a step nobody reaches
     yields nulls, not a missing row."""
+    if len(steps) < 2:
+        # no adjacent pair → no latency rows, mirroring funnel's shape
+        return events.sparkSession.createDataFrame(
+            [],
+            "step int, step_name string, n_converted bigint, "
+            "p50_s double, p90_s double, mean_s double",
+        )
     cur = _funnel_step_times(events, steps, user_col, type_col, ts_col)
     aggs = []
     for i in range(1, len(steps)):

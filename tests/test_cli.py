@@ -422,3 +422,26 @@ def test_land_cli(spark, tmp_path, capsys):
     ids = {r.doc_id for r in landed.select("doc_id").collect()}
     assert ids == set(range(12)) - {5}  # dup-100 and corpus-member 5 gone
     assert set(landed.columns) >= {"doc_id", "text", "source", "fp", "n_words"}
+
+
+def test_land_cli_guards(spark, tmp_path, capsys):
+    """--follow without --watermark-col is a usage error (unbounded
+    dedup state); a drain where every doc fails the gate reports
+    'landed 0' instead of crashing on the schemaless sink."""
+    import pandas as pd
+
+    src = tmp_path / "docs_gated"
+    src.mkdir()
+    # gibberish docs that fail the gopher gate (too short, no stopwords)
+    pd.DataFrame(
+        [(i, "zz qq", "web") for i in range(4)],
+        columns=["doc_id", "text", "source"],
+    ).to_parquet(src / "b0.parquet", index=False)
+
+    out = str(tmp_path / "landed2")
+    ck = str(tmp_path / "ck_land2")
+    assert cli.main(["land", str(src), "--out", out, "--checkpoint", ck, "--follow"]) == 1
+    assert "requires --watermark-col" in capsys.readouterr().err
+
+    assert cli.main(["land", str(src), "--out", out, "--checkpoint", ck]) == 0
+    assert "landed 0 curated docs" in capsys.readouterr().out

@@ -111,3 +111,20 @@ def test_splits_and_packing_views(spark, docs, tmp_path):
     for off, n in laid:
         assert off == acc
         acc += n
+
+
+def test_perplexity_tiers_survives_pre_lm_artifacts(spark, docs, tmp_path):
+    """An artifacts dir written before the bigram-LM lane (components
+    only) must self-train instead of crashing on the missing tables."""
+    from epicsarchiver_spark.operators import curation, dedup
+
+    art = str(tmp_path / "old_bases")
+    curation.write_components(
+        dedup.connected_components_star(
+            spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+        ),
+        f"{art}/components",
+    )
+    cp = CorpusPipeline(spark, docs, artifacts=art)
+    tiers = cp.perplexity_tiers()
+    assert tiers.count() == docs.count()

@@ -373,3 +373,14 @@ def test_bigram_lm_external_model_scores_unseen_text(spark):
 
     assert all(math.isfinite(v) for v in out.values())
     assert out[2] > out[1]  # gibberish scores less fluent
+
+
+def test_funnel_times_single_step_is_empty(spark):
+    from epicsarchiver_spark.operators.events import funnel_times
+
+    ev = spark.createDataFrame(
+        [(1, 1.0, "view")], "user_id long, ts double, event_type string"
+    )
+    out = funnel_times(ev, ("view",))
+    assert out.count() == 0
+    assert out.columns == ["step", "step_name", "n_converted", "p50_s", "p90_s", "mean_s"]
