@@ -11,9 +11,11 @@ never reaches the training store. Stages, in order:
    column to bound state in production — without it state grows with
    the distinct-fingerprint count, exactly like the batch distinct);
 3. standing-corpus dedup — stream-static LEFT ANTI join against the
-   fingerprint table of everything already archived (the static side
-   re-resolves per micro-batch, so a nightly compaction of the corpus
-   table is picked up without restarting the stream).
+   fingerprint table of everything already archived. NOTE: Spark
+   snapshots the static side's FILE LISTING when the read is planned,
+   so a compaction/append of the corpus table requires a stream
+   restart to be seen — the cron'd availableNow drain (the default
+   ``pvarch land`` shape) re-plans every run and gets this for free.
 
 The heavy fuzzy/semantic stages (MinHash bands, SemDeDup) are
 deliberately NOT in-stream: they need corpus-wide context and run as
