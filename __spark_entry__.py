@@ -1781,6 +1781,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim=64,
     )
 
+    # TPC-H Q2: minimum-cost regional supplier per part (rank()==1
+    # window keeps ties — the correlated-min subquery's semantics)
+    q["rel_min_cost_supplier"] = lambda s, d: relational.min_cost_supplier(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "region"),
+        load_table(s, d, "part"),
+    )
+
+    # TPC-H Q20: suppliers shipping a dominant share of promoted parts
+    q["rel_dominant_suppliers"] = lambda s, d: relational.dominant_suppliers(
+        load_table(s, d, "lineitem"),
+        load_table(s, d, "supplier"),
+        load_table(s, d, "nation"),
+        load_table(s, d, "part"),
+    )
+
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
     # FRONT of this dict (r2-r6 each certified exactly the first 50
@@ -5715,6 +5733,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT cell, n_vecs, mean_cohesion, min_cohesion,
                round(n_vecs / t, 6) AS share
         FROM per CROSS JOIN tot
+    """
+
+    o["rel_min_cost_supplier"] = """
+        WITH pairs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS _cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), reg_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), ranked AS (
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                 round(_cost, 6) AS unit_cost,
+                 rank() OVER (PARTITION BY l_partkey ORDER BY _cost) AS rk
+          FROM pairs
+          JOIN reg_supp ON l_suppkey = s_suppkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'STANDARD' AND p_size <= 15
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM ranked WHERE rk = 1
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+    o["rel_dominant_suppliers"] = """
+        WITH pairqty AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ), shared AS (
+          SELECT l_suppkey, qty,
+                 sum(qty) OVER (PARTITION BY l_partkey) AS total
+          FROM pairqty
+        ), winners AS (
+          SELECT DISTINCT l_suppkey FROM shared WHERE qty > 0.5 * total
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+        FROM winners
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_name
     """
 
     return o

@@ -164,6 +164,8 @@ HEADLINE = [
     "ts_latest_bucketed",
     "rel_late_suppliers",
     "rel_ship_delay_dist",
+    "rel_min_cost_supplier",
+    "rel_dominant_suppliers",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

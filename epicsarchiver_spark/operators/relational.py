@@ -687,3 +687,121 @@ def ship_delay_distribution(
         )
         .orderBy("delay_bucket")
     )
+
+
+def min_cost_supplier(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part: DataFrame,
+    region_name: str = "EUROPE",
+    max_size: int = 15,
+    part_type: str = "STANDARD",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H Q2-style minimum-cost supplier. The testdata has no
+    partsupp relation, so the observed supply cost is derived from the
+    fact table itself: min(l_extendedprice / l_quantity) per
+    (part, supplier) pair. Q2's correlated "cost = min cost for this
+    part" subquery becomes a rank()==1 window (ties kept, exactly the
+    subquery semantics) which Catalyst compiles to WindowGroupLimit —
+    the min-cost filter runs map-side before the shuffle.
+
+    Scale shape: the fact table reduces FIRST to the distinct
+    (part, supplier) pair frame (one shuffle, ~|pairs| rows); the
+    supplier→nation→region chain and the filtered part dimension both
+    broadcast; the rank window keys on the same l_partkey the pair
+    aggregate produced. Unit cost is a single IEEE division and min is
+    selection, not summation — cross-engine deterministic; rounding
+    happens only at projection.
+    """
+    pairs = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("_cost")
+    )
+    reg_supp = (
+        supplier.join(
+            F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
+        )
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts_f = part.filter(
+        (F.col("p_type") == part_type) & (F.col("p_size") <= max_size)
+    ).select("p_partkey", "p_name")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("l_partkey").orderBy("_cost")
+    return (
+        pairs.join(F.broadcast(reg_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .withColumn("_rk", F.rank().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("_cost", 6).alias("unit_cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(k)
+    )
+
+
+def dominant_suppliers(
+    lineitem: DataFrame,
+    supplier: DataFrame,
+    nation: DataFrame,
+    part: DataFrame,
+    name_prefix: str = "red",
+    date0: str = "1996-01-01",
+    date1: str = "1997-01-01",
+    share: float = 0.5,
+) -> DataFrame:
+    """TPC-H Q20-style part-promotion supplier list. Without partsupp's
+    ps_availqty, "supplier holds excess stock of a promoted part"
+    becomes "supplier shipped more than `share` of a promoted part's
+    total quantity in the window" — the same nested-aggregate shape:
+    an inner per-(part, supplier) sum compared against a per-part
+    scalar aggregate, then a semi-join up to the supplier dimension.
+
+    Scale shape: the promoted-part filter broadcasts into the
+    date-pruned fact scan (both predicates reach the parquet reader);
+    the fact reduces to the (part, supplier) pair frame in one shuffle;
+    the per-part total is a window over that already-small frame keyed
+    by the same l_partkey. Quantities are integral doubles, so every
+    sum is exact and the share comparison cannot waver across engines.
+    The supplier dimension joins only the distinct qualifying supplier
+    ids (a broadcast-sized set).
+    """
+    from pyspark.sql import Window
+
+    parts_f = part.filter(F.col("p_name").startswith(name_prefix)).select(
+        "p_partkey"
+    )
+    fact = (
+        lineitem.filter(
+            (F.col("l_shipdate") >= date0) & (F.col("l_shipdate") < date1)
+        )
+        .join(F.broadcast(parts_f), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_qty"))
+    )
+    total = F.sum("_qty").over(Window.partitionBy("l_partkey"))
+    winners = (
+        fact.withColumn("_total", total)
+        .filter(F.col("_qty") > share * F.col("_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        winners.join(supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", F.round("s_acctbal", 2).alias("s_acctbal"), "n_name")
+        .orderBy("s_name")
+    )

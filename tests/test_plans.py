@@ -656,3 +656,28 @@ def test_quality_survivors_hash_agg_winner_no_global_window(spark):
     # the only Window ops allowed are inside the (drop-edge-sized) CC
     # lineage, which is checkpointed away — the final plan has none
     assert "Window" not in plan, plan[:2000]
+
+
+def test_min_cost_supplier_windowgrouplimit_and_broadcasts(spark):
+    """Q2 analog: the rank()==1 min-cost filter must compile to
+    WindowGroupLimit (map-side top-1 with ties before the shuffle) and
+    every dimension chain must broadcast — the fact pair frame is the
+    only thing that shuffles."""
+    plan = _plan(spark, "rel_min_cost_supplier")
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dominant_suppliers_pushdown_and_broadcasts(spark):
+    """Q20 analog: date-range predicate reaches the fact scan, the
+    promoted-part filter broadcasts into it, and no join degenerates to
+    sort-merge or nested-loop."""
+    df = entrymod.queries()["rel_dominant_suppliers"](spark, SF_ORACLE)
+    filters = pushed_filters(df)
+    assert any("l_shipdate" in f for f in filters), filters
+    plan = explain_str(df)
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan

@@ -384,3 +384,90 @@ def test_funnel_times_single_step_is_empty(spark):
     out = funnel_times(ev, ("view",))
     assert out.count() == 0
     assert out.columns == ["step", "step_name", "n_converted", "p50_s", "p90_s", "mean_s"]
+
+
+def test_min_cost_supplier_keeps_all_tied_minima(spark):
+    """rank()==1 must keep EVERY supplier achieving the part's min cost
+    (Q2's correlated-subquery semantics), and exclude parts outside the
+    size/type filter and suppliers outside the region."""
+    from epicsarchiver_spark.operators.relational import min_cost_supplier
+
+    lineitem = spark.createDataFrame(
+        [
+            # part 1: suppliers 1 and 2 tie at unit cost 10.0, supplier 3 higher
+            (1, 1, 1, 2.0, 20.0),
+            (2, 1, 1, 4.0, 44.0),   # same supplier, worse row → min still 10
+            (3, 1, 2, 5.0, 50.0),
+            (4, 1, 3, 1.0, 30.0),
+            # part 2: STANDARD but size 40 → filtered out by max_size
+            (5, 2, 1, 1.0, 5.0),
+            # part 3: min held by out-of-region supplier 9 → regional rank
+            # is computed over regional suppliers only, so supplier 1 wins
+            (6, 3, 9, 1.0, 1.0),
+            (7, 3, 1, 1.0, 7.0),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, "
+        "l_quantity double, l_extendedprice double",
+    )
+    supplier = spark.createDataFrame(
+        [(1, "S1", 0, 100.0), (2, "S2", 0, 200.0), (3, "S3", 0, 300.0),
+         (9, "S9", 1, 900.0)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_0", 3), (1, "NATION_1", 0)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    )
+    region = spark.createDataFrame(
+        [(3, "EUROPE"), (0, "AFRICA")], "r_regionkey int, r_name string"
+    )
+    part = spark.createDataFrame(
+        [(1, "p one", "STANDARD", 10), (2, "p two", "STANDARD", 40),
+         (3, "p three", "STANDARD", 5)],
+        "p_partkey long, p_name string, p_type string, p_size int",
+    )
+    rows = min_cost_supplier(lineitem, supplier, nation, region, part).collect()
+    got = {(r.p_partkey, r.s_name) for r in rows}
+    assert got == {(1, "S1"), (1, "S2"), (3, "S1")}
+    costs = {(r.p_partkey, r.s_name): r.unit_cost for r in rows}
+    assert costs[(1, "S1")] == pytest.approx(10.0)
+    assert costs[(1, "S2")] == pytest.approx(10.0)
+    # ordering: s_acctbal desc
+    assert [r.s_name for r in rows] == ["S2", "S1", "S1"]
+
+
+def test_dominant_suppliers_share_is_strict(spark):
+    """Exactly 50% must NOT qualify (strict >); quantities outside the
+    date window or on non-matching parts never count."""
+    from epicsarchiver_spark.operators.relational import dominant_suppliers
+
+    lineitem = spark.createDataFrame(
+        [
+            # part 1 in-window: s1 ships 30 of 50 (60% → dominant),
+            # s2 ships 20
+            (1, 1, 1, 30.0, "1996-03-01"),
+            (2, 1, 2, 20.0, "1996-06-01"),
+            # part 2: s3 ships exactly half (10 of 20) → NOT dominant
+            (3, 2, 3, 10.0, "1996-02-01"),
+            (4, 2, 4, 10.0, "1996-02-02"),
+            # part 1 out-of-window monster row must not flip the shares
+            (5, 1, 2, 500.0, "1995-01-01"),
+            # non-matching part: ignored entirely
+            (6, 9, 5, 999.0, "1996-05-01"),
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_quantity double, "
+        "l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    supplier = spark.createDataFrame(
+        [(i, f"S{i}", 0, float(i)) for i in (1, 2, 3, 4, 5)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    )
+    nation = spark.createDataFrame(
+        [(0, "NATION_0", 0)], "n_nationkey int, n_name string, n_regionkey int"
+    )
+    part = spark.createDataFrame(
+        [(1, "red widget"), (2, "red bolt"), (9, "blue gear")],
+        "p_partkey long, p_name string",
+    )
+    rows = dominant_suppliers(lineitem, supplier, nation, part).collect()
+    assert [r.s_name for r in rows] == ["S1"]
