@@ -1781,6 +1781,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dim=64,
     )
 
+    # contrastive-training mining: per-anchor top-k different-label
+    # neighbors inside the anchor's coarse cell (SemDeDup's pair fence)
+    q["emb_hard_negatives"] = lambda s, d: similarity.hard_negatives(
+        load_table(s, d, "embeddings"), k=5, n_cells=8, dim=64
+    )
+
+    # label audit: kNN majority vote vs the recorded label
+    q["emb_knn_labels"] = lambda s, d: similarity.knn_labels(
+        load_table(s, d, "embeddings"), k=5, n_cells=8, dim=64
+    )
+
+    # exact-integer Gram/covariance moments — the distributed PCA input
+    q["emb_gram_matrix"] = lambda s, d: similarity.gram_matrix(
+        load_table(s, d, "embeddings")
+    )
+
     # TPC-H Q2: minimum-cost regional supplier per part (rank()==1
     # window keeps ties — the correlated-min subquery's semantics)
     q["rel_min_cost_supplier"] = lambda s, d: relational.min_cost_supplier(
@@ -5733,6 +5749,101 @@ def oracle_sql() -> dict[str, str]:
         SELECT cell, n_vecs, mean_cohesion, min_cohesion,
                round(n_vecs / t, 6) AS share
         FROM per CROSS JOIN tot
+    """
+
+    o["emb_hard_negatives"] = f"""
+        WITH vl AS (
+          SELECT vec_id, CAST(label AS INTEGER) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, label, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, label, e, {_score_list} AS dl FROM vl)
+        ),
+        pairs AS (
+          SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+                 b.label AS neg_label,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cosine
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+               AND a.label <> b.label
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neg_id
+                 ) AS INTEGER) AS rank
+          FROM pairs
+        )
+        SELECT vec_id, label, rank, neg_id, neg_label, cosine
+        FROM ranked WHERE rank <= 5
+    """
+
+    o["emb_knn_labels"] = f"""
+        WITH vl AS (
+          SELECT vec_id, CAST(label AS INTEGER) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, label, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, label, e, {_score_list} AS dl FROM vl)
+        ),
+        pairs AS (
+          SELECT a.vec_id, a.label, b.label AS nl,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cosine,
+                 b.vec_id AS nid
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        sel AS (
+          SELECT vec_id, label, nl FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cosine DESC, nid
+            ) AS rn FROM pairs
+          ) WHERE rn <= 5
+        ),
+        cnt AS (
+          SELECT vec_id, label, nl, count(*) AS c
+          FROM sel GROUP BY vec_id, label, nl
+        ),
+        tot AS (
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+          FROM sel GROUP BY vec_id
+        ),
+        win AS (
+          SELECT vec_id, label, nl, c, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY c DESC, nl
+                 ) AS rb
+          FROM cnt
+        )
+        SELECT w.vec_id, w.label, CAST(nl AS INTEGER) AS predicted_label,
+               CAST(c AS BIGINT) AS votes, t.n_neighbors,
+               nl = w.label AS agree
+        FROM win w JOIN tot t USING (vec_id) WHERE rb = 1
+    """
+
+    o["emb_gram_matrix"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(abs(CAST(x AS DOUBLE) * 10000.0) + 0.5)
+                        * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS qe
+          FROM embeddings
+        ), ex AS (
+          SELECT vec_id, CAST(t.i AS INTEGER) - 1 AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS qx
+          FROM q, range(1, 65) t(i)
+        )
+        SELECT a.pos AS pos_i, b.pos AS pos_j,
+               CAST(sum(a.qx * b.qx) AS BIGINT) AS sum_prod,
+               CAST(sum(a.qx) AS BIGINT) AS sum_i,
+               CAST(sum(b.qx) AS BIGINT) AS sum_j,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2
     """
 
     o["rel_min_cost_supplier"] = """

@@ -166,6 +166,9 @@ HEADLINE = [
     "rel_ship_delay_dist",
     "rel_min_cost_supplier",
     "rel_dominant_suppliers",
+    "emb_hard_negatives",
+    "emb_knn_labels",
+    "emb_gram_matrix",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

@@ -1354,3 +1354,300 @@ def kmeans_refine(
         ),
         F.max("_cos").alias("cosine"),
     )
+
+
+def hard_negatives(
+    vectors: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+    block: int = 4096,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every anchor,
+    the ``k`` most-similar vectors carrying a DIFFERENT label — the
+    negatives that actually move a contrastive/retriever loss (random
+    negatives are trivially separable; the hard ones live next door).
+    Candidates are restricted to the anchor's coarse cell: the hardest
+    negatives are by definition near the anchor, so the same clustering
+    that fences SemDeDup's pair space fences this one (documented
+    approximation — a negative in a neighboring cell is missed; raise
+    ``n_cells`` resolution or multi-probe upstream if that matters).
+
+    Returns ``(vec_id, label, rank, neg_id, neg_label, cosine)`` with
+    rank 1..k by (cosine desc, neg_id) — ties broken on the 6-dp HALF_UP
+    rounded cosine so any SQL engine reproduces the cut.
+
+    Scale shape: identical to ``semantic_dedup`` — one (id, vector,
+    label) shuffle on the cell key, per-cell blocked GEMM inside
+    Arrow-batched ``applyInPandas``; Σ cell² flops, O(cell·dim +
+    block·cell) doubles per task, pairs never materialize as rows. Keep
+    cell size bounded by scaling ``n_cells`` with the corpus."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("_lbl"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    assigned = corpus.select(
+        F.col(id_col), "_lbl", "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    )
+    kk = int(k)
+    out_schema = (
+        f"{id_col} long, {label_col} int, rank int, neg_id long, "
+        f"neg_label int, cosine double"
+    )
+
+    def _mine_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        lbls = pdf["_lbl"].to_numpy()[order]
+        M = np.stack(pdf["_v"].to_numpy())[order].astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        N = M / nrm[:, None]
+        n = len(ids)
+        rows = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = N[s:e] @ N.T
+            R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            for q in range(e - s):
+                i = s + q
+                cand = np.nonzero(lbls != lbls[i])[0]
+                if cand.size == 0:
+                    continue
+                sims = R[q, cand]
+                # order by (cosine desc, id asc): lexsort keys last-major
+                sel = np.lexsort((ids[cand], -sims))[:kk]
+                for r, j in enumerate(sel, start=1):
+                    c = cand[j]
+                    rows.append(
+                        (int(ids[i]), int(lbls[i]), r, int(ids[c]),
+                         int(lbls[c]), float(sims[j]))
+                    )
+        return pd.DataFrame(
+            rows,
+            columns=[id_col, label_col, "rank", "neg_id", "neg_label", "cosine"],
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_mine_cell, schema=out_schema)
+
+
+def knn_labels(
+    vectors: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int | None = None,
+    block: int = 4096,
+) -> DataFrame:
+    """kNN label audit (confident-learning style): predict every
+    vector's label from the majority vote of its ``k`` nearest same-cell
+    neighbors (self excluded) and flag disagreements — the standard
+    screen for mislabeled training examples and for distilling a
+    classifier's labels onto unlabeled data. Vote ties break to the
+    smallest label; neighbor selection ties break on (6-dp cosine desc,
+    id), so the verdict is engine-exact.
+
+    Returns ``(vec_id, label, predicted_label, votes, n_neighbors,
+    agree)``; ``n_neighbors`` < k in cells smaller than k+1.
+
+    Scale shape: same cell-fenced blocked GEMM as ``hard_negatives`` —
+    one cell-keyed shuffle, no pair rows, Σ cell² flops."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    corpus = vectors.select(
+        F.col(id_col),
+        F.col(label_col).cast("int").alias("_lbl"),
+        as_double(F.col(vec_col)).alias("_v"),
+    )
+    assigned = corpus.select(
+        F.col(id_col), "_lbl", "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    )
+    kk = int(k)
+    out_schema = (
+        f"{id_col} long, {label_col} int, predicted_label int, "
+        f"votes long, n_neighbors long, agree boolean"
+    )
+
+    def _vote_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        lbls = pdf["_lbl"].to_numpy()[order]
+        M = np.stack(pdf["_v"].to_numpy())[order].astype(np.float64)
+        nrm = np.sqrt((M * M).sum(axis=1))
+        nrm[nrm == 0.0] = 1.0
+        N = M / nrm[:, None]
+        n = len(ids)
+        rows = []
+        for s in range(0, n, block):
+            e = min(s + block, n)
+            S = N[s:e] @ N.T
+            R = np.sign(S) * np.floor(np.abs(S) * 1e6 + 0.5) / 1e6
+            for q in range(e - s):
+                i = s + q
+                cand = np.concatenate((np.arange(i), np.arange(i + 1, n)))
+                if cand.size == 0:
+                    continue
+                sims = R[q, cand]
+                sel = cand[np.lexsort((ids[cand], -sims))[:kk]]
+                nl = lbls[sel]
+                uniq, counts = np.unique(nl, return_counts=True)
+                # majority, ties → smallest label (np.unique sorts asc)
+                best = int(uniq[np.argmax(counts)])
+                rows.append(
+                    (int(ids[i]), int(lbls[i]), best, int(counts.max()),
+                     int(sel.size), bool(best == int(lbls[i])))
+                )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                id_col, label_col, "predicted_label", "votes",
+                "n_neighbors", "agree",
+            ],
+        )
+
+    return assigned.groupBy("cell").applyInPandas(_vote_cell, schema=out_schema)
+
+
+def gram_matrix(
+    vectors: DataFrame,
+    scale: int = 10_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact corpus Gram/covariance moments — the distributed input to
+    PCA / whitening / low-rank analysis. Every component is quantized to
+    ``round(x * scale)`` (half-away-from-zero, spelled as
+    floor(|x·scale|+0.5)·sign so every engine bit-agrees) and the
+    upper-triangle second moments are summed in int64: the result is
+    EXACT and independent of partitioning/summation order. Returns one
+    row per (pos_i ≤ pos_j): ``(pos_i, pos_j, sum_prod, sum_i, sum_j,
+    n_vectors)`` — covariance follows row-locally as
+    (sum_prod − sum_i·sum_j/n) / (n·scale²).
+
+    Overflow budget: |q| ≤ scale·max|x|, so sum_prod ≤ n·(scale·max|x|)²
+    must stay < 2⁶³ ≈ 9.2e18. Unit-ish embeddings at the default
+    scale=1e4 are exact to ~9×10¹⁰ vectors; drop to 1e3 for 9×10¹²
+    (same documented dial as ``timeseries.drift``).
+
+    Scale shape: the corpus NEVER shuffles — a ``mapInPandas`` pass
+    emits one dim(dim+1)/2-row partial frame per Arrow batch (int64
+    numpy GEMM QᵀQ), and the only exchange moves
+    partitions × dim²/2 tiny rows into the final hash aggregate. The
+    expression alternative (double posexplode self-join) would shuffle
+    n·dim² rows; this moves none of the data."""
+    q = vectors.select(
+        F.transform(
+            as_double(F.col(vec_col)),
+            lambda x: (
+                F.floor(F.abs(x * float(scale)) + 0.5) * F.signum(x)
+            ).cast("long"),
+        ).alias("_q")
+    )
+    out_schema = (
+        "pos_i int, pos_j int, sum_prod long, sum_i long, sum_j long, n long"
+    )
+
+    def _partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["_q"].to_numpy()).astype(np.int64)
+            n, d = Q.shape
+            G = Q.T @ Q          # int64 GEMM — exact
+            s = Q.sum(axis=0)    # int64 column sums
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "pos_i": iu.astype(np.int32),
+                    "pos_j": ju.astype(np.int32),
+                    "sum_prod": G[iu, ju],
+                    "sum_i": s[iu],
+                    "sum_j": s[ju],
+                    "n": np.full(len(iu), n, dtype=np.int64),
+                }
+            )
+
+    return (
+        q.mapInPandas(_partial, schema=out_schema)
+        .groupBy("pos_i", "pos_j")
+        .agg(
+            F.sum("sum_prod").alias("sum_prod"),
+            F.sum("sum_i").alias("sum_i"),
+            F.sum("sum_j").alias("sum_j"),
+            F.sum("n").alias("n_vectors"),
+        )
+    )
+
+
+def pca_components(
+    gram_rows: list,
+    dim: int,
+    n_components: int,
+    scale: int = 10_000,
+) -> list[list[float]]:
+    """Driver-side eigendecomposition of the covariance assembled from
+    ``gram_matrix`` rows (a BOUNDED dim(dim+1)/2-row artifact — the only
+    thing that ever reaches the driver). Returns the top
+    ``n_components`` eigenvectors, variance-descending, each
+    sign-normalized so its largest-|entry| component is positive
+    (eigenvector sign is otherwise arbitrary and engine-dependent)."""
+    C = np.zeros((dim, dim))
+    n = None
+    for r in gram_rows:
+        i, j = int(r["pos_i"]), int(r["pos_j"])
+        n = int(r["n_vectors"])
+        cov = (float(r["sum_prod"]) - float(r["sum_i"]) * float(r["sum_j"]) / n) / n
+        C[i, j] = C[j, i] = cov / (scale * scale)
+    if n is None:
+        raise ValueError("empty gram frame")
+    w, V = np.linalg.eigh(C)
+    order = np.argsort(w)[::-1][: int(n_components)]
+    comps = []
+    for k in order:
+        v = V[:, k]
+        pivot = int(np.argmax(np.abs(v)))
+        if v[pivot] < 0:
+            v = -v
+        comps.append([float(x) for x in v])
+    return comps
+
+
+def pca_project(
+    vectors: DataFrame,
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Project every vector onto precomputed principal components (from
+    ``pca_components``) — dimensionality reduction before ANN /
+    clustering, same consumer story as ``random_project`` but
+    data-driven axes. One narrow scan, zero shuffle; each output
+    coordinate is a JVM-side sequential-fold dot product, so the plan
+    stays in WholeStageCodegen and is flat in the output dim."""
+    v = as_double(F.col(vec_col))
+    cols = [F.col(id_col)]
+    for k, comp in enumerate(components):
+        d = dot(v, lit_double_array(comp))
+        if round_digits is not None:
+            d = F.round(d, round_digits)
+        cols.append(d.alias(f"pc{k}"))
+    return vectors.select(*cols)

@@ -681,3 +681,33 @@ def test_dominant_suppliers_pushdown_and_broadcasts(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("name", ["emb_hard_negatives", "emb_knn_labels"])
+def test_label_aware_gemm_ops_one_cell_shuffle_no_pair_join(spark, name):
+    """hard_negatives / knn_labels reuse semantic_dedup's pair fence:
+    the quadratic space lives inside the per-cell GEMM — no join
+    operator of any kind, exactly one exchange (the cell-keyed shuffle
+    feeding applyInPandas)."""
+    plan = _plan(spark, name)
+    for op in (
+        "CartesianProduct",
+        "BroadcastNestedLoopJoin",
+        "SortMergeJoin",
+        "ShuffledHashJoin",
+        "BroadcastHashJoin",
+    ):
+        assert op not in plan, op
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "FlatMapGroupsInPandas" in plan
+
+
+def test_gram_matrix_no_join_one_partial_exchange(spark):
+    """The Gram op must move only the tiny per-partition partial frames:
+    no join, no posexplode pair blow-up, exactly one exchange feeding
+    the final hash aggregate, with map-side partial aggregation."""
+    plan = _plan(spark, "emb_gram_matrix")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "Generate" not in plan, "posexplode blow-up crept in"
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
+    assert "partial_" in plan

@@ -471,3 +471,144 @@ def test_dominant_suppliers_share_is_strict(spark):
     )
     rows = dominant_suppliers(lineitem, supplier, nation, part).collect()
     assert [r.s_name for r in rows] == ["S1"]
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+
+
+# two orthogonal unit centroids: cell 1 = x-axis, cell 2 = y-axis
+_CENTS_2D = [[1.0, 0.0], [0.0, 1.0]]
+
+
+def test_hard_negatives_ranks_and_cell_fence(spark):
+    from epicsarchiver_spark.operators.similarity import hard_negatives
+
+    df = _vecs(
+        spark,
+        [
+            (1, [1.0, 0.0], 0),      # anchor, cell x
+            (2, [0.9, 0.1], 1),      # hard negative (closest, diff label)
+            (3, [0.5, 0.2], 1),      # softer negative, same cell
+            (4, [0.95, 0.05], 0),    # same label → never a negative
+            (5, [0.0, 1.0], 1),      # other cell → fenced out
+        ],
+    )
+    out = hard_negatives(df, k=2, centroids=_CENTS_2D).collect()
+    mine = sorted(
+        [(r.rank, r.neg_id) for r in out if r.vec_id == 1]
+    )
+    assert mine == [(1, 2), (2, 3)]
+    # vec 5 is alone in its cell: no different-label candidate → no rows
+    assert not [r for r in out if r.vec_id == 5]
+    # same-label vec 4 never appears as a negative for 1
+    assert 4 not in {r.neg_id for r in out if r.vec_id == 1}
+
+
+def test_hard_negatives_no_candidates_when_single_label(spark):
+    from epicsarchiver_spark.operators.similarity import hard_negatives
+
+    df = _vecs(spark, [(1, [1.0, 0.0], 0), (2, [0.9, 0.1], 0)])
+    assert hard_negatives(df, k=3, centroids=_CENTS_2D).count() == 0
+
+
+def test_knn_labels_majority_tie_and_small_cell(spark):
+    from epicsarchiver_spark.operators.similarity import knn_labels
+
+    df = _vecs(
+        spark,
+        [
+            # cell x: anchor 1 with 2 neighbors of label 1 and 1 of label 0
+            (1, [1.0, 0.0], 0),
+            (2, [0.9, 0.1], 1),
+            (3, [0.8, 0.1], 1),
+            (4, [0.7, 0.1], 0),
+            # cell y: pair with k=3 but only ONE neighbor available
+            (5, [0.0, 1.0], 2),
+            (6, [0.1, 0.9], 3),
+        ],
+    )
+    out = {r.vec_id: r for r in knn_labels(df, k=3, centroids=_CENTS_2D).collect()}
+    assert out[1].predicted_label == 1 and not out[1].agree
+    assert out[1].votes == 2 and out[1].n_neighbors == 3
+    # small cell: only one neighbor
+    assert out[5].n_neighbors == 1 and out[5].predicted_label == 3
+    assert out[6].n_neighbors == 1 and out[6].predicted_label == 2
+    # tie case: anchor 4's three neighbors are labels {0, 1, 1}?  no —
+    # 4 sees 1(l0), 2(l1), 3(l1) → predicted 1. Build an explicit tie:
+    df2 = _vecs(
+        spark,
+        [
+            (10, [1.0, 0.0], 9),
+            (11, [0.99, 0.01], 5),
+            (12, [0.98, 0.01], 3),
+        ],
+    )
+    out2 = {r.vec_id: r for r in knn_labels(df2, k=2, centroids=_CENTS_2D).collect()}
+    # one vote each for labels 5 and 3 → tie breaks to the SMALLER label
+    assert out2[10].predicted_label == 3 and out2[10].votes == 1
+
+
+def test_gram_matrix_partition_invariant_and_exact(spark):
+    """The int64 Gram must be bit-identical to a driver-side numpy
+    computation and invariant to repartitioning (exact integer sums —
+    no summation-order dependence)."""
+    import numpy as np
+    from epicsarchiver_spark.operators.similarity import gram_matrix
+
+    rng = np.random.RandomState(7)
+    X = rng.uniform(-1, 1, size=(40, 3)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    Q = np.sign(X.astype(np.float64)) * np.floor(
+        np.abs(X.astype(np.float64)) * 10_000 + 0.5
+    )
+    Q = Q.astype(np.int64)
+    G = Q.T @ Q
+    s = Q.sum(axis=0)
+    for parts in (1, 7):
+        rows = gram_matrix(df.repartition(parts)).collect()
+        assert len(rows) == 6  # 3*(3+1)/2
+        for r in rows:
+            assert r.sum_prod == G[r.pos_i, r.pos_j]
+            assert r.sum_i == s[r.pos_i] and r.sum_j == s[r.pos_j]
+            assert r.n_vectors == 40
+
+
+def test_pca_recovers_dominant_axis(spark):
+    """Data stretched along a known direction: PC0 must align with it
+    (|cos| ≈ 1), projections must match numpy, and the explained
+    variance must be ordered."""
+    import numpy as np
+    from epicsarchiver_spark.operators.similarity import (
+        gram_matrix, pca_components, pca_project,
+    )
+
+    rng = np.random.RandomState(11)
+    axis = np.array([3.0, 4.0, 0.0]) / 5.0
+    t = rng.normal(0, 1.0, 200)
+    noise = rng.normal(0, 0.05, (200, 3))
+    X = np.outer(t, axis) + noise
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = [r.asDict() for r in gram_matrix(df).collect()]
+    comps = pca_components(rows, dim=3, n_components=2)
+    v0 = np.array(comps[0])
+    assert abs(float(v0 @ axis)) > 0.99
+    # projection parity vs numpy on the same components
+    out = {r.vec_id: r for r in pca_project(df, comps).collect()}
+    Xf = np.stack([np.asarray(X[i], dtype=np.float32).astype(np.float64)
+                   for i in range(200)])
+    expect = Xf @ np.array(comps).T
+    for i in (0, 17, 199):
+        assert out[i].pc0 == pytest.approx(expect[i, 0], abs=1e-6)
+        assert out[i].pc1 == pytest.approx(expect[i, 1], abs=1e-6)
+    # sign normalization: largest-|entry| component positive
+    for c in comps:
+        assert c[int(np.argmax(np.abs(c)))] > 0
