@@ -102,6 +102,14 @@ def _points(spark: SparkSession, sf_dir: str) -> DataFrame:
     return points_view(spark, sf_dir).select(*_PTS)
 
 
+_XCORR_PAIRS = [
+    ("EV:0:click", "EV:0:view"),
+    ("EV:0:click", "EV:100:click"),
+    ("EV:101:error", "EV:0:purchase"),
+    ("EV:7:view", "EV:7:click"),
+]
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Related-item edge list derived from lineitem: part↔supplier edges
     weighted by quantity (plays the reference's pairs table,
@@ -1791,6 +1799,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_knn_labels"] = lambda s, d: similarity.knn_labels(
         load_table(s, d, "embeddings"), k=5, n_cells=8, dim=64
     )
+
+    def _sink_ascii_roundtrip(s, d):
+        """S9 write→read round trip: the ascii sink's own output parsed
+        back by read_ascii; the oracle renders + re-parses the same
+        lines in SQL, pinning the full text round trip."""
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="pvarch_q_ascii_")
+        pv = "EV:0:click"
+        pts = points_view(s, d).filter(F.col("pvname") == pv).select(
+            "pvname",
+            (F.floor(F.col("time") * 1000 + 0.5) / 1000.0).alias("time"),
+            F.format_string("%.2f", F.col("value")).alias("value"),
+        )
+        sinks.write_ascii(pts, f"{tmp}/data")
+        return sinks.read_ascii(s, f"{tmp}/data", pv)
+
+    q["sink_ascii_roundtrip"] = _sink_ascii_roundtrip
+
+    # lead-lag discovery: cross-correlation lag scan over candidate pairs
+    q["ts_xcorr_lag"] = lambda s, d: timeseries.xcorr_lag(
+        _points(s, d), _XCORR_PAIRS, T0, T1, GRID_STEP, max_lag=3
+    )
+
+    # corpus-wide relatedness centrality: fixed-point integer PageRank
+    q["rel_pagerank"] = lambda s, d: related.pagerank(_edges(s, d), rounds=8)
 
     # exact-integer Gram/covariance moments — the distributed PCA input
     q["emb_gram_matrix"] = lambda s, d: similarity.gram_matrix(
@@ -5824,6 +5858,111 @@ def oracle_sql() -> dict[str, str]:
                nl = w.label AS agree
         FROM win w JOIN tot t USING (vec_id) WHERE rb = 1
     """
+
+    o["sink_ascii_roundtrip"] = (
+        P
+        + """
+        SELECT pvname,
+               CAST(printf('%.3f', floor(time * 1000 + 0.5) / 1000.0)
+                    AS DOUBLE) AS time,
+               printf('%.2f', value) AS value_raw,
+               CAST(printf('%.2f', value) AS DOUBLE) AS value,
+               strftime(make_timestamp(
+                          CAST(floor(time * 1000 + 0.5) AS BIGINT) * 1000),
+                        '%Y%m%d %H%M%S') AS stamp
+        FROM points WHERE pvname = 'EV:0:click'
+        """
+    )
+
+    _xp_vals = ", ".join(f"('{x}', '{y}')" for x, y in _XCORR_PAIRS)
+    o["ts_xcorr_lag"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname,
+                 CAST((g.t - {T0}) / {GRID_STEP} AS BIGINT) AS i,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        prs(pv_a, pv_b) AS (VALUES {_xp_vals}),
+        lagset AS (SELECT CAST(l.range AS INTEGER) AS lag FROM range(-3, 4) l),
+        pal AS (
+          SELECT pv_a, pv_b, lag, i + lag AS j, q AS qa
+          FROM lg JOIN prs ON pvname = pv_a CROSS JOIN lagset
+        ),
+        jj AS (
+          SELECT pal.pv_a, pal.pv_b, pal.lag, pal.qa, b.q AS qb
+          FROM pal JOIN lg b ON b.pvname = pal.pv_b AND b.i = pal.j
+        ),
+        s AS (
+          SELECT pv_a, pv_b, lag, count(*) AS n,
+                 sum(qa) AS sx, sum(qb) AS sy, sum(qa*qb) AS sxy,
+                 sum(qa*qa) AS sxx, sum(qb*qb) AS syy
+          FROM jj GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT pv_a, pv_b, lag, n, {_corr_r} AS rr
+          FROM s
+          WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT pv_a, pv_b, lag, n, round(rr, 6) AS r,
+               row_number() OVER (
+                 PARTITION BY pv_a, pv_b ORDER BY abs(rr) DESC, lag
+               ) = 1 AS best
+        FROM sc
+        """
+    )
+
+    # fixed-point PageRank: the engine's integer recurrence unrolled as
+    # one CTE pair per power-iteration round (same bit-exact arithmetic)
+    _pr_scale, _pr_rounds = 10**9, 8
+    _pr_base = (15 * _pr_scale) // 100
+    _pr = [
+        E
+        + f""",
+        canon AS (
+          SELECT least(pv1, pv2) AS p1, greatest(pv1, pv2) AS p2,
+                 max(score) AS s
+          FROM edges GROUP BY 1, 2
+        ),
+        dir AS (
+          SELECT p1 AS src, p2 AS dst, CAST(s AS BIGINT) AS w FROM canon
+          UNION ALL
+          SELECT p2 AS src, p1 AS dst, CAST(s AS BIGINT) AS w FROM canon
+        ),
+        wout AS (SELECT src, sum(w) AS wt FROM dir GROUP BY src),
+        g AS (SELECT dst, src, w, wt FROM dir JOIN wout USING (src)),
+        nodes AS (SELECT DISTINCT src AS id FROM dir),
+        r0 AS (SELECT id, CAST({_pr_scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for _k in range(1, _pr_rounds + 1):
+        _pr.append(
+            f""",
+        c{_k} AS (
+          SELECT dst AS id, sum((r * w) // wt) AS c
+          FROM g JOIN r{_k - 1} ON r{_k - 1}.id = g.src GROUP BY dst
+        ),
+        r{_k} AS (
+          SELECT n.id,
+                 CAST({_pr_base} + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c{_k} USING (id)
+        )"""
+        )
+    _pr.append(
+        f"""
+        SELECT id AS pvname, r AS rank_units,
+               round(r / {float(_pr_scale)!r}, 6) AS rank
+        FROM r{_pr_rounds}"""
+    )
+    o["rel_pagerank"] = "".join(_pr)
 
     o["emb_gram_matrix"] = """
         WITH q AS (

@@ -169,6 +169,8 @@ HEADLINE = [
     "emb_hard_negatives",
     "emb_knn_labels",
     "emb_gram_matrix",
+    "rel_pagerank",
+    "ts_xcorr_lag",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

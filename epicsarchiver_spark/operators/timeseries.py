@@ -1282,3 +1282,97 @@ def series_health(
         .join(dr, key, "left")
         .join(gp, key, "left")
     )
+
+
+def xcorr_lag(
+    points: DataFrame,
+    pairs,
+    t0: float,
+    t1: float,
+    step: float,
+    max_lag: int = 3,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Lead-lag scan between CANDIDATE series pairs: Pearson r between
+    a's LOCF grid and b's grid shifted by every lag in ±``max_lag``
+    steps — "which PV leads which, and by how much" (beam current
+    preceding a temperature, a setpoint preceding its readback).
+    ``pairs`` is a bounded (pv_a, pv_b) frame or list of tuples —
+    typically ``correlated_partners``' output, which makes this the
+    second stage of related-PV discovery: partners first (output-
+    bounded), lag structure only for the survivors.
+
+    Positive lag means b's future tracks a's present — a LEADS b by
+    ``lag`` grid steps. Returns ``(pv_a, pv_b, lag, n, r, best)`` for
+    lags with ≥2 overlapping instants and variance on both sides;
+    ``best`` marks each pair's (\\|r\\| desc, lag asc) winner. The same
+    exact-integer moment discipline as ``series_correlation``:
+    quantized values, BIGINT sums, closed-form double r — grid indices
+    are integers so the lag join never touches float time equality.
+
+    Scale shape: the grid builds on one series-keyed exchange
+    (``locf_grid``); the pair list broadcasts onto it; the lag
+    dimension explodes a literal (2·max_lag+1)-element array; the
+    b-side attach is one hash equi-join on (series, grid index). Every
+    frame after the grid is bounded by \\|pairs\\| × grid_len × lags —
+    candidate-sized, never corpus².
+    """
+    if not isinstance(pairs, DataFrame):
+        sess = points.sparkSession
+        pairs = sess.createDataFrame(
+            [(str(x), str(y)) for x, y in pairs], "pv_a string, pv_b string"
+        )
+    grid = (
+        locf_grid(points, t0, t1, step, key=key)
+        .select(key, "t", "value")
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col(key),
+            F.round((F.col("t") - float(t0)) / float(step)).cast("long").alias("i"),
+            F.round(F.col("value") / quantum).cast("long").alias("q"),
+        )
+    )
+    pa = grid.join(F.broadcast(pairs), F.col(key) == F.col("pv_a")).select(
+        "pv_a", "pv_b", "i", F.col("q").alias("qa")
+    )
+    lags = F.array([F.lit(l) for l in range(-int(max_lag), int(max_lag) + 1)])
+    pa_l = pa.select(
+        "pv_a", "pv_b", "i", "qa", F.explode(lags).alias("lag")
+    ).withColumn("j", F.col("i") + F.col("lag"))
+    pb = grid.select(
+        F.col(key).alias("pv_b"), F.col("i").alias("j"), F.col("q").alias("qb")
+    )
+    sums = (
+        pa_l.join(pb, ["pv_b", "j"])
+        .groupBy("pv_a", "pv_b", "lag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qa").alias("sx"),
+            F.sum("qb").alias("sy"),
+            F.sum(F.col("qa") * F.col("qb")).alias("sxy"),
+            F.sum(F.col("qa") * F.col("qa")).alias("sxx"),
+            F.sum(F.col("qb") * F.col("qb")).alias("syy"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    scored = (
+        sums.filter((F.col("n") >= 2) & (varx > 0) & (vary > 0))
+        .select("pv_a", "pv_b", "lag", "n", r.alias("_r"))
+    )
+    w = Window.partitionBy("pv_a", "pv_b").orderBy(
+        F.abs(F.col("_r")).desc(), F.col("lag")
+    )
+    return scored.withColumn("_rn", F.row_number().over(w)).select(
+        "pv_a",
+        "pv_b",
+        "lag",
+        "n",
+        F.round("_r", 6).alias("r"),
+        (F.col("_rn") == 1).alias("best"),
+    )

@@ -243,3 +243,30 @@ def write_plot_json(frame: DataFrame, path: str, **plot_kw) -> str | None:
         with open(path, "w", encoding="utf-8") as fh:
             fh.write(doc)
     return doc
+
+
+def read_ascii(spark, path: str, pvname: str) -> DataFrame:
+    """S9 inverse — parse the `time  value  YYYYMMDD HHMMSS` data files
+    this sink (and the reference's /data/<pv>/ endpoint,
+    webapp.py:260-323) emit, back into typed rows: the migration path
+    for users holding exported ASCII archives. Comment (#) and blank
+    lines are skipped; ``value`` is a lenient double (``try_cast`` —
+    enum/string archives keep ``value_raw``), the redundant date stamp
+    is preserved for audit. All parsing is JVM-side split/cast — the
+    file scan distributes like any text source, one narrow pass, no
+    Python in the loop."""
+    raw = spark.read.text(path)
+    toks = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        raw.filter(~F.col("value").startswith("#"))
+        .filter(F.trim(F.col("value")) != "")
+        .select(
+            F.lit(pvname).alias("pvname"),
+            F.element_at(toks, 1).cast("double").alias("time"),
+            F.element_at(toks, 2).alias("value_raw"),
+            F.element_at(toks, 2).try_cast("double").alias("value"),
+            F.concat_ws(" ", F.element_at(toks, 3), F.element_at(toks, 4)).alias(
+                "stamp"
+            ),
+        )
+    )

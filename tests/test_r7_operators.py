@@ -612,3 +612,68 @@ def test_pca_recovers_dominant_axis(spark):
     # sign normalization: largest-|entry| component positive
     for c in comps:
         assert c[int(np.argmax(np.abs(c)))] > 0
+
+
+def test_pagerank_matches_python_mirror_and_centers(spark):
+    """The integer recurrence must match a literal python mirror on a
+    hand-built weighted path graph, rank the center highest, and be
+    partition-invariant (pure integer math — no summation slack)."""
+    from epicsarchiver_spark.operators.related import pagerank
+
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", 1.0),
+            ("B", "C", 3.0),
+            ("C", "B", 3.0),       # reversed duplicate → canonical max
+            ("C", "D", 1.0),
+        ],
+        "pv1 string, pv2 string, score double",
+    )
+    scale, rounds, base = 10**9, 4, (15 * 10**9) // 100
+    # python mirror of the exact recurrence
+    w = {("A", "B"): 1, ("B", "C"): 3, ("C", "D"): 1}
+    adj: dict[str, dict[str, int]] = {}
+    for (u, v), ww in w.items():
+        adj.setdefault(u, {})[v] = ww
+        adj.setdefault(v, {})[u] = ww
+    wt = {u: sum(nb.values()) for u, nb in adj.items()}
+    r = {u: scale for u in adj}
+    for _ in range(rounds):
+        c = {u: 0 for u in adj}
+        for u, nb in adj.items():
+            for v, ww in nb.items():
+                c[v] += (r[u] * ww) // wt[u]
+        r = {u: base + (85 * c[u]) // 100 for u in adj}
+    for parts in (1, 5):
+        got = {
+            row.pvname: row.rank_units
+            for row in pagerank(edges.repartition(parts), rounds=rounds).collect()
+        }
+        assert got == r
+    # high-weight middle nodes outrank the leaves
+    assert r["B"] > r["A"] and r["C"] > r["D"]
+
+
+def test_xcorr_lag_finds_known_shift(spark):
+    """b is a copy of a delayed by 2 grid steps: the (a, b) scan must
+    peak at lag +2 with r == 1 (a LEADS b), and the symmetric (b, a)
+    scan at lag -2. A constant partner never produces rows."""
+    from epicsarchiver_spark.operators import timeseries
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0, 5.0, 3.0, 5.0, 8.0]
+    rows = [("a", 100.0 + i * 10, v) for i, v in enumerate(vals)]
+    rows += [("b", 100.0 + (i + 2) * 10, v) for i, v in enumerate(vals)]
+    rows += [("flat", 100.0 + i * 10, 7.0) for i in range(14)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.xcorr_lag(
+        df, [("a", "b"), ("b", "a"), ("a", "flat")], 100.0, 230.0, 10.0, max_lag=3
+    ).collect()
+    best = {(r.pv_a, r.pv_b): r for r in out if r.best}
+    assert best[("a", "b")].lag == 2 and best[("a", "b")].r == pytest.approx(1.0)
+    assert best[("b", "a")].lag == -2 and best[("b", "a")].r == pytest.approx(1.0)
+    # zero-variance partner: no rows at any lag
+    assert ("a", "flat") not in best
+    # every pair exposes one best row exactly
+    from collections import Counter
+    c = Counter((r.pv_a, r.pv_b) for r in out if r.best)
+    assert all(v == 1 for v in c.values())

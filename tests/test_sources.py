@@ -205,3 +205,24 @@ def test_plot_json_ylog(spark):
 
     assert json.loads(fig_lin)["layout"]["yaxis"]["type"] == "linear"
     assert json.loads(fig_log)["layout"]["yaxis"]["type"] == "log"
+
+
+def test_read_ascii_skips_comments_and_keeps_raw_for_enums(spark, tmp_path):
+    """The S9 reader must skip # comments and blank lines, parse numeric
+    values, and keep value_raw when the archive holds enum strings."""
+    from epicsarchiver_spark.sources.sinks import read_ascii
+
+    p = tmp_path / "data"
+    p.mkdir()
+    (p / "part-0.txt").write_text(
+        "# pv: X:1\n"
+        "\n"
+        "100.500  1.25  20240108 000140\n"
+        "101.000  OPEN  20240108 000141\n"
+    )
+    rows = {r.time: r for r in read_ascii(spark, str(p), "X:1").collect()}
+    assert set(rows) == {100.5, 101.0}
+    assert rows[100.5].value == 1.25 and rows[100.5].value_raw == "1.25"
+    assert rows[101.0].value is None and rows[101.0].value_raw == "OPEN"
+    assert rows[100.5].stamp == "20240108 000140"
+    assert all(r.pvname == "X:1" for r in rows.values())
