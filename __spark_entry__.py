@@ -23,6 +23,7 @@ from epicsarchiver_spark.functions import scalar
 from epicsarchiver_spark.functions.scalar import clean_value_num, hformat
 from epicsarchiver_spark.sources import points_store, sinks
 from epicsarchiver_spark.operators import (
+    bpe,
     control,
     cull,
     curation,
@@ -1817,6 +1818,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return sinks.read_ascii(s, f"{tmp}/data", pv)
 
     q["sink_ascii_roundtrip"] = _sink_ascii_roundtrip
+
+    # instrument snapshot matrix: named series' LOCF grids as columns
+    q["ts_grid_pivot"] = lambda s, d: timeseries.grid_pivot(
+        _points(s, d),
+        ["EV:0:click", "EV:0:view", "EV:7:view", "EV:101:error"],
+        T0,
+        T1,
+        GRID_STEP,
+    )
+
+    # semantic-diversity monitor: exact mean pairwise dot, no pairs
+    q["emb_dispersion"] = lambda s, d: similarity.dispersion(
+        load_table(s, d, "embeddings"), n_cells=8, dim=64
+    )
+
+    # stuck-sensor screen: per-series flat-island audit
+    q["ts_flatlines"] = lambda s, d: timeseries.flatlines(
+        _points(s, d), min_points=3, min_duration_s=60.0
+    )
+
+    # linear multi-touch attribution (the last-touch companion)
+    q["ev_linear_attribution"] = lambda s, d: ev.linear_attribution(
+        load_table(s, d, "events"), lookback_s=7 * 86400.0
+    )
+
+    # tokenizer training: round-1 BPE pair statistics (the argmax IS the
+    # first learned merge; the loop is pinned by a python-mirror test)
+    q["doc_bpe_pairs"] = lambda s, d: bpe.bpe_pair_counts(
+        load_table(s, d, "documents"), k=20
+    )
 
     # lead-lag discovery: cross-correlation lag scan over candidate pairs
     q["ts_xcorr_lag"] = lambda s, d: timeseries.xcorr_lag(
@@ -5857,6 +5888,165 @@ def oracle_sql() -> dict[str, str]:
                CAST(c AS BIGINT) AS votes, t.n_neighbors,
                nl = w.label AS agree
         FROM win w JOIN tot t USING (vec_id) WHERE rb = 1
+    """
+
+    o["ts_grid_pivot"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points
+                WHERE pvname IN ('EV:0:click', 'EV:0:view',
+                                 'EV:7:view', 'EV:101:error')) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, p.value AS v
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        )
+        SELECT t,
+               max(CASE WHEN pvname = 'EV:0:click' THEN v END) AS v0,
+               max(CASE WHEN pvname = 'EV:0:view' THEN v END) AS v1,
+               max(CASE WHEN pvname = 'EV:7:view' THEN v END) AS v2,
+               max(CASE WHEN pvname = 'EV:101:error' THEN v END) AS v3
+        FROM lg GROUP BY t ORDER BY t
+        """
+    )
+
+    o["emb_dispersion"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        qv AS (
+          SELECT cell,
+                 list_transform(e, x ->
+                   CAST(floor(abs(x * 100.0) + 0.5) * sign(x) AS BIGINT)) AS qe
+          FROM assigned
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS x
+          FROM qv, range(1, 65) t(i)
+        ),
+        pp AS (
+          SELECT cell, pos, sum(x) AS sx, sum(x * x) AS sxx,
+                 count(*) AS n
+          FROM ex GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT cell, max(n) AS nv, sum(sx * sx) AS ns, sum(sxx) AS ss
+          FROM pp GROUP BY cell
+        )
+        SELECT cell, CAST(nv AS BIGINT) AS n_vectors,
+               CASE WHEN nv >= 2
+                    THEN round(CAST(ns - ss AS DOUBLE)
+                               / CAST(nv * (nv - 1) AS DOUBLE) / 10000.0, 6)
+               END AS mean_pairwise_dot,
+               round(CAST(ss AS DOUBLE) / CAST(nv AS DOUBLE) / 10000.0, 6)
+                 AS mean_sq_norm
+        FROM c
+    """
+
+    o["ts_flatlines"] = (
+        P
+        + """,
+        fl AS (
+          SELECT pvname, time, event_id,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 CASE WHEN lag(CAST(round(value / 0.01) AS BIGINT)) OVER w
+                           IS DISTINCT FROM CAST(round(value / 0.01) AS BIGINT)
+                      THEN 1 ELSE 0 END AS chg
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        r2 AS (
+          SELECT pvname, time,
+                 sum(chg) OVER (PARTITION BY pvname ORDER BY time, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM fl
+        ),
+        isl AS (
+          SELECT pvname, run, count(*) AS n, max(time) - min(time) AS span
+          FROM r2 GROUP BY pvname, run
+        ),
+        sel AS (
+          SELECT pvname, span, row_number() OVER (
+                   PARTITION BY pvname ORDER BY n DESC, span DESC
+                 ) AS rn
+          FROM isl
+        ),
+        agg AS (
+          SELECT pvname,
+                 CAST(sum(n) AS BIGINT) AS n_points,
+                 CAST(max(n) AS BIGINT) AS longest_run,
+                 CAST(sum(CASE WHEN n >= 3 AND span >= 60.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck_runs,
+                 max(n >= 3 AND span >= 60.0) AS stuck
+          FROM isl GROUP BY pvname
+        )
+        SELECT agg.pvname, n_points, longest_run,
+               round(sel.span, 6) AS longest_run_s, n_stuck_runs, stuck
+        FROM agg JOIN sel ON agg.pvname = sel.pvname AND sel.rn = 1
+        """
+    )
+
+    o["ev_linear_attribution"] = """
+        WITH e AS (
+          SELECT user_id AS u, event_id AS eid,
+                 epoch_us(ts) / 1000000.0 AS t, event_type AS ty
+          FROM events
+        ), c AS (
+          SELECT user_id AS cu, event_id AS cid,
+                 epoch_us(ts) / 1000000.0 AS ct,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), p AS (
+          SELECT ty, cid,
+                 (cents * 1000000) // (count(*) OVER (PARTITION BY cid))
+                   AS micros
+          FROM c JOIN e ON cu = u
+          WHERE (t < ct OR (t = ct AND eid < cid)) AND t >= ct - 604800.0
+        ), s AS (
+          SELECT ty, cid, count(*) AS n, sum(micros) AS m
+          FROM p GROUP BY ty, cid
+        )
+        SELECT ty AS event_type, CAST(sum(n) AS BIGINT) AS touches,
+               CAST(count(*) AS BIGINT) AS conversions,
+               round(sum(m) / 1e8, 6) AS credit
+        FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["doc_bpe_pairs"] = r"""
+        WITH wf AS (
+          SELECT word, count(*) AS n FROM (
+            SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS word
+            FROM documents
+          ) GROUP BY word
+        ),
+        ix AS (
+          SELECT word, n,
+                 CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS i
+          FROM wf
+        ),
+        pr AS (
+          SELECT n,
+                 substr(word, i, 1) AS a,
+                 CASE WHEN i < length(word)
+                      THEN substr(word, i + 1, 1)
+                      ELSE '</w>' END AS b
+          FROM ix
+        )
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pr GROUP BY a, b
+        ORDER BY pair_count DESC, a, b
+        LIMIT 20
     """
 
     o["sink_ascii_roundtrip"] = (

@@ -171,6 +171,11 @@ HEADLINE = [
     "emb_gram_matrix",
     "rel_pagerank",
     "ts_xcorr_lag",
+    "doc_bpe_pairs",
+    "ts_flatlines",
+    "ev_linear_attribution",
+    "emb_dispersion",
+    "ts_grid_pivot",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

@@ -1,0 +1,194 @@
+"""BPE tokenizer TRAINING in the engine (Sennrich et al. 2016) — the
+piece a training-data pipeline runs before anything downstream can count
+tokens honestly: learn the merge table from the corpus itself.
+
+Distributed shape: ONE corpus-sized aggregate reduces the text to the
+distinct-word frequency table; everything after that — pair counting,
+argmax, merge application — operates on that VOCABULARY-sized frame
+(10⁴–10⁶ rows at any corpus size), so a 100 TB corpus pays one
+tokenize+count pass and then trains on kilobytes-per-round. Pair
+extraction is an array-local zip (no per-symbol explode of the corpus),
+merge application an array fold; both whole-stage-codegen expressions.
+
+The per-round argmax pair is deterministic (count desc, then pair
+lexicographic) and `bpe_pair_counts` — round 1's counting step — carries
+a full DuckDB oracle; the loop itself is pinned by a pure-python mirror
+test (tests/test_bpe.py) the same way the PCA eigen step is pinned by
+numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"
+
+
+def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Distinct-word counts — the one corpus-sized reduction. Lowercased
+    whitespace tokens (the same convention as the rest of the text
+    surface); returns ``(word, n)``."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "")
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def _chars_with_marker(word: Column) -> Column:
+    """Initial symbol sequence: one symbol per character plus the
+    end-of-word marker (split on the empty pattern differs between
+    engines — substr indexing is exact everywhere)."""
+    chars = F.expr(
+        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    )
+    return F.concat(chars, F.array(F.lit(END)))
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """Array-local adjacent (a, b) struct list — no explode of anything
+    corpus-sized; callers explode the VOCAB frame only."""
+    n = F.size(syms)
+    return F.zip_with(
+        F.slice(syms, 1, n - 1),
+        F.slice(syms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+    )
+
+
+def _apply_merge(syms: Column, a: str, b: str) -> Column:
+    """Left-to-right non-overlapping replacement of adjacent (a, b) with
+    the fused symbol — one array fold, the exact classic-BPE apply step
+    (a freshly fused symbol never re-fuses within the same pass unless
+    it literally equals ``a``, which requires b = '' and cannot occur)."""
+    fused = a + b
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(fused))),
+        ).otherwise(F.concat(acc, F.array(s))),
+    )
+
+
+def bpe_pair_counts(
+    docs: DataFrame, k: int = 20, text_col: str = "text"
+) -> DataFrame:
+    """Round-1 BPE statistics: corpus-weighted adjacent character-pair
+    counts over the initial symbol sequences, top-``k`` by (count desc,
+    pair) — the frame whose argmax IS the first learned merge. The only
+    corpus-sized work is ``word_frequency``'s aggregate; the pair
+    explode fans out the vocab frame by ~word-length and reduces
+    map-side; top-k is TakeOrderedAndProject."""
+    wf = word_frequency(docs, text_col)
+    pairs = wf.select(
+        "n", F.explode(_adjacent_pairs(_chars_with_marker(F.col("word")))).alias("p")
+    )
+    return (
+        pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("n").alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "a", "b")
+        .limit(k)
+    )
+
+
+def learn_bpe(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_count: int = 2,
+) -> list[tuple[str, str]]:
+    """Learn ``n_merges`` BPE merges from the corpus. After the single
+    corpus reduction the loop is vocabulary-sized: each round counts
+    pairs on the symbol table (array-local zip + one small aggregate),
+    collects ONE (a, b, count) row, and rewrites the symbol column with
+    an expression fold. The symbol table is lineage-truncated per round
+    (vocab-sized — the same discipline as the PageRank rank frame).
+    Stops early when no pair reaches ``min_count``."""
+    from epicsarchiver_spark.operators.dedup import _truncate_lineage
+
+    syms = _truncate_lineage(
+        word_frequency(docs, text_col).select(
+            "n", _chars_with_marker(F.col("word")).alias("syms")
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        top = (
+            syms.select("n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("c"))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top or top[0]["c"] < min_count:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        syms = _truncate_lineage(
+            syms.select("n", _apply_merge(F.col("syms"), a, b).alias("syms"))
+        )
+    return merges
+
+
+def apply_bpe(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Segment every document with a learned merge table: per word, the
+    merge sequence replays in training order (chained array folds —
+    expression-only, zero shuffle, zero UDF). Returns ``(id, n_words,
+    n_bpe_tokens, fertility)`` — the honest token accounting for budget
+    / mixture planning once a real vocab exists. Plan depth grows with
+    len(merges); for merge tables past ~10² switch the per-word replay
+    to a pandas UDF with the same semantics (documented cut-over, same
+    contract)."""
+    words = docs.select(
+        F.col(id_col),
+        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
+            "_w"
+        ),
+    )
+    per_word = words.select(
+        F.col(id_col),
+        F.expr("transform(_w, word -> transform(sequence(1, length(word)), i -> substring(word, i, 1)))").alias("_cs"),
+    ).select(
+        F.col(id_col),
+        F.transform(
+            F.col("_cs"), lambda cs: F.concat(cs, F.array(F.lit(END)))
+        ).alias("_syms"),
+    )
+    def _merge_fn(a: str, b: str):
+        # pyspark counts default-arg params toward lambda arity — a
+        # closure keeps the HOF lambda unary
+        return lambda s: _apply_merge(s, a, b)
+
+    col = F.col("_syms")
+    for a, b in merges:
+        col = F.transform(col, _merge_fn(a, b))
+    return per_word.select(
+        F.col(id_col),
+        F.size("_syms").alias("n_words"),
+        F.aggregate(
+            F.transform(col, lambda s: F.size(s) - 1),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("long").alias("n_bpe_tokens"),
+    ).withColumn(
+        "fertility",
+        F.when(
+            F.col("n_words") > 0,
+            F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
+        ),
+    )

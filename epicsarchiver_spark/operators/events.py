@@ -559,3 +559,75 @@ def funnel_times(
             )
         ).alias("x")
     ).select("x.*")
+
+
+def linear_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    lookback_s: float = 7 * 86400.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Linear multi-touch attribution — every conversion's value splits
+    EQUALLY across the user's touchpoints in the ``lookback_s`` window
+    before it (the standard companion to ``last_touch_attribution``:
+    last-touch over-credits the final click, linear shows the whole
+    path). Returns ``(event_type, touches, conversions, credit)`` —
+    per touch type, how many touchpoint rows earned credit, how many
+    distinct conversions they participated in, and the credited value.
+
+    Exactness: a conversion's per-touch share is
+    ``(value_cents · 10⁶) DIV n_touches`` in int64 micro-cents — floor
+    division, so the rollup is summation-order independent and
+    engine-exact (the ≤n_touches·10⁻⁸ remainder is deliberately
+    dropped, documented here). Touch order ties break on
+    (time, event_id) strict precedence.
+
+    Scale shape: the touch expansion is the user-keyed equi-join of
+    conversions against their own user's events with the range
+    predicate as residual — pair volume is conversions × touches-in-
+    window, the bound every attribution system chooses with its
+    lookback, NEVER all-pairs. The per-conversion denominator is one
+    window count over that same joined frame; the rollup reduces
+    map-side to the \\|types\\|-sized result."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col("event_id").alias("_eid"),
+        _epoch_s(events, time_col).alias("_t"),
+        F.col(type_col).alias("_ty"),
+    )
+    conv = events.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("_cu"),
+        F.col("event_id").alias("_cid"),
+        _epoch_s(events, time_col).alias("_ct"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    strictly_before = (F.col("_t") < F.col("_ct")) | (
+        (F.col("_t") == F.col("_ct")) & (F.col("_eid") < F.col("_cid"))
+    )
+    pairs = conv.join(ev, F.col("_cu") == F.col("_u")).filter(
+        strictly_before & (F.col("_t") >= F.col("_ct") - float(lookback_s))
+    )
+    w = Window.partitionBy("_cid")
+    shared = pairs.withColumn("_k", F.count(F.lit(1)).over(w)).select(
+        "_ty",
+        "_cid",
+        F.expr("_cents * 1000000 DIV _k").alias("_micros"),
+    )
+    # two-level aggregate: (type, conversion) partials first, so the
+    # distinct-conversion count is a plain count — no count-distinct
+    # Expand doubling the pair frame
+    per_conv = shared.groupBy("_ty", "_cid").agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_micros").alias("_m")
+    )
+    return (
+        per_conv.groupBy(F.col("_ty").alias("event_type"))
+        .agg(
+            F.sum("_n").alias("touches"),
+            F.count(F.lit(1)).alias("conversions"),
+            F.round(F.sum("_m") / 1e8, 6).alias("credit"),
+        )
+        .orderBy("event_type")
+    )

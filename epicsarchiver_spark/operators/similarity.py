@@ -1651,3 +1651,90 @@ def pca_project(
             d = F.round(d, round_digits)
         cols.append(d.alias(f"pc{k}"))
     return vectors.select(*cols)
+
+
+def dispersion(
+    vectors: DataFrame,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    scale: int = 100,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Semantic-diversity report — the collapse monitor for synthetic /
+    over-deduped corpora: per coarse cell (and the 0-cell corpus total
+    row), the MEAN PAIRWISE DOT PRODUCT of the raw vectors, computed
+    WITHOUT ever forming a pair via the sum-vector identity
+
+        Σ_{i≠j} ⟨v_i, v_j⟩ = ‖Σ v‖² − Σ ‖v‖²
+
+    so a number that naively costs n² flops per cell falls out of ONE
+    map-side aggregate over quantized int64 component sums — exact,
+    summation-order independent, and linear in the corpus at ANY cell
+    size (this is the rare diversity metric with no blocked-GEMM
+    caveat). Rising mean pairwise similarity between corpus releases =
+    the fresh data is collapsing toward what you already have.
+
+    Returns ``(cell, n_vectors, mean_pairwise_dot, mean_sq_norm)`` —
+    cells with <2 vectors report null mean_pairwise_dot. Overflow
+    budget: the squared component sums must fit int64 —
+    dim·(n·scale·max|x|)² < 9.2e18, i.e. ~10⁸ vectors per cell for
+    unit-ish 64-dim vectors at the default scale=100 (cents precision
+    is plenty for a drift monitor; lower the scale for bigger cells —
+    the inverse of ``gram_matrix``'s dial).
+
+    Scale shape: cell assignment is the shared GEMM UDF (no shuffle);
+    then one hash aggregate to (cell, component) sums — shuffle volume
+    cells × dim × partitions, corpus-size independent — and an
+    array-local fold per cell row. The corpus-total row aggregates the
+    CELL rows, not the corpus."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    q = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: (F.floor(F.abs(x * float(scale)) + 0.5) * F.signum(x)).cast(
+            "long"
+        ),
+    )
+    assigned = vectors.select(
+        _nearest_cell_udf(centroids)(as_double(F.col(vec_col))).alias("cell"),
+        q.alias("_q"),
+    )
+    per_pos = assigned.select(
+        "cell",
+        F.posexplode("_q").alias("pos", "x"),
+    ).groupBy("cell", "pos").agg(
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        # n repeats per pos; max is exact and cheap
+        F.count(F.lit(1)).alias("n"),
+    )
+    cells = per_pos.groupBy("cell").agg(
+        F.max("n").alias("n_vectors"),
+        F.sum(F.col("sx") * F.col("sx")).alias("_normsum_sq"),
+        F.sum("sxx").alias("_sq_sum"),
+    )
+    s2 = float(scale) * float(scale)
+    n = F.col("n_vectors")
+    mean_pair = F.when(
+        n >= 2,
+        F.round(
+            (F.col("_normsum_sq") - F.col("_sq_sum")).cast("double")
+            / (n * (n - 1)).cast("double")
+            / s2,
+            6,
+        ),
+    )
+    per_cell = cells.select(
+        "cell",
+        n.cast("long").alias("n_vectors"),
+        mean_pair.alias("mean_pairwise_dot"),
+        F.round(F.col("_sq_sum").cast("double") / n.cast("double") / s2, 6).alias(
+            "mean_sq_norm"
+        ),
+    )
+    return per_cell

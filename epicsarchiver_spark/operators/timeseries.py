@@ -1376,3 +1376,95 @@ def xcorr_lag(
         F.round("_r", 6).alias("r"),
         (F.col("_rn") == 1).alias("best"),
     )
+
+
+def flatlines(
+    points: DataFrame,
+    min_points: int = 5,
+    min_duration_s: float = 0.0,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Stuck-sensor screen — per series, the maximal runs of IDENTICAL
+    (quantum-quantized) consecutive values: a transducer that died but
+    keeps publishing shows up as one long flat island, the failure mode
+    the deadband compressor actively hides (it archives exactly one
+    point per flat stretch, so flatline detection must run on the RAW
+    feed or alongside the heartbeat fill). Returns one row per series:
+    ``(key, n_points, longest_run, longest_run_s, n_stuck_runs, stuck)``
+    where stuck runs have ≥ ``min_points`` points AND ≥
+    ``min_duration_s`` span, and the longest-run columns describe the
+    series' worst island regardless of thresholds.
+
+    Same gaps-and-islands discipline as ``ramps``: island ids from a
+    running change count on ONE series-keyed exchange (windows and both
+    aggregates share it); value equality in exact integer quantum
+    units, so island boundaries cannot waver across engines. Output is
+    one row per series — nothing input-sized leaves the executors."""
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    q = F.round(F.col("value") / quantum).cast("long")
+    flagged = points.select(
+        F.col(key),
+        F.col("time"),
+        *[F.col(c) for c in order[1:]],
+        q.alias("_q"),
+        F.when(F.lag(q).over(w).isNull() | (F.lag(q).over(w) != q), 1)
+        .otherwise(0)
+        .alias("_chg"),
+    )
+    runs = (
+        flagged.withColumn(
+            "_run", F.sum("_chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .groupBy(key, "_run")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (F.max("time") - F.min("time")).alias("_span"),
+        )
+    )
+    stuck = (F.col("_n") >= int(min_points)) & (
+        F.col("_span") >= float(min_duration_s)
+    )
+    return runs.groupBy(key).agg(
+        F.sum("_n").alias("n_points"),
+        F.max("_n").alias("longest_run"),
+        F.round(
+            F.max_by(F.col("_span"), F.struct(F.col("_n"), F.col("_span"))), 6
+        ).alias("longest_run_s"),
+        F.sum(stuck.cast("long")).alias("n_stuck_runs"),
+        F.max(stuck).alias("stuck"),
+    )
+
+
+def grid_pivot(
+    points: DataFrame,
+    names: list[str],
+    t0: float,
+    t1: float,
+    step: float,
+    key: str = "pvname",
+) -> DataFrame:
+    """Instrument snapshot matrix — the named series' LOCF grids as
+    COLUMNS of one wide frame (t, pv_a, pv_b, …): the export format
+    every offline analysis / ML notebook asks the archive for, and the
+    relational form of the reference webapp's multi-PV plot data. Names
+    map to columns in list order as ``v0..vN`` alongside their source
+    names in the column metadata-free contract: callers pass the list,
+    so ordinal naming keeps arbitrary PV strings out of column names
+    (``PV:1.VAL`` is not a valid identifier in most consumers).
+
+    Scale shape: the grid builds on the usual series-keyed exchange for
+    ONLY the named series (the filter prunes the scan); the pivot is a
+    single groupBy(t) with |names| conditional ``max`` aggregates —
+    map-side partial, output rows = grid instants regardless of input
+    volume. |names| is a plot/instrument-sized list (10²), never the
+    corpus."""
+    grid = locf_grid(
+        points.filter(F.col(key).isin(list(names))), t0, t1, step, key=key
+    ).select(key, "t", "value")
+    aggs = [
+        F.max(F.when(F.col(key) == n, F.col("value"))).alias(f"v{i}")
+        for i, n in enumerate(names)
+    ]
+    return grid.groupBy("t").agg(*aggs).orderBy("t")

@@ -1,0 +1,94 @@
+"""BPE training loop vs a literal pure-python Sennrich mirror — the
+loop's correctness pin (bpe_pair_counts, round 1's statistics, carries
+the full DuckDB oracle; this covers rounds 2..n and the apply step)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from epicsarchiver_spark.operators import bpe
+
+
+def _mirror_learn(texts: list[str], n_merges: int, min_count: int = 2):
+    words = Counter(w for t in texts for w in t.lower().split() if w)
+    syms = {w: tuple(list(w) + [bpe.END]) for w in words}
+    merges = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        # count desc, then pair lexicographic — the engine's tie rule
+        (a, b), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if c < min_count:
+            break
+        merges.append((a, b))
+        new = {}
+        for w, s in syms.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            new[w] = tuple(out)
+        syms = new
+    return merges, syms, words
+
+
+TEXTS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wider wide wide widest",
+    "low new wide lower",
+]
+
+
+def test_learn_bpe_matches_python_mirror(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    got = bpe.learn_bpe(df, n_merges=8)
+    want, _, _ = _mirror_learn(TEXTS, 8)
+    assert got == want
+    assert len(got) == 8  # this corpus supports ≥8 merges above the floor
+
+
+def test_learn_bpe_stops_below_min_count(spark):
+    df = spark.createDataFrame([(1, "x y z")], "doc_id long, text string")
+    # every pair occurs once → below the default floor of 2 → no merges
+    assert bpe.learn_bpe(df, n_merges=5) == []
+
+
+def test_apply_bpe_token_counts_match_mirror(spark):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    merges, syms, _ = _mirror_learn(TEXTS, 6)
+    out = {r.doc_id: r for r in bpe.apply_bpe(df, merges).collect()}
+    for i, t in enumerate(TEXTS):
+        ws = [w for w in t.lower().split() if w]
+        want_tokens = sum(len(syms[w]) - 1 for w in ws)
+        assert out[i].n_words == len(ws)
+        assert out[i].n_bpe_tokens == want_tokens
+        assert out[i].fertility == pytest.approx(want_tokens / len(ws), abs=1e-6)
+    # merges genuinely compress: fewer BPE units than raw characters
+    assert out[0].n_bpe_tokens < sum(len(w) for w in TEXTS[0].split())
+
+
+def test_apply_merge_non_overlapping_left_to_right(spark):
+    """aaa with merge (a,a) fuses the FIRST pair only: [aa, a, </w>]."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("aaa",)], "word string")
+    out = df.select(
+        bpe._apply_merge(
+            bpe._chars_with_marker(F.col("word")), "a", "a"
+        ).alias("s")
+    ).collect()[0].s
+    assert out == ["aa", "a", bpe.END]

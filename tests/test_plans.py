@@ -711,3 +711,21 @@ def test_gram_matrix_no_join_one_partial_exchange(spark):
     assert "Generate" not in plan, "posexplode blow-up crept in"
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:1500]
     assert "partial_" in plan
+
+
+def test_dispersion_no_pairs_no_joins(spark):
+    """The diversity metric must come from the sum-vector identity —
+    no join operator anywhere, shuffles only the (cell, pos) partial
+    frame (corpus-size independent)."""
+    plan = _plan(spark, "emb_dispersion")
+    assert "Join" not in plan and "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_grid_pivot_single_aggregate_no_pivot_shuffle_blowup(spark):
+    """The wide matrix is ONE groupBy(t) with conditional aggregates —
+    no join per column, no Expand."""
+    plan = _plan(spark, "ts_grid_pivot")
+    assert "Join" not in plan.replace("ASOF", "")  # locf grid uses windows, not joins
+    assert "Expand" not in plan
+    assert "partial_" in plan

@@ -677,3 +677,100 @@ def test_xcorr_lag_finds_known_shift(spark):
     from collections import Counter
     c = Counter((r.pv_a, r.pv_b) for r in out if r.best)
     assert all(v == 1 for v in c.values())
+
+
+def test_flatlines_flags_stuck_run_not_wiggle(spark):
+    from epicsarchiver_spark.operators import timeseries
+
+    rows = []
+    # stuck: 6 identical points over 500 s, then a change
+    rows += [("stuck", 100.0 + i * 100, 5.0) for i in range(6)]
+    rows += [("stuck", 700.0, 6.0)]
+    # wiggle: alternating values — longest run is 1
+    rows += [("wiggle", 100.0 + i * 100, float(i % 2)) for i in range(8)]
+    # brief: 3 identical points but only 20 s span → fails min_duration
+    rows += [("brief", 100.0 + i * 10, 2.0) for i in range(3)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {r.pvname: r for r in
+           timeseries.flatlines(df, min_points=3, min_duration_s=60.0).collect()}
+    assert out["stuck"].stuck and out["stuck"].n_stuck_runs == 1
+    assert out["stuck"].longest_run == 6
+    assert out["stuck"].longest_run_s == pytest.approx(500.0)
+    assert not out["wiggle"].stuck and out["wiggle"].longest_run == 1
+    assert not out["brief"].stuck  # long enough in points, too short in time
+    assert out["brief"].longest_run == 3
+
+
+def test_linear_attribution_splits_equally_and_respects_lookback(spark):
+    from epicsarchiver_spark.operators.events import linear_attribution
+
+    base = 1_700_000_000.0
+    rows = [
+        # user 1: view + click inside the window, old_view outside it
+        (1, 1, base - 10 * 86400, "view", 0.0, None),     # outside 7d lookback
+        (2, 1, base - 3600, "view", 0.0, None),
+        (3, 1, base - 60, "click", 0.0, None),
+        (4, 1, base, "purchase", 100.0, None),
+        # user 2: conversion with no touches → no credit anywhere
+        (5, 2, base, "purchase", 50.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts double, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r for r in linear_attribution(df).collect()}
+    # 100.00 → 10000 cents → 5e9 micros each for view and click
+    assert out["view"].credit == pytest.approx(50.0)
+    assert out["click"].credit == pytest.approx(50.0)
+    assert out["view"].touches == 1 and out["view"].conversions == 1
+    assert "purchase" not in out  # conversions are not their own touches here
+    # total credit never exceeds total converted value
+    assert sum(r.credit for r in out.values()) <= 150.0
+
+
+def test_dispersion_identity_matches_brute_force(spark):
+    """The sum-vector identity must reproduce the literal mean pairwise
+    dot of the quantized vectors; identical vectors → dispersion =
+    mean squared norm; a singleton cell reports null."""
+    import numpy as np
+    from epicsarchiver_spark.operators.similarity import dispersion
+
+    rows = [
+        (1, [1.0, 0.0], 0), (2, [0.8, 0.1], 0), (3, [0.6, 0.2], 0),
+        (4, [0.0, 1.0], 0),  # alone in the y cell
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    out = {r.cell: r for r in dispersion(df, centroids=[[1.0, 0.0], [0.0, 1.0]]).collect()}
+    xs = [r[1] for r in rows[:3]]
+    Q = np.array([[round(c * 100) for c in np.asarray(v, dtype=np.float32).astype(np.float64)] for v in xs])
+    dots = [Q[i] @ Q[j] for i in range(3) for j in range(3) if i != j]
+    want = sum(dots) / len(dots) / 1e4
+    xcell = [c for c, r in out.items() if r.n_vectors == 3][0]
+    assert out[xcell].mean_pairwise_dot == pytest.approx(round(want, 6), abs=1e-9)
+    ycell = [c for c, r in out.items() if r.n_vectors == 1][0]
+    assert out[ycell].mean_pairwise_dot is None
+    # identical vectors: mean pairwise dot == mean squared norm
+    df2 = spark.createDataFrame(
+        [(i, [0.5, 0.5], 0) for i in range(4)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    r2 = dispersion(df2, centroids=[[1.0, 0.0], [0.0, 1.0]]).collect()[0]
+    assert r2.mean_pairwise_dot == pytest.approx(r2.mean_sq_norm)
+
+
+def test_grid_pivot_columns_follow_name_order_and_locf(spark):
+    from epicsarchiver_spark.operators import timeseries
+
+    rows = [
+        ("a", 100.0, 1.0), ("a", 130.0, 2.0),
+        ("b", 115.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = {r.t: r for r in
+           timeseries.grid_pivot(df, ["a", "b", "absent"], 100.0, 140.0, 10.0).collect()}
+    assert set(out) == {100.0, 110.0, 120.0, 130.0, 140.0}
+    assert out[100.0].v0 == 1.0 and out[100.0].v1 is None   # b starts later
+    assert out[120.0].v0 == 1.0 and out[120.0].v1 == 5.0    # both held
+    assert out[130.0].v0 == 2.0 and out[140.0].v0 == 2.0    # step + hold
+    assert all(getattr(out[t], "v2") is None for t in out)  # absent PV → nulls
