@@ -570,6 +570,43 @@ def cmd_corpus(args) -> int:
     return 1
 
 
+def cmd_import_ascii(args) -> int:
+    """Land an exported ASCII data file (the reference's /data/<pv>/
+    format, or this engine's own S9 sink output) back into the
+    partitioned store — the text-archive migration path beside
+    import_zarr."""
+    from epicsarchiver_spark.sources.points_store import write_points
+    from epicsarchiver_spark.sources.sinks import read_ascii
+
+    spark = _spark("import_ascii")
+    rows = read_ascii(spark, args.path, args.pv).select("pvname", "time", "value")
+    n = rows.count()
+    write_points(rows, args.store, run=args.run, n_buckets=args.buckets)
+    print(f"imported {n} points for {args.pv} from {args.path} (run={args.run})")
+    return 0
+
+
+def cmd_bpe(args) -> int:
+    """Learn a BPE merge table from a documents parquet and print one
+    'a b' merge per line in training order (pipe to a file for
+    apply_bpe); --json writes the table as JSON instead."""
+    import json as _json
+
+    from epicsarchiver_spark.operators.bpe import learn_bpe
+
+    spark = _spark("bpe")
+    docs = spark.read.parquet(args.documents)
+    merges = learn_bpe(docs, n_merges=args.merges, min_count=args.min_count)
+    if args.json:
+        with open(args.json, "w", encoding="utf-8") as fh:
+            _json.dump(merges, fh)
+        print(f"{len(merges)} merges -> {args.json}")
+    else:
+        for a, b in merges:
+            print(f"{a} {b}")
+    return 0
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -661,6 +698,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--run", default="imported")
     s.add_argument("--buckets", type=int, default=128)
     s.set_defaults(fn=cmd_import_zarr)
+
+    s = sub.add_parser("import_ascii", help="import an ASCII data file for one PV")
+    s.add_argument("path")
+    s.add_argument("--pv", required=True, help="PV name the file belongs to")
+    s.add_argument("--run", default="imported_ascii")
+    s.add_argument("--buckets", type=int, default=128)
+    s.set_defaults(fn=cmd_import_ascii)
+
+    s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")
+    s.add_argument("documents")
+    s.add_argument("--merges", type=int, default=10)
+    s.add_argument("--min-count", type=int, default=2)
+    s.add_argument("--json", help="write merges as JSON to this path")
+    s.set_defaults(fn=cmd_bpe)
 
     s = sub.add_parser("compact", help="merge streaming small files per (run,bucket)")
     s.add_argument("--runs", nargs="*", help="only these (rotated) runs; default all")

@@ -236,3 +236,98 @@ def outlier_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FLATLINE_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("kind", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("run_points", LongType()),
+        StructField("run_seconds", DoubleType()),
+    ]
+)
+
+_FLATLINE_STATE_SCHEMA = StructType(
+    [
+        StructField("q", LongType()),
+        StructField("start_t", DoubleType()),
+        StructField("n", LongType()),
+        StructField("last_t", DoubleType()),
+        StructField("alerted", LongType()),  # 0/1 (bool-in-long for state IO)
+    ]
+)
+
+
+def flatline_stream(
+    events: DataFrame,
+    min_points: int = 5,
+    min_duration_s: float = 0.0,
+    quantum: float = 0.01,
+) -> DataFrame:
+    """LIVE stuck-sensor watchdog — the streaming twin of
+    ``timeseries.flatlines`` with alert-transition semantics (like the
+    reference's ok→alarm rule engine): one ``stuck`` row the moment a
+    series' identical-value run crosses BOTH thresholds, one
+    ``released`` row when the value finally changes again. Staying
+    stuck does not re-fire; a run that never crosses emits nothing.
+
+    State per series is five scalars (current run's quantized value,
+    start time, length, last time, alerted flag) — bytes per PV, a few
+    MB at 10⁶ series. Same in-order-source contract as the compressor
+    and the outlier stream; batch↔stream agreement is tested across
+    micro-batch boundaries (the run carries between batches)."""
+    mp, ms, qm = int(min_points), float(min_duration_s), float(quantum)
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        if state.exists:
+            q, start_t, n, last_t, alerted = state.get
+            alerted = bool(alerted)
+        else:
+            q, start_t, n, last_t, alerted = None, 0.0, 0, 0.0, False
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time", "value"])
+        out = []
+        if len(rows):
+            rows = rows.sort_values("time", kind="stable")
+            for t, v in zip(rows["time"].tolist(), rows["value"].tolist()):
+                qv = int(round(v / qm))
+                if q is None or qv != q:
+                    if alerted:
+                        out.append(
+                            (pvname, "released", t, v, n, last_t - start_t)
+                        )
+                    q, start_t, n, alerted = qv, t, 1, False
+                else:
+                    n += 1
+                last_t = t
+                if not alerted and n >= mp and (t - start_t) >= ms:
+                    out.append((pvname, "stuck", t, v, n, t - start_t))
+                    alerted = True
+            state.update((q, start_t, n, last_t, 1 if alerted else 0))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "pvname", "kind", "time", "value",
+                    "run_points", "run_seconds",
+                ],
+            )
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=FLATLINE_SCHEMA,
+        stateStructType=_FLATLINE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -445,3 +445,40 @@ def test_land_cli_guards(spark, tmp_path, capsys):
 
     assert cli.main(["land", str(src), "--out", out, "--checkpoint", ck]) == 0
     assert "landed 0 curated docs" in capsys.readouterr().out
+
+
+def test_import_ascii_cli_roundtrip(spark, store, tmp_path, capsys):
+    """S9 text file → import_ascii → store holds the typed points."""
+    p = tmp_path / "ascii"
+    p.mkdir()
+    (p / "part-0.txt").write_text(
+        "# header comment\n"
+        "1000.500  1.25  20010909 014640\n"
+        "1001.000  2.50  20010909 014641\n"
+    )
+    store2 = str(tmp_path / "store_ascii")
+    assert (
+        cli.main(
+            ["--store", store2, "import_ascii", str(p), "--pv", "CLI:x.VAL"]
+        )
+        == 0
+    )
+    assert "imported 2 points" in capsys.readouterr().out
+    from epicsarchiver_spark.sources.points_store import read_points
+
+    rows = {r.time: r.value for r in read_points(spark, store2).collect()}
+    assert rows == {1000.5: 1.25, 1001.0: 2.5}
+
+
+def test_bpe_cli_prints_merges(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "low low lower low"), (2, "low lowest low")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs.parquet")
+    docs.write.parquet(path)
+    assert cli.main(["bpe", path, "--merges", "3"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.strip()]
+    assert len(lines) == 3
+    # 'l o' must be the first merge on this corpus ('lo' appears in every word)
+    assert lines[0] == "l o"

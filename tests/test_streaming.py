@@ -1143,3 +1143,62 @@ def test_curated_doc_stream_watermark_dedup_keys_on_fp_alone(spark, tmp_path):
     landed = spark.read.parquet(out)
     fps = [r.fp for r in landed.select("fp").collect()]
     assert len(fps) == len(set(fps)) == 2  # one per distinct text
+
+
+def test_flatline_stream_transitions_across_batches(spark, tmp_path):
+    """The stuck run spans a micro-batch boundary: the stream must fire
+    exactly one 'stuck' row when thresholds cross (in batch 2, counting
+    points from batch 1's state) and one 'released' row when the value
+    changes; the wiggling series never fires. Counts agree with the
+    batch operator's n_stuck_runs."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import flatlines
+    from epicsarchiver_spark.streaming.alerts import flatline_stream
+
+    rows = []
+    # 'stuck': 3 flat points in file 0, 2 more + release in file 1
+    rows += [("stuck", 100.0 + i * 50, 7.0, 0) for i in range(3)]
+    rows += [("stuck", 250.0 + i * 50, 7.0, 1) for i in range(2)]
+    rows += [("stuck", 400.0, 9.0, 1)]
+    # 'wiggle': alternates, never flat
+    rows += [("wiggle", 100.0 + i * 50, float(i % 2), i // 4) for i in range(8)]
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value", "file"])
+    src = tmp_path / "fl_src"
+    src.mkdir()
+    for j in (0, 1):
+        pdf[pdf["file"] == j][["pvname", "time", "value"]].to_parquet(
+            src / f"p{j}.parquet", index=False
+        )
+
+    stream = (
+        spark.readStream.schema("pvname string, time double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "fl_out")
+    q = (
+        flatline_stream(stream, min_points=4, min_duration_s=100.0)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "fl_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r.pvname, r.kind, r.time, r.run_points)
+        for r in spark.read.parquet(out).collect()
+    )
+    # crossing happens at the 4th flat point (t=250, batch 2); release at 400
+    assert got == [
+        ("stuck", "released", 400.0, 5),
+        ("stuck", "stuck", 250.0, 4),
+    ]
+    # agreement with the batch screen on the same thresholds
+    batch_df = spark.createDataFrame(
+        pdf[["pvname", "time", "value"]], "pvname string, time double, value double"
+    )
+    b = {r.pvname: r for r in
+         flatlines(batch_df, min_points=4, min_duration_s=100.0).collect()}
+    assert b["stuck"].n_stuck_runs == 1 and not b["wiggle"].stuck
