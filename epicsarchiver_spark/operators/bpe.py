@@ -19,6 +19,8 @@ numpy.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -145,15 +147,24 @@ def apply_bpe(
     merges: list[tuple[str, str]],
     id_col: str = "doc_id",
     text_col: str = "text",
+    engine: str = "auto",
 ) -> DataFrame:
     """Segment every document with a learned merge table: per word, the
-    merge sequence replays in training order (chained array folds —
-    expression-only, zero shuffle, zero UDF). Returns ``(id, n_words,
+    merge sequence replays in training order. Returns ``(id, n_words,
     n_bpe_tokens, fertility)`` — the honest token accounting for budget
-    / mixture planning once a real vocab exists. Plan depth grows with
-    len(merges); for merge tables past ~10² switch the per-word replay
-    to a pandas UDF with the same semantics (documented cut-over, same
-    contract)."""
+    / mixture planning once a real vocab exists.
+
+    Two lanes, identical semantics (equivalence-tested): ``expr`` —
+    chained array folds, zero shuffle, zero UDF, WholeStageCodegen, but
+    plan depth grows with len(merges) (analysis time blows up past
+    ~10²); ``pandas`` — one Arrow-batched ``mapInPandas`` doing the
+    same left-to-right non-overlapping replay in python, flat plan at
+    any merge-table size (a real 32k-merge vocab). ``auto`` picks expr
+    for ≤64 merges, pandas past that."""
+    if engine == "auto":
+        engine = "expr" if len(merges) <= 64 else "pandas"
+    if engine == "pandas":
+        return _apply_bpe_pandas(docs, merges, id_col, text_col)
     words = docs.select(
         F.col(id_col),
         F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
@@ -191,4 +202,62 @@ def apply_bpe(
             F.col("n_words") > 0,
             F.round(F.col("n_bpe_tokens") / F.col("n_words"), 6),
         ),
+    )
+
+
+def _apply_bpe_pandas(
+    docs: DataFrame,
+    merges: list[tuple[str, str]],
+    id_col: str,
+    text_col: str,
+) -> DataFrame:
+    """Arrow-batched replay lane for production-sized merge tables —
+    semantics byte-identical to the expression folds (shared with the
+    python mirror in tests/test_bpe.py), plan depth constant in
+    len(merges). Per-word results are memoized within a batch: corpus
+    word frequency follows Zipf, so the cache hit rate is high and the
+    cost approaches one replay per DISTINCT word per batch."""
+    import pandas as pd
+
+    mseq = [(a, b, a + b) for a, b in merges]
+    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long, fertility double"
+
+    def _batches(frames):
+        cache: dict[str, int] = {}
+
+        def n_units(word: str) -> int:
+            hit = cache.get(word)
+            if hit is not None:
+                return hit
+            syms = list(word) + [END]
+            for a, b, fused in mseq:
+                out = []
+                for tok in syms:
+                    if out and out[-1] == a and tok == b:
+                        out[-1] = fused
+                    else:
+                        out.append(tok)
+                syms = out
+            cache[word] = len(syms) - 1
+            return cache[word]
+
+        for pdf in frames:
+            ids, nw, nb = [], [], []
+            for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
+                ws = [w for w in (t or "").lower().split() if w]
+                ids.append(i)
+                nw.append(len(ws))
+                nb.append(sum(n_units(w) for w in ws))
+            res = pd.DataFrame(
+                {id_col: ids, "n_words": nw, "n_bpe_tokens": nb}
+            )
+            # HALF_UP like Spark's round(), not python's half-even
+            res["fertility"] = [
+                (math.floor(b / w * 1e6 + 0.5) / 1e6) if w else None
+                for b, w in zip(nb, nw)
+            ]
+            yield res
+
+    return docs.select(F.col(id_col), F.col(text_col)).mapInPandas(
+        _batches, schema=out_schema
     )

@@ -1664,9 +1664,9 @@ def dispersion(
     dim: int | None = None,
 ) -> DataFrame:
     """Semantic-diversity report — the collapse monitor for synthetic /
-    over-deduped corpora: per coarse cell (and the 0-cell corpus total
-    row), the MEAN PAIRWISE DOT PRODUCT of the raw vectors, computed
-    WITHOUT ever forming a pair via the sum-vector identity
+    over-deduped corpora: per coarse cell, the MEAN PAIRWISE DOT
+    PRODUCT of the raw vectors, computed WITHOUT ever forming a pair
+    via the sum-vector identity
 
         Σ_{i≠j} ⟨v_i, v_j⟩ = ‖Σ v‖² − Σ ‖v‖²
 
@@ -1687,9 +1687,9 @@ def dispersion(
 
     Scale shape: cell assignment is the shared GEMM UDF (no shuffle);
     then one hash aggregate to (cell, component) sums — shuffle volume
-    cells × dim × partitions, corpus-size independent — and an
-    array-local fold per cell row. The corpus-total row aggregates the
-    CELL rows, not the corpus."""
+    cells × dim × partitions, corpus-size independent. A corpus-total
+    figure follows from re-aggregating the tiny (cell, pos) frame, not
+    the corpus."""
     if centroids is None:
         if dim is None:
             raise ValueError("pass centroids=... or dim=... for the LCG fallback")

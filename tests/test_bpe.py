@@ -92,3 +92,26 @@ def test_apply_merge_non_overlapping_left_to_right(spark):
         ).alias("s")
     ).collect()[0].s
     assert out == ["aa", "a", bpe.END]
+
+
+def test_apply_bpe_pandas_lane_matches_expr_lane(spark):
+    """The Arrow replay lane must agree row-for-row with the expression
+    folds on the same merges — including empty docs and the fertility
+    rounding rule."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    merges, _, _ = _mirror_learn(TEXTS, 6)
+    a = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+         for r in bpe.apply_bpe(df, merges, engine="expr").collect()}
+    b = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+         for r in bpe.apply_bpe(df, merges, engine="pandas").collect()}
+    assert a == b
+    assert a[99] == (0, 0, None)
+    # auto cut-over: a >64-entry merge table routes to the pandas lane
+    # (padding with never-matching merges keeps the semantics identical)
+    big = merges + [(f"zz{i}", f"qq{i}") for i in range(70)]
+    c = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
+         for r in bpe.apply_bpe(df, big, engine="auto").collect()}
+    assert c == a
