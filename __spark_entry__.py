@@ -1819,6 +1819,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sink_ascii_roundtrip"] = _sink_ascii_roundtrip
 
+    # leakage-free splits through the persisted components artifact —
+    # the release cadence: CC labels written once, split assignment is
+    # a 16-byte-per-doc read-back (oracle identical to
+    # doc_component_splits: same labels, same bucket map)
+    def _doc_splits_indexed(s, d):
+        docs = load_table(s, d, "documents")
+
+        def _build(path):
+            curation.write_components(
+                dedup.connected_components_star(
+                    dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
+                ),
+                path,
+            )
+
+        return curation.component_splits(
+            docs, _artifact_path(d, "components", _build)
+        )
+
+    q["doc_splits_indexed"] = _doc_splits_indexed
+
     # instrument snapshot matrix: named series' LOCF grids as columns
     q["ts_grid_pivot"] = lambda s, d: timeseries.grid_pivot(
         _points(s, d),
@@ -5453,6 +5474,8 @@ def oracle_sql() -> dict[str, str]:
 
     # persisted-fingerprint lane reads back the same basis → same pairs
     o["doc_winnow_indexed"] = o["doc_winnow_pairs"]
+    # artifact read-back lane: identical labels → identical assignment
+    o["doc_splits_indexed"] = o["doc_component_splits"]
 
     o["rel_order_count_dist"] = """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

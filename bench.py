@@ -148,6 +148,7 @@ HEADLINE = [
     "ev_cohort_value",
     # r7: persisted-components read-back lane (production dedup-shard shape)
     "doc_dedup_shards_indexed",
+    "doc_splits_indexed",
     "doc_winnow_indexed",
     "rel_market_share",
     "rel_product_profit",

@@ -253,3 +253,100 @@ def test_dedup_substrings_matches_python_reference(spark, texts, window):
             len(tk) - len(kept),
             " ".join(kept),
         ), (d, texts, window)
+
+
+@st.composite
+def word_corpus(draw):
+    words = draw(
+        st.lists(
+            st.text(alphabet="abcd", min_size=1, max_size=6),
+            min_size=1,
+            max_size=30,
+        )
+    )
+    return [" ".join(words)]
+
+
+@given(texts=word_corpus(), n_merges=st.integers(0, 12))
+@settings(max_examples=150, deadline=None)
+def test_bpe_mirror_invariants(texts, n_merges):
+    """Structural BPE guarantees on the python mirror the Spark loop is
+    pinned against: merges are distinct ordered pairs, every merge
+    strictly reduces the corpus token count by that pair's occurrence
+    count, and final per-word unit counts are >= 1 (the </w> marker
+    never fuses away below one unit)."""
+    from tests.test_bpe import _mirror_learn
+
+    merges, syms, words = _mirror_learn(texts, n_merges, min_count=2)
+    assert len(set(merges)) == len(merges)
+    for w, s in syms.items():
+        assert len(s) >= 1
+        assert "".join(s) == w + "</w>"  # segmentation preserves the word
+    # replay from scratch: token totals strictly decrease per merge
+    totals = []
+    cur = {w: tuple(list(w) + ["</w>"]) for w in words}
+    totals.append(sum((len(s)) * words[w] for w, s in cur.items()))
+    for a, b in merges:
+        new = {}
+        for w, s in cur.items():
+            out = []
+            for tok in s:
+                if out and out[-1] == a and tok == b:
+                    out[-1] = a + b
+                else:
+                    out.append(tok)
+            new[w] = tuple(out)
+        cur = new
+        totals.append(sum(len(s) * words[w] for w, s in cur.items()))
+    assert all(x > y for x, y in zip(totals, totals[1:]))
+    assert cur == syms
+
+
+@st.composite
+def weighted_graph(draw):
+    n = draw(st.integers(2, 12))
+    edges = draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, n - 1),
+                st.integers(0, n - 1),
+                st.integers(1, 50),
+            ),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    return [(f"N{a}", f"N{b}", w) for a, b, w in edges if a != b]
+
+
+@given(edges=weighted_graph(), rounds=st.integers(1, 6))
+@settings(max_examples=150, deadline=None)
+def test_pagerank_mirror_mass_and_floor(edges, rounds):
+    """The integer recurrence's structural guarantees, on the python
+    mirror the Spark loop is pinned against: every rank >= the damping
+    base, total mass never exceeds the initial N*scale (floor division
+    only loses mass), and ranks are exactly reproducible (pure ints)."""
+    if not edges:
+        return
+    scale = 10**9
+    base = (15 * scale) // 100
+    w: dict = {}
+    for a, b, ww in edges:
+        key = (min(a, b), max(a, b))
+        w[key] = max(w.get(key, 0), ww)
+    adj: dict = {}
+    for (u, v), ww in w.items():
+        adj.setdefault(u, {})[v] = ww
+        adj.setdefault(v, {})[u] = ww
+    wt = {u: sum(nb.values()) for u, nb in adj.items()}
+    n_nodes = len(adj)
+    r = {u: scale for u in adj}
+    for _ in range(rounds):
+        c = {u: 0 for u in adj}
+        for u, nb in adj.items():
+            for v, ww in nb.items():
+                c[v] += (r[u] * ww) // wt[u]
+        r2 = {u: base + (85 * c[u]) // 100 for u in adj}
+        assert all(v >= base for v in r2.values())
+        assert sum(r2.values()) <= n_nodes * scale
+        r = r2
