@@ -1864,6 +1864,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), lookback_s=7 * 86400.0
     )
 
+    # dup-graph shape dashboard: degree + component-size distributions
+    q["doc_graph_profile"] = lambda s, d: dedup.graph_profile(
+        dedup.jaccard_pairs_blocked(
+            load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+        )
+    )
+
+    # U-shaped multi-touch attribution (first/last 40%, middles 20%)
+    q["ev_position_attribution"] = lambda s, d: ev.position_attribution(
+        load_table(s, d, "events"), lookback_s=7 * 86400.0
+    )
+
     # tokenizer training: round-1 BPE pair statistics (the argmax IS the
     # first learned merge; the loop is pinned by a python-mirror test)
     q["doc_bpe_pairs"] = lambda s, d: bpe.bpe_pair_counts(
@@ -6037,6 +6049,60 @@ def oracle_sql() -> dict[str, str]:
         ), s AS (
           SELECT ty, cid, count(*) AS n, sum(micros) AS m
           FROM p GROUP BY ty, cid
+        )
+        SELECT ty AS event_type, CAST(sum(n) AS BIGINT) AS touches,
+               CAST(count(*) AS BIGINT) AS conversions,
+               round(sum(m) / 1e8, 6) AS credit
+        FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["doc_graph_profile"] = (
+        CC
+        + """,
+        deg AS (SELECT a, count(DISTINCT b) AS k FROM edges GROUP BY a),
+        dh AS (
+          SELECT 'degree' AS metric, k, CAST(count(*) AS BIGINT) AS n
+          FROM deg GROUP BY k
+        ),
+        cs AS (SELECT component, count(*) AS k FROM comp GROUP BY component),
+        ch AS (
+          SELECT 'component' AS metric, k, CAST(count(*) AS BIGINT) AS n
+          FROM cs GROUP BY k
+        )
+        SELECT metric, CAST(k AS BIGINT) AS k, n FROM dh
+        UNION ALL
+        SELECT metric, CAST(k AS BIGINT) AS k, n FROM ch
+        """
+    )
+
+    o["ev_position_attribution"] = """
+        WITH e AS (
+          SELECT user_id AS u, event_id AS eid,
+                 epoch_us(ts) / 1000000.0 AS t, event_type AS ty
+          FROM events
+        ), c AS (
+          SELECT user_id AS cu, event_id AS cid,
+                 epoch_us(ts) / 1000000.0 AS ct,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), p AS (
+          SELECT ty, cid, cents,
+                 count(*) OVER (PARTITION BY cid) AS k,
+                 row_number() OVER (PARTITION BY cid ORDER BY t, eid) AS rn
+          FROM c JOIN e ON cu = u
+          WHERE (t < ct OR (t = ct AND eid < cid)) AND t >= ct - 604800.0
+        ), sh AS (
+          SELECT ty, cid,
+                 CASE WHEN k = 1 THEN cents * 1000000
+                      WHEN k = 2 THEN (cents * 1000000) // 2
+                      WHEN rn = 1 OR rn = k
+                        THEN (cents * 1000000 * 40) // 100
+                      ELSE (cents * 1000000 * 20) // (100 * (k - 2)) END
+                   AS micros
+          FROM p
+        ), s AS (
+          SELECT ty, cid, count(*) AS n, sum(micros) AS m
+          FROM sh GROUP BY ty, cid
         )
         SELECT ty AS event_type, CAST(sum(n) AS BIGINT) AS touches,
                CAST(count(*) AS BIGINT) AS conversions,

@@ -177,6 +177,8 @@ HEADLINE = [
     "ev_linear_attribution",
     "emb_dispersion",
     "ts_grid_pivot",
+    "ev_position_attribution",
+    "doc_graph_profile",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

@@ -1310,3 +1310,36 @@ def dedup_against_corpus_bloom(
         .drop("fp")
     )
     return fresh.unionByName(confirmed)
+
+
+def graph_profile(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Dup-graph shape dashboard — the degree and component-size
+    distributions of a near-dup pair graph, long-form ``(metric, k,
+    n)`` with metric ∈ {degree, component}: how many nodes have k
+    neighbors, how many duplicate clusters have k members. This is the
+    number that DECIDES the component-resolution lane (SCALE.md r7b:
+    large/small-star wins on chainy graphs, plain propagation's cheaper
+    rounds win on clique-like small-diameter ones — this op measures
+    which one you have before you pay for the wrong loop), and the
+    release-over-release monitor for "the crawl is collapsing into
+    bigger and bigger dup clusters".
+
+    Scale shape: degrees are one distinct + one node-keyed aggregate
+    over the EDGE list (never the corpus); component sizes reuse the
+    certified star-CC labels and reduce to a cluster-count-sized frame;
+    both histograms are k-sized. Output is tiny at any corpus size."""
+    both = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
+    deg = both.distinct().groupBy("a").agg(F.count(F.lit(1)).alias("k"))
+    dh = deg.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("degree").alias("metric"), F.col("k").cast("long").alias("k"), "n"
+    )
+    comp = connected_components_star(pairs, id_a, id_b)
+    cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("k"))
+    ch = cs.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
+        F.lit("component").alias("metric"), F.col("k").cast("long").alias("k"), "n"
+    )
+    return dh.unionByName(ch)

@@ -616,9 +616,13 @@ def linear_attribution(
         "_cid",
         F.expr("_cents * 1000000 DIV _k").alias("_micros"),
     )
-    # two-level aggregate: (type, conversion) partials first, so the
-    # distinct-conversion count is a plain count — no count-distinct
-    # Expand doubling the pair frame
+    return _attribution_rollup(shared)
+
+
+def _attribution_rollup(shared: DataFrame) -> DataFrame:
+    """Shared tail of the multi-touch models: (type, conversion)
+    partials first, so the distinct-conversion count is a plain count —
+    no count-distinct Expand doubling the pair frame."""
     per_conv = shared.groupBy("_ty", "_cid").agg(
         F.count(F.lit(1)).alias("_n"), F.sum("_micros").alias("_m")
     )
@@ -631,3 +635,63 @@ def linear_attribution(
         )
         .orderBy("event_type")
     )
+
+
+def position_attribution(
+    events: DataFrame,
+    conversion: str = "purchase",
+    lookback_s: float = 7 * 86400.0,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    time_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """U-shaped (position-based) multi-touch attribution — first and
+    last touchpoints earn 40% each, the middles split the remaining
+    20%: the model that values discovery AND closing over the path's
+    middle. Degenerate paths follow the standard convention — a single
+    touch takes 100%, a two-touch path splits 50/50.
+
+    Same exact micro-cent discipline and touch-pair fence as
+    ``linear_attribution`` (floor-divided int64 shares, lookback-bounded
+    pair volume, (time, event_id) strict precedence); position comes
+    from ONE row_number window over the same conversion-keyed frame the
+    denominator count already uses."""
+    ev = events.select(
+        F.col(user_col).alias("_u"),
+        F.col("event_id").alias("_eid"),
+        _epoch_s(events, time_col).alias("_t"),
+        F.col(type_col).alias("_ty"),
+    )
+    conv = events.filter(F.col(type_col) == conversion).select(
+        F.col(user_col).alias("_cu"),
+        F.col("event_id").alias("_cid"),
+        _epoch_s(events, time_col).alias("_ct"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    strictly_before = (F.col("_t") < F.col("_ct")) | (
+        (F.col("_t") == F.col("_ct")) & (F.col("_eid") < F.col("_cid"))
+    )
+    pairs = conv.join(ev, F.col("_cu") == F.col("_u")).filter(
+        strictly_before & (F.col("_t") >= F.col("_ct") - float(lookback_s))
+    )
+    w = Window.partitionBy("_cid")
+    wo = Window.partitionBy("_cid").orderBy("_t", "_eid")
+    ranked = pairs.select(
+        "_ty",
+        "_cid",
+        "_cents",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.row_number().over(wo).alias("_rn"),
+    )
+    micros = (
+        F.when(F.col("_k") == 1, F.expr("_cents * 1000000"))
+        .when(F.col("_k") == 2, F.expr("_cents * 1000000 DIV 2"))
+        .when(
+            (F.col("_rn") == 1) | (F.col("_rn") == F.col("_k")),
+            F.expr("_cents * 1000000 * 40 DIV 100"),
+        )
+        .otherwise(F.expr("_cents * 1000000 * 20 DIV (100 * (_k - 2))"))
+    )
+    shared = ranked.select("_ty", "_cid", micros.alias("_micros"))
+    return _attribution_rollup(shared)

@@ -729,3 +729,30 @@ def test_grid_pivot_single_aggregate_no_pivot_shuffle_blowup(spark):
     assert "Join" not in plan.replace("ASOF", "")  # locf grid uses windows, not joins
     assert "Expand" not in plan
     assert "partial_" in plan
+
+
+def test_xcorr_lag_broadcasts_pairs_no_cartesian(spark):
+    """The candidate pair list must broadcast onto the grid and the lag
+    join must stay an equi-join on integer indices."""
+    plan = _plan(spark, "ts_xcorr_lag")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_flatlines_single_series_exchange(spark):
+    """Windows and both aggregates of the island computation must share
+    ONE series-keyed exchange (plus AQE reads) — no join anywhere."""
+    plan = _plan(spark, "ts_flatlines")
+    assert "Join" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 2, plan[:1500]
+
+
+def test_linear_attribution_no_expand_no_cartesian(spark):
+    """The touch expansion is a user-keyed equi-join with range
+    residuals; the distinct-conversion count must come from the
+    two-level aggregate, never a count-distinct Expand."""
+    plan = _plan(spark, "ev_linear_attribution")
+    assert "Expand" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

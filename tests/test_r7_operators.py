@@ -774,3 +774,54 @@ def test_grid_pivot_columns_follow_name_order_and_locf(spark):
     assert out[120.0].v0 == 1.0 and out[120.0].v1 == 5.0    # both held
     assert out[130.0].v0 == 2.0 and out[140.0].v0 == 2.0    # step + hold
     assert all(getattr(out[t], "v2") is None for t in out)  # absent PV → nulls
+
+
+def test_position_attribution_u_shape_and_degenerate_paths(spark):
+    """k=1 → 100%; k=2 → 50/50; k>=3 → 40/40 first+last, middles split
+    the remaining 20% in floor micro-cents."""
+    from epicsarchiver_spark.operators.events import position_attribution
+
+    base = 1_700_000_000.0
+    rows = [
+        # user 1: view → click → email → purchase(100) — k=3 path
+        (1, 1, base - 300, "view", 0.0, None),
+        (2, 1, base - 200, "click", 0.0, None),
+        (3, 1, base - 100, "email", 0.0, None),
+        (4, 1, base, "purchase", 100.0, None),
+        # user 2: single touch, 100% to 'ad'
+        (5, 2, base - 50, "ad", 0.0, None),
+        (6, 2, base, "purchase", 40.0, None),
+        # user 3: two touches, 50/50
+        (7, 3, base - 80, "sms", 0.0, None),
+        (8, 3, base - 40, "push", 0.0, None),
+        (9, 3, base, "purchase", 10.0, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts double, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {r.event_type: r.credit for r in position_attribution(df).collect()}
+    assert out["view"] == pytest.approx(40.0)    # first of 3
+    assert out["email"] == pytest.approx(40.0)   # last of 3
+    assert out["click"] == pytest.approx(20.0)   # sole middle
+    assert out["ad"] == pytest.approx(40.0)      # k=1 → full value
+    assert out["sms"] == pytest.approx(5.0) and out["push"] == pytest.approx(5.0)
+
+
+def test_graph_profile_known_shapes(spark):
+    """A path (chain) and a triangle produce the textbook histograms:
+    path of 4 → degrees {1:2, 2:2}, one size-4 component; triangle →
+    degrees {2:3}, one size-3 component."""
+    from epicsarchiver_spark.operators.dedup import graph_profile
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12)],
+        "id_a long, id_b long",
+    )
+    rows = {(r.metric, r.k): r.n for r in graph_profile(pairs).collect()}
+    assert rows[("degree", 1)] == 2      # chain endpoints
+    assert rows[("degree", 2)] == 2 + 3  # chain middles + triangle nodes
+    assert rows[("component", 4)] == 1
+    assert rows[("component", 3)] == 1
+    assert sum(n for (m, _), n in rows.items() if m == "component") == 2
