@@ -6213,9 +6213,13 @@ def oracle_sql() -> dict[str, str]:
           FROM edges GROUP BY 1, 2
         ),
         dir AS (
-          SELECT p1 AS src, p2 AS dst, CAST(s AS BIGINT) AS w FROM canon
-          UNION ALL
-          SELECT p2 AS src, p1 AS dst, CAST(s AS BIGINT) AS w FROM canon
+          SELECT src, dst, w FROM (
+            SELECT p1 AS src, p2 AS dst,
+                   CAST(round(s * 100) AS BIGINT) AS w FROM canon
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst,
+                   CAST(round(s * 100) AS BIGINT) AS w FROM canon
+          ) WHERE w > 0
         ),
         wout AS (SELECT src, sum(w) AS wt FROM dir GROUP BY src),
         g AS (SELECT dst, src, w, wt FROM dir JOIN wout USING (src)),

@@ -85,10 +85,13 @@ def pagerank(
                    + (85 · Σ_{u~v} (r_k(u) · w(u,v) DIV W(u))) DIV 100
 
     so every engine reproduces every round bit-for-bit — no
-    summation-order slack, ever. Overflow budget: r ≤ Σr ≈ N·scale, so
-    N·w_max·scale must stay < 2⁶³ ≈ 9.2e18; the default scale=1e9 is
-    exact to N·w_max ≈ 9.2e9 — at a 100 TB graph drop scale to 1e6
-    (the same dial as ``similarity.gram_matrix``).
+    summation-order slack, ever. Weights quantize to integer CENTS
+    (sub-unit scores like cosines would truncate to zero under a bare
+    cast, and a zero out-weight would null-poison the DIV); edges with
+    non-positive quantized weight drop. Overflow budget: r ≤ Σr ≈
+    N·scale, so N·(100·w_max)·scale must stay < 2⁶³ ≈ 9.2e18; the
+    default scale=1e9 is exact to N·w_max ≈ 9.2e7 — at a 100 TB graph
+    drop scale to 1e6 (the same dial as ``similarity.gram_matrix``).
 
     Scale shape: the weighted edge list materializes ONCE
     (lineage-truncated); per round the node-sized rank frame BROADCASTS
@@ -110,16 +113,20 @@ def pagerank(
     from epicsarchiver_spark.operators.dedup import _truncate_lineage
 
     canon = canonical_pairs(edges, a, b, score)
-    both = canon.select(
-        F.col("pv1").alias("src"),
-        F.col("pv2").alias("dst"),
-        F.col("score").cast("long").alias("w"),
-    ).unionByName(
+    # integer-CENT weights (sub-unit scores like cosine similarities
+    # would truncate to 0 under a bare cast — a zero out-weight then
+    # null-poisons the DIV); non-positive edges drop explicitly
+    wq = F.round(F.col("score") * 100).cast("long")
+    both = (
         canon.select(
-            F.col("pv2").alias("src"),
-            F.col("pv1").alias("dst"),
-            F.col("score").cast("long").alias("w"),
+            F.col("pv1").alias("src"), F.col("pv2").alias("dst"), wq.alias("w")
         )
+        .unionByName(
+            canon.select(
+                F.col("pv2").alias("src"), F.col("pv1").alias("dst"), wq.alias("w")
+            )
+        )
+        .filter(F.col("w") > 0)
     )
     wout = both.groupBy("src").agg(F.sum("w").alias("wt"))
     g = _truncate_lineage(both.join(wout, "src"))

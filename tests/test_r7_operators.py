@@ -825,3 +825,22 @@ def test_graph_profile_known_shapes(spark):
     assert rows[("component", 4)] == 1
     assert rows[("component", 3)] == 1
     assert sum(n for (m, _), n in rows.items() if m == "component") == 2
+
+
+def test_pagerank_subunit_weights_survive_quantization(spark):
+    """Cosine-sized edge scores (< 1.0) must not truncate to zero weight
+    — the cent quantization keeps them, and a genuinely zero edge drops
+    instead of null-poisoning the division."""
+    from epicsarchiver_spark.operators.related import pagerank
+
+    edges = spark.createDataFrame(
+        [("A", "B", 0.9), ("B", "C", 0.3), ("C", "D", 0.0)],
+        "pv1 string, pv2 string, score double",
+    )
+    got = {r.pvname: r for r in pagerank(edges, rounds=3).collect()}
+    # D's only edge has zero weight → D drops from the graph entirely
+    assert set(got) == {"A", "B", "C"}
+    # B bridges the two live edges → highest centrality
+    assert got["B"].rank_units > got["A"].rank_units
+    assert got["B"].rank_units > got["C"].rank_units
+    assert all(r.rank_units >= (15 * 10**9) // 100 for r in got.values())
