@@ -580,8 +580,17 @@ def cmd_import_ascii(args) -> int:
 
     spark = _spark("import_ascii")
     rows = read_ascii(spark, args.path, args.pv).select("pvname", "time", "value")
-    n = rows.count()
     write_points(rows, args.store, run=args.run, n_buckets=args.buckets)
+    # count from the landed store — the text archive parses exactly once
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.sources.points_store import read_points
+
+    n = (
+        read_points(spark, args.store)
+        .filter((F.col("run") == args.run) & (F.col("pvname") == args.pv))
+        .count()
+    )
     print(f"imported {n} points for {args.pv} from {args.path} (run={args.run})")
     return 0
 

@@ -45,9 +45,11 @@ def word_frequency(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def _chars_with_marker(word: Column) -> Column:
     """Initial symbol sequence: one symbol per character plus the
     end-of-word marker (split on the empty pattern differs between
-    engines — substr indexing is exact everywhere)."""
-    chars = F.expr(
-        "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+    engines — substr indexing is exact everywhere). Works on any
+    string Column, including lambda variables."""
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(word)),
+        lambda i: F.substr(word, i, F.lit(1)),
     )
     return F.concat(chars, F.array(F.lit(END)))
 
@@ -165,20 +167,18 @@ def apply_bpe(
         engine = "expr" if len(merges) <= 64 else "pandas"
     if engine == "pandas":
         return _apply_bpe_pandas(docs, merges, id_col, text_col)
+    # coalesce: a NULL text must count as zero words in BOTH lanes
+    # (size(NULL array) is -1, not 0)
     words = docs.select(
         F.col(id_col),
-        F.filter(F.split(F.lower(F.col(text_col)), r"\s+"), lambda t: t != "").alias(
-            "_w"
-        ),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda t: t != "",
+        ).alias("_w"),
     )
     per_word = words.select(
         F.col(id_col),
-        F.expr("transform(_w, word -> transform(sequence(1, length(word)), i -> substring(word, i, 1)))").alias("_cs"),
-    ).select(
-        F.col(id_col),
-        F.transform(
-            F.col("_cs"), lambda cs: F.concat(cs, F.array(F.lit(END)))
-        ).alias("_syms"),
+        F.transform(F.col("_w"), _chars_with_marker).alias("_syms"),
     )
     def _merge_fn(a: str, b: str):
         # pyspark counts default-arg params toward lambda arity — a
@@ -217,10 +217,19 @@ def _apply_bpe_pandas(
     len(merges). Per-word results are memoized within a batch: corpus
     word frequency follows Zipf, so the cache hit rate is high and the
     cost approaches one replay per DISTINCT word per batch."""
+    import re
+
     import pandas as pd
 
     mseq = [(a, b, a + b) for a, b in merges]
-    out_schema = f"{id_col} long, n_words long, n_bpe_tokens long, fertility double"
+    id_type = docs.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"{id_col} {id_type}, n_words long, n_bpe_tokens long, fertility double"
+    )
+    # Java \s is ASCII-only ([ \t\n\x0b\f\r]); python str.split() also
+    # splits unicode whitespace (U+00A0 …) and would disagree with the
+    # expression lane — use the exact same character class
+    ws = re.compile("[ \\t\\n\\x0b\\f\\r]+")
 
     def _batches(frames):
         cache: dict[str, int] = {}
@@ -244,10 +253,10 @@ def _apply_bpe_pandas(
         for pdf in frames:
             ids, nw, nb = [], [], []
             for i, t in zip(pdf[id_col].tolist(), pdf[text_col].tolist()):
-                ws = [w for w in (t or "").lower().split() if w]
+                toks = [w for w in ws.split((t or "").lower()) if w]
                 ids.append(i)
-                nw.append(len(ws))
-                nb.append(sum(n_units(w) for w in ws))
+                nw.append(len(toks))
+                nb.append(sum(n_units(w) for w in toks))
             res = pd.DataFrame(
                 {id_col: ids, "n_words": nw, "n_bpe_tokens": nb}
             )

@@ -592,6 +592,32 @@ def linear_attribution(
     lookback, NEVER all-pairs. The per-conversion denominator is one
     window count over that same joined frame; the rollup reduces
     map-side to the \\|types\\|-sized result."""
+    pairs = _touch_pairs(
+        events, conversion, lookback_s, user_col, type_col, time_col, value_col
+    )
+    w = Window.partitionBy("_cid")
+    shared = pairs.withColumn("_k", F.count(F.lit(1)).over(w)).select(
+        "_ty",
+        "_cid",
+        F.expr("_cents * 1000000 DIV _k").alias("_micros"),
+    )
+    return _attribution_rollup(shared)
+
+
+def _touch_pairs(
+    events: DataFrame,
+    conversion: str,
+    lookback_s: float,
+    user_col: str,
+    type_col: str,
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Shared head of the multi-touch models: each conversion joined to
+    its user's strictly-preceding events inside the lookback window —
+    the correctness-critical fence ((time, event_id) strict precedence,
+    cent quantization, lookback bound) lives ONCE. Pair volume =
+    conversions × touches-in-window, the bound the lookback chooses."""
     ev = events.select(
         F.col(user_col).alias("_u"),
         F.col("event_id").alias("_eid"),
@@ -607,16 +633,9 @@ def linear_attribution(
     strictly_before = (F.col("_t") < F.col("_ct")) | (
         (F.col("_t") == F.col("_ct")) & (F.col("_eid") < F.col("_cid"))
     )
-    pairs = conv.join(ev, F.col("_cu") == F.col("_u")).filter(
+    return conv.join(ev, F.col("_cu") == F.col("_u")).filter(
         strictly_before & (F.col("_t") >= F.col("_ct") - float(lookback_s))
     )
-    w = Window.partitionBy("_cid")
-    shared = pairs.withColumn("_k", F.count(F.lit(1)).over(w)).select(
-        "_ty",
-        "_cid",
-        F.expr("_cents * 1000000 DIV _k").alias("_micros"),
-    )
-    return _attribution_rollup(shared)
 
 
 def _attribution_rollup(shared: DataFrame) -> DataFrame:
@@ -657,23 +676,8 @@ def position_attribution(
     pair volume, (time, event_id) strict precedence); position comes
     from ONE row_number window over the same conversion-keyed frame the
     denominator count already uses."""
-    ev = events.select(
-        F.col(user_col).alias("_u"),
-        F.col("event_id").alias("_eid"),
-        _epoch_s(events, time_col).alias("_t"),
-        F.col(type_col).alias("_ty"),
-    )
-    conv = events.filter(F.col(type_col) == conversion).select(
-        F.col(user_col).alias("_cu"),
-        F.col("event_id").alias("_cid"),
-        _epoch_s(events, time_col).alias("_ct"),
-        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
-    )
-    strictly_before = (F.col("_t") < F.col("_ct")) | (
-        (F.col("_t") == F.col("_ct")) & (F.col("_eid") < F.col("_cid"))
-    )
-    pairs = conv.join(ev, F.col("_cu") == F.col("_u")).filter(
-        strictly_before & (F.col("_t") >= F.col("_ct") - float(lookback_s))
+    pairs = _touch_pairs(
+        events, conversion, lookback_s, user_col, type_col, time_col, value_col
     )
     w = Window.partitionBy("_cid")
     wo = Window.partitionBy("_cid").orderBy("_t", "_eid")

@@ -1323,8 +1323,22 @@ def xcorr_lag(
         pairs = sess.createDataFrame(
             [(str(x), str(y)) for x, y in pairs], "pv_a string, pv_b string"
         )
+    # prune the archive to the candidate PVs BEFORE the grid build —
+    # the series-keyed window shuffle must run over ~|pairs| series,
+    # not the whole corpus (same discipline as grid_pivot)
+    names = (
+        pairs.select(F.col("pv_a").alias(key))
+        .unionByName(pairs.select(F.col("pv_b").alias(key)))
+        .distinct()
+    )
     grid = (
-        locf_grid(points, t0, t1, step, key=key)
+        locf_grid(
+            points.join(F.broadcast(names), key, "left_semi"),
+            t0,
+            t1,
+            step,
+            key=key,
+        )
         .select(key, "t", "value")
         .filter(F.col("value").isNotNull())
         .select(
@@ -1409,9 +1423,10 @@ def flatlines(
         F.col("time"),
         *[F.col(c) for c in order[1:]],
         q.alias("_q"),
-        F.when(F.lag(q).over(w).isNull() | (F.lag(q).over(w) != q), 1)
-        .otherwise(0)
-        .alias("_chg"),
+        # null-safe inequality (IS DISTINCT FROM): a NULL value starts a
+        # new island and consecutive NULLs form one — matching the SQL
+        # oracle; the first row's NULL lag also flags
+        (~F.lag(q).over(w).eqNullSafe(q)).cast("int").alias("_chg"),
     )
     runs = (
         flagged.withColumn(

@@ -14,6 +14,7 @@ concern)."""
 
 from __future__ import annotations
 
+import math
 from typing import Iterable, Iterator
 
 import pandas as pd
@@ -301,7 +302,10 @@ def flatline_stream(
         if len(rows):
             rows = rows.sort_values("time", kind="stable")
             for t, v in zip(rows["time"].tolist(), rows["value"].tolist()):
-                qv = int(round(v / qm))
+                # HALF_UP like the batch twin's F.round — python round()
+                # is half-even and would disagree at half-quantum values
+                x = v / qm
+                qv = int(math.floor(abs(x) + 0.5) * (1 if x >= 0 else -1))
                 if q is None or qv != q:
                     if alerted:
                         out.append(

@@ -844,3 +844,25 @@ def test_pagerank_subunit_weights_survive_quantization(spark):
     assert got["B"].rank_units > got["A"].rank_units
     assert got["B"].rank_units > got["C"].rank_units
     assert all(r.rank_units >= (15 * 10**9) // 100 for r in got.values())
+
+
+def test_flatlines_null_values_split_islands_like_sql(spark):
+    """NULL values follow IS DISTINCT FROM semantics (the oracle's
+    rule): a NULL between identical readings breaks the run, and
+    consecutive NULLs form one island of their own."""
+    from epicsarchiver_spark.operators import timeseries
+
+    rows = [
+        ("pv", 100.0, 5.0),
+        ("pv", 110.0, None),
+        ("pv", 120.0, None),
+        ("pv", 130.0, 5.0),
+        ("pv", 140.0, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.flatlines(df, min_points=2, min_duration_s=0.0).collect()[0]
+    # islands: [5], [NULL, NULL], [5, 5] → longest has 2 points
+    assert out.longest_run == 2
+    assert out.n_points == 5
+    # two islands reach 2 points: the NULL pair and the trailing 5s
+    assert out.n_stuck_runs == 2
