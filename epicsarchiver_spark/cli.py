@@ -542,7 +542,7 @@ def cmd_corpus(args) -> int:
         spark, spark.read.parquet(args.documents), artifacts=args.artifacts
     )
     action = args.action
-    if action in ("funnel", "report", "mixture"):
+    if action in ("funnel", "report", "mixture", "graph"):
         df = getattr(cp, action)()
         for r in df.collect():
             print("  ".join(f"{k}={r[k]}" for k in df.columns))
@@ -809,7 +809,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument(
         "action",
         choices=(
-            "funnel", "report", "mixture", "leakage", "survivors",
+            "funnel", "report", "mixture", "graph", "leakage", "survivors",
             "shards", "verdicts", "splits", "packing",
         ),
     )

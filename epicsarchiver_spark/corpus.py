@@ -154,6 +154,13 @@ class CorpusPipeline:
         )
 
     # --- dashboards ----------------------------------------------------
+    def graph(self, lane: str = "jaccard") -> DataFrame:
+        """Dup-graph shape dashboard (``dedup.graph_profile``): degree
+        and component-size distributions of the near-dup pair graph —
+        the release-over-release monitor for duplicate-cluster growth
+        and the measurement behind the CC-lane choice (SCALE.md)."""
+        return dedup.graph_profile(self.near_dup_pairs(lane))
+
     def report(self) -> DataFrame:
         return text_ops.corpus_report(self.docs, text=self.text)
 

@@ -128,3 +128,17 @@ def test_perplexity_tiers_survives_pre_lm_artifacts(spark, docs, tmp_path):
     cp = CorpusPipeline(spark, docs, artifacts=art)
     tiers = cp.perplexity_tiers()
     assert tiers.count() == docs.count()
+
+
+def test_graph_profile_view(spark, docs):
+    """The facade's graph dashboard agrees with the operator on the
+    same pair lane, and its component sizes sum to the number of
+    labeled (clustered) docs."""
+    from epicsarchiver_spark.operators import dedup
+
+    cp = CorpusPipeline(spark, docs)
+    rows = {(r.metric, r.k): r.n for r in cp.graph().collect()}
+    comp = dedup.connected_components_star(cp.near_dup_pairs())
+    clustered = comp.count()
+    assert sum(n * k for (m, k), n in rows.items() if m == "component") == clustered
+    assert any(m == "degree" for (m, _k) in rows)
