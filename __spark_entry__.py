@@ -1867,6 +1867,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), lookback_s=7 * 86400.0
     )
 
+    # release-over-release embedding drift (per-cell share + centroid)
+    q["emb_corpus_drift"] = lambda s, d: similarity.corpus_drift(
+        load_table(s, d, "embeddings"),
+        load_table(s, d, "embeddings").filter(F.col("vec_id") % 3 > 0),
+        n_cells=8,
+        dim=64,
+    )
+
     # dup-graph shape dashboard: degree + component-size distributions
     q["doc_graph_profile"] = lambda s, d: dedup.graph_profile(
         dedup.jaccard_pairs_blocked(
@@ -6057,6 +6065,58 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS conversions,
                round(sum(m) / 1e8, 6) AS credit
         FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["emb_corpus_drift"] = f"""
+        WITH {_V},
+        va AS (SELECT vec_id, e FROM v),
+        vb AS (SELECT vec_id, e FROM v WHERE vec_id % 3 > 0),
+        aa AS (
+          SELECT e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT e, {_score_list} AS dl FROM va)
+        ),
+        ab AS (
+          SELECT e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT e, {_score_list} AS dl FROM vb)
+        ),
+        exa AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 e[CAST(t.i AS INTEGER)] AS x
+          FROM aa, range(1, 65) t(i)
+        ),
+        exb AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 e[CAST(t.i AS INTEGER)] AS x
+          FROM ab, range(1, 65) t(i)
+        ),
+        ca AS (
+          SELECT cell, max(n) AS n_a, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax, count(*) AS n
+                FROM exa GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        cb AS (
+          SELECT cell, max(n) AS n_b, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax, count(*) AS n
+                FROM exb GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        j AS (
+          SELECT coalesce(ca.cell, cb.cell) AS cell,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+                 ca.c AS c1, cb.c AS c2
+          FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell
+        ),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        SELECT cell, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(n_a / ta, 6) AS share_a,
+               round(n_b / tb, 6) AS share_b,
+               CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                         AND sqrt(list_dot_product(c1, c1))
+                             * sqrt(list_dot_product(c2, c2)) > 0
+                    THEN round({_COS.format(a="c1", b="c2")}, 6)
+               END AS centroid_cosine
+        FROM j CROSS JOIN tot
     """
 
     o["doc_graph_profile"] = (

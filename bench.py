@@ -179,6 +179,7 @@ HEADLINE = [
     "ts_grid_pivot",
     "ev_position_attribution",
     "doc_graph_profile",
+    "emb_corpus_drift",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

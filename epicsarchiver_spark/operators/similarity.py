@@ -1738,3 +1738,82 @@ def dispersion(
         ),
     )
     return per_cell
+
+
+def corpus_drift(
+    vectors_a: DataFrame,
+    vectors_b: DataFrame,
+    n_cells: int = 16,
+    centroids: list[list[float]] | None = None,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Release-over-release embedding drift — the semantic companion to
+    ``curation.corpus_diff``: per coarse cell, both releases'
+    populations/shares and the cosine between their data centroids.
+    Shrinking cosine or a migrating share profile = the new crawl's
+    topic mix moved (or the embedding model changed under you); paired
+    with ``dispersion`` this is the embedding-side release dashboard.
+
+    Returns ``(cell, n_a, n_b, share_a, share_b, centroid_cosine)`` —
+    cells present in only one release report the other side as 0 with a
+    null cosine. Centroids are 6-dp-rounded per component before the
+    cosine (the ``kmeans_refine`` discipline, so cross-engine
+    summation-order noise cannot flip the rounded output).
+
+    Scale shape: each corpus pays one GEMM cell assignment (no shuffle)
+    and one (cell, component) partial aggregate — shuffle volume
+    cells × dim × partitions, corpus-size independent; everything after
+    is a |cells|-row join."""
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+
+    def _cells(vectors: DataFrame, tag: str) -> DataFrame:
+        corpus = vectors.select(as_double(F.col(vec_col)).alias("_v"))
+        assigned = corpus.select(
+            _nearest_cell_udf(centroids)(F.col("_v")).alias("cell"), "_v"
+        )
+        per_pos = (
+            assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("_ax"), F.count(F.lit(1)).alias("_n"))
+        )
+        return per_pos.groupBy("cell").agg(
+            F.max("_n").alias(f"n_{tag}"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "_ax"))),
+                lambda s: F.round(s["_ax"], 6),
+            ).alias(f"_c{tag}"),
+        )
+    a = _cells(vectors_a, "a")
+    b = _cells(vectors_b, "b")
+    joined = a.join(b, "cell", "full_outer").select(
+        "cell",
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        "_ca",
+        "_cb",
+    )
+    tot = joined.agg(
+        F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
+    )
+    den = norm(F.col("_ca")) * norm(F.col("_cb"))
+    cos = F.when(
+        F.col("_ca").isNotNull() & F.col("_cb").isNotNull() & (den > 0),
+        F.round(dot(F.col("_ca"), F.col("_cb")) / den, 6),
+    )
+    return (
+        joined.crossJoin(F.broadcast(tot))
+        .select(
+            "cell",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(F.col("n_a") / F.col("_ta"), 6).alias("share_a"),
+            F.round(F.col("n_b") / F.col("_tb"), 6).alias("share_b"),
+            cos.alias("centroid_cosine"),
+        )
+    )

@@ -866,3 +866,26 @@ def test_flatlines_null_values_split_islands_like_sql(spark):
     assert out.n_points == 5
     # two islands reach 2 points: the NULL pair and the trailing 5s
     assert out.n_stuck_runs == 2
+
+
+def test_corpus_drift_identical_and_shifted_releases(spark):
+    """Identical releases → cosine 1.0 everywhere and equal shares; a
+    release missing one cell reports (n_b=0, null cosine) for it."""
+    from epicsarchiver_spark.operators.similarity import corpus_drift
+
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    a = _vecs(
+        spark,
+        [(1, [1.0, 0.1], 0), (2, [0.9, 0.2], 0), (3, [0.1, 1.0], 0)],
+    )
+    same = corpus_drift(a, a, centroids=cents).collect()
+    assert all(r.centroid_cosine == pytest.approx(1.0) for r in same)
+    assert all(r.n_a == r.n_b and r.share_a == r.share_b for r in same)
+    # release b drops the y-cell vector entirely
+    b = _vecs(spark, [(1, [1.0, 0.1], 0), (2, [0.9, 0.2], 0)])
+    out = {r.cell: r for r in corpus_drift(a, b, centroids=cents).collect()}
+    ycell = [c for c, r in out.items() if r.n_b == 0][0]
+    assert out[ycell].n_a == 1 and out[ycell].centroid_cosine is None
+    assert out[ycell].share_b == 0.0
+    xcell = [c for c in out if c != ycell][0]
+    assert out[xcell].share_b == pytest.approx(1.0)
