@@ -158,8 +158,16 @@ class CorpusPipeline:
         """Dup-graph shape dashboard (``dedup.graph_profile``): degree
         and component-size distributions of the near-dup pair graph —
         the release-over-release monitor for duplicate-cluster growth
-        and the measurement behind the CC-lane choice (SCALE.md)."""
-        return dedup.graph_profile(self.near_dup_pairs(lane))
+        and the measurement behind the CC-lane choice (SCALE.md). With
+        ``artifacts`` set, component sizes come from the persisted CC
+        labels (no iteration) and the minhash lane reads the persisted
+        signatures for the degree side."""
+        comps = (
+            self.spark.read.parquet(f"{self.artifacts}/components")
+            if self.artifacts
+            else None
+        )
+        return dedup.graph_profile(self.near_dup_pairs(lane), components=comps)
 
     def report(self) -> DataFrame:
         return text_ops.corpus_report(self.docs, text=self.text)

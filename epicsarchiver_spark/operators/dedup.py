@@ -1313,7 +1313,10 @@ def dedup_against_corpus_bloom(
 
 
 def graph_profile(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """Dup-graph shape dashboard — the degree and component-size
     distributions of a near-dup pair graph, long-form ``(metric, k,
@@ -1328,8 +1331,11 @@ def graph_profile(
 
     Scale shape: degrees are one distinct + one node-keyed aggregate
     over the EDGE list (never the corpus); component sizes reuse the
-    certified star-CC labels and reduce to a cluster-count-sized frame;
-    both histograms are k-sized. Output is tiny at any corpus size."""
+    certified star-CC labels — pass the persisted ``components``
+    artifact (``curation.write_components`` read-back) to skip the CC
+    iteration entirely at release time — and reduce to a
+    cluster-count-sized frame; both histograms are k-sized. Output is
+    tiny at any corpus size."""
     both = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -1337,7 +1343,11 @@ def graph_profile(
     dh = deg.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("degree").alias("metric"), F.col("k").cast("long").alias("k"), "n"
     )
-    comp = connected_components_star(pairs, id_a, id_b)
+    comp = (
+        components
+        if components is not None
+        else connected_components_star(pairs, id_a, id_b)
+    )
     cs = comp.groupBy("component").agg(F.count(F.lit(1)).alias("k"))
     ch = cs.groupBy("k").agg(F.count(F.lit(1)).alias("n")).select(
         F.lit("component").alias("metric"), F.col("k").cast("long").alias("k"), "n"
