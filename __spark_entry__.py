@@ -1867,6 +1867,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), lookback_s=7 * 86400.0
     )
 
+    # closed-form Naive Bayes label audit (text-side twin of knn_labels)
+    q["doc_nb_audit"] = lambda s, d: text_ops.nb_label_audit(
+        load_table(s, d, "documents")
+    )
+
     # release-over-release embedding drift (per-cell share + centroid)
     q["emb_corpus_drift"] = lambda s, d: similarity.corpus_drift(
         load_table(s, d, "embeddings"),
@@ -6065,6 +6070,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS conversions,
                round(sum(m) / 1e8, 6) AS credit
         FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["doc_nb_audit"] = r"""
+        WITH dt AS (
+          SELECT doc_id, source AS lbl,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, lbl, term, count(*) AS tf
+          FROM dt GROUP BY 1, 2, 3
+        ),
+        cc AS (SELECT lbl AS cls, term, sum(tf) AS c FROM tf GROUP BY 1, 2),
+        cls AS (SELECT cls, sum(c) AS n_c FROM cc GROUP BY cls),
+        vocab AS (SELECT DISTINCT term FROM cc),
+        vt AS (SELECT count(*) AS V FROM vocab),
+        pri AS (
+          SELECT source AS cls,
+                 ln(count(*) * 1.0
+                    / (SELECT count(*) FROM documents)) AS prior
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT vocab.term, cls.cls,
+                 ln((coalesce(cc.c, 0) + 0.5) / (cls.n_c + 0.5 * vt.V)) AS w
+          FROM vocab CROSS JOIN cls CROSS JOIN vt
+          LEFT JOIN cc ON cc.term = vocab.term AND cc.cls = cls.cls
+        ),
+        ag AS (
+          SELECT tf.doc_id, tf.lbl, w.cls, sum(tf.tf * w.w) AS ll
+          FROM tf JOIN w ON tf.term = w.term
+          GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT doc_id, lbl, ag.cls,
+                 round(ll + pri.prior, 6) AS score
+          FROM ag JOIN pri ON pri.cls = ag.cls
+        )
+        SELECT doc_id, lbl AS label, cls AS predicted, score,
+               cls = lbl AS agree
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cls
+                 ) AS rn
+          FROM sc
+        ) WHERE rn = 1
     """
 
     o["emb_corpus_drift"] = f"""

@@ -180,6 +180,7 @@ HEADLINE = [
     "ev_position_attribution",
     "doc_graph_profile",
     "emb_corpus_drift",
+    "doc_nb_audit",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

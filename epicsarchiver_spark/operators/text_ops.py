@@ -1771,3 +1771,94 @@ def readability(
             F.round(F.lit(206.835) - F.lit(1.015) * (w / s) - F.lit(84.6) * (y / w), 6),
         ),
     )
+
+
+def nb_label_audit(
+    docs: DataFrame,
+    label_col: str = "source",
+    text: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Multinomial Naive Bayes trained on the corpus's own labels and
+    applied back — the closed-form in-engine CLASSIFIER (counts →
+    smoothed log-likelihoods, no gradient loop): each document gets the
+    argmax class under
+
+        score(d, c) = ln(docs_c / N) + Σ_t tf(t,d) · ln((cnt_{c,t} + α)
+                                                        / (n_c + α·V))
+
+    with Lidstone smoothing over the union vocabulary. Returns
+    ``(id, label, predicted, score, agree)`` — disagreements are the
+    mislabeled / mixed-domain candidates, the text-side twin of
+    ``similarity.knn_labels`` (and the K-class generalization of
+    ``dsir_scores``' two-model log-ratio). Train-once/score-crawls
+    splits the same way as the bigram-LM lane: persist the (class,
+    term) count table and rejoin.
+
+    Plan shape (the ``dsir_scores`` discipline): class models are
+    vocab-sized aggregates; the per-(class, term) weight table builds
+    once (V×K rows — vocabulary × a handful of classes); the per-doc tf
+    frame joins it a single time; priors/V ride broadcast frames; the
+    argmax is a doc-keyed K-row window. Scores are 6-dp-rounded before
+    the argmax so the tie order is engine-exact."""
+    d_toks = docs.select(
+        F.col(id_col),
+        F.col(label_col).alias("_lbl"),
+        F.explode(T.tokens(F.lower(F.col(text)))).alias("term"),
+    )
+    tf = d_toks.groupBy(id_col, "_lbl", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    cls_counts = tf.groupBy(F.col("_lbl").alias("_cls"), "term").agg(
+        F.sum("tf").alias("c")
+    )
+    classes = cls_counts.groupBy("_cls").agg(F.sum("c").alias("n_c"))
+    vocab = cls_counts.select("term").distinct()
+    v_tot = vocab.agg(F.count(F.lit(1)).alias("V"))
+    priors = (
+        docs.groupBy(F.col(label_col).alias("_cls"))
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .crossJoin(F.broadcast(docs.select(F.count(F.lit(1)).alias("_N"))))
+        .select("_cls", F.log(F.col("_nd") / F.col("_N")).alias("_prior"))
+    )
+    a = float(alpha)
+    weights = (
+        vocab.crossJoin(F.broadcast(classes))
+        .crossJoin(F.broadcast(v_tot))
+        .join(cls_counts, ["_cls", "term"], "left")
+        .select(
+            "term",
+            "_cls",
+            F.log(
+                (F.coalesce(F.col("c"), F.lit(0)) + F.lit(a))
+                / (F.col("n_c") + F.lit(a) * F.col("V"))
+            ).alias("_w"),
+        )
+    )
+    scored = (
+        tf.join(weights, "term")
+        .groupBy(id_col, "_lbl", "_cls")
+        .agg(F.sum(F.col("tf") * F.col("_w")).alias("_ll"))
+        .join(F.broadcast(priors), "_cls")
+        .select(
+            F.col(id_col),
+            "_lbl",
+            "_cls",
+            F.round(F.col("_ll") + F.col("_prior"), 6).alias("_score"),
+        )
+    )
+    w_best = Window.partitionBy(id_col).orderBy(
+        F.desc("_score"), F.col("_cls")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w_best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col(id_col),
+            F.col("_lbl").alias("label"),
+            F.col("_cls").alias("predicted"),
+            F.col("_score").alias("score"),
+            (F.col("_cls") == F.col("_lbl")).alias("agree"),
+        )
+    )

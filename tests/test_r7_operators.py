@@ -889,3 +889,27 @@ def test_corpus_drift_identical_and_shifted_releases(spark):
     assert out[ycell].share_b == 0.0
     xcell = [c for c in out if c != ycell][0]
     assert out[xcell].share_b == pytest.approx(1.0)
+
+
+def test_nb_label_audit_learns_separable_domains(spark):
+    """Two clearly separable vocabularies: every doc's predicted class
+    matches its label; a deliberately mislabeled doc disagrees (the
+    audit's purpose); smoothing keeps unseen-term classes finite."""
+    from epicsarchiver_spark.operators.text_ops import nb_label_audit
+
+    rows = [
+        (1, "proton beam lattice magnet quadrupole", "physics"),
+        (2, "beam magnet dipole vacuum lattice", "physics"),
+        (3, "sourdough flour yeast crumb bake", "baking"),
+        (4, "bake oven flour starter crust", "baking"),
+        # mislabeled: baking vocabulary recorded as physics
+        (5, "yeast flour bake crust sourdough", "physics"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = {r.doc_id: r for r in nb_label_audit(df, label_col="source").collect()}
+    for i in (1, 2):
+        assert out[i].predicted == "physics" and out[i].agree
+    for i in (3, 4):
+        assert out[i].predicted == "baking" and out[i].agree
+    assert out[5].predicted == "baking" and not out[5].agree
+    assert all(r.score is not None for r in out.values())
