@@ -1867,6 +1867,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "events"), lookback_s=7 * 86400.0
     )
 
+    # MinHash precision/recall vs exact blocked Jaccard (text ann_recall)
+    q["doc_minhash_quality"] = lambda s, d: dedup.minhash_quality(
+        load_table(s, d, "documents"), threshold=0.5, shingle_k=2, basis="md5"
+    )
+
+    # deseasonalized anomalies: residual vs the hour-of-day baseline
+    q["ts_seasonal_anomalies"] = lambda s, d: timeseries.seasonal_anomalies(
+        _points(s, d), k=5.0
+    )
+
     # closed-form Naive Bayes label audit (text-side twin of knn_labels)
     q["doc_nb_audit"] = lambda s, d: text_ops.nb_label_audit(
         load_table(s, d, "documents")
@@ -6071,6 +6081,80 @@ def oracle_sql() -> dict[str, str]:
                round(sum(m) / 1e8, 6) AS credit
         FROM s GROUP BY ty ORDER BY event_type
     """
+
+    o["doc_minhash_quality"] = f"""
+        WITH cand AS (
+          SELECT id_a, id_b FROM ({o["doc_minhash_neardups"]})
+        ),
+        sh2 AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh2 a JOIN sh2 b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+            AND len(list_intersect(a.s, b.s)) * 1.0
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.5
+        ),
+        j AS (
+          SELECT coalesce(c.id_a, t.id_a) AS id_a,
+                 c.id_a IS NOT NULL AS in_c, t.id_a IS NOT NULL AS in_t
+          FROM cand c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+        ),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+                 CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+                 CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit
+          FROM j
+        )
+        SELECT n_candidates, n_true, n_hit,
+               n_candidates - n_hit AS n_false,
+               n_true - n_hit AS n_missed,
+               CASE WHEN n_candidates > 0
+                    THEN round(n_hit * 1.0 / n_candidates, 6) END AS precision,
+               CASE WHEN n_true > 0
+                    THEN round(n_hit * 1.0 / n_true, 6) END AS recall
+        FROM agg
+    """
+
+    o["ts_seasonal_anomalies"] = (
+        P
+        + """,
+        b AS (
+          SELECT pvname, time, value,
+                 CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+                 CAST(round(value / 0.01) AS BIGINT) AS q
+          FROM points
+        ),
+        base AS (
+          SELECT pvname AS bk, hour AS bh,
+                 CAST(sum(q) AS DOUBLE) / count(*) AS bq
+          FROM b GROUP BY 1, 2
+        ),
+        resid AS (
+          SELECT b.pvname, b.time, b.value, (b.q - base.bq) * 0.01 AS residual
+          FROM b JOIN base ON b.pvname = bk AND b.hour = bh
+        ),
+        med AS (SELECT pvname, median(residual) AS m FROM resid GROUP BY 1),
+        wm AS (SELECT r.*, m FROM resid r JOIN med USING (pvname)),
+        md AS (
+          SELECT pvname, median(abs(residual - m)) AS d
+          FROM wm GROUP BY pvname
+        )
+        SELECT wm.pvname, time, value,
+               round(residual, 6) AS residual,
+               round(m, 6) AS med, round(d, 6) AS mad
+        FROM wm JOIN md USING (pvname)
+        WHERE d > 0 AND abs(residual - m) > 5.0 * d
+        """
+    )
 
     o["doc_nb_audit"] = r"""
         WITH dt AS (

@@ -181,6 +181,8 @@ HEADLINE = [
     "doc_graph_profile",
     "emb_corpus_drift",
     "doc_nb_audit",
+    "ts_seasonal_anomalies",
+    "doc_minhash_quality",
     "doc_component_splits",
     "doc_pack_sequences",
     "doc_quality_survivors",

@@ -1353,3 +1353,54 @@ def graph_profile(
         F.lit("component").alias("metric"), F.col("k").cast("long").alias("k"), "n"
     )
     return dh.unionByName(ch)
+
+
+def minhash_quality(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    shingle_k: int = 2,
+    basis: str = "md5",
+    **kw,
+) -> DataFrame:
+    """In-engine precision/recall report for the MinHash lane against
+    the exact blocked-Jaccard ground truth at the SAME threshold — the
+    number a production dedup pipeline monitors to retune bands/rows
+    (the text-side ``ann_recall``). One row:
+    ``(n_candidates, n_true, n_hit, n_false, n_missed, precision,
+    recall)`` where hits are candidate pairs whose EXACT Jaccard clears
+    the threshold. Perfect recall is the banding guarantee to verify,
+    precision < 1 is the signature-estimation cost you pay.
+
+    Scale shape: both pair frames are blocked/banded (never all-pairs);
+    the comparison is one full outer join on the (id_a, id_b) keys of
+    two bounded pair sets plus a one-row aggregate. At 100 TB run it on
+    a stratified sample (``text_ops.sample_stratified``) — the metric
+    is an estimate either way."""
+    cand = minhash_near_duplicates(
+        docs, threshold=threshold, shingle_k=shingle_k, basis=basis, **kw
+    ).select("id_a", "id_b", F.lit(1).alias("_c"))
+    truth = jaccard_pairs_blocked(
+        docs, shingle_k=shingle_k, threshold=threshold
+    ).select("id_a", "id_b", F.lit(1).alias("_t"))
+    j = cand.join(truth, ["id_a", "id_b"], "full_outer")
+    agg = j.agg(
+        F.sum(F.coalesce("_c", F.lit(0))).alias("n_candidates"),
+        F.sum(F.coalesce("_t", F.lit(0))).alias("n_true"),
+        F.sum((F.col("_c").isNotNull() & F.col("_t").isNotNull()).cast("long")).alias(
+            "n_hit"
+        ),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        "n_hit",
+        (F.col("n_candidates") - F.col("n_hit")).alias("n_false"),
+        (F.col("n_true") - F.col("n_hit")).alias("n_missed"),
+        F.when(
+            F.col("n_candidates") > 0,
+            F.round(F.col("n_hit") / F.col("n_candidates"), 6),
+        ).alias("precision"),
+        F.when(
+            F.col("n_true") > 0, F.round(F.col("n_hit") / F.col("n_true"), 6)
+        ).alias("recall"),
+    )

@@ -1483,3 +1483,69 @@ def grid_pivot(
         for i, n in enumerate(names)
     ]
     return grid.groupBy("t").agg(*aggs).orderBy("t")
+
+
+def seasonal_anomalies(
+    points: DataFrame,
+    k: float = 5.0,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Deseasonalized anomaly detection — flag points whose RESIDUAL
+    against the series' own hour-of-day baseline exceeds k·MAD of the
+    residuals: a PV with a daily thermal cycle trips plain median/MAD
+    outlier detection every afternoon, while the residual screen only
+    fires on departures FROM the cycle. Baseline = per (series, hour)
+    mean in exact integer-cent arithmetic (a ratio of exact sums, so
+    residuals are identical doubles in any engine); the flag reuses the
+    ``robust_outliers`` median/MAD rule on the residual column.
+
+    Returns flagged rows ``(key, time, value, residual, med, mad)``.
+    Scale shape: one (series, hour)-keyed aggregate (24 rows per series
+    — broadcast-weight re-join), then the same two bounded aggregate
+    passes as ``robust_outliers``; raw points shuffle once for the
+    baseline join and never again."""
+    hour = (F.floor(F.col("time") / 3600) % 24).alias("hour")
+    q = F.round(F.col("value") / quantum).cast("long")
+    base = (
+        points.select(F.col(key), hour, q.alias("_q"))
+        .groupBy(key, "hour")
+        .agg(F.sum("_q").alias("_sq"), F.count(F.lit(1)).alias("_n"))
+        .select(
+            F.col(key).alias("_bk"),
+            F.col("hour").alias("_bh"),
+            (F.col("_sq").cast("double") / F.col("_n")).alias("_base_q"),
+        )
+    )
+    resid = points.select(F.col(key), F.col("time"), F.col("value"), hour, q.alias("_q")).join(
+        base,
+        (F.col(key) == F.col("_bk")) & (F.col("hour") == F.col("_bh")),
+    ).select(
+        F.col(key),
+        "time",
+        "value",
+        ((F.col("_q") - F.col("_base_q")) * quantum).alias("residual"),
+    )
+    stats = resid.groupBy(key).agg(
+        F.expr("percentile(residual, 0.5)").alias("_med")
+    )
+    with_med = resid.join(F.broadcast(stats), key)
+    mads = with_med.groupBy(key).agg(
+        F.expr("percentile(abs(residual - _med), 0.5)").alias("_mad")
+    )
+    flagged = (
+        with_med.join(F.broadcast(mads), key)
+        .filter(
+            (F.col("_mad") > 0)
+            & (F.abs(F.col("residual") - F.col("_med")) > float(k) * F.col("_mad"))
+        )
+        .select(
+            F.col(key),
+            "time",
+            "value",
+            F.round("residual", 6).alias("residual"),
+            F.round("_med", 6).alias("med"),
+            F.round("_mad", 6).alias("mad"),
+        )
+    )
+    return flagged

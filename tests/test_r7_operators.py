@@ -913,3 +913,48 @@ def test_nb_label_audit_learns_separable_domains(spark):
         assert out[i].predicted == "baking" and out[i].agree
     assert out[5].predicted == "baking" and not out[5].agree
     assert all(r.score is not None for r in out.values())
+
+
+def test_seasonal_anomalies_ignores_the_cycle_flags_the_spike(spark):
+    """A clean daily cycle never flags; the same cycle with one
+    injected departure flags exactly that instant."""
+    from epicsarchiver_spark.operators import timeseries
+
+    rows = []
+    for day in range(6):
+        for h in range(24):
+            t = day * 86400.0 + h * 3600.0
+            # square daily cycle + small deterministic jitter (a
+            # perfectly flat residual stream has MAD 0, which the
+            # degenerate-scale guard correctly suppresses)
+            v = 20.0 + 10.0 * (1 if 8 <= h < 18 else 0)
+            v += 0.01 * ((day * 7 + h) % 5)
+            rows.append(("cyc", t, v))
+    spike_t = 3 * 86400.0 + 12 * 3600.0
+    rows = [(p, t, (99.0 if (p, t) == ("cyc", spike_t) else v)) for p, t, v in rows]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = timeseries.seasonal_anomalies(df, k=5.0).collect()
+    flagged = {r.time: r for r in out}
+    # the spike is flagged, with the largest departure of anything
+    assert spike_t in flagged
+    assert abs(flagged[spike_t].residual) == max(abs(r.residual) for r in out)
+    # everything flagged lives in the contaminated hour (the spike
+    # shifts hour-12's own baseline, so its siblings deviate too —
+    # correct behavior for a mean baseline); no OTHER hour fires
+    assert all(int(t // 3600) % 24 == 12 for t in flagged)
+    # the step edges of the clean cycle itself never fire
+    assert all(int(t // 3600) % 24 not in (8, 18) for t in flagged)
+
+
+def test_minhash_quality_counts_are_consistent(spark):
+    """On the shared gate corpus the report's identities must hold:
+    hits <= both sides, false+hit = candidates, missed+hit = true, and
+    the banding guarantee (recall 1.0 at this parameterization)."""
+    from epicsarchiver_spark.operators.dedup import minhash_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    r = minhash_quality(docs, threshold=0.5, shingle_k=2, basis="md5").collect()[0]
+    assert r.n_hit <= r.n_candidates and r.n_hit <= r.n_true
+    assert r.n_false == r.n_candidates - r.n_hit
+    assert r.n_missed == r.n_true - r.n_hit
+    assert r.n_true > 0 and r.recall == 1.0
