@@ -756,3 +756,38 @@ def test_linear_attribution_no_expand_no_cartesian(spark):
     assert "Expand" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nb_audit_no_cartesian_blowup(spark):
+    """The V×K weight build uses broadcast crosses of the tiny class /
+    V frames — never a nested-loop between corpus-sized frames; the
+    argmax window partitions on the doc id."""
+    plan = _plan(spark, "doc_nb_audit")
+    assert "CartesianProduct" not in plan
+    # the only nested-loop joins are the broadcast one-row/`classes`
+    # frames (the documented scalar-cross pattern)
+    assert plan.count("SortMergeJoin") <= 2, plan[:1500]
+
+
+def test_seasonal_anomalies_bounded_aggregates(spark):
+    """Baseline and MAD passes are keyed aggregates; the per-series
+    stats re-attach as broadcasts — no corpus-sized window, no
+    cartesian."""
+    plan = _plan(spark, "ts_seasonal_anomalies")
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_corpus_drift_only_cell_sized_joins(spark):
+    """Both releases reduce to |cells|-row frames before any join. The
+    full-outer cell merge cannot broadcast (outer side must shuffle),
+    so a sort-merge join on the TINY cell frames is the expected shape
+    — the pin is that nothing corpus-sized joins and no cartesian
+    appears (the one BroadcastNestedLoopJoin is the documented one-row
+    totals cross)."""
+    plan = _plan(spark, "emb_corpus_drift")
+    assert "CartesianProduct" not in plan
+    # formatted explain lists each operator in the tree AND the detail
+    # section → counts double: one SMJ (cell merge) + one BNLJ (totals)
+    assert plan.count("SortMergeJoin") <= 4, plan[:1500]
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
