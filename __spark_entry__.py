@@ -147,24 +147,70 @@ def entry(spark: SparkSession) -> DataFrame:
 # Gate queries added new in round 7 — kept in a named list so the
 # sample-order priority block (below) can front-load them for driver
 # certification in the same round they are introduced.
-_R7_FRONT: list[str] = [
-    "doc_dedup_shards_indexed",
-    "doc_winnow_indexed",
-    "rel_market_share",
-    "rel_product_profit",
-    "rel_small_qty_revenue",
-    "doc_hapax_zipf",
-    "doc_readability",
-    "ev_attribution",
-    "ev_session_stats",
-    "emb_cell_quality",
-    "doc_minhash_indexed",
-    "emb_kmeans_refine",
-    "ev_dau_anomalies",
-    "doc_split_leakage",
-    "ts_latest_bucketed",
-    "rel_late_suppliers",
-    "rel_ship_delay_dist",
+_R8_FRONT: list[str] = [
+    # the 24 r7-continuation queries the r7 sample window never
+    # reached (registry minus the union of green rows in
+    # CORRECTNESS_r01..r07) — all green under the local mirror
+    # (tests/test_oracle_parity.py); certifying them completes
+    # 222/222 driver certification
+    "ev_funnel_times",
+    "doc_ccnet_indexed",
+    "doc_component_splits",
+    "doc_quality_survivors",
+    "emb_hard_negatives",
+    "emb_knn_labels",
+    "sink_ascii_roundtrip",
+    "doc_splits_indexed",
+    "ts_grid_pivot",
+    "emb_dispersion",
+    "ts_flatlines",
+    "ev_linear_attribution",
+    "doc_minhash_quality",
+    "ts_seasonal_anomalies",
+    "doc_nb_audit",
+    "emb_corpus_drift",
+    "doc_graph_profile",
+    "ev_position_attribution",
+    "doc_bpe_pairs",
+    "ts_xcorr_lag",
+    "rel_pagerank",
+    "emb_gram_matrix",
+    "rel_min_cost_supplier",
+    "rel_dominant_suppliers",
+    # queries NEW in round 8 are appended here as they land, so they
+    # certify in the same round they are introduced
+]
+
+# cheap, already-driver-certified queries that pad the sample window
+# out to 50 — they re-certify for free while every slot ahead of them
+# goes to a never-certified key
+_R8_FILLERS: list[str] = [
+    "ts_range_read",
+    "ts_value_at",
+    "ts_latest",
+    "ts_minmax",
+    "ts_nchanged",
+    "ts_deadband",
+    "ts_heartbeat_fill",
+    "ts_status_activity",
+    "ts_enum_labels",
+    "ts_alert_eval",
+    "ts_cvalue",
+    "ts_clean_values",
+    "ts_percentiles",
+    "ts_time_format",
+    "ts_timehash",
+    "cat_wildcard",
+    "cat_distinct_series",
+    "cat_normalize",
+    "cat_hashname",
+    "cat_chararray",
+    "cat_desc_join",
+    "cat_yesno_json",
+    "cat_parse_times",
+    "cat_null_norm",
+    "cat_recent_runs",
+    "cat_row_kv",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1941,55 +1987,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # --- sample-order priority -------------------------------------
     # The driver gates correctness on a 50-query sample taken from the
-    # FRONT of this dict (r2-r6 each certified exactly the first 50
+    # FRONT of this dict (r2-r7 each certified exactly the first 50
     # keys).  Invariant (maintained since r6): the front block lists
     # exactly the never-driver-certified queries, highest priority
-    # first.  For r7 that is the 33 r6b additions that the r6 sample
-    # did not reach (computed as registry minus the union of green
-    # rows in CORRECTNESS_r01..r06) plus the 17 queries NEW in r7
-    # (_R7_FRONT) — 50 total, exactly filling the 50-query sample,
-    # so CORRECTNESS_r07 certifies the whole registry.  All previously
+    # first.  For r8 that is the 24 r7-continuation queries the r7
+    # sample never reached (_R8_FRONT — computed as registry minus the
+    # union of green rows in CORRECTNESS_r01..r07) plus any query NEW
+    # in r8 (appended to _R8_FRONT as it lands); _R8_FILLERS pads the
+    # window to 50 with cheap already-certified keys.  All previously
     # certified queries keep their green rows (testdata unchanged —
     # guarded by tests/testdata_fingerprint.json) and fill the
-    # remainder in their prior order.  Queries added AFTER the r7
-    # front was frozen (doc_component_splits, doc_quality_survivors,
-    # ev_funnel_times, doc_ccnet_indexed) sit past position 50 and are
-    # the r8 front-load list.
-    front = [
-        "doc_cdc_chunks",
-        "doc_cdc_dup_chunks",
-        "doc_cdc_incremental",
-        "doc_cdc_chunk_texts",
-        "doc_dsir_scores",
-        "doc_decontaminate_spans",
-        "emb_cell_sample",
-        "ts_rolling_outliers",
-        "ts_largest_gaps",
-        "emb_semantic_dedup",
-        "doc_ccnet_buckets",
-        "doc_corpus_report",
-        "ts_health_report",
-        "ts_lttb",
-        "ev_cohort_value",
-        "emb_pipeline_verdicts",
-        "doc_corpus_diff",
-        "rel_nation_trade",
-        "doc_collocations",
-        "ev_inter_arrival",
-        "doc_dedup_shards",
-        "rel_order_count_dist",
-        "doc_tokenizer_fertility",
-        "doc_budget_selection",
-        "doc_pipeline_verdicts",
-        "doc_pipeline_funnel",
-        "doc_ngram_diversity",
-        "doc_oov_rates",
-        "emb_prototype_scores",
-        "doc_mixture_plan",
-        "rel_part_value_share",
-        "rel_top_supplier",
-        "rel_idle_customers",
-    ] + _R7_FRONT
+    # remainder in their prior order.
+    front = _R8_FRONT + _R8_FILLERS
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
