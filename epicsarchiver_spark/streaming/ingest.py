@@ -670,6 +670,117 @@ def upsert_latest_jdbc(
             f.result()
 
 
+def upsert_latest_jdbc_distributed(
+    batch: DataFrame,
+    url: str,
+    table: str = "cache",
+    ensure_table: bool = True,
+    n_shards: int = 4,
+    staging: str | None = None,
+) -> None:
+    """S14, JDBC lane at scale — the DISTRIBUTED merge: executor-side
+    parallel staging write + one set-based MERGE, with **zero data rows
+    through the driver** (vs ``upsert_latest_jdbc``'s per-row driver
+    loop, which funnels every active series through one python process
+    — fine for the reference's ~10³ PVs, the bottleneck at 10⁵–10⁶).
+
+    Shape per micro-batch:
+
+    1. the per-key reduction (``max_by`` over the batch) runs
+       distributed, exactly as in the driver lane;
+    2. the reduced frame is written ``repartition(n_shards, pvname)``
+       → ``DataFrameWriter.jdbc(mode="append")`` into a staging table —
+       this IS the executor-side ``foreachPartition`` write: Spark's
+       JDBC sink opens one connection per partition ON THE EXECUTORS
+       and batch-inserts its partition's rows, so ``n_shards``
+       connections load concurrently and the driver never materializes
+       a row (the staging table is pre-created driver-side with
+       VARCHAR keys — Spark's Derby dialect would otherwise map
+       StringType to CLOB, which Derby cannot compare in a MERGE ON
+       clause);
+    3. one driver-side ``MERGE INTO cache USING staging`` statement —
+       constant-size SQL text, no rows — applies the monotone upsert
+       set-wise: ``WHEN MATCHED AND t.time <= s.time THEN UPDATE,
+       WHEN NOT MATCHED THEN INSERT``. The staging table is dropped in
+       the same transaction's wake; a crash between write and MERGE
+       leaves only a stale staging table that the next batch drops and
+       rewrites (the checkpointed stream replays the batch).
+
+    Idempotence/monotonicity contract is identical to the driver lane:
+    keys within the staging table are unique (groupBy), the MERGE guard
+    ``t.time <= s.time`` makes replays no-ops and late batches unable
+    to regress a newer value, and the MERGE is one transaction so a
+    shard-load failure aborts before any cache mutation (the driver
+    lane's savepoint fencing exists because its inserts race row-wise;
+    the set-based MERGE has no such race to fence). Parity with both
+    other lanes is asserted in tests/test_streaming.py."""
+    spark = batch.sparkSession
+    staging = staging or f"{table}_staging"
+    order = F.struct(F.col("time"))
+    fresh = (
+        batch.groupBy("pvname")
+        .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
+        .filter(F.col("time").isNotNull())  # unorderable; all lanes drop it
+    )
+
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        if ensure_table:
+            _jdbc_ensure_table(conn, table)
+        _jdbc_drop_table(conn, staging)  # stale leftover from a crashed batch
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(
+                f"CREATE TABLE {staging} "
+                "(pvname VARCHAR(255), value DOUBLE, time DOUBLE)"
+            )
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+    (
+        fresh.repartition(max(int(n_shards), 1), "pvname")
+        .write.mode("append")
+        .jdbc(url, staging)
+    )
+
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        conn.setAutoCommit(False)
+        st = conn.createStatement()
+        try:
+            st.executeUpdate(
+                f"MERGE INTO {table} t USING {staging} s ON t.pvname = s.pvname "
+                "WHEN MATCHED AND t.time <= s.time "
+                "THEN UPDATE SET value = s.value, time = s.time "
+                "WHEN NOT MATCHED THEN "
+                "INSERT (pvname, value, time) VALUES (s.pvname, s.value, s.time)"
+            )
+            conn.commit()
+        except Exception:
+            conn.rollback()
+            raise
+        finally:
+            st.close()
+        conn.setAutoCommit(True)  # the staging DROP must itself commit
+        _jdbc_drop_table(conn, staging)
+    finally:
+        conn.close()
+
+
+def _jdbc_drop_table(conn, table: str) -> None:
+    st = conn.createStatement()
+    try:
+        st.executeUpdate(f"DROP TABLE {table}")
+    except Exception as ex:  # noqa: BLE001 — 42Y55/42S02/42P01: doesn't exist
+        if _jdbc_sqlstate(ex) not in ("42Y55", "42S02", "42P01"):
+            raise
+    finally:
+        st.close()
+
+
 def _jdbc_sqlstate(ex) -> str:
     je = getattr(ex, "java_exception", None)
     try:
@@ -749,15 +860,30 @@ def _jdbc_upsert_rows(jvm, url: str, table: str, rows) -> None:
 
 
 def latest_value_query_jdbc(
-    events: DataFrame, url: str, checkpoint: str, table: str = "cache"
+    events: DataFrame,
+    url: str,
+    checkpoint: str,
+    table: str = "cache",
+    distributed: bool = False,
+    n_shards: int = 4,
 ) -> Any:
     """The cache daemon against a SQL store: ``latest_value_query`` with
     the JDBC merge lane (north-star shape "Structured Streaming + JDBC
-    sink")."""
+    sink"). ``distributed=True`` selects the executor-side staging +
+    MERGE lane (``upsert_latest_jdbc_distributed``) — the production
+    shape at ≥10⁵ active series; the default driver lane remains the
+    small-deployment path (reference parity: one connection, row-wise
+    savepoint-fenced upsert)."""
+    if distributed:
+        fn = lambda b, _id: upsert_latest_jdbc_distributed(  # noqa: E731
+            b, url, table=table, n_shards=n_shards
+        )
+    else:
+        fn = lambda b, _id: upsert_latest_jdbc(b, url, table=table)  # noqa: E731
     return (
         events.writeStream.outputMode("update")
         .option("checkpointLocation", checkpoint)
-        .foreachBatch(lambda b, _id: upsert_latest_jdbc(b, url, table=table))
+        .foreachBatch(fn)
     )
 
 

@@ -928,6 +928,123 @@ def test_upsert_jdbc_streaming_query(spark, events_dir, tmp_path):
     assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
 
 
+def test_upsert_jdbc_distributed_parity(spark, tmp_path):
+    """VERDICT r7 #3: the distributed JDBC lane (executor-side staging
+    write + one set-based MERGE, zero data rows through the driver) must
+    leave the table IDENTICAL to the driver lane across the full
+    adversarial batch sequence — replayed batch, out-of-order late
+    batch, NULL value, NULL time — at n_shards=3."""
+    from epicsarchiver_spark.streaming.ingest import (
+        upsert_latest_jdbc,
+        upsert_latest_jdbc_distributed,
+    )
+
+    url_drv = f"jdbc:derby:{tmp_path}/distdrvdb;create=true"
+    url_dst = f"jdbc:derby:{tmp_path}/distexedb;create=true"
+    schema = "pvname string, time double, value double"
+    names = [f"PV{i:02d}" for i in range(12)]
+    batches = [
+        [(n, 1.0, float(i)) for i, n in enumerate(names)],
+        [(n, 2.0, float(i) + 100) for i, n in enumerate(names[::2])],
+        [(n, 2.0, float(i) + 100) for i, n in enumerate(names[::2])],  # replay
+        [(names[0], 0.5, 999.0), (names[5], 3.0, None), (names[7], None, 5.0)],
+    ]
+    for rows in batches:
+        b = spark.createDataFrame(rows, schema)
+        upsert_latest_jdbc(b, url_drv, table="cache")
+        upsert_latest_jdbc_distributed(b, url_dst, table="cache", n_shards=3)
+
+    def _read(url):
+        return {
+            (r[0], r[1], r[2])
+            for r in spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", "cache")
+            .load()
+            .collect()
+        }
+
+    got_drv, got_dst = _read(url_drv), _read(url_dst)
+    assert got_dst == got_drv
+    assert len(got_dst) == 12
+    assert ("PV00", 999.0, 0.5) not in got_dst  # late batch never regressed
+    assert ("PV05", None, 3.0) in got_dst  # NULL value lands as SQL NULL
+    # no staging table left behind
+    tables = {
+        r[0].upper()
+        for r in spark.read.format("jdbc")
+        .option("url", url_dst)
+        .option("query", "SELECT tablename FROM sys.systables WHERE tabletype='T'")
+        .load()
+        .collect()
+    }
+    assert "CACHE_STAGING" not in tables
+
+
+def test_upsert_jdbc_distributed_stale_staging_recovery(spark, tmp_path):
+    """A crash between the staging write and the MERGE leaves a stale
+    staging table; the next batch must drop and rewrite it rather than
+    merge ghost rows or fail on CREATE."""
+    from epicsarchiver_spark.streaming.ingest import upsert_latest_jdbc_distributed
+
+    url = f"jdbc:derby:{tmp_path}/staledb;create=true"
+    schema = "pvname string, time double, value double"
+    # simulate the crash artifact: a staging table with a ghost row
+    ghost = spark.createDataFrame([("GHOST", 1.0, 1.0)], schema)
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.executeUpdate(
+        "CREATE TABLE cache_staging (pvname VARCHAR(255), value DOUBLE, time DOUBLE)"
+    )
+    st.executeUpdate(
+        "INSERT INTO cache_staging VALUES ('GHOST', 1.0, 1.0)"
+    )
+    st.close()
+    conn.close()
+    del ghost
+
+    b = spark.createDataFrame([("A", 1.0, 10.0)], schema)
+    upsert_latest_jdbc_distributed(b, url, table="cache")
+    got = {
+        (r[0], r[1], r[2])
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cache")
+        .load()
+        .collect()
+    }
+    assert got == {("A", 10.0, 1.0)}  # no GHOST row merged
+
+
+def test_upsert_jdbc_distributed_streaming_query(spark, events_dir, tmp_path):
+    """End-to-end: the distributed JDBC cache daemon as a streaming
+    foreachBatch query (distributed=True), availableNow over the parquet
+    source — same result as the driver-lane streaming test."""
+    from epicsarchiver_spark.streaming.ingest import latest_value_query_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/streamdistdb;create=true"
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q = (
+        latest_value_query_jdbc(
+            stream, url, str(tmp_path / "ckpt_jdbc_dist"), distributed=True, n_shards=3
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.pvname, float(r.time), float(r.value))
+        for r in spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "cache")
+        .load()
+        .toDF("pvname", "value", "time")  # Derby reports uppercase names
+        .collect()
+    }
+    assert got == {("A", 1000.0, 6.0), ("B", 1000.0, 12.1), ("C", 1000.0, 4.0)}
+
+
 def test_outlier_stream_matches_batch_operator(spark, tmp_path):
     """Streaming rolling anomalies == the batch operator on the same
     in-order input, across micro-batch boundaries (the trailing buffer
