@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE, load_table, points_view
@@ -179,6 +179,7 @@ _R8_FRONT: list[str] = [
     "rel_dominant_suppliers",
     # queries NEW in round 8 are appended here as they land, so they
     # certify in the same round they are introduced
+    "ctl_alert_upsert",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -1327,6 +1328,110 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return s.createDataFrame(rendered, "pvname string, mail string")
 
     q["ctl_alert_mail"] = _ctl_alert_mail
+
+    def _ctl_alert_upsert(s, d):
+        """Alert-rule CRUD (ref webapp.py:163-227 submit_alertedits,
+        schema.py:29-41): seed a rules dimension keyed (pvname, compare)
+        from the series catalog, apply TWO edit batches through
+        control.upsert_alerts — batch 1 upserts ranks 6-12 with a
+        within-batch duplicate edit on rank 6 (last-write-wins pin),
+        batch 2 drops the 'gt' rules of ranks 1-3 (their 'lt' rules
+        must survive — composite key pin) and single-field-patches
+        rank 7 — then read the dimension back."""
+        w = Window.orderBy("pvname")
+        ranked = (
+            points_view(s, d)
+            .select("pvname")
+            .distinct()
+            .withColumn("rnk", F.row_number().over(w))
+        )
+        _snull = F.lit(None).cast("string")
+        _dnull = F.lit(None).cast("double")
+        base = (
+            ranked.filter(F.col("rnk") <= 10)
+            .select(
+                "pvname",
+                F.lit("gt").alias("compare"),
+                F.concat(F.lit("hi:"), F.col("pvname")).alias("name"),
+                _snull.alias("mailto"),
+                _snull.alias("mailmsg"),
+                F.lit(50.0).alias("trippoint"),
+                F.lit(30.0).alias("timeout"),
+                F.lit("yes").alias("active"),
+                F.lit("ok").alias("status"),
+            )
+            .unionByName(
+                ranked.filter(F.col("rnk") <= 3).select(
+                    "pvname",
+                    F.lit("lt").alias("compare"),
+                    F.concat(F.lit("lo:"), F.col("pvname")).alias("name"),
+                    _snull.alias("mailto"),
+                    _snull.alias("mailmsg"),
+                    F.lit(5.0).alias("trippoint"),
+                    F.lit(30.0).alias("timeout"),
+                    F.lit("yes").alias("active"),
+                    F.lit("ok").alias("status"),
+                )
+            )
+        )
+        e1 = ranked.filter(F.col("rnk").between(6, 12)).select(
+            F.col("rnk").cast("long").alias("id"),
+            F.lit(1.0).alias("ts"),
+            F.lit("add").alias("action"),
+            "pvname",
+            F.lit("gt").alias("compare"),
+            F.concat(F.lit("hi2:"), F.col("pvname")).alias("name"),
+            F.lit("ops@example.com").alias("mailto"),
+            _snull.alias("mailmsg"),
+            F.lit(75.0).alias("trippoint"),
+            _dnull.alias("timeout"),
+            _snull.alias("active"),
+        )
+        e1b = ranked.filter(F.col("rnk") == 6).select(
+            F.lit(100).cast("long").alias("id"),
+            F.lit(2.0).alias("ts"),
+            F.lit("edit").alias("action"),
+            "pvname",
+            F.lit("gt").alias("compare"),
+            _snull.alias("name"),
+            _snull.alias("mailto"),
+            _snull.alias("mailmsg"),
+            F.lit(80.0).alias("trippoint"),
+            _dnull.alias("timeout"),
+            _snull.alias("active"),
+        )
+        after1 = control.upsert_alerts(base, e1.unionByName(e1b))
+        e2 = ranked.filter(F.col("rnk") <= 3).select(
+            F.col("rnk").cast("long").alias("id"),
+            F.lit(3.0).alias("ts"),
+            F.lit("drop").alias("action"),
+            "pvname",
+            F.lit("gt").alias("compare"),
+            _snull.alias("name"),
+            _snull.alias("mailto"),
+            _snull.alias("mailmsg"),
+            _dnull.alias("trippoint"),
+            _dnull.alias("timeout"),
+            _snull.alias("active"),
+        )
+        e2b = ranked.filter(F.col("rnk") == 7).select(
+            F.lit(200).cast("long").alias("id"),
+            F.lit(3.0).alias("ts"),
+            F.lit("edit").alias("action"),
+            "pvname",
+            F.lit("gt").alias("compare"),
+            _snull.alias("name"),
+            _snull.alias("mailto"),
+            _snull.alias("mailmsg"),
+            F.lit(99.0).alias("trippoint"),
+            _dnull.alias("timeout"),
+            F.lit("no").alias("active"),
+        )
+        return control.upsert_alerts(after1, e2.unionByName(e2b)).orderBy(
+            "pvname", "compare"
+        )
+
+    q["ctl_alert_upsert"] = _ctl_alert_upsert
 
     q["cat_null_norm"] = lambda s, d: (
         load_table(s, d, "orders")
@@ -4776,6 +4881,77 @@ def oracle_sql() -> dict[str, str]:
           WHEN 'ge' THEN l.value >= r.trippoint
           WHEN 'gt' THEN l.value >  r.trippoint
           ELSE FALSE END
+        """
+    )
+
+    # the same two-batch MERGE the Spark query runs, as two chained
+    # full-join CTE stages (m1, m2); the within-batch duplicate edit is
+    # collapsed by the l1/l2 row_number exactly as upsert_alerts does
+    _au_merge = """
+        SELECT pvname, compare,
+               coalesce(e.name, b.name) AS name,
+               coalesce(e.mailto, b.mailto) AS mailto,
+               coalesce(e.mailmsg, b.mailmsg) AS mailmsg,
+               coalesce(e.trippoint, b.trippoint) AS trippoint,
+               coalesce(e.timeout, b.timeout, 30.0) AS timeout,
+               coalesce(e.active, b.active, 'yes') AS active,
+               coalesce(b.status, 'ok') AS status
+        FROM {base} b FULL JOIN {lat} e USING (pvname, compare)
+        WHERE e.action IS NULL OR e.action <> 'drop'
+    """
+    o["ctl_alert_upsert"] = (
+        P
+        + f""",
+        pvr AS (
+          SELECT pvname, row_number() OVER (ORDER BY pvname) AS rnk
+          FROM (SELECT DISTINCT pvname FROM points)
+        ),
+        base AS (
+          SELECT pvname, 'gt' AS compare, 'hi:' || pvname AS name,
+                 CAST(NULL AS VARCHAR) AS mailto, CAST(NULL AS VARCHAR) AS mailmsg,
+                 50.0 AS trippoint, 30.0 AS timeout, 'yes' AS active, 'ok' AS status
+          FROM pvr WHERE rnk <= 10
+          UNION ALL
+          SELECT pvname, 'lt', 'lo:' || pvname, NULL, NULL, 5.0, 30.0, 'yes', 'ok'
+          FROM pvr WHERE rnk <= 3
+        ),
+        e1 AS (
+          SELECT rnk AS id, 1.0 AS ts, 'add' AS action, pvname, 'gt' AS compare,
+                 'hi2:' || pvname AS name, 'ops@example.com' AS mailto,
+                 CAST(NULL AS VARCHAR) AS mailmsg, 75.0 AS trippoint,
+                 CAST(NULL AS DOUBLE) AS timeout, CAST(NULL AS VARCHAR) AS active
+          FROM pvr WHERE rnk BETWEEN 6 AND 12
+          UNION ALL
+          SELECT 100, 2.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 80.0, NULL, NULL
+          FROM pvr WHERE rnk = 6
+        ),
+        l1 AS (
+          SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+              PARTITION BY pvname, compare ORDER BY ts DESC, id DESC) AS rn
+            FROM e1 e) WHERE rn = 1
+        ),
+        m1 AS ({_au_merge.format(base="base", lat="l1")}),
+        e2 AS (
+          SELECT rnk AS id, 3.0 AS ts, 'drop' AS action, pvname, 'gt' AS compare,
+                 CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS mailto,
+                 CAST(NULL AS VARCHAR) AS mailmsg, CAST(NULL AS DOUBLE) AS trippoint,
+                 CAST(NULL AS DOUBLE) AS timeout, CAST(NULL AS VARCHAR) AS active
+          FROM pvr WHERE rnk <= 3
+          UNION ALL
+          SELECT 200, 3.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 99.0, NULL, 'no'
+          FROM pvr WHERE rnk = 7
+        ),
+        l2 AS (
+          SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+              PARTITION BY pvname, compare ORDER BY ts DESC, id DESC) AS rn
+            FROM e2 e) WHERE rn = 1
+        ),
+        m2 AS ({_au_merge.format(base="m1", lat="l2")})
+        SELECT pvname, compare, name, mailto, mailmsg, trippoint, timeout,
+               active, status
+        FROM m2 ORDER BY pvname, compare
         """
     )
 

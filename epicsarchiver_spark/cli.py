@@ -10,6 +10,12 @@ continuous daemon shape; SURVEY §3.1):
     cache_daemon SRC  → latest-value cache maintenance     (pvarch cache start)
     alerts RULES.csv  → rule sweep + rendered mail         (cache.py alert daemon,
                         minus the SMTP send — pipe stdout)
+    alert_rules       → alert-rule CRUD (add/edit/drop)    (webapp.py /editalert +
+                        submit_alertedits → add_alert/update_alert)
+    request PV        → queue add/drop/suspend request     (cache.py add_pv/drop_pv)
+    drop_pv PV        → queue a drop request               (pvarch drop_pv)
+    suspend_pv PV     → queue a suspend request            (cache requests action)
+    process_requests  → drain the mailbox into the catalog (cache.py process_requests)
 
     status            → status_activity over the store     (pvarch status)
     activity [n]      → most recently updated PVs          (pvarch cache activity)
@@ -460,6 +466,134 @@ def cmd_alerts(args) -> int:
     return 2 if fired else 0
 
 
+_ALERT_DIM_SCHEMA = (
+    "pvname string, compare string, name string, mailto string, "
+    "mailmsg string, trippoint double, timeout double, active string, "
+    "status string"
+)
+_ALERT_EDIT_SCHEMA = (
+    "id long, ts double, action string, pvname string, compare string, "
+    "name string, mailto string, mailmsg string, trippoint double, "
+    "timeout double, active string"
+)
+
+
+def cmd_alert_rules(args) -> int:
+    """Alert-rule CRUD against the persisted rules dimension (ref
+    webapp.py:163-227 ``/editalert`` + ``submit_alertedits`` →
+    cache.add_alert/update_alert). One edit per invocation, applied
+    through ``control.upsert_alerts`` (MERGE, last-write-wins on
+    (pvname, compare)); the dimension is rule-sized, so the
+    read-merge-rewrite is a driver-trivial parquet swap."""
+    import os
+
+    from epicsarchiver_spark.operators.control import upsert_alerts
+
+    action = (
+        "add" if args.add else "edit" if args.edit else "drop" if args.drop else None
+    )
+    pvname = args.add or args.edit or args.drop
+    spark = _spark("alert_rules")
+    if os.path.isdir(args.table):
+        current = spark.read.parquet(args.table)
+    else:
+        current = spark.createDataFrame([], _ALERT_DIM_SCHEMA)
+    if action is None:
+        rows = current.orderBy("pvname", "compare").collect()
+        for r in rows:
+            print(
+                f"{r.pvname} {r.compare} {r.trippoint} name={r.name} "
+                f"active={r.active} status={r.status}"
+            )
+        print(f"{len(rows)} rule(s) in {args.table}")
+        return 0
+    edit = spark.createDataFrame(
+        [
+            (
+                int(time.time() * 1e6),
+                float(time.time()),
+                action,
+                pvname,
+                args.compare,
+                args.name,
+                args.mailto,
+                args.mailmsg,
+                args.trippoint,
+                args.timeout,
+                args.active,
+            )
+        ],
+        _ALERT_EDIT_SCHEMA,
+    )
+    merged = upsert_alerts(current, edit)
+    # the dimension is tiny (rule-count rows) — materialize before the
+    # overwrite so Spark never reads the path it is rewriting
+    rows = merged.collect()
+    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(args.table)
+    print(f"{action} {pvname} ({args.compare}): {len(rows)} rule(s) now in {args.table}")
+    return 0
+
+
+def _append_request(args, action: str, pvname: str) -> int:
+    """Append one row to the requests mailbox (ref cache.py:591
+    ``drop_pv``: INSERT into requests; the daemon drains later)."""
+    spark = _spark("request")
+    row = [(int(time.time() * 1e6), float(time.time()), pvname, action)]
+    spark.createDataFrame(
+        row, "id long, ts double, pvname string, action string"
+    ).write.mode("append").parquet(args.queue)
+    print(f"queued {action} for {pvname} in {args.queue}")
+    return 0
+
+
+def cmd_request(args) -> int:
+    return _append_request(args, args.action, args.pvname)
+
+
+def cmd_drop_pv(args) -> int:
+    return _append_request(args, "drop", args.pvname)
+
+
+def cmd_suspend_pv(args) -> int:
+    return _append_request(args, "suspend", args.pvname)
+
+
+def cmd_process_requests(args) -> int:
+    """Drain the requests mailbox against the pv catalog (ref
+    cache.py:705-752 ``process_requests``): latest action per pvname
+    wins, drop removes the row, suspend deactivates, add ensures an
+    active row; the drained queue is cleared (the reference deletes
+    each processed request row)."""
+    import os
+    import shutil
+
+    from epicsarchiver_spark.operators.control import apply_requests
+
+    spark = _spark("process_requests")
+    if not os.path.isdir(args.queue):
+        print("no requests")
+        return 0
+    requests = spark.read.parquet(args.queue)
+    n_req = requests.count()
+    if n_req == 0:
+        print("no requests")
+        return 0
+    if os.path.isdir(args.catalog):
+        pv = spark.read.parquet(args.catalog)
+    else:
+        pv = spark.createDataFrame([], "pvname string, active string")
+    updated = apply_requests(pv, requests)
+    rows = updated.collect()  # catalog-sized dimension
+    spark.createDataFrame(rows, updated.schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(args.catalog)
+    shutil.rmtree(args.queue)
+    print(f"processed {n_req} request(s): {len(rows)} PV(s) in {args.catalog}")
+    return 0
+
+
 def cmd_land(args) -> int:
     """Streaming document intake (``streaming/curation.py``) as an
     operational command: gopher gate → in-stream fingerprint dedup →
@@ -767,6 +901,46 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--template", default=None, help="mail template file")
     s.add_argument("--label", default="alarm")
     s.set_defaults(fn=cmd_alerts)
+
+    s = sub.add_parser(
+        "alert_rules", help="alert-rule CRUD on the persisted rules dimension"
+    )
+    s.add_argument("--table", default="./alerts", help="rules parquet path")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--add", metavar="PVNAME")
+    g.add_argument("--edit", metavar="PVNAME")
+    g.add_argument("--drop", metavar="PVNAME")
+    s.add_argument("--compare", default="gt", choices=["eq", "ne", "le", "lt", "ge", "gt"])
+    s.add_argument("--trippoint", type=float, default=None)
+    s.add_argument("--name", default=None)
+    s.add_argument("--mailto", default=None)
+    s.add_argument("--mailmsg", default=None)
+    s.add_argument("--timeout", type=float, default=None)
+    s.add_argument("--active", default=None, choices=[None, "yes", "no"])
+    s.set_defaults(fn=cmd_alert_rules)
+
+    s = sub.add_parser("request", help="queue a cache request (add/drop/suspend)")
+    s.add_argument("pvname")
+    s.add_argument("--action", default="add", choices=["add", "drop", "suspend", "ignore"])
+    s.add_argument("--queue", default="./requests", help="requests mailbox parquet path")
+    s.set_defaults(fn=cmd_request)
+
+    s = sub.add_parser("drop_pv", help="queue a drop request (pvarch drop_pv)")
+    s.add_argument("pvname")
+    s.add_argument("--queue", default="./requests")
+    s.set_defaults(fn=cmd_drop_pv)
+
+    s = sub.add_parser("suspend_pv", help="queue a suspend request")
+    s.add_argument("pvname")
+    s.add_argument("--queue", default="./requests")
+    s.set_defaults(fn=cmd_suspend_pv)
+
+    s = sub.add_parser(
+        "process_requests", help="drain the requests mailbox into the pv catalog"
+    )
+    s.add_argument("--queue", default="./requests")
+    s.add_argument("--catalog", default="./pv_catalog", help="pv dimension parquet path")
+    s.set_defaults(fn=cmd_process_requests)
 
     s = sub.add_parser("archive", help="run the archiver pipeline (pvarch start)")
     s.add_argument("events", help="parquet events source directory")

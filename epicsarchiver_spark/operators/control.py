@@ -45,6 +45,50 @@ def apply_requests(pv: DataFrame, requests: DataFrame) -> DataFrame:
     return updated.unionByName(additions, allowMissingColumns=True)
 
 
+ALERT_EDIT_COLS = ("name", "mailto", "mailmsg", "trippoint", "timeout", "active")
+
+
+def upsert_alerts(alerts: DataFrame, edits: DataFrame) -> DataFrame:
+    """Alert-rule CRUD — the reference's `/editalert` + `submit_alertedits`
+    surface (ref epicsarchiver/webapp.py:163-227: add_alert on copy,
+    update_alert on submit; alerts table ref schema.py:29-41) as a
+    MERGE over the tiny alerts dimension.
+
+    ``edits`` rows carry ``(id, ts, action, pvname, compare, *rule
+    columns)`` with action ∈ {'add', 'edit', 'drop'}. The LATEST edit
+    per rule key ``(pvname, compare)`` wins — the daemon re-reads the
+    whole alerts table every alert period (ref cache.py:754
+    read_alert_table), so last-write-wins is the observable semantics.
+    'add'/'edit' both upsert; an edit column left NULL keeps the
+    existing value (the webapp form posts the full row, a CLI patch may
+    set one field); 'drop' deletes the rule. New rules get the schema
+    defaults (timeout 30, active 'yes') and engine-managed
+    ``status='ok'`` (ref schema.py:38-40). Both sides are rule-sized
+    dimensions — no fact-table contact, broadcastable everywhere."""
+    key = ["pvname", "compare"]
+    w = Window.partitionBy(*key).orderBy(F.col("ts").desc(), F.col("id").desc())
+    latest = (
+        edits.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            *key,
+            "action",
+            *[F.col(c).alias(f"_e_{c}") for c in ALERT_EDIT_COLS],
+        )
+    )
+    merged = alerts.join(latest, key, "full_outer").filter(
+        F.col("action").isNull() | (F.col("action") != "drop")
+    )
+    defaults = {"timeout": F.lit(30.0), "active": F.lit("yes")}
+    updated = [
+        F.coalesce(F.col(f"_e_{c}"), F.col(c), defaults.get(c, F.lit(None))).alias(c)
+        for c in ALERT_EDIT_COLS
+    ]
+    return merged.select(
+        *key, *updated, F.coalesce(F.col("status"), F.lit("ok")).alias("status")
+    )
+
+
 def rotate_runs(runs: DataFrame, now: float, next_db: str) -> DataFrame:
     """Run rotation as pure metadata (ref cache.py:82-144
     create_next_archive: new DB, runs row, stop_time of the old current
