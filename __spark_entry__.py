@@ -180,6 +180,9 @@ _R8_FRONT: list[str] = [
     # queries NEW in round 8 are appended here as they land, so they
     # certify in the same round they are introduced
     "ctl_alert_upsert",
+    "ts_get_data_bucketed",
+    "ts_locf_bucketed",
+    "ts_sessions_bucketed",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -250,7 +253,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # metadata lets the per-series max_by aggregate plan with no
     # Exchange — the layout-level shuffle deletion, certified end-to-end
     # here. Oracle identical to ts_latest (same rows, same reduction).
-    def _ts_latest_bucketed(s, d):
+    def _bucketed_points(s, d):
+        """The per-corpus-dir bucketBy(pvname) catalog table, written once
+        (build lane) and read back through the catalog by every bucketed
+        gate variant — the steady state of the highest-traffic per-series
+        reads at 100 TB."""
         import re
         import tempfile
 
@@ -268,9 +275,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 _points(s, d), tbl, path=f"{tmp}/points", n_buckets=8
             )
             _ARTIFACTS[key] = tbl
-        return timeseries.latest_per_key(read_points_bucketed(s, tbl)).select(*_PTS)
+        return read_points_bucketed(s, tbl)
 
-    q["ts_latest_bucketed"] = _ts_latest_bucketed
+    q["ts_latest_bucketed"] = lambda s, d: timeseries.latest_per_key(
+        _bucketed_points(s, d)
+    ).select(*_PTS)
+
+    # ...and the rest of the high-traffic per-series read family answered
+    # from the same catalog table (VERDICT r7 #7): get_data (range +
+    # as-of seed — ZERO Exchange: both scans and the seed window are
+    # satisfied by the bucket layout), sessionize (ZERO Exchange), and
+    # locf_grid (exactly ONE Exchange — the points∪grid-probe merge;
+    # the union of a bucketed scan with a generated frame has no
+    # recognizable distribution, while the keys-distinct and everything
+    # else stays scan-satisfied). Plan pins in tests/test_points_store.py;
+    # oracles identical to the unbucketed twins.
+    q["ts_get_data_bucketed"] = lambda s, d: timeseries.get_data(
+        _bucketed_points(s, d), T0, T1
+    )
+    q["ts_locf_bucketed"] = lambda s, d: timeseries.locf_grid(
+        _bucketed_points(s, d), T0, T1, GRID_STEP
+    ).select("pvname", "t", "value")
+    q["ts_sessions_bucketed"] = lambda s, d: timeseries.sessionize(
+        _bucketed_points(s, d), gap_s=SESSION_GAP
+    )
     q["ts_minmax"] = lambda s, d: timeseries.minmax_times(_points(s, d))
     q["ts_nchanged"] = lambda s, d: timeseries.n_changed(
         points_view(s, d), T1, by="event_type"
@@ -2201,6 +2229,7 @@ def oracle_sql() -> dict[str, str]:
 
     # bucketed-catalog lane reads the same rows → same reduction
     o["ts_latest_bucketed"] = o["ts_latest"]
+    o["ts_get_data_bucketed"] = o["ts_get_data"]
 
     o["ts_minmax"] = (
         P
@@ -2350,6 +2379,8 @@ def oracle_sql() -> dict[str, str]:
         FROM sid GROUP BY pvname, sid
         """
     )
+    o["ts_locf_bucketed"] = o["ts_locf_grid"]
+    o["ts_sessions_bucketed"] = o["ts_sessions"]
 
     o["ts_heartbeat_fill"] = (
         P
