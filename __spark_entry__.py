@@ -183,6 +183,7 @@ _R8_FRONT: list[str] = [
     "ts_get_data_bucketed",
     "ts_locf_bucketed",
     "ts_sessions_bucketed",
+    "doc_survivors_indexed",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -1968,6 +1969,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_cells=8,
         dim=64,
     )
+
+    # ...and the same survivor rule through the persisted SEMANTIC
+    # components artifact (VERDICT r7 #8): the SemDeDup drop-edge build
+    # + CC run once per corpus release (write_components), and the
+    # steady-state call is quality scan + two hash joins — the read-back
+    # twin of doc_quality_survivors (identical oracle)
+    def _doc_survivors_indexed(s, d):
+        docs = load_table(s, d, "documents")
+
+        def _build(path):
+            drops = similarity.semantic_dedup(
+                load_table(s, d, "embeddings"), threshold=0.4, n_cells=8, dim=64
+            )
+            curation.write_components(
+                dedup.connected_components_star(
+                    drops.select(
+                        F.col("vec_id").alias("id_a"),
+                        F.col("keep_id").alias("id_b"),
+                    )
+                ),
+                path,
+            )
+
+        return curation.quality_survivors(
+            docs, components=_artifact_path(d, "sem_components", _build)
+        )
+
+    q["doc_survivors_indexed"] = _doc_survivors_indexed
 
     # contrastive-training mining: per-anchor top-k different-label
     # neighbors inside the anchor's coarse cell (SemDeDup's pair fence)
@@ -5730,6 +5759,7 @@ def oracle_sql() -> dict[str, str]:
     o["doc_winnow_indexed"] = o["doc_winnow_pairs"]
     # artifact read-back lane: identical labels → identical assignment
     o["doc_splits_indexed"] = o["doc_component_splits"]
+    o["doc_survivors_indexed"] = o["doc_quality_survivors"]
 
     o["rel_order_count_dist"] = """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

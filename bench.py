@@ -188,6 +188,12 @@ HEADLINE = [
     "doc_quality_survivors",
     "ev_funnel_times",
     "doc_ccnet_indexed",
+    # r8 additions
+    "ctl_alert_upsert",
+    "ts_get_data_bucketed",
+    "ts_locf_bucketed",
+    "ts_sessions_bucketed",
+    "doc_survivors_indexed",
 ]
 
 

@@ -348,13 +348,14 @@ def component_splits(
 
 def quality_survivors(
     docs: DataFrame,
-    vectors: DataFrame,
+    vectors: DataFrame | None = None,
     threshold: float = 0.8,
     n_cells: int = 16,
     dim: int | None = None,
     id_col: str = "doc_id",
     vec_id_col: str = "vec_id",
     text: str = "text",
+    components: DataFrame | str | None = None,
 ) -> DataFrame:
     """Quality-aware semantic dedup — the cross-modal survivor rule:
     the EMBEDDING side decides what is a duplicate (SemDeDup's
@@ -377,17 +378,32 @@ def quality_survivors(
     zero-shuffle scan; the winner pick is one max_by hash aggregate on
     the root key (no window sort) and the verdict join brings the
     |groups|-sized winner frame back against the spine (AQE broadcasts
-    it when it fits)."""
+    it when it fits).
+
+    ``components`` short-circuits the expensive half for the release
+    cadence: pass the ``(id, component)`` frame (or the parquet artifact
+    path from ``write_components``) built ONCE from the semantic drop
+    edges, and the call becomes quality scan + two hash joins — the same
+    read-back twin pattern as ``dedup_shards(components=)`` /
+    ``component_splits(components=)``. ``vectors`` is then unused and
+    may be None."""
     from epicsarchiver_spark.operators import dedup, similarity, text_ops
 
-    drops = similarity.semantic_dedup(
-        vectors, threshold=threshold, n_cells=n_cells, dim=dim, id_col=vec_id_col
-    )
-    comp = dedup.connected_components_star(
-        drops.select(
-            F.col(vec_id_col).alias("id_a"), F.col("keep_id").alias("id_b")
+    if components is None:
+        if vectors is None:
+            raise ValueError("quality_survivors needs vectors or components")
+        drops = similarity.semantic_dedup(
+            vectors, threshold=threshold, n_cells=n_cells, dim=dim, id_col=vec_id_col
         )
-    )
+        comp = dedup.connected_components_star(
+            drops.select(
+                F.col(vec_id_col).alias("id_a"), F.col("keep_id").alias("id_b")
+            )
+        )
+    else:
+        if isinstance(components, str):
+            components = docs.sparkSession.read.parquet(components)
+        comp = components.select("id", "component")
     quality = text_ops.quality_classifier(docs, text=text, id_col=id_col).select(
         F.col(id_col), "quality_prob"
     )
