@@ -379,7 +379,14 @@ def cmd_archive(args) -> int:
         print(f"archiving {args.events} -> {args.store} (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        q.awaitTermination(args.timeout)
+        if not q.awaitTermination(args.timeout):
+            q.stop()
+            print(
+                f"drain still running after {args.timeout}s — stopped; "
+                "rerun with a larger --timeout (checkpoint resumes where it left off)",
+                file=sys.stderr,
+            )
+            return 1
         n = _points(spark, args).count()
         print(f"drained {args.events}: store now holds {n} points")
     return 0
@@ -413,7 +420,14 @@ def cmd_cache_daemon(args) -> int:
         print("cache daemon running (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        q.awaitTermination(args.timeout)
+        if not q.awaitTermination(args.timeout):
+            q.stop()
+            print(
+                f"drain still running after {args.timeout}s — stopped; "
+                "rerun with a larger --timeout (checkpoint resumes where it left off)",
+                file=sys.stderr,
+            )
+            return 1
         if not args.jdbc_url:
             n = read_cache(spark, args.cache).count()
             print(f"cache holds {n} series")

@@ -144,12 +144,29 @@ class CorpusPipeline:
             self.docs, comps, n_shards=n_shards, id_col=self.id_col
         )
 
-    def leakage(self, pairs: DataFrame | None = None, **split_kw) -> DataFrame:
-        """Cross-split near-dup leakage audit (empty = release-ready)."""
+    def leakage(
+        self,
+        pairs: DataFrame | None = None,
+        assignment: DataFrame | None = None,
+        of_splits: bool = False,
+        **split_kw,
+    ) -> DataFrame:
+        """Cross-split near-dup leakage audit (empty = release-ready).
+
+        By default audits the plain id-hash assignment. Pass
+        ``assignment=`` (any ``(doc_id, split)`` frame) to audit an
+        explicit assignment, or ``of_splits=True`` to audit THIS
+        pipeline's ``splits()`` output — the component-rooted
+        assignment the release actually ships, so the documented gate
+        ``assert cp.leakage(of_splits=True).count() == 0`` checks the
+        shipped splits rather than a parallel hash (ADVICE r7)."""
+        if of_splits and assignment is None:
+            assignment = self.splits(**split_kw).select(self.id_col, "split")
         return curation.split_leakage(
             self.docs,
             pairs if pairs is not None else self.near_dup_pairs(),
             id_col=self.id_col,
+            assignment=assignment,
             **split_kw,
         )
 

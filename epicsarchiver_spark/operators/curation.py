@@ -267,6 +267,7 @@ def split_leakage(
         ("val", 0.05),
         ("test", 0.05),
     ),
+    assignment: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-split contamination audit: near-dup pairs that STRADDLE the
     deterministic train/val/test boundaries — the leakage every eval
@@ -282,10 +283,20 @@ def split_leakage(
     spine (``assign_splits`` — no shuffle to build); the pair frame
     carries bare ids, so both attach joins move 8-byte keys and AQE
     broadcasts the spine side when it fits. The rollup is at most
-    |splits|²/2 rows."""
+    |splits|²/2 rows.
+
+    ``assignment`` audits an EXPLICIT ``(id_col, split)`` frame instead
+    of the default id-hash assignment — pass the same frame the release
+    ships (e.g. ``component_splits``' output) so the gate audits the
+    assignment actually used, not a parallel one (ADVICE r7: the
+    component-rooted ``splits()`` is leakage-free by construction, but
+    the gate could only audit the plain hash)."""
     from epicsarchiver_spark.operators.text_ops import assign_splits
 
-    s = assign_splits(docs.select(F.col(id_col)), key_col=id_col, splits=splits)
+    if assignment is not None:
+        s = assignment.select(F.col(id_col), "split")
+    else:
+        s = assign_splits(docs.select(F.col(id_col)), key_col=id_col, splits=splits)
     sa = s.select(F.col(id_col).alias("id_a"), F.col("split").alias("_sa"))
     sb = s.select(F.col(id_col).alias("id_b"), F.col("split").alias("_sb"))
     straddle = (

@@ -579,10 +579,14 @@ def linear_attribution(
     distinct conversions they participated in, and the credited value.
 
     Exactness: a conversion's per-touch share is
-    ``(value_cents · 10⁶) DIV n_touches`` in int64 micro-cents — floor
-    division, so the rollup is summation-order independent and
-    engine-exact (the ≤n_touches·10⁻⁸ remainder is deliberately
-    dropped, documented here). Touch order ties break on
+    ``(value_cents · 10⁶) DIV n_touches`` in int64 micro-cents —
+    integer division TRUNCATING TOWARD ZERO, which is what both Spark's
+    ``DIV`` and DuckDB's ``//`` do (verified empirically; they agree
+    for negative values too, so refund rows don't diverge from the
+    oracle — but note truncation credits a negative conversion slightly
+    MORE than true floor would). The rollup is summation-order
+    independent and engine-exact (the ≤n_touches·10⁻⁸ |remainder| is
+    deliberately dropped, documented here). Touch order ties break on
     (time, event_id) strict precedence.
 
     Scale shape: the touch expansion is the user-keyed equi-join of
@@ -672,8 +676,9 @@ def position_attribution(
     touch takes 100%, a two-touch path splits 50/50.
 
     Same exact micro-cent discipline and touch-pair fence as
-    ``linear_attribution`` (floor-divided int64 shares, lookback-bounded
-    pair volume, (time, event_id) strict precedence); position comes
+    ``linear_attribution`` (truncate-toward-zero int64 ``DIV`` shares —
+    matching DuckDB ``//`` for negatives too — lookback-bounded pair
+    volume, (time, event_id) strict precedence); position comes
     from ONE row_number window over the same conversion-keyed frame the
     denominator count already uses."""
     pairs = _touch_pairs(

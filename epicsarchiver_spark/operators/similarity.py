@@ -253,6 +253,22 @@ def cosine_near_duplicates_banded(
     ).filter(F.col("cosine_sim") >= threshold)
 
 
+_INTEGRAL_TYPES = ("byte", "short", "int", "integer", "long", "bigint")
+
+
+def _require_integral(df: DataFrame, col: str, fn: str) -> None:
+    """The label-aware cell kernels emit ``long`` ids / ``int`` labels in
+    their Arrow output schema; a non-integral input column would fail
+    deep inside the executor with an opaque Arrow cast error — fail
+    here with a usable message instead (ADVICE r7)."""
+    dt = df.schema[col].dataType.simpleString()
+    if dt not in _INTEGRAL_TYPES:
+        raise ValueError(
+            f"{fn} requires an integral {col!r} column (got {dt}); "
+            "map string ids to int64 (e.g. xxhash64) before calling"
+        )
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random unit-free hyperplanes from an LCG —
     reproducible across runs without RNG state."""
@@ -1275,7 +1291,7 @@ def cell_quality(
         vec_col=vec_col,
     ).persist(StorageLevel.MEMORY_AND_DISK)
     totals = scored.agg(F.count(F.lit(1)).alias("_tot"))
-    return (
+    out = (
         scored.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
@@ -1291,6 +1307,12 @@ def cell_quality(
             F.round(F.col("n_vecs") / F.col("_tot"), 6).alias("share"),
         )
     )
+    # the rollup is |cells|-sized: materialize it eagerly (truncating
+    # lineage off the persisted frame) so the cache entry can be released
+    # here instead of leaking one per invocation for the session
+    out = out.localCheckpoint(eager=True)
+    scored.unpersist()
+    return out
 
 
 def kmeans_refine(
@@ -1391,6 +1413,8 @@ def hard_negatives(
         if dim is None:
             raise ValueError("pass centroids=... or dim=... for the LCG fallback")
         centroids = _hyperplanes(dim, n_cells, seed)
+    _require_integral(vectors, id_col, "hard_negatives")
+    _require_integral(vectors, label_col, "hard_negatives")
     corpus = vectors.select(
         F.col(id_col),
         F.col(label_col).cast("int").alias("_lbl"),
@@ -1471,6 +1495,8 @@ def knn_labels(
         if dim is None:
             raise ValueError("pass centroids=... or dim=... for the LCG fallback")
         centroids = _hyperplanes(dim, n_cells, seed)
+    _require_integral(vectors, id_col, "knn_labels")
+    _require_integral(vectors, label_col, "knn_labels")
     corpus = vectors.select(
         F.col(id_col),
         F.col(label_col).cast("int").alias("_lbl"),

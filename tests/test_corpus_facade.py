@@ -142,3 +142,26 @@ def test_graph_profile_view(spark, docs):
     clustered = comp.count()
     assert sum(n * k for (m, k), n in rows.items() if m == "component") == clustered
     assert any(m == "degree" for (m, _k) in rows)
+
+
+def test_leakage_audits_shipped_splits(spark, docs):
+    """ADVICE r7: the release gate must be able to audit the SAME
+    assignment the release ships. leakage(of_splits=True) audits the
+    component-rooted splits() output and is empty by construction;
+    an explicit assignment= frame that deliberately straddles a dup
+    pair is caught."""
+    cp = CorpusPipeline(spark, docs)
+    assert cp.leakage(of_splits=True).count() == 0
+
+    # adversarial explicit assignment: split every near-dup pair apart
+    pairs = cp.near_dup_pairs()
+    first = pairs.select("id_a", "id_b").first()
+    if first is not None:
+        assignment = docs.select(
+            F.col("doc_id"),
+            F.when(F.col("doc_id") == first.id_a, F.lit("test"))
+            .otherwise(F.lit("train"))
+            .alias("split"),
+        )
+        leaks = cp.leakage(assignment=assignment).collect()
+        assert sum(r.n_pairs for r in leaks) >= 1
