@@ -144,6 +144,89 @@ def learn_bpe(
     return merges
 
 
+def select_batch(
+    candidates: list[tuple[str, str, int]], batch: int
+) -> list[tuple[str, str]]:
+    """Greedy non-interacting batch selection over a (count desc, a, b)-
+    ordered candidate list: a merge joins the batch only when its parts
+    AND its fused symbol are disjoint from every symbol an earlier
+    selection touches (parts and fused). Disjointness is exactly the
+    condition under which applying the batch in order is
+    indistinguishable from ``batch`` sequential Sennrich rounds over
+    these pairs: applying (x, y) can only change the count of (a, b)
+    when they share a symbol, and fresh fused symbols can only collide
+    when one equals a selected part. Pure function — mirrored verbatim
+    by the python reference in tests/test_bpe.py."""
+    selected: list[tuple[str, str]] = []
+    touched: set[str] = set()
+    for a, b, _c in candidates:
+        if {a, b, a + b} & touched:
+            continue
+        selected.append((a, b))
+        touched |= {a, b, a + b}
+        if len(selected) >= batch:
+            break
+    return selected
+
+
+def learn_bpe_batched(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    min_count: int = 2,
+    batch: int = 16,
+    oversample: int = 4,
+) -> list[tuple[str, str]]:
+    """``learn_bpe`` at production vocab size: each round learns up to
+    ``batch`` NON-INTERACTING merges from one pair-count job, so a
+    32k-merge tokenizer train is ~32k/batch Spark jobs instead of 32k
+    sequential ones (VERDICT r7 #6). ``batch=1`` is bit-identical to
+    ``learn_bpe`` (same argmax, same tie-break).
+
+    Semantics: within a round the top ``batch * oversample`` pairs are
+    collected (count desc, then pair lexicographic — Sennrich's
+    deterministic order) and filtered greedily to a non-interacting set
+    (``select_batch``): parts and fused symbols pairwise disjoint.
+    Under that condition the batch IS the sequential result for those
+    pairs — counts of later selections are provably unchanged by
+    earlier applications. The one deliberate deviation from
+    strictly-sequential BPE: a pair CREATED by a merge in this round
+    (count ≤ its creator's) cannot be selected until the next round,
+    so a created pair that would outrank a later candidate shifts the
+    merge ORDER across the batch boundary; the learned vocabulary
+    converges to the same set in practice and the batch=1 lane remains
+    the exact-order reference. Documented + property-tested against a
+    pure-python mirror of this exact algorithm (tests/test_bpe.py)."""
+    from epicsarchiver_spark.operators.dedup import _truncate_lineage
+
+    syms = _truncate_lineage(
+        word_frequency(docs, text_col).select(
+            "n", _chars_with_marker(F.col("word")).alias("syms")
+        )
+    )
+    merges: list[tuple[str, str]] = []
+    while len(merges) < int(n_merges):
+        want = min(int(batch), int(n_merges) - len(merges))
+        cand = (
+            syms.select("n", F.explode(_adjacent_pairs(F.col("syms"))).alias("p"))
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("n").alias("c"))
+            .filter(F.col("c") >= int(min_count))
+            .orderBy(F.desc("c"), "a", "b")
+            .limit(max(want * int(oversample), want))
+            .collect()
+        )
+        picked = select_batch([(r["a"], r["b"], r["c"]) for r in cand], want)
+        if not picked:
+            break
+        merges.extend(picked)
+        col = F.col("syms")
+        for a, b in picked:
+            col = _apply_merge(col, a, b)
+        syms = _truncate_lineage(syms.select("n", col.alias("syms")))
+    return merges
+
+
 def apply_bpe(
     docs: DataFrame,
     merges: list[tuple[str, str]],

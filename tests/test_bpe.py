@@ -115,3 +115,88 @@ def test_apply_bpe_pandas_lane_matches_expr_lane(spark):
     c = {r.doc_id: (r.n_words, r.n_bpe_tokens, r.fertility)
          for r in bpe.apply_bpe(df, big, engine="auto").collect()}
     assert c == a
+
+
+def _mirror_learn_batched(
+    texts: list[str], n_merges: int, min_count: int = 2, batch: int = 16,
+    oversample: int = 4,
+):
+    """Pure-python mirror of learn_bpe_batched: per round, rank all
+    pairs (count desc, pair lexicographic), greedily select a
+    non-interacting batch via the ENGINE's own select_batch, apply in
+    order."""
+    words = Counter(w for t in texts for w in t.lower().split() if w)
+    syms = {w: tuple(list(w) + [bpe.END]) for w in words}
+    merges: list[tuple[str, str]] = []
+    while len(merges) < n_merges:
+        want = min(batch, n_merges - len(merges))
+        pc: Counter = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        cand = sorted(
+            ((a, b, c) for (a, b), c in pc.items() if c >= min_count),
+            key=lambda x: (-x[2], x[0], x[1]),
+        )[: max(want * oversample, want)]
+        picked = bpe.select_batch(cand, want)
+        if not picked:
+            break
+        merges.extend(picked)
+        for a, b in picked:
+            new = {}
+            for w, s in syms.items():
+                out = []
+                for tok in s:
+                    if out and out[-1] == a and tok == b:
+                        out[-1] = a + b
+                    else:
+                        out.append(tok)
+                new[w] = tuple(out)
+            syms = new
+    return merges
+
+
+def test_learn_bpe_batched_batch1_is_sequential(spark):
+    """batch=1 must be bit-identical to learn_bpe (same argmax, same
+    tie-break) — the exact-order reference lane."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    assert bpe.learn_bpe_batched(df, n_merges=8, batch=1) == bpe.learn_bpe(
+        df, n_merges=8
+    )
+
+
+def test_learn_bpe_batched_matches_python_mirror(spark):
+    """The batched lane against a pure-python mirror of the same
+    algorithm, at a batch size that genuinely groups merges."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
+    )
+    for batch in (2, 4):
+        got = bpe.learn_bpe_batched(df, n_merges=8, batch=batch)
+        want = _mirror_learn_batched(TEXTS, 8, batch=batch)
+        assert got == want, batch
+        assert len(got) == 8
+
+
+def test_learn_bpe_batched_disjoint_equals_sequential(spark):
+    """On a corpus whose top pairs are pairwise symbol-disjoint, one
+    batched round IS the sequential result — the documented
+    non-interaction guarantee."""
+    # (a,a)/(b,b)/(c,c)/(d,d) each count 15 and share no symbol — the
+    # (x,</w>) pairs are far below at 5 so the marker never interacts
+    texts = ["aaaa bbbb cccc dddd " * 5]
+    df = spark.createDataFrame([(1, texts[0])], "doc_id long, text string")
+    seq = bpe.learn_bpe(df, n_merges=4)
+    bat = bpe.learn_bpe_batched(df, n_merges=4, batch=4)
+    assert set(bat) == set(seq) and len(bat) == 4
+
+
+def test_select_batch_blocks_interacting_pairs():
+    """A pair sharing a part or colliding with a fused symbol must wait
+    for the next round."""
+    cand = [("a", "b", 10), ("b", "c", 9), ("c", "d", 8), ("ab", "x", 7)]
+    # ('b','c') shares 'b'; ('ab','x') collides with fused 'ab'
+    assert bpe.select_batch(cand, 4) == [("a", "b"), ("c", "d")]
