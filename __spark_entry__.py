@@ -75,6 +75,7 @@ INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purcha
 ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0.0)]
 # ordered-funnel steps for the clickstream analytics family
 FUNNEL_STEPS = ("view", "click", "purchase")
+BM25_QUERY = ["spark", "merge", "window", "quantum"]  # 'quantum' absent on purpose
 HIST_BINS = 20  # per-series auto-ranged value histogram bins
 OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians)
 PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
@@ -184,6 +185,8 @@ _R8_FRONT: list[str] = [
     "ts_locf_bucketed",
     "ts_sessions_bucketed",
     "doc_survivors_indexed",
+    "doc_bm25_topk",
+    "rel_fuzzy_customers",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -550,6 +553,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ev_rolling_dau"] = lambda s, d: ev.rolling_dau(load_table(s, d, "events"))
     q["doc_tfidf_top_terms"] = lambda s, d: text_ops.tfidf_top_terms(
         load_table(s, d, "documents"), k=3
+    )
+    # BM25 keyword retrieval — the search lane over the corpus; one
+    # query term ('quantum') is deliberately absent from the synthetic
+    # vocabulary to exercise the zero-df path
+    q["doc_bm25_topk"] = lambda s, d: text_ops.bm25_topk(
+        load_table(s, d, "documents"), BM25_QUERY, k=20
     )
     q["doc_chunks"] = lambda s, d: text_ops.chunk_documents(
         load_table(s, d, "documents"), chunk_tokens=32, overlap=8
@@ -1939,6 +1948,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rel_idle_customers"] = lambda s, d: relational.idle_wealthy_customers(
         load_table(s, d, "customer"), load_table(s, d, "orders")
     )
+
+    # blocked edit-distance entity matching: serial customer names
+    # prefix-blocked so the Levenshtein scope is the 2-char suffix —
+    # single-digit "typo" pairs at distance ≤ 1, Σ block² pair fence
+    def _rel_fuzzy_customers(s, d):
+        c = load_table(s, d, "customer")
+        return dedup.fuzzy_matches(
+            c,
+            id_col="c_custkey",
+            name_col="c_name",
+            block=F.expr("substr(c_name, 1, length(c_name) - 2)"),
+            max_distance=1,
+        )
+
+    q["rel_fuzzy_customers"] = _rel_fuzzy_customers
     q["rel_late_suppliers"] = lambda s, d: relational.late_sole_suppliers(
         load_table(s, d, "lineitem"),
         load_table(s, d, "orders"),
@@ -3328,6 +3352,42 @@ def oracle_sql() -> dict[str, str]:
                                        ORDER BY tfidf DESC, term) AS rank
           FROM scored
         ) WHERE rank <= 3
+    """
+
+    _bm25_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    o["doc_bm25_topk"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_bm25_terms})) AS hit
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM hits
+        ), tf AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ), tfc AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), per_doc AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per_doc
+        ORDER BY score DESC, doc_id LIMIT 20
     """
 
     o["doc_chunks"] = """
@@ -6042,6 +6102,18 @@ def oracle_sql() -> dict[str, str]:
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
           AND c_custkey NOT IN (SELECT o_custkey FROM orders)
         GROUP BY c_nationkey
+    """
+
+    o["rel_fuzzy_customers"] = """
+        WITH side AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 substr(c_name, 1, length(c_name) - 2) AS blk
+          FROM customer
+        )
+        SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS distance
+        FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
     """
 
     o["rel_late_suppliers"] = """

@@ -194,6 +194,8 @@ HEADLINE = [
     "ts_locf_bucketed",
     "ts_sessions_bucketed",
     "doc_survivors_indexed",
+    "doc_bm25_topk",
+    "rel_fuzzy_customers",
 ]
 
 

@@ -20,7 +20,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.hashing import (
@@ -480,6 +480,56 @@ def jaccard_pairs_blocked(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
         .orderBy("id_a", "id_b")
+    )
+
+
+def fuzzy_matches(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column | None = None,
+    max_distance: int = 2,
+) -> DataFrame:
+    """Blocked edit-distance entity matching — the approximate STRING
+    join the near-dup family lacked (shingle/minhash lanes need enough
+    text to shingle; names, titles, and short identifiers mismatch by
+    a typo or one digit). Returns ``(id_a, id_b, name_a, name_b,
+    distance)`` with ``id_a < id_b`` and Levenshtein distance ≤
+    ``max_distance`` (0 = exact duplicate name).
+
+    ``block`` is the blocking expression (default: the first whitespace
+    token, lowercased — the classic first-word block). The block key is
+    part of the operator spec, reproducible in a SQL oracle, and bounds
+    the candidate pairs at Σ block² exactly like
+    ``jaccard_pairs_blocked``; records in different blocks never meet,
+    which is the documented recall trade every blocking scheme makes
+    (a typo INSIDE the block key escapes the match — pick the key so
+    expected errors fall outside it, e.g. prefix-block serial names to
+    scope typos to the suffix).
+
+    Plan shape: one self equi-join on the block key (hash join — never
+    a theta join), the Levenshtein evaluated only on within-block pairs
+    with Spark's threshold-bounded kernel (``levenshtein(l, r, t)``
+    runs the banded O(t·min(m,n)) DP and returns -1 past the bound,
+    not the full O(m·n) table)."""
+    if block is None:
+        block = F.lower(F.element_at(F.split(F.col(name_col), r"\s+"), 1))
+    side = df.select(
+        F.col(id_col), F.col(name_col), block.alias("_blk")
+    )
+    a = side.select(
+        F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"), "_blk"
+    )
+    b = side.select(
+        F.col(id_col).alias("id_b"), F.col(name_col).alias("name_b"), "_blk"
+    )
+    d = F.levenshtein(F.col("name_a"), F.col("name_b"), int(max_distance))
+    return (
+        a.join(b, "_blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("distance", d)
+        .filter(F.col("distance") >= 0)
+        .select("id_a", "id_b", "name_a", "name_b", "distance")
     )
 
 

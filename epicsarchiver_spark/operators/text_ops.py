@@ -527,6 +527,77 @@ def tfidf_top_terms(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 document retrieval — the standard keyword-relevance ranker
+    (Robertson/Sparck Jones; the Lucene default), completing the text
+    surface's search lane beyond tfidf feature extraction: given a bag
+    of query terms, score every matching document with
+
+        Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+        idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (Lucene's variant)
+
+    and return the top-``k`` ``(doc_id, n_terms_matched, score, rank)``.
+
+    Scale shape: the query is a literal broadcast — the token array is
+    intersected with it BEFORE the explode, so the per-doc fan-out is
+    |matched terms| (≤ |query|), never document length; doc length and
+    N/avgdl come from one narrow scan reduced map-side to a broadcast
+    1-row frame (the tfidf_top_terms discipline — no driver-blocking
+    count()); df is a |query|-sized aggregate. Everything downstream of
+    the scan is |matches| ≤ N·|query| rows, and the top-k is
+    TakeOrderedAndProject. Scores rounded to 6 dp; ties break on
+    doc_id for engine determinism."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
+    )
+    tf = (
+        base.filter(F.size("_hit") > 0)
+        .select(F.col(id_col), "_dl", F.explode("_hit").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum(contrib), 6).alias("score"),
+    )
+    # top-k FIRST (TakeOrderedAndProject), THEN the rank window — the
+    # only unpartitioned window in the plan runs over ≤ k rows under a
+    # GlobalLimit, never over the match set
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.select(
+        id_col,
+        "n_terms_matched",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def vocabulary_topk(
     docs: DataFrame, k: int = 1000, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
