@@ -3354,7 +3354,12 @@ def oracle_sql() -> dict[str, str]:
         ) WHERE rank <= 3
     """
 
-    _bm25_terms = ", ".join(f"'{t}'" for t in sorted(set(BM25_QUERY)))
+    # mirror the operator's term normalization (lowercase, de-dup) and
+    # escape quotes so a future BM25_QUERY edit can't silently diverge
+    # the oracle from the Spark lane
+    _bm25_terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in sorted(set(BM25_QUERY))
+    )
     o["doc_bm25_topk"] = f"""
         WITH base AS (
           SELECT doc_id,

@@ -791,3 +791,29 @@ def test_corpus_drift_only_cell_sized_joins(spark):
     # section → counts double: one SMJ (cell merge) + one BNLJ (totals)
     assert plan.count("SortMergeJoin") <= 4, plan[:1500]
     assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_bm25_topk_rank_window_bounded_under_limit(spark):
+    """The docstring's plan claims, pinned: top-k lands as
+    TakeOrderedAndProject and the ONLY unpartitioned window (the rank)
+    consumes its output — ≤ k rows under a GlobalLimit — never the
+    match set; the N/avgdl cross is the documented one-row broadcast."""
+    plan = _plan(spark, "doc_bm25_topk")
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+    # the rank Window node must be the PARENT of TakeOrderedAndProject
+    # (formatted explain numbers leaves lowest, so parent id > child id)
+    win = re.search(r"\((\d+)\) Window", plan)
+    top = re.search(r"\((\d+)\) TakeOrderedAndProject", plan)
+    assert win and top and int(win.group(1)) > int(top.group(1)), plan[:1500]
+
+
+def test_fuzzy_matches_is_block_equi_join(spark):
+    """fuzzy_matches must join on the block key as a HASH join — the
+    levenshtein predicate stays a post-join filter, never a theta-join
+    condition (BroadcastNestedLoop/Cartesian)."""
+    plan = _plan(spark, "rel_fuzzy_customers")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan[:1500]
+    assert "levenshtein" in plan
