@@ -187,6 +187,7 @@ _R8_FRONT: list[str] = [
     "doc_survivors_indexed",
     "doc_bm25_topk",
     "rel_fuzzy_customers",
+    "doc_soft_dedup",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -2074,6 +2075,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_splits_indexed"] = _doc_splits_indexed
+
+    # cap-m soft dedup off the same persisted components base: keep up
+    # to 2 members per duplicate cluster — the distribution-preserving
+    # knob between hard dedup (m=1) and no dedup
+    def _doc_soft_dedup(s, d):
+        docs = load_table(s, d, "documents")
+
+        def _build(path):
+            curation.write_components(
+                dedup.connected_components_star(
+                    dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
+                ),
+                path,
+            )
+
+        return curation.soft_dedup(
+            docs, _artifact_path(d, "components", _build), max_per_group=2
+        )
+
+    q["doc_soft_dedup"] = _doc_soft_dedup
 
     # instrument snapshot matrix: named series' LOCF grids as columns
     q["ts_grid_pivot"] = lambda s, d: timeseries.grid_pivot(
@@ -5825,6 +5846,22 @@ def oracle_sql() -> dict[str, str]:
     # artifact read-back lane: identical labels → identical assignment
     o["doc_splits_indexed"] = o["doc_component_splits"]
     o["doc_survivors_indexed"] = o["doc_quality_survivors"]
+
+    o["doc_soft_dedup"] = (
+        CC
+        + """,
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, group_root,
+               CAST(row_number() OVER (PARTITION BY group_root ORDER BY doc_id)
+                    AS BIGINT) AS rank_in_group,
+               (row_number() OVER (PARTITION BY group_root ORDER BY doc_id) <= 2)
+                 AS kept
+        FROM rooted
+        """
+    )
 
     o["rel_order_count_dist"] = """
         SELECT c_count, CAST(count(*) AS BIGINT) AS custdist

@@ -196,6 +196,7 @@ HEADLINE = [
     "doc_survivors_indexed",
     "doc_bm25_topk",
     "rel_fuzzy_customers",
+    "doc_soft_dedup",
 ]
 
 

@@ -10,7 +10,7 @@ die, and what survived.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.text import fingerprint64
@@ -354,6 +354,49 @@ def component_splits(
     )
     return assign_splits(rooted, key_col="root", splits=splits, buckets=buckets).select(
         id_col, "root", "split"
+    )
+
+
+def soft_dedup(
+    docs: DataFrame,
+    components: DataFrame | str,
+    max_per_group: int = 2,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Cap-m dedup — keep UP TO ``max_per_group`` members of every
+    duplicate cluster instead of exactly one: the distribution-
+    preserving knob real pretraining mixes use when hard dedup would
+    flatten naturally-frequent content (boilerplate-adjacent but
+    legitimate pages, popular quotes) to a single exemplar.
+    ``max_per_group=1`` degenerates to hard dedup's keep-min-id rule.
+    Returns the full id spine ``(doc_id, group_root, rank_in_group,
+    kept)``; singletons rank 1 and are always kept.
+
+    ``components`` is the ``(id, component)`` frame or the
+    ``write_components`` parquet artifact path — the same persisted
+    base every other release-cadence consumer reads, so the call is one
+    id-keyed join + one group-keyed rank window over 16-byte rows
+    (duplicate-cluster members only carry non-trivial groups; the
+    window never sees text)."""
+    if isinstance(components, str):
+        components = docs.sparkSession.read.parquet(components)
+    comp = components.select(
+        F.col("id").alias(id_col), F.col("component")
+    )
+    rooted = (
+        docs.select(F.col(id_col))
+        .join(comp, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("component", F.col(id_col)).alias("group_root"),
+        )
+    )
+    w = Window.partitionBy("group_root").orderBy(id_col)
+    return rooted.select(
+        F.col(id_col),
+        "group_root",
+        F.row_number().over(w).cast("long").alias("rank_in_group"),
+        (F.row_number().over(w) <= int(max_per_group)).alias("kept"),
     )
 
 
