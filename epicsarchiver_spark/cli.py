@@ -764,6 +764,22 @@ def cmd_bpe(args) -> int:
     return 0
 
 
+def cmd_bm25(args) -> int:
+    """Keyword search over a documents parquet: BM25 ranking via
+    ``text_ops.bm25_topk`` (the search lane next to the reference's
+    name-pattern ``search``)."""
+    from epicsarchiver_spark.operators.text_ops import bm25_topk
+
+    spark = _spark("bm25")
+    docs = spark.read.parquet(args.documents)
+    hits = bm25_topk(docs, args.terms, k=args.k).collect()
+    for r in hits:
+        print(f"{r['rank']:>3}  doc {r[0]}  score {r['score']:.4f}  "
+              f"({r['n_terms_matched']} term(s))")
+    print(f"{len(hits)} hit(s) for {' '.join(args.terms)}")
+    return 0 if hits else 1
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -862,6 +878,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--run", default="imported_ascii")
     s.add_argument("--buckets", type=int, default=128)
     s.set_defaults(fn=cmd_import_ascii)
+
+    s = sub.add_parser("bm25", help="BM25 keyword search over a documents parquet")
+    s.add_argument("documents")
+    s.add_argument("terms", nargs="+", help="query terms")
+    s.add_argument("-k", type=int, default=10)
+    s.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")
     s.add_argument("documents")

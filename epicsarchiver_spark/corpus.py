@@ -144,6 +144,17 @@ class CorpusPipeline:
             self.docs, comps, n_shards=n_shards, id_col=self.id_col
         )
 
+    def soft_dedup(self, max_per_group: int = 2) -> DataFrame:
+        """Cap-m dedup verdicts over the component base: keep up to
+        ``max_per_group`` members of each duplicate cluster
+        (distribution-preserving; m=1 = hard dedup's keep-min-id)."""
+        comps = (
+            f"{self.artifacts}/components" if self.artifacts else self.components()
+        )
+        return curation.soft_dedup(
+            self.docs, comps, max_per_group=max_per_group, id_col=self.id_col
+        )
+
     def leakage(
         self,
         pairs: DataFrame | None = None,

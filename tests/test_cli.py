@@ -558,3 +558,21 @@ def test_request_queue_cli_drain(spark, tmp_path, capsys):
     assert not os.path.isdir(queue)  # mailbox cleared
     assert cli.main(["process_requests", "--queue", queue, "--catalog", catalog]) == 0
     assert "no requests" in capsys.readouterr().out
+
+
+def test_bm25_cli_search(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle exchange plan"), (2, "window sort merge join"),
+         (3, "spark spark spark broadcast")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs_bm25.parquet")
+    docs.write.parquet(path)
+    assert cli.main(["bm25", path, "spark", "join", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    lines = [l for l in out.splitlines() if l.lstrip().startswith(("1 ", "2 "))]
+    # the rare term ('join', df=1) out-idfs the common one: doc 2 first,
+    # then the spark-heaviest doc
+    assert "doc 2" in lines[0] and "doc 3" in lines[1]
+    assert "2 hit(s)" in out
+    assert cli.main(["bm25", path, "zzzzz"]) == 1  # no hits → nonzero exit

