@@ -188,6 +188,7 @@ _R8_FRONT: list[str] = [
     "doc_bm25_topk",
     "rel_fuzzy_customers",
     "doc_soft_dedup",
+    "doc_graph_profile_indexed",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -2149,6 +2150,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             load_table(s, d, "documents"), shingle_k=2, threshold=0.05
         )
     )
+
+    # ...and the read-back twin: component sizes from the persisted CC
+    # labels (shared "components" artifact), only the degree side pays
+    # the pair scan — the release-cadence shape of the dashboard
+    def _doc_graph_profile_indexed(s, d):
+        docs = load_table(s, d, "documents")
+
+        def _build(path):
+            curation.write_components(
+                dedup.connected_components_star(
+                    dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
+                ),
+                path,
+            )
+
+        comps = s.read.parquet(_artifact_path(d, "components", _build))
+        return dedup.graph_profile(
+            dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05),
+            components=comps,
+        )
+
+    q["doc_graph_profile_indexed"] = _doc_graph_profile_indexed
 
     # U-shaped multi-touch attribution (first/last 40%, middles 20%)
     q["ev_position_attribution"] = lambda s, d: ev.position_attribution(
@@ -6634,6 +6657,7 @@ def oracle_sql() -> dict[str, str]:
         SELECT metric, CAST(k AS BIGINT) AS k, n FROM ch
         """
     )
+    o["doc_graph_profile_indexed"] = o["doc_graph_profile"]
 
     o["ev_position_attribution"] = """
         WITH e AS (

@@ -197,6 +197,7 @@ HEADLINE = [
     "doc_bm25_topk",
     "rel_fuzzy_customers",
     "doc_soft_dedup",
+    "doc_graph_profile_indexed",
 ]
 
 
