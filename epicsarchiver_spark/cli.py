@@ -35,7 +35,7 @@ continuous daemon shape; SURVEY §3.1):
                         → source-partitioned parquet landing)
     corpus ACTION DOCS → release-loop views/writes         (engine-only:
                         funnel/report/mixture/leakage/survivors/shards/
-                        verdicts/splits/packing through corpus.CorpusPipeline)
+                        verdicts/splits/packing/soft_dedup through corpus.CorpusPipeline)
     build_dedup_artifacts → per-release dedup bases        (engine-only: the
                         components/winnow/minhash/bigram-LM parquet the
                         *_indexed query lanes read back)
@@ -701,14 +701,16 @@ def cmd_corpus(args) -> int:
             print(f"{r.split_a}<->{r.split_b}: {r.n_pairs} near-dup pairs")
         print(f"{len(rows)} leaking split pair(s)")
         return 2 if rows else 0
-    if action in ("survivors", "shards", "verdicts", "splits", "packing"):
+    if action in ("survivors", "shards", "verdicts", "splits", "packing", "soft_dedup"):
         if not args.out:
-            print("--out required for survivors/shards/verdicts/splits/packing", file=sys.stderr)
+            print("--out required for survivors/shards/verdicts/splits/packing/soft_dedup", file=sys.stderr)
             return 1
         if action == "shards":
             df = cp.shards(args.n_shards)
         elif action == "packing":
             df = cp.packing(seq_tokens=args.budget)
+        elif action == "soft_dedup":
+            df = cp.soft_dedup(max_per_group=args.max_per_group)
         else:
             df = getattr(cp, action)()
         df.write.mode("overwrite").parquet(args.out)
@@ -1020,7 +1022,7 @@ def build_parser() -> argparse.ArgumentParser:
         "action",
         choices=(
             "funnel", "report", "mixture", "graph", "leakage", "survivors",
-            "shards", "verdicts", "splits", "packing",
+            "shards", "verdicts", "splits", "packing", "soft_dedup",
         ),
     )
     s.add_argument("documents", help="documents parquet path")
@@ -1028,6 +1030,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--out", default=None, help="output parquet for write actions")
     s.add_argument("--n-shards", type=int, default=8)
     s.add_argument("--budget", type=int, default=2048, help="packing sequence width (tokens)")
+    s.add_argument("--max-per-group", type=int, default=2, help="soft_dedup cluster cap")
     s.set_defaults(fn=cmd_corpus)
 
     s = sub.add_parser(

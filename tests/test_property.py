@@ -350,3 +350,50 @@ def test_pagerank_mirror_mass_and_floor(edges, rounds):
         assert all(v >= base for v in r2.values())
         assert sum(r2.values()) <= n_nodes * scale
         r = r2
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["aa", "ab", "ba"]),  # block-driving first token
+            st.lists(st.sampled_from("abc"), min_size=0, max_size=5).map("".join),
+        ).map(lambda t: f"{t[0]} {t[1]}".strip()),
+        min_size=2,
+        max_size=10,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_fuzzy_matches_equals_bruteforce_within_blocks(spark, names, d):
+    """fuzzy_matches ≡ brute force restricted to the block: every
+    within-block pair at distance ≤ d is found (completeness inside the
+    block), nothing else (no cross-block or over-threshold pair), and
+    the reported distance is the exact Levenshtein distance."""
+    from epicsarchiver_spark.operators.dedup import fuzzy_matches
+
+    df = spark.createDataFrame(
+        list(enumerate(names)), "id long, name string"
+    )
+    got = {
+        (r.id_a, r.id_b): r.distance
+        for r in fuzzy_matches(df, "id", "name", max_distance=d).collect()
+    }
+    want = {}
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            if names[i].split()[0].lower() != names[j].split()[0].lower():
+                continue
+            dist = _lev(names[i], names[j])
+            if dist <= d:
+                want[(i, j)] = dist
+    assert got == want
