@@ -198,6 +198,7 @@ HEADLINE = [
     "rel_fuzzy_customers",
     "doc_soft_dedup",
     "doc_graph_profile_indexed",
+    "doc_bm25_indexed",
 ]
 
 

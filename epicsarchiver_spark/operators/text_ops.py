@@ -598,6 +598,80 @@ def bm25_topk(
     )
 
 
+def build_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Write the persisted BM25 basis — the standing-search deployment
+    shape (SCALE.md r8e): ``<path>/postings`` holds ``(term, doc_id,
+    tf, dl)`` sorted and range-partitioned BY TERM so a query's
+    ``term IN (...)`` predicate prunes to the row groups containing its
+    terms, and ``<path>/stats`` the 1-row ``(n, avgdl)`` corpus frame
+    (over ALL docs, including zero-hit ones — the same denominator the
+    inline lane uses). Written once per corpus release; every query
+    after is a pruned read (``bm25_topk_indexed``)."""
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(F.col(id_col), F.size(toks).alias("dl"), toks.alias("_t"))
+    base.agg(
+        F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl")
+    ).write.mode("overwrite").parquet(f"{path}/stats")
+    (
+        base.select(F.col(id_col), "dl", F.explode("_t").alias("term"))
+        .groupBy("term", id_col, "dl")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .repartitionByRange(32, "term")
+        .sortWithinPartitions("term")
+        .write.mode("overwrite")
+        .parquet(f"{path}/postings")
+    )
+
+
+def bm25_topk_indexed(
+    spark,
+    index_path: str,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """``bm25_topk`` answered from the persisted index: the query's
+    ``term IN (...)`` filter pushes into the postings scan (term-sorted
+    row groups → only the query's slices are read), df is a
+    |query|-sized aggregate OVER THE FILTERED POSTINGS (identical to
+    the corpus df by construction), and stats ride the persisted 1-row
+    frame. Result ≡ the inline lane row-for-row (shared oracle)."""
+    terms = sorted({t.lower() for t in query_terms})
+    post = spark.read.parquet(f"{index_path}/postings").filter(
+        F.col("term").isin(terms)
+    )
+    stats = spark.read.parquet(f"{index_path}/stats")
+    df = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = post.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_doc = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum(contrib), 6).alias("score"),
+    )
+    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.select(
+        id_col,
+        "n_terms_matched",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def vocabulary_topk(
     docs: DataFrame, k: int = 1000, text: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

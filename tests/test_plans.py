@@ -817,3 +817,12 @@ def test_fuzzy_matches_is_block_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan), plan[:1500]
     assert "levenshtein" in plan
+
+
+def test_bm25_indexed_pushes_term_filter_to_postings_scan(spark):
+    """The index lane's whole point: the query's term IN (...) predicate
+    must reach the postings parquet scan as a pushed filter (term-sorted
+    row groups → pruned read), and the df/stats sides broadcast."""
+    plan = _plan(spark, "doc_bm25_indexed")
+    assert re.search(r"PushedFilters: \[In\(term", plan), plan[:1500]
+    assert "CartesianProduct" not in plan
