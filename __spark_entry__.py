@@ -76,6 +76,13 @@ ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0
 # ordered-funnel steps for the clickstream analytics family
 FUNNEL_STEPS = ("view", "click", "purchase")
 BM25_QUERY = ["spark", "merge", "window", "quantum"]  # 'quantum' absent on purpose
+# keyword-taxonomy for the doc_keyword_labels gate: overlapping term
+# sets ('data' in two labels — df must count it once) + an absent term
+KEYWORD_TAXONOMY = {
+    "compute": ["spark", "query", "join", "data"],
+    "storage": ["table", "row", "column", "data"],
+    "ops": ["batch", "stream", "plasma"],
+}
 HIST_BINS = 20  # per-series auto-ranged value histogram bins
 OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians)
 PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
@@ -190,6 +197,7 @@ _R8_FRONT: list[str] = [
     "doc_soft_dedup",
     "doc_graph_profile_indexed",
     "doc_bm25_indexed",
+    "doc_keyword_labels",
 ]
 
 # cheap, already-driver-certified queries that pad the sample window
@@ -575,6 +583,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_bm25_indexed"] = _doc_bm25_indexed
+
+    # keyword-taxonomy classification: every doc labeled by its best
+    # BM25-scoring keyword set (the curation domain-filter stage)
+    q["doc_keyword_labels"] = lambda s, d: text_ops.keyword_labels(
+        load_table(s, d, "documents"), KEYWORD_TAXONOMY
+    )
     q["doc_chunks"] = lambda s, d: text_ops.chunk_documents(
         load_table(s, d, "documents"), chunk_tokens=32, overlap=8
     )
@@ -3453,6 +3467,48 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    _kw_pairs = sorted(
+        {(lbl, t.lower()) for lbl, ts_ in KEYWORD_TAXONOMY.items() for t in ts_}
+    )
+    _kw_tax = ", ".join(f"('{lbl}', '{t}')" for lbl, t in _kw_pairs)
+    _kw_all = ", ".join(f"'{t}'" for t in sorted({t for _l, t in _kw_pairs}))
+    o["doc_keyword_labels"] = f"""
+        WITH tax(label, term) AS (VALUES {_kw_tax}),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_kw_all})) AS hit
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM hits
+        ), tf AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ), tfc AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), per_label AS (
+          SELECT tfc.doc_id, tax.label,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) JOIN tax USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id, tax.label
+        )
+        SELECT doc_id, label, score, n_terms_matched FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+          FROM per_label
+        ) WHERE rn = 1
+    """
 
     o["doc_chunks"] = """
         WITH t AS (

@@ -199,6 +199,7 @@ HEADLINE = [
     "doc_soft_dedup",
     "doc_graph_profile_indexed",
     "doc_bm25_indexed",
+    "doc_keyword_labels",
 ]
 
 

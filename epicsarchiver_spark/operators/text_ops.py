@@ -598,6 +598,73 @@ def bm25_topk(
     )
 
 
+def keyword_labels(
+    docs: DataFrame,
+    taxonomy: dict[str, list[str]],
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Keyword-taxonomy classification — the domain-filter stage real
+    curation pipelines run (label every document by which keyword set
+    matches it best): BM25-score each document against EVERY label's
+    term list in one pass and return the argmax ``(doc_id, label,
+    score, n_terms_matched)`` for documents matching ≥1 term. Ties
+    break (score desc, label asc) for engine determinism.
+
+    Scale shape: the taxonomy is a literal broadcast (|labels|·|terms|
+    rows); the corpus scan intersects the token array with the UNION of
+    all taxonomy terms before the explode (same discipline as
+    ``bm25_topk``); df is per-TERM over documents (label-independent,
+    so a term shared by two labels counts once); per-(doc, label)
+    scores reduce map-side and the winner is one |labels|-bounded
+    row_number per doc."""
+    pairs = sorted(
+        {(lbl, t.lower()) for lbl, terms in taxonomy.items() for t in terms}
+    )
+    all_terms = sorted({t for _lbl, t in pairs})
+    spark = docs.sparkSession
+    tax = spark.createDataFrame(pairs, "label string, term string")
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(*all_terms)).alias("_hit"),
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+    tf = (
+        base.filter(F.size("_hit") > 0)
+        .select(F.col(id_col), "_dl", F.explode("_hit").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(tax), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    per_label = scored.groupBy(id_col, "label").agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum(contrib), 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("label"))
+    return (
+        per_label.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "label", "score", "n_terms_matched")
+    )
+
+
 def build_bm25_index(
     docs: DataFrame,
     path: str,
