@@ -163,6 +163,27 @@ class PVArchEngine:
         recent counts, newest timestamp."""
         return control.status_activity(self.points, since, by=by)
 
+    def process_alerts(self, rules: DataFrame) -> DataFrame:
+        """ref cache.py:601-630 ``process_alerts`` — evaluate threshold
+        rules (keyed by pvname) against the store's latest values;
+        returns the tripped rows."""
+        cache = timeseries.latest_per_key(
+            self.points.select("pvname", "time", "value")
+        )
+        return control.alert_eval(cache, rules, rule_key="pvname")
+
+    def update_alerts(self, alerts: DataFrame, edits: DataFrame) -> DataFrame:
+        """ref webapp.py:163-227 ``submit_alertedits`` →
+        cache.add_alert/update_alert — MERGE the edit batch into the
+        alerts dimension (caller persists the returned frame)."""
+        return control.upsert_alerts(alerts, edits)
+
+    def process_requests(self, pv: DataFrame, requests: DataFrame) -> DataFrame:
+        """ref cache.py:705-752 ``process_requests`` — drain the request
+        mailbox against the pv catalog, latest action per pvname wins
+        (caller persists the returned catalog and clears the queue)."""
+        return control.apply_requests(pv, requests)
+
     # --- web-layer operators (epicsarchiver/webapp.py, web_utils.py) ---
 
     def cull_for_plot(self, frame: DataFrame, max_points: int = 30_000) -> DataFrame:

@@ -168,3 +168,41 @@ def test_position_and_check_facade(engine):
     assert got == {("S1:m1.VAL", 2550.0), ("S2:det1.VAL", 2550.0)}
     assert engine.check(cadence_s=600.0, now=5000.0) is True
     assert engine.check(cadence_s=600.0, now=1e9) is False
+
+
+def test_alert_and_request_surface(engine, spark):
+    """Cache-class parity (r8): process_alerts trips on the latest value,
+    update_alerts merges an edit batch, process_requests drains the
+    mailbox with latest-action-wins."""
+    import pyspark.sql.functions as F
+
+    pv = engine.get_pvnames()[0]
+    rules = spark.createDataFrame(
+        [(pv, "gt", "-1e9"), (pv, "lt", "-1e9")],
+        "pvname string, compare string, trippoint string",
+    )
+    tripped = engine.process_alerts(rules).collect()
+    assert len(tripped) == 1 and tripped[0]["compare"] == "gt"
+
+    alerts = spark.createDataFrame(
+        [(pv, "gt", "hi", None, None, 1.0, 30.0, "yes", "ok")],
+        "pvname string, compare string, name string, mailto string, "
+        "mailmsg string, trippoint double, timeout double, active string, "
+        "status string",
+    )
+    edits = spark.createDataFrame(
+        [(1, 1.0, "edit", pv, "gt", None, None, None, 2.0, None, None)],
+        "id long, ts double, action string, pvname string, compare string, "
+        "name string, mailto string, mailmsg string, trippoint double, "
+        "timeout double, active string",
+    )
+    merged = {r.compare: r for r in engine.update_alerts(alerts, edits).collect()}
+    assert merged["gt"].trippoint == 2.0 and merged["gt"].name == "hi"
+
+    cat = spark.createDataFrame([(pv, "yes")], "pvname string, active string")
+    req = spark.createDataFrame(
+        [(1, 1.0, pv, "suspend"), (2, 2.0, pv, "add")],
+        "id long, ts double, pvname string, action string",
+    )
+    got = engine.process_requests(cat, req).collect()
+    assert [(r.pvname, r.active) for r in got] == [(pv, "yes")]
