@@ -767,14 +767,34 @@ def cmd_bpe(args) -> int:
 
 
 def cmd_bm25(args) -> int:
-    """Keyword search over a documents parquet: BM25 ranking via
-    ``text_ops.bm25_topk`` (the search lane next to the reference's
-    name-pattern ``search``)."""
-    from epicsarchiver_spark.operators.text_ops import bm25_topk
+    """Keyword search: BM25 ranking via ``text_ops.bm25_topk`` (the
+    search lane next to the reference's name-pattern ``search``).
+    ``--build-index`` writes the persisted postings basis first;
+    ``--index`` queries an existing one (pruned read — the standing
+    deployment shape), no documents scan at all."""
+    from epicsarchiver_spark.operators.text_ops import (
+        bm25_topk,
+        bm25_topk_indexed,
+        build_bm25_index,
+    )
 
     spark = _spark("bm25")
-    docs = spark.read.parquet(args.documents)
-    hits = bm25_topk(docs, args.terms, k=args.k).collect()
+    index = args.index
+    if args.build_index:
+        if not args.documents:
+            print("--build-index needs the documents parquet", file=sys.stderr)
+            return 1
+        build_bm25_index(spark.read.parquet(args.documents), args.build_index)
+        print(f"index written to {args.build_index}")
+        index = args.build_index
+    if index:
+        hits = bm25_topk_indexed(spark, index, args.terms, k=args.k).collect()
+    elif args.documents:
+        docs = spark.read.parquet(args.documents)
+        hits = bm25_topk(docs, args.terms, k=args.k).collect()
+    else:
+        print("pass a documents parquet or --index", file=sys.stderr)
+        return 1
     for r in hits:
         print(f"{r['rank']:>3}  doc {r[0]}  score {r['score']:.4f}  "
               f"({r['n_terms_matched']} term(s))")
@@ -882,9 +902,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_import_ascii)
 
     s = sub.add_parser("bm25", help="BM25 keyword search over a documents parquet")
-    s.add_argument("documents")
+    s.add_argument("documents", nargs="?", default=None)
     s.add_argument("terms", nargs="+", help="query terms")
     s.add_argument("-k", type=int, default=10)
+    s.add_argument("--index", default=None, help="query a persisted postings index")
+    s.add_argument("--build-index", default=None, help="write the postings index here first")
     s.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")

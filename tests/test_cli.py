@@ -576,3 +576,24 @@ def test_bm25_cli_search(spark, tmp_path, capsys):
     assert "doc 2" in lines[0] and "doc 3" in lines[1]
     assert "2 hit(s)" in out
     assert cli.main(["bm25", path, "zzzzz"]) == 1  # no hits → nonzero exit
+
+
+def test_bm25_cli_index_lane(spark, tmp_path, capsys):
+    """--build-index writes the postings basis; --index answers the same
+    query from it with no documents argument."""
+    docs = spark.createDataFrame(
+        [(1, "spark shuffle exchange plan"), (2, "window sort merge join"),
+         (3, "spark spark spark broadcast")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs_bm25ix.parquet")
+    docs.write.parquet(path)
+    ix = str(tmp_path / "bm25_index")
+    assert cli.main(["bm25", path, "spark", "--build-index", ix]) == 0
+    inline_out = capsys.readouterr().out
+    assert cli.main(["bm25", "--index", ix, "spark"]) == 0
+    indexed_out = capsys.readouterr().out
+    # identical ranking lines from both lanes
+    strip = lambda o: [l for l in o.splitlines() if "  doc " in l]
+    assert strip(inline_out) == strip(indexed_out) and len(strip(indexed_out)) == 2
+    assert cli.main(["bm25", "zzz-also-a-term"]) == 1  # neither docs nor index

@@ -397,3 +397,59 @@ def test_fuzzy_matches_equals_bruteforce_within_blocks(spark, names, d):
             if dist <= d:
                 want[(i, j)] = dist
     assert got == want
+
+
+def _py_bm25(texts, terms, k1=1.2, b=0.75):
+    import math
+
+    toks = [t.lower().split() for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    qs = sorted(set(t.lower() for t in terms))
+    df = {
+        q: sum(1 for t in toks if q in t) for q in qs
+    }
+    out = {}
+    for i, t in enumerate(toks):
+        score, matched = 0.0, 0
+        for q in qs:
+            tf = t.count(q)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.log(1.0 + (n - df[q] + 0.5) / (df[q] + 0.5))
+            score += idf * tf * (k1 + 1.0) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        if matched:
+            out[i] = (matched, round(score, 6))
+    return out
+
+
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["ab", "cd", "ef", "gh"]), min_size=1, max_size=8)
+        .map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    st.lists(st.sampled_from(["ab", "cd", "zz"]), min_size=1, max_size=3),
+)
+@settings(max_examples=15, deadline=None)
+def test_bm25_matches_python_reference(spark, texts, terms):
+    """bm25_topk ≡ a direct python BM25 on random tiny corpora: same
+    match set, same n_terms_matched, same 6-dp scores, rank consistent
+    with (score desc, id)."""
+    from epicsarchiver_spark.operators.text_ops import bm25_topk
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_terms_matched, r.score, r.rank)
+        for r in bm25_topk(docs, terms, k=50).collect()
+    }
+    want = _py_bm25(texts, terms)
+    assert {i: v[:2] for i, v in got.items()} == want
+    ranked = sorted(got.items(), key=lambda kv: kv[1][2])
+    assert all(
+        (a[1][1], -a[0]) >= (b[1][1], -b[0]) for a, b in zip(ranked, ranked[1:])
+    )
