@@ -633,9 +633,14 @@ def keyword_labels(
         F.filter(toks, lambda t: t.isin(*all_terms)).alias("_hit"),
     )
     stats = base.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+    # ONE doc-keyed exchange serves the whole chain: hash-partitioning
+    # on id satisfies the (id, _dl, term) and (id, label) groupings AND
+    # the final per-doc rank window (subset-key distribution), so the
+    # match frame shuffles once instead of three times
     tf = (
         base.filter(F.size("_hit") > 0)
         .select(F.col(id_col), "_dl", F.explode("_hit").alias("term"))
+        .repartition(F.col(id_col))
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
