@@ -565,9 +565,13 @@ def bm25_topk(
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
+    # one doc-keyed exchange serves the (id, _dl, term) grouping AND the
+    # per-doc rollup below (subset-key distribution — same discipline as
+    # keyword_labels)
     tf = (
         base.filter(F.size("_hit") > 0)
         .select(F.col(id_col), "_dl", F.explode("_hit").alias("term"))
+        .repartition(F.col(id_col))
         .groupBy(id_col, "_dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
