@@ -3468,11 +3468,14 @@ def oracle_sql() -> dict[str, str]:
 
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
 
+    # same normalization + quote-escaping discipline as _bm25_terms so a
+    # future KEYWORD_TAXONOMY edit can't silently diverge the oracle
+    _kw_q = lambda s_: "'" + s_.replace("'", "''") + "'"  # noqa: E731
     _kw_pairs = sorted(
         {(lbl, t.lower()) for lbl, ts_ in KEYWORD_TAXONOMY.items() for t in ts_}
     )
-    _kw_tax = ", ".join(f"('{lbl}', '{t}')" for lbl, t in _kw_pairs)
-    _kw_all = ", ".join(f"'{t}'" for t in sorted({t for _l, t in _kw_pairs}))
+    _kw_tax = ", ".join(f"({_kw_q(lbl)}, {_kw_q(t)})" for lbl, t in _kw_pairs)
+    _kw_all = ", ".join(_kw_q(t) for t in sorted({t for _l, t in _kw_pairs}))
     o["doc_keyword_labels"] = f"""
         WITH tax(label, term) AS (VALUES {_kw_tax}),
         base AS (

@@ -68,6 +68,21 @@ def _points(spark, args):
     return read_points(spark, args.store)
 
 
+def _drain_or_stop(q, timeout: int) -> bool:
+    """availableNow drain with a hard timeout: True when the query
+    finished; on overrun, stop it, explain, and let the caller exit
+    nonzero (the checkpoint resumes where it left off)."""
+    if q.awaitTermination(timeout):
+        return True
+    q.stop()
+    print(
+        f"drain still running after {timeout}s — stopped; "
+        "rerun with a larger --timeout (checkpoint resumes where it left off)",
+        file=sys.stderr,
+    )
+    return False
+
+
 def cmd_status(args) -> int:
     from epicsarchiver_spark.operators.control import status_activity
 
@@ -379,13 +394,7 @@ def cmd_archive(args) -> int:
         print(f"archiving {args.events} -> {args.store} (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        if not q.awaitTermination(args.timeout):
-            q.stop()
-            print(
-                f"drain still running after {args.timeout}s — stopped; "
-                "rerun with a larger --timeout (checkpoint resumes where it left off)",
-                file=sys.stderr,
-            )
+        if not _drain_or_stop(q, args.timeout):
             return 1
         n = _points(spark, args).count()
         print(f"drained {args.events}: store now holds {n} points")
@@ -420,13 +429,7 @@ def cmd_cache_daemon(args) -> int:
         print("cache daemon running (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        if not q.awaitTermination(args.timeout):
-            q.stop()
-            print(
-                f"drain still running after {args.timeout}s — stopped; "
-                "rerun with a larger --timeout (checkpoint resumes where it left off)",
-                file=sys.stderr,
-            )
+        if not _drain_or_stop(q, args.timeout):
             return 1
         if not args.jdbc_url:
             n = read_cache(spark, args.cache).count()
@@ -507,6 +510,13 @@ def cmd_alert_rules(args) -> int:
         "add" if args.add else "edit" if args.edit else "drop" if args.drop else None
     )
     pvname = args.add or args.edit or args.drop
+    if action == "add" and args.trippoint is None:
+        # the reference webapp requires a trippoint on add — a NULL
+        # trippoint rule can never fire (alert_fires drops NULL), so
+        # silently creating one is a dead rule, not a default
+        print("--add requires --trippoint (a NULL-trippoint rule never fires)",
+              file=sys.stderr)
+        return 1
     spark = _spark("alert_rules")
     if os.path.isdir(args.table):
         current = spark.read.parquet(args.table)
@@ -578,18 +588,21 @@ def cmd_process_requests(args) -> int:
     """Drain the requests mailbox against the pv catalog (ref
     cache.py:705-752 ``process_requests``): latest action per pvname
     wins, drop removes the row, suspend deactivates, add ensures an
-    active row; the drained queue is cleared (the reference deletes
-    each processed request row)."""
+    active row. Only the SNAPSHOTTED request files are deleted after
+    the drain — a request appended concurrently (between snapshot and
+    cleanup) survives for the next pass, mirroring the reference's
+    per-row deletes."""
+    import glob as _glob
     import os
-    import shutil
 
     from epicsarchiver_spark.operators.control import apply_requests
 
     spark = _spark("process_requests")
-    if not os.path.isdir(args.queue):
+    snapshot = sorted(_glob.glob(os.path.join(args.queue, "*.parquet")))
+    if not snapshot:
         print("no requests")
         return 0
-    requests = spark.read.parquet(args.queue)
+    requests = spark.read.parquet(*snapshot)
     n_req = requests.count()
     if n_req == 0:
         print("no requests")
@@ -603,7 +616,8 @@ def cmd_process_requests(args) -> int:
     spark.createDataFrame(rows, updated.schema).coalesce(1).write.mode(
         "overwrite"
     ).parquet(args.catalog)
-    shutil.rmtree(args.queue)
+    for f in snapshot:
+        os.remove(f)
     print(f"processed {n_req} request(s): {len(rows)} PV(s) in {args.catalog}")
     return 0
 
@@ -659,14 +673,7 @@ def cmd_land(args) -> int:
         print(f"landing {args.docs} -> {args.out} (ctrl-c to stop)")
         q.awaitTermination()
     else:
-        done = q.awaitTermination(args.timeout)
-        if not done:
-            q.stop()
-            print(
-                f"drain still running after {args.timeout}s — stopped; "
-                "rerun with a larger --timeout (checkpoint resumes where it left off)",
-                file=sys.stderr,
-            )
+        if not _drain_or_stop(q, args.timeout):
             return 1
         try:
             n = spark.read.parquet(args.out).count()
@@ -780,6 +787,12 @@ def cmd_bm25(args) -> int:
 
     spark = _spark("bm25")
     index = args.index
+    if index and args.documents and not args.build_index:
+        # `bm25 --index ix spark merge` parses 'spark' into the optional
+        # documents positional (greedy nargs) — with --index and no
+        # --build-index nothing reads documents, so it IS a query term
+        args.terms.insert(0, args.documents)
+        args.documents = None
     if args.build_index:
         if not args.documents:
             print("--build-index needs the documents parquet", file=sys.stderr)

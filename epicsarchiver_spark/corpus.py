@@ -173,6 +173,11 @@ class CorpusPipeline:
         shipped splits rather than a parallel hash (ADVICE r7)."""
         if of_splits and assignment is None:
             assignment = self.splits(**split_kw).select(self.id_col, "split")
+        if assignment is not None:
+            # the audit runs over the explicit assignment — split_kw
+            # belonged to splits() above (e.g. buckets=) and must not
+            # be forwarded to split_leakage, which doesn't take them
+            split_kw = {k: v for k, v in split_kw.items() if k == "splits"}
         return curation.split_leakage(
             self.docs,
             pairs if pairs is not None else self.near_dup_pairs(),

@@ -577,21 +577,29 @@ def bm25_topk(
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-    )
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    contrib = _bm25_contrib(F.col("_n"), F.col("_avgdl"), F.col("_dl"), k1, b)
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.round(F.sum(contrib), 6).alias("score"),
     )
-    # top-k FIRST (TakeOrderedAndProject), THEN the rank window — the
-    # only unpartitioned window in the plan runs over ≤ k rows under a
-    # GlobalLimit, never over the match set
+    return _bm25_ranked_topk(per_doc, id_col, k)
+
+
+def _bm25_contrib(n, avgdl, dl, k1: float, b: float):
+    """The per-(doc, term) BM25 contribution — Lucene-variant idf ×
+    saturated tf — over the standard ``tf``/``df`` columns; ``n``,
+    ``avgdl``, ``dl`` are Columns so the inline (``_n``/``_avgdl``/
+    ``_dl``) and indexed (``n``/``avgdl``/``dl``) lanes share ONE
+    formula (doc_bm25_indexed is contractually row-identical to
+    doc_bm25_topk — a tweak applied to one copy must hit all)."""
+    idf = F.log(F.lit(1.0) + (n - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5)))
+    denom = F.col("tf") + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * dl / avgdl)
+    return idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+
+
+def _bm25_ranked_topk(per_doc: DataFrame, id_col: str, k: int) -> DataFrame:
+    """Shared top-k tail: TakeOrderedAndProject FIRST, then the rank
+    window over ≤ k rows under the GlobalLimit (plan-pinned)."""
     topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
     return topk.select(
@@ -654,14 +662,7 @@ def keyword_labels(
         .join(F.broadcast(tax), "term")
         .crossJoin(F.broadcast(stats))
     )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-    )
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    contrib = _bm25_contrib(F.col("_n"), F.col("_avgdl"), F.col("_dl"), k1, b)
     per_label = scored.groupBy(id_col, "label").agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.round(F.sum(contrib), 6).alias("score"),
@@ -726,26 +727,12 @@ def bm25_topk_indexed(
     stats = spark.read.parquet(f"{index_path}/stats")
     df = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = post.join(F.broadcast(df), "term").crossJoin(F.broadcast(stats))
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    denom = F.col("tf") + F.lit(k1) * (
-        F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")
-    )
-    contrib = idf * F.col("tf") * F.lit(k1 + 1.0) / denom
+    contrib = _bm25_contrib(F.col("n"), F.col("avgdl"), F.col("dl"), k1, b)
     per_doc = scored.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_terms_matched"),
         F.round(F.sum(contrib), 6).alias("score"),
     )
-    topk = per_doc.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
-    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return topk.select(
-        id_col,
-        "n_terms_matched",
-        "score",
-        F.row_number().over(w).cast("long").alias("rank"),
-    )
+    return _bm25_ranked_topk(per_doc, id_col, k)
 
 
 def vocabulary_topk(

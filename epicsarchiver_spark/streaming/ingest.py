@@ -670,6 +670,36 @@ def upsert_latest_jdbc(
             f.result()
 
 
+def _jdbc_merge_stmt(table: str, staging: str, dialect: str) -> str:
+    """The set-based monotone upsert for ``upsert_latest_jdbc_distributed``,
+    per backend family. ``merge`` is ANSI MERGE (Derby ≥10.11, PostgreSQL
+    ≥15, Oracle, DB2, SQL Server — parity-tested on Derby). ``mysql`` is
+    INSERT … ON DUPLICATE KEY UPDATE with the same ``old.time <= new.time``
+    guard (MySQL has no MERGE; the reference's own cache store is MySQL,
+    ref cache.py:454-462). The mysql form uses the 8.0.19+ row alias and
+    assigns ``value`` BEFORE ``time`` — ON DUPLICATE KEY assignments
+    evaluate left-to-right, so the time guard must still see the OLD
+    ``{table}.time`` when value is decided. Untestable in this container
+    (no MySQL); the statement shape is unit-pinned."""
+    if dialect == "merge":
+        return (
+            f"MERGE INTO {table} t USING {staging} s ON t.pvname = s.pvname "
+            "WHEN MATCHED AND t.time <= s.time "
+            "THEN UPDATE SET value = s.value, time = s.time "
+            "WHEN NOT MATCHED THEN "
+            "INSERT (pvname, value, time) VALUES (s.pvname, s.value, s.time)"
+        )
+    if dialect == "mysql":
+        return (
+            f"INSERT INTO {table} (pvname, value, time) "
+            f"SELECT pvname, value, time FROM {staging} AS new "
+            "ON DUPLICATE KEY UPDATE "
+            f"value = IF({table}.time <= new.time, new.value, {table}.value), "
+            f"time = IF({table}.time <= new.time, new.time, {table}.time)"
+        )
+    raise ValueError(f"unknown dialect {dialect!r} (use 'merge' or 'mysql')")
+
+
 def upsert_latest_jdbc_distributed(
     batch: DataFrame,
     url: str,
@@ -677,6 +707,7 @@ def upsert_latest_jdbc_distributed(
     ensure_table: bool = True,
     n_shards: int = 4,
     staging: str | None = None,
+    dialect: str = "merge",
 ) -> None:
     """S14, JDBC lane at scale — the DISTRIBUTED merge: executor-side
     parallel staging write + one set-based MERGE, with **zero data rows
@@ -713,7 +744,14 @@ def upsert_latest_jdbc_distributed(
     shard-load failure aborts before any cache mutation (the driver
     lane's savepoint fencing exists because its inserts race row-wise;
     the set-based MERGE has no such race to fence). Parity with both
-    other lanes is asserted in tests/test_streaming.py."""
+    other lanes is asserted in tests/test_streaming.py.
+
+    ``dialect`` selects the upsert statement: ``'merge'`` (ANSI MERGE —
+    Derby/PostgreSQL≥15/Oracle/DB2/SQL Server; the parity-tested
+    default) or ``'mysql'`` (INSERT … ON DUPLICATE KEY UPDATE with the
+    same monotone guard — the reference's own cache store is MySQL,
+    which has no MERGE; see ``_jdbc_merge_stmt``). The row-wise driver
+    lane (``upsert_latest_jdbc``) remains the fully portable fallback."""
     spark = batch.sparkSession
     staging = staging or f"{table}_staging"
     order = F.struct(F.col("time"))
@@ -751,13 +789,7 @@ def upsert_latest_jdbc_distributed(
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            st.executeUpdate(
-                f"MERGE INTO {table} t USING {staging} s ON t.pvname = s.pvname "
-                "WHEN MATCHED AND t.time <= s.time "
-                "THEN UPDATE SET value = s.value, time = s.time "
-                "WHEN NOT MATCHED THEN "
-                "INSERT (pvname, value, time) VALUES (s.pvname, s.value, s.time)"
-            )
+            st.executeUpdate(_jdbc_merge_stmt(table, staging, dialect))
             conn.commit()
         except Exception:
             conn.rollback()

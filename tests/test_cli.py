@@ -555,9 +555,16 @@ def test_request_queue_cli_drain(spark, tmp_path, capsys):
         ("CLI:c.VAL", "yes"),   # untouched
         ("CLI:d.VAL", "yes"),   # added
     }  # CLI:b.VAL dropped
-    assert not os.path.isdir(queue)  # mailbox cleared
+    import glob
+
+    assert glob.glob(f"{queue}/*.parquet") == []  # drained files deleted
     assert cli.main(["process_requests", "--queue", queue, "--catalog", catalog]) == 0
     assert "no requests" in capsys.readouterr().out
+    # a request landing after a drain is picked up by the next pass
+    assert cli.main(["drop_pv", "CLI:d.VAL", "--queue", queue]) == 0
+    assert cli.main(["process_requests", "--queue", queue, "--catalog", catalog]) == 0
+    got2 = {(r.pvname, r.active) for r in spark.read.parquet(catalog).collect()}
+    assert got2 == {("CLI:a.VAL", "yes"), ("CLI:c.VAL", "yes")}
 
 
 def test_bm25_cli_search(spark, tmp_path, capsys):

@@ -152,6 +152,9 @@ def test_leakage_audits_shipped_splits(spark, docs):
     pair is caught."""
     cp = CorpusPipeline(spark, docs)
     assert cp.leakage(of_splits=True).count() == 0
+    # component_splits-only kwargs must reach splits() without leaking
+    # into split_leakage's signature (review r8)
+    assert cp.leakage(of_splits=True, buckets=5000).count() == 0
 
     # adversarial explicit assignment: split every near-dup pair apart
     pairs = cp.near_dup_pairs()

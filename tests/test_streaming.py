@@ -1319,3 +1319,27 @@ def test_flatline_stream_transitions_across_batches(spark, tmp_path):
     b = {r.pvname: r for r in
          flatlines(batch_df, min_points=4, min_duration_s=100.0).collect()}
     assert b["stuck"].n_stuck_runs == 1 and not b["wiggle"].stuck
+
+
+def test_jdbc_merge_stmt_dialects():
+    """The distributed lane's upsert statement per backend family:
+    ANSI MERGE by default; MySQL (no MERGE) gets INSERT ... ON
+    DUPLICATE KEY UPDATE with the same monotone guard, value assigned
+    BEFORE time (assignments evaluate left-to-right, so the guard must
+    still see the old time when value is decided)."""
+    import pytest
+
+    from epicsarchiver_spark.streaming.ingest import _jdbc_merge_stmt
+
+    merge = _jdbc_merge_stmt("cache", "cache_staging", "merge")
+    assert merge.startswith("MERGE INTO cache t USING cache_staging s")
+    assert "t.time <= s.time" in merge
+
+    my = _jdbc_merge_stmt("cache", "cache_staging", "mysql")
+    assert my.startswith("INSERT INTO cache")
+    assert "ON DUPLICATE KEY UPDATE" in my
+    assert "cache.time <= new.time" in my
+    assert my.index("value = IF(") < my.index("time = IF(")  # ordering guard
+
+    with pytest.raises(ValueError):
+        _jdbc_merge_stmt("cache", "s", "sqlite")
