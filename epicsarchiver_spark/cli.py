@@ -439,6 +439,42 @@ def cmd_cache_daemon(args) -> int:
     return 0
 
 
+def _load_alert_rules(spark, args):
+    """Rules for the sweep: the CSV positional, or with ``--table`` the
+    persisted CRUD dimension (``pvarch alert_rules``) — active rules
+    only, trippoint rendered to the comparator's string form. Re-read
+    on every call, which is what makes ``--follow`` a live daemon."""
+    import csv
+    import os
+
+    if args.table:
+        if not os.path.isdir(args.table):
+            return None, 0
+        from pyspark.sql import functions as F
+
+        dim = spark.read.parquet(args.table).filter(
+            (F.col("active") == "yes") & F.col("trippoint").isNotNull()
+        )
+        rows = [
+            (r.pvname, r.compare, repr(float(r.trippoint)))
+            for r in dim.collect()
+        ]
+    else:
+        with open(args.rules) as fh:
+            rows = [
+                (r["pvname"], r["compare"], r["trippoint"])
+                for r in csv.DictReader(fh)
+            ]
+    if not rows:
+        return None, 0
+    return (
+        spark.createDataFrame(
+            rows, "pvname string, compare string, trippoint string"
+        ),
+        len(rows),
+    )
+
+
 def cmd_alerts(args) -> int:
     """Alert sweep over the store (ref cache.py:601-630 + the mail
     path): evaluate threshold rules against the latest value per series
@@ -446,41 +482,57 @@ def cmd_alerts(args) -> int:
     side of the reference's alert daemon, minus the SMTP send
     (declared non-goal; pipe stdout wherever).
 
-    Rules CSV: ``pvname,compare,trippoint`` with compare ∈
-    {eq,ne,le,lt,ge,gt}. Exit code 2 when anything fires (cron-able,
-    same convention as ``check``)."""
-    import csv
-
+    Rules: the CSV positional (``pvname,compare,trippoint`` with
+    compare ∈ {eq,ne,le,lt,ge,gt}), or ``--table`` for the persisted
+    CRUD dimension. One-shot by default, exit 2 when anything fires
+    (cron-able, same convention as ``check``). ``--follow`` is the
+    reference daemon's actual shape — a polling loop every
+    ``--period-s`` that RE-READS the rules each pass (ref cache.py:393
+    re-reads the alert table every cache_alert_period), so rule edits
+    land without a restart."""
     from epicsarchiver_spark.functions.mail import render_alert_mail
     from epicsarchiver_spark.operators.control import alert_eval
     from epicsarchiver_spark.operators.timeseries import latest_per_key
 
+    if not args.rules and not args.table:
+        print("pass a rules CSV or --table", file=sys.stderr)
+        return 1
     spark = _spark("alerts")
-    with open(args.rules) as fh:
-        rows = [
-            (r["pvname"], r["compare"], r["trippoint"])
-            for r in csv.DictReader(fh)
-        ]
-    if not rows:
-        print("no rules")
-        return 0
-    rules = spark.createDataFrame(rows, "pvname string, compare string, trippoint string")
-    cache = latest_per_key(_points(spark, args).select("pvname", "time", "value"))
-    fired = alert_eval(cache, rules, rule_key="pvname").collect()
-    lookup = {r.pvname: str(r.value) for r in cache.collect()} if fired else {}
     template = (
         open(args.template).read()
         if args.template
         else "ALERT %PV%: value %VALUE% %COMP% trippoint %TRIP%"
     )
-    for r in fired:
-        print(
-            render_alert_mail(
-                template, r.pvname, r.value, args.label, r.compare, r.trippoint, lookup
+
+    def sweep() -> int:
+        rules, n_rules = _load_alert_rules(spark, args)
+        if rules is None:
+            print("no rules")
+            return 0
+        cache = latest_per_key(_points(spark, args).select("pvname", "time", "value"))
+        fired = alert_eval(cache, rules, rule_key="pvname").collect()
+        lookup = {r.pvname: str(r.value) for r in cache.collect()} if fired else {}
+        for r in fired:
+            print(
+                render_alert_mail(
+                    template, r.pvname, r.value, args.label, r.compare,
+                    r.trippoint, lookup,
+                )
             )
-        )
-    print(f"{len(fired)} alert(s) fired over {len(rows)} rule(s)")
-    return 2 if fired else 0
+        print(f"{len(fired)} alert(s) fired over {n_rules} rule(s)")
+        return 2 if fired else 0
+
+    if not args.follow:
+        return sweep()
+    loops = 0
+    rc = 0
+    while args.max_loops is None or loops < args.max_loops:
+        rc = sweep()
+        loops += 1
+        if args.max_loops is not None and loops >= args.max_loops:
+            break
+        time.sleep(args.period_s)
+    return rc
 
 
 _ALERT_DIM_SCHEMA = (
@@ -970,9 +1022,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_restore_position)
 
     s = sub.add_parser("alerts", help="evaluate alert rules, print rendered mail")
-    s.add_argument("rules", help="CSV with pvname,compare,trippoint columns")
+    s.add_argument("rules", nargs="?", default=None,
+                   help="CSV with pvname,compare,trippoint columns")
+    s.add_argument("--table", default=None,
+                   help="persisted rules dimension (pvarch alert_rules) instead of CSV")
     s.add_argument("--template", default=None, help="mail template file")
     s.add_argument("--label", default="alarm")
+    s.add_argument("--follow", action="store_true",
+                   help="daemon loop: re-read rules and sweep every --period-s")
+    s.add_argument("--period-s", type=float, default=15.0)
+    s.add_argument("--max-loops", type=int, default=None, help=argparse.SUPPRESS)
     s.set_defaults(fn=cmd_alerts)
 
     s = sub.add_parser(

@@ -604,3 +604,39 @@ def test_bm25_cli_index_lane(spark, tmp_path, capsys):
     strip = lambda o: [l for l in o.splitlines() if "  doc " in l]
     assert strip(inline_out) == strip(indexed_out) and len(strip(indexed_out)) == 2
     assert cli.main(["bm25", "zzz-also-a-term"]) == 1  # neither docs nor index
+
+
+def test_alerts_sweep_from_crud_table_and_follow(spark, store, tmp_path, capsys):
+    """The CRUD dimension feeds the sweep (--table), and --follow loops
+    re-read the rules each pass (the reference daemon's polling shape;
+    ref cache.py:393)."""
+    table = str(tmp_path / "rules_dim")
+    # store series end at value 2970 % 7 == 2.0 → gt 1 fires, gt 99 not
+    assert cli.main(
+        ["alert_rules", "--table", table, "--add", "CLI:a.VAL",
+         "--compare", "gt", "--trippoint", "1"]
+    ) == 0
+    assert cli.main(
+        ["alert_rules", "--table", table, "--add", "CLI:b.VAL",
+         "--compare", "gt", "--trippoint", "99"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["--store", store, "alerts", "--table", table]) == 2
+    out = capsys.readouterr().out
+    assert "1 alert(s) fired over 2 rule(s)" in out
+    # a suspended rule drops out of the sweep without a restart
+    assert cli.main(
+        ["alert_rules", "--table", table, "--edit", "CLI:a.VAL",
+         "--compare", "gt", "--active", "no"]
+    ) == 0
+    capsys.readouterr()
+    assert cli.main(["--store", store, "alerts", "--table", table]) == 0
+    assert "0 alert(s) fired over 1 rule(s)" in capsys.readouterr().out
+    # --follow re-sweeps every period (bounded here by --max-loops)
+    assert cli.main(
+        ["--store", store, "alerts", "--table", table, "--follow",
+         "--period-s", "0.1", "--max-loops", "2"]
+    ) == 0
+    assert capsys.readouterr().out.count("alert(s) fired") == 2
+    # neither CSV nor table → usage error
+    assert cli.main(["--store", store, "alerts"]) == 1
