@@ -26,6 +26,7 @@ continuous daemon shape; SURVEY §3.1):
     import_zarr ZIP   → legacy archive → points store      (engine-only: migration)
     add_pvfile FILE   → parse a PV-list file, print counts (pvarch add_pvfile)
     next              → rotate the runs dimension          (pvarch next / set_runinfo)
+    prune             → drop old run partitions (retention) (engine-only: O(1) dir deletes)
     check             → ≥1-point liveness watchdog         (pvarch check, doc/setup.rst:40-42)
     health            → per-PV uptime/drift/outlier report (engine-only roll-up of status+check)
     save_position     → save named instrument position     (WebInstruments save)
@@ -779,6 +780,24 @@ def cmd_corpus(args) -> int:
     return 1
 
 
+def cmd_prune(args) -> int:
+    """Retention sweep: drop old run partitions (O(1) directory deletes
+    — never a rewrite). Refuses to run without a retention bound."""
+    from epicsarchiver_spark.sources.points_store import list_runs, prune_runs
+
+    if args.keep_last is None and args.before is None:
+        print("pass --keep-last N or --before RUN", file=sys.stderr)
+        return 1
+    spark = _spark("prune")
+    dropped = prune_runs(
+        spark, args.store, keep_last=args.keep_last, before=args.before
+    )
+    for r in dropped:
+        print(f"dropped run={r}")
+    print(f"pruned {len(dropped)} run(s); {len(list_runs(spark, args.store))} remain")
+    return 0
+
+
 def cmd_import_ascii(args) -> int:
     """Land an exported ASCII data file (the reference's /data/<pv>/
     format, or this engine's own S9 sink output) back into the
@@ -958,6 +977,11 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--run", default="imported")
     s.add_argument("--buckets", type=int, default=128)
     s.set_defaults(fn=cmd_import_zarr)
+
+    s = sub.add_parser("prune", help="drop old run partitions (retention)")
+    s.add_argument("--keep-last", type=int, default=None, help="keep newest N runs")
+    s.add_argument("--before", default=None, help="drop runs lexically below this name")
+    s.set_defaults(fn=cmd_prune)
 
     s = sub.add_parser("import_ascii", help="import an ASCII data file for one PV")
     s.add_argument("path")

@@ -57,6 +57,55 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def list_runs(spark: SparkSession, path: str) -> list[str]:
+    """The store's run partitions, name-sorted (run names are zero-padded
+    or date-stamped, so lexical order IS chronological order — the same
+    invariant ``rotate_runs`` maintains)."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(P(path)):
+        return []
+    return sorted(
+        st.getPath().getName()[len("run="):]
+        for st in fs.listStatus(P(path))
+        if st.isDirectory() and st.getPath().getName().startswith("run=")
+    )
+
+
+def prune_runs(
+    spark: SparkSession,
+    path: str,
+    keep_last: int | None = None,
+    before: str | None = None,
+) -> list[str]:
+    """Retention: DROP old run partitions — the data-lifecycle op every
+    archiver eventually needs (the reference rotates MySQL databases and
+    ops teams drop old ones by hand; here a run is a partition
+    directory, so retirement is an O(1)-metadata directory delete, no
+    rewrite, no scan — the run-partitioned layout's whole point at
+    100 TB). ``keep_last=N`` keeps the newest N runs by name;
+    ``before='run_x'`` drops every run lexically below it. The newest
+    run is never dropped (the open run must survive any retention
+    setting). Returns the dropped run names."""
+    runs = list_runs(spark, path)
+    if not runs:
+        return []
+    victims: list[str] = []
+    if keep_last is not None:
+        victims = runs[: -max(int(keep_last), 1)]
+    elif before is not None:
+        victims = [r for r in runs[:-1] if r < before]
+    if not victims:
+        return []
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    for r in victims:
+        fs.delete(P(f"{path}/run={r}"), True)
+    return victims
+
+
 def series_filter(
     points: DataFrame, pvname: str, n_buckets: int = DEFAULT_BUCKETS
 ) -> DataFrame:

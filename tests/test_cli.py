@@ -640,3 +640,30 @@ def test_alerts_sweep_from_crud_table_and_follow(spark, store, tmp_path, capsys)
     assert capsys.readouterr().out.count("alert(s) fired") == 2
     # neither CSV nor table → usage error
     assert cli.main(["--store", store, "alerts"]) == 1
+
+
+def test_prune_runs_retention(spark, tmp_path, capsys):
+    """Retention drops whole run partitions without touching newer data;
+    the newest (open) run always survives; no bound → usage error."""
+    path = str(tmp_path / "pstore")
+    for i in (1, 2, 3):
+        write_points(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [("CLI:p.VAL", float(i), float(i))],
+                    columns=["pvname", "time", "value"],
+                )
+            ),
+            path,
+            run=f"run_0000{i}",
+            n_buckets=2,
+        )
+    assert cli.main(["--store", path, "prune"]) == 1  # no bound
+    assert cli.main(["--store", path, "prune", "--keep-last", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "dropped run=run_00001" in out and "2 remain" in out
+    left = {r.run for r in read_points(spark, path).collect()}
+    assert left == {"run_00002", "run_00003"}
+    # --before never drops the newest run even when it matches
+    assert cli.main(["--store", path, "prune", "--before", "run_99999"]) == 0
+    assert {r.run for r in read_points(spark, path).collect()} == {"run_00003"}
