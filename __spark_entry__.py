@@ -1494,9 +1494,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _dnull.alias("timeout"),
             F.lit("no").alias("active"),
         )
-        return control.upsert_alerts(after1, e2.unionByName(e2b)).orderBy(
-            "pvname", "compare"
+        # edit of a key with NO existing rule (rank 13 never seeded or
+        # added) — must be a no-op, not a new row
+        e2c = ranked.filter(F.col("rnk") == 13).select(
+            F.lit(300).cast("long").alias("id"),
+            F.lit(3.0).alias("ts"),
+            F.lit("edit").alias("action"),
+            "pvname",
+            F.lit("gt").alias("compare"),
+            _snull.alias("name"),
+            _snull.alias("mailto"),
+            _snull.alias("mailmsg"),
+            F.lit(55.0).alias("trippoint"),
+            _dnull.alias("timeout"),
+            _snull.alias("active"),
         )
+        return control.upsert_alerts(
+            after1, e2.unionByName(e2b).unionByName(e2c)
+        ).orderBy("pvname", "compare")
 
     q["ctl_alert_upsert"] = _ctl_alert_upsert
 
@@ -5129,7 +5144,10 @@ def oracle_sql() -> dict[str, str]:
 
     # the same two-batch MERGE the Spark query runs, as two chained
     # full-join CTE stages (m1, m2); the within-batch duplicate edit is
-    # collapsed by the l1/l2 row_number exactly as upsert_alerts does
+    # collapsed by the l1/l2 row_number exactly as upsert_alerts does;
+    # b.status IS NULL marks a key with no existing rule, so an 'edit'
+    # of a missing key is a no-op (never a new row), mirroring the
+    # operator's status-notnull fence
     _au_merge = """
         SELECT pvname, compare,
                coalesce(e.name, b.name) AS name,
@@ -5140,7 +5158,8 @@ def oracle_sql() -> dict[str, str]:
                coalesce(e.active, b.active, 'yes') AS active,
                coalesce(b.status, 'ok') AS status
         FROM {base} b FULL JOIN {lat} e USING (pvname, compare)
-        WHERE e.action IS NULL OR e.action <> 'drop'
+        WHERE (e.action IS NULL OR e.action <> 'drop')
+          AND (e.action IS NULL OR e.action <> 'edit' OR b.status IS NOT NULL)
     """
     o["ctl_alert_upsert"] = (
         P
@@ -5184,6 +5203,9 @@ def oracle_sql() -> dict[str, str]:
           UNION ALL
           SELECT 200, 3.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 99.0, NULL, 'no'
           FROM pvr WHERE rnk = 7
+          UNION ALL
+          SELECT 300, 3.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 55.0, NULL, NULL
+          FROM pvr WHERE rnk = 13
         ),
         l2 AS (
           SELECT * FROM (

@@ -449,8 +449,11 @@ def _load_alert_rules(spark, args):
     import os
 
     if args.table:
+        _recover_dim(spark, args.table)
         if not os.path.isdir(args.table):
-            return None, 0
+            # loud, like the CSV lane's FileNotFoundError — a typo'd
+            # --table in a cron sweep must not exit 0 as "no rules"
+            raise FileNotFoundError(f"alert rules table not found: {args.table}")
         from pyspark.sql import functions as F
 
         dim = spark.read.parquet(args.table).filter(
@@ -528,7 +531,14 @@ def cmd_alerts(args) -> int:
     loops = 0
     rc = 0
     while args.max_loops is None or loops < args.max_loops:
-        rc = sweep()
+        try:
+            rc = sweep()
+        except Exception as ex:  # noqa: BLE001 — daemon survives one bad pass
+            # e.g. the sweep's read racing a concurrent alert_rules
+            # table swap: log and retry next period rather than dying
+            # (the whole point of --follow is surviving rule edits)
+            print(f"sweep failed ({type(ex).__name__}: {ex}); retrying",
+                  file=sys.stderr)
         loops += 1
         if args.max_loops is not None and loops >= args.max_loops:
             break
@@ -571,6 +581,7 @@ def cmd_alert_rules(args) -> int:
               file=sys.stderr)
         return 1
     spark = _spark("alert_rules")
+    _recover_dim(spark, args.table)  # restore a crash-parked .bak first
     if os.path.isdir(args.table):
         current = spark.read.parquet(args.table)
     else:
@@ -602,13 +613,28 @@ def cmd_alert_rules(args) -> int:
         ],
         _ALERT_EDIT_SCHEMA,
     )
+    if action == "edit":
+        from pyspark.sql import functions as F
+
+        if current.filter(
+            (F.col("pvname") == pvname) & (F.col("compare") == args.compare)
+        ).count() == 0:
+            # upsert_alerts treats an edit of a missing key as a no-op;
+            # surface it here instead of silently losing the intent
+            print(
+                f"no rule ({pvname}, {args.compare}) to edit — use --add",
+                file=sys.stderr,
+            )
+            return 1
     merged = upsert_alerts(current, edit)
     # the dimension is tiny (rule-count rows) — materialize before the
-    # overwrite so Spark never reads the path it is rewriting
+    # swap so Spark never reads the path it is rewriting; the two-rename
+    # swap (_overwrite_dim) keeps a concurrent `alerts --follow` sweep
+    # from ever seeing a half-deleted table
     rows = merged.collect()
-    spark.createDataFrame(rows, merged.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(args.table)
+    _overwrite_dim(
+        spark, spark.createDataFrame(rows, merged.schema), args.table
+    )
     print(f"{action} {pvname} ({args.compare}): {len(rows)} rule(s) now in {args.table}")
     return 0
 
@@ -789,9 +815,13 @@ def cmd_prune(args) -> int:
         print("pass --keep-last N or --before RUN", file=sys.stderr)
         return 1
     spark = _spark("prune")
-    dropped = prune_runs(
-        spark, args.store, keep_last=args.keep_last, before=args.before
-    )
+    try:
+        dropped = prune_runs(
+            spark, args.store, keep_last=args.keep_last, before=args.before
+        )
+    except ValueError as ex:
+        print(str(ex), file=sys.stderr)
+        return 1
     for r in dropped:
         print(f"dropped run={r}")
     print(f"pruned {len(dropped)} run(s); {len(list_runs(spark, args.store))} remain")
@@ -994,8 +1024,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("documents", nargs="?", default=None)
     s.add_argument("terms", nargs="+", help="query terms")
     s.add_argument("-k", type=int, default=10)
-    s.add_argument("--index", default=None, help="query a persisted postings index")
-    s.add_argument("--build-index", default=None, help="write the postings index here first")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--index", default=None, help="query a persisted postings index")
+    g.add_argument("--build-index", default=None, help="write the postings index here first")
     s.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")

@@ -172,12 +172,17 @@ class CorpusPipeline:
         ``assert cp.leakage(of_splits=True).count() == 0`` checks the
         shipped splits rather than a parallel hash (ADVICE r7)."""
         if of_splits and assignment is None:
+            # split_kw is validated HERE (a typo'd kwarg raises in
+            # component_splits) and consumed — split_leakage ignores
+            # its splits= when an assignment is given
             assignment = self.splits(**split_kw).select(self.id_col, "split")
-        if assignment is not None:
-            # the audit runs over the explicit assignment — split_kw
-            # belonged to splits() above (e.g. buckets=) and must not
-            # be forwarded to split_leakage, which doesn't take them
-            split_kw = {k: v for k, v in split_kw.items() if k == "splits"}
+            split_kw = {}
+        elif assignment is not None and split_kw:
+            # explicit assignment: split kwargs are meaningless — raise
+            # rather than silently accepting a typo (review r8)
+            raise TypeError(
+                f"leakage(assignment=...) does not take {sorted(split_kw)}"
+            )
         return curation.split_leakage(
             self.docs,
             pairs if pairs is not None else self.near_dup_pairs(),

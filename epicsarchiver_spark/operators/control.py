@@ -59,12 +59,16 @@ def upsert_alerts(alerts: DataFrame, edits: DataFrame) -> DataFrame:
     per rule key ``(pvname, compare)`` wins — the daemon re-reads the
     whole alerts table every alert period (ref cache.py:754
     read_alert_table), so last-write-wins is the observable semantics.
-    'add'/'edit' both upsert; an edit column left NULL keeps the
-    existing value (the webapp form posts the full row, a CLI patch may
-    set one field); 'drop' deletes the rule. New rules get the schema
-    defaults (timeout 30, active 'yes') and engine-managed
-    ``status='ok'`` (ref schema.py:38-40). Both sides are rule-sized
-    dimensions — no fact-table contact, broadcastable everywhere."""
+    'add' upserts; 'edit' updates an EXISTING rule only — an edit whose
+    key matches nothing is a no-op, never a new row (the reference's
+    update_alert updates by id; silently creating a rule from a typo'd
+    edit would mint a dead NULL-trippoint rule). An edit column left
+    NULL keeps the existing value (the webapp form posts the full row,
+    a CLI patch may set one field); 'drop' deletes the rule. New rules
+    get the schema defaults (timeout 30, active 'yes') and
+    engine-managed ``status='ok'`` (ref schema.py:38-40). Both sides
+    are rule-sized dimensions — no fact-table contact, broadcastable
+    everywhere."""
     key = ["pvname", "compare"]
     w = Window.partitionBy(*key).orderBy(F.col("ts").desc(), F.col("id").desc())
     latest = (
@@ -76,8 +80,16 @@ def upsert_alerts(alerts: DataFrame, edits: DataFrame) -> DataFrame:
             *[F.col(c).alias(f"_e_{c}") for c in ALERT_EDIT_COLS],
         )
     )
+    # status is alerts-side-only pre-coalesce, so its NULLness marks a
+    # key with no existing rule: drops delete, and edits of a missing
+    # key fall through as no-ops instead of minting a new row
     merged = alerts.join(latest, key, "full_outer").filter(
-        F.col("action").isNull() | (F.col("action") != "drop")
+        (F.col("action").isNull() | (F.col("action") != "drop"))
+        & (
+            F.col("action").isNull()
+            | (F.col("action") != "edit")
+            | F.col("status").isNotNull()
+        )
     )
     defaults = {"timeout": F.lit(30.0), "active": F.lit("yes")}
     updated = [

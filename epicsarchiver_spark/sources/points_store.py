@@ -87,13 +87,34 @@ def prune_runs(
     100 TB). ``keep_last=N`` keeps the newest N runs by name;
     ``before='run_x'`` drops every run lexically below it. The newest
     run is never dropped (the open run must survive any retention
-    setting). Returns the dropped run names."""
+    setting). Returns the dropped run names.
+
+    Safety rails: ``keep_last`` and ``before`` are mutually exclusive
+    (silently ignoring one invites a false sense of what was retired);
+    ``keep_last`` must be ≥ 1; and because "newest" is NAME order,
+    ``keep_last`` refuses a store whose run names are heterogeneous
+    (e.g. rotation's ``run_00001`` mixed with an ``import_ascii --run
+    migrated`` run — lexical order is not chronological there, and a
+    wrong guess deletes the newest data). For mixed-name stores use
+    ``before``, which is an explicit caller-owned name bound."""
+    if (keep_last is None) == (before is None):
+        raise ValueError("pass exactly one of keep_last / before")
+    if keep_last is not None and int(keep_last) < 1:
+        raise ValueError("keep_last must be >= 1")
     runs = list_runs(spark, path)
     if not runs:
         return []
     victims: list[str] = []
     if keep_last is not None:
-        victims = runs[: -max(int(keep_last), 1)]
+        import re as _re
+
+        stems = {_re.sub(r"\d+$", "#", r) for r in runs}
+        if len(stems) > 1:
+            raise ValueError(
+                f"heterogeneous run names {sorted(stems)}: lexical order is "
+                "not chronological — use before= with an explicit bound"
+            )
+        victims = runs[: -int(keep_last)]
     elif before is not None:
         victims = [r for r in runs[:-1] if r < before]
     if not victims:

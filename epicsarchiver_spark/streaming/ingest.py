@@ -754,6 +754,7 @@ def upsert_latest_jdbc_distributed(
     lane (``upsert_latest_jdbc``) remains the fully portable fallback."""
     spark = batch.sparkSession
     staging = staging or f"{table}_staging"
+    merge_stmt = _jdbc_merge_stmt(table, staging, dialect)  # validate BEFORE the staging load
     order = F.struct(F.col("time"))
     fresh = (
         batch.groupBy("pvname")
@@ -789,7 +790,7 @@ def upsert_latest_jdbc_distributed(
         conn.setAutoCommit(False)
         st = conn.createStatement()
         try:
-            st.executeUpdate(_jdbc_merge_stmt(table, staging, dialect))
+            st.executeUpdate(merge_stmt)
             conn.commit()
         except Exception:
             conn.rollback()

@@ -596,13 +596,21 @@ def test_bm25_cli_index_lane(spark, tmp_path, capsys):
     path = str(tmp_path / "docs_bm25ix.parquet")
     docs.write.parquet(path)
     ix = str(tmp_path / "bm25_index")
-    assert cli.main(["bm25", path, "spark", "--build-index", ix]) == 0
+    # genuinely inline (no index flags at all)
+    assert cli.main(["bm25", path, "spark"]) == 0
     inline_out = capsys.readouterr().out
+    # build, then query the persisted index with no documents argument
+    assert cli.main(["bm25", path, "spark", "--build-index", ix]) == 0
+    capsys.readouterr()
     assert cli.main(["bm25", "--index", ix, "spark"]) == 0
     indexed_out = capsys.readouterr().out
-    # identical ranking lines from both lanes
+    # identical ranking lines from the two lanes
     strip = lambda o: [l for l in o.splitlines() if "  doc " in l]
     assert strip(inline_out) == strip(indexed_out) and len(strip(indexed_out)) == 2
+    # multi-term --index query: the first term must not vanish into the
+    # documents positional (review r8)
+    assert cli.main(["bm25", "--index", ix, "spark", "join", "-k", "3"]) == 0
+    assert len(strip(capsys.readouterr().out)) == 3  # all three docs match
     assert cli.main(["bm25", "zzz-also-a-term"]) == 1  # neither docs nor index
 
 

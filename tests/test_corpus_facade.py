@@ -168,6 +168,10 @@ def test_leakage_audits_shipped_splits(spark, docs):
         )
         leaks = cp.leakage(assignment=assignment).collect()
         assert sum(r.n_pairs for r in leaks) >= 1
+        # a typo'd split kwarg with an explicit assignment must raise,
+        # not silently vanish (review r8)
+        with pytest.raises(TypeError):
+            cp.leakage(assignment=assignment, buckets=5)
 
 
 def test_soft_dedup_facade(spark, docs, tmp_path):
