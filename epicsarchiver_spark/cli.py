@@ -691,13 +691,16 @@ def cmd_process_requests(args) -> int:
     else:
         pv = spark.createDataFrame([], "pvname string, active string")
     updated = apply_requests(pv, requests)
-    rows = updated.collect()  # catalog-sized dimension
-    spark.createDataFrame(rows, updated.schema).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(args.catalog)
+    # Crash-safe two-rename swap (same as the alerts dimension): a crash
+    # mid-write leaves the catalog either old or new, never half-written,
+    # and since the queue files are only deleted AFTER the swap lands, a
+    # replay re-drains against the intact old catalog instead of an empty
+    # directory.
+    _overwrite_dim(spark, updated, args.catalog)
+    n_pv = spark.read.parquet(args.catalog).count()
     for f in snapshot:
         os.remove(f)
-    print(f"processed {n_req} request(s): {len(rows)} PV(s) in {args.catalog}")
+    print(f"processed {n_req} request(s): {n_pv} PV(s) in {args.catalog}")
     return 0
 
 

@@ -80,15 +80,21 @@ def upsert_alerts(alerts: DataFrame, edits: DataFrame) -> DataFrame:
             *[F.col(c).alias(f"_e_{c}") for c in ALERT_EDIT_COLS],
         )
     )
-    # status is alerts-side-only pre-coalesce, so its NULLness marks a
-    # key with no existing rule: drops delete, and edits of a missing
-    # key fall through as no-ops instead of minting a new row
-    merged = alerts.join(latest, key, "full_outer").filter(
-        (F.col("action").isNull() | (F.col("action") != "drop"))
-        & (
-            F.col("action").isNull()
-            | (F.col("action") != "edit")
-            | F.col("status").isNotNull()
+    # a literal flag stamped on the alerts side BEFORE the join marks a
+    # key with an existing rule (a data column like status can be NULL
+    # in an externally-imported dimension, which would silently delete
+    # the row on edit): drops delete, and edits of a missing key fall
+    # through as no-ops instead of minting a new row
+    merged = (
+        alerts.withColumn("_exists", F.lit(True))
+        .join(latest, key, "full_outer")
+        .filter(
+            (F.col("action").isNull() | (F.col("action") != "drop"))
+            & (
+                F.col("action").isNull()
+                | (F.col("action") != "edit")
+                | F.col("_exists").isNotNull()
+            )
         )
     )
     defaults = {"timeout": F.lit(30.0), "active": F.lit("yes")}

@@ -108,7 +108,11 @@ def prune_runs(
     if keep_last is not None:
         import re as _re
 
-        stems = {_re.sub(r"\d+$", "#", r) for r in runs}
+        # Normalize ALL digit groups, not just a trailing run: date-stamped
+        # names spanning a month/day boundary (2026-07-31 vs 2026-08-01)
+        # share a shape and stay lexically chronological, so they must not
+        # trip the heterogeneity guard.
+        stems = {_re.sub(r"\d+", "#", r) for r in runs}
         if len(stems) > 1:
             raise ValueError(
                 f"heterogeneous run names {sorted(stems)}: lexical order is "

@@ -899,6 +899,8 @@ def latest_value_query_jdbc(
     table: str = "cache",
     distributed: bool = False,
     n_shards: int = 4,
+    dialect: str = "merge",
+    staging: str | None = None,
 ) -> Any:
     """The cache daemon against a SQL store: ``latest_value_query`` with
     the JDBC merge lane (north-star shape "Structured Streaming + JDBC
@@ -906,10 +908,27 @@ def latest_value_query_jdbc(
     MERGE lane (``upsert_latest_jdbc_distributed``) — the production
     shape at ≥10⁵ active series; the default driver lane remains the
     small-deployment path (reference parity: one connection, row-wise
-    savepoint-fenced upsert)."""
+    savepoint-fenced upsert).
+
+    ``dialect``/``staging`` are the distributed lane's knobs, plumbed
+    through so the MySQL form (the reference's actual cache backend)
+    and a per-query staging name are reachable from the streaming entry
+    point. The staging default is ``{table}_staging_{hash(checkpoint)}``
+    — two streaming queries targeting one database/table each get a
+    deterministic, distinct staging table (checkpoints are per-query by
+    construction), so neither drops the other's staging mid-batch;
+    crash recovery still works because a replay of the SAME query
+    re-derives the SAME name and drops only its own stale staging."""
     if distributed:
+        dialect_stmt_check = _jdbc_merge_stmt(table, "s", dialect)  # fail fast
+        del dialect_stmt_check
+        if staging is None:
+            import hashlib as _hl
+
+            suffix = _hl.md5(checkpoint.encode()).hexdigest()[:8]
+            staging = f"{table}_staging_{suffix}"
         fn = lambda b, _id: upsert_latest_jdbc_distributed(  # noqa: E731
-            b, url, table=table, n_shards=n_shards
+            b, url, table=table, n_shards=n_shards, dialect=dialect, staging=staging
         )
     else:
         fn = lambda b, _id: upsert_latest_jdbc(b, url, table=table)  # noqa: E731

@@ -4,6 +4,8 @@ trip) — the reference's pvarch.py surface, minus daemon lifecycle."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pytest
@@ -675,3 +677,56 @@ def test_prune_runs_retention(spark, tmp_path, capsys):
     # --before never drops the newest run even when it matches
     assert cli.main(["--store", path, "prune", "--before", "run_99999"]) == 0
     assert {r.run for r in read_points(spark, path).collect()} == {"run_00003"}
+
+
+def test_prune_runs_keep_last_date_stamped_boundary(spark, tmp_path):
+    """Date-stamped run names spanning a month boundary share a shape
+    (all digit groups normalized), so keep_last works; a genuinely mixed
+    naming scheme still trips the heterogeneity guard."""
+    from epicsarchiver_spark.sources.points_store import prune_runs, write_points
+
+    path = str(tmp_path / "pstore_dates")
+    for i, run in enumerate(("2026-07-30", "2026-07-31", "2026-08-01")):
+        write_points(
+            spark.createDataFrame(
+                pd.DataFrame(
+                    [("CLI:d.VAL", float(i), float(i))],
+                    columns=["pvname", "time", "value"],
+                )
+            ),
+            path,
+            run=run,
+            n_buckets=2,
+        )
+    assert prune_runs(spark, path, keep_last=2) == ["2026-07-30"]
+    # partition-value inference reads date-shaped names back as dates
+    left = {str(r.run) for r in read_points(spark, path).collect()}
+    assert left == {"2026-07-31", "2026-08-01"}
+    # mixed scheme (date-stamped + rotation-style) still refuses
+    write_points(
+        spark.createDataFrame(
+            pd.DataFrame([("CLI:d.VAL", 9.0, 9.0)], columns=["pvname", "time", "value"])
+        ),
+        path,
+        run="run_00001",
+        n_buckets=2,
+    )
+    with pytest.raises(ValueError, match="heterogeneous"):
+        prune_runs(spark, path, keep_last=1)
+
+
+def test_process_requests_crash_safe_swap(spark, tmp_path, capsys):
+    """The drained catalog lands via the two-rename swap: no .tmp/.bak
+    residue after success, and the catalog stays readable."""
+    import epicsarchiver_spark.cli as cli_mod
+
+    queue = str(tmp_path / "queue")
+    catalog = str(tmp_path / "catalog")
+    spark.createDataFrame(
+        pd.DataFrame({"pvname": ["S:a.VAL", "S:b.VAL"], "active": ["yes", "yes"]})
+    ).write.parquet(catalog)
+    assert cli_mod.main(["request", "S:c.VAL", "--action", "add", "--queue", queue]) == 0
+    assert cli_mod.main(["process_requests", "--queue", queue, "--catalog", catalog]) == 0
+    assert not os.path.exists(catalog + ".tmp") and not os.path.exists(catalog + ".bak")
+    got = {r.pvname for r in spark.read.parquet(catalog).collect()}
+    assert got == {"S:a.VAL", "S:b.VAL", "S:c.VAL"}

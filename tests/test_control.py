@@ -195,3 +195,29 @@ def test_check_liveness(spark):
     assert per == {"A": 1}  # B silent -> absent (dead)
     dead = check_liveness(pts, now=10_000.0, cadence_s=600.0).head()
     assert dead.n_recent == 0 and not bool(dead.alive)
+
+
+def test_upsert_alerts_null_status_import_survives_edit(spark):
+    """An externally-imported alerts row with NULL status must be PATCHED
+    by an edit of its key, not silently deleted — rule existence is marked
+    by a literal flag stamped pre-join, never by a nullable data column."""
+    from epicsarchiver_spark.operators.control import ALERT_EDIT_COLS, upsert_alerts
+
+    alerts = spark.createDataFrame(
+        [("IMP:x.VAL", "gt", "imported", None, None, 5.0, 30.0, "yes", None)],
+        "pvname string, compare string, name string, mailto string, "
+        "mailmsg string, trippoint double, timeout double, active string, "
+        "status string",
+    )
+    edits = spark.createDataFrame(
+        [(1, 1.0, "edit", "IMP:x.VAL", "gt", None, None, None, 9.0, None, None)],
+        "id long, ts double, action string, pvname string, compare string, "
+        "name string, mailto string, mailmsg string, trippoint double, "
+        "timeout double, active string",
+    )
+    got = upsert_alerts(alerts, edits).collect()
+    assert len(got) == 1
+    row = got[0]
+    # patched trippoint, kept name, NULL status coalesced to engine default
+    assert row.trippoint == 9.0 and row.name == "imported" and row.status == "ok"
+    assert set(got[0].asDict()) == {"pvname", "compare", "status", *ALERT_EDIT_COLS}

@@ -1343,3 +1343,61 @@ def test_jdbc_merge_stmt_dialects():
 
     with pytest.raises(ValueError):
         _jdbc_merge_stmt("cache", "s", "sqlite")
+
+
+def test_latest_value_query_jdbc_plumbs_dialect_and_staging(
+    spark, events_dir, tmp_path, monkeypatch
+):
+    """The streaming entry point plumbs dialect/staging through to the
+    distributed lane (the MySQL form is reachable without dropping to the
+    sink function), derives a per-checkpoint staging default so two
+    queries on one table never share a staging name, and rejects a bad
+    dialect at call time — before any stream starts."""
+    import epicsarchiver_spark.streaming.ingest as ing
+
+    captured = {}
+
+    def fake(batch, url, table="cache", ensure_table=True, n_shards=4,
+             staging=None, dialect="merge"):
+        captured.update(staging=staging, dialect=dialect, n_shards=n_shards)
+
+    monkeypatch.setattr(ing, "upsert_latest_jdbc_distributed", fake)
+
+    with pytest.raises(ValueError, match="dialect"):
+        ing.latest_value_query_jdbc(
+            spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir),
+            "jdbc:derby:unused", str(tmp_path / "ck0"),
+            distributed=True, dialect="bogus",
+        )
+
+    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q = (
+        ing.latest_value_query_jdbc(
+            stream, "jdbc:derby:unused", str(tmp_path / "ck1"),
+            distributed=True, dialect="mysql", n_shards=2,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert captured["dialect"] == "mysql" and captured["n_shards"] == 2
+    staging1 = captured["staging"]
+    assert staging1 and staging1.startswith("cache_staging_")
+
+    stream2 = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
+    q2 = (
+        ing.latest_value_query_jdbc(
+            stream2, "jdbc:derby:unused", str(tmp_path / "ck2"),
+            distributed=True,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # distinct checkpoints -> distinct staging names; explicit staging= wins
+    assert captured["staging"] != staging1
+    ing.latest_value_query_jdbc(
+        spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir),
+        "jdbc:derby:unused", str(tmp_path / "ck3"),
+        distributed=True, staging="mine",
+    )
