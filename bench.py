@@ -200,6 +200,10 @@ HEADLINE = [
     "doc_graph_profile_indexed",
     "doc_bm25_indexed",
     "doc_keyword_labels",
+    # r9 additions: the sampling dial (vs doc_minhash_quality's full
+    # truth set) and the hot-block drop report
+    "doc_minhash_quality_sampled",
+    "rel_fuzzy_blocks",
 ]
 
 

@@ -43,9 +43,17 @@ continuous daemon shape; SURVEY §3.1):
     bucketize         → store → bucketBy(pvname) catalog   (engine-only: the
                         one-time rewrite that deletes per-series shuffles)
 
+    show_config       → resolved deployment settings       (pvarch show_config)
+    set_runinfo       → recompute run boundaries from data (pvarch set_runinfo)
+    init              → cold-start store + dimensions      (pvarch sql_init analog)
+
 Run as ``python -m epicsarchiver_spark.cli <command> ...``.
-Config is plain argv (--store/--runs), not the reference's toml — the
-engine has no MySQL connection block to configure.
+Deployment settings come from a TOML file (``--config PATH`` or
+``$EPICSARCH_CONFIG`` — ref util.py:68-77 get_config, config.toml):
+flag > file > built-in default, resolved per key in
+``epicsarchiver_spark.config``. The engine has no MySQL credential
+block — storage is paths; the only connection string is the optional
+JDBC cache URL.
 """
 
 from __future__ import annotations
@@ -61,6 +69,53 @@ def _spark(app: str):
     s = get_spark(f"pvarch-{app}")
     s.sparkContext.setLogLevel("ERROR")
     return s
+
+
+# per-subcommand (None = global) config-backed flags: each entry is
+# (config key, argparse dest, the dest's built-in default). The flags
+# themselves default to None so "was it given?" is decidable; a key
+# absent from the config file falls back to the built-in here, keeping
+# no-config behavior byte-identical (e.g. bare `pvarch alerts` stays a
+# usage error unless a config file supplies alerts_table).
+_CONFIG_DESTS: dict[str | None, list[tuple[str, str, object]]] = {
+    None: [("store", "store", "./points")],
+    "next": [("runs_file", "runs_file", "./runs.parquet")],
+    "set_runinfo": [("runs_file", "runs_file", "./runs.parquet")],
+    "init": [
+        ("runs_file", "runs_file", "./runs.parquet"),
+        ("catalog", "catalog", "./pv_catalog"),
+        ("alerts_table", "table", "./alerts"),
+    ],
+    "archive": [("deadtime", "deadtime", 5.0), ("deadband", "deadband", 0.0)],
+    "cache_daemon": [
+        ("cache", "cache", "./cache"),
+        ("jdbc_url", "jdbc_url", None),
+        ("dialect", "dialect", "merge"),
+    ],
+    "alerts": [("alerts_table", "table", None), ("alert_period", "period_s", 15.0)],
+    "alert_rules": [("alerts_table", "table", "./alerts")],
+    "request": [("queue", "queue", "./requests")],
+    "drop_pv": [("queue", "queue", "./requests")],
+    "suspend_pv": [("queue", "queue", "./requests")],
+    "process_requests": [
+        ("queue", "queue", "./requests"),
+        ("catalog", "catalog", "./pv_catalog"),
+    ],
+}
+
+
+def _apply_config(args) -> None:
+    """Resolve flag > config file > built-in default for every
+    config-backed dest of the parsed subcommand. Stashes the loaded
+    values/source on the namespace for ``show_config``."""
+    from epicsarchiver_spark.config import load_config
+
+    cfg, src = load_config(getattr(args, "config", None))
+    args._config_values, args._config_source = cfg, src
+    for entry in _CONFIG_DESTS.get(None, []) + _CONFIG_DESTS.get(args.cmd, []):
+        key, dest, builtin = entry
+        if getattr(args, dest, None) is None:
+            setattr(args, dest, cfg.get(key, builtin))
 
 
 def _points(spark, args):
@@ -418,7 +473,13 @@ def cmd_cache_daemon(args) -> int:
         "pvname string, time double, value double"
     ).parquet(args.events)
     if args.jdbc_url:
-        q = latest_value_query_jdbc(stream, args.jdbc_url, args.checkpoint)
+        q = latest_value_query_jdbc(
+            stream,
+            args.jdbc_url,
+            args.checkpoint,
+            distributed=args.distributed,
+            dialect=args.dialect,
+        )
     else:
         q = latest_value_query(stream, args.cache, args.checkpoint, buckets=args.buckets)
     q = (
@@ -974,11 +1035,141 @@ def cmd_bucketize(args) -> int:
     return 0
 
 
+def cmd_show_config(args) -> int:
+    """``pvarch show_config`` (ref pvarch.py:154-170): every deployment
+    key with its resolved value and where it came from — the sanity
+    check before starting a daemon under a new config file."""
+    import os as _os
+
+    from epicsarchiver_spark.config import CONFIG_KEYS, ENVVAR
+
+    print("# pvarch configuration (flag > config file > default)")
+    env = _os.environ.get(ENVVAR)
+    print(f"# {ENVVAR}={env!r}" if env else f"# no {ENVVAR} in environment")
+    src = args._config_source
+    print(f"# config file: {src}" if src else "# no config file loaded")
+    for key, (builtin, desc) in sorted(CONFIG_KEYS.items()):
+        if key in args._config_values:
+            val, origin = args._config_values[key], "file"
+        else:
+            val, origin = builtin, "default"
+        print(f"{key} = {val!r}  # {origin}: {desc}")
+    return 0
+
+
+def cmd_set_runinfo(args) -> int:
+    """``pvarch set_runinfo`` (ref pvarch.py:308-315 + cache.py:254-288):
+    recompute existing runs' start/stop boundaries from the point data
+    and persist the runs dimension — the repair verb after an
+    out-of-band import (``import_ascii``/``import_zarr`` into a back
+    run) leaves the dimension stale. Targets: explicit run names, else
+    the most recent ``--nruns`` (reference default 2). The open run
+    (stop_time pinned at MAX_EPOCH) keeps its stop open, matching the
+    reference's <currently running> sentinel.
+
+    One partition-pruned scan over just the target runs (min/max per
+    run — distributed, never a per-run driver loop over data), then the
+    crash-safe two-rename dimension swap."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.control import MAX_EPOCH
+
+    spark = _spark("set_runinfo")
+    runs = _read_runs(spark, args.runs_file)
+    if runs is None:
+        print(f"no runs dimension at {args.runs_file}", file=sys.stderr)
+        return 1
+    rows = runs.collect()  # run-count dimension
+    if args.runs:
+        targets = list(args.runs)
+        known = {r.db for r in rows}
+        missing = sorted(set(targets) - known)
+        if missing:
+            print(f"run(s) not in {args.runs_file}: {missing}", file=sys.stderr)
+            return 1
+    else:
+        targets = [r.db for r in sorted(rows, key=lambda r: r.start_time)][
+            -max(int(args.nruns), 1):
+        ]
+    pts = _points(spark, args).filter(F.col("run").isin(targets))
+    bounds = {
+        r.run: (float(r.tmin), float(r.tmax))
+        for r in pts.groupBy(F.col("run").cast("string").alias("run"))
+        .agg(F.min("time").alias("tmin"), F.max("time").alias("tmax"))
+        .collect()
+    }
+    out = []
+    for r in rows:
+        if r.db in bounds and r.db in targets:
+            tmin, tmax = bounds[r.db]
+            is_open = r.stop_time >= MAX_EPOCH
+            out.append((r.db, tmin, MAX_EPOCH if is_open else tmax))
+            stop_txt = "<currently running>" if is_open else time.ctime(tmax)
+            print(f"{r.db}: {time.ctime(tmin)} to {stop_txt}")
+        else:
+            if r.db in targets:
+                print(f"{r.db}: no points in store — unchanged")
+            out.append((r.db, float(r.start_time), float(r.stop_time)))
+    _overwrite_dim(
+        spark,
+        spark.createDataFrame(out, "db string, start_time double, stop_time double"),
+        args.runs_file,
+    )
+    return 0
+
+
+def cmd_init(args) -> int:
+    """``pvarch init`` — explicit cold-start bootstrap (ref
+    pvarch.py:109-122 ``sql_init`` emits the empty schema + first
+    tables). Creates the empty partitioned store directory, the runs
+    dimension with the first OPEN run row, an empty pv catalog, and an
+    empty alerts dimension — so status/check/list/alert_rules work on a
+    fresh deployment instead of erroring until first write. Refuses to
+    touch anything that already exists (bootstrap must never clobber a
+    live store)."""
+    from epicsarchiver_spark.operators.control import MAX_EPOCH
+
+    spark = _spark("init")
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(args.store).getFileSystem(spark._jsc.hadoopConfiguration())
+    paths = {
+        "store": args.store,
+        "runs_file": args.runs_file,
+        "catalog": args.catalog,
+        "alerts_table": args.table,
+    }
+    clash = {k: v for k, v in paths.items() if fs.exists(P(v))}
+    if clash:
+        for k, v in sorted(clash.items()):
+            print(f"refusing to init: {k} already exists at {v}", file=sys.stderr)
+        return 1
+    fs.mkdirs(P(args.store))
+    first = args.name or "run_00001"
+    spark.createDataFrame(
+        [(first, float(time.time()), MAX_EPOCH)],
+        "db string, start_time double, stop_time double",
+    ).coalesce(1).write.parquet(args.runs_file)
+    spark.createDataFrame([], "pvname string, active string").coalesce(1).write.parquet(
+        args.catalog
+    )
+    spark.createDataFrame([], _ALERT_DIM_SCHEMA).coalesce(1).write.parquet(args.table)
+    for k, v in sorted(paths.items()):
+        print(f"created {k}: {v}")
+    print(f"current run is {first}")
+    return 0
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         prog="pvarch", description="EpicsArchiver (Spark engine) operations"
     )
-    p.add_argument("--store", default="./points", help="points store path")
+    p.add_argument("--store", default=None, help="points store path (default ./points)")
+    p.add_argument(
+        "--config",
+        default=None,
+        help="deployment TOML (default: $EPICSARCH_CONFIG); flag > file > default",
+    )
     sub = p.add_subparsers(dest="cmd", required=True)
 
     s = sub.add_parser("status", help="per-PV totals / recent counts")
@@ -1049,7 +1240,7 @@ def build_parser() -> argparse.ArgumentParser:
     s.set_defaults(fn=cmd_add_pvfile)
 
     s = sub.add_parser("next", help="rotate to the next run (metadata only)")
-    s.add_argument("--runs-file", default="./runs.parquet", help="runs dimension path")
+    s.add_argument("--runs-file", default=None, help="runs dimension path (default ./runs.parquet)")
     s.add_argument("--name", help="explicit next run name (default: increment)")
     s.set_defaults(fn=cmd_next)
 
@@ -1088,14 +1279,14 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--label", default="alarm")
     s.add_argument("--follow", action="store_true",
                    help="daemon loop: re-read rules and sweep every --period-s")
-    s.add_argument("--period-s", type=float, default=15.0)
+    s.add_argument("--period-s", type=float, default=None, help="default 15.0 s")
     s.add_argument("--max-loops", type=int, default=None, help=argparse.SUPPRESS)
     s.set_defaults(fn=cmd_alerts)
 
     s = sub.add_parser(
         "alert_rules", help="alert-rule CRUD on the persisted rules dimension"
     )
-    s.add_argument("--table", default="./alerts", help="rules parquet path")
+    s.add_argument("--table", default=None, help="rules parquet path (default ./alerts)")
     g = s.add_mutually_exclusive_group()
     g.add_argument("--add", metavar="PVNAME")
     g.add_argument("--edit", metavar="PVNAME")
@@ -1112,31 +1303,31 @@ def build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("request", help="queue a cache request (add/drop/suspend)")
     s.add_argument("pvname")
     s.add_argument("--action", default="add", choices=["add", "drop", "suspend", "ignore"])
-    s.add_argument("--queue", default="./requests", help="requests mailbox parquet path")
+    s.add_argument("--queue", default=None, help="requests mailbox parquet path (default ./requests)")
     s.set_defaults(fn=cmd_request)
 
     s = sub.add_parser("drop_pv", help="queue a drop request (pvarch drop_pv)")
     s.add_argument("pvname")
-    s.add_argument("--queue", default="./requests")
+    s.add_argument("--queue", default=None)
     s.set_defaults(fn=cmd_drop_pv)
 
     s = sub.add_parser("suspend_pv", help="queue a suspend request")
     s.add_argument("pvname")
-    s.add_argument("--queue", default="./requests")
+    s.add_argument("--queue", default=None)
     s.set_defaults(fn=cmd_suspend_pv)
 
     s = sub.add_parser(
         "process_requests", help="drain the requests mailbox into the pv catalog"
     )
-    s.add_argument("--queue", default="./requests")
-    s.add_argument("--catalog", default="./pv_catalog", help="pv dimension parquet path")
+    s.add_argument("--queue", default=None)
+    s.add_argument("--catalog", default=None, help="pv dimension parquet path (default ./pv_catalog)")
     s.set_defaults(fn=cmd_process_requests)
 
     s = sub.add_parser("archive", help="run the archiver pipeline (pvarch start)")
     s.add_argument("events", help="parquet events source directory")
     s.add_argument("--checkpoint", required=True)
-    s.add_argument("--deadtime", type=float, default=5.0)
-    s.add_argument("--deadband", type=float, default=0.0)
+    s.add_argument("--deadtime", type=float, default=None, help="default 5.0 s")
+    s.add_argument("--deadband", type=float, default=None, help="default 0.0")
     s.add_argument("--buckets", type=int, default=128)
     s.add_argument("--follow", action="store_true", help="continuous daemon mode")
     s.add_argument("--trigger-s", type=int, default=30)
@@ -1149,8 +1340,12 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("events", help="parquet events source directory")
     s.add_argument("--checkpoint", required=True)
-    s.add_argument("--cache", default="./cache")
+    s.add_argument("--cache", default=None, help="default ./cache")
     s.add_argument("--jdbc-url", default=None)
+    s.add_argument("--distributed", action="store_true",
+                   help="JDBC lane: executor-side staging + set-based MERGE")
+    s.add_argument("--dialect", default=None, choices=["merge", "mysql"],
+                   help="distributed MERGE dialect (default merge)")
     s.add_argument("--buckets", type=int, default=64)
     s.add_argument("--follow", action="store_true", help="continuous daemon mode")
     s.add_argument("--trigger-s", type=int, default=10)
@@ -1204,11 +1399,34 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--buckets", type=int, default=128)
     s.set_defaults(fn=cmd_bucketize)
 
+    s = sub.add_parser("show_config", help="print resolved deployment settings")
+    s.set_defaults(fn=cmd_show_config)
+
+    s = sub.add_parser(
+        "set_runinfo", help="recompute run boundaries from the point data"
+    )
+    s.add_argument("runs", nargs="*", help="run names (default: last --nruns)")
+    s.add_argument("--nruns", type=int, default=2)
+    s.add_argument("--runs-file", default=None)
+    s.set_defaults(fn=cmd_set_runinfo)
+
+    s = sub.add_parser("init", help="cold-start bootstrap: store + dimensions")
+    s.add_argument("--name", default=None, help="first run name (default run_00001)")
+    s.add_argument("--runs-file", default=None)
+    s.add_argument("--catalog", default=None)
+    s.add_argument("--table", default=None, help="alerts dimension path")
+    s.set_defaults(fn=cmd_init)
+
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+    try:
+        _apply_config(args)
+    except (ValueError, OSError) as ex:
+        print(f"config error: {ex}", file=sys.stderr)
+        return 1
     return args.fn(args)
 
 

@@ -489,6 +489,7 @@ def fuzzy_matches(
     name_col: str,
     block: Column | None = None,
     max_distance: int = 2,
+    max_block: int | None = 10_000,
 ) -> DataFrame:
     """Blocked edit-distance entity matching — the approximate STRING
     join the near-dup family lacked (shingle/minhash lanes need enough
@@ -511,12 +512,36 @@ def fuzzy_matches(
     a theta join), the Levenshtein evaluated only on within-block pairs
     with Spark's threshold-bounded kernel (``levenshtein(l, r, t)``
     runs the banded O(t·min(m,n)) DP and returns -1 past the bound,
-    not the full O(m·n) table)."""
+    not the full O(m·n) table).
+
+    ``max_block`` is the hot-block fence: a block holding more than
+    ``max_block`` records contributes NO pairs (dropped whole — the
+    same ``max_df`` discipline as ``winnow_matches``; truncating a
+    block instead would make results row-order-dependent). Natural-name
+    corpora skew hard on first-token blocks ("maria", "the"), and one
+    10⁵-row block alone is 10¹⁰ candidate pairs — without the fence a
+    single hot key owns the job. The per-block count costs one window
+    over the SAME key the self-join shuffles on, so the fence adds no
+    extra exchange pattern at scale. Blocks a fence drops are exactly
+    ``fuzzy_blocks_oversize(...)`` — run it to see what was excluded,
+    then either raise ``max_block`` deliberately or pass a finer
+    ``block`` expression (e.g. first token + next initial) to split the
+    hot keys. ``max_block=None`` disables the fence (calibration use
+    only)."""
+    from pyspark.sql import Window
+
     if block is None:
         block = F.lower(F.element_at(F.split(F.col(name_col), r"\s+"), 1))
     side = df.select(
         F.col(id_col), F.col(name_col), block.alias("_blk")
     )
+    if max_block is not None:
+        wblk = Window.partitionBy("_blk")
+        side = (
+            side.withColumn("_bn", F.count(F.lit(1)).over(wblk))
+            .filter(F.col("_bn") <= int(max_block))
+            .drop("_bn")
+        )
     a = side.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"), "_blk"
     )
@@ -530,6 +555,31 @@ def fuzzy_matches(
         .withColumn("distance", d)
         .filter(F.col("distance") >= 0)
         .select("id_a", "id_b", "name_a", "name_b", "distance")
+    )
+
+
+def fuzzy_blocks_oversize(
+    df: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column | None = None,
+    max_block: int = 10_000,
+) -> DataFrame:
+    """The drop report for ``fuzzy_matches``'s hot-block fence: the
+    blocks (``block_key, n_records``) that exceed ``max_block`` and
+    therefore contribute no pairs, largest first. Run with the SAME
+    ``block``/``max_block`` arguments as the match call — together they
+    partition the corpus exactly (every record is either matchable or
+    in a reported block), so a silent-truncation audit is one query.
+    One groupBy on the block key; output is at most one row per hot key."""
+    if block is None:
+        block = F.lower(F.element_at(F.split(F.col(name_col), r"\s+"), 1))
+    return (
+        df.select(block.alias("block_key"))
+        .groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_records"))
+        .filter(F.col("n_records") > int(max_block))
+        .orderBy(F.col("n_records").desc(), "block_key")
     )
 
 
@@ -1410,6 +1460,9 @@ def minhash_quality(
     threshold: float = 0.5,
     shingle_k: int = 2,
     basis: str = "md5",
+    sample_frac: float | None = None,
+    id_col: str = "doc_id",
+    seed: int = 0,
     **kw,
 ) -> DataFrame:
     """In-engine precision/recall report for the MinHash lane against
@@ -1421,11 +1474,32 @@ def minhash_quality(
     the threshold. Perfect recall is the banding guarantee to verify,
     precision < 1 is the signature-estimation cost you pay.
 
-    Scale shape: both pair frames are blocked/banded (never all-pairs);
-    the comparison is one full outer join on the (id_a, id_b) keys of
-    two bounded pair sets plus a one-row aggregate. At 100 TB run it on
-    a stratified sample (``text_ops.sample_stratified``) — the metric
-    is an estimate either way."""
+    Scale shape: both pair frames are blocked/banded (never all-pairs),
+    but the exact-Jaccard truth set still grows block² with corpus size
+    — so the cost is bounded BY CONTRACT, not caller discipline:
+    ``sample_frac`` keeps each doc with probability ≈ ``sample_frac``
+    by a deterministic content-independent hash draw (md5 of
+    (seed, id) — the same device as ``text_ops.sample_stratified``; no
+    RNG, no ordering dependence, a doc stays in/out of the sample
+    across runs and engines). Both the candidate and truth lanes see
+    the SAME sampled corpus, so precision/recall remain well-defined on
+    the subsample — the metric is a calibration estimate either way.
+    At 100 TB call with ``sample_frac`` set (e.g. 1e-3); ``None`` runs
+    the full corpus (small-data calibration only)."""
+    if sample_frac is not None:
+        if not (0.0 < float(sample_frac) <= 1.0):
+            raise ValueError("sample_frac must be in (0, 1]")
+        # first 8 hex chars of md5 → uniform 32-bit draw; stable per id
+        draw = F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double") / F.lit(float(2**32))
+        docs = docs.filter(draw < float(sample_frac))
     cand = minhash_near_duplicates(
         docs, threshold=threshold, shingle_k=shingle_k, basis=basis, **kw
     ).select("id_a", "id_b", F.lit(1).alias("_c"))

@@ -53,7 +53,20 @@ def write_points(
     )
 
 
+POINTS_READ_SCHEMA = "pvname string, time double, value double, bucket int, run string"
+
+
 def read_points(spark: SparkSession, path: str) -> DataFrame:
+    """Read the store. A freshly-bootstrapped store (``pvarch init``)
+    is an existing directory with no parquet yet — zero rows can't
+    carry an inferred schema, so return an empty frame with the
+    canonical layout instead; a nonexistent path still fails loudly
+    (a typo'd --store must never read as an empty archive)."""
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(path)) and len(fs.listStatus(P(path))) == 0:
+        return spark.createDataFrame([], POINTS_READ_SCHEMA)
     return spark.read.parquet(path)
 
 

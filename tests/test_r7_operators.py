@@ -958,3 +958,44 @@ def test_minhash_quality_counts_are_consistent(spark):
     assert r.n_false == r.n_candidates - r.n_hit
     assert r.n_missed == r.n_true - r.n_hit
     assert r.n_true > 0 and r.recall == 1.0
+
+
+def test_minhash_quality_sample_frac_dial(spark):
+    """sample_frac bounds the block-quadratic truth set by contract:
+    the draw is deterministic (same result twice), sample_frac=1.0 is
+    the identity, the report identities hold on the subsample, and the
+    banding recall guarantee survives sampling (it holds on any subset
+    of the corpus). Bad fractions fail fast."""
+    import pytest as _pytest
+
+    from epicsarchiver_spark.operators.dedup import minhash_quality
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    full = minhash_quality(docs, threshold=0.5, shingle_k=2, basis="md5").collect()[0]
+    ident = minhash_quality(
+        docs, threshold=0.5, shingle_k=2, basis="md5", sample_frac=1.0
+    ).collect()[0]
+    assert ident.asDict() == full.asDict()
+
+    s1 = minhash_quality(
+        docs, threshold=0.5, shingle_k=2, basis="md5", sample_frac=0.5
+    ).collect()[0]
+    s2 = minhash_quality(
+        docs, threshold=0.5, shingle_k=2, basis="md5", sample_frac=0.5
+    ).collect()[0]
+    assert s1.asDict() == s2.asDict()  # hash draw, not RNG
+    # subsample shrinks both pair sets and keeps the report identities
+    assert s1.n_true <= full.n_true and s1.n_candidates <= full.n_candidates
+    assert s1.n_false == s1.n_candidates - s1.n_hit
+    assert s1.n_missed == s1.n_true - s1.n_hit
+    assert s1.n_true > 0 and s1.recall == 1.0
+    # a different seed draws a different subsample
+    s3 = minhash_quality(
+        docs, threshold=0.5, shingle_k=2, basis="md5", sample_frac=0.5, seed=7
+    ).collect()[0]
+    assert s3.asDict() != s1.asDict()
+
+    with _pytest.raises(ValueError, match="sample_frac"):
+        minhash_quality(docs, sample_frac=0.0)
+    with _pytest.raises(ValueError, match="sample_frac"):
+        minhash_quality(docs, sample_frac=1.5)

@@ -24,3 +24,33 @@ def test_skew_safe_counts_matches_direct(spark):
     }
     assert direct == salted
     assert salted["HOT"] == (0.0, 8999.0, 9000)
+
+
+def test_fuzzy_matches_hot_block_fence(spark):
+    """A block over max_block contributes NO pairs (whole-block drop —
+    MOSS max_df discipline, row-order-independent), cool blocks are
+    unaffected, the report lane lists exactly the fenced blocks, and
+    max_block=None disables the fence."""
+    from epicsarchiver_spark.operators.dedup import (
+        fuzzy_blocks_oversize,
+        fuzzy_matches,
+    )
+
+    rows = [(i, f"maria v{i:03d}") for i in range(50)]  # hot block: 50 rows
+    rows += [(100, "zed a01"), (101, "zed a02")]        # cool block: 1 pair
+    df = spark.createDataFrame(rows, "id long, name string")
+
+    fenced = fuzzy_matches(df, "id", "name", max_distance=2, max_block=10)
+    got = {(r.id_a, r.id_b) for r in fenced.collect()}
+    assert got == {(100, 101)}  # every maria-pair fenced out
+
+    report = fuzzy_blocks_oversize(df, "id", "name", max_block=10).collect()
+    assert [(r.block_key, r.n_records) for r in report] == [("maria", 50)]
+
+    unfenced = fuzzy_matches(df, "id", "name", max_distance=2, max_block=None)
+    n_maria = unfenced.filter("name_a LIKE 'maria%'").count()
+    assert n_maria > 0 and unfenced.count() == n_maria + 1
+
+    # fence boundary is inclusive: a block of exactly max_block survives
+    at_cap = fuzzy_matches(df, "id", "name", max_distance=2, max_block=50)
+    assert at_cap.count() == unfenced.count()
