@@ -241,13 +241,15 @@ def apply_bpe(
 
     Two lanes, identical semantics (equivalence-tested): ``expr`` —
     chained array folds, zero shuffle, zero UDF, WholeStageCodegen, but
-    plan depth grows with len(merges) (analysis time blows up past
-    ~10²); ``pandas`` — one Arrow-batched ``mapInPandas`` doing the
-    same left-to-right non-overlapping replay in python, flat plan at
-    any merge-table size (a real 32k-merge vocab). ``auto`` picks expr
-    for ≤64 merges, pandas past that."""
+    plan depth grows with len(merges) — the analyzer's lambda-variable
+    resolution iterates per nesting level and hits its default
+    maxIterations=100 at 48 chained transforms (measured, Spark 4.1);
+    ``pandas`` — one Arrow-batched ``mapInPandas`` doing the same
+    left-to-right non-overlapping replay in python, flat plan at any
+    merge-table size (a real 32k-merge vocab). ``auto`` picks expr for
+    ≤40 merges, pandas past that (margin under the measured cliff)."""
     if engine == "auto":
-        engine = "expr" if len(merges) <= 64 else "pandas"
+        engine = "expr" if len(merges) <= 40 else "pandas"
     if engine == "pandas":
         return _apply_bpe_pandas(docs, merges, id_col, text_col)
     # coalesce: a NULL text must count as zero words in BOTH lanes
@@ -274,8 +276,17 @@ def apply_bpe(
     return per_word.select(
         F.col(id_col),
         F.size("_syms").alias("n_words"),
+        # tokens = symbols after replay, excluding only a still-BARE end
+        # marker: once a merge fuses </w> into a symbol (learned tables
+        # do this early — ('n','</w>') etc.) that symbol IS a token, and
+        # a fully-fused word is 1 token, never 0 (size-1 undercounted
+        # every marker-fusing word and bottomed out at 0)
         F.aggregate(
-            F.transform(col, lambda s: F.size(s) - 1),
+            F.transform(
+                col,
+                lambda s: F.size(s)
+                - F.when(F.element_at(s, -1) == F.lit(END), 1).otherwise(0),
+            ),
             F.lit(0),
             lambda acc, x: acc + x,
         ).cast("long").alias("n_bpe_tokens"),
@@ -330,7 +341,9 @@ def _apply_bpe_pandas(
                     else:
                         out.append(tok)
                 syms = out
-            cache[word] = len(syms) - 1
+            # same accounting as the expression lane: only a still-bare
+            # end marker is excluded; a marker-fused symbol is a token
+            cache[word] = len(syms) - (1 if syms[-1] == END else 0)
             return cache[word]
 
         for pdf in frames:

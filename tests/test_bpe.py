@@ -73,7 +73,10 @@ def test_apply_bpe_token_counts_match_mirror(spark):
     out = {r.doc_id: r for r in bpe.apply_bpe(df, merges).collect()}
     for i, t in enumerate(TEXTS):
         ws = [w for w in t.lower().split() if w]
-        want_tokens = sum(len(syms[w]) - 1 for w in ws)
+        # a still-bare end marker is not a token; a marker-fused symbol is
+        want_tokens = sum(
+            len(syms[w]) - (1 if syms[w][-1] == bpe.END else 0) for w in ws
+        )
         assert out[i].n_words == len(ws)
         assert out[i].n_bpe_tokens == want_tokens
         assert out[i].fertility == pytest.approx(want_tokens / len(ws), abs=1e-6)
@@ -200,3 +203,22 @@ def test_select_batch_blocks_interacting_pairs():
     cand = [("a", "b", 10), ("b", "c", 9), ("c", "d", 8), ("ab", "x", 7)]
     # ('b','c') shares 'b'; ('ab','x') collides with fused 'ab'
     assert bpe.select_batch(cand, 4) == [("a", "b"), ("c", "d")]
+
+
+def test_apply_bpe_marker_fused_words_count_one_token(spark):
+    """Token accounting with marker-fusing merges (r9 fix): a word fully
+    fused into one '<word></w>' symbol is ONE token, never zero; both
+    lanes agree; and the auto cutoff routes >40-merge tables away from
+    the expression lane's analyzer cliff (maxIterations at 48 nested
+    transforms)."""
+    df = spark.createDataFrame([(0, "in in out")], "doc_id long, text string")
+    # fully fuse 'in': i+n -> in, in+</w> -> in</w>
+    merges = [("i", "n"), ("in", bpe.END)]
+    for eng in ("expr", "pandas"):
+        r = bpe.apply_bpe(df, merges, engine=eng).collect()[0]
+        # 'in' -> 1 token (fused with marker), 'out' -> 3 bare chars
+        assert (r.n_words, r.n_bpe_tokens) == (3, 5), eng
+    # a >40-entry table must run (pandas route), not die in analysis
+    big = merges + [(f"zz{i}", f"qq{i}") for i in range(50)]
+    r = bpe.apply_bpe(df, big, engine="auto").collect()[0]
+    assert (r.n_words, r.n_bpe_tokens) == (3, 5)
