@@ -6268,10 +6268,17 @@ def oracle_sql() -> dict[str, str]:
     """
 
     o["rel_fuzzy_customers"] = """
-        WITH side AS (
+        WITH side0 AS (
           SELECT c_custkey AS id, c_name AS name,
                  substr(c_name, 1, length(c_name) - 2) AS blk
           FROM customer
+        ),
+        -- the operator's default hot-block fence (max_block=10000):
+        -- a block over the cap contributes no pairs at ANY scale
+        side AS (
+          SELECT * FROM (
+            SELECT s.*, count(*) OVER (PARTITION BY blk) AS bn FROM side0 s
+          ) WHERE bn <= 10000
         )
         SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
                CAST(levenshtein(a.name, b.name) AS INT) AS distance

@@ -53,7 +53,14 @@ def write_points(
     )
 
 
-POINTS_READ_SCHEMA = "pvname string, time double, value double, bucket int, run string"
+# Data columns then partition columns in partition-spec order — the
+# exact shape a live store read produces (write_points partitionBy
+# ('run','bucket')). Caveat: parquet partition-value inference types a
+# date-SHAPED run name (run=2026-07-31) as DATE on a live read; the
+# canonical bootstrapped-empty frame declares string (rotation-style
+# run_NNNNN names), so schema-sensitive callers should cast run to
+# string as cmd_set_runinfo does.
+POINTS_READ_SCHEMA = "pvname string, time double, value double, run string, bucket int"
 
 
 def read_points(spark: SparkSession, path: str) -> DataFrame:
@@ -61,13 +68,18 @@ def read_points(spark: SparkSession, path: str) -> DataFrame:
     is an existing directory with no parquet yet — zero rows can't
     carry an inferred schema, so return an empty frame with the
     canonical layout instead; a nonexistent path still fails loudly
-    (a typo'd --store must never read as an empty archive)."""
-    jvm = spark._jvm
-    P = jvm.org.apache.hadoop.fs.Path
-    fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
-    if fs.exists(P(path)) and len(fs.listStatus(P(path))) == 0:
-        return spark.createDataFrame([], POINTS_READ_SCHEMA)
-    return spark.read.parquet(path)
+    (a typo'd --store must never read as an empty archive). The empty
+    case rides the read's own failure (no extra FS round-trips on the
+    every-query hot path)."""
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(P(path)) and len(fs.listStatus(P(path))) == 0:
+            return spark.createDataFrame([], POINTS_READ_SCHEMA)
+        raise
 
 
 def list_runs(spark: SparkSession, path: str) -> list[str]:
@@ -121,11 +133,17 @@ def prune_runs(
     if keep_last is not None:
         import re as _re
 
-        # Normalize ALL digit groups, not just a trailing run: date-stamped
-        # names spanning a month/day boundary (2026-07-31 vs 2026-08-01)
-        # share a shape and stay lexically chronological, so they must not
-        # trip the heterogeneity guard.
-        stems = {_re.sub(r"\d+", "#", r) for r in runs}
+        # Normalize ALL digit groups — keeping each group's WIDTH in the
+        # stem. Zero-padded date stamps spanning a month/day boundary
+        # (2026-07-31 vs 2026-08-01 → '#4-#2-#2' both) stay lexically
+        # chronological and must pass; but equal-shape names with
+        # UNPADDED digits ('2026-9-30' vs '2026-10-01') or a rotation
+        # counter that outgrew its padding ('run_99999' vs 'run_100000')
+        # are lexically misordered — width-sensitive stems differ there,
+        # so the guard refuses instead of deleting the newest run.
+        stems = {
+            _re.sub(r"\d+", lambda m: f"#{len(m.group())}", r) for r in runs
+        }
         if len(stems) > 1:
             raise ValueError(
                 f"heterogeneous run names {sorted(stems)}: lexical order is "
