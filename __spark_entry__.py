@@ -166,6 +166,8 @@ _R9_FRONT: list[str] = [
     # new in r9 — certify in the round they are introduced
     "doc_minhash_quality_sampled",
     "rel_fuzzy_blocks",
+    "doc_hybrid_rrf",
+    "emb_ivfpq_rerank",
     # stalest driver certifications (last green row r03, then r05)
     "cat_chararray",
     "cat_desc_join",
@@ -213,8 +215,6 @@ _R9_FRONT: list[str] = [
     "doc_bloom_dedup",
     "doc_chunks",
     "doc_contamination",
-    "doc_dedup_exact",
-    "doc_dedup_groups",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -568,6 +568,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_bm25_indexed"] = _doc_bm25_indexed
+
+    # hybrid search: the BM25 lexical lane and the exact-cosine semantic
+    # lane (doc_id ≡ vec_id on this corpus) fused by reciprocal rank —
+    # integer contributions make the fusion engine-exact; each lane is a
+    # bounded top-50 frame, so fusion itself never rescans the corpus
+    def _doc_hybrid_rrf(s, d):
+        lex = text_ops.bm25_topk(load_table(s, d, "documents"), BM25_QUERY, k=50)
+        sem = text_ops.ranked_lane(
+            similarity.brute_force_topk(
+                load_table(s, d, "embeddings"), _query_vec(s, d), k=50
+            ),
+            score_col="cosine_sim",
+            id_col="vec_id",
+        ).withColumnRenamed("vec_id", "doc_id")
+        return text_ops.rrf_fuse(
+            {"lex": lex.select("doc_id", "rank"), "sem": sem.select("doc_id", "rank")},
+            k=20,
+        )
+
+    q["doc_hybrid_rrf"] = _doc_hybrid_rrf
 
     # keyword-taxonomy classification: every doc labeled by its best
     # BM25-scoring keyword set (the curation domain-filter stage)
@@ -1208,6 +1228,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_ivfpq_topk"] = lambda s, d: similarity.ivfpq_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_cells=8, n_probe=4
     ).select("vec_id", F.round("adc_dist", 6).alias("adc_dist"))
+    # two-stage retrieval: the same ADC index nominates 50 candidates,
+    # exact cosine re-ranks only those ids (isin pushes into the scan)
+    q["emb_ivfpq_rerank"] = lambda s, d: similarity.ivfpq_topk_rerank(
+        load_table(s, d, "embeddings"),
+        _query_vec(s, d),
+        k=10,
+        n_candidates=50,
+        n_cells=8,
+        n_probe=4,
+    )
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
@@ -3448,7 +3478,12 @@ def oracle_sql() -> dict[str, str]:
     _bm25_terms = ", ".join(
         "'" + t.lower().replace("'", "''") + "'" for t in sorted(set(BM25_QUERY))
     )
-    o["doc_bm25_topk"] = f"""
+    def _bm25_sql(limit: int) -> str:
+        """The full BM25 ranking SQL, parametric only in the top-k cut —
+        the plain gate, the indexed gate, and the hybrid-RRF lexical
+        lane all read from this ONE formula (the _bm25_contrib
+        discipline applied to the oracle side)."""
+        return f"""
         WITH base AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
@@ -3480,10 +3515,53 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_terms_matched, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM per_doc
-        ORDER BY score DESC, doc_id LIMIT 20
+        ORDER BY score DESC, doc_id LIMIT {int(limit)}
     """
 
+    o["doc_bm25_topk"] = _bm25_sql(20)
+
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    # hybrid retrieval: BM25 top-50 (lexical) + exact-cosine top-50
+    # (semantic, doc_id ≡ vec_id) fused by reciprocal rank — integer
+    # contributions (1e12 // (60 + rank)) so the fused sum is bit-exact
+    o["doc_hybrid_rrf"] = f"""
+        WITH lex AS (
+          SELECT doc_id, rank FROM ({_bm25_sql(50)})
+        ),
+        sem0 AS (
+          SELECT e.vec_id AS doc_id,
+                 round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))))),
+                       6) AS cosine_sim
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        sem AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+          FROM sem0
+          ORDER BY cosine_sim DESC, doc_id LIMIT 50
+        ),
+        contrib AS (
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM sem
+        ),
+        fused AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lanes,
+                 CAST(sum(c) AS BIGINT) AS rrf_scaled
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, n_lanes, rrf_scaled,
+               CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id LIMIT 20
+    """
 
     # same normalization + quote-escaping discipline as _bm25_terms so a
     # future KEYWORD_TAXONOMY edit can't silently diverge the oracle
@@ -4691,7 +4769,10 @@ def oracle_sql() -> dict[str, str]:
         for s in range(8)
     )
     _adc = " + ".join(f"l.l{s}[codes[{s + 1}] + 1]" for s in range(8))
-    o["emb_ivfpq_topk"] = f"""
+    # the CTE chain (corpus → cells → probes → codes → LUT → probed
+    # candidate set) is shared by the plain ADC oracle and the re-rank
+    # oracle below — one formula, two consumers, like _bm25_contrib
+    _ivfpq_cte = f"""
         WITH {_V},
         ev AS (SELECT vec_id, e FROM v),
         q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
@@ -4718,7 +4799,9 @@ def oracle_sql() -> dict[str, str]:
           SELECT a.vec_id, c.codes
           FROM assigned a JOIN c USING (vec_id)
           WHERE a.cell IN (SELECT cell FROM probe)
-        )
+        )"""
+
+    o["emb_ivfpq_topk"] = f"""{_ivfpq_cte}
         SELECT vec_id, round({_adc}, 6) AS adc_dist
         FROM sel, lut l
         ORDER BY {_adc}, vec_id
@@ -4728,6 +4811,24 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index path answers the SAME question as the inline
     # build — one oracle serves both
     o["emb_ivfpq_index"] = o["emb_ivfpq_topk"]
+
+    # two-stage retrieval: the SAME ADC chain nominates 50 candidates,
+    # then exact cosine (the certified emb_topk_cosine formula) re-ranks
+    # just those ids — quantization error fixed at the top of the list
+    o["emb_ivfpq_rerank"] = f"""{_ivfpq_cte},
+        cand AS (
+          SELECT vec_id FROM sel, lut l
+          ORDER BY {_adc}, vec_id
+          LIMIT 50
+        ),
+        qv AS (SELECT e AS q2 FROM v WHERE vec_id = 0)
+        SELECT s.vec_id,
+               round({_COS.format(a="s.e", b="q2")}, 6) AS cosine_sim
+        FROM (SELECT vec_id, e FROM v
+              WHERE vec_id IN (SELECT vec_id FROM cand)) s, qv
+        ORDER BY cosine_sim DESC, s.vec_id
+        LIMIT 10
+    """
 
     o["ts_compression_report"] = (
         P

@@ -204,6 +204,10 @@ HEADLINE = [
     # truth set) and the hot-block drop report
     "doc_minhash_quality_sampled",
     "rel_fuzzy_blocks",
+    # r9: hybrid retrieval (RRF over the BM25 + cosine lanes) and the
+    # two-stage ADC→exact-rerank ANN shape
+    "doc_hybrid_rrf",
+    "emb_ivfpq_rerank",
 ]
 
 

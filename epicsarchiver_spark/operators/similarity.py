@@ -678,6 +678,43 @@ def ivfpq_topk(
     )
 
 
+def ivfpq_topk_rerank(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    **ivfpq_kwargs,
+) -> DataFrame:
+    """Two-stage ANN — the production retrieval shape every PQ system
+    (FAISS's ``IndexIVFPQR``, ScaNN's reorder stage) ships: the
+    compressed index nominates ``n_candidates`` ids by asymmetric
+    distance (cheap, lossy — 4-bit codes), then ONLY those ids' full
+    float vectors are re-read and re-scored by exact cosine; returns
+    ``brute_force_topk``'s ``(id, cosine_sim)`` over the candidate set.
+    Fixes the ADC quantization error at the top of the list for the
+    price of ``n_candidates`` exact scores instead of N.
+
+    Scale shape: the candidate list is k-bounded, so the collect is a
+    ≤ ``n_candidates``-row driver hop (bounded artifact, same posture
+    as the BPE argmax rows), and the re-read prunes via an ``isin``
+    predicate that PUSHES INTO the vector scan (``PushedFilters:
+    In(vec_id, ...)`` — plan-pinned in tests) — at 100 TB the second
+    stage touches ``n_candidates`` rows of one column, never the
+    corpus. ``ivfpq_kwargs`` (cells, probes, codebook, a persisted
+    ``index=``) pass straight through to :func:`ivfpq_topk`."""
+    cand = ivfpq_topk(
+        vectors, query, k=int(n_candidates), id_col=id_col, vec_col=vec_col, **ivfpq_kwargs
+    )
+    ids = [r[0] for r in cand.select(id_col).collect()]
+    if not ids:
+        return brute_force_topk(vectors.limit(0), query, k=k, id_col=id_col, vec_col=vec_col)
+    return brute_force_topk(
+        vectors.filter(F.col(id_col).isin(ids)), query, k=int(k), id_col=id_col, vec_col=vec_col
+    )
+
+
 def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
     """All XOR masks within hamming distance ``max_hamming`` of zero over
     ``n_planes`` bits — Σ C(n_planes, i) masks (n=8, h=2 → 37)."""

@@ -610,6 +610,71 @@ def _bm25_ranked_topk(per_doc: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def ranked_lane(
+    topk: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+    ascending: bool = False,
+) -> DataFrame:
+    """Attach a 1-based ``rank`` to an ALREADY top-k-bounded retrieval
+    result (``brute_force_topk``'s cosine frame, an ADC candidate list,
+    ...) so it can feed ``rrf_fuse``. Ties break on ``id_col``. The
+    unpartitioned rank window is safe only because the input is a
+    k-row frame under a GlobalLimit — same posture as
+    ``_bm25_ranked_topk``; never call this on an unbounded corpus."""
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.orderBy(order, F.col(id_col))
+    return topk.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def rrf_fuse(
+    lanes: dict[str, DataFrame],
+    k: int = 20,
+    k0: int = 60,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack/Clarke/Büttcher, SIGIR'09) of
+    retrieval lanes — the standard hybrid-search combiner: a lexical
+    BM25 lane and a semantic embedding lane each rank the corpus their
+    own way, and each contributes ``scale // (k0 + rank)`` to every doc
+    it returned; fused score = the sum across lanes. Returns
+    ``(id, n_lanes, rrf_scaled, rank)`` — top-``k`` by fused score,
+    ties on id.
+
+    Contributions are exact INTEGER quotients (``DIV``), so the fused
+    sum is summation-order-independent and bit-identical in any engine
+    — the pagerank fixed-point discipline applied to rank fusion; no
+    IEEE tie at the cut is possible.
+
+    Scale shape: inputs are ALREADY-RANKED top-k frames, each bounded
+    by its lane's retrieval k — at 100 TB the lanes do the corpus-scale
+    work against their own indexes (BM25 postings, IVF-PQ cells) and
+    fusion never rescans: the union is Σ|lane| rows, the rollup
+    |candidate set| groups, and the final rank window sits under the
+    GlobalLimit like ``_bm25_ranked_topk``'s."""
+    if not lanes:
+        raise ValueError("rrf_fuse needs at least one ranked lane")
+    tagged = None
+    contrib = F.expr(f"CAST({int(scale)} AS BIGINT) DIV (CAST({int(k0)} AS BIGINT) + {rank_col})")
+    for _name, df in sorted(lanes.items()):
+        part = df.select(F.col(id_col), contrib.alias("_contrib"))
+        tagged = part if tagged is None else tagged.unionByName(part)
+    fused = tagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_lanes"),
+        F.sum("_contrib").alias("rrf_scaled"),
+    )
+    topk = fused.orderBy(F.col("rrf_scaled").desc(), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.col("rrf_scaled").desc(), F.col(id_col))
+    return topk.select(
+        id_col,
+        "n_lanes",
+        "rrf_scaled",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def keyword_labels(
     docs: DataFrame,
     taxonomy: dict[str, list[str]],

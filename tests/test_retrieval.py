@@ -1,0 +1,146 @@
+"""Hybrid retrieval (RRF fusion) and two-stage ANN re-rank — r9
+additions to the search surface. The gate queries doc_hybrid_rrf /
+emb_ivfpq_rerank carry the full-oracle checks; these tests pin the
+operator semantics (exact integer fusion, candidate-set containment)
+and the 100 TB plan shapes (bounded windows, isin pushdown)."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from epicsarchiver_spark.operators.similarity import (
+    brute_force_topk,
+    ivfpq_topk,
+    ivfpq_topk_rerank,
+)
+from epicsarchiver_spark.operators.text_ops import ranked_lane, rrf_fuse
+from tests.conftest import SF_ORACLE
+
+
+def _lane(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, rank long")
+
+
+def test_rrf_fuse_known_lanes_exact_integer_scores(spark):
+    """Hand-checkable fusion: contributions are exact integer quotients
+    1e12 // (60 + rank), summed per doc across lanes."""
+    lex = _lane(spark, [(1, 1), (2, 2), (3, 3)])
+    sem = _lane(spark, [(2, 1), (4, 2)])
+    got = {
+        r.doc_id: (r.n_lanes, r.rrf_scaled, r.rank)
+        for r in rrf_fuse({"lex": lex, "sem": sem}, k=10).collect()
+    }
+    c = lambda rank: 10**12 // (60 + rank)  # noqa: E731
+    assert got[2] == (2, c(2) + c(1), 1)  # both lanes → top fused
+    assert got[1] == (1, c(1), 2)
+    assert got[4] == (1, c(2), 3)
+    assert got[3] == (1, c(3), 4)
+
+
+def test_rrf_fuse_k_cut_and_id_tie_break(spark):
+    """Equal fused scores break on id; top-k cut respects the fused
+    order (a doc ranked 1 by one lane beats a doc ranked 2 by one
+    lane, regardless of lane identity)."""
+    a = _lane(spark, [(10, 1), (20, 2)])
+    b = _lane(spark, [(30, 1), (40, 2)])
+    rows = rrf_fuse({"a": a, "b": b}, k=3).collect()
+    assert [r.doc_id for r in rows] == [10, 30, 20]  # ties (10,30), (20,40) → id
+    assert [r.rank for r in rows] == [1, 2, 3]
+
+
+def test_rrf_fuse_matches_python_reference(spark):
+    """Fusion over the real sf0.01 lanes ≡ a direct python RRF on the
+    same ranked inputs — the full pipeline mirror, including the k0
+    constant and the scaled-integer arithmetic."""
+    from epicsarchiver_spark.operators.text_ops import bm25_topk
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    lex = bm25_topk(docs, ["spark", "join", "quantum"], k=30)
+    sem = ranked_lane(
+        brute_force_topk(emb, qvec, k=30), score_col="cosine_sim", id_col="vec_id"
+    ).withColumnRenamed("vec_id", "doc_id")
+
+    lex_ranks = {r.doc_id: r.rank for r in lex.collect()}
+    sem_ranks = {r.doc_id: r.rank for r in sem.collect()}
+    expected: dict[int, list] = {}
+    for ranks in (lex_ranks, sem_ranks):
+        for i, rk in ranks.items():
+            e = expected.setdefault(i, [0, 0])
+            e[0] += 1
+            e[1] += 10**12 // (60 + rk)
+    top = sorted(expected.items(), key=lambda kv: (-kv[1][1], kv[0]))[:20]
+
+    got = rrf_fuse(
+        {"lex": lex.select("doc_id", "rank"), "sem": sem.select("doc_id", "rank")},
+        k=20,
+    ).collect()
+    assert [(r.doc_id, r.n_lanes, r.rrf_scaled) for r in got] == [
+        (i, n, s) for i, (n, s) in top
+    ]
+
+
+def test_ranked_lane_orders_and_breaks_ties_on_id(spark):
+    df = spark.createDataFrame(
+        [(5, 0.9), (3, 0.9), (7, 0.5)], "vec_id long, cosine_sim double"
+    )
+    rows = ranked_lane(df, "cosine_sim", id_col="vec_id").orderBy("rank").collect()
+    assert [(r.vec_id, r.rank) for r in rows] == [(3, 1), (5, 2), (7, 3)]
+
+
+def test_ivfpq_rerank_equals_bruteforce_over_candidates(spark):
+    """The re-rank stage is EXACT cosine over exactly the ADC candidate
+    set: result ≡ brute_force_topk restricted to those ids, and every
+    returned id is a nominated candidate."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+    cand_ids = {
+        r.vec_id
+        for r in ivfpq_topk(emb, qvec, k=40, n_cells=8, n_probe=4).collect()
+    }
+    got = ivfpq_topk_rerank(
+        emb, qvec, k=10, n_candidates=40, n_cells=8, n_probe=4
+    ).collect()
+    assert {r.vec_id for r in got} <= cand_ids
+    want = brute_force_topk(
+        emb.filter(F.col("vec_id").isin(list(cand_ids))), qvec, k=10
+    ).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in got] == [
+        (r.vec_id, r.cosine_sim) for r in want
+    ]
+
+
+def test_ivfpq_rerank_improves_or_matches_adc_recall(spark):
+    """Against exact cosine ground truth, re-ranked top-k recall must be
+    ≥ the raw ADC top-k's — the whole point of the second stage."""
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    truth = {r.vec_id for r in brute_force_topk(emb, qvec, k=10).collect()}
+    adc = {
+        r.vec_id for r in ivfpq_topk(emb, qvec, k=10, n_cells=8, n_probe=4).collect()
+    }
+    rr = {
+        r.vec_id
+        for r in ivfpq_topk_rerank(
+            emb, qvec, k=10, n_candidates=50, n_cells=8, n_probe=4
+        ).collect()
+    }
+    assert len(rr & truth) >= len(adc & truth)
+
+
+def test_ivfpq_rerank_pushes_candidate_in_filter_to_scan(spark):
+    """Stage 2's 100 TB shape: the bounded candidate list reaches the
+    vector parquet scan as a pushed In(vec_id, ...) filter — the re-read
+    touches candidate rows, never the corpus."""
+    from epicsarchiver_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    df = ivfpq_topk_rerank(emb, qvec, k=10, n_candidates=20, n_cells=8, n_probe=4)
+    plan = explain_str(df)
+    assert re.search(r"PushedFilters: \[In\(vec_id", plan), plan[:1500]
