@@ -168,6 +168,7 @@ _R9_FRONT: list[str] = [
     "rel_fuzzy_blocks",
     "doc_hybrid_rrf",
     "emb_ivfpq_rerank",
+    "emb_mmr_topk",
     # stalest driver certifications (last green row r03, then r05)
     "cat_chararray",
     "cat_desc_join",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "doc_bigram_logprob",
     "doc_bloom_dedup",
     "doc_chunks",
-    "doc_contamination",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1237,6 +1237,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_candidates=50,
         n_cells=8,
         n_probe=4,
+    )
+    # diversity-aware retrieval: greedy MMR over the exact-cosine
+    # candidate set — the oracle replays the greedy loop as a DuckDB
+    # recursive CTE, so even the iterative pick sequence is certified
+    q["emb_mmr_topk"] = lambda s, d: similarity.mmr_topk(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=8, n_candidates=30
     )
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
@@ -4828,6 +4834,46 @@ def oracle_sql() -> dict[str, str]:
               WHERE vec_id IN (SELECT vec_id FROM cand)) s, qv
         ORDER BY cosine_sim DESC, s.vec_id
         LIMIT 10
+    """
+
+    # greedy MMR replayed in SQL: the recursive CTE carries the selected
+    # set as a list, each iteration re-scores the remaining candidates
+    # (λ·rel − (1−λ)·max sim to selected, 6-dp-rounded cosines) and
+    # picks the (score DESC, id) winner — the engine's driver-side loop
+    # and this recursion walk the identical pick sequence
+    _mmr_score = (
+        "0.5*c.rel - 0.5*coalesce((SELECT max(ss.s) FROM sims ss"
+        " WHERE ss.ia = c.id AND list_contains(s.sel_ids, ss.ib)), 0.0)"
+    )
+    o["emb_mmr_topk"] = f"""
+        WITH RECURSIVE {_V},
+        cand AS (
+          SELECT vec_id AS id,
+                 round({_COS.format(a="e", b="qv")}, 6) AS rel
+          FROM v, (SELECT e AS qv FROM v WHERE vec_id = 0) q
+          ORDER BY rel DESC, vec_id LIMIT 30
+        ),
+        cv AS (SELECT vec_id, e FROM v WHERE vec_id IN (SELECT id FROM cand)),
+        sims AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS s
+          FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+        ),
+        sel(step, picked, score, sel_ids) AS (
+          (SELECT 1, id, 0.5*rel, [id] FROM cand ORDER BY 0.5*rel DESC, id LIMIT 1)
+          UNION ALL
+          SELECT step, picked, score, sel_ids FROM (
+            SELECT s.step + 1 AS step, c.id AS picked,
+                   {_mmr_score} AS score,
+                   list_append(s.sel_ids, c.id) AS sel_ids,
+                   row_number() OVER (ORDER BY {_mmr_score} DESC, c.id) AS rn
+            FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.id)
+            WHERE s.step < 8
+          ) WHERE rn = 1
+        )
+        SELECT CAST(step AS BIGINT) AS step, picked AS vec_id,
+               round(score, 6) AS mmr_score
+        FROM sel ORDER BY step
     """
 
     o["ts_compression_report"] = (

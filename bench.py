@@ -208,6 +208,7 @@ HEADLINE = [
     # two-stage ADC→exact-rerank ANN shape
     "doc_hybrid_rrf",
     "emb_ivfpq_rerank",
+    "emb_mmr_topk",
 ]
 
 

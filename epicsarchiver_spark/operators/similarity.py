@@ -715,6 +715,81 @@ def ivfpq_topk_rerank(
     )
 
 
+def mmr_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 5,
+    n_candidates: int = 50,
+    mmr_lambda: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal-marginal-relevance retrieval (Carbonell/Goldstein,
+    SIGIR'98) — the diversity-aware re-rank every RAG stack wants when
+    plain top-k returns ten near-copies of the same passage: greedily
+    pick ``k`` of the ``n_candidates`` most query-similar vectors,
+    scoring each remaining candidate
+
+        λ · cos(q, d)  −  (1 − λ) · max_{s ∈ selected} cos(d, s)
+
+    (max over the empty set = 0, so pick 1 is the pure-relevance
+    argmax). Returns ``(step, id, mmr_score)``, one row per pick, in
+    selection order; ties break on id at every step.
+
+    Scale shape: stage 1 (corpus-scale) is the certified exact-cosine
+    top-``n_candidates``; stage 2's basis — the candidate×candidate
+    cosine matrix — is computed distributed over an ``isin``-pruned
+    re-read (pushes into the scan) and is c² ≤ ``n_candidates``² rows.
+    The greedy selection itself is inherently sequential in k, so it
+    runs driver-side over that BOUNDED collected basis (≤ c + c² small
+    rows — the pca_components posture: corpus work distributed,
+    k-sized recurrence on a bounded artifact). All cosines are rounded
+    to 6 dp before the recurrence and the score arithmetic is the same
+    two-term IEEE expression any engine computes, so the pick sequence
+    is engine-exact (gate ``emb_mmr_topk``'s recursive-CTE oracle
+    replays the greedy loop in SQL)."""
+    spark = vectors.sparkSession
+    lam = float(mmr_lambda)
+    cand = brute_force_topk(
+        vectors, query, k=int(n_candidates), id_col=id_col, vec_col=vec_col
+    ).collect()
+    rel = {r[0]: float(r[1]) for r in cand}
+    ids = sorted(rel)
+    out_schema = f"step long, {id_col} long, mmr_score double"
+    if not ids:
+        return spark.createDataFrame([], out_schema)
+
+    pruned = vectors.filter(F.col(id_col).isin(ids)).select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    a = pruned.select(F.col(id_col).alias("_ia"), F.col("_v").alias("_va"))
+    b = pruned.select(F.col(id_col).alias("_ib"), F.col("_v").alias("_vb"))
+    # bounded c×c pair frame (candidates only — never the corpus)
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("_ia") != F.col("_ib"))
+        .select("_ia", "_ib", F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("_s"))
+        .collect()
+    )
+    sims = {(r._ia, r._ib): float(r._s) for r in pairs}
+
+    selected: list = []
+    remaining = set(ids)
+    rows = []
+    for step in range(1, min(int(k), len(ids)) + 1):
+        best_score, best_id = None, None
+        for i in sorted(remaining):
+            ms = max((sims[(i, s)] for s in selected), default=0.0)
+            score = lam * rel[i] - (1.0 - lam) * ms
+            if best_score is None or score > best_score:
+                best_score, best_id = score, i
+        rows.append((step, best_id, best_score))
+        selected.append(best_id)
+        remaining.discard(best_id)
+    res = spark.createDataFrame(rows, out_schema)
+    return res.select("step", id_col, F.round("mmr_score", 6).alias("mmr_score"))
+
+
 def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
     """All XOR masks within hamming distance ``max_hamming`` of zero over
     ``n_planes`` bits — Σ C(n_planes, i) masks (n=8, h=2 → 37)."""

@@ -133,6 +133,59 @@ def test_ivfpq_rerank_improves_or_matches_adc_recall(spark):
     assert len(rr & truth) >= len(adc & truth)
 
 
+def test_mmr_defers_near_duplicate_of_top_hit(spark):
+    """A clone of the most relevant vector must NOT be pick 2 — MMR's
+    diversity penalty defers it behind a less-similar candidate."""
+    from epicsarchiver_spark.operators.similarity import mmr_topk
+
+    # NB: pick 1 must not be collinear with the query — if it were,
+    # every candidate's penalty (sim to pick 1) would equal its
+    # relevance and all λ=0.5 step-2 scores would tie at 0
+    rows = [
+        (1, [0.95, 0.31225, 0.0]),  # top relevance, off the query axis
+        (2, [0.94, 0.33, 0.0]),  # near-clone of 1 (strictly less relevant)
+        (3, [0.8, -0.6, 0.0]),  # decent relevance, diverse from 1
+        (4, [0.0, 0.0, 1.0]),  # orthogonal to query
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = [
+        r.vec_id
+        for r in mmr_topk(vecs, [1.0, 0.0, 0.0], k=3, n_candidates=4)
+        .orderBy("step")
+        .collect()
+    ]
+    # clone (2) is penalized by sim≈1 to pick 1; 3 then 4 outscore it
+    assert picks == [1, 3, 4]
+
+
+def test_mmr_lambda_one_is_pure_relevance_order(spark):
+    """λ=1 removes the diversity term: the pick sequence must equal the
+    exact-cosine top-k order."""
+    from epicsarchiver_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    picks = [
+        r.vec_id
+        for r in mmr_topk(emb, qvec, k=6, n_candidates=20, mmr_lambda=1.0)
+        .orderBy("step")
+        .collect()
+    ]
+    want = [r.vec_id for r in brute_force_topk(emb, qvec, k=6).collect()]
+    assert picks == want
+
+
+def test_mmr_k_truncates_to_candidate_count(spark):
+    from epicsarchiver_spark.operators.similarity import mmr_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    rows = mmr_topk(vecs, [1.0, 0.0], k=10, n_candidates=5).collect()
+    assert len(rows) == 2
+    assert sorted(r.step for r in rows) == [1, 2]
+
+
 def test_ivfpq_rerank_pushes_candidate_in_filter_to_scan(spark):
     """Stage 2's 100 TB shape: the bounded candidate list reaches the
     vector parquet scan as a pushed In(vec_id, ...) filter — the re-read
