@@ -169,6 +169,7 @@ _R9_FRONT: list[str] = [
     "doc_hybrid_rrf",
     "emb_ivfpq_rerank",
     "emb_mmr_topk",
+    "ts_ewma",
     # stalest driver certifications (last green row r03, then r05)
     "cat_chararray",
     "cat_desc_join",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "cat_wildcard",
     "doc_bigram_logprob",
     "doc_bloom_dedup",
-    "doc_chunks",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1251,6 +1251,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         _points(s, d), T0, T1, HEARTBEAT
     )
     q["ts_drift"] = lambda s, d: timeseries.drift(_points(s, d), T0, T1)
+    # span-bounded exponential smoothing — exact integer weights, so
+    # the trend line is engine-identical (no float pow in sight)
+    q["ts_ewma"] = lambda s, d: timeseries.ewma(_points(s, d))
     def _emb_ivfpq_index(s, d):
         """IVF-PQ through the PRODUCTION artifact: build the (id, cell,
         codes) index with the Arrow GEMM encode lane, persist it as
@@ -5050,6 +5053,29 @@ def oracle_sql() -> dict[str, str]:
                CAST(n * stq - st * sq AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
                  * 0.01 * 86400.0 AS slope_per_day
         FROM s WHERE n * stt - st * st > 0
+        """
+    )
+
+    # span-8 EWMA, α=1/4: weights are the exact integers 3^age·4^(7−age)
+    # (same table the operator embeds — no float pow), sums are BIGINT,
+    # one double division at the end
+    _ewma_wt = "[" + ", ".join(str(3**a * 4 ** (7 - a)) for a in range(8)) + "]"
+    o["ts_ewma"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        )
+        SELECT pvname, time, value,
+               round(CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] * wt[len(arr) - i + 1])) AS DOUBLE)
+                     / CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> wt[i])) AS DOUBLE) * 0.01, 6) AS ewma
+        FROM (SELECT *, {_ewma_wt} AS wt FROM win)
         """
     )
 

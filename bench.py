@@ -209,6 +209,7 @@ HEADLINE = [
     "doc_hybrid_rrf",
     "emb_ivfpq_rerank",
     "emb_mmr_topk",
+    "ts_ewma",
 ]
 
 

@@ -448,6 +448,74 @@ def time_weighted_avg(
     )
 
 
+def ewma(
+    points: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    span: int = 8,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """Span-bounded exponential smoothing per series — the dashboard
+    trend line: each point's smoothed value is the (1−α)^age-weighted
+    mean of the last ``span`` samples (α = alpha_num/alpha_den). A true
+    infinite-horizon EWMA is a recursive fold no window can express and
+    (1−α)^age < 1e-4 beyond a few spans anyway, so bounding the support
+    makes it a plain frame aggregate.
+
+    Exactness: values quantize to integer ``quantum`` units and the
+    weights are the EXACT integers (den−num)^age · den^(span−1−age)
+    (a literal span-sized table — no float pow, whose libm rounding
+    differs across engines), so numerator and denominator are bit-exact
+    BIGINT sums in any engine; one double division at the end, rounded
+    to 6 dp. Partial leading windows renormalize over the ages present.
+    Overflow budget: |value|/quantum · den^(span−1) · span < 2⁶³ —
+    defaults allow |value| ≤ 7e13.
+
+    One series-keyed exchange: the frame window is the only shuffle and
+    everything else is per-row array math in WholeStageCodegen."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    wt = [
+        (alpha_den - alpha_num) ** age * alpha_den ** (span - 1 - age)
+        for age in range(span)
+    ]
+    wt_lit = F.array(*[F.lit(x).cast("long") for x in wt])
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(span - 1), 0)
+    )
+    q = F.round(F.col("value") / quantum).cast("long")
+    arr = points.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.collect_list(q).over(w).alias("_arr"),
+    ).withColumn("_wt", wt_lit)
+    # element i (1-based, ascending time) has age L−i → weight _wt[L−i+1]
+    num = F.aggregate(
+        F.sequence(F.lit(1), F.size("_arr")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc
+        + F.element_at("_arr", i) * F.element_at("_wt", F.size("_arr") - i + 1),
+    )
+    den = F.aggregate(
+        F.sequence(F.lit(1), F.size("_arr")),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at("_wt", i),
+    )
+    return arr.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.round(
+            num.cast("double") / den.cast("double") * F.lit(quantum), 6
+        ).alias("ewma"),
+    )
+
+
 def level_shifts(
     points: DataFrame,
     window: int = 5,

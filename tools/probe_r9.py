@@ -180,10 +180,66 @@ def probe_bpe_vocab(spark, out: str) -> None:
     print(json.dumps({"probe": "r9d_bpe_vocab", **res}), flush=True)
 
 
+def probe_retrieval(spark, out: str) -> None:
+    """r9e: the retrieval additions at ×1/×10 — hybrid RRF end-to-end
+    (both lanes + fusion) vs the BM25 lane alone (fusion overhead must
+    be lane-shaped, the fuse itself is bounded), IVF-PQ re-rank vs raw
+    ADC (the second stage must be a near-constant increment), and MMR
+    (stage 1 + a candidate-bounded c² basis — flat in corpus size
+    beyond the scan)."""
+    from epicsarchiver_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk,
+        ivfpq_topk_rerank,
+        mmr_topk,
+    )
+    from epicsarchiver_spark.operators.text_ops import bm25_topk, ranked_lane, rrf_fuse
+
+    res: dict[str, object] = {}
+    terms = ["spark", "join", "filter"]
+    for s in (1, 10):
+        d = _ensure(spark, out, s)
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+
+        res[f"bm25_lane_x{s}"] = _t(
+            lambda: bm25_topk(docs, terms, k=50)
+            .write.format("noop").mode("overwrite").save()
+        )
+
+        def _hybrid():
+            lex = bm25_topk(docs, terms, k=50)
+            sem = ranked_lane(
+                brute_force_topk(emb, qvec, k=50), "cosine_sim", id_col="vec_id"
+            ).withColumnRenamed("vec_id", "doc_id")
+            rrf_fuse(
+                {"lex": lex.select("doc_id", "rank"), "sem": sem.select("doc_id", "rank")},
+                k=20,
+            ).write.format("noop").mode("overwrite").save()
+
+        res[f"hybrid_rrf_x{s}"] = _t(_hybrid)
+
+        res[f"ivfpq_adc_x{s}"] = _t(
+            lambda: ivfpq_topk(emb, qvec, k=10, n_cells=8, n_probe=4)
+            .write.format("noop").mode("overwrite").save()
+        )
+        res[f"ivfpq_rerank_x{s}"] = _t(
+            lambda: ivfpq_topk_rerank(
+                emb, qvec, k=10, n_candidates=50, n_cells=8, n_probe=4
+            ).write.format("noop").mode("overwrite").save()
+        )
+        res[f"mmr_x{s}"] = _t(
+            lambda: mmr_topk(emb, qvec, k=8, n_candidates=30)
+            .write.format("noop").mode("overwrite").save()
+        )
+    print(json.dumps({"probe": "r9e_retrieval", **res}), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
-    ap.add_argument("--sections", default="a,b,c,d")
+    ap.add_argument("--sections", default="a,b,c,d,e")
     args = ap.parse_args()
 
     from epicsarchiver_spark.session import get_spark
@@ -199,6 +255,8 @@ def main() -> None:
         probe_minhash_dial(spark, args.out)
     if "d" in sections:
         probe_bpe_vocab(spark, args.out)
+    if "e" in sections:
+        probe_retrieval(spark, args.out)
     spark.stop()
 
 
