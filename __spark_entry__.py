@@ -170,6 +170,7 @@ _R9_FRONT: list[str] = [
     "emb_ivfpq_rerank",
     "emb_mmr_topk",
     "ts_ewma",
+    "ts_ewma_bucketed",
     # stalest driver certifications (last green row r03, then r05)
     "cat_chararray",
     "cat_desc_join",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "cat_distinct_series",
     "cat_wildcard",
     "doc_bigram_logprob",
-    "doc_bloom_dedup",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -299,6 +299,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_sessions_bucketed"] = lambda s, d: timeseries.sessionize(
         _bucketed_points(s, d), gap_s=SESSION_GAP
     )
+    # ...and the r9 smoother: the EWMA frame window is per-series too,
+    # so the bucket layout deletes its one Exchange (plan pin in
+    # tests/test_points_store.py); oracle identical to ts_ewma
+    q["ts_ewma_bucketed"] = lambda s, d: timeseries.ewma(_bucketed_points(s, d))
     q["ts_minmax"] = lambda s, d: timeseries.minmax_times(_points(s, d))
     q["ts_nchanged"] = lambda s, d: timeseries.n_changed(
         points_view(s, d), T1, by="event_type"
@@ -5078,6 +5082,9 @@ def oracle_sql() -> dict[str, str]:
         FROM (SELECT *, {_ewma_wt} AS wt FROM win)
         """
     )
+    # the bucketed-catalog lane answers the SAME question (zero-Exchange
+    # plan pinned in tests/test_points_store.py)
+    o["ts_ewma_bucketed"] = o["ts_ewma"]
 
     # heavy hitters: CMS never undercounts → the prefiltered exact pass
     # equals the plain group-by, which IS the oracle

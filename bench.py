@@ -210,6 +210,7 @@ HEADLINE = [
     "emb_ivfpq_rerank",
     "emb_mmr_topk",
     "ts_ewma",
+    "ts_ewma_bucketed",
 ]
 
 

@@ -247,6 +247,9 @@ def test_bucketed_read_family_plan_shapes(spark, tmp_path):
         ses = timeseries.sessionize(t, gap_s=100.0)
         assert "Exchange" not in explain_str(ses), "sessionize must be shuffle-free"
 
+        ew = timeseries.ewma(t)
+        assert "Exchange" not in explain_str(ew), "ewma must be shuffle-free"
+
         locf = timeseries.locf_grid(t, 1000.0, 2000.0, 250.0)
         plan = explain_str(locf)
         # one Exchange NODE — "Exchange (n)" is the tree entry; the same
