@@ -211,6 +211,7 @@ HEADLINE = [
     "emb_mmr_topk",
     "ts_ewma",
     "ts_ewma_bucketed",
+    "emb_ivfpq_rerank_indexed",
 ]
 
 
