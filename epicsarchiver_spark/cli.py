@@ -965,14 +965,43 @@ def cmd_bm25(args) -> int:
         build_bm25_index(spark.read.parquet(args.documents), args.build_index)
         print(f"index written to {args.build_index}")
         index = args.build_index
+    lane_k = args.lane_k if args.fuse_embeddings else args.k
     if index:
-        hits = bm25_topk_indexed(spark, index, args.terms, k=args.k).collect()
+        lex = bm25_topk_indexed(spark, index, args.terms, k=lane_k)
     elif args.documents:
         docs = spark.read.parquet(args.documents)
-        hits = bm25_topk(docs, args.terms, k=args.k).collect()
+        lex = bm25_topk(docs, args.terms, k=lane_k)
     else:
         print("pass a documents parquet or --index", file=sys.stderr)
         return 1
+    if args.fuse_embeddings:
+        # hybrid mode: RRF-fuse the lexical lane with the exact-cosine
+        # semantic lane anchored at --query-vec-id (doc_id ≡ vec_id)
+        from pyspark.sql import functions as F
+
+        from epicsarchiver_spark.operators.similarity import brute_force_topk
+        from epicsarchiver_spark.operators.text_ops import ranked_lane, rrf_fuse
+
+        emb = spark.read.parquet(args.fuse_embeddings)
+        row = emb.filter(F.col("vec_id") == args.query_vec_id).head()
+        if row is None:
+            print(f"vec_id {args.query_vec_id} not in {args.fuse_embeddings}",
+                  file=sys.stderr)
+            return 1
+        qvec = [float(x) for x in row["embedding"]]
+        sem = ranked_lane(
+            brute_force_topk(emb, qvec, k=lane_k), "cosine_sim", id_col="vec_id"
+        ).withColumnRenamed("vec_id", "doc_id")
+        fused = rrf_fuse(
+            {"lex": lex.select("doc_id", "rank"), "sem": sem.select("doc_id", "rank")},
+            k=args.k,
+        ).collect()
+        for r in fused:
+            print(f"{r['rank']:>3}  doc {r['doc_id']}  rrf {r['rrf_scaled']}  "
+                  f"({r['n_lanes']} lane(s))")
+        print(f"{len(fused)} fused hit(s) for {' '.join(args.terms)}")
+        return 0 if fused else 1
+    hits = lex.collect()
     for r in hits:
         print(f"{r['rank']:>3}  doc {r[0]}  score {r['score']:.4f}  "
               f"({r['n_terms_matched']} term(s))")
@@ -1221,6 +1250,12 @@ def build_parser() -> argparse.ArgumentParser:
     g = s.add_mutually_exclusive_group()
     g.add_argument("--index", default=None, help="query a persisted postings index")
     g.add_argument("--build-index", default=None, help="write the postings index here first")
+    s.add_argument("--fuse-embeddings", default=None,
+                   help="embeddings parquet: RRF-fuse BM25 with the cosine lane")
+    s.add_argument("--query-vec-id", type=int, default=0,
+                   help="vec_id anchoring the semantic lane (with --fuse-embeddings)")
+    s.add_argument("--lane-k", type=int, default=50,
+                   help="per-lane depth before fusion (with --fuse-embeddings)")
     s.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")

@@ -587,6 +587,40 @@ def test_bm25_cli_search(spark, tmp_path, capsys):
     assert cli.main(["bm25", path, "zzzzz"]) == 1  # no hits → nonzero exit
 
 
+def test_bm25_cli_hybrid_fusion(spark, tmp_path, capsys):
+    """--fuse-embeddings RRF-fuses the BM25 lane with the cosine lane:
+    a doc ranked by BOTH lanes must out-fuse single-lane docs with the
+    same per-lane ranks."""
+    docs = spark.createDataFrame(
+        [(0, "anchor text"), (1, "spark shuffle exchange plan"),
+         (2, "window sort merge join"), (3, "spark spark spark broadcast")],
+        "doc_id long, text string",
+    )
+    dpath = str(tmp_path / "docs_hyb.parquet")
+    docs.write.parquet(dpath)
+    # vec 2 is most similar to the anchor (vec 0) → doc 2 tops BOTH the
+    # lexical lane ('join' out-idfs 'spark') and the semantic lane
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.9, 0.1]), (3, [0.1, 0.9])],
+        "vec_id long, embedding array<double>",
+    )
+    epath = str(tmp_path / "emb_hyb.parquet")
+    emb.write.parquet(epath)
+    assert cli.main([
+        "bm25", dpath, "spark", "join",
+        "--fuse-embeddings", epath, "--query-vec-id", "0", "-k", "3",
+    ]) == 0
+    out = capsys.readouterr().out
+    assert "fused hit(s)" in out
+    first = next(l for l in out.splitlines() if l.lstrip().startswith("1 "))
+    assert "doc 2" in first and "(2 lane(s))" in first
+    # unknown anchor id fails loudly
+    assert cli.main([
+        "bm25", dpath, "spark", "--fuse-embeddings", epath,
+        "--query-vec-id", "99",
+    ]) == 1
+
+
 def test_bm25_cli_index_lane(spark, tmp_path, capsys):
     """--build-index writes the postings basis; --index answers the same
     query from it with no documents argument."""
