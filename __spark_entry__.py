@@ -160,19 +160,19 @@ def entry(spark: SparkSession) -> DataFrame:
 # last driver certification is OLDEST (recomputed per round from the
 # CORRECTNESS_r*.json union — many were last driver-checked in r01-r03
 # and only the local mirror has re-run them since). Every key cycles
-# back through driver certification every ~4 rounds at 183 keys / 48
-# rotation slots.
+# back through driver certification every ~4-5 rounds. THE LIST BELOW
+# IS GENERATED — regenerate it at the start of each round with
+#     python tools/rotate_front.py --write
+# (never-certified keys first, then oldest green driver row first).
 _R9_FRONT: list[str] = [
-    # new in r9 — certify in the round they are introduced
-    "doc_minhash_quality_sampled",
-    "rel_fuzzy_blocks",
     "doc_hybrid_rrf",
+    "doc_minhash_quality_sampled",
     "emb_ivfpq_rerank",
+    "emb_ivfpq_rerank_indexed",
     "emb_mmr_topk",
+    "rel_fuzzy_blocks",
     "ts_ewma",
     "ts_ewma_bucketed",
-    "emb_ivfpq_rerank_indexed",
-    # stalest driver certifications (last green row r03, then r05)
     "cat_chararray",
     "cat_desc_join",
     "cat_hashname",
