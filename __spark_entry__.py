@@ -170,6 +170,7 @@ _R9_FRONT: list[str] = [
     "emb_ivfpq_rerank",
     "emb_ivfpq_rerank_indexed",
     "emb_mmr_topk",
+    "emb_retrieval_eval",
     "rel_fuzzy_blocks",
     "ts_ewma",
     "ts_ewma_bucketed",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "ts_locf_grid",
     "ts_rate_windowed",
     "cat_distinct_series",
-    "cat_wildcard",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1248,6 +1248,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["emb_mmr_topk"] = lambda s, d: similarity.mmr_topk(
         load_table(s, d, "embeddings"), _query_vec(s, d), k=8, n_candidates=30
     )
+
+    # ranking-quality report: the cosine lane judged against label
+    # relevance (gain 1 where label == the anchor's) — precision@k /
+    # MRR / nDCG@k with the exact-integer discount table
+    def _emb_retrieval_eval(s, d):
+        emb = load_table(s, d, "embeddings")
+        lane = text_ops.ranked_lane(
+            similarity.brute_force_topk(emb, _query_vec(s, d), k=20),
+            "cosine_sim",
+            id_col="vec_id",
+        )
+        lbl0 = emb.filter(F.col("vec_id") == 0).head()["label"]
+        rel = emb.filter(F.col("label") == int(lbl0)).select(
+            "vec_id", F.lit(1).alias("gain")
+        )
+        return text_ops.retrieval_eval(
+            lane.select("vec_id", "rank"), rel, k=20, id_col="vec_id"
+        )
+
+    q["emb_retrieval_eval"] = _emb_retrieval_eval
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
@@ -4881,6 +4901,59 @@ def oracle_sql() -> dict[str, str]:
 
     # the persisted-index two-stage path answers the SAME question
     o["emb_ivfpq_rerank_indexed"] = o["emb_ivfpq_rerank"]
+
+    # ranking metrics with the SAME python-computed integer discount
+    # table the operator embeds (no engine log2 in the DCG sums)
+    from epicsarchiver_spark.operators.text_ops import dcg_discounts as _dcg_disc
+
+    _disc20 = "[" + ", ".join(str(x) for x in _dcg_disc(20)) + "]"
+    o["emb_retrieval_eval"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        lane AS (
+          SELECT vec_id, round({_COS.format(a="e", b="qv")}, 6) AS cs
+          FROM v, q
+        ),
+        rk AS (
+          SELECT vec_id, rank FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cs DESC, vec_id) AS rank
+            FROM lane
+          ) WHERE rank <= 20
+        ),
+        rel AS (
+          SELECT vec_id, 1 AS gain FROM embeddings
+          WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
+        ),
+        disc AS (SELECT {_disc20} AS dt),
+        hits AS (
+          SELECT r.rank, coalesce(rel.gain, 0) AS g
+          FROM rk r LEFT JOIN rel USING (vec_id)
+        ),
+        a AS (
+          SELECT CAST(sum(CAST(g AS BIGINT) * dt[rank]) AS BIGINT) AS dcg,
+                 CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT) AS nrel,
+                 min(CASE WHEN g > 0 THEN rank END) AS fr
+          FROM hits, disc
+        ),
+        ideal AS (
+          SELECT CAST(coalesce(sum(CAST(gain AS BIGINT) * dt[rn]), 0) AS BIGINT) AS idcg
+          FROM (
+            SELECT gain, row_number() OVER (ORDER BY gain DESC, vec_id) AS rn
+            FROM rel WHERE gain > 0
+            ORDER BY gain DESC, vec_id LIMIT 20
+          ), disc
+        )
+        SELECT CAST(20 AS BIGINT) AS k,
+               nrel AS n_relevant_at_k,
+               round(CAST(nrel AS DOUBLE) / 20.0, 6) AS precision_at_k,
+               round(CASE WHEN fr IS NOT NULL
+                          THEN 1.0 / CAST(fr AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+               round(CASE WHEN idcg > 0
+                          THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM a, ideal
+    """
 
     # greedy MMR replayed in SQL: the recursive CTE carries the selected
     # set as a list, each iteration re-scores the remaining candidates

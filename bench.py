@@ -212,6 +212,7 @@ HEADLINE = [
     "ts_ewma",
     "ts_ewma_bucketed",
     "emb_ivfpq_rerank_indexed",
+    "emb_retrieval_eval",
 ]
 
 

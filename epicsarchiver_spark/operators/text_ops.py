@@ -675,6 +675,93 @@ def rrf_fuse(
     )
 
 
+def dcg_discounts(k: int, scale: int = 10**12) -> list[int]:
+    """The exact-integer DCG discount table: round(scale / log2(r+1))
+    for ranks 1..k — computed ONCE in python so Spark and any SQL
+    oracle consume the identical literals (no engine libm in the sum)."""
+    import math
+
+    return [round(scale / math.log2(r + 1)) for r in range(1, k + 1)]
+
+
+def retrieval_eval(
+    ranked: DataFrame,
+    relevant: DataFrame,
+    k: int = 10,
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    gain_col: str = "gain",
+    scale: int = 10**12,
+) -> DataFrame:
+    """Ranking-quality report for any retrieval lane — the metric
+    triple every search/RAG tuning loop reads: given a ranked top-k
+    frame (``bm25_topk``, a cosine lane, ``rrf_fuse``'s output) and a
+    graded relevance table ``(id, gain)``, return ONE row
+
+        (k, n_relevant_at_k, precision_at_k, mrr, ndcg_at_k)
+
+    completing the eval family next to ``ann_recall`` (set overlap) and
+    ``minhash_quality`` (pair precision/recall) with ORDER-aware
+    quality.
+
+    Exactness: the rank discounts 1/log2(rank+1) are a PYTHON-computed
+    integer table round(scale/log2(r+1)) embedded as literals (the EWMA
+    weight-table discipline — engine log2/libm rounding never enters),
+    gains must be integral, so DCG and ideal DCG are exact BIGINT sums,
+    summation-order-independent; nDCG is one double division of two
+    such integers (ideal DCG = the top-k gains of the whole relevance
+    table in (gain DESC, id) order). MRR is 1/first-relevant-rank, a
+    single IEEE division.
+
+    Scale shape: the ranked lane is k-bounded by construction; the only
+    corpus-sized input is ``relevant``, reduced by one
+    TakeOrderedAndProject to its top-k gains. Nothing shuffles more
+    than k rows."""
+    disc = dcg_discounts(int(k), int(scale))
+    disc_lit = F.array(*[F.lit(x).cast("long") for x in disc])
+    hits = ranked.filter(F.col(rank_col) <= int(k)).join(
+        relevant.select(F.col(id_col), F.col(gain_col).alias("_g")), id_col, "left"
+    )
+    g = F.coalesce(F.col("_g"), F.lit(0)).cast("long")
+    term = g * F.element_at(disc_lit, F.col(rank_col).cast("int"))
+    agg = hits.agg(
+        F.sum(term).alias("_dcg"),
+        F.count(F.when(g > 0, 1)).alias("_nrel"),
+        F.min(F.when(g > 0, F.col(rank_col))).alias("_fr"),
+    )
+    iw = Window.orderBy(F.col(gain_col).desc(), F.col(id_col))
+    ideal = (
+        relevant.filter(F.col(gain_col) > 0)
+        .orderBy(F.col(gain_col).desc(), F.col(id_col))
+        .limit(int(k))
+        .select(
+            (
+                F.col(gain_col).cast("long")
+                * F.element_at(disc_lit, F.row_number().over(iw))
+            ).alias("_t")
+        )
+        .agg(F.coalesce(F.sum("_t"), F.lit(0)).cast("long").alias("_idcg"))
+    )
+    return agg.crossJoin(F.broadcast(ideal)).select(
+        F.lit(int(k)).cast("long").alias("k"),
+        F.col("_nrel").cast("long").alias("n_relevant_at_k"),
+        F.round(F.col("_nrel").cast("double") / F.lit(float(k)), 6).alias("precision_at_k"),
+        F.round(
+            F.when(F.col("_fr").isNotNull(), F.lit(1.0) / F.col("_fr").cast("double")).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.when(
+                F.col("_idcg") > 0,
+                F.coalesce(F.col("_dcg"), F.lit(0)).cast("double") / F.col("_idcg").cast("double"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("ndcg_at_k"),
+    )
+
+
 def keyword_labels(
     docs: DataFrame,
     taxonomy: dict[str, list[str]],

@@ -186,6 +186,52 @@ def test_mmr_k_truncates_to_candidate_count(spark):
     assert sorted(r.step for r in rows) == [1, 2]
 
 
+def test_retrieval_eval_perfect_ranking(spark):
+    from epicsarchiver_spark.operators.text_ops import retrieval_eval
+
+    ranked = spark.createDataFrame([(i, i) for i in range(1, 6)], "doc_id long, rank long")
+    rel = spark.createDataFrame([(i, 1) for i in range(1, 6)], "doc_id long, gain long")
+    r = retrieval_eval(ranked, rel, k=5).head()
+    assert (r.n_relevant_at_k, r.precision_at_k, r.mrr, r.ndcg_at_k) == (5, 1.0, 1.0, 1.0)
+
+
+def test_retrieval_eval_single_hit_at_rank_3(spark):
+    from epicsarchiver_spark.operators.text_ops import dcg_discounts, retrieval_eval
+
+    ranked = spark.createDataFrame([(i, i) for i in range(1, 6)], "doc_id long, rank long")
+    rel = spark.createDataFrame([(3, 1)], "doc_id long, gain long")
+    r = retrieval_eval(ranked, rel, k=5).head()
+    d = dcg_discounts(5)
+    assert r.n_relevant_at_k == 1
+    assert r.precision_at_k == 0.2
+    assert r.mrr == round(1 / 3, 6)
+    assert r.ndcg_at_k == round(d[2] / d[0], 6)  # hit at rank 3, ideal at rank 1
+
+
+def test_retrieval_eval_no_relevant_is_all_zero(spark):
+    from epicsarchiver_spark.operators.text_ops import retrieval_eval
+
+    ranked = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    rel = spark.createDataFrame([], "doc_id long, gain long")
+    r = retrieval_eval(ranked, rel, k=2).head()
+    assert (r.n_relevant_at_k, r.precision_at_k, r.mrr, r.ndcg_at_k) == (0, 0.0, 0.0, 0.0)
+
+
+def test_retrieval_eval_graded_gains_ideal_order(spark):
+    """Graded relevance: a gain-3 doc ranked below a gain-1 doc costs
+    nDCG exactly the discount swap — checked against the closed form."""
+    from epicsarchiver_spark.operators.text_ops import dcg_discounts, retrieval_eval
+
+    ranked = spark.createDataFrame([(1, 1), (2, 2)], "doc_id long, rank long")
+    rel = spark.createDataFrame([(1, 1), (2, 3)], "doc_id long, gain long")
+    r = retrieval_eval(ranked, rel, k=2).head()
+    d = dcg_discounts(2)
+    dcg = 1 * d[0] + 3 * d[1]
+    idcg = 3 * d[0] + 1 * d[1]
+    assert r.ndcg_at_k == round(dcg / idcg, 6)
+    assert r.mrr == 1.0  # first relevant is rank 1
+
+
 def test_ivfpq_rerank_pushes_candidate_in_filter_to_scan(spark):
     """Stage 2's 100 TB shape: the bounded candidate list reaches the
     vector parquet scan as a pushed In(vec_id, ...) filter — the re-read
