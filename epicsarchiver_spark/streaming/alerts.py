@@ -335,3 +335,103 @@ def flatline_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWMA_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("ewma", DoubleType()),
+    ]
+)
+
+_EWMA_STATE_SCHEMA = StructType([StructField("qs_csv", StringType())])
+
+
+def _half_up_long(x: float) -> int:
+    """java.math HALF_UP on the shortest decimal repr — the python twin
+    of Spark's ``F.round(double)`` (BigDecimal.valueOf semantics)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _half_up_6dp(x: float) -> float:
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
+
+
+def ewma_stream(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    span: int = 8,
+    quantum: float = 0.01,
+) -> DataFrame:
+    """LIVE exponential smoothing — the streaming twin of
+    ``timeseries.ewma``: every event is re-emitted with its span-bounded
+    (1−α)^age-weighted mean, the anti-flapping input for dashboards and
+    threshold rules (alert on the trend, not the tick). Identical
+    arithmetic to the batch operator — quantized BIGINT values against
+    the exact integer weight table, one division, HALF_UP 6 dp — so
+    batch↔stream agreement is row-exact for in-order input
+    (tests/test_streaming.py).
+
+    State per series is the last ``span``−1 quantized values (a CSV of
+    ≤7 longs by default — bytes per PV, the outlier stream's posture).
+    Same in-order-source contract as the compressor; a late event is
+    smoothed against the state it arrives into."""
+    if not (0 < alpha_num < alpha_den):
+        raise ValueError("need 0 < alpha_num < alpha_den")
+    wt = [
+        (alpha_den - alpha_num) ** age * alpha_den ** (span - 1 - age)
+        for age in range(span)
+    ]
+    spn, qm = int(span), float(quantum)
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        if state.exists:
+            (qs_csv,) = state.get
+            buf = [int(x) for x in qs_csv.split(",")] if qs_csv else []
+        else:
+            buf = []
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time", "value"])
+        if len(rows):
+            t_arr = rows["time"].to_numpy()
+            order = t_arr.argsort(kind="stable")
+            out_t, out_v, out_e = [], [], []
+            for idx in order:
+                t = float(t_arr[idx])
+                v = float(rows["value"].to_numpy()[idx])
+                buf.append(_half_up_long(v / qm))
+                buf = buf[-spn:]
+                n = len(buf)
+                num = sum(buf[j] * wt[n - 1 - j] for j in range(n))
+                den = sum(wt[:n])
+                out_t.append(t)
+                out_v.append(v)
+                out_e.append(_half_up_6dp(num / den * qm))
+            state.update((",".join(str(x) for x in buf[-(spn - 1) :]),))
+            yield pd.DataFrame(
+                {"pvname": pvname, "time": out_t, "value": out_v, "ewma": out_e}
+            )
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1401,3 +1401,57 @@ def test_latest_value_query_jdbc_plumbs_dialect_and_staging(
         "jdbc:derby:unused", str(tmp_path / "ck3"),
         distributed=True, staging="mine",
     )
+
+
+def test_ewma_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming EWMA == the batch operator on the same in-order input,
+    across micro-batch boundaries (the quantized-value buffer carries
+    the span between batches)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import ewma
+    from epicsarchiver_spark.streaming.alerts import ewma_stream
+
+    rng = __import__("random").Random(29)
+    rows = []
+    eid = 0
+    for pv in ("A", "B"):
+        base = 10.0 if pv == "A" else -5.0
+        for i in range(90):
+            v = base + rng.random() * 4.0 + (50.0 if i == 45 else 0.0)
+            rows.append((eid, pv, float(i), round(v, 3)))
+            eid += 1
+    pdf = pd.DataFrame(rows, columns=["event_id", "pvname", "time", "value"])
+    src = tmp_path / "src_ewma"
+    src.mkdir()
+    for j in range(3):
+        part = pdf[pdf["time"].between(j * 30, j * 30 + 29)]
+        part[["pvname", "time", "value"]].to_parquet(src / f"p{j}.parquet", index=False)
+
+    batch_df = spark.createDataFrame(
+        pdf, "event_id long, pvname string, time double, value double"
+    )
+    expected = {
+        (r.pvname, r.time, r.value, r.ewma) for r in ewma(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("pvname string, time double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out_ewma")
+    q = (
+        ewma_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.pvname, r.time, r.value, r.ewma)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
