@@ -174,6 +174,7 @@ _R9_FRONT: list[str] = [
     "rel_fuzzy_blocks",
     "ts_ewma",
     "ts_ewma_bucketed",
+    "ts_rollup_cube",
     "cat_chararray",
     "cat_desc_join",
     "cat_hashname",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "ts_get_data",
     "ts_locf_grid",
     "ts_rate_windowed",
-    "cat_distinct_series",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -425,6 +425,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.max("value"), 2).alias("max_value"),
         )
         .orderBy("event_type", "day")
+    )
+    # one-pass ROLLUP(type, day): detail + per-type + grand total via a
+    # single Expand aggregate; BIGINT cent sums so the grand total is
+    # reduce-order-exact
+    q["ts_rollup_cube"] = lambda s, d: timeseries.rollup_cube(
+        points_view(s, d), key="event_type"
     )
     q["ts_clean_values"] = lambda s, d: (
         points_view(s, d)
@@ -3337,6 +3343,29 @@ def oracle_sql() -> dict[str, str]:
                round(min(value), 2) AS min_value,
                round(max(value), 2) AS max_value
         FROM points GROUP BY event_type, day ORDER BY event_type, day
+        """
+    )
+
+    # ROLLUP levels: DuckDB's GROUPING(a, b) bitmask matches Spark's
+    # grouping_id() (first column = MSB); cent sums keep every level's
+    # total exact
+    o["ts_rollup_cube"] = (
+        P
+        + """,
+        b AS (
+          SELECT event_type,
+                 strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 value
+          FROM points
+        )
+        SELECT event_type, day,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS level,
+               count(*) AS n,
+               round(CAST(sum(q) AS DOUBLE) * 0.01, 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM b GROUP BY ROLLUP (event_type, day)
         """
     )
 

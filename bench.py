@@ -213,6 +213,7 @@ HEADLINE = [
     "ts_ewma_bucketed",
     "emb_ivfpq_rerank_indexed",
     "emb_retrieval_eval",
+    "ts_rollup_cube",
 ]
 
 

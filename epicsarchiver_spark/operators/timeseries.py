@@ -448,6 +448,39 @@ def time_weighted_avg(
     )
 
 
+def rollup_cube(
+    points: DataFrame,
+    key: str = "pvname",
+    quantum: float = 0.01,
+) -> DataFrame:
+    """Multi-level daily rollup in ONE pass — `ROLLUP (key, day)`: the
+    per-(key, day) detail, the per-key subtotal, and the grand total
+    computed by a single aggregate (Spark's Expand feeds all three
+    grouping sets through one exchange; three separate groupBys would
+    scan and shuffle three times). ``level`` is the grouping_id bitmask
+    (0 = detail, 1 = per-key, 3 = grand total); rolled-up columns are
+    NULL, SQL-standard.
+
+    Exactness across levels: the value sum is a BIGINT sum of integer
+    ``quantum`` units (one grand total over millions of rows is where
+    float reduce-order slack actually bites), min/max/count are
+    order-free by nature; one double multiply at the end."""
+    q = F.round(F.col("value") / quantum).cast("long")
+    day = F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd")
+    base = points.select(F.col(key), day.alias("day"), q.alias("_q"), F.col("value"))
+    return (
+        base.rollup(key, "day")
+        .agg(
+            F.grouping_id().cast("long").alias("level"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("_q").cast("double") * F.lit(quantum), 6).alias("sum_value"),
+            F.round(F.min("value"), 6).alias("min_value"),
+            F.round(F.max("value"), 6).alias("max_value"),
+        )
+        .select(key, "day", "level", "n", "sum_value", "min_value", "max_value")
+    )
+
+
 def ewma(
     points: DataFrame,
     alpha_num: int = 1,
