@@ -236,10 +236,32 @@ def probe_retrieval(spark, out: str) -> None:
     print(json.dumps({"probe": "r9e_retrieval", **res}), flush=True)
 
 
+def probe_smoothing_rollup(spark, out: str) -> None:
+    """r9f: the EWMA smoother and the ROLLUP cube at ×1/×10 — both are
+    single-exchange shapes, so wall should track the scan."""
+    from epicsarchiver_spark.operators.timeseries import ewma, rollup_cube
+
+    res: dict[str, object] = {}
+    for s in (1, 10):
+        d = _ensure(spark, out, s)
+        pts = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+            "concat('PV:', user_id % 1000) AS pvname",
+            "unix_micros(ts) / 1e6 AS time",
+            "value",
+        )
+        res[f"ewma_x{s}"] = _t(
+            lambda: ewma(pts).write.format("noop").mode("overwrite").save()
+        )
+        res[f"rollup_cube_x{s}"] = _t(
+            lambda: rollup_cube(pts).write.format("noop").mode("overwrite").save()
+        )
+    print(json.dumps({"probe": "r9f_smoothing_rollup", **res}), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
-    ap.add_argument("--sections", default="a,b,c,d,e")
+    ap.add_argument("--sections", default="a,b,c,d,e,f")
     args = ap.parse_args()
 
     from epicsarchiver_spark.session import get_spark
@@ -257,6 +279,8 @@ def main() -> None:
         probe_bpe_vocab(spark, args.out)
     if "e" in sections:
         probe_retrieval(spark, args.out)
+    if "f" in sections:
+        probe_smoothing_rollup(spark, args.out)
     spark.stop()
 
 
