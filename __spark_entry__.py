@@ -165,6 +165,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R9_FRONT: list[str] = [
+    "doc_bm25_prf",
     "doc_hybrid_rrf",
     "doc_minhash_quality_sampled",
     "emb_ivfpq_rerank",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "ts_cull_band",
     "ts_get_data",
     "ts_locf_grid",
-    "ts_rate_windowed",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -598,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_hybrid_rrf"] = _doc_hybrid_rrf
+
+    # two-round retrieval: pseudo-relevance feedback mines expansion
+    # terms from the top-5 BM25 docs and re-ranks with the widened
+    # query — the full loop (rank → mine → re-rank) is one oracle
+    q["doc_bm25_prf"] = lambda s, d: text_ops.bm25_prf(
+        load_table(s, d, "documents"), BM25_QUERY, k=20, fb_docs=5, fb_terms=3
+    )
 
     # keyword-taxonomy classification: every doc labeled by its best
     # BM25-scoring keyword set (the curation domain-filter stage)
@@ -3619,6 +3626,68 @@ def oracle_sql() -> dict[str, str]:
     o["doc_bm25_topk"] = _bm25_sql(20)
 
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    # pseudo-relevance feedback, end-to-end: round-1 BM25 picks 5
+    # feedback docs, expansion = top-3 non-query terms by feedback-tf ×
+    # corpus idf (ties on term), round 2 re-ranks with the union term
+    # set — the second BM25 joins tokens against the mined term CTE
+    # instead of a literal list (the data-dependent-query formulation)
+    o["doc_bm25_prf"] = f"""
+        WITH fb AS (SELECT doc_id FROM ({_bm25_sql(5)})),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        nn AS (SELECT count(*) AS n FROM base),
+        fbtf AS (
+          SELECT tok AS term, count(*) AS tf_fb
+          FROM (SELECT unnest(b.toks) AS tok FROM base b JOIN fb USING (doc_id))
+          WHERE tok NOT IN ({_bm25_terms})
+          GROUP BY tok
+        ),
+        dfall AS (
+          SELECT tok AS term, count(*) AS df
+          FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM base)
+          GROUP BY tok
+        ),
+        exp AS (
+          SELECT term
+          FROM fbtf JOIN dfall USING (term), nn
+          ORDER BY round(tf_fb * ln(1.0 + (nn.n - df + 0.5) / (df + 0.5)), 6) DESC,
+                   term
+          LIMIT 3
+        ),
+        qt AS (
+          SELECT term FROM exp
+          UNION
+          SELECT * FROM (SELECT unnest([{_bm25_terms}])) v(term)
+        ),
+        hits2 AS (
+          SELECT x.doc_id, x.dl, x.tok AS term
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM base) x
+          JOIN qt ON x.tok = qt.term
+        ),
+        stats AS (SELECT count(*) AS sn, avg(len(toks)) AS avgdl FROM base),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits2 GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        per_doc AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.sn - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per_doc
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
 
     # hybrid retrieval: BM25 top-50 (lexical) + exact-cosine top-50
     # (semantic, doc_id ≡ vec_id) fused by reciprocal rank — integer

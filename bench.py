@@ -214,6 +214,7 @@ HEADLINE = [
     "emb_ivfpq_rerank_indexed",
     "emb_retrieval_eval",
     "ts_rollup_cube",
+    "doc_bm25_prf",
 ]
 
 

@@ -610,6 +610,69 @@ def _bm25_ranked_topk(per_doc: DataFrame, id_col: str, k: int) -> DataFrame:
     )
 
 
+def bm25_prf(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    fb_docs: int = 5,
+    fb_terms: int = 3,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """BM25 with pseudo-relevance feedback (Rocchio/RM1-lite) — the
+    classic two-round retrieval loop: rank once, assume the top
+    ``fb_docs`` are relevant, mine their ``fb_terms`` best expansion
+    terms (feedback tf × the same Lucene idf, original terms excluded,
+    ties (score, term)), re-rank with the expanded query. Recovers
+    vocabulary-mismatch docs a literal keyword query misses.
+
+    Scale shape: round 1 is the certified ``bm25_topk``; the feedback
+    doc ids (≤ fb_docs) and the chosen expansion terms (≤ fb_terms) are
+    the only driver hops — bounded artifacts. Expansion scoring joins
+    the feedback docs' term counts (bounded × doc length) against the
+    corpus df table (one distinct-token pass, the ``tfidf_top_terms``
+    cost class) with the small side broadcast. Round 2 is ``bm25_topk``
+    again with the union term list. At 100 TB both rounds can ride the
+    persisted postings index instead of the inline scan."""
+    terms = sorted({t.lower() for t in query_terms})
+    fb = bm25_topk(docs, terms, k=int(fb_docs), k1=k1, b=b, text=text, id_col=id_col)
+    fb_ids = [r[0] for r in fb.select(id_col).collect()]
+    if not fb_ids:
+        return bm25_topk(docs, terms, k=int(k), k1=k1, b=b, text=text, id_col=id_col)
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    n_docs = base.agg(F.count(F.lit(1)).alias("_n"))
+    fbtf = (
+        base.filter(F.col(id_col).isin(fb_ids))
+        .select(F.explode("_toks").alias("term"))
+        .filter(~F.col("term").isin(*terms))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf_fb"))
+    )
+    dfall = (
+        base.select(F.explode(F.array_distinct("_toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    idf = F.log(
+        F.lit(1.0) + (F.col("_n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    expansion = [
+        r["term"]
+        for r in dfall.join(F.broadcast(fbtf), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("term", F.round(F.col("tf_fb") * idf, 6).alias("_s"))
+        .orderBy(F.col("_s").desc(), F.col("term"))
+        .limit(int(fb_terms))
+        .collect()
+    ]
+    return bm25_topk(
+        docs, terms + expansion, k=int(k), k1=k1, b=b, text=text, id_col=id_col
+    )
+
+
 def ranked_lane(
     topk: DataFrame,
     score_col: str,

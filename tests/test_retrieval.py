@@ -186,6 +186,40 @@ def test_mmr_k_truncates_to_candidate_count(spark):
     assert sorted(r.step for r in rows) == [1, 2]
 
 
+def test_bm25_prf_surfaces_vocabulary_mismatch_docs(spark):
+    """PRF's reason to exist: a doc sharing NO query term but sharing
+    the feedback docs' vocabulary appears in the expanded ranking."""
+    from epicsarchiver_spark.operators.text_ops import bm25_prf, bm25_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta beta"),
+            (2, "alpha beta"),
+            (3, "beta beta gamma"),  # no 'alpha' — only expansion finds it
+            (4, "delta delta"),
+        ],
+        "doc_id long, text string",
+    )
+    plain = {r.doc_id for r in bm25_topk(docs, ["alpha"], k=10).collect()}
+    assert 3 not in plain
+    prf = bm25_prf(docs, ["alpha"], k=10, fb_docs=2, fb_terms=1).collect()
+    ids = {r.doc_id for r in prf}
+    assert 3 in ids and 4 not in ids
+    # expansion term was 'beta' (never the original 'alpha'): doc 3
+    # matches exactly one term of the expanded query
+    assert next(r.n_terms_matched for r in prf if r.doc_id == 3) == 1
+
+
+def test_bm25_prf_no_feedback_hits_falls_back_to_plain(spark):
+    from epicsarchiver_spark.operators.text_ops import bm25_prf
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    out = bm25_prf(docs, ["zzz"], k=5, fb_docs=2, fb_terms=2).collect()
+    assert out == []  # no round-1 hits → plain (empty) ranking, no crash
+
+
 def test_retrieval_eval_perfect_ranking(spark):
     from epicsarchiver_spark.operators.text_ops import retrieval_eval
 
