@@ -170,6 +170,7 @@ _R9_FRONT: list[str] = [
     "doc_minhash_quality_sampled",
     "emb_ivfpq_rerank",
     "emb_ivfpq_rerank_indexed",
+    "emb_kpp_init",
     "emb_mmr_topk",
     "emb_retrieval_eval",
     "rel_fuzzy_blocks",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "ts_compress_exact",
     "ts_cull_band",
     "ts_get_data",
-    "ts_locf_grid",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1281,6 +1281,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["emb_retrieval_eval"] = _emb_retrieval_eval
+
+    # deterministic k-means++-style seeding: k corpus-wide argmax
+    # rounds, one picked row per round — the oracle's recursive CTE
+    # replays every pick (the distributed sibling of emb_mmr_topk's
+    # candidate-bounded greedy)
+    q["emb_kpp_init"] = lambda s, d: similarity.farthest_first_init(
+        load_table(s, d, "embeddings"), k=5
+    )
     q["ts_ramps"] = lambda s, d: timeseries.ramps(
         _points(s, d), min_steps=RAMP_MIN_STEPS
     )
@@ -5051,6 +5059,36 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
                           ELSE 0.0 END, 6) AS ndcg_at_k
         FROM a, ideal
+    """
+
+    # farthest-first traversal replayed in SQL: the recursive CTE
+    # carries the seed set, each round re-scores every remaining vector
+    # (min squared-L2 to the seeds via the dot-product expansion, 6-dp
+    # rounded) and picks the (dist DESC, id) argmax — every round of
+    # the distributed loop certified
+    _kpp_d = (
+        "round((SELECT min(list_dot_product(c.e, c.e)"
+        " - 2 * list_dot_product(c.e, b.e)"
+        " + list_dot_product(b.e, b.e))"
+        " FROM v b WHERE list_contains(s.sel_ids, b.vec_id)), 6)"
+    )
+    o["emb_kpp_init"] = f"""
+        WITH RECURSIVE {_V},
+        sel(step, picked, dist, sel_ids) AS (
+          (SELECT 1, vec_id, CAST(0.0 AS DOUBLE), [vec_id]
+           FROM v ORDER BY vec_id LIMIT 1)
+          UNION ALL
+          SELECT step, picked, dist, sel_ids FROM (
+            SELECT s.step + 1 AS step, c.vec_id AS picked,
+                   {_kpp_d} AS dist,
+                   list_append(s.sel_ids, c.vec_id) AS sel_ids,
+                   row_number() OVER (ORDER BY {_kpp_d} DESC, c.vec_id) AS rn
+            FROM sel s JOIN v c ON NOT list_contains(s.sel_ids, c.vec_id)
+            WHERE s.step < 5
+          ) WHERE rn = 1
+        )
+        SELECT CAST(step AS BIGINT) AS step, picked AS vec_id, dist
+        FROM sel ORDER BY step
     """
 
     # greedy MMR replayed in SQL: the recursive CTE carries the selected

@@ -215,6 +215,7 @@ HEADLINE = [
     "emb_retrieval_eval",
     "ts_rollup_cube",
     "doc_bm25_prf",
+    "emb_kpp_init",
 ]
 
 

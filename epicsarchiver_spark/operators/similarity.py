@@ -790,6 +790,61 @@ def mmr_topk(
     return res.select("step", id_col, F.round("mmr_score", 6).alias("mmr_score"))
 
 
+def farthest_first_init(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Farthest-first traversal — the deterministic k-means++-style
+    seeding (Gonzalez'85; k-means++ with argmax instead of D²-sampling,
+    the 2-approximation for k-center): pick the smallest-id vector,
+    then k−1 times pick the vector FARTHEST (max min-squared-L2, 6-dp
+    rounded, ties on id) from everything chosen so far. Feed the picks
+    to ``kmeans_refine(centroids=)`` as seeds, or use directly as a
+    maximally-spread exemplar sample.
+
+    Scale shape: every round is one corpus-wide expression scan — the
+    selected seeds ride the plan as ≤k literal arrays, min-distance is
+    ``F.least`` over k sequential-fold dot products (the certified
+    ``dot`` kernel: d = ⟨v,v⟩ − 2⟨v,c⟩ + ⟨c,c⟩ with ⟨c,c⟩ prefolded in
+    python over the identical doubles) — and ends in a 1-row
+    TakeOrderedAndProject; only the picked row ever reaches the driver
+    (k rounds × 1 row — nothing corpus-sized collects, unlike mmr_topk
+    whose basis is candidate-bounded by design). The recursive-CTE
+    oracle (gate ``emb_kpp_init``) replays every pick."""
+    base = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    first = base.orderBy(F.col(id_col)).limit(1).collect()[0]
+    picks = [(1, first[0], 0.0)]
+    sel = [[float(x) for x in first["_v"]]]
+    sel_ids = [first[0]]
+    vv = dot(F.col("_v"), F.col("_v"))
+    for step in range(2, int(k) + 1):
+        dists = [
+            vv
+            - F.lit(2.0) * dot(F.col("_v"), lit_double_array(c))
+            + F.lit(sum(x * x for x in c))
+            for c in sel
+        ]
+        dmin = F.round(dists[0] if len(dists) == 1 else F.least(*dists), 6)
+        row = (
+            base.filter(~F.col(id_col).isin(sel_ids))
+            .select(F.col(id_col), F.col("_v"), dmin.alias("_d"))
+            .orderBy(F.col("_d").desc(), F.col(id_col))
+            .limit(1)
+            .collect()
+        )
+        if not row:
+            break
+        r = row[0]
+        picks.append((step, r[0], float(r["_d"])))
+        sel.append([float(x) for x in r["_v"]])
+        sel_ids.append(r[0])
+    return vectors.sparkSession.createDataFrame(
+        picks, f"step long, {id_col} long, dist double"
+    )
+
+
 def _hamming_ball_masks(n_planes: int, max_hamming: int) -> list[int]:
     """All XOR masks within hamming distance ``max_hamming`` of zero over
     ``n_planes`` bits — Σ C(n_planes, i) masks (n=8, h=2 → 37)."""

@@ -277,3 +277,40 @@ def test_ivfpq_rerank_pushes_candidate_in_filter_to_scan(spark):
     df = ivfpq_topk_rerank(emb, qvec, k=10, n_candidates=20, n_cells=8, n_probe=4)
     plan = explain_str(df)
     assert re.search(r"PushedFilters: \[In\(vec_id", plan), plan[:1500]
+
+
+def test_farthest_first_covers_clusters(spark):
+    """Three well-separated clusters, k=3 → one seed per cluster."""
+    from epicsarchiver_spark.operators.similarity import farthest_first_init
+
+    rows = []
+    for i, center in enumerate([(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]):
+        for j in range(4):
+            rows.append((i * 10 + j, [center[0] + j * 0.01, center[1]]))
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    picks = farthest_first_init(vecs, k=3).collect()
+    clusters = {r.vec_id // 10 for r in picks}
+    assert clusters == {0, 1, 2}
+    assert picks[0].vec_id == 0 and picks[0].dist == 0.0  # smallest id starts
+
+
+def test_farthest_first_distances_non_increasing(spark):
+    """Each new seed can only shrink min-distances, so successive pick
+    distances are non-increasing."""
+    from epicsarchiver_spark.operators.similarity import farthest_first_init
+    from tests.conftest import SF_ORACLE
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    picks = farthest_first_init(emb, k=6).orderBy("step").collect()
+    ds = [r.dist for r in picks[1:]]
+    assert all(a >= b for a, b in zip(ds, ds[1:]))
+    assert len({r.vec_id for r in picks}) == 6  # no repeats
+
+
+def test_farthest_first_k_truncates(spark):
+    from epicsarchiver_spark.operators.similarity import farthest_first_init
+
+    vecs = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    assert farthest_first_init(vecs, k=9).count() == 2
