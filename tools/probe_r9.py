@@ -258,10 +258,33 @@ def probe_smoothing_rollup(spark, out: str) -> None:
     print(json.dumps({"probe": "r9f_smoothing_rollup", **res}), flush=True)
 
 
+def probe_iterative_retrieval(spark, out: str) -> None:
+    """r9g: the iterative retrieval ops at ×1/×10 — farthest-first is k
+    corpus scans (cost ∝ k × scan), PRF is two BM25 rounds + one
+    distinct-token df pass; both should track the scan, never blow up."""
+    from epicsarchiver_spark.operators.similarity import farthest_first_init
+    from epicsarchiver_spark.operators.text_ops import bm25_prf
+
+    res: dict[str, object] = {}
+    for s in (1, 10):
+        d = _ensure(spark, out, s)
+        emb = spark.read.parquet(f"{d}/embeddings.parquet")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        res[f"kpp_k5_x{s}"] = _t(
+            lambda: farthest_first_init(emb, k=5)
+            .write.format("noop").mode("overwrite").save()
+        )
+        res[f"bm25_prf_x{s}"] = _t(
+            lambda: bm25_prf(docs, ["spark", "join"], k=20, fb_docs=5, fb_terms=3)
+            .write.format("noop").mode("overwrite").save()
+        )
+    print(json.dumps({"probe": "r9g_iterative_retrieval", **res}), flush=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
-    ap.add_argument("--sections", default="a,b,c,d,e,f")
+    ap.add_argument("--sections", default="a,b,c,d,e,f,g")
     args = ap.parse_args()
 
     from epicsarchiver_spark.session import get_spark
@@ -281,6 +304,8 @@ def main() -> None:
         probe_retrieval(spark, args.out)
     if "f" in sections:
         probe_smoothing_rollup(spark, args.out)
+    if "g" in sections:
+        probe_iterative_retrieval(spark, args.out)
     spark.stop()
 
 
