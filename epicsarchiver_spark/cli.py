@@ -1009,6 +1009,44 @@ def cmd_bm25(args) -> int:
     return 0 if hits else 1
 
 
+def cmd_ann(args) -> int:
+    """Semantic search over an embeddings parquet, anchored at a stored
+    vector: two-stage IVF-PQ → exact re-rank by default (the production
+    shape), ``--exact`` for brute-force cosine, ``--mmr`` for the
+    diversity-aware pick sequence. The operational face of the
+    emb_ivfpq_rerank / emb_mmr_topk gate lanes."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.similarity import (
+        brute_force_topk,
+        ivfpq_topk_rerank,
+        mmr_topk,
+    )
+
+    spark = _spark("ann")
+    emb = spark.read.parquet(args.embeddings)
+    row = emb.filter(F.col("vec_id") == args.vec_id).head()
+    if row is None:
+        print(f"vec_id {args.vec_id} not in {args.embeddings}", file=sys.stderr)
+        return 1
+    qvec = [float(x) for x in row["embedding"]]
+    if args.mmr:
+        hits = mmr_topk(emb, qvec, k=args.k, n_candidates=args.candidates).collect()
+        for r in hits:
+            print(f"{r['step']:>3}  vec {r['vec_id']}  mmr {r['mmr_score']:.6f}")
+    else:
+        if args.exact:
+            hits = brute_force_topk(emb, qvec, k=args.k).collect()
+        else:
+            hits = ivfpq_topk_rerank(
+                emb, qvec, k=args.k, n_candidates=args.candidates
+            ).collect()
+        for i, r in enumerate(hits, 1):
+            print(f"{i:>3}  vec {r['vec_id']}  cosine {r['cosine_sim']:.6f}")
+    print(f"{len(hits)} hit(s) for vec {args.vec_id}")
+    return 0 if hits else 1
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -1257,6 +1295,17 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lane-k", type=int, default=50,
                    help="per-lane depth before fusion (with --fuse-embeddings)")
     s.set_defaults(fn=cmd_bm25)
+
+    s = sub.add_parser("ann", help="semantic search over an embeddings parquet")
+    s.add_argument("embeddings")
+    s.add_argument("--vec-id", type=int, default=0, help="anchor vector id")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--candidates", type=int, default=50,
+                   help="stage-1 candidate depth (rerank / mmr)")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--exact", action="store_true", help="brute-force cosine")
+    g.add_argument("--mmr", action="store_true", help="MMR-diversified picks")
+    s.set_defaults(fn=cmd_ann)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")
     s.add_argument("documents")

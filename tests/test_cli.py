@@ -904,3 +904,24 @@ def test_init_bootstraps_cold_store(spark, tmp_path, capsys):
     # never clobbers an existing deployment
     assert cli.main(initargs) == 1
     assert "refusing to init" in capsys.readouterr().err
+
+
+def test_ann_cli_lanes(spark, tmp_path, capsys):
+    """pvarch ann: rerank (default), --exact, and --mmr lanes over an
+    embeddings parquet; bad anchor exits 1."""
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j * 3) % 10) / 10.0 for j in range(8)]) for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    path = str(tmp_path / "emb_ann.parquet")
+    emb.write.parquet(path)
+    assert cli.main(["ann", path, "--vec-id", "0", "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "5 hit(s) for vec 0" in out and "cosine" in out
+    assert cli.main(["ann", path, "--vec-id", "0", "-k", "5", "--exact"]) == 0
+    out_exact = capsys.readouterr().out
+    assert "cosine" in out_exact
+    assert cli.main(["ann", path, "--vec-id", "0", "-k", "4", "--mmr"]) == 0
+    out_mmr = capsys.readouterr().out
+    assert "mmr" in out_mmr and "4 hit(s)" in out_mmr
+    assert cli.main(["ann", path, "--vec-id", "999"]) == 1
