@@ -780,6 +780,14 @@ def retrieval_eval(
     corpus-sized input is ``relevant``, reduced by one
     TakeOrderedAndProject to its top-k gains. Nothing shuffles more
     than k rows."""
+    from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+    gtype = relevant.schema[gain_col].dataType
+    if not isinstance(gtype, (ByteType, ShortType, IntegerType, LongType)):
+        raise ValueError(
+            f"gain column {gain_col!r} must be integral (got {gtype.simpleString()}): "
+            "graded relevance rides exact BIGINT sums — quantize float gains first"
+        )
     disc = dcg_discounts(int(k), int(scale))
     disc_lit = F.array(*[F.lit(x).cast("long") for x in disc])
     hits = ranked.filter(F.col(rank_col) <= int(k)).join(

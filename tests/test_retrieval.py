@@ -314,3 +314,14 @@ def test_farthest_first_k_truncates(spark):
         [(1, [0.0, 1.0]), (2, [1.0, 0.0])], "vec_id long, embedding array<double>"
     )
     assert farthest_first_init(vecs, k=9).count() == 2
+
+
+def test_retrieval_eval_rejects_float_gains(spark):
+    import pytest
+
+    from epicsarchiver_spark.operators.text_ops import retrieval_eval
+
+    ranked = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    rel = spark.createDataFrame([(1, 0.5)], "doc_id long, gain double")
+    with pytest.raises(ValueError, match="integral"):
+        retrieval_eval(ranked, rel, k=1)
