@@ -168,6 +168,7 @@ _R9_FRONT: list[str] = [
     "doc_bm25_prf",
     "doc_hybrid_rrf",
     "doc_minhash_quality_sampled",
+    "doc_qld_topk",
     "emb_ivfpq_rerank",
     "emb_ivfpq_rerank_indexed",
     "emb_kpp_init",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "stream_compress",
     "ts_compress_exact",
     "ts_cull_band",
-    "ts_get_data",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -598,6 +598,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_hybrid_rrf"] = _doc_hybrid_rrf
+
+    # the other classical ranker: query-likelihood with Dirichlet
+    # smoothing — every doc scores (length term), matched pairs carry
+    # the sparse correction
+    q["doc_qld_topk"] = lambda s, d: text_ops.qld_topk(
+        load_table(s, d, "documents"), BM25_QUERY, k=20
+    )
 
     # two-round retrieval: pseudo-relevance feedback mines expansion
     # terms from the top-5 BM25 docs and re-ranks with the widened
@@ -3634,6 +3641,51 @@ def oracle_sql() -> dict[str, str]:
     o["doc_bm25_topk"] = _bm25_sql(20)
 
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    # Dirichlet query likelihood in the same sparse decomposition the
+    # engine uses: corpus constant + per-doc length term + matched
+    # corrections; P(t|C) written as the identical (2000.0 * cf / tt)
+    # parse tree in every expression
+    o["doc_qld_topk"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_bm25_terms})) AS hit
+          FROM base
+        ), tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM hits),
+        tfs AS (
+          SELECT doc_id, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfs GROUP BY 1, 2),
+        cf AS (SELECT term, count(*) AS cf FROM tfs GROUP BY term),
+        cons AS (
+          SELECT CAST(count(*) AS BIGINT) AS nq,
+                 coalesce(sum(ln(2000.0 * cf / tt)), 0.0) AS csum
+          FROM cf, tot
+        ),
+        corr AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 sum(ln(1.0 + tfc.tf / (2000.0 * cf.cf / tot.tt))) AS corrsum
+          FROM tfc JOIN cf USING (term), tot
+          GROUP BY tfc.doc_id
+        ),
+        scored AS (
+          SELECT h.doc_id,
+                 CAST(coalesce(corr.n_terms_matched, 0) AS BIGINT) AS n_terms_matched,
+                 round(cons.csum + coalesce(corr.corrsum, 0.0)
+                       - cons.nq * ln(h.dl + 2000.0), 6) AS score
+          FROM hits h LEFT JOIN corr USING (doc_id), cons
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
 
     # pseudo-relevance feedback, end-to-end: round-1 BM25 picks 5
     # feedback docs, expansion = top-3 non-query terms by feedback-tf ×

@@ -216,6 +216,7 @@ HEADLINE = [
     "ts_rollup_cube",
     "doc_bm25_prf",
     "emb_kpp_init",
+    "doc_qld_topk",
 ]
 
 

@@ -738,6 +738,99 @@ def rrf_fuse(
     )
 
 
+def qld_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    mu: float = 2000.0,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
+    '98, Zhai/Lafferty '01) — the other classical ranker next to BM25:
+    score(d) = Σ_t ln((tf_{t,d} + μ·P(t|C)) / (dl_d + μ)). Rewritten in
+    the standard sparse form so only MATCHED (doc, term) pairs carry
+    per-pair work:
+
+        Σ_t ln(μ·P(t|C))  −  |q|·ln(dl + μ)  +  Σ_matched ln(1 + tf/(μ·P(t|C)))
+
+    — a corpus constant (1-row broadcast), a per-doc length term (every
+    doc scores, shorter docs win on unmatched mass: the LM behavior
+    BM25 lacks), and the bm25-shaped sparse correction. Query terms
+    absent from the corpus drop (their P(t|C)=0 would -inf every doc).
+    Returns ``(doc_id, n_terms_matched, score, rank)`` like
+    ``bm25_topk``; scores 6-dp rounded, ties on id.
+
+    Scale shape: one narrow scan for doc lengths, the intersected
+    explode for matched pairs (fan-out ≤ |query| per doc), |q|-sized
+    collection-frequency aggregate, corpus constant broadcast; top-k is
+    TakeOrderedAndProject."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
+    )
+    tot = base.agg(F.sum("_dl").cast("long").alias("_tt"))
+    tf = (
+        base.filter(F.size("_hit") > 0)
+        .select(F.col(id_col), F.explode("_hit").alias("term"))
+        .groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    cfreq = (
+        base.select(F.explode("_hit").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+    )
+    # P(t|C) enters every expression as the SAME parse tree
+    # (mu * cf / tt) so both engines evaluate identical IEEE ops
+    p_mu = F.lit(float(mu)) * F.col("cf") / F.col("_tt")
+    cons = (
+        cfreq.crossJoin(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_nq"),
+            F.coalesce(F.sum(F.log(p_mu)), F.lit(0.0)).alias("_csum"),
+        )
+    )
+    corr = (
+        tf.join(F.broadcast(cfreq), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_matched"),
+            F.sum(F.log(F.lit(1.0) + F.col("tf") / p_mu)).alias("_corr"),
+        )
+    )
+    scored = (
+        base.select(F.col(id_col), F.col("_dl"))
+        .join(corr, id_col, "left")
+        .crossJoin(F.broadcast(cons))
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_terms_matched"), F.lit(0)).cast("long").alias(
+                "n_terms_matched"
+            ),
+            F.round(
+                F.col("_csum")
+                + F.coalesce(F.col("_corr"), F.lit(0.0))
+                - F.col("_nq").cast("double")
+                * F.log(F.col("_dl").cast("double") + F.lit(float(mu))),
+                6,
+            ).alias("score"),
+        )
+    )
+    topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col))
+    return topk.select(
+        id_col,
+        "n_terms_matched",
+        "score",
+        F.row_number().over(w).cast("long").alias("rank"),
+    )
+
+
 def dcg_discounts(k: int, scale: int = 10**12) -> list[int]:
     """The exact-integer DCG discount table: round(scale / log2(r+1))
     for ranks 1..k — computed ONCE in python so Spark and any SQL

@@ -325,3 +325,52 @@ def test_retrieval_eval_rejects_float_gains(spark):
     rel = spark.createDataFrame([(1, 0.5)], "doc_id long, gain double")
     with pytest.raises(ValueError, match="integral"):
         retrieval_eval(ranked, rel, k=1)
+
+
+def test_qld_matched_beats_unmatched_and_length_normalizes(spark):
+    from epicsarchiver_spark.operators.text_ops import qld_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma"),  # matches, dl 3
+            (2, "delta epsilon zeta"),  # no match, dl 3
+            (3, "delta epsilon"),  # no match, dl 2 (shorter)
+            (4, "alpha alpha beta"),  # matches twice, dl 3
+        ],
+        "doc_id long, text string",
+    )
+    out = qld_topk(docs, ["alpha"], k=4).collect()
+    scores = {r.doc_id: r.score for r in out}
+    ranks = {r.doc_id: r.rank for r in out}
+    assert ranks[4] == 1  # tf=2 tops tf=1
+    assert scores[4] > scores[1] > scores[2]
+    # LM length normalization: among non-matching docs the SHORTER one
+    # scores higher (less unmatched mass) — behavior BM25 cannot express
+    assert scores[3] > scores[2]
+    assert {r.doc_id: r.n_terms_matched for r in out} == {1: 1, 4: 1, 2: 0, 3: 0}
+
+
+def test_qld_matches_python_mirror(spark):
+    import math
+
+    from epicsarchiver_spark.operators.text_ops import qld_topk
+
+    corpus = {1: "a b a c", 2: "b b d", 3: "c c c a", 4: "e"}
+    docs = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    terms, mu = ["a", "b", "zzz"], 2000.0
+    toks = {i: t.split() for i, t in corpus.items()}
+    tt = sum(len(v) for v in toks.values())
+    cf = {
+        t: sum(v.count(t) for v in toks.values())
+        for t in terms
+        if any(t in v for v in toks.values())
+    }
+    csum = sum(math.log(mu * c / tt) for c in cf.values())
+    exp = {}
+    for i, v in toks.items():
+        corr = sum(
+            math.log(1.0 + v.count(t) / (mu * c / tt)) for t, c in cf.items() if t in v
+        )
+        exp[i] = round(csum + corr - len(cf) * math.log(len(v) + mu), 6)
+    got = {r.doc_id: r.score for r in qld_topk(docs, terms, k=10).collect()}
+    assert got == exp
