@@ -167,6 +167,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R9_FRONT: list[str] = [
     "doc_bm25_prf",
     "doc_hybrid_rrf",
+    "doc_hybrid_rrf3",
     "doc_minhash_quality_sampled",
     "doc_qld_topk",
     "emb_ivfpq_rerank",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "store_roundtrip",
     "stream_compress",
     "ts_compress_exact",
-    "ts_cull_band",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -598,6 +598,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_hybrid_rrf"] = _doc_hybrid_rrf
+
+    # three-lane fusion: BM25 + Dirichlet QLD + cosine — the n_lanes>2
+    # path of rrf_fuse, still exact-integer (3 BIGINT quotients sum
+    # order-free)
+    def _doc_hybrid_rrf3(s, d):
+        docs = load_table(s, d, "documents")
+        lex = text_ops.bm25_topk(docs, BM25_QUERY, k=50)
+        qld = text_ops.qld_topk(docs, BM25_QUERY, k=50)
+        sem = text_ops.ranked_lane(
+            similarity.brute_force_topk(
+                load_table(s, d, "embeddings"), _query_vec(s, d), k=50
+            ),
+            score_col="cosine_sim",
+            id_col="vec_id",
+        ).withColumnRenamed("vec_id", "doc_id")
+        return text_ops.rrf_fuse(
+            {
+                "lex": lex.select("doc_id", "rank"),
+                "qld": qld.select("doc_id", "rank"),
+                "sem": sem.select("doc_id", "rank"),
+            },
+            k=20,
+        )
+
+    q["doc_hybrid_rrf3"] = _doc_hybrid_rrf3
 
     # the other classical ranker: query-likelihood with Dirichlet
     # smoothing — every doc scores (length term), matched pairs carry
@@ -3646,7 +3671,8 @@ def oracle_sql() -> dict[str, str]:
     # engine uses: corpus constant + per-doc length term + matched
     # corrections; P(t|C) written as the identical (2000.0 * cf / tt)
     # parse tree in every expression
-    o["doc_qld_topk"] = f"""
+    def _qld_sql(limit: int) -> str:
+        return f"""
         WITH base AS (
           SELECT doc_id,
                  list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
@@ -3684,8 +3710,10 @@ def oracle_sql() -> dict[str, str]:
         SELECT doc_id, n_terms_matched, score,
                CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM scored
-        ORDER BY score DESC, doc_id LIMIT 20
+        ORDER BY score DESC, doc_id LIMIT {int(limit)}
     """
+
+    o["doc_qld_topk"] = _qld_sql(20)
 
     # pseudo-relevance feedback, end-to-end: round-1 BM25 picks 5
     # feedback docs, expansion = top-3 non-query terms by feedback-tf ×
@@ -3775,6 +3803,50 @@ def oracle_sql() -> dict[str, str]:
         ),
         contrib AS (
           SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM sem
+        ),
+        fused AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lanes,
+                 CAST(sum(c) AS BIGINT) AS rrf_scaled
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, n_lanes, rrf_scaled,
+               CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id LIMIT 20
+    """
+
+    # three-lane fusion: same integer RRF over BM25 + QLD + cosine
+    o["doc_hybrid_rrf3"] = f"""
+        WITH lex AS (
+          SELECT doc_id, rank FROM ({_bm25_sql(50)})
+        ),
+        qld AS (
+          SELECT doc_id, rank FROM ({_qld_sql(50)})
+        ),
+        sem0 AS (
+          SELECT e.vec_id AS doc_id,
+                 round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))))),
+                       6) AS cosine_sim
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        sem AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+          FROM sem0
+          ORDER BY cosine_sim DESC, doc_id LIMIT 50
+        ),
+        contrib AS (
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM qld
           UNION ALL
           SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM sem
         ),

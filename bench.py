@@ -217,6 +217,7 @@ HEADLINE = [
     "doc_bm25_prf",
     "emb_kpp_init",
     "doc_qld_topk",
+    "doc_hybrid_rrf3",
 ]
 
 
