@@ -761,17 +761,25 @@ def qld_topk(
     Returns ``(doc_id, n_terms_matched, score, rank)`` like
     ``bm25_topk``; scores 6-dp rounded, ties on id.
 
-    Scale shape: one narrow scan for doc lengths, the intersected
-    explode for matched pairs (fan-out ≤ |query| per doc), |q|-sized
-    collection-frequency aggregate, corpus constant broadcast; top-k is
-    TakeOrderedAndProject."""
+    Scale shape: three tokenizing scans (corpus token total, matched
+    pairs, per-doc lengths — Catalyst can't share an uncached subplan),
+    with the |q|-sized collection-frequency aggregate folded out of the
+    matched-pair lane rather than a fourth scan; the 1-row
+    constant/total frames ride broadcast nested loops (the annotated
+    one-row-crossJoin pattern); top-k is TakeOrderedAndProject. Cache
+    the tokenized base upstream if scoring many queries per batch."""
     terms = sorted({t.lower() for t in query_terms})
     toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    # persist the tokenized projection: five consumers (token total,
+    # matched pairs, cf, constants, per-doc lengths) would otherwise
+    # each re-tokenize the corpus through their own lineage — the
+    # winnow-fingerprint persist precedent; rows are (id, dl, ≤|q|
+    # matched tokens), tiny next to the text they summarize
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("_dl"),
         F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
-    )
+    ).persist()
     tot = base.agg(F.sum("_dl").cast("long").alias("_tt"))
     tf = (
         base.filter(F.size("_hit") > 0)
@@ -779,11 +787,9 @@ def qld_topk(
         .groupBy(id_col, "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
-    cfreq = (
-        base.select(F.explode("_hit").alias("term"))
-        .groupBy("term")
-        .agg(F.count(F.lit(1)).alias("cf"))
-    )
+    # collection frequency folds out of the tf lane (docs without hits
+    # contribute 0) — no third tokenize-the-corpus scan
+    cfreq = tf.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
     # P(t|C) enters every expression as the SAME parse tree
     # (mu * cf / tt) so both engines evaluate identical IEEE ops
     p_mu = F.lit(float(mu)) * F.col("cf") / F.col("_tt")
