@@ -385,6 +385,10 @@ def ewma_stream(
     smoothed against the state it arrives into."""
     if not (0 < alpha_num < alpha_den):
         raise ValueError("need 0 < alpha_num < alpha_den")
+    if span < 2:
+        # span=1 is the identity smoother AND buf[-(span-1):] would
+        # slice to buf[-0:] == everything — unbounded state
+        raise ValueError("span must be >= 2")
     wt = [
         (alpha_den - alpha_num) ** age * alpha_den ** (span - 1 - age)
         for age in range(span)

@@ -1455,3 +1455,12 @@ def test_ewma_stream_matches_batch_operator(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == expected
+
+
+def test_ewma_stream_rejects_span_one():
+    import pytest
+
+    from epicsarchiver_spark.streaming.alerts import ewma_stream
+
+    with pytest.raises(ValueError, match="span"):
+        ewma_stream(None, span=1)
