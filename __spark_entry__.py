@@ -175,6 +175,7 @@ _R9_FRONT: list[str] = [
     "emb_kpp_init",
     "emb_mmr_topk",
     "emb_retrieval_eval",
+    "rel_entity_resolution",
     "rel_fuzzy_blocks",
     "ts_ewma",
     "ts_ewma_bucketed",
@@ -214,7 +215,6 @@ _R9_FRONT: list[str] = [
     "src_template",
     "store_roundtrip",
     "stream_compress",
-    "ts_compress_exact",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2144,6 +2144,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rel_fuzzy_customers"] = _rel_fuzzy_customers
+
+    # the full master-data flow over the same blocked pairs: fuzzy
+    # match → connected components → canonical id per cluster, whole
+    # id spine returned (singletons canonicalize to themselves)
+    def _rel_entity_resolution(s, d):
+        return dedup.resolve_entities(
+            load_table(s, d, "customer"),
+            id_col="c_custkey",
+            name_col="c_name",
+            block=F.expr("substr(c_name, 1, length(c_name) - 2)"),
+            max_distance=1,
+        )
+
+    q["rel_entity_resolution"] = _rel_entity_resolution
     q["rel_late_suppliers"] = lambda s, d: relational.late_sole_suppliers(
         load_table(s, d, "lineitem"),
         load_table(s, d, "orders"),
@@ -6836,6 +6850,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(levenshtein(a.name, b.name) AS INT) AS distance
         FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
         WHERE levenshtein(a.name, b.name) <= 1
+    """
+
+    # fuzzy pairs → recursive-CTE closure → min-id canonical labels →
+    # full spine with cluster sizes (the emb_dedup_groups closure over
+    # the rel_fuzzy_customers pair lane)
+    o["rel_entity_resolution"] = """
+        WITH RECURSIVE side0 AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 substr(c_name, 1, length(c_name) - 2) AS blk
+          FROM customer
+        ),
+        side AS (
+          SELECT * FROM (
+            SELECT s.*, count(*) OVER (PARTITION BY blk) AS bn FROM side0 s
+          ) WHERE bn <= 10000
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+          WHERE levenshtein(a.name, b.name) <= 1
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        spine AS (
+          SELECT s.id AS c_custkey, s.name AS c_name,
+                 coalesce(c.component, s.id) AS canonical_id
+          FROM side0 s LEFT JOIN comp c ON c.id = s.id
+        )
+        SELECT c_custkey, c_name, canonical_id,
+               CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+                 AS cluster_size
+        FROM spine
     """
 
     o["rel_late_suppliers"] = """

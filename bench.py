@@ -218,6 +218,7 @@ HEADLINE = [
     "emb_kpp_init",
     "doc_qld_topk",
     "doc_hybrid_rrf3",
+    "rel_entity_resolution",
 ]
 
 

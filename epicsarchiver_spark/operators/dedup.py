@@ -558,6 +558,52 @@ def fuzzy_matches(
     )
 
 
+def resolve_entities(
+    records: DataFrame,
+    id_col: str,
+    name_col: str,
+    block: Column | str,
+    max_distance: int = 1,
+    max_block: int | None = 10_000,
+) -> DataFrame:
+    """End-to-end entity resolution — the master-data flow every
+    dedup-by-name deployment runs: blocked edit-distance pair
+    generation (:func:`fuzzy_matches`, hot-block fence included) →
+    connected components over the match graph (star algorithm — name
+    chains A~B~C resolve transitively even when A~C exceeds the
+    distance bound) → one canonical id per cluster (min member id,
+    singletons canonicalize to themselves). Returns the FULL id spine:
+    ``(id, name, canonical_id, cluster_size)``.
+
+    Scale shape: pairs are block-bounded, CC shuffles only the
+    duplicate-edge graph (16 B/row), the spine attach is one id-keyed
+    left join, and cluster_size is a window over the same canonical key
+    the join already distributed. Persist the CC labels once per
+    release and feed them back via downstream consumers for the
+    steady-state (the components-artifact cadence)."""
+    from pyspark.sql import Window
+
+    pairs = fuzzy_matches(
+        records,
+        id_col=id_col,
+        name_col=name_col,
+        block=block,
+        max_distance=max_distance,
+        max_block=max_block,
+    )
+    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    joined = records.select(F.col(id_col), F.col(name_col)).join(
+        comp.withColumnRenamed("id", id_col), id_col, "left"
+    )
+    out = joined.select(
+        F.col(id_col),
+        F.col(name_col),
+        F.coalesce(F.col("component"), F.col(id_col)).alias("canonical_id"),
+    )
+    w = Window.partitionBy("canonical_id")
+    return out.withColumn("cluster_size", F.count(F.lit(1)).over(w).cast("long"))
+
+
 def fuzzy_blocks_oversize(
     df: DataFrame,
     id_col: str,

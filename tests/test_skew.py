@@ -54,3 +54,27 @@ def test_fuzzy_matches_hot_block_fence(spark):
     # fence boundary is inclusive: a block of exactly max_block survives
     at_cap = fuzzy_matches(df, "id", "name", max_distance=2, max_block=50)
     assert at_cap.count() == unfenced.count()
+
+
+def test_resolve_entities_transitive_chains_and_singletons(spark):
+    """A~B~C resolves into ONE cluster even though d(A,C)=2 exceeds the
+    per-pair bound; unmatched records canonicalize to themselves."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.dedup import resolve_entities
+
+    rows = [
+        (10, "smith aa"),  # chain: 10~11 (1 edit), 11~12 (1 edit), 10!~12
+        (11, "smith ab"),
+        (12, "smith bb"),
+        (20, "jones xx"),  # singleton
+    ]
+    df = spark.createDataFrame(rows, "id long, name string")
+    out = resolve_entities(
+        df, id_col="id", name_col="name",
+        block=F.expr("substr(name, 1, 5)"), max_distance=1,
+    ).collect()
+    got = {r.id: (r.canonical_id, r.cluster_size) for r in out}
+    assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
+    assert got[20] == (20, 1)
+    assert len(out) == 4  # full spine, no drops
