@@ -76,6 +76,14 @@ ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0
 # ordered-funnel steps for the clickstream analytics family
 FUNNEL_STEPS = ("view", "click", "purchase")
 BM25_QUERY = ["spark", "merge", "window", "quantum"]  # 'quantum' absent on purpose
+# standing-query set for doc_bm25_multi: a shared term ('spark' in two
+# queries — its df counts once), an absent term, a single-term query
+MULTI_QUERIES = {
+    "engine": ["spark", "join"],
+    "storage": ["table", "scan", "spark"],
+    "ghost": ["quantum"],
+    "solo": ["filter"],
+}
 # keyword-taxonomy for the doc_keyword_labels gate: overlapping term
 # sets ('data' in two labels — df must count it once) + an absent term
 KEYWORD_TAXONOMY = {
@@ -165,6 +173,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R9_FRONT: list[str] = [
+    "doc_bm25_multi",
     "doc_bm25_prf",
     "doc_hybrid_rrf",
     "doc_hybrid_rrf3",
@@ -214,7 +223,6 @@ _R9_FRONT: list[str] = [
     "src_pvlist",
     "src_template",
     "store_roundtrip",
-    "stream_compress",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -623,6 +631,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["doc_hybrid_rrf3"] = _doc_hybrid_rrf3
+
+    # standing-query BM25: four queries, one corpus pass — per-query
+    # scores contractually identical to bm25_topk's
+    q["doc_bm25_multi"] = lambda s, d: text_ops.bm25_multi(
+        load_table(s, d, "documents"), MULTI_QUERIES, k=10
+    )
 
     # the other classical ranker: query-likelihood with Dirichlet
     # smoothing — every doc scores (length term), matched pairs carry
@@ -3680,6 +3694,50 @@ def oracle_sql() -> dict[str, str]:
     o["doc_bm25_topk"] = _bm25_sql(20)
 
     o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    # standing-query BM25: the (query, term) map as VALUES, tf/df/stats
+    # computed ONCE over the union term set, per-query rank ≤ k — same
+    # normalization discipline as the taxonomy oracle
+    _mq_q = lambda s_: "'" + s_.replace("'", "''") + "'"  # noqa: E731
+    _mq_pairs = sorted(
+        {(q_, t.lower()) for q_, ts_ in MULTI_QUERIES.items() for t in ts_}
+    )
+    _mq_vals = ", ".join(f"({_mq_q(q_)}, {_mq_q(t)})" for q_, t in _mq_pairs)
+    _mq_terms = ", ".join(_mq_q(t) for t in sorted({t for _q, t in _mq_pairs}))
+    o["doc_bm25_multi"] = f"""
+        WITH qmap(query, term) AS (VALUES {_mq_vals}),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_mq_terms})) AS hit
+          FROM base
+        ), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM hits),
+        tfx AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfx GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        per AS (
+          SELECT m.query, tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) JOIN qmap m USING (term)
+          CROSS JOIN stats
+          GROUP BY 1, 2
+        )
+        SELECT query, doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (
+                 PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per QUALIFY rank <= 10
+    """
 
     # Dirichlet query likelihood in the same sparse decomposition the
     # engine uses: corpus constant + per-doc length term + matched

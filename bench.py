@@ -219,6 +219,7 @@ HEADLINE = [
     "doc_qld_topk",
     "doc_hybrid_rrf3",
     "rel_entity_resolution",
+    "doc_bm25_multi",
 ]
 
 

@@ -738,6 +738,64 @@ def rrf_fuse(
     )
 
 
+def bm25_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Standing-query BM25 — Q queries answered by ONE corpus pass (the
+    alert/subscription server shape: re-running ``bm25_topk`` per query
+    re-tokenizes the corpus Q times; a standing set shares everything):
+    tokens intersect the UNION of all query terms before the explode,
+    tf/df/length stats are computed once, a broadcast (query, term) map
+    fans each matched pair out to the queries that want it, and each
+    query takes its own top-``k`` via a rank window that compiles to
+    WindowGroupLimit (map-side per-query limit before the shuffle).
+    Returns ``(query, doc_id, n_terms_matched, score, rank)`` — scores
+    identical to ``bm25_topk`` run per query (same ``_bm25_contrib``).
+
+    Scale shape: one scan, fan-out ≤ |union terms| per doc, the map and
+    stats broadcast; output is Σ_q top-k rows."""
+    qpairs = sorted({(q, t.lower()) for q, ts_ in queries.items() for t in ts_})
+    if not qpairs:
+        raise ValueError("bm25_multi needs at least one query with terms")
+    all_terms = sorted({t for _q, t in qpairs})
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(*all_terms)).alias("_hit"),
+    )
+    stats = base.agg(F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl"))
+    tf = (
+        base.filter(F.size("_hit") > 0)
+        .select(F.col(id_col), "_dl", F.explode("_hit").alias("term"))
+        .groupBy(id_col, "_dl", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    qmap = docs.sparkSession.createDataFrame(qpairs, "query string, term string")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(F.broadcast(qmap), "term")
+        .crossJoin(F.broadcast(stats))
+    )
+    contrib = _bm25_contrib(F.col("_n"), F.col("_avgdl"), F.col("_dl"), k1, b)
+    per = scored.groupBy("query", id_col).agg(
+        F.count(F.lit(1)).alias("n_terms_matched"),
+        F.round(F.sum(contrib), 6).alias("score"),
+    )
+    w = Window.partitionBy("query").orderBy(F.col("score").desc(), F.col(id_col))
+    return (
+        per.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= int(k))
+    )
+
+
 def qld_topk(
     docs: DataFrame,
     query_terms: list[str],

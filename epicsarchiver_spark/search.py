@@ -116,6 +116,14 @@ class SearchPipeline:
             self.docs, terms, k=k, text=self.text, id_col=self.id_col
         )
 
+    def qld(self, terms: list[str], k: int = 10, mu: float = 2000.0) -> DataFrame:
+        """Query-likelihood (Dirichlet) lexical lane — the LM ranker
+        beside BM25; inline scan (no postings formulation: every doc
+        scores via its length term)."""
+        return text_ops.qld_topk(
+            self.docs, terms, k=k, mu=mu, text=self.text, id_col=self.id_col
+        )
+
     def ann(self, query: list[float], k: int = 10, exact: bool = False) -> DataFrame:
         """Semantic lane: two-stage IVF-PQ → exact re-rank (persisted
         index when available); ``exact=True`` forces brute-force cosine."""

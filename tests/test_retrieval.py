@@ -374,3 +374,36 @@ def test_qld_matches_python_mirror(spark):
         exp[i] = round(csum + corr - len(cf) * math.log(len(v) + mu), 6)
     got = {r.doc_id: r.score for r in qld_topk(docs, terms, k=10).collect()}
     assert got == exp
+
+
+def test_bm25_multi_equals_per_query_bm25(spark):
+    """The contract: every standing query's ranking is row-identical to
+    bm25_topk run alone — sharing the pass changes nothing."""
+    from epicsarchiver_spark.operators.text_ops import bm25_multi, bm25_topk
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    queries = {"a": ["spark", "join"], "b": ["table", "scan", "spark"], "g": ["zzz"]}
+    multi = bm25_multi(docs, queries, k=8).collect()
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r.query, []).append(
+            (r.rank, r.doc_id, r.n_terms_matched, r.score)
+        )
+    for qname, terms in queries.items():
+        want = [
+            (r.rank, r.doc_id, r.n_terms_matched, r.score)
+            for r in bm25_topk(docs, terms, k=8).collect()
+        ]
+        assert sorted(by_q.get(qname, [])) == sorted(want), qname
+    assert "g" not in by_q  # absent-term query returns no rows
+
+
+def test_bm25_multi_plans_window_group_limit(spark):
+    """The per-query top-k must compile to WindowGroupLimit — a map-side
+    per-group cut before the shuffle, not a full sort."""
+    from epicsarchiver_spark.operators.text_ops import bm25_multi
+    from epicsarchiver_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = explain_str(bm25_multi(docs, {"a": ["spark"], "b": ["join"]}, k=5))
+    assert "WindowGroupLimit" in plan, plan[:1500]
