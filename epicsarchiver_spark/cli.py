@@ -555,6 +555,8 @@ def cmd_alerts(args) -> int:
     ``--period-s`` that RE-READS the rules each pass (ref cache.py:393
     re-reads the alert table every cache_alert_period), so rule edits
     land without a restart."""
+    from pyspark.sql import functions as F
+
     from epicsarchiver_spark.functions.mail import render_alert_mail
     from epicsarchiver_spark.operators.control import alert_eval
     from epicsarchiver_spark.operators.timeseries import latest_per_key
@@ -574,7 +576,17 @@ def cmd_alerts(args) -> int:
         if rules is None:
             print("no rules")
             return 0
-        cache = latest_per_key(_points(spark, args).select("pvname", "time", "value"))
+        pts = _points(spark, args).select("pvname", "time", "value")
+        if args.smooth_span:
+            # anti-flapping: evaluate rules against the span-bounded
+            # EWMA trend instead of the raw tick (same comparator; the
+            # smoothed value rides the `value` seat)
+            from epicsarchiver_spark.operators.timeseries import ewma
+
+            pts = ewma(pts, span=args.smooth_span).select(
+                "pvname", "time", F.col("ewma").alias("value")
+            )
+        cache = latest_per_key(pts)
         fired = alert_eval(cache, rules, rule_key="pvname").collect()
         lookup = {r.pvname: str(r.value) for r in cache.collect()} if fired else {}
         for r in fired:
@@ -1365,6 +1377,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="daemon loop: re-read rules and sweep every --period-s")
     s.add_argument("--period-s", type=float, default=None, help="default 15.0 s")
     s.add_argument("--max-loops", type=int, default=None, help=argparse.SUPPRESS)
+    s.add_argument("--smooth-span", type=int, default=None,
+                   help="evaluate rules on the span-N EWMA trend, not the raw tick")
     s.set_defaults(fn=cmd_alerts)
 
     s = sub.add_parser(

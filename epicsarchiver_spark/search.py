@@ -192,6 +192,13 @@ class SearchPipeline:
             id_col=self.id_col,
         )
 
+    def standing(self, queries: dict[str, list[str]], k: int = 10) -> DataFrame:
+        """Q standing queries in one corpus pass (``bm25_multi``) — the
+        subscription-server shape."""
+        return text_ops.bm25_multi(
+            self.docs, queries, k=k, text=self.text, id_col=self.id_col
+        )
+
     # --- quality --------------------------------------------------------
     def evaluate(
         self, ranked: DataFrame, relevant: DataFrame, k: int = 10,

@@ -925,3 +925,25 @@ def test_ann_cli_lanes(spark, tmp_path, capsys):
     out_mmr = capsys.readouterr().out
     assert "mmr" in out_mmr and "4 hit(s)" in out_mmr
     assert cli.main(["ann", path, "--vec-id", "999"]) == 1
+
+
+def test_alerts_smooth_span_suppresses_single_tick_spike(spark, tmp_path, capsys):
+    """--smooth-span: a one-tick spike fires the raw sweep but not the
+    EWMA-trend sweep — the anti-flapping knob."""
+    import pandas as pd
+
+    path = str(tmp_path / "sm_store")
+    rows = [("SM:pv", float(t), 1.0) for t in range(0, 300, 30)]
+    rows.append(("SM:pv", 300.0, 100.0))  # single spike at the end
+    write_points(
+        spark.createDataFrame(pd.DataFrame(rows, columns=["pvname", "time", "value"])),
+        path, run="run_001", n_buckets=2,
+    )
+    rules = tmp_path / "rules.csv"
+    rules.write_text("pvname,compare,trippoint\nSM:pv,ge,50\n")
+    assert cli.main(["--store", path, "alerts", str(rules)]) == 2  # raw fires
+    capsys.readouterr()
+    assert cli.main(
+        ["--store", path, "alerts", str(rules), "--smooth-span", "8"]
+    ) == 0  # the trend never crossed
+    assert "0 alert(s)" in capsys.readouterr().out
