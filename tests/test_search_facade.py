@@ -39,6 +39,13 @@ def test_inline_lanes_delegate_to_operators(spark):
     assert sp.seeds(k=4).collect() == similarity.farthest_first_init(
         emb, k=4
     ).collect()
+    assert sp.qld(TERMS, k=10).collect() == text_ops.qld_topk(
+        docs, TERMS, k=10
+    ).collect()
+    mq = {"a": TERMS, "b": ["table"]}
+    assert sorted(map(tuple, sp.standing(mq, k=5).collect())) == sorted(
+        map(tuple, text_ops.bm25_multi(docs, mq, k=5).collect())
+    )
 
 
 def test_index_once_query_many_loop(spark, tmp_path):
