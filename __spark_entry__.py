@@ -185,6 +185,7 @@ _R9_FRONT: list[str] = [
     "emb_mmr_topk",
     "emb_retrieval_eval",
     "rel_entity_resolution",
+    "rel_entity_resolution_indexed",
     "rel_fuzzy_blocks",
     "ts_ewma",
     "ts_ewma_bucketed",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "sink_sqldump",
     "src_pvlist",
     "src_template",
-    "store_roundtrip",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2172,6 +2172,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["rel_entity_resolution"] = _rel_entity_resolution
+
+    # ...and the steady-state lane: CC labels persisted once per
+    # release, the spine resolves from the artifact (no pair gen, no
+    # CC build at query time); oracle identical
+    def _rel_entity_resolution_indexed(s, d):
+        def _build(path):
+            c = load_table(s, d, "customer")
+            pairs = dedup.fuzzy_matches(
+                c,
+                id_col="c_custkey",
+                name_col="c_name",
+                block=F.expr("substr(c_name, 1, length(c_name) - 2)"),
+                max_distance=1,
+            )
+            dedup.connected_components_star(
+                pairs.select("id_a", "id_b")
+            ).write.mode("overwrite").parquet(path)
+
+        comp = s.read.parquet(_artifact_path(d, "fuzzy_components", _build))
+        return dedup.resolve_entities(
+            load_table(s, d, "customer"),
+            id_col="c_custkey",
+            name_col="c_name",
+            block=F.expr("substr(c_name, 1, length(c_name) - 2)"),
+            components=comp,
+        )
+
+    q["rel_entity_resolution_indexed"] = _rel_entity_resolution_indexed
     q["rel_late_suppliers"] = lambda s, d: relational.late_sole_suppliers(
         load_table(s, d, "lineitem"),
         load_table(s, d, "orders"),
@@ -6950,6 +6978,9 @@ def oracle_sql() -> dict[str, str]:
                  AS cluster_size
         FROM spine
     """
+
+    # the artifact lane answers the SAME question
+    o["rel_entity_resolution_indexed"] = o["rel_entity_resolution"]
 
     o["rel_late_suppliers"] = """
         WITH per_os AS (

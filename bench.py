@@ -220,6 +220,7 @@ HEADLINE = [
     "doc_hybrid_rrf3",
     "rel_entity_resolution",
     "doc_bm25_multi",
+    "rel_entity_resolution_indexed",
 ]
 
 

@@ -565,6 +565,7 @@ def resolve_entities(
     block: Column | str,
     max_distance: int = 1,
     max_block: int | None = 10_000,
+    components: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end entity resolution — the master-data flow every
     dedup-by-name deployment runs: blocked edit-distance pair
@@ -578,20 +579,25 @@ def resolve_entities(
     Scale shape: pairs are block-bounded, CC shuffles only the
     duplicate-edge graph (16 B/row), the spine attach is one id-keyed
     left join, and cluster_size is a window over the same canonical key
-    the join already distributed. Persist the CC labels once per
-    release and feed them back via downstream consumers for the
-    steady-state (the components-artifact cadence)."""
+    the join already distributed. Steady state: persist the CC labels
+    once per release and pass them back via ``components=`` (an
+    ``(id, component)`` frame) — the spine resolves from the artifact
+    with no pair generation or CC build at all (the components-artifact
+    cadence; gate ``rel_entity_resolution_indexed``)."""
     from pyspark.sql import Window
 
-    pairs = fuzzy_matches(
-        records,
-        id_col=id_col,
-        name_col=name_col,
-        block=block,
-        max_distance=max_distance,
-        max_block=max_block,
-    )
-    comp = connected_components_star(pairs.select("id_a", "id_b"))
+    if components is not None:
+        comp = components
+    else:
+        pairs = fuzzy_matches(
+            records,
+            id_col=id_col,
+            name_col=name_col,
+            block=block,
+            max_distance=max_distance,
+            max_block=max_block,
+        )
+        comp = connected_components_star(pairs.select("id_a", "id_b"))
     joined = records.select(F.col(id_col), F.col(name_col)).join(
         comp.withColumnRenamed("id", id_col), id_col, "left"
     )
