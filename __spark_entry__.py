@@ -179,6 +179,7 @@ _R9_FRONT: list[str] = [
     "doc_hybrid_rrf3",
     "doc_minhash_quality_sampled",
     "doc_qld_topk",
+    "doc_snippets",
     "emb_ivfpq_rerank",
     "emb_ivfpq_rerank_indexed",
     "emb_kpp_init",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "sink_saverestore",
     "sink_sqldump",
     "src_pvlist",
-    "src_template",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -636,6 +636,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # scores contractually identical to bm25_topk's
     q["doc_bm25_multi"] = lambda s, d: text_ops.bm25_multi(
         load_table(s, d, "documents"), MULTI_QUERIES, k=10
+    )
+
+    # result-page highlighting: the width-10 token window holding the
+    # most query terms per doc (earliest tie), zero-shuffle projection
+    q["doc_snippets"] = lambda s, d: text_ops.snippet_window(
+        load_table(s, d, "documents"), BM25_QUERY, width=10
     )
 
     # the other classical ranker: query-likelihood with Dirichlet
@@ -3765,6 +3771,42 @@ def oracle_sql() -> dict[str, str]:
                CAST(row_number() OVER (
                  PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rank
         FROM per QUALIFY rank <= 10
+    """
+
+    # best-window snippets: matched positions, per-anchor window
+    # counts, earliest-max pick (list_position finds the FIRST index of
+    # the max — the engine's strict-improvement fold keeps the same
+    # one), slice + join for the text
+    o["doc_snippets"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        wd AS (
+          SELECT doc_id, toks,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] IN ({_bm25_terms})) AS pos
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, toks, pos,
+                 list_transform(pos,
+                   p -> len(list_filter(pos, q -> q >= p AND q < p + 10))) AS cnts
+          FROM wd
+        )
+        SELECT doc_id,
+               CAST(coalesce(list_max(cnts), 0) AS BIGINT) AS n_matched,
+               CAST(CASE WHEN coalesce(list_max(cnts), 0) > 0
+                         THEN pos[list_position(cnts, list_max(cnts))]
+                    END AS BIGINT) AS start,
+               CASE WHEN coalesce(list_max(cnts), 0) > 0
+                    THEN array_to_string(
+                      toks[pos[list_position(cnts, list_max(cnts))] :
+                           pos[list_position(cnts, list_max(cnts))] + 9], ' ')
+               END AS snippet
+        FROM scored
     """
 
     # Dirichlet query likelihood in the same sparse decomposition the

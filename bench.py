@@ -221,6 +221,7 @@ HEADLINE = [
     "rel_entity_resolution",
     "doc_bm25_multi",
     "rel_entity_resolution_indexed",
+    "doc_snippets",
 ]
 
 

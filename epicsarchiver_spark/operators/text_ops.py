@@ -738,6 +738,53 @@ def rrf_fuse(
     )
 
 
+def snippet_window(
+    docs: DataFrame,
+    terms: list[str],
+    width: int = 10,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Best-window snippet extraction — the result-page highlighter:
+    per document, the ``width``-token window holding the MOST query
+    terms (ties → earliest start; the optimal window can always anchor
+    at a matched token, so only matched positions are candidates).
+    Returns ``(id, n_matched, start, snippet)`` over the full doc spine
+    — ``n_matched`` 0 with NULL start/snippet when nothing matches.
+
+    Everything is per-row array math in WholeStageCodegen: matched
+    positions via a sequence filter, the argmax as a sequential
+    left-fold carrying (count, start) with strict improvement (earliest
+    tie kept), the snippet a slice + join. Zero shuffles — the operator
+    is a projection."""
+    tset = sorted({t.lower() for t in terms})
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    base = docs.select(F.col(id_col), toks.alias("_toks"))
+    pos = F.filter(
+        F.sequence(F.lit(1), F.size("_toks")),
+        lambda i: F.element_at("_toks", i).isin(*tset),
+    )
+    base = base.withColumn("_pos", pos)
+    cnt_at = lambda p: F.size(  # noqa: E731
+        F.filter("_pos", lambda q: (q >= p) & (q < p + F.lit(int(width))))
+    )
+    best = F.aggregate(
+        "_pos",
+        F.struct(F.lit(0).alias("c"), F.lit(0).alias("p")),
+        lambda acc, p: F.when(cnt_at(p) > acc["c"], F.struct(cnt_at(p).alias("c"), p.alias("p"))).otherwise(acc),
+    )
+    out = base.withColumn("_best", best).select(
+        F.col(id_col),
+        F.col("_best")["c"].cast("long").alias("n_matched"),
+        F.when(F.col("_best")["c"] > 0, F.col("_best")["p"]).cast("long").alias("start"),
+        F.when(
+            F.col("_best")["c"] > 0,
+            F.array_join(F.slice("_toks", F.col("_best")["p"], int(width)), " "),
+        ).alias("snippet"),
+    )
+    return out
+
+
 def bm25_multi(
     docs: DataFrame,
     queries: dict[str, list[str]],

@@ -407,3 +407,32 @@ def test_bm25_multi_plans_window_group_limit(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = explain_str(bm25_multi(docs, {"a": ["spark"], "b": ["join"]}, k=5))
     assert "WindowGroupLimit" in plan, plan[:1500]
+
+
+def test_snippet_window_picks_densest_earliest(spark):
+    from epicsarchiver_spark.operators.text_ops import snippet_window
+
+    docs = spark.createDataFrame(
+        [
+            # two 'spark' far apart, then a dense 'spark join' cluster:
+            # the width-3 window must anchor on the cluster
+            (1, "spark x x x x x x spark join y"),
+            (2, "nothing here at all"),
+            (3, "join z join"),  # two equal-count windows → earliest
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in snippet_window(docs, ["spark", "join"], width=3).collect()}
+    assert got[1].n_matched == 2 and got[1].snippet == "spark join y"
+    assert got[2].n_matched == 0 and got[2].start is None and got[2].snippet is None
+    assert got[3].n_matched == 2 and got[3].start == 1 and got[3].snippet == "join z join"
+    assert len(got) == 3  # full spine
+
+
+def test_snippet_window_is_shuffle_free(spark):
+    from epicsarchiver_spark.operators.text_ops import snippet_window
+    from epicsarchiver_spark.plans import explain_str
+
+    docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
+    plan = explain_str(snippet_window(docs, ["spark"], width=5))
+    assert "Exchange" not in plan, plan[:1200]
