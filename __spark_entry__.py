@@ -191,6 +191,7 @@ _R9_FRONT: list[str] = [
     "ts_ewma",
     "ts_ewma_bucketed",
     "ts_rollup_cube",
+    "ts_seasonal_profile",
     "cat_chararray",
     "cat_desc_join",
     "cat_hashname",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "sink_ascii",
     "sink_saverestore",
     "sink_sqldump",
-    "src_pvlist",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -473,6 +473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy("event_type")
     )
+    # hour-of-day percentile envelope — the band seasonal_anomalies'
+    # residuals are measured against, as a plottable artifact
+    q["ts_seasonal_profile"] = lambda s, d: timeseries.seasonal_profile(_points(s, d))
     q["ts_time_format"] = lambda s, d: points_view(s, d).select(
         "event_id",
         F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd HH:mm:ss").alias("iso"),
@@ -3507,6 +3510,19 @@ def oracle_sql() -> dict[str, str]:
                quantile_cont(value, 0.5) AS p50,
                quantile_cont(value, 0.99) AS p99
         FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_seasonal_profile"] = (
+        P
+        + """
+        SELECT pvname,
+               CAST(floor(time / 3600) % 24 AS BIGINT) AS hour,
+               count(*) AS n,
+               quantile_cont(value, 0.1) AS p10,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM points GROUP BY 1, 2
         """
     )
 

@@ -222,6 +222,7 @@ HEADLINE = [
     "doc_bm25_multi",
     "rel_entity_resolution_indexed",
     "doc_snippets",
+    "ts_seasonal_profile",
 ]
 
 

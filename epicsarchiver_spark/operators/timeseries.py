@@ -1586,6 +1586,32 @@ def grid_pivot(
     return grid.groupBy("t").agg(*aggs).orderBy("t")
 
 
+def seasonal_profile(
+    points: DataFrame,
+    key: str = "pvname",
+) -> DataFrame:
+    """Hour-of-day percentile envelope per series — the dashboard band
+    behind :func:`seasonal_anomalies`' verdicts: ``(key, hour, n, p10,
+    p50, p90)`` from exact percentiles (same interpolating reduction
+    DuckDB's ``quantile_cont`` computes, certified by ts_percentiles).
+    Plot the band, overlay today's trace, and the daily-cycle PV's
+    "anomalies" become visible excursions instead of afternoon noise.
+
+    One (series, hour)-keyed aggregate with map-side partials — 24 rows
+    per series out, raw points shuffle once."""
+    hour = (F.floor(F.col("time") / 3600) % 24).cast("long").alias("hour")
+    return (
+        points.select(F.col(key), hour, F.col("value"))
+        .groupBy(key, "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.percentile("value", F.lit(0.1)).alias("p10"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.9)).alias("p90"),
+        )
+    )
+
+
 def seasonal_anomalies(
     points: DataFrame,
     k: float = 5.0,

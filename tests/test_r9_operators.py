@@ -104,3 +104,21 @@ def test_rollup_cube_is_one_pass(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:1500]
     assert plan.count("Exchange (") == 1, plan[:1500]
     assert "partial_sum" in plan  # map-side combine before the shuffle
+
+
+def test_seasonal_profile_bands_track_the_cycle(spark):
+    """A clean daily cycle: each hour's band collapses onto the cycle
+    value (p10 == p50 == p90) and every hour has the same count."""
+    from epicsarchiver_spark.operators.timeseries import seasonal_profile
+
+    rows = [
+        ("pv", float(d * 86400 + h * 3600), float(h * 10))
+        for d in range(4)
+        for h in range(24)
+    ]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = seasonal_profile(df).collect()
+    assert len(out) == 24
+    for r in out:
+        assert r.n == 4
+        assert r.p10 == r.p50 == r.p90 == r.hour * 10.0
