@@ -1059,6 +1059,64 @@ def cmd_ann(args) -> int:
     return 0 if hits else 1
 
 
+def cmd_resolve(args) -> int:
+    """Entity resolution over a records parquet: blocked fuzzy pairs →
+    connected components → canonical ids (``dedup.resolve_entities``).
+    ``--components`` consumes a persisted CC artifact instead of
+    rebuilding (the steady-state lane); ``--write-components`` persists
+    the labels for next time. Prints cluster stats; ``--out`` writes
+    the full canonical map."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.dedup import (
+        connected_components_star,
+        fuzzy_matches,
+        resolve_entities,
+    )
+
+    spark = _spark("resolve")
+    records = spark.read.parquet(args.records)
+    block = F.expr(args.block)
+    comp = None
+    if args.components:
+        comp = spark.read.parquet(args.components)
+    elif args.write_components:
+        pairs = fuzzy_matches(
+            records,
+            id_col=args.id_col,
+            name_col=args.name_col,
+            block=block,
+            max_distance=args.max_distance,
+            max_block=args.max_block,
+        )
+        connected_components_star(pairs.select("id_a", "id_b")).write.mode(
+            "overwrite"
+        ).parquet(args.write_components)
+        comp = spark.read.parquet(args.write_components)
+        print(f"components written to {args.write_components}")
+    out = resolve_entities(
+        records,
+        id_col=args.id_col,
+        name_col=args.name_col,
+        block=block,
+        max_distance=args.max_distance,
+        max_block=args.max_block,
+        components=comp,
+    )
+    if args.out:
+        out.write.mode("overwrite").parquet(args.out)
+    stats = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("canonical_id").alias("n_entities"),
+        F.sum(F.when(F.col("cluster_size") > 1, 1).otherwise(0)).alias("n_in_clusters"),
+    ).head()
+    print(
+        f"{stats.n} record(s) -> {stats.n_entities} entit(ies); "
+        f"{stats.n_in_clusters} record(s) in multi-record clusters"
+    )
+    return 0
+
+
 def cmd_build_dedup_artifacts(args) -> int:
     """Once-per-corpus-release build of the persisted dedup bases: the
     connected-components labels (shard/survivor/leakage consumers), the
@@ -1307,6 +1365,22 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--lane-k", type=int, default=50,
                    help="per-lane depth before fusion (with --fuse-embeddings)")
     s.set_defaults(fn=cmd_bm25)
+
+    s = sub.add_parser("resolve", help="entity resolution over a records parquet")
+    s.add_argument("records")
+    s.add_argument("--id-col", default="id")
+    s.add_argument("--name-col", default="name")
+    s.add_argument("--block", default="split(name, ' ')[0]",
+                   help="blocking SQL expression (default: first name token)")
+    s.add_argument("--max-distance", type=int, default=1)
+    s.add_argument("--max-block", type=int, default=10_000)
+    s.add_argument("--out", default=None, help="write the canonical map here")
+    g = s.add_mutually_exclusive_group()
+    g.add_argument("--components", default=None,
+                   help="read persisted CC labels (skip pair gen + CC)")
+    g.add_argument("--write-components", default=None,
+                   help="persist the CC labels for later --components runs")
+    s.set_defaults(fn=cmd_resolve)
 
     s = sub.add_parser("ann", help="semantic search over an embeddings parquet")
     s.add_argument("embeddings")

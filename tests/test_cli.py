@@ -947,3 +947,24 @@ def test_alerts_smooth_span_suppresses_single_tick_spike(spark, tmp_path, capsys
         ["--store", path, "alerts", str(rules), "--smooth-span", "8"]
     ) == 0  # the trend never crossed
     assert "0 alert(s)" in capsys.readouterr().out
+
+
+def test_resolve_cli_inline_and_artifact_lanes(spark, tmp_path, capsys):
+    """pvarch resolve: inline build, --write-components persist, then a
+    --components read-back run — all three agree on the canonical map."""
+    import pandas as pd
+
+    rows = [(10, "smith aa"), (11, "smith ab"), (12, "smith bb"), (20, "jones xx")]
+    path = str(tmp_path / "recs.parquet")
+    spark.createDataFrame(pd.DataFrame(rows, columns=["id", "name"])).write.parquet(path)
+    out1 = str(tmp_path / "map1")
+    comp = str(tmp_path / "cc")
+    assert cli.main(["resolve", path, "--out", out1,
+                     "--write-components", comp]) == 0
+    txt = capsys.readouterr().out
+    assert "4 record(s) -> 2 entit(ies)" in txt and "3 record(s)" in txt
+    out2 = str(tmp_path / "map2")
+    assert cli.main(["resolve", path, "--out", out2, "--components", comp]) == 0
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
