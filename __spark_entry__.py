@@ -180,6 +180,7 @@ _R9_FRONT: list[str] = [
     "doc_minhash_quality_sampled",
     "doc_qld_topk",
     "doc_snippets",
+    "doc_triangles",
     "emb_ivfpq_rerank",
     "emb_ivfpq_rerank_indexed",
     "emb_kpp_init",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "rel_runs_window",
     "sink_ascii",
     "sink_saverestore",
-    "sink_sqldump",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2415,6 +2415,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # the quantitative "chainy vs clique-like" answer: per-node
+    # triangles + clustering coefficient via the oriented 3-way join
+    q["doc_triangles"] = lambda s, d: dedup.triangle_stats(
+        dedup.jaccard_pairs_blocked(
+            load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+        )
+    )
+
     # ...and the read-back twin: component sizes from the persisted CC
     # labels (shared "components" artifact), only the degree side pays
     # the pair scan — the release-cadence shape of the dashboard
@@ -4500,6 +4508,42 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT id_a, id_b, round(i / u, 6) AS jaccard
         FROM pairs WHERE u > 0 AND i / u >= 0.05
+    """
+
+    # triangles via the oriented join over the same jaccard pair lane;
+    # per-node rollups + the 2T/(d(d−1)) coefficient
+    o["doc_triangles"] = f"""
+        WITH jp AS ({o["doc_jaccard_pairs"]}),
+        e AS (
+          SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+          FROM jp
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        nt AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY id
+        ),
+        deg AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+          GROUP BY id
+        )
+        SELECT deg.id,
+               deg.degree,
+               CAST(coalesce(nt.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN deg.degree >= 2
+                          THEN 2.0 * coalesce(nt.n_triangles, 0)
+                               / (deg.degree * (deg.degree - 1))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg LEFT JOIN nt USING (id)
     """
 
     # --- MinHash / SimHash (basis="md5"): bit-for-bit reproduction -----

@@ -223,6 +223,7 @@ HEADLINE = [
     "rel_entity_resolution_indexed",
     "doc_snippets",
     "ts_seasonal_profile",
+    "doc_triangles",
 ]
 
 

@@ -1507,6 +1507,59 @@ def graph_profile(
     return dh.unionByName(ch)
 
 
+def triangle_stats(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over an
+    undirected pair graph — the quantitative form of graph_profile's
+    "chainy vs clique-like" question (the measurement that picks the CC
+    lane and flags template-spam dup clusters, whose coefficients sit
+    near 1.0 while organic near-dup chains sit near 0). Returns
+    ``(id, degree, n_triangles, clustering)`` for every node in the
+    edge set; clustering = 2T/(d(d−1)), 0 when d < 2.
+
+    The oriented 3-way self-join: edges canonicalize to u < v, a
+    triangle x<y<z is found exactly once as (x,y)⋈(y,z)⋈(x,z) — no
+    per-triangle dedup, no direction double-count. Scale shape: the
+    join runs on the DUP-GRAPH edges (16 B/row — never documents), the
+    worst case is Σ_v deg(v)² wedge pairs, the same block²-class bound
+    the banded pair lanes already fence upstream; node rollups are two
+    exploded aggregates."""
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("u"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+    ).distinct()
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    nt = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    deg = (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return deg.join(nt, "id", "left").select(
+        "id",
+        F.col("degree").cast("long").alias("degree"),
+        t.alias("n_triangles"),
+        F.round(
+            F.when(
+                F.col("degree") >= 2,
+                F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("clustering"),
+    )
+
+
 def minhash_quality(
     docs: DataFrame,
     threshold: float = 0.5,

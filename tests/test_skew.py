@@ -78,3 +78,28 @@ def test_resolve_entities_transitive_chains_and_singletons(spark):
     assert got[10] == (10, 3) and got[11] == (10, 3) and got[12] == (10, 3)
     assert got[20] == (20, 1)
     assert len(out) == 4  # full spine, no drops
+
+
+def test_triangle_stats_known_graphs(spark):
+    """Hand graphs: a triangle (coefficient 1 everywhere), a path
+    (0 everywhere), and a clique-plus-tail (the tail drops the hub's
+    coefficient below 1)."""
+    from epicsarchiver_spark.operators.dedup import triangle_stats
+
+    def run(edges):
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        return {r.id: (r.degree, r.n_triangles, r.clustering)
+                for r in triangle_stats(df).collect()}
+
+    tri = run([(1, 2), (2, 3), (3, 1)])
+    assert tri == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+    path = run([(1, 2), (2, 3), (3, 4)])
+    assert all(v[1] == 0 and v[2] == 0.0 for v in path.values())
+    assert path[2][0] == 2
+
+    # K3 {1,2,3} plus tail 3-4; duplicate/reversed edges must not
+    # double-count
+    hub = run([(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 3)])
+    assert hub[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
+    assert hub[4] == (1, 0, 0.0)
