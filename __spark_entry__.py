@@ -179,6 +179,7 @@ _R9_FRONT: list[str] = [
     "doc_hybrid_rrf3",
     "doc_minhash_quality_sampled",
     "doc_qld_topk",
+    "doc_related_terms",
     "doc_snippets",
     "doc_triangles",
     "emb_ivfpq_rerank",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "mm_media_stats",
     "rel_runs_window",
     "sink_ascii",
-    "sink_saverestore",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -645,6 +645,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # most query terms per doc (earliest tie), zero-shuffle projection
     q["doc_snippets"] = lambda s, d: text_ops.snippet_window(
         load_table(s, d, "documents"), BM25_QUERY, width=10
+    )
+
+    # "related searches": windowed co-occurrence PMI around 'spark'
+    q["doc_related_terms"] = lambda s, d: text_ops.related_terms(
+        load_table(s, d, "documents"), "spark", window=4, k=15, min_count=2
     )
 
     # the other classical ranker: query-likelihood with Dirichlet
@@ -3831,6 +3836,43 @@ def oracle_sql() -> dict[str, str]:
                            pos[list_position(cnts, list_max(cnts))] + 9], ' ')
                END AS snippet
         FROM scored
+    """
+
+    # windowed co-occurrence PMI: clamped slices around each target
+    # position (overlaps double-count by contract), vocabulary-sized
+    # aggregates, the same ln-ratio in both engines
+    o["doc_related_terms"] = """
+        WITH base AS (
+          SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        wd AS (
+          SELECT tk,
+                 list_filter(range(1, len(tk) + 1), i -> tk[i] = 'spark') AS pos
+          FROM base
+        ),
+        neigh AS (
+          SELECT unnest(flatten(list_transform(pos,
+                   p -> tk[greatest(p - 4, 1) : least(p + 4, len(tk))]))) AS term
+          FROM wd WHERE len(pos) > 0
+        ),
+        cooc AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_cooc
+          FROM neigh WHERE term <> 'spark'
+          GROUP BY term HAVING count(*) >= 2
+        ),
+        cw AS (SELECT CAST(coalesce(sum(n_cooc), 0) AS BIGINT) AS cwin FROM cooc),
+        uni AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
+          FROM (SELECT unnest(tk) AS term FROM base)
+          GROUP BY term
+        ),
+        nt AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS n FROM uni)
+        SELECT cooc.term, cooc.n_cooc, uni.n_corpus,
+               round(ln((cooc.n_cooc / cw.cwin) / (uni.n_corpus / nt.n)), 6) AS pmi
+        FROM cooc JOIN uni USING (term), cw, nt
+        ORDER BY pmi DESC, term LIMIT 15
     """
 
     # Dirichlet query likelihood in the same sparse decomposition the

@@ -224,6 +224,7 @@ HEADLINE = [
     "doc_snippets",
     "ts_seasonal_profile",
     "doc_triangles",
+    "doc_related_terms",
 ]
 
 

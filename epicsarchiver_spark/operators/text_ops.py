@@ -2299,6 +2299,84 @@ def collocations_pmi(
     )
 
 
+def related_terms(
+    docs: DataFrame,
+    target: str,
+    window: int = 5,
+    k: int = 20,
+    min_count: int = 2,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Windowed co-occurrence PMI around a target term — the "related
+    searches"/lexicon-expansion extractor: terms appearing within
+    ±``window`` tokens of an occurrence of ``target`` more often than
+    their corpus frequency predicts, scored ln((c/C_win)/(c_corpus/N)).
+    Overlapping windows double-count by construction (a term near two
+    target occurrences IS twice as associated); the target itself is
+    excluded. Returns top-``k`` ``(term, n_cooc, n_corpus, pmi)``, ties
+    on term; ``min_count`` floors the co-occurrence count (PMI explodes
+    on hapax neighbors, the collocations_pmi discipline).
+
+    Array-local windows: target positions via a sequence filter, each
+    position's neighborhood a clamped slice, flattened — no positional
+    self-join, no corpus-sized shuffle; the aggregates are
+    vocabulary-sized and the totals ride 1-row broadcasts."""
+    tgt = target.lower()
+    w = int(window)
+    toks = docs.select(
+        T.tokens(F.lower(F.coalesce(F.col(text), F.lit("")))).alias("tk")
+    )
+    n = F.size("tk")
+    pos = F.filter(
+        F.sequence(F.lit(1), n), lambda i: F.element_at("tk", i) == F.lit(tgt)
+    )
+    neigh = F.flatten(
+        F.transform(
+            pos,
+            lambda p: F.slice(
+                F.col("tk"),
+                F.greatest(p - F.lit(w), F.lit(1)),
+                F.least(p + F.lit(w), n) - F.greatest(p - F.lit(w), F.lit(1)) + F.lit(1),
+            ),
+        )
+    )
+    cooc = (
+        toks.filter(F.size(pos) > 0)
+        .select(F.explode(neigh).alias("term"))
+        .filter(F.col("term") != tgt)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_cooc"))
+        .filter(F.col("n_cooc") >= int(min_count))
+    )
+    cwin = cooc.agg(F.coalesce(F.sum("n_cooc"), F.lit(0)).cast("long").alias("_cw"))
+    uni = (
+        toks.select(F.explode("tk").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n_corpus"))
+    )
+    n_total = uni.agg(F.sum("n_corpus").cast("long").alias("_N"))
+    return (
+        cooc.join(uni, "term")
+        .crossJoin(F.broadcast(cwin))
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "term",
+            F.col("n_cooc").cast("long").alias("n_cooc"),
+            F.col("n_corpus").cast("long").alias("n_corpus"),
+            F.round(
+                F.log(
+                    (F.col("n_cooc") / F.col("_cw"))
+                    / (F.col("n_corpus") / F.col("_N"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "term")
+        .limit(int(k))
+    )
+
+
 def hapax_zipf(
     docs: DataFrame,
     top_k: int = 100,

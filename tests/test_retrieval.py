@@ -436,3 +436,26 @@ def test_snippet_window_is_shuffle_free(spark):
     docs = spark.read.parquet(f"{SF_ORACLE}/documents.parquet")
     plan = explain_str(snippet_window(docs, ["spark"], width=5))
     assert "Exchange" not in plan, plan[:1200]
+
+
+def test_related_terms_finds_window_neighbors(spark):
+    from epicsarchiver_spark.operators.text_ops import related_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark shuffle far1 far2 far3 far4 far5 nothere"),
+            (2, "shuffle spark again"),
+            (3, "unrelated text block entirely nothere nothere nothere"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.term: r for r in related_terms(docs, "spark", window=1, k=10, min_count=2).collect()}
+    # 'shuffle' hugs every 'spark'; 'nothere' never appears near one
+    assert "shuffle" in got and "nothere" not in got
+    r = got["shuffle"]
+    # window=1 around three spark occurrences in doc1 (+1 in doc2):
+    # doc1 pos2 sees shuffle@2? positions: spark@1,3 → windows [1..2],[2..4]
+    # count shuffle: pos2 (twice — overlap double-counts) + pos4 once;
+    # doc2 spark@2 → window [1..3] → shuffle@1 once. total 4
+    assert r.n_cooc == 4
+    assert r.pmi > 0  # over-represented vs corpus rate
