@@ -1014,9 +1014,30 @@ def cmd_bm25(args) -> int:
         print(f"{len(fused)} fused hit(s) for {' '.join(args.terms)}")
         return 0 if fused else 1
     hits = lex.collect()
+    snippets = {}
+    if args.snippet_width and args.documents and hits:
+        # best-window highlight per hit (bounded: the top-k ids prune
+        # the doc scan via an isin pushdown before snippet extraction)
+        from pyspark.sql import functions as F
+
+        from epicsarchiver_spark.operators.text_ops import snippet_window
+
+        ids = [r[0] for r in hits]
+        snippets = {
+            r[0]: r["snippet"]
+            for r in snippet_window(
+                spark.read.parquet(args.documents).filter(F.col("doc_id").isin(ids)),
+                args.terms,
+                width=args.snippet_width,
+            ).collect()
+        }
     for r in hits:
-        print(f"{r['rank']:>3}  doc {r[0]}  score {r['score']:.4f}  "
-              f"({r['n_terms_matched']} term(s))")
+        line = (f"{r['rank']:>3}  doc {r[0]}  score {r['score']:.4f}  "
+                f"({r['n_terms_matched']} term(s))")
+        snip = snippets.get(r[0])
+        if snip:
+            line += f'  "{snip}"'
+        print(line)
     print(f"{len(hits)} hit(s) for {' '.join(args.terms)}")
     return 0 if hits else 1
 
@@ -1364,6 +1385,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="vec_id anchoring the semantic lane (with --fuse-embeddings)")
     s.add_argument("--lane-k", type=int, default=50,
                    help="per-lane depth before fusion (with --fuse-embeddings)")
+    s.add_argument("--snippet-width", type=int, default=None,
+                   help="print the best N-token window per hit")
     s.set_defaults(fn=cmd_bm25)
 
     s = sub.add_parser("resolve", help="entity resolution over a records parquet")

@@ -968,3 +968,16 @@ def test_resolve_cli_inline_and_artifact_lanes(spark, tmp_path, capsys):
     a = sorted(map(tuple, spark.read.parquet(out1).collect()))
     b = sorted(map(tuple, spark.read.parquet(out2).collect()))
     assert a == b
+
+
+def test_bm25_cli_snippets(spark, tmp_path, capsys):
+    docs = spark.createDataFrame(
+        [(1, "x x spark join y y"), (2, "nothing relevant")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "docs_snip.parquet")
+    docs.write.parquet(path)
+    assert cli.main(["bm25", path, "spark", "join", "-k", "2",
+                     "--snippet-width", "3"]) == 0
+    out = capsys.readouterr().out
+    assert '"spark join y"' in out
