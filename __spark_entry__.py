@@ -187,6 +187,7 @@ _R9_FRONT: list[str] = [
     "emb_kpp_init",
     "emb_mmr_topk",
     "emb_retrieval_eval",
+    "emb_standardize",
     "rel_entity_resolution",
     "rel_entity_resolution_indexed",
     "rel_fuzzy_blocks",
@@ -222,7 +223,6 @@ _R9_FRONT: list[str] = [
     "mm_frame_sample",
     "mm_media_stats",
     "rel_runs_window",
-    "sink_ascii",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -828,6 +828,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings"), _query_vec(s, d), k=10
     )
     q["emb_quantize"] = lambda s, d: similarity.quantize_embeddings(
+        load_table(s, d, "embeddings")
+    )
+    # per-dim z-scoring from exact integer moments — the LSH/PQ
+    # preprocessing lane; statistics re-enter the plan as literals
+    q["emb_standardize"] = lambda s, d: similarity.standardize_embeddings(
         load_table(s, d, "embeddings")
     )
     q["emb_pairwise_topk"] = lambda s, d: similarity.pairwise_topk(
@@ -5427,6 +5432,42 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
                           ELSE 0.0 END, 6) AS ndcg_at_k
         FROM a, ideal
+    """
+
+    # per-dim standardization: the same quantized BIGINT moments, the
+    # same python-order double arithmetic (sum/n, E[x²]−m², sqrt,
+    # /scale), the same (x−m)/s two-op transform
+    o["emb_standardize"] = f"""
+        WITH {_V},
+        qv AS (
+          SELECT vec_id, e,
+                 list_transform(e, x ->
+                   CAST(floor(abs(x * 10000.0) + 0.5) * sign(x) AS BIGINT)) AS q
+          FROM v
+        ),
+        st AS (
+          SELECT i,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q[i]) AS BIGINT) AS sq,
+                 CAST(sum(q[i] * q[i]) AS BIGINT) AS sqq
+          FROM qv, range(1, 65) t(i)
+          GROUP BY i
+        ),
+        ms AS (
+          SELECT i,
+                 (CAST(sq AS DOUBLE) / n) / 10000.0 AS m,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n
+                      - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n),
+                      0.0)) / 10000.0 AS s
+          FROM st
+        ),
+        lists AS (SELECT list(m ORDER BY i) AS ml, list(s ORDER BY i) AS sl FROM ms)
+        SELECT vec_id,
+               list_transform(range(1, 65),
+                 i -> CASE WHEN sl[i] > 0
+                           THEN round((e[i] - ml[i]) / sl[i], 6)
+                           ELSE 0.0 END) AS embedding_std
+        FROM qv, lists
     """
 
     # farthest-first traversal replayed in SQL: the recursive CTE

@@ -225,6 +225,7 @@ HEADLINE = [
     "ts_seasonal_profile",
     "doc_triangles",
     "doc_related_terms",
+    "emb_standardize",
 ]
 
 

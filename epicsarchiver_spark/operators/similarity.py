@@ -790,6 +790,64 @@ def mmr_topk(
     return res.select("step", id_col, F.round("mmr_score", 6).alias("mmr_score"))
 
 
+def standardize_embeddings(
+    vectors: DataFrame,
+    scale: int = 10**4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-dimension z-scoring — the preprocessing step that keeps one
+    hot dimension from dominating every LSH plane and PQ subspace:
+    ``(id, embedding_std)`` with component i mapped to (x − μ_i)/σ_i
+    (6-dp rounded; constant dimensions map to 0). μ/σ come from EXACT
+    integer moment sums (components quantized at 1/``scale`` — the
+    ``dispersion`` device), reduced map-side to ONE dim-sized frame,
+    finished in python, and re-entering the plan as literal arrays — so
+    the statistics are bit-identical in any engine and partition order
+    never moves a z-score. Overflow budget: n·(scale·max|x|)² < 2⁶³ —
+    defaults allow ~9×10¹⁰ unit-ish vectors; lower ``scale`` for more.
+
+    Scale shape: one posexplode aggregate (shuffle volume = dim ×
+    partitions, corpus-size independent), a dim-row driver hop (the
+    pca_components posture), then a zero-shuffle projection."""
+    q = F.transform(
+        as_double(F.col(vec_col)),
+        lambda x: (F.floor(F.abs(x * float(scale)) + 0.5) * F.signum(x)).cast("long"),
+    )
+    stats = (
+        vectors.select(F.posexplode(q).alias("pos", "_q"))
+        .groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_q").alias("sq"),
+            F.sum(F.col("_q") * F.col("_q")).alias("sqq"),
+        )
+        .collect()
+    )
+    if not stats:
+        return vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("embedding_std")).limit(0)
+    import math
+
+    by_pos = {r.pos: r for r in stats}
+    dim = max(by_pos) + 1
+    means, stds = [], []
+    for i in range(dim):
+        r = by_pos[i]
+        m_units = r.sq / r.n
+        var_units = r.sqq / r.n - m_units * m_units
+        means.append(m_units / float(scale))
+        stds.append(math.sqrt(max(var_units, 0.0)) / float(scale))
+    m_lit = lit_double_array(means)
+    s_lit = lit_double_array(stds)
+    e = as_double(F.col(vec_col))
+    z = F.zip_with(
+        F.zip_with(e, m_lit, lambda x, m: x - m),
+        s_lit,
+        lambda d, s: F.when(s > 0, F.round(d / s, 6)).otherwise(F.lit(0.0)),
+    )
+    return vectors.select(F.col(id_col), z.alias("embedding_std"))
+
+
 def farthest_first_init(
     vectors: DataFrame,
     k: int = 8,

@@ -459,3 +459,36 @@ def test_related_terms_finds_window_neighbors(spark):
     # doc2 spark@2 → window [1..3] → shuffle@1 once. total 4
     assert r.n_cooc == 4
     assert r.pmi > 0  # over-represented vs corpus rate
+
+
+def test_standardize_embeddings_moments(spark):
+    """Standardized components have ~zero mean and unit variance per
+    dim; a constant dimension maps to exactly 0."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.similarity import standardize_embeddings
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (i, [float(rng.normal(5.0, 2.0)), float(rng.normal(-1.0, 0.5)), 3.0])
+        for i in range(200)
+    ]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = np.array(
+        [r.embedding_std for r in standardize_embeddings(vecs).orderBy("vec_id").collect()]
+    )
+    assert out.shape == (200, 3)
+    assert abs(out[:, 0].mean()) < 1e-3 and abs(out[:, 0].std() - 1.0) < 1e-2
+    assert abs(out[:, 1].mean()) < 1e-3 and abs(out[:, 1].std() - 1.0) < 1e-2
+    assert (out[:, 2] == 0.0).all()  # constant dim
+
+    # partition order must not move a z-score
+    again = np.array(
+        [
+            r.embedding_std
+            for r in standardize_embeddings(vecs.repartition(7))
+            .orderBy("vec_id")
+            .collect()
+        ]
+    )
+    assert (out == again).all()
