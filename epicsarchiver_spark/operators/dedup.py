@@ -1511,6 +1511,7 @@ def triangle_stats(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_degree: int | None = None,
 ) -> DataFrame:
     """Per-node triangle counts + local clustering coefficient over an
     undirected pair graph — the quantitative form of graph_profile's
@@ -1523,14 +1524,38 @@ def triangle_stats(
     The oriented 3-way self-join: edges canonicalize to u < v, a
     triangle x<y<z is found exactly once as (x,y)⋈(y,z)⋈(x,z) — no
     per-triangle dedup, no direction double-count. Scale shape: the
-    join runs on the DUP-GRAPH edges (16 B/row — never documents), the
-    worst case is Σ_v deg(v)² wedge pairs, the same block²-class bound
-    the banded pair lanes already fence upstream; node rollups are two
-    exploded aggregates."""
-    e = pairs.select(
-        F.least(F.col(id_a), F.col(id_b)).alias("u"),
-        F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
-    ).distinct()
+    join runs on the DUP-GRAPH edges (16 B/row — never documents), BUT
+    the wedge volume is Σ_v deg(v)² — one 10⁵-degree super-node means
+    10¹⁰ wedge rows (measured: the ×10 probe corpus filled 75 GB of
+    shuffle before the fence existed, SCALE.md r9k). ``max_degree``
+    is the fence: nodes above the cap leave the graph WITH their edges
+    before the join (whole-node drop, row-order independent — the
+    fuzzy_matches hot-block discipline) and all outputs are residual-
+    graph stats; audit what dropped with :func:`triangle_supernodes`.
+    Node rollups are two exploded aggregates. The canonical edge frame
+    persists (16 B/row): up to six consumers (fence degree pass, three
+    join sides, node rollups) would otherwise each re-derive the pair
+    lane — measured ~6× the pair-build cost before this persist
+    (SCALE.md r9k)."""
+    e = (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    if max_degree is not None:
+        hot = (
+            e.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("_d"))
+            .filter(F.col("_d") > int(max_degree))
+            .select("id")
+        )
+        e = e.join(
+            hot.withColumnRenamed("id", "u"), "u", "left_anti"
+        ).join(hot.withColumnRenamed("id", "v"), "v", "left_anti")
     e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
     e2 = e.select(F.col("u").alias("b"), F.col("v").alias("c"))
     e3 = e.select(F.col("u").alias("a"), F.col("v").alias("c"))
@@ -1557,6 +1582,27 @@ def triangle_stats(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("clustering"),
+    )
+
+
+def triangle_supernodes(
+    pairs: DataFrame,
+    max_degree: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """The ``triangle_stats(max_degree=)`` drop report: ``(id, degree)``
+    of every node the fence would exclude — silent truncation made
+    auditable (the fuzzy_blocks_oversize twin)."""
+    e = pairs.select(
+        F.least(F.col(id_a), F.col(id_b)).alias("u"),
+        F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+    ).distinct()
+    return (
+        e.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        .filter(F.col("degree") > int(max_degree))
     )
 
 

@@ -103,3 +103,27 @@ def test_triangle_stats_known_graphs(spark):
     hub = run([(1, 2), (2, 3), (3, 1), (1, 3), (3, 4), (4, 3)])
     assert hub[3] == (3, 1, round(2 * 1 / (3 * 2), 6))
     assert hub[4] == (1, 0, 0.0)
+
+
+def test_triangle_stats_super_node_fence(spark):
+    """A hub wired to everything would generate deg² wedges; the fence
+    removes it WITH its edges, leaving the residual graph's triangles
+    intact and auditable via triangle_supernodes."""
+    from epicsarchiver_spark.operators.dedup import (
+        triangle_stats,
+        triangle_supernodes,
+    )
+
+    # hub 99 touches 10 nodes; besides it, only the triangle {1,2,3}
+    edges = [(99, i) for i in range(1, 11)] + [(1, 2), (2, 3), (3, 1)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fenced = {r.id: (r.degree, r.n_triangles)
+              for r in triangle_stats(df, max_degree=5).collect()}
+    assert 99 not in fenced
+    assert fenced[1] == (2, 1) and fenced[2] == (2, 1) and fenced[3] == (2, 1)
+    dropped = triangle_supernodes(df, max_degree=5).collect()
+    assert [(r.id, r.degree) for r in dropped] == [(99, 10)]
+    # unfenced still counts hub triangles (99-1-2 etc. are NOT triangles
+    # here since 1..10 are only wired to the hub and the {1,2,3} ring)
+    full = {r.id: r.n_triangles for r in triangle_stats(df).collect()}
+    assert full[99] == 3  # 99 closes {99,1,2},{99,2,3},{99,1,3}
