@@ -2324,9 +2324,11 @@ def related_terms(
     vocabulary-sized and the totals ride 1-row broadcasts."""
     tgt = target.lower()
     w = int(window)
+    # two consumers (co-occurrence lane, corpus unigram lane) share one
+    # tokenize via persist — the qld_topk discipline
     toks = docs.select(
         T.tokens(F.lower(F.coalesce(F.col(text), F.lit("")))).alias("tk")
-    )
+    ).persist()
     n = F.size("tk")
     pos = F.filter(
         F.sequence(F.lit(1), n), lambda i: F.element_at("tk", i) == F.lit(tgt)
