@@ -172,57 +172,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # IS GENERATED — regenerate it at the start of each round with
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
-_R9_FRONT: list[str] = [
-    "doc_bm25_multi",
-    "doc_bm25_prf",
-    "doc_hybrid_rrf",
-    "doc_hybrid_rrf3",
-    "doc_minhash_quality_sampled",
-    "doc_qld_topk",
-    "doc_related_terms",
-    "doc_snippets",
-    "doc_triangles",
-    "emb_ivfpq_rerank",
-    "emb_ivfpq_rerank_indexed",
-    "emb_kpp_init",
-    "emb_mmr_topk",
-    "emb_retrieval_eval",
+_R10_FRONT: list[str] = [
+    "doc_triangles_indexed",
     "emb_standardize",
-    "rel_entity_resolution",
-    "rel_entity_resolution_indexed",
-    "rel_fuzzy_blocks",
-    "ts_ewma",
-    "ts_ewma_bucketed",
-    "ts_rollup_cube",
-    "ts_seasonal_profile",
-    "cat_chararray",
-    "cat_desc_join",
-    "cat_hashname",
-    "cat_normalize",
-    "cat_parse_times",
-    "cat_yesno_json",
-    "ctl_apply_requests",
-    "ctl_pair_increment",
-    "ctl_position_save",
-    "ctl_rotate_runs",
-    "doc_dedup_survivors",
-    "doc_incremental_dedup",
-    "doc_segment_dedup",
-    "doc_unigram_logprob",
-    "emb_cell_assign",
-    "emb_cosine_neardups",
-    "emb_cosine_neardups_banded",
-    "emb_dedup_groups",
-    "emb_pairwise_topk",
-    "emb_quantize",
-    "emb_topk_cosine",
-    "emb_topk_ivf",
-    "emb_topk_lsh",
-    "emb_topk_lsh_multi",
-    "mm_features",
-    "mm_frame_sample",
-    "mm_media_stats",
-    "rel_runs_window",
+    "sink_ascii",
+    "sink_saverestore",
+    "sink_sqldump",
+    "src_pvlist",
+    "src_template",
+    "store_roundtrip",
+    "stream_compress",
+    "ts_compress_exact",
+    "ts_cull_band",
+    "ts_get_data",
+    "ts_locf_grid",
+    "ts_rate_windowed",
+    "cat_distinct_series",
+    "cat_wildcard",
+    "doc_bigram_logprob",
+    "doc_bloom_dedup",
+    "doc_chunks",
+    "doc_contamination",
+    "doc_dedup_exact",
+    "doc_dedup_groups",
+    "doc_exact_dups",
+    "doc_fingerprints",
+    "doc_global_shuffle",
+    "doc_jaccard_pairs",
+    "doc_langid",
+    "doc_minhash_neardups",
+    "doc_pack_sequences",
+    "doc_pii_scrub",
+    "doc_quality",
+    "doc_rebalance",
+    "doc_repetition",
+    "doc_sample_stratified",
+    "doc_simhash_neardups",
+    "doc_splits",
+    "doc_substring_dedup",
+    "doc_tfidf_top_terms",
+    "doc_vocab_topk",
+    "emb_cell_stats",
+    "rel_order_priority",
+    "rel_orders_no_lineitem",
+    "rel_pair_scores",
+    "rel_pricing_summary",
+    "rel_regional_revenue",
+    "rel_related_topk",
+    "rel_score_sums",
+    "rel_top_orders",
+    "ts_alarm_transitions",
+    "ts_cull_full",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -831,9 +831,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         load_table(s, d, "embeddings")
     )
     # per-dim z-scoring from exact integer moments — the LSH/PQ
-    # preprocessing lane; statistics re-enter the plan as literals
-    q["emb_standardize"] = lambda s, d: similarity.standardize_embeddings(
-        load_table(s, d, "embeddings")
+    # preprocessing lane; statistics re-enter the plan as literals.
+    # The gate presents LONG-FORM (vec_id, pos, z) — the emb_cell_stats
+    # pattern — because the driver's pandas sort_values canonicalization
+    # cannot sort raw array cells (the r9 never-green lesson)
+    q["emb_standardize"] = lambda s, d: (
+        similarity.standardize_embeddings(load_table(s, d, "embeddings"))
+        .select("vec_id", F.posexplode("embedding_std").alias("pos", "z"))
+        .select("vec_id", (F.col("pos") + 1).cast("long").alias("pos"), "z")
     )
     q["emb_pairwise_topk"] = lambda s, d: similarity.pairwise_topk(
         load_table(s, d, "embeddings"),
@@ -2433,6 +2438,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
     )
 
+    # ...and the triangle read-back twin: the ORIENTED 3-way join runs
+    # over the persisted 16 B/row canonical edge artifact (write-once
+    # per corpus release, dedup.write_edges) — the production shape
+    # SCALE r9k showed is necessary: inline, the exact-Jaccard pair
+    # build dominates and dies unfenced at ×10. Oracle ≡ doc_triangles.
+    def _doc_triangles_indexed(s, d):
+        def _build(path):
+            dedup.write_edges(
+                dedup.jaccard_pairs_blocked(
+                    load_table(s, d, "documents"), shingle_k=2, threshold=0.05
+                ),
+                path,
+            )
+
+        edges = s.read.parquet(_artifact_path(d, "dup_edges", _build))
+        return dedup.triangle_stats(edges, id_a="u", id_b="v")
+
+    q["doc_triangles_indexed"] = _doc_triangles_indexed
+
     # ...and the read-back twin: component sizes from the persisted CC
     # labels (shared "components" artifact), only the degree side pays
     # the pair scan — the release-cadence shape of the dashboard
@@ -2502,12 +2526,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of this dict (r2-r8 each certified exactly the first 50
     # keys). All 233 pre-r9 keys are driver-certified (union of
     # CORRECTNESS_r01..r08), so the window now runs as a rolling
-    # regression guard: _R9_FRONT = new-this-round keys + the 48
+    # regression guard: _R10_FRONT = new-this-round keys + the 48
     # stalest certifications (see its comment). Previously certified
     # keys keep their green rows (testdata unchanged — guarded by
     # tests/testdata_fingerprint.json) and fill the remainder in their
     # prior order.
-    front = _R9_FRONT
+    front = _R10_FRONT
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
@@ -4593,6 +4617,9 @@ def oracle_sql() -> dict[str, str]:
         FROM deg LEFT JOIN nt USING (id)
     """
 
+    # the persisted-edge lane answers the SAME question
+    o["doc_triangles_indexed"] = o["doc_triangles"]
+
     # --- MinHash / SimHash (basis="md5"): bit-for-bit reproduction -----
     # Engine and oracle share the md5 token basis: per-token 60-bit hash
     # (first 15 hex digits of md5 → BIGINT; DuckDB folds hex digits with
@@ -5463,11 +5490,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         lists AS (SELECT list(m ORDER BY i) AS ml, list(s ORDER BY i) AS sl FROM ms)
         SELECT vec_id,
-               list_transform(range(1, 65),
-                 i -> CASE WHEN sl[i] > 0
-                           THEN round((e[i] - ml[i]) / sl[i], 6)
-                           ELSE 0.0 END) AS embedding_std
-        FROM qv, lists
+               CAST(i AS BIGINT) AS pos,
+               CASE WHEN sl[i] > 0
+                    THEN round((e[i] - ml[i]) / sl[i], 6)
+                    ELSE 0.0 END AS z
+        FROM qv, lists, range(1, 65) t(i)
     """
 
     # farthest-first traversal replayed in SQL: the recursive CTE

@@ -1537,7 +1537,7 @@ def triangle_stats(
     join sides, node rollups) would otherwise each re-derive the pair
     lane — measured ~6× the pair-build cost before this persist
     (SCALE.md r9k)."""
-    e = (
+    e0 = (
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
@@ -1545,6 +1545,7 @@ def triangle_stats(
         .distinct()
         .persist()
     )
+    e = e0
     if max_degree is not None:
         hot = (
             e.select(F.explode(F.array("u", "v")).alias("id"))
@@ -1571,7 +1572,7 @@ def triangle_stats(
         .agg(F.count(F.lit(1)).alias("degree"))
     )
     t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
-    return deg.join(nt, "id", "left").select(
+    out = deg.join(nt, "id", "left").select(
         "id",
         F.col("degree").cast("long").alias("degree"),
         t.alias("n_triangles"),
@@ -1582,6 +1583,38 @@ def triangle_stats(
             ).otherwise(F.lit(0.0)),
             6,
         ).alias("clustering"),
+    )
+    # node-sized (32 B/row, ≪ the edge frame it frees): eager-checkpoint
+    # cuts lineage off the persisted edges so the cache releases HERE
+    # (the cell_quality discipline) instead of accruing one edge frame
+    # per call in a long-lived session
+    out = out.localCheckpoint(eager=True)
+    e0.unpersist()
+    return out
+
+
+def write_edges(
+    pairs: DataFrame, path: str, id_a: str = "id_a", id_b: str = "id_b"
+) -> None:
+    """Persist the CANONICAL dup-graph edge frame (u < v, distinct;
+    16 B/row) as a corpus-release artifact — the
+    ``curation.write_components`` cadence for edge-shaped consumers
+    (``triangle_stats``, ``graph_profile`` degree lanes, future motif
+    counts). Building the pair lane (shingle → block → exact Jaccard)
+    is the expensive step — SCALE.md r9k measured the inline build
+    dominating the fenced triangle pass at ×10 — so the steady state is
+    write-once, read-back: every later graph query is a 2-column
+    parquet scan instead of a corpus re-shingle. Repartitioned by ``u``
+    so node-keyed joins can prune files."""
+    (
+        pairs.select(
+            F.least(F.col(id_a), F.col(id_b)).alias("u"),
+            F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .distinct()
+        .repartition("u")
+        .write.mode("overwrite")
+        .parquet(path)
     )
 
 

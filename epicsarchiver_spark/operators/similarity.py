@@ -715,6 +715,21 @@ def ivfpq_topk_rerank(
     )
 
 
+def _pick_schema(vectors: DataFrame, id_col: str, score_name: str):
+    """(step, id, score) result schema for the greedy-pick operators,
+    with the id field typed from the INPUT frame — string/int corpora ids
+    must round-trip createDataFrame the same as longs."""
+    from pyspark.sql import types as ST
+
+    return ST.StructType(
+        [
+            ST.StructField("step", ST.LongType()),
+            ST.StructField(id_col, vectors.schema[id_col].dataType),
+            ST.StructField(score_name, ST.DoubleType()),
+        ]
+    )
+
+
 def mmr_topk(
     vectors: DataFrame,
     query: list[float],
@@ -755,7 +770,9 @@ def mmr_topk(
     ).collect()
     rel = {r[0]: float(r[1]) for r in cand}
     ids = sorted(rel)
-    out_schema = f"step long, {id_col} long, mmr_score double"
+    # id type follows the input (string corpora ids are as legal here as
+    # longs — brute_force_topk already handles both)
+    out_schema = _pick_schema(vectors, id_col, "mmr_score")
     if not ids:
         return spark.createDataFrame([], out_schema)
 
@@ -899,7 +916,7 @@ def farthest_first_init(
         sel.append([float(x) for x in r["_v"]])
         sel_ids.append(r[0])
     return vectors.sparkSession.createDataFrame(
-        picks, f"step long, {id_col} long, dist double"
+        picks, _pick_schema(vectors, id_col, "dist")
     )
 
 

@@ -758,12 +758,20 @@ def snippet_window(
     tie kept), the snippet a slice + join. Zero shuffles — the operator
     is a projection."""
     tset = sorted({t.lower() for t in terms})
+    if not tset:
+        raise ValueError("snippet_window needs at least one term")
     toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
     base = docs.select(F.col(id_col), toks.alias("_toks"))
-    pos = F.filter(
-        F.sequence(F.lit(1), F.size("_toks")),
-        lambda i: F.element_at("_toks", i).isin(*tset),
-    )
+    # empty/whitespace/NULL text → empty token array → sequence(1, 0)
+    # DESCENDS to [1, 0] and element_at(_, 0) throws; guard like
+    # word_shingles (functions/text.py:54)
+    pos = F.when(
+        F.size("_toks") > 0,
+        F.filter(
+            F.sequence(F.lit(1), F.size("_toks")),
+            lambda i: F.element_at("_toks", i).isin(*tset),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     base = base.withColumn("_pos", pos)
     cnt_at = lambda p: F.size(  # noqa: E731
         F.filter("_pos", lambda q: (q >= p) & (q < p + F.lit(int(width))))
@@ -934,12 +942,19 @@ def qld_topk(
     )
     topk = scored.orderBy(F.col("score").desc(), F.col(id_col)).limit(int(k))
     w = Window.orderBy(F.col("score").desc(), F.col(id_col))
-    return topk.select(
+    out = topk.select(
         id_col,
         "n_terms_matched",
         "score",
         F.row_number().over(w).cast("long").alias("rank"),
     )
+    # k rows: eager-checkpoint to cut lineage off the persisted base and
+    # release the cache HERE (the cell_quality discipline,
+    # similarity.py) instead of leaking one tokenized projection per
+    # call for the life of a SearchPipeline session
+    out = out.localCheckpoint(eager=True)
+    base.unpersist()
+    return out
 
 
 def dcg_discounts(k: int, scale: int = 10**12) -> list[int]:
@@ -2330,9 +2345,14 @@ def related_terms(
         T.tokens(F.lower(F.coalesce(F.col(text), F.lit("")))).alias("tk")
     ).persist()
     n = F.size("tk")
-    pos = F.filter(
-        F.sequence(F.lit(1), n), lambda i: F.element_at("tk", i) == F.lit(tgt)
-    )
+    # empty/whitespace docs tokenize to [] → sequence(1, 0) descends and
+    # element_at(_, 0) throws; one such doc anywhere kills the whole scan
+    pos = F.when(
+        n > 0,
+        F.filter(
+            F.sequence(F.lit(1), n), lambda i: F.element_at("tk", i) == F.lit(tgt)
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     neigh = F.flatten(
         F.transform(
             pos,
@@ -2358,7 +2378,7 @@ def related_terms(
         .agg(F.count(F.lit(1)).alias("n_corpus"))
     )
     n_total = uni.agg(F.sum("n_corpus").cast("long").alias("_N"))
-    return (
+    out = (
         cooc.join(uni, "term")
         .crossJoin(F.broadcast(cwin))
         .crossJoin(F.broadcast(n_total))
@@ -2377,6 +2397,11 @@ def related_terms(
         .orderBy(F.desc("pmi"), "term")
         .limit(int(k))
     )
+    # k rows: eager-checkpoint + release the token projection (the
+    # cell_quality discipline) — no cache leak per call
+    out = out.localCheckpoint(eager=True)
+    toks.unpersist()
+    return out
 
 
 def hapax_zipf(

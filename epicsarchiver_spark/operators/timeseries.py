@@ -527,7 +527,10 @@ def ewma(
         F.col("value"),
         F.collect_list(q).over(w).alias("_arr"),
     ).withColumn("_wt", wt_lit)
-    # element i (1-based, ascending time) has age L−i → weight _wt[L−i+1]
+    # element i (1-based, ascending time) has age L−i → weight _wt[L−i+1].
+    # collect_list skips NULL values, so an all-NULL support window gives
+    # an EMPTY _arr — sequence(1, 0) would descend and element_at(_, 0)
+    # throw; guard to a NULL ewma instead.
     num = F.aggregate(
         F.sequence(F.lit(1), F.size("_arr")),
         F.lit(0).cast("long"),
@@ -543,8 +546,9 @@ def ewma(
         F.col(key),
         F.col("time"),
         F.col("value"),
-        F.round(
-            num.cast("double") / den.cast("double") * F.lit(quantum), 6
+        F.when(
+            F.size("_arr") > 0,
+            F.round(num.cast("double") / den.cast("double") * F.lit(quantum), 6),
         ).alias("ewma"),
     )
 
@@ -1589,6 +1593,7 @@ def grid_pivot(
 def seasonal_profile(
     points: DataFrame,
     key: str = "pvname",
+    exact: bool = True,
 ) -> DataFrame:
     """Hour-of-day percentile envelope per series — the dashboard band
     behind :func:`seasonal_anomalies`' verdicts: ``(key, hour, n, p10,
@@ -1598,16 +1603,26 @@ def seasonal_profile(
     "anomalies" become visible excursions instead of afternoon noise.
 
     One (series, hour)-keyed aggregate with map-side partials — 24 rows
-    per series out, raw points shuffle once."""
+    per series out, raw points shuffle once. ``exact=True`` buffers each
+    (series, hour) group's values to sort (right for the gate and groups
+    up to ~10⁷ points); at 100 TB flip ``exact=False`` for
+    ``approx_percentile`` (t-digest sketch, constant memory per group,
+    mergeable partials — the ``robust_outliers`` dial)."""
+    if exact:
+        pct = lambda p: F.percentile("value", F.lit(p))  # noqa: E731
+    else:
+        pct = lambda p: F.expr(  # noqa: E731
+            f"approx_percentile(value, {p}, 10000)"
+        )
     hour = (F.floor(F.col("time") / 3600) % 24).cast("long").alias("hour")
     return (
         points.select(F.col(key), hour, F.col("value"))
         .groupBy(key, "hour")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.percentile("value", F.lit(0.1)).alias("p10"),
-            F.percentile("value", F.lit(0.5)).alias("p50"),
-            F.percentile("value", F.lit(0.9)).alias("p90"),
+            pct(0.1).alias("p10"),
+            pct(0.5).alias("p50"),
+            pct(0.9).alias("p90"),
         )
     )
 

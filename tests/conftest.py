@@ -37,12 +37,22 @@ def duck():
 
 
 def normalize_rows(cols, rows):
-    """Canonicalize a result set the way the driver's value-hash would:
-    columns sorted by name, rows sorted, values coerced to plain python."""
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    """Canonicalize a result set the way the driver's value-hash does:
+    columns reordered sorted-by-name, then a pandas ``sort_values`` over
+    ALL columns. This MUST stay faithful to the driver — in particular
+    an array/list-typed cell must RAISE here (sort_values cannot sort
+    it), not be str()-coerced away: the r9 ``emb_standardize`` gate
+    passed this mirror locally and then crashed the driver with
+    ``TypeError: unhashable type: 'numpy.ndarray'`` precisely because
+    the old coercion masked the unsortable column."""
+    import pandas as pd
+
+    order = sorted(cols)
+    pdf = pd.DataFrame(list(rows), columns=list(cols))[order]
+    pdf = pdf.sort_values(by=order, kind="mergesort", na_position="last")
 
     def coerce(v):
-        if v is None:
+        if v is None or (isinstance(v, float) and v != v):
             return None
         if isinstance(v, bool):
             return bool(v)
@@ -52,5 +62,7 @@ def normalize_rows(cols, rows):
             return float(v)
         return str(v)
 
-    out = [tuple(coerce(r[i]) for i in order) for r in rows]
-    return sorted(out, key=lambda t: tuple((x is None, str(type(x)), x) for x in t))
+    return [
+        tuple(coerce(v) for v in r)
+        for r in pdf.astype(object).itertuples(index=False, name=None)
+    ]

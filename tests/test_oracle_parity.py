@@ -18,6 +18,22 @@ def test_oracle_keys_subset_of_queries():
     assert set(ORACLES) <= set(QUERIES)
 
 
+def test_mirror_rejects_array_typed_columns():
+    """The canon must stay faithful to the driver's pandas sort_values —
+    an array/list-typed gate column has to fail HERE, locally, before it
+    can crash the driver (r9's emb_standardize was green in this mirror
+    and red in CORRECTNESS_r09 because the old canon str()-coerced the
+    unsortable cells)."""
+    import numpy as np
+
+    with pytest.raises(TypeError):
+        normalize_rows(
+            ["id", "vec"], [(1, np.array([1.0, 2.0])), (2, np.array([3.0, 4.0]))]
+        )
+    with pytest.raises(TypeError):
+        normalize_rows(["id", "vec"], [(1, [1.0]), (2, [2.0])])
+
+
 @pytest.mark.parametrize("name", sorted(ORACLES))
 def test_query_matches_oracle(spark, duck, name):
     import pandas as pd

@@ -62,6 +62,21 @@ def test_ewma_series_are_independent(spark):
     assert got[("a", 1.0)] == exp
 
 
+def test_ewma_null_values_dont_crash(spark):
+    """collect_list skips NULLs, so a leading all-NULL support window
+    gives an empty _arr; the unguarded fold would hit the descending
+    sequence(1, 0) / element_at(_, 0) crash. NULL value → NULL ewma at
+    that row when nothing earlier exists, and later rows smooth over the
+    non-NULL support only."""
+    rows = [("pv", 0.0, None), ("pv", 1.0, None), ("pv", 2.0, 8.0), ("pv", 3.0, 4.0)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = [r.ewma for r in ewma(df).orderBy("time").collect()]
+    assert got[0] is None and got[1] is None
+    assert got[2] == 8.0
+    exp = round((400 * WT[0] + 800 * WT[1]) / (WT[0] + WT[1]) * 0.01, 6)
+    assert got[3] == exp
+
+
 def test_rollup_cube_levels_are_consistent(spark):
     """ROLLUP invariants: the grand total equals the sum of per-key
     subtotals equals the sum of detail rows, for n and sum_value."""
@@ -122,3 +137,30 @@ def test_seasonal_profile_bands_track_the_cycle(spark):
     for r in out:
         assert r.n == 4
         assert r.p10 == r.p50 == r.p90 == r.hour * 10.0
+
+
+def test_seasonal_profile_approx_dial(spark):
+    """exact=False (the 100 TB path) swaps the sorting percentile for a
+    t-digest sketch: same schema, near-identical bands on a smooth
+    distribution, and the plan carries the approx aggregate instead of
+    the exact one."""
+    from epicsarchiver_spark.operators.timeseries import seasonal_profile
+    from epicsarchiver_spark.plans import explain_str
+
+    rows = [
+        ("pv", float(d * 86400 + h * 3600 + s), float((d * 37 + s) % 100))
+        for d in range(3)
+        for h in range(4)
+        for s in range(50)
+    ]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    ex = {(r.pvname, r.hour): r for r in seasonal_profile(df).collect()}
+    ap = {(r.pvname, r.hour): r for r in seasonal_profile(df, exact=False).collect()}
+    assert set(ex) == set(ap)
+    for k in ex:
+        assert ex[k].n == ap[k].n
+        for c in ("p10", "p50", "p90"):
+            assert abs(getattr(ex[k], c) - getattr(ap[k], c)) <= 2.0, (k, c)
+    plan = explain_str(seasonal_profile(df, exact=False))
+    assert "approx_percentile" in plan
+    assert "approx_percentile" not in explain_str(seasonal_profile(df))

@@ -186,6 +186,25 @@ def test_mmr_k_truncates_to_candidate_count(spark):
     assert sorted(r.step for r in rows) == [1, 2]
 
 
+def test_mmr_and_kpp_accept_string_ids(spark):
+    """r9 ADVICE: the result schema must derive the id type from the
+    input frame — brute_force_topk/ivfpq handle string ids, so the
+    greedy-pick operators must too."""
+    from epicsarchiver_spark.operators.similarity import (
+        farthest_first_init,
+        mmr_topk,
+    )
+
+    vecs = spark.createDataFrame(
+        [("a", [1.0, 0.0]), ("b", [0.0, 1.0]), ("c", [0.7, 0.7])],
+        "vec_id string, embedding array<double>",
+    )
+    m = mmr_topk(vecs, [1.0, 0.0], k=2, n_candidates=3).collect()
+    assert [r.step for r in m] == [1, 2] and m[0].vec_id == "a"
+    f = farthest_first_init(vecs, k=2).collect()
+    assert f[0].vec_id == "a" and len(f) == 2  # smallest-id seed
+
+
 def test_bm25_prf_surfaces_vocabulary_mismatch_docs(spark):
     """PRF's reason to exist: a doc sharing NO query term but sharing
     the feedback docs' vocabulary appears in the expanded ranking."""
@@ -438,6 +457,23 @@ def test_snippet_window_is_shuffle_free(spark):
     assert "Exchange" not in plan, plan[:1200]
 
 
+def test_snippet_window_survives_empty_and_null_docs(spark):
+    """r9 ADVICE: tokens('') is [], so an unguarded sequence(1, 0)
+    descends to [1, 0] and element_at throws INVALID_ARRAY_INDEX —
+    empty / whitespace / NULL text must yield n_matched=0 rows."""
+    from epicsarchiver_spark.operators.text_ops import snippet_window
+
+    docs = spark.createDataFrame(
+        [(1, "spark join here"), (2, ""), (3, "   "), (4, None)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in snippet_window(docs, ["spark"], width=3).collect()}
+    assert len(got) == 4  # full spine survives
+    assert got[1].n_matched == 1
+    for d in (2, 3, 4):
+        assert got[d].n_matched == 0 and got[d].snippet is None
+
+
 def test_related_terms_finds_window_neighbors(spark):
     from epicsarchiver_spark.operators.text_ops import related_terms
 
@@ -459,6 +495,29 @@ def test_related_terms_finds_window_neighbors(spark):
     # doc2 spark@2 → window [1..3] → shuffle@1 once. total 4
     assert r.n_cooc == 4
     assert r.pmi > 0  # over-represented vs corpus rate
+
+
+def test_related_terms_survives_empty_and_null_docs(spark):
+    """r9 ADVICE: one empty/whitespace/NULL doc anywhere in the corpus
+    must not kill the whole scan (same descending-sequence crash as
+    snippet_window, but corpus-wide)."""
+    from epicsarchiver_spark.operators.text_ops import related_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark shuffle spark shuffle"),
+            (2, ""),
+            (3, "   "),
+            (4, None),
+            (5, "shuffle spark again"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.term: r
+        for r in related_terms(docs, "spark", window=1, k=10, min_count=2).collect()
+    }
+    assert "shuffle" in got and got["shuffle"].n_cooc >= 2
 
 
 def test_standardize_embeddings_moments(spark):

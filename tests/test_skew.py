@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+from pyspark.sql import functions as F
 
 from epicsarchiver_spark.operators.skew import skew_safe_counts
 from epicsarchiver_spark.operators.timeseries import minmax_times
@@ -127,3 +128,26 @@ def test_triangle_stats_super_node_fence(spark):
     # here since 1..10 are only wired to the hub and the {1,2,3} ring)
     full = {r.id: r.n_triangles for r in triangle_stats(df).collect()}
     assert full[99] == 3  # 99 closes {99,1,2},{99,2,3},{99,1,3}
+
+
+def test_triangle_stats_from_edge_artifact_matches_inline(spark, tmp_path):
+    """The write_edges → read-back lane (doc_triangles_indexed's shape)
+    answers identically to the inline pair lane — messy input (dups,
+    reversed orientation) canonicalizes at write time."""
+    from epicsarchiver_spark.operators.dedup import triangle_stats, write_edges
+
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (3, 4), (4, 5), (5, 3)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    path = str(tmp_path / "edges")
+    write_edges(df, path)
+    art = spark.read.parquet(path)
+    assert set(art.columns) == {"u", "v"}
+    # canonical: u < v, distinct
+    assert art.filter(F.col("u") >= F.col("v")).count() == 0
+    assert art.count() == art.distinct().count() == 6
+
+    inline = {r.id: (r.degree, r.n_triangles, r.clustering)
+              for r in triangle_stats(df).collect()}
+    indexed = {r.id: (r.degree, r.n_triangles, r.clustering)
+               for r in triangle_stats(art, id_a="u", id_b="v").collect()}
+    assert inline == indexed

@@ -32,9 +32,16 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def last_green_round(correctness_files: list[str]) -> dict[str, int]:
-    """key -> latest round with a fully-green driver row."""
-    out: dict[str, int] = {}
+def driver_history(
+    correctness_files: list[str],
+) -> tuple[dict[str, int], dict[str, tuple[int, bool]]]:
+    """(key -> latest fully-green round, key -> (latest round seen, was
+    that latest row green)). Tracking the LATEST row separately is what
+    gives a since-regressed key (old green, newest row red) re-proof
+    priority instead of letting it hide behind its stale green round
+    (r9 ADVICE)."""
+    green: dict[str, int] = {}
+    latest: dict[str, tuple[int, bool]] = {}
     for path in sorted(correctness_files):
         m = re.search(r"_r(\d+)\.json$", path)
         if not m:
@@ -45,24 +52,33 @@ def last_green_round(correctness_files: list[str]) -> dict[str, int]:
         except (OSError, json.JSONDecodeError):
             continue
         for key, row in rows.items():
-            if (
+            ok = (
                 isinstance(row, dict)
-                and row.get("rows_match")
-                and row.get("schema_match")
-                and row.get("hash_match")
-            ):
-                out[key] = max(out.get(key, 0), rnd)
-    return out
+                and bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and bool(row.get("hash_match"))
+            )
+            if ok:
+                green[key] = max(green.get(key, 0), rnd)
+            if key not in latest or rnd >= latest[key][0]:
+                latest[key] = (rnd, ok)
+    return green, latest
 
 
 def compute_front(window: int = 50) -> list[str]:
     import __spark_entry__ as entrymod
 
     keys = list(entrymod.queries())
-    green = last_green_round(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+    green, latest = driver_history(
+        glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    )
     never = sorted(k for k in keys if k not in green)
-    stale = sorted((green[k], k) for k in keys if k in green)
-    front = never + [k for _rnd, k in stale]
+    regressed = sorted(
+        k for k in keys if k in green and k in latest and not latest[k][1]
+    )
+    need_proof = never + [k for k in regressed if k not in never]
+    rest = sorted((green[k], k) for k in keys if k in green and k not in regressed)
+    front = need_proof + [k for _rnd, k in rest]
     return front[:window]
 
 
