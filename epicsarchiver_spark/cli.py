@@ -8,6 +8,8 @@ continuous daemon shape; SURVEY §3.1):
 
     archive SRC       → gate→compress→bucketed append      (pvarch start)
     cache_daemon SRC  → latest-value cache maintenance     (pvarch cache start)
+    stop PROC         → signal a --follow daemon to stop   (pvarch arch/cache stop)
+    restart PROC SRC  → stop + start with checkpoint resume (pvarch arch/cache restart)
     alerts RULES.csv  → rule sweep + rendered mail         (cache.py alert daemon,
                         minus the SMTP send — pipe stdout)
     alert_rules       → alert-rule CRUD (add/edit/drop)    (webapp.py /editalert +
@@ -88,6 +90,15 @@ _CONFIG_DESTS: dict[str | None, list[tuple[str, str, object]]] = {
     ],
     "archive": [("deadtime", "deadtime", 5.0), ("deadband", "deadband", 0.0)],
     "cache_daemon": [
+        ("cache", "cache", "./cache"),
+        ("jdbc_url", "jdbc_url", None),
+        ("dialect", "dialect", "merge"),
+    ],
+    # restart re-dispatches to archive/cache_daemon, so it needs the
+    # union of both lanes' config-backed dests resolved
+    "restart": [
+        ("deadtime", "deadtime", 5.0),
+        ("deadband", "deadband", 0.0),
         ("cache", "cache", "./cache"),
         ("jdbc_url", "jdbc_url", None),
         ("dialect", "dialect", "merge"),
@@ -422,10 +433,19 @@ def cmd_archive(args) -> int:
     Structured Streaming query over a parquet events directory. Default
     is a BOUNDED availableNow drain (processes everything present, then
     exits — cron-able backfill); ``--follow`` keeps the query running on
-    a processing-time trigger, which is the reference daemon's shape
-    (stop it with SIGINT; the checkpoint resumes exactly-once)."""
+    a processing-time trigger, which is the reference daemon's shape —
+    managed via the pidfile/stop-sentinel control plane (``pvarch stop
+    archive`` / ``pvarch restart archive``, ref pvarch.py:196-202; the
+    checkpoint resumes exactly-once)."""
+    from epicsarchiver_spark import daemon
     from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
 
+    if args.follow and (pid := daemon.already_running(args.checkpoint, "archive")):
+        print(
+            f"archive daemon appears to be running (pid {pid})... try 'restart'?",
+            file=sys.stderr,
+        )
+        return 1
     spark = _spark("archive")
     stream = spark.readStream.schema(
         "pvname string, time double, value double"
@@ -447,8 +467,8 @@ def cmd_archive(args) -> int:
         else q.trigger(availableNow=True)
     ).start()
     if args.follow:
-        print(f"archiving {args.events} -> {args.store} (ctrl-c to stop)")
-        q.awaitTermination()
+        print(f"archiving {args.events} -> {args.store} (pvarch stop archive to stop)")
+        daemon.watch(q, args.checkpoint, "archive")
     else:
         if not _drain_or_stop(q, args.timeout):
             return 1
@@ -461,13 +481,22 @@ def cmd_cache_daemon(args) -> int:
     """``pvarch cache start`` analog: maintain the latest-value cache
     (bucket-swap parquet lane, or the JDBC table lane with --jdbc-url)
     from a parquet events directory. Bounded availableNow drain by
-    default; ``--follow`` for the continuous daemon shape."""
+    default; ``--follow`` for the continuous daemon shape, managed via
+    the pidfile/stop-sentinel control plane (``pvarch stop cache`` /
+    ``pvarch restart cache``, ref pvarch.py:240-248)."""
+    from epicsarchiver_spark import daemon
     from epicsarchiver_spark.streaming.ingest import (
         latest_value_query,
         latest_value_query_jdbc,
         read_cache,
     )
 
+    if args.follow and (pid := daemon.already_running(args.checkpoint, "cache")):
+        print(
+            f"cache daemon appears to be running (pid {pid})... try 'restart'?",
+            file=sys.stderr,
+        )
+        return 1
     spark = _spark("cache_daemon")
     stream = spark.readStream.schema(
         "pvname string, time double, value double"
@@ -488,8 +517,8 @@ def cmd_cache_daemon(args) -> int:
         else q.trigger(availableNow=True)
     ).start()
     if args.follow:
-        print("cache daemon running (ctrl-c to stop)")
-        q.awaitTermination()
+        print("cache daemon running (pvarch stop cache to stop)")
+        daemon.watch(q, args.checkpoint, "cache")
     else:
         if not _drain_or_stop(q, args.timeout):
             return 1
@@ -777,6 +806,42 @@ def cmd_process_requests(args) -> int:
     return 0
 
 
+def cmd_stop(args) -> int:
+    """``pvarch arch stop`` / ``pvarch cache stop`` analog (ref
+    pvarch.py:196-197, 240-242): write the stop sentinel into the
+    daemon's checkpoint dir and wait for it to clear its pidfile. The
+    sentinel rides the checkpoint's (shared) storage, so this works
+    from any node — the reference's DB-flag control plane, not a
+    host-local kill; SIGTERM is only the local-pid fallback."""
+    from epicsarchiver_spark import daemon
+
+    if daemon.stop_daemon(args.checkpoint, args.proc, args.timeout):
+        print(f"{args.proc} daemon stopped")
+        return 0
+    print(f"{args.proc} daemon did not stop within {args.timeout}s", file=sys.stderr)
+    return 1
+
+
+def cmd_restart(args) -> int:
+    """``pvarch arch restart`` / ``pvarch cache restart`` analog (ref
+    pvarch.py:199-202, 244-248): stop any running daemon, then start
+    the same daemon in-place with ``--follow`` — the streaming
+    checkpoint resumes exactly-once, so no event is lost or doubled
+    across the bounce (the continuity property the replay tests pin)."""
+    from epicsarchiver_spark import daemon
+
+    if not daemon.stop_daemon(args.checkpoint, args.proc, args.timeout):
+        print(
+            f"{args.proc} daemon did not stop within {args.timeout}s — not restarting",
+            file=sys.stderr,
+        )
+        return 1
+    args.follow = True
+    if args.buckets is None:
+        args.buckets = 128 if args.proc == "archive" else 64
+    return {"archive": cmd_archive, "cache": cmd_cache_daemon}[args.proc](args)
+
+
 def cmd_land(args) -> int:
     """Streaming document intake (``streaming/curation.py``) as an
     operational command: gopher gate → in-stream fingerprint dedup →
@@ -803,6 +868,15 @@ def cmd_land(args) -> int:
             file=sys.stderr,
         )
         return 1
+    if args.follow:
+        from epicsarchiver_spark import daemon
+
+        if pid := daemon.already_running(args.checkpoint, "land"):
+            print(
+                f"land daemon appears to be running (pid {pid})... try 'restart'?",
+                file=sys.stderr,
+            )
+            return 1
     spark = _spark("land")
     schema = spark.read.parquet(args.docs).schema
     stream = spark.readStream.schema(schema).parquet(args.docs)
@@ -825,8 +899,10 @@ def cmd_land(args) -> int:
         else q.trigger(availableNow=True)
     ).start()
     if args.follow:
-        print(f"landing {args.docs} -> {args.out} (ctrl-c to stop)")
-        q.awaitTermination()
+        from epicsarchiver_spark import daemon
+
+        print(f"landing {args.docs} -> {args.out} (pvarch stop land to stop)")
+        daemon.watch(q, args.checkpoint, "land")
     else:
         if not _drain_or_stop(q, args.timeout):
             return 1
@@ -1546,6 +1622,37 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--trigger-s", type=int, default=10)
     s.add_argument("--timeout", type=int, default=600)
     s.set_defaults(fn=cmd_cache_daemon)
+
+    s = sub.add_parser(
+        "stop", help="signal a running --follow daemon to stop (pvarch arch stop)"
+    )
+    s.add_argument("proc", choices=["archive", "cache", "land"])
+    s.add_argument("--checkpoint", required=True, help="the daemon's checkpoint dir")
+    s.add_argument("--timeout", type=int, default=60)
+    s.set_defaults(fn=cmd_stop)
+
+    s = sub.add_parser(
+        "restart",
+        help="stop a --follow daemon and start it again in place "
+        "(pvarch arch restart; checkpoint resumes exactly-once)",
+    )
+    s.add_argument("proc", choices=["archive", "cache"])
+    s.add_argument("events", help="parquet events source directory")
+    s.add_argument("--checkpoint", required=True)
+    s.add_argument("--timeout", type=int, default=60)
+    s.add_argument("--trigger-s", type=int, default=30)
+    # archive lane
+    s.add_argument("--deadtime", type=float, default=None, help="default 5.0 s")
+    s.add_argument("--deadband", type=float, default=None, help="default 0.0")
+    s.add_argument("--buckets", type=int, default=None,
+                   help="default 128 (archive) / 64 (cache)")
+    s.add_argument("--flush-ms", type=int, default=1000)
+    # cache lane
+    s.add_argument("--cache", default=None, help="default ./cache")
+    s.add_argument("--jdbc-url", default=None)
+    s.add_argument("--distributed", action="store_true")
+    s.add_argument("--dialect", default=None, choices=["merge", "mysql"])
+    s.set_defaults(fn=cmd_restart)
 
     s = sub.add_parser("land", help="streaming curated document intake")
     s.add_argument("docs", help="parquet documents source directory")

@@ -1,0 +1,93 @@
+"""Shared constants of the driver gate: every literal that BOTH the
+Spark queries() registry and the DuckDB oracle_sql() registry
+interpolate (time bounds, rule tables, query-term sets, thresholds).
+One definition site so the two sides can never drift — the split of
+the former __spark_entry__.py monolith (VERDICT r9 task 9)."""
+
+from __future__ import annotations
+
+# Fixed query constants (UTC epoch seconds; events span 2024-01-01..30).
+T0 = 1704672000.0  # 2024-01-08
+T1 = 1705881600.0  # 2024-01-22
+T_ASOF = 1705276800.0  # 2024-01-15
+GRID_STEP = 86400.0
+DEADTIME = 3600.0
+DEADBAND = 25.0
+# W1 exact-compression constants: ~4-day window vs the data's ~1.5-day median
+# event spacing, so the limbo path genuinely collapses bursts (6212 of 10000
+# rows survive at sf0.01) instead of degenerating to keep-everything
+COMPRESS_DEADTIME = 4 * 86400.0
+COMPRESS_DEADBAND = 25.0
+HEARTBEAT = 172800.0  # 2-day forced-heartbeat floor (24 h in the reference)
+ASOF_LOOKBACK = 2 * HEARTBEAT  # heartbeat-bounded as-of seed scan (W3-exact)
+SESSION_GAP = 2 * 86400.0  # sessionization gap (burst/quiet segmentation)
+ALARM_TRIP = 150.0
+RELATED_NODE = "S:1"
+ENUM_LABELS = ("OFF", "LOW", "MED", "HIGH")
+
+
+# instrument member list for the J8 position-restore query (a saved PV
+# group; membership is data, not schema — arbitrary deterministic picks)
+INSTRUMENT = ["EV:0:click", "EV:1:click", "EV:2:view", "EV:3:view", "EV:4:purchase"]
+# alert rules keyed by event_type: (key, compare op, trippoint) — C16
+ALERT_RULES = [("click", "gt", 80.0), ("view", "le", 10.0), ("purchase", "ne", 0.0)]
+# ordered-funnel steps for the clickstream analytics family
+FUNNEL_STEPS = ("view", "click", "purchase")
+BM25_QUERY = ["spark", "merge", "window", "quantum"]  # 'quantum' absent on purpose
+# standing-query set for doc_bm25_multi: a shared term ('spark' in two
+# queries — its df counts once), an absent term, a single-term query
+MULTI_QUERIES = {
+    "engine": ["spark", "join"],
+    "storage": ["table", "scan", "spark"],
+    "ghost": ["quantum"],
+    "solo": ["filter"],
+}
+# keyword-taxonomy for the doc_keyword_labels gate: overlapping term
+# sets ('data' in two labels — df must count it once) + an absent term
+KEYWORD_TAXONOMY = {
+    "compute": ["spark", "query", "join", "data"],
+    "storage": ["table", "row", "column", "data"],
+    "ops": ["batch", "stream", "plasma"],
+}
+HIST_BINS = 20  # per-series auto-ranged value histogram bins
+OUTLIER_K = 3.0  # median/MAD outlier threshold (≈2σ-equivalent for gaussians)
+PROJ_DIM = 16  # signed-random-projection output dims (JL sketch of the 64-dim space)
+CORR_MIN_R = 0.5  # series-correlation report threshold
+RAMP_MIN_STEPS = 3  # monotone-ramp detection: min consecutive same-sign steps
+BLOCKWORDS = ["error", "slow", "big"]  # C4-style blocklist (corpus vocab picks)
+BLOCK_MAX_RATIO = 0.02  # keep docs at/below this blocklist hit fraction
+HH_MIN_COUNT = 800  # heavy-hitter threshold (exact; CMS only prefilters)
+SHIFT_WINDOW = 5  # level-shift detection: samples per side
+SHIFT_THRESHOLD = 50.0  # level-shift detection: min |mean_after − mean_before|
+WINNOW_MIN_SHARED = 2  # winnowing: min shared fingerprints per reported pair
+WINNOW_MAX_DF = 20  # winnowing: ignore fingerprints in more docs (boilerplate)
+# C17/C18 alert-mail gate: a stored template with escaped newlines (C18
+# unescapes) plus every standard field and one %PV(name)% cache lookup
+# (ref epicsarchiver/cache.py:662-690). Values pre-formatted %.2f so the
+# Python and SQL renders agree digit-for-digit.
+MAIL_LOOKUP_PV = "EV:0:click"
+MAIL_TEMPLATE = (
+    "Alert for %PV%!\\nValue=%VALUE% [%LABEL%]\\n"
+    "Condition: %COMP% %TRIP%\\nMonitor EV:0:click=%PV(EV:0:click)%"
+)
+RECENT_RUNS_LIMIT = 12  # O4 recent-runs listing depth (ref pvarch.py:297-306)
+
+# related-PV probe pairs for the cross-correlation gate
+_XCORR_PAIRS = [
+    ("EV:0:click", "EV:0:view"),
+    ("EV:0:click", "EV:100:click"),
+    ("EV:101:error", "EV:0:purchase"),
+    ("EV:7:view", "EV:7:click"),
+]
+
+
+# lineitem-derived edge list, SQL twin of __spark_entry__._edges
+_EDGES_CTE = """
+edges AS (
+  SELECT 'P:' || l_partkey AS pv1,
+         'S:' || l_suppkey AS pv2,
+         l_quantity        AS score
+  FROM lineitem
+)
+"""
+

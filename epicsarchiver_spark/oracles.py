@@ -1,0 +1,5449 @@
+"""DuckDB oracle SQL for every driver-gate query — the data half of
+the former __spark_entry__.py monolith (VERDICT r9 task 9: the entry
+file held 255 queries + 255 oracles at 7.9k lines). Each entry is the
+ANSI-SQL statement the driver runs side-by-side with the Spark query
+of the same key at sf=0.01; column names/aliases MUST match the Spark
+side exactly (the driver sorts columns by name before hashing).
+
+Pure data: importing this module starts no SparkSession."""
+
+from __future__ import annotations
+
+from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE
+from epicsarchiver_spark.gate_constants import (
+    ALARM_TRIP,
+    ALERT_RULES,
+    ASOF_LOOKBACK,
+    BLOCKWORDS,
+    BLOCK_MAX_RATIO,
+    BM25_QUERY,
+    COMPRESS_DEADBAND,
+    COMPRESS_DEADTIME,
+    CORR_MIN_R,
+    DEADBAND,
+    DEADTIME,
+    ENUM_LABELS,
+    FUNNEL_STEPS,
+    GRID_STEP,
+    HEARTBEAT,
+    HH_MIN_COUNT,
+    HIST_BINS,
+    INSTRUMENT,
+    KEYWORD_TAXONOMY,
+    MAIL_LOOKUP_PV,
+    MAIL_TEMPLATE,
+    MULTI_QUERIES,
+    OUTLIER_K,
+    PROJ_DIM,
+    RAMP_MIN_STEPS,
+    RECENT_RUNS_LIMIT,
+    RELATED_NODE,
+    SESSION_GAP,
+    SHIFT_THRESHOLD,
+    SHIFT_WINDOW,
+    T0,
+    T1,
+    T_ASOF,
+    WINNOW_MAX_DF,
+    WINNOW_MIN_SHARED,
+    _EDGES_CTE,
+    _XCORR_PAIRS,
+)
+from epicsarchiver_spark.operators import similarity
+
+
+def oracle_sql() -> dict[str, str]:
+    P = f"WITH {POINTS_ORACLE_CTE}"
+    E = f"WITH {_EDGES_CTE}"
+    o: dict[str, str] = {}
+
+    o["ts_range_read"] = (
+        P
+        + f"SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}"
+    )
+
+    o["ts_get_data"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL
+        SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        """
+    )
+
+    o["ts_value_at"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T_ASOF} + 1e-4
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    _rules_sql = ", ".join(f"('{k}','{c}',{t})" for k, c, t in ALERT_RULES)
+    o["ts_alert_eval"] = (
+        P
+        + f""",
+        latest AS (
+          SELECT pvname, event_type, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        ),
+        rules(event_type, compare, trippoint) AS (VALUES {_rules_sql})
+        SELECT l.pvname, l.event_type, l.time, l.value, r.compare,
+               CAST(r.trippoint AS DOUBLE) AS trippoint
+        FROM latest l JOIN rules r USING (event_type)
+        WHERE l.rn = 1 AND CASE r.compare
+          WHEN 'eq' THEN l.value =  r.trippoint
+          WHEN 'ne' THEN l.value <> r.trippoint
+          WHEN 'le' THEN l.value <= r.trippoint
+          WHEN 'lt' THEN l.value <  r.trippoint
+          WHEN 'ge' THEN l.value >= r.trippoint
+          WHEN 'gt' THEN l.value >  r.trippoint
+          ELSE FALSE END
+        """
+    )
+
+    _members_sql = ", ".join(f"'{m}'" for m in INSTRUMENT)
+    o["ts_instrument_restore"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < {T_ASOF} + 1e-4 AND pvname IN ({_members_sql})
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    o["ts_latest"] = (
+        P
+        + """,
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    # bucketed-catalog lane reads the same rows → same reduction
+    o["ts_latest_bucketed"] = o["ts_latest"]
+    o["ts_get_data_bucketed"] = o["ts_get_data"]
+
+    o["ts_minmax"] = (
+        P
+        + """
+        SELECT pvname, min(time) AS t_first, max(time) AS t_last,
+               count(*) AS n_points
+        FROM points GROUP BY pvname
+        """
+    )
+
+    o["ts_nchanged"] = (
+        P + f"SELECT event_type, count(*) AS n FROM points WHERE time > {T1} GROUP BY event_type"
+    )
+
+    o["ts_cull_band"] = (
+        P
+        + """,
+        bands AS (
+          SELECT pvname,
+                 quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM points GROUP BY pvname
+        ),
+        numbered AS (
+          SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                 row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                 count(*) OVER (PARTITION BY p.pvname) AS cnt
+          FROM points p JOIN bands b USING (pvname)
+        )
+        SELECT event_id, pvname, time, value FROM numbered
+        WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
+        """
+    )
+
+    # W7 full loop: cull_data iterates cull_pass until ≤ max_points. At
+    # sf0.01 (10 000 rows, max_points=2500) that is exactly 3 passes —
+    # the driver-side loop unrolled as chained CTEs. Valid at sf0.01 only
+    # (the driver's correctness scale); other scales change pass count.
+    def _cull_pass_sql(src: str, dst: str) -> str:
+        return f"""
+        {dst}_bands AS (
+          SELECT pvname, quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM {src} GROUP BY pvname
+        ),
+        {dst} AS (
+          SELECT event_id, pvname, time, value FROM (
+            SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                   row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                   count(*) OVER (PARTITION BY p.pvname) AS cnt
+            FROM {src} p JOIN {dst}_bands b USING (pvname)
+          ) WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
+        )"""
+
+    o["ts_cull_full"] = (
+        P
+        + ","
+        + ",".join(
+            _cull_pass_sql(src, dst)
+            for src, dst in (("points", "c1"), ("c1", "c2"), ("c2", "c3"))
+        )
+        + "\nSELECT event_id, pvname, time, value FROM c3"
+    )
+
+    o["ts_deadband"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+        """
+    )
+
+    o["ts_locf_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        )
+        SELECT g.pvname, g.t, p.value
+        FROM grid g
+        ASOF LEFT JOIN points p
+          ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["ts_get_data_bounded"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < {T0} AND time >= {T0} - {ASOF_LOOKBACK}
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL
+        SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        """
+    )
+
+    o["ts_locf_grid_bounded"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        pp AS (
+          SELECT * FROM points
+          WHERE time >= {T0} - {ASOF_LOOKBACK} AND time <= {T1} + 1e-4
+        )
+        SELECT g.pvname, g.t, p.value
+        FROM grid g
+        ASOF LEFT JOIN pp p
+          ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["ts_sessions"] = (
+        P
+        + f""",
+        flg AS (
+          SELECT pvname, time, event_id,
+                 CASE WHEN lag(time) OVER w IS NULL
+                           OR time - lag(time) OVER w > {SESSION_GAP}
+                      THEN 1 ELSE 0 END AS nf
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        sid AS (
+          SELECT pvname, time,
+                 sum(nf) OVER (PARTITION BY pvname ORDER BY time, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flg
+        )
+        SELECT pvname, min(time) AS session_start, max(time) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sid GROUP BY pvname, sid
+        """
+    )
+    o["ts_locf_bucketed"] = o["ts_locf_grid"]
+    o["ts_sessions_bucketed"] = o["ts_sessions"]
+
+    o["ts_heartbeat_fill"] = (
+        P
+        + f""",
+        nxt AS (
+          SELECT pvname, time, value,
+                 lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS next_t
+          FROM points
+        ),
+        gaps AS (
+          SELECT pvname, time, value,
+                 CAST(ceil((next_t - time) / {HEARTBEAT}) AS INT) - 1 AS n_fill
+          FROM nxt
+          WHERE next_t IS NOT NULL AND next_t - time > {HEARTBEAT}
+        )
+        SELECT pvname, time, value, FALSE AS is_heartbeat FROM points
+        UNION ALL
+        SELECT g.pvname,
+               g.time + CAST(i.i AS DOUBLE) * {HEARTBEAT} AS time,
+               g.value, TRUE AS is_heartbeat
+        FROM gaps g, LATERAL (SELECT unnest(generate_series(1, g.n_fill)) AS i) i
+        """
+    )
+
+    o["ts_status_activity"] = (
+        P
+        + f"""
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN time > {T1} THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+               max(time) AS t_last
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    enum_arr = "['" + "','".join(ENUM_LABELS) + "']"
+    o["ts_enum_labels"] = (
+        P
+        + f"""
+        SELECT ({enum_arr})[((CAST(floor(value) AS INT) % 4 + 4) % 4) + 1] AS label,
+               count(*) AS n
+        FROM points GROUP BY 1
+        """
+    )
+
+    o["rel_score_sums"] = (
+        E
+        + """,
+        canon AS (
+          SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2, max(score) AS score
+          FROM edges GROUP BY 1, 2
+        ),
+        nbrs AS (
+          SELECT pv2 AS pvname, score FROM canon WHERE pv1 IN ('S:1','S:2')
+          UNION ALL
+          SELECT pv1 AS pvname, score FROM canon WHERE pv2 IN ('S:1','S:2')
+        )
+        SELECT pvname, sum(score) AS total_score FROM nbrs
+        WHERE pvname NOT IN ('S:1','S:2')
+        GROUP BY pvname ORDER BY total_score DESC, pvname
+        """
+    )
+
+    o["rel_orders_no_lineitem"] = """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """
+
+    o["emb_quantize"] = """
+        WITH v AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+        ), m AS (
+          SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS amax FROM v
+        )
+        SELECT vec_id,
+               floor(amax / 127.0 * 1e9 + 0.5) / 1e9 AS scale,
+               CASE WHEN amax > 0 THEN
+                 array_to_string(list_transform(v,
+                   x -> CAST(floor(x / (amax / 127.0) + 0.5) AS INT)), ',')
+               ELSE array_to_string(list_transform(v, x -> 0), ',')
+               END AS qvec
+        FROM m
+    """
+
+    o["emb_pairwise_topk"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), scored AS (
+          SELECT p.vec_id AS probe_id, c.vec_id AS corpus_id,
+                 list_dot_product(c.e, p.e)
+                 / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e)))
+                   AS sim,
+                 row_number() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY list_dot_product(c.e, p.e)
+                            / (sqrt(list_dot_product(c.e, c.e)) * sqrt(list_dot_product(p.e, p.e))) DESC,
+                            c.vec_id
+                 ) AS rn
+          FROM v p JOIN v c ON p.vec_id < 5 AND c.vec_id <> p.vec_id
+        )
+        SELECT probe_id, corpus_id, round(sim, 6) AS cosine_sim
+        FROM scored WHERE rn <= 5
+    """
+
+    o["mm_media_stats"] = """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CASE WHEN doc_id % 3 = 0 THEN CAST(doc_id % 64 + 1 AS INT) END AS width,
+                 octet_length(encode(text)) AS n_bytes
+          FROM documents
+        )
+        SELECT kind, count(*) AS n, round(avg(n_bytes), 6) AS avg_bytes,
+               max(width) AS max_width
+        FROM media GROUP BY kind ORDER BY kind
+    """
+
+    # W1 oracle — an independent DuckDB implementation of the sequential
+    # deadtime/deadband/limbo state machine (ref archiver.py:386-414,
+    # executed-behavior semantics: non-saved changes >1 ms go to limbo and
+    # flush one deadtime after the last save) as a recursive CTE: one
+    # recursion step per event per series (depth = longest series, 24 at
+    # sf0.01), kept rows accumulated in a struct list and unnested at the
+    # end. `include_pending` distinguishes the batch operator (end-of-
+    # stream flushes the tail) from the bounded streaming run
+    # (flush_ms=None leaves the tail in state).
+    def _compress_walk(dt: float, db: float, include_pending: bool) -> str:
+        empty = "CAST([] AS STRUCT(t DOUBLE, v DOUBLE)[])"
+        tail = (
+            f"""w.kept || (CASE WHEN w.pend_t IS NOT NULL
+                           THEN [{{'t': w.pend_t, 'v': w.pend_v}}]
+                           ELSE {empty} END)"""
+            if include_pending
+            else "w.kept"
+        )
+        return f"""
+        WITH RECURSIVE {POINTS_ORACLE_CTE},
+        seq AS (
+          SELECT pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time) AS rn
+          FROM points
+        ),
+        walk(pvname, rn, last_t, last_v, pend_t, pend_v, kept) AS (
+          SELECT pvname, rn, time, value,
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 [{{'t': time, 'v': value}}]
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT pvname, rn,
+                 CASE WHEN save THEN t ELSE lt1 END,
+                 CASE WHEN save THEN v ELSE lv1 END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN t
+                      WHEN flush THEN NULL ELSE pend_t END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN v
+                      WHEN flush THEN NULL ELSE pend_v END,
+                 kept
+                   || (CASE WHEN flush THEN [{{'t': pend_t, 'v': pend_v}}]
+                            ELSE {empty} END)
+                   || (CASE WHEN save THEN [{{'t': t, 'v': v}}]
+                            ELSE {empty} END)
+          FROM (
+            SELECT i2.*, (t > lt1 + {dt} AND abs(v - lv1) > {db}) AS save
+            FROM (
+              SELECT i1.*,
+                     CASE WHEN flush THEN pend_t ELSE last_t END AS lt1,
+                     CASE WHEN flush THEN pend_v ELSE last_v END AS lv1
+              FROM (
+                SELECT s.pvname, s.rn, s.time AS t, s.value AS v,
+                       w.last_t, w.last_v, w.pend_t, w.pend_v, w.kept,
+                       (w.pend_t IS NOT NULL AND s.time > w.last_t + {dt}) AS flush
+                FROM walk w JOIN seq s ON s.pvname = w.pvname AND s.rn = w.rn + 1
+              ) i1
+            ) i2
+          ) i3
+        ),
+        final AS (
+          SELECT w.pvname, {tail} AS res
+          FROM walk w
+          JOIN (SELECT pvname, max(rn) AS mrn FROM walk GROUP BY pvname) m
+            ON w.pvname = m.pvname AND w.rn = m.mrn
+        )
+        SELECT pvname, r.t AS time, r.v AS value
+        FROM (SELECT pvname, unnest(res) AS r FROM final)
+        """
+
+    o["ts_compress_exact"] = _compress_walk(
+        COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=True
+    )
+    o["stream_compress"] = _compress_walk(
+        COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=False
+    )
+
+    # --- catalog / sink / source surface -------------------------------
+    _NAMES = "names AS (SELECT DISTINCT pvname FROM points)"
+    o["cat_normalize"] = (
+        P
+        + f""",
+        {_NAMES}
+        SELECT pvname,
+               CASE WHEN contains(trim(pvname), '.') THEN trim(pvname)
+                    ELSE trim(pvname) || '.VAL' END AS normalized,
+               regexp_full_match(pvname, '[A-Za-z0-9:._+\\[\\]<>;{{}}\\-]+') AS valid,
+               substring(regexp_replace(pvname || ' ;comment # x', '[;#].*$', ''), 1, 4090)
+                 AS cleaned
+        FROM names
+        """
+    )
+
+    o["cat_hashname"] = (
+        P
+        + f""",
+        {_NAMES}
+        SELECT pvname,
+               CAST(list_aggregate(list_transform(
+                      string_split_regex(to_base64(unhex(sha256(pvname))), ''),
+                      x -> unicode(x)), 'sum') % 128 AS INT) AS bucket
+        FROM names
+        """
+    )
+
+    o["cat_chararray"] = (
+        P
+        + """
+        SELECT DISTINCT event_type, event_type AS decoded FROM points
+        """
+    )
+
+    _LATEST = """latest AS (
+          SELECT pvname, value, event_type FROM (
+            SELECT pvname, value, event_type,
+                   row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+            FROM points
+          ) WHERE rn = 1
+        )"""
+    o["cat_desc_join"] = (
+        P
+        + f""",
+        {_LATEST}
+        SELECT pvname || '.VAL' AS pvname,
+               printf('%.2f', value) AS value,
+               event_type AS description
+        FROM latest
+        """
+    )
+
+    o["cat_yesno_json"] = (
+        P
+        + """
+        SELECT event_type,
+               CASE WHEN count(*) % 2 = 0 THEN 'No' ELSE 'Yes' END AS odd_yn,
+               '["' || event_type || '","other"]' AS enum_json,
+               event_type AS roundtrip
+        FROM points GROUP BY event_type
+        """
+    )
+
+    o["rel_runs_window"] = (
+        P
+        + f""",
+        runs AS (
+          SELECT 'run_' || CAST(CAST(floor(time / 86400.0) AS BIGINT) AS VARCHAR) AS db,
+                 min(time) AS start_time, max(time) AS stop_time
+          FROM points GROUP BY floor(time / 86400.0)
+        )
+        SELECT db, start_time, stop_time FROM runs
+        WHERE stop_time > {T0} AND start_time < {T1}
+        """
+    )
+
+    o["store_roundtrip"] = P + " SELECT pvname, time, value FROM points"
+
+    o["sink_ascii"] = (
+        P
+        + """
+        SELECT pvname,
+               printf('%.3f  %s  %s', floor(time * 1000 + 0.5) / 1000.0,
+                      printf('%.2f', value),
+                      strftime(make_timestamp(CAST(floor(time * 1000 + 0.5) AS BIGINT) * 1000),
+                               '%Y%m%d %H%M%S')) AS line
+        FROM points
+        """
+    )
+
+    o["sink_saverestore"] = (
+        P
+        + f""",
+        {_LATEST}
+        SELECT printf('caput(''%s'', %s)', pvname, printf('%.2f', value)) AS line
+        FROM latest
+        """
+    )
+
+    o["sink_sqldump"] = (
+        P
+        + """
+        SELECT 'INSERT INTO pvdat (pvname,ts,val) VALUES ('
+               || '''' || pvname || ''','
+               || '''' || printf('%.6f', time) || ''','
+               || '''' || printf('%.2f', value) || ''');' AS line
+        FROM points
+        """
+    )
+
+    # cat_parse_times oracle: the EXECUTED reference parser's outputs at a
+    # frozen clock (tools/gen_parse_time_vectors.py) served as VALUES.
+    from epicsarchiver_spark.functions.parse_time_vectors import PARSE_TIME_VECTORS
+
+    _ptrows = ", ".join(
+        f"(CAST({i} AS BIGINT), {t0!r}, {t1!r})" for i, _, _, t0, t1 in PARSE_TIME_VECTORS
+    )
+    o["cat_parse_times"] = (
+        f"SELECT vec_id, t0, t1 FROM (VALUES {_ptrows}) AS t(vec_id, t0, t1)"
+    )
+
+    o["src_pvlist"] = (
+        P
+        + """,
+        names AS (SELECT DISTINCT pvname FROM points),
+        ordered AS (SELECT pvname, row_number() OVER (ORDER BY pvname) AS rn FROM names),
+        paired AS (
+          SELECT a.pvname AS n1, b.pvname AS n2
+          FROM ordered a JOIN ordered b ON b.rn = a.rn + 1
+          WHERE a.rn % 2 = 1
+        )
+        SELECT least(n1 || '.VAL', n2 || '.VAL') AS pv1,
+               greatest(n1 || '.VAL', n2 || '.VAL') AS pv2,
+               CAST(10 AS INT) AS score
+        FROM paired
+        """
+    )
+
+    o["src_template"] = (
+        P
+        + f""",
+        {_LATEST},
+        names6 AS (
+          SELECT pvname, rn FROM (
+            SELECT pvname, row_number() OVER (ORDER BY pvname) AS rn
+            FROM (SELECT DISTINCT pvname FROM points)
+          ) WHERE rn <= 6
+        ),
+        tpl_rows AS (
+          SELECT 'Main' AS section,
+                 'pair ' || CAST((rn - 1) // 2 AS VARCHAR) AS description,
+                 '%8.3f' AS format,
+                 pvname
+          FROM names6
+        )
+        SELECT section, description, format, r.pvname,
+               printf('%.2f', l.value) AS value
+        FROM tpl_rows r LEFT JOIN latest l USING (pvname)
+        """
+    )
+
+    o["ctl_apply_requests"] = (
+        P
+        + """,
+        names AS (SELECT DISTINCT pvname FROM points)
+        SELECT pvname,
+               CASE WHEN pvname LIKE '%:error' THEN 'no' ELSE 'yes' END AS active
+        FROM names WHERE pvname NOT LIKE '%:click'
+        UNION ALL SELECT 'NEW:0:added', 'yes'
+        """
+    )
+
+    o["ctl_rotate_runs"] = (
+        P
+        + f""",
+        runs AS (
+          SELECT 'run_' || CAST(CAST(floor(time / 86400.0) AS BIGINT) AS VARCHAR) AS db,
+                 min(time) AS start_time, max(time) AS stop_time
+          FROM points GROUP BY floor(time / 86400.0)
+        )
+        SELECT db, start_time, stop_time FROM runs
+        UNION ALL SELECT 'run_current', {T1 - 86400.0!r}, {T1!r}
+        UNION ALL SELECT 'run_next', {T1!r}, 2147483647.0
+        """
+    )
+
+    o["ctl_pair_increment"] = (
+        E
+        + """
+        SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2,
+               least(max(score) + 1, 500000) AS score
+        FROM edges GROUP BY least(pv1, pv2), greatest(pv1, pv2)
+        """
+    )
+
+    # position save/restore: the saved-positions dimension resolves the
+    # name 'park' to its RE-SAVED timestamp T_ASOF (latest save of a name
+    # wins); the restore is then the same as-of read as
+    # ts_instrument_restore at that ts.
+    o["ctl_position_save"] = (
+        P
+        + f""",
+        positions(instrument, position, ts) AS (
+          VALUES ('beamline', 'run', {T1!r}),
+                 ('beamline', 'park', {T_ASOF!r})
+        ),
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < (SELECT ts FROM positions
+                        WHERE instrument = 'beamline' AND position = 'park') + 1e-4
+            AND pvname IN ({_members_sql})
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    # --- LSH plane-family oracles -------------------------------------
+    # The hyperplanes/centroids are a deterministic LCG (similarity.
+    # _hyperplanes), so the "approximate" operators are exactly
+    # reproducible in SQL with the planes embedded as list literals.
+    # Cross-engine float safety: numpy GEMM vs DuckDB list_dot_product
+    # differ by ≤ 9e-16 on this data while the smallest |plane·v| is
+    # 1.4e-4 — eleven orders of magnitude of sign margin (measured at
+    # sf0.01; see tests/test_oracle_parity.py for the standing check).
+    from epicsarchiver_spark.operators.similarity import _hyperplanes
+
+    def _lits(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def _sig_sql(evar: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({evar}, {_lits(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    _V = """v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )"""
+    _COS = (
+        "list_dot_product({a}, {b}) / "
+        "(sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b})))"
+    )
+
+    o["emb_contamination"] = f"""
+        WITH {_V},
+        b AS (SELECT vec_id AS bid, e AS be FROM v WHERE vec_id % 25 = 0),
+        sims AS (
+          SELECT v.vec_id, round({_COS.format(a="v.e", b="b.be")}, 6) AS sim
+          FROM v CROSS JOIN b
+        )
+        SELECT vec_id, max(sim) AS max_cosine,
+               CAST(sum(CASE WHEN sim >= 0.9 THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+               max(sim) >= 0.9 AS contaminated
+        FROM sims GROUP BY vec_id
+    """
+
+    _bp = _hyperplanes(64, 16, 42)  # banded: n_planes=16, bands=8 → 2 bits/band
+    o["emb_cosine_neardups_banded"] = f"""
+        WITH {_V},
+        sig AS (
+          SELECT vec_id, CAST({_sig_sql("e", _bp)} AS BIGINT) AS sig FROM v
+        ),
+        banded AS (
+          SELECT vec_id, band, (sig >> (band * 2)) & 3 AS bits
+          FROM sig CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS band) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS id_a, b2.vec_id AS id_b
+          FROM banded a JOIN banded b2
+            ON a.band = b2.band AND a.bits = b2.bits AND a.vec_id < b2.vec_id
+        )
+        SELECT id_a, id_b,
+               round({_COS.format(a="x.e", b="y.e")}, 6) AS cosine_sim
+        FROM cand JOIN v x ON x.vec_id = cand.id_a JOIN v y ON y.vec_id = cand.id_b
+        WHERE round({_COS.format(a="x.e", b="y.e")}, 6) >= 0.38
+    """
+
+    _lp = _hyperplanes(64, 8, 42)  # lsh_bucket_topk: n_planes=8, max_hamming=2
+    o["emb_topk_lsh"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        sig AS (SELECT vec_id, e, CAST({_sig_sql("e", _lp)} AS BIGINT) AS sig FROM v),
+        qsig AS (SELECT CAST({_sig_sql("qe", _lp)} AS BIGINT) AS qs FROM q)
+        SELECT vec_id, round({_COS.format(a="e", b="qe")}, 6) AS cosine_sim
+        FROM sig, qsig, q
+        WHERE bit_count(xor(sig, qs)) <= 2
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    # multi-probe LSH: same 8-plane family; the engine's hamming-ball
+    # equi-join is semantically hamming(sig, psig) <= 1, which the oracle
+    # states directly as the theta-join (the oracle need not be fast)
+    o["emb_topk_lsh_multi"] = f"""
+        WITH {_V},
+        sig AS (SELECT vec_id, e, CAST({_sig_sql("e", _lp)} AS BIGINT) AS sig FROM v),
+        probes AS (SELECT vec_id AS probe_id, e AS pe, sig AS psig FROM sig WHERE vec_id < 3),
+        cand AS (
+          SELECT p.probe_id, s.vec_id AS corpus_id,
+                 round({_COS.format(a="s.e", b="p.pe")}, 6) AS cosine_sim
+          FROM probes p JOIN sig s
+            ON bit_count(xor(s.sig, p.psig)) <= 1 AND s.vec_id <> p.probe_id
+        )
+        SELECT probe_id, corpus_id, cosine_sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY probe_id
+                                       ORDER BY cosine_sim DESC, corpus_id) AS rn
+          FROM cand
+        ) WHERE rn <= 5
+    """
+
+    # ivf_topk: n_cells=8, n_probe=4. Cell scores use the same
+    # ‖c‖² − 2·v·c formula (with ‖c‖² precomputed in python, matching the
+    # UDF's closure constant); probe selection uses the full ‖q−c‖²
+    # ordered by (dist, cell) exactly as the operator's heapq does.
+    _cents = _hyperplanes(64, 8, 42)
+    _cnorm = [sum(x * x for x in c) for c in _cents]
+    _score_list = "[" + ", ".join(
+        f"{_cnorm[i]!r} - 2 * list_dot_product(e, {_lits(c)})" for i, c in enumerate(_cents)
+    ) + "]"
+    _cell_rows = ", ".join(f"({i + 1}, {_lits(c)})" for i, c in enumerate(_cents))
+    # cluster assignment alone — same cell arithmetic as emb_topk_ivf
+    o["emb_cell_assign"] = f"""
+        WITH {_V}
+        SELECT vec_id, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+        FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+    """
+
+    o["emb_cell_stats"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        stats AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vectors,
+                 round(avg(sqrt(list_dot_product(e, e))), 6) AS mean_norm
+          FROM assigned GROUP BY cell
+        ),
+        ex AS (
+          SELECT cell, e[CAST(t.i AS INTEGER)] AS x, CAST(t.i AS INTEGER) - 1 AS pos
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell, pos, round(avg(x), 6) AS c FROM ex GROUP BY cell, pos
+        )
+        SELECT s.cell, s.n_vectors, s.mean_norm, cent.pos, cent.c
+        FROM stats s JOIN cent USING (cell)
+    """
+
+    o["emb_topk_ivf"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, e, list_position(dl, list_min(dl)) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        cells(cell, c) AS (SELECT * FROM (VALUES {_cell_rows}) t(cell, c)),
+        probe AS (
+          SELECT cell FROM cells, q
+          ORDER BY list_dot_product(qe, qe)
+                   - 2 * list_dot_product(qe, list_transform(c, x -> CAST(x AS DOUBLE)))
+                   + list_dot_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                      list_transform(c, x -> CAST(x AS DOUBLE))),
+                   cell
+          LIMIT 4
+        )
+        SELECT vec_id, round({_COS.format(a="e", b="qe")}, 6) AS cosine_sim
+        FROM assigned, q
+        WHERE cell IN (SELECT cell FROM probe)
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    # ts_cvalue oracle: the reference formatter's own outputs, recorded by
+    # executing ref epicsarchiver/util.py hformat (tools/gen_hformat_vectors.py)
+    # — DuckDB just serves the expected strings back as a VALUES table.
+    from epicsarchiver_spark.functions.hformat_vectors import CVALUE_VECTORS
+
+    _cvrows = ", ".join(
+        "(CAST({} AS BIGINT), '{}')".format(i, exp) for i, _, exp in CVALUE_VECTORS
+    )
+    o["ts_cvalue"] = (
+        f"SELECT vec_id, cvalue FROM (VALUES {_cvrows}) AS t(vec_id, cvalue)"
+    )
+
+    # mm_features oracle: re-derive the DeterministicFakeCodec chunk sums in
+    # SQL. Text is ASCII (verified: octet_length == length for every row), so
+    # unicode(char) == payload byte value; np.array_split boundaries are
+    # lo_j = j*(n//8) + min(j, n%8), size_j = n//8 + (j < n%8).
+    _kcols = []
+    for _j in range(8):
+        _kcols.append(
+            f"CAST(coalesce(list_aggregate(list_slice(codes, "
+            f"{_j}*(n//8) + least({_j}, n%8) + 1, "
+            f"{_j}*(n//8) + least({_j}, n%8) + (n//8) + (CASE WHEN {_j} < n%8 THEN 1 ELSE 0 END)"
+            f"), 'sum'), 0) % 997 AS BIGINT) AS k{_j}"
+        )
+    o["mm_features"] = (
+        """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                 list_transform(string_split_regex(text, ''), x -> unicode(x)) AS codes,
+                 length(text) AS n
+          FROM documents
+        )
+        SELECT media_id, kind, n_bytes, """
+        + ", ".join(_kcols)
+        + " FROM media"
+    )
+
+    # mm_frame_sample oracle: the fake sampler is pure arithmetic —
+    # n_frames = max(1, duration_ms // every_ms); frame i covers payload
+    # bytes [floor(n*i/nf), floor(n*(i+1)/nf)).
+    o["mm_frame_sample"] = """
+        WITH media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 CASE WHEN doc_id % 3 <> 0 THEN CAST(n_chars * 10 AS INT) END AS duration_ms,
+                 octet_length(encode(text)) AS n
+          FROM documents
+        ),
+        f AS (
+          SELECT media_id, n, greatest(1, duration_ms // 10000) AS nf
+          FROM media
+          WHERE kind IN ('audio', 'video') AND duration_ms IS NOT NULL AND duration_ms > 0
+        ),
+        expanded AS (
+          SELECT media_id, n, nf, unnest(generate_series(0, CAST(nf - 1 AS BIGINT))) AS i
+          FROM f
+        )
+        SELECT media_id,
+               CAST(i AS INT) AS frame_idx,
+               CAST(i * 10000 AS INT) AS offset_ms,
+               CAST(CAST(floor(n * (i + 1) / nf) AS BIGINT)
+                    - CAST(floor(n * i / nf) AS BIGINT) AS INT) AS frame_bytes
+        FROM expanded
+    """
+
+    o["emb_cosine_neardups"] = """
+        WITH v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                     6) AS cosine_sim
+        FROM v a JOIN v b ON a.vec_id < b.vec_id
+        WHERE round(list_dot_product(a.e, b.e)
+                    / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                    6) >= 0.38
+    """
+
+    o["emb_dedup_groups"] = """
+        WITH RECURSIVE v AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ), pairs AS (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b
+          FROM v a JOIN v b ON a.vec_id < b.vec_id
+          WHERE round(list_dot_product(a.e, b.e)
+                      / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                      6) >= 0.38
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        )
+        SELECT id AS vec_id, min(root) AS component FROM reach GROUP BY id
+    """
+
+    o["ts_alarm_transitions"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS prev
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE value > {ALARM_TRIP} AND prev IS NOT NULL AND prev <= {ALARM_TRIP}
+        """
+    )
+
+    o["ts_with_current"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        ),
+        latest AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        UNION ALL SELECT event_id, pvname, time, value FROM latest WHERE rn = 1
+        """
+    )
+
+    o["ts_daily_rollup"] = (
+        P
+        + """
+        SELECT event_type,
+               strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM points GROUP BY event_type, day ORDER BY event_type, day
+        """
+    )
+
+    # ROLLUP levels: DuckDB's GROUPING(a, b) bitmask matches Spark's
+    # grouping_id() (first column = MSB); cent sums keep every level's
+    # total exact
+    o["ts_rollup_cube"] = (
+        P
+        + """,
+        b AS (
+          SELECT event_type,
+                 strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 value
+          FROM points
+        )
+        SELECT event_type, day,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS level,
+               count(*) AS n,
+               round(CAST(sum(q) AS DOUBLE) * 0.01, 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM b GROUP BY ROLLUP (event_type, day)
+        """
+    )
+
+    o["ts_clean_values"] = (
+        P
+        + """
+        SELECT event_type,
+               count(TRY_CAST(value_str AS DOUBLE)) AS n_numeric,
+               round(avg(TRY_CAST(value_str AS DOUBLE)), 6) AS avg_value
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_meta_join"] = (
+        P
+        + """
+        SELECT c_mktsegment,
+               count(*) AS n_points,
+               round(sum(value), 2) AS sum_value
+        FROM points JOIN customer ON pv_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+    o["ts_percentiles"] = (
+        P
+        + """
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.99) AS p99
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_seasonal_profile"] = (
+        P
+        + """
+        SELECT pvname,
+               CAST(floor(time / 3600) % 24 AS BIGINT) AS hour,
+               count(*) AS n,
+               quantile_cont(value, 0.1) AS p10,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM points GROUP BY 1, 2
+        """
+    )
+
+    o["ts_time_format"] = (
+        P
+        + """
+        SELECT event_id,
+               strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S') AS iso
+        FROM points
+        """
+    )
+
+    # C11 timehash: all lower-hex digits of trunc(t*10000) — trunc, not
+    # round (python int() and Spark's double→long cast both truncate;
+    # DuckDB's CAST rounds, hence the explicit trunc)
+    o["ts_timehash"] = (
+        P
+        + """
+        SELECT event_id,
+               printf('%x', CAST(trunc(time * 10000) AS BIGINT)) AS thash
+        FROM points
+        """
+    )
+
+    o["ts_plot_traces"] = (
+        P
+        + """
+        SELECT pvname,
+               string_agg(strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S.%g'),
+                          '|' ORDER BY time, value) AS x_iso,
+               string_agg(printf('%.6f', value), '|' ORDER BY time, value) AS y_fmt
+        FROM points
+        WHERE pv_id < 3
+        GROUP BY pvname
+        """
+    )
+
+    o["rel_pair_scores"] = (
+        E
+        + """
+        SELECT least(pv1, pv2) AS pv1, greatest(pv1, pv2) AS pv2, max(score) AS score
+        FROM edges GROUP BY least(pv1, pv2), greatest(pv1, pv2)
+        """
+    )
+
+    o["rel_related_topk"] = (
+        E
+        + f""",
+        nbrs AS (
+          SELECT pv2 AS pvname, score FROM edges WHERE pv1 = '{RELATED_NODE}'
+          UNION ALL
+          SELECT pv1 AS pvname, score FROM edges WHERE pv2 = '{RELATED_NODE}'
+        )
+        SELECT pvname, max(score) AS score FROM nbrs GROUP BY pvname
+        ORDER BY score DESC, pvname LIMIT 20
+        """
+    )
+
+    o["cat_wildcard"] = (
+        "SELECT c_custkey, c_name, c_mktsegment FROM customer "
+        "WHERE c_name LIKE 'Customer#0000001%' ORDER BY c_name"
+    )
+
+    o["cat_distinct_series"] = P + "SELECT DISTINCT pvname FROM points ORDER BY pvname"
+
+    o["rel_pricing_summary"] = """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """
+
+    o["rel_top_orders"] = """
+        SELECT l_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """
+
+    o["rel_regional_revenue"] = """
+        SELECT r_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name, n_name
+        ORDER BY r_name, n_name
+    """
+
+    o["rel_order_priority"] = """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderkey IN (
+          SELECT l_orderkey FROM lineitem WHERE l_shipdate > TIMESTAMP '1995-01-01'
+        )
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+    """
+
+    # tokens = whitespace split with empties removed — shared by the doc oracles
+    TOK = "list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')"
+
+    o["doc_fingerprints"] = rf"""
+        SELECT doc_id,
+               length(text) AS n_chars_actual,
+               len({TOK}) AS n_tokens,
+               len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+                   AS n_bpe_tokens,
+               round(CASE WHEN len({TOK}) > 0
+                     THEN list_sum(list_transform({TOK}, x -> length(x))) * 1.0 / len({TOK})
+                     ELSE 0.0 END, 6) AS mean_token_len,
+               lower(substr(md5(text), 1, 16)) AS fingerprint
+        FROM documents
+    """
+
+    o["doc_dedup_exact"] = """
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+    """
+
+    o["doc_exact_dups"] = """
+        SELECT lower(substr(md5(text), 1, 16)) AS fp,
+               min(doc_id) AS keep_id, count(*) AS n_docs
+        FROM documents
+        GROUP BY 1 HAVING count(*) >= 2
+    """
+
+    o["doc_tfidf_top_terms"] = """
+        WITH tf AS (
+          SELECT doc_id, term, count(*) AS tf
+          FROM (
+            SELECT doc_id,
+                   unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents
+          )
+          GROUP BY doc_id, term
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tf GROUP BY term
+        ), n AS (
+          SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+                 round(tf.tf * (ln((1.0 + n.n_docs) / (1.0 + dfreq.df)) + 1.0), 6) AS tfidf
+          FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        )
+        SELECT doc_id, term, tf, df, tfidf, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY tfidf DESC, term) AS rank
+          FROM scored
+        ) WHERE rank <= 3
+    """
+
+    # mirror the operator's term normalization (lowercase, de-dup) and
+    # escape quotes so a future BM25_QUERY edit can't silently diverge
+    # the oracle from the Spark lane
+    _bm25_terms = ", ".join(
+        "'" + t.lower().replace("'", "''") + "'" for t in sorted(set(BM25_QUERY))
+    )
+    def _bm25_sql(limit: int) -> str:
+        """The full BM25 ranking SQL, parametric only in the top-k cut —
+        the plain gate, the indexed gate, and the hybrid-RRF lexical
+        lane all read from this ONE formula (the _bm25_contrib
+        discipline applied to the oracle side)."""
+        return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_bm25_terms})) AS hit
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM hits
+        ), tf AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ), tfc AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), per_doc AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per_doc
+        ORDER BY score DESC, doc_id LIMIT {int(limit)}
+    """
+
+    o["doc_bm25_topk"] = _bm25_sql(20)
+
+    o["doc_bm25_indexed"] = o["doc_bm25_topk"]
+
+    # standing-query BM25: the (query, term) map as VALUES, tf/df/stats
+    # computed ONCE over the union term set, per-query rank ≤ k — same
+    # normalization discipline as the taxonomy oracle
+    _mq_q = lambda s_: "'" + s_.replace("'", "''") + "'"  # noqa: E731
+    _mq_pairs = sorted(
+        {(q_, t.lower()) for q_, ts_ in MULTI_QUERIES.items() for t in ts_}
+    )
+    _mq_vals = ", ".join(f"({_mq_q(q_)}, {_mq_q(t)})" for q_, t in _mq_pairs)
+    _mq_terms = ", ".join(_mq_q(t) for t in sorted({t for _q, t in _mq_pairs}))
+    o["doc_bm25_multi"] = f"""
+        WITH qmap(query, term) AS (VALUES {_mq_vals}),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_mq_terms})) AS hit
+          FROM base
+        ), stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM hits),
+        tfx AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM tfx GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        per AS (
+          SELECT m.query, tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) JOIN qmap m USING (term)
+          CROSS JOIN stats
+          GROUP BY 1, 2
+        )
+        SELECT query, doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (
+                 PARTITION BY query ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per QUALIFY rank <= 10
+    """
+
+    # best-window snippets: matched positions, per-anchor window
+    # counts, earliest-max pick (list_position finds the FIRST index of
+    # the max — the engine's strict-improvement fold keeps the same
+    # one), slice + join for the text
+    o["doc_snippets"] = f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        wd AS (
+          SELECT doc_id, toks,
+                 list_filter(range(1, len(toks) + 1),
+                             i -> toks[i] IN ({_bm25_terms})) AS pos
+          FROM base
+        ),
+        scored AS (
+          SELECT doc_id, toks, pos,
+                 list_transform(pos,
+                   p -> len(list_filter(pos, q -> q >= p AND q < p + 10))) AS cnts
+          FROM wd
+        )
+        SELECT doc_id,
+               CAST(coalesce(list_max(cnts), 0) AS BIGINT) AS n_matched,
+               CAST(CASE WHEN coalesce(list_max(cnts), 0) > 0
+                         THEN pos[list_position(cnts, list_max(cnts))]
+                    END AS BIGINT) AS start,
+               CASE WHEN coalesce(list_max(cnts), 0) > 0
+                    THEN array_to_string(
+                      toks[pos[list_position(cnts, list_max(cnts))] :
+                           pos[list_position(cnts, list_max(cnts))] + 9], ' ')
+               END AS snippet
+        FROM scored
+    """
+
+    # windowed co-occurrence PMI: clamped slices around each target
+    # position (overlaps double-count by contract), vocabulary-sized
+    # aggregates, the same ln-ratio in both engines
+    o["doc_related_terms"] = """
+        WITH base AS (
+          SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ),
+        wd AS (
+          SELECT tk,
+                 list_filter(range(1, len(tk) + 1), i -> tk[i] = 'spark') AS pos
+          FROM base
+        ),
+        neigh AS (
+          SELECT unnest(flatten(list_transform(pos,
+                   p -> tk[greatest(p - 4, 1) : least(p + 4, len(tk))]))) AS term
+          FROM wd WHERE len(pos) > 0
+        ),
+        cooc AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_cooc
+          FROM neigh WHERE term <> 'spark'
+          GROUP BY term HAVING count(*) >= 2
+        ),
+        cw AS (SELECT CAST(coalesce(sum(n_cooc), 0) AS BIGINT) AS cwin FROM cooc),
+        uni AS (
+          SELECT term, CAST(count(*) AS BIGINT) AS n_corpus
+          FROM (SELECT unnest(tk) AS term FROM base)
+          GROUP BY term
+        ),
+        nt AS (SELECT CAST(sum(n_corpus) AS BIGINT) AS n FROM uni)
+        SELECT cooc.term, cooc.n_cooc, uni.n_corpus,
+               round(ln((cooc.n_cooc / cw.cwin) / (uni.n_corpus / nt.n)), 6) AS pmi
+        FROM cooc JOIN uni USING (term), cw, nt
+        ORDER BY pmi DESC, term LIMIT 15
+    """
+
+    # Dirichlet query likelihood in the same sparse decomposition the
+    # engine uses: corpus constant + per-doc length term + matched
+    # corrections; P(t|C) written as the identical (2000.0 * cf / tt)
+    # parse tree in every expression
+    def _qld_sql(limit: int) -> str:
+        return f"""
+        WITH base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_bm25_terms})) AS hit
+          FROM base
+        ), tot AS (SELECT CAST(sum(dl) AS BIGINT) AS tt FROM hits),
+        tfs AS (
+          SELECT doc_id, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ),
+        tfc AS (SELECT doc_id, term, count(*) AS tf FROM tfs GROUP BY 1, 2),
+        cf AS (SELECT term, count(*) AS cf FROM tfs GROUP BY term),
+        cons AS (
+          SELECT CAST(count(*) AS BIGINT) AS nq,
+                 coalesce(sum(ln(2000.0 * cf / tt)), 0.0) AS csum
+          FROM cf, tot
+        ),
+        corr AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 sum(ln(1.0 + tfc.tf / (2000.0 * cf.cf / tot.tt))) AS corrsum
+          FROM tfc JOIN cf USING (term), tot
+          GROUP BY tfc.doc_id
+        ),
+        scored AS (
+          SELECT h.doc_id,
+                 CAST(coalesce(corr.n_terms_matched, 0) AS BIGINT) AS n_terms_matched,
+                 round(cons.csum + coalesce(corr.corrsum, 0.0)
+                       - cons.nq * ln(h.dl + 2000.0), 6) AS score
+          FROM hits h LEFT JOIN corr USING (doc_id), cons
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM scored
+        ORDER BY score DESC, doc_id LIMIT {int(limit)}
+    """
+
+    o["doc_qld_topk"] = _qld_sql(20)
+
+    # pseudo-relevance feedback, end-to-end: round-1 BM25 picks 5
+    # feedback docs, expansion = top-3 non-query terms by feedback-tf ×
+    # corpus idf (ties on term), round 2 re-ranks with the union term
+    # set — the second BM25 joins tokens against the mined term CTE
+    # instead of a literal list (the data-dependent-query formulation)
+    o["doc_bm25_prf"] = f"""
+        WITH fb AS (SELECT doc_id FROM ({_bm25_sql(5)})),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        nn AS (SELECT count(*) AS n FROM base),
+        fbtf AS (
+          SELECT tok AS term, count(*) AS tf_fb
+          FROM (SELECT unnest(b.toks) AS tok FROM base b JOIN fb USING (doc_id))
+          WHERE tok NOT IN ({_bm25_terms})
+          GROUP BY tok
+        ),
+        dfall AS (
+          SELECT tok AS term, count(*) AS df
+          FROM (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM base)
+          GROUP BY tok
+        ),
+        exp AS (
+          SELECT term
+          FROM fbtf JOIN dfall USING (term), nn
+          ORDER BY round(tf_fb * ln(1.0 + (nn.n - df + 0.5) / (df + 0.5)), 6) DESC,
+                   term
+          LIMIT 3
+        ),
+        qt AS (
+          SELECT term FROM exp
+          UNION
+          SELECT * FROM (SELECT unnest([{_bm25_terms}])) v(term)
+        ),
+        hits2 AS (
+          SELECT x.doc_id, x.dl, x.tok AS term
+          FROM (SELECT doc_id, len(toks) AS dl, unnest(toks) AS tok FROM base) x
+          JOIN qt ON x.tok = qt.term
+        ),
+        stats AS (SELECT count(*) AS sn, avg(len(toks)) AS avgdl FROM base),
+        tfc AS (SELECT doc_id, dl, term, count(*) AS tf FROM hits2 GROUP BY 1, 2, 3),
+        dfreq AS (SELECT term, count(*) AS df FROM tfc GROUP BY term),
+        per_doc AS (
+          SELECT tfc.doc_id,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.sn - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id
+        )
+        SELECT doc_id, n_terms_matched, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+        FROM per_doc
+        ORDER BY score DESC, doc_id LIMIT 20
+    """
+
+    # hybrid retrieval: BM25 top-50 (lexical) + exact-cosine top-50
+    # (semantic, doc_id ≡ vec_id) fused by reciprocal rank — integer
+    # contributions (1e12 // (60 + rank)) so the fused sum is bit-exact
+    o["doc_hybrid_rrf"] = f"""
+        WITH lex AS (
+          SELECT doc_id, rank FROM ({_bm25_sql(50)})
+        ),
+        sem0 AS (
+          SELECT e.vec_id AS doc_id,
+                 round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))))),
+                       6) AS cosine_sim
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        sem AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+          FROM sem0
+          ORDER BY cosine_sim DESC, doc_id LIMIT 50
+        ),
+        contrib AS (
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM sem
+        ),
+        fused AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lanes,
+                 CAST(sum(c) AS BIGINT) AS rrf_scaled
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, n_lanes, rrf_scaled,
+               CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id LIMIT 20
+    """
+
+    # three-lane fusion: same integer RRF over BM25 + QLD + cosine
+    o["doc_hybrid_rrf3"] = f"""
+        WITH lex AS (
+          SELECT doc_id, rank FROM ({_bm25_sql(50)})
+        ),
+        qld AS (
+          SELECT doc_id, rank FROM ({_qld_sql(50)})
+        ),
+        sem0 AS (
+          SELECT e.vec_id AS doc_id,
+                 round(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                        list_transform(q.embedding, x -> CAST(x AS DOUBLE)))
+                       / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                                list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                          * sqrt(list_dot_product(list_transform(q.embedding, x -> CAST(x AS DOUBLE)),
+                                                  list_transform(q.embedding, x -> CAST(x AS DOUBLE))))),
+                       6) AS cosine_sim
+          FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+        ),
+        sem AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cosine_sim DESC, doc_id) AS rank
+          FROM sem0
+          ORDER BY cosine_sim DESC, doc_id LIMIT 50
+        ),
+        contrib AS (
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM lex
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM qld
+          UNION ALL
+          SELECT doc_id, 1000000000000 // (60 + rank) AS c FROM sem
+        ),
+        fused AS (
+          SELECT doc_id,
+                 CAST(count(*) AS BIGINT) AS n_lanes,
+                 CAST(sum(c) AS BIGINT) AS rrf_scaled
+          FROM contrib GROUP BY doc_id
+        )
+        SELECT doc_id, n_lanes, rrf_scaled,
+               CAST(row_number() OVER (ORDER BY rrf_scaled DESC, doc_id) AS BIGINT) AS rank
+        FROM fused
+        ORDER BY rrf_scaled DESC, doc_id LIMIT 20
+    """
+
+    # same normalization + quote-escaping discipline as _bm25_terms so a
+    # future KEYWORD_TAXONOMY edit can't silently diverge the oracle
+    _kw_q = lambda s_: "'" + s_.replace("'", "''") + "'"  # noqa: E731
+    _kw_pairs = sorted(
+        {(lbl, t.lower()) for lbl, ts_ in KEYWORD_TAXONOMY.items() for t in ts_}
+    )
+    _kw_tax = ", ".join(f"({_kw_q(lbl)}, {_kw_q(t)})" for lbl, t in _kw_pairs)
+    _kw_all = ", ".join(_kw_q(t) for t in sorted({t for _l, t in _kw_pairs}))
+    o["doc_keyword_labels"] = f"""
+        WITH tax(label, term) AS (VALUES {_kw_tax}),
+        base AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ), hits AS (
+          SELECT doc_id, len(toks) AS dl,
+                 list_filter(toks, t -> t IN ({_kw_all})) AS hit
+          FROM base
+        ), stats AS (
+          SELECT count(*) AS n, avg(dl) AS avgdl FROM hits
+        ), tf AS (
+          SELECT doc_id, dl, unnest(hit) AS term FROM hits WHERE len(hit) > 0
+        ), tfc AS (
+          SELECT doc_id, dl, term, count(*) AS tf FROM tf GROUP BY 1, 2, 3
+        ), dfreq AS (
+          SELECT term, count(*) AS df FROM tfc GROUP BY term
+        ), per_label AS (
+          SELECT tfc.doc_id, tax.label,
+                 CAST(count(*) AS BIGINT) AS n_terms_matched,
+                 round(sum(
+                   ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tfc.tf * (1.2 + 1.0)
+                   / (tfc.tf + 1.2 * (1.0 - 0.75 + 0.75 * tfc.dl / stats.avgdl))
+                 ), 6) AS score
+          FROM tfc JOIN dfreq USING (term) JOIN tax USING (term) CROSS JOIN stats
+          GROUP BY tfc.doc_id, tax.label
+        )
+        SELECT doc_id, label, score, n_terms_matched FROM (
+          SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, label) AS rn
+          FROM per_label
+        ) WHERE rn = 1
+    """
+
+    o["doc_chunks"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), nz AS (
+          SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), ch AS (
+          SELECT doc_id, toks, n,
+                 unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS INT), 0) + 1)) AS i
+          FROM nz
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT) AS chunk_id,
+               CAST(i * 24 AS BIGINT) AS start_token,
+               array_to_string(toks[i*24+1 : i*24+32], ' ') AS chunk_text,
+               CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
+        FROM ch
+    """
+
+    o["doc_repetition"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS lines
+          FROM documents
+        ), b AS (
+          SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS nd,
+                 CAST(len(lines) AS BIGINT) AS n_lines,
+                 CAST(len(list_distinct(lines)) AS BIGINT) AS ld
+          FROM t
+        ), bg AS (
+          SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS g
+          FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks) - 1)) AS i) s
+        ), bgc AS (
+          SELECT doc_id, g, count(*) AS c FROM bg GROUP BY 1, 2
+        ), bga AS (
+          SELECT doc_id, CAST(sum(c) AS BIGINT) AS bn,
+                 CAST(count(*) AS BIGINT) AS bd, CAST(max(c) AS BIGINT) AS bmax
+          FROM bgc GROUP BY 1
+        )
+        SELECT b.doc_id, n_tokens,
+               CASE WHEN n_tokens > 0
+                    THEN round((n_tokens - nd) / CAST(n_tokens AS DOUBLE), 6) END AS dup_token_frac,
+               n_lines,
+               CASE WHEN n_lines > 0
+                    THEN round((n_lines - ld) / CAST(n_lines AS DOUBLE), 6) END AS dup_line_frac,
+               CAST(COALESCE(bn, 0) AS BIGINT) AS n_bigrams,
+               CASE WHEN bn > 0
+                    THEN round((bn - bd) / CAST(bn AS DOUBLE), 6) END AS dup_bigram_frac,
+               CASE WHEN bn > 0
+                    THEN round(bmax / CAST(bn AS DOUBLE), 6) END AS top_bigram_frac
+        FROM b LEFT JOIN bga ON b.doc_id = bga.doc_id
+    """
+
+    o["doc_contamination"] = r"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, len(toks) - 2),
+                   i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2])) AS grams
+          FROM t
+        ), bench AS (
+          SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+        ), cand AS (
+          SELECT doc_id, grams FROM g WHERE doc_id % 97 <> 0
+        ), hits AS (
+          SELECT c.doc_id, count(*) AS n_hits
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM cand) c
+          JOIN bench USING (gram)
+          GROUP BY c.doc_id
+        )
+        SELECT cand.doc_id, CAST(len(grams) AS BIGINT) AS n_grams,
+               CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+               CASE WHEN len(grams) > 0
+                    THEN round(COALESCE(n_hits, 0) / CAST(len(grams) AS DOUBLE), 6)
+               END AS contaminated_frac
+        FROM cand LEFT JOIN hits USING (doc_id)
+    """
+
+    o["doc_global_shuffle"] = """
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1
+                    AS BIGINT) AS shuffle_index
+        FROM documents
+    """
+
+    o["doc_pack_sequences"] = """
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS toks
+          FROM documents
+        ), nz AS (
+          SELECT doc_id, len(toks) AS n FROM t WHERE len(toks) > 0
+        ), ch AS (
+          SELECT doc_id,
+                 CAST(i AS BIGINT) AS chunk_id,
+                 CAST(least(n - i * 24, 32) AS BIGINT) AS n_tokens
+          FROM (
+            SELECT doc_id, n,
+                   unnest(range(0, greatest(CAST(ceil((n - 32) / 24.0) AS INT), 0) + 1)) AS i
+            FROM nz
+          )
+        ), s AS (
+          SELECT doc_id, chunk_id, n_tokens,
+                 COALESCE(sum(n_tokens) OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':' || CAST(chunk_id AS VARCHAR)),
+                            doc_id, chunk_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+          FROM ch
+        )
+        SELECT doc_id, chunk_id, n_tokens,
+               CAST(floor(cum / 64) AS BIGINT) AS seq_id,
+               CAST(cum % 64 AS BIGINT) AS seq_offset
+        FROM s
+    """
+
+    o["doc_rebalance"] = """
+        WITH counts AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY source
+        ), rated AS (
+          SELECT source, n,
+                 CASE source WHEN 'src0' THEN 0.5::DOUBLE
+                             WHEN 'src1' THEN 0.3::DOUBLE
+                             WHEN 'src2' THEN 0.2::DOUBLE END AS p
+          FROM counts
+          WHERE source IN ('src0', 'src1', 'src2')
+        ), t AS (
+          SELECT min(n / p) AS T FROM rated
+        ), thr AS (
+          SELECT source,
+                 CAST(floor(least(1.0::DOUBLE, p * T / n) * 10000) AS BIGINT) AS thr
+          FROM rated CROSS JOIN t
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN thr USING (source)
+        WHERE ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 < thr
+    """
+
+    o["doc_segment_dedup"] = """
+        WITH segs AS (
+          SELECT doc_id, unnest(l) AS seg, unnest(range(1, len(l)+1)) AS ord
+          FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents)
+        ), nz AS (SELECT * FROM segs WHERE seg <> ''),
+        stats AS (SELECT doc_id, count(*) AS n_segments FROM nz GROUP BY doc_id),
+        firsts AS (SELECT doc_id, seg, min(ord) AS mo FROM nz GROUP BY doc_id, seg),
+        agg AS (
+          SELECT doc_id, count(*) AS n_kept,
+                 string_agg(seg, ' ' ORDER BY mo) AS text_dedup
+          FROM firsts GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               coalesce(stats.n_segments, 0) AS n_segments,
+               coalesce(agg.n_kept, 0) AS n_kept,
+               coalesce(agg.text_dedup, '') AS text_dedup
+        FROM documents d
+        LEFT JOIN stats ON d.doc_id = stats.doc_id
+        LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """
+
+    o["doc_unigram_logprob"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), model AS (
+          SELECT term, sum(tf) AS c FROM tf GROUP BY term
+        ), tot AS (
+          SELECT sum(c) AS n, count(*) AS v FROM model
+        )
+        SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(-sum(tf.tf * ln((model.c + 0.5) / (tot.n + 0.5 * tot.v)))
+                     / sum(tf.tf), 6) AS mean_neg_logprob
+        FROM tf JOIN model USING (term) CROSS JOIN tot
+        GROUP BY tf.doc_id
+    """
+
+    # logistic quality classifier: every feature replayed as builtin SQL,
+    # weights embedded as exact Python double reprs; z over UNROUNDED
+    # features, prob rounded to 6dp, keep compared on the rounded value
+    from epicsarchiver_spark.operators.text_ops import QC_BIAS, QC_WEIGHTS
+
+    _qc_feats = {
+        "len_log": "ln(1 + length(text))",
+        "mean_tok_len": (
+            f"CASE WHEN len({TOK}) > 0 THEN "
+            f"list_sum(list_transform({TOK}, x -> length(x))) * 1.0 / len({TOK}) "
+            "ELSE 0.0 END"
+        ),
+        "stopword_ratio": (
+            f"CASE WHEN len({TOK}) > 0 THEN "
+            f"len(list_filter({TOK}, t -> lower(t) IN ('the','and','of','to','in')))"
+            f" * 1.0 / len({TOK}) ELSE 0.0 END"
+        ),
+        "punct_ratio": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^.,;:!?''\"()\\[\\]-]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+        "digit_frac": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^0-9]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+        "upper_frac": (
+            "CASE WHEN length(text) > 0 THEN "
+            "length(regexp_replace(text, '[^A-Z]', '', 'g'))"
+            " * 1.0 / length(text) ELSE 0.0 END"
+        ),
+    }
+    _qc_z = repr(QC_BIAS) + "".join(
+        f" + {w!r} * ({_qc_feats[name]})" for name, w in QC_WEIGHTS
+    )
+    _qc_cols = ",\n               ".join(
+        f"round({_qc_feats[name]}, 6) AS {name}" for name, _ in QC_WEIGHTS
+    )
+    o["doc_quality_classifier"] = f"""
+        SELECT doc_id,
+               {_qc_cols},
+               round(1.0 / (1.0 + exp(-({_qc_z}))), 6) AS quality_prob,
+               round(1.0 / (1.0 + exp(-({_qc_z}))), 6) >= 0.5 AS keep
+        FROM documents
+    """
+
+    # JM-interpolated bigram LM: λ and 1−λ are embedded as the EXACT
+    # Python double reprs the engine uses (1.0-0.8 is not 0.2 in IEEE754)
+    _LAM, _OML, _ALPHA = repr(0.8), repr(1.0 - 0.8), repr(0.5)
+    o["doc_bigram_logprob"] = rf"""
+        WITH toks AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), bi AS (
+          SELECT doc_id, unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+          FROM toks WHERE len(tk) >= 2
+        ), bi_tf AS (
+          SELECT doc_id, w1, w2, count(*) AS tf FROM bi GROUP BY doc_id, w1, w2
+        ), bi_model AS (
+          SELECT w1, w2, sum(tf) AS c12 FROM bi_tf GROUP BY w1, w2
+        ), left_model AS (
+          SELECT w1, sum(c12) AS c1 FROM bi_model GROUP BY w1
+        ), uni AS (
+          SELECT doc_id, unnest(tk) AS term FROM toks
+        ), uni_model AS (
+          SELECT term, count(*) AS c FROM uni GROUP BY term
+        ), tot AS (
+          SELECT sum(c) AS n, count(*) AS v FROM uni_model
+        ), bi_scored AS (
+          SELECT bi_tf.doc_id, sum(tf) AS n_bi,
+                 sum(-tf * ln({_LAM} * c12 / c1
+                              + {_OML} * (um.c + {_ALPHA}) / (tot.n + {_ALPHA} * tot.v)))
+                   AS s_bi
+          FROM bi_tf
+          JOIN bi_model USING (w1, w2)
+          JOIN left_model USING (w1)
+          JOIN uni_model um ON um.term = bi_tf.w2
+          CROSS JOIN tot
+          GROUP BY bi_tf.doc_id
+        ), first_t AS (
+          SELECT doc_id, tk[1] AS term FROM toks WHERE len(tk) > 0
+        ), first_scored AS (
+          SELECT doc_id,
+                 -ln((c + {_ALPHA}) / (tot.n + {_ALPHA} * tot.v)) AS s_first
+          FROM first_t JOIN uni_model USING (term) CROSS JOIN tot
+        )
+        SELECT f.doc_id,
+               CAST(coalesce(b.n_bi, 0) + 1 AS BIGINT) AS n_tokens,
+               round((f.s_first + coalesce(b.s_bi, 0.0))
+                     / (coalesce(b.n_bi, 0) + 1), 6) AS mean_neg_logprob
+        FROM first_scored f LEFT JOIN bi_scored b USING (doc_id)
+    """
+
+    o["ts_rate_windowed"] = (
+        P
+        + """
+        SELECT pvname, floor(time / 3600.0) * 3600.0 AS win_start,
+               count(*) AS n_events,
+               round(count(*) / 3600.0, 6) AS events_per_sec
+        FROM points GROUP BY pvname, floor(time / 3600.0) * 3600.0
+        """
+    )
+
+    o["doc_incremental_dedup"] = """
+        WITH newb AS (
+          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text || ' unseen' AS text
+          FROM documents WHERE doc_id % 7 = 3
+        )
+        SELECT doc_id, text FROM newb
+        WHERE lower(substr(md5(text), 1, 16)) NOT IN
+              (SELECT lower(substr(md5(text), 1, 16)) FROM documents)
+    """
+
+    # bloom-accelerated path: semantically identical to the plain
+    # anti-join (no false negatives; maybes confirmed exactly) — the
+    # oracle IS the exact formulation
+    o["doc_bloom_dedup"] = o["doc_incremental_dedup"]
+
+    o["doc_pii_scrub"] = r"""
+        SELECT doc_id,
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                   'https?://[^\s]+', '<URL>', 'g'),
+                 '[0-9]{9,}', '<NUM>', 'g') AS clean_text,
+               CAST(len(regexp_extract_all(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+               CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS BIGINT) AS n_url,
+               CAST(len(regexp_extract_all(text, '[0-9]{9,}')) AS BIGINT) AS n_longnum
+        FROM documents
+    """
+
+    o["doc_splits"] = """
+        SELECT doc_id,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id,
+                 ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT % 10000 AS b
+          FROM documents
+        )
+    """
+
+    PUNCT = r"""length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g'))"""
+    STOPS = "['the','and','of','to','in']"
+    o["doc_quality"] = f"""
+        WITH t AS (
+          SELECT doc_id, text,
+                 length(text) AS n,
+                 {TOK} AS toks,
+                 {PUNCT} AS np
+          FROM documents
+        ), r AS (
+          SELECT doc_id,
+                 CASE WHEN n > 0 THEN np * 1.0 / n ELSE 0.0 END AS praw,
+                 CASE WHEN len(toks) > 0
+                      THEN len(list_filter(toks, x -> list_contains({STOPS}, lower(x)))) * 1.0 / len(toks)
+                      ELSE 0.0 END AS sraw,
+                 least(n / 500.0, 1.0) AS len_score
+          FROM t
+        )
+        SELECT doc_id,
+               round(praw, 6) AS punct_ratio,
+               round(sraw, 6) AS stopword_ratio,
+               round(0.4 * len_score + 0.3 * (1.0 - least(praw * 5, 1.0))
+                     + 0.3 * least(sraw * 10, 1.0), 6) AS quality
+        FROM r
+    """
+
+    # language-ID: distinct-stopword hits per language, argmax w/ lexicographic tie-break
+    from epicsarchiver_spark.functions.text import LANG_STOPWORDS
+
+    score_cols = ", ".join(
+        f"len(list_filter({lst}, w -> list_contains(toks, w))) AS hits_{lang}"
+        for lang, lst in (
+            (lang, "[" + ",".join(f"'{w}'" for w in words) + "]")
+            for lang, words in sorted(LANG_STOPWORDS.items())
+        )
+    )
+    langs = sorted(LANG_STOPWORDS)
+    greatest_expr = "greatest(" + ", ".join(f"hits_{la}" for la in langs) + ")"
+    case_pred = (
+        "CASE WHEN "
+        + greatest_expr
+        + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{la} = {greatest_expr} THEN '{la}'" for la in langs)
+        + " END"
+    )
+    o["doc_langid"] = f"""
+        WITH t AS (
+          SELECT lang AS lang_true,
+                 list_transform({TOK}, x -> lower(x)) AS toks
+          FROM documents
+        ), s AS (
+          SELECT lang_true, {score_cols} FROM t
+        )
+        SELECT lang_true, {case_pred} AS lang_pred, count(*) AS n
+        FROM s GROUP BY lang_true, lang_pred
+        ORDER BY lang_true, lang_pred
+    """
+
+    o["doc_sample_stratified"] = """
+        WITH r AS (
+          SELECT doc_id, source, lang,
+                 row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents
+        )
+        SELECT doc_id, source, lang FROM r WHERE rk <= 20
+    """
+
+    o["doc_vocab_topk"] = f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({TOK.replace("text", "lower(text)")}) AS term
+          FROM documents
+        ), pd AS (
+          SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term
+        ), st AS (
+          SELECT term, CAST(sum(tf) AS BIGINT) AS tf, CAST(count(*) AS BIGINT) AS df
+          FROM pd GROUP BY term
+        )
+        SELECT term, tf, df FROM st ORDER BY tf DESC, term LIMIT 200
+    """
+
+    SHING2 = (
+        f"list_distinct(list_transform(range(1, greatest(len({TOK}) - 1, 0) + 1), "
+        f"i -> array_to_string(({TOK})[i:i+1], ' ')))"
+    )
+    o["doc_jaccard_pairs"] = f"""
+        WITH sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), pairs AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, round(i / u, 6) AS jaccard
+        FROM pairs WHERE u > 0 AND i / u >= 0.05
+    """
+
+    # triangles via the oriented join over the same jaccard pair lane;
+    # per-node rollups + the 2T/(d(d−1)) coefficient
+    o["doc_triangles"] = f"""
+        WITH jp AS ({o["doc_jaccard_pairs"]}),
+        e AS (
+          SELECT DISTINCT least(id_a, id_b) AS u, greatest(id_a, id_b) AS v
+          FROM jp
+        ),
+        tri AS (
+          SELECT e1.u AS a, e1.v AS b, e2.v AS c
+          FROM e e1
+          JOIN e e2 ON e1.v = e2.u
+          JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        nt AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS n_triangles
+          FROM (SELECT a AS id FROM tri
+                UNION ALL SELECT b FROM tri
+                UNION ALL SELECT c FROM tri)
+          GROUP BY id
+        ),
+        deg AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS degree
+          FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e)
+          GROUP BY id
+        )
+        SELECT deg.id,
+               deg.degree,
+               CAST(coalesce(nt.n_triangles, 0) AS BIGINT) AS n_triangles,
+               round(CASE WHEN deg.degree >= 2
+                          THEN 2.0 * coalesce(nt.n_triangles, 0)
+                               / (deg.degree * (deg.degree - 1))
+                          ELSE 0.0 END, 6) AS clustering
+        FROM deg LEFT JOIN nt USING (id)
+    """
+
+    # the persisted-edge lane answers the SAME question
+    o["doc_triangles_indexed"] = o["doc_triangles"]
+
+    # --- MinHash / SimHash (basis="md5"): bit-for-bit reproduction -----
+    # Engine and oracle share the md5 token basis: per-token 60-bit hash
+    # (first 15 hex digits of md5 → BIGINT; DuckDB folds hex digits with
+    # shifts), split into two 30-bit lanes, k=2 shingles combined by the
+    # two-lane sliding fold acc=(acc·R+next) mod p — and, for MinHash,
+    # the affine family v=(a·(h mod p)+b) mod p over p=2³¹−1. Every step
+    # is exact BIGINT arithmetic in both engines; no shingle strings.
+    from epicsarchiver_spark.functions.hashing import (
+        LANE_MASK,
+        MERSENNE31,
+        P30_HI,
+        P30_LO,
+        R_HI,
+        R_LO,
+        affine31_params,
+    )
+
+    _P31 = MERSENNE31
+    _HEX60_TOK = (
+        "list_aggregate(list_transform(range(1, 16), j -> "
+        "(strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)::BIGINT "
+        "<< (4 * (15 - j))), 'sum')"
+    )
+    _PACK2 = (
+        f"(((th[i] & {LANE_MASK}) * {R_LO} + (th[i + 1] & {LANE_MASK})) % {P30_LO})"
+        f" + ((((th[i] >> 30) * {R_HI}) + (th[i + 1] >> 30)) % {P30_HI}) * (1::BIGINT << 30)"
+    )
+    _HS_CTE = f"""
+        th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ),
+        hs AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(th) - 1, 0) + 1), i -> {_PACK2})) AS hs
+          FROM th
+        )
+    """
+    _sig_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * (h % {_P31}) + {b}) % {_P31})), {_P31})"
+        for a, b in affine31_params(64)
+    )
+    o["doc_minhash_neardups"] = f"""
+        WITH {_HS_CTE},
+        sig AS (
+          SELECT doc_id, [{_sig_exprs}] AS sig FROM hs
+        ), bands AS (
+          SELECT doc_id, i AS band,
+                 array_to_string(sig[4*i+1 : 4*i+4], ',') AS chunk
+          FROM sig, range(0, 16) t(i)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        ), est AS (
+          SELECT c.id_a, c.id_b,
+                 len(list_filter(range(1, 65), i -> sa.sig[i] = sb.sig[i])) / 64.0
+                   AS est_jaccard
+          FROM cand c
+          JOIN sig sa ON sa.doc_id = c.id_a
+          JOIN sig sb ON sb.doc_id = c.id_b
+        )
+        SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.5
+    """
+    # persisted-signature lane reads back the same signatures → same pairs
+    o["doc_minhash_indexed"] = o["doc_minhash_neardups"]
+
+    o["doc_simhash_neardups"] = f"""
+        WITH {_HS_CTE},
+        sim AS (
+          SELECT doc_id,
+                 list_aggregate(list_transform(range(0, 60), j ->
+                   CASE WHEN 2 * len(list_filter(hs, h -> ((h >> j) & 1) = 1)) > len(hs)
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END), 'sum') AS sh
+          FROM hs
+        ), blk AS (
+          SELECT doc_id, sh, i AS blk, (sh >> (16 * i)) & 65535 AS val
+          FROM sim, range(0, 4) t(i)
+        ), cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                          a.sh AS sh_a, b.sh AS sh_b
+          FROM blk a JOIN blk b
+            ON a.blk = b.blk AND a.val = b.val AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 8
+    """
+
+    # exact-substring span dedup: the same two-lane md5 fold, POSITIONAL
+    # (window start i), unrolled for window=8; a window is duplicated when
+    # its hash occurs >= 2 times corpus-wide; covered tokens are excised.
+    # DuckDB list_filter's index lambda is 1-based (Spark's is 0-based):
+    # token index j0 = i - 1.
+    _SUB_L = 8
+    _sub_lo = f"(th[i] & {LANE_MASK})"
+    _sub_hi = "(th[i] >> 30)"
+    for _s in range(1, _SUB_L):
+        _sub_lo = f"(({_sub_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _sub_hi = f"(({_sub_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _SUB_PACK = f"({_sub_lo}) + ({_sub_hi}) * (1::BIGINT << 30)"
+    o["doc_substring_dedup"] = f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ), wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM th
+        ), px AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM wh
+        ), dup AS (
+          SELECT h FROM px GROUP BY h HAVING count(*) >= 2
+        ), starts AS (
+          SELECT doc_id, list_sort(list(pos)) AS starts
+          FROM px WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+        ), j AS (
+          SELECT d.doc_id, {TOK} AS t, coalesce(s.starts, CAST([] AS BIGINT[])) AS st
+          FROM documents d LEFT JOIN starts s USING (doc_id)
+        ), k AS (
+          SELECT doc_id, t, st,
+                 list_filter(t, (x, i) ->
+                   len(list_filter(st, s -> s <= i - 1 AND i - 1 < s + {_SUB_L})) = 0) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(st) AS BIGINT) AS n_dup_windows,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_dup_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM k
+    """
+
+    # winnowing (MOSS): k=5 positional fold (same two-lane md5 machinery),
+    # window-min selection, distinct fingerprint set, pair join
+    _WIN_K, _WIN_W = 5, 4
+    _win_lo = f"(th[i] & {LANE_MASK})"
+    _win_hi = "(th[i] >> 30)"
+    for _s in range(1, _WIN_K):
+        _win_lo = f"(({_win_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _win_hi = f"(({_win_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _WIN_PACK = f"({_win_lo}) + ({_win_hi}) * (1::BIGINT << 30)"
+    o["doc_winnow_pairs"] = f"""
+        WITH th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM documents
+        ),
+        wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_WIN_K - 1}, 0) + 1),
+                                i -> {_WIN_PACK}) AS wh
+          FROM th
+        ),
+        fps AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   range(1, greatest(len(wh) - {_WIN_W - 1}, 0) + 1),
+                   i -> list_aggregate(list_slice(wh, i, i + {_WIN_W - 1}), 'min'))) AS fps
+          FROM wh WHERE len(wh) >= {_WIN_W}
+        ),
+        e0 AS (SELECT doc_id, unnest(fps) AS fp FROM fps),
+        rare AS (
+          SELECT fp FROM e0 GROUP BY fp HAVING count(*) <= {WINNOW_MAX_DF}
+        ),
+        e AS (SELECT doc_id, fp FROM e0 WHERE fp IN (SELECT fp FROM rare))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        FROM e a JOIN e b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= {WINNOW_MIN_SHARED}
+    """
+
+    # shared prefix: the jaccard pair graph as symmetric edges + closure —
+    # component(v) = min id reachable (recursive CTE = the oracle analog of
+    # the engine's min-label propagation)
+    CC = f"""
+        WITH RECURSIVE sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM jp WHERE u > 0 AND i / u >= 0.05
+        ), edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ), reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ), comp AS (
+          SELECT id, min(root) AS component FROM reach GROUP BY id
+        )
+    """
+    o["doc_dedup_groups"] = (
+        CC + "SELECT id AS doc_id, component FROM comp"
+    )
+
+    o["doc_split_leakage"] = f"""
+        WITH sh AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ), jp AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 len(list_intersect(a.s, b.s)) * 1.0 AS i,
+                 len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS u
+          FROM sh a JOIN sh b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+        ), pairs AS (
+          SELECT id_a, id_b FROM jp WHERE u > 0 AND i / u >= 0.05
+        ), sp AS (
+          SELECT doc_id,
+                 CASE WHEN b < 9000 THEN 'train'
+                      WHEN b < 9500 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                     % 10000 AS b
+            FROM documents
+          )
+        )
+        SELECT least(a.split, b.split) AS split_a,
+               greatest(a.split, b.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        JOIN sp a ON id_a = a.doc_id
+        JOIN sp b ON id_b = b.doc_id
+        WHERE a.split <> b.split
+        GROUP BY split_a, split_b
+    """
+    o["doc_dedup_survivors"] = (
+        CC
+        + """
+        SELECT d.doc_id, d.lang, d.source
+        FROM documents d
+        WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+        """
+    )
+
+    o["emb_topk_cosine"] = """
+        WITH q AS (
+          SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+          FROM embeddings WHERE vec_id = 0
+        ), scored AS (
+          SELECT e.vec_id,
+                 round(
+                   list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)), q.qv)
+                   / (sqrt(list_dot_product(list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+                                            list_transform(e.embedding, x -> CAST(x AS DOUBLE))))
+                      * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cosine_sim
+          FROM embeddings e, q
+        )
+        SELECT vec_id, cosine_sim FROM scored
+        ORDER BY cosine_sim DESC, vec_id LIMIT 10
+    """
+
+    o["doc_gopher_rules"] = """
+        WITH toks AS (
+          SELECT doc_id, text AS t,
+                 list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS tk
+          FROM documents
+        ),
+        stats AS (
+          SELECT doc_id,
+                 CAST(len(tk) AS BIGINT) AS n_words,
+                 round(CAST(list_sum(list_transform(tk, x -> length(x))) AS DOUBLE)
+                       / len(tk), 6) AS mean_word_len,
+                 round(CAST(len(list_filter(tk, x -> regexp_matches(x, '[A-Za-z]')))
+                            AS DOUBLE) / len(tk), 6) AS alpha_frac,
+                 round(CAST((length(t) - length(replace(t, '#', '')))
+                            + (length(t) - length(replace(t, '...', ''))) / 3.0
+                            AS DOUBLE) / len(tk), 6) AS symbol_ratio,
+                 CAST(len(list_intersect(list_transform(tk, x -> lower(x)),
+                                         ['and','in','of','the','to'])) AS BIGINT)
+                   AS n_stopwords
+          FROM toks
+        )
+        SELECT doc_id, n_words, mean_word_len, alpha_frac, symbol_ratio, n_stopwords,
+               (n_words BETWEEN 25 AND 100000)
+               AND (mean_word_len BETWEEN 3.0 AND 10.0)
+               AND (symbol_ratio <= 0.1)
+               AND (alpha_frac >= 0.8)
+               AND (n_stopwords >= 1) AS keep
+        FROM stats
+    """
+
+    # --- clickstream analytics (operators/events.py) ------------------
+    step_list = ", ".join(f"'{s}'" for s in FUNNEL_STEPS)
+    cascade = []
+    for i, s in enumerate(FUNNEL_STEPS):
+        if i == 0:
+            cascade.append(
+                f"s0 AS (SELECT user_id, min(t) AS t0 FROM ev"
+                f" WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            cascade.append(
+                f"s{i} AS (SELECT user_id, min(t) AS t{i}"
+                f" FROM ev JOIN s{i - 1} USING (user_id)"
+                f" WHERE event_type = '{s}' AND t > t{i - 1} GROUP BY 1)"
+            )
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" (SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    o["ev_funnel"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch(ts) AS t, event_type FROM events
+          WHERE event_type IN ({step_list})
+        ),
+        {",".join(cascade)}
+        {unions}
+    """
+
+    lat_unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" CAST(count(*) AS BIGINT) AS n_converted,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.5), 6) AS p50_s,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.9), 6) AS p90_s,"
+        f" round(avg(t{i} - t{i - 1}), 6) AS mean_s"
+        f" FROM s{i} JOIN s{i - 1} USING (user_id)"
+        for i, s in enumerate(FUNNEL_STEPS)
+        if i > 0
+    )
+    o["ev_funnel_times"] = f"""
+        WITH ev AS (
+          SELECT user_id, epoch(ts) AS t, event_type FROM events
+          WHERE event_type IN ({step_list})
+        ),
+        {",".join(cascade)}
+        {lat_unions}
+    """
+
+    o["ev_retention"] = """
+        WITH base AS (
+          SELECT DISTINCT user_id,
+                 CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS wk
+          FROM events
+        ),
+        coh AS (SELECT user_id, min(wk) AS cohort_wk FROM base GROUP BY 1)
+        SELECT cohort_wk, wk - cohort_wk AS week_offset, count(*) AS n_users
+        FROM base JOIN coh USING (user_id)
+        GROUP BY 1, 2
+    """
+
+    o["ev_props_rollup"] = """
+        SELECT event_type,
+               count(*) AS n_events,
+               CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing,
+               round(avg(k), 6) AS avg_k,
+               max(k) AS max_k
+        FROM (SELECT event_type,
+                     CAST(json_extract(props, '$.k') AS DOUBLE) AS k
+              FROM events) t
+        GROUP BY 1
+    """
+
+    o["ev_rolling_dau"] = """
+        WITH dau AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+            SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+                   user_id
+            FROM events
+          ) GROUP BY 1
+        )
+        SELECT day, dau,
+               round(avg(dau) OVER (ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS dau_roll_avg
+        FROM dau
+    """
+
+    o["ev_dau_anomalies"] = """
+        WITH dau AS (
+          SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+            SELECT DISTINCT CAST(floor(epoch(ts) / 86400.0) AS BIGINT) AS day,
+                   user_id
+            FROM events
+          ) GROUP BY 1
+        ), b AS (
+          SELECT day, dau,
+                 round(quantile_cont(dau, 0.5) OVER w, 6) AS med,
+                 count(*) OVER w AS nwin
+          FROM dau
+          WINDOW w AS (ORDER BY day RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT day, dau,
+               CASE WHEN nwin >= 7 THEN med END AS trailing_med,
+               CASE WHEN nwin >= 7 AND med > 0
+                    THEN round(abs(dau - med) / med, 6) END AS rel_dev,
+               coalesce(CASE WHEN nwin >= 7 AND med > 0
+                             THEN round(abs(dau - med) / med, 6) END > 0.25,
+                        FALSE) AS is_anomaly
+        FROM b
+    """
+
+    # time-weighted LOCF mean; durations quantized to integer µs so the
+    # coverage sum is exact integer math — order-independent across
+    # engines (the float-accumulation low bits would straddle the
+    # 6-decimal rounding otherwise)
+    o["ts_twa"] = (
+        P
+        + f""",
+        seg AS (
+          SELECT pvname, value,
+                 greatest(time, {T0}) AS a,
+                 least(coalesce(lead(time) OVER (PARTITION BY pvname
+                       ORDER BY time, event_id), {T1}), {T1}) AS b
+          FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {ASOF_LOOKBACK}
+        ),
+        q AS (
+          SELECT pvname, value, CAST(round((b - a) * 1e6) AS BIGINT) AS dur_us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname,
+               round(sum(dur_us) / 1e6, 6) AS coverage_s,
+               round(sum(value * dur_us) / sum(dur_us), 6) AS twa
+        FROM q GROUP BY pvname
+        """
+    )
+
+    _DECIMATE_W = (T1 - T0) / 16
+    o["ts_decimate"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value, event_id,
+                 {T0} + floor((time - {T0}) / {_DECIMATE_W!r}) * {_DECIMATE_W!r}
+                   AS bucket_start
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        rk AS (
+          SELECT pvname, bucket_start, value,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time, event_id) AS rf,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time DESC, event_id DESC) AS rl
+          FROM win
+        )
+        SELECT pvname, bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN rf = 1 THEN value END) AS v_first,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               max(CASE WHEN rl = 1 THEN value END) AS v_last
+        FROM rk GROUP BY pvname, bucket_start
+        """
+    )
+
+    o["rel_returned_items"] = """
+        SELECT c_custkey, c_name, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+        GROUP BY 1, 2, 3
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """
+
+    o["rel_supplier_parts"] = """
+        WITH assoc AS (
+          SELECT DISTINCT p_brand, p_size, l_suppkey
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          WHERE l_suppkey NOT IN (
+            SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        )
+        SELECT p_brand, p_size, CAST(count(*) AS BIGINT) AS supplier_cnt
+        FROM assoc GROUP BY 1, 2
+    """
+
+    # per-series auto-ranged histogram: closed-form bin edges, all-double
+    # IEEE arithmetic identical in both engines; max clamps into bin 19
+    o["ts_histogram"] = (
+        P
+        + f""",
+        rng AS (
+          SELECT pvname, min(value) AS lo, max(value) AS hi
+          FROM points GROUP BY pvname
+        ),
+        binned AS (
+          SELECT p.pvname,
+                 CASE WHEN r.hi > r.lo
+                      THEN least(CAST(floor((p.value - r.lo) / ((r.hi - r.lo) / {HIST_BINS})) AS BIGINT),
+                                 {HIST_BINS - 1})
+                      ELSE 0 END AS bin,
+                 r.lo AS lo, (r.hi - r.lo) / {HIST_BINS} AS w
+          FROM points p JOIN rng r USING (pvname)
+        )
+        SELECT pvname, bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
+               count(*) AS n
+        FROM binned GROUP BY pvname, bin, lo, w
+        """
+    )
+
+    # median/MAD outliers: DuckDB median == Spark exact median (continuous
+    # interpolation at q=0.5); all comparisons on deterministic doubles
+    o["ts_outliers"] = (
+        P
+        + f""",
+        med AS (SELECT pvname, median(value) AS med FROM points GROUP BY pvname),
+        mad AS (
+          SELECT p.pvname, median(abs(p.value - m.med)) AS mad
+          FROM points p JOIN med m USING (pvname) GROUP BY p.pvname
+        )
+        SELECT p.pvname, p.time, p.value, m.med, d.mad
+        FROM points p JOIN med m USING (pvname) JOIN mad d USING (pvname)
+        WHERE d.mad > 0 AND abs(p.value - m.med) > {OUTLIER_K} * d.mad
+        """
+    )
+
+    o["rel_disjunctive_revenue"] = """
+        SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#2'  AND p_size <= 10 AND l_quantity <= 15)
+           OR (p_brand = 'Brand#4'  AND p_size <= 20 AND l_quantity <= 30)
+           OR (p_brand = 'Brand#19' AND p_size <= 30 AND l_quantity <= 45)
+    """
+
+    # signed random projection: the ±1 matrix regenerates from the same
+    # LCG (signed_projection_matrix) and embeds as list literals — the
+    # emb_topk_lsh trick; round(6) guards dot-product reduce order
+    _proj_rows = similarity.signed_projection_matrix(64, PROJ_DIM)
+    _proj_exprs = ", ".join(
+        "round(list_dot_product(e, ["
+        + ", ".join(str(s) for s in row)
+        + "]), 6)"
+        for row in _proj_rows
+    )
+    o["emb_project"] = f"""
+        WITH ev AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        pr AS (SELECT vec_id, [{_proj_exprs}] AS p FROM ev)
+        SELECT vec_id, CAST(i AS INT) AS pos, p[i + 1] AS value
+        FROM pr, range(0, {PROJ_DIM}) t(i)
+    """
+
+    # media aHash: 64-chunk average hash over the payload bytes (ASCII
+    # text → unicode(char) == byte, the mm_features precedent); chunk j
+    # covers [n*j//64, n*(j+1)//64) — all-integer bit test 64·s_j > Σs
+    _ah_terms = []
+    for _j in range(64):
+        _val = "(-9223372036854775807 - 1)" if _j == 63 else str(1 << _j)
+        _ah_terms.append(
+            f"(CASE WHEN 64 * coalesce(list_aggregate(list_slice(codes, "
+            f"(n * {_j}) // 64 + 1, (n * {_j + 1}) // 64), 'sum'), 0) > total "
+            f"THEN {_val} ELSE 0 END)"
+        )
+    _AHASH_CTE = f"""
+        media AS (
+          SELECT CAST(doc_id AS VARCHAR) AS media_id,
+                 ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+                 list_transform(string_split_regex(text, ''), x -> unicode(x)) AS codes,
+                 length(text) AS n
+          FROM documents
+        ),
+        tot AS (
+          SELECT media_id, kind, codes, n,
+                 coalesce(list_aggregate(codes, 'sum'), 0) AS total
+          FROM media
+        ),
+        ah AS (
+          SELECT media_id, kind, CAST(n AS BIGINT) AS n_bytes,
+                 CAST(CASE WHEN n = 0 THEN 0 ELSE {" + ".join(_ah_terms)} END AS BIGINT) AS ahash
+          FROM tot
+        )
+    """
+    o["mm_ahash"] = f"WITH {_AHASH_CTE} SELECT media_id, kind, n_bytes, ahash FROM ah"
+
+    o["mm_near_dups"] = f"""
+        WITH {_AHASH_CTE},
+        blk AS (
+          SELECT media_id, ahash, i AS blk, (ahash >> (16 * i)) & 65535 AS val
+          FROM ah, range(0, 4) t(i)
+        ),
+        cand AS (
+          SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b,
+                          a.ahash AS ah_a, b.ahash AS ah_b
+          FROM blk a JOIN blk b
+            ON a.blk = b.blk AND a.val = b.val AND a.media_id < b.media_id
+        )
+        SELECT id_a, id_b, CAST(bit_count(xor(ah_a, ah_b)) AS INT) AS hamming
+        FROM cand WHERE bit_count(xor(ah_a, ah_b)) <= 3
+    """
+
+    # Pearson correlation on the LOCF grid: values quantize to exact
+    # integer cents, the five moment sums are exact integers in both
+    # engines, r is one closed-form double — reproducible bit-for-bit
+    _corr_r = (
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))"
+    )
+    o["ts_correlation"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv_a, b.pvname AS pv_b, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname < b.pvname
+          GROUP BY 1, 2
+        )
+        SELECT pv_a, pv_b, n, round({_corr_r}, 6) AS r
+        FROM s
+        WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+          AND abs({_corr_r}) >= {CORR_MIN_R}
+        """
+    )
+
+    # top-k correlated partners: BOTH-direction pair moments + a ranked
+    # window; ties on |r| break by partner name, mirroring the kernel's
+    # lexsort
+    o["ts_related_corr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv, b.pvname AS partner, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname <> b.pvname
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT pv, partner, n, {_corr_r} AS r
+          FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        ),
+        rk AS (
+          SELECT pv, partner, n, r,
+                 row_number() OVER (PARTITION BY pv ORDER BY abs(r) DESC, partner) AS rn
+          FROM v
+        )
+        SELECT pv, partner, n, round(r, 6) AS r FROM rk WHERE rn <= 3
+        """
+    )
+
+    o["doc_length_trim"] = """
+        SELECT doc_id, text, lang, source, n_chars, pr FROM (
+          SELECT d.*, percent_rank() OVER (PARTITION BY lang ORDER BY n_chars) AS pr
+          FROM documents d
+        ) WHERE pr >= 0.05 AND pr <= 0.95
+    """
+
+    # product quantization: codebook regenerates from the shared LCG and
+    # embeds as literals; distances are the same left-fold of (x−c)² in
+    # both engines, so argmin codes agree bit-for-bit
+    _pq_cb = similarity.pq_codebook(8, 16, 8)
+    _sl_cols = ", ".join(f"e[{8 * s + 1}:{8 * s + 8}] AS s{s}" for s in range(8))
+
+    def _pq_dist(var: str, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"({var}[{i + 1}] - ({c}))*({var}[{i + 1}] - ({c}))"
+            for i, c in enumerate(cent)
+        ) + ")"
+
+    _d_cols = ", ".join(
+        "[" + ", ".join(_pq_dist(f"s{s}", cent) for cent in _pq_cb[s]) + f"] AS d{s}"
+        for s in range(8)
+    )
+    _code_items = ", ".join(
+        f"CAST(list_position(d{s}, list_aggregate(d{s}, 'min')) - 1 AS BIGINT)"
+        for s in range(8)
+    )
+    o["emb_pq_codes"] = f"""
+        WITH ev AS (
+          SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        sl AS (SELECT vec_id, {_sl_cols} FROM ev),
+        d AS (SELECT vec_id, {_d_cols} FROM sl),
+        c AS (SELECT vec_id, [{_code_items}] AS codes FROM d)
+        SELECT vec_id, CAST(i AS INT) AS subspace, codes[i + 1] AS code
+        FROM c, range(0, 8) t(i)
+    """
+
+    # IVF-PQ end-to-end: coarse-cell probe (the emb_topk_ivf machinery)
+    # + the PQ code CTEs + a query-side LUT (the same left-fold (q−c)²
+    # per subspace centroid) — adc = 8 list lookups summed, ordered
+    # ascending. All doubles computed by identical expression chains.
+    _qsl_cols = ", ".join(f"qe[{8 * s + 1}:{8 * s + 8}] AS q{s}" for s in range(8))
+    _lut_cols = ", ".join(
+        "[" + ", ".join(_pq_dist(f"q{s}", cent) for cent in _pq_cb[s]) + f"] AS l{s}"
+        for s in range(8)
+    )
+    _adc = " + ".join(f"l.l{s}[codes[{s + 1}] + 1]" for s in range(8))
+    # the CTE chain (corpus → cells → probes → codes → LUT → probed
+    # candidate set) is shared by the plain ADC oracle and the re-rank
+    # oracle below — one formula, two consumers, like _bm25_contrib
+    _ivfpq_cte = f"""
+        WITH {_V},
+        ev AS (SELECT vec_id, e FROM v),
+        q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+        assigned AS (
+          SELECT vec_id, list_position(dl, list_min(dl)) AS cell
+          FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+        ),
+        cells(cell, c) AS (SELECT * FROM (VALUES {_cell_rows}) t(cell, c)),
+        probe AS (
+          SELECT cell FROM cells, q
+          ORDER BY list_dot_product(qe, qe)
+                   - 2 * list_dot_product(qe, list_transform(c, x -> CAST(x AS DOUBLE)))
+                   + list_dot_product(list_transform(c, x -> CAST(x AS DOUBLE)),
+                                      list_transform(c, x -> CAST(x AS DOUBLE))),
+                   cell
+          LIMIT 4
+        ),
+        sl AS (SELECT vec_id, {_sl_cols} FROM ev),
+        d AS (SELECT vec_id, {_d_cols} FROM sl),
+        c AS (SELECT vec_id, [{_code_items}] AS codes FROM d),
+        qsl AS (SELECT {_qsl_cols} FROM q),
+        lut AS (SELECT {_lut_cols} FROM qsl),
+        sel AS (
+          SELECT a.vec_id, c.codes
+          FROM assigned a JOIN c USING (vec_id)
+          WHERE a.cell IN (SELECT cell FROM probe)
+        )"""
+
+    o["emb_ivfpq_topk"] = f"""{_ivfpq_cte}
+        SELECT vec_id, round({_adc}, 6) AS adc_dist
+        FROM sel, lut l
+        ORDER BY {_adc}, vec_id
+        LIMIT 10
+    """
+
+    # the persisted-index path answers the SAME question as the inline
+    # build — one oracle serves both
+    o["emb_ivfpq_index"] = o["emb_ivfpq_topk"]
+
+    # two-stage retrieval: the SAME ADC chain nominates 50 candidates,
+    # then exact cosine (the certified emb_topk_cosine formula) re-ranks
+    # just those ids — quantization error fixed at the top of the list
+    o["emb_ivfpq_rerank"] = f"""{_ivfpq_cte},
+        cand AS (
+          SELECT vec_id FROM sel, lut l
+          ORDER BY {_adc}, vec_id
+          LIMIT 50
+        ),
+        qv AS (SELECT e AS q2 FROM v WHERE vec_id = 0)
+        SELECT s.vec_id,
+               round({_COS.format(a="s.e", b="q2")}, 6) AS cosine_sim
+        FROM (SELECT vec_id, e FROM v
+              WHERE vec_id IN (SELECT vec_id FROM cand)) s, qv
+        ORDER BY cosine_sim DESC, s.vec_id
+        LIMIT 10
+    """
+
+    # the persisted-index two-stage path answers the SAME question
+    o["emb_ivfpq_rerank_indexed"] = o["emb_ivfpq_rerank"]
+
+    # ranking metrics with the SAME python-computed integer discount
+    # table the operator embeds (no engine log2 in the DCG sums)
+    from epicsarchiver_spark.operators.text_ops import dcg_discounts as _dcg_disc
+
+    _disc20 = "[" + ", ".join(str(x) for x in _dcg_disc(20)) + "]"
+    o["emb_retrieval_eval"] = f"""
+        WITH {_V},
+        q AS (SELECT e AS qv FROM v WHERE vec_id = 0),
+        lane AS (
+          SELECT vec_id, round({_COS.format(a="e", b="qv")}, 6) AS cs
+          FROM v, q
+        ),
+        rk AS (
+          SELECT vec_id, rank FROM (
+            SELECT vec_id,
+                   row_number() OVER (ORDER BY cs DESC, vec_id) AS rank
+            FROM lane
+          ) WHERE rank <= 20
+        ),
+        rel AS (
+          SELECT vec_id, 1 AS gain FROM embeddings
+          WHERE label = (SELECT label FROM embeddings WHERE vec_id = 0)
+        ),
+        disc AS (SELECT {_disc20} AS dt),
+        hits AS (
+          SELECT r.rank, coalesce(rel.gain, 0) AS g
+          FROM rk r LEFT JOIN rel USING (vec_id)
+        ),
+        a AS (
+          SELECT CAST(sum(CAST(g AS BIGINT) * dt[rank]) AS BIGINT) AS dcg,
+                 CAST(count(CASE WHEN g > 0 THEN 1 END) AS BIGINT) AS nrel,
+                 min(CASE WHEN g > 0 THEN rank END) AS fr
+          FROM hits, disc
+        ),
+        ideal AS (
+          SELECT CAST(coalesce(sum(CAST(gain AS BIGINT) * dt[rn]), 0) AS BIGINT) AS idcg
+          FROM (
+            SELECT gain, row_number() OVER (ORDER BY gain DESC, vec_id) AS rn
+            FROM rel WHERE gain > 0
+            ORDER BY gain DESC, vec_id LIMIT 20
+          ), disc
+        )
+        SELECT CAST(20 AS BIGINT) AS k,
+               nrel AS n_relevant_at_k,
+               round(CAST(nrel AS DOUBLE) / 20.0, 6) AS precision_at_k,
+               round(CASE WHEN fr IS NOT NULL
+                          THEN 1.0 / CAST(fr AS DOUBLE) ELSE 0.0 END, 6) AS mrr,
+               round(CASE WHEN idcg > 0
+                          THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)
+                          ELSE 0.0 END, 6) AS ndcg_at_k
+        FROM a, ideal
+    """
+
+    # per-dim standardization: the same quantized BIGINT moments, the
+    # same python-order double arithmetic (sum/n, E[x²]−m², sqrt,
+    # /scale), the same (x−m)/s two-op transform
+    o["emb_standardize"] = f"""
+        WITH {_V},
+        qv AS (
+          SELECT vec_id, e,
+                 list_transform(e, x ->
+                   CAST(floor(abs(x * 10000.0) + 0.5) * sign(x) AS BIGINT)) AS q
+          FROM v
+        ),
+        st AS (
+          SELECT i,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(q[i]) AS BIGINT) AS sq,
+                 CAST(sum(q[i] * q[i]) AS BIGINT) AS sqq
+          FROM qv, range(1, 65) t(i)
+          GROUP BY i
+        ),
+        ms AS (
+          SELECT i,
+                 (CAST(sq AS DOUBLE) / n) / 10000.0 AS m,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n
+                      - (CAST(sq AS DOUBLE) / n) * (CAST(sq AS DOUBLE) / n),
+                      0.0)) / 10000.0 AS s
+          FROM st
+        ),
+        lists AS (SELECT list(m ORDER BY i) AS ml, list(s ORDER BY i) AS sl FROM ms)
+        SELECT vec_id,
+               CAST(i AS BIGINT) AS pos,
+               CASE WHEN sl[i] > 0
+                    THEN round((e[i] - ml[i]) / sl[i], 6)
+                    ELSE 0.0 END AS z
+        FROM qv, lists, range(1, 65) t(i)
+    """
+
+    # farthest-first traversal replayed in SQL: the recursive CTE
+    # carries the seed set, each round re-scores every remaining vector
+    # (min squared-L2 to the seeds via the dot-product expansion, 6-dp
+    # rounded) and picks the (dist DESC, id) argmax — every round of
+    # the distributed loop certified
+    _kpp_d = (
+        "round((SELECT min(list_dot_product(c.e, c.e)"
+        " - 2 * list_dot_product(c.e, b.e)"
+        " + list_dot_product(b.e, b.e))"
+        " FROM v b WHERE list_contains(s.sel_ids, b.vec_id)), 6)"
+    )
+    o["emb_kpp_init"] = f"""
+        WITH RECURSIVE {_V},
+        sel(step, picked, dist, sel_ids) AS (
+          (SELECT 1, vec_id, CAST(0.0 AS DOUBLE), [vec_id]
+           FROM v ORDER BY vec_id LIMIT 1)
+          UNION ALL
+          SELECT step, picked, dist, sel_ids FROM (
+            SELECT s.step + 1 AS step, c.vec_id AS picked,
+                   {_kpp_d} AS dist,
+                   list_append(s.sel_ids, c.vec_id) AS sel_ids,
+                   row_number() OVER (ORDER BY {_kpp_d} DESC, c.vec_id) AS rn
+            FROM sel s JOIN v c ON NOT list_contains(s.sel_ids, c.vec_id)
+            WHERE s.step < 5
+          ) WHERE rn = 1
+        )
+        SELECT CAST(step AS BIGINT) AS step, picked AS vec_id, dist
+        FROM sel ORDER BY step
+    """
+
+    # greedy MMR replayed in SQL: the recursive CTE carries the selected
+    # set as a list, each iteration re-scores the remaining candidates
+    # (λ·rel − (1−λ)·max sim to selected, 6-dp-rounded cosines) and
+    # picks the (score DESC, id) winner — the engine's driver-side loop
+    # and this recursion walk the identical pick sequence
+    _mmr_score = (
+        "0.5*c.rel - 0.5*coalesce((SELECT max(ss.s) FROM sims ss"
+        " WHERE ss.ia = c.id AND list_contains(s.sel_ids, ss.ib)), 0.0)"
+    )
+    o["emb_mmr_topk"] = f"""
+        WITH RECURSIVE {_V},
+        cand AS (
+          SELECT vec_id AS id,
+                 round({_COS.format(a="e", b="qv")}, 6) AS rel
+          FROM v, (SELECT e AS qv FROM v WHERE vec_id = 0) q
+          ORDER BY rel DESC, vec_id LIMIT 30
+        ),
+        cv AS (SELECT vec_id, e FROM v WHERE vec_id IN (SELECT id FROM cand)),
+        sims AS (
+          SELECT a.vec_id AS ia, b.vec_id AS ib,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS s
+          FROM cv a JOIN cv b ON a.vec_id <> b.vec_id
+        ),
+        sel(step, picked, score, sel_ids) AS (
+          (SELECT 1, id, 0.5*rel, [id] FROM cand ORDER BY 0.5*rel DESC, id LIMIT 1)
+          UNION ALL
+          SELECT step, picked, score, sel_ids FROM (
+            SELECT s.step + 1 AS step, c.id AS picked,
+                   {_mmr_score} AS score,
+                   list_append(s.sel_ids, c.id) AS sel_ids,
+                   row_number() OVER (ORDER BY {_mmr_score} DESC, c.id) AS rn
+            FROM sel s JOIN cand c ON NOT list_contains(s.sel_ids, c.id)
+            WHERE s.step < 8
+          ) WHERE rn = 1
+        )
+        SELECT CAST(step AS BIGINT) AS step, picked AS vec_id,
+               round(score, 6) AS mmr_score
+        FROM sel ORDER BY step
+    """
+
+    o["ts_compression_report"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        ),
+        k AS (
+          SELECT pvname, count(*) AS n_kept FROM lagged
+          WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+          GROUP BY pvname
+        ),
+        r AS (SELECT pvname, count(*) AS n_raw FROM points GROUP BY pvname)
+        SELECT pvname, n_raw, n_kept,
+               round(CAST(n_kept AS DOUBLE) / n_raw, 6) AS keep_ratio
+        FROM r JOIN k USING (pvname)
+        """
+    )
+
+    # TPC-H Q18 shape: fact reduces first, quantities are integer-valued
+    # doubles so the sum is exact and order-independent
+    o["rel_large_orders"] = """
+        WITH big AS (
+          SELECT l_orderkey, sum(l_quantity) AS total_qty
+          FROM lineitem GROUP BY 1 HAVING sum(l_quantity) >= 300
+        )
+        SELECT c_custkey, c_name, o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice, total_qty
+        FROM big
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY total_qty DESC, o_orderkey LIMIT 20
+    """
+
+    o["rel_forecast_revenue"] = """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+               count(*) AS n_items
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 - 1e-9 AND l_discount <= 0.07 + 1e-9
+          AND l_quantity < 24
+    """
+
+    o["ev_top_paths"] = """
+        WITH seqs AS (
+          SELECT user_id, list(event_type ORDER BY epoch(ts), event_id) AS seq
+          FROM events GROUP BY user_id
+        ),
+        g AS (
+          SELECT unnest(list_transform(
+                   range(1, greatest(len(seq) - 2, 0) + 1),
+                   i -> array_to_string(list_slice(seq, i, i + 2), '>'))) AS path
+          FROM seqs
+        )
+        SELECT path, count(*) AS n_occurrences FROM g GROUP BY path
+        ORDER BY n_occurrences DESC, path LIMIT 10
+    """
+
+    # level-shift detection: exact integer-cent frame sums; the mean is
+    # cast→×0.01→/w, the same explicit double chain as the engine
+    _ms = f"CAST(sb AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+    _ma = f"CAST(sa AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+    o["ts_level_shifts"] = (
+        P
+        + f""",
+        framed AS (
+          SELECT pvname, time, value,
+                 count(*) OVER wb AS nb, sum(q) OVER wb AS sb,
+                 count(*) OVER wa AS na, sum(q) OVER wa AS sa
+          FROM (
+            SELECT pvname, time, event_id, value,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points
+          )
+          WINDOW wb AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING),
+                 wa AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN CURRENT ROW AND {SHIFT_WINDOW - 1} FOLLOWING)
+        )
+        SELECT pvname, time, value,
+               {_ms} AS mean_before, {_ma} AS mean_after,
+               {_ma} - {_ms} AS shift
+        FROM framed
+        WHERE nb = {SHIFT_WINDOW} AND na = {SHIFT_WINDOW}
+          AND abs({_ma} - {_ms}) > {SHIFT_THRESHOLD}
+        """
+    )
+
+    # monotone-ramp detection: gaps-and-islands over integer-cent step
+    # signs — run boundaries, counts, and deltas all integer-exact
+    o["ts_ramps"] = (
+        P
+        + f""",
+        stepped AS (
+          SELECT pvname, time, event_id,
+                 lag(time) OVER w AS pt,
+                 CAST(round(value / 0.01) AS BIGINT)
+                   - lag(CAST(round(value / 0.01) AS BIGINT)) OVER w AS dq
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        st AS (SELECT * FROM stepped WHERE dq IS NOT NULL),
+        fl AS (
+          SELECT pvname, CAST(sign(dq) AS INT) AS direction, time, event_id, pt, dq,
+                 CASE WHEN lag(CAST(sign(dq) AS INT)) OVER w2 IS NULL
+                        OR lag(CAST(sign(dq) AS INT)) OVER w2 <> CAST(sign(dq) AS INT)
+                      THEN 1 ELSE 0 END AS newrun
+          FROM st
+          WINDOW w2 AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        runs AS (
+          SELECT *, sum(newrun) OVER (
+            PARTITION BY pvname ORDER BY time, event_id ROWS UNBOUNDED PRECEDING
+          ) AS grp
+          FROM fl
+        )
+        SELECT pvname, direction, min(pt) AS t_start, max(time) AS t_end,
+               count(*) AS n_steps, CAST(sum(dq) AS DOUBLE) / 100.0 AS delta
+        FROM runs WHERE direction <> 0
+        GROUP BY pvname, direction, grp
+        HAVING count(*) >= {RAMP_MIN_STEPS}
+        """
+    )
+
+    # liveness coverage: live segment per point = [max(t, T0),
+    # min(t+HB, next, T1)); µs-quantized sums, same discipline as ts_twa
+    o["ts_availability"] = (
+        P
+        + f""",
+        pruned AS (
+          SELECT pvname, time, event_id FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {HEARTBEAT}
+        ),
+        seg AS (
+          SELECT pvname,
+                 greatest(time, {T0}) AS a,
+                 least(time + {HEARTBEAT},
+                       coalesce(lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id), {T1}),
+                       {T1}) AS b
+          FROM pruned
+        ),
+        d AS (
+          SELECT pvname, CAST(round((b - a) * 1e6) AS BIGINT) AS us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname, round(sum(us) / 1e6, 6) AS covered_s,
+               round(sum(us) / 1e6 / {T1 - T0}, 6) AS uptime
+        FROM d GROUP BY pvname
+        """
+    )
+
+    # least-squares drift: second-quantized times offset from T0,
+    # integer-cent values → exact BIGINT moments, closed-form double slope
+    o["ts_drift"] = (
+        P
+        + f""",
+        s AS (
+          SELECT pvname, count(*) AS n,
+                 sum(t) AS st, sum(q) AS sq, sum(t * q) AS stq, sum(t * t) AS stt
+          FROM (
+            SELECT pvname,
+                   CAST(floor(time) - {int(T0)} AS BIGINT) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points WHERE time >= {T0} AND time <= {T1}
+          ) GROUP BY pvname
+        )
+        SELECT pvname, n,
+               CAST(n * stq - st * sq AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+                 * 0.01 * 86400.0 AS slope_per_day
+        FROM s WHERE n * stt - st * st > 0
+        """
+    )
+
+    # span-8 EWMA, α=1/4: weights are the exact integers 3^age·4^(7−age)
+    # (same table the operator embeds — no float pow), sums are BIGINT,
+    # one double division at the end
+    _ewma_wt = "[" + ", ".join(str(3**a * 4 ** (7 - a)) for a in range(8)) + "]"
+    o["ts_ewma"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        )
+        SELECT pvname, time, value,
+               round(CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] * wt[len(arr) - i + 1])) AS DOUBLE)
+                     / CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> wt[i])) AS DOUBLE) * 0.01, 6) AS ewma
+        FROM (SELECT *, {_ewma_wt} AS wt FROM win)
+        """
+    )
+    # the bucketed-catalog lane answers the SAME question (zero-Exchange
+    # plan pinned in tests/test_points_store.py)
+    o["ts_ewma_bucketed"] = o["ts_ewma"]
+
+    # heavy hitters: CMS never undercounts → the prefiltered exact pass
+    # equals the plain group-by, which IS the oracle
+    o["doc_heavy_hitters"] = rf"""
+        WITH t AS (
+          SELECT unnest(list_filter(regexp_split_to_array(text, '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        )
+        SELECT term, count(*) AS n FROM t
+        GROUP BY term HAVING count(*) >= {HH_MIN_COUNT}
+    """
+
+    o["ev_transitions"] = """
+        WITH s AS (
+          SELECT lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch(ts), event_id
+                 ) AS src,
+                 event_type AS dst
+          FROM events
+        ),
+        c AS (
+          SELECT src, dst, count(*) AS n FROM s
+          WHERE src IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT src, dst, n,
+               CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY src) AS p
+        FROM c
+    """
+
+    o["rel_promo_share"] = """
+        SELECT round(sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS promo_revenue,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+    """
+
+    _bw = ", ".join(f"'{w}'" for w in BLOCKWORDS)
+    o["doc_blocklist"] = rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS tk
+          FROM documents
+        ),
+        c AS (
+          SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(tk, x -> list_contains([{_bw}], lower(x)))) AS BIGINT) AS n_hits
+          FROM tk
+        )
+        SELECT doc_id, n_tokens, n_hits,
+               CASE WHEN n_tokens > 0 THEN CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END AS hit_ratio,
+               (CASE WHEN n_tokens > 0 THEN CAST(n_hits AS DOUBLE) / n_tokens ELSE 0.0 END)
+                 <= {BLOCK_MAX_RATIO} AS keep
+        FROM c
+    """
+
+    # salted two-stage aggregate ≡ the plain group-by — the oracle IS the
+    # unsalted form, which is the whole correctness claim
+    o["ts_skew_counts"] = (
+        P
+        + """
+        SELECT pvname, count(*) AS n_points, min(time) AS t_first,
+               max(time) AS t_last
+        FROM points GROUP BY pvname
+        """
+    )
+
+    # corpus-level segment dedup: the oracle groups by the segment TEXT
+    # (it needn't be scale-shaped); the engine groups by md5 — identical
+    # barring a 128-bit collision. Winner = min (doc_id, idx); DuckDB
+    # list_filter's index lambda is 1-based (Spark's is 0-based) → i−1.
+    o["doc_paragraph_dedup"] = """
+        WITH segs AS (
+          SELECT doc_id, unnest(l) AS seg, unnest(range(0, len(l))) AS idx
+          FROM (
+            SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS l
+            FROM documents
+          )
+        ),
+        w AS (
+          SELECT doc_id, idx FROM (
+            SELECT doc_id, idx,
+                   row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+            FROM segs
+          ) WHERE rn = 1
+        ),
+        ki AS (SELECT doc_id, list_sort(list(idx)) AS ki FROM w GROUP BY doc_id),
+        j AS (
+          SELECT d.doc_id,
+                 list_filter(string_split(d.text, ' '), x -> x <> '') AS l,
+                 coalesce(k.ki, CAST([] AS BIGINT[])) AS ki
+          FROM documents d LEFT JOIN ki k USING (doc_id)
+        ),
+        f AS (
+          SELECT doc_id, l, ki,
+                 list_filter(l, (x, i) -> list_contains(ki, i - 1)) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(l) AS BIGINT) AS n_segments,
+               CAST(len(kept) AS BIGINT) AS n_kept,
+               coalesce(array_to_string(kept, ' '), '') AS text_dedup
+        FROM f
+    """
+
+    # linear-interpolation grid: the union-tag windows mirrored with
+    # IGNORE NULLS last/first; arithmetic uses the raw probe instant
+    o["ts_interp_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        u AS (
+          SELECT pvname, time AS _t, 0 AS ip, event_id AS eid,
+                 time AS ptt, value AS ptv, CAST(NULL AS DOUBLE) AS t
+          FROM points WHERE time <= {T1} + 1e-4
+          UNION ALL
+          SELECT pvname, t + 1e-4 AS _t, 1 AS ip, CAST(NULL AS BIGINT),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t
+          FROM grid
+        ),
+        f AS (
+          SELECT pvname, ip, t,
+                 last_value(ptt IGNORE NULLS) OVER wp AS t0,
+                 last_value(ptv IGNORE NULLS) OVER wp AS v0,
+                 first_value(ptt IGNORE NULLS) OVER wn AS t1,
+                 first_value(ptv IGNORE NULLS) OVER wn AS v1
+          FROM u
+          WINDOW wp AS (PARTITION BY pvname ORDER BY _t, ip, eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY pvname ORDER BY _t, ip, eid
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT pvname, t,
+               round(CASE WHEN v0 IS NULL THEN NULL
+                          WHEN v1 IS NULL OR t1 <= t0 THEN v0
+                          ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END, 6) AS value
+        FROM f WHERE ip = 1
+        """
+    )
+
+    # autocorrelation at grid lag 1: same grid + exact-integer moments;
+    # the shifted pair is lead over the dense grid row order
+    o["ts_autocorr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        pr AS (
+          SELECT pvname, q AS qa,
+                 lead(q, 1) OVER (PARTITION BY pvname ORDER BY t) AS qb
+          FROM lg
+        ),
+        s AS (
+          SELECT pvname, count(*) AS n, sum(qa) AS sx, sum(qb) AS sy,
+                 sum(qa * qb) AS sxy, sum(qa * qa) AS sxx, sum(qb * qb) AS syy
+          FROM pr WHERE qb IS NOT NULL GROUP BY pvname
+        )
+        SELECT pvname, n, round({_corr_r}, 6) AS r
+        FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """
+    )
+
+    # ANN recall report: the two component oracles nest as subqueries —
+    # the report is the exact overlap of their result sets
+    # recall denominator = actual brute-force row count (matches the
+    # engine's small-index-safe formula), not the literal k
+    o["emb_ann_recall"] = f"""
+        SELECT CAST(10 AS INT) AS k,
+               count(l.vec_id) AS n_matched,
+               count(l.vec_id) / CAST(count(*) AS DOUBLE) AS recall
+        FROM ({o["emb_topk_cosine"]}) b
+        LEFT JOIN ({o["emb_topk_lsh"]}) l ON b.vec_id = l.vec_id
+    """
+
+    o["ts_seasonal"] = (
+        P
+        + """
+        SELECT event_type,
+               CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS avg_value
+        FROM points GROUP BY 1, 2
+        """
+    )
+
+    # --- r6 gate queries for the formerly local-only SURVEY edges ---
+
+    o["ctl_alert_mail"] = (
+        P
+        + f""",
+        latest AS (
+          SELECT pvname, event_type, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        ),
+        rules(event_type, compare, trippoint) AS (VALUES {_rules_sql}),
+        look AS (
+          SELECT printf('%.2f', value) AS lv FROM latest
+          WHERE rn = 1 AND pvname = '{MAIL_LOOKUP_PV}'
+        )
+        SELECT l.pvname,
+               'Alert for ' || l.pvname || '!' || chr(10) ||
+               'Value=' || printf('%.2f', l.value) || ' [' || l.event_type || ']' || chr(10) ||
+               'Condition: ' || r.compare || ' ' || printf('%.2f', CAST(r.trippoint AS DOUBLE)) || chr(10) ||
+               'Monitor EV:0:click=' ||
+               coalesce((SELECT lv FROM look), '(unknown PV {MAIL_LOOKUP_PV})') AS mail
+        FROM latest l JOIN rules r USING (event_type)
+        WHERE l.rn = 1 AND CASE r.compare
+          WHEN 'eq' THEN l.value =  r.trippoint
+          WHEN 'ne' THEN l.value <> r.trippoint
+          WHEN 'le' THEN l.value <= r.trippoint
+          WHEN 'lt' THEN l.value <  r.trippoint
+          WHEN 'ge' THEN l.value >= r.trippoint
+          WHEN 'gt' THEN l.value >  r.trippoint
+          ELSE FALSE END
+        """
+    )
+
+    # the same two-batch MERGE the Spark query runs, as two chained
+    # full-join CTE stages (m1, m2); the within-batch duplicate edit is
+    # collapsed by the l1/l2 row_number exactly as upsert_alerts does;
+    # b.status IS NULL marks a key with no existing rule, so an 'edit'
+    # of a missing key is a no-op (never a new row), mirroring the
+    # operator's status-notnull fence
+    _au_merge = """
+        SELECT pvname, compare,
+               coalesce(e.name, b.name) AS name,
+               coalesce(e.mailto, b.mailto) AS mailto,
+               coalesce(e.mailmsg, b.mailmsg) AS mailmsg,
+               coalesce(e.trippoint, b.trippoint) AS trippoint,
+               coalesce(e.timeout, b.timeout, 30.0) AS timeout,
+               coalesce(e.active, b.active, 'yes') AS active,
+               coalesce(b.status, 'ok') AS status
+        FROM {base} b FULL JOIN {lat} e USING (pvname, compare)
+        WHERE (e.action IS NULL OR e.action <> 'drop')
+          AND (e.action IS NULL OR e.action <> 'edit' OR b.status IS NOT NULL)
+    """
+    o["ctl_alert_upsert"] = (
+        P
+        + f""",
+        pvr AS (
+          SELECT pvname, row_number() OVER (ORDER BY pvname) AS rnk
+          FROM (SELECT DISTINCT pvname FROM points)
+        ),
+        base AS (
+          SELECT pvname, 'gt' AS compare, 'hi:' || pvname AS name,
+                 CAST(NULL AS VARCHAR) AS mailto, CAST(NULL AS VARCHAR) AS mailmsg,
+                 50.0 AS trippoint, 30.0 AS timeout, 'yes' AS active, 'ok' AS status
+          FROM pvr WHERE rnk <= 10
+          UNION ALL
+          SELECT pvname, 'lt', 'lo:' || pvname, NULL, NULL, 5.0, 30.0, 'yes', 'ok'
+          FROM pvr WHERE rnk <= 3
+        ),
+        e1 AS (
+          SELECT rnk AS id, 1.0 AS ts, 'add' AS action, pvname, 'gt' AS compare,
+                 'hi2:' || pvname AS name, 'ops@example.com' AS mailto,
+                 CAST(NULL AS VARCHAR) AS mailmsg, 75.0 AS trippoint,
+                 CAST(NULL AS DOUBLE) AS timeout, CAST(NULL AS VARCHAR) AS active
+          FROM pvr WHERE rnk BETWEEN 6 AND 12
+          UNION ALL
+          SELECT 100, 2.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 80.0, NULL, NULL
+          FROM pvr WHERE rnk = 6
+        ),
+        l1 AS (
+          SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+              PARTITION BY pvname, compare ORDER BY ts DESC, id DESC) AS rn
+            FROM e1 e) WHERE rn = 1
+        ),
+        m1 AS ({_au_merge.format(base="base", lat="l1")}),
+        e2 AS (
+          SELECT rnk AS id, 3.0 AS ts, 'drop' AS action, pvname, 'gt' AS compare,
+                 CAST(NULL AS VARCHAR) AS name, CAST(NULL AS VARCHAR) AS mailto,
+                 CAST(NULL AS VARCHAR) AS mailmsg, CAST(NULL AS DOUBLE) AS trippoint,
+                 CAST(NULL AS DOUBLE) AS timeout, CAST(NULL AS VARCHAR) AS active
+          FROM pvr WHERE rnk <= 3
+          UNION ALL
+          SELECT 200, 3.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 99.0, NULL, 'no'
+          FROM pvr WHERE rnk = 7
+          UNION ALL
+          SELECT 300, 3.0, 'edit', pvname, 'gt', NULL, NULL, NULL, 55.0, NULL, NULL
+          FROM pvr WHERE rnk = 13
+        ),
+        l2 AS (
+          SELECT * FROM (
+            SELECT e.*, row_number() OVER (
+              PARTITION BY pvname, compare ORDER BY ts DESC, id DESC) AS rn
+            FROM e2 e) WHERE rn = 1
+        ),
+        m2 AS ({_au_merge.format(base="m1", lat="l2")})
+        SELECT pvname, compare, name, mailto, mailmsg, trippoint, timeout,
+               active, status
+        FROM m2 ORDER BY pvname, compare
+        """
+    )
+
+    o["cat_null_norm"] = """
+        WITH dirty AS (
+          SELECT CASE CAST(o_orderkey % 4 AS INT)
+                   WHEN 0 THEN ''
+                   WHEN 1 THEN 'None'
+                   WHEN 2 THEN NULL
+                   ELSE o_orderpriority END AS raw
+          FROM orders
+        )
+        SELECT CASE WHEN raw IS NULL OR lower(raw) IN ('', 'none') THEN NULL
+                    ELSE raw END AS cleaned,
+               count(*) AS n
+        FROM dirty GROUP BY 1
+        """
+
+    o["cat_recent_runs"] = (
+        P
+        + f"""
+        SELECT 'pvarch_' || strftime(to_timestamp(time), '%Y%m%d') AS run,
+               min(time) AS t0, max(time) AS t1, count(*) AS n
+        FROM points GROUP BY 1
+        ORDER BY run DESC LIMIT {RECENT_RUNS_LIMIT}
+        """
+    )
+
+    o["ts_auto_ylog"] = (
+        P
+        + """,
+        s AS (
+          SELECT pvname,
+                 list_sort(list(value) FILTER (WHERE value > 1e-150)) AS arr,
+                 min(value) AS mn
+          FROM points GROUP BY pvname
+        )
+        SELECT pvname,
+               CASE WHEN len(arr) > 0 AND mn >= 0
+                         AND arr[CAST(floor(0.99 * (len(arr) - 1)) AS INT) + 1]
+                             > 200 * arr[CAST(floor(0.01 * (len(arr) - 1)) AS INT) + 1]
+                    THEN TRUE ELSE FALSE END AS ylog
+        FROM s
+        """
+    )
+
+    o["cat_row_kv"] = (
+        P
+        + f""",
+        win AS (
+          SELECT event_id, pvname, event_type, value_str FROM points
+          WHERE time BETWEEN {T0} AND {T0 + 2 * 86400}
+        )
+        SELECT event_id, 'pvname' AS key, pvname AS value FROM win
+        UNION ALL
+        SELECT event_id, 'event_type' AS key, event_type AS value FROM win
+        UNION ALL
+        SELECT event_id, 'value_str' AS key, value_str AS value FROM win
+        """
+    )
+
+    o["ts_overlap_dedup"] = (
+        P
+        + f"""
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0} AND {T1}
+        UNION
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0 - 4 * 86400} AND {T0 + 4 * 86400}
+        """
+    )
+
+    # CDC chunking: k=4 rolling fold (same two-lane md5 machinery as the
+    # ExactSubstr/winnow oracles), boundary at h % 2^5 == 0, chunk index
+    # = running boundary count, order-insensitive per-chunk signature
+    _CDC_W, _CDC_BITS = 4, 5
+    _cdc_lo = f"(th[i] & {LANE_MASK})"
+    _cdc_hi = "(th[i] >> 30)"
+    for _s in range(1, _CDC_W):
+        _cdc_lo = f"(({_cdc_lo}) * {R_LO} + (th[i+{_s}] & {LANE_MASK})) % {P30_LO}"
+        _cdc_hi = f"(({_cdc_hi}) * {R_HI} + (th[i+{_s}] >> 30)) % {P30_HI}"
+    _CDC_PACK = f"({_cdc_lo}) + ({_cdc_hi}) * (1::BIGINT << 30)"
+    def _cdc_chain(p: str, src: str) -> str:
+        """The CDC signature CTE chain with prefix ``p`` over source
+        relation ``src`` (must expose doc_id, text) — reused for the
+        corpus and batch sides of the incremental report."""
+        return f"""
+        {p}th AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th
+          FROM {src}
+        ), {p}wh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_CDC_W - 1}, 0) + 1),
+                                i -> {_CDC_PACK}) AS wh
+          FROM {p}th
+        ), {p}px AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos
+          FROM {p}wh
+        ), {p}ch AS (
+          SELECT doc_id, h,
+                 sum(CASE WHEN h % {1 << _CDC_BITS} = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS chunk_idx
+          FROM {p}px
+        ), {p}sig AS (
+          SELECT doc_id, chunk_idx, count(*) AS n_windows,
+                 CAST(sum(h % {_P31}) % {_P31} AS BIGINT) AS sig_sum,
+                 CAST(min(h) AS BIGINT) AS sig_min,
+                 CAST(max(h) AS BIGINT) AS sig_max
+          FROM {p}ch GROUP BY 1, 2
+        )"""
+
+    _CDC_SIGS = "WITH " + _cdc_chain("", "documents").lstrip() + ", sigs AS (SELECT * FROM sig)\n"
+    o["doc_cdc_chunks"] = (
+        _CDC_SIGS
+        + "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, n_windows,"
+        " sig_sum, sig_min, sig_max FROM sigs"
+    )
+    o["doc_cdc_dup_chunks"] = (
+        _CDC_SIGS
+        + """
+        SELECT n_windows, sig_sum, sig_min, sig_max, count(*) AS n_chunks
+        FROM sigs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+        """
+    )
+
+    o["doc_cdc_chunk_texts"] = f"""
+        WITH {_cdc_chain("", "documents")},
+        cuts AS (SELECT doc_id, pos FROM px WHERE h % {1 << _CDC_BITS} = 0),
+        tk AS (
+          SELECT doc_id, unnest({TOK}) AS tok,
+                 unnest(range(0, len({TOK}))) AS pos
+          FROM documents
+        ),
+        mk AS (
+          SELECT t.doc_id, t.pos, t.tok,
+                 sum(CASE WHEN c.pos IS NOT NULL THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY t.doc_id ORDER BY t.pos) AS chunk_idx
+          FROM tk t
+          LEFT JOIN cuts c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        )
+        SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+               string_agg(tok, ' ' ORDER BY pos) AS chunk_text,
+               count(*) AS n_tokens
+        FROM mk GROUP BY 1, 2
+        """
+
+    _ID_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(vec_id AS VARCHAR))")
+    o["emb_cell_sample"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, {_score_list} AS dl FROM v)
+        ),
+        h AS (SELECT vec_id, cell, {_ID_HASH60} AS hh FROM assigned)
+        SELECT vec_id, cell, CAST(rk AS INTEGER) AS rk FROM (
+          SELECT vec_id, cell,
+                 row_number() OVER (PARTITION BY cell ORDER BY hh, vec_id) AS rk
+          FROM h
+        ) WHERE rk <= 4
+        """
+
+    # span decontamination: corpus (%97 != 0) windows colliding with the
+    # benchmark slice (%97 == 0) excised — same k=8 fold as ExactSubstr
+    o["doc_decontaminate_spans"] = f"""
+        WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+        bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 97 = 0),
+        cth AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th FROM corpus
+        ), cwh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM cth
+        ), cpx AS (
+          SELECT doc_id, unnest(wh) AS h, unnest(range(0, len(wh))) AS pos FROM cwh
+        ), bth AS (
+          SELECT doc_id, list_transform({TOK}, t -> {_HEX60_TOK}) AS th FROM bench
+        ), bwh AS (
+          SELECT doc_id,
+                 list_transform(range(1, greatest(len(th) - {_SUB_L - 1}, 0) + 1),
+                                i -> {_SUB_PACK}) AS wh
+          FROM bth
+        ), bh AS (
+          SELECT DISTINCT unnest(wh) AS h FROM bwh
+        ), starts AS (
+          SELECT doc_id, list_sort(list(pos)) AS starts
+          FROM cpx WHERE h IN (SELECT h FROM bh) GROUP BY doc_id
+        ), j AS (
+          SELECT d.doc_id, {TOK} AS t, coalesce(s.starts, CAST([] AS BIGINT[])) AS st
+          FROM corpus d LEFT JOIN starts s USING (doc_id)
+        ), k AS (
+          SELECT doc_id, t, st,
+                 list_filter(t, (x, i) ->
+                   len(list_filter(st, s -> s <= i - 1 AND i - 1 < s + {_SUB_L})) = 0) AS kept
+          FROM j
+        )
+        SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens,
+               CAST(len(st) AS BIGINT) AS n_dup_windows,
+               CAST(len(t) - len(kept) AS BIGINT) AS n_dup_tokens,
+               coalesce(array_to_string(kept, ' '), '') AS text_clean
+        FROM k
+        """
+
+    o["ts_rolling_outliers"] = (
+        P
+        + """,
+        buf AS (
+          SELECT pvname, time, value,
+                 list_sort(list(value) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS arr
+          FROM points
+        ),
+        m AS (
+          SELECT pvname, time, value, arr, len(arr) AS n_win,
+                 arr[(len(arr) + 1) // 2] AS med
+          FROM buf
+        ),
+        d AS (
+          SELECT pvname, time, value, n_win, med,
+                 list_sort(list_transform(arr, x -> abs(x - med)))[(n_win + 1) // 2] AS mad
+          FROM m
+        )
+        SELECT pvname, time, value, med, mad, CAST(n_win AS INT) AS n_win
+        FROM d WHERE mad > 0 AND abs(value - med) > 5.0 * mad
+        """
+    )
+
+    o["ts_largest_gaps"] = (
+        P
+        + """,
+        g AS (
+          SELECT pvname,
+                 lag(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS gap_start,
+                 time AS gap_end
+          FROM points
+        ),
+        r AS (
+          SELECT pvname, gap_start, gap_end,
+                 row_number() OVER (
+                   PARTITION BY pvname
+                   ORDER BY gap_end - gap_start DESC, gap_start) AS rk
+          FROM g WHERE gap_start IS NOT NULL
+        )
+        SELECT pvname, gap_start, gap_end,
+               round(gap_end - gap_start, 6) AS gap_s, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 3
+        """
+    )
+
+    o["doc_dsir_scores"] = r"""
+        WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                    x -> x <> '')) AS term
+          FROM documents
+        ), tf AS (
+          SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term
+        ), raw_model AS (
+          SELECT term, sum(tf) AS c_raw FROM tf GROUP BY term
+        ), tgt_model AS (
+          SELECT term, count(*) AS c_tgt FROM (
+            SELECT unnest(list_filter(regexp_split_to_array(lower(text), '\s+'),
+                                      x -> x <> '')) AS term
+            FROM documents WHERE source = 'src18'
+          ) GROUP BY term
+        ), vocab AS (
+          SELECT coalesce(r.term, t.term) AS term,
+                 coalesce(c_raw, 0) AS c_raw, coalesce(c_tgt, 0) AS c_tgt
+          FROM raw_model r FULL OUTER JOIN tgt_model t ON r.term = t.term
+        ), tot AS (
+          SELECT sum(c_raw) AS nr, sum(c_tgt) AS nt, count(*) AS v FROM vocab
+        ), w AS (
+          SELECT term,
+                 ln((c_tgt + 0.5) / (tot.nt + 0.5 * tot.v))
+                 - ln((c_raw + 0.5) / (tot.nr + 0.5 * tot.v)) AS w
+          FROM vocab CROSS JOIN tot
+        )
+        SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+               round(sum(tf.tf * w.w) / sum(tf.tf), 6) AS dsir_score
+        FROM tf JOIN w USING (term)
+        GROUP BY tf.doc_id
+        """
+
+    o["doc_cdc_incremental"] = f"""
+        WITH newb AS (
+          SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+          UNION ALL
+          SELECT doc_id + 20000 AS doc_id, text || ' unseen trailing tokens' AS text
+          FROM documents WHERE doc_id % 7 = 3
+          UNION ALL
+          SELECT doc_id + 30000 AS doc_id, reverse(text) AS text
+          FROM documents WHERE doc_id % 11 = 1
+        ),
+        {_cdc_chain("c", "documents")},
+        {_cdc_chain("b", "newb")},
+        cset AS (
+          SELECT DISTINCT n_windows, sig_sum, sig_min, sig_max FROM csig
+        ),
+        stats AS (
+          SELECT b.doc_id, count(*) AS n_chunks, count(cset.sig_sum) AS n_matched
+          FROM bsig b
+          LEFT JOIN cset USING (n_windows, sig_sum, sig_min, sig_max)
+          GROUP BY 1
+        )
+        SELECT doc_id, n_chunks, n_matched,
+               n_matched >= 0.5 * n_chunks AS dropped
+        FROM stats
+        """
+
+    o["cache_upsert_readback"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT pvname, value, time,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC) AS rn
+          FROM points WHERE time <= {T1}
+        )
+        SELECT pvname, value, time FROM ranked WHERE rn = 1
+        """
+    )
+
+    o["emb_semantic_dedup"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        pairs AS (
+          SELECT a.vec_id, a.cell, b.vec_id AS bid,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+        )
+        SELECT vec_id, cell, min(bid) AS keep_id, max(cos) AS max_cosine,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM pairs WHERE cos >= 0.4
+        GROUP BY vec_id, cell
+        """
+
+    # cross-modal survivor rule: the SemDeDup evidence edges close into
+    # groups (recursive CTE = the engine's connected_components), then
+    # the text-side quality score picks each group's survivor
+    o["doc_quality_survivors"] = f"""
+        WITH RECURSIVE {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        prs AS (
+          SELECT a.vec_id, b.vec_id AS bid,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cos
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND b.vec_id < a.vec_id
+        ),
+        sd AS (
+          SELECT vec_id AS a, min(bid) AS b FROM prs WHERE cos >= 0.4 GROUP BY vec_id
+        ),
+        edges AS (SELECT a, b FROM sd UNION ALL SELECT b, a FROM sd),
+        reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        q AS (
+          SELECT doc_id, round(1.0 / (1.0 + exp(-({_qc_z}))), 6) AS quality_prob
+          FROM documents
+        ),
+        m AS (
+          SELECT q.doc_id, coalesce(c.component, q.doc_id) AS group_root,
+                 q.quality_prob
+          FROM q LEFT JOIN comp c ON q.doc_id = c.id
+        ),
+        w AS (
+          SELECT group_root, doc_id AS survivor_id
+          FROM (
+            SELECT group_root, doc_id,
+                   row_number() OVER (
+                     PARTITION BY group_root
+                     ORDER BY quality_prob DESC, doc_id ASC
+                   ) AS rn
+            FROM m
+          ) WHERE rn = 1
+        )
+        SELECT m.doc_id, m.group_root, m.quality_prob, w.survivor_id,
+               m.doc_id = w.survivor_id AS kept
+        FROM m JOIN w ON m.group_root = w.group_root
+        """
+
+    o["doc_corpus_diff"] = """
+        WITH newdocs AS (
+          SELECT doc_id, text, source FROM documents WHERE doc_id % 11 <> 1
+          UNION ALL
+          SELECT doc_id + 20000, text || ' unseen trailing tokens', source
+          FROM documents WHERE doc_id % 7 = 3
+        ),
+        o AS (
+          SELECT DISTINCT source, lower(substr(md5(text), 1, 16)) AS fp
+          FROM documents
+        ),
+        n AS (
+          SELECT DISTINCT source, lower(substr(md5(text), 1, 16)) AS fp
+          FROM newdocs
+        ),
+        j AS (
+          SELECT coalesce(o.source, n.source) AS source,
+                 o.fp AS ofp, n.fp AS nfp
+          FROM o FULL OUTER JOIN n ON o.source = n.source AND o.fp = n.fp
+        )
+        SELECT source,
+               CAST(sum(CASE WHEN ofp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_added,
+               CAST(sum(CASE WHEN nfp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_removed,
+               CAST(sum(CASE WHEN ofp IS NOT NULL AND nfp IS NOT NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_unchanged
+        FROM j GROUP BY source
+    """
+
+    o["rel_nation_trade"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INTEGER) AS l_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1998-01-01'
+          AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        GROUP BY supp_nation, cust_nation, l_year
+    """
+
+    _TOKL = TOK.replace("text", "lower(text)")
+    o["doc_hapax_zipf"] = f"""
+        WITH tok AS (
+          SELECT source, unnest({_TOKL}) AS term FROM documents
+        ), tc AS (
+          SELECT source, term, count(*) AS c FROM tok GROUP BY source, term
+        ), vocab AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+                 round(avg(CASE WHEN c = 1 THEN 1.0 ELSE 0.0 END), 6) AS hapax_share
+          FROM tc GROUP BY source
+        ), rk AS (
+          SELECT source, c,
+                 row_number() OVER (PARTITION BY source ORDER BY c DESC, term) AS r
+          FROM tc
+        ), fit AS (
+          SELECT source,
+                 CASE WHEN sum(x*x) - sum(x)*sum(x)/count(*) <> 0 THEN
+                   round((sum(x*y) - sum(x)*sum(y)/count(*))
+                         / (sum(x*x) - sum(x)*sum(x)/count(*)), 6)
+                 END AS zipf_slope
+          FROM (SELECT source, ln(CAST(r AS DOUBLE)) AS x,
+                       ln(CAST(c AS DOUBLE)) AS y FROM rk WHERE r <= 100)
+          GROUP BY source
+        )
+        SELECT vocab.source, n_terms, hapax_share, zipf_slope
+        FROM vocab JOIN fit USING (source)
+    """
+
+    o["doc_readability"] = r"""
+        WITH m AS (
+          SELECT doc_id,
+                 CAST(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                      x -> x <> '')) AS BIGINT) AS n_words,
+                 greatest(CAST(length(s1) - length(replace(s1, chr(1), '')) AS BIGINT),
+                          1) AS n_sentences,
+                 CAST(length(s2) - length(replace(s2, chr(1), '')) AS BIGINT)
+                   AS n_syllables
+          FROM (
+            SELECT doc_id, text,
+                   regexp_replace(text, '[.!?]+', chr(1), 'g') AS s1,
+                   regexp_replace(lower(text), '[aeiouy]+', chr(1), 'g') AS s2
+            FROM documents
+          )
+        )
+        SELECT doc_id, n_words, n_sentences, n_syllables,
+               CASE WHEN n_words > 0 THEN
+                 round(206.835 - 1.015 * (n_words / n_sentences)
+                       - 84.6 * (n_syllables / n_words), 6)
+               END AS flesch
+        FROM m
+    """
+
+    o["ev_attribution"] = """
+        WITH t AS (
+          SELECT event_type,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY epoch(ts), event_id
+                 ) AS touch
+          FROM events
+        )
+        SELECT coalesce(touch, '(direct)') AS touch,
+               CAST(count(*) AS BIGINT) AS n_conversions,
+               CAST(sum(vc) AS DOUBLE) / 100.0 AS converted_value
+        FROM t WHERE event_type = 'purchase'
+        GROUP BY touch
+    """
+
+    o["ev_session_stats"] = """
+        WITH f AS (
+          SELECT user_id, event_id, epoch(ts) AS t,
+                 CASE WHEN lag(epoch(ts)) OVER w IS NULL
+                        OR epoch(ts) - lag(epoch(ts)) OVER w > 1800.0
+                      THEN 1 ELSE 0 END AS nw
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY epoch(ts), event_id)
+        ), s AS (
+          SELECT user_id, t,
+                 sum(nw) OVER (PARTITION BY user_id ORDER BY t, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM f
+        ), ses AS (
+          SELECT user_id, sid, count(*) AS n, max(t) - min(t) AS dur
+          FROM s GROUP BY user_id, sid
+        )
+        SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+               round(quantile_cont(dur, 0.5), 6) AS p50_duration_s,
+               round(quantile_cont(dur, 0.9), 6) AS p90_duration_s,
+               round(avg(CAST(n AS DOUBLE)), 6) AS mean_events,
+               round(avg(CASE WHEN n = 1 THEN 1.0 ELSE 0.0 END), 6) AS bounce_share
+        FROM ses
+    """
+
+    o["rel_market_share"] = """
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue,
+               round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END), 2) AS nation_revenue,
+               round(round(sum(CASE WHEN n1.n_name = 'NATION_1'
+                                    THEN l_extendedprice * (1 - l_discount)
+                                    ELSE 0.0 END), 2)
+                     / round(sum(l_extendedprice * (1 - l_discount)), 2),
+                     6) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        JOIN region ON n2.n_regionkey = r_regionkey
+        WHERE p_type = 'PROMO' AND r_name = 'EUROPE'
+        GROUP BY o_year
+    """
+
+    o["rel_product_profit"] = """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        WHERE p_name LIKE '%1%'
+        GROUP BY n_name, o_year
+    """
+
+    o["rel_small_qty_revenue"] = """
+        WITH fact AS (
+          SELECT l_partkey, l_quantity, l_extendedprice
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_brand = 'Brand#1'
+        ), cuts AS (
+          SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS cut
+          FROM fact GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM fact JOIN cuts ON l_partkey = pk
+        WHERE l_quantity < cut
+    """
+
+    o["doc_collocations"] = r"""
+        WITH toks AS (
+          SELECT list_filter(regexp_split_to_array(lower(text), '\s+'),
+                             x -> x <> '') AS tk
+          FROM documents
+        ), bi AS (
+          SELECT w1, w2, count(*) AS c12 FROM (
+            SELECT unnest(tk[1:len(tk)-1]) AS w1, unnest(tk[2:len(tk)]) AS w2
+            FROM toks WHERE len(tk) >= 2
+          ) GROUP BY w1, w2 HAVING count(*) >= 5
+        ), uni AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(tk) AS term FROM toks) GROUP BY term
+        ), tot AS (SELECT sum(c) AS n FROM uni)
+        SELECT w1, w2, CAST(c12 AS BIGINT) AS c12,
+               round(ln(c12 * tot.n / (u1.c * u2.c)), 6) AS pmi
+        FROM bi
+        JOIN uni u1 ON u1.term = w1
+        JOIN uni u2 ON u2.term = w2
+        CROSS JOIN tot
+        ORDER BY pmi DESC, w1, w2 LIMIT 20
+        """
+
+    o["ts_health_report"] = f"""
+        WITH av AS (SELECT pvname, uptime FROM ({o["ts_availability"]})),
+        dr AS (SELECT pvname, slope_per_day FROM ({o["ts_drift"]})),
+        cp AS (SELECT pvname, n_raw, keep_ratio FROM ({o["ts_compression_report"]})),
+        gp AS (
+          SELECT pvname, gap_s AS max_gap_s FROM ({o["ts_largest_gaps"]})
+          WHERE rk = 1
+        ),
+        spine AS (SELECT DISTINCT pvname FROM ({P} SELECT pvname FROM points))
+        SELECT s.pvname, cp.n_raw, cp.keep_ratio, av.uptime,
+               dr.slope_per_day, gp.max_gap_s
+        FROM spine s
+        LEFT JOIN cp USING (pvname)
+        LEFT JOIN av USING (pvname)
+        LEFT JOIN dr USING (pvname)
+        LEFT JOIN gp USING (pvname)
+        """
+
+    o["ts_lttb"] = (
+        P
+        + f""",
+        pts AS (
+          SELECT pvname, time, value, event_id,
+                 CAST(floor((time - {T0}) / 21600.0) AS BIGINT) AS b,
+                 CAST(round(time * 1e6) AS BIGINT) AS tus,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        bav AS (
+          SELECT pvname, b, sum(tus) AS st, sum(vc) AS sv, count(*) AS n
+          FROM pts GROUP BY pvname, b
+        ),
+        anch AS (
+          SELECT pvname, b, CAST(n AS BIGINT) AS n_in_bucket,
+                 lag(st) OVER w / lag(n) OVER w / 1e6 AS pax,
+                 lag(sv) OVER w / lag(n) OVER w / 100.0 AS pay,
+                 lead(st) OVER w / lead(n) OVER w / 1e6 AS nax,
+                 lead(sv) OVER w / lead(n) OVER w / 100.0 AS nay
+          FROM bav WINDOW w AS (PARTITION BY pvname ORDER BY b)
+        ),
+        ranked AS (
+          SELECT p.pvname, p.b, p.time, p.value, a.n_in_bucket,
+                 row_number() OVER (
+                   PARTITION BY p.pvname, p.b
+                   ORDER BY round(abs((a.pax - a.nax) * (p.value - a.pay)
+                                      - (a.pax - p.time) * (a.nay - a.pay)), 6)
+                            DESC NULLS LAST,
+                            p.time, p.event_id
+                 ) AS rk
+          FROM pts p JOIN anch a USING (pvname, b)
+        )
+        SELECT pvname, b AS bucket, time, value, n_in_bucket
+        FROM ranked WHERE rk = 1
+        """
+    )
+
+    o["ev_cohort_value"] = """
+        WITH uw AS (
+          SELECT user_id, CAST(floor(epoch(ts) / 604800.0) AS BIGINT) AS wk,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS wv
+          FROM events GROUP BY user_id, wk
+        ),
+        cu AS (SELECT user_id, min(wk) AS cohort FROM uw GROUP BY user_id),
+        cs AS (SELECT cohort, CAST(count(*) AS BIGINT) AS cohort_users
+               FROM cu GROUP BY cohort),
+        curve AS (
+          SELECT cu.cohort, uw.wk - cu.cohort AS week_offset,
+                 CAST(count(*) AS BIGINT) AS n_active, sum(uw.wv) AS tv
+          FROM uw JOIN cu USING (user_id)
+          GROUP BY cu.cohort, week_offset
+        )
+        SELECT curve.cohort AS cohort_week,
+               CAST(week_offset AS INTEGER) AS week_offset,
+               n_active, cohort_users,
+               tv / 100.0 AS total_value,
+               round(tv / 100.0 / cohort_users, 6) AS value_per_user
+        FROM curve JOIN cs USING (cohort)
+    """
+
+    o["ev_inter_arrival"] = """
+        WITH g AS (
+          SELECT event_type,
+                 epoch(ts) - lag(epoch(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY epoch(ts), event_id
+                 ) AS gap
+          FROM events
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               round(quantile_cont(gap, 0.5), 6) AS p50_gap_s,
+               round(quantile_cont(gap, 0.9), 6) AS p90_gap_s,
+               round(max(gap), 6) AS max_gap_s
+        FROM g WHERE gap IS NOT NULL
+        GROUP BY event_type
+    """
+
+    _ROOT_HASH60 = _HEX60_TOK.replace("md5(t)", "md5(CAST(root AS VARCHAR))")
+    o["doc_dedup_shards"] = (
+        CC
+        + f""",
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        ),
+        h AS (
+          SELECT doc_id, root,
+                 CAST({_ROOT_HASH60} % 8 AS INTEGER) AS shard
+          FROM rooted
+        ),
+        g AS (SELECT shard, root, count(*) AS gsz FROM h GROUP BY shard, root)
+        SELECT shard, CAST(sum(gsz) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(max(gsz) AS BIGINT) AS max_group_size
+        FROM g GROUP BY shard
+        """
+    )
+    # persisted-components lane reads back the same labels → same layout
+    o["doc_dedup_shards_indexed"] = o["doc_dedup_shards"]
+
+    o["doc_component_splits"] = (
+        CC
+        + f""",
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, root,
+               CASE WHEN b < 9000 THEN 'train'
+                    WHEN b < 9500 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (
+          SELECT doc_id, root,
+                 ('0x' || substr(md5(CAST(root AS VARCHAR)), 1, 8))::UBIGINT
+                   % 10000 AS b
+          FROM rooted
+        )
+        """
+    )
+
+    # persisted-fingerprint lane reads back the same basis → same pairs
+    o["doc_winnow_indexed"] = o["doc_winnow_pairs"]
+    # artifact read-back lane: identical labels → identical assignment
+    o["doc_splits_indexed"] = o["doc_component_splits"]
+    o["doc_survivors_indexed"] = o["doc_quality_survivors"]
+
+    o["doc_soft_dedup"] = (
+        CC
+        + """,
+        rooted AS (
+          SELECT d.doc_id, coalesce(c.component, d.doc_id) AS group_root
+          FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+        )
+        SELECT doc_id, group_root,
+               CAST(row_number() OVER (PARTITION BY group_root ORDER BY doc_id)
+                    AS BIGINT) AS rank_in_group,
+               (row_number() OVER (PARTITION BY group_root ORDER BY doc_id) <= 2)
+                 AS kept
+        FROM rooted
+        """
+    )
+
+    o["rel_order_count_dist"] = """
+        SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        FROM (
+          SELECT c_custkey,
+                 CAST(coalesce(cnt, 0) AS BIGINT) AS c_count
+          FROM customer
+          LEFT JOIN (
+            SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+          ) o ON c_custkey = o_custkey
+        )
+        GROUP BY c_count
+    """
+
+    o["doc_tokenizer_fertility"] = rf"""
+        WITH b AS (
+          SELECT lang,
+                 CAST(len({TOK}) AS BIGINT) AS w,
+                 CAST(len(regexp_extract_all(text,
+                   '''(?:s|t|re|ve|m|ll|d)| ?\p{{L}}+| ?\p{{N}}+| ?[^\s\p{{L}}\p{{N}}]+|\s+'))
+                   AS BIGINT) AS bp
+          FROM documents
+        )
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(w) AS BIGINT) AS n_words,
+               CAST(sum(bp) AS BIGINT) AS n_bpe_tokens,
+               round(sum(bp) * 1.0 / sum(w), 6) AS fertility,
+               round(avg(CASE WHEN w > 0 THEN bp * 1.0 / w END), 6)
+                 AS mean_doc_fertility
+        FROM b GROUP BY lang
+        """
+
+    o["doc_budget_selection"] = f"""
+        WITH qc AS (
+          SELECT doc_id, quality_prob FROM ({o["doc_quality_classifier"]})
+        ),
+        tk AS (
+          SELECT doc_id, CAST(len({TOK}) AS BIGINT) AS n_tokens FROM documents
+        ),
+        b AS (SELECT doc_id, quality_prob, n_tokens FROM qc JOIN tk USING (doc_id))
+        SELECT doc_id, quality_prob, n_tokens,
+               CAST(sum(n_tokens) OVER (
+                 ORDER BY quality_prob DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum_tokens,
+               sum(n_tokens) OVER (
+                 ORDER BY quality_prob DESC, doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) <= 15000 AS selected
+        FROM b
+        """
+
+    _verdicts_sql = f"""
+        WITH gop AS (SELECT doc_id, keep FROM ({o["doc_gopher_rules"]})),
+        nd AS (SELECT DISTINCT id_b AS doc_id FROM ({o["doc_jaccard_pairs"]})),
+        cont AS (
+          SELECT doc_id FROM ({o["doc_contamination"]})
+          WHERE contaminated_frac >= 0.05
+        ),
+        fp AS (SELECT doc_id, lower(substr(md5(text), 1, 16)) AS f FROM documents),
+        ed AS (
+          SELECT fp.doc_id
+          FROM fp JOIN (SELECT f, min(doc_id) AS kid FROM fp GROUP BY f) k USING (f)
+          WHERE fp.doc_id <> k.kid
+        )
+        SELECT d.doc_id,
+               CASE WHEN d.doc_id % 97 = 0 THEN 'benchmark'
+                    WHEN NOT gop.keep THEN 'gopher'
+                    WHEN ed.doc_id IS NOT NULL THEN 'exact_dup'
+                    WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                    WHEN cont.doc_id IS NOT NULL THEN 'contaminated'
+                    ELSE 'kept' END AS stage
+        FROM documents d
+        LEFT JOIN gop USING (doc_id)
+        LEFT JOIN ed USING (doc_id)
+        LEFT JOIN nd USING (doc_id)
+        LEFT JOIN cont USING (doc_id)
+        """
+
+    o["doc_pipeline_verdicts"] = f"""
+        SELECT doc_id, stage, stage = 'kept' AS kept FROM ({_verdicts_sql})
+        """
+
+
+    o["doc_pipeline_funnel"] = f"""
+        WITH v AS ({_verdicts_sql}),
+        tot AS (SELECT count(*) AS n FROM v)
+        SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+               round(count(*) * 1.0 / tot.n, 6) AS share
+        FROM v CROSS JOIN tot GROUP BY stage, tot.n
+        """
+
+    o["doc_ngram_diversity"] = rf"""
+        WITH toks AS (
+          SELECT source, {TOK} AS tk FROM documents
+        ), grams AS (
+          SELECT source, n,
+                 unnest(list_transform(
+                   range(1, greatest(len(tk) - n + 1, 0) + 1),
+                   i -> array_to_string(
+                     tk[CAST(i AS INTEGER):CAST(i + n - 1 AS INTEGER)], ' ')
+                 )) AS gram
+          FROM toks CROSS JOIN (SELECT unnest([1, 2, 3]) AS n) nn
+        ), cnt AS (
+          SELECT source, n, gram, count(*) AS c FROM grams GROUP BY source, n, gram
+        )
+        SELECT source, CAST(n AS INTEGER) AS n,
+               CAST(count(*) AS BIGINT) AS distinct_grams,
+               CAST(sum(c) AS BIGINT) AS total_grams,
+               round(count(*) * 1.0 / sum(c), 6) AS diversity
+        FROM cnt GROUP BY source, n
+        """
+
+    o["doc_oov_rates"] = rf"""
+        WITH lt AS (
+          SELECT doc_id,
+                 list_transform({TOK}, x -> lower(x)) AS tk
+          FROM documents
+        ), cnt AS (
+          SELECT term, count(*) AS c
+          FROM (SELECT unnest(tk) AS term FROM lt) GROUP BY term
+        ), topk AS (
+          SELECT term FROM cnt ORDER BY c DESC, term LIMIT 1000
+        ), vocab AS (SELECT list(term) AS v FROM topk)
+        SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_tokens,
+               CAST(len(list_filter(tk, t -> NOT list_contains(v, t))) AS BIGINT)
+                 AS n_oov,
+               round(len(list_filter(tk, t -> NOT list_contains(v, t)))
+                     * 1.0 / len(tk), 6) AS oov_rate
+        FROM lt CROSS JOIN vocab
+        WHERE len(tk) > 0
+        """
+
+    o["doc_corpus_report"] = f"""
+        WITH t AS (
+          SELECT source, lang AS lang_true,
+                 length(text) AS n,
+                 {TOK} AS toks0,
+                 list_transform({TOK}, x -> lower(x)) AS toks,
+                 {PUNCT} AS np,
+                 lower(substr(md5(text), 1, 16)) AS fp
+          FROM documents
+        ), s AS (
+          SELECT source, lang_true, n, toks0, np, fp, {score_cols} FROM t
+        ), r AS (
+          SELECT source, lang_true, fp,
+                 len(toks0) AS ntok,
+                 CASE WHEN n > 0 THEN np * 1.0 / n ELSE 0.0 END AS praw,
+                 CASE WHEN len(toks0) > 0
+                      THEN len(list_filter(toks0, x -> list_contains({STOPS}, lower(x))))
+                           * 1.0 / len(toks0)
+                      ELSE 0.0 END AS sraw,
+                 least(n / 500.0, 1.0) AS len_score,
+                 {case_pred} AS lang_pred
+          FROM s
+        ), d AS (
+          SELECT source, lang_true, lang_pred, ntok,
+                 round(0.4 * len_score + 0.3 * (1.0 - least(praw * 5, 1.0))
+                       + 0.3 * least(sraw * 10, 1.0), 6) AS q,
+                 CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS dup
+          FROM r
+        )
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(ntok) AS BIGINT) AS n_tokens,
+               round(avg(q), 6) AS mean_quality,
+               round(avg(CASE WHEN lang_pred = lang_true THEN 1.0 ELSE 0.0 END), 6)
+                 AS lang_match_rate,
+               round(avg(dup * 1.0), 6) AS dup_rate
+        FROM d GROUP BY source
+        """
+
+    o["emb_prototype_scores"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos, e[CAST(t.i AS INTEGER)] AS x
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax FROM ex GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        scored AS (
+          SELECT vec_id, assigned.cell,
+                 round({_COS.format(a="e", b="c")}, 6) AS proto_cosine
+          FROM assigned JOIN cent ON assigned.cell = cent.cell
+        ),
+        ranked AS (
+          SELECT vec_id, cell, proto_cosine,
+                 CAST(row_number() OVER (
+                   PARTITION BY cell ORDER BY proto_cosine DESC, vec_id
+                 ) AS INTEGER) AS rk,
+                 CAST(count(*) OVER (PARTITION BY cell) AS BIGINT) AS cell_n
+          FROM scored
+        )
+        SELECT vec_id, cell, proto_cosine, rk, cell_n,
+               rk <= ceil(0.2 * cell_n) AS dropped
+        FROM ranked
+        """
+
+    o["emb_kmeans_refine"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos, e[CAST(t.i AS INTEGER)] AS x
+          FROM assigned, range(1, 65) t(i)
+        ),
+        cent AS (
+          SELECT cell AS nc, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax FROM ex GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        scored AS (
+          SELECT vec_id, nc,
+                 CASE WHEN sqrt(list_dot_product(e, e))
+                           * sqrt(list_dot_product(c, c)) > 0
+                      THEN round({_COS.format(a="e", b="c")}, 6)
+                      ELSE 0.0 END AS cs
+          FROM v CROSS JOIN cent
+        ),
+        best AS (
+          SELECT vec_id, nc, cs,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, nc) AS rk
+          FROM scored
+        )
+        SELECT vec_id, CAST(nc AS INTEGER) AS cell, cs AS cosine
+        FROM best WHERE rk = 1
+        """
+
+    o["doc_mixture_plan"] = r"""
+        WITH per AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(len(list_filter(regexp_split_to_array(text, '\s+'),
+                                          x -> x <> ''))) AS BIGINT) AS n_tokens
+          FROM documents GROUP BY source
+        ), tot AS (SELECT sum(n_tokens) AS t, count(*) AS nsrc FROM per)
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / t, 6) AS natural_share,
+               round(1.0 / nsrc, 6) AS target_share,
+               round((1.0 / nsrc) / (n_tokens / t), 6) AS mix_weight
+        FROM per CROSS JOIN tot
+    """
+
+    o["rel_part_value_share"] = """
+        WITH pp AS (
+          SELECT l_partkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS part_value
+          FROM lineitem GROUP BY l_partkey
+        ), tot AS (SELECT sum(part_value) AS t FROM pp)
+        SELECT p_partkey, p_brand, p_type, part_value
+        FROM pp JOIN part ON l_partkey = p_partkey CROSS JOIN tot
+        WHERE part_value > 0.001 * tot.t
+    """
+
+    o["rel_top_supplier"] = """
+        WITH ps AS (
+          SELECT l_suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM ps JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM ps)
+    """
+
+    o["rel_idle_customers"] = """
+        SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+               round(sum(c_acctbal), 2) AS total_acctbal
+        FROM customer
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND c_custkey NOT IN (SELECT o_custkey FROM orders)
+        GROUP BY c_nationkey
+    """
+
+    o["rel_fuzzy_customers"] = """
+        WITH side0 AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 substr(c_name, 1, length(c_name) - 2) AS blk
+          FROM customer
+        ),
+        -- the operator's default hot-block fence (max_block=10000):
+        -- a block over the cap contributes no pairs at ANY scale
+        side AS (
+          SELECT * FROM (
+            SELECT s.*, count(*) OVER (PARTITION BY blk) AS bn FROM side0 s
+          ) WHERE bn <= 10000
+        )
+        SELECT a.id AS id_a, b.id AS id_b, a.name AS name_a, b.name AS name_b,
+               CAST(levenshtein(a.name, b.name) AS INT) AS distance
+        FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+        WHERE levenshtein(a.name, b.name) <= 1
+    """
+
+    # fuzzy pairs → recursive-CTE closure → min-id canonical labels →
+    # full spine with cluster sizes (the emb_dedup_groups closure over
+    # the rel_fuzzy_customers pair lane)
+    o["rel_entity_resolution"] = """
+        WITH RECURSIVE side0 AS (
+          SELECT c_custkey AS id, c_name AS name,
+                 substr(c_name, 1, length(c_name) - 2) AS blk
+          FROM customer
+        ),
+        side AS (
+          SELECT * FROM (
+            SELECT s.*, count(*) OVER (PARTITION BY blk) AS bn FROM side0 s
+          ) WHERE bn <= 10000
+        ),
+        pairs AS (
+          SELECT a.id AS id_a, b.id AS id_b
+          FROM side a JOIN side b ON a.blk = b.blk AND a.id < b.id
+          WHERE levenshtein(a.name, b.name) <= 1
+        ),
+        edges AS (
+          SELECT id_a AS a, id_b AS b FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, root) AS (
+          SELECT DISTINCT a, a FROM edges
+          UNION
+          SELECT e.b, r.root FROM reach r JOIN edges e ON e.a = r.id
+        ),
+        comp AS (SELECT id, min(root) AS component FROM reach GROUP BY id),
+        spine AS (
+          SELECT s.id AS c_custkey, s.name AS c_name,
+                 coalesce(c.component, s.id) AS canonical_id
+          FROM side0 s LEFT JOIN comp c ON c.id = s.id
+        )
+        SELECT c_custkey, c_name, canonical_id,
+               CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT)
+                 AS cluster_size
+        FROM spine
+    """
+
+    # the artifact lane answers the SAME question
+    o["rel_entity_resolution_indexed"] = o["rel_entity_resolution"]
+
+    o["rel_late_suppliers"] = """
+        WITH per_os AS (
+          SELECT l_orderkey, l_suppkey,
+                 max(CASE WHEN CAST(l_shipdate AS DATE)
+                            > CAST(o_orderdate AS DATE) + 90 THEN 1 ELSE 0 END)
+                   AS was_late
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE o_orderstatus = 'F'
+          GROUP BY 1, 2
+        ),
+        flagged AS (
+          SELECT l_suppkey, was_late,
+                 count(*) OVER (PARTITION BY l_orderkey) AS n_supp,
+                 sum(was_late) OVER (PARTITION BY l_orderkey) AS n_late
+          FROM per_os
+        )
+        SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+        FROM flagged JOIN supplier ON l_suppkey = s_suppkey
+        WHERE was_late = 1 AND n_supp > 1 AND n_late = 1
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 20
+    """
+
+    o["rel_ship_delay_dist"] = """
+        SELECT CAST(floor(datediff('day', CAST(o_orderdate AS DATE),
+                                   CAST(l_shipdate AS DATE)) / 30.0) AS BIGINT)
+                 AS delay_bucket,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY delay_bucket
+        ORDER BY delay_bucket
+    """
+
+    o["doc_ccnet_buckets"] = f"""
+        WITH scored AS ({o["doc_bigram_logprob"]})
+        SELECT doc_id, n_tokens, mean_neg_logprob, bucket,
+               CASE WHEN bucket = 1 THEN 'head'
+                    WHEN bucket = 3 THEN 'tail'
+                    ELSE 'middle' END AS bucket_label
+        FROM (
+          SELECT doc_id, n_tokens, mean_neg_logprob,
+                 CAST(ntile(3) OVER (ORDER BY mean_neg_logprob, doc_id) AS INT)
+                   AS bucket
+          FROM scored
+        )
+        """
+
+    # persisted-LM lane reads back the same tables → same buckets
+    o["doc_ccnet_indexed"] = o["doc_ccnet_buckets"]
+
+    o["emb_pipeline_verdicts"] = f"""
+        WITH sd AS (SELECT vec_id FROM ({o["emb_semantic_dedup"]})),
+        pr AS (SELECT vec_id FROM ({o["emb_prototype_scores"]}) WHERE dropped)
+        SELECT e.vec_id,
+               CASE WHEN sd.vec_id IS NOT NULL THEN 'semantic_dup'
+                    WHEN pr.vec_id IS NOT NULL THEN 'prototype'
+                    ELSE 'kept' END AS stage,
+               sd.vec_id IS NULL AND pr.vec_id IS NULL AS kept
+        FROM embeddings e
+        LEFT JOIN sd ON e.vec_id = sd.vec_id
+        LEFT JOIN pr ON e.vec_id = pr.vec_id
+        """
+
+    o["emb_cell_quality"] = f"""
+        WITH per AS (
+          SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs,
+                 round(avg(proto_cosine), 6) AS mean_cohesion,
+                 round(min(proto_cosine), 6) AS min_cohesion
+          FROM ({o["emb_prototype_scores"]}) GROUP BY cell
+        ), tot AS (SELECT sum(n_vecs) AS t FROM per)
+        SELECT cell, n_vecs, mean_cohesion, min_cohesion,
+               round(n_vecs / t, 6) AS share
+        FROM per CROSS JOIN tot
+    """
+
+    o["emb_hard_negatives"] = f"""
+        WITH vl AS (
+          SELECT vec_id, CAST(label AS INTEGER) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, label, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, label, e, {_score_list} AS dl FROM vl)
+        ),
+        pairs AS (
+          SELECT a.vec_id, a.label, b.vec_id AS neg_id,
+                 b.label AS neg_label,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cosine
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+               AND a.label <> b.label
+        ),
+        ranked AS (
+          SELECT *, CAST(row_number() OVER (
+                   PARTITION BY vec_id ORDER BY cosine DESC, neg_id
+                 ) AS INTEGER) AS rank
+          FROM pairs
+        )
+        SELECT vec_id, label, rank, neg_id, neg_label, cosine
+        FROM ranked WHERE rank <= 5
+    """
+
+    o["emb_knn_labels"] = f"""
+        WITH vl AS (
+          SELECT vec_id, CAST(label AS INTEGER) AS label,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+          FROM embeddings
+        ),
+        assigned AS (
+          SELECT vec_id, label, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, label, e, {_score_list} AS dl FROM vl)
+        ),
+        pairs AS (
+          SELECT a.vec_id, a.label, b.label AS nl,
+                 round({_COS.format(a="a.e", b="b.e")}, 6) AS cosine,
+                 b.vec_id AS nid
+          FROM assigned a JOIN assigned b
+            ON a.cell = b.cell AND a.vec_id <> b.vec_id
+        ),
+        sel AS (
+          SELECT vec_id, label, nl FROM (
+            SELECT *, row_number() OVER (
+              PARTITION BY vec_id ORDER BY cosine DESC, nid
+            ) AS rn FROM pairs
+          ) WHERE rn <= 5
+        ),
+        cnt AS (
+          SELECT vec_id, label, nl, count(*) AS c
+          FROM sel GROUP BY vec_id, label, nl
+        ),
+        tot AS (
+          SELECT vec_id, CAST(count(*) AS BIGINT) AS n_neighbors
+          FROM sel GROUP BY vec_id
+        ),
+        win AS (
+          SELECT vec_id, label, nl, c, row_number() OVER (
+                   PARTITION BY vec_id ORDER BY c DESC, nl
+                 ) AS rb
+          FROM cnt
+        )
+        SELECT w.vec_id, w.label, CAST(nl AS INTEGER) AS predicted_label,
+               CAST(c AS BIGINT) AS votes, t.n_neighbors,
+               nl = w.label AS agree
+        FROM win w JOIN tot t USING (vec_id) WHERE rb = 1
+    """
+
+    o["ts_grid_pivot"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points
+                WHERE pvname IN ('EV:0:click', 'EV:0:view',
+                                 'EV:7:view', 'EV:101:error')) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, p.value AS v
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        )
+        SELECT t,
+               max(CASE WHEN pvname = 'EV:0:click' THEN v END) AS v0,
+               max(CASE WHEN pvname = 'EV:0:view' THEN v END) AS v1,
+               max(CASE WHEN pvname = 'EV:7:view' THEN v END) AS v2,
+               max(CASE WHEN pvname = 'EV:101:error' THEN v END) AS v3
+        FROM lg GROUP BY t ORDER BY t
+        """
+    )
+
+    o["emb_dispersion"] = f"""
+        WITH {_V},
+        assigned AS (
+          SELECT vec_id, e,
+                 CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT vec_id, e, {_score_list} AS dl FROM v)
+        ),
+        qv AS (
+          SELECT cell,
+                 list_transform(e, x ->
+                   CAST(floor(abs(x * 100.0) + 0.5) * sign(x) AS BIGINT)) AS qe
+          FROM assigned
+        ),
+        ex AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS x
+          FROM qv, range(1, 65) t(i)
+        ),
+        pp AS (
+          SELECT cell, pos, sum(x) AS sx, sum(x * x) AS sxx,
+                 count(*) AS n
+          FROM ex GROUP BY 1, 2
+        ),
+        c AS (
+          SELECT cell, max(n) AS nv, sum(sx * sx) AS ns, sum(sxx) AS ss
+          FROM pp GROUP BY cell
+        )
+        SELECT cell, CAST(nv AS BIGINT) AS n_vectors,
+               CASE WHEN nv >= 2
+                    THEN round(CAST(ns - ss AS DOUBLE)
+                               / CAST(nv * (nv - 1) AS DOUBLE) / 10000.0, 6)
+               END AS mean_pairwise_dot,
+               round(CAST(ss AS DOUBLE) / CAST(nv AS DOUBLE) / 10000.0, 6)
+                 AS mean_sq_norm
+        FROM c
+    """
+
+    o["ts_flatlines"] = (
+        P
+        + """,
+        fl AS (
+          SELECT pvname, time, event_id,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 CASE WHEN lag(CAST(round(value / 0.01) AS BIGINT)) OVER w
+                           IS DISTINCT FROM CAST(round(value / 0.01) AS BIGINT)
+                      THEN 1 ELSE 0 END AS chg
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        r2 AS (
+          SELECT pvname, time,
+                 sum(chg) OVER (PARTITION BY pvname ORDER BY time, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM fl
+        ),
+        isl AS (
+          SELECT pvname, run, count(*) AS n, max(time) - min(time) AS span
+          FROM r2 GROUP BY pvname, run
+        ),
+        sel AS (
+          SELECT pvname, span, row_number() OVER (
+                   PARTITION BY pvname ORDER BY n DESC, span DESC
+                 ) AS rn
+          FROM isl
+        ),
+        agg AS (
+          SELECT pvname,
+                 CAST(sum(n) AS BIGINT) AS n_points,
+                 CAST(max(n) AS BIGINT) AS longest_run,
+                 CAST(sum(CASE WHEN n >= 3 AND span >= 60.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck_runs,
+                 max(n >= 3 AND span >= 60.0) AS stuck
+          FROM isl GROUP BY pvname
+        )
+        SELECT agg.pvname, n_points, longest_run,
+               round(sel.span, 6) AS longest_run_s, n_stuck_runs, stuck
+        FROM agg JOIN sel ON agg.pvname = sel.pvname AND sel.rn = 1
+        """
+    )
+
+    o["ev_linear_attribution"] = """
+        WITH e AS (
+          SELECT user_id AS u, event_id AS eid,
+                 epoch_us(ts) / 1000000.0 AS t, event_type AS ty
+          FROM events
+        ), c AS (
+          SELECT user_id AS cu, event_id AS cid,
+                 epoch_us(ts) / 1000000.0 AS ct,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), p AS (
+          SELECT ty, cid,
+                 (cents * 1000000) // (count(*) OVER (PARTITION BY cid))
+                   AS micros
+          FROM c JOIN e ON cu = u
+          WHERE (t < ct OR (t = ct AND eid < cid)) AND t >= ct - 604800.0
+        ), s AS (
+          SELECT ty, cid, count(*) AS n, sum(micros) AS m
+          FROM p GROUP BY ty, cid
+        )
+        SELECT ty AS event_type, CAST(sum(n) AS BIGINT) AS touches,
+               CAST(count(*) AS BIGINT) AS conversions,
+               round(sum(m) / 1e8, 6) AS credit
+        FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["doc_minhash_quality"] = f"""
+        WITH cand AS (
+          SELECT id_a, id_b FROM ({o["doc_minhash_neardups"]})
+        ),
+        sh2 AS (
+          SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s
+          FROM documents
+        ),
+        truth AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM sh2 a JOIN sh2 b
+            ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+          WHERE len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) > 0
+            AND len(list_intersect(a.s, b.s)) * 1.0
+                / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+                >= 0.5
+        ),
+        j AS (
+          SELECT coalesce(c.id_a, t.id_a) AS id_a,
+                 c.id_a IS NOT NULL AS in_c, t.id_a IS NOT NULL AS in_t
+          FROM cand c FULL OUTER JOIN truth t
+            ON c.id_a = t.id_a AND c.id_b = t.id_b
+        ),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN in_c THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_candidates,
+                 CAST(sum(CASE WHEN in_t THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true,
+                 CAST(sum(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_hit
+          FROM j
+        )
+        SELECT n_candidates, n_true, n_hit,
+               n_candidates - n_hit AS n_false,
+               n_true - n_hit AS n_missed,
+               CASE WHEN n_candidates > 0
+                    THEN round(n_hit * 1.0 / n_candidates, 6) END AS precision,
+               CASE WHEN n_true > 0
+                    THEN round(n_hit * 1.0 / n_true, 6) END AS recall
+        FROM agg
+    """
+
+    # sampled dial: shadow `documents` with the identical md5 draw the
+    # operator applies (first 8 hex chars of md5('<seed>:<id>') as a
+    # uniform 32-bit fraction), then reuse the full-report SQL verbatim
+    o["doc_minhash_quality_sampled"] = o["doc_minhash_quality"].replace(
+        "WITH cand AS",
+        """WITH documents AS (
+          SELECT * FROM main.documents  -- base view; the CTE shadows it below
+          WHERE ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                / 4294967296.0 < 0.5
+        ),
+        cand AS""",
+        1,
+    )
+
+    o["rel_fuzzy_blocks"] = """
+        SELECT substr(c_name, 1, 15) AS block_key,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM customer
+        GROUP BY 1
+        HAVING count(*) > 400
+        ORDER BY n_records DESC, block_key
+    """
+
+    o["ts_seasonal_anomalies"] = (
+        P
+        + """,
+        b AS (
+          SELECT pvname, time, value,
+                 CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+                 CAST(round(value / 0.01) AS BIGINT) AS q
+          FROM points
+        ),
+        base AS (
+          SELECT pvname AS bk, hour AS bh,
+                 CAST(sum(q) AS DOUBLE) / count(*) AS bq
+          FROM b GROUP BY 1, 2
+        ),
+        resid AS (
+          SELECT b.pvname, b.time, b.value, (b.q - base.bq) * 0.01 AS residual
+          FROM b JOIN base ON b.pvname = bk AND b.hour = bh
+        ),
+        med AS (SELECT pvname, median(residual) AS m FROM resid GROUP BY 1),
+        wm AS (SELECT r.*, m FROM resid r JOIN med USING (pvname)),
+        md AS (
+          SELECT pvname, median(abs(residual - m)) AS d
+          FROM wm GROUP BY pvname
+        )
+        SELECT wm.pvname, time, value,
+               round(residual, 6) AS residual,
+               round(m, 6) AS med, round(d, 6) AS mad
+        FROM wm JOIN md USING (pvname)
+        WHERE d > 0 AND abs(residual - m) > 5.0 * d
+        """
+    )
+
+    o["doc_nb_audit"] = r"""
+        WITH dt AS (
+          SELECT doc_id, source AS lbl,
+                 unnest(list_filter(
+                   regexp_split_to_array(lower(text), '\s+'),
+                   x -> x <> '')) AS term
+          FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, lbl, term, count(*) AS tf
+          FROM dt GROUP BY 1, 2, 3
+        ),
+        cc AS (SELECT lbl AS cls, term, sum(tf) AS c FROM tf GROUP BY 1, 2),
+        cls AS (SELECT cls, sum(c) AS n_c FROM cc GROUP BY cls),
+        vocab AS (SELECT DISTINCT term FROM cc),
+        vt AS (SELECT count(*) AS V FROM vocab),
+        pri AS (
+          SELECT source AS cls,
+                 ln(count(*) * 1.0
+                    / (SELECT count(*) FROM documents)) AS prior
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT vocab.term, cls.cls,
+                 ln((coalesce(cc.c, 0) + 0.5) / (cls.n_c + 0.5 * vt.V)) AS w
+          FROM vocab CROSS JOIN cls CROSS JOIN vt
+          LEFT JOIN cc ON cc.term = vocab.term AND cc.cls = cls.cls
+        ),
+        ag AS (
+          SELECT tf.doc_id, tf.lbl, w.cls, sum(tf.tf * w.w) AS ll
+          FROM tf JOIN w ON tf.term = w.term
+          GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT doc_id, lbl, ag.cls,
+                 round(ll + pri.prior, 6) AS score
+          FROM ag JOIN pri ON pri.cls = ag.cls
+        )
+        SELECT doc_id, lbl AS label, cls AS predicted, score,
+               cls = lbl AS agree
+        FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score DESC, cls
+                 ) AS rn
+          FROM sc
+        ) WHERE rn = 1
+    """
+
+    o["emb_corpus_drift"] = f"""
+        WITH {_V},
+        va AS (SELECT vec_id, e FROM v),
+        vb AS (SELECT vec_id, e FROM v WHERE vec_id % 3 > 0),
+        aa AS (
+          SELECT e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT e, {_score_list} AS dl FROM va)
+        ),
+        ab AS (
+          SELECT e, CAST(list_position(dl, list_min(dl)) AS INTEGER) AS cell
+          FROM (SELECT e, {_score_list} AS dl FROM vb)
+        ),
+        exa AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 e[CAST(t.i AS INTEGER)] AS x
+          FROM aa, range(1, 65) t(i)
+        ),
+        exb AS (
+          SELECT cell, CAST(t.i AS INTEGER) - 1 AS pos,
+                 e[CAST(t.i AS INTEGER)] AS x
+          FROM ab, range(1, 65) t(i)
+        ),
+        ca AS (
+          SELECT cell, max(n) AS n_a, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax, count(*) AS n
+                FROM exa GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        cb AS (
+          SELECT cell, max(n) AS n_b, list(round(ax, 6) ORDER BY pos) AS c
+          FROM (SELECT cell, pos, avg(x) AS ax, count(*) AS n
+                FROM exb GROUP BY cell, pos)
+          GROUP BY cell
+        ),
+        j AS (
+          SELECT coalesce(ca.cell, cb.cell) AS cell,
+                 coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+                 ca.c AS c1, cb.c AS c2
+          FROM ca FULL OUTER JOIN cb ON ca.cell = cb.cell
+        ),
+        tot AS (SELECT sum(n_a) AS ta, sum(n_b) AS tb FROM j)
+        SELECT cell, CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+               round(n_a / ta, 6) AS share_a,
+               round(n_b / tb, 6) AS share_b,
+               CASE WHEN c1 IS NOT NULL AND c2 IS NOT NULL
+                         AND sqrt(list_dot_product(c1, c1))
+                             * sqrt(list_dot_product(c2, c2)) > 0
+                    THEN round({_COS.format(a="c1", b="c2")}, 6)
+               END AS centroid_cosine
+        FROM j CROSS JOIN tot
+    """
+
+    o["doc_graph_profile"] = (
+        CC
+        + """,
+        deg AS (SELECT a, count(DISTINCT b) AS k FROM edges GROUP BY a),
+        dh AS (
+          SELECT 'degree' AS metric, k, CAST(count(*) AS BIGINT) AS n
+          FROM deg GROUP BY k
+        ),
+        cs AS (SELECT component, count(*) AS k FROM comp GROUP BY component),
+        ch AS (
+          SELECT 'component' AS metric, k, CAST(count(*) AS BIGINT) AS n
+          FROM cs GROUP BY k
+        )
+        SELECT metric, CAST(k AS BIGINT) AS k, n FROM dh
+        UNION ALL
+        SELECT metric, CAST(k AS BIGINT) AS k, n FROM ch
+        """
+    )
+    o["doc_graph_profile_indexed"] = o["doc_graph_profile"]
+
+    o["ev_position_attribution"] = """
+        WITH e AS (
+          SELECT user_id AS u, event_id AS eid,
+                 epoch_us(ts) / 1000000.0 AS t, event_type AS ty
+          FROM events
+        ), c AS (
+          SELECT user_id AS cu, event_id AS cid,
+                 epoch_us(ts) / 1000000.0 AS ct,
+                 CAST(round(value * 100) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'
+        ), p AS (
+          SELECT ty, cid, cents,
+                 count(*) OVER (PARTITION BY cid) AS k,
+                 row_number() OVER (PARTITION BY cid ORDER BY t, eid) AS rn
+          FROM c JOIN e ON cu = u
+          WHERE (t < ct OR (t = ct AND eid < cid)) AND t >= ct - 604800.0
+        ), sh AS (
+          SELECT ty, cid,
+                 CASE WHEN k = 1 THEN cents * 1000000
+                      WHEN k = 2 THEN (cents * 1000000) // 2
+                      WHEN rn = 1 OR rn = k
+                        THEN (cents * 1000000 * 40) // 100
+                      ELSE (cents * 1000000 * 20) // (100 * (k - 2)) END
+                   AS micros
+          FROM p
+        ), s AS (
+          SELECT ty, cid, count(*) AS n, sum(micros) AS m
+          FROM sh GROUP BY ty, cid
+        )
+        SELECT ty AS event_type, CAST(sum(n) AS BIGINT) AS touches,
+               CAST(count(*) AS BIGINT) AS conversions,
+               round(sum(m) / 1e8, 6) AS credit
+        FROM s GROUP BY ty ORDER BY event_type
+    """
+
+    o["doc_bpe_pairs"] = r"""
+        WITH wf AS (
+          SELECT word, count(*) AS n FROM (
+            SELECT unnest(list_filter(
+                     regexp_split_to_array(lower(text), '\s+'),
+                     x -> x <> '')) AS word
+            FROM documents
+          ) GROUP BY word
+        ),
+        ix AS (
+          SELECT word, n,
+                 CAST(unnest(range(1, length(word) + 1)) AS INTEGER) AS i
+          FROM wf
+        ),
+        pr AS (
+          SELECT n,
+                 substr(word, i, 1) AS a,
+                 CASE WHEN i < length(word)
+                      THEN substr(word, i + 1, 1)
+                      ELSE '</w>' END AS b
+          FROM ix
+        )
+        SELECT a, b, CAST(sum(n) AS BIGINT) AS pair_count
+        FROM pr GROUP BY a, b
+        ORDER BY pair_count DESC, a, b
+        LIMIT 20
+    """
+
+    o["sink_ascii_roundtrip"] = (
+        P
+        + """
+        SELECT pvname,
+               CAST(printf('%.3f', floor(time * 1000 + 0.5) / 1000.0)
+                    AS DOUBLE) AS time,
+               printf('%.2f', value) AS value_raw,
+               CAST(printf('%.2f', value) AS DOUBLE) AS value,
+               strftime(make_timestamp(
+                          CAST(floor(time * 1000 + 0.5) AS BIGINT) * 1000),
+                        '%Y%m%d %H%M%S') AS stamp
+        FROM points WHERE pvname = 'EV:0:click'
+        """
+    )
+
+    _xp_vals = ", ".join(f"('{x}', '{y}')" for x, y in _XCORR_PAIRS)
+    o["ts_xcorr_lag"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname,
+                 CAST((g.t - {T0}) / {GRID_STEP} AS BIGINT) AS i,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        prs(pv_a, pv_b) AS (VALUES {_xp_vals}),
+        lagset AS (SELECT CAST(l.range AS INTEGER) AS lag FROM range(-3, 4) l),
+        pal AS (
+          SELECT pv_a, pv_b, lag, i + lag AS j, q AS qa
+          FROM lg JOIN prs ON pvname = pv_a CROSS JOIN lagset
+        ),
+        jj AS (
+          SELECT pal.pv_a, pal.pv_b, pal.lag, pal.qa, b.q AS qb
+          FROM pal JOIN lg b ON b.pvname = pal.pv_b AND b.i = pal.j
+        ),
+        s AS (
+          SELECT pv_a, pv_b, lag, count(*) AS n,
+                 sum(qa) AS sx, sum(qb) AS sy, sum(qa*qb) AS sxy,
+                 sum(qa*qa) AS sxx, sum(qb*qb) AS syy
+          FROM jj GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT pv_a, pv_b, lag, n, {_corr_r} AS rr
+          FROM s
+          WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT pv_a, pv_b, lag, n, round(rr, 6) AS r,
+               row_number() OVER (
+                 PARTITION BY pv_a, pv_b ORDER BY abs(rr) DESC, lag
+               ) = 1 AS best
+        FROM sc
+        """
+    )
+
+    # fixed-point PageRank: the engine's integer recurrence unrolled as
+    # one CTE pair per power-iteration round (same bit-exact arithmetic)
+    _pr_scale, _pr_rounds = 10**9, 8
+    _pr_base = (15 * _pr_scale) // 100
+    _pr = [
+        E
+        + f""",
+        canon AS (
+          SELECT least(pv1, pv2) AS p1, greatest(pv1, pv2) AS p2,
+                 max(score) AS s
+          FROM edges GROUP BY 1, 2
+        ),
+        dir AS (
+          SELECT src, dst, w FROM (
+            SELECT p1 AS src, p2 AS dst,
+                   CAST(round(s * 100) AS BIGINT) AS w FROM canon
+            UNION ALL
+            SELECT p2 AS src, p1 AS dst,
+                   CAST(round(s * 100) AS BIGINT) AS w FROM canon
+          ) WHERE w > 0
+        ),
+        wout AS (SELECT src, sum(w) AS wt FROM dir GROUP BY src),
+        g AS (SELECT dst, src, w, wt FROM dir JOIN wout USING (src)),
+        nodes AS (SELECT DISTINCT src AS id FROM dir),
+        r0 AS (SELECT id, CAST({_pr_scale} AS BIGINT) AS r FROM nodes)"""
+    ]
+    for _k in range(1, _pr_rounds + 1):
+        _pr.append(
+            f""",
+        c{_k} AS (
+          SELECT dst AS id, sum((r * w) // wt) AS c
+          FROM g JOIN r{_k - 1} ON r{_k - 1}.id = g.src GROUP BY dst
+        ),
+        r{_k} AS (
+          SELECT n.id,
+                 CAST({_pr_base} + (85 * coalesce(c, 0)) // 100 AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c{_k} USING (id)
+        )"""
+        )
+    _pr.append(
+        f"""
+        SELECT id AS pvname, r AS rank_units,
+               round(r / {float(_pr_scale)!r}, 6) AS rank
+        FROM r{_pr_rounds}"""
+    )
+    o["rel_pagerank"] = "".join(_pr)
+
+    o["emb_gram_matrix"] = """
+        WITH q AS (
+          SELECT vec_id,
+                 list_transform(embedding, x ->
+                   CAST(floor(abs(CAST(x AS DOUBLE) * 10000.0) + 0.5)
+                        * sign(CAST(x AS DOUBLE)) AS BIGINT)) AS qe
+          FROM embeddings
+        ), ex AS (
+          SELECT vec_id, CAST(t.i AS INTEGER) - 1 AS pos,
+                 qe[CAST(t.i AS INTEGER)] AS qx
+          FROM q, range(1, 65) t(i)
+        )
+        SELECT a.pos AS pos_i, b.pos AS pos_j,
+               CAST(sum(a.qx * b.qx) AS BIGINT) AS sum_prod,
+               CAST(sum(a.qx) AS BIGINT) AS sum_i,
+               CAST(sum(b.qx) AS BIGINT) AS sum_j,
+               CAST(count(*) AS BIGINT) AS n_vectors
+        FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        GROUP BY 1, 2
+    """
+
+    o["rel_min_cost_supplier"] = """
+        WITH pairs AS (
+          SELECT l_partkey, l_suppkey,
+                 min(l_extendedprice / l_quantity) AS _cost
+          FROM lineitem GROUP BY l_partkey, l_suppkey
+        ), reg_supp AS (
+          SELECT s_suppkey, s_name, s_acctbal, n_name
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'EUROPE'
+        ), ranked AS (
+          SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+                 round(_cost, 6) AS unit_cost,
+                 rank() OVER (PARTITION BY l_partkey ORDER BY _cost) AS rk
+          FROM pairs
+          JOIN reg_supp ON l_suppkey = s_suppkey
+          JOIN part ON l_partkey = p_partkey
+          WHERE p_type = 'STANDARD' AND p_size <= 15
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+        FROM ranked WHERE rk = 1
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """
+
+    o["rel_dominant_suppliers"] = """
+        WITH pairqty AS (
+          SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+            AND l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY l_partkey, l_suppkey
+        ), shared AS (
+          SELECT l_suppkey, qty,
+                 sum(qty) OVER (PARTITION BY l_partkey) AS total
+          FROM pairqty
+        ), winners AS (
+          SELECT DISTINCT l_suppkey FROM shared WHERE qty > 0.5 * total
+        )
+        SELECT s_name, round(s_acctbal, 2) AS s_acctbal, n_name
+        FROM winners
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_name
+    """
+
+    return o

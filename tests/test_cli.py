@@ -307,6 +307,104 @@ def test_archive_and_cache_daemon_cli(spark, tmp_path, capsys):
     assert got == {("D:a", 300.0, 300.0), ("D:b", 300.0, 300.0)}
 
 
+def test_daemon_stop_restart_lifecycle(spark, tmp_path, capsys):
+    """pvarch arch stop/restart analog (ref pvarch.py:196-202): a live
+    --follow archive daemon writes its pidfile, refuses a duplicate
+    start, stops via the checkpoint-dir control plane (`pvarch stop`),
+    and `pvarch restart` bounces it in place with checkpoint resume —
+    pre-bounce events are not re-ingested, post-bounce events land."""
+    import threading
+    import time as _time
+
+    import pandas as pd
+
+    from epicsarchiver_spark import daemon
+
+    src = tmp_path / "ev"
+    src.mkdir()
+
+    def put(name, t0):
+        rows = [("L:a", float(t), float(t)) for t in range(t0, t0 + 300, 100)]
+        pd.DataFrame(rows, columns=["pvname", "time", "value"]).to_parquet(
+            src / f"{name}.parquet", index=False
+        )
+
+    def n_points(store):
+        try:
+            return read_points(spark, store).count()
+        except Exception:
+            return 0
+
+    put("b0", 0)
+    store, ck = str(tmp_path / "store"), str(tmp_path / "ck")
+    rc = {}
+    common = ["--checkpoint", ck, "--deadtime", "1", "--buckets", "2",
+              "--trigger-s", "1"]
+
+    def run_daemon():
+        rc["first"] = cli.main(
+            ["--store", store, "archive", str(src), *common, "--follow"]
+        )
+
+    th = threading.Thread(target=run_daemon, daemon=True)
+    th.start()
+    deadline = _time.time() + 180
+    while _time.time() < deadline and daemon.read_pid(ck, "archive") is None:
+        _time.sleep(0.2)
+    assert daemon.read_pid(ck, "archive") == os.getpid()
+
+    # duplicate start refused while the pidfile is live
+    assert (
+        cli.main(["--store", store, "archive", str(src), *common, "--follow"]) == 1
+    )
+    assert "try 'restart'" in capsys.readouterr().err
+
+    while _time.time() < deadline and n_points(store) < 3:
+        _time.sleep(0.5)
+    assert n_points(store) >= 3
+
+    # graceful stop through the sentinel; the daemon thread exits 0 and
+    # clears both control files
+    assert cli.main(["stop", "archive", "--checkpoint", ck]) == 0
+    th.join(90)
+    assert not th.is_alive() and rc["first"] == 0
+    assert daemon.read_pid(ck, "archive") is None
+    assert not daemon.stop_requested(ck, "archive")
+    n1 = n_points(store)
+
+    # restart = stop (no-op here) + start with the SAME checkpoint;
+    # only the new batch lands — the old one is in the checkpoint log
+    put("b1", 100000)
+
+    def run_restart():
+        rc["second"] = cli.main(
+            ["--store", store, "restart", "archive", str(src), *common]
+        )
+
+    th2 = threading.Thread(target=run_restart, daemon=True)
+    th2.start()
+    while _time.time() < deadline and n_points(store) < n1 + 3:
+        _time.sleep(0.5)
+    assert cli.main(["stop", "archive", "--checkpoint", ck]) == 0
+    th2.join(90)
+    assert not th2.is_alive() and rc["second"] == 0
+
+    pdf = read_points(spark, store).select("pvname", "time").toPandas()
+    assert len(pdf) == n1 + 3  # exactly-once across the bounce
+    assert not pdf.duplicated().any()
+
+
+def test_stop_with_no_daemon_is_cron_safe(tmp_path, capsys):
+    """`pvarch stop` when nothing runs exits 0 and leaves NO stale
+    sentinel behind (a leftover sentinel would kill the next start
+    immediately) — the cron/check script shape (ref cron/check_cache)."""
+    from epicsarchiver_spark import daemon
+
+    ck = str(tmp_path / "ck")
+    assert cli.main(["stop", "archive", "--checkpoint", ck]) == 0
+    assert not daemon.stop_requested(ck, "archive")
+
+
 def test_alerts_cli_fires_and_renders(spark, store, tmp_path, capsys):
     """Rule sweep over the store's latest values: firing rules render
     the mail template (incl. a %PV()% cache lookup) and flip the exit
