@@ -134,6 +134,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R10_FRONT: list[str] = [
+    "doc_components_incremental",
     "doc_triangles_indexed",
     "emb_standardize",
     "sink_ascii",
@@ -183,7 +184,6 @@ _R10_FRONT: list[str] = [
     "rel_score_sums",
     "rel_top_orders",
     "ts_alarm_transitions",
-    "ts_cull_full",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2417,6 +2417,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return dedup.triangle_stats(edges, id_a="u", id_b="v")
 
     q["doc_triangles_indexed"] = _doc_triangles_indexed
+
+    # incremental CC maintenance: an 80% "old corpus" artifact labeling
+    # + the 20% batch's touching pairs, folded in by merge_components —
+    # certified IDENTICAL to from-scratch CC over the full pair graph
+    # (oracle ≡ doc_dedup_groups). The production nightly shape: the
+    # quadratic pair basis is only ever built over the batch.
+    def _doc_components_incremental(s, d):
+        docs = load_table(s, d, "documents")
+        is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+
+        def _build(path):
+            curation.write_components(
+                dedup.connected_components_star(
+                    dedup.jaccard_pairs_blocked(
+                        docs.filter(~is_new), shingle_k=2, threshold=0.05
+                    )
+                ),
+                path,
+            )
+
+        comp = s.read.parquet(_artifact_path(d, "inc_components", _build))
+        batch_pairs = dedup.jaccard_pairs_blocked(
+            docs, shingle_k=2, threshold=0.05
+        ).filter(
+            (F.pmod(F.col("id_a"), F.lit(5)) == 0)
+            | (F.pmod(F.col("id_b"), F.lit(5)) == 0)
+        )
+        return dedup.merge_components(comp, batch_pairs).select(
+            F.col("id").alias("doc_id"), "component"
+        )
+
+    q["doc_components_incremental"] = _doc_components_incremental
 
     # ...and the read-back twin: component sizes from the persisted CC
     # labels (shared "components" artifact), only the degree side pays

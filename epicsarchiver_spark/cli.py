@@ -12,6 +12,9 @@ continuous daemon shape; SURVEY §3.1):
     restart PROC SRC  → stop + start with checkpoint resume (pvarch arch/cache restart)
     alerts RULES.csv  → rule sweep + rendered mail         (cache.py alert daemon,
                         minus the SMTP send — pipe stdout)
+    bm25_watch DOCS SUBS.csv → standing-query sweep: new top-k hits per
+                        subscription since the last pass   (engine-only:
+                        bm25_multi + delta state, the alerts cadence)
     alert_rules       → alert-rule CRUD (add/edit/drop)    (webapp.py /editalert +
                         submit_alertedits → add_alert/update_alert)
     request PV        → queue add/drop/suspend request     (cache.py add_pv/drop_pv)
@@ -639,6 +642,75 @@ def cmd_alerts(args) -> int:
             # e.g. the sweep's read racing a concurrent alert_rules
             # table swap: log and retry next period rather than dying
             # (the whole point of --follow is surviving rule edits)
+            print(f"sweep failed ({type(ex).__name__}: {ex}); retrying",
+                  file=sys.stderr)
+        loops += 1
+        if args.max_loops is not None and loops >= args.max_loops:
+            break
+        time.sleep(args.period_s)
+    return rc
+
+
+def cmd_bm25_watch(args) -> int:
+    """Standing-query sweep — ``bm25_multi`` as a subscription daemon
+    (the alerts-loop cadence over a growing documents directory): each
+    pass answers ALL subscriptions with ONE corpus pass (flat in Q —
+    SCALE r9i measured 4→100 queries at 1.4× wall, r10c the 10× step),
+    takes per-query top-k, and reports the DELTA against the previous
+    pass's persisted result: (query, doc) pairs newly in the top-k are
+    the "new hits" a subscriber gets mailed about. Subscriptions are a
+    CSV (``query,terms`` — terms whitespace-separated) re-read every
+    pass, so edits land without a restart (the alert-rules discipline).
+    State swaps through the crash-safe dimension rename, so a killed
+    sweep leaves the previous state intact. Exit 2 when hits fired
+    (cron convention, same as ``alerts``)."""
+    import csv
+    import os
+
+    from epicsarchiver_spark.operators.text_ops import bm25_multi
+
+    spark = _spark("bm25_watch")
+
+    def sweep() -> int:
+        with open(args.subscriptions) as fh:
+            subs = {
+                r["query"]: r["terms"].split()
+                for r in csv.DictReader(fh)
+                if r.get("terms")
+            }
+        if not subs:
+            print("0 new hit(s) across 0 subscription(s)")
+            return 0
+        docs = spark.read.parquet(args.docs)
+        cur = bm25_multi(docs, subs, k=args.k).select(
+            "query", "doc_id", "rank", "score"
+        )
+        # Σq·k rows: materialize off the corpus scan before the state
+        # swap (the state dir may be an input of the delta join below)
+        cur = cur.localCheckpoint(eager=True)
+        _recover_dim(spark, args.state)
+        if os.path.isdir(args.state):
+            prev = spark.read.parquet(args.state).select("query", "doc_id")
+            new = cur.join(prev, ["query", "doc_id"], "left_anti")
+        else:
+            new = cur
+        hits = new.orderBy("query", "rank").collect()
+        for r in hits:
+            print(
+                f"{r.query}: NEW hit doc {r.doc_id} "
+                f"(rank {r.rank}, score {r.score})"
+            )
+        _overwrite_dim(spark, cur, args.state)
+        print(f"{len(hits)} new hit(s) across {len(subs)} subscription(s)")
+        return 2 if hits else 0
+
+    if not args.follow:
+        return sweep()
+    loops, rc = 0, 0
+    while args.max_loops is None or loops < args.max_loops:
+        try:
+            rc = sweep()
+        except Exception as ex:  # noqa: BLE001 — daemon survives one bad pass
             print(f"sweep failed ({type(ex).__name__}: {ex}); retrying",
                   file=sys.stderr)
         loops += 1
@@ -1464,6 +1536,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--snippet-width", type=int, default=None,
                    help="print the best N-token window per hit")
     s.set_defaults(fn=cmd_bm25)
+
+    s = sub.add_parser(
+        "bm25_watch",
+        help="standing-query sweep: per-pass new top-k hits per subscription",
+    )
+    s.add_argument("docs", help="documents parquet directory")
+    s.add_argument("subscriptions", help="CSV with query,terms columns")
+    s.add_argument("--state", required=True,
+                   help="parquet dir holding the previous pass's top-k")
+    s.add_argument("-k", type=int, default=10)
+    s.add_argument("--follow", action="store_true", help="loop every --period-s")
+    s.add_argument("--period-s", type=float, default=60.0)
+    s.add_argument("--max-loops", type=int, default=None)
+    s.set_defaults(fn=cmd_bm25_watch)
 
     s = sub.add_parser("resolve", help="entity resolution over a records parquet")
     s.add_argument("records")

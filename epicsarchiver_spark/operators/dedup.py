@@ -1593,6 +1593,73 @@ def triangle_stats(
     return out
 
 
+def merge_components(
+    components: DataFrame,
+    new_pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 40,
+) -> DataFrame:
+    """Incremental connected-components maintenance — fold a NEW batch
+    of candidate pairs into a persisted ``(id, component)`` labeling
+    WITHOUT re-running CC over the old edge set (the artifact-lane
+    answer to "1% of the corpus landed tonight; don't rebuild the
+    quadratic basis"). Precondition: ``components`` came from
+    ``connected_components``/``_star`` (label = min reachable id,
+    transitively closed); then the result is IDENTICAL to from-scratch
+    CC over (old edges ∪ ``new_pairs``) — the property the
+    ``doc_components_incremental`` gate certifies against the full
+    recursive-CTE oracle.
+
+    Mechanics: contract each old component to its label (sound because
+    the labeling is transitively closed), map every new-edge endpoint
+    through the labeling (ids the artifact has never seen — novel docs,
+    or old docs with no prior pair — map to themselves), drop the
+    self-loops (intra-component pairs change nothing), and run star-CC
+    on this CONTRACTED graph — sized by the touched components and
+    novel ids, never by the old edge set. Because every old label is
+    the min id of its component, the contracted min IS the global min,
+    so rewriting ``component → merged(component)`` (untouched labels
+    keep themselves) reproduces from-scratch labels exactly.
+
+    Scale shape: two id-keyed equi-joins of the (small) batch pair
+    frame against the 16 B/row artifact, the star-CC loop on the
+    batch-sized contracted graph, and one component-keyed relabel join
+    — each a single minimal shuffle; nothing scales with the historic
+    pair lane."""
+    comp = components.select("id", "component")
+    ca = comp.select(F.col("id").alias(id_a), F.col("component").alias("_ca"))
+    cb = comp.select(F.col("id").alias(id_b), F.col("component").alias("_cb"))
+    contracted = (
+        new_pairs.select(id_a, id_b)
+        .join(ca, id_a, "left")
+        .join(cb, id_b, "left")
+        .select(
+            F.coalesce("_ca", F.col(id_a)).alias("id_a"),
+            F.coalesce("_cb", F.col(id_b)).alias("id_b"),
+        )
+        .filter(F.col("id_a") != F.col("id_b"))
+    )
+    merged = connected_components_star(contracted, "id_a", "id_b", max_iter=max_iter)
+    relabel = merged.select(
+        F.col("id").alias("_lbl"), F.col("component").alias("_new")
+    )
+    out_old = comp.join(relabel, comp["component"] == F.col("_lbl"), "left").select(
+        "id", F.coalesce("_new", "component").alias("component")
+    )
+    # endpoints the artifact has never labeled take their label straight
+    # from the contracted CC (they mapped to themselves there). An old
+    # LABEL id is in comp, so the anti-join keeps the union disjoint.
+    ends = (
+        new_pairs.select(F.col(id_a).alias("id"))
+        .unionByName(new_pairs.select(F.col(id_b).alias("id")))
+        .distinct()
+        .join(comp.select("id"), "id", "left_anti")
+    )
+    out_new = ends.join(merged, "id")
+    return out_old.unionByName(out_new.select("id", "component"))
+
+
 def write_edges(
     pairs: DataFrame, path: str, id_a: str = "id_a", id_b: str = "id_b"
 ) -> None:

@@ -2332,6 +2332,10 @@ def oracle_sql() -> dict[str, str]:
         CC + "SELECT id AS doc_id, component FROM comp"
     )
 
+    # incremental artifact maintenance answers the SAME question as a
+    # from-scratch rebuild — that equality IS the operator's contract
+    o["doc_components_incremental"] = o["doc_dedup_groups"]
+
     o["doc_split_leakage"] = f"""
         WITH sh AS (
           SELECT doc_id, lang, n_chars // 100 AS lb, {SHING2} AS s

@@ -394,6 +394,50 @@ def test_daemon_stop_restart_lifecycle(spark, tmp_path, capsys):
     assert not pdf.duplicated().any()
 
 
+def test_bm25_watch_reports_only_new_hits(spark, tmp_path, capsys):
+    """Standing-query sweep: pass 1 reports everything (cold state),
+    pass 2 with no corpus change reports nothing, pass 3 after a new
+    matching doc lands reports EXACTLY that doc — the per-period delta
+    a subscriber would be mailed."""
+    import pandas as pd
+
+    docs = tmp_path / "docs"
+    docs.mkdir()
+    pd.DataFrame(
+        [(1, "spark shuffle join"), (2, "totally unrelated words")],
+        columns=["doc_id", "text"],
+    ).to_parquet(docs / "b0.parquet", index=False)
+    subs = tmp_path / "subs.csv"
+    subs.write_text("query,terms\nengine,spark join\nghost,quantum\n")
+    state = str(tmp_path / "watch_state")
+
+    # pass 1: cold state → the one matching doc is a new hit (exit 2)
+    assert cli.main(["bm25_watch", str(docs), str(subs), "--state", state]) == 2
+    out = capsys.readouterr().out
+    assert "engine: NEW hit doc 1" in out and "ghost" not in out
+
+    # pass 2: same corpus → no deltas (exit 0)
+    assert cli.main(["bm25_watch", str(docs), str(subs), "--state", state]) == 0
+    assert "0 new hit(s) across 2 subscription(s)" in capsys.readouterr().out
+
+    # pass 3: a new matching doc lands → only IT is reported
+    pd.DataFrame([(3, "spark spark join")], columns=["doc_id", "text"]).to_parquet(
+        docs / "b1.parquet", index=False
+    )
+    assert cli.main(["bm25_watch", str(docs), str(subs), "--state", state]) == 2
+    out = capsys.readouterr().out
+    assert "engine: NEW hit doc 3" in out and "NEW hit doc 1" not in out
+
+    # --follow with --max-loops bounds the daemon loop (alerts cadence)
+    assert (
+        cli.main(
+            ["bm25_watch", str(docs), str(subs), "--state", state,
+             "--follow", "--max-loops", "2", "--period-s", "0.1"]
+        )
+        == 0
+    )
+
+
 def test_stop_with_no_daemon_is_cron_safe(tmp_path, capsys):
     """`pvarch stop` when nothing runs exits 0 and leaves NO stale
     sentinel behind (a leftover sentinel would kill the next start

@@ -170,6 +170,57 @@ def test_connected_components_long_chain(spark):
     assert comp == {i: 0 for i in range(11)}
 
 
+def test_merge_components_hand_graphs(spark):
+    """Incremental CC vs hand answers: a bridge pair merges two old
+    components onto the global min; a novel chain hanging off an old
+    component inherits its label; an intra-component pair is a no-op;
+    untouched components keep their labels."""
+    from epicsarchiver_spark.operators.dedup import merge_components
+
+    comp = spark.createDataFrame(
+        [(1, 1), (2, 1), (5, 5), (6, 5), (9, 9)], "id long, component long"
+    )
+    # bridge 2-6 merges {1,2} and {5,6}; novel 7-8 chain hangs off 6;
+    # 5-6 is intra-component noise; {9} untouched
+    new_pairs = spark.createDataFrame(
+        [(2, 6), (6, 7), (7, 8), (5, 6)], "id_a long, id_b long"
+    )
+    got = {r.id: r.component for r in merge_components(comp, new_pairs).collect()}
+    assert got == {1: 1, 2: 1, 5: 1, 6: 1, 7: 1, 8: 1, 9: 9}
+
+
+def test_merge_components_matches_from_scratch(spark):
+    """The soundness property the gate certifies: CC(old) + merge(new
+    pairs) == CC(old ∪ new), on randomized graphs split into an 'old'
+    edge set and a batch touching both old and novel nodes."""
+    from epicsarchiver_spark.operators.dedup import (
+        connected_components_star,
+        merge_components,
+    )
+
+    for seed in (3, 4):
+        rng = random.Random(seed)
+        all_edges = sorted(
+            {tuple(sorted(rng.sample(range(50), 2))) for _ in range(70)}
+        )
+        # old = both endpoints < 40; the batch is everything else
+        old = [(a, b) for a, b in all_edges if a < 40 and b < 40 and rng.random() < 0.8]
+        new = [e for e in all_edges if e not in old]
+        if not old or not new:
+            continue
+        mk = lambda es: spark.createDataFrame(es, "id_a long, id_b long")  # noqa: E731
+        base = connected_components_star(mk(old))
+        inc = {
+            r.id: r.component
+            for r in merge_components(base, mk(new)).collect()
+        }
+        full = {
+            r.id: r.component
+            for r in connected_components_star(mk(all_edges)).collect()
+        }
+        assert inc == full, f"seed {seed}"
+
+
 def test_ivf_trained_centroids_recall(spark):
     """MLlib-KMeans-trained centroids must give the IVF search ≥0.8
     recall@10 vs brute force on clustered synthetic data (and the
