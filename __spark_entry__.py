@@ -1330,6 +1330,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # span-bounded exponential smoothing — exact integer weights, so
     # the trend line is engine-identical (no float pow in sight)
     q["ts_ewma"] = lambda s, d: timeseries.ewma(_points(s, d))
+    # windowed Holt level/trend/1-step forecast — the forecasting lane
+    # next to ewma, same exact-integer weight-table device
+    q["ts_holt_linear"] = lambda s, d: timeseries.holt_linear(_points(s, d))
     def _emb_ivfpq_index(s, d):
         """IVF-PQ through the PRODUCTION artifact: build the (id, cell,
         codes) index with the Arrow GEMM encode lane, persist it as
@@ -2438,11 +2441,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             )
 
         comp = s.read.parquet(_artifact_path(d, "inc_components", _build))
+        # the production batch feed: new_ids mode prunes the left join
+        # side to the batch BEFORE the shuffle (never corpus²)
         batch_pairs = dedup.jaccard_pairs_blocked(
-            docs, shingle_k=2, threshold=0.05
-        ).filter(
-            (F.pmod(F.col("id_a"), F.lit(5)) == 0)
-            | (F.pmod(F.col("id_b"), F.lit(5)) == 0)
+            docs,
+            shingle_k=2,
+            threshold=0.05,
+            new_ids=docs.filter(is_new).select("doc_id"),
         )
         return dedup.merge_components(comp, batch_pairs).select(
             F.col("id").alias("doc_id"), "component"

@@ -408,12 +408,20 @@ def jaccard_pairs_blocked(
     threshold: float = 0.5,
     block_cols: tuple[str, ...] = ("lang",),
     length_band: int = 100,
+    new_ids: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs within deterministic blocks
     (same block_cols + n_chars//length_band). The blocking key is part of
     the operator spec — reproducible in the SQL oracle — and bounds the
     candidate pair count so the plan scales as Σ block².
-    """
+
+    ``new_ids`` (a 1-column frame of ``id_col`` values) switches to the
+    INCREMENTAL shape: only pairs touching at least one new id are
+    produced — same rows a full run would emit for those pairs, but the
+    left join side is pruned to the new docs BEFORE the shuffle, so the
+    per-batch cost scales with |batch|·corpus-within-block instead of
+    corpus². The nightly feed for :func:`merge_components`; probed in
+    SCALE.md r10d."""
     # Inverted-index (explode-join-aggregate) formulation: explode each
     # doc's distinct 64-bit shingle hashes, equi-join within blocks on
     # the hash, and COUNT co-occurrences per (id_a, id_b) — |A∩B| without
@@ -449,6 +457,13 @@ def jaccard_pairs_blocked(
     ).filter(F.col("h").isNotNull())
     join_keys = [*block_cols, "_lb", "h"]
     left = flat.select(*join_keys, F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    if new_ids is not None:
+        # incremental: the left side carries ONLY the batch's shingles
+        # (broadcast semi — new_ids is batch-sized); a new-old pair then
+        # appears exactly once (old ids never sit left), a new-new pair
+        # twice — the orientation filter below dedups it
+        newf = F.broadcast(new_ids.select(F.col(id_col).alias("id_a")).distinct())
+        left = left.join(newf, "id_a", "left_semi")
     # SHUFFLE_HASH: without the hint AQE broadcasts the exploded shingle
     # side (fine at gate scale, a non-starter at corpus scale where the
     # build side is the whole exploded corpus), and the broadcast build
@@ -458,9 +473,23 @@ def jaccard_pairs_blocked(
     right = flat.select(
         *join_keys, F.col("id").alias("id_b"), F.col("n").alias("n_b")
     ).hint("shuffle_hash")
+    if new_ids is None:
+        orient = F.col("id_a") < F.col("id_b")
+    else:
+        # keep new-old rows in either orientation, new-new rows once
+        newb = F.broadcast(
+            new_ids.select(F.col(id_col).alias("id_b"), F.lit(True).alias("_fb"))
+            .distinct()
+        )
+        right = right.join(newb, "id_b", "left").withColumn(
+            "_fb", F.coalesce("_fb", F.lit(False))
+        )
+        orient = (F.col("id_a") != F.col("id_b")) & (
+            ~F.col("_fb") | (F.col("id_a") < F.col("id_b"))
+        )
     inter = (
         left.join(right, join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(orient)
         # size-ratio prefilter (sound): J = i/(na+nb−i) ≤ min/max, so a
         # pair with min < t·max can never reach the threshold — its
         # co-occurrence rows are dropped BEFORE the pair aggregate,
@@ -473,14 +502,19 @@ def jaccard_pairs_blocked(
         .agg(F.count(F.lit(1)).alias("_i"))
     )
     union = (F.col("n_a") + F.col("n_b") - F.col("_i")).cast("double")
-    return (
-        inter.withColumn(
-            "jaccard", F.when(union > 0, F.col("_i").cast("double") / union).otherwise(F.lit(0.0))
+    out = inter.withColumn(
+        "jaccard", F.when(union > 0, F.col("_i").cast("double") / union).otherwise(F.lit(0.0))
+    ).filter(F.col("jaccard") >= threshold)
+    if new_ids is not None:
+        # new-old rows may carry the new id on either seat — canonicalize
+        # so the incremental pair set is orientation-identical to the
+        # full run's rows for those pairs
+        out = out.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "jaccard",
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
-        .orderBy("id_a", "id_b")
-    )
+    return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
 
 
 def fuzzy_matches(

@@ -553,6 +553,132 @@ def ewma(
     )
 
 
+def _holt_tables(
+    alpha_num: int, alpha_den: int, beta_num: int, beta_den: int, span: int
+) -> tuple[list[list[int]], list[list[int]], list[int]]:
+    """Exact per-window-length coefficient tables for windowed Holt:
+    the level/trend recurrence is LINEAR in the inputs, so for a window
+    x_1..x_L (ascending, textbook init l₁=x₁, b₁=x₂−x₁, then L−1
+    updates) l_L = Σ c_i·x_i and b_L = Σ d_i·x_i with exact rational
+    c, d. Computed once in python with Fraction and emitted as integer
+    numerators over a common denominator per L — Spark and any SQL
+    oracle consume the identical literals, so the smoothed values are
+    bit-exact in any engine (the ewma weight-table device, extended to
+    a second state variable)."""
+    from fractions import Fraction
+    from math import lcm
+
+    a = Fraction(alpha_num, alpha_den)
+    b = Fraction(beta_num, beta_den)
+    WL: list[list[int]] = []
+    WB: list[list[int]] = []
+    DEN: list[int] = []
+    for L in range(1, span + 1):
+        lc = [Fraction(0)] * L
+        bc = [Fraction(0)] * L
+        lc[0] = Fraction(1)
+        if L >= 2:
+            bc[0], bc[1] = Fraction(-1), Fraction(1)
+            for t in range(1, L):  # x_{t+1} drives update t+1
+                xt = [Fraction(1) if i == t else Fraction(0) for i in range(L)]
+                nl = [a * xt[i] + (1 - a) * (lc[i] + bc[i]) for i in range(L)]
+                nb = [b * (nl[i] - lc[i]) + (1 - b) * bc[i] for i in range(L)]
+                lc, bc = nl, nb
+        den = 1
+        for f in lc + bc:
+            den = lcm(den, f.denominator)
+        WL.append([int(f * den) for f in lc])
+        WB.append([int(f * den) for f in bc])
+        DEN.append(den)
+    return WL, WB, DEN
+
+
+def holt_linear(
+    points: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    span: int = 8,
+    quantum: float = 0.01,
+    horizon: int = 1,
+    key: str = "pvname",
+) -> DataFrame:
+    """Windowed Holt linear smoothing per series — the dashboard
+    forecast lane next to :func:`ewma`: each point carries the LEVEL
+    and TREND of its trailing ``span`` samples (textbook double
+    exponential smoothing replayed over the window, init l₁=x₁,
+    b₁=x₂−x₁) and the ``horizon``-step-ahead forecast level +
+    horizon·trend. A single-sample window has no trend (0) and
+    forecast = value.
+
+    Exactness: values quantize to integer ``quantum`` units and the
+    per-length coefficient tables are exact integer numerators over a
+    common denominator (:func:`_holt_tables`), so level/trend/forecast
+    numerators are bit-exact BIGINT dot products in any engine; one
+    double division at the end, 6-dp rounded. Overflow budget:
+    |value|/quantum · max|w| · span < 2⁶³ — defaults (den ≤ 16⁷)
+    allow |value| ≤ ~4e3 at quantum 0.01; widen quantum for larger
+    ranges. The gate ``ts_holt_linear`` certifies against a DuckDB
+    replay of the same literals.
+
+    One series-keyed exchange (the frame window); everything else is
+    per-row array math in WholeStageCodegen — the ewma scale shape."""
+    WL, WB, DEN = _holt_tables(alpha_num, alpha_den, beta_num, beta_den, span)
+    wl_lit = F.array(*[F.array(*[F.lit(x).cast("long") for x in r]) for r in WL])
+    wb_lit = F.array(*[F.array(*[F.lit(x).cast("long") for x in r]) for r in WB])
+    den_lit = F.array(*[F.lit(x).cast("long") for x in DEN])
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(span - 1), 0)
+    )
+    q = F.round(F.col("value") / quantum).cast("long")
+    arr = points.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.collect_list(q).over(w).alias("_arr"),
+    )
+    L = F.size("_arr")
+
+    def dot(tabs):
+        tab = F.element_at(tabs, L)
+        return F.aggregate(
+            F.sequence(F.lit(1), L),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.element_at("_arr", i) * F.element_at(tab, i),
+        )
+
+    den = F.element_at(den_lit, L).cast("double")
+    num_l, num_b = dot(wl_lit), dot(wb_lit)
+    lvl = num_l.cast("double") / den * F.lit(quantum)
+    trd = num_b.cast("double") / den * F.lit(quantum)
+    fc = (num_l + F.lit(int(horizon)) * num_b).cast("double") / den * F.lit(quantum)
+
+    # 6-dp rounding as EXPLICIT IEEE ops (floor(|x|·1e6 + 0.5)·sign/1e6)
+    # rather than F.round: these outputs land on exact decimal .5 ties
+    # often (power-of-two denominators), and engines disagree there —
+    # Spark HALF_UPs the double's SHORTEST decimal repr while DuckDB
+    # rounds the binary value. The explicit form is the same op
+    # sequence everywhere (the standardize_embeddings device).
+    def r6(x):
+        return F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5)) * F.signum(x) / F.lit(1e6)
+
+    # all-NULL support window → empty _arr (collect_list skips NULLs):
+    # NULL outputs, same guard as ewma
+    ok = L > 0
+    return arr.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.when(ok, r6(lvl)).alias("level"),
+        F.when(ok, r6(trd)).alias("trend"),
+        F.when(ok, r6(fc)).alias("forecast"),
+    )
+
+
 def level_shifts(
     points: DataFrame,
     window: int = 5,

@@ -3285,6 +3285,44 @@ def oracle_sql() -> dict[str, str]:
     # plan pinned in tests/test_points_store.py)
     o["ts_ewma_bucketed"] = o["ts_ewma"]
 
+    # windowed Holt: the SAME exact-integer literal tables the engine
+    # consumes (level/trend numerators per window length over a common
+    # denominator), replayed through DuckDB list lambdas
+    from epicsarchiver_spark.operators.timeseries import _holt_tables
+
+    def _holt_r6(x: str) -> str:
+        # 6-dp rounding as the same explicit IEEE ops the engine runs
+        # (floor(|x|·1e6+0.5)·sign/1e6) — round() disagrees with Spark
+        # on the exact decimal .5 ties these power-of-two denominators
+        # produce (see holt_linear)
+        return f"floor(abs({x}) * 1000000 + 0.5) * sign({x}) / 1000000"
+
+    _WL, _WB, _DEN = _holt_tables(1, 4, 1, 4, 8)
+    _wl_sql = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _WL) + "]"
+    _wb_sql = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _WB) + "]"
+    _dn_sql = "[" + ", ".join(map(str, _DEN)) + "]"
+    _dotl = "list_sum(list_transform(range(1, len(arr) + 1), i -> arr[i] * wl[len(arr)][i]))"
+    _dotb = "list_sum(list_transform(range(1, len(arr) + 1), i -> arr[i] * wb[len(arr)][i]))"
+    o["ts_holt_linear"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        ),
+        t AS (SELECT *, {_wl_sql} AS wl, {_wb_sql} AS wb, {_dn_sql} AS dn
+              FROM win)
+        SELECT pvname, time, value,
+               {_holt_r6(f"CAST({_dotl} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS level,
+               {_holt_r6(f"CAST({_dotb} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS trend,
+               {_holt_r6(f"CAST({_dotl} + 1 * {_dotb} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS forecast
+        FROM t
+        """
+    )
+
     # heavy hitters: CMS never undercounts → the prefiltered exact pass
     # equals the plain group-by, which IS the oracle
     o["doc_heavy_hitters"] = rf"""

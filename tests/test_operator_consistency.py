@@ -170,6 +170,35 @@ def test_connected_components_long_chain(spark):
     assert comp == {i: 0 for i in range(11)}
 
 
+def test_jaccard_pairs_incremental_matches_filtered_full(spark):
+    """new_ids mode must produce EXACTLY the full run's pairs that touch
+    at least one new id — canonical orientation, same jaccard values —
+    while pruning the left join side to the batch."""
+    from epicsarchiver_spark.operators.dedup import jaccard_pairs_blocked
+
+    docs = spark.createDataFrame(
+        [
+            (i, "alpha beta gamma delta " + ("x" if i % 3 == 0 else "y"), "en")
+            for i in range(30)
+        ],
+        "doc_id long, text string, lang string",
+    )
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.3).collect()
+    }
+    new = spark.createDataFrame([(i,) for i in range(0, 30, 5)], "doc_id long")
+    newset = set(range(0, 30, 5))
+    inc = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in jaccard_pairs_blocked(
+            docs, shingle_k=2, threshold=0.3, new_ids=new
+        ).collect()
+    }
+    want = {k: v for k, v in full.items() if k[0] in newset or k[1] in newset}
+    assert inc == want and len(want) > 0
+
+
 def test_merge_components_hand_graphs(spark):
     """Incremental CC vs hand answers: a bridge pair merges two old
     components onto the global min; a novel chain hanging off an old

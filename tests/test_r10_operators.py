@@ -1,0 +1,83 @@
+"""Round-10 operator semantics: windowed Holt linear smoothing. The
+gate ts_holt_linear carries the full-oracle check; these pin the
+recurrence against a python Fraction mirror and the semantic edges."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from epicsarchiver_spark.operators.timeseries import holt_linear
+
+
+def _r6(x: float) -> float:
+    """The operator's explicit-IEEE 6-dp rounding (floor(|x|·1e6+0.5)·
+    sign/1e6) — chosen over F.round/round() because engines disagree on
+    the exact decimal .5 ties holt's power-of-two denominators hit."""
+    import math
+
+    return math.floor(abs(x) * 1e6 + 0.5) * (1.0 if x > 0 else -1.0 if x < 0 else 0.0) / 1e6
+
+
+def _mirror(values, span=8, a=Fraction(1, 4), b=Fraction(1, 4), quantum=0.01,
+            horizon=1):
+    """Replay the textbook recurrence per trailing window on quantized
+    integers — independent of the operator's coefficient-table path."""
+    qs = [round(v / quantum) for v in values]
+    out = []
+    for t in range(len(qs)):
+        win = qs[max(0, t - span + 1): t + 1]
+        lvl, trd = Fraction(win[0]), Fraction(0)
+        if len(win) >= 2:
+            trd = Fraction(win[1] - win[0])
+            for x in win[1:]:
+                nl = a * x + (1 - a) * (lvl + trd)
+                trd = b * (nl - lvl) + (1 - b) * trd
+                lvl = nl
+        out.append((
+            _r6(float(lvl) * quantum),
+            _r6(float(trd) * quantum),
+            _r6(float(lvl + horizon * trd) * quantum),
+        ))
+    return out
+
+
+def test_holt_matches_python_mirror(spark):
+    vals = [5.0, 7.0, 7.0, 3.0, 10.0, 10.0, 10.0, 2.0, 2.0, 8.0, 1.0, 4.0]
+    rows = [("pv", float(t), v) for t, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = [
+        (r.level, r.trend, r.forecast)
+        for r in holt_linear(df).orderBy("time").collect()
+    ]
+    assert got == _mirror(vals)
+
+
+def test_holt_constant_series_has_zero_trend(spark):
+    rows = [("pv", float(t), 42.0) for t in range(12)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    for r in holt_linear(df).collect():
+        assert r.level == 42.0 and r.trend == 0.0 and r.forecast == 42.0
+
+
+def test_holt_tracks_linear_ramp(spark):
+    """On an exact ramp the recurrence is exact: level = current value,
+    trend = slope, forecast extrapolates one step."""
+    rows = [("pv", float(t), 10.0 + 3.0 * t) for t in range(12)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = holt_linear(df).orderBy("time").collect()
+    # after the window fills with pure ramp, the fit is exact
+    for r in out[2:]:
+        assert abs(r.level - r.value) < 1e-6, r
+        assert abs(r.trend - 3.0) < 1e-6, r
+        assert abs(r.forecast - (r.value + 3.0)) < 1e-6, r
+    # single-sample window: no trend, forecast = value
+    assert out[0].trend == 0.0 and out[0].forecast == out[0].value
+
+
+def test_holt_series_are_independent_and_null_guarded(spark):
+    rows = [("a", 0.0, 1.0), ("a", 1.0, 2.0), ("b", 0.0, None), ("b", 1.0, 9.0)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    got = {(r.pvname, r.time): r for r in holt_linear(df).collect()}
+    assert got[("b", 0.0)].level is None  # all-NULL window → NULL row
+    assert got[("b", 1.0)].level == 9.0   # singleton support after the NULL
+    assert got[("a", 1.0)].trend == 1.0   # b's NULL never leaks into a

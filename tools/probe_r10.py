@@ -167,10 +167,57 @@ def probe_bm25_q1000(spark) -> None:
     }))
 
 
+def probe_merge_components(spark, out: str) -> None:
+    """r10d: incremental CC vs from-scratch at ×1/×10 — the nightly-
+    batch claim: fold the 20% batch's touching pairs into the 80%
+    artifact instead of rebuilding CC over the full pair graph."""
+    from epicsarchiver_spark.operators import curation, dedup
+    from tools.scale_probe import gen_documents
+
+    results = {}
+    for s in (1, 10):
+        d = f"{out}/x{s}"
+        if not os.path.exists(f"{d}/_DONE_DOCS"):
+            gen_documents(spark, 5_000 * s, f"{d}/documents.parquet")
+            open(f"{d}/_DONE_DOCS", "w").write("ok")
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        is_new = F.pmod(F.col("doc_id"), F.lit(5)) == 0
+        comp_path = f"{d}/inc_components"
+        t0 = time.perf_counter()
+        curation.write_components(
+            dedup.connected_components_star(
+                dedup.jaccard_pairs_blocked(
+                    docs.filter(~is_new), shingle_k=2, threshold=0.05
+                )
+            ),
+            comp_path,
+        )
+        t_art = time.perf_counter() - t0
+        comp = spark.read.parquet(comp_path)
+        batch = dedup.jaccard_pairs_blocked(
+            docs,
+            shingle_k=2,
+            threshold=0.05,
+            new_ids=docs.filter(is_new).select("doc_id"),
+        )
+        t_inc = _noop(lambda: dedup.merge_components(comp, batch))
+        t_full = _noop(
+            lambda: dedup.connected_components_star(
+                dedup.jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.05)
+            )
+        )
+        results[f"x{s}"] = {
+            "artifact_build_s": round(t_art, 2),
+            "merge_s": round(t_inc, 2),
+            "full_rebuild_s": round(t_full, 2),
+        }
+    print(json.dumps({"probe": "r10d_merge_components", **results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
-    ap.add_argument("--sections", default="a,b,c")
+    ap.add_argument("--sections", default="a,b,c,d")
     args = ap.parse_args()
 
     from epicsarchiver_spark.session import get_spark
@@ -184,6 +231,8 @@ def main() -> None:
         probe_triangles_indexed(spark, args.out)
     if "c" in sections:
         probe_bm25_q1000(spark)
+    if "d" in sections:
+        probe_merge_components(spark, args.out)
     spark.stop()
 
 
