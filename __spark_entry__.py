@@ -137,6 +137,7 @@ _R10_FRONT: list[str] = [
     "doc_components_incremental",
     "doc_triangles_indexed",
     "emb_standardize",
+    "ts_holt_linear",
     "sink_ascii",
     "sink_saverestore",
     "sink_sqldump",
@@ -183,7 +184,6 @@ _R10_FRONT: list[str] = [
     "rel_related_topk",
     "rel_score_sums",
     "rel_top_orders",
-    "ts_alarm_transitions",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the

@@ -226,6 +226,11 @@ HEADLINE = [
     "doc_triangles",
     "doc_related_terms",
     "emb_standardize",
+    # r10 additions: the artifact read-back + incremental lanes, the
+    # forecasting twin of ewma
+    "doc_triangles_indexed",
+    "doc_components_incremental",
+    "ts_holt_linear",
 ]
 
 

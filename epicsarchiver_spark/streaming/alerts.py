@@ -439,3 +439,99 @@ def ewma_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+
+def holt_stream(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 4,
+    beta_num: int = 1,
+    beta_den: int = 4,
+    span: int = 8,
+    quantum: float = 0.01,
+    horizon: int = 1,
+) -> DataFrame:
+    """LIVE windowed Holt — the streaming twin of
+    ``timeseries.holt_linear``: every event re-emitted with the level/
+    trend of its trailing ``span`` samples and the ``horizon``-step
+    forecast, the dashboard's live forecast band. Identical arithmetic
+    to the batch operator — quantized BIGINTs against the SAME exact
+    integer coefficient tables, float(num)/float(den)·quantum in the
+    same op order, the same explicit-IEEE 6-dp rounding — so
+    batch↔stream agreement is row-exact for in-order input.
+
+    State per series is the last ``span``−1 quantized values (the
+    ewma_stream posture: a CSV of ≤7 longs — bytes per PV)."""
+    import math
+
+    from epicsarchiver_spark.operators.timeseries import _holt_tables
+
+    if span < 2:
+        raise ValueError("span must be >= 2")
+    WL, WB, DEN = _holt_tables(alpha_num, alpha_den, beta_num, beta_den, span)
+    spn, qm, h = int(span), float(quantum), int(horizon)
+
+    def r6(x: float) -> float:
+        return (
+            math.floor(abs(x) * 1e6 + 0.5)
+            * (1.0 if x > 0 else -1.0 if x < 0 else 0.0)
+            / 1e6
+        )
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        if state.exists:
+            (qs_csv,) = state.get
+            buf = [int(x) for x in qs_csv.split(",")] if qs_csv else []
+        else:
+            buf = []
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time", "value"])
+        if len(rows):
+            t_arr = rows["time"].to_numpy()
+            v_arr = rows["value"].to_numpy()
+            order = t_arr.argsort(kind="stable")
+            out = {"time": [], "value": [], "level": [], "trend": [], "forecast": []}
+            for idx in order:
+                v = float(v_arr[idx])
+                buf.append(_half_up_long(v / qm))
+                buf = buf[-spn:]
+                L = len(buf)
+                num_l = sum(buf[i] * WL[L - 1][i] for i in range(L))
+                num_b = sum(buf[i] * WB[L - 1][i] for i in range(L))
+                den = float(DEN[L - 1])
+                out["time"].append(float(t_arr[idx]))
+                out["value"].append(v)
+                out["level"].append(r6(float(num_l) / den * qm))
+                out["trend"].append(r6(float(num_b) / den * qm))
+                out["forecast"].append(r6(float(num_l + h * num_b) / den * qm))
+            state.update((",".join(str(x) for x in buf[-(spn - 1):]),))
+            yield pd.DataFrame({"pvname": pvname, **out})
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=HOLT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

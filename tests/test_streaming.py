@@ -1457,6 +1457,57 @@ def test_ewma_stream_matches_batch_operator(spark, tmp_path):
     assert got == expected
 
 
+def test_holt_stream_matches_batch_operator(spark, tmp_path):
+    """Streaming Holt == the batch operator on the same in-order input,
+    across micro-batch boundaries (the quantized buffer carries the
+    window between batches) — level, trend, AND forecast row-exact."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import holt_linear
+    from epicsarchiver_spark.streaming.alerts import holt_stream
+
+    rng = __import__("random").Random(31)
+    rows = []
+    for pv in ("A", "B"):
+        base = 3.0 if pv == "A" else -8.0
+        for i in range(60):
+            v = base + 0.5 * i + rng.random() * 2.0 - (30.0 if i == 40 else 0.0)
+            rows.append((pv, float(i), round(v, 3)))
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    src = tmp_path / "src_holt"
+    src.mkdir()
+    for j in range(3):
+        part = pdf[pdf["time"].between(j * 20, j * 20 + 19)]
+        part.to_parquet(src / f"p{j}.parquet", index=False)
+
+    batch_df = spark.createDataFrame(pdf, "pvname string, time double, value double")
+    expected = {
+        (r.pvname, r.time, r.value, r.level, r.trend, r.forecast)
+        for r in holt_linear(batch_df).collect()
+    }
+
+    stream = (
+        spark.readStream.schema("pvname string, time double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out_holt")
+    q = (
+        holt_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_holt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.pvname, r.time, r.value, r.level, r.trend, r.forecast)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+
+
 def test_ewma_stream_rejects_span_one():
     import pytest
 
