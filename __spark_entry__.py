@@ -138,6 +138,7 @@ _R10_FRONT: list[str] = [
     "doc_triangles_indexed",
     "emb_standardize",
     "ts_holt_linear",
+    "ts_sax",
     "sink_ascii",
     "sink_saverestore",
     "sink_sqldump",
@@ -183,7 +184,6 @@ _R10_FRONT: list[str] = [
     "rel_regional_revenue",
     "rel_related_topk",
     "rel_score_sums",
-    "rel_top_orders",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1333,6 +1333,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windowed Holt level/trend/1-step forecast — the forecasting lane
     # next to ewma, same exact-integer weight-table device
     q["ts_holt_linear"] = lambda s, d: timeseries.holt_linear(_points(s, d))
+    # SAX symbolization: per-series z-normalized PAA → gaussian letters
+    q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
     def _emb_ivfpq_index(s, d):
         """IVF-PQ through the PRODUCTION artifact: build the (id, cell,
         codes) index with the Arrow GEMM encode lane, persist it as

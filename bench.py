@@ -231,6 +231,7 @@ HEADLINE = [
     "doc_triangles_indexed",
     "doc_components_incremental",
     "ts_holt_linear",
+    "ts_sax",
 ]
 
 

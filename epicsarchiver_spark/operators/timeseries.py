@@ -679,6 +679,95 @@ def holt_linear(
     )
 
 
+# N(0,1) equiprobable breakpoints per alphabet size (Lin/Keogh SAX).
+# Literal doubles — the SQL oracle parses the same decimal strings, so
+# both engines compare against bit-identical values.
+_SAX_BREAKPOINTS = {
+    3: [-0.4307272992954576, 0.4307272992954576],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [-0.8416212335729143, -0.2533471031357997, 0.2533471031357997,
+        0.8416212335729143],
+    8: [-1.1503493803760079, -0.6744897501960817, -0.3186393639643751, 0.0,
+        0.3186393639643751, 0.6744897501960817, 1.1503493803760079],
+}
+
+
+def sax_symbols(
+    points: DataFrame,
+    n_segments: int = 8,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """SAX symbolization per series (Lin/Keogh) — the dimensionality
+    reduction behind classic time-series indexing/similarity: each
+    series z-normalizes against its OWN exact-integer moments, splits
+    into ``n_segments`` equal-count frames in time order, averages each
+    frame (PAA), and maps the average to an equiprobable-gaussian
+    letter. Returns long-form ``(key, segment, n, paa, symbol)`` — the
+    word is ``string_agg(symbol ORDER BY segment)`` away, and long form
+    is driver-canon-sortable (the emb_standardize lesson).
+
+    Exactness: values quantize to integer units; per-series moments
+    (n, Σq, Σq²) and per-segment sums are exact BIGINTs, so the PAA
+    value ((Σq_seg/n_seg − μ_q)/σ_q, fixed IEEE op order, explicit
+    6-dp rounding) and therefore every symbol is engine-identical —
+    certified by the ts_sax gate. Constant series (σ=0) → paa 0,
+    middle letter.
+
+    Scale shape: one rank window + two keyed aggregates, the
+    series-sized moment frame broadcasts back; nothing is
+    corpus-ordered globally."""
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    letters = "abcdefgh"[:alphabet]
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    q = F.round(F.col("value") / quantum).cast("long")
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    base = points.select(
+        F.col(key), q.alias("_q"), (F.row_number().over(w) - 1).alias("_rk")
+    )
+    moments = base.groupBy(key).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_q").alias("_sq"),
+        F.sum(F.col("_q") * F.col("_q")).alias("_sqq"),
+    )
+    seg = base.join(moments.select(key, "_n"), key).select(
+        F.col(key),
+        F.floor(F.col("_rk") * int(n_segments) / F.col("_n")).cast("long").alias(
+            "segment"
+        ),
+        "_q",
+    )
+    segsum = seg.groupBy(key, "segment").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_ss")
+    )
+    mu = F.col("_sq").cast("double") / F.col("_n")
+    var = F.col("_sqq").cast("double") / F.col("_n") - mu * mu
+    sig = F.sqrt(F.greatest(var, F.lit(0.0)))
+    joined = segsum.join(moments, key).withColumn(
+        "_paa_raw",
+        F.when(
+            sig > 0,
+            (F.col("_ss").cast("double") / F.col("n") - mu) / sig,
+        ).otherwise(F.lit(0.0)),
+    )
+    r6 = (
+        F.floor(F.abs(F.col("_paa_raw")) * F.lit(1e6) + F.lit(0.5))
+        * F.signum("_paa_raw")
+        / F.lit(1e6)
+    )
+    sym = F.lit(letters[0])
+    for i, bp in enumerate(bps):
+        sym = F.when(F.col("paa") < F.lit(bp), sym).otherwise(F.lit(letters[i + 1]))
+    return (
+        joined.withColumn("paa", r6)
+        .select(F.col(key), "segment", F.col("n").cast("long").alias("n"), "paa")
+        .withColumn("symbol", sym)
+    )
+
+
 def level_shifts(
     points: DataFrame,
     window: int = 5,

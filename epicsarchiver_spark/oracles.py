@@ -3323,6 +3323,56 @@ def oracle_sql() -> dict[str, str]:
         """
     )
 
+    # SAX: the same exact-integer per-series moments and per-segment
+    # sums, the same fixed IEEE op order and explicit 6-dp rounding,
+    # the same literal gaussian breakpoints — symbol CASE mirrors the
+    # operator's when-chain on the ROUNDED paa
+    _sax_r6 = "floor(abs(praw) * 1000000 + 0.5) * sign(praw) / 1000000"
+    o["ts_sax"] = (
+        P
+        + f""",
+        b AS (
+          SELECT pvname, CAST(round(value / 0.01) AS BIGINT) AS q,
+                 row_number() OVER (PARTITION BY pvname
+                                    ORDER BY time, event_id) - 1 AS rk
+          FROM points
+        ),
+        m AS (
+          SELECT pvname, CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(q) AS BIGINT) AS sq,
+                 CAST(sum(q * q) AS BIGINT) AS sqq
+          FROM b GROUP BY pvname
+        ),
+        ms AS (
+          SELECT pvname, n_s, CAST(sq AS DOUBLE) / n_s AS mu,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n_s
+                      - (CAST(sq AS DOUBLE) / n_s) * (CAST(sq AS DOUBLE) / n_s),
+                      0.0)) AS sig
+          FROM m
+        ),
+        ss AS (
+          SELECT b.pvname, CAST(floor(rk * 8 / n_s) AS BIGINT) AS segment,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssum
+          FROM b JOIN ms USING (pvname)
+          GROUP BY b.pvname, CAST(floor(rk * 8 / n_s) AS BIGINT)
+        ),
+        j AS (
+          SELECT ss.pvname, segment, n,
+                 CASE WHEN sig > 0
+                      THEN (CAST(ssum AS DOUBLE) / n - mu) / sig
+                      ELSE 0.0 END AS praw
+          FROM ss JOIN ms USING (pvname)
+        ),
+        r AS (SELECT pvname, segment, n, {_sax_r6} AS paa FROM j)
+        SELECT pvname, segment, n, paa,
+               CASE WHEN paa < -0.6744897501960817 THEN 'a'
+                    WHEN paa < 0.0 THEN 'b'
+                    WHEN paa < 0.6744897501960817 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM r
+        """
+    )
+
     # heavy hitters: CMS never undercounts → the prefiltered exact pass
     # equals the plain group-by, which IS the oracle
     o["doc_heavy_hitters"] = rf"""

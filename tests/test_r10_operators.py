@@ -74,6 +74,53 @@ def test_holt_tracks_linear_ramp(spark):
     assert out[0].trend == 0.0 and out[0].forecast == out[0].value
 
 
+def test_sax_ramp_spells_ascending_word(spark):
+    """A monotone ramp's PAA rises through the breakpoints: the 8-seg
+    alphabet-4 word over a linear ramp is non-decreasing and spans a→d;
+    a constant series collapses to the middle letter with paa 0."""
+    from epicsarchiver_spark.operators.timeseries import sax_symbols
+
+    rows = [("ramp", float(t), float(t)) for t in range(64)]
+    rows += [("flat", float(t), 5.0) for t in range(64)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = sax_symbols(df).collect()
+    ramp = [r for r in sorted(out, key=lambda r: r.segment) if r.pvname == "ramp"]
+    word = "".join(r.symbol for r in ramp)
+    assert len(ramp) == 8 and all(r.n == 8 for r in ramp)
+    assert word == "".join(sorted(word))  # non-decreasing
+    assert word[0] == "a" and word[-1] == "d"
+    flat = [r for r in out if r.pvname == "flat"]
+    assert all(r.paa == 0.0 and r.symbol == "c" for r in flat)
+
+
+def test_sax_is_shift_and_scale_invariant(spark):
+    """z-normalization makes the word invariant to affine value
+    transforms — the property that makes SAX words comparable across
+    series with different units."""
+    from epicsarchiver_spark.operators.timeseries import sax_symbols
+
+    base = [float(v) for v in [1, 5, 2, 9, 4, 7, 3, 8] * 8]
+    rows = [("a", float(t), v) for t, v in enumerate(base)]
+    rows += [("b", float(t), 100.0 + 25.0 * v) for t, v in enumerate(base)]
+    df = spark.createDataFrame(rows, "pvname string, time double, value double")
+    out = sax_symbols(df).collect()
+    wa = "".join(r.symbol for r in sorted(out, key=lambda r: r.segment)
+                 if r.pvname == "a")
+    wb = "".join(r.symbol for r in sorted(out, key=lambda r: r.segment)
+                 if r.pvname == "b")
+    assert wa == wb
+
+
+def test_sax_rejects_unknown_alphabet(spark):
+    import pytest
+
+    from epicsarchiver_spark.operators.timeseries import sax_symbols
+
+    df = spark.createDataFrame([("a", 0.0, 1.0)], "pvname string, time double, value double")
+    with pytest.raises(ValueError):
+        sax_symbols(df, alphabet=7)
+
+
 def test_holt_series_are_independent_and_null_guarded(spark):
     rows = [("a", 0.0, 1.0), ("a", 1.0, 2.0), ("b", 0.0, None), ("b", 1.0, 9.0)]
     df = spark.createDataFrame(rows, "pvname string, time double, value double")
