@@ -135,6 +135,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (never-certified keys first, then oldest green driver row first).
 _R10_FRONT: list[str] = [
     "doc_components_incremental",
+    "doc_rake_keyphrases",
     "doc_triangles_indexed",
     "emb_standardize",
     "ts_holt_linear",
@@ -183,7 +184,6 @@ _R10_FRONT: list[str] = [
     "rel_pricing_summary",
     "rel_regional_revenue",
     "rel_related_topk",
-    "rel_score_sums",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1335,6 +1335,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_holt_linear"] = lambda s, d: timeseries.holt_linear(_points(s, d))
     # SAX symbolization: per-series z-normalized PAA → gaussian letters
     q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
+    # RAKE keyphrases: stopword-free runs scored by word degree/freq
+    q["doc_rake_keyphrases"] = lambda s, d: text_ops.rake_keyphrases(
+        load_table(s, d, "documents")
+    )
     def _emb_ivfpq_index(s, d):
         """IVF-PQ through the PRODUCTION artifact: build the (id, cell,
         codes) index with the Arrow GEMM encode lane, persist it as

@@ -232,6 +232,7 @@ HEADLINE = [
     "doc_components_incremental",
     "ts_holt_linear",
     "ts_sax",
+    "doc_rake_keyphrases",
 ]
 
 

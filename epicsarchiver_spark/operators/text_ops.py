@@ -2404,6 +2404,81 @@ def related_terms(
     return out
 
 
+def rake_keyphrases(
+    docs: DataFrame,
+    k: int = 20,
+    max_phrase_len: int = 4,
+    min_count: int = 1,
+    stopwords: tuple[str, ...] | None = None,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level RAKE keyphrase extraction (Rose et al. 2010) — the
+    unsupervised keyword miner for corpus triage and taxonomy seeding:
+    candidate phrases are maximal stopword-free token runs (≤
+    ``max_phrase_len`` tokens), each word scores degree/frequency over
+    all candidate instances (degree = Σ length of phrases it appears
+    in — words that live in long multi-word terms outrank ubiquitous
+    singletons), and a phrase scores the sum of its words. Returns
+    top-``k`` ``(phrase, n, score)`` by (score desc, phrase), ``n`` =
+    corpus instance count, floored at ``min_count``.
+
+    Determinism: word scores quantize to integer micro-units via the
+    same IEEE expression in any engine (floor(deg·1e6/freq + 0.5)), so
+    phrase scores are exact integer sums — order-free — divided once
+    at the edge (gate ``doc_rake_keyphrases``).
+
+    Scale shape: one posexplode + a doc-keyed running-count window
+    (the phrase segmentation — shuffle = token stream, once), then
+    vocabulary- and phrase-sized aggregates; top-k is
+    TakeOrderedAndProject."""
+    stop = sorted(stopwords if stopwords is not None else T.LANG_STOPWORDS["en"])
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    flat = docs.select(F.col(id_col), F.posexplode(toks).alias("pos", "tok"))
+    is_stop = F.col("tok").isin(*stop)
+    w = Window.partitionBy(id_col).orderBy("pos")
+    inst = (
+        flat.withColumn("_gid", F.sum(is_stop.cast("int")).over(w))
+        .filter(~is_stop)
+        .groupBy(id_col, "_gid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.count(F.lit(1)).alias("_plen"),
+        )
+        .filter(F.col("_plen") <= int(max_phrase_len))
+    )
+    wstats = (
+        inst.select(F.explode(F.split("phrase", " ")).alias("wtok"), "_plen")
+        .groupBy("wtok")
+        .agg(F.count(F.lit(1)).alias("freq"), F.sum("_plen").alias("deg"))
+    )
+    # integer micro-unit word score: identical IEEE ops in any engine,
+    # then phrase score is an EXACT integer sum (float Σ would be
+    # partition-order-dependent)
+    score_u = F.floor(F.col("deg") * F.lit(1e6) / F.col("freq") + F.lit(0.5)).cast(
+        "long"
+    )
+    dist = inst.groupBy("phrase").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = (
+        dist.select("phrase", "n", F.explode(F.split("phrase", " ")).alias("wtok"))
+        .join(wstats, "wtok")
+        .groupBy("phrase", "n")
+        .agg(F.sum(score_u).alias("_su"))
+    )
+    return (
+        scored.filter(F.col("n") >= int(min_count))
+        .select("phrase", "n", (F.col("_su").cast("double") / F.lit(1e6)).alias("score"))
+        .orderBy(F.desc("score"), "phrase")
+        .limit(int(k))
+    )
+
+
 def hapax_zipf(
     docs: DataFrame,
     top_k: int = 100,

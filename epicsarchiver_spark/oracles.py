@@ -1381,6 +1381,60 @@ def oracle_sql() -> dict[str, str]:
     # windowed co-occurrence PMI: clamped slices around each target
     # position (overlaps double-count by contract), vocabulary-sized
     # aggregates, the same ln-ratio in both engines
+    # RAKE: same phrase segmentation (running stop-count window), same
+    # integer micro-unit word scores (identical IEEE floor expression),
+    # exact integer phrase sums
+    _rk_stop = ", ".join(f"'{w}'" for w in sorted(("the", "and", "of", "to", "in")))
+    o["doc_rake_keyphrases"] = rf"""
+        WITH tk AS (
+          SELECT doc_id,
+                 unnest(toks) AS tok,
+                 unnest(range(1, len(toks) + 1)) AS pos
+          FROM (
+            SELECT doc_id,
+                   list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                     '\s+'),
+                               x -> x <> '') AS toks
+            FROM documents
+          )
+        ),
+        g AS (
+          SELECT doc_id, tok, pos,
+                 SUM(CASE WHEN tok IN ({_rk_stop}) THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos) AS gid,
+                 CASE WHEN tok IN ({_rk_stop}) THEN 1 ELSE 0 END AS st
+          FROM tk
+        ),
+        inst AS (
+          SELECT doc_id, gid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+                 CAST(count(*) AS BIGINT) AS plen
+          FROM g WHERE st = 0
+          GROUP BY doc_id, gid
+          HAVING count(*) <= 4
+        ),
+        ws AS (
+          SELECT wtok, CAST(count(*) AS BIGINT) AS freq,
+                 CAST(sum(plen) AS BIGINT) AS deg
+          FROM (SELECT unnest(string_split(phrase, ' ')) AS wtok, plen FROM inst)
+          GROUP BY wtok
+        ),
+        dist AS (
+          SELECT phrase, CAST(count(*) AS BIGINT) AS n FROM inst GROUP BY phrase
+        ),
+        sc AS (
+          SELECT phrase, n,
+                 CAST(sum(CAST(floor(deg * 1000000.0 / freq + 0.5) AS BIGINT))
+                      AS BIGINT) AS su
+          FROM (SELECT phrase, n, unnest(string_split(phrase, ' ')) AS wtok
+                FROM dist)
+          JOIN ws USING (wtok)
+          GROUP BY phrase, n
+        )
+        SELECT phrase, n, CAST(su AS DOUBLE) / 1000000 AS score
+        FROM sc WHERE n >= 1
+        ORDER BY score DESC, phrase LIMIT 20
+    """
+
     o["doc_related_terms"] = """
         WITH base AS (
           SELECT list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),

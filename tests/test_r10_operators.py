@@ -121,6 +121,45 @@ def test_sax_rejects_unknown_alphabet(spark):
         sax_symbols(df, alphabet=7)
 
 
+def test_rake_prefers_multiword_terms(spark):
+    """RAKE's point: words living in multi-word terms (high degree)
+    outrank ubiquitous singletons, so the recurring compound phrase
+    tops the list; stopwords never appear inside a phrase; empty/NULL
+    docs are survivable."""
+    from epicsarchiver_spark.operators.text_ops import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [
+            (1, "linear regression of the data"),
+            (2, "linear regression and data"),
+            (3, "the data"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = rake_keyphrases(docs, k=10).collect()
+    assert out[0].phrase == "linear regression" and out[0].n == 2
+    joined = " | ".join(r.phrase for r in out)
+    for sw in ("the", "and", "of"):
+        assert f" {sw} " not in f" {joined} "
+    # hand-check the top score: freq(linear)=2, deg(linear)=4 → 2.0;
+    # same for regression → phrase score 4.0
+    assert out[0].score == 4.0
+
+
+def test_rake_max_phrase_len_caps_candidates(spark):
+    from epicsarchiver_spark.operators.text_ops import rake_keyphrases
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon and alpha beta")],
+        "doc_id long, text string",
+    )
+    phrases = {r.phrase for r in rake_keyphrases(docs, k=10, max_phrase_len=2).collect()}
+    assert "alpha beta" in phrases
+    assert all(len(p.split()) <= 2 for p in phrases)
+
+
 def test_holt_series_are_independent_and_null_guarded(spark):
     rows = [("a", 0.0, 1.0), ("a", 1.0, 2.0), ("b", 0.0, None), ("b", 1.0, 9.0)]
     df = spark.createDataFrame(rows, "pvname string, time double, value double")
