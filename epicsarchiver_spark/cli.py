@@ -1323,6 +1323,63 @@ def cmd_build_dedup_artifacts(args) -> int:
     return 0
 
 
+def cmd_update_dedup_artifacts(args) -> int:
+    """Nightly INCREMENTAL maintenance of the components artifact: fold
+    the new batch's candidate pairs into the persisted labels with
+    ``dedup.merge_components`` — provably identical to a from-scratch
+    rebuild (gate ``doc_components_incremental``) at a fraction of the
+    cost (SCALE r10d: 4.5× at ×10, widening with corpus size).
+    ``documents`` is the FULL corpus including the batch; ``--new-ids``
+    names the batch (a parquet with a doc_id column). The batch pair
+    lane prunes to new×corpus before the shuffle
+    (``jaccard_pairs_blocked(new_ids=)``); the swap is the crash-safe
+    two-rename (old labels either fully survive or are fully
+    replaced)."""
+    from epicsarchiver_spark.operators import dedup
+
+    spark = _spark("update_dedup_artifacts")
+    out = args.out.rstrip("/")
+    cur, tmp, bak = (
+        f"{out}/components",
+        f"{out}/components.tmp",
+        f"{out}/components.bak",
+    )
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(out).getFileSystem(spark._jsc.hadoopConfiguration())
+    # recover a crash parked mid-swap: .bak exists and the live dir
+    # doesn't → the previous run died between renames
+    if fs.exists(P(bak)) and not fs.exists(P(cur)):
+        fs.rename(P(bak), P(cur))
+    if not fs.exists(P(cur)):
+        print(
+            f"no components artifact at {cur} — run build_dedup_artifacts first",
+            file=sys.stderr,
+        )
+        return 1
+    docs = spark.read.parquet(args.documents)
+    new_ids = spark.read.parquet(args.new_ids).select("doc_id")
+    comp = spark.read.parquet(cur)
+    pairs = dedup.jaccard_pairs_blocked(
+        docs,
+        shingle_k=args.shingle_k,
+        threshold=args.threshold,
+        new_ids=new_ids,
+    )
+    merged = dedup.merge_components(comp, pairs)
+    fs.delete(P(tmp), True)
+    fs.delete(P(bak), True)
+    merged.select("id", "component").repartition("id").write.mode(
+        "overwrite"
+    ).parquet(tmp)
+    fs.rename(P(cur), P(bak))
+    fs.rename(P(tmp), P(cur))
+    fs.delete(P(bak), True)
+    n = spark.read.parquet(cur).count()
+    print(f"components: {n} rows -> {cur} (incremental merge)")
+    return 0
+
+
 def cmd_bucketize(args) -> int:
     """Migrate the directory-partitioned points store into the bucketed
     catalog table (``write_points_bucketed``) — the one-time full-shuffle
@@ -1778,6 +1835,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=0.05)
     s.add_argument("--shingle-k", type=int, default=2)
     s.set_defaults(fn=cmd_build_dedup_artifacts)
+
+    s = sub.add_parser(
+        "update_dedup_artifacts",
+        help="fold a new batch into the persisted components (no rebuild)",
+    )
+    s.add_argument("documents", help="FULL corpus parquet (including the batch)")
+    s.add_argument("out", help="artifact dir holding components/")
+    s.add_argument("--new-ids", required=True,
+                   help="parquet naming the batch (doc_id column)")
+    s.add_argument("--threshold", type=float, default=0.05)
+    s.add_argument("--shingle-k", type=int, default=2)
+    s.set_defaults(fn=cmd_update_dedup_artifacts)
 
     s = sub.add_parser(
         "bucketize", help="rewrite the store as a bucketBy(pvname) catalog table"

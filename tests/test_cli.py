@@ -438,6 +438,59 @@ def test_bm25_watch_reports_only_new_hits(spark, tmp_path, capsys):
     )
 
 
+def test_update_dedup_artifacts_matches_rebuild(spark, tmp_path, capsys):
+    """The nightly shape end-to-end: build artifacts over the old
+    corpus, land a batch, update incrementally — the updated components
+    must equal a from-scratch rebuild over the full corpus."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.dedup import (
+        connected_components_star,
+        jaccard_pairs_blocked,
+    )
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",
+        2: "alpha beta gamma delta epsilon eta",   # near-dup of 1
+        3: "one two three four five six seven",
+        4: "totally different words entirely here now",
+    }
+    new_texts = {
+        5: "one two three four five six eight",    # near-dup of 3
+        6: "alpha beta gamma delta epsilon theta", # joins {1,2}
+    }
+    mk = lambda d: pd.DataFrame(  # noqa: E731
+        [(i, t, "en") for i, t in d.items()], columns=["doc_id", "text", "lang"]
+    )
+    old_p = str(tmp_path / "old.parquet")
+    full_p = str(tmp_path / "full.parquet")
+    new_p = str(tmp_path / "newids.parquet")
+    mk(texts).to_parquet(old_p, index=False)
+    mk({**texts, **new_texts}).to_parquet(full_p, index=False)
+    pd.DataFrame({"doc_id": list(new_texts)}).to_parquet(new_p, index=False)
+
+    art = str(tmp_path / "art")
+    assert cli.main(["build_dedup_artifacts", old_p, art, "--shingle-k", "2",
+                     "--threshold", "0.3"]) == 0
+    # update refuses without an artifact
+    assert cli.main(["update_dedup_artifacts", full_p, str(tmp_path / "nope"),
+                     "--new-ids", new_p]) == 1
+    assert cli.main(["update_dedup_artifacts", full_p, art, "--new-ids", new_p,
+                     "--shingle-k", "2", "--threshold", "0.3"]) == 0
+    got = {
+        (r.id, r.component)
+        for r in spark.read.parquet(f"{art}/components").collect()
+    }
+    docs = spark.read.parquet(full_p)
+    want = {
+        (r.id, r.component)
+        for r in connected_components_star(
+            jaccard_pairs_blocked(docs, shingle_k=2, threshold=0.3)
+        ).collect()
+    }
+    assert got == want and {5, 6} <= {i for i, _ in got}
+
+
 def test_stop_with_no_daemon_is_cron_safe(tmp_path, capsys):
     """`pvarch stop` when nothing runs exits 0 and leaves NO stale
     sentinel behind (a leftover sentinel would kill the next start

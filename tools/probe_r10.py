@@ -214,6 +214,39 @@ def probe_merge_components(spark, out: str) -> None:
     print(json.dumps({"probe": "r10d_merge_components", **results}))
 
 
+def probe_new_ops(spark, out: str) -> None:
+    """r10e: the round's remaining new operators at ×1/×10 — all
+    scan-shaped by design (holt/sax: one series-keyed window; rake:
+    one token-stream window + vocab-sized aggregates)."""
+    from epicsarchiver_spark.operators.text_ops import rake_keyphrases
+    from epicsarchiver_spark.operators.timeseries import holt_linear, sax_symbols
+    from tools.scale_probe import gen_documents, gen_events
+
+    results = {}
+    for s in (1, 10):
+        d = f"{out}/x{s}"
+        if not os.path.exists(f"{d}/_DONE_DOCS"):
+            gen_documents(spark, 5_000 * s, f"{d}/documents.parquet")
+            open(f"{d}/_DONE_DOCS", "w").write("ok")
+        if not os.path.exists(f"{d}/_DONE_EV"):
+            gen_events(spark, 100_000 * s, 1500 * s, f"{d}/events.parquet")
+            open(f"{d}/_DONE_EV", "w").write("ok")
+        ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+            "event_id",
+            "concat('EV:', CAST(user_id % 200 AS STRING), ':', event_type)"
+            " AS pvname",
+            "CAST(unix_micros(ts) AS DOUBLE) / 1e6 AS time",
+            "value",
+        )
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        results[f"x{s}"] = {
+            "holt_s": round(_noop(lambda: holt_linear(ev)), 2),
+            "sax_s": round(_noop(lambda: sax_symbols(ev)), 2),
+            "rake_s": round(_noop(lambda: rake_keyphrases(docs)), 2),
+        }
+    print(json.dumps({"probe": "r10e_new_ops", **results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
@@ -233,6 +266,8 @@ def main() -> None:
         probe_bm25_q1000(spark)
     if "d" in sections:
         probe_merge_components(spark, args.out)
+    if "e" in sections:
+        probe_new_ops(spark, args.out)
     spark.stop()
 
 
