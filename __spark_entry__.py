@@ -137,6 +137,8 @@ _R10_FRONT: list[str] = [
     "doc_components_incremental",
     "doc_rake_keyphrases",
     "doc_triangles_indexed",
+    "emb_sq8_rerank",
+    "emb_sq8_rerank_indexed",
     "emb_standardize",
     "ts_holt_linear",
     "ts_sax",
@@ -182,8 +184,6 @@ _R10_FRONT: list[str] = [
     "rel_orders_no_lineitem",
     "rel_pair_scores",
     "rel_pricing_summary",
-    "rel_regional_revenue",
-    "rel_related_topk",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1408,6 +1408,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["emb_ivfpq_rerank_indexed"] = _emb_ivfpq_rerank_indexed
+
+    # SQ8 two-stage ANN: int8 codes + per-vector scale nominate, exact
+    # cosine re-ranks — the scalar-quantized sibling of the PQ lane
+    q["emb_sq8_rerank"] = lambda s, d: similarity.sq8_topk_rerank(
+        load_table(s, d, "embeddings"), _query_vec(s, d), k=10, n_candidates=50
+    )
+
+    # ...and the read-back lane: stage 1 scans the persisted quantized
+    # artifact only (never the float column)
+    def _emb_sq8_rerank_indexed(s, d):
+        def _build(path):
+            similarity.quantize_embeddings(
+                load_table(s, d, "embeddings")
+            ).write.mode("overwrite").parquet(path)
+
+        idx = s.read.parquet(_artifact_path(d, "sq8_index", _build))
+        return similarity.sq8_topk_rerank(
+            load_table(s, d, "embeddings"),
+            _query_vec(s, d),
+            k=10,
+            n_candidates=50,
+            index=idx,
+        )
+
+    q["emb_sq8_rerank_indexed"] = _emb_sq8_rerank_indexed
 
     # per-series archive-compression efficiency: what fraction of raw
     # events the W2 deadband keeps — the dial an operator reads before

@@ -233,6 +233,8 @@ HEADLINE = [
     "ts_holt_linear",
     "ts_sax",
     "doc_rake_keyphrases",
+    "emb_sq8_rerank",
+    "emb_sq8_rerank_indexed",
 ]
 
 

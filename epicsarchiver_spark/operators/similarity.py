@@ -715,6 +715,90 @@ def ivfpq_topk_rerank(
     )
 
 
+def _sq8_query(query: list[float]) -> tuple[list[int], float]:
+    """Symmetric int8 quantization of the query in python — the same
+    IEEE ops (max|x|, /127, floor(x/s + 0.5)) any SQL engine computes
+    on the identical doubles, so both sides derive the same codes."""
+    import math
+
+    amax = max((abs(float(x)) for x in query), default=0.0)
+    if amax <= 0:
+        return [0] * len(query), 0.0
+    s = amax / 127.0
+    return [int(math.floor(float(x) / s + 0.5)) for x in query], s
+
+
+def sq8_topk_rerank(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_candidates: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """Two-stage scalar-quantized ANN — the SQ8 sibling of
+    :func:`ivfpq_topk_rerank` (FAISS ``IndexScalarQuantizer`` +
+    reorder): stage 1 scores every vector by the symmetric-quantized
+    inner product ``scale_v · scale_q · ⟨q8_v, q8_q⟩`` — the codes are
+    :func:`quantize_embeddings`' int8 lane (¼ the bytes of float32, ⅛
+    of float64), the inner product an EXACT BIGINT fold, the two
+    scales one double multiply — and nominates ``n_candidates`` ids;
+    stage 2 re-reads ONLY those ids' float vectors (the ``isin``
+    pushes into the scan) and re-scores exact cosine, returning
+    ``brute_force_topk``'s ``(id, cosine_sim)``.
+
+    ``index=``: the persisted ``quantize_embeddings`` artifact
+    ``(id, scale, qvec)`` — the read-back lane where stage 1 never
+    touches the float column at all (the 100 TB shape: the hot scan is
+    9-ish bytes/dim-per-vector cheaper, the exact math only ever runs
+    on ``n_candidates`` rows). Nomination ranks by the QUANTIZED
+    COSINE ``⟨q8_v, q8_q⟩ / √Σq8_v²`` — the per-vector and query
+    scales cancel out of the cosine, so no float scale ever enters the
+    ordering (an unnormalized inner product would nominate long
+    vectors over aligned ones); codeless vectors rank last (−2, below
+    any cosine). Unrounded double key, identical IEEE ops in any
+    engine, ties on id."""
+    qq, _sq = _sq8_query([float(x) for x in query])
+    art = (
+        index
+        if index is not None
+        else quantize_embeddings(vectors, vec_col=vec_col, id_col=id_col)
+    )
+    q8 = F.transform(F.split(F.col("qvec"), ","), lambda t: t.cast("long"))
+    qq_lit = F.array(*[F.lit(int(x)).cast("long") for x in qq])
+    inner = F.aggregate(
+        F.zip_with(q8, qq_lit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ssq = F.aggregate(
+        q8, F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    key_expr = F.when(
+        ssq > 0, inner.cast("double") / F.sqrt(ssq.cast("double"))
+    ).otherwise(F.lit(-2.0))
+    cand = (
+        art.select(F.col(id_col), key_expr.alias("_a"))
+        .orderBy(F.desc("_a"), F.col(id_col))
+        .limit(int(n_candidates))
+    )
+    # bounded driver hop (≤ n_candidates ids), then the pruned exact
+    # re-read — the ivfpq_topk_rerank posture
+    ids = [r[0] for r in cand.select(id_col).collect()]
+    if not ids:
+        return brute_force_topk(
+            vectors.limit(0), query, k=int(k), id_col=id_col, vec_col=vec_col
+        )
+    return brute_force_topk(
+        vectors.filter(F.col(id_col).isin(ids)),
+        query,
+        k=int(k),
+        id_col=id_col,
+        vec_col=vec_col,
+    )
+
+
 def _pick_schema(vectors: DataFrame, id_col: str, score_name: str):
     """(step, id, score) result schema for the greedy-pick operators,
     with the id field typed from the INPUT frame — string/int corpora ids

@@ -2977,6 +2977,58 @@ def oracle_sql() -> dict[str, str]:
     # the persisted-index two-stage path answers the SAME question
     o["emb_ivfpq_rerank_indexed"] = o["emb_ivfpq_rerank"]
 
+    # SQ8 two-stage: corpus codes/scales exactly as emb_quantize derives
+    # them, query codes by the same IEEE ops the engine runs in python
+    # (max|x|, /127, floor(x/s + 0.5)); stage-1 ordering on the
+    # UNROUNDED double product, stage 2 the certified exact cosine
+    o["emb_sq8_rerank"] = f"""
+        WITH {_V},
+        m AS (
+          SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS amax
+          FROM v
+        ),
+        qz AS (
+          SELECT vec_id,
+                 floor(amax / 127.0 * 1e9 + 0.5) / 1e9 AS scale,
+                 CASE WHEN amax > 0 THEN
+                   list_transform(e, x -> CAST(floor(x / (amax / 127.0) + 0.5)
+                                               AS BIGINT))
+                 ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q8
+          FROM m
+        ),
+        qside AS (
+          SELECT CASE WHEN amax > 0 THEN
+                   list_transform(e, x -> CAST(floor(x / (amax / 127.0) + 0.5)
+                                               AS BIGINT))
+                 ELSE list_transform(e, x -> CAST(0 AS BIGINT)) END AS q8q
+          FROM m WHERE vec_id = 0
+        ),
+        keyed AS (
+          SELECT vec_id,
+                 CAST(list_sum(list_transform(range(1, len(q8) + 1),
+                        i -> q8[i] * q8q[i])) AS DOUBLE) AS inn,
+                 CAST(list_sum(list_transform(q8, x -> x * x)) AS DOUBLE) AS ssq
+          FROM qz, qside
+        ),
+        cand AS (
+          SELECT vec_id
+          FROM keyed
+          ORDER BY CASE WHEN ssq > 0 THEN inn / sqrt(ssq) ELSE -2.0 END
+                   DESC, vec_id
+          LIMIT 50
+        ),
+        qv2 AS (SELECT e AS q2 FROM v WHERE vec_id = 0)
+        SELECT s.vec_id,
+               round({_COS.format(a="s.e", b="q2")}, 6) AS cosine_sim
+        FROM (SELECT vec_id, e FROM v
+              WHERE vec_id IN (SELECT vec_id FROM cand)) s, qv2
+        ORDER BY cosine_sim DESC, s.vec_id
+        LIMIT 10
+    """
+
+    # the persisted-artifact stage-1 answers the SAME question
+    o["emb_sq8_rerank_indexed"] = o["emb_sq8_rerank"]
+
     # ranking metrics with the SAME python-computed integer discount
     # table the operator embeds (no engine log2 in the DCG sums)
     from epicsarchiver_spark.operators.text_ops import dcg_discounts as _dcg_disc

@@ -121,6 +121,39 @@ def test_sax_rejects_unknown_alphabet(spark):
         sax_symbols(df, alphabet=7)
 
 
+def test_sq8_rerank_recall_and_index_equivalence(spark):
+    """SQ8 nomination + exact re-rank: ≥0.8 recall@10 vs brute force on
+    clustered data, and the persisted-artifact lane returns EXACTLY the
+    inline lane's rows."""
+    import random
+
+    from epicsarchiver_spark.operators.similarity import (
+        brute_force_topk,
+        quantize_embeddings,
+        sq8_topk_rerank,
+    )
+
+    rng = random.Random(11)
+    centers = [[rng.uniform(-5, 5) for _ in range(8)] for _ in range(4)]
+    rows = [
+        (i, [float(x + rng.gauss(0, 0.3)) for x in centers[i % 4]])
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    query = [float(x + 0.1) for x in centers[0]]
+
+    exact = [r.vec_id for r in brute_force_topk(df, query, k=10).collect()]
+    inline = sq8_topk_rerank(df, query, k=10, n_candidates=50).collect()
+    recall = len(set(exact) & {r.vec_id for r in inline}) / 10
+    assert recall >= 0.8, f"recall@10 {recall}"
+
+    idx = quantize_embeddings(df)
+    via_index = sq8_topk_rerank(df, query, k=10, n_candidates=50, index=idx).collect()
+    assert [(r.vec_id, r.cosine_sim) for r in inline] == [
+        (r.vec_id, r.cosine_sim) for r in via_index
+    ]
+
+
 def test_rake_prefers_multiword_terms(spark):
     """RAKE's point: words living in multi-word terms (high degree)
     outrank ubiquitous singletons, so the recurring compound phrase
