@@ -1193,15 +1193,17 @@ def cmd_bm25(args) -> int:
 def cmd_ann(args) -> int:
     """Semantic search over an embeddings parquet, anchored at a stored
     vector: two-stage IVF-PQ → exact re-rank by default (the production
-    shape), ``--exact`` for brute-force cosine, ``--mmr`` for the
+    shape), ``--sq8`` for the scalar-quantized two-stage lane,
+    ``--exact`` for brute-force cosine, ``--mmr`` for the
     diversity-aware pick sequence. The operational face of the
-    emb_ivfpq_rerank / emb_mmr_topk gate lanes."""
+    emb_ivfpq_rerank / emb_sq8_rerank / emb_mmr_topk gate lanes."""
     from pyspark.sql import functions as F
 
     from epicsarchiver_spark.operators.similarity import (
         brute_force_topk,
         ivfpq_topk_rerank,
         mmr_topk,
+        sq8_topk_rerank,
     )
 
     spark = _spark("ann")
@@ -1218,6 +1220,10 @@ def cmd_ann(args) -> int:
     else:
         if args.exact:
             hits = brute_force_topk(emb, qvec, k=args.k).collect()
+        elif args.sq8:
+            hits = sq8_topk_rerank(
+                emb, qvec, k=args.k, n_candidates=args.candidates
+            ).collect()
         else:
             hits = ivfpq_topk_rerank(
                 emb, qvec, k=args.k, n_candidates=args.candidates
@@ -1633,6 +1639,8 @@ def build_parser() -> argparse.ArgumentParser:
     g = s.add_mutually_exclusive_group()
     g.add_argument("--exact", action="store_true", help="brute-force cosine")
     g.add_argument("--mmr", action="store_true", help="MMR-diversified picks")
+    g.add_argument("--sq8", action="store_true",
+                   help="scalar-quantized nomination + exact re-rank")
     s.set_defaults(fn=cmd_ann)
 
     s = sub.add_parser("bpe", help="learn a BPE merge table from documents parquet")

@@ -1119,6 +1119,9 @@ def test_ann_cli_lanes(spark, tmp_path, capsys):
     assert cli.main(["ann", path, "--vec-id", "0", "-k", "4", "--mmr"]) == 0
     out_mmr = capsys.readouterr().out
     assert "mmr" in out_mmr and "4 hit(s)" in out_mmr
+    assert cli.main(["ann", path, "--vec-id", "0", "-k", "5", "--sq8"]) == 0
+    out_sq8 = capsys.readouterr().out
+    assert "cosine" in out_sq8 and "5 hit(s)" in out_sq8
     assert cli.main(["ann", path, "--vec-id", "999"]) == 1
 
 

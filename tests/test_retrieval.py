@@ -298,6 +298,20 @@ def test_ivfpq_rerank_pushes_candidate_in_filter_to_scan(spark):
     assert re.search(r"PushedFilters: \[In\(vec_id", plan), plan[:1500]
 
 
+def test_sq8_rerank_pushes_candidate_in_filter_to_scan(spark):
+    """The SQ8 lane's stage 2 has the same 100 TB shape as ivfpq's: the
+    bounded nominee list reaches the vector parquet scan as a pushed
+    In(vec_id, ...) filter."""
+    from epicsarchiver_spark.operators.similarity import sq8_topk_rerank
+    from epicsarchiver_spark.plans import explain_str
+
+    emb = spark.read.parquet(f"{SF_ORACLE}/embeddings.parquet")
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).head()["embedding"]]
+    df = sq8_topk_rerank(emb, qvec, k=10, n_candidates=20)
+    plan = explain_str(df)
+    assert re.search(r"PushedFilters: \[In\(vec_id", plan), plan[:1500]
+
+
 def test_farthest_first_covers_clusters(spark):
     """Three well-separated clusters, k=3 → one seed per cluster."""
     from epicsarchiver_spark.operators.similarity import farthest_first_init
