@@ -651,6 +651,23 @@ def cmd_alerts(args) -> int:
     return rc
 
 
+def cmd_keyphrases(args) -> int:
+    """Corpus keyphrase mining from the command line — the operational
+    face of ``doc_rake_keyphrases`` (taxonomy seeding / corpus triage:
+    run it on a fresh crawl before writing keyword_labels rules)."""
+    from epicsarchiver_spark.operators.text_ops import rake_keyphrases
+
+    spark = _spark("keyphrases")
+    docs = spark.read.parquet(args.docs)
+    rows = rake_keyphrases(
+        docs, k=args.k, max_phrase_len=args.max_len, min_count=args.min_count
+    ).collect()
+    for r in rows:
+        print(f"{r.score:10.4f}  {r.n:>6}x  {r.phrase}")
+    print(f"{len(rows)} keyphrase(s) from {args.docs}")
+    return 0
+
+
 def cmd_bm25_watch(args) -> int:
     """Standing-query sweep — ``bm25_multi`` as a subscription daemon
     (the alerts-loop cadence over a growing documents directory): each
@@ -1599,6 +1616,15 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--snippet-width", type=int, default=None,
                    help="print the best N-token window per hit")
     s.set_defaults(fn=cmd_bm25)
+
+    s = sub.add_parser(
+        "keyphrases", help="RAKE keyphrase mining over a documents parquet"
+    )
+    s.add_argument("docs", help="documents parquet directory")
+    s.add_argument("-k", type=int, default=20)
+    s.add_argument("--max-len", type=int, default=4)
+    s.add_argument("--min-count", type=int, default=1)
+    s.set_defaults(fn=cmd_keyphrases)
 
     s = sub.add_parser(
         "bm25_watch",

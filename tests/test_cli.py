@@ -394,6 +394,19 @@ def test_daemon_stop_restart_lifecycle(spark, tmp_path, capsys):
     assert not pdf.duplicated().any()
 
 
+def test_keyphrases_cli(spark, tmp_path, capsys):
+    import pandas as pd
+
+    docs = tmp_path / "kp_docs.parquet"
+    pd.DataFrame(
+        [(1, "linear regression of the data"), (2, "linear regression and data")],
+        columns=["doc_id", "text"],
+    ).to_parquet(docs, index=False)
+    assert cli.main(["keyphrases", str(docs), "-k", "5"]) == 0
+    out = capsys.readouterr().out
+    assert "linear regression" in out and "keyphrase(s)" in out
+
+
 def test_bm25_watch_reports_only_new_hits(spark, tmp_path, capsys):
     """Standing-query sweep: pass 1 reports everything (cold state),
     pass 2 with no corpus change reports nothing, pass 3 after a new
