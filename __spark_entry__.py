@@ -133,57 +133,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # IS GENERATED — regenerate it at the start of each round with
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
-_R10_FRONT: list[str] = [
-    "doc_components_incremental",
-    "doc_rake_keyphrases",
-    "doc_triangles_indexed",
-    "emb_sq8_rerank",
-    "emb_sq8_rerank_indexed",
-    "emb_standardize",
-    "ts_holt_linear",
-    "ts_sax",
-    "sink_ascii",
-    "sink_saverestore",
-    "sink_sqldump",
-    "src_pvlist",
-    "src_template",
-    "store_roundtrip",
-    "stream_compress",
-    "ts_compress_exact",
-    "ts_cull_band",
-    "ts_get_data",
-    "ts_locf_grid",
-    "ts_rate_windowed",
-    "cat_distinct_series",
-    "cat_wildcard",
-    "doc_bigram_logprob",
-    "doc_bloom_dedup",
-    "doc_chunks",
-    "doc_contamination",
-    "doc_dedup_exact",
-    "doc_dedup_groups",
-    "doc_exact_dups",
-    "doc_fingerprints",
-    "doc_global_shuffle",
-    "doc_jaccard_pairs",
-    "doc_langid",
-    "doc_minhash_neardups",
-    "doc_pack_sequences",
-    "doc_pii_scrub",
-    "doc_quality",
-    "doc_rebalance",
-    "doc_repetition",
-    "doc_sample_stratified",
-    "doc_simhash_neardups",
-    "doc_splits",
-    "doc_substring_dedup",
-    "doc_tfidf_top_terms",
-    "doc_vocab_topk",
-    "emb_cell_stats",
-    "rel_order_priority",
-    "rel_orders_no_lineitem",
-    "rel_pair_scores",
-    "rel_pricing_summary",
+_R11_FRONT: list[str] = [
+    "rel_regional_revenue",
+    "rel_related_topk",
+    "rel_score_sums",
+    "rel_top_orders",
+    "ts_alarm_transitions",
+    "ts_cull_full",
+    "ts_daily_rollup",
+    "ts_get_data_bounded",
+    "ts_instrument_restore",
+    "ts_locf_grid_bounded",
+    "ts_meta_join",
+    "ts_plot_traces",
+    "ts_sessions",
+    "ts_with_current",
+    "cache_upsert_readback",
+    "cat_null_norm",
+    "cat_recent_runs",
+    "cat_row_kv",
+    "ctl_alert_mail",
+    "doc_blocklist",
+    "doc_gopher_rules",
+    "doc_heavy_hitters",
+    "doc_length_trim",
+    "doc_paragraph_dedup",
+    "doc_quality_classifier",
+    "doc_winnow_pairs",
+    "emb_ann_recall",
+    "emb_contamination",
+    "emb_ivfpq_index",
+    "emb_ivfpq_topk",
+    "emb_pq_codes",
+    "emb_project",
+    "ev_funnel",
+    "ev_props_rollup",
+    "ev_retention",
+    "ev_rolling_dau",
+    "ev_top_paths",
+    "ev_transitions",
+    "mm_ahash",
+    "mm_near_dups",
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_large_orders",
+    "rel_promo_share",
+    "rel_returned_items",
+    "rel_supplier_parts",
+    "ts_auto_ylog",
+    "ts_autocorr",
+    "ts_availability",
+    "ts_compression_report",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2555,12 +2555,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of this dict (r2-r8 each certified exactly the first 50
     # keys). All 233 pre-r9 keys are driver-certified (union of
     # CORRECTNESS_r01..r08), so the window now runs as a rolling
-    # regression guard: _R10_FRONT = new-this-round keys + the 48
+    # regression guard: _R11_FRONT = new-this-round keys + the 48
     # stalest certifications (see its comment). Previously certified
     # keys keep their green rows (testdata unchanged — guarded by
     # tests/testdata_fingerprint.json) and fill the remainder in their
     # prior order.
-    front = _R10_FRONT
+    front = _R11_FRONT
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
