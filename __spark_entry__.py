@@ -52,6 +52,8 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     CORR_MIN_R,
     DEADBAND,
     DEADTIME,
+    DISCORD_K,
+    DISCORD_WINDOW,
     ENUM_LABELS,
     FUNNEL_STEPS,
     GRID_STEP,
@@ -68,6 +70,11 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     RAMP_MIN_STEPS,
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
+    SAX_ALPHABET,
+    SAX_NCAND,
+    SAX_QUERY_PV,
+    SAX_SEGMENTS,
+    SAX_TOPK,
     SESSION_GAP,
     SHIFT_THRESHOLD,
     SHIFT_WINDOW,
@@ -134,6 +141,9 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R11_FRONT: list[str] = [
+    "ts_discords",
+    "ts_sax_topk",
+    "ts_sax_topk_indexed",
     "rel_regional_revenue",
     "rel_related_topk",
     "rel_score_sums",
@@ -181,9 +191,6 @@ _R11_FRONT: list[str] = [
     "rel_returned_items",
     "rel_supplier_parts",
     "ts_auto_ylog",
-    "ts_autocorr",
-    "ts_availability",
-    "ts_compression_report",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1335,6 +1342,54 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_holt_linear"] = lambda s, d: timeseries.holt_linear(_points(s, d))
     # SAX symbolization: per-series z-normalized PAA → gaussian letters
     q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
+    # iSAX indexed series similarity: word equi-join nominates, exact
+    # Pearson re-ranks on the isin-pruned grid re-read
+    q["ts_sax_topk"] = lambda s, d: timeseries.sax_topk(
+        _points(s, d),
+        SAX_QUERY_PV,
+        T0,
+        T1,
+        GRID_STEP,
+        k=SAX_TOPK,
+        n_segments=SAX_SEGMENTS,
+        alphabet=SAX_ALPHABET,
+        n_candidates=SAX_NCAND,
+    )
+
+    def _ts_sax_topk_indexed(s, d):
+        """...through the PRODUCTION word artifact: sax_words persisted
+        once per corpus dir, read back, nomination answered from the
+        bytes-per-series index without touching points (the
+        ivfpq_rerank_indexed cadence). Oracle identical to ts_sax_topk."""
+
+        def _build(path):
+            timeseries.sax_words(
+                _points(s, d), T0, T1, GRID_STEP, SAX_SEGMENTS, SAX_ALPHABET
+            ).write.mode("overwrite").parquet(path)
+
+        idx = s.read.parquet(_artifact_path(d, "sax_words", _build))
+        return timeseries.sax_topk(
+            _points(s, d),
+            SAX_QUERY_PV,
+            T0,
+            T1,
+            GRID_STEP,
+            k=SAX_TOPK,
+            n_segments=SAX_SEGMENTS,
+            alphabet=SAX_ALPHABET,
+            n_candidates=SAX_NCAND,
+            index=idx,
+        )
+
+    q["ts_sax_topk_indexed"] = _ts_sax_topk_indexed
+    # HOT-SAX discords: rarest per-series SAX word over sliding windows
+    q["ts_discords"] = lambda s, d: timeseries.sax_discords(
+        _points(s, d),
+        window=DISCORD_WINDOW,
+        n_segments=SAX_SEGMENTS,
+        alphabet=SAX_ALPHABET,
+        k=DISCORD_K,
+    )
     # RAKE keyphrases: stopword-free runs scored by word degree/freq
     q["doc_rake_keyphrases"] = lambda s, d: text_ops.rake_keyphrases(
         load_table(s, d, "documents")

@@ -728,6 +728,9 @@ def cmd_bm25_watch(args) -> int:
         try:
             rc = sweep()
         except Exception as ex:  # noqa: BLE001 — daemon survives one bad pass
+            # rc = 1 so a failed FINAL pass reports as a failure instead
+            # of echoing the previous pass's 0/2 to cron/monitoring
+            rc = 1
             print(f"sweep failed ({type(ex).__name__}: {ex}); retrying",
                   file=sys.stderr)
         loops += 1

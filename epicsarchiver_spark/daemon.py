@@ -39,12 +39,26 @@ def sentinel(checkpoint: str, proc: str) -> str:
     return os.path.join(checkpoint, f"pvarch_{proc}.stop")
 
 
-def read_pid(checkpoint: str, proc: str) -> int | None:
+def read_pid_host(checkpoint: str, proc: str) -> tuple[int, str | None] | None:
+    """(pid, hostname) from the pidfile; hostname is None for legacy
+    pid-only files. The hostname decides whether the pid is checkable:
+    on shared checkpoint storage a pid written by host A is meaningless
+    in host B's process table."""
     try:
         with open(pidfile(checkpoint, proc)) as fh:
-            return int(fh.readline().split()[0])
+            parts = fh.readline().split()
+            return int(parts[0]), (parts[1] if len(parts) > 1 else None)
     except (OSError, ValueError, IndexError):
         return None
+
+
+def read_pid(checkpoint: str, proc: str) -> int | None:
+    entry = read_pid_host(checkpoint, proc)
+    return entry[0] if entry else None
+
+
+def _is_local(host: str | None) -> bool:
+    return host is None or host == socket.gethostname()
 
 
 def pid_alive(pid: int) -> bool:
@@ -59,11 +73,18 @@ def pid_alive(pid: int) -> bool:
 
 def already_running(checkpoint: str, proc: str) -> int | None:
     """The duplicate-start guard: pid from a live pidfile, else None.
-    A stale pidfile (process gone) is cleaned up here so a crashed
-    daemon never blocks the next start."""
-    pid = read_pid(checkpoint, proc)
-    if pid is None:
+    A stale LOCAL pidfile (process gone on this host) is cleaned up
+    here so a crashed daemon never blocks the next start. A pidfile
+    written by ANOTHER host is trusted as-is — its pid cannot be
+    checked against the local process table (an unrelated local
+    process could share the number), so liveness there is decided
+    only by the sentinel + pidfile-clear handshake."""
+    entry = read_pid_host(checkpoint, proc)
+    if entry is None:
         return None
+    pid, host = entry
+    if not _is_local(host):
+        return pid
     if pid_alive(pid):
         return pid
     try:
@@ -121,13 +142,18 @@ def watch(q, checkpoint: str, proc: str, poll_s: float = 1.0) -> None:
 
 def stop_daemon(checkpoint: str, proc: str, timeout: float = 60.0) -> bool:
     """``pvarch stop``: write the sentinel, wait for the daemon to
-    clear its pidfile (the graceful path). If the pid is local and
-    still alive at half the timeout, escalate to SIGTERM — the
-    reference's kill-the-mainloop fallback. True = stopped (or nothing
-    was running)."""
+    clear its pidfile (the graceful path). If the pidfile's host is
+    THIS host and the pid is still alive at half the timeout, escalate
+    to SIGTERM — the reference's kill-the-mainloop fallback. A pid
+    recorded by another node is never signalled (it would hit an
+    unrelated local process); for foreign hosts the sentinel +
+    pidfile-clear handshake is the only stop path. True = stopped (or
+    nothing was running)."""
     import signal
 
+    entry = read_pid_host(checkpoint, proc)
     pid = already_running(checkpoint, proc)
+    local = entry is not None and _is_local(entry[1])
     request_stop(checkpoint, proc)
     if pid is None:
         # nothing alive — leave no stale sentinel to kill the NEXT start
@@ -136,10 +162,10 @@ def stop_daemon(checkpoint: str, proc: str, timeout: float = 60.0) -> bool:
     deadline = time.monotonic() + timeout
     escalated = False
     while time.monotonic() < deadline:
-        if read_pid(checkpoint, proc) is None or not pid_alive(pid):
+        if read_pid(checkpoint, proc) is None or (local and not pid_alive(pid)):
             clear(checkpoint, proc)
             return True
-        if not escalated and time.monotonic() > deadline - timeout / 2:
+        if local and not escalated and time.monotonic() > deadline - timeout / 2:
             try:
                 os.kill(pid, signal.SIGTERM)
             except OSError:

@@ -72,6 +72,19 @@ MAIL_TEMPLATE = (
 )
 RECENT_RUNS_LIMIT = 12  # O4 recent-runs listing depth (ref pvarch.py:297-306)
 
+# iSAX indexed series similarity (ts_sax_topk): query series, word
+# shape (4 segments × 4 letters → sf0.01 nomination buckets of 10-40
+# series), candidate fence, re-rank depth
+SAX_QUERY_PV = "EV:0:click"
+SAX_SEGMENTS = 4
+SAX_ALPHABET = 4
+SAX_NCAND = 64
+SAX_TOPK = 5
+# HOT-SAX discords: window short enough that sf0.01's 13-point median
+# series still yield full windows (window % segments == 0)
+DISCORD_WINDOW = 8
+DISCORD_K = 3
+
 # related-PV probe pairs for the cross-correlation gate
 _XCORR_PAIRS = [
     ("EV:0:click", "EV:0:view"),

@@ -739,11 +739,12 @@ def sq8_topk_rerank(
 ) -> DataFrame:
     """Two-stage scalar-quantized ANN — the SQ8 sibling of
     :func:`ivfpq_topk_rerank` (FAISS ``IndexScalarQuantizer`` +
-    reorder): stage 1 scores every vector by the symmetric-quantized
-    inner product ``scale_v · scale_q · ⟨q8_v, q8_q⟩`` — the codes are
+    reorder): stage 1 scores every vector by the QUANTIZED COSINE
+    ``⟨q8_v, q8_q⟩ / √Σq8_v²`` — the codes are
     :func:`quantize_embeddings`' int8 lane (¼ the bytes of float32, ⅛
-    of float64), the inner product an EXACT BIGINT fold, the two
-    scales one double multiply — and nominates ``n_candidates`` ids;
+    of float64), the inner product and squared norm EXACT BIGINT
+    folds, one double divide at the edge — and nominates
+    ``n_candidates`` ids;
     stage 2 re-reads ONLY those ids' float vectors (the ``isin``
     pushes into the scan) and re-scores exact cosine, returning
     ``brute_force_topk``'s ``(id, cosine_sim)``.

@@ -768,6 +768,249 @@ def sax_symbols(
     )
 
 
+def sax_words(
+    points: DataFrame,
+    t0: float,
+    t1: float,
+    step: float,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """One SAX word per series over its LOCF grid on [t0, t1] —
+    ``(key, word)``, the iSAX-style index record (Shieh/Keogh).
+    Aligning every series onto the SAME grid before symbolizing is
+    what makes words comparable across series; :func:`sax_symbols`
+    then guarantees the letters are engine-identical (exact-integer
+    moments, explicit 6-dp rounding, literal breakpoints).
+
+    This is the persisted build-once artifact of the similarity lane
+    (the minhash-signature cadence): bytes per series, rebuilt per
+    release, and every :func:`sax_topk` query after that nominates by
+    word equi-join against it without touching the point store."""
+    grid = (
+        locf_grid(points, t0, t1, step, key=key)
+        .filter(F.col("value").isNotNull())
+        .select(F.col(key), F.col("t").alias("time"), "value")
+    )
+    sym = sax_symbols(
+        grid, n_segments=n_segments, alphabet=alphabet, quantum=quantum, key=key
+    )
+    return sym.groupBy(key).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("segment", "symbol"))),
+                lambda s: s["symbol"],
+            ),
+            "",
+        ).alias("word")
+    )
+
+
+def sax_topk(
+    points: DataFrame,
+    query: str,
+    t0: float,
+    t1: float,
+    step: float,
+    k: int = 5,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    n_candidates: int = 64,
+    key: str = "pvname",
+    index: DataFrame | None = None,
+) -> DataFrame:
+    """iSAX-style indexed series similarity — "series most similar to
+    ``query``", the time-series twin of the SQ8/IVF-PQ two-stage
+    cadence and the data-driven lane of the reference's related-PV
+    page (ref cache.py:785-802 serves it from co-browsing scores;
+    :func:`series_correlation` from exact correlation at Σ block²
+    cost; this answers one query at nominate-then-rerank cost).
+
+    Stage 1 nominates series sharing the query's SAX WORD by equi-join
+    on the word table — pass ``index=`` the persisted
+    :func:`sax_words` artifact and nomination never touches the point
+    store at all (the 100 TB shape: a word row is ~word-length bytes
+    per series). The candidate set is fenced to the first
+    ``n_candidates`` by name — a deterministic recall dial, same
+    posture as the ANN lanes' nomination caps. Stage 2 re-reads ONLY
+    the nominees' points (the ``isin`` pushes into the scan) and
+    re-ranks by EXACT Pearson r on the common LOCF grid — the
+    :func:`series_correlation` BIGINT-moment device, so r is
+    engine-identical. Returns ``(pvname, word, n, r)``: top ``k`` by
+    \\|r\\| desc, name-ordered ties; non-constant overlap only."""
+    spark = points.sparkSession
+    words = (
+        index
+        if index is not None
+        else sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key)
+    )
+    empty = spark.createDataFrame(
+        [], f"{key} string, word string, n long, r double"
+    )
+    qrow = words.filter(F.col(key) == query).select("word").head()
+    if qrow is None:
+        return empty
+    qword = qrow["word"]
+    cands = (
+        words.filter((F.col("word") == qword) & (F.col(key) != query))
+        .orderBy(key)
+        .limit(int(n_candidates))
+    )
+    # bounded driver hop (≤ n_candidates names) — the sq8_topk_rerank
+    # posture: nominate, collect ids, prune the exact re-read
+    ids = [r[0] for r in cands.select(key).collect()]
+    if not ids:
+        return empty
+    grid = (
+        locf_grid(points.filter(F.col(key).isin(ids + [query])), t0, t1, step, key=key)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col(key),
+            "t",
+            F.round(F.col("value") / quantum).cast("long").alias("q"),
+        )
+    )
+    qgrid = grid.filter(F.col(key) == query).select(
+        F.col("t"), F.col("q").alias("qa")
+    )
+    sums = (
+        grid.filter(F.col(key) != query)
+        .join(F.broadcast(qgrid), "t")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qa").alias("sx"),
+            F.sum("q").alias("sy"),
+            F.sum(F.col("qa") * F.col("q")).alias("sxy"),
+            F.sum(F.col("qa") * F.col("qa")).alias("sxx"),
+            F.sum(F.col("q") * F.col("q")).alias("syy"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    return (
+        sums.filter((varx > 0) & (vary > 0))
+        .select(F.col(key), F.lit(qword).alias("word"), "n", r.alias("_r"))
+        .orderBy(F.abs(F.col("_r")).desc(), F.col(key))
+        .limit(int(k))
+        .select(key, "word", "n", F.round("_r", 6).alias("r"))
+    )
+
+
+def sax_discords(
+    points: DataFrame,
+    window: int = 16,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    k: int = 3,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """HOT-SAX-style discord detection (Keogh/Lin/Fu): the top-``k``
+    most anomalous length-``window`` subsequences per series, ranked
+    by the RARITY of their SAX word within that series — a
+    subsequence whose shape recurs gets a common word; the one-off
+    transient gets a word (almost) nobody else has. The anomaly
+    consumer of :func:`sax_symbols`, completing the outlier family
+    next to robust/rolling/seasonal/level-shift.
+
+    Each full window z-normalizes against its OWN exact-integer
+    moments (Σq, Σq² BIGINTs over the frame), PAA-averages
+    ``n_segments`` equal slices, maps to letters via the literal
+    gaussian breakpoints (same explicit 6-dp rounding as
+    :func:`sax_symbols` — engine-identical words), then words are
+    counted per series and windows ranked (count asc, start time asc).
+    Classic HOT-SAX uses the rare-word heuristic to ORDER a search
+    whose final metric is exact-NN distance; at archive scale the word
+    count itself is the certified, shuffle-cheap anomaly score, and an
+    exact-distance confirm is a bounded re-read of the k winners.
+    Returns ``(key, time, word, word_count, rank)``.
+
+    Scale shape: one series-keyed sort window builds the frame arrays,
+    PAA/letters are per-row higher-order expressions in codegen, the
+    word count is one series×word-keyed aggregate joined back — no
+    pair space, nothing corpus-ordered."""
+    if window % n_segments:
+        raise ValueError("window must be divisible by n_segments")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    letters = "abcdefgh"[:alphabet]
+    ss = window // n_segments
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(0, window - 1)
+    )
+    q = F.round(F.col("value") / quantum).cast("long")
+    framed = (
+        points.filter(F.col("value").isNotNull())
+        .select(F.col(key), F.col("time"), F.collect_list(q).over(w).alias("_arr"))
+        .filter(F.size("_arr") == window)
+    )
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sw = isum(F.col("_arr"))
+    sww = F.aggregate(
+        F.col("_arr"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    mu = sw.cast("double") / F.lit(float(window))
+    sig = F.sqrt(
+        F.greatest(sww.cast("double") / F.lit(float(window)) - mu * mu, F.lit(0.0))
+    )
+
+    def paa_r6(x):
+        return F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5)) * F.signum(x) / F.lit(1e6)
+
+    def letter(paa):
+        sym = F.lit(letters[0])
+        for i, bp in enumerate(bps):
+            sym = F.when(paa < F.lit(bp), sym).otherwise(F.lit(letters[i + 1]))
+        return sym
+
+    segs = [
+        letter(
+            paa_r6(
+                F.when(
+                    sig > 0,
+                    (
+                        isum(F.slice(F.col("_arr"), j * ss + 1, ss)).cast("double")
+                        / F.lit(float(ss))
+                        - mu
+                    )
+                    / sig,
+                ).otherwise(F.lit(0.0))
+            )
+        )
+        for j in range(n_segments)
+    ]
+    worded = framed.select(
+        F.col(key), F.col("time"), F.concat(*segs).alias("word")
+    )
+    counts = worded.groupBy(key, "word").agg(
+        F.count(F.lit(1)).alias("word_count")
+    )
+    rk = Window.partitionBy(key).orderBy(
+        F.col("word_count").asc(), F.col("time").asc(), F.col("word").asc()
+    )
+    return (
+        worded.join(counts, [key, "word"])
+        .withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(key, "time", "word", "word_count", "rank")
+    )
+
+
 def level_shifts(
     points: DataFrame,
     window: int = 5,

@@ -22,6 +22,8 @@ from epicsarchiver_spark.gate_constants import (
     CORR_MIN_R,
     DEADBAND,
     DEADTIME,
+    DISCORD_K,
+    DISCORD_WINDOW,
     ENUM_LABELS,
     FUNNEL_STEPS,
     GRID_STEP,
@@ -38,6 +40,11 @@ from epicsarchiver_spark.gate_constants import (
     RAMP_MIN_STEPS,
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
+    SAX_ALPHABET,
+    SAX_NCAND,
+    SAX_QUERY_PV,
+    SAX_SEGMENTS,
+    SAX_TOPK,
     SESSION_GAP,
     SHIFT_THRESHOLD,
     SHIFT_WINDOW,
@@ -5621,6 +5628,148 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
         LIMIT 100
     """
+
+    # --- iSAX similarity + HOT-SAX discords (timeseries.sax_topk /
+    # sax_discords): the ts_sax exact-integer device on the LOCF grid
+    # (words comparable across series), word equi-join nomination fenced
+    # to SAX_NCAND names, exact Pearson re-rank; discords rank windows
+    # by per-series word rarity ---
+    from epicsarchiver_spark.operators.timeseries import _SAX_BREAKPOINTS
+
+    _sax_bps = _SAX_BREAKPOINTS[SAX_ALPHABET]
+    _sax_letters = "abcdefgh"[:SAX_ALPHABET]
+
+    def _sax_case(paa: str) -> str:
+        arms = " ".join(
+            f"WHEN {paa} < {bp!r} THEN '{_sax_letters[i]}'"
+            for i, bp in enumerate(_sax_bps)
+        )
+        return f"CASE {arms} ELSE '{_sax_letters[len(_sax_bps)]}' END"
+
+    _sax_word_ctes = f"""
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        wb AS (
+          SELECT pvname, q,
+                 row_number() OVER (PARTITION BY pvname ORDER BY t) - 1 AS rk
+          FROM lg
+        ),
+        wm AS (
+          SELECT pvname, CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+          FROM wb GROUP BY 1
+        ),
+        wms AS (
+          SELECT pvname, n_s, CAST(sq AS DOUBLE) / n_s AS mu,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n_s
+                      - (CAST(sq AS DOUBLE) / n_s) * (CAST(sq AS DOUBLE) / n_s),
+                      0.0)) AS sig
+          FROM wm
+        ),
+        wss AS (
+          SELECT wb.pvname,
+                 CAST(floor(rk * {SAX_SEGMENTS} / n_s) AS BIGINT) AS segment,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssum
+          FROM wb JOIN wms USING (pvname)
+          GROUP BY 1, 2
+        ),
+        wj AS (
+          SELECT wss.pvname, segment,
+                 CASE WHEN sig > 0
+                      THEN (CAST(ssum AS DOUBLE) / n - mu) / sig
+                      ELSE 0.0 END AS praw
+          FROM wss JOIN wms USING (pvname)
+        ),
+        wr AS (SELECT pvname, segment,
+                      floor(abs(praw) * 1000000 + 0.5) * sign(praw) / 1000000 AS paa
+               FROM wj),
+        w AS (SELECT pvname, string_agg({_sax_case('paa')}, '' ORDER BY segment) AS word
+              FROM wr GROUP BY 1)
+    """
+    o["ts_sax_topk"] = (
+        P
+        + f""",
+        {_sax_word_ctes},
+        qw AS (SELECT word FROM w WHERE pvname = '{SAX_QUERY_PV}'),
+        cand AS (SELECT w.pvname FROM w, qw
+                 WHERE w.word = qw.word AND w.pvname <> '{SAX_QUERY_PV}'
+                 ORDER BY w.pvname LIMIT {SAX_NCAND}),
+        qg AS (SELECT t, q AS qa FROM lg WHERE pvname = '{SAX_QUERY_PV}'),
+        cg AS (SELECT lg.pvname, lg.t, lg.q FROM lg JOIN cand USING (pvname)),
+        cs AS (
+          SELECT cg.pvname, CAST(count(*) AS BIGINT) AS n, sum(qa) AS sx,
+                 sum(cg.q) AS sy, sum(qa * cg.q) AS sxy,
+                 sum(qa * qa) AS sxx, sum(cg.q * cg.q) AS syy
+          FROM cg JOIN qg USING (t) GROUP BY 1
+        ),
+        cv AS (
+          SELECT pvname, n, {_corr_r} AS r FROM cs
+          WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT pvname, (SELECT word FROM qw) AS word, n, round(r, 6) AS r
+        FROM cv ORDER BY abs(r) DESC, pvname LIMIT {SAX_TOPK}
+        """
+    )
+    # the indexed lane reads the SAME words back from the persisted
+    # artifact — numerically identical by construction
+    o["ts_sax_topk_indexed"] = o["ts_sax_topk"]
+
+    _dw, _dss = DISCORD_WINDOW, DISCORD_WINDOW // SAX_SEGMENTS
+    _d_sum = "CAST(list_aggregate(arr, 'sum') AS DOUBLE)"
+    _d_seg_words = []
+    for _j in range(SAX_SEGMENTS):
+        _seg_avg = (
+            f"CAST(list_aggregate(arr[{_j * _dss + 1}:{(_j + 1) * _dss}], 'sum')"
+            f" AS DOUBLE) / {float(_dss)}"
+        )
+        _praw = f"CASE WHEN sig > 0 THEN ({_seg_avg} - mu) / sig ELSE 0.0 END"
+        _paa = f"floor(abs({_praw}) * 1000000 + 0.5) * sign({_praw}) / 1000000"
+        _d_seg_words.append(_sax_case(_paa))
+    _d_word = " || ".join(_d_seg_words)
+    o["ts_discords"] = (
+        P
+        + f""",
+        fr AS (
+          SELECT pvname, time,
+                 list(CAST(round(value / 0.01) AS BIGINT))
+                   OVER (PARTITION BY pvname ORDER BY time, event_id
+                         ROWS BETWEEN CURRENT ROW AND {_dw - 1} FOLLOWING) AS arr
+          FROM points WHERE value IS NOT NULL
+        ),
+        fw AS (SELECT * FROM fr WHERE len(arr) = {_dw}),
+        mom AS (
+          SELECT pvname, time, arr, {_d_sum} / {float(_dw)} AS mu,
+                 sqrt(greatest(
+                   CAST(list_aggregate(list_transform(arr, x -> x * x), 'sum')
+                        AS DOUBLE) / {float(_dw)}
+                   - ({_d_sum} / {float(_dw)}) * ({_d_sum} / {float(_dw)}),
+                   0.0)) AS sig
+          FROM fw
+        ),
+        worded AS (SELECT pvname, time, {_d_word} AS word FROM mom),
+        dcounts AS (SELECT pvname, word, CAST(count(*) AS BIGINT) AS word_count
+                    FROM worded GROUP BY 1, 2),
+        drk AS (
+          SELECT dw.pvname, dw.time, dw.word, dc.word_count,
+                 row_number() OVER (PARTITION BY dw.pvname
+                                    ORDER BY dc.word_count ASC, dw.time ASC,
+                                             dw.word ASC) AS rank
+          FROM worded dw JOIN dcounts dc USING (pvname, word)
+        )
+        SELECT pvname, time, word, word_count, CAST(rank AS BIGINT) AS rank
+        FROM drk WHERE rank <= {DISCORD_K}
+        """
+    )
 
     o["rel_dominant_suppliers"] = """
         WITH pairqty AS (

@@ -363,6 +363,25 @@ def _half_up_6dp(x: float) -> float:
     return float(Decimal(repr(x)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
 
+def _load_qbuf(state: "GroupState") -> list[int | None]:
+    """Quantized-value window buffer from CSV state; ``n`` marks a
+    NULL-value slot (it occupies a window position, exactly like the
+    batch operators' row frame, but contributes nothing to the dot
+    product — collect_list-skips-NULLs parity)."""
+    if not state.exists:
+        return []
+    (qs_csv,) = state.get
+    if not qs_csv:
+        return []
+    return [None if tok == "n" else int(tok) for tok in qs_csv.split(",")]
+
+
+def _save_qbuf(state: "GroupState", buf: list[int | None], span: int) -> None:
+    state.update(
+        (",".join("n" if x is None else str(x) for x in buf[-(span - 1):]),)
+    )
+
+
 def ewma_stream(
     events: DataFrame,
     alpha_num: int = 1,
@@ -376,8 +395,12 @@ def ewma_stream(
     threshold rules (alert on the trend, not the tick). Identical
     arithmetic to the batch operator — quantized BIGINT values against
     the exact integer weight table, one division, HALF_UP 6 dp — so
-    batch↔stream agreement is row-exact for in-order input
-    (tests/test_streaming.py).
+    batch↔stream agreement is row-exact for in-order input with
+    non-null timestamps (tests/test_streaming.py). NULL *values*
+    match the batch window semantics exactly: the row still occupies
+    a span slot (state keeps an ``n`` marker) and is emitted with the
+    smoothed value of the remaining non-null window — NULL when the
+    whole support window is null.
 
     State per series is the last ``span``−1 quantized values (a CSV of
     ≤7 longs by default — bytes per PV, the outlier stream's posture).
@@ -399,11 +422,7 @@ def ewma_stream(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         pvname = key[0]
-        if state.exists:
-            (qs_csv,) = state.get
-            buf = [int(x) for x in qs_csv.split(",")] if qs_csv else []
-        else:
-            buf = []
+        buf = _load_qbuf(state)
         chunks = list(pdfs)
         rows = (
             chunks[0]
@@ -411,25 +430,36 @@ def ewma_stream(
             else (pd.concat(chunks) if chunks else pd.DataFrame())
         )
         if len(rows):
-            rows = rows.dropna(subset=["time", "value"])
+            rows = rows.dropna(subset=["time"])
         if len(rows):
             t_arr = rows["time"].to_numpy()
+            v_raw = rows["value"].to_numpy()
             order = t_arr.argsort(kind="stable")
             out_t, out_v, out_e = [], [], []
             for idx in order:
                 t = float(t_arr[idx])
-                v = float(rows["value"].to_numpy()[idx])
-                buf.append(_half_up_long(v / qm))
+                isnull = pd.isna(v_raw[idx])
+                v = None if isnull else float(v_raw[idx])
+                buf.append(None if isnull else _half_up_long(v / qm))
                 buf = buf[-spn:]
-                n = len(buf)
-                num = sum(buf[j] * wt[n - 1 - j] for j in range(n))
-                den = sum(wt[:n])
+                vals = [x for x in buf if x is not None]
+                n = len(vals)
                 out_t.append(t)
                 out_v.append(v)
-                out_e.append(_half_up_6dp(num / den * qm))
-            state.update((",".join(str(x) for x in buf[-(spn - 1) :]),))
+                if n:
+                    num = sum(vals[j] * wt[n - 1 - j] for j in range(n))
+                    den = sum(wt[:n])
+                    out_e.append(_half_up_6dp(num / den * qm))
+                else:
+                    out_e.append(None)
+            _save_qbuf(state, buf, spn)
             yield pd.DataFrame(
-                {"pvname": pvname, "time": out_t, "value": out_v, "ewma": out_e}
+                {
+                    "pvname": pvname,
+                    "time": out_t,
+                    "value": pd.array(out_v, dtype="Float64"),
+                    "ewma": pd.array(out_e, dtype="Float64"),
+                }
             )
 
     return events.groupBy("pvname").applyInPandasWithState(
@@ -470,7 +500,11 @@ def holt_stream(
     to the batch operator — quantized BIGINTs against the SAME exact
     integer coefficient tables, float(num)/float(den)·quantum in the
     same op order, the same explicit-IEEE 6-dp rounding — so
-    batch↔stream agreement is row-exact for in-order input.
+    batch↔stream agreement is row-exact for in-order input with
+    non-null timestamps. NULL *values* match the batch window
+    semantics: the row occupies a span slot (an ``n`` state marker),
+    is emitted with level/trend/forecast over the remaining non-null
+    window, NULL when the whole support window is null.
 
     State per series is the last ``span``−1 quantized values (the
     ewma_stream posture: a CSV of ≤7 longs — bytes per PV)."""
@@ -494,11 +528,7 @@ def holt_stream(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         pvname = key[0]
-        if state.exists:
-            (qs_csv,) = state.get
-            buf = [int(x) for x in qs_csv.split(",")] if qs_csv else []
-        else:
-            buf = []
+        buf = _load_qbuf(state)
         chunks = list(pdfs)
         rows = (
             chunks[0]
@@ -506,27 +536,45 @@ def holt_stream(
             else (pd.concat(chunks) if chunks else pd.DataFrame())
         )
         if len(rows):
-            rows = rows.dropna(subset=["time", "value"])
+            rows = rows.dropna(subset=["time"])
         if len(rows):
             t_arr = rows["time"].to_numpy()
-            v_arr = rows["value"].to_numpy()
+            v_raw = rows["value"].to_numpy()
             order = t_arr.argsort(kind="stable")
             out = {"time": [], "value": [], "level": [], "trend": [], "forecast": []}
             for idx in order:
-                v = float(v_arr[idx])
-                buf.append(_half_up_long(v / qm))
+                isnull = pd.isna(v_raw[idx])
+                v = None if isnull else float(v_raw[idx])
+                buf.append(None if isnull else _half_up_long(v / qm))
                 buf = buf[-spn:]
-                L = len(buf)
-                num_l = sum(buf[i] * WL[L - 1][i] for i in range(L))
-                num_b = sum(buf[i] * WB[L - 1][i] for i in range(L))
-                den = float(DEN[L - 1])
+                vals = [x for x in buf if x is not None]
+                L = len(vals)
                 out["time"].append(float(t_arr[idx]))
                 out["value"].append(v)
-                out["level"].append(r6(float(num_l) / den * qm))
-                out["trend"].append(r6(float(num_b) / den * qm))
-                out["forecast"].append(r6(float(num_l + h * num_b) / den * qm))
-            state.update((",".join(str(x) for x in buf[-(spn - 1):]),))
-            yield pd.DataFrame({"pvname": pvname, **out})
+                if L:
+                    num_l = sum(vals[i] * WL[L - 1][i] for i in range(L))
+                    num_b = sum(vals[i] * WB[L - 1][i] for i in range(L))
+                    den = float(DEN[L - 1])
+                    out["level"].append(r6(float(num_l) / den * qm))
+                    out["trend"].append(r6(float(num_b) / den * qm))
+                    out["forecast"].append(
+                        r6(float(num_l + h * num_b) / den * qm)
+                    )
+                else:
+                    out["level"].append(None)
+                    out["trend"].append(None)
+                    out["forecast"].append(None)
+            _save_qbuf(state, buf, spn)
+            yield pd.DataFrame(
+                {
+                    "pvname": pvname,
+                    "time": out["time"],
+                    **{
+                        c: pd.array(out[c], dtype="Float64")
+                        for c in ("value", "level", "trend", "forecast")
+                    },
+                }
+            )
 
     return events.groupBy("pvname").applyInPandasWithState(
         kernel,

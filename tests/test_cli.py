@@ -515,6 +515,50 @@ def test_stop_with_no_daemon_is_cron_safe(tmp_path, capsys):
     assert not daemon.stop_requested(ck, "archive")
 
 
+def test_foreign_host_pidfile_is_trusted_never_signalled(tmp_path, monkeypatch):
+    """A pidfile written by ANOTHER node on shared checkpoint storage
+    (r10 ADVICE): its pid means nothing in the local process table, so
+    already_running trusts it as-is (no cleanup even when a matching
+    local pid is dead, no SIGTERM escalation in stop_daemon — an
+    unrelated local process could share the number); a stale LOCAL
+    pidfile is still cleaned up."""
+    import os
+
+    from epicsarchiver_spark import daemon
+
+    ck = str(tmp_path / "ck")
+    os.makedirs(ck)
+
+    # a guaranteed-dead local pid
+    dead = os.fork()
+    if dead == 0:
+        os._exit(0)
+    os.waitpid(dead, 0)
+
+    # foreign host, dead-locally pid: trusted as running, file kept
+    with open(daemon.pidfile(ck, "archive"), "w") as fh:
+        fh.write(f"{dead} some-other-node\n")
+    assert daemon.already_running(ck, "archive") == dead
+    assert os.path.exists(daemon.pidfile(ck, "archive"))
+
+    # stop_daemon must NOT kill local pid `dead`'s number; it waits for
+    # the handshake, times out, and reports failure
+    killed = []
+    monkeypatch.setattr(
+        os, "kill", lambda pid, sig: killed.append((pid, sig)) if sig else None
+    )
+    assert daemon.stop_daemon(ck, "archive", timeout=0.8) is False
+    assert killed == []
+    monkeypatch.undo()
+    daemon.clear(ck, "archive")
+
+    # same dead pid recorded by THIS host: stale, cleaned up, start ok
+    with open(daemon.pidfile(ck, "archive"), "w") as fh:
+        fh.write(f"{dead} {__import__('socket').gethostname()}\n")
+    assert daemon.already_running(ck, "archive") is None
+    assert not os.path.exists(daemon.pidfile(ck, "archive"))
+
+
 def test_alerts_cli_fires_and_renders(spark, store, tmp_path, capsys):
     """Rule sweep over the store's latest values: firing rules render
     the mail template (incl. a %PV()% cache lookup) and flip the exit

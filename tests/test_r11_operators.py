@@ -1,0 +1,120 @@
+"""Round-11 operator semantics: iSAX indexed series similarity
+(sax_words / sax_topk) and HOT-SAX discord detection (sax_discords).
+The gates ts_sax_topk(+_indexed) / ts_discords carry the full-oracle
+checks; these pin the semantic edges — nomination really prunes by
+shape, the planted anomaly really surfaces."""
+
+from __future__ import annotations
+
+import pytest
+
+from epicsarchiver_spark.operators.timeseries import (
+    sax_discords,
+    sax_topk,
+    sax_words,
+)
+
+SCHEMA = "pvname string, time double, value double"
+
+
+def _series(rows, pv, values, t0=0.0, step=100.0):
+    rows.extend((pv, t0 + i * step, float(v)) for i, v in enumerate(values))
+
+
+def test_sax_words_one_word_per_series(spark):
+    rows = []
+    _series(rows, "Q", range(15))
+    _series(rows, "C", range(14, -1, -1))
+    df = spark.createDataFrame(rows, SCHEMA)
+    words = {r.pvname: r.word for r in sax_words(df, 0.0, 1400.0, 100.0).collect()}
+    assert set(words) == {"Q", "C"}
+    assert len(words["Q"]) == 4
+    # a descending ramp is the ascending ramp's word reversed
+    assert words["C"] == words["Q"][::-1]
+
+
+def test_sax_topk_nominates_by_shape_and_reranks_exact(spark):
+    """Affine transforms of the query share its word (z-normalization
+    kills offset/scale) and re-rank at r=1; the reversed series has a
+    different word and is never nominated, however correlated it is."""
+    rows = []
+    _series(rows, "Q", range(15))
+    _series(rows, "A", [2 * v + 5 for v in range(15)])  # same shape, r=1
+    _series(rows, "B", [0.5 * v + 100 for v in range(15)])  # same shape, r=1
+    _series(rows, "C", range(14, -1, -1))  # reversed: r=-1 but different word
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sax_topk(df, "Q", 0.0, 1400.0, 100.0, k=5).collect()
+    assert [r.pvname for r in out] == ["A", "B"]  # |r| tie → name order
+    assert all(r.r == 1.0 for r in out)
+    assert all(r.n == 15 for r in out)
+
+
+def test_sax_topk_index_lane_matches_inline(spark, tmp_path):
+    rows = []
+    _series(rows, "Q", range(15))
+    _series(rows, "A", [3 * v - 7 for v in range(15)])
+    df = spark.createDataFrame(rows, SCHEMA)
+    words = sax_words(df, 0.0, 1400.0, 100.0)
+    path = str(tmp_path / "sax_words")
+    words.write.parquet(path)
+    inline = sax_topk(df, "Q", 0.0, 1400.0, 100.0).collect()
+    indexed = sax_topk(
+        df, "Q", 0.0, 1400.0, 100.0, index=spark.read.parquet(path)
+    ).collect()
+    assert inline == indexed and len(inline) == 1
+
+
+def test_sax_topk_unknown_query_is_empty(spark):
+    rows = []
+    _series(rows, "A", range(15))
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sax_topk(df, "NOPE", 0.0, 1400.0, 100.0)
+    assert out.count() == 0
+    assert out.columns == ["pvname", "word", "n", "r"]
+
+
+def test_sax_topk_candidate_fence_is_deterministic(spark):
+    """n_candidates caps the nomination pool by NAME order — the
+    documented recall dial."""
+    rows = []
+    _series(rows, "Q", range(15))
+    for i in range(6):
+        _series(rows, f"S{i}", [(i + 1) * v for v in range(15)])
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sax_topk(df, "Q", 0.0, 1400.0, 100.0, k=10, n_candidates=3).collect()
+    assert [r.pvname for r in out] == ["S0", "S1", "S2"]
+
+
+def test_discords_surface_planted_anomaly(spark):
+    """A period-8 pattern repeated 20 times gives every window a
+    ~20-count word; perturbing ONE period makes the windows over it
+    rare — the rank-1 discord must overlap the spike."""
+    pattern = [0, 10, 20, 30, 40, 30, 20, 10]
+    values = pattern * 20
+    spike_at = 83
+    values[spike_at] = 400.0
+    rows = []
+    _series(rows, "P", values, step=1.0)
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sax_discords(df, window=8, k=3).collect()
+    assert len(out) == 3
+    top = next(r for r in out if r.rank == 1)
+    # a length-8 window starting in (spike-7 .. spike) covers the spike
+    assert spike_at - 7 <= top.time <= spike_at
+    assert top.word_count <= 3
+    clean = sax_discords(
+        spark.createDataFrame(
+            [("P", float(i), float(v)) for i, v in enumerate(pattern * 20)],
+            SCHEMA,
+        ),
+        window=8,
+        k=1,
+    ).collect()
+    # without the spike even the RAREST window's word recurs ~20×
+    assert clean[0].word_count >= 15
+
+
+def test_discords_require_window_divisible_by_segments(spark):
+    df = spark.createDataFrame([("P", 0.0, 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="divisible"):
+        sax_discords(df, window=10, n_segments=4)

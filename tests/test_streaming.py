@@ -1515,3 +1515,73 @@ def test_ewma_stream_rejects_span_one():
 
     with pytest.raises(ValueError, match="span"):
         ewma_stream(None, span=1)
+
+
+def test_smoothing_streams_match_batch_with_null_values(spark, tmp_path):
+    """NULL-value events match the batch window semantics in BOTH
+    smoothing streams (r10 ADVICE): the null row occupies a span slot,
+    is re-emitted with the statistic of the remaining non-null window,
+    and a fully-null support window yields NULL — including across a
+    micro-batch boundary (the ``n`` state marker)."""
+    import math
+
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import ewma, holt_linear
+    from epicsarchiver_spark.streaming.alerts import ewma_stream, holt_stream
+
+    rng = __import__("random").Random(31)
+    rows = []
+    for pv in ("A", "B"):
+        for i in range(24):
+            # A: sparse nulls (incl. one straddling the batch boundary
+            # at t=8/16); B: leading all-null run → NULL outputs
+            if pv == "A":
+                v = None if i in (3, 7, 8, 15, 16) else round(rng.random() * 9, 3)
+            else:
+                v = None if i < 10 else round(1.0 + i * 0.25, 3)
+            rows.append((pv, float(i), v))
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    src = tmp_path / "src_null"
+    src.mkdir()
+    for j in range(3):
+        part = pdf[pdf["time"].between(j * 8, j * 8 + 7)]
+        part.to_parquet(src / f"p{j}.parquet", index=False)
+
+    batch_df = spark.createDataFrame(pdf, "pvname string, time double, value double")
+
+    def canon(r, cols):
+        return tuple(
+            None if (v := getattr(r, c)) is None or (
+                isinstance(v, float) and math.isnan(v)
+            ) else v
+            for c in cols
+        )
+
+    for name, batch_op, stream_op, cols in [
+        ("ewma", ewma, ewma_stream, ["pvname", "time", "value", "ewma"]),
+        (
+            "holt",
+            holt_linear,
+            holt_stream,
+            ["pvname", "time", "value", "level", "trend", "forecast"],
+        ),
+    ]:
+        expected = {canon(r, cols) for r in batch_op(batch_df).collect()}
+        stream = (
+            spark.readStream.schema("pvname string, time double, value double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        out = str(tmp_path / f"out_{name}")
+        q = (
+            stream_op(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        got = {canon(r, cols) for r in spark.read.parquet(out).collect()}
+        assert got == expected, f"{name}: stream != batch with nulls"
