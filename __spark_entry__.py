@@ -45,6 +45,9 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     ALERT_RULES,
     ASOF_LOOKBACK,
     BLOCKWORDS,
+    BOILER_MIN_WORDS,
+    BOILER_SEG_WORDS,
+    BOILER_STOPWORDS,
     BLOCK_MAX_RATIO,
     BM25_QUERY,
     COMPRESS_DEADBAND,
@@ -666,6 +669,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_segment_dedup"] = lambda s, d: text_ops.dedup_segments(
         load_table(s, d, "documents"), sep=" "
+    )
+    # jusText-lite boilerplate scoring: fixed-window segmentation on
+    # the line-less corpus, integer cross-multiplied density rules
+    q["doc_boilerplate"] = lambda s, d: text_ops.boilerplate_segments(
+        load_table(s, d, "documents"),
+        seg_words=BOILER_SEG_WORDS,
+        stopwords=BOILER_STOPWORDS,
+        min_words=BOILER_MIN_WORDS,
+    )
+    # encoding-damage detector: U+FFFD / C1 / UTF-8-as-Latin-1 digraph
+    # regexp counts, integer ppm score
+    q["doc_mojibake"] = lambda s, d: text_ops.mojibake_stats(
+        load_table(s, d, "documents")
     )
 
     q["doc_unigram_logprob"] = lambda s, d: text_ops.unigram_logprob(

@@ -85,6 +85,13 @@ SAX_TOPK = 5
 DISCORD_WINDOW = 8
 DISCORD_K = 3
 
+# boilerplate scoring on the stream-of-words corpus: fixed 16-word
+# windows (no line structure to split on), corpus function words as
+# the stopword set — segments with ≥2 of 16 stopwords score 'good'
+BOILER_SEG_WORDS = 16
+BOILER_MIN_WORDS = 8
+BOILER_STOPWORDS = ("a", "the")
+
 # related-PV probe pairs for the cross-correlation gate
 _XCORR_PAIRS = [
     ("EV:0:click", "EV:0:view"),

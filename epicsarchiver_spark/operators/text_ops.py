@@ -2677,3 +2677,136 @@ def nb_label_audit(
             (F.col("_cls") == F.col("_lbl")).alias("agree"),
         )
     )
+
+
+def boilerplate_segments(
+    docs: DataFrame,
+    sep: str = "\n",
+    seg_words: int | None = None,
+    stopwords: tuple[str, ...] | None = None,
+    min_words: int = 8,
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """jusText/trafilatura-style line-level boilerplate scoring — the
+    main-content extraction step of a curation pipeline: split each
+    document into segments, score every segment by stopword density
+    and link density, and label it ``short`` / ``boilerplate`` /
+    ``good`` (jusText's core insight: real prose is stopword-dense;
+    navigation, headers, footers and link farms are not — Pomikálek
+    2011). Returns long-form ``(id, seg, n_words, n_stop, n_links,
+    label)``; keep ``label = 'good'`` and re-join to reassemble the
+    main content.
+
+    Segmentation: by ``sep`` (lines/paragraphs — the jusText block
+    unit) or, for stream-of-words corpora with no line structure, by
+    fixed ``seg_words``-word windows (``seg_words=`` overrides
+    ``sep``). Classification is integer cross-multiplied — no float
+    ratio ever forms: a segment is ``short`` below ``min_words``,
+    ``boilerplate`` when links exceed a fifth of its words
+    (``n_links·5 > n_words``) or stopwords fall under an eighth
+    (``n_stop·8 < n_words``), else ``good``.
+
+    Scale shape: one narrow scan — split, per-segment counts and the
+    CASE are all array-local builtins in WholeStageCodegen; the
+    explode multiplies rows by segments-per-doc only. Zero shuffle,
+    zero UDF, nothing corpus-sized anywhere."""
+    import re as _re
+
+    stop = (
+        sorted(stopwords)
+        if stopwords is not None
+        else sorted(T.LANG_STOPWORDS["en"])
+    )
+    stop_arr = F.array(*[F.lit(w) for w in stop])
+    if seg_words is not None:
+        toks = T.tokens(F.col(text))
+        sw = int(seg_words)
+        segs = F.when(
+            F.size(toks) > 0,
+            F.transform(
+                F.sequence(
+                    F.lit(0), F.ceil(F.size(toks) / F.lit(sw)).cast("int") - 1
+                ),
+                lambda i: F.slice(toks, i * sw + 1, sw),
+            ),
+        ).otherwise(F.array().cast("array<array<string>>"))
+    else:
+        segs = F.transform(
+            F.filter(F.split(F.col(text), _re.escape(sep)), lambda s: s != ""),
+            lambda s: T.tokens(s),
+        )
+    exploded = docs.select(F.col(id_col), F.posexplode(segs).alias("seg", "_w"))
+    counted = exploded.select(
+        F.col(id_col),
+        F.col("seg").cast("long").alias("seg"),
+        F.size("_w").cast("long").alias("n_words"),
+        F.size(F.filter("_w", lambda x: F.array_contains(stop_arr, x)))
+        .cast("long")
+        .alias("n_stop"),
+        F.size(F.filter("_w", lambda x: x.rlike(r"^(https?://|www\.)")))
+        .cast("long")
+        .alias("n_links"),
+    )
+    label = (
+        F.when(F.col("n_words") < int(min_words), F.lit("short"))
+        .when(F.col("n_links") * 5 > F.col("n_words"), F.lit("boilerplate"))
+        .when(F.col("n_stop") * 8 < F.col("n_words"), F.lit("boilerplate"))
+        .otherwise(F.lit("good"))
+    )
+    return counted.select("*", label.alias("label"))
+
+
+# Encoding-damage signatures, shared with the DuckDB oracle so both
+# engines compile the IDENTICAL pattern (literal char classes work on
+# Java regex and RE2 alike): U+FFFD; the C1 block UTF-8-bytes-as-
+# Latin-1 lands in; UTF-8-as-Latin-1/cp1252 digraph leads ('Ã' +
+# continuation, the 'â€¦'-family prefix, 'Â' + double-decoded NBSP
+# block).
+MOJIBAKE_REPLACEMENT = "\ufffd"
+MOJIBAKE_C1 = "[\u0080-\u009f]"
+MOJIBAKE_DIGRAPH = "\u00c3[\u0080-\u00bf]|\u00e2\u20ac|\u00c2[\u00a0-\u00bf]"
+
+
+def mojibake_stats(
+    docs: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    flag_ppm: int = 500,
+) -> DataFrame:
+    """Encoding-damage (mojibake) detector — the cheap curation signal
+    next to ``quality_scores``: per-doc counts of U+FFFD replacement
+    characters (a decoder already gave up), C1 control characters
+    U+0080–U+009F (UTF-8 bytes decoded as Latin-1 land here), and the
+    classic UTF-8-as-Latin-1/cp1252 digraph signatures ('Ã?', 'â€',
+    'Â?'). Returns ``(id, n_chars, n_replacement, n_c1, n_digraph,
+    mojibake_ppm, flagged)`` where the score is integer parts-per-
+    million of weighted hits (replacement ×3, digraph ×2, C1 ×1 — a
+    digraph's C1 member also counts in n_c1, documented overlap) and
+    ``flagged = mojibake_ppm >= flag_ppm``.
+
+    Pure regexp_count expressions — one narrow scan in codegen, zero
+    shuffle; the ppm is exact BIGINT division (weighted·10⁶ div
+    chars), engine-identical by construction. Note 'â€' uses U+20AC €
+    (the cp1252 read of byte 0x80) — the form mojibake actually takes
+    in the wild."""
+    counted = docs.select(
+        F.col(id_col),
+        F.length(text).cast("long").alias("n_chars"),
+        F.regexp_count(F.col(text), F.lit(MOJIBAKE_REPLACEMENT))
+        .cast("long")
+        .alias("n_replacement"),
+        F.regexp_count(F.col(text), F.lit(MOJIBAKE_C1)).cast("long").alias("n_c1"),
+        F.regexp_count(F.col(text), F.lit(MOJIBAKE_DIGRAPH))
+        .cast("long")
+        .alias("n_digraph"),
+    )
+    ppm = F.when(
+        F.col("n_chars") > 0,
+        F.expr("(3*n_replacement + n_c1 + 2*n_digraph) * 1000000 DIV n_chars"),
+    )
+    return counted.select(
+        "*",
+        ppm.alias("mojibake_ppm"),
+        (F.coalesce(ppm, F.lit(0)) >= int(flag_ppm)).alias("flagged"),
+    )

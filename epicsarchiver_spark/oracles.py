@@ -15,6 +15,9 @@ from epicsarchiver_spark.gate_constants import (
     ALERT_RULES,
     ASOF_LOOKBACK,
     BLOCKWORDS,
+    BOILER_MIN_WORDS,
+    BOILER_SEG_WORDS,
+    BOILER_STOPWORDS,
     BLOCK_MAX_RATIO,
     BM25_QUERY,
     COMPRESS_DEADBAND,
@@ -5770,6 +5773,72 @@ def oracle_sql() -> dict[str, str]:
         FROM drk WHERE rank <= {DISCORD_K}
         """
     )
+
+    # --- boilerplate scoring + mojibake detection (text_ops
+    # .boilerplate_segments / .mojibake_stats): fixed-window
+    # segmentation, integer cross-multiplied density rules; regex hit
+    # counts with an exact BIGINT ppm ---
+    from epicsarchiver_spark.operators.text_ops import (
+        MOJIBAKE_C1,
+        MOJIBAKE_DIGRAPH,
+        MOJIBAKE_REPLACEMENT,
+    )
+
+    _bsw = BOILER_SEG_WORDS
+    _bstop = " OR ".join(f"x = '{w}'" for w in sorted(BOILER_STOPWORDS))
+    o["doc_boilerplate"] = rf"""
+        WITH t AS (
+          SELECT doc_id,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS toks
+          FROM documents
+        ),
+        g AS (
+          SELECT doc_id, toks,
+                 unnest(range(CAST(ceil(len(toks) / {float(_bsw)}) AS BIGINT)))
+                   AS seg
+          FROM t WHERE len(toks) > 0
+        ),
+        segd AS (
+          SELECT doc_id, CAST(seg AS BIGINT) AS seg,
+                 toks[seg * {_bsw} + 1 : (seg + 1) * {_bsw}] AS w
+          FROM g
+        ),
+        m AS (
+          SELECT doc_id, seg, CAST(len(w) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(w, x -> {_bstop})) AS BIGINT) AS n_stop,
+                 CAST(len(list_filter(w,
+                      x -> regexp_matches(x, '^(https?://|www\.)')))
+                      AS BIGINT) AS n_links
+          FROM segd
+        )
+        SELECT doc_id, seg, n_words, n_stop, n_links,
+               CASE WHEN n_words < {BOILER_MIN_WORDS} THEN 'short'
+                    WHEN n_links * 5 > n_words THEN 'boilerplate'
+                    WHEN n_stop * 8 < n_words THEN 'boilerplate'
+                    ELSE 'good' END AS label
+        FROM m
+        """
+
+    o["doc_mojibake"] = f"""
+        WITH c AS (
+          SELECT doc_id, CAST(len(text) AS BIGINT) AS n_chars,
+                 CAST(len(regexp_extract_all(text, '{MOJIBAKE_REPLACEMENT}'))
+                      AS BIGINT) AS n_replacement,
+                 CAST(len(regexp_extract_all(text, '{MOJIBAKE_C1}'))
+                      AS BIGINT) AS n_c1,
+                 CAST(len(regexp_extract_all(text, '{MOJIBAKE_DIGRAPH}'))
+                      AS BIGINT) AS n_digraph
+          FROM documents
+        ),
+        p AS (
+          SELECT *, CASE WHEN n_chars > 0 THEN
+                 (3 * n_replacement + n_c1 + 2 * n_digraph) * 1000000 // n_chars
+               END AS mojibake_ppm
+          FROM c
+        )
+        SELECT *, coalesce(mojibake_ppm, 0) >= 500 AS flagged FROM p
+        """
 
     o["rel_dominant_suppliers"] = """
         WITH pairqty AS (

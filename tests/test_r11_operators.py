@@ -118,3 +118,75 @@ def test_discords_require_window_divisible_by_segments(spark):
     df = spark.createDataFrame([("P", 0.0, 1.0)], SCHEMA)
     with pytest.raises(ValueError, match="divisible"):
         sax_discords(df, window=10, n_segments=4)
+
+
+def test_boilerplate_kills_headers_footers_and_link_farms(spark):
+    """Line-mode jusText semantics: the stopword-dense prose line is
+    the ONLY 'good' segment; the nav header (no stopwords), the link
+    farm (link-dense), and the short footer are all rejected."""
+    from epicsarchiver_spark.operators.text_ops import boilerplate_segments
+
+    prose = (
+        "the quick brown fox and the lazy dog ran over the hill to "
+        "find a meal in the warm light of a long summer day"
+    )
+    doc = "\n".join(
+        [
+            "Home Products Pricing Blog Contact Careers Support Docs",  # header
+            prose,
+            "http://x.io/a http://x.io/b www.c.com http://d.net plus four more links here",
+            "Copyright 2026",  # footer: short
+        ]
+    )
+    df = spark.createDataFrame([(0, doc)], "doc_id long, text string")
+    out = {r.seg: r for r in boilerplate_segments(df).collect()}
+    assert [out[i].label for i in range(4)] == [
+        "boilerplate",
+        "good",
+        "boilerplate",
+        "short",
+    ]
+    assert out[2].n_links == 4
+    assert out[1].n_stop >= 8
+
+
+def test_boilerplate_window_mode_segments_by_word_count(spark):
+    from epicsarchiver_spark.operators.text_ops import boilerplate_segments
+
+    df = spark.createDataFrame(
+        [(0, " ".join(["w"] * 37)), (1, "")], "doc_id long, text string"
+    )
+    rows = boilerplate_segments(df, seg_words=16, min_words=8).collect()
+    by_seg = {(r.doc_id, r.seg): r for r in rows}
+    # 37 words → segments of 16/16/5; empty doc → no rows
+    assert {k for k in by_seg} == {(0, 0), (0, 1), (0, 2)}
+    assert by_seg[(0, 2)].n_words == 5 and by_seg[(0, 2)].label == "short"
+
+
+def test_mojibake_flags_planted_corruption(spark):
+    """Planted encoding damage: UTF-8 text double-decoded as Latin-1
+    and as cp1252, plus replacement chars — all flagged; the clean
+    twin is not."""
+    from epicsarchiver_spark.operators.text_ops import mojibake_stats
+
+    clean = "a perfectly ordinary sentence with café and naïve words " * 3
+    latin1 = clean.encode("utf-8").decode("latin-1")  # é → Ã©, ï → Ã¯
+    # NB ” (U+201D) ends on byte 0x9D, undefined in cp1252 — real-world
+    # cp1252 mojibake comes from the chars whose trail bytes map
+    cp1252 = (
+        "it’s a “quoted dash — here "
+        .encode("utf-8")
+        .decode("cp1252")
+    ) * 4  # ’ → â€™, “ → â€œ, — → â€”
+    replaced = ("lost byte � here � and � there ") * 4
+    df = spark.createDataFrame(
+        [(0, clean), (1, latin1), (2, cp1252), (3, replaced)],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in mojibake_stats(df).collect()}
+    assert not out[0].flagged and out[0].mojibake_ppm == 0
+    assert out[1].flagged and out[1].n_digraph >= 6
+    assert out[2].flagged and out[2].n_digraph >= 12
+    assert out[3].flagged and out[3].n_replacement == 12
+    # the latin-1 double-decode also lands continuation bytes in C1
+    assert out[1].n_c1 >= 0 and out[2].flagged

@@ -103,16 +103,27 @@ def probe_sax_topk(spark, out: str) -> None:
         t_query = _noop(
             lambda: sax_topk(ev, qpv, t0, t1, step, k=5, index=idx)
         )
-        t_exact = _noop(
-            lambda: series_correlation(ev, t0, t1, step, min_abs_r=0.0)
-        )
         n_series = idx.count()
         results[f"x{s}"] = {
             "series": n_series,
             "word_build_s": round(t_build, 2),
             "indexed_query_s": round(t_query, 2),
-            "exact_all_pairs_s": round(t_exact, 2),
         }
+        # the comparator it amortizes: exact correlation over every
+        # block pair. At ×10 (~75k series, ~15k per event-type block)
+        # the per-block pair matrix alone is ~15k² doubles ≈ 1.8 GB —
+        # the python worker dies; that failure IS the measurement, so
+        # record it instead of crashing the probe.
+        try:
+            t_exact = _noop(
+                lambda: series_correlation(ev, t0, t1, step, min_abs_r=0.0)
+            )
+            results[f"x{s}"]["exact_all_pairs_s"] = round(t_exact, 2)
+        except Exception as ex:  # noqa: BLE001 — the probe must survive
+            results[f"x{s}"]["exact_all_pairs_s"] = (
+                f"failed: {type(ex).__name__} (pair space ~"
+                f"{(n_series // 5) ** 2:,} per block)"
+            )
     print(json.dumps({"probe": "r11b_sax_topk", **results}))
 
 
