@@ -396,7 +396,18 @@ def compressed_stream_resumable(
     Requires ``protobuf`` (the transformWithState python worker's state
     protocol) — absent in minimal containers; there
     ``compressed_stream(seeds=...)`` is the warm-start path (driver-dict
-    seeds, fine to ~10⁵ series)."""
+    seeds, fine to ~10⁵ series).
+
+    Certification contract (protobuf cannot be vendored into minimal
+    containers, so the lane is certified in two halves): everything this
+    function computes — processor state round-trip, initial-state
+    seeding, per-batch kernel, batching invariance, per-key seed routing,
+    and row-exact equality with the driver-certified
+    ``compressed_stream`` lane — is executed WITHOUT protobuf by
+    tests/test_tws_kernel.py (fake-handle drive of the real processor
+    class); Spark's transformWithState plumbing itself is exercised by
+    the two protobuf-gated end-to-end tests in tests/test_streaming.py
+    wherever the runtime exists."""
     try:
         import google.protobuf  # noqa: F401  (TWS state-server protocol dep)
     except ImportError as e:
