@@ -1,0 +1,1696 @@
+"""DuckDB oracles: time-series gates (ts_*) — split from the former
+oracles.py monolith (VERDICT r10 task 8); ``build(o)`` mutates the
+shared registry dict. Statement order (and any support helpers each
+family needs) is preserved verbatim from the original file, so the
+composed oracle_sql() output is byte-identical."""
+
+from __future__ import annotations
+
+from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE
+from epicsarchiver_spark.gate_constants import (
+    ALARM_TRIP,
+    ALERT_RULES,
+    ASOF_LOOKBACK,
+    BLOCKWORDS,
+    BOILER_MIN_WORDS,
+    BOILER_SEG_WORDS,
+    BOILER_STOPWORDS,
+    BLOCK_MAX_RATIO,
+    BM25_QUERY,
+    COMPRESS_DEADBAND,
+    COMPRESS_DEADTIME,
+    CORR_MIN_R,
+    DEADBAND,
+    DEADTIME,
+    DISCORD_K,
+    DISCORD_WINDOW,
+    ENUM_LABELS,
+    FUNNEL_STEPS,
+    GRID_STEP,
+    HEARTBEAT,
+    HH_MIN_COUNT,
+    HIST_BINS,
+    INSTRUMENT,
+    KEYWORD_TAXONOMY,
+    MAIL_LOOKUP_PV,
+    MAIL_TEMPLATE,
+    MULTI_QUERIES,
+    OUTLIER_K,
+    PROJ_DIM,
+    RAMP_MIN_STEPS,
+    RECENT_RUNS_LIMIT,
+    RELATED_NODE,
+    SAX_ALPHABET,
+    SAX_NCAND,
+    SAX_QUERY_PV,
+    SAX_SEGMENTS,
+    SAX_TOPK,
+    SESSION_GAP,
+    SHIFT_THRESHOLD,
+    SHIFT_WINDOW,
+    T0,
+    T1,
+    T_ASOF,
+    WINNOW_MAX_DF,
+    WINNOW_MIN_SHARED,
+    _EDGES_CTE,
+    _XCORR_PAIRS,
+)
+from epicsarchiver_spark.operators import similarity
+
+
+def build(o: dict[str, str]) -> None:
+    P = f"WITH {POINTS_ORACLE_CTE}"
+    E = f"WITH {_EDGES_CTE}"
+
+    P = f"WITH {POINTS_ORACLE_CTE}"
+
+    o["ts_range_read"] = (
+        P
+        + f"SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}"
+    )
+
+    o["ts_get_data"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL
+        SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        """
+    )
+
+    o["ts_value_at"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T_ASOF} + 1e-4
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    _rules_sql = ", ".join(f"('{k}','{c}',{t})" for k, c, t in ALERT_RULES)
+
+    o["ts_alert_eval"] = (
+        P
+        + f""",
+        latest AS (
+          SELECT pvname, event_type, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        ),
+        rules(event_type, compare, trippoint) AS (VALUES {_rules_sql})
+        SELECT l.pvname, l.event_type, l.time, l.value, r.compare,
+               CAST(r.trippoint AS DOUBLE) AS trippoint
+        FROM latest l JOIN rules r USING (event_type)
+        WHERE l.rn = 1 AND CASE r.compare
+          WHEN 'eq' THEN l.value =  r.trippoint
+          WHEN 'ne' THEN l.value <> r.trippoint
+          WHEN 'le' THEN l.value <= r.trippoint
+          WHEN 'lt' THEN l.value <  r.trippoint
+          WHEN 'ge' THEN l.value >= r.trippoint
+          WHEN 'gt' THEN l.value >  r.trippoint
+          ELSE FALSE END
+        """
+    )
+
+    _members_sql = ", ".join(f"'{m}'" for m in INSTRUMENT)
+
+    o["ts_instrument_restore"] = (
+        P
+        + f""",
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < {T_ASOF} + 1e-4 AND pvname IN ({_members_sql})
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    o["ts_latest"] = (
+        P
+        + """,
+        ranked AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM ranked WHERE rn = 1
+        """
+    )
+
+    # bucketed-catalog lane reads the same rows → same reduction
+    o["ts_latest_bucketed"] = o["ts_latest"]
+
+    o["ts_get_data_bucketed"] = o["ts_get_data"]
+
+    o["ts_minmax"] = (
+        P
+        + """
+        SELECT pvname, min(time) AS t_first, max(time) AS t_last,
+               count(*) AS n_points
+        FROM points GROUP BY pvname
+        """
+    )
+
+    o["ts_nchanged"] = (
+        P + f"SELECT event_type, count(*) AS n FROM points WHERE time > {T1} GROUP BY event_type"
+    )
+
+    o["ts_cull_band"] = (
+        P
+        + """,
+        bands AS (
+          SELECT pvname,
+                 quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM points GROUP BY pvname
+        ),
+        numbered AS (
+          SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                 row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                 count(*) OVER (PARTITION BY p.pvname) AS cnt
+          FROM points p JOIN bands b USING (pvname)
+        )
+        SELECT event_id, pvname, time, value FROM numbered
+        WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
+        """
+    )
+
+    # W7 full loop: cull_data iterates cull_pass until ≤ max_points. At
+    # sf0.01 (10 000 rows, max_points=2500) that is exactly 3 passes —
+    # the driver-side loop unrolled as chained CTEs. Valid at sf0.01 only
+    # (the driver's correctness scale); other scales change pass count.
+    def _cull_pass_sql(src: str, dst: str) -> str:
+        return f"""
+        {dst}_bands AS (
+          SELECT pvname, quantile_cont(value, 0.15) AS lo,
+                 quantile_cont(value, 0.85) AS hi
+          FROM {src} GROUP BY pvname
+        ),
+        {dst} AS (
+          SELECT event_id, pvname, time, value FROM (
+            SELECT p.event_id, p.pvname, p.time, p.value, b.lo, b.hi,
+                   row_number() OVER (PARTITION BY p.pvname ORDER BY p.time, p.event_id) AS rn,
+                   count(*) OVER (PARTITION BY p.pvname) AS cnt
+            FROM {src} p JOIN {dst}_bands b USING (pvname)
+          ) WHERE ((rn - 1) % 3 = 0 AND rn < cnt) OR value < lo OR value > hi
+        )"""
+
+    o["ts_cull_full"] = (
+        P
+        + ","
+        + ",".join(
+            _cull_pass_sql(src, dst)
+            for src, dst in (("points", "c1"), ("c1", "c2"), ("c2", "c3"))
+        )
+        + "\nSELECT event_id, pvname, time, value FROM c3"
+    )
+
+    o["ts_deadband"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+        """
+    )
+
+    o["ts_locf_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        )
+        SELECT g.pvname, g.t, p.value
+        FROM grid g
+        ASOF LEFT JOIN points p
+          ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["ts_get_data_bounded"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+          WHERE time < {T0} AND time >= {T0} - {ASOF_LOOKBACK}
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL
+        SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        """
+    )
+
+    o["ts_locf_grid_bounded"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        pp AS (
+          SELECT * FROM points
+          WHERE time >= {T0} - {ASOF_LOOKBACK} AND time <= {T1} + 1e-4
+        )
+        SELECT g.pvname, g.t, p.value
+        FROM grid g
+        ASOF LEFT JOIN pp p
+          ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        """
+    )
+
+    o["ts_sessions"] = (
+        P
+        + f""",
+        flg AS (
+          SELECT pvname, time, event_id,
+                 CASE WHEN lag(time) OVER w IS NULL
+                           OR time - lag(time) OVER w > {SESSION_GAP}
+                      THEN 1 ELSE 0 END AS nf
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        sid AS (
+          SELECT pvname, time,
+                 sum(nf) OVER (PARTITION BY pvname ORDER BY time, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+          FROM flg
+        )
+        SELECT pvname, min(time) AS session_start, max(time) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM sid GROUP BY pvname, sid
+        """
+    )
+
+    o["ts_locf_bucketed"] = o["ts_locf_grid"]
+
+    o["ts_sessions_bucketed"] = o["ts_sessions"]
+
+    o["ts_heartbeat_fill"] = (
+        P
+        + f""",
+        nxt AS (
+          SELECT pvname, time, value,
+                 lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS next_t
+          FROM points
+        ),
+        gaps AS (
+          SELECT pvname, time, value,
+                 CAST(ceil((next_t - time) / {HEARTBEAT}) AS INT) - 1 AS n_fill
+          FROM nxt
+          WHERE next_t IS NOT NULL AND next_t - time > {HEARTBEAT}
+        )
+        SELECT pvname, time, value, FALSE AS is_heartbeat FROM points
+        UNION ALL
+        SELECT g.pvname,
+               g.time + CAST(i.i AS DOUBLE) * {HEARTBEAT} AS time,
+               g.value, TRUE AS is_heartbeat
+        FROM gaps g, LATERAL (SELECT unnest(generate_series(1, g.n_fill)) AS i) i
+        """
+    )
+
+    o["ts_status_activity"] = (
+        P
+        + f"""
+        SELECT event_type,
+               count(*) AS n_total,
+               CAST(sum(CASE WHEN time > {T1} THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+               max(time) AS t_last
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    enum_arr = "['" + "','".join(ENUM_LABELS) + "']"
+
+    o["ts_enum_labels"] = (
+        P
+        + f"""
+        SELECT ({enum_arr})[((CAST(floor(value) AS INT) % 4 + 4) % 4) + 1] AS label,
+               count(*) AS n
+        FROM points GROUP BY 1
+        """
+    )
+
+    # W1 oracle — an independent DuckDB implementation of the sequential
+    # deadtime/deadband/limbo state machine (ref archiver.py:386-414,
+    # executed-behavior semantics: non-saved changes >1 ms go to limbo and
+    # flush one deadtime after the last save) as a recursive CTE: one
+    # recursion step per event per series (depth = longest series, 24 at
+    # sf0.01), kept rows accumulated in a struct list and unnested at the
+    # end. `include_pending` distinguishes the batch operator (end-of-
+    # stream flushes the tail) from the bounded streaming run
+    # (flush_ms=None leaves the tail in state).
+    def _compress_walk(dt: float, db: float, include_pending: bool) -> str:
+        empty = "CAST([] AS STRUCT(t DOUBLE, v DOUBLE)[])"
+        tail = (
+            f"""w.kept || (CASE WHEN w.pend_t IS NOT NULL
+                           THEN [{{'t': w.pend_t, 'v': w.pend_v}}]
+                           ELSE {empty} END)"""
+            if include_pending
+            else "w.kept"
+        )
+        return f"""
+        WITH RECURSIVE {POINTS_ORACLE_CTE},
+        seq AS (
+          SELECT pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time) AS rn
+          FROM points
+        ),
+        walk(pvname, rn, last_t, last_v, pend_t, pend_v, kept) AS (
+          SELECT pvname, rn, time, value,
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+                 [{{'t': time, 'v': value}}]
+          FROM seq WHERE rn = 1
+          UNION ALL
+          SELECT pvname, rn,
+                 CASE WHEN save THEN t ELSE lt1 END,
+                 CASE WHEN save THEN v ELSE lv1 END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN t
+                      WHEN flush THEN NULL ELSE pend_t END,
+                 CASE WHEN save THEN NULL WHEN t > lt1 + 0.001 THEN v
+                      WHEN flush THEN NULL ELSE pend_v END,
+                 kept
+                   || (CASE WHEN flush THEN [{{'t': pend_t, 'v': pend_v}}]
+                            ELSE {empty} END)
+                   || (CASE WHEN save THEN [{{'t': t, 'v': v}}]
+                            ELSE {empty} END)
+          FROM (
+            SELECT i2.*, (t > lt1 + {dt} AND abs(v - lv1) > {db}) AS save
+            FROM (
+              SELECT i1.*,
+                     CASE WHEN flush THEN pend_t ELSE last_t END AS lt1,
+                     CASE WHEN flush THEN pend_v ELSE last_v END AS lv1
+              FROM (
+                SELECT s.pvname, s.rn, s.time AS t, s.value AS v,
+                       w.last_t, w.last_v, w.pend_t, w.pend_v, w.kept,
+                       (w.pend_t IS NOT NULL AND s.time > w.last_t + {dt}) AS flush
+                FROM walk w JOIN seq s ON s.pvname = w.pvname AND s.rn = w.rn + 1
+              ) i1
+            ) i2
+          ) i3
+        ),
+        final AS (
+          SELECT w.pvname, {tail} AS res
+          FROM walk w
+          JOIN (SELECT pvname, max(rn) AS mrn FROM walk GROUP BY pvname) m
+            ON w.pvname = m.pvname AND w.rn = m.mrn
+        )
+        SELECT pvname, r.t AS time, r.v AS value
+        FROM (SELECT pvname, unnest(res) AS r FROM final)
+        """
+
+    o["ts_compress_exact"] = _compress_walk(
+        COMPRESS_DEADTIME, COMPRESS_DEADBAND, include_pending=True
+    )
+
+    # cat_parse_times oracle: the EXECUTED reference parser's outputs at a
+    # frozen clock (tools/gen_parse_time_vectors.py) served as VALUES.
+    from epicsarchiver_spark.functions.parse_time_vectors import PARSE_TIME_VECTORS
+
+    _ptrows = ", ".join(
+        f"(CAST({i} AS BIGINT), {t0!r}, {t1!r})" for i, _, _, t0, t1 in PARSE_TIME_VECTORS
+    )
+
+    # --- LSH plane-family oracles -------------------------------------
+    # The hyperplanes/centroids are a deterministic LCG (similarity.
+    # _hyperplanes), so the "approximate" operators are exactly
+    # reproducible in SQL with the planes embedded as list literals.
+    # Cross-engine float safety: numpy GEMM vs DuckDB list_dot_product
+    # differ by ≤ 9e-16 on this data while the smallest |plane·v| is
+    # 1.4e-4 — eleven orders of magnitude of sign margin (measured at
+    # sf0.01; see tests/test_oracle_parity.py for the standing check).
+    from epicsarchiver_spark.operators.similarity import _hyperplanes
+
+    def _lits(vec) -> str:
+        return "[" + ", ".join(repr(float(x)) for x in vec) + "]"
+
+    def _sig_sql(evar: str, planes) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product({evar}, {_lits(p)}) > 0 THEN {1 << j} ELSE 0 END)"
+            for j, p in enumerate(planes)
+        )
+
+    _bp = _hyperplanes(64, 16, 42)  # banded: n_planes=16, bands=8 → 2 bits/band
+
+    _lp = _hyperplanes(64, 8, 42)  # lsh_bucket_topk: n_planes=8, max_hamming=2
+
+    # ivf_topk: n_cells=8, n_probe=4. Cell scores use the same
+    # ‖c‖² − 2·v·c formula (with ‖c‖² precomputed in python, matching the
+    # UDF's closure constant); probe selection uses the full ‖q−c‖²
+    # ordered by (dist, cell) exactly as the operator's heapq does.
+    _cents = _hyperplanes(64, 8, 42)
+
+    _cnorm = [sum(x * x for x in c) for c in _cents]
+
+    _score_list = "[" + ", ".join(
+        f"{_cnorm[i]!r} - 2 * list_dot_product(e, {_lits(c)})" for i, c in enumerate(_cents)
+    ) + "]"
+
+    _cell_rows = ", ".join(f"({i + 1}, {_lits(c)})" for i, c in enumerate(_cents))
+
+    # ts_cvalue oracle: the reference formatter's own outputs, recorded by
+    # executing ref epicsarchiver/util.py hformat (tools/gen_hformat_vectors.py)
+    # — DuckDB just serves the expected strings back as a VALUES table.
+    from epicsarchiver_spark.functions.hformat_vectors import CVALUE_VECTORS
+
+    _cvrows = ", ".join(
+        "(CAST({} AS BIGINT), '{}')".format(i, exp) for i, _, exp in CVALUE_VECTORS
+    )
+
+    o["ts_cvalue"] = (
+        f"SELECT vec_id, cvalue FROM (VALUES {_cvrows}) AS t(vec_id, cvalue)"
+    )
+
+    # mm_features oracle: re-derive the DeterministicFakeCodec chunk sums in
+    # SQL. Text is ASCII (verified: octet_length == length for every row), so
+    # unicode(char) == payload byte value; np.array_split boundaries are
+    # lo_j = j*(n//8) + min(j, n%8), size_j = n//8 + (j < n%8).
+    _kcols = []
+
+    for _j in range(8):
+        _kcols.append(
+            f"CAST(coalesce(list_aggregate(list_slice(codes, "
+            f"{_j}*(n//8) + least({_j}, n%8) + 1, "
+            f"{_j}*(n//8) + least({_j}, n%8) + (n//8) + (CASE WHEN {_j} < n%8 THEN 1 ELSE 0 END)"
+            f"), 'sum'), 0) % 997 AS BIGINT) AS k{_j}"
+        )
+
+    o["ts_alarm_transitions"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT event_id, pvname, time, value,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS prev
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM lagged
+        WHERE value > {ALARM_TRIP} AND prev IS NOT NULL AND prev <= {ALARM_TRIP}
+        """
+    )
+
+    o["ts_with_current"] = (
+        P
+        + f""",
+        pre AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points WHERE time < {T0}
+        ),
+        latest AS (
+          SELECT event_id, pvname, time, value,
+                 row_number() OVER (PARTITION BY pvname ORDER BY time DESC, event_id DESC) AS rn
+          FROM points
+        )
+        SELECT event_id, pvname, time, value FROM points WHERE time BETWEEN {T0} AND {T1}
+        UNION ALL SELECT event_id, pvname, time, value FROM pre WHERE rn = 1
+        UNION ALL SELECT event_id, pvname, time, value FROM latest WHERE rn = 1
+        """
+    )
+
+    o["ts_daily_rollup"] = (
+        P
+        + """
+        SELECT event_type,
+               strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+               count(*) AS n,
+               round(sum(value), 2) AS sum_value,
+               round(min(value), 2) AS min_value,
+               round(max(value), 2) AS max_value
+        FROM points GROUP BY event_type, day ORDER BY event_type, day
+        """
+    )
+
+    # ROLLUP levels: DuckDB's GROUPING(a, b) bitmask matches Spark's
+    # grouping_id() (first column = MSB); cent sums keep every level's
+    # total exact
+    o["ts_rollup_cube"] = (
+        P
+        + """,
+        b AS (
+          SELECT event_type,
+                 strftime(to_timestamp(time), '%Y-%m-%d') AS day,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 value
+          FROM points
+        )
+        SELECT event_type, day,
+               CAST(GROUPING(event_type, day) AS BIGINT) AS level,
+               count(*) AS n,
+               round(CAST(sum(q) AS DOUBLE) * 0.01, 6) AS sum_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM b GROUP BY ROLLUP (event_type, day)
+        """
+    )
+
+    o["ts_clean_values"] = (
+        P
+        + """
+        SELECT event_type,
+               count(TRY_CAST(value_str AS DOUBLE)) AS n_numeric,
+               round(avg(TRY_CAST(value_str AS DOUBLE)), 6) AS avg_value
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_meta_join"] = (
+        P
+        + """
+        SELECT c_mktsegment,
+               count(*) AS n_points,
+               round(sum(value), 2) AS sum_value
+        FROM points JOIN customer ON pv_id = c_custkey
+        GROUP BY c_mktsegment ORDER BY c_mktsegment
+        """
+    )
+
+    o["ts_percentiles"] = (
+        P
+        + """
+        SELECT event_type,
+               quantile_cont(value, 0.01) AS p01,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.99) AS p99
+        FROM points GROUP BY event_type ORDER BY event_type
+        """
+    )
+
+    o["ts_seasonal_profile"] = (
+        P
+        + """
+        SELECT pvname,
+               CAST(floor(time / 3600) % 24 AS BIGINT) AS hour,
+               count(*) AS n,
+               quantile_cont(value, 0.1) AS p10,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.9) AS p90
+        FROM points GROUP BY 1, 2
+        """
+    )
+
+    o["ts_time_format"] = (
+        P
+        + """
+        SELECT event_id,
+               strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S') AS iso
+        FROM points
+        """
+    )
+
+    # C11 timehash: all lower-hex digits of trunc(t*10000) — trunc, not
+    # round (python int() and Spark's double→long cast both truncate;
+    # DuckDB's CAST rounds, hence the explicit trunc)
+    o["ts_timehash"] = (
+        P
+        + """
+        SELECT event_id,
+               printf('%x', CAST(trunc(time * 10000) AS BIGINT)) AS thash
+        FROM points
+        """
+    )
+
+    o["ts_plot_traces"] = (
+        P
+        + """
+        SELECT pvname,
+               string_agg(strftime(to_timestamp(time), '%Y-%m-%d %H:%M:%S.%g'),
+                          '|' ORDER BY time, value) AS x_iso,
+               string_agg(printf('%.6f', value), '|' ORDER BY time, value) AS y_fmt
+        FROM points
+        WHERE pv_id < 3
+        GROUP BY pvname
+        """
+    )
+
+    o["ts_rate_windowed"] = (
+        P
+        + """
+        SELECT pvname, floor(time / 3600.0) * 3600.0 AS win_start,
+               count(*) AS n_events,
+               round(count(*) / 3600.0, 6) AS events_per_sec
+        FROM points GROUP BY pvname, floor(time / 3600.0) * 3600.0
+        """
+    )
+
+    # --- MinHash / SimHash (basis="md5"): bit-for-bit reproduction -----
+    # Engine and oracle share the md5 token basis: per-token 60-bit hash
+    # (first 15 hex digits of md5 → BIGINT; DuckDB folds hex digits with
+    # shifts), split into two 30-bit lanes, k=2 shingles combined by the
+    # two-lane sliding fold acc=(acc·R+next) mod p — and, for MinHash,
+    # the affine family v=(a·(h mod p)+b) mod p over p=2³¹−1. Every step
+    # is exact BIGINT arithmetic in both engines; no shingle strings.
+    from epicsarchiver_spark.functions.hashing import (
+        LANE_MASK,
+        MERSENNE31,
+        P30_HI,
+        P30_LO,
+        R_HI,
+        R_LO,
+        affine31_params,
+    )
+
+    _P31 = MERSENNE31
+
+    _sig_exprs = ", ".join(
+        f"coalesce(list_min(list_transform(hs, h -> ({a} * (h % {_P31}) + {b}) % {_P31})), {_P31})"
+        for a, b in affine31_params(64)
+    )
+
+    # --- clickstream analytics (operators/events.py) ------------------
+    step_list = ", ".join(f"'{s}'" for s in FUNNEL_STEPS)
+
+    cascade = []
+
+    for i, s in enumerate(FUNNEL_STEPS):
+        if i == 0:
+            cascade.append(
+                f"s0 AS (SELECT user_id, min(t) AS t0 FROM ev"
+                f" WHERE event_type = '{s}' GROUP BY 1)"
+            )
+        else:
+            cascade.append(
+                f"s{i} AS (SELECT user_id, min(t) AS t{i}"
+                f" FROM ev JOIN s{i - 1} USING (user_id)"
+                f" WHERE event_type = '{s}' AND t > t{i - 1} GROUP BY 1)"
+            )
+
+    unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" (SELECT count(*) FROM s{i}) AS n_users"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+
+    lat_unions = "\n        UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS step_name,"
+        f" CAST(count(*) AS BIGINT) AS n_converted,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.5), 6) AS p50_s,"
+        f" round(quantile_cont(t{i} - t{i - 1}, 0.9), 6) AS p90_s,"
+        f" round(avg(t{i} - t{i - 1}), 6) AS mean_s"
+        f" FROM s{i} JOIN s{i - 1} USING (user_id)"
+        for i, s in enumerate(FUNNEL_STEPS)
+        if i > 0
+    )
+
+    # time-weighted LOCF mean; durations quantized to integer µs so the
+    # coverage sum is exact integer math — order-independent across
+    # engines (the float-accumulation low bits would straddle the
+    # 6-decimal rounding otherwise)
+    o["ts_twa"] = (
+        P
+        + f""",
+        seg AS (
+          SELECT pvname, value,
+                 greatest(time, {T0}) AS a,
+                 least(coalesce(lead(time) OVER (PARTITION BY pvname
+                       ORDER BY time, event_id), {T1}), {T1}) AS b
+          FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {ASOF_LOOKBACK}
+        ),
+        q AS (
+          SELECT pvname, value, CAST(round((b - a) * 1e6) AS BIGINT) AS dur_us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname,
+               round(sum(dur_us) / 1e6, 6) AS coverage_s,
+               round(sum(value * dur_us) / sum(dur_us), 6) AS twa
+        FROM q GROUP BY pvname
+        """
+    )
+
+    _DECIMATE_W = (T1 - T0) / 16
+
+    o["ts_decimate"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value, event_id,
+                 {T0} + floor((time - {T0}) / {_DECIMATE_W!r}) * {_DECIMATE_W!r}
+                   AS bucket_start
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        rk AS (
+          SELECT pvname, bucket_start, value,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time, event_id) AS rf,
+                 row_number() OVER (PARTITION BY pvname, bucket_start
+                                    ORDER BY time DESC, event_id DESC) AS rl
+          FROM win
+        )
+        SELECT pvname, bucket_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               max(CASE WHEN rf = 1 THEN value END) AS v_first,
+               min(value) AS v_min,
+               max(value) AS v_max,
+               max(CASE WHEN rl = 1 THEN value END) AS v_last
+        FROM rk GROUP BY pvname, bucket_start
+        """
+    )
+
+    # per-series auto-ranged histogram: closed-form bin edges, all-double
+    # IEEE arithmetic identical in both engines; max clamps into bin 19
+    o["ts_histogram"] = (
+        P
+        + f""",
+        rng AS (
+          SELECT pvname, min(value) AS lo, max(value) AS hi
+          FROM points GROUP BY pvname
+        ),
+        binned AS (
+          SELECT p.pvname,
+                 CASE WHEN r.hi > r.lo
+                      THEN least(CAST(floor((p.value - r.lo) / ((r.hi - r.lo) / {HIST_BINS})) AS BIGINT),
+                                 {HIST_BINS - 1})
+                      ELSE 0 END AS bin,
+                 r.lo AS lo, (r.hi - r.lo) / {HIST_BINS} AS w
+          FROM points p JOIN rng r USING (pvname)
+        )
+        SELECT pvname, bin, lo + bin * w AS bin_lo, lo + (bin + 1) * w AS bin_hi,
+               count(*) AS n
+        FROM binned GROUP BY pvname, bin, lo, w
+        """
+    )
+
+    # median/MAD outliers: DuckDB median == Spark exact median (continuous
+    # interpolation at q=0.5); all comparisons on deterministic doubles
+    o["ts_outliers"] = (
+        P
+        + f""",
+        med AS (SELECT pvname, median(value) AS med FROM points GROUP BY pvname),
+        mad AS (
+          SELECT p.pvname, median(abs(p.value - m.med)) AS mad
+          FROM points p JOIN med m USING (pvname) GROUP BY p.pvname
+        )
+        SELECT p.pvname, p.time, p.value, m.med, d.mad
+        FROM points p JOIN med m USING (pvname) JOIN mad d USING (pvname)
+        WHERE d.mad > 0 AND abs(p.value - m.med) > {OUTLIER_K} * d.mad
+        """
+    )
+
+    # media aHash: 64-chunk average hash over the payload bytes (ASCII
+    # text → unicode(char) == byte, the mm_features precedent); chunk j
+    # covers [n*j//64, n*(j+1)//64) — all-integer bit test 64·s_j > Σs
+    _ah_terms = []
+
+    for _j in range(64):
+        _val = "(-9223372036854775807 - 1)" if _j == 63 else str(1 << _j)
+        _ah_terms.append(
+            f"(CASE WHEN 64 * coalesce(list_aggregate(list_slice(codes, "
+            f"(n * {_j}) // 64 + 1, (n * {_j + 1}) // 64), 'sum'), 0) > total "
+            f"THEN {_val} ELSE 0 END)"
+        )
+
+    # Pearson correlation on the LOCF grid: values quantize to exact
+    # integer cents, the five moment sums are exact integers in both
+    # engines, r is one closed-form double — reproducible bit-for-bit
+    _corr_r = (
+        "CAST(n*sxy - sx*sy AS DOUBLE) / "
+        "(sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE)))"
+    )
+
+    o["ts_correlation"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv_a, b.pvname AS pv_b, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname < b.pvname
+          GROUP BY 1, 2
+        )
+        SELECT pv_a, pv_b, n, round({_corr_r}, 6) AS r
+        FROM s
+        WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+          AND abs({_corr_r}) >= {CORR_MIN_R}
+        """
+    )
+
+    # top-k correlated partners: BOTH-direction pair moments + a ranked
+    # window; ties on |r| break by partner name, mirroring the kernel's
+    # lexsort
+    o["ts_related_corr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, string_split(g.pvname, ':')[-1] AS blk, g.t,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        s AS (
+          SELECT a.pvname AS pv, b.pvname AS partner, count(*) AS n,
+                 sum(a.q) AS sx, sum(b.q) AS sy, sum(a.q * b.q) AS sxy,
+                 sum(a.q * a.q) AS sxx, sum(b.q * b.q) AS syy
+          FROM lg a JOIN lg b
+            ON a.blk = b.blk AND a.t = b.t AND a.pvname <> b.pvname
+          GROUP BY 1, 2
+        ),
+        v AS (
+          SELECT pv, partner, n, {_corr_r} AS r
+          FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        ),
+        rk AS (
+          SELECT pv, partner, n, r,
+                 row_number() OVER (PARTITION BY pv ORDER BY abs(r) DESC, partner) AS rn
+          FROM v
+        )
+        SELECT pv, partner, n, round(r, 6) AS r FROM rk WHERE rn <= 3
+        """
+    )
+
+    def _pq_dist(var: str, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"({var}[{i + 1}] - ({c}))*({var}[{i + 1}] - ({c}))"
+            for i, c in enumerate(cent)
+        ) + ")"
+
+    # ranking metrics with the SAME python-computed integer discount
+    # table the operator embeds (no engine log2 in the DCG sums)
+    from epicsarchiver_spark.operators.text_ops import dcg_discounts as _dcg_disc
+
+    _disc20 = "[" + ", ".join(str(x) for x in _dcg_disc(20)) + "]"
+
+    o["ts_compression_report"] = (
+        P
+        + f""",
+        lagged AS (
+          SELECT pvname, time, value,
+                 lag(time)  OVER (PARTITION BY pvname ORDER BY time, event_id) AS pt,
+                 lag(value) OVER (PARTITION BY pvname ORDER BY time, event_id) AS pv
+          FROM points
+        ),
+        k AS (
+          SELECT pvname, count(*) AS n_kept FROM lagged
+          WHERE pt IS NULL OR time - pt >= {DEADTIME} OR abs(value - pv) > {DEADBAND}
+          GROUP BY pvname
+        ),
+        r AS (SELECT pvname, count(*) AS n_raw FROM points GROUP BY pvname)
+        SELECT pvname, n_raw, n_kept,
+               round(CAST(n_kept AS DOUBLE) / n_raw, 6) AS keep_ratio
+        FROM r JOIN k USING (pvname)
+        """
+    )
+
+    # level-shift detection: exact integer-cent frame sums; the mean is
+    # cast→×0.01→/w, the same explicit double chain as the engine
+    _ms = f"CAST(sb AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+
+    _ma = f"CAST(sa AS DOUBLE) * 0.01 / {float(SHIFT_WINDOW)}"
+
+    o["ts_level_shifts"] = (
+        P
+        + f""",
+        framed AS (
+          SELECT pvname, time, value,
+                 count(*) OVER wb AS nb, sum(q) OVER wb AS sb,
+                 count(*) OVER wa AS na, sum(q) OVER wa AS sa
+          FROM (
+            SELECT pvname, time, event_id, value,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points
+          )
+          WINDOW wb AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN {SHIFT_WINDOW} PRECEDING AND 1 PRECEDING),
+                 wa AS (PARTITION BY pvname ORDER BY time, event_id
+                        ROWS BETWEEN CURRENT ROW AND {SHIFT_WINDOW - 1} FOLLOWING)
+        )
+        SELECT pvname, time, value,
+               {_ms} AS mean_before, {_ma} AS mean_after,
+               {_ma} - {_ms} AS shift
+        FROM framed
+        WHERE nb = {SHIFT_WINDOW} AND na = {SHIFT_WINDOW}
+          AND abs({_ma} - {_ms}) > {SHIFT_THRESHOLD}
+        """
+    )
+
+    # monotone-ramp detection: gaps-and-islands over integer-cent step
+    # signs — run boundaries, counts, and deltas all integer-exact
+    o["ts_ramps"] = (
+        P
+        + f""",
+        stepped AS (
+          SELECT pvname, time, event_id,
+                 lag(time) OVER w AS pt,
+                 CAST(round(value / 0.01) AS BIGINT)
+                   - lag(CAST(round(value / 0.01) AS BIGINT)) OVER w AS dq
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        st AS (SELECT * FROM stepped WHERE dq IS NOT NULL),
+        fl AS (
+          SELECT pvname, CAST(sign(dq) AS INT) AS direction, time, event_id, pt, dq,
+                 CASE WHEN lag(CAST(sign(dq) AS INT)) OVER w2 IS NULL
+                        OR lag(CAST(sign(dq) AS INT)) OVER w2 <> CAST(sign(dq) AS INT)
+                      THEN 1 ELSE 0 END AS newrun
+          FROM st
+          WINDOW w2 AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        runs AS (
+          SELECT *, sum(newrun) OVER (
+            PARTITION BY pvname ORDER BY time, event_id ROWS UNBOUNDED PRECEDING
+          ) AS grp
+          FROM fl
+        )
+        SELECT pvname, direction, min(pt) AS t_start, max(time) AS t_end,
+               count(*) AS n_steps, CAST(sum(dq) AS DOUBLE) / 100.0 AS delta
+        FROM runs WHERE direction <> 0
+        GROUP BY pvname, direction, grp
+        HAVING count(*) >= {RAMP_MIN_STEPS}
+        """
+    )
+
+    # liveness coverage: live segment per point = [max(t, T0),
+    # min(t+HB, next, T1)); µs-quantized sums, same discipline as ts_twa
+    o["ts_availability"] = (
+        P
+        + f""",
+        pruned AS (
+          SELECT pvname, time, event_id FROM points
+          WHERE time < {T1} - 1e-4 AND time >= {T0} - {HEARTBEAT}
+        ),
+        seg AS (
+          SELECT pvname,
+                 greatest(time, {T0}) AS a,
+                 least(time + {HEARTBEAT},
+                       coalesce(lead(time) OVER (PARTITION BY pvname ORDER BY time, event_id), {T1}),
+                       {T1}) AS b
+          FROM pruned
+        ),
+        d AS (
+          SELECT pvname, CAST(round((b - a) * 1e6) AS BIGINT) AS us
+          FROM seg WHERE b > a
+        )
+        SELECT pvname, round(sum(us) / 1e6, 6) AS covered_s,
+               round(sum(us) / 1e6 / {T1 - T0}, 6) AS uptime
+        FROM d GROUP BY pvname
+        """
+    )
+
+    # least-squares drift: second-quantized times offset from T0,
+    # integer-cent values → exact BIGINT moments, closed-form double slope
+    o["ts_drift"] = (
+        P
+        + f""",
+        s AS (
+          SELECT pvname, count(*) AS n,
+                 sum(t) AS st, sum(q) AS sq, sum(t * q) AS stq, sum(t * t) AS stt
+          FROM (
+            SELECT pvname,
+                   CAST(floor(time) - {int(T0)} AS BIGINT) AS t,
+                   CAST(round(value / 0.01) AS BIGINT) AS q
+            FROM points WHERE time >= {T0} AND time <= {T1}
+          ) GROUP BY pvname
+        )
+        SELECT pvname, n,
+               CAST(n * stq - st * sq AS DOUBLE) / CAST(n * stt - st * st AS DOUBLE)
+                 * 0.01 * 86400.0 AS slope_per_day
+        FROM s WHERE n * stt - st * st > 0
+        """
+    )
+
+    # span-8 EWMA, α=1/4: weights are the exact integers 3^age·4^(7−age)
+    # (same table the operator embeds — no float pow), sums are BIGINT,
+    # one double division at the end
+    _ewma_wt = "[" + ", ".join(str(3**a * 4 ** (7 - a)) for a in range(8)) + "]"
+
+    o["ts_ewma"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        )
+        SELECT pvname, time, value,
+               round(CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> arr[i] * wt[len(arr) - i + 1])) AS DOUBLE)
+                     / CAST(list_sum(list_transform(range(1, len(arr) + 1),
+                            i -> wt[i])) AS DOUBLE) * 0.01, 6) AS ewma
+        FROM (SELECT *, {_ewma_wt} AS wt FROM win)
+        """
+    )
+
+    # the bucketed-catalog lane answers the SAME question (zero-Exchange
+    # plan pinned in tests/test_points_store.py)
+    o["ts_ewma_bucketed"] = o["ts_ewma"]
+
+    # windowed Holt: the SAME exact-integer literal tables the engine
+    # consumes (level/trend numerators per window length over a common
+    # denominator), replayed through DuckDB list lambdas
+    from epicsarchiver_spark.operators.timeseries import _holt_tables
+
+    def _holt_r6(x: str) -> str:
+        # 6-dp rounding as the same explicit IEEE ops the engine runs
+        # (floor(|x|·1e6+0.5)·sign/1e6) — round() disagrees with Spark
+        # on the exact decimal .5 ties these power-of-two denominators
+        # produce (see holt_linear)
+        return f"floor(abs({x}) * 1000000 + 0.5) * sign({x}) / 1000000"
+
+    _WL, _WB, _DEN = _holt_tables(1, 4, 1, 4, 8)
+
+    _wl_sql = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _WL) + "]"
+
+    _wb_sql = "[" + ", ".join("[" + ", ".join(map(str, r)) + "]" for r in _WB) + "]"
+
+    _dn_sql = "[" + ", ".join(map(str, _DEN)) + "]"
+
+    _dotl = "list_sum(list_transform(range(1, len(arr) + 1), i -> arr[i] * wl[len(arr)][i]))"
+
+    _dotb = "list_sum(list_transform(range(1, len(arr) + 1), i -> arr[i] * wb[len(arr)][i]))"
+
+    o["ts_holt_linear"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        ),
+        t AS (SELECT *, {_wl_sql} AS wl, {_wb_sql} AS wb, {_dn_sql} AS dn
+              FROM win)
+        SELECT pvname, time, value,
+               {_holt_r6(f"CAST({_dotl} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS level,
+               {_holt_r6(f"CAST({_dotb} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS trend,
+               {_holt_r6(f"CAST({_dotl} + 1 * {_dotb} AS DOUBLE) / CAST(dn[len(arr)] AS DOUBLE) * 0.01")} AS forecast
+        FROM t
+        """
+    )
+
+    # SAX: the same exact-integer per-series moments and per-segment
+    # sums, the same fixed IEEE op order and explicit 6-dp rounding,
+    # the same literal gaussian breakpoints — symbol CASE mirrors the
+    # operator's when-chain on the ROUNDED paa
+    _sax_r6 = "floor(abs(praw) * 1000000 + 0.5) * sign(praw) / 1000000"
+
+    o["ts_sax"] = (
+        P
+        + f""",
+        b AS (
+          SELECT pvname, CAST(round(value / 0.01) AS BIGINT) AS q,
+                 row_number() OVER (PARTITION BY pvname
+                                    ORDER BY time, event_id) - 1 AS rk
+          FROM points
+        ),
+        m AS (
+          SELECT pvname, CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(q) AS BIGINT) AS sq,
+                 CAST(sum(q * q) AS BIGINT) AS sqq
+          FROM b GROUP BY pvname
+        ),
+        ms AS (
+          SELECT pvname, n_s, CAST(sq AS DOUBLE) / n_s AS mu,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n_s
+                      - (CAST(sq AS DOUBLE) / n_s) * (CAST(sq AS DOUBLE) / n_s),
+                      0.0)) AS sig
+          FROM m
+        ),
+        ss AS (
+          SELECT b.pvname, CAST(floor(rk * 8 / n_s) AS BIGINT) AS segment,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssum
+          FROM b JOIN ms USING (pvname)
+          GROUP BY b.pvname, CAST(floor(rk * 8 / n_s) AS BIGINT)
+        ),
+        j AS (
+          SELECT ss.pvname, segment, n,
+                 CASE WHEN sig > 0
+                      THEN (CAST(ssum AS DOUBLE) / n - mu) / sig
+                      ELSE 0.0 END AS praw
+          FROM ss JOIN ms USING (pvname)
+        ),
+        r AS (SELECT pvname, segment, n, {_sax_r6} AS paa FROM j)
+        SELECT pvname, segment, n, paa,
+               CASE WHEN paa < -0.6744897501960817 THEN 'a'
+                    WHEN paa < 0.0 THEN 'b'
+                    WHEN paa < 0.6744897501960817 THEN 'c'
+                    ELSE 'd' END AS symbol
+        FROM r
+        """
+    )
+
+    # salted two-stage aggregate ≡ the plain group-by — the oracle IS the
+    # unsalted form, which is the whole correctness claim
+    o["ts_skew_counts"] = (
+        P
+        + """
+        SELECT pvname, count(*) AS n_points, min(time) AS t_first,
+               max(time) AS t_last
+        FROM points GROUP BY pvname
+        """
+    )
+
+    # linear-interpolation grid: the union-tag windows mirrored with
+    # IGNORE NULLS last/first; arithmetic uses the raw probe instant
+    o["ts_interp_grid"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        u AS (
+          SELECT pvname, time AS _t, 0 AS ip, event_id AS eid,
+                 time AS ptt, value AS ptv, CAST(NULL AS DOUBLE) AS t
+          FROM points WHERE time <= {T1} + 1e-4
+          UNION ALL
+          SELECT pvname, t + 1e-4 AS _t, 1 AS ip, CAST(NULL AS BIGINT),
+                 CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), t
+          FROM grid
+        ),
+        f AS (
+          SELECT pvname, ip, t,
+                 last_value(ptt IGNORE NULLS) OVER wp AS t0,
+                 last_value(ptv IGNORE NULLS) OVER wp AS v0,
+                 first_value(ptt IGNORE NULLS) OVER wn AS t1,
+                 first_value(ptv IGNORE NULLS) OVER wn AS v1
+          FROM u
+          WINDOW wp AS (PARTITION BY pvname ORDER BY _t, ip, eid
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 wn AS (PARTITION BY pvname ORDER BY _t, ip, eid
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        )
+        SELECT pvname, t,
+               round(CASE WHEN v0 IS NULL THEN NULL
+                          WHEN v1 IS NULL OR t1 <= t0 THEN v0
+                          ELSE v0 + (v1 - v0) * ((t - t0) / (t1 - t0)) END, 6) AS value
+        FROM f WHERE ip = 1
+        """
+    )
+
+    # autocorrelation at grid lag 1: same grid + exact-integer moments;
+    # the shifted pair is lead over the dense grid row order
+    o["ts_autocorr"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        pr AS (
+          SELECT pvname, q AS qa,
+                 lead(q, 1) OVER (PARTITION BY pvname ORDER BY t) AS qb
+          FROM lg
+        ),
+        s AS (
+          SELECT pvname, count(*) AS n, sum(qa) AS sx, sum(qb) AS sy,
+                 sum(qa * qb) AS sxy, sum(qa * qa) AS sxx, sum(qb * qb) AS syy
+          FROM pr WHERE qb IS NOT NULL GROUP BY pvname
+        )
+        SELECT pvname, n, round({_corr_r}, 6) AS r
+        FROM s WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        """
+    )
+
+    o["ts_seasonal"] = (
+        P
+        + """
+        SELECT event_type,
+               CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+               count(*) AS n,
+               CAST(sum(CAST(round(value / 0.01) AS BIGINT)) AS DOUBLE)
+                 / (100.0 * count(*)) AS avg_value
+        FROM points GROUP BY 1, 2
+        """
+    )
+
+    o["ts_auto_ylog"] = (
+        P
+        + """,
+        s AS (
+          SELECT pvname,
+                 list_sort(list(value) FILTER (WHERE value > 1e-150)) AS arr,
+                 min(value) AS mn
+          FROM points GROUP BY pvname
+        )
+        SELECT pvname,
+               CASE WHEN len(arr) > 0 AND mn >= 0
+                         AND arr[CAST(floor(0.99 * (len(arr) - 1)) AS INT) + 1]
+                             > 200 * arr[CAST(floor(0.01 * (len(arr) - 1)) AS INT) + 1]
+                    THEN TRUE ELSE FALSE END AS ylog
+        FROM s
+        """
+    )
+
+    o["ts_overlap_dedup"] = (
+        P
+        + f"""
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0} AND {T1}
+        UNION
+        SELECT event_id, pvname, time, value FROM points
+        WHERE time BETWEEN {T0 - 4 * 86400} AND {T0 + 4 * 86400}
+        """
+    )
+
+    o["ts_rolling_outliers"] = (
+        P
+        + """,
+        buf AS (
+          SELECT pvname, time, value,
+                 list_sort(list(value) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)) AS arr
+          FROM points
+        ),
+        m AS (
+          SELECT pvname, time, value, arr, len(arr) AS n_win,
+                 arr[(len(arr) + 1) // 2] AS med
+          FROM buf
+        ),
+        d AS (
+          SELECT pvname, time, value, n_win, med,
+                 list_sort(list_transform(arr, x -> abs(x - med)))[(n_win + 1) // 2] AS mad
+          FROM m
+        )
+        SELECT pvname, time, value, med, mad, CAST(n_win AS INT) AS n_win
+        FROM d WHERE mad > 0 AND abs(value - med) > 5.0 * mad
+        """
+    )
+
+    o["ts_largest_gaps"] = (
+        P
+        + """,
+        g AS (
+          SELECT pvname,
+                 lag(time) OVER (PARTITION BY pvname ORDER BY time, event_id) AS gap_start,
+                 time AS gap_end
+          FROM points
+        ),
+        r AS (
+          SELECT pvname, gap_start, gap_end,
+                 row_number() OVER (
+                   PARTITION BY pvname
+                   ORDER BY gap_end - gap_start DESC, gap_start) AS rk
+          FROM g WHERE gap_start IS NOT NULL
+        )
+        SELECT pvname, gap_start, gap_end,
+               round(gap_end - gap_start, 6) AS gap_s, CAST(rk AS INTEGER) AS rk
+        FROM r WHERE rk <= 3
+        """
+    )
+
+    o["ts_health_report"] = f"""
+        WITH av AS (SELECT pvname, uptime FROM ({o["ts_availability"]})),
+        dr AS (SELECT pvname, slope_per_day FROM ({o["ts_drift"]})),
+        cp AS (SELECT pvname, n_raw, keep_ratio FROM ({o["ts_compression_report"]})),
+        gp AS (
+          SELECT pvname, gap_s AS max_gap_s FROM ({o["ts_largest_gaps"]})
+          WHERE rk = 1
+        ),
+        spine AS (SELECT DISTINCT pvname FROM ({P} SELECT pvname FROM points))
+        SELECT s.pvname, cp.n_raw, cp.keep_ratio, av.uptime,
+               dr.slope_per_day, gp.max_gap_s
+        FROM spine s
+        LEFT JOIN cp USING (pvname)
+        LEFT JOIN av USING (pvname)
+        LEFT JOIN dr USING (pvname)
+        LEFT JOIN gp USING (pvname)
+        """
+
+    o["ts_lttb"] = (
+        P
+        + f""",
+        pts AS (
+          SELECT pvname, time, value, event_id,
+                 CAST(floor((time - {T0}) / 21600.0) AS BIGINT) AS b,
+                 CAST(round(time * 1e6) AS BIGINT) AS tus,
+                 CAST(round(value * 100) AS BIGINT) AS vc
+          FROM points WHERE time >= {T0} AND time < {T1}
+        ),
+        bav AS (
+          SELECT pvname, b, sum(tus) AS st, sum(vc) AS sv, count(*) AS n
+          FROM pts GROUP BY pvname, b
+        ),
+        anch AS (
+          SELECT pvname, b, CAST(n AS BIGINT) AS n_in_bucket,
+                 lag(st) OVER w / lag(n) OVER w / 1e6 AS pax,
+                 lag(sv) OVER w / lag(n) OVER w / 100.0 AS pay,
+                 lead(st) OVER w / lead(n) OVER w / 1e6 AS nax,
+                 lead(sv) OVER w / lead(n) OVER w / 100.0 AS nay
+          FROM bav WINDOW w AS (PARTITION BY pvname ORDER BY b)
+        ),
+        ranked AS (
+          SELECT p.pvname, p.b, p.time, p.value, a.n_in_bucket,
+                 row_number() OVER (
+                   PARTITION BY p.pvname, p.b
+                   ORDER BY round(abs((a.pax - a.nax) * (p.value - a.pay)
+                                      - (a.pax - p.time) * (a.nay - a.pay)), 6)
+                            DESC NULLS LAST,
+                            p.time, p.event_id
+                 ) AS rk
+          FROM pts p JOIN anch a USING (pvname, b)
+        )
+        SELECT pvname, b AS bucket, time, value, n_in_bucket
+        FROM ranked WHERE rk = 1
+        """
+    )
+
+    o["ts_grid_pivot"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points
+                WHERE pvname IN ('EV:0:click', 'EV:0:view',
+                                 'EV:7:view', 'EV:101:error')) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, p.value AS v
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+        )
+        SELECT t,
+               max(CASE WHEN pvname = 'EV:0:click' THEN v END) AS v0,
+               max(CASE WHEN pvname = 'EV:0:view' THEN v END) AS v1,
+               max(CASE WHEN pvname = 'EV:7:view' THEN v END) AS v2,
+               max(CASE WHEN pvname = 'EV:101:error' THEN v END) AS v3
+        FROM lg GROUP BY t ORDER BY t
+        """
+    )
+
+    o["ts_flatlines"] = (
+        P
+        + """,
+        fl AS (
+          SELECT pvname, time, event_id,
+                 CAST(round(value / 0.01) AS BIGINT) AS q,
+                 CASE WHEN lag(CAST(round(value / 0.01) AS BIGINT)) OVER w
+                           IS DISTINCT FROM CAST(round(value / 0.01) AS BIGINT)
+                      THEN 1 ELSE 0 END AS chg
+          FROM points
+          WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)
+        ),
+        r2 AS (
+          SELECT pvname, time,
+                 sum(chg) OVER (PARTITION BY pvname ORDER BY time, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+          FROM fl
+        ),
+        isl AS (
+          SELECT pvname, run, count(*) AS n, max(time) - min(time) AS span
+          FROM r2 GROUP BY pvname, run
+        ),
+        sel AS (
+          SELECT pvname, span, row_number() OVER (
+                   PARTITION BY pvname ORDER BY n DESC, span DESC
+                 ) AS rn
+          FROM isl
+        ),
+        agg AS (
+          SELECT pvname,
+                 CAST(sum(n) AS BIGINT) AS n_points,
+                 CAST(max(n) AS BIGINT) AS longest_run,
+                 CAST(sum(CASE WHEN n >= 3 AND span >= 60.0
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_stuck_runs,
+                 max(n >= 3 AND span >= 60.0) AS stuck
+          FROM isl GROUP BY pvname
+        )
+        SELECT agg.pvname, n_points, longest_run,
+               round(sel.span, 6) AS longest_run_s, n_stuck_runs, stuck
+        FROM agg JOIN sel ON agg.pvname = sel.pvname AND sel.rn = 1
+        """
+    )
+
+    o["ts_seasonal_anomalies"] = (
+        P
+        + """,
+        b AS (
+          SELECT pvname, time, value,
+                 CAST(floor(time / 3600) AS BIGINT) % 24 AS hour,
+                 CAST(round(value / 0.01) AS BIGINT) AS q
+          FROM points
+        ),
+        base AS (
+          SELECT pvname AS bk, hour AS bh,
+                 CAST(sum(q) AS DOUBLE) / count(*) AS bq
+          FROM b GROUP BY 1, 2
+        ),
+        resid AS (
+          SELECT b.pvname, b.time, b.value, (b.q - base.bq) * 0.01 AS residual
+          FROM b JOIN base ON b.pvname = bk AND b.hour = bh
+        ),
+        med AS (SELECT pvname, median(residual) AS m FROM resid GROUP BY 1),
+        wm AS (SELECT r.*, m FROM resid r JOIN med USING (pvname)),
+        md AS (
+          SELECT pvname, median(abs(residual - m)) AS d
+          FROM wm GROUP BY pvname
+        )
+        SELECT wm.pvname, time, value,
+               round(residual, 6) AS residual,
+               round(m, 6) AS med, round(d, 6) AS mad
+        FROM wm JOIN md USING (pvname)
+        WHERE d > 0 AND abs(residual - m) > 5.0 * d
+        """
+    )
+
+    _xp_vals = ", ".join(f"('{x}', '{y}')" for x, y in _XCORR_PAIRS)
+
+    o["ts_xcorr_lag"] = (
+        P
+        + f""",
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname,
+                 CAST((g.t - {T0}) / {GRID_STEP} AS BIGINT) AS i,
+                 CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        prs(pv_a, pv_b) AS (VALUES {_xp_vals}),
+        lagset AS (SELECT CAST(l.range AS INTEGER) AS lag FROM range(-3, 4) l),
+        pal AS (
+          SELECT pv_a, pv_b, lag, i + lag AS j, q AS qa
+          FROM lg JOIN prs ON pvname = pv_a CROSS JOIN lagset
+        ),
+        jj AS (
+          SELECT pal.pv_a, pal.pv_b, pal.lag, pal.qa, b.q AS qb
+          FROM pal JOIN lg b ON b.pvname = pal.pv_b AND b.i = pal.j
+        ),
+        s AS (
+          SELECT pv_a, pv_b, lag, count(*) AS n,
+                 sum(qa) AS sx, sum(qb) AS sy, sum(qa*qb) AS sxy,
+                 sum(qa*qa) AS sxx, sum(qb*qb) AS syy
+          FROM jj GROUP BY 1, 2, 3
+        ),
+        sc AS (
+          SELECT pv_a, pv_b, lag, n, {_corr_r} AS rr
+          FROM s
+          WHERE n >= 2 AND n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT pv_a, pv_b, lag, n, round(rr, 6) AS r,
+               row_number() OVER (
+                 PARTITION BY pv_a, pv_b ORDER BY abs(rr) DESC, lag
+               ) = 1 AS best
+        FROM sc
+        """
+    )
+
+    # --- iSAX similarity + HOT-SAX discords (timeseries.sax_topk /
+    # sax_discords): the ts_sax exact-integer device on the LOCF grid
+    # (words comparable across series), word equi-join nomination fenced
+    # to SAX_NCAND names, exact Pearson re-rank; discords rank windows
+    # by per-series word rarity ---
+    from epicsarchiver_spark.operators.timeseries import _SAX_BREAKPOINTS
+
+    _sax_bps = _SAX_BREAKPOINTS[SAX_ALPHABET]
+
+    _sax_letters = "abcdefgh"[:SAX_ALPHABET]
+
+    def _sax_case(paa: str) -> str:
+        arms = " ".join(
+            f"WHEN {paa} < {bp!r} THEN '{_sax_letters[i]}'"
+            for i, bp in enumerate(_sax_bps)
+        )
+        return f"CASE {arms} ELSE '{_sax_letters[len(_sax_bps)]}' END"
+
+    _sax_word_ctes = f"""
+        grid AS (
+          SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
+          FROM (SELECT DISTINCT pvname FROM points) k
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+        ),
+        lg AS (
+          SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
+          FROM grid g
+          ASOF LEFT JOIN points p
+            ON g.pvname = p.pvname AND p.time <= g.t + 1e-4
+          WHERE p.value IS NOT NULL
+        ),
+        wb AS (
+          SELECT pvname, q,
+                 row_number() OVER (PARTITION BY pvname ORDER BY t) - 1 AS rk
+          FROM lg
+        ),
+        wm AS (
+          SELECT pvname, CAST(count(*) AS BIGINT) AS n_s,
+                 CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq
+          FROM wb GROUP BY 1
+        ),
+        wms AS (
+          SELECT pvname, n_s, CAST(sq AS DOUBLE) / n_s AS mu,
+                 sqrt(greatest(CAST(sqq AS DOUBLE) / n_s
+                      - (CAST(sq AS DOUBLE) / n_s) * (CAST(sq AS DOUBLE) / n_s),
+                      0.0)) AS sig
+          FROM wm
+        ),
+        wss AS (
+          SELECT wb.pvname,
+                 CAST(floor(rk * {SAX_SEGMENTS} / n_s) AS BIGINT) AS segment,
+                 CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssum
+          FROM wb JOIN wms USING (pvname)
+          GROUP BY 1, 2
+        ),
+        wj AS (
+          SELECT wss.pvname, segment,
+                 CASE WHEN sig > 0
+                      THEN (CAST(ssum AS DOUBLE) / n - mu) / sig
+                      ELSE 0.0 END AS praw
+          FROM wss JOIN wms USING (pvname)
+        ),
+        wr AS (SELECT pvname, segment,
+                      floor(abs(praw) * 1000000 + 0.5) * sign(praw) / 1000000 AS paa
+               FROM wj),
+        w AS (SELECT pvname, string_agg({_sax_case('paa')}, '' ORDER BY segment) AS word
+              FROM wr GROUP BY 1)
+    """
+
+    o["ts_sax_topk"] = (
+        P
+        + f""",
+        {_sax_word_ctes},
+        qw AS (SELECT word FROM w WHERE pvname = '{SAX_QUERY_PV}'),
+        cand AS (SELECT w.pvname FROM w, qw
+                 WHERE w.word = qw.word AND w.pvname <> '{SAX_QUERY_PV}'
+                 ORDER BY w.pvname LIMIT {SAX_NCAND}),
+        qg AS (SELECT t, q AS qa FROM lg WHERE pvname = '{SAX_QUERY_PV}'),
+        cg AS (SELECT lg.pvname, lg.t, lg.q FROM lg JOIN cand USING (pvname)),
+        cs AS (
+          SELECT cg.pvname, CAST(count(*) AS BIGINT) AS n, sum(qa) AS sx,
+                 sum(cg.q) AS sy, sum(qa * cg.q) AS sxy,
+                 sum(qa * qa) AS sxx, sum(cg.q * cg.q) AS syy
+          FROM cg JOIN qg USING (t) GROUP BY 1
+        ),
+        cv AS (
+          SELECT pvname, n, {_corr_r} AS r FROM cs
+          WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT pvname, (SELECT word FROM qw) AS word, n, round(r, 6) AS r
+        FROM cv ORDER BY abs(r) DESC, pvname LIMIT {SAX_TOPK}
+        """
+    )
+
+    # the indexed lane reads the SAME words back from the persisted
+    # artifact — numerically identical by construction
+    o["ts_sax_topk_indexed"] = o["ts_sax_topk"]
+
+    _dw, _dss = DISCORD_WINDOW, DISCORD_WINDOW // SAX_SEGMENTS
+
+    _d_sum = "CAST(list_aggregate(arr, 'sum') AS DOUBLE)"
+
+    _d_seg_words = []
+
+    for _j in range(SAX_SEGMENTS):
+        _seg_avg = (
+            f"CAST(list_aggregate(arr[{_j * _dss + 1}:{(_j + 1) * _dss}], 'sum')"
+            f" AS DOUBLE) / {float(_dss)}"
+        )
+        _praw = f"CASE WHEN sig > 0 THEN ({_seg_avg} - mu) / sig ELSE 0.0 END"
+        _paa = f"floor(abs({_praw}) * 1000000 + 0.5) * sign({_praw}) / 1000000"
+        _d_seg_words.append(_sax_case(_paa))
+
+    _d_word = " || ".join(_d_seg_words)
+
+    o["ts_discords"] = (
+        P
+        + f""",
+        fr AS (
+          SELECT pvname, time,
+                 list(CAST(round(value / 0.01) AS BIGINT))
+                   OVER (PARTITION BY pvname ORDER BY time, event_id
+                         ROWS BETWEEN CURRENT ROW AND {_dw - 1} FOLLOWING) AS arr
+          FROM points WHERE value IS NOT NULL
+        ),
+        fw AS (SELECT * FROM fr WHERE len(arr) = {_dw}),
+        mom AS (
+          SELECT pvname, time, arr, {_d_sum} / {float(_dw)} AS mu,
+                 sqrt(greatest(
+                   CAST(list_aggregate(list_transform(arr, x -> x * x), 'sum')
+                        AS DOUBLE) / {float(_dw)}
+                   - ({_d_sum} / {float(_dw)}) * ({_d_sum} / {float(_dw)}),
+                   0.0)) AS sig
+          FROM fw
+        ),
+        worded AS (SELECT pvname, time, {_d_word} AS word FROM mom),
+        dcounts AS (SELECT pvname, word, CAST(count(*) AS BIGINT) AS word_count
+                    FROM worded GROUP BY 1, 2),
+        drk AS (
+          SELECT dw.pvname, dw.time, dw.word, dc.word_count,
+                 row_number() OVER (PARTITION BY dw.pvname
+                                    ORDER BY dc.word_count ASC, dw.time ASC,
+                                             dw.word ASC) AS rank
+          FROM worded dw JOIN dcounts dc USING (pvname, word)
+        )
+        SELECT pvname, time, word, word_count, CAST(rank AS BIGINT) AS rank
+        FROM drk WHERE rank <= {DISCORD_K}
+        """
+    )
