@@ -904,39 +904,20 @@ def sax_topk(
     )
 
 
-def sax_discords(
+def sax_window_words(
     points: DataFrame,
     window: int = 16,
     n_segments: int = 4,
     alphabet: int = 4,
-    k: int = 3,
     quantum: float = 0.01,
     key: str = "pvname",
 ) -> DataFrame:
-    """HOT-SAX-style discord detection (Keogh/Lin/Fu): the top-``k``
-    most anomalous length-``window`` subsequences per series, ranked
-    by the RARITY of their SAX word within that series — a
-    subsequence whose shape recurs gets a common word; the one-off
-    transient gets a word (almost) nobody else has. The anomaly
-    consumer of :func:`sax_symbols`, completing the outlier family
-    next to robust/rolling/seasonal/level-shift.
-
-    Each full window z-normalizes against its OWN exact-integer
-    moments (Σq, Σq² BIGINTs over the frame), PAA-averages
-    ``n_segments`` equal slices, maps to letters via the literal
-    gaussian breakpoints (same explicit 6-dp rounding as
-    :func:`sax_symbols` — engine-identical words), then words are
-    counted per series and windows ranked (count asc, start time asc).
-    Classic HOT-SAX uses the rare-word heuristic to ORDER a search
-    whose final metric is exact-NN distance; at archive scale the word
-    count itself is the certified, shuffle-cheap anomaly score, and an
-    exact-distance confirm is a bounded re-read of the k winners.
-    Returns ``(key, time, word, word_count, rank)``.
-
-    Scale shape: one series-keyed sort window builds the frame arrays,
-    PAA/letters are per-row higher-order expressions in codegen, the
-    word count is one series×word-keyed aggregate joined back — no
-    pair space, nothing corpus-ordered."""
+    """The per-window SAX word lane under :func:`sax_discords` (and the
+    batch twin of ``streaming.alerts.discord_stream``): every full
+    length-``window`` subsequence, z-normalized against its OWN
+    exact-integer moments, PAA-averaged into ``n_segments`` equal
+    slices and lettered via the literal gaussian breakpoints. Returns
+    ``(key, time, word)`` — ``time`` is the window's start row."""
     if window % n_segments:
         raise ValueError("window must be divisible by n_segments")
     if alphabet not in _SAX_BREAKPOINTS:
@@ -994,9 +975,43 @@ def sax_discords(
         )
         for j in range(n_segments)
     ]
-    worded = framed.select(
-        F.col(key), F.col("time"), F.concat(*segs).alias("word")
-    )
+    return framed.select(F.col(key), F.col("time"), F.concat(*segs).alias("word"))
+
+
+def sax_discords(
+    points: DataFrame,
+    window: int = 16,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    k: int = 3,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """HOT-SAX-style discord detection (Keogh/Lin/Fu): the top-``k``
+    most anomalous length-``window`` subsequences per series, ranked
+    by the RARITY of their SAX word within that series — a
+    subsequence whose shape recurs gets a common word; the one-off
+    transient gets a word (almost) nobody else has. The anomaly
+    consumer of :func:`sax_symbols`, completing the outlier family
+    next to robust/rolling/seasonal/level-shift.
+
+    Each full window z-normalizes against its OWN exact-integer
+    moments (Σq, Σq² BIGINTs over the frame), PAA-averages
+    ``n_segments`` equal slices, maps to letters via the literal
+    gaussian breakpoints (same explicit 6-dp rounding as
+    :func:`sax_symbols` — engine-identical words), then words are
+    counted per series and windows ranked (count asc, start time asc).
+    Classic HOT-SAX uses the rare-word heuristic to ORDER a search
+    whose final metric is exact-NN distance; at archive scale the word
+    count itself is the certified, shuffle-cheap anomaly score, and an
+    exact-distance confirm is a bounded re-read of the k winners.
+    Returns ``(key, time, word, word_count, rank)``.
+
+    Scale shape: one series-keyed sort window builds the frame arrays,
+    PAA/letters are per-row higher-order expressions in codegen, the
+    word count is one series×word-keyed aggregate joined back — no
+    pair space, nothing corpus-ordered."""
+    worded = sax_window_words(points, window, n_segments, alphabet, quantum, key)
     counts = worded.groupBy(key, "word").agg(
         F.count(F.lit(1)).alias("word_count")
     )

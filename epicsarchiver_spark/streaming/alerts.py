@@ -583,3 +583,146 @@ def holt_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DISCORD_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("word", StringType()),
+        StructField("n_seen", LongType()),
+    ]
+)
+
+_DISCORD_STATE_SCHEMA = StructType(
+    [StructField("buf_csv", StringType()), StructField("counts_csv", StringType())]
+)
+
+
+def discord_stream(
+    events: DataFrame,
+    window: int = 16,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+) -> DataFrame:
+    """LIVE HOT-SAX discord screen — the streaming twin of
+    ``timeseries.sax_window_words`` + a per-series running word count:
+    every COMPLETED length-``window`` subsequence is emitted as
+    ``(pvname, time, word, n_seen)`` where ``time`` is the window\'s
+    START row and ``n_seen`` counts how often this series has produced
+    this word so far (including now). ``n_seen == 1`` past warm-up is
+    the live anomaly signal: a shape this series has never taken —
+    exactly the rarity metric the batch ``sax_discords`` ranks by,
+    evaluated at arrival time.
+
+    Identical arithmetic to the batch lane — the same HALF_UP value
+    quantization, the same exact-BIGINT window moments divided in the
+    same IEEE op order, the same explicit 6-dp rounding and literal
+    breakpoints — so (pvname, time, word) agrees row-exactly with
+    ``sax_window_words`` and ``n_seen`` with its running count for
+    in-order non-null input across any micro-batch split.
+
+    State per series: the trailing ``window``−1 ``(time, value-unit)``
+    pairs plus the word-count table — the latter is BOUNDED by the
+    alphabet^segments word space (256 entries at the 4/4 default),
+    bytes per series either way."""
+    from epicsarchiver_spark.operators.timeseries import _SAX_BREAKPOINTS
+
+    if window % n_segments:
+        raise ValueError("window must be divisible by n_segments")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    letters = "abcdefgh"[:alphabet]
+    win, nseg, qm = int(window), int(n_segments), float(quantum)
+    ss = win // nseg
+
+    def r6(x: float) -> float:
+        return (
+            math.floor(abs(x) * 1e6 + 0.5)
+            * (1.0 if x > 0 else -1.0 if x < 0 else 0.0)
+            / 1e6
+        )
+
+    def word_of(qs: list[int]) -> str:
+        sw = sum(qs)
+        sww = sum(x * x for x in qs)
+        mu = float(sw) / float(win)
+        sig = math.sqrt(max(float(sww) / float(win) - mu * mu, 0.0))
+        out = []
+        for j in range(nseg):
+            if sig > 0:
+                praw = (float(sum(qs[j * ss : (j + 1) * ss])) / float(ss) - mu) / sig
+            else:
+                praw = 0.0
+            paa = r6(praw)
+            sym = letters[0]
+            for i, bp in enumerate(bps):
+                if not (paa < bp):
+                    sym = letters[i + 1]
+            out.append(sym)
+        return "".join(out)
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        if state.exists:
+            buf_csv, counts_csv = state.get
+            buf = (
+                [
+                    (float(p.split(":")[0]), int(p.split(":")[1]))
+                    for p in buf_csv.split(";")
+                ]
+                if buf_csv
+                else []
+            )
+            counts = (
+                {
+                    p.split(":")[0]: int(p.split(":")[1])
+                    for p in counts_csv.split(";")
+                }
+                if counts_csv
+                else {}
+            )
+        else:
+            buf, counts = [], {}
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time", "value"])
+        if len(rows):
+            t_arr = rows["time"].to_numpy()
+            v_arr = rows["value"].to_numpy()
+            order = t_arr.argsort(kind="stable")
+            out = {"time": [], "word": [], "n_seen": []}
+            for idx in order:
+                buf.append((float(t_arr[idx]), _half_up_long(float(v_arr[idx]) / qm)))
+                if len(buf) == win:
+                    w = word_of([q for _t, q in buf])
+                    counts[w] = counts.get(w, 0) + 1
+                    out["time"].append(buf[0][0])
+                    out["word"].append(w)
+                    out["n_seen"].append(counts[w])
+                    buf = buf[1:]
+            state.update(
+                (
+                    ";".join(f"{t!r}:{q}" for t, q in buf),
+                    ";".join(f"{w}:{c}" for w, c in sorted(counts.items())),
+                )
+            )
+            if out["time"]:
+                yield pd.DataFrame({"pvname": pvname, **out})
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=DISCORD_SCHEMA,
+        stateStructType=_DISCORD_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

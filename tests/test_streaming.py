@@ -1585,3 +1585,69 @@ def test_smoothing_streams_match_batch_with_null_values(spark, tmp_path):
         q.awaitTermination(300)
         got = {canon(r, cols) for r in spark.read.parquet(out).collect()}
         assert got == expected, f"{name}: stream != batch with nulls"
+
+
+def test_discord_stream_matches_batch_window_words(spark, tmp_path):
+    """Streaming HOT-SAX screen == the batch per-window word lane plus
+    its running per-series word count, row-exact across micro-batch
+    boundaries (the (time,q) buffer and the bounded word-count table
+    carry the state)."""
+    import pandas as pd
+    from pyspark.sql import Window as W
+
+    from epicsarchiver_spark.operators.timeseries import sax_window_words
+    from epicsarchiver_spark.streaming.alerts import discord_stream
+
+    rng = __import__("random").Random(37)
+    rows = []
+    for pv in ("A", "B"):
+        pattern = [0, 10, 20, 30, 40, 30, 20, 10]
+        for i in range(90):
+            v = float(pattern[i % 8]) + (200.0 if (pv == "A" and i == 55) else 0.0)
+            v += rng.random() if pv == "B" else 0.0
+            rows.append((pv, float(i), round(v, 3)))
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    src = tmp_path / "src_disc"
+    src.mkdir()
+    for j in range(3):
+        pdf[pdf["time"].between(j * 30, j * 30 + 29)].to_parquet(
+            src / f"p{j}.parquet", index=False
+        )
+
+    batch_df = spark.createDataFrame(pdf, "pvname string, time double, value double")
+    words = sax_window_words(batch_df, window=16, n_segments=4, alphabet=4)
+    running = words.withColumn(
+        "n_seen",
+        F.count(F.lit(1)).over(
+            W.partitionBy("pvname", "word")
+            .orderBy("time")
+            .rowsBetween(W.unboundedPreceding, 0)
+        ),
+    )
+    expected = {
+        (r.pvname, r.time, r.word, r.n_seen) for r in running.collect()
+    }
+
+    stream = (
+        spark.readStream.schema("pvname string, time double, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "out_disc")
+    q = (
+        discord_stream(stream, window=16, n_segments=4, alphabet=4)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt_disc"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r.pvname, r.time, r.word, r.n_seen)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == expected
+    # the planted spike's windows really surface as novel words
+    novel_a = [g for g in got if g[0] == "A" and g[3] == 1 and g[1] > 16]
+    assert any(55 - 15 <= t <= 55 for _pv, t, _w, _n in novel_a)
