@@ -235,6 +235,13 @@ HEADLINE = [
     "doc_rake_keyphrases",
     "emb_sq8_rerank",
     "emb_sq8_rerank_indexed",
+    # r11 additions: the iSAX similarity lanes, the HOT-SAX discord
+    # screen, the curation detectors
+    "ts_sax_topk",
+    "ts_sax_topk_indexed",
+    "ts_discords",
+    "doc_boilerplate",
+    "doc_mojibake",
 ]
 
 

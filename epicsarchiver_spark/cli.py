@@ -668,6 +668,39 @@ def cmd_keyphrases(args) -> int:
     return 0
 
 
+def cmd_discords(args) -> int:
+    """Anomaly triage from the command line — the operational face of
+    ``timeseries.sax_discords`` (HOT-SAX rarest-word windows): list
+    each series' top-k most anomalous subsequences from the points
+    store, optionally only those whose word occurred once (the
+    never-seen-shape screen a dashboard would page on)."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.timeseries import sax_discords
+
+    spark = _spark("discords")
+    pts = _points(spark, args)
+    if args.pv:
+        pts = pts.filter(F.col("pvname").isin(args.pv))
+    rows = sax_discords(
+        pts,
+        window=args.window,
+        n_segments=args.segments,
+        alphabet=args.alphabet,
+        k=args.k,
+    )
+    if args.novel_only:
+        rows = rows.filter(F.col("word_count") == 1)
+    collected = rows.orderBy("pvname", "rank").collect()
+    for r in collected:
+        print(
+            f"{r.pvname}  t={r.time:.3f}  word={r.word}  "
+            f"seen={r.word_count}x  rank={r.rank}"
+        )
+    print(f"{len(collected)} discord window(s)")
+    return 0
+
+
 def cmd_bm25_watch(args) -> int:
     """Standing-query sweep — ``bm25_multi`` as a subscription daemon
     (the alerts-loop cadence over a growing documents directory): each
@@ -1628,6 +1661,20 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--max-len", type=int, default=4)
     s.add_argument("--min-count", type=int, default=1)
     s.set_defaults(fn=cmd_keyphrases)
+
+    s = sub.add_parser(
+        "discords",
+        help="HOT-SAX discord triage: rarest-shape windows per series",
+    )
+    s.add_argument("--pv", action="append", default=None,
+                   help="restrict to these series (repeatable)")
+    s.add_argument("--window", type=int, default=16)
+    s.add_argument("--segments", type=int, default=4)
+    s.add_argument("--alphabet", type=int, default=4)
+    s.add_argument("-k", type=int, default=3)
+    s.add_argument("--novel-only", action="store_true",
+                   help="only windows whose word occurred exactly once")
+    s.set_defaults(fn=cmd_discords)
 
     s = sub.add_parser(
         "bm25_watch",

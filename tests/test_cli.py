@@ -1236,3 +1236,20 @@ def test_bm25_cli_snippets(spark, tmp_path, capsys):
                      "--snippet-width", "3"]) == 0
     out = capsys.readouterr().out
     assert '"spark join y"' in out
+
+
+def test_discords_cli_lists_rare_windows(spark, store, capsys):
+    """`pvarch discords`: top-k rarest-shape windows per series from the
+    store; --pv restricts, --novel-only keeps word_count==1 rows."""
+    assert cli.main(["--store", store, "discords", "--window", "8", "-k", "2"]) == 0
+    out = capsys.readouterr().out
+    assert "CLI:a.VAL" in out and "CLI:b.VAL" in out and "word=" in out
+
+    assert (
+        cli.main(
+            ["--store", store, "discords", "--window", "8", "--pv", "CLI:a.VAL"]
+        )
+        == 0
+    )
+    out = capsys.readouterr().out
+    assert "CLI:a.VAL" in out and "CLI:b.VAL" not in out
