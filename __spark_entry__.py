@@ -144,7 +144,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R11_FRONT: list[str] = [
+    "doc_boilerplate",
+    "doc_mojibake",
     "ts_discords",
+    "ts_holt_winters",
     "ts_sax_topk",
     "ts_sax_topk_indexed",
     "rel_regional_revenue",
@@ -191,9 +194,6 @@ _R11_FRONT: list[str] = [
     "rel_forecast_revenue",
     "rel_large_orders",
     "rel_promo_share",
-    "rel_returned_items",
-    "rel_supplier_parts",
-    "ts_auto_ylog",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1356,6 +1356,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # windowed Holt level/trend/1-step forecast — the forecasting lane
     # next to ewma, same exact-integer weight-table device
     q["ts_holt_linear"] = lambda s, d: timeseries.holt_linear(_points(s, d))
+    # additive Holt–Winters: the seasonal forecasting lane (exact
+    # integer coefficient tables over a full trailing window)
+    q["ts_holt_winters"] = lambda s, d: timeseries.holt_winters(_points(s, d))
     # SAX symbolization: per-series z-normalized PAA → gaussian letters
     q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
     # iSAX indexed series similarity: word equi-join nominates, exact

@@ -237,6 +237,7 @@ HEADLINE = [
     "emb_sq8_rerank_indexed",
     # r11 additions: the iSAX similarity lanes, the HOT-SAX discord
     # screen, the curation detectors
+    "ts_holt_winters",
     "ts_sax_topk",
     "ts_sax_topk_indexed",
     "ts_discords",

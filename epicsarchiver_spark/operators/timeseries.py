@@ -692,6 +692,152 @@ _SAX_BREAKPOINTS = {
 }
 
 
+def _hw_tables(
+    alpha_num: int,
+    alpha_den: int,
+    beta_num: int,
+    beta_den: int,
+    gamma_num: int,
+    gamma_den: int,
+    period: int,
+    span: int,
+) -> tuple[list[int], list[int], list[int], int]:
+    """Exact coefficient tables for windowed additive Holt–Winters over
+    a FULL ``span`` window (the :func:`_holt_tables` device with a
+    third, seasonal state): textbook init over the first two seasons
+    (l_m = mean of season 1, b_m = Σ(x_{m+i}−x_i)/m², s_i = x_i − l_m)
+    then the additive recurrences
+
+        l_t = α(x_t − s_{t−m}) + (1−α)(l_{t−1} + b_{t−1})
+        b_t = β(l_t − l_{t−1}) + (1−β)b_{t−1}
+        s_t = γ(x_t − l_t) + (1−γ)s_{t−m}
+
+    — all LINEAR in x_1..x_span, so l, b and the one-step forecast's
+    seasonal s_{slot(span+1)} are exact rational dot products. Returns
+    (WL, WB, WS, den): integer numerators over one common denominator;
+    Spark and the SQL oracle consume identical literals."""
+    from fractions import Fraction
+    from math import lcm
+
+    m, L = int(period), int(span)
+    if L < 2 * m:
+        raise ValueError("span must be >= 2*period (textbook init needs two seasons)")
+    a = Fraction(alpha_num, alpha_den)
+    b = Fraction(beta_num, beta_den)
+    g = Fraction(gamma_num, gamma_den)
+    zero = [Fraction(0)] * L
+
+    def unit(i):  # coefficient vector of x_{i+1}
+        v = list(zero)
+        v[i] = Fraction(1)
+        return v
+
+    def add(u, v, cu=1, cv=1):
+        return [cu * x + cv * y for x, y in zip(u, v)]
+
+    lc = [Fraction(1, m) if i < m else Fraction(0) for i in range(L)]
+    bc = [
+        Fraction(-1, m * m) if i < m else (Fraction(1, m * m) if i < 2 * m else Fraction(0))
+        for i in range(L)
+    ]
+    seas = [add(unit(i), lc, 1, -1) for i in range(m)]  # slot i ← x_{i+1} − l_m
+    for t in range(m, L):  # x_{t+1} drives update t+1 (0-based index t)
+        slot = t % m
+        prev_s = seas[slot]
+        nl = add(add(unit(t), prev_s, a, -a), add(lc, bc), 1, 1 - a)
+        nb = add(add(nl, lc, b, -b), bc, 1, 1 - b)
+        ns = add(add(unit(t), nl, g, -g), prev_s, 1, 1 - g)
+        lc, bc, seas[slot] = nl, nb, ns
+    fc_slot = L % m  # seasonal slot of x_{L+1}
+    den = 1
+    for f in lc + bc + seas[fc_slot]:
+        den = lcm(den, f.denominator)
+    WL = [int(f * den) for f in lc]
+    WB = [int(f * den) for f in bc]
+    WS = [int(f * den) for f in seas[fc_slot]]
+    return WL, WB, WS, den
+
+
+def holt_winters(
+    points: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    beta_num: int = 1,
+    beta_den: int = 2,
+    gamma_num: int = 1,
+    gamma_den: int = 2,
+    period: int = 4,
+    span: int = 12,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """Windowed additive Holt–Winters per series — the SEASONAL
+    forecasting lane completing :func:`holt_linear` +
+    :func:`seasonal_profile`: each point with a full trailing ``span``
+    window carries the level, trend and next-step seasonal of the
+    additive triple-exponential recurrence replayed over that window,
+    plus the one-step forecast ``level + trend + season``. Rows whose
+    support window is short (series head, or nulls thinning it) get
+    NULL outputs — absent evidence, not fabricated zeros.
+
+    Exactness: the :func:`_hw_tables` device — quantized BIGINT values
+    against exact integer coefficient tables, three dot products, one
+    double division, explicit-IEEE 6-dp rounding; engine-identical by
+    construction (gate ``ts_holt_winters``). Overflow budget:
+    |value|/quantum · max|w| · span < 2⁶³ — the default ½/½/½ smoothing
+    keeps the common denominator ~2²⁴, allowing |value| ≤ ~10⁹·quantum.
+
+    One series-keyed exchange (the frame window); the dot products are
+    per-row array folds in WholeStageCodegen — the holt/ewma scale
+    shape."""
+    WL, WB, WS, den = _hw_tables(
+        alpha_num, alpha_den, beta_num, beta_den, gamma_num, gamma_den,
+        period, span,
+    )
+    wl_lit = F.array(*[F.lit(x).cast("long") for x in WL])
+    wb_lit = F.array(*[F.lit(x).cast("long") for x in WB])
+    ws_lit = F.array(*[F.lit(x).cast("long") for x in WS])
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*[F.col(c) for c in order])
+        .rowsBetween(-(span - 1), 0)
+    )
+    q = F.round(F.col("value") / quantum).cast("long")
+    arr = points.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.collect_list(q).over(w).alias("_arr"),
+    )
+
+    def dot(tab):
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(int(span))),
+            F.lit(0).cast("long"),
+            lambda acc, i: acc + F.element_at("_arr", i) * F.element_at(tab, i),
+        )
+
+    dden = F.lit(float(den))
+    num_l, num_b, num_s = dot(wl_lit), dot(wb_lit), dot(ws_lit)
+
+    def r6(x):
+        return F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5)) * F.signum(x) / F.lit(1e6)
+
+    ok = F.size("_arr") == int(span)
+    return arr.select(
+        F.col(key),
+        F.col("time"),
+        F.col("value"),
+        F.when(ok, r6(num_l.cast("double") / dden * F.lit(quantum))).alias("level"),
+        F.when(ok, r6(num_b.cast("double") / dden * F.lit(quantum))).alias("trend"),
+        F.when(ok, r6(num_s.cast("double") / dden * F.lit(quantum))).alias("season"),
+        F.when(
+            ok, r6((num_l + num_b + num_s).cast("double") / dden * F.lit(quantum))
+        ).alias("forecast"),
+    )
+
+
 def sax_symbols(
     points: DataFrame,
     n_segments: int = 8,

@@ -1120,6 +1120,42 @@ def build(o: dict[str, str]) -> None:
         """
     )
 
+    # Holt–Winters: the holt device with a third (seasonal) state —
+    # three literal coefficient tables over the FULL 12-row window,
+    # NULL outputs for short support (len(arr) < span)
+    from epicsarchiver_spark.operators.timeseries import _hw_tables
+
+    _HWL, _HWB, _HWS, _hw_den = _hw_tables(1, 2, 1, 2, 1, 2, 4, 12)
+
+    def _hw_dot(tab):
+        return "(" + " + ".join(f"arr[{i + 1}]*({c})" for i, c in enumerate(tab)) + ")"
+
+    def _hw_r6(x: str) -> str:
+        return f"floor(abs({x}) * 1000000 + 0.5) * sign({x}) / 1000000"
+
+    def _hw_col(num: str) -> str:
+        v = f"CAST({num} AS DOUBLE) / {float(_hw_den)!r} * 0.01"
+        return f"CASE WHEN len(arr) = 12 THEN {_hw_r6(v)} END"
+
+    o["ts_holt_winters"] = (
+        P
+        + f""",
+        win AS (
+          SELECT pvname, time, value,
+                 array_agg(CAST(round(value / 0.01) AS BIGINT)) OVER (
+                   PARTITION BY pvname ORDER BY time, event_id
+                   ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS arr
+          FROM points
+        )
+        SELECT pvname, time, value,
+               {_hw_col(_hw_dot(_HWL))} AS level,
+               {_hw_col(_hw_dot(_HWB))} AS trend,
+               {_hw_col(_hw_dot(_HWS))} AS season,
+               {_hw_col(f"{_hw_dot(_HWL)} + {_hw_dot(_HWB)} + {_hw_dot(_HWS)}")} AS forecast
+        FROM win
+        """
+    )
+
     # SAX: the same exact-integer per-series moments and per-segment
     # sums, the same fixed IEEE op order and explicit 6-dp rounding,
     # the same literal gaussian breakpoints — symbol CASE mirrors the

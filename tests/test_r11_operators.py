@@ -190,3 +190,91 @@ def test_mojibake_flags_planted_corruption(spark):
     assert out[3].flagged and out[3].n_replacement == 12
     # the latin-1 double-decode also lands continuation bytes in C1
     assert out[1].n_c1 >= 0 and out[2].flagged
+
+
+def _hw_mirror(values, m=4, span=12, a=None, b=None, g=None, quantum=0.01):
+    """Independent textbook replay (direct recurrence on numbers, not
+    coefficient vectors) of windowed additive Holt–Winters — the
+    holt_linear _mirror discipline."""
+    import math
+    from fractions import Fraction
+
+    a = a or Fraction(1, 2)
+    b = b or Fraction(1, 2)
+    g = g or Fraction(1, 2)
+
+    def r6(x: float) -> float:
+        return math.floor(abs(x) * 1e6 + 0.5) * (
+            1.0 if x > 0 else -1.0 if x < 0 else 0.0
+        ) / 1e6
+
+    qs = [round(v / quantum) for v in values]
+    out = []
+    for t in range(len(qs)):
+        if t + 1 < span:
+            out.append((None, None, None, None))
+            continue
+        win = [Fraction(x) for x in qs[t - span + 1 : t + 1]]
+        lvl = sum(win[:m]) / m
+        trd = sum(win[m : 2 * m]) / (m * m) - sum(win[:m]) / (m * m)
+        seas = [win[i] - lvl for i in range(m)]
+        for i in range(m, span):
+            slot = i % m
+            nl = a * (win[i] - seas[slot]) + (1 - a) * (lvl + trd)
+            nb = b * (nl - lvl) + (1 - b) * trd
+            seas[slot] = g * (win[i] - nl) + (1 - g) * seas[slot]
+            lvl, trd = nl, nb
+        s_next = seas[span % m]
+        out.append(
+            (
+                r6(float(lvl) * quantum),
+                r6(float(trd) * quantum),
+                r6(float(s_next) * quantum),
+                r6(float(lvl + trd + s_next) * quantum),
+            )
+        )
+    return out
+
+
+def test_holt_winters_matches_fraction_mirror(spark):
+    from epicsarchiver_spark.operators.timeseries import holt_winters
+
+    rng = __import__("random").Random(43)
+    values = [round(50 + 10 * ((i % 4) - 1.5) + rng.random() * 3, 2) for i in range(30)]
+    rows = [("P", float(i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    got = {
+        r.time: (r.level, r.trend, r.season, r.forecast)
+        for r in holt_winters(df).collect()
+    }
+    exp = _hw_mirror(values)
+    for i, e in enumerate(exp):
+        assert got[float(i)] == e, f"row {i}: {got[float(i)]} != {e}"
+
+
+def test_holt_winters_forecasts_periodic_signal(spark):
+    """A zero-trend perfectly periodic series: once the window is full,
+    the one-step forecast converges onto the true next value."""
+    from epicsarchiver_spark.operators.timeseries import holt_winters
+
+    pattern = [10.0, 20.0, 30.0, 20.0]
+    values = pattern * 10
+    rows = [("P", float(i), v) for i, v in enumerate(values)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sorted(
+        (r.time, r.forecast)
+        for r in holt_winters(df).collect()
+        if r.forecast is not None
+    )
+    # each forecast at row t predicts x_{t+1} = pattern[(t+1) % 4]
+    errs = [abs(f - pattern[int(t + 1) % 4]) for t, f in out[4:]]
+    assert max(errs) < 0.75
+    assert errs[-1] < 0.05
+
+
+def test_holt_winters_rejects_short_span(spark):
+    from epicsarchiver_spark.operators.timeseries import holt_winters
+
+    df = spark.createDataFrame([("P", 0.0, 1.0)], SCHEMA)
+    with pytest.raises(ValueError, match="two seasons"):
+        holt_winters(df, period=4, span=7)
