@@ -726,3 +726,119 @@ def discord_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HW_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("value", DoubleType()),
+        StructField("level", DoubleType()),
+        StructField("trend", DoubleType()),
+        StructField("season", DoubleType()),
+        StructField("forecast", DoubleType()),
+    ]
+)
+
+
+def hw_stream(
+    events: DataFrame,
+    alpha_num: int = 1,
+    alpha_den: int = 2,
+    beta_num: int = 1,
+    beta_den: int = 2,
+    gamma_num: int = 1,
+    gamma_den: int = 2,
+    period: int = 4,
+    span: int = 12,
+    quantum: float = 0.01,
+) -> DataFrame:
+    """LIVE windowed Holt–Winters — the streaming twin of
+    ``timeseries.holt_winters`` (the holt_stream cadence): every event
+    re-emitted with the level/trend/next-step-seasonal of its trailing
+    ``span`` rows and the one-step forecast. Identical arithmetic —
+    quantized BIGINTs against the SAME exact integer coefficient
+    tables, one double division in the same op order, the same
+    explicit-IEEE 6-dp rounding — so batch↔stream agreement is
+    row-exact for in-order input with non-null timestamps. NULL values
+    match the batch row-frame semantics: the null occupies a span slot
+    (an ``n`` state marker) and any window containing one has NULL
+    outputs (the batch's size(_arr)==span guard).
+
+    State per series is the last ``span``−1 quantized values — a CSV
+    of ≤11 longs at the default, bytes per PV."""
+    import math
+
+    from epicsarchiver_spark.operators.timeseries import _hw_tables
+
+    WL, WB, WS, den = _hw_tables(
+        alpha_num, alpha_den, beta_num, beta_den, gamma_num, gamma_den,
+        period, span,
+    )
+    spn, qm, dden = int(span), float(quantum), float(den)
+
+    def r6(x: float) -> float:
+        return (
+            math.floor(abs(x) * 1e6 + 0.5)
+            * (1.0 if x > 0 else -1.0 if x < 0 else 0.0)
+            / 1e6
+        )
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        buf = _load_qbuf(state)
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time"])
+        if len(rows):
+            t_arr = rows["time"].to_numpy()
+            v_raw = rows["value"].to_numpy()
+            order = t_arr.argsort(kind="stable")
+            out = {
+                "time": [], "value": [], "level": [], "trend": [],
+                "season": [], "forecast": [],
+            }
+            for idx in order:
+                isnull = pd.isna(v_raw[idx])
+                v = None if isnull else float(v_raw[idx])
+                buf.append(None if isnull else _half_up_long(v / qm))
+                buf = buf[-spn:]
+                out["time"].append(float(t_arr[idx]))
+                out["value"].append(v)
+                if len(buf) == spn and all(x is not None for x in buf):
+                    nl = sum(buf[i] * WL[i] for i in range(spn))
+                    nb = sum(buf[i] * WB[i] for i in range(spn))
+                    ns = sum(buf[i] * WS[i] for i in range(spn))
+                    out["level"].append(r6(float(nl) / dden * qm))
+                    out["trend"].append(r6(float(nb) / dden * qm))
+                    out["season"].append(r6(float(ns) / dden * qm))
+                    out["forecast"].append(r6(float(nl + nb + ns) / dden * qm))
+                else:
+                    for c in ("level", "trend", "season", "forecast"):
+                        out[c].append(None)
+            _save_qbuf(state, buf, spn)
+            yield pd.DataFrame(
+                {
+                    "pvname": pvname,
+                    "time": out["time"],
+                    **{
+                        c: pd.array(out[c], dtype="Float64")
+                        for c in ("value", "level", "trend", "season", "forecast")
+                    },
+                }
+            )
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=HW_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

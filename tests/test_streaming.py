@@ -1558,6 +1558,9 @@ def test_smoothing_streams_match_batch_with_null_values(spark, tmp_path):
             for c in cols
         )
 
+    from epicsarchiver_spark.operators.timeseries import holt_winters
+    from epicsarchiver_spark.streaming.alerts import hw_stream
+
     for name, batch_op, stream_op, cols in [
         ("ewma", ewma, ewma_stream, ["pvname", "time", "value", "ewma"]),
         (
@@ -1565,6 +1568,12 @@ def test_smoothing_streams_match_batch_with_null_values(spark, tmp_path):
             holt_linear,
             holt_stream,
             ["pvname", "time", "value", "level", "trend", "forecast"],
+        ),
+        (
+            "hw",
+            holt_winters,
+            hw_stream,
+            ["pvname", "time", "value", "level", "trend", "season", "forecast"],
         ),
     ]:
         expected = {canon(r, cols) for r in batch_op(batch_df).collect()}
