@@ -1155,17 +1155,17 @@ def sax_discords(
 
     Scale shape: one series-keyed sort window builds the frame arrays,
     PAA/letters are per-row higher-order expressions in codegen, the
-    word count is one series×word-keyed aggregate joined back — no
-    pair space, nothing corpus-ordered."""
+    word count is a (series, word)-keyed frame aggregate — no join, no
+    pair space, nothing corpus-ordered (two keyed exchanges total)."""
     worded = sax_window_words(points, window, n_segments, alphabet, quantum, key)
-    counts = worded.groupBy(key, "word").agg(
-        F.count(F.lit(1)).alias("word_count")
-    )
+    cw = Window.partitionBy(key, "word")
     rk = Window.partitionBy(key).orderBy(
         F.col("word_count").asc(), F.col("time").asc(), F.col("word").asc()
     )
     return (
-        worded.join(counts, [key, "word"])
+        worded.withColumn(
+            "word_count", F.count(F.lit(1)).over(cw).cast("long")
+        )
         .withColumn("rank", F.row_number().over(rk).cast("long"))
         .filter(F.col("rank") <= int(k))
         .select(key, "time", "word", "word_count", "rank")
