@@ -74,6 +74,7 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
     SAX_ALPHABET,
+    SAX_EXPAND,
     SAX_NCAND,
     SAX_QUERY_PV,
     SAX_SEGMENTS,
@@ -147,7 +148,9 @@ _R11_FRONT: list[str] = [
     "doc_boilerplate",
     "doc_mojibake",
     "ts_discords",
+    "ts_forecast_eval",
     "ts_holt_winters",
+    "ts_sax_recall",
     "ts_sax_topk",
     "ts_sax_topk_indexed",
     "rel_regional_revenue",
@@ -192,8 +195,6 @@ _R11_FRONT: list[str] = [
     "mm_near_dups",
     "rel_disjunctive_revenue",
     "rel_forecast_revenue",
-    "rel_large_orders",
-    "rel_promo_share",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1359,6 +1360,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # additive Holt–Winters: the seasonal forecasting lane (exact
     # integer coefficient tables over a full trailing window)
     q["ts_holt_winters"] = lambda s, d: timeseries.holt_winters(_points(s, d))
+    # forecast backtest: |one-step forecast − next actual| per series,
+    # exact micro-unit BIGINT error sums
+    q["ts_forecast_eval"] = lambda s, d: timeseries.forecast_eval(_points(s, d))
+    # index-quality audit: sax_topk nomination overlap vs the exact
+    # query-vs-all top-k (linear, not all-pairs — the audit scales too)
+    q["ts_sax_recall"] = lambda s, d: timeseries.sax_topk_recall(
+        _points(s, d),
+        SAX_QUERY_PV,
+        T0,
+        T1,
+        GRID_STEP,
+        k=SAX_TOPK,
+        n_segments=SAX_SEGMENTS,
+        alphabet=SAX_ALPHABET,
+        n_candidates=SAX_NCAND,
+        expand=SAX_EXPAND,
+    )
     # SAX symbolization: per-series z-normalized PAA → gaussian letters
     q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
     # iSAX indexed series similarity: word equi-join nominates, exact
@@ -1373,6 +1391,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         n_segments=SAX_SEGMENTS,
         alphabet=SAX_ALPHABET,
         n_candidates=SAX_NCAND,
+        expand=SAX_EXPAND,
     )
 
     def _ts_sax_topk_indexed(s, d):
@@ -1397,6 +1416,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             n_segments=SAX_SEGMENTS,
             alphabet=SAX_ALPHABET,
             n_candidates=SAX_NCAND,
+            expand=SAX_EXPAND,
             index=idx,
         )
 

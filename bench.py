@@ -243,6 +243,8 @@ HEADLINE = [
     "ts_discords",
     "doc_boilerplate",
     "doc_mojibake",
+    "ts_forecast_eval",
+    "ts_sax_recall",
 ]
 
 

@@ -78,7 +78,8 @@ RECENT_RUNS_LIMIT = 12  # O4 recent-runs listing depth (ref pvarch.py:297-306)
 SAX_QUERY_PV = "EV:0:click"
 SAX_SEGMENTS = 4
 SAX_ALPHABET = 4
-SAX_NCAND = 64
+SAX_NCAND = 128
+SAX_EXPAND = 2  # iSAX neighbor radius: <=2 differing segments, adjacent letters
 SAX_TOPK = 5
 # HOT-SAX discords: window short enough that sf0.01's 13-point median
 # series still yield full windows (window % segments == 0)

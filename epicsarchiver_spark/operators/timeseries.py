@@ -838,6 +838,157 @@ def holt_winters(
     )
 
 
+def forecast_eval(
+    points: DataFrame,
+    method: str = "hw",
+    key: str = "pvname",
+    **kwargs,
+) -> DataFrame:
+    """Per-series forecast backtest — the evaluation lane of the
+    forecasting family: each row's one-step forecast
+    (:func:`holt_linear` or :func:`holt_winters`) is compared against
+    the NEXT actual value (``lead``), and errors aggregate per series.
+    Returns ``(key, n, sum_abs_err_micro, mae)``: n = rows where both a
+    forecast and a next value exist, the error sum an exact BIGINT in
+    micro-units (|forecast−next| is the same IEEE double in any engine
+    — both inputs are certified engine-identical — and the explicit
+    floor(x·1e6+0.5) quantization keeps the SUM order-independent),
+    mae one double division at the edge.
+
+    The dashboard use: rank series by mae to find where the forecast
+    band is trustworthy; re-run with different smoothing params to
+    tune them against history. One extra lead() over the window the
+    forecaster already sorted — no new exchange."""
+    if method == "hw":
+        fc = holt_winters(points, key=key, **kwargs)
+    elif method == "holt":
+        fc = holt_linear(points, key=key, **kwargs)
+    else:
+        raise ValueError("method must be 'hw' or 'holt'")
+    order = ["time"]
+    w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    nxt = F.lead("value").over(w)
+    err = F.abs(F.col("forecast") - nxt)
+    err_micro = F.floor(err * F.lit(1e6) + F.lit(0.5)).cast("long")
+    scored = fc.select(
+        F.col(key),
+        F.when(F.col("forecast").isNotNull() & nxt.isNotNull(), err_micro).alias(
+            "_e"
+        ),
+    )
+    return (
+        scored.groupBy(key)
+        .agg(
+            F.count("_e").alias("n"),
+            F.sum("_e").alias("sum_abs_err_micro"),
+        )
+        .filter(F.col("n") > 0)
+        .select(
+            key,
+            "n",
+            "sum_abs_err_micro",
+            # explicit-IEEE 6-dp: sum/n lands on exact decimal .5 ties
+            # whenever sum % n gives half a micro-unit — F.round/round()
+            # diverge there (the holt lesson)
+            (
+                F.floor(
+                    F.abs(
+                        F.col("sum_abs_err_micro").cast("double")
+                        / F.col("n")
+                        / F.lit(1e6)
+                    )
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                )
+                / F.lit(1e6)
+            ).alias("mae"),
+        )
+    )
+
+
+def sax_topk_recall(
+    points: DataFrame,
+    query: str,
+    t0: float,
+    t1: float,
+    step: float,
+    k: int = 5,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    n_candidates: int = 128,
+    expand: int = 2,
+    key: str = "pvname",
+) -> DataFrame:
+    """Index-quality audit for :func:`sax_topk` — the ts twin of
+    ``emb_ann_recall``: the exact answer is the top-k series by SIGNED
+    r against the query (query-vs-all, NOT all-pairs — linear in series
+    count, so the audit itself scales; signed r is the shape-similarity
+    notion the word index targets — anti-correlated partners belong to
+    :func:`series_correlation`'s \\|r\\| domain, which no shape index
+    can nominate), the index answer is :func:`sax_topk`'s
+    nomination+rerank, and recall is the overlap.
+    Returns one row ``(k, n_exact, n_indexed, n_hit, recall_pct)``
+    with recall in exact integer percent·100 units (n_hit·10000/k)."""
+    grid = (
+        locf_grid(points, t0, t1, step, key=key)
+        .filter(F.col("value").isNotNull())
+        .select(
+            F.col(key),
+            "t",
+            F.round(F.col("value") / quantum).cast("long").alias("q"),
+        )
+    )
+    qgrid = grid.filter(F.col(key) == query).select(
+        F.col("t"), F.col("q").alias("qa")
+    )
+    sums = (
+        grid.filter(F.col(key) != query)
+        .join(F.broadcast(qgrid), "t")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("qa").alias("sx"),
+            F.sum("q").alias("sy"),
+            F.sum(F.col("qa") * F.col("q")).alias("sxy"),
+            F.sum(F.col("qa") * F.col("qa")).alias("sxx"),
+            F.sum(F.col("q") * F.col("q")).alias("syy"),
+        )
+    )
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = cov.cast("double") / (
+        F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
+    )
+    exact = (
+        sums.filter((varx > 0) & (vary > 0))
+        .select(F.col(key), r.alias("_r"))
+        .orderBy(F.col("_r").desc(), F.col(key))
+        .limit(int(k))
+    )
+    indexed = sax_topk(
+        points, query, t0, t1, step, k=k, n_segments=n_segments,
+        alphabet=alphabet, quantum=quantum, n_candidates=n_candidates,
+        expand=expand, key=key,
+    )
+    hit = exact.select(key).join(indexed.select(key), key, "inner")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(F.broadcast(indexed.agg(F.count(F.lit(1)).alias("n_indexed"))))
+        .crossJoin(F.broadcast(hit.agg(F.count(F.lit(1)).alias("n_hit"))))
+        .select(
+            F.lit(int(k)).cast("long").alias("k"),
+            "n_exact",
+            "n_indexed",
+            "n_hit",
+            F.expr(f"CAST(n_hit * 10000 DIV {int(k)} AS BIGINT)").alias(
+                "recall_pct100"
+            ),
+        )
+    )
+
+
 def sax_symbols(
     points: DataFrame,
     n_segments: int = 8,
@@ -964,7 +1115,8 @@ def sax_topk(
     n_segments: int = 4,
     alphabet: int = 4,
     quantum: float = 0.01,
-    n_candidates: int = 64,
+    n_candidates: int = 128,
+    expand: int = 2,
     key: str = "pvname",
     index: DataFrame | None = None,
 ) -> DataFrame:
@@ -1000,16 +1152,41 @@ def sax_topk(
     if qrow is None:
         return empty
     qword = qrow["word"]
+    # iSAX-style neighbor expansion: nominate words within `expand`
+    # differing segments of the query's, each differing letter ADJACENT
+    # on the breakpoint ladder (the MINDIST-lite move — an exact-word
+    # equi-join alone misses near-shape partners whose PAA sits just
+    # across one breakpoint). expand=0 degenerates to word equality.
+    dists = [
+        F.abs(
+            F.ascii(F.substring("word", i + 1, 1)) - F.lit(ord(qword[i]))
+        )
+        for i in range(len(qword))
+    ]
+    ndiff = None
+    for d in dists:
+        term = F.when(d > 0, 1).otherwise(0)
+        ndiff = term if ndiff is None else ndiff + term
+    maxd = F.greatest(*dists) if len(dists) > 1 else dists[0]
     cands = (
-        words.filter((F.col("word") == qword) & (F.col(key) != query))
+        words.filter(
+            (ndiff <= int(expand)) & (maxd <= 1) & (F.col(key) != query)
+        )
         .orderBy(key)
         .limit(int(n_candidates))
     )
-    # bounded driver hop (≤ n_candidates names) — the sq8_topk_rerank
-    # posture: nominate, collect ids, prune the exact re-read
-    ids = [r[0] for r in cands.select(key).collect()]
+    # bounded driver hop (≤ n_candidates (name, word) pairs) — the
+    # sq8_topk_rerank posture: nominate, collect ids, prune the exact
+    # re-read. Words ride along so the output can report each
+    # candidate's OWN word (expansion makes them differ from the
+    # query's).
+    id_words = [(r[0], r[1]) for r in cands.select(key, "word").collect()]
+    ids = [i for i, _w in id_words]
     if not ids:
         return empty
+    cand_words = F.broadcast(
+        spark.createDataFrame(id_words, f"{key} string, word string")
+    )
     grid = (
         locf_grid(points.filter(F.col(key).isin(ids + [query])), t0, t1, step, key=key)
         .filter(F.col("value").isNotNull())
@@ -1043,9 +1220,10 @@ def sax_topk(
     )
     return (
         sums.filter((varx > 0) & (vary > 0))
-        .select(F.col(key), F.lit(qword).alias("word"), "n", r.alias("_r"))
+        .select(F.col(key), "n", r.alias("_r"))
         .orderBy(F.abs(F.col("_r")).desc(), F.col(key))
         .limit(int(k))
+        .join(cand_words, key)
         .select(key, "word", "n", F.round("_r", 6).alias("r"))
     )
 

@@ -41,6 +41,7 @@ from epicsarchiver_spark.gate_constants import (
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
     SAX_ALPHABET,
+    SAX_EXPAND,
     SAX_NCAND,
     SAX_QUERY_PV,
     SAX_SEGMENTS,

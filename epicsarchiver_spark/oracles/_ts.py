@@ -41,6 +41,7 @@ from epicsarchiver_spark.gate_constants import (
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
     SAX_ALPHABET,
+    SAX_EXPAND,
     SAX_NCAND,
     SAX_QUERY_PV,
     SAX_SEGMENTS,
@@ -1156,6 +1157,27 @@ def build(o: dict[str, str]) -> None:
         """
     )
 
+    # forecast backtest: the HW oracle wrapped as a subquery, lead() to
+    # the next actual, |err| quantized to micro-unit BIGINTs before the
+    # sum (order-independent), one double division at the edge
+    o["ts_forecast_eval"] = f"""
+        WITH fc AS ({o["ts_holt_winters"]}),
+        ld AS (
+          SELECT pvname, forecast,
+                 lead(value) OVER (PARTITION BY pvname ORDER BY time) AS nxt
+          FROM fc
+        ),
+        e AS (
+          SELECT pvname,
+                 CAST(floor(abs(forecast - nxt) * 1000000 + 0.5) AS BIGINT) AS em
+          FROM ld WHERE forecast IS NOT NULL AND nxt IS NOT NULL
+        )
+        SELECT pvname, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(em) AS BIGINT) AS sum_abs_err_micro,
+               floor(abs(CAST(sum(em) AS DOUBLE) / count(*) / 1000000.0) * 1000000 + 0.5) / 1000000 AS mae
+        FROM e GROUP BY pvname HAVING count(*) > 0
+        """
+
     # SAX: the same exact-integer per-series moments and per-segment
     # sums, the same fixed IEEE op order and explicit 6-dp rounding,
     # the same literal gaussian breakpoints — symbol CASE mirrors the
@@ -1650,13 +1672,31 @@ def build(o: dict[str, str]) -> None:
               FROM wr GROUP BY 1)
     """
 
+    # iSAX neighbor-expansion predicate (the operator's expand=1
+    # default): at most one segment letter differs, and an adjacent
+    # letter at that — mirrors the ascii-distance expressions in
+    # sax_topk exactly
+    def _sax_d(i: int) -> str:
+        return (f"abs(ascii(substr(w.word, {i + 1}, 1)) - "
+                f"ascii(substr(qw.word, {i + 1}, 1)))")
+
+    _sax_nbr = (
+        "greatest(" + ", ".join(_sax_d(i) for i in range(SAX_SEGMENTS)) + ") <= 1"
+        + " AND ("
+        + " + ".join(
+            f"CASE WHEN {_sax_d(i)} > 0 THEN 1 ELSE 0 END"
+            for i in range(SAX_SEGMENTS)
+        )
+        + f") <= {SAX_EXPAND}"
+    )
+
     o["ts_sax_topk"] = (
         P
         + f""",
         {_sax_word_ctes},
         qw AS (SELECT word FROM w WHERE pvname = '{SAX_QUERY_PV}'),
-        cand AS (SELECT w.pvname FROM w, qw
-                 WHERE w.word = qw.word AND w.pvname <> '{SAX_QUERY_PV}'
+        cand AS (SELECT w.pvname, w.word FROM w, qw
+                 WHERE {_sax_nbr} AND w.pvname <> '{SAX_QUERY_PV}'
                  ORDER BY w.pvname LIMIT {SAX_NCAND}),
         qg AS (SELECT t, q AS qa FROM lg WHERE pvname = '{SAX_QUERY_PV}'),
         cg AS (SELECT lg.pvname, lg.t, lg.q FROM lg JOIN cand USING (pvname)),
@@ -1670,14 +1710,56 @@ def build(o: dict[str, str]) -> None:
           SELECT pvname, n, {_corr_r} AS r FROM cs
           WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
         )
-        SELECT pvname, (SELECT word FROM qw) AS word, n, round(r, 6) AS r
-        FROM cv ORDER BY abs(r) DESC, pvname LIMIT {SAX_TOPK}
+        SELECT cv.pvname, cand.word, n, round(r, 6) AS r
+        FROM cv JOIN cand USING (pvname)
+        ORDER BY abs(r) DESC, cv.pvname LIMIT {SAX_TOPK}
         """
     )
 
     # the indexed lane reads the SAME words back from the persisted
     # artifact — numerically identical by construction
     o["ts_sax_topk_indexed"] = o["ts_sax_topk"]
+
+    # index-quality audit: exact = query-vs-all SIGNED-r top-k (linear,
+    # same BIGINT moments), indexed = the ts_sax_topk pipeline; recall
+    # as exact integer percent·100
+    o["ts_sax_recall"] = (
+        P
+        + f""",
+        {_sax_word_ctes},
+        qg AS (SELECT t, q AS qa FROM lg WHERE pvname = '{SAX_QUERY_PV}'),
+        ag AS (SELECT lg.pvname, lg.t, lg.q FROM lg
+               WHERE lg.pvname <> '{SAX_QUERY_PV}'),
+        asums AS (
+          SELECT ag.pvname, CAST(count(*) AS BIGINT) AS n, sum(qa) AS sx,
+                 sum(ag.q) AS sy, sum(qa * ag.q) AS sxy,
+                 sum(qa * qa) AS sxx, sum(ag.q * ag.q) AS syy
+          FROM ag JOIN qg USING (t) GROUP BY 1
+        ),
+        av AS (SELECT pvname, {_corr_r} AS r FROM asums
+               WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0),
+        exact AS (SELECT pvname FROM av
+                  ORDER BY r DESC, pvname LIMIT {SAX_TOPK}),
+        qw AS (SELECT word FROM w WHERE pvname = '{SAX_QUERY_PV}'),
+        cand AS (SELECT w.pvname, w.word FROM w, qw
+                 WHERE {_sax_nbr} AND w.pvname <> '{SAX_QUERY_PV}'
+                 ORDER BY w.pvname LIMIT {SAX_NCAND}),
+        cs AS (
+          SELECT a.* FROM asums a JOIN cand USING (pvname)
+        ),
+        cv AS (SELECT pvname, {_corr_r} AS r FROM cs
+               WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0),
+        indexed AS (SELECT pvname FROM cv
+                    ORDER BY abs(r) DESC, pvname LIMIT {SAX_TOPK}),
+        hit AS (SELECT pvname FROM exact INTERSECT SELECT pvname FROM indexed)
+        SELECT CAST({SAX_TOPK} AS BIGINT) AS k,
+               (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact,
+               (SELECT CAST(count(*) AS BIGINT) FROM indexed) AS n_indexed,
+               (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
+               CAST((SELECT count(*) FROM hit) * 10000 // {SAX_TOPK} AS BIGINT)
+                 AS recall_pct100
+        """
+    )
 
     _dw, _dss = DISCORD_WINDOW, DISCORD_WINDOW // SAX_SEGMENTS
 

@@ -278,3 +278,40 @@ def test_holt_winters_rejects_short_span(spark):
     df = spark.createDataFrame([("P", 0.0, 1.0)], SCHEMA)
     with pytest.raises(ValueError, match="two seasons"):
         holt_winters(df, period=4, span=7)
+
+
+def test_forecast_eval_scores_periodic_series(spark):
+    """On a perfectly periodic series the HW backtest error shrinks to
+    near zero; a noisy series scores worse. n counts only rows with
+    both a forecast and a next actual."""
+    from epicsarchiver_spark.operators.timeseries import forecast_eval
+
+    pattern = [10.0, 20.0, 30.0, 20.0]
+    rows = [("P", float(i), v) for i, v in enumerate(pattern * 10)]
+    rng = __import__("random").Random(7)
+    rows += [("N", float(i), round(rng.random() * 100, 2)) for i in range(40)]
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = {r.pvname: r for r in forecast_eval(df).collect()}
+    # 40 rows, forecasts from row 11 (span 12), last row has no next
+    assert out["P"].n == 28 and out["N"].n == 28
+    assert out["P"].mae < 1.0 < out["N"].mae
+
+
+def test_sax_recall_is_perfect_on_affine_family(spark):
+    """The exact truth is SIGNED-r top-k (shape similarity — the notion
+    the word index targets): the four affine transforms (r=1) fill it,
+    the reversed series (r=−1, word distance 3) is in neither side →
+    recall 100%."""
+    from epicsarchiver_spark.operators.timeseries import sax_topk_recall
+
+    rows = []
+    _series(rows, "Q", range(15))
+    for i in range(4):
+        _series(rows, f"S{i}", [(i + 2) * v - i for v in range(15)])
+    _series(rows, "C", range(14, -1, -1))
+    df = spark.createDataFrame(rows, SCHEMA)
+    out = sax_topk_recall(df, "Q", 0.0, 1400.0, 100.0, k=4).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.k == 4 and r.n_exact == 4 and r.n_indexed == 4
+    assert r.n_hit == 4 and r.recall_pct100 == 10000
