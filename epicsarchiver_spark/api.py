@@ -145,6 +145,26 @@ class PVArchEngine:
             raise ValueError("no pairs dimension attached")
         return related.related_topk(self.pairs, pvname, k=limit)
 
+    def get_similar_pvs(
+        self,
+        pvname: str,
+        t0: float,
+        t1: float,
+        step: float,
+        limit: int = 5,
+        words: DataFrame | None = None,
+    ) -> DataFrame:
+        """Data-driven sibling of :meth:`get_related_pvs` (which serves
+        the reference's USAGE-scored pairs, cache.py:785-802): series
+        that MOVED like ``pvname`` on [t0, t1], answered by the iSAX
+        word index — neighbor-word nomination, exact Pearson re-rank on
+        the nominees only. Pass ``words=`` the persisted
+        ``timeseries.sax_words`` artifact to keep nomination off the
+        point store entirely."""
+        return timeseries.sax_topk(
+            self.points, pvname, t0, t1, step, k=limit, index=words
+        )
+
     def set_pair_score(self, new_edges: DataFrame) -> DataFrame:
         """ref cache.py:836-880 — merge usage increments; returns the
         updated pairs frame (caller persists)."""

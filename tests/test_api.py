@@ -206,3 +206,29 @@ def test_alert_and_request_surface(engine, spark):
     )
     got = engine.process_requests(cat, req).collect()
     assert [(r.pvname, r.active) for r in got] == [(pv, "yes")]
+
+
+def test_get_similar_pvs_uses_sax_index(engine, spark, tmp_path):
+    """The facade's data-driven related lane: affine twins of the query
+    surface with r=1; a persisted word artifact short-circuits
+    nomination to the index read."""
+    from epicsarchiver_spark.operators.timeseries import sax_words
+
+    rows = []
+    for pv, scale, off in [("SIM:q", 1, 0), ("SIM:a", 3, 5), ("SIM:b", 2, -1)]:
+        rows += [(pv, float(i * 10), float(scale * i + off)) for i in range(15)]
+    pts = spark.createDataFrame(rows, "pvname string, time double, value double")
+    from epicsarchiver_spark.api import PVArchEngine
+
+    eng = PVArchEngine(spark, pts)
+    out = eng.get_similar_pvs("SIM:q", 0.0, 140.0, 10.0, limit=2).collect()
+    assert {r.pvname for r in out} == {"SIM:a", "SIM:b"}
+    assert all(r.r == 1.0 for r in out)
+
+    idx = sax_words(pts, 0.0, 140.0, 10.0)
+    path = str(tmp_path / "w")
+    idx.write.parquet(path)
+    out2 = eng.get_similar_pvs(
+        "SIM:q", 0.0, 140.0, 10.0, limit=2, words=spark.read.parquet(path)
+    ).collect()
+    assert sorted(out2) == sorted(out)

@@ -180,6 +180,52 @@ def probe_upsert_scale(spark, out: str) -> None:
     print(json.dumps({"probe": "r11c_upsert_1m", **results}))
 
 
+
+def probe_new_ops(spark, out: str) -> None:
+    """r11e: the round's remaining new operators at ×1/×10 — all
+    scan-shaped by design (discords: two keyed exchanges; holt_winters/
+    forecast_eval: one series-keyed window; boilerplate/mojibake: zero
+    shuffle)."""
+    from epicsarchiver_spark.operators.text_ops import (
+        boilerplate_segments,
+        mojibake_stats,
+    )
+    from epicsarchiver_spark.operators.timeseries import (
+        forecast_eval,
+        holt_winters,
+        sax_discords,
+    )
+    from tools.scale_probe import gen_documents, gen_events
+
+    results = {}
+    for s in (1, 10):
+        d = f"{out}/x{s}"
+        if not os.path.exists(f"{d}/_DONE_DOCS"):
+            gen_documents(spark, 5_000 * s, f"{d}/documents.parquet")
+            open(f"{d}/_DONE_DOCS", "w").write("ok")
+        if not os.path.exists(f"{d}/_DONE_EV"):
+            gen_events(spark, 100_000 * s, 1500 * s, f"{d}/events.parquet")
+            open(f"{d}/_DONE_EV", "w").write("ok")
+        ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+            "event_id",
+            "concat('EV:', CAST(user_id % 200 AS STRING), ':', event_type)"
+            " AS pvname",
+            "CAST(unix_micros(ts) AS DOUBLE) / 1e6 AS time",
+            "value",
+        )
+        docs = spark.read.parquet(f"{d}/documents.parquet")
+        results[f"x{s}"] = {
+            "discords_s": round(_noop(lambda: sax_discords(ev)), 2),
+            "holt_winters_s": round(_noop(lambda: holt_winters(ev)), 2),
+            "forecast_eval_s": round(_noop(lambda: forecast_eval(ev)), 2),
+            "boilerplate_s": round(
+                _noop(lambda: boilerplate_segments(docs, seg_words=16)), 2
+            ),
+            "mojibake_s": round(_noop(lambda: mojibake_stats(docs)), 2),
+        }
+    print(json.dumps({"probe": "r11e_new_ops", **results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
@@ -197,6 +243,8 @@ def main() -> None:
         probe_sax_topk(spark, args.out)
     if "c" in sections:
         probe_upsert_scale(spark, args.out)
+    if "d" in sections:
+        probe_new_ops(spark, args.out)
     spark.stop()
 
 
