@@ -701,6 +701,33 @@ def cmd_discords(args) -> int:
     return 0
 
 
+def cmd_forecast(args) -> int:
+    """Forecast-trust triage — the operational face of
+    ``timeseries.forecast_eval``: backtest the one-step Holt or
+    Holt–Winters forecast per series over the store's history and list
+    the series ranked by mean absolute error (worst first), so an
+    operator knows where the dashboard's forecast band means something
+    before paging on it."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.timeseries import forecast_eval
+
+    spark = _spark("forecast")
+    pts = _points(spark, args)
+    if args.pv:
+        pts = pts.filter(F.col("pvname").isin(args.pv))
+    rows = (
+        forecast_eval(pts, method=args.method)
+        .orderBy(F.desc("mae"), "pvname")
+        .limit(args.n)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r.pvname}  n={r.n}  mae={r.mae}")
+    print(f"{len(rows)} series backtested (method={args.method}, worst first)")
+    return 0
+
+
 def cmd_bm25_watch(args) -> int:
     """Standing-query sweep — ``bm25_multi`` as a subscription daemon
     (the alerts-loop cadence over a growing documents directory): each
@@ -1675,6 +1702,16 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--novel-only", action="store_true",
                    help="only windows whose word occurred exactly once")
     s.set_defaults(fn=cmd_discords)
+
+    s = sub.add_parser(
+        "forecast",
+        help="forecast backtest: per-series one-step MAE, worst first",
+    )
+    s.add_argument("--pv", action="append", default=None,
+                   help="restrict to these series (repeatable)")
+    s.add_argument("--method", choices=("hw", "holt"), default="hw")
+    s.add_argument("-n", type=int, default=20, help="series to list")
+    s.set_defaults(fn=cmd_forecast)
 
     s = sub.add_parser(
         "bm25_watch",

@@ -1253,3 +1253,15 @@ def test_discords_cli_lists_rare_windows(spark, store, capsys):
     )
     out = capsys.readouterr().out
     assert "CLI:a.VAL" in out and "CLI:b.VAL" not in out
+
+
+def test_forecast_cli_backtests_store(spark, store, capsys):
+    """`pvarch forecast`: per-series one-step backtest MAE from the
+    store, worst first; --method holt switches the forecaster."""
+    assert cli.main(["--store", store, "forecast"]) == 0
+    out = capsys.readouterr().out
+    assert "CLI:a.VAL" in out and "mae=" in out and "worst first" in out
+    assert cli.main(["--store", store, "forecast", "--method", "holt",
+                     "--pv", "CLI:b.VAL"]) == 0
+    out = capsys.readouterr().out
+    assert "CLI:b.VAL" in out and "CLI:a.VAL" not in out

@@ -1660,3 +1660,47 @@ def test_discord_stream_matches_batch_window_words(spark, tmp_path):
     # the planted spike's windows really surface as novel words
     novel_a = [g for g in got if g[0] == "A" and g[3] == 1 and g[1] > 16]
     assert any(55 - 15 <= t <= 55 for _pv, t, _w, _n in novel_a)
+
+
+def test_curation_detectors_run_unchanged_on_streams(spark, tmp_path):
+    """boilerplate_segments and mojibake_stats are stateless narrow
+    plans (zero shuffle, r11 plan audit), so the SAME operator call
+    works on a readStream — the land-daemon intake shape. Output equals
+    the batch run."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.text_ops import (
+        boilerplate_segments,
+        mojibake_stats,
+    )
+
+    latin1 = "café naïve résumé ".encode("utf-8").decode("latin-1") * 3
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1, 2],
+            "text": ["the quick fox and a dog ran over a hill", latin1, ""],
+        }
+    )
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    pdf.to_parquet(src / "p0.parquet", index=False)
+    batch = spark.createDataFrame(pdf)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(str(src))
+
+    for name, op in [
+        ("moji", lambda df: mojibake_stats(df)),
+        ("boil", lambda df: boilerplate_segments(df, seg_words=4, min_words=2)),
+    ]:
+        out = str(tmp_path / f"out_{name}")
+        q = (
+            op(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {tuple(r) for r in spark.read.parquet(out).collect()}
+        want = {tuple(r) for r in op(batch).collect()}
+        assert got == want, name
