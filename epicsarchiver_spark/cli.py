@@ -1043,6 +1043,7 @@ def cmd_land(args) -> int:
         stream,
         corpus_fingerprints=corpus_fp,
         watermark=(args.watermark_col, args.watermark) if args.watermark_col else None,
+        max_mojibake_ppm=args.max_mojibake_ppm,
     )
     q = landing_query(survivors, args.out, args.checkpoint)
     q = (
@@ -1925,6 +1926,8 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--corpus", default=None, help="standing corpus parquet (anti-join)")
     s.add_argument("--watermark-col", default=None)
     s.add_argument("--watermark", default="1 hour")
+    s.add_argument("--max-mojibake-ppm", type=int, default=None,
+                   help="drop docs above this encoding-damage ppm")
     s.add_argument("--follow", action="store_true", help="continuous daemon mode")
     s.add_argument("--trigger-s", type=int, default=30)
     s.add_argument("--timeout", type=int, default=600)

@@ -2773,6 +2773,7 @@ def mojibake_stats(
     text: str = "text",
     id_col: str = "doc_id",
     flag_ppm: int = 500,
+    passthrough: tuple = (),
 ) -> DataFrame:
     """Encoding-damage (mojibake) detector — the cheap curation signal
     next to ``quality_scores``: per-doc counts of U+FFFD replacement
@@ -2792,6 +2793,7 @@ def mojibake_stats(
     in the wild."""
     counted = docs.select(
         F.col(id_col),
+        *[F.col(c) for c in passthrough],
         F.length(text).cast("long").alias("n_chars"),
         F.regexp_count(F.col(text), F.lit(MOJIBAKE_REPLACEMENT))
         .cast("long")

@@ -29,7 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.text import fingerprint64
-from epicsarchiver_spark.operators.text_ops import gopher_rules
+from epicsarchiver_spark.operators.text_ops import gopher_rules, mojibake_stats
 
 
 def curated_doc_stream(
@@ -38,9 +38,11 @@ def curated_doc_stream(
     text: str = "text",
     id_col: str = "doc_id",
     watermark: tuple[str, str] | None = None,
+    max_mojibake_ppm: int | None = None,
 ) -> DataFrame:
     """Gate a streaming documents frame: rows that fail the Gopher gate,
-    duplicate an earlier in-stream fingerprint, or match the standing
+    exceed ``max_mojibake_ppm`` encoding damage (when set), duplicate an
+    earlier in-stream fingerprint, or match the standing
     ``corpus_fingerprints`` (a static frame with an ``fp`` column) never
     appear. Output = every input column plus ``(n_words, fp)``.
     ``watermark=(col, delay)`` bounds the dedup state via
@@ -59,6 +61,14 @@ def curated_doc_stream(
     # passthrough keeps the full row through the (stateless) gate
     # projection — joining the signals back would be a stream-stream join
     thru = tuple(c for c in docs.columns if c != id_col)
+    if max_mojibake_ppm is not None:
+        # encoding-damage screen ahead of the Gopher gate — the SAME
+        # certified expressions as the doc_mojibake batch gate (a
+        # stateless projection, r11 plan audit: zero shuffle)
+        moji = mojibake_stats(docs, text=text, id_col=id_col, passthrough=thru)
+        docs = moji.filter(
+            F.coalesce(F.col("mojibake_ppm"), F.lit(0)) <= int(max_mojibake_ppm)
+        ).select(F.col(id_col), *[F.col(c) for c in thru])
     sig = gopher_rules(docs, text=text, id_col=id_col, passthrough=thru)
     base = sig.filter(F.col("keep")).select(
         F.col(id_col), *[F.col(c) for c in thru], F.col("n_words")

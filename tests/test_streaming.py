@@ -1704,3 +1704,33 @@ def test_curation_detectors_run_unchanged_on_streams(spark, tmp_path):
         got = {tuple(r) for r in spark.read.parquet(out).collect()}
         want = {tuple(r) for r in op(batch).collect()}
         assert got == want, name
+
+
+def test_curated_doc_stream_mojibake_screen(spark, tmp_path):
+    """max_mojibake_ppm drops encoding-damaged docs ahead of the gopher
+    gate; clean docs land untouched."""
+    import pandas as pd
+
+    from epicsarchiver_spark.streaming.curation import curated_doc_stream
+
+    clean = ("the data and the table and a row and the scan go on " * 4).strip()
+    damaged = (clean[:40] + " café résumé naïve ".encode("utf-8").decode("latin-1") * 6
+               + clean[40:])
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [clean, damaged],
+                        "source": ["s", "s"]})
+    src = tmp_path / "in"
+    src.mkdir()
+    pdf.to_parquet(src / "p.parquet", index=False)
+    stream = spark.readStream.schema("doc_id long, text string, source string").parquet(str(src))
+    out = str(tmp_path / "landed")
+    q = (
+        curated_doc_stream(stream, max_mojibake_ppm=500)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    landed = spark.read.parquet(out).collect()
+    assert [r.doc_id for r in landed] == [1]
