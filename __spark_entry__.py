@@ -153,6 +153,7 @@ _R11_FRONT: list[str] = [
     "ts_sax_recall",
     "ts_sax_topk",
     "ts_sax_topk_indexed",
+    "ts_sax_words",
     "rel_regional_revenue",
     "rel_related_topk",
     "rel_score_sums",
@@ -194,7 +195,6 @@ _R11_FRONT: list[str] = [
     "mm_ahash",
     "mm_near_dups",
     "rel_disjunctive_revenue",
-    "rel_forecast_revenue",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1379,6 +1379,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     )
     # SAX symbolization: per-series z-normalized PAA → gaussian letters
     q["ts_sax"] = lambda s, d: timeseries.sax_symbols(_points(s, d))
+    # the iSAX index record itself: one word per series over its LOCF
+    # grid — the build-once artifact the similarity lanes read back
+    q["ts_sax_words"] = lambda s, d: timeseries.sax_words(
+        _points(s, d), T0, T1, GRID_STEP, SAX_SEGMENTS, SAX_ALPHABET
+    )
     # iSAX indexed series similarity: word equi-join nominates, exact
     # Pearson re-ranks on the isin-pruned grid re-read
     q["ts_sax_topk"] = lambda s, d: timeseries.sax_topk(

@@ -1690,6 +1690,14 @@ def build(o: dict[str, str]) -> None:
         + f") <= {SAX_EXPAND}"
     )
 
+    o["ts_sax_words"] = (
+        P
+        + f""",
+        {_sax_word_ctes}
+        SELECT pvname, word FROM w
+        """
+    )
+
     o["ts_sax_topk"] = (
         P
         + f""",
