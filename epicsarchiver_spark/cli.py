@@ -701,6 +701,26 @@ def cmd_discords(args) -> int:
     return 0
 
 
+def cmd_similar(args) -> int:
+    """Series-similarity lookup — the operational face of
+    ``timeseries.sax_topk`` (the data-driven related-PV page): series
+    that MOVED like the query on a window, nominated by the iSAX word
+    index (optionally a persisted ``sax_words`` parquet artifact) and
+    re-ranked by exact correlation."""
+    from epicsarchiver_spark.operators.timeseries import sax_topk
+
+    spark = _spark("similar")
+    pts = _points(spark, args)
+    idx = spark.read.parquet(args.index) if args.index else None
+    rows = sax_topk(
+        pts, args.pvname, args.t0, args.t1, args.step, k=args.k, index=idx
+    ).collect()
+    for r in rows:
+        print(f"{r.pvname}  word={r.word}  n={r.n}  r={r.r}")
+    print(f"{len(rows)} similar series for {args.pvname}")
+    return 0
+
+
 def cmd_forecast(args) -> int:
     """Forecast-trust triage — the operational face of
     ``timeseries.forecast_eval``: backtest the one-step Holt or
@@ -1703,6 +1723,19 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--novel-only", action="store_true",
                    help="only windows whose word occurred exactly once")
     s.set_defaults(fn=cmd_discords)
+
+    s = sub.add_parser(
+        "similar",
+        help="iSAX series similarity: series that moved like the query",
+    )
+    s.add_argument("pvname")
+    s.add_argument("t0", type=float)
+    s.add_argument("t1", type=float)
+    s.add_argument("step", type=float)
+    s.add_argument("-k", type=int, default=5)
+    s.add_argument("--index", default=None,
+                   help="persisted sax_words parquet (skip the word build)")
+    s.set_defaults(fn=cmd_similar)
 
     s = sub.add_parser(
         "forecast",

@@ -1265,3 +1265,14 @@ def test_forecast_cli_backtests_store(spark, store, capsys):
                      "--pv", "CLI:b.VAL"]) == 0
     out = capsys.readouterr().out
     assert "CLI:b.VAL" in out and "CLI:a.VAL" not in out
+
+
+def test_similar_cli_finds_shape_twins(spark, store, capsys):
+    """`pvarch similar`: both store series are t%7 sawtooths — each is
+    the other's shape twin at r=1."""
+    assert (
+        cli.main(["--store", store, "similar", "CLI:a.VAL",
+                  "0", "2970", "30", "-k", "2"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "CLI:b.VAL" in out and "r=1.0" in out
