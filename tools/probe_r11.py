@@ -226,6 +226,75 @@ def probe_new_ops(spark, out: str) -> None:
     print(json.dumps({"probe": "r11e_new_ops", **results}))
 
 
+
+def probe_recall_dial(spark, out: str) -> None:
+    """r11f: nomination recall vs the expand dial at ×1/×10 — how much
+    of the signed-r top-5 the word index recovers as the neighbor
+    radius widens, and what the indexed query pays for it. The
+    gen_events corpus is WHITE NOISE per series (no recoverable shape —
+    recall of any shape index against noise correlations is 0 by
+    construction, measured), so this probe builds a STRUCTURED corpus:
+    8 shape archetypes × per-series hash jitter, 2 000/20 000 series ×
+    64 samples."""
+    from epicsarchiver_spark.operators.timeseries import sax_topk_recall
+
+    results = {}
+    for s in (1, 10):
+        n_series, n_samp = 2_000 * s, 64
+        base = spark.range(n_series * n_samp).selectExpr(
+            "id AS event_id",
+            f"id % {n_series} AS sid",
+            f"CAST(id DIV {n_series} AS DOUBLE) AS step_i",
+        )
+        # archetype k: sinusoid-ish integer pattern with phase/periods
+        # varying by k; jitter: per-(series, step) hash in [0, 3)
+        ev = base.selectExpr(
+            "event_id",
+            "concat('SP:', CAST(sid AS STRING)) AS pvname",
+            "step_i * 10.0 AS time",
+            f"""CAST(
+                 CASE CAST(sid % 8 AS INT)
+                   WHEN 0 THEN step_i
+                   WHEN 1 THEN {n_samp} - step_i
+                   WHEN 2 THEN abs(step_i - {n_samp // 2})
+                   WHEN 3 THEN {n_samp // 2} - abs(step_i - {n_samp // 2})
+                   WHEN 4 THEN CASE WHEN step_i < {n_samp // 2} THEN 0 ELSE 40 END
+                   WHEN 5 THEN CASE WHEN step_i < {n_samp // 2} THEN 40 ELSE 0 END
+                   WHEN 6 THEN step_i % 16
+                   ELSE 15 - (step_i % 16)
+                 END
+                 + pmod(xxhash64(sid, CAST(step_i AS LONG)), 3) AS DOUBLE
+               ) AS value""",
+        )
+        t0, t1, step = 0.0, (n_samp - 1) * 10.0, (n_samp - 1) * 10.0 / 15.0
+        qpv = "SP:0"
+        per_cfg = {}
+        # the REAL dial at scale is word resolution: the fence only
+        # sees n_candidates names, so bucket size (series/word-space)
+        # must stay fence-sized — grow segments with the corpus, the
+        # iSAX adaptive-cardinality move. 15-instant grid caps useful
+        # segments at 15; use the full grid for the sharp config.
+        for tag, nseg, alpha, expand, ncand in [
+            ("4seg_x0", 4, 4, 0, 128),
+            ("4seg_x1", 4, 4, 1, 128),
+            ("4seg_x2", 4, 4, 2, 128),
+            ("8seg_x1", 8, 4, 1, 128),
+            ("8seg_x2_c512", 8, 4, 2, 512),
+        ]:
+            tq = time.perf_counter()
+            row = sax_topk_recall(
+                ev, qpv, t0, t1, step, k=5, n_segments=nseg, alphabet=alpha,
+                expand=expand, n_candidates=ncand,
+            ).head()
+            per_cfg[tag] = {
+                "recall_pct100": row["recall_pct100"],
+                "n_indexed": row["n_indexed"],
+                "wall_s": round(time.perf_counter() - tq, 2),
+            }
+        results[f"x{s}"] = per_cfg
+    print(json.dumps({"probe": "r11f_recall_dial", **results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
@@ -245,6 +314,8 @@ def main() -> None:
         probe_upsert_scale(spark, args.out)
     if "d" in sections:
         probe_new_ops(spark, args.out)
+    if "e" in sections:
+        probe_recall_dial(spark, args.out)
     spark.stop()
 
 
