@@ -1138,7 +1138,16 @@ def sax_topk(
     re-ranks by EXACT Pearson r on the common LOCF grid — the
     :func:`series_correlation` BIGINT-moment device, so r is
     engine-identical. Returns ``(pvname, word, n, r)``: top ``k`` by
-    \\|r\\| desc, name-ordered ties; non-constant overlap only."""
+    \\|r\\| desc, name-ordered ties; non-constant overlap only.
+
+    Sizing at scale (SCALE r11f): the productive recall dial is word
+    RESOLUTION + fence together — grow ``n_segments`` with the corpus
+    so word buckets stay well under ``n_candidates`` (the iSAX
+    adaptive-cardinality move); widening ``expand`` at a fixed fence
+    can HURT (the neighbor flood evicts true mates from the
+    name-ordered fence). When a bucket holds thousands of true
+    shape-mates the top-k among them is a tie lottery and any fence-ful
+    is quality-equivalent (measured within 1e-4 of optimal r)."""
     spark = points.sparkSession
     words = (
         index
