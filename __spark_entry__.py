@@ -150,6 +150,7 @@ _R11_FRONT: list[str] = [
     "ts_discords",
     "ts_forecast_eval",
     "ts_holt_winters",
+    "ts_rollup_indexed",
     "ts_sax_recall",
     "ts_sax_topk",
     "ts_sax_topk_indexed",
@@ -194,7 +195,6 @@ _R11_FRONT: list[str] = [
     "ev_transitions",
     "mm_ahash",
     "mm_near_dups",
-    "rel_disjunctive_revenue",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -406,6 +406,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         .orderBy("event_type", "day")
     )
+    def _ts_rollup_indexed(s, d):
+        """Daily rollup through the PRODUCTION artifact: mergeable
+        per-(type, day) integer partials persisted once per release,
+        the year-scale dashboard reads bytes per series-day instead of
+        raw points. Oracle identical to ts_daily_rollup (exact-cent
+        finalization agrees with the double-sum lane on 2-dp data)."""
+        from epicsarchiver_spark.sources.points_store import (
+            read_rollup,
+            write_rollup,
+        )
+
+        def _build(path):
+            write_rollup(points_view(s, d), path, key="event_type")
+
+        return read_rollup(
+            s, _artifact_path(d, "daily_rollup", _build)
+        ).orderBy("event_type", "day")
+
+    q["ts_rollup_indexed"] = _ts_rollup_indexed
     # one-pass ROLLUP(type, day): detail + per-type + grand total via a
     # single Expand aggregate; BIGINT cent sums so the grand total is
     # reduce-order-exact

@@ -245,6 +245,7 @@ HEADLINE = [
     "doc_mojibake",
     "ts_forecast_eval",
     "ts_sax_recall",
+    "ts_rollup_indexed",
 ]
 
 

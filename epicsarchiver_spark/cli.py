@@ -701,6 +701,21 @@ def cmd_discords(args) -> int:
     return 0
 
 
+def cmd_rollup(args) -> int:
+    """Materialize or refresh the daily-rollup artifact from the points
+    store — the long-horizon plot lane (``sources.points_store
+    .write_rollup``): year-scale dashboards read bytes per series-day
+    from the artifact instead of scanning raw points."""
+    from epicsarchiver_spark.sources.points_store import read_rollup, write_rollup
+
+    spark = _spark("rollup")
+    pts = _points(spark, args)
+    write_rollup(pts, args.out)
+    n = read_rollup(spark, args.out).count()
+    print(f"rollup artifact at {args.out}: {n} (series, day) rows")
+    return 0
+
+
 def cmd_similar(args) -> int:
     """Series-similarity lookup — the operational face of
     ``timeseries.sax_topk`` (the data-driven related-PV page): series
@@ -1723,6 +1738,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--novel-only", action="store_true",
                    help="only windows whose word occurred exactly once")
     s.set_defaults(fn=cmd_discords)
+
+    s = sub.add_parser(
+        "rollup", help="materialize the daily-rollup artifact (plot lane)"
+    )
+    s.add_argument("--out", required=True, help="rollup artifact path")
+    s.set_defaults(fn=cmd_rollup)
 
     s = sub.add_parser(
         "similar",

@@ -541,6 +541,10 @@ def build(o: dict[str, str]) -> None:
         """
     )
 
+    # the artifact lane finalizes from exact integer-cent partials —
+    # numerically identical to the double-sum lane on 2-dp data
+    o["ts_rollup_indexed"] = o["ts_daily_rollup"]
+
     # ROLLUP levels: DuckDB's GROUPING(a, b) bitmask matches Spark's
     # grouping_id() (first column = MSB); cent sums keep every level's
     # total exact

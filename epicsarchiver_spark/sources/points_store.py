@@ -314,3 +314,86 @@ def read_points_bucketed(spark: SparkSession, table: str) -> DataFrame:
     path directly would lose the bucket spec and reintroduce the
     shuffle."""
     return spark.table(table)
+
+
+def _day_col():
+    return F.date_format(F.timestamp_seconds(F.col("time")), "yyyy-MM-dd").alias(
+        "day"
+    )
+
+
+def rollup_partials(
+    points: DataFrame, key: str = "pvname", quantum: float = 0.01
+) -> DataFrame:
+    """Per-(key, day) MERGEABLE daily-rollup partials — ``(key, day, n,
+    sum_q, min_q, max_q)`` with the value moments as exact integer
+    ``quantum`` units. Mergeable means a union of partials from any
+    run split re-aggregates (sum n, sum sum_q, min min_q, max max_q)
+    to exactly the one-shot answer — the property that makes the
+    artifact MAINTAINABLE: each new run appends its own partials and
+    :func:`merge_rollup` folds them in without touching old points."""
+    q = F.round(F.col("value") / quantum).cast("long")
+    return points.groupBy(F.col(key), _day_col()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sum_q"),
+        F.min(q).alias("min_q"),
+        F.max(q).alias("max_q"),
+    )
+
+
+def merge_rollup(partials: DataFrame) -> DataFrame:
+    """Fold unioned rollup partials (existing artifact + a new run's
+    :func:`rollup_partials`) back to one row per (key, day)."""
+    key = partials.columns[0]
+    return partials.groupBy(key, "day").agg(
+        F.sum("n").alias("n"),
+        F.sum("sum_q").alias("sum_q"),
+        F.min("min_q").alias("min_q"),
+        F.max("max_q").alias("max_q"),
+    )
+
+
+def write_rollup(
+    points: DataFrame,
+    path: str,
+    key: str = "pvname",
+    quantum: float = 0.01,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize the daily-rollup artifact — the long-horizon plot
+    lane: a year-scale dashboard reads (key × days) rows from here
+    instead of scanning raw points (the reduced-data store every
+    production archiver grows; the reference serves year plots from
+    raw, epicsarchiver/web_utils.py, which is exactly what stops
+    scaling first). Bytes per series-day; rebuilt per release or
+    maintained incrementally (``mode="append"`` a new run's
+    :func:`rollup_partials`, then compact with :func:`merge_rollup` —
+    appends never reread old points)."""
+    rollup_partials(points, key=key, quantum=quantum).write.mode(mode).parquet(
+        path
+    )
+
+
+def read_rollup(
+    spark: SparkSession, path: str, quantum: float = 0.01
+) -> DataFrame:
+    """Finalized rollup from the artifact: merge any appended partials,
+    then ``(key, day, n, sum_value, min_value, max_value)`` — the
+    :func:`merge_rollup` pass makes reads correct even before a
+    compaction has folded freshly-appended run partials."""
+    m = merge_rollup(spark.read.parquet(path))
+    key = m.columns[0]
+    return m.select(
+        key,
+        "day",
+        "n",
+        F.round(F.col("sum_q").cast("double") * F.lit(quantum), 2).alias(
+            "sum_value"
+        ),
+        F.round(F.col("min_q").cast("double") * F.lit(quantum), 2).alias(
+            "min_value"
+        ),
+        F.round(F.col("max_q").cast("double") * F.lit(quantum), 2).alias(
+            "max_value"
+        ),
+    )

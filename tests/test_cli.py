@@ -1276,3 +1276,16 @@ def test_similar_cli_finds_shape_twins(spark, store, capsys):
     )
     out = capsys.readouterr().out
     assert "CLI:b.VAL" in out and "r=1.0" in out
+
+
+def test_rollup_cli_materializes_plot_lane(spark, store, tmp_path, capsys):
+    out = str(tmp_path / "rollup")
+    assert cli.main(["--store", store, "rollup", "--out", out]) == 0
+    assert "(series, day) rows" in capsys.readouterr().out
+    from epicsarchiver_spark.sources.points_store import read_rollup
+
+    rows = read_rollup(spark, out).collect()
+    # both series have points on epoch day 0 (t=0..2970 < 86400)
+    assert {r[0] for r in rows} == {"CLI:a.VAL", "CLI:b.VAL"}
+    assert all(r.day == "1970-01-01" for r in rows)
+    assert sum(r.n for r in rows) == 200

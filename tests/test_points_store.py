@@ -262,3 +262,38 @@ def test_bucketed_read_family_plan_shapes(spark, tmp_path):
         assert locf.filter(F.col("value").isNull()).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_rollup_artifact_is_mergeable_and_incremental(spark, tmp_path):
+    """The daily-rollup artifact: partials from any run split union +
+    merge to exactly the one-shot rollup — appends never reread old
+    points (the merge_components cadence for the plot lane)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.sources.points_store import (
+        read_rollup,
+        rollup_partials,
+        write_rollup,
+    )
+
+    rows = []
+    for pv in ("R:a", "R:b"):
+        for i in range(200):
+            rows.append((pv, 86_400.0 * (i % 7) + i, round((i % 13) * 1.5, 2)))
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    df = spark.createDataFrame(pdf)
+
+    one_shot = str(tmp_path / "one")
+    write_rollup(df, one_shot)
+    want = sorted(map(tuple, read_rollup(spark, one_shot).collect()))
+
+    # incremental: first half overwrite, second half APPEND partials
+    inc = str(tmp_path / "inc")
+    half = df.filter("time < 300")
+    rest = df.filter("time >= 300")
+    write_rollup(half, inc)
+    rollup_partials(rest).write.mode("append").parquet(inc)
+    got = sorted(map(tuple, read_rollup(spark, inc).collect()))
+    assert got == want
+    # n totals match the raw row count
+    assert sum(r[2] for r in got) == 400
