@@ -144,57 +144,57 @@ def entry(spark: SparkSession) -> DataFrame:
 # IS GENERATED — regenerate it at the start of each round with
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
-_R11_FRONT: list[str] = [
-    "doc_boilerplate",
-    "doc_mojibake",
-    "ts_discords",
-    "ts_forecast_eval",
-    "ts_holt_winters",
-    "ts_rollup_indexed",
-    "ts_sax_recall",
-    "ts_sax_topk",
-    "ts_sax_topk_indexed",
-    "ts_sax_words",
-    "rel_regional_revenue",
-    "rel_related_topk",
-    "rel_score_sums",
-    "rel_top_orders",
-    "ts_alarm_transitions",
-    "ts_cull_full",
-    "ts_daily_rollup",
-    "ts_get_data_bounded",
-    "ts_instrument_restore",
-    "ts_locf_grid_bounded",
-    "ts_meta_join",
-    "ts_plot_traces",
-    "ts_sessions",
-    "ts_with_current",
-    "cache_upsert_readback",
-    "cat_null_norm",
-    "cat_recent_runs",
-    "cat_row_kv",
-    "ctl_alert_mail",
-    "doc_blocklist",
-    "doc_gopher_rules",
-    "doc_heavy_hitters",
-    "doc_length_trim",
-    "doc_paragraph_dedup",
-    "doc_quality_classifier",
-    "doc_winnow_pairs",
-    "emb_ann_recall",
-    "emb_contamination",
-    "emb_ivfpq_index",
-    "emb_ivfpq_topk",
-    "emb_pq_codes",
-    "emb_project",
-    "ev_funnel",
-    "ev_props_rollup",
-    "ev_retention",
-    "ev_rolling_dau",
-    "ev_top_paths",
-    "ev_transitions",
-    "mm_ahash",
-    "mm_near_dups",
+_R12_FRONT: list[str] = [
+    "rel_disjunctive_revenue",
+    "rel_forecast_revenue",
+    "rel_large_orders",
+    "rel_promo_share",
+    "rel_returned_items",
+    "rel_supplier_parts",
+    "ts_auto_ylog",
+    "ts_autocorr",
+    "ts_availability",
+    "ts_compression_report",
+    "ts_correlation",
+    "ts_decimate",
+    "ts_drift",
+    "ts_histogram",
+    "ts_interp_grid",
+    "ts_level_shifts",
+    "ts_outliers",
+    "ts_overlap_dedup",
+    "ts_ramps",
+    "ts_related_corr",
+    "ts_seasonal",
+    "ts_skew_counts",
+    "ts_twa",
+    "doc_budget_selection",
+    "doc_ccnet_buckets",
+    "doc_cdc_chunk_texts",
+    "doc_cdc_chunks",
+    "doc_cdc_dup_chunks",
+    "doc_cdc_incremental",
+    "doc_collocations",
+    "doc_corpus_diff",
+    "doc_corpus_report",
+    "doc_decontaminate_spans",
+    "doc_dedup_shards",
+    "doc_dedup_shards_indexed",
+    "doc_dsir_scores",
+    "doc_hapax_zipf",
+    "doc_minhash_indexed",
+    "doc_mixture_plan",
+    "doc_ngram_diversity",
+    "doc_oov_rates",
+    "doc_pipeline_funnel",
+    "doc_pipeline_verdicts",
+    "doc_readability",
+    "doc_split_leakage",
+    "doc_tokenizer_fertility",
+    "doc_winnow_indexed",
+    "emb_cell_quality",
+    "emb_cell_sample",
+    "emb_kmeans_refine",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -2673,12 +2673,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # FRONT of this dict (r2-r8 each certified exactly the first 50
     # keys). All 233 pre-r9 keys are driver-certified (union of
     # CORRECTNESS_r01..r08), so the window now runs as a rolling
-    # regression guard: _R11_FRONT = new-this-round keys + the 48
+    # regression guard: _R12_FRONT = new-this-round keys + the 48
     # stalest certifications (see its comment). Previously certified
     # keys keep their green rows (testdata unchanged — guarded by
     # tests/testdata_fingerprint.json) and fill the remainder in their
     # prior order.
-    front = _R11_FRONT
+    front = _R12_FRONT
     ordered = {k: q[k] for k in front}
     ordered.update({k: v for k, v in q.items() if k not in ordered})
     return ordered
