@@ -1350,6 +1350,22 @@ def semantic_contamination(
     )
 
 
+def _cell_assignments(
+    vectors: DataFrame, centroids: list[list[float]], id_col: str, vec_col: str
+) -> DataFrame:
+    """The shared first stage of the cell-fenced embedding ops: one
+    narrow scan + one Arrow GEMM producing ``(id_col, _v, cell)``.
+    ``embedding_verdicts`` computes it ONCE, persists it, and feeds it
+    to both branches via their private ``_assigned`` hook — the r11
+    bench drift on ``emb_pipeline_verdicts`` was this exact subtree
+    evaluated three times (once in semantic_dedup, twice in
+    prototype_scores) with four parquet scans behind it."""
+    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    return corpus.select(
+        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
+    )
+
+
 def semantic_dedup(
     vectors: DataFrame,
     threshold: float = 0.8,
@@ -1360,6 +1376,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     dim: int | None = None,
     block: int = 4096,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
     deduplication of a training corpus — cluster the embeddings with
@@ -1401,14 +1418,14 @@ def semantic_dedup(
     its raw cosine sits within that slack of a x.xxxxxx5 boundary
     (P ≈ 1e-4 corpus-wide on this data; the standing parity test is the
     guard)."""
-    if centroids is None:
-        if dim is None:
-            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
-        centroids = _hyperplanes(dim, n_cells, seed)
-    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    assigned = corpus.select(
-        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
-    )
+    if _assigned is not None:
+        assigned = _assigned
+    else:
+        if centroids is None:
+            if dim is None:
+                raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+            centroids = _hyperplanes(dim, n_cells, seed)
+        assigned = _cell_assignments(vectors, centroids, id_col, vec_col)
     thr = float(threshold)
     out_schema = f"{id_col} long, cell int, keep_id long, max_cosine double, n_dups long"
 
@@ -1456,6 +1473,7 @@ def prototype_scores(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    _assigned: DataFrame | None = None,
 ) -> DataFrame:
     """D4-style prototypicality pruning (Tirumala et al. 2023,
     arXiv:2308.12284): after near-dup removal, the most PROTOTYPICAL
@@ -1479,14 +1497,14 @@ def prototype_scores(
     after clustering."""
     from pyspark.sql import Window
 
-    if centroids is None:
-        if dim is None:
-            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
-        centroids = _hyperplanes(dim, n_cells, seed)
-    corpus = vectors.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
-    assigned = corpus.select(
-        F.col(id_col), "_v", _nearest_cell_udf(centroids)(F.col("_v")).alias("cell")
-    )
+    if _assigned is not None:
+        assigned = _assigned
+    else:
+        if centroids is None:
+            if dim is None:
+                raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+            centroids = _hyperplanes(dim, n_cells, seed)
+        assigned = _cell_assignments(vectors, centroids, id_col, vec_col)
     cents = (
         assigned.select("cell", F.posexplode("_v").alias("pos", "x"))
         .groupBy("cell", "pos")
@@ -1546,7 +1564,25 @@ def embedding_verdicts(
     the doc pipeline); each reduces to bare ids before the one
     left-join merge onto the id spine — the SemDeDup GEMM and the
     prototype rank window dominate, the composition itself adds a
-    single id-keyed aggregate."""
+    single id-keyed aggregate.
+
+    Plan shape: the ``(id, _v, cell)`` assignment subtree is computed
+    ONCE, persisted, and shared by both branches AND the id spine —
+    unshared, the plan evaluates the Arrow assignment GEMM three times
+    behind four parquet scans (the adjudicated r11 bench drift:
+    4.7 s → ~1.8 s at sf0.1). The verdict frame is id-sized, so it is
+    eagerly materialized (localCheckpoint) to truncate lineage off the
+    cache entry, which is released before returning — the same hygiene
+    as ``cell_quality``."""
+    from pyspark import StorageLevel
+
+    if centroids is None:
+        if dim is None:
+            raise ValueError("pass centroids=... or dim=... for the LCG fallback")
+        centroids = _hyperplanes(dim, n_cells, seed)
+    assigned = _cell_assignments(vectors, centroids, id_col, vec_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sd = semantic_dedup(
         vectors,
         threshold=threshold,
@@ -1556,6 +1592,7 @@ def embedding_verdicts(
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,
+        _assigned=assigned,
     ).select(F.col(id_col), F.lit(1).alias("_pri"))
     pr = (
         prototype_scores(
@@ -1567,6 +1604,7 @@ def embedding_verdicts(
             id_col=id_col,
             vec_col=vec_col,
             dim=dim,
+            _assigned=assigned,
         )
         .filter(F.col("dropped"))
         .select(F.col(id_col), F.lit(2).alias("_pri"))
@@ -1577,12 +1615,15 @@ def embedding_verdicts(
         .when(F.col("_pri") == 2, F.lit("prototype"))
         .otherwise(F.lit("kept"))
     )
-    return (
-        vectors.select(F.col(id_col))
+    out = (
+        assigned.select(F.col(id_col))
         .join(first, id_col, "left")
         .select(F.col(id_col), stage.alias("stage"))
         .withColumn("kept", F.col("stage") == "kept")
     )
+    out = out.localCheckpoint(eager=True)
+    assigned.unpersist()
+    return out
 
 
 def cell_quality(

@@ -1,0 +1,257 @@
+#!/usr/bin/env python
+"""Round-12 scale probes (SCALE.md r12 entries) — the measurements
+VERDICT r11 asked for:
+
+a) drift adjudication — isolated fresh-session 3-run medians for the
+   two r11 bench drifts (emb_pipeline_verdicts 3.01→4.70 s, ts_xcorr_lag
+   2.39→3.55 s) plus a stable control (ts_latest), at sf0.1 — the
+   r8a/r10a/r11a ritual. Run the section TWICE in separate processes.
+b) adaptive iSAX sizing — auto-sized (corpus-stat-derived n_segments /
+   n_candidates) vs the fixed r11 defaults on the structured ×1/×10
+   corpus from r11f, with identity-recall and bucket-occupancy health.
+c) rel_pagerank at 10⁷ edges — the documented degrade-to-shuffle path
+   (broadcast rank join vs plain shuffle join) measured per round so
+   the related.py docstring claim carries a number.
+d) year-scale daily rollups — merging 365 daily partials for a plot
+   query vs the cold full-scan aggregate at ×10 events (the r11b
+   artifact-payoff pattern applied to rollups).
+
+Prints one JSON line per section. Run each section in its own process
+for isolation (the point of section a):
+
+    python tools/probe_r12.py --sections a
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _noop(make_df) -> float:
+    """Time a query end-to-end: the BUILDER runs inside the timer (some
+    operators do eager work — driver-hop moments, localCheckpointed
+    results — that a write-only timer would miss), then the noop write
+    forces full materialization (the bench.py discipline)."""
+    t0 = time.perf_counter()
+    make_df().write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def probe_drift(spark) -> None:
+    """r12a: the r8a ritual — fresh session, no concurrent suite,
+    round-robin interleaved 3 runs per flagged query, medians."""
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    names = ["emb_pipeline_verdicts", "ts_xcorr_lag", "ts_latest"]
+    # shared JVM/JIT warm-up, same as bench.py
+    qs["ts_range_read"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(3):
+        for n in names:
+            runs[n].append(round(_noop(lambda: qs[n](spark, SF_DIR)), 4))
+    print(json.dumps({
+        "probe": "r12a_drift",
+        "sf_dir": SF_DIR,
+        "medians": {n: round(statistics.median(v), 4) for n, v in runs.items()},
+        "runs": runs,
+    }))
+
+
+def _structured_corpus(spark, scale: int):
+    """The r11f structured series corpus: 8 shape archetypes with
+    per-(series, step) hash jitter — 2 000·scale series × 64 samples.
+    Returns (events_df, t0, t1, step, n_series)."""
+    n_series, n_samp = 2_000 * scale, 64
+    base = spark.range(n_series * n_samp).selectExpr(
+        "id AS event_id",
+        f"id % {n_series} AS sid",
+        f"CAST(id DIV {n_series} AS DOUBLE) AS step_i",
+    )
+    ev = base.selectExpr(
+        "event_id",
+        "concat('SP:', CAST(sid AS STRING)) AS pvname",
+        "step_i * 10.0 AS time",
+        f"""CAST(
+             CASE CAST(sid % 8 AS INT)
+               WHEN 0 THEN step_i
+               WHEN 1 THEN {n_samp} - step_i
+               WHEN 2 THEN abs(step_i - {n_samp // 2})
+               WHEN 3 THEN {n_samp // 2} - abs(step_i - {n_samp // 2})
+               WHEN 4 THEN CASE WHEN step_i < {n_samp // 2} THEN 0 ELSE 40 END
+               WHEN 5 THEN CASE WHEN step_i < {n_samp // 2} THEN 40 ELSE 0 END
+               WHEN 6 THEN step_i % 16
+               ELSE 15 - (step_i % 16)
+             END
+             + pmod(xxhash64(sid, CAST(step_i AS LONG)), 3) AS DOUBLE
+           ) AS value""",
+    )
+    t0, t1 = 0.0, (n_samp - 1) * 10.0
+    return ev, t0, t1, t1 / 15.0, n_series
+
+
+def probe_adaptive_sax(spark) -> None:
+    """r12b: fixed r11 defaults (4 segments, fence 128) vs the
+    auto-sized index (sax_auto_params) on the structured corpus at
+    ×1/×10 — identity recall, wall, and the bucket-occupancy health
+    line (sax_index_health) that predicts the recall cliff."""
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_auto_params,
+        sax_index_health,
+        sax_topk_recall,
+        sax_words,
+    )
+
+    results = {}
+    for s in (1, 10):
+        ev, t0, t1, step, n_series = _structured_corpus(spark, s)
+        qpv = "SP:0"
+        auto = sax_auto_params(n_series)
+        per = {"auto_params": auto}
+        for tag, nseg, ncand in [
+            ("fixed_4seg_c128", 4, 128),
+            ("auto", auto["n_segments"], auto["n_candidates"]),
+        ]:
+            tq = time.perf_counter()
+            row = sax_topk_recall(
+                ev, qpv, t0, t1, step, k=5, n_segments=nseg,
+                expand=1, n_candidates=ncand,
+            ).head()
+            health = sax_index_health(
+                sax_words(ev, t0, t1, step, n_segments=nseg),
+                n_candidates=ncand,
+            ).head()
+            per[tag] = {
+                "recall_pct100": row["recall_pct100"],
+                "n_indexed": row["n_indexed"],
+                "wall_s": round(time.perf_counter() - tq, 2),
+                "health": {
+                    "n_words": health["n_words"],
+                    "max_bucket": health["max_bucket"],
+                    "p99_bucket": health["p99_bucket"],
+                    "overflow_words": health["overflow_words"],
+                    "overflow_series_pct100": health["overflow_series_pct100"],
+                },
+            }
+        results[f"x{s}"] = per
+    print(json.dumps({"probe": "r12b_adaptive_sax", **results}))
+
+
+def probe_pagerank_scale(spark) -> None:
+    """r12c: pagerank's per-round cost at 10⁷ edges / 10⁶ nodes —
+    broadcast rank-join lane (the sf0.1 default) vs the documented
+    degrade-to-shuffle lane (broadcast_ranks=False). The docstring
+    claim under test: at ≥10⁷ nodes the rank frame no longer fits a
+    broadcast, so the shuffle lane must carry the op at a bounded
+    per-round premium."""
+    from epicsarchiver_spark.operators.related import pagerank_scores
+
+    n_nodes, n_edges = 1_000_000, 10_000_000
+    edges = spark.range(n_edges).selectExpr(
+        f"CAST(pmod(xxhash64(id, 1), {n_nodes}) AS STRING) AS src",
+        f"CAST(pmod(xxhash64(id, 2), {n_nodes}) AS STRING) AS dst",
+    ).filter("src <> dst")
+    results = {}
+    for tag, bcast in [("broadcast", True), ("shuffle", False)]:
+        t = _noop(lambda: pagerank_scores(
+            edges, n_rounds=4, broadcast_ranks=bcast,
+        ))
+        results[tag] = {"wall_s": round(t, 2), "s_per_round": round(t / 4, 2)}
+    print(json.dumps({
+        "probe": "r12c_pagerank_1e7",
+        "nodes": n_nodes, "edges": n_edges, "rounds": 4, **results,
+    }))
+
+
+def probe_rollup_year(spark, out: str) -> None:
+    """r12d: the daily-rollup artifact at year scale — build 365 daily
+    partials once, then answer the year plot query by merging partials
+    vs the cold full scan, at ×1/×10 event volume."""
+    import shutil
+
+    from epicsarchiver_spark.operators.timeseries import (
+        daily_rollup,
+        plot_bins_from_rollup,
+    )
+    from tools.scale_probe import gen_events
+
+    results = {}
+    for s in (1, 10):
+        d = f"{out}/x{s}"
+        if not os.path.exists(f"{d}/_DONE_EV"):
+            gen_events(spark, 100_000 * s, 1500 * s, f"{d}/events.parquet")
+            open(f"{d}/_DONE_EV", "w").write("ok")
+        # stretch the event timestamps across 365 days so the rollup
+        # has a year of daily partitions
+        ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+            "concat('EV:', CAST(user_id % 500 AS STRING)) AS pvname",
+            """CAST(86400.0 * 365.0
+                 * (unix_micros(ts) - (SELECT min(unix_micros(ts)) FROM {ev}))
+                 / greatest(1, (SELECT max(unix_micros(ts)) FROM {ev})
+                              - (SELECT min(unix_micros(ts)) FROM {ev}))
+               AS DOUBLE) AS time""",
+            "value",
+        )
+        rollup_path = f"{d}/rollup_year"
+        shutil.rmtree(rollup_path, ignore_errors=True)
+        tb = time.perf_counter()
+        daily_rollup(ev).write.partitionBy("day").mode("overwrite").parquet(
+            rollup_path
+        )
+        t_build = time.perf_counter() - tb
+        rollup = spark.read.parquet(rollup_path)
+        t_merge = _noop(lambda: plot_bins_from_rollup(rollup, n_bins=52))
+        # the cold lane: scan every raw event for the same 52-bin plot
+        t_cold = _noop(
+            lambda: ev.groupBy(
+                "pvname",
+                F.floor(F.col("time") / (86400.0 * 365.0 / 52)).alias("bin"),
+            ).agg(
+                F.count("*").alias("n"),
+                F.min("value").alias("vmin"),
+                F.max("value").alias("vmax"),
+            )
+        )
+        results[f"x{s}"] = {
+            "rollup_build_s": round(t_build, 2),
+            "merge_52bins_s": round(t_merge, 2),
+            "cold_scan_s": round(t_cold, 2),
+        }
+    print(json.dumps({"probe": "r12d_rollup_year", **results}))
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="/tmp/scaleprobe")
+    ap.add_argument("--sections", default="a")
+    args = ap.parse_args()
+
+    from epicsarchiver_spark.session import get_spark
+
+    spark = get_spark("probe-r12")
+    spark.sparkContext.setLogLevel("ERROR")
+    sections = set(args.sections.split(","))
+    if "a" in sections:
+        probe_drift(spark)
+    if "b" in sections:
+        probe_adaptive_sax(spark)
+    if "c" in sections:
+        probe_pagerank_scale(spark)
+    if "d" in sections:
+        probe_rollup_year(spark, args.out)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
