@@ -1445,6 +1445,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ts_sax_topk_indexed"] = _ts_sax_topk_indexed
+    # adaptive iSAX sizing (SCALE r11f/r12b): the auto lane derives
+    # (n_segments, n_candidates) from the series count; at this corpus
+    # (750 series, 15-instant grid) it resolves to the fixed constants,
+    # so the oracle is ts_sax_topk's — the derivation itself is
+    # unit-tested and probe-certified in the adaptive region
+    q["ts_sax_topk_auto"] = lambda s, d: timeseries.sax_topk_auto(
+        _points(s, d),
+        SAX_QUERY_PV,
+        T0,
+        T1,
+        GRID_STEP,
+        k=SAX_TOPK,
+        alphabet=SAX_ALPHABET,
+        fence=SAX_NCAND,
+        expand=SAX_EXPAND,
+    )
+    # bucket-occupancy health of the word index vs the nomination fence
+    # — the one-line report read beside ts_sax_recall before trusting a
+    # configuration (overflow pct > 0 ⇒ fence-breaking buckets exist)
+    q["ts_sax_health"] = lambda s, d: timeseries.sax_index_health(
+        timeseries.sax_words(
+            _points(s, d), T0, T1, GRID_STEP, SAX_SEGMENTS, SAX_ALPHABET
+        ),
+        n_candidates=SAX_NCAND,
+    )
     # HOT-SAX discords: rarest per-series SAX word over sliding windows
     q["ts_discords"] = lambda s, d: timeseries.sax_discords(
         _points(s, d),

@@ -1147,7 +1147,18 @@ def sax_topk(
     can HURT (the neighbor flood evicts true mates from the
     name-ordered fence). When a bucket holds thousands of true
     shape-mates the top-k among them is a tie lottery and any fence-ful
-    is quality-equivalent (measured within 1e-4 of optimal r)."""
+    is quality-equivalent (measured within 1e-4 of optimal r). Use
+    :func:`sax_auto_params` / :func:`sax_topk_auto` to derive
+    fence-sized settings from the series count, and
+    :func:`sax_index_health` to read the bucket-occupancy health line
+    before trusting a configuration.
+
+    NEVER call the inline lane (``index=None``) at scale: it rebuilds
+    the ENTIRE word table — a full corpus scan — per query (SCALE r11b:
+    3.8 s inline vs 1.6 s indexed at sf0.1; at 100 TB the inline lane
+    is a 100 TB scan per lookup). It exists to certify the word builder
+    inside one gate; production queries pass ``index=`` the persisted
+    :func:`sax_words` artifact, always."""
     spark = points.sparkSession
     words = (
         index
@@ -1234,6 +1245,144 @@ def sax_topk(
         .limit(int(k))
         .join(cand_words, key)
         .select(key, "word", "n", F.round("_r", 6).alias("r"))
+    )
+
+
+def sax_auto_params(
+    n_series: int,
+    n_grid: int = 16,
+    alphabet: int = 4,
+    fence: int = 128,
+    max_fence: int = 1024,
+) -> dict:
+    """Corpus-stat-derived iSAX sizing (the adaptive-cardinality move,
+    Shieh/Keogh iSAX; SCALE r11f measured the failure of fixed
+    defaults): pick the smallest ``n_segments`` whose word space keeps
+    the EXPECTED bucket (series per word) at or under half the
+    nomination fence, so a bucket-ful of nominees fits the fence with
+    headroom for neighbor expansion. Segments are capped by the grid
+    (a PAA segment needs at least one grid instant; resolution beyond
+    the grid is imaginary). If the cap still leaves buckets
+    fence-breaking — a corpus of few distinct shapes, where more
+    resolution cannot split true shape-mates — the fence itself grows
+    to 2× the expected bucket (clamped to ``max_fence``), trading query
+    cost for not silently truncating a tied bucket.
+
+    Pure driver-side arithmetic (no data pass — feed it
+    ``index.count()`` or a cached series count). Returns ``{'n_segments',
+    'n_candidates', 'n_words', 'expected_bucket'}``. At the gate corpus
+    (750 series, 15-instant grid) it resolves to the r11 defaults
+    (4, 128) — certified by the ``ts_sax_topk_auto`` gate sharing
+    ``ts_sax_topk``'s oracle; the ×10 structured-corpus probe (SCALE
+    r12b) certifies the adaptive region."""
+    n_series = max(1, int(n_series))
+    cap = max(4, int(n_grid) - 1)
+    target = max(1, int(fence) // 2)
+    n_segments = 4
+    while n_segments < cap and n_series > target * (alphabet ** n_segments):
+        n_segments += 1
+    n_words = alphabet ** n_segments
+    expected_bucket = -(-n_series // n_words)  # ceil
+    n_candidates = int(fence)
+    if 2 * expected_bucket > n_candidates:
+        n_candidates = min(int(max_fence), 2 * expected_bucket)
+    return {
+        "n_segments": n_segments,
+        "n_candidates": n_candidates,
+        "n_words": n_words,
+        "expected_bucket": expected_bucket,
+    }
+
+
+def sax_topk_auto(
+    points: DataFrame,
+    query: str,
+    t0: float,
+    t1: float,
+    step: float,
+    k: int = 5,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    fence: int = 128,
+    expand: int = 2,
+    key: str = "pvname",
+    index: DataFrame | None = None,
+    n_series: int | None = None,
+) -> DataFrame:
+    """:func:`sax_topk` with :func:`sax_auto_params` sizing — the lane
+    that stays healthy as the corpus grows instead of shipping the
+    fixed (4 segments, fence 128) defaults that SCALE r11f measured at
+    0% identity-recall on a ×10 structured corpus. ``n_series`` skips
+    the sizing count when the caller already knows it (one bounded
+    driver aggregate otherwise — prefer ``index.count()``: the word
+    artifact is bytes per series; NOTE an index must then have been
+    built with the SAME auto segments, so production builds call
+    ``sax_words(..., n_segments=sax_auto_params(n)["n_segments"])``
+    and record the params beside the artifact)."""
+    if n_series is None:
+        n_series = (
+            index.count() if index is not None
+            else points.select(key).distinct().count()
+        )
+    n_grid = int(round((t1 - t0) / step)) + 1
+    p = sax_auto_params(n_series, n_grid=n_grid, alphabet=alphabet, fence=fence)
+    return sax_topk(
+        points, query, t0, t1, step, k=k,
+        n_segments=p["n_segments"], alphabet=alphabet, quantum=quantum,
+        n_candidates=p["n_candidates"], expand=expand, key=key, index=index,
+    )
+
+
+def sax_index_health(
+    words: DataFrame, n_candidates: int = 128, key: str = "pvname"
+) -> DataFrame:
+    """The one-line index-health report beside ``ts_sax_recall``
+    (VERDICT r11 task 3): bucket-occupancy stats of a :func:`sax_words`
+    artifact against the nomination fence. One row, all exact BIGINTs:
+    ``(n_series, n_words, max_bucket, p99_bucket, overflow_words,
+    overflow_series_pct100)`` where overflow = words whose bucket
+    exceeds ``n_candidates`` (their members can silently evict true
+    mates from the name-ordered fence — the r11f recall cliff) and
+    ``p99_bucket`` is the occupancy at integer rank ceil(99·n_words/100)
+    ordered by (occupancy, word). Read it before trusting a
+    configuration: overflow_series_pct100 > 0 means that share of the
+    corpus lives in fence-breaking buckets — grow segments (or the
+    fence) via :func:`sax_auto_params`.
+
+    Scale shape: one aggregate over the bytes-per-series word table to
+    |word-space| rows, then a single-partition rank over those — bounded
+    by alphabet^segments, never by corpus size."""
+    from pyspark.sql import Window
+
+    b = words.groupBy("word").agg(F.count(F.lit(1)).alias("bn"))
+    ranked = b.withColumn(
+        "rk", F.row_number().over(Window.orderBy("bn", "word"))
+    )
+    tot = b.agg(
+        F.sum("bn").cast("long").alias("n_series"),
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.max("bn").cast("long").alias("max_bucket"),
+        F.sum(F.when(F.col("bn") > int(n_candidates), 1).otherwise(0))
+        .cast("long")
+        .alias("overflow_words"),
+        F.sum(F.when(F.col("bn") > int(n_candidates), F.col("bn")).otherwise(0))
+        .cast("long")
+        .alias("_overflow_series"),
+    )
+    p99 = (
+        ranked.crossJoin(F.broadcast(tot.select(F.col("n_words").alias("_nw"))))
+        .filter(F.col("rk") == F.expr("CAST((99 * _nw + 99) DIV 100 AS BIGINT)"))
+        .select(F.col("bn").cast("long").alias("p99_bucket"))
+    )
+    return tot.crossJoin(F.broadcast(p99)).select(
+        "n_series",
+        "n_words",
+        "max_bucket",
+        "p99_bucket",
+        "overflow_words",
+        F.expr("CAST(_overflow_series * 10000 DIV n_series AS BIGINT)").alias(
+            "overflow_series_pct100"
+        ),
     )
 
 

@@ -1732,6 +1732,42 @@ def build(o: dict[str, str]) -> None:
     # artifact — numerically identical by construction
     o["ts_sax_topk_indexed"] = o["ts_sax_topk"]
 
+    # the auto-sized lane: sax_auto_params(750 series, 15-instant grid)
+    # resolves to exactly (SAX_SEGMENTS, SAX_NCAND) at this corpus
+    # (tests/test_sax_auto.py pins the derivation), so the certified SQL
+    # is ts_sax_topk's verbatim — the adaptive region is probe-certified
+    # (SCALE r12b)
+    o["ts_sax_topk_auto"] = o["ts_sax_topk"]
+
+    # bucket-occupancy health line of the word index vs the nomination
+    # fence — all exact BIGINTs; p99 = occupancy at integer rank
+    # ceil(99·n_words/100) ordered by (occupancy, word)
+    o["ts_sax_health"] = (
+        P
+        + f""",
+        {_sax_word_ctes},
+        b AS (SELECT word, CAST(count(*) AS BIGINT) AS bn FROM w GROUP BY 1),
+        r AS (SELECT bn, row_number() OVER (ORDER BY bn, word) AS rk FROM b),
+        t AS (
+          SELECT CAST(sum(bn) AS BIGINT) AS n_series,
+                 CAST(count(*) AS BIGINT) AS n_words,
+                 CAST(max(bn) AS BIGINT) AS max_bucket,
+                 CAST(sum(CASE WHEN bn > {SAX_NCAND} THEN 1 ELSE 0 END)
+                      AS BIGINT) AS overflow_words,
+                 CAST(sum(CASE WHEN bn > {SAX_NCAND} THEN bn ELSE 0 END)
+                      AS BIGINT) AS overflow_series
+          FROM b
+        )
+        SELECT n_series, n_words, max_bucket,
+               (SELECT CAST(bn AS BIGINT) FROM r, t
+                WHERE rk = (99 * n_words + 99) // 100) AS p99_bucket,
+               overflow_words,
+               CAST(overflow_series * 10000 // n_series AS BIGINT)
+                 AS overflow_series_pct100
+        FROM t
+        """
+    )
+
     # index-quality audit: exact = query-vs-all SIGNED-r top-k (linear,
     # same BIGINT moments), indexed = the ts_sax_topk pipeline; recall
     # as exact integer percent·100

