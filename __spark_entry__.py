@@ -74,6 +74,7 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
     SAX_ALPHABET,
+    SAX_CUT,
     SAX_EXPAND,
     SAX_NCAND,
     SAX_QUERY_PV,
@@ -1445,6 +1446,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["ts_sax_topk_indexed"] = _ts_sax_topk_indexed
+    # incremental word-index refresh (the doc_components_incremental
+    # cadence): artifact built on points <= SAX_CUT, refreshed against
+    # the full table — stale series re-worded, unchanged series read
+    # back; must equal a full rebuild row-for-row
+    q["ts_sax_words_incremental"] = lambda s, d: timeseries.sax_words_refresh(
+        _points(s, d),
+        timeseries.sax_words_build(
+            _points(s, d).filter(F.col("time") <= SAX_CUT),
+            T0,
+            T1,
+            GRID_STEP,
+            SAX_SEGMENTS,
+            SAX_ALPHABET,
+        ),
+        T0,
+        T1,
+        GRID_STEP,
+        SAX_SEGMENTS,
+        SAX_ALPHABET,
+    )
     # adaptive iSAX sizing (SCALE r11f/r12b): the auto lane derives
     # (n_segments, n_candidates) from the series count; at this corpus
     # (750 series, 15-instant grid) it resolves to the fixed constants,

@@ -81,6 +81,10 @@ SAX_ALPHABET = 4
 SAX_NCAND = 128
 SAX_EXPAND = 2  # iSAX neighbor radius: <=2 differing segments, adjacent letters
 SAX_TOPK = 5
+# incremental word-refresh gate: artifact built on points <= SAX_CUT
+# (mid-window), refreshed against the full table — must equal a full
+# rebuild row-for-row
+SAX_CUT = 1705276800.0  # 2024-01-15, the window midpoint
 # HOT-SAX discords: window short enough that sf0.01's 13-point median
 # series still yield full windows (window % segments == 0)
 DISCORD_WINDOW = 8

@@ -1732,6 +1732,20 @@ def build(o: dict[str, str]) -> None:
     # artifact — numerically identical by construction
     o["ts_sax_topk_indexed"] = o["ts_sax_topk"]
 
+    # incremental refresh == full rebuild (unchanged watermark ⇒
+    # unchanged grid inputs ⇒ identical word; stale series re-worded
+    # from the full table): the oracle is simply the full build with
+    # its per-series watermark
+    o["ts_sax_words_incremental"] = (
+        P
+        + f""",
+        {_sax_word_ctes},
+        wmx AS (SELECT pvname, max(time) AS wm FROM points
+                WHERE time <= {T1 + 1e-4} GROUP BY 1)
+        SELECT w.pvname, w.word, wmx.wm FROM w JOIN wmx USING (pvname)
+        """
+    )
+
     # the auto-sized lane: sax_auto_params(750 series, 15-instant grid)
     # resolves to exactly (SAX_SEGMENTS, SAX_NCAND) at this corpus
     # (tests/test_sax_auto.py pins the derivation), so the certified SQL

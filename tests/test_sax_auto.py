@@ -84,6 +84,90 @@ def test_index_health_report(spark):
     assert row.overflow_series_pct100 == 6250
 
 
+def _series(pv, pairs):
+    return [(pv, float(t), float(v)) for t, v in pairs]
+
+
+def test_sax_words_refresh_staleness_contract(spark):
+    """The freshness contract (VERDICT r11 task 5): after an append,
+    refresh must (a) re-word exactly the series with new points at or
+    under the window horizon, (b) READ BACK unchanged series from the
+    artifact — proven by tampering an unchanged row's word and seeing
+    the tamper survive — and (c) pick up series the artifact never saw.
+    A new point PAST the horizon must not mark its series stale."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    t0, t1, step = 0.0, 90.0, 30.0  # grid instants 0, 30, 60, 90
+    base_rows = (
+        _series("PV:stale", [(0, 1), (30, 5), (60, 2)])
+        + _series("PV:same", [(0, 9), (40, 1), (80, 4)])
+    )
+    full_rows = (
+        base_rows
+        + _series("PV:stale", [(85, 99)])      # in-horizon append → stale
+        + _series("PV:same", [(95, 123)])      # past horizon → NOT stale
+        + _series("PV:new", [(0, 3), (50, 8)])  # never indexed → stale
+    )
+    cols = ["pvname", "time", "value"]
+    base = spark.createDataFrame(pd.DataFrame(base_rows, columns=cols))
+    full = spark.createDataFrame(pd.DataFrame(full_rows, columns=cols))
+
+    art = sax_words_build(base, t0, t1, step, n_segments=2).toPandas()
+    # tamper the unchanged series' artifact word: refresh must emit the
+    # tampered value verbatim (read-back), never recompute it
+    art.loc[art["pvname"] == "PV:same", "word"] = "ZZ"
+    tampered = spark.createDataFrame(art)
+
+    got = {
+        r["pvname"]: (r["word"], r["wm"])
+        for r in sax_words_refresh(
+            full, tampered, t0, t1, step, n_segments=2
+        ).collect()
+    }
+    want_full = {
+        r["pvname"]: (r["word"], r["wm"])
+        for r in sax_words_build(full, t0, t1, step, n_segments=2).collect()
+    }
+    assert set(got) == {"PV:stale", "PV:same", "PV:new"}
+    # stale + new series match the full rebuild exactly
+    assert got["PV:stale"] == want_full["PV:stale"]
+    assert got["PV:new"] == want_full["PV:new"]
+    # unchanged series: tampered word survives, watermark unmoved (the
+    # 95.0 append sits past the horizon)
+    assert got["PV:same"] == ("ZZ", 80.0)
+
+
+def test_sax_words_refresh_equals_full_rebuild(spark):
+    """Row-identical to a full rebuild on an untampered artifact — the
+    property the ts_sax_words_incremental gate certifies against DuckDB
+    at sf0.01."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    t0, t1, step = 0.0, 90.0, 30.0
+    rows = []
+    for i in range(6):
+        rows += _series(f"PV:{i}", [(t, (i + 1) * t % 7) for t in range(0, 100, 10)])
+    cols = ["pvname", "time", "value"]
+    full = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    base = full.filter("time <= 45")
+    art = sax_words_build(base, t0, t1, step, n_segments=3)
+    got = sorted(
+        map(tuple, sax_words_refresh(full, art, t0, t1, step, n_segments=3).collect())
+    )
+    want = sorted(map(tuple, sax_words_build(full, t0, t1, step, n_segments=3).collect()))
+    assert got == want
+
+
 def test_index_health_no_overflow(spark):
     words = spark.createDataFrame(
         pd.DataFrame({"pvname": ["a", "b", "c"], "word": ["aa", "ab", "aa"]})
