@@ -69,6 +69,7 @@ def pagerank(
     a: str = "pv1",
     b: str = "pv2",
     score: str = "score",
+    broadcast_ranks: bool = True,
 ) -> DataFrame:
     """Global centrality over the undirected pairs graph — "which PVs
     (or documents) sit at the center of the relatedness structure".
@@ -104,9 +105,16 @@ def pagerank(
     is checkpointed eagerly so round k+1's broadcast builds from a
     materialized 16-byte-per-node RDD instead of re-nesting round k's
     plan (measured: nested broadcast subplans serialize into one long
-    final job — 6 s vs 0.6 s/round at sf0.1). When the node set
-    outgrows broadcast (≫10⁷), drop the hint: the join degrades to one
-    co-partitioned shuffle per round, the classic Pregel cadence.
+    final job — 6 s vs 0.6 s/round at sf0.1). When the node set grows,
+    pass ``broadcast_ranks=False``: the join becomes one co-partitioned
+    shuffle per round, the classic Pregel cadence. The crossover comes
+    EARLIER than the broadcast memory wall — measured at 10⁶ nodes /
+    10⁷ edges (SCALE r12c) the shuffle lane is already the cheaper one
+    (5.7 vs 7.9 s/round on local[32]): re-broadcasting a node-sized
+    frame every round costs more than exchanging it once. Broadcast is
+    the right lane only while the rank frame is dimension-sized
+    (≲10⁵ nodes — the sf0.1 graph); size the switch by rank-frame
+    bytes, not by when the broadcast OOMs.
     Weights fold in exact integer cents; canonical dedup
     (least/greatest + max) runs once up front.
     """
@@ -135,8 +143,9 @@ def pagerank(
         "r", F.lit(int(scale)).cast("long")
     )
     for _ in range(int(rounds)):
+        rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
-            g.join(F.broadcast(ranks), g["src"] == ranks["id"])
+            g.join(rk, g["src"] == ranks["id"])
             .select(F.col("dst").alias("id"), F.expr("r * w DIV wt").alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("c"))

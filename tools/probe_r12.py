@@ -104,11 +104,17 @@ def _structured_corpus(spark, scale: int):
 def probe_adaptive_sax(spark) -> None:
     """r12b: fixed r11 defaults (4 segments, fence 128) vs the
     auto-sized index (sax_auto_params) on the structured corpus at
-    ×1/×10 — identity recall, wall, and the bucket-occupancy health
-    line (sax_index_health) that predicts the recall cliff."""
+    ×1/×10 — identity recall, the quality-equivalence view (indexed
+    top-5 mean r vs the exact signed-r top-5's: on a corpus whose
+    archetype buckets hold thousands of true shape-mates tied at
+    r≈0.999, identity recall is a lottery and quality is the honest
+    metric — SCALE r11f finding 2), wall, and the bucket-occupancy
+    health line (sax_index_health) that predicts the recall cliff."""
     from epicsarchiver_spark.operators.timeseries import (
+        locf_grid,
         sax_auto_params,
         sax_index_health,
+        sax_topk,
         sax_topk_recall,
         sax_words,
     )
@@ -117,8 +123,38 @@ def probe_adaptive_sax(spark) -> None:
     for s in (1, 10):
         ev, t0, t1, step, n_series = _structured_corpus(spark, s)
         qpv = "SP:0"
+        # exact signed-r top-5 mean r (query-vs-all, the recall truth)
+        grid = (
+            locf_grid(ev, t0, t1, step)
+            .filter(F.col("value").isNotNull())
+            .selectExpr("pvname", "t", "CAST(round(value / 0.01) AS LONG) AS q")
+        )
+        qg = grid.filter(F.col("pvname") == qpv).selectExpr("t", "q AS qa")
+        sums = (
+            grid.filter(F.col("pvname") != qpv)
+            .join(F.broadcast(qg), "t")
+            .groupBy("pvname")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("qa").alias("sx"), F.sum("q").alias("sy"),
+                F.sum(F.expr("qa*q")).alias("sxy"),
+                F.sum(F.expr("qa*qa")).alias("sxx"),
+                F.sum(F.expr("q*q")).alias("syy"),
+            )
+            .selectExpr(
+                "pvname",
+                "CAST(n*sxy - sx*sy AS DOUBLE) /"
+                " (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))"
+                "  * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS r",
+            )
+            .filter("r IS NOT NULL")
+        )
+        exact5 = [row["r"] for row in sums.orderBy(F.desc("r"), "pvname").limit(5).collect()]
         auto = sax_auto_params(n_series)
-        per = {"auto_params": auto}
+        per = {
+            "auto_params": auto,
+            "exact_top5_mean_r": round(sum(exact5) / len(exact5), 6),
+        }
         for tag, nseg, ncand in [
             ("fixed_4seg_c128", 4, 128),
             ("auto", auto["n_segments"], auto["n_candidates"]),
@@ -128,6 +164,10 @@ def probe_adaptive_sax(spark) -> None:
                 ev, qpv, t0, t1, step, k=5, n_segments=nseg,
                 expand=1, n_candidates=ncand,
             ).head()
+            top = sax_topk(
+                ev, qpv, t0, t1, step, k=5, n_segments=nseg,
+                expand=1, n_candidates=ncand,
+            ).collect()
             health = sax_index_health(
                 sax_words(ev, t0, t1, step, n_segments=nseg),
                 n_candidates=ncand,
@@ -135,6 +175,9 @@ def probe_adaptive_sax(spark) -> None:
             per[tag] = {
                 "recall_pct100": row["recall_pct100"],
                 "n_indexed": row["n_indexed"],
+                "indexed_top5_mean_r": (
+                    round(sum(r["r"] for r in top) / len(top), 6) if top else None
+                ),
                 "wall_s": round(time.perf_counter() - tq, 2),
                 "health": {
                     "n_words": health["n_words"],
@@ -155,17 +198,18 @@ def probe_pagerank_scale(spark) -> None:
     claim under test: at ≥10⁷ nodes the rank frame no longer fits a
     broadcast, so the shuffle lane must carry the op at a bounded
     per-round premium."""
-    from epicsarchiver_spark.operators.related import pagerank_scores
+    from epicsarchiver_spark.operators.related import pagerank
 
     n_nodes, n_edges = 1_000_000, 10_000_000
     edges = spark.range(n_edges).selectExpr(
-        f"CAST(pmod(xxhash64(id, 1), {n_nodes}) AS STRING) AS src",
-        f"CAST(pmod(xxhash64(id, 2), {n_nodes}) AS STRING) AS dst",
-    ).filter("src <> dst")
+        f"CAST(pmod(xxhash64(id, 1), {n_nodes}) AS STRING) AS pv1",
+        f"CAST(pmod(xxhash64(id, 2), {n_nodes}) AS STRING) AS pv2",
+        "CAST(1 + pmod(xxhash64(id, 3), 9) AS DOUBLE) AS score",
+    ).filter("pv1 <> pv2")
     results = {}
     for tag, bcast in [("broadcast", True), ("shuffle", False)]:
-        t = _noop(lambda: pagerank_scores(
-            edges, n_rounds=4, broadcast_ranks=bcast,
+        t = _noop(lambda: pagerank(
+            edges, rounds=4, broadcast_ranks=bcast,
         ))
         results[tag] = {"wall_s": round(t, 2), "s_per_round": round(t / 4, 2)}
     print(json.dumps({
@@ -180,53 +224,64 @@ def probe_rollup_year(spark, out: str) -> None:
     vs the cold full scan, at ×1/×10 event volume."""
     import shutil
 
-    from epicsarchiver_spark.operators.timeseries import (
-        daily_rollup,
-        plot_bins_from_rollup,
-    )
+    from epicsarchiver_spark.sources.points_store import read_rollup, write_rollup
     from tools.scale_probe import gen_events
 
     results = {}
-    for s in (1, 10):
+    for s in (10, 100):
         d = f"{out}/x{s}"
         if not os.path.exists(f"{d}/_DONE_EV"):
             gen_events(spark, 100_000 * s, 1500 * s, f"{d}/events.parquet")
             open(f"{d}/_DONE_EV", "w").write("ok")
-        # stretch the event timestamps across 365 days so the rollup
-        # has a year of daily partitions
-        ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+        # stretch the event timestamps across 365 days from epoch 0 so
+        # the rollup has a year of daily rows per key
+        raw = spark.read.parquet(f"{d}/events.parquet")
+        lo, hi = raw.selectExpr(
+            "min(unix_micros(ts))", "max(unix_micros(ts))"
+        ).head()
+        span = max(1, hi - lo)
+        ev = raw.selectExpr(
             "concat('EV:', CAST(user_id % 500 AS STRING)) AS pvname",
-            """CAST(86400.0 * 365.0
-                 * (unix_micros(ts) - (SELECT min(unix_micros(ts)) FROM {ev}))
-                 / greatest(1, (SELECT max(unix_micros(ts)) FROM {ev})
-                              - (SELECT min(unix_micros(ts)) FROM {ev}))
-               AS DOUBLE) AS time""",
+            f"CAST(86400.0 * 365.0 * (unix_micros(ts) - {lo}) / {span}"
+            " AS DOUBLE) AS time",
             "value",
         )
         rollup_path = f"{d}/rollup_year"
         shutil.rmtree(rollup_path, ignore_errors=True)
         tb = time.perf_counter()
-        daily_rollup(ev).write.partitionBy("day").mode("overwrite").parquet(
-            rollup_path
-        )
+        write_rollup(ev, rollup_path)
         t_build = time.perf_counter() - tb
-        rollup = spark.read.parquet(rollup_path)
-        t_merge = _noop(lambda: plot_bins_from_rollup(rollup, n_bins=52))
+        # the artifact lane: 52-bin year plot from (key × 365 day) rows
+        week = (
+            "CAST(datediff(to_date(day), to_date('1970-01-01')) DIV 7"
+            " AS BIGINT)"
+        )
+        t_merge = _noop(
+            lambda: read_rollup(spark, rollup_path)
+            .groupBy("pvname", F.expr(week).alias("bin"))
+            .agg(
+                F.sum("n").alias("n"),
+                F.min("min_value").alias("vmin"),
+                F.max("max_value").alias("vmax"),
+            )
+        )
         # the cold lane: scan every raw event for the same 52-bin plot
         t_cold = _noop(
             lambda: ev.groupBy(
                 "pvname",
-                F.floor(F.col("time") / (86400.0 * 365.0 / 52)).alias("bin"),
+                F.floor(F.col("time") / (86400.0 * 7)).alias("bin"),
             ).agg(
                 F.count("*").alias("n"),
                 F.min("value").alias("vmin"),
                 F.max("value").alias("vmax"),
             )
         )
+        n_days = read_rollup(spark, rollup_path).count()
         results[f"x{s}"] = {
+            "rollup_rows": n_days,
             "rollup_build_s": round(t_build, 2),
-            "merge_52bins_s": round(t_merge, 2),
-            "cold_scan_s": round(t_cold, 2),
+            "plot_from_rollup_s": round(t_merge, 2),
+            "plot_cold_scan_s": round(t_cold, 2),
         }
     print(json.dumps({"probe": "r12d_rollup_year", **results}))
 
