@@ -74,6 +74,8 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
     SAX_ALPHABET,
+    CUSUM_H,
+    CUSUM_K,
     SAX_CUT,
     SAX_EXPAND,
     SAX_NCAND,
@@ -146,6 +148,10 @@ def entry(spark: SparkSession) -> DataFrame:
 #     python tools/rotate_front.py --write
 # (never-certified keys first, then oldest green driver row first).
 _R12_FRONT: list[str] = [
+    "ts_cusum",
+    "ts_sax_health",
+    "ts_sax_topk_auto",
+    "ts_sax_words_incremental",
     "rel_disjunctive_revenue",
     "rel_forecast_revenue",
     "rel_large_orders",
@@ -192,10 +198,6 @@ _R12_FRONT: list[str] = [
     "doc_readability",
     "doc_split_leakage",
     "doc_tokenizer_fertility",
-    "doc_winnow_indexed",
-    "emb_cell_quality",
-    "emb_cell_sample",
-    "emb_kmeans_refine",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1490,6 +1492,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             _points(s, d), T0, T1, GRID_STEP, SAX_SEGMENTS, SAX_ALPHABET
         ),
         n_candidates=SAX_NCAND,
+    )
+    # two-sided CUSUM changepoints (Page 1954) vs each series' exact
+    # mean — the recurrence-to-window device: S+ = prefix - min(0,
+    # running-min(prefix)), all BIGINT, one window stage per series
+    q["ts_cusum"] = lambda s, d: timeseries.cusum_changepoints(
+        _points(s, d), k=CUSUM_K, h=CUSUM_H
     )
     # HOT-SAX discords: rarest per-series SAX word over sliding windows
     q["ts_discords"] = lambda s, d: timeseries.sax_discords(

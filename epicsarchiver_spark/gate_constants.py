@@ -85,6 +85,10 @@ SAX_TOPK = 5
 # (mid-window), refreshed against the full table — must equal a full
 # rebuild row-for-row
 SAX_CUT = 1705276800.0  # 2024-01-15, the window midpoint
+# CUSUM changepoints (ts_cusum): slack/threshold in value units vs the
+# series' exact mean; (20, 200) yields a ~60-crossing list at sf0.01
+CUSUM_K = 20.0
+CUSUM_H = 200.0
 # HOT-SAX discords: window short enough that sf0.01's 13-point median
 # series still yield full windows (window % segments == 0)
 DISCORD_WINDOW = 8

@@ -8,6 +8,8 @@ from __future__ import annotations
 
 from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE
 from epicsarchiver_spark.gate_constants import (
+    CUSUM_H,
+    CUSUM_K,
     ALARM_TRIP,
     ALERT_RULES,
     ASOF_LOOKBACK,
@@ -1820,6 +1822,43 @@ def build(o: dict[str, str]) -> None:
                (SELECT CAST(count(*) AS BIGINT) FROM hit) AS n_hit,
                CAST((SELECT count(*) FROM hit) * 10000 // {SAX_TOPK} AS BIGINT)
                  AS recall_pct100
+        """
+    )
+
+    # two-sided CUSUM crossings vs the series' exact mean — the
+    # recurrence-to-window identity (S+ = prefix - min(0, running-min));
+    # everything scaled by the per-series count n so the mean stays
+    # integer; crossing = statistic passes n·h from at-or-below
+    _ckq = int(round(CUSUM_K / 0.01))
+    _chq = int(round(CUSUM_H / 0.01))
+    o["ts_cusum"] = (
+        P
+        + f""",
+        b AS (SELECT pvname, time, event_id,
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points),
+        m AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sq FROM b GROUP BY 1),
+        c AS (SELECT b.pvname, time, n, sq,
+                     CAST(sum(q) OVER w AS BIGINT) AS cq,
+                     CAST(row_number() OVER w AS BIGINT) AS i
+              FROM b JOIN m USING (pvname)
+              WINDOW w AS (PARTITION BY b.pvname ORDER BY time, event_id)),
+        p2 AS (SELECT pvname, time, n,
+                      n*cq - i*sq - i*n*{_ckq} AS pu,
+                      i*sq - n*cq - i*n*{_ckq} AS pd, i FROM c),
+        s AS (SELECT pvname, time, n, i,
+                     pu - least(0, min(pu) OVER w) AS su,
+                     pd - least(0, min(pd) OVER w) AS sd
+              FROM p2 WINDOW w AS (PARTITION BY pvname ORDER BY i)),
+        x AS (SELECT pvname, time, n, su, sd,
+                     coalesce(lag(su) OVER w, 0) AS psu,
+                     coalesce(lag(sd) OVER w, 0) AS psd
+              FROM s WINDOW w AS (PARTITION BY pvname ORDER BY i))
+        SELECT pvname, time, 'up' AS side, CAST(su AS BIGINT) AS s_scaled, n
+        FROM x WHERE su > n*{_chq} AND psu <= n*{_chq}
+        UNION ALL
+        SELECT pvname, time, 'down' AS side, CAST(sd AS BIGINT) AS s_scaled, n
+        FROM x WHERE sd > n*{_chq} AND psd <= n*{_chq}
         """
     )
 

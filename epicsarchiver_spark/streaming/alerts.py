@@ -842,3 +842,106 @@ def hw_stream(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = StructType(
+    [
+        StructField("pvname", StringType()),
+        StructField("time", DoubleType()),
+        StructField("side", StringType()),
+        StructField("s_scaled", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+_CUSUM_STATE_SCHEMA = StructType(
+    [
+        StructField("cu", LongType()),    # Σ(q − target − k) so far
+        StructField("minu", LongType()),  # min(0, running min of cu)
+        StructField("psu", LongType()),   # previous S⁺ (crossing edge)
+        StructField("cd", LongType()),
+        StructField("mind", LongType()),
+        StructField("psd", LongType()),
+    ]
+)
+
+
+def cusum_stream(
+    events: DataFrame,
+    target: float,
+    k: float = 0.5,
+    h: float = 5.0,
+    quantum: float = 0.01,
+) -> DataFrame:
+    """LIVE two-sided CUSUM against a known reference ``target`` — the
+    streaming twin of ``timeseries.cusum_changepoints(target=...)``:
+    emit a crossing row the instant the cumulative deviation statistic
+    passes the decision threshold from at-or-below, exactly the rows
+    the batch lane emits on the same events (row-exact equivalence in
+    tests/test_streaming.py — the statistic is integer arithmetic, so
+    batching cannot perturb it). State per series is six BIGINTs: the
+    running sum, its running min (0-seeded, the virtual pre-history
+    row), and the previous statistic for each side — bytes per PV.
+    Same in-order-source contract as the compressor; NULL-value rows
+    leave the statistic untouched."""
+    tq, kq, hq = (
+        _half_up_long(target / quantum),
+        _half_up_long(k / quantum),
+        _half_up_long(h / quantum),
+    )
+    qm = float(quantum)
+
+    def kernel(
+        key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        pvname = key[0]
+        cu, minu, psu, cd, mind, psd = (
+            state.get if state.exists else (0, 0, 0, 0, 0, 0)
+        )
+        chunks = list(pdfs)
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else (pd.concat(chunks) if chunks else pd.DataFrame())
+        )
+        if len(rows):
+            rows = rows.dropna(subset=["time", "value"])
+        if len(rows):
+            t_arr = rows["time"].to_numpy()
+            v_arr = rows["value"].to_numpy()
+            order = t_arr.argsort(kind="stable")
+            out_t, out_side, out_s = [], [], []
+            for idx in order:
+                t = float(t_arr[idx])
+                q = _half_up_long(float(v_arr[idx]) / qm)
+                cu += q - (tq + kq)
+                minu = min(minu, cu)
+                su = cu - minu
+                if su > hq and psu <= hq:
+                    out_t.append(t), out_side.append("up"), out_s.append(su)
+                psu = su
+                cd += (tq - kq) - q
+                mind = min(mind, cd)
+                sd = cd - mind
+                if sd > hq and psd <= hq:
+                    out_t.append(t), out_side.append("down"), out_s.append(sd)
+                psd = sd
+            state.update((cu, minu, psu, cd, mind, psd))
+            if out_t:
+                yield pd.DataFrame(
+                    {
+                        "pvname": pvname,
+                        "time": out_t,
+                        "side": out_side,
+                        "s_scaled": out_s,
+                        "n": 1,
+                    }
+                )
+
+    return events.groupBy("pvname").applyInPandasWithState(
+        kernel,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=_CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -826,3 +826,17 @@ def test_bm25_indexed_pushes_term_filter_to_postings_scan(spark):
     plan = _plan(spark, "doc_bm25_indexed")
     assert re.search(r"PushedFilters: \[In\(term", plan), plan[:1500]
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_single_scan_single_exchange(spark):
+    """Both CUSUM sides must emit from ONE subtree: a naive up/down
+    union replicates the scan and the whole window pipeline (measured
+    2 scans / 8 window nodes); the explode form pins 1 scan, 1
+    series-keyed exchange, and the count/cumsum/running-min/lag windows
+    sharing that partitioning."""
+    plan = _plan(spark, "ts_cusum")
+    # formatted plans list each node twice (tree + detail) — count the
+    # numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "CartesianProduct" not in plan

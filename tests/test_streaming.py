@@ -1723,3 +1723,62 @@ def test_alert_mail_notifications_table_across_daemon_restart(spark, tmp_path):
     assert got2 == [(7, 10.0), (7, 40.0)]
     bodies = {r.time: r.body for r in spark.read.parquet(notif_dir).collect()}
     assert bodies[40.0] == "ALERT M:t1=9.0 (trip 5.0, gt) beam=101.5"
+
+
+def test_cusum_stream_matches_batch_operator(spark, tmp_path):
+    """Row-exact batch↔stream equivalence for the CUSUM twin: same
+    explicit target/k/h, events split across micro-batches — the
+    statistic is integer arithmetic threaded through six BIGINTs of
+    state, so batching cannot perturb a crossing."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+    from epicsarchiver_spark.streaming.alerts import cusum_stream
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for pv, drift in (("C:a", 0.8), ("C:b", -0.6)):
+        t, v = 0.0, 10.0
+        for i in range(90):
+            t += 5.0
+            # wander, then drift away from target=10 past mid-series
+            v += float(rng.normal(0, 0.4)) + (drift if i > 40 else 0.0)
+            rows.append((pv, t, round(v, 2)))
+    pdf = pd.DataFrame(rows, columns=["pvname", "time", "value"])
+
+    batch = spark.createDataFrame(pdf)
+    want = sorted(
+        map(
+            tuple,
+            cusum_changepoints(batch, k=0.5, h=3.0, target=10.0).collect(),
+        )
+    )
+    assert want, "test data must produce at least one crossing"
+    sides = {w[2] for w in want}
+    assert sides == {"up", "down"}, f"want both sides, got {sides}"
+
+    src = tmp_path / "cusum_ev"
+    src.mkdir()
+    for j in range(3):
+        pdf.iloc[j * 60 : (j + 1) * 60].to_parquet(
+            src / f"p{j}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cusum_stream(stream, target=10.0, k=0.5, h=3.0)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cusum_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from cusum_out").collect())
+    )
+    assert got == want
