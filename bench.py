@@ -246,6 +246,10 @@ HEADLINE = [
     "ts_forecast_eval",
     "ts_sax_recall",
     "ts_rollup_indexed",
+    "ts_cusum",
+    "ts_sax_topk_auto",
+    "ts_sax_health",
+    "ts_sax_words_incremental",
 ]
 
 

@@ -286,6 +286,77 @@ def probe_rollup_year(spark, out: str) -> None:
     print(json.dumps({"probe": "r12d_rollup_year", **results}))
 
 
+def probe_cusum_and_refresh(spark, out: str) -> None:
+    """r12e: the round's new operators at scale. (1) ts_cusum at ×1/×10
+    events — one window stage, must ride the scan. (2) the incremental
+    word-refresh payoff: full sax_words_build vs sax_words_refresh
+    after a NARROW append (1% of series get one new point) at ×10 —
+    the doc_components_incremental r10d question applied to the word
+    artifact."""
+    from epicsarchiver_spark.operators.timeseries import (
+        cusum_changepoints,
+        sax_words_build,
+        sax_words_refresh,
+    )
+    from tools.scale_probe import gen_events
+
+    results = {}
+    for s in (1, 10):
+        d = f"{out}/x{s}"
+        if not os.path.exists(f"{d}/_DONE_EV"):
+            gen_events(spark, 100_000 * s, 1500 * s, f"{d}/events.parquet")
+            open(f"{d}/_DONE_EV", "w").write("ok")
+        ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+            "event_id",
+            "concat('EV:', CAST(user_id AS STRING), ':', event_type) AS pvname",
+            "CAST(unix_micros(ts) AS DOUBLE) / 1e6 AS time",
+            "value",
+        )
+        results[f"x{s}"] = {
+            "cusum_s": round(_noop(lambda: cusum_changepoints(ev, k=20.0, h=200.0)), 2),
+        }
+    # refresh payoff at ×10: build once, append one point to 1% of
+    # series, time refresh vs full rebuild
+    d = f"{out}/x10"
+    ev = spark.read.parquet(f"{d}/events.parquet").selectExpr(
+        "event_id",
+        "concat('EV:', CAST(user_id AS STRING), ':', event_type) AS pvname",
+        "CAST(unix_micros(ts) AS DOUBLE) / 1e6 AS time",
+        "value",
+    )
+    t0v, t1v = ev.selectExpr("min(time)", "max(time)").head()
+    step = (t1v - t0v) / 15.0
+    art_path = f"{d}/sax_words_wm"
+    tb = time.perf_counter()
+    sax_words_build(ev, t0v, t1v, step).write.mode("overwrite").parquet(art_path)
+    t_full = time.perf_counter() - tb
+    art = spark.read.parquet(art_path)
+    appended = ev.unionByName(
+        ev.groupBy("pvname")
+        .agg(F.max("time").alias("time"), F.max("event_id").alias("event_id"))
+        .filter(F.expr("pmod(xxhash64(pvname), 100) = 0"))
+        .select(
+            (F.col("event_id") + 1_000_000_000).alias("event_id"),
+            "pvname",
+            (F.col("time") - 1e-3).alias("time"),  # in-horizon append
+            F.lit(999.0).alias("value"),
+        )
+        .select("event_id", "pvname", "time", "value")
+    )
+    tr = time.perf_counter()
+    refreshed = sax_words_refresh(appended, art, t0v, t1v, step)
+    n_out = refreshed.count()
+    t_refresh = time.perf_counter() - tr
+    n_stale = refreshed.join(art, ["pvname", "word", "wm"], "left_anti").count()
+    results["refresh_x10"] = {
+        "full_build_s": round(t_full, 2),
+        "narrow_refresh_s": round(t_refresh, 2),
+        "artifact_series": n_out,
+        "rewritten_series": n_stale,
+    }
+    print(json.dumps({"probe": "r12e_cusum_refresh", **results}))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/tmp/scaleprobe")
@@ -305,6 +376,8 @@ def main() -> None:
         probe_pagerank_scale(spark)
     if "d" in sections:
         probe_rollup_year(spark, args.out)
+    if "e" in sections:
+        probe_cusum_and_refresh(spark, args.out)
     spark.stop()
 
 
