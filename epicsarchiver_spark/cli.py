@@ -736,6 +736,51 @@ def cmd_similar(args) -> int:
     return 0
 
 
+def cmd_sax_health(args) -> int:
+    """Index-health triage — the operational face of
+    ``timeseries.sax_index_health`` (SCALE r12b): read (or build) the
+    word index, print the bucket-occupancy line against the nomination
+    fence, and recommend ``sax_auto_params`` sizing for the measured
+    series count. Exit 0 when no bucket breaks the fence, 2 when
+    fence-breaking buckets exist (the alert-sweep convention): overflow
+    means nominations can silently evict true mates — grow segments or
+    the fence, or accept quality-equivalence on a shape-degenerate
+    corpus (the r12b finding)."""
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_auto_params,
+        sax_index_health,
+        sax_words,
+    )
+
+    spark = _spark("sax_health")
+    if args.index:
+        words = spark.read.parquet(args.index).select("pvname", "word")
+    else:
+        words = sax_words(
+            _points(spark, args), args.t0, args.t1, args.step,
+            n_segments=args.segments, alphabet=args.alphabet,
+        )
+    h = sax_index_health(words, n_candidates=args.fence).head()
+    if h is None:
+        print("no indexed series")
+        return 1
+    n_grid = int(round((args.t1 - args.t0) / args.step)) + 1
+    rec = sax_auto_params(h.n_series, n_grid=n_grid,
+                          alphabet=args.alphabet, fence=args.fence)
+    print(
+        f"{h.n_series} series in {h.n_words} words | bucket max={h.max_bucket}"
+        f" p99={h.p99_bucket} | fence={args.fence}: {h.overflow_words}"
+        f" overflowing word(s), {h.overflow_series_pct100 / 100:.2f}% of"
+        f" series in them"
+    )
+    print(
+        f"auto-sizing for {h.n_series} series on this grid:"
+        f" n_segments={rec['n_segments']} n_candidates={rec['n_candidates']}"
+        f" (expected bucket {rec['expected_bucket']})"
+    )
+    return 2 if h.overflow_words else 0
+
+
 def cmd_forecast(args) -> int:
     """Forecast-trust triage — the operational face of
     ``timeseries.forecast_eval``: backtest the one-step Holt or
@@ -1744,6 +1789,20 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--out", required=True, help="rollup artifact path")
     s.set_defaults(fn=cmd_rollup)
+
+    s = sub.add_parser(
+        "sax_health",
+        help="word-index bucket occupancy vs the nomination fence",
+    )
+    s.add_argument("t0", type=float)
+    s.add_argument("t1", type=float)
+    s.add_argument("step", type=float)
+    s.add_argument("--segments", type=int, default=4)
+    s.add_argument("--alphabet", type=int, default=4)
+    s.add_argument("--fence", type=int, default=128)
+    s.add_argument("--index", default=None,
+                   help="persisted sax_words parquet (skip the word build)")
+    s.set_defaults(fn=cmd_sax_health)
 
     s = sub.add_parser(
         "similar",

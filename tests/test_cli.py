@@ -1278,6 +1278,30 @@ def test_similar_cli_finds_shape_twins(spark, store, capsys):
     assert "CLI:b.VAL" in out and "r=1.0" in out
 
 
+def test_sax_health_cli_reports_occupancy_and_sizing(spark, store, capsys):
+    """`pvarch sax_health`: the two sawtooth store series share one
+    word → one 2-deep bucket; healthy under a 128 fence (exit 0,
+    overflow 0), fence-breaking under --fence 1 (exit 2), and the
+    auto-sizing recommendation line is printed either way."""
+    assert (
+        cli.main(["--store", store, "sax_health", "0", "2970", "30"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "2 series in 1 words" in out
+    assert "0 overflowing word(s)" in out
+    assert "n_segments=4 n_candidates=128" in out
+
+    assert (
+        cli.main(
+            ["--store", store, "sax_health", "0", "2970", "30",
+             "--fence", "1"]
+        )
+        == 2
+    )
+    out = capsys.readouterr().out
+    assert "1 overflowing word(s), 100.00% of series in them" in out
+
+
 def test_rollup_cli_materializes_plot_lane(spark, store, tmp_path, capsys):
     out = str(tmp_path / "rollup")
     assert cli.main(["--store", store, "rollup", "--out", out]) == 0
