@@ -736,6 +736,68 @@ def cmd_similar(args) -> int:
     return 0
 
 
+def cmd_index_words(args) -> int:
+    """Build or incrementally refresh the iSAX word artifact — the
+    operational face of ``sax_words_build`` / ``sax_words_refresh``
+    (the update_dedup_artifacts cadence applied to the similarity
+    index). First run (or --rebuild) writes the watermarked word table;
+    later runs with --refresh re-word ONLY series whose points moved
+    inside the window horizon and read everything else back (SCALE
+    r12e). --auto sizes n_segments from the series count
+    (``sax_auto_params``); the chosen segment count must stay fixed
+    across refreshes of one artifact, so it is derived on build and
+    echoed for the operator to pin. Crash-safe two-rename swap."""
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_auto_params,
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    spark = _spark("index_words")
+    pts = _points(spark, args)
+    out = args.out.rstrip("/")
+    cur, tmp, bak = f"{out}/words", f"{out}/words.tmp", f"{out}/words.bak"
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(out).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(bak)) and not fs.exists(P(cur)):
+        fs.rename(P(bak), P(cur))  # recover a crash parked mid-swap
+    segments = args.segments
+    if args.auto:
+        n_series = pts.select("pvname").distinct().count()
+        n_grid = int(round((args.t1 - args.t0) / args.step)) + 1
+        rec = sax_auto_params(n_series, n_grid=n_grid, alphabet=args.alphabet)
+        segments = rec["n_segments"]
+        print(
+            f"auto sizing: {n_series} series -> n_segments={segments}"
+            f" (pin this for refreshes; fence {rec['n_candidates']})"
+        )
+    refresh = args.refresh and fs.exists(P(cur))
+    if refresh:
+        words = sax_words_refresh(
+            pts, spark.read.parquet(cur), args.t0, args.t1, args.step,
+            n_segments=segments, alphabet=args.alphabet,
+        )
+    else:
+        words = sax_words_build(
+            pts, args.t0, args.t1, args.step,
+            n_segments=segments, alphabet=args.alphabet,
+        )
+    fs.delete(P(tmp), True)
+    fs.delete(P(bak), True)
+    words.write.mode("overwrite").parquet(tmp)
+    if fs.exists(P(cur)):
+        fs.rename(P(cur), P(bak))
+    fs.rename(P(tmp), P(cur))
+    fs.delete(P(bak), True)
+    n = spark.read.parquet(cur).count()
+    print(
+        f"word index: {n} series -> {cur}"
+        f" ({'incremental refresh' if refresh else 'full build'})"
+    )
+    return 0
+
+
 def cmd_sax_health(args) -> int:
     """Index-health triage — the operational face of
     ``timeseries.sax_index_health`` (SCALE r12b): read (or build) the
@@ -1789,6 +1851,22 @@ def build_parser() -> argparse.ArgumentParser:
     )
     s.add_argument("--out", required=True, help="rollup artifact path")
     s.set_defaults(fn=cmd_rollup)
+
+    s = sub.add_parser(
+        "index_words",
+        help="build/refresh the iSAX word artifact (similarity index)",
+    )
+    s.add_argument("t0", type=float)
+    s.add_argument("t1", type=float)
+    s.add_argument("step", type=float)
+    s.add_argument("--out", required=True, help="artifact directory")
+    s.add_argument("--segments", type=int, default=4)
+    s.add_argument("--alphabet", type=int, default=4)
+    s.add_argument("--auto", action="store_true",
+                   help="derive n_segments from the series count")
+    s.add_argument("--refresh", action="store_true",
+                   help="incremental: re-word only stale series")
+    s.set_defaults(fn=cmd_index_words)
 
     s = sub.add_parser(
         "sax_health",

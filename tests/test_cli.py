@@ -1278,6 +1278,31 @@ def test_similar_cli_finds_shape_twins(spark, store, capsys):
     assert "CLI:b.VAL" in out and "r=1.0" in out
 
 
+def test_index_words_cli_build_and_refresh(spark, store, tmp_path, capsys):
+    """`pvarch index_words`: full build writes the watermarked word
+    artifact; --refresh with unchanged points reads every row back
+    (same rows, 'incremental refresh' lane); --auto echoes the sizing
+    recommendation."""
+    out = str(tmp_path / "wordidx")
+    assert (
+        cli.main(["--store", store, "index_words", "0", "2970", "30",
+                  "--out", out, "--auto"]) == 0
+    )
+    got = capsys.readouterr().out
+    assert "auto sizing: 2 series -> n_segments=4" in got
+    assert "2 series" in got and "full build" in got
+    rows1 = {tuple(r) for r in spark.read.parquet(out + "/words").collect()}
+    assert len(rows1) == 2 and all(len(t) == 3 for t in rows1)
+
+    assert (
+        cli.main(["--store", store, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh"]) == 0
+    )
+    assert "incremental refresh" in capsys.readouterr().out
+    rows2 = {tuple(r) for r in spark.read.parquet(out + "/words").collect()}
+    assert rows2 == rows1
+
+
 def test_sax_health_cli_reports_occupancy_and_sizing(spark, store, capsys):
     """`pvarch sax_health`: the two sawtooth store series share one
     word → one 2-deep bucket; healthy under a 128 fence (exit 0,
