@@ -1119,16 +1119,20 @@ def sax_words_build(
     to be refreshable (VERDICT r11 task 5, mirroring the persisted
     components/BM25/IVF-PQ artifacts): each word row carries ``wm`` —
     the series' max point time at or before the window horizon
-    (``t1 + 1e-4``, the LOCF as-of slack) at build. A later point at or
-    under the horizon is exactly what can change the word (LOCF pulls
-    from before ``t0`` too, so the watermark spans ALL points up to the
+    (``t1 + 1e-4``, the LOCF as-of slack) at build — and ``np``, its
+    point COUNT under that horizon. A later point at or under the
+    horizon is exactly what can change the word (LOCF pulls from
+    before ``t0`` too, so the watermark spans ALL points up to the
     horizon, not just in-window ones); points past the horizon cannot.
-    ``(key, word, wm)``."""
+    The count catches what the max-time alone cannot: a BACKFILL — a
+    point landing EARLIER than the series' current max (ASCII imports,
+    zarr restores) changes the word without moving the watermark.
+    ``(key, word, wm, np)``."""
     words = sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key)
     wms = (
         points.filter(F.col("time") <= t1 + 1e-4)
         .groupBy(key)
-        .agg(F.max("time").alias("wm"))
+        .agg(F.max("time").alias("wm"), F.count(F.lit(1)).alias("np"))
     )
     return words.join(wms, key)
 
@@ -1146,32 +1150,45 @@ def sax_words_refresh(
 ) -> DataFrame:
     """Incremental refresh of a :func:`sax_words_build` artifact as
     points append — the ``doc_components_incremental`` cadence applied
-    to the word index: an anti-join of live per-series max-times
-    against the artifact's build watermarks finds STALE series (new
-    points at/under the window horizon, or series the artifact has
-    never seen); ONLY those are re-worded — a leftsemi-pruned
+    to the word index: an anti-join of live per-series (max-time,
+    count) pairs against the artifact's build watermarks finds STALE
+    series (new points at/under the window horizon — the COUNT catches
+    backfills that land below the max-time — or series the artifact
+    has never seen); ONLY those are re-worded — a leftsemi-pruned
     :func:`sax_words` pass (AQE broadcasts the stale-key side when the
     append is narrow, the common case) — and every unchanged series
-    reads back its artifact row untouched. Unchanged watermark ⇒
-    unchanged grid inputs ⇒ identical word, so the refreshed artifact
-    is row-identical to a full rebuild at a fraction of the scan
-    (tests/test_sax_auto.py proves read-back by tampering an unchanged
-    row). Output schema = the artifact's ``(key, word, wm)``."""
+    reads back its artifact row untouched. Unchanged (watermark,
+    count) ⇒ unchanged grid inputs ⇒ identical word, so the refreshed
+    artifact is row-identical to a full rebuild at a fraction of the
+    scan (tests/test_sax_auto.py proves read-back by tampering an
+    unchanged row). Output schema = the artifact's
+    ``(key, word, wm, np)``."""
     horizon = t1 + 1e-4
     cur = (
         points.filter(F.col("time") <= horizon)
         .groupBy(key)
-        .agg(F.max("time").alias("_cur_wm"))
+        .agg(F.max("time").alias("_cur_wm"), F.count(F.lit(1)).alias("_cur_np"))
     )
     stale = (
-        cur.join(artifact.select(key, "wm"), key, "left")
-        .filter(F.col("wm").isNull() | (F.col("_cur_wm") > F.col("wm")))
-        .select(key, "_cur_wm")
+        cur.join(artifact.select(key, "wm", "np"), key, "left")
+        .filter(
+            F.col("wm").isNull()
+            | (F.col("_cur_wm") > F.col("wm"))
+            | (F.col("_cur_np") != F.col("np"))
+        )
+        .select(key, "_cur_wm", "_cur_np")
     )
-    fresh = sax_words(
-        points.join(stale.select(key), key, "leftsemi"),
-        t0, t1, step, n_segments, alphabet, quantum, key,
-    ).join(stale, key).select(key, "word", F.col("_cur_wm").alias("wm"))
+    fresh = (
+        sax_words(
+            points.join(stale.select(key), key, "leftsemi"),
+            t0, t1, step, n_segments, alphabet, quantum, key,
+        )
+        .join(stale, key)
+        .select(
+            key, "word",
+            F.col("_cur_wm").alias("wm"), F.col("_cur_np").alias("np"),
+        )
+    )
     keep = artifact.join(stale.select(key), key, "left_anti")
     return keep.unionByName(fresh)
 

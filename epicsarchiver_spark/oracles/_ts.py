@@ -1742,9 +1742,11 @@ def build(o: dict[str, str]) -> None:
         P
         + f""",
         {_sax_word_ctes},
-        wmx AS (SELECT pvname, max(time) AS wm FROM points
+        wmx AS (SELECT pvname, max(time) AS wm,
+                       CAST(count(*) AS BIGINT) AS np FROM points
                 WHERE time <= {T1 + 1e-4} GROUP BY 1)
-        SELECT w.pvname, w.word, wmx.wm FROM w JOIN wmx USING (pvname)
+        SELECT w.pvname, w.word, wmx.wm, wmx.np
+        FROM w JOIN wmx USING (pvname)
         """
     )
 

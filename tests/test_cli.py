@@ -1292,7 +1292,7 @@ def test_index_words_cli_build_and_refresh(spark, store, tmp_path, capsys):
     assert "auto sizing: 2 series -> n_segments=4" in got
     assert "2 series" in got and "full build" in got
     rows1 = {tuple(r) for r in spark.read.parquet(out + "/words").collect()}
-    assert len(rows1) == 2 and all(len(t) == 3 for t in rows1)
+    assert len(rows1) == 2 and all(len(t) == 4 for t in rows1)  # +wm +np
 
     assert (
         cli.main(["--store", store, "index_words", "0", "2970", "30",

@@ -91,10 +91,12 @@ def _series(pv, pairs):
 def test_sax_words_refresh_staleness_contract(spark):
     """The freshness contract (VERDICT r11 task 5): after an append,
     refresh must (a) re-word exactly the series with new points at or
-    under the window horizon, (b) READ BACK unchanged series from the
-    artifact — proven by tampering an unchanged row's word and seeing
-    the tamper survive — and (c) pick up series the artifact never saw.
-    A new point PAST the horizon must not mark its series stale."""
+    under the window horizon — including a BACKFILL landing below the
+    series' max time, which only the point count detects — (b) READ
+    BACK unchanged series from the artifact — proven by tampering an
+    unchanged row's word and seeing the tamper survive — and (c) pick
+    up series the artifact never saw. A new point PAST the horizon
+    must not mark its series stale."""
     import pandas as pd
 
     from epicsarchiver_spark.operators.timeseries import (
@@ -106,11 +108,13 @@ def test_sax_words_refresh_staleness_contract(spark):
     base_rows = (
         _series("PV:stale", [(0, 1), (30, 5), (60, 2)])
         + _series("PV:same", [(0, 9), (40, 1), (80, 4)])
+        + _series("PV:backfill", [(0, 2), (60, 7)])
     )
     full_rows = (
         base_rows
         + _series("PV:stale", [(85, 99)])      # in-horizon append → stale
         + _series("PV:same", [(95, 123)])      # past horizon → NOT stale
+        + _series("PV:backfill", [(30, 50)])   # BELOW max, in horizon → stale
         + _series("PV:new", [(0, 3), (50, 8)])  # never indexed → stale
     )
     cols = ["pvname", "time", "value"]
@@ -124,22 +128,23 @@ def test_sax_words_refresh_staleness_contract(spark):
     tampered = spark.createDataFrame(art)
 
     got = {
-        r["pvname"]: (r["word"], r["wm"])
+        r["pvname"]: (r["word"], r["wm"], r["np"])
         for r in sax_words_refresh(
             full, tampered, t0, t1, step, n_segments=2
         ).collect()
     }
     want_full = {
-        r["pvname"]: (r["word"], r["wm"])
+        r["pvname"]: (r["word"], r["wm"], r["np"])
         for r in sax_words_build(full, t0, t1, step, n_segments=2).collect()
     }
-    assert set(got) == {"PV:stale", "PV:same", "PV:new"}
-    # stale + new series match the full rebuild exactly
+    assert set(got) == {"PV:stale", "PV:same", "PV:backfill", "PV:new"}
+    # stale + backfilled + new series match the full rebuild exactly
     assert got["PV:stale"] == want_full["PV:stale"]
+    assert got["PV:backfill"] == want_full["PV:backfill"]
     assert got["PV:new"] == want_full["PV:new"]
     # unchanged series: tampered word survives, watermark unmoved (the
-    # 95.0 append sits past the horizon)
-    assert got["PV:same"] == ("ZZ", 80.0)
+    # 95.0 append sits past the horizon), count unmoved
+    assert got["PV:same"] == ("ZZ", 80.0, 3)
 
 
 def test_sax_words_refresh_equals_full_rebuild(spark):
