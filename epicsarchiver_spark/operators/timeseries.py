@@ -1147,6 +1147,7 @@ def sax_words_refresh(
     alphabet: int = 4,
     quantum: float = 0.01,
     key: str = "pvname",
+    stats: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental refresh of a :func:`sax_words_build` artifact as
     points append — the ``doc_components_incremental`` cadence applied
@@ -1162,13 +1163,33 @@ def sax_words_refresh(
     artifact is row-identical to a full rebuild at a fraction of the
     scan (tests/test_sax_auto.py proves read-back by tampering an
     unchanged row). Output schema = the artifact's
-    ``(key, word, wm, np)``."""
+    ``(key, word, wm, np)``.
+
+    At probe scale the staleness scan itself (per-series max/count over
+    raw points) rides the same raw scan the full build pays, so refresh
+    saves only the word-build compute (SCALE r12e: 8.3 vs 9.8 s at ×10
+    for a 1% append). The production move is ``stats=``: pass a
+    ``(key, wm, np)`` CURRENT-stats frame maintained by the ingest —
+    the latest-value cache already carries each series' max time, and a
+    per-series point count is one more mergeable integer beside it —
+    and the refresh touches raw points ONLY for the stale series; its
+    cost is then O(stale), independent of corpus size."""
     horizon = t1 + 1e-4
-    cur = (
-        points.filter(F.col("time") <= horizon)
-        .groupBy(key)
-        .agg(F.max("time").alias("_cur_wm"), F.count(F.lit(1)).alias("_cur_np"))
-    )
+    if stats is not None:
+        cur = stats.select(
+            F.col(key),
+            F.col("wm").alias("_cur_wm"),
+            F.col("np").alias("_cur_np"),
+        )
+    else:
+        cur = (
+            points.filter(F.col("time") <= horizon)
+            .groupBy(key)
+            .agg(
+                F.max("time").alias("_cur_wm"),
+                F.count(F.lit(1)).alias("_cur_np"),
+            )
+        )
     stale = (
         cur.join(artifact.select(key, "wm", "np"), key, "left")
         .filter(

@@ -173,6 +173,42 @@ def test_sax_words_refresh_equals_full_rebuild(spark):
     assert got == want
 
 
+def test_sax_words_refresh_accepts_maintained_stats(spark):
+    """The production staleness path: ``stats=`` supplies the current
+    (key, wm, np) frame from the ingest's maintained cache, and the
+    refresh must equal the scan-derived one row-for-row (same corpus,
+    same stats ⇒ same stale set ⇒ same output)."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    t0, t1, step = 0.0, 90.0, 30.0
+    rows = []
+    for i in range(4):
+        rows += _series(f"PV:{i}", [(t, (i + 2) * t % 11) for t in range(0, 100, 10)])
+    cols = ["pvname", "time", "value"]
+    full = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    base = full.filter("time <= 45")
+    art = sax_words_build(base, t0, t1, step, n_segments=3)
+    from pyspark.sql import functions as F
+
+    stats = (
+        full.filter(F.col("time") <= t1 + 1e-4)
+        .groupBy("pvname")
+        .agg(F.max("time").alias("wm"), F.count(F.lit(1)).alias("np"))
+    )
+    got = sorted(map(tuple, sax_words_refresh(
+        full, art, t0, t1, step, n_segments=3, stats=stats
+    ).collect()))
+    want = sorted(map(tuple, sax_words_refresh(
+        full, art, t0, t1, step, n_segments=3
+    ).collect()))
+    assert got == want and got
+
+
 def test_index_health_no_overflow(spark):
     words = spark.createDataFrame(
         pd.DataFrame({"pvname": ["a", "b", "c"], "word": ["aa", "ab", "aa"]})

@@ -347,7 +347,9 @@ def probe_cusum_and_refresh(spark, out: str) -> None:
     refreshed = sax_words_refresh(appended, art, t0v, t1v, step)
     n_out = refreshed.count()
     t_refresh = time.perf_counter() - tr
-    n_stale = refreshed.join(art, ["pvname", "word", "wm"], "left_anti").count()
+    # the append lands BELOW each series' max time (wm unmoved), so the
+    # rewritten set is exactly the rows whose point COUNT moved
+    n_stale = refreshed.join(art, ["pvname", "np"], "left_anti").count()
     results["refresh_x10"] = {
         "full_build_s": round(t_full, 2),
         "narrow_refresh_s": round(t_refresh, 2),
