@@ -798,6 +798,32 @@ def cmd_index_words(args) -> int:
     return 0
 
 
+def cmd_cusum(args) -> int:
+    """Change-detection triage — the operational face of
+    ``timeseries.cusum_changepoints``: list each series' mean-shift
+    crossings from the points store (two-sided CUSUM vs the series'
+    exact mean), newest first, so an operator sees WHICH PVs changed
+    regime and when before the dashboards do."""
+    from pyspark.sql import functions as F
+
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    spark = _spark("cusum")
+    pts = _points(spark, args)
+    if args.pv:
+        pts = pts.filter(F.col("pvname").isin(args.pv))
+    rows = (
+        cusum_changepoints(pts, k=args.k, h=args.threshold)
+        .orderBy(F.desc("time"), "pvname", "side")
+        .limit(args.n)
+        .collect()
+    )
+    for r in rows:
+        print(f"{r.pvname}  t={r.time:.3f}  {r.side}  s={r.s_scaled}/{r.n}")
+    print(f"{len(rows)} changepoint(s)")
+    return 0
+
+
 def cmd_sax_health(args) -> int:
     """Index-health triage — the operational face of
     ``timeseries.sax_index_health`` (SCALE r12b): read (or build) the
@@ -1867,6 +1893,18 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--refresh", action="store_true",
                    help="incremental: re-word only stale series")
     s.set_defaults(fn=cmd_index_words)
+
+    s = sub.add_parser(
+        "cusum",
+        help="CUSUM mean-shift triage: regime changes per series",
+    )
+    s.add_argument("--pv", action="append", default=None,
+                   help="restrict to these series (repeatable)")
+    s.add_argument("-k", type=float, default=0.5, help="slack, value units")
+    s.add_argument("--threshold", type=float, default=5.0,
+                   help="decision threshold h, value units")
+    s.add_argument("-n", type=int, default=20, help="newest N crossings")
+    s.set_defaults(fn=cmd_cusum)
 
     s = sub.add_parser(
         "sax_health",

@@ -1303,6 +1303,22 @@ def test_index_words_cli_build_and_refresh(spark, store, tmp_path, capsys):
     assert rows2 == rows1
 
 
+def test_cusum_cli_lists_regime_changes(spark, store, capsys):
+    """`pvarch cusum`: sawtooth store series wander past a small
+    threshold (crossings listed newest-first) and never past an
+    absurd one."""
+    assert cli.main(["--store", store, "cusum", "--threshold", "1"]) == 0
+    out = capsys.readouterr().out
+    assert out.strip().splitlines()[-1] == "20 changepoint(s)"
+    assert "  up  " in out or "  down  " in out
+
+    assert (
+        cli.main(["--store", store, "cusum", "--threshold", "100000"]) == 0
+    )
+    out2 = capsys.readouterr().out
+    assert out2.strip().splitlines()[-1] == "0 changepoint(s)"
+
+
 def test_sax_health_cli_reports_occupancy_and_sizing(spark, store, capsys):
     """`pvarch sax_health`: the two sawtooth store series share one
     word → one 2-deep bucket; healthy under a 128 fence (exit 0,
