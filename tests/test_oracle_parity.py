@@ -69,11 +69,23 @@ def test_query_matches_oracle(spark, duck, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
-@pytest.mark.parametrize("name", sorted(set(QUERIES) - set(ORACLES)))
-def test_rows_only_queries_run(spark, name):
-    df = QUERIES[name](spark, SF_ORACLE)
-    assert df.count() >= 0
-    assert len(df.columns) > 0
+_ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))
+
+
+def test_no_rows_only_queries():
+    """Every gate carries a FULL oracle — the rows-only fallback set is
+    empty and should stay that way (an explicit pass, not the confusing
+    empty-parametrize skip the suite used to report)."""
+    assert _ROWS_ONLY == []
+
+
+if _ROWS_ONLY:  # defined only when needed — an empty parametrize skips
+
+    @pytest.mark.parametrize("name", _ROWS_ONLY)
+    def test_rows_only_queries_run(spark, name):
+        df = QUERIES[name](spark, SF_ORACLE)
+        assert df.count() >= 0
+        assert len(df.columns) > 0
 
 
 def test_testdata_fingerprint_unchanged(duck):
