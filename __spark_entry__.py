@@ -1451,7 +1451,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # incremental word-index refresh (the doc_components_incremental
     # cadence): artifact built on points <= SAX_CUT, refreshed against
     # the full table — stale series re-worded, unchanged series read
-    # back; must equal a full rebuild row-for-row
+    # back; must equal a full rebuild row-for-row. Inline certification
+    # device (TWO word builds per run — the doc_winnow_pairs posture);
+    # production refreshes go through `pvarch index_words --refresh`
+    # against a persisted artifact, with `stats=` making a narrow
+    # refresh O(stale)
     q["ts_sax_words_incremental"] = lambda s, d: timeseries.sax_words_refresh(
         _points(s, d),
         timeseries.sax_words_build(
