@@ -149,6 +149,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (never-certified keys first, then oldest green driver row first).
 _R12_FRONT: list[str] = [
     "ts_cusum",
+    "ts_cusum_segments",
     "ts_sax_health",
     "ts_sax_topk_auto",
     "ts_sax_words_incremental",
@@ -197,7 +198,6 @@ _R12_FRONT: list[str] = [
     "doc_pipeline_verdicts",
     "doc_readability",
     "doc_split_leakage",
-    "doc_tokenizer_fertility",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1501,6 +1501,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # mean — the recurrence-to-window device: S+ = prefix - min(0,
     # running-min(prefix)), all BIGINT, one window stage per series
     q["ts_cusum"] = lambda s, d: timeseries.cusum_changepoints(
+        _points(s, d), k=CUSUM_K, h=CUSUM_H
+    )
+    # regime segmentation from the crossings: per-segment exact stats
+    # (mean via the explicit-IEEE 6-dp device over the BIGINT q-sum)
+    q["ts_cusum_segments"] = lambda s, d: timeseries.cusum_segments(
         _points(s, d), k=CUSUM_K, h=CUSUM_H
     )
     # HOT-SAX discords: rarest per-series SAX word over sliding windows

@@ -247,6 +247,7 @@ HEADLINE = [
     "ts_sax_recall",
     "ts_rollup_indexed",
     "ts_cusum",
+    "ts_cusum_segments",
     "ts_sax_topk_auto",
     "ts_sax_health",
     "ts_sax_words_incremental",

@@ -1651,60 +1651,7 @@ def cusum_changepoints(
     sum, running min, and lag all share the same window partitioning,
     so Catalyst plans a single sort-based window stage — no joins, no
     extra shuffles."""
-    kq = int(round(k / quantum))
-    hq = int(round(h / quantum))
-    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
-    wp = Window.partitionBy(key)
-    wo = wp.orderBy(*[F.col(c) for c in order])
-    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
-    q = F.round(F.col("value") / quantum).cast("long")
-    b = points.select(F.col(key), *[F.col(c) for c in order], q.alias("q"))
-    if target is None:
-        scaled = b.select(
-            F.col(key),
-            *[F.col(c) for c in order],
-            F.count(F.lit(1)).over(wp).alias("n"),
-            F.sum("q").over(wp).alias("sq"),
-            F.sum("q").over(wrun).alias("cq"),
-            F.row_number().over(wo).alias("i"),
-        ).select(
-            F.col(key),
-            F.col("time"),
-            "n",
-            F.expr("n * cq - i * sq - i * n * " + str(kq)).alias("pu"),
-            F.expr("i * sq - n * cq - i * n * " + str(kq)).alias("pd"),
-            F.col("i"),
-        )
-        thr = F.expr(f"n * {hq}")
-    else:
-        tq = int(round(target / quantum))
-        scaled = b.select(
-            F.col(key),
-            *[F.col(c) for c in order],
-            F.lit(1).cast("long").alias("n"),
-            F.sum(F.col("q") - F.lit(tq + kq)).over(wrun).alias("pu"),
-            F.sum(F.lit(tq - kq) - F.col("q")).over(wrun).alias("pd"),
-            F.row_number().over(wo).alias("i"),
-        ).select(F.col(key), F.col("time"), "n", "pu", "pd", "i")
-        thr = F.lit(hq).cast("long")
-    wi = wp.orderBy("i")
-    wirun = wi.rowsBetween(Window.unboundedPreceding, 0)
-    s = scaled.select(
-        F.col(key),
-        "time",
-        "n",
-        (F.col("pu") - F.least(F.lit(0).cast("long"), F.min("pu").over(wirun))).alias("su"),
-        (F.col("pd") - F.least(F.lit(0).cast("long"), F.min("pd").over(wirun))).alias("sd"),
-        "i",
-    ).select(
-        F.col(key),
-        "time",
-        "n",
-        "su",
-        "sd",
-        F.coalesce(F.lag("su").over(wi), F.lit(0).cast("long")).alias("psu"),
-        F.coalesce(F.lag("sd").over(wi), F.lit(0).cast("long")).alias("psd"),
-    )
+    s, thr = _cusum_stat(points, k, h, target, quantum, key)
     # both sides emit from ONE subtree (a union would replicate the
     # scan + the whole window pipeline — measured 2 scans / 8 window
     # nodes; this form plans 1 scan / 4 windows / 1 exchange)
@@ -1726,6 +1673,133 @@ def cusum_changepoints(
         .select(
             F.col(key), "time", F.col("_x.side").alias("side"),
             F.col("_x.s_scaled").alias("s_scaled"), "n",
+        )
+    )
+
+
+def _cusum_stat(points, k, h, target, quantum, key):
+    """Shared statistic frame for the CUSUM family: per point, both
+    sides' statistics (su/sd), their previous values (psu/psd — the
+    crossing edge), the quantized value ``q``, raw ``value``, and the
+    per-series row index ``i``; plus the (possibly n-scaled) threshold
+    Column. One scan, one series-keyed exchange, one sort-based window
+    stage (plan-pinned via ts_cusum)."""
+    kq = int(round(k / quantum))
+    hq = int(round(h / quantum))
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    wp = Window.partitionBy(key)
+    wo = wp.orderBy(*[F.col(c) for c in order])
+    wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
+    q = F.round(F.col("value") / quantum).cast("long")
+    b = points.select(
+        F.col(key), *[F.col(c) for c in order], F.col("value"), q.alias("q")
+    )
+    if target is None:
+        scaled = b.select(
+            F.col(key),
+            *[F.col(c) for c in order],
+            "value",
+            "q",
+            F.count(F.lit(1)).over(wp).alias("n"),
+            F.sum("q").over(wp).alias("sq"),
+            F.sum("q").over(wrun).alias("cq"),
+            F.row_number().over(wo).alias("i"),
+        ).select(
+            F.col(key),
+            F.col("time"),
+            "value",
+            "q",
+            "n",
+            F.expr("n * cq - i * sq - i * n * " + str(kq)).alias("pu"),
+            F.expr("i * sq - n * cq - i * n * " + str(kq)).alias("pd"),
+            F.col("i"),
+        )
+        thr = F.expr(f"n * {hq}")
+    else:
+        tq = int(round(target / quantum))
+        scaled = b.select(
+            F.col(key),
+            *[F.col(c) for c in order],
+            "value",
+            "q",
+            F.lit(1).cast("long").alias("n"),
+            F.sum(F.col("q") - F.lit(tq + kq)).over(wrun).alias("pu"),
+            F.sum(F.lit(tq - kq) - F.col("q")).over(wrun).alias("pd"),
+            F.row_number().over(wo).alias("i"),
+        ).select(F.col(key), F.col("time"), "value", "q", "n", "pu", "pd", "i")
+        thr = F.lit(hq).cast("long")
+    wi = wp.orderBy("i")
+    wirun = wi.rowsBetween(Window.unboundedPreceding, 0)
+    s = scaled.select(
+        F.col(key),
+        "time",
+        "value",
+        "q",
+        "n",
+        (F.col("pu") - F.least(F.lit(0).cast("long"), F.min("pu").over(wirun))).alias("su"),
+        (F.col("pd") - F.least(F.lit(0).cast("long"), F.min("pd").over(wirun))).alias("sd"),
+        "i",
+    ).select(
+        F.col(key),
+        "time",
+        "value",
+        "q",
+        "n",
+        "su",
+        "sd",
+        F.coalesce(F.lag("su").over(wi), F.lit(0).cast("long")).alias("psu"),
+        F.coalesce(F.lag("sd").over(wi), F.lit(0).cast("long")).alias("psd"),
+        "i",
+    )
+    return s, thr
+
+
+def cusum_segments(
+    points: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    target: float | None = None,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """Regime segmentation from the CUSUM crossings — the question an
+    operator actually asks after :func:`cusum_changepoints` fires
+    ("what WAS the level before and after?"): cut each series at every
+    threshold crossing (either side) and report per-segment exact
+    stats. Output ``(key, seg, t_start, t_end, n_points, vmin, vmax,
+    mean)`` — seg is 0-based in time order; mean is the exact integer
+    q-sum divided once at the edge through the explicit-IEEE 6-dp
+    device, so every engine agrees bit-for-bit.
+
+    Plan shape: the statistic frame's windows plus ONE more running sum
+    over the same series partitioning (the segment id = crossings seen
+    so far) and a (key, seg)-keyed aggregate — two exchanges total."""
+    s, thr = _cusum_stat(points, k, h, target, quantum, key)
+    crossed = (
+        ((F.col("su") > thr) & (F.col("psu") <= thr))
+        | ((F.col("sd") > thr) & (F.col("psd") <= thr))
+    ).cast("long")
+    wi = Window.partitionBy(key).orderBy("i").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    seg = s.withColumn("seg", F.sum(crossed).over(wi))
+    mean_u = F.floor(
+        F.abs(F.sum("q").cast("double") * F.lit(quantum * 1e6) / F.count(F.lit(1)))
+        + F.lit(0.5)
+    ) * F.signum(F.sum("q").cast("double"))
+    return (
+        seg.groupBy(key, "seg")
+        .agg(
+            F.min("time").alias("t_start"),
+            F.max("time").alias("t_end"),
+            F.count(F.lit(1)).alias("n_points"),
+            F.min("value").alias("vmin"),
+            F.max("value").alias("vmax"),
+            (mean_u / F.lit(1e6)).alias("mean"),
+        )
+        .select(
+            F.col(key), F.col("seg"), "t_start", "t_end", "n_points",
+            "vmin", "vmax", "mean",
         )
     )
 

@@ -1864,6 +1864,48 @@ def build(o: dict[str, str]) -> None:
         """
     )
 
+    # regime segmentation: segment id = running count of crossings
+    # (either side), then per-(series, segment) exact stats; mean via
+    # the explicit floor(|sq|*1e4/n + .5) device
+    o["ts_cusum_segments"] = (
+        P
+        + f""",
+        b AS (SELECT pvname, time, value, event_id,
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points),
+        m AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(q) AS BIGINT) AS sq FROM b GROUP BY 1),
+        c AS (SELECT b.pvname, time, value, b.q, n, sq,
+                     CAST(sum(b.q) OVER w AS BIGINT) AS cq,
+                     CAST(row_number() OVER w AS BIGINT) AS i
+              FROM b JOIN m USING (pvname)
+              WINDOW w AS (PARTITION BY b.pvname ORDER BY time, event_id)),
+        p2 AS (SELECT pvname, time, value, q, n,
+                      n*cq - i*sq - i*n*{_ckq} AS pu,
+                      i*sq - n*cq - i*n*{_ckq} AS pd, i FROM c),
+        s AS (SELECT pvname, time, value, q, n, i,
+                     pu - least(0, min(pu) OVER w) AS su,
+                     pd - least(0, min(pd) OVER w) AS sd
+              FROM p2 WINDOW w AS (PARTITION BY pvname ORDER BY i)),
+        x AS (SELECT pvname, time, value, q, n, i, su, sd,
+                     coalesce(lag(su) OVER w, 0) AS psu,
+                     coalesce(lag(sd) OVER w, 0) AS psd
+              FROM s WINDOW w AS (PARTITION BY pvname ORDER BY i)),
+        g AS (SELECT pvname, time, value, q,
+                     sum(CASE WHEN (su > n*{_chq} AND psu <= n*{_chq})
+                               OR (sd > n*{_chq} AND psd <= n*{_chq})
+                              THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY pvname ORDER BY i) AS seg
+              FROM x)
+        SELECT pvname, CAST(seg AS BIGINT) AS seg,
+               min(time) AS t_start, max(time) AS t_end,
+               CAST(count(*) AS BIGINT) AS n_points,
+               min(value) AS vmin, max(value) AS vmax,
+               floor(abs(CAST(sum(q) AS DOUBLE) * 10000.0 / count(*)) + 0.5)
+                 * sign(CAST(sum(q) AS DOUBLE)) / 1e6 AS mean
+        FROM g GROUP BY 1, 2
+        """
+    )
+
     _dw, _dss = DISCORD_WINDOW, DISCORD_WINDOW // SAX_SEGMENTS
 
     _d_sum = "CAST(list_aggregate(arr, 'sum') AS DOUBLE)"

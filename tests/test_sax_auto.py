@@ -217,3 +217,31 @@ def test_index_health_no_overflow(spark):
     assert row.overflow_words == 0
     assert row.overflow_series_pct100 == 0
     assert row.max_bucket == 2 and row.p99_bucket == 2
+
+
+def test_cusum_segments_regime_split(spark):
+    """A series that steps from level ~10 to level ~60 must split into
+    two segments at the crossing, each reporting its own exact stats;
+    explicit-target lane so the expectation is hand-computable."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import cusum_segments
+
+    rows = [("R:a", float(t), 10.0 + (t % 3)) for t in range(0, 50, 5)]
+    rows += [("R:a", float(t), 60.0 + (t % 3)) for t in range(50, 100, 5)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    )
+    segs = {
+        r.seg: r
+        for r in cusum_segments(df, k=1.0, h=20.0, target=11.0).collect()
+    }
+    assert set(segs) == {0, 1}
+    s0, s1 = segs[0], segs[1]
+    # the step lands at t=50; S+ needs a couple of points past target+k
+    # to clear h=20, so the boundary sits at/after the step, never before
+    assert s0.t_start == 0.0 and s1.t_end == 95.0
+    assert 50.0 <= s1.t_start <= 60.0
+    assert s0.vmax <= 12.0 and s1.vmin >= 60.0
+    assert 9.5 <= s0.mean <= 12.5 and 60.0 <= s1.mean <= 62.5
+    assert s0.n_points + s1.n_points == 20
