@@ -67,3 +67,24 @@ def test_triangle_stats_releases_edge_frame(spark):
     # the fenced path re-derives the residual graph off the SAME persisted
     # frame — it must release too
     _assert_releases(spark, lambda: triangle_stats(pairs, max_degree=10))
+
+
+def test_embedding_verdicts_releases_assignment(spark):
+    """The r12 drift fix persists the shared cell-assignment frame — it
+    must be released on return (the cell_quality discipline), leaving
+    only the id-sized localCheckpoint artifact per live result."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.similarity import embedding_verdicts
+
+    rng = np.random.default_rng(3)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.normal(size=8)]) for i in range(40)],
+        "vec_id long, embedding array<double>",
+    )
+    _assert_releases(
+        spark,
+        lambda: embedding_verdicts(
+            vecs, threshold=0.4, drop_frac=0.2, n_cells=4, dim=8
+        ),
+    )

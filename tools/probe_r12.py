@@ -15,6 +15,9 @@ c) rel_pagerank at 10⁷ edges — the documented degrade-to-shuffle path
 d) year-scale daily rollups — merging 365 daily partials for a plot
    query vs the cold full-scan aggregate at ×10 events (the r11b
    artifact-payoff pattern applied to rollups).
+e) the round's new operators at scale — ts_cusum at ×1/×10 (one window
+   stage, rides the scan) and the incremental word-refresh payoff
+   (full build vs a 1% backfill append; the (wm, np) freshness pair).
 
 Prints one JSON line per section. Run each section in its own process
 for isolation (the point of section a):
