@@ -740,13 +740,16 @@ def cmd_index_words(args) -> int:
     """Build or incrementally refresh the iSAX word artifact — the
     operational face of ``sax_words_build`` / ``sax_words_refresh``
     (the update_dedup_artifacts cadence applied to the similarity
-    index). First run (or --rebuild) writes the watermarked word table;
-    later runs with --refresh re-word ONLY series whose points moved
-    inside the window horizon and read everything else back (SCALE
+    index). A run without --refresh writes the watermarked word table
+    from scratch; --refresh re-words ONLY series whose points moved
+    inside the window horizon and reads everything else back (SCALE
     r12e). --auto sizes n_segments from the series count
-    (``sax_auto_params``); the chosen segment count must stay fixed
-    across refreshes of one artifact, so it is derived on build and
-    echoed for the operator to pin. Crash-safe two-rename swap."""
+    (``sax_auto_params``) and applies to BUILDS only: a refresh PINS
+    the existing artifact's word length — mixed-length words would
+    silently break sax_topk's equi-join and neighbor expansion — so
+    --refresh derives the segment count from the artifact and refuses
+    an explicit --segments that contradicts it (exit 1: rebuild
+    instead). Crash-safe two-rename swap."""
     from epicsarchiver_spark.operators.timeseries import (
         sax_auto_params,
         sax_words_build,
@@ -762,17 +765,45 @@ def cmd_index_words(args) -> int:
     fs = P(out).getFileSystem(spark._jsc.hadoopConfiguration())
     if fs.exists(P(bak)) and not fs.exists(P(cur)):
         fs.rename(P(bak), P(cur))  # recover a crash parked mid-swap
-    segments = args.segments
-    if args.auto:
-        n_series = pts.select("pvname").distinct().count()
-        n_grid = int(round((args.t1 - args.t0) / args.step)) + 1
-        rec = sax_auto_params(n_series, n_grid=n_grid, alphabet=args.alphabet)
-        segments = rec["n_segments"]
-        print(
-            f"auto sizing: {n_series} series -> n_segments={segments}"
-            f" (pin this for refreshes; fence {rec['n_candidates']})"
-        )
     refresh = args.refresh and fs.exists(P(cur))
+    if refresh:
+        # the artifact pins the segment count: every word in it has the
+        # build's length, and a mixed-length artifact breaks the word
+        # equi-join/neighbor expansion downstream
+        from pyspark.sql import functions as F
+
+        art_len = (
+            spark.read.parquet(cur)
+            .select(F.length("word").alias("n")).head()
+        )
+        segments = int(art_len["n"]) if art_len else args.segments or 4
+        if args.segments is not None and args.segments != segments:
+            print(
+                f"--segments {args.segments} contradicts the artifact's"
+                f" {segments}-letter words; rebuild (omit --refresh) to"
+                " change resolution",
+                file=sys.stderr,
+            )
+            return 1
+        if args.auto:
+            print(
+                "--auto applies to builds; refresh pins the artifact's"
+                f" {segments} segments",
+                file=sys.stderr,
+            )
+    else:
+        segments = args.segments if args.segments is not None else 4
+        if args.auto:
+            n_series = pts.select("pvname").distinct().count()
+            n_grid = int(round((args.t1 - args.t0) / args.step)) + 1
+            rec = sax_auto_params(
+                n_series, n_grid=n_grid, alphabet=args.alphabet
+            )
+            segments = rec["n_segments"]
+            print(
+                f"auto sizing: {n_series} series -> n_segments={segments}"
+                f" (pinned for refreshes; fence {rec['n_candidates']})"
+            )
     if refresh:
         words = sax_words_refresh(
             pts, spark.read.parquet(cur), args.t0, args.t1, args.step,
@@ -1886,10 +1917,12 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("t1", type=float)
     s.add_argument("step", type=float)
     s.add_argument("--out", required=True, help="artifact directory")
-    s.add_argument("--segments", type=int, default=4)
+    s.add_argument("--segments", type=int, default=None,
+                   help="word length for builds (default 4); a refresh"
+                        " pins the artifact's existing length")
     s.add_argument("--alphabet", type=int, default=4)
     s.add_argument("--auto", action="store_true",
-                   help="derive n_segments from the series count")
+                   help="derive n_segments from the series count (builds)")
     s.add_argument("--refresh", action="store_true",
                    help="incremental: re-word only stale series")
     s.set_defaults(fn=cmd_index_words)

@@ -1173,7 +1173,17 @@ def sax_words_refresh(
     the latest-value cache already carries each series' max time, and a
     per-series point count is one more mergeable integer beside it —
     and the refresh touches raw points ONLY for the stale series; its
-    cost is then O(stale), independent of corpus size."""
+    cost is then O(stale), independent of corpus size. ``stats=`` is a
+    staleness DETECTOR only: an all-time cache over-reports (a series
+    with only past-horizon appends gets harmlessly re-worded to the
+    identical word) but can never under-report, because the count only
+    grows and every in-horizon append grows it. The artifact's stored
+    (wm, np) are ALWAYS recomputed horizon-bounded from the stale
+    series' own points — an O(stale) aggregate on the frame the reword
+    already scans — never copied from ``stats``, so the
+    refresh ≡ full-rebuild invariant survives unbounded caches
+    (tests/test_sax_auto.py::test_stats_detector_never_poisons_artifact).
+    """
     horizon = t1 + 1e-4
     if stats is not None:
         cur = stats.select(
@@ -1197,21 +1207,22 @@ def sax_words_refresh(
             | (F.col("_cur_wm") > F.col("wm"))
             | (F.col("_cur_np") != F.col("np"))
         )
-        .select(key, "_cur_wm", "_cur_np")
+        .select(key)
     )
-    fresh = (
-        sax_words(
-            points.join(stale.select(key), key, "leftsemi"),
-            t0, t1, step, n_segments, alphabet, quantum, key,
-        )
-        .join(stale, key)
-        .select(
-            key, "word",
-            F.col("_cur_wm").alias("wm"), F.col("_cur_np").alias("np"),
-        )
+    stale_points = points.join(stale, key, "leftsemi")
+    # horizon-bounded build stats for the re-worded rows, from the same
+    # pruned frame the reword scans — NEVER the caller's stats frame,
+    # whose values may be unbounded (all-time cache)
+    fresh_stats = (
+        stale_points.filter(F.col("time") <= horizon)
+        .groupBy(key)
+        .agg(F.max("time").alias("wm"), F.count(F.lit(1)).alias("np"))
     )
-    keep = artifact.join(stale.select(key), key, "left_anti")
-    return keep.unionByName(fresh)
+    fresh = sax_words(
+        stale_points, t0, t1, step, n_segments, alphabet, quantum, key
+    ).join(fresh_stats, key)
+    keep = artifact.join(stale, key, "left_anti")
+    return keep.unionByName(fresh.select(key, "word", "wm", "np"))
 
 
 def sax_topk(
@@ -1385,9 +1396,12 @@ def sax_auto_params(
     ``ts_sax_topk``'s oracle; the ×10 structured-corpus probe (SCALE
     r12b) certifies the adaptive region."""
     n_series = max(1, int(n_series))
-    cap = max(4, int(n_grid) - 1)
+    # the grid cap is a hard ceiling (a PAA segment needs at least one
+    # grid instant — the old max(4, ...) floor could exceed a short
+    # grid and emit words shorter than the pinned segment count)
+    cap = max(1, int(n_grid) - 1)
     target = max(1, int(fence) // 2)
-    n_segments = 4
+    n_segments = min(4, cap)
     while n_segments < cap and n_series > target * (alphabet ** n_segments):
         n_segments += 1
     n_words = alphabet ** n_segments
@@ -1691,7 +1705,12 @@ def _cusum_stat(points, k, h, target, quantum, key):
     wo = wp.orderBy(*[F.col(c) for c in order])
     wrun = wo.rowsBetween(Window.unboundedPreceding, 0)
     q = F.round(F.col("value") / quantum).cast("long")
-    b = points.select(
+    # null-valued rows (disconnect events) carry no level information:
+    # drop them up front — unfiltered, the mean lane would count them in
+    # n while sq skips them, biasing the target exactly as if they were
+    # zeros (the sibling correlation/autocorr ops filter the same way,
+    # and cusum_stream drops null values in its kernel)
+    b = points.filter(F.col("value").isNotNull()).select(
         F.col(key), *[F.col(c) for c in order], F.col("value"), q.alias("q")
     )
     if target is None:

@@ -1837,7 +1837,8 @@ def build(o: dict[str, str]) -> None:
         P
         + f""",
         b AS (SELECT pvname, time, event_id,
-                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points),
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points
+              WHERE value IS NOT NULL),
         m AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(q) AS BIGINT) AS sq FROM b GROUP BY 1),
         c AS (SELECT b.pvname, time, n, sq,
@@ -1871,7 +1872,8 @@ def build(o: dict[str, str]) -> None:
         P
         + f""",
         b AS (SELECT pvname, time, value, event_id,
-                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points),
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points
+              WHERE value IS NOT NULL),
         m AS (SELECT pvname, CAST(count(*) AS BIGINT) AS n,
                      CAST(sum(q) AS BIGINT) AS sq FROM b GROUP BY 1),
         c AS (SELECT b.pvname, time, value, b.q, n, sq,

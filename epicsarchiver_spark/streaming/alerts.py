@@ -883,7 +883,12 @@ def cusum_stream(
     running sum, its running min (0-seeded, the virtual pre-history
     row), and the previous statistic for each side — bytes per PV.
     Same in-order-source contract as the compressor; NULL-value rows
-    leave the statistic untouched."""
+    leave the statistic untouched. Time-TIED events fold in arrival
+    order here (stable sort on time — the stream carries no event_id),
+    while the batch lane tie-breaks on event_id when its frame has one:
+    row-exactness on tied timestamps therefore also requires arrival
+    order to match event_id order, the property an in-order archiver
+    source provides by construction."""
     tq, kq, hq = (
         _half_up_long(target / quantum),
         _half_up_long(k / quantum),

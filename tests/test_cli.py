@@ -1302,6 +1302,16 @@ def test_index_words_cli_build_and_refresh(spark, store, tmp_path, capsys):
     rows2 = {tuple(r) for r in spark.read.parquet(out + "/words").collect()}
     assert rows2 == rows1
 
+    # a refresh pins the artifact's word length: a contradicting
+    # explicit --segments is refused (mixed-length words would break
+    # the word equi-join downstream)
+    assert (
+        cli.main(["--store", store, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh", "--segments", "6"]) == 1
+    )
+    err = capsys.readouterr().err
+    assert "contradicts the artifact's 4-letter words" in err
+
 
 def test_cusum_cli_lists_regime_changes(spark, store, capsys):
     """`pvarch cusum`: sawtooth store series wander past a small

@@ -58,8 +58,11 @@ def test_grid_caps_segments_and_fence_grows_instead():
 def test_degenerate_inputs():
     p = sax_auto_params(0)
     assert p["n_segments"] == 4 and p["n_candidates"] == 128
+    # the grid cap is a HARD ceiling — it beats the 4-segment floor
+    # (a 4-instant grid supports at most 3 segments)
     p1 = sax_auto_params(1, n_grid=4)
-    assert p1["n_segments"] == 4
+    assert p1["n_segments"] == 3
+    assert sax_auto_params(100, n_grid=2)["n_segments"] == 1
 
 
 def test_index_health_report(spark):
@@ -245,3 +248,39 @@ def test_cusum_segments_regime_split(spark):
     assert s0.vmax <= 12.0 and s1.vmin >= 60.0
     assert 9.5 <= s0.mean <= 12.5 and 60.0 <= s1.mean <= 62.5
     assert s0.n_points + s1.n_points == 20
+
+
+def test_stats_detector_never_poisons_artifact(spark):
+    """An ALL-TIME stats cache (wm/np unbounded by the horizon) may
+    over-report staleness — harmless rewords — but the artifact rows it
+    produces must still carry HORIZON-BOUNDED (wm, np), identical to a
+    full rebuild; otherwise a later scan-based refresh compares scan
+    stats against poisoned values and can miss genuine staleness."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    t0, t1, step = 0.0, 90.0, 30.0
+    rows = (
+        _series("PV:a", [(0, 1), (40, 5), (80, 2), (200, 9), (300, 7)])
+        + _series("PV:b", [(0, 4), (50, 6)])
+    )
+    cols = ["pvname", "time", "value"]
+    full = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    art = sax_words_build(full.filter("time <= 45"), t0, t1, step, n_segments=2)
+    # the unbounded cache: max/count over ALL points (200/300 included)
+    from pyspark.sql import functions as F
+
+    all_time = full.groupBy("pvname").agg(
+        F.max("time").alias("wm"), F.count(F.lit(1)).alias("np")
+    )
+    got = sorted(map(tuple, sax_words_refresh(
+        full, art, t0, t1, step, n_segments=2, stats=all_time
+    ).collect()))
+    want = sorted(map(tuple, sax_words_build(
+        full, t0, t1, step, n_segments=2
+    ).collect()))
+    assert got == want  # horizon-bounded wm/np, not the cache's values
