@@ -76,6 +76,9 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     SAX_ALPHABET,
     CUSUM_H,
     CUSUM_K,
+    CUSUM_TARGET,
+    CUSUM_TH,
+    CUSUM_TK,
     SAX_CUT,
     SAX_EXPAND,
     SAX_NCAND,
@@ -150,6 +153,7 @@ def entry(spark: SparkSession) -> DataFrame:
 _R12_FRONT: list[str] = [
     "ts_cusum",
     "ts_cusum_segments",
+    "ts_cusum_target",
     "ts_sax_health",
     "ts_sax_topk_auto",
     "ts_sax_words_incremental",
@@ -197,7 +201,6 @@ _R12_FRONT: list[str] = [
     "doc_pipeline_funnel",
     "doc_pipeline_verdicts",
     "doc_readability",
-    "doc_split_leakage",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1507,6 +1510,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # (mean via the explicit-IEEE 6-dp device over the BIGINT q-sum)
     q["ts_cusum_segments"] = lambda s, d: timeseries.cusum_segments(
         _points(s, d), k=CUSUM_K, h=CUSUM_H
+    )
+    # the explicit-reference lane — the exact arithmetic cusum_stream
+    # mirrors live (batch<->stream row-exact equivalence in
+    # tests/test_streaming.py); unscaled BIGINT prefix, threshold h_q
+    q["ts_cusum_target"] = lambda s, d: timeseries.cusum_changepoints(
+        _points(s, d), k=CUSUM_TK, h=CUSUM_TH, target=CUSUM_TARGET
     )
     # HOT-SAX discords: rarest per-series SAX word over sliding windows
     q["ts_discords"] = lambda s, d: timeseries.sax_discords(

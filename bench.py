@@ -248,6 +248,7 @@ HEADLINE = [
     "ts_rollup_indexed",
     "ts_cusum",
     "ts_cusum_segments",
+    "ts_cusum_target",
     "ts_sax_topk_auto",
     "ts_sax_health",
     "ts_sax_words_incremental",

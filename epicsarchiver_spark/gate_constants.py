@@ -89,6 +89,11 @@ SAX_CUT = 1705276800.0  # 2024-01-15, the window midpoint
 # series' exact mean; (20, 200) yields a ~60-crossing list at sf0.01
 CUSUM_K = 20.0
 CUSUM_H = 200.0
+# the explicit-reference lane (the one cusum_stream mirrors): fixed
+# target near the corpus level, wider slack/threshold -> ~265 crossings
+CUSUM_TARGET = 100.0
+CUSUM_TK = 30.0
+CUSUM_TH = 400.0
 # HOT-SAX discords: window short enough that sf0.01's 13-point median
 # series still yield full windows (window % segments == 0)
 DISCORD_WINDOW = 8

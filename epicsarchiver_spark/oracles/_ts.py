@@ -10,6 +10,9 @@ from epicsarchiver_spark.catalog import POINTS_ORACLE_CTE
 from epicsarchiver_spark.gate_constants import (
     CUSUM_H,
     CUSUM_K,
+    CUSUM_TARGET,
+    CUSUM_TH,
+    CUSUM_TK,
     ALARM_TRIP,
     ALERT_RULES,
     ASOF_LOOKBACK,
@@ -1905,6 +1908,42 @@ def build(o: dict[str, str]) -> None:
                floor(abs(CAST(sum(q) AS DOUBLE) * 10000.0 / count(*)) + 0.5)
                  * sign(CAST(sum(q) AS DOUBLE)) / 1e6 AS mean
         FROM g GROUP BY 1, 2
+        """
+    )
+
+    # the explicit-reference CUSUM lane (unscaled: n = 1, threshold in
+    # plain quantum units) — the arithmetic the live cusum_stream twin
+    # reproduces byte-for-byte
+    _ctq = int(round(CUSUM_TARGET / 0.01))
+    _ctk = int(round(CUSUM_TK / 0.01))
+    _cth = int(round(CUSUM_TH / 0.01))
+    o["ts_cusum_target"] = (
+        P
+        + f""",
+        b AS (SELECT pvname, time, event_id,
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points
+              WHERE value IS NOT NULL),
+        c AS (SELECT pvname, time,
+                     CAST(sum(q - {_ctq + _ctk}) OVER w AS BIGINT) AS pu,
+                     CAST(sum({_ctq - _ctk} - q) OVER w AS BIGINT) AS pd,
+                     CAST(row_number() OVER w AS BIGINT) AS i
+              FROM b
+              WINDOW w AS (PARTITION BY pvname ORDER BY time, event_id)),
+        s AS (SELECT pvname, time, i,
+                     pu - least(0, min(pu) OVER w) AS su,
+                     pd - least(0, min(pd) OVER w) AS sd
+              FROM c WINDOW w AS (PARTITION BY pvname ORDER BY i)),
+        x AS (SELECT pvname, time, su, sd,
+                     coalesce(lag(su) OVER w, 0) AS psu,
+                     coalesce(lag(sd) OVER w, 0) AS psd
+              FROM s WINDOW w AS (PARTITION BY pvname ORDER BY i))
+        SELECT pvname, time, 'up' AS side, CAST(su AS BIGINT) AS s_scaled,
+               CAST(1 AS BIGINT) AS n
+        FROM x WHERE su > {_cth} AND psu <= {_cth}
+        UNION ALL
+        SELECT pvname, time, 'down' AS side, CAST(sd AS BIGINT) AS s_scaled,
+               CAST(1 AS BIGINT) AS n
+        FROM x WHERE sd > {_cth} AND psd <= {_cth}
         """
     )
 
