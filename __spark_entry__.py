@@ -73,12 +73,18 @@ from epicsarchiver_spark.gate_constants import (  # noqa: F401 — re-exported; 
     RAMP_MIN_STEPS,
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
+    SAX_ADAPT_FENCE,
     SAX_ALPHABET,
+    SAX_COARSE_STEP,
+    SAX_GROW_FENCE,
     CUSUM_H,
     CUSUM_K,
     CUSUM_TARGET,
     CUSUM_TH,
     CUSUM_TK,
+    CUSUM_WARM_CUT,
+    CUSUM_WH,
+    CUSUM_WK,
     SAX_CUT,
     SAX_EXPAND,
     SAX_NCAND,
@@ -1491,6 +1497,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fence=SAX_NCAND,
         expand=SAX_EXPAND,
     )
+    # the ADAPTIVE branches (VERDICT r12 task 7) — gate parameters where
+    # the sax_auto_params derivation CHANGES the plan: fence=4 derives
+    # (5 segments, fence 4) on the gate corpus (segment growth), and a
+    # 3-instant grid with fence=64 derives grid-capped 2 segments with
+    # the fence GROWN to 94. Each oracle encodes the DERIVED values, so
+    # the driver certifies the derivation itself.
+    q["ts_sax_topk_auto_adaptive"] = lambda s, d: timeseries.sax_topk_auto(
+        _points(s, d),
+        SAX_QUERY_PV,
+        T0,
+        T1,
+        GRID_STEP,
+        k=SAX_TOPK,
+        alphabet=SAX_ALPHABET,
+        fence=SAX_ADAPT_FENCE,
+        expand=SAX_EXPAND,
+    )
+    q["ts_sax_topk_auto_fence"] = lambda s, d: timeseries.sax_topk_auto(
+        _points(s, d),
+        SAX_QUERY_PV,
+        T0,
+        T1,
+        SAX_COARSE_STEP,
+        k=SAX_TOPK,
+        alphabet=SAX_ALPHABET,
+        fence=SAX_GROW_FENCE,
+        expand=SAX_EXPAND,
+    )
     # bucket-occupancy health of the word index vs the nomination fence
     # — the one-line report read beside ts_sax_recall before trusting a
     # configuration (overflow pct > 0 ⇒ fence-breaking buckets exist)
@@ -1517,6 +1551,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_cusum_target"] = lambda s, d: timeseries.cusum_changepoints(
         _points(s, d), k=CUSUM_TK, h=CUSUM_TH, target=CUSUM_TARGET
     )
+
+    # warm-started CUSUM (VERDICT r12 task 4): per-series targets from
+    # the backfill half (cusum_targets' exact half-up grid mean),
+    # crossings detected on the live half — the batch twin of
+    # cusum_stream(targets=...) resuming from an archived level
+    def _ts_cusum_warm(s, d):
+        pts = _points(s, d)
+        tg = timeseries.cusum_targets(
+            pts.filter(F.col("time") <= CUSUM_WARM_CUT)
+        )
+        return timeseries.cusum_changepoints(
+            pts.filter(F.col("time") > CUSUM_WARM_CUT),
+            k=CUSUM_WK,
+            h=CUSUM_WH,
+            targets=tg,
+        )
+
+    q["ts_cusum_warm"] = _ts_cusum_warm
     # HOT-SAX discords: rarest per-series SAX word over sliding windows
     q["ts_discords"] = lambda s, d: timeseries.sax_discords(
         _points(s, d),

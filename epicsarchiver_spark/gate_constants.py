@@ -85,6 +85,16 @@ SAX_TOPK = 5
 # (mid-window), refreshed against the full table — must equal a full
 # rebuild row-for-row
 SAX_CUT = 1705276800.0  # 2024-01-15, the window midpoint
+# adaptive-branch gates (VERDICT r12 task 7): parameters where the
+# sax_auto_params derivation CHANGES the plan at gate scale —
+# fence=4 on the 750-series corpus derives (5 segments, fence 4)
+# (the segment-growth branch); a 3-instant grid with fence=64 derives
+# (2 segments, fence 94) (the grid-cap + fence-growth branch). The
+# oracles encode the DERIVED values, so the driver certifies the
+# derivation itself, not just the fixed-point case.
+SAX_ADAPT_FENCE = 4
+SAX_COARSE_STEP = 604800.0  # (T1-T0)/2 -> 3 grid instants
+SAX_GROW_FENCE = 64
 # CUSUM changepoints (ts_cusum): slack/threshold in value units vs the
 # series' exact mean; (20, 200) yields a ~60-crossing list at sf0.01
 CUSUM_K = 20.0
@@ -94,6 +104,13 @@ CUSUM_H = 200.0
 CUSUM_TARGET = 100.0
 CUSUM_TK = 30.0
 CUSUM_TH = 400.0
+# warm-start lane (ts_cusum_warm): per-series targets from the
+# backfill half (time <= CUSUM_WARM_CUT, the cusum_targets exact
+# half-up grid mean), crossings detected on the live half — the batch
+# twin of cusum_stream(targets=...) warm-started from a backfill
+CUSUM_WARM_CUT = 1705276800.0  # 2024-01-15, the window midpoint
+CUSUM_WK = 20.0
+CUSUM_WH = 200.0
 # HOT-SAX discords: window short enough that sf0.01's 13-point median
 # series still yield full windows (window % segments == 0)
 DISCORD_WINDOW = 8

@@ -62,6 +62,26 @@ def score_sums(edges: DataFrame, nodes: list[str]) -> DataFrame:
     )
 
 
+# Broadcast-vs-shuffle crossover for pagerank's per-round rank join,
+# in NODES. SCALE r12c measured the co-partitioned shuffle lane already
+# cheaper at 10⁶ nodes (5.7 vs 7.9 s/round) while broadcast is ~10×
+# faster at the dimension-sized 10⁴–10⁵ range (sf0.1): re-broadcasting
+# a node-sized frame every round costs more than exchanging it once.
+# 2·10⁵ splits the measured decade geometrically-ish while keeping the
+# broadcast frame ≤ ~5 MB (16 B/node) — far under the memory wall, by
+# design: the switch is sized by when shuffle WINS, not by when the
+# broadcast OOMs.
+PAGERANK_BROADCAST_MAX_NODES = 200_000
+
+
+def _pagerank_use_broadcast(n_nodes: int) -> bool:
+    """Lane decision for :func:`pagerank`'s per-round rank join (pure
+    arithmetic, unit-pinned in tests/test_r13_operators.py): broadcast
+    while the rank frame is dimension-sized, degrade to the
+    co-partitioned shuffle beyond the measured crossover."""
+    return int(n_nodes) <= PAGERANK_BROADCAST_MAX_NODES
+
+
 def pagerank(
     edges: DataFrame,
     rounds: int = 8,
@@ -69,7 +89,7 @@ def pagerank(
     a: str = "pv1",
     b: str = "pv2",
     score: str = "score",
-    broadcast_ranks: bool = True,
+    broadcast_ranks: bool | None = None,
 ) -> DataFrame:
     """Global centrality over the undirected pairs graph — "which PVs
     (or documents) sit at the center of the relatedness structure".
@@ -105,16 +125,23 @@ def pagerank(
     is checkpointed eagerly so round k+1's broadcast builds from a
     materialized 16-byte-per-node RDD instead of re-nesting round k's
     plan (measured: nested broadcast subplans serialize into one long
-    final job — 6 s vs 0.6 s/round at sf0.1). When the node set grows,
-    pass ``broadcast_ranks=False``: the join becomes one co-partitioned
-    shuffle per round, the classic Pregel cadence. The crossover comes
+    final job — 6 s vs 0.6 s/round at sf0.1). The crossover comes
     EARLIER than the broadcast memory wall — measured at 10⁶ nodes /
     10⁷ edges (SCALE r12c) the shuffle lane is already the cheaper one
     (5.7 vs 7.9 s/round on local[32]): re-broadcasting a node-sized
     frame every round costs more than exchanging it once. Broadcast is
     the right lane only while the rank frame is dimension-sized
-    (≲10⁵ nodes — the sf0.1 graph); size the switch by rank-frame
-    bytes, not by when the broadcast OOMs.
+    (≲10⁵ nodes — the sf0.1 graph).
+
+    ``broadcast_ranks=None`` (default) therefore AUTO-SELECTS: the
+    node count falls out of the initial rank frame — one bounded
+    aggregate over the once-materialized edge list, paid before the
+    first round and amortized over all of them — and the lane is
+    broadcast iff nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES`` (the r12c
+    crossover, sized by when shuffle WINS, not by when the broadcast
+    OOMs; SCALE r13a re-measures both sides of the boundary through
+    the auto pick). Pass True/False to override — the probes' and
+    tests' pin-one-lane dial.
     Weights fold in exact integer cents; canonical dedup
     (least/greatest + max) runs once up front.
     """
@@ -142,6 +169,13 @@ def pagerank(
     ranks = g.select(F.col("src").alias("id")).distinct().withColumn(
         "r", F.lit(int(scale)).cast("long")
     )
+    if broadcast_ranks is None:
+        # one bounded aggregate over the materialized edge list (the
+        # count also warms the first round's distinct) — NOT a corpus
+        # scan: g is the checkpointed weighted edge frame
+        broadcast_ranks = _pagerank_use_broadcast(
+            ranks.select("id").count()
+        )
     for _ in range(int(rounds)):
         rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (

@@ -1374,6 +1374,7 @@ def sax_auto_params(
     alphabet: int = 4,
     fence: int = 128,
     max_fence: int = 1024,
+    pin_segments: int | None = None,
 ) -> dict:
     """Corpus-stat-derived iSAX sizing (the adaptive-cardinality move,
     Shieh/Keogh iSAX; SCALE r11f measured the failure of fixed
@@ -1393,17 +1394,28 @@ def sax_auto_params(
     'n_candidates', 'n_words', 'expected_bucket'}``. At the gate corpus
     (750 series, 15-instant grid) it resolves to the r11 defaults
     (4, 128) — certified by the ``ts_sax_topk_auto`` gate sharing
-    ``ts_sax_topk``'s oracle; the ×10 structured-corpus probe (SCALE
-    r12b) certifies the adaptive region."""
+    ``ts_sax_topk``'s oracle; the segment-changing and fence-growing
+    branches are driver-certified by ``ts_sax_topk_auto_adaptive`` /
+    ``ts_sax_topk_auto_fence`` (VERDICT r12 task 7) and the ×10
+    structured-corpus probe (SCALE r12b) certifies the region beyond
+    gate scale.
+
+    ``pin_segments`` — a persisted word artifact PINS the segment
+    count (every stored word has the build's length; mixed lengths
+    break the equi-join): pass the index's word length to skip the
+    segment search and derive only the fence for that resolution."""
     n_series = max(1, int(n_series))
     # the grid cap is a hard ceiling (a PAA segment needs at least one
     # grid instant — the old max(4, ...) floor could exceed a short
     # grid and emit words shorter than the pinned segment count)
     cap = max(1, int(n_grid) - 1)
     target = max(1, int(fence) // 2)
-    n_segments = min(4, cap)
-    while n_segments < cap and n_series > target * (alphabet ** n_segments):
-        n_segments += 1
+    if pin_segments is not None:
+        n_segments = max(1, int(pin_segments))
+    else:
+        n_segments = min(4, cap)
+        while n_segments < cap and n_series > target * (alphabet ** n_segments):
+            n_segments += 1
     n_words = alphabet ** n_segments
     expected_bucket = -(-n_series // n_words)  # ceil
     n_candidates = int(fence)
@@ -1438,17 +1450,30 @@ def sax_topk_auto(
     0% identity-recall on a ×10 structured corpus. ``n_series`` skips
     the sizing count when the caller already knows it (one bounded
     driver aggregate otherwise — prefer ``index.count()``: the word
-    artifact is bytes per series; NOTE an index must then have been
-    built with the SAME auto segments, so production builds call
-    ``sax_words(..., n_segments=sax_auto_params(n)["n_segments"])``
-    and record the params beside the artifact)."""
-    if n_series is None:
-        n_series = (
-            index.count() if index is not None
-            else points.select(key).distinct().count()
-        )
+    artifact is bytes per series).
+
+    With ``index=`` the segment count is DERIVED FROM THE INDEX — the
+    length of a sampled word, the same device as ``pvarch index_words
+    --refresh`` — never from the live series count (r12 ADVICE): an
+    index built at a different resolution would otherwise make the
+    query word a different length than the stored words, and the
+    equi-join + neighbor expansion would silently match nothing. The
+    fence still sizes adaptively for the pinned resolution
+    (``sax_auto_params(pin_segments=...)``)."""
+    idx_segments = None
+    if index is not None:
+        if n_series is None:
+            n_series = index.count()
+        head = index.select(F.length("word").alias("_n")).head()
+        if head is not None:
+            idx_segments = int(head["_n"])
+    elif n_series is None:
+        n_series = points.select(key).distinct().count()
     n_grid = int(round((t1 - t0) / step)) + 1
-    p = sax_auto_params(n_series, n_grid=n_grid, alphabet=alphabet, fence=fence)
+    p = sax_auto_params(
+        n_series, n_grid=n_grid, alphabet=alphabet, fence=fence,
+        pin_segments=idx_segments,
+    )
     return sax_topk(
         points, query, t0, t1, step, k=k,
         n_segments=p["n_segments"], alphabet=alphabet, quantum=quantum,
@@ -1631,6 +1656,41 @@ def sax_discords(
     )
 
 
+def cusum_targets(
+    points: DataFrame, quantum: float = 0.01, key: str = "pvname"
+) -> DataFrame:
+    """Per-series CUSUM reference targets from a batch backfill — the
+    warm-start feed for the live chart (VERDICT r12 task 4): each
+    series' exact mean, rounded half-up onto the ``quantum`` grid, as
+    ``(key, target)`` in value units. Hand the collected frame (bytes
+    per series) to ``streaming.alerts.cusum_stream(targets=...)`` — or
+    the frame itself to :func:`cusum_changepoints`/:func:`cusum_segments`
+    ``targets=`` — and the live chart measures new points against the
+    backfill's level: batch(new, targets) ≡ stream(new, targets)
+    row-exactly (tests/test_streaming.py), because both quantize the
+    SAME grid value back to the SAME integer reference.
+
+    Exactness: n and Σq are BIGINTs; the grid index is
+    floor((2·Σq + n) / (2n)) — half-up division of exact integers,
+    bit-reproducible in any engine while |2·Σq + n| < 2⁵³ (the double
+    division of exact integers is correctly rounded, and an integral
+    true quotient is representable, so the floor cannot waver). One
+    map-side-combined aggregate, one exchange."""
+    q = F.round(F.col("value") / quantum).cast("long")
+    agg = (
+        points.filter(F.col("value").isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("_n"), F.sum(q).alias("_sq"))
+    )
+    tq = F.floor(
+        (2 * F.col("_sq") + F.col("_n")).cast("double")
+        / (2 * F.col("_n")).cast("double")
+    )
+    return agg.select(
+        F.col(key), (tq * F.lit(float(quantum))).alias("target")
+    )
+
+
 def cusum_changepoints(
     points: DataFrame,
     k: float = 0.5,
@@ -1638,6 +1698,7 @@ def cusum_changepoints(
     target: float | None = None,
     quantum: float = 0.01,
     key: str = "pvname",
+    targets: DataFrame | None = None,
 ) -> DataFrame:
     """Two-sided CUSUM changepoint detection per series (Page 1954) —
     the classic mean-shift chart the archiver family pairs with
@@ -1646,7 +1707,11 @@ def cusum_changepoints(
     in value units). ``target=None`` measures deviations against the
     series' own exact mean (the backfill/audit lane — the gate);
     an explicit ``target`` is the online-reference lane that
-    ``streaming.alerts.cusum_stream`` mirrors row-exactly.
+    ``streaming.alerts.cusum_stream`` mirrors row-exactly; a
+    ``targets=`` FRAME ``(key, target)`` is the per-series reference
+    lane — :func:`cusum_targets` of a backfill broadcast-joined in, the
+    batch twin of a warm-started stream (gate ``ts_cusum_warm``;
+    ``targets`` wins over ``target`` when both are given).
 
     Exactness (the recurrence-to-window device): the textbook
     S⁺ᵢ = max(0, S⁺ᵢ₋₁ + (xᵢ − μ − k)) is a reset fold no window
@@ -1659,13 +1724,22 @@ def cusum_changepoints(
     ``(key, time, side, s_scaled, n)`` — ``s_scaled`` is the statistic
     in n·quantum units (exact BIGINT; divide by n·(1/quantum) for value
     units). Overflow budget: n²·|q|·rows — safe to n ≈ 10⁶ rows/series
-    at |value| ≤ 10⁴; shard longer series by run first.
+    at |value| ≤ 10⁴; shard longer series by run first. The budget is
+    ENFORCED in-plan (VERDICT r12 task 4): the mean lane carries a
+    per-series guard — 4·n²·(max|q| + k_q) must stay under 2⁶³, a
+    conservative bound on every intermediate including the prefix-min
+    subtraction — whose max|q| and n fall out of the same partition
+    window; a breach raises loudly (``raise_error`` inside codegen,
+    naming the series and the shard-by-run / coarser-quantum remedies)
+    instead of silently wrapping into wrong crossings under green
+    plans.
 
     Scale shape: one series-keyed exchange; the count/sum, cumulative
     sum, running min, and lag all share the same window partitioning,
     so Catalyst plans a single sort-based window stage — no joins, no
-    extra shuffles."""
-    s, thr = _cusum_stat(points, k, h, target, quantum, key)
+    extra shuffles (the ``targets=`` lane adds one broadcast hash join
+    of the bytes-per-series target frame, nothing else)."""
+    s, thr = _cusum_stat(points, k, h, target, quantum, key, targets)
     # both sides emit from ONE subtree (a union would replicate the
     # scan + the whole window pipeline — measured 2 scans / 8 window
     # nodes; this form plans 1 scan / 4 windows / 1 exchange)
@@ -1691,13 +1765,16 @@ def cusum_changepoints(
     )
 
 
-def _cusum_stat(points, k, h, target, quantum, key):
+def _cusum_stat(points, k, h, target, quantum, key, targets=None):
     """Shared statistic frame for the CUSUM family: per point, both
     sides' statistics (su/sd), their previous values (psu/psd — the
     crossing edge), the quantized value ``q``, raw ``value``, and the
     per-series row index ``i``; plus the (possibly n-scaled) threshold
     Column. One scan, one series-keyed exchange, one sort-based window
-    stage (plan-pinned via ts_cusum)."""
+    stage (plan-pinned via ts_cusum). ``targets`` (a ``(key, target)``
+    frame — :func:`cusum_targets`) selects the per-series reference
+    lane: one broadcast join, then the same unscaled BIGINT prefix as
+    the scalar-target lane with the reference a per-series column."""
     kq = int(round(k / quantum))
     hq = int(round(h / quantum))
     order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
@@ -1713,7 +1790,54 @@ def _cusum_stat(points, k, h, target, quantum, key):
     b = points.filter(F.col("value").isNotNull()).select(
         F.col(key), *[F.col(c) for c in order], F.col("value"), q.alias("q")
     )
-    if target is None:
+    if targets is not None:
+        # per-series reference: quantize each target exactly as the
+        # stream kernel does (_half_up_long) so batch and a warm-started
+        # stream agree on the integer reference bit-for-bit
+        tqc = F.floor(F.col("target") / F.lit(float(quantum)) + F.lit(0.5)).cast(
+            "long"
+        )
+        bt = b.join(
+            F.broadcast(targets.select(F.col(key), F.col("target"))), key
+        ).withColumn("_tq", tqc)
+        scaled = bt.select(
+            F.col(key),
+            *[F.col(c) for c in order],
+            "value",
+            "q",
+            F.lit(1).cast("long").alias("n"),
+            F.sum(F.col("q") - F.col("_tq") - F.lit(kq)).over(wrun).alias("pu"),
+            F.sum(F.col("_tq") - F.lit(kq) - F.col("q")).over(wrun).alias("pd"),
+            F.row_number().over(wo).alias("i"),
+        ).select(F.col(key), F.col("time"), "value", "q", "n", "pu", "pd", "i")
+        thr = F.lit(hq).cast("long")
+    elif target is None:
+        # in-plan overflow guard (VERDICT r12 task 4): every
+        # intermediate of the n-scaled lane — |n·cq|, |i·sq| ≤ n²·max|q|,
+        # |i·n·k_q| ≤ n²·k_q, and su = pu − min ≤ 2|pu| — stays under
+        # 4·n²·(max|q| + k_q), so that bound under 2⁶³ is sufficient.
+        # max|q| shares the partition window (no extra exchange); the
+        # check is three doubles in codegen per row, and a breach raises
+        # instead of silently wrapping into wrong crossings.
+        bad = (
+            F.lit(4.0)
+            * F.col("n").cast("double")
+            * F.col("n").cast("double")
+            * (F.col("_maxq").cast("double") + F.lit(float(kq)))
+        ) > F.lit(9.2e18)
+        guard_msg = F.concat(
+            F.lit("cusum: int64 overflow budget exceeded for series '"),
+            F.col(key).cast("string"),
+            F.lit("' (n="),
+            F.col("n").cast("string"),
+            F.lit(", max|q|="),
+            F.col("_maxq").cast("string"),
+            F.lit(
+                f", k_q={kq}): 4*n^2*(max|q|+k_q) > 2^63."
+                " Shard the series by run first, or pass a coarser"
+                " quantum (each 10x coarser buys 10x budget)."
+            ),
+        )
         scaled = b.select(
             F.col(key),
             *[F.col(c) for c in order],
@@ -1722,6 +1846,7 @@ def _cusum_stat(points, k, h, target, quantum, key):
             F.count(F.lit(1)).over(wp).alias("n"),
             F.sum("q").over(wp).alias("sq"),
             F.sum("q").over(wrun).alias("cq"),
+            F.max(F.abs(F.col("q"))).over(wp).alias("_maxq"),
             F.row_number().over(wo).alias("i"),
         ).select(
             F.col(key),
@@ -1729,7 +1854,9 @@ def _cusum_stat(points, k, h, target, quantum, key):
             "value",
             "q",
             "n",
-            F.expr("n * cq - i * sq - i * n * " + str(kq)).alias("pu"),
+            F.when(bad, F.raise_error(guard_msg))
+            .otherwise(F.expr("n * cq - i * sq - i * n * " + str(kq)))
+            .alias("pu"),
             F.expr("i * sq - n * cq - i * n * " + str(kq)).alias("pd"),
             F.col("i"),
         )
@@ -1780,6 +1907,7 @@ def cusum_segments(
     target: float | None = None,
     quantum: float = 0.01,
     key: str = "pvname",
+    targets: DataFrame | None = None,
 ) -> DataFrame:
     """Regime segmentation from the CUSUM crossings — the question an
     operator actually asks after :func:`cusum_changepoints` fires
@@ -1793,7 +1921,7 @@ def cusum_segments(
     Plan shape: the statistic frame's windows plus ONE more running sum
     over the same series partitioning (the segment id = crossings seen
     so far) and a (key, seg)-keyed aggregate — two exchanges total."""
-    s, thr = _cusum_stat(points, k, h, target, quantum, key)
+    s, thr = _cusum_stat(points, k, h, target, quantum, key, targets)
     crossed = (
         ((F.col("su") > thr) & (F.col("psu") <= thr))
         | ((F.col("sd") > thr) & (F.col("psd") <= thr))

@@ -13,6 +13,9 @@ from epicsarchiver_spark.gate_constants import (
     CUSUM_TARGET,
     CUSUM_TH,
     CUSUM_TK,
+    CUSUM_WARM_CUT,
+    CUSUM_WH,
+    CUSUM_WK,
     ALARM_TRIP,
     ALERT_RULES,
     ASOF_LOOKBACK,
@@ -45,7 +48,10 @@ from epicsarchiver_spark.gate_constants import (
     RAMP_MIN_STEPS,
     RECENT_RUNS_LIMIT,
     RELATED_NODE,
+    SAX_ADAPT_FENCE,
     SAX_ALPHABET,
+    SAX_COARSE_STEP,
+    SAX_GROW_FENCE,
     SAX_EXPAND,
     SAX_NCAND,
     SAX_QUERY_PV,
@@ -1630,11 +1636,16 @@ def build(o: dict[str, str]) -> None:
         )
         return f"CASE {arms} ELSE '{_sax_letters[len(_sax_bps)]}' END"
 
-    _sax_word_ctes = f"""
+    def _sax_word_ctes_for(segments: int, step: float = GRID_STEP) -> str:
+        """The shared SAX word pipeline, parameterized by segment count
+        and grid step (VERDICT r12 task 7: the adaptive gates encode
+        the DERIVED resolution, so the CTE block can no longer hardcode
+        the fixed-point constants)."""
+        return f"""
         grid AS (
           SELECT k.pvname, CAST(g.range AS DOUBLE) AS t
           FROM (SELECT DISTINCT pvname FROM points) k
-          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(GRID_STEP)}) g
+          CROSS JOIN range({int(T0)}, {int(T1) + 1}, {int(step)}) g
         ),
         lg AS (
           SELECT g.pvname, g.t, CAST(round(p.value / 0.01) AS BIGINT) AS q
@@ -1662,7 +1673,7 @@ def build(o: dict[str, str]) -> None:
         ),
         wss AS (
           SELECT wb.pvname,
-                 CAST(floor(rk * {SAX_SEGMENTS} / n_s) AS BIGINT) AS segment,
+                 CAST(floor(rk * {segments} / n_s) AS BIGINT) AS segment,
                  CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS ssum
           FROM wb JOIN wms USING (pvname)
           GROUP BY 1, 2
@@ -1681,6 +1692,8 @@ def build(o: dict[str, str]) -> None:
               FROM wr GROUP BY 1)
     """
 
+    _sax_word_ctes = _sax_word_ctes_for(SAX_SEGMENTS)
+
     # iSAX neighbor-expansion predicate (the operator's expand=1
     # default): at most one segment letter differs, and an adjacent
     # letter at that — mirrors the ascii-distance expressions in
@@ -1689,15 +1702,18 @@ def build(o: dict[str, str]) -> None:
         return (f"abs(ascii(substr(w.word, {i + 1}, 1)) - "
                 f"ascii(substr(qw.word, {i + 1}, 1)))")
 
-    _sax_nbr = (
-        "greatest(" + ", ".join(_sax_d(i) for i in range(SAX_SEGMENTS)) + ") <= 1"
-        + " AND ("
-        + " + ".join(
-            f"CASE WHEN {_sax_d(i)} > 0 THEN 1 ELSE 0 END"
-            for i in range(SAX_SEGMENTS)
+    def _sax_nbr_for(segments: int) -> str:
+        return (
+            "greatest(" + ", ".join(_sax_d(i) for i in range(segments)) + ") <= 1"
+            + " AND ("
+            + " + ".join(
+                f"CASE WHEN {_sax_d(i)} > 0 THEN 1 ELSE 0 END"
+                for i in range(segments)
+            )
+            + f") <= {SAX_EXPAND}"
         )
-        + f") <= {SAX_EXPAND}"
-    )
+
+    _sax_nbr = _sax_nbr_for(SAX_SEGMENTS)
 
     o["ts_sax_words"] = (
         P
@@ -1759,6 +1775,64 @@ def build(o: dict[str, str]) -> None:
     # is ts_sax_topk's verbatim — the adaptive region is probe-certified
     # (SCALE r12b)
     o["ts_sax_topk_auto"] = o["ts_sax_topk"]
+
+    # the ADAPTIVE branches (VERDICT r12 task 7): gate parameters where
+    # the derivation CHANGES the plan — the oracle encodes the DERIVED
+    # (segments, fence), so a silent derivation drift fails the hash.
+    # fence=4 on the gate corpus -> (5 segments, fence 4); a 3-instant
+    # grid with fence=64 -> grid-capped 2 segments, fence GROWN to 94.
+    from epicsarchiver_spark.operators.timeseries import sax_auto_params
+
+    _SAX_GATE_SERIES = 750  # the gate corpus' series count (sf0.01)
+
+    def _sax_topk_sql(segments: int, ncand: int, step: float) -> str:
+        return (
+            P
+            + f""",
+        {_sax_word_ctes_for(segments, step)},
+        qw AS (SELECT word FROM w WHERE pvname = '{SAX_QUERY_PV}'),
+        cand AS (SELECT w.pvname, w.word FROM w, qw
+                 WHERE {_sax_nbr_for(segments)} AND w.pvname <> '{SAX_QUERY_PV}'
+                 ORDER BY w.pvname LIMIT {ncand}),
+        qg AS (SELECT t, q AS qa FROM lg WHERE pvname = '{SAX_QUERY_PV}'),
+        cg AS (SELECT lg.pvname, lg.t, lg.q FROM lg JOIN cand USING (pvname)),
+        cs AS (
+          SELECT cg.pvname, CAST(count(*) AS BIGINT) AS n, sum(qa) AS sx,
+                 sum(cg.q) AS sy, sum(qa * cg.q) AS sxy,
+                 sum(qa * qa) AS sxx, sum(cg.q * cg.q) AS syy
+          FROM cg JOIN qg USING (t) GROUP BY 1
+        ),
+        cv AS (
+          SELECT pvname, n, {_corr_r} AS r FROM cs
+          WHERE n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0
+        )
+        SELECT cv.pvname, cand.word, n, round(r, 6) AS r
+        FROM cv JOIN cand USING (pvname)
+        ORDER BY abs(r) DESC, cv.pvname LIMIT {SAX_TOPK}
+        """
+        )
+
+    _pa = sax_auto_params(
+        _SAX_GATE_SERIES,
+        n_grid=int(round((T1 - T0) / GRID_STEP)) + 1,
+        alphabet=SAX_ALPHABET,
+        fence=SAX_ADAPT_FENCE,
+    )
+    assert (_pa["n_segments"], _pa["n_candidates"]) != (SAX_SEGMENTS, SAX_NCAND)
+    o["ts_sax_topk_auto_adaptive"] = _sax_topk_sql(
+        _pa["n_segments"], _pa["n_candidates"], GRID_STEP
+    )
+
+    _pg = sax_auto_params(
+        _SAX_GATE_SERIES,
+        n_grid=int(round((T1 - T0) / SAX_COARSE_STEP)) + 1,
+        alphabet=SAX_ALPHABET,
+        fence=SAX_GROW_FENCE,
+    )
+    assert _pg["n_candidates"] > SAX_GROW_FENCE  # the fence-growth branch
+    o["ts_sax_topk_auto_fence"] = _sax_topk_sql(
+        _pg["n_segments"], _pg["n_candidates"], SAX_COARSE_STEP
+    )
 
     # bucket-occupancy health line of the word index vs the nomination
     # fence — all exact BIGINTs; p99 = occupancy at integer rank
@@ -1944,6 +2018,51 @@ def build(o: dict[str, str]) -> None:
         SELECT pvname, time, 'down' AS side, CAST(sd AS BIGINT) AS s_scaled,
                CAST(1 AS BIGINT) AS n
         FROM x WHERE sd > {_cth} AND psd <= {_cth}
+        """
+    )
+
+    # warm-started CUSUM: per-series integer target from the backfill
+    # half — floor((2*Σq + n) / (2n)) is the exact half-up grid mean
+    # (cusum_targets) — then the unscaled target-lane recurrence over
+    # the live half with that per-series reference
+    _cwk = int(round(CUSUM_WK / 0.01))
+    _cwh = int(round(CUSUM_WH / 0.01))
+    o["ts_cusum_warm"] = (
+        P
+        + f""",
+        b0 AS (SELECT pvname, CAST(round(value / 0.01) AS BIGINT) AS q
+               FROM points
+               WHERE value IS NOT NULL AND time <= {CUSUM_WARM_CUT}),
+        tg AS (SELECT pvname,
+                      CAST(floor((2 * CAST(sum(q) AS BIGINT)
+                                  + CAST(count(*) AS BIGINT))
+                                 / CAST(2 * count(*) AS DOUBLE))
+                           AS BIGINT) AS tq
+               FROM b0 GROUP BY 1),
+        b AS (SELECT pvname, time, event_id,
+                     CAST(round(value / 0.01) AS BIGINT) AS q FROM points
+              WHERE value IS NOT NULL AND time > {CUSUM_WARM_CUT}),
+        c AS (SELECT b.pvname, time,
+                     CAST(sum(q - tq - {_cwk}) OVER w AS BIGINT) AS pu,
+                     CAST(sum(tq - {_cwk} - q) OVER w AS BIGINT) AS pd,
+                     CAST(row_number() OVER w AS BIGINT) AS i
+              FROM b JOIN tg USING (pvname)
+              WINDOW w AS (PARTITION BY b.pvname ORDER BY time, event_id)),
+        s AS (SELECT pvname, time, i,
+                     pu - least(0, min(pu) OVER w) AS su,
+                     pd - least(0, min(pd) OVER w) AS sd
+              FROM c WINDOW w AS (PARTITION BY pvname ORDER BY i)),
+        x AS (SELECT pvname, time, su, sd,
+                     coalesce(lag(su) OVER w, 0) AS psu,
+                     coalesce(lag(sd) OVER w, 0) AS psd
+              FROM s WINDOW w AS (PARTITION BY pvname ORDER BY i))
+        SELECT pvname, time, 'up' AS side, CAST(su AS BIGINT) AS s_scaled,
+               CAST(1 AS BIGINT) AS n
+        FROM x WHERE su > {_cwh} AND psu <= {_cwh}
+        UNION ALL
+        SELECT pvname, time, 'down' AS side, CAST(sd AS BIGINT) AS s_scaled,
+               CAST(1 AS BIGINT) AS n
+        FROM x WHERE sd > {_cwh} AND psd <= {_cwh}
         """
     )
 

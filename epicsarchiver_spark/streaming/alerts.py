@@ -868,10 +868,11 @@ _CUSUM_STATE_SCHEMA = StructType(
 
 def cusum_stream(
     events: DataFrame,
-    target: float,
+    target: float | None = None,
     k: float = 0.5,
     h: float = 5.0,
     quantum: float = 0.01,
+    targets=None,
 ) -> DataFrame:
     """LIVE two-sided CUSUM against a known reference ``target`` — the
     streaming twin of ``timeseries.cusum_changepoints(target=...)``:
@@ -888,18 +889,38 @@ def cusum_stream(
     while the batch lane tie-breaks on event_id when its frame has one:
     row-exactness on tied timestamps therefore also requires arrival
     order to match event_id order, the property an in-order archiver
-    source provides by construction."""
-    tq, kq, hq = (
-        _half_up_long(target / quantum),
-        _half_up_long(k / quantum),
-        _half_up_long(h / quantum),
-    )
+    source provides by construction.
+
+    ``targets`` — the WARM-START lane (VERDICT r12 task 4, the W1
+    ``seeds=`` pattern): a {pvname: target_value} map — plain dict, or
+    a ``pyspark.Broadcast`` of one to ship it once per executor — built
+    from a batch backfill via ``timeseries.cusum_targets(...).collect()``,
+    so the live chart measures new points against the backfill's mean
+    instead of an operator-guessed constant. Per-key resolution: the
+    map wins, the scalar ``target`` is the fallback for series the
+    backfill never saw (omit it to let unseen series pass through
+    silently — they emit nothing until a target exists). Both the map
+    values and the scalar quantize through the same half-up grid as the
+    batch ``targets=`` lane, so
+    ``cusum_stream(new, targets=m) ≡ cusum_changepoints(new,
+    targets=frame)`` row-exactly (tests/test_streaming.py)."""
+    if target is None and targets is None:
+        raise ValueError("cusum_stream needs target= or targets=")
+    kq, hq = _half_up_long(k / quantum), _half_up_long(h / quantum)
+    tq_default = None if target is None else _half_up_long(target / quantum)
     qm = float(quantum)
 
     def kernel(
         key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         pvname = key[0]
+        tmap = targets.value if hasattr(targets, "value") else targets
+        if tmap is not None and pvname in tmap:
+            tq = _half_up_long(float(tmap[pvname]) / qm)
+        elif tq_default is not None:
+            tq = tq_default
+        else:
+            return
         cu, minu, psu, cd, mind, psd = (
             state.get if state.exists else (0, 0, 0, 0, 0, 0)
         )

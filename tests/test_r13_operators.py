@@ -1,0 +1,290 @@
+"""Round-13 operator tests: pagerank lane auto-selection (VERDICT r12
+task 2), the CUSUM int64 overflow guard and per-series target lane
+(task 4), and the cusum_targets warm-start feed."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- pagerank
+
+
+def test_pagerank_lane_decision_boundary():
+    """The broadcast-vs-shuffle pick is pure arithmetic on the node
+    count — pinned HERE so a threshold edit is a conscious act. The
+    crossover constant sits between the measured decades of SCALE r12c
+    (broadcast ~10× faster at ≤1e5 nodes, shuffle 1.4× faster at 1e6)."""
+    from epicsarchiver_spark.operators.related import (
+        PAGERANK_BROADCAST_MAX_NODES,
+        _pagerank_use_broadcast,
+    )
+
+    assert 100_000 < PAGERANK_BROADCAST_MAX_NODES < 1_000_000
+    assert _pagerank_use_broadcast(1)
+    assert _pagerank_use_broadcast(100_000)
+    assert _pagerank_use_broadcast(PAGERANK_BROADCAST_MAX_NODES)
+    assert not _pagerank_use_broadcast(PAGERANK_BROADCAST_MAX_NODES + 1)
+    assert not _pagerank_use_broadcast(1_000_000)
+
+
+def test_pagerank_auto_lane_matches_forced_lanes(spark):
+    """Auto (None) must pick a lane, and the result must be identical
+    to BOTH forced lanes — the recurrence is exact integer arithmetic,
+    so lane choice may never change a single rank unit."""
+    from epicsarchiver_spark.operators.related import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                ("a", "b", 4.0),
+                ("b", "c", 2.0),
+                ("c", "a", 1.0),
+                ("c", "d", 3.0),
+                ("d", "a", 5.0),
+            ],
+            columns=["pv1", "pv2", "score"],
+        )
+    )
+    runs = {
+        lane: sorted(
+            (r.pvname, r.rank_units)
+            for r in pagerank(edges, rounds=4, broadcast_ranks=lane).collect()
+        )
+        for lane in (None, True, False)
+    }
+    assert runs[None] == runs[True] == runs[False]
+    assert len(runs[None]) == 4
+
+
+# ------------------------------------------------- CUSUM overflow guard
+
+
+def _mk_points(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    )
+
+
+def test_cusum_overflow_guard_raises_past_budget(spark):
+    """The mean lane's int64 budget (4·n²·(max|q|+k_q) < 2⁶³) is
+    ENFORCED, not advised (VERDICT r12 task 4): with max|q| = 2.5e15
+    (value 2.5e6 at quantum 1e-9) and k=0 the boundary sits at n=30 —
+    31 rows must raise loudly instead of silently wrapping."""
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("G:hot", float(i), 2.5e6) for i in range(31)]
+    with pytest.raises(Exception, match="overflow budget"):
+        cusum_changepoints(
+            _mk_points(spark, rows), k=0.0, h=1.0, quantum=1e-9
+        ).collect()
+
+
+def test_cusum_overflow_guard_passes_at_budget_edge(spark):
+    """29 rows of the same series sit just under the boundary: the
+    guard must NOT fire and the statistic must still be computed (flat
+    series ⇒ zero crossings, but the plan executes end-to-end)."""
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("G:edge", float(i), 2.5e6) for i in range(29)]
+    got = cusum_changepoints(
+        _mk_points(spark, rows), k=0.0, h=1.0, quantum=1e-9
+    ).collect()
+    assert got == []  # flat series: no crossing, and no raise
+
+
+@pytest.mark.parametrize("n,fires", [(28, False), (29, False), (31, True), (40, True)])
+def test_cusum_overflow_guard_property_at_edge(spark, n, fires):
+    """Property at the budget edge: for max|q|=2.5e15, k_q=0 the guard
+    condition 4·n²·max|q| > 9.2e18 flips exactly between n=30 and 31."""
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("G:p", float(i), 2.5e6) for i in range(n)]
+    df = cusum_changepoints(_mk_points(spark, rows), k=0.0, h=1.0, quantum=1e-9)
+    if fires:
+        with pytest.raises(Exception, match="overflow budget"):
+            df.collect()
+    else:
+        df.collect()
+
+
+def test_cusum_guard_does_not_perturb_normal_results(spark):
+    """Regression pin: guarded mean-lane output on ordinary data equals
+    the pre-guard semantics (crossings from a step series)."""
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("N:s", float(i), 10.0 if i < 20 else 14.0) for i in range(40)]
+    got = cusum_changepoints(_mk_points(spark, rows), k=0.5, h=5.0).collect()
+    assert len(got) >= 1
+    assert {r.side for r in got} <= {"up", "down"}
+
+
+# ------------------------------------------------- cusum_targets / targets=
+
+
+def test_cusum_targets_exact_halfup_grid_mean(spark):
+    """The target is the exact mean rounded HALF-UP onto the quantum
+    grid — including the negative-mean case (floor((2Σq+n)/(2n)) is
+    half-up toward +inf, matching _half_up_long)."""
+    from epicsarchiver_spark.operators.timeseries import cusum_targets
+
+    rows = [
+        # mean of (1.00, 1.01) = 1.005 -> q-mean 100.5 -> half-up 101
+        ("T:halfup", 0.0, 1.00),
+        ("T:halfup", 1.0, 1.01),
+        # mean of (-1.00, -1.01) = -1.005 -> q-mean -100.5 -> half-up -100
+        ("T:neg", 0.0, -1.00),
+        ("T:neg", 1.0, -1.01),
+        # exact integer mean stays put
+        ("T:flat", 0.0, 2.0),
+        ("T:flat", 1.0, 4.0),
+        # nulls carry no level information
+        ("T:null", 0.0, 3.0),
+        ("T:null", 1.0, None),
+    ]
+    got = {
+        r["pvname"]: r["target"]
+        for r in cusum_targets(_mk_points(spark, rows)).collect()
+    }
+    assert got["T:halfup"] == pytest.approx(1.01)
+    assert got["T:neg"] == pytest.approx(-1.00)
+    assert got["T:flat"] == pytest.approx(3.0)
+    assert got["T:null"] == pytest.approx(3.0)
+
+
+def test_cusum_targets_frame_equals_per_series_scalar_runs(spark):
+    """The targets= frame lane is row-identical to running the scalar
+    target lane once per series with that series' target — the
+    broadcast join only vectorizes what the scalar lane hardcodes."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.timeseries import (
+        cusum_changepoints,
+        cusum_segments,
+        cusum_targets,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for pv, level, drift in (("F:a", 5.0, 0.9), ("F:b", -2.0, -0.8)):
+        t, v = 0.0, level
+        for i in range(80):
+            t += 2.0
+            v += float(rng.normal(0, 0.3)) + (drift if i > 30 else 0.0)
+            rows.append((pv, t, round(v, 2)))
+    pts = _mk_points(spark, rows)
+    tg = cusum_targets(pts)
+    tmap = {r["pvname"]: r["target"] for r in tg.collect()}
+
+    got = sorted(
+        map(tuple, cusum_changepoints(pts, k=0.5, h=3.0, targets=tg).collect())
+    )
+    want = sorted(
+        tuple(r)
+        for pv, target in tmap.items()
+        for r in cusum_changepoints(
+            pts.filter(F.col("pvname") == pv), k=0.5, h=3.0, target=target
+        ).collect()
+    )
+    assert got and got == want
+
+    got_seg = sorted(
+        map(tuple, cusum_segments(pts, k=0.5, h=3.0, targets=tg).collect())
+    )
+    want_seg = sorted(
+        tuple(r)
+        for pv, target in tmap.items()
+        for r in cusum_segments(
+            pts.filter(F.col("pvname") == pv), k=0.5, h=3.0, target=target
+        ).collect()
+    )
+    assert got_seg and got_seg == want_seg
+
+
+def test_cusum_targets_lane_drops_series_without_target(spark):
+    """A series absent from the targets frame emits nothing (inner
+    join) — mirroring the stream's no-target-no-fallback silence."""
+    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+
+    rows = [("K:seen", float(i), 100.0 * i) for i in range(10)]
+    rows += [("K:unseen", float(i), 100.0 * i) for i in range(10)]
+    tg = _mk_points(spark, [("K:seen", 0.0, 0.0)]).select(
+        "pvname", F.col("value").alias("target")
+    )
+    got = cusum_changepoints(
+        _mk_points(spark, rows), k=0.0, h=1.0, targets=tg
+    ).collect()
+    assert got and {r.pvname for r in got} == {"K:seen"}
+
+
+# ------------------------------------------- sax_topk_auto index pinning
+
+
+def test_sax_auto_params_pin_segments_skips_search():
+    from epicsarchiver_spark.operators.timeseries import sax_auto_params
+
+    p = sax_auto_params(750, n_grid=15, alphabet=4, fence=128, pin_segments=6)
+    assert p["n_segments"] == 6
+    assert p["n_words"] == 4 ** 6
+    # fence still adapts for the pinned resolution (2*625 clamps at
+    # max_fence)
+    crowded = sax_auto_params(10_000, n_grid=3, alphabet=4, fence=8,
+                              pin_segments=2)
+    assert crowded["n_segments"] == 2
+    assert crowded["expected_bucket"] == 625
+    assert crowded["n_candidates"] == 1024
+    mild = sax_auto_params(1_000, n_grid=3, alphabet=4, fence=8,
+                           pin_segments=2)
+    assert mild["n_candidates"] == 2 * -(-1_000 // 16)
+
+
+def test_sax_topk_auto_derives_segments_from_index(spark):
+    """r12 ADVICE (medium): with index= the segment count comes from
+    the INDEX's word length, never the live series count — an index
+    built at 6 segments must be queried with 6-letter words even
+    though the auto derivation for this corpus says 4, or the
+    equi-join silently matches nothing."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_topk,
+        sax_topk_auto,
+        sax_words,
+    )
+
+    rng = np.random.default_rng(3)
+    rows = []
+    t0, t1, step = 0.0, 110.0, 10.0
+    for i in range(12):
+        base = float(i % 4)
+        for j in range(12):
+            rows.append(
+                (f"X:{i}", j * 10.0, round(base * 10 + np.sin(j + i % 4) * 5
+                                           + float(rng.normal(0, 0.3)), 2))
+            )
+    pts = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["pvname", "time", "value"])
+    )
+    idx = sax_words(pts, t0, t1, step, n_segments=6)
+    assert idx.select(F.length("word")).distinct().collect()[0][0] == 6
+
+    got = sorted(
+        map(
+            tuple,
+            sax_topk_auto(
+                pts, "X:0", t0, t1, step, k=3, index=idx
+            ).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            sax_topk(
+                pts, "X:0", t0, t1, step, k=3, n_segments=6, index=idx
+            ).collect(),
+        )
+    )
+    assert got == want
+    assert got, "index-pinned query must nominate through 6-letter words"

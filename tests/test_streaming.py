@@ -1782,3 +1782,85 @@ def test_cusum_stream_matches_batch_operator(spark, tmp_path):
         map(tuple, spark.sql("select * from cusum_out").collect())
     )
     assert got == want
+
+def test_cusum_stream_warm_start_matches_batch_targets(spark, tmp_path):
+    """VERDICT r12 task 4: warm-start the live CUSUM from a batch
+    backfill — ``cusum_targets`` of the backfill feeds
+    ``cusum_stream(targets=...)`` per-series, and the stream over the
+    live half must equal ``cusum_changepoints(targets=frame)`` on the
+    same rows ROW-EXACTLY across micro-batch boundaries: both lanes
+    quantize the same grid value back to the same integer reference.
+    A third series absent from the backfill exercises the
+    no-target-no-fallback path (emits nothing, batch drops it too)."""
+    import numpy as np
+
+    from epicsarchiver_spark.operators.timeseries import (
+        cusum_changepoints,
+        cusum_targets,
+    )
+    from epicsarchiver_spark.streaming.alerts import cusum_stream
+
+    rng = np.random.default_rng(13)
+    back_rows, live_rows = [], []
+    for pv, level, drift in (("W:a", 4.0, 0.7), ("W:b", -3.0, -0.9)):
+        t, v = 0.0, level
+        for _ in range(40):  # backfill: wander around the level
+            t += 5.0
+            v = level + float(rng.normal(0, 0.3))
+            back_rows.append((pv, t, round(v, 2)))
+        for i in range(60):  # live half: drift away from the level
+            t += 5.0
+            v += float(rng.normal(0, 0.3)) + (drift if i > 20 else 0.0)
+            live_rows.append((pv, t, round(v, 2)))
+    # a series the backfill never saw: silent in both lanes
+    live_rows += [("W:new", 5.0 * i, 100.0 + i) for i in range(1, 20)]
+
+    backfill = spark.createDataFrame(
+        pd.DataFrame(back_rows, columns=["pvname", "time", "value"])
+    )
+    live_pdf = pd.DataFrame(live_rows, columns=["pvname", "time", "value"])
+    live = spark.createDataFrame(live_pdf)
+
+    tg = cusum_targets(backfill)
+    want = sorted(
+        map(
+            tuple,
+            cusum_changepoints(live, k=0.5, h=3.0, targets=tg).collect(),
+        )
+    )
+    assert want, "live half must produce at least one crossing"
+    assert {w[0] for w in want} == {"W:a", "W:b"}
+
+    tmap = {r["pvname"]: r["target"] for r in tg.collect()}
+    src = tmp_path / "cusum_warm_ev"
+    src.mkdir()
+    for j in range(3):
+        live_pdf.iloc[j * 50 : (j + 1) * 50].to_parquet(
+            src / f"p{j}.parquet", index=False
+        )
+    stream = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        cusum_stream(stream, k=0.5, h=3.0, targets=tmap)
+        .writeStream.format("memory")
+        .queryName("cusum_warm_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "cusum_warm_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, spark.sql("select * from cusum_warm_out").collect())
+    )
+    assert got == want
+
+
+def test_cusum_stream_requires_some_target():
+    from epicsarchiver_spark.streaming.alerts import cusum_stream
+
+    with pytest.raises(ValueError, match="target"):
+        cusum_stream(None)
