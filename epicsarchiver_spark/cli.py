@@ -736,6 +736,35 @@ def cmd_similar(args) -> int:
     return 0
 
 
+def _write_sidecar(fs, P, path: str, params: dict) -> None:
+    """Write a small JSON sidecar through the hadoop FS (works on any
+    scheme the store does). Underscore-prefixed names are ignored by
+    Spark's parquet reader, so the file can live INSIDE the artifact
+    dir and ride the two-rename swap atomically with the data."""
+    import json
+
+    out = fs.create(P(path), True)
+    try:
+        out.write(bytearray(json.dumps(params, sort_keys=True).encode()))
+    finally:
+        out.close()
+
+
+def _read_sidecar(fs, jvm, P, path: str) -> dict | None:
+    import json
+
+    if not fs.exists(P(path)):
+        return None
+    stream = fs.open(P(path))
+    try:
+        text = jvm.org.apache.commons.io.IOUtils.toString(
+            stream, "UTF-8"
+        )
+    finally:
+        stream.close()
+    return json.loads(text)
+
+
 def cmd_index_words(args) -> int:
     """Build or incrementally refresh the iSAX word artifact — the
     operational face of ``sax_words_build`` / ``sax_words_refresh``
@@ -749,7 +778,26 @@ def cmd_index_words(args) -> int:
     silently break sax_topk's equi-join and neighbor expansion — so
     --refresh derives the segment count from the artifact and refuses
     an explicit --segments that contradicts it (exit 1: rebuild
-    instead). Crash-safe two-rename swap."""
+    instead). Crash-safe two-rename swap.
+
+    Every build writes a ``_params.json`` sidecar INSIDE the words dir
+    (t0, t1, step, segments, alphabet, quantum — riding the same
+    atomic swap), and --refresh validates the full parameter set
+    against it (r12 ADVICE): the watermark check's "unchanged
+    watermark ⇒ unchanged word" only holds for the build's exact
+    window and letters, so a refresh with a shifted window or a
+    different alphabet is REFUSED (exit 1: rebuild to move the
+    window) instead of silently mixing windows in one artifact.
+    Pre-sidecar artifacts fall back to word-length pinning with a
+    warning that window params are unchecked.
+
+    --stats-from-cache PATH makes the refresh O(stale) at any corpus
+    size (VERDICT r12 task 3): staleness is detected from the ingest
+    cache's per-series (latest time, event count) — bytes per series —
+    instead of a per-series aggregate over raw points; only the stale
+    series' points are then read for re-wording. Precondition: every
+    write flowed through the cache (see ``read_cache_stats``) — after
+    a direct store import, refresh once without it."""
     from epicsarchiver_spark.operators.timeseries import (
         sax_auto_params,
         sax_words_build,
@@ -766,17 +814,51 @@ def cmd_index_words(args) -> int:
     if fs.exists(P(bak)) and not fs.exists(P(cur)):
         fs.rename(P(bak), P(cur))  # recover a crash parked mid-swap
     refresh = args.refresh and fs.exists(P(cur))
+    quantum = 0.01  # sax_words' quantum default — recorded so a future
+    # knob cannot silently mix quantizations in one artifact
     if refresh:
-        # the artifact pins the segment count: every word in it has the
-        # build's length, and a mixed-length artifact breaks the word
-        # equi-join/neighbor expansion downstream
-        from pyspark.sql import functions as F
+        side = _read_sidecar(fs, jvm, P, f"{cur}/_params.json")
+        if side is not None:
+            # the sidecar pins EVERYTHING the word depends on — refuse
+            # any drift the same way a contradicting --segments is
+            # refused (a shifted window would re-word only stale series
+            # and keep old-window words for the rest)
+            segments = int(side["segments"])
+            pinned = {
+                "t0": args.t0, "t1": args.t1, "step": args.step,
+                "alphabet": args.alphabet, "quantum": quantum,
+            }
+            drift = {
+                k: (v, side[k]) for k, v in pinned.items()
+                if side.get(k) != v
+            }
+            if drift:
+                desc = ", ".join(
+                    f"{k} {got} != built {want}"
+                    for k, (got, want) in sorted(drift.items())
+                )
+                print(
+                    f"--refresh window/params contradict the artifact's"
+                    f" build ({desc}); rebuild (omit --refresh) to move"
+                    " the window or change resolution",
+                    file=sys.stderr,
+                )
+                return 1
+        else:
+            # pre-sidecar artifact: the word length still pins the
+            # segment count, but window params are unverifiable
+            from pyspark.sql import functions as F
 
-        art_len = (
-            spark.read.parquet(cur)
-            .select(F.length("word").alias("n")).head()
-        )
-        segments = int(art_len["n"]) if art_len else args.segments or 4
+            art_len = (
+                spark.read.parquet(cur)
+                .select(F.length("word").alias("n")).head()
+            )
+            segments = int(art_len["n"]) if art_len else args.segments or 4
+            print(
+                "artifact has no _params.json sidecar (pre-r13 build):"
+                " window/alphabet are UNCHECKED — rebuild to record them",
+                file=sys.stderr,
+            )
         if args.segments is not None and args.segments != segments:
             print(
                 f"--segments {args.segments} contradicts the artifact's"
@@ -805,9 +887,14 @@ def cmd_index_words(args) -> int:
                 f" (pinned for refreshes; fence {rec['n_candidates']})"
             )
     if refresh:
+        stats = None
+        if getattr(args, "stats_from_cache", None):
+            from epicsarchiver_spark.streaming.ingest import read_cache_stats
+
+            stats = read_cache_stats(spark, args.stats_from_cache)
         words = sax_words_refresh(
             pts, spark.read.parquet(cur), args.t0, args.t1, args.step,
-            n_segments=segments, alphabet=args.alphabet,
+            n_segments=segments, alphabet=args.alphabet, stats=stats,
         )
     else:
         words = sax_words_build(
@@ -817,6 +904,12 @@ def cmd_index_words(args) -> int:
     fs.delete(P(tmp), True)
     fs.delete(P(bak), True)
     words.write.mode("overwrite").parquet(tmp)
+    _write_sidecar(
+        fs, P, f"{tmp}/_params.json",
+        {"t0": args.t0, "t1": args.t1, "step": args.step,
+         "segments": segments, "alphabet": args.alphabet,
+         "quantum": quantum},
+    )
     if fs.exists(P(cur)):
         fs.rename(P(cur), P(bak))
     fs.rename(P(tmp), P(cur))
@@ -1923,6 +2016,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--alphabet", type=int, default=4)
     s.add_argument("--auto", action="store_true",
                    help="derive n_segments from the series count (builds)")
+    s.add_argument("--stats-from-cache", default=None, metavar="CACHE",
+                   help="latest-value cache path: detect staleness from "
+                        "its per-series (time, np) instead of scanning "
+                        "raw points (O(stale) refresh)")
     s.add_argument("--refresh", action="store_true",
                    help="incremental: re-word only stale series")
     s.set_defaults(fn=cmd_index_words)

@@ -1174,10 +1174,20 @@ def sax_words_refresh(
     per-series point count is one more mergeable integer beside it —
     and the refresh touches raw points ONLY for the stale series; its
     cost is then O(stale), independent of corpus size. ``stats=`` is a
-    staleness DETECTOR only: an all-time cache over-reports (a series
-    with only past-horizon appends gets harmlessly re-worded to the
-    identical word) but can never under-report, because the count only
-    grows and every in-horizon append grows it. The artifact's stored
+    staleness DETECTOR only, with a COMPLETENESS precondition (r12
+    ADVICE): staleness is computed from ``stats`` alone, so the frame
+    must cover every series present in ``points`` — a series missing
+    from it is neither re-worded nor kept and silently drops from the
+    refreshed artifact. The ingest cache satisfies this by
+    construction (every ingested point lands in it;
+    ``streaming.ingest.read_cache_stats``), but writes that bypass the
+    cache (direct ASCII/zarr store imports) break BOTH the coverage
+    and the count — run a no-stats refresh after such imports. Under
+    that precondition the detector can only over-report: an all-time
+    cache re-words a series with only past-horizon appends to the
+    identical word (harmless), while under-reporting would need the
+    monotone count to stand still across an in-horizon append, which
+    it cannot for cache-fed writes. The artifact's stored
     (wm, np) are ALWAYS recomputed horizon-bounded from the stale
     series' own points — an O(stale) aggregate on the frame the reword
     already scans — never copied from ``stats``, so the

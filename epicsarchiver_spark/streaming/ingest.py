@@ -400,7 +400,21 @@ def upsert_latest(batch: DataFrame, cache_path: str, buckets: int = 64) -> None:
     cache is safe because the merge is idempotent (max_by time) and the
     checkpointed stream replays the interrupted batch. At production scale
     the same contract is one Delta/Iceberg MERGE; this is the
-    filesystem-parquet equivalent."""
+    filesystem-parquet equivalent.
+
+    Beside (value, time) each row carries ``np`` — the running COUNT of
+    events merged for the series (VERDICT r12 task 3): one more
+    mergeable BIGINT that turns the cache into the O(1) staleness feed
+    for ``sax_words_refresh(stats=...)`` (via :func:`read_cache_stats`),
+    decoupling an incremental word-index refresh from corpus size. The
+    count is a staleness DETECTOR, not an audit figure: a foreachBatch
+    replay after a crash may re-count the interrupted batch (the
+    (value, time) merge is idempotent, the count is not), and replays
+    only ever INFLATE it — an inflated count marks a series stale and
+    costs one harmless re-word, while under-reporting would need the
+    count to stand still across a real append, which a monotone counter
+    cannot do for writes that flow through this cache. Caches written
+    before ``np`` existed merge as count-so-far 0."""
     spark = batch.sparkSession
     tmp, bak = cache_path + ".tmp", cache_path + ".bak"
     fs, jvm = _hadoop_fs(spark, cache_path)
@@ -410,18 +424,26 @@ def upsert_latest(batch: DataFrame, cache_path: str, buckets: int = 64) -> None:
     bucket_of = F.pmod(F.xxhash64("pvname"), F.lit(buckets)).cast("int")
     order = F.struct(F.col("time"))
     fresh = batch.groupBy("pvname").agg(
-        F.max_by("value", order).alias("value"), F.max("time").alias("time")
+        F.max_by("value", order).alias("value"),
+        F.max("time").alias("time"),
+        F.count(F.lit(1)).alias("np"),
     )
     # tiny driver list (≤ buckets ints) — names which partitions this
     # batch touches; everything downstream is pruned to them
     touched = sorted(r[0] for r in fresh.select(bucket_of.alias("b")).distinct().collect())
     if fs.exists(P(cache_path)):
         old = spark.read.parquet(cache_path).filter(F.col("bucket").isin(touched))
+        if "np" not in old.columns:  # pre-np cache: counts start now
+            old = old.withColumn("np", F.lit(0).cast("long"))
         fresh = (
             old.drop("bucket")
             .unionByName(fresh)
             .groupBy("pvname")
-            .agg(F.max_by("value", order).alias("value"), F.max("time").alias("time"))
+            .agg(
+                F.max_by("value", order).alias("value"),
+                F.max("time").alias("time"),
+                F.sum("np").alias("np"),
+            )
         )
     # one output file per bucket dir (repartition on the partition column),
     # not tasks × buckets small files — the cache stays ≤ `buckets` files
@@ -814,6 +836,31 @@ def read_cache(spark, cache_path: str) -> DataFrame:
     fs, jvm = _hadoop_fs(spark, cache_path)
     _recover_cache_swap(fs, jvm.org.apache.hadoop.fs.Path, cache_path)
     return spark.read.parquet(cache_path)
+
+
+def read_cache_stats(spark, cache_path: str) -> DataFrame:
+    """The cache as the O(stale) staleness feed for
+    ``timeseries.sax_words_refresh(stats=...)`` — ``(pvname, wm, np)``,
+    each series' latest event time and running event count, bytes per
+    series, read WITHOUT touching raw points (VERDICT r12 task 3; wired
+    as ``pvarch index_words --refresh --stats-from-cache``).
+
+    Contract (the refresh docstring's fine print): the stats lane can
+    only see writes that flowed THROUGH this cache — a direct store
+    import (``pvarch import_ascii`` / ``import_zarr`` writing parquet
+    behind the daemon's back) moves neither ``wm`` nor ``np`` and would
+    under-report; run a no-stats refresh (full staleness scan) after
+    such imports. Counts are all-time, so use a refresh horizon at or
+    past the newest data (the archiver cadence) — a series whose only
+    new points sit PAST the horizon is harmlessly re-worded. Raises on
+    a pre-``np`` cache (no counts to detect staleness with)."""
+    c = read_cache(spark, cache_path)
+    if "np" not in c.columns:
+        raise ValueError(
+            "cache at %r predates per-series event counts (np); "
+            "re-ingest or refresh without --stats-from-cache" % cache_path
+        )
+    return c.select("pvname", F.col("time").alias("wm"), F.col("np"))
 
 
 def latest_value_query(

@@ -1364,3 +1364,118 @@ def test_rollup_cli_materializes_plot_lane(spark, store, tmp_path, capsys):
     assert {r[0] for r in rows} == {"CLI:a.VAL", "CLI:b.VAL"}
     assert all(r.day == "1970-01-01" for r in rows)
     assert sum(r.n for r in rows) == 200
+
+
+def test_index_words_sidecar_pins_window_and_params(spark, tmp_path, capsys):
+    """r12 ADVICE (medium): the build writes _params.json inside the
+    words dir (riding the atomic swap) and --refresh validates the FULL
+    parameter set against it — a shifted window or changed alphabet is
+    refused the same way a contradicting --segments is, instead of
+    silently mixing windows in one artifact."""
+    import json
+
+    storep = str(tmp_path / "sidecar_store")
+    rows = [("SC:a", float(t), float(t % 7)) for t in range(0, 3000, 30)]
+    rows += [("SC:b", float(t), float(t % 5)) for t in range(0, 3000, 30)]
+    write_points(
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["pvname", "time", "value"])
+        ),
+        storep, run="run_001", n_buckets=4,
+    )
+    out = str(tmp_path / "wordidx_sc")
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out]) == 0
+    )
+    capsys.readouterr()
+    side = json.load(open(out + "/words/_params.json"))
+    assert side == {"t0": 0.0, "t1": 2970.0, "step": 30.0,
+                    "segments": 4, "alphabet": 4, "quantum": 0.01}
+
+    # same window refreshes fine
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh"]) == 0
+    )
+    capsys.readouterr()
+    # advancing t1 (the natural archiver cadence) is REFUSED on refresh
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "3600", "30",
+                  "--out", out, "--refresh"]) == 1
+    )
+    err = capsys.readouterr().err
+    assert "contradict the artifact's build" in err and "t1" in err
+    # a changed alphabet is refused too
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh", "--alphabet", "6"]) == 1
+    )
+    assert "alphabet" in capsys.readouterr().err
+
+    # a pre-sidecar artifact still refreshes (word-length pinning) with
+    # a loud warning that the window is unchecked
+    os.remove(out + "/words/_params.json")
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh"]) == 0
+    )
+    assert "no _params.json sidecar" in capsys.readouterr().err
+    # and the refresh re-writes the sidecar for the next round
+    assert json.load(open(out + "/words/_params.json"))["t1"] == 2970.0
+
+
+def test_index_words_refresh_from_cache_stats(spark, tmp_path, capsys):
+    """VERDICT r12 task 3 end-to-end through the CLI: ingest feeds the
+    store AND the latest-value cache; `pvarch index_words --refresh
+    --stats-from-cache` refreshes O(stale) from the cache's (time, np)
+    and equals a from-scratch rebuild."""
+    from epicsarchiver_spark.streaming.ingest import upsert_latest
+
+    storep = str(tmp_path / "cs_store")
+    cache = str(tmp_path / "cs_cache")
+    base = [("CS:a", float(t), float(t % 7)) for t in range(0, 3000, 30)]
+    base += [("CS:b", float(t), float(t % 5)) for t in range(0, 3000, 30)]
+    b1 = spark.createDataFrame(
+        pd.DataFrame(base, columns=["pvname", "time", "value"])
+    )
+    write_points(b1, storep, run="run_001", n_buckets=4)
+    upsert_latest(b1.select("pvname", "value", "time"), cache, buckets=4)
+
+    out = str(tmp_path / "wordidx_cs")
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out]) == 0
+    )
+    capsys.readouterr()
+
+    # append: CS:a jumps (stale); CS:b untouched
+    app = spark.createDataFrame(
+        pd.DataFrame(
+            [("CS:a", 1500.0 + i, 50.0 + i) for i in range(5)],
+            columns=["pvname", "time", "value"],
+        )
+    )
+    write_points(app, storep, run="run_002", n_buckets=4)
+    upsert_latest(app.select("pvname", "value", "time"), cache, buckets=4)
+
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out, "--refresh", "--stats-from-cache", cache])
+        == 0
+    )
+    assert "incremental refresh" in capsys.readouterr().out
+    refreshed = {
+        tuple(r) for r in spark.read.parquet(out + "/words").collect()
+    }
+
+    out2 = str(tmp_path / "wordidx_cs_rebuild")
+    assert (
+        cli.main(["--store", storep, "index_words", "0", "2970", "30",
+                  "--out", out2]) == 0
+    )
+    capsys.readouterr()
+    rebuilt = {
+        tuple(r) for r in spark.read.parquet(out2 + "/words").collect()
+    }
+    assert refreshed == rebuilt

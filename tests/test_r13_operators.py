@@ -288,3 +288,193 @@ def test_sax_topk_auto_derives_segments_from_index(spark):
     )
     assert got == want
     assert got, "index-pinned query must nominate through 6-letter words"
+
+
+# --------------------------------------- cache np + stats-fed word refresh
+
+
+def test_upsert_latest_maintains_event_counts(spark, tmp_path):
+    """VERDICT r12 task 3: the latest-value cache carries np — a
+    mergeable per-series event count beside (value, time) — summed
+    across batches so it can feed sax_words_refresh's staleness
+    detector without a raw-points scan."""
+    from epicsarchiver_spark.streaming.ingest import (
+        read_cache,
+        read_cache_stats,
+        upsert_latest,
+    )
+
+    cache = str(tmp_path / "cache_np")
+    b1 = _mk_points(
+        spark, [("P:1", 1.0, 10.0), ("P:1", 2.0, 11.0), ("P:2", 1.0, 5.0)]
+    ).select("pvname", "value", "time")
+    b2 = _mk_points(
+        spark, [("P:1", 3.0, 12.0), ("P:3", 1.0, 7.0)]
+    ).select("pvname", "value", "time")
+    upsert_latest(b1, cache, buckets=4)
+    upsert_latest(b2, cache, buckets=4)
+
+    got = {r.pvname: (r.time, r.value, r.np) for r in read_cache(spark, cache).collect()}
+    assert got == {
+        "P:1": (3.0, 12.0, 3),
+        "P:2": (1.0, 5.0, 1),
+        "P:3": (1.0, 7.0, 1),
+    }
+    stats = {r.pvname: (r.wm, r.np) for r in read_cache_stats(spark, cache).collect()}
+    assert stats == {"P:1": (3.0, 3), "P:2": (1.0, 1), "P:3": (1.0, 1)}
+
+
+def test_upsert_latest_merges_pre_np_cache(spark, tmp_path):
+    """A cache written before np existed merges with counts starting
+    at the first post-upgrade batch (0 + batch), not a crash."""
+    from epicsarchiver_spark.streaming.ingest import read_cache, upsert_latest
+
+    cache = str(tmp_path / "cache_legacy")
+    legacy = _mk_points(spark, [("L:1", 1.0, 5.0)]).select("pvname", "value", "time")
+    upsert_latest(legacy, cache, buckets=4)
+    # strip np to simulate the pre-r13 layout
+    import pyspark.sql.functions as SF
+
+    old = read_cache(spark, cache).drop("np")
+    pdfold = old.toPandas()
+    import shutil
+
+    shutil.rmtree(cache)
+    old2 = spark.createDataFrame(pdfold)
+    old2.withColumn(
+        "bucket", SF.pmod(SF.xxhash64("pvname"), SF.lit(4)).cast("int")
+    ).write.partitionBy("bucket").parquet(cache)
+    assert "np" not in spark.read.parquet(cache).columns
+
+    nxt = _mk_points(spark, [("L:1", 2.0, 6.0), ("L:2", 1.0, 3.0)]).select(
+        "pvname", "value", "time"
+    )
+    upsert_latest(nxt, cache, buckets=4)
+    got = {r.pvname: (r.time, r.np) for r in read_cache(spark, cache).collect()}
+    assert got == {"L:1": (2.0, 1), "L:2": (1.0, 1)}
+
+
+def test_read_cache_stats_refuses_pre_np_cache(spark, tmp_path):
+    from epicsarchiver_spark.streaming.ingest import read_cache_stats
+
+    cache = str(tmp_path / "cache_noNp")
+    _mk_points(spark, [("X", 1.0, 1.0)]).select("pvname", "value", "time").withColumn(
+        "bucket", F.lit(0)
+    ).write.partitionBy("bucket").parquet(cache)
+    with pytest.raises(ValueError, match="predates"):
+        read_cache_stats(spark, cache)
+
+
+def _fmt_plan(df) -> str:
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_stats_fed_refresh_drops_the_staleness_scan_and_matches_rebuild(
+    spark, tmp_path
+):
+    """The production stats= lane end-to-end (VERDICT r12 task 3):
+    ingest feeds both the points store and the latest-value cache; an
+    append makes ONE series stale; a refresh with
+    stats=read_cache_stats(...) (a) equals the full rebuild
+    row-for-row, and (b) touches the raw points store with ONE fewer
+    scan than the no-stats refresh — the per-series max/count
+    staleness aggregate is answered from the cache (scan counting on
+    the formatted plan, the repo's plan-pin idiom)."""
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+    from epicsarchiver_spark.sources.points_store import read_points, write_points
+    from epicsarchiver_spark.streaming.ingest import (
+        read_cache_stats,
+        upsert_latest,
+    )
+
+    storep = str(tmp_path / "ptsr13e2e")
+    cache = str(tmp_path / "cacher13e2e")
+    t0, t1, step = 0.0, 110.0, 10.0
+    base = []
+    for i in range(6):
+        base += [(f"S:{i}", j * 10.0, float((i + j) % 5)) for j in range(12)]
+    b1 = _mk_points(spark, base)
+    write_points(b1, storep, run="run_001", n_buckets=4)
+    upsert_latest(b1.select("pvname", "value", "time"), cache, buckets=4)
+
+    art = sax_words_build(read_points(spark, storep), t0, t1, step)
+
+    # append: S:0 gets two new in-horizon points (stale); others move not
+    app = _mk_points(spark, [("S:0", 45.0, 99.0), ("S:0", 105.0, 98.0)])
+    write_points(app, storep, run="run_002", n_buckets=4)
+    upsert_latest(app.select("pvname", "value", "time"), cache, buckets=4)
+
+    pts = read_points(spark, storep)
+    stats = read_cache_stats(spark, cache)
+    refreshed = sax_words_refresh(pts, art, t0, t1, step, stats=stats)
+    rebuilt = sax_words_build(pts, t0, t1, step)
+    assert sorted(map(tuple, refreshed.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    cold = sax_words_refresh(pts, art, t0, t1, step)
+    frag = "ptsr13e2e"
+
+    def _n_scans(df) -> int:
+        # one Location line per parquet scan in the formatted plan
+        return sum(
+            1
+            for line in _fmt_plan(df).splitlines()
+            if frag in line and "Location" in line
+        )
+
+    # the stale-key subtree fans into BOTH the leftsemi (reword) and the
+    # left_anti (keep) sides, so removing the staleness aggregate drops
+    # SEVERAL point-store scans from the plan, and the detection reads
+    # the cache instead — assert direction + source, not a brittle count
+    n_cold, n_stats = _n_scans(cold), _n_scans(refreshed)
+    assert n_stats < n_cold, (n_cold, n_stats)
+    assert any(
+        "cacher13e2e" in line and "Location" in line
+        for line in _fmt_plan(refreshed).splitlines()
+    )
+
+
+def test_stats_detector_missing_series_contract_documented(spark, tmp_path):
+    """r12 ADVICE (low): stats MUST cover every series in points — a
+    series absent from stats (and from the artifact) silently drops.
+    This test pins the documented behavior so the contract is explicit
+    rather than folklore; the ingest cache satisfies coverage by
+    construction."""
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_words_build,
+        sax_words_refresh,
+    )
+
+    t0, t1, step = 0.0, 110.0, 10.0
+    pts = _mk_points(
+        spark,
+        [("C:a", j * 10.0, float(j % 3)) for j in range(12)]
+        + [("C:b", j * 10.0, float(j % 4)) for j in range(12)],
+    )
+    art = sax_words_build(pts.filter(F.col("pvname") == "C:a"), t0, t1, step)
+    # stats frame knows only C:a -> C:b (in points, not in stats, not in
+    # artifact) drops from the refreshed output
+    stats = spark.createDataFrame(
+        pd.DataFrame([("C:a", 110.0, 12)], columns=["pvname", "wm", "np"])
+    )
+    got = sax_words_refresh(pts, art, t0, t1, step, stats=stats)
+    assert {r.pvname for r in got.collect()} == {"C:a"}
+    # complete stats -> both series present
+    stats_full = spark.createDataFrame(
+        pd.DataFrame(
+            [("C:a", 110.0, 12), ("C:b", 110.0, 12)],
+            columns=["pvname", "wm", "np"],
+        )
+    )
+    got_full = sax_words_refresh(pts, art, t0, t1, step, stats=stats_full)
+    assert {r.pvname for r in got_full.collect()} == {"C:a", "C:b"}
