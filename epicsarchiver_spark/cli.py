@@ -703,16 +703,104 @@ def cmd_discords(args) -> int:
 
 def cmd_rollup(args) -> int:
     """Materialize or refresh the daily-rollup artifact from the points
-    store — the long-horizon plot lane (``sources.points_store
-    .write_rollup``): year-scale dashboards read bytes per series-day
-    from the artifact instead of scanning raw points."""
-    from epicsarchiver_spark.sources.points_store import read_rollup, write_rollup
+    store — the long-horizon plot lane (``sources.points_store``):
+    year-scale dashboards read bytes per series-day from the artifact
+    instead of scanning raw points (SCALE r12d measured the artifact
+    flat where the cold scan grows; VERDICT r12 task 5 gives it this
+    operational face).
+
+    The artifact is PER-RUN partials (``run=<name>`` partition dirs of
+    (key, day, n, sum_q, min_q, max_q) rows; ``read_rollup``'s
+    merge-on-read folds the split back out), which makes maintenance
+    structural: a full build swaps the whole dir through the
+    tmp→bak→live two-rename (crash recovery = restore bak, same as
+    ``index_words``); ``--refresh`` folds ONLY runs the artifact has
+    not seen — plus re-folds the newest already-folded run, the only
+    one an append-to-latest archiver can have grown since — each as
+    its own per-run-dir swap, so refresh cost is O(new runs), never
+    O(store). A ``_params.json`` sidecar pins the quantum; a
+    mismatched --quantum on refresh is refused (mixed quantizations
+    in one artifact would silently corrupt the sums)."""
+    from epicsarchiver_spark.sources.points_store import (
+        list_runs,
+        read_rollup,
+        rollup_partials,
+    )
 
     spark = _spark("rollup")
     pts = _points(spark, args)
-    write_rollup(pts, args.out)
-    n = read_rollup(spark, args.out).count()
-    print(f"rollup artifact at {args.out}: {n} (series, day) rows")
+    from pyspark.sql import functions as F
+
+    out = args.out.rstrip("/")
+    tmp, bak = f"{out}.tmp", f"{out}.bak"
+    jvm = spark._jvm
+    P = jvm.org.apache.hadoop.fs.Path
+    fs = P(out).getFileSystem(spark._jsc.hadoopConfiguration())
+    if fs.exists(P(bak)):
+        if not fs.exists(P(out)):
+            fs.rename(P(bak), P(out))  # whole-dir crash recovery
+        else:  # per-run crash recovery: restore parked run dirs
+            for st in fs.listStatus(P(bak)):
+                name = st.getPath().getName()
+                if name.startswith("run=") and not fs.exists(P(f"{out}/{name}")):
+                    fs.rename(st.getPath(), P(f"{out}/{name}"))
+            fs.delete(P(bak), True)
+    quantum = args.quantum
+    store_runs = list_runs(spark, args.store)
+    refresh = args.refresh and fs.exists(P(out))
+    if refresh:
+        side = _read_sidecar(fs, jvm, P, f"{out}/_params.json")
+        if side is not None and side.get("quantum") != quantum:
+            print(
+                f"--quantum {quantum} contradicts the artifact's"
+                f" {side.get('quantum')}; rebuild (omit --refresh) to"
+                " change quantization",
+                file=sys.stderr,
+            )
+            return 1
+        folded = sorted(
+            st.getPath().getName()[len("run="):]
+            for st in fs.listStatus(P(out))
+            if st.isDirectory() and st.getPath().getName().startswith("run=")
+        )
+        new_runs = [r for r in store_runs if r not in folded]
+        # the newest folded run is the only one append-to-latest can
+        # have grown since it was folded — re-fold it
+        refold = ([folded[-1]] if folded and folded[-1] in store_runs else [])
+        todo = sorted(set(new_runs) | set(refold))
+        if not todo:
+            print(f"rollup artifact at {out}: up to date ({len(folded)} runs)")
+            return 0
+        parts = rollup_partials(
+            pts.filter(F.col("run").isin(todo)), quantum=quantum,
+            run_col="run",
+        )
+        fs.delete(P(tmp), True)
+        parts.repartition("run").write.partitionBy("run").parquet(tmp)
+        fs.mkdirs(P(bak))
+        for r in todo:
+            part = f"run={r}"
+            if not fs.exists(P(f"{tmp}/{part}")):
+                continue  # an empty run folds to nothing: keep as-is
+            if fs.exists(P(f"{out}/{part}")):
+                fs.rename(P(f"{out}/{part}"), P(f"{bak}/{part}"))
+            fs.rename(P(f"{tmp}/{part}"), P(f"{out}/{part}"))
+        fs.delete(P(bak), True)
+        fs.delete(P(tmp), True)
+        lane = f"refreshed {len(todo)} run(s)"
+    else:
+        parts = rollup_partials(pts, quantum=quantum, run_col="run")
+        fs.delete(P(tmp), True)
+        fs.delete(P(bak), True)
+        parts.repartition("run").write.partitionBy("run").parquet(tmp)
+        _write_sidecar(fs, P, f"{tmp}/_params.json", {"quantum": quantum})
+        if fs.exists(P(out)):
+            fs.rename(P(out), P(bak))
+        fs.rename(P(tmp), P(out))
+        fs.delete(P(bak), True)
+        lane = f"full build ({len(store_runs)} runs)"
+    n = read_rollup(spark, out, quantum=quantum).count()
+    print(f"rollup artifact at {out}: {n} (series, day) rows ({lane})")
     return 0
 
 
@@ -2000,6 +2088,12 @@ def build_parser() -> argparse.ArgumentParser:
         "rollup", help="materialize the daily-rollup artifact (plot lane)"
     )
     s.add_argument("--out", required=True, help="rollup artifact path")
+    s.add_argument("--refresh", action="store_true",
+                   help="fold only runs the artifact has not seen "
+                        "(plus the newest folded run) — O(new runs)")
+    s.add_argument("--quantum", type=float, default=0.01,
+                   help="value quantization (pinned by the artifact; "
+                        "a refresh refuses a mismatch)")
     s.set_defaults(fn=cmd_rollup)
 
     s = sub.add_parser(

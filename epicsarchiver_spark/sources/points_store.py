@@ -323,7 +323,10 @@ def _day_col():
 
 
 def rollup_partials(
-    points: DataFrame, key: str = "pvname", quantum: float = 0.01
+    points: DataFrame,
+    key: str = "pvname",
+    quantum: float = 0.01,
+    run_col: str | None = None,
 ) -> DataFrame:
     """Per-(key, day) MERGEABLE daily-rollup partials — ``(key, day, n,
     sum_q, min_q, max_q)`` with the value moments as exact integer
@@ -331,14 +334,29 @@ def rollup_partials(
     run split re-aggregates (sum n, sum sum_q, min min_q, max max_q)
     to exactly the one-shot answer — the property that makes the
     artifact MAINTAINABLE: each new run appends its own partials and
-    :func:`merge_rollup` folds them in without touching old points."""
+    :func:`merge_rollup` folds them in without touching old points.
+
+    ``run_col`` keeps the partials SPLIT by that column (appended
+    after the moments, partition-spec position) — the per-run artifact
+    layout ``pvarch rollup`` maintains, where refreshing a run is a
+    directory swap and :func:`read_rollup`'s merge-on-read folds the
+    run split back out."""
     q = F.round(F.col("value") / quantum).cast("long")
-    return points.groupBy(F.col(key), _day_col()).agg(
+    keys = [F.col(key), _day_col()] + (
+        [F.col(run_col)] if run_col is not None else []
+    )
+    agg = points.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(q).alias("sum_q"),
         F.min(q).alias("min_q"),
         F.max(q).alias("max_q"),
     )
+    if run_col is not None:
+        # data cols first, partition col last — the on-disk shape
+        return agg.select(
+            key, "day", "n", "sum_q", "min_q", "max_q", run_col
+        )
+    return agg
 
 
 def merge_rollup(partials: DataFrame) -> DataFrame:

@@ -1479,3 +1479,72 @@ def test_index_words_refresh_from_cache_stats(spark, tmp_path, capsys):
         tuple(r) for r in spark.read.parquet(out2 + "/words").collect()
     }
     assert refreshed == rebuilt
+
+
+def test_rollup_cli_refresh_folds_only_new_runs(spark, tmp_path, capsys):
+    """VERDICT r12 task 5: `pvarch rollup --refresh` after appending a
+    run — the artifact must equal a cold-scan rollup of the whole
+    store, and the refresh must fold only the new run (plus re-fold
+    the newest already-folded run, the append-to-latest guard)."""
+    from epicsarchiver_spark.sources.points_store import (
+        merge_rollup,
+        read_rollup,
+        rollup_partials,
+    )
+
+    storep = str(tmp_path / "rollup_store")
+    day = 86400.0
+    r1 = [("RU:a", i * 3600.0, float(i)) for i in range(48)]  # days 0-1
+    r1 += [("RU:b", i * 3600.0, float(i % 5)) for i in range(48)]
+    write_points(
+        spark.createDataFrame(pd.DataFrame(r1, columns=["pvname", "time", "value"])),
+        storep, run="run_001", n_buckets=4,
+    )
+    out = str(tmp_path / "rollup_art")
+    assert cli.main(["--store", storep, "rollup", "--out", out]) == 0
+    assert "full build (1 runs)" in capsys.readouterr().out
+
+    # refresh with nothing new: re-folds only the newest run, stays equal
+    assert cli.main(["--store", storep, "rollup", "--out", out, "--refresh"]) == 0
+    assert "refreshed 1 run(s)" in capsys.readouterr().out
+
+    # append run_002: new days + a backfill day for RU:a
+    r2 = [("RU:a", 2 * day + i * 3600.0, 100.0 + i) for i in range(24)]
+    r2 += [("RU:a", 1800.0, 7.0)]  # backfill into day 0
+    write_points(
+        spark.createDataFrame(pd.DataFrame(r2, columns=["pvname", "time", "value"])),
+        storep, run="run_002", n_buckets=4,
+    )
+    assert cli.main(["--store", storep, "rollup", "--out", out, "--refresh"]) == 0
+    assert "refreshed 2 run(s)" in capsys.readouterr().out
+
+    got = sorted(map(tuple, read_rollup(spark, out).collect()))
+    want = sorted(
+        map(
+            tuple,
+            merge_rollup(
+                rollup_partials(read_points(spark, storep))
+            ).selectExpr(
+                "pvname", "day", "n",
+                "round(cast(sum_q as double) * 0.01, 2) as sum_value",
+                "round(cast(min_q as double) * 0.01, 2) as min_value",
+                "round(cast(max_q as double) * 0.01, 2) as max_value",
+            ).collect(),
+        )
+    )
+    assert got == want
+    # day-0 backfill folded: RU:a day 0 count = 24 (run_001) + 1 (backfill)
+    by = {(r[0], r[1]): r[2] for r in got}
+    assert by[("RU:a", "1970-01-01")] == 25
+
+    # a second refresh with nothing new re-folds just the newest run
+    assert cli.main(["--store", storep, "rollup", "--out", out, "--refresh"]) == 0
+    assert "refreshed 1 run(s)" in capsys.readouterr().out
+    assert sorted(map(tuple, read_rollup(spark, out).collect())) == want
+
+    # quantum is pinned by the sidecar
+    assert (
+        cli.main(["--store", storep, "rollup", "--out", out, "--refresh",
+                  "--quantum", "0.1"]) == 1
+    )
+    assert "contradicts the artifact's 0.01" in capsys.readouterr().err
