@@ -252,6 +252,13 @@ HEADLINE = [
     "ts_sax_topk_auto",
     "ts_sax_health",
     "ts_sax_words_incremental",
+    # r13 additions: the honest refresh split (artifact built once per
+    # corpus, refresh timed alone), the warm-started CUSUM lane, and
+    # the adaptive iSAX sizing branches
+    "ts_sax_words_refresh_only",
+    "ts_cusum_warm",
+    "ts_sax_topk_auto_adaptive",
+    "ts_sax_topk_auto_fence",
 ]
 
 

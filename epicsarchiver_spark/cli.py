@@ -763,6 +763,18 @@ def cmd_rollup(args) -> int:
             for st in fs.listStatus(P(out))
             if st.isDirectory() and st.getPath().getName().startswith("run=")
         )
+        if not folded and any(
+            st.getPath().getName().endswith(".parquet")
+            for st in fs.listStatus(P(out))
+        ):
+            # a pre-r13 flat write_rollup artifact: folding run dirs
+            # BESIDE the flat files would double-count on merge-on-read
+            print(
+                f"{out} is a flat (pre-per-run) rollup artifact; rebuild"
+                " (omit --refresh) to adopt the refreshable layout",
+                file=sys.stderr,
+            )
+            return 1
         new_runs = [r for r in store_runs if r not in folded]
         # the newest folded run is the only one append-to-latest can
         # have grown since it was folded — re-fold it

@@ -170,12 +170,13 @@ def pagerank(
         "r", F.lit(int(scale)).cast("long")
     )
     if broadcast_ranks is None:
-        # one bounded aggregate over the materialized edge list (the
-        # count also warms the first round's distinct) — NOT a corpus
-        # scan: g is the checkpointed weighted edge frame
-        broadcast_ranks = _pagerank_use_broadcast(
-            ranks.select("id").count()
-        )
+        # materialize the initial rank frame ONCE, then the lane pick's
+        # node count is a near-free aggregate over it and round 1
+        # reuses the same 16-byte-per-node RDD instead of recomputing
+        # the edge-list distinct (measured: the naive count paid the
+        # distinct twice, ~1.5 s at 10⁶ edges)
+        ranks = _truncate_lineage(ranks)
+        broadcast_ranks = _pagerank_use_broadcast(ranks.count())
     for _ in range(int(rounds)):
         rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (

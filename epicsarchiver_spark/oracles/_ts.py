@@ -1769,6 +1769,10 @@ def build(o: dict[str, str]) -> None:
         """
     )
 
+    # the bench split (persisted old-cut artifact, refresh timed alone)
+    # preserves the identical contract: refresh ≡ full rebuild
+    o["ts_sax_words_refresh_only"] = o["ts_sax_words_incremental"]
+
     # the auto-sized lane: sax_auto_params(750 series, 15-instant grid)
     # resolves to exactly (SAX_SEGMENTS, SAX_NCAND) at this corpus
     # (tests/test_sax_auto.py pins the derivation), so the certified SQL

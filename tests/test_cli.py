@@ -1548,3 +1548,27 @@ def test_rollup_cli_refresh_folds_only_new_runs(spark, tmp_path, capsys):
                   "--quantum", "0.1"]) == 1
     )
     assert "contradicts the artifact's 0.01" in capsys.readouterr().err
+
+
+def test_rollup_refresh_refuses_legacy_flat_artifact(spark, tmp_path, capsys):
+    """A pre-per-run (flat write_rollup) artifact must not be
+    refreshed in place — run dirs beside flat files would double-count
+    on merge-on-read. Refusal with a rebuild hint instead."""
+    from epicsarchiver_spark.sources.points_store import write_rollup
+
+    storep = str(tmp_path / "legacy_store")
+    write_points(
+        spark.createDataFrame(
+            pd.DataFrame(
+                [("LG:a", float(t), 1.0) for t in range(0, 300, 30)],
+                columns=["pvname", "time", "value"],
+            )
+        ),
+        storep, run="run_001", n_buckets=2,
+    )
+    out = str(tmp_path / "legacy_rollup")
+    write_rollup(read_points(spark, storep), out)  # the r12 flat layout
+    assert (
+        cli.main(["--store", storep, "rollup", "--out", out, "--refresh"]) == 1
+    )
+    assert "flat (pre-per-run) rollup artifact" in capsys.readouterr().err
