@@ -826,7 +826,36 @@ def cmd_similar(args) -> int:
 
     spark = _spark("similar")
     pts = _points(spark, args)
-    idx = spark.read.parquet(args.index) if args.index else None
+    idx = None
+    if args.index:
+        idx = spark.read.parquet(args.index)
+        # the index's _params.json sidecar (written by index_words
+        # builds) pins the window the words were built on; querying a
+        # different window still RUNS (the query word comes from the
+        # index, the re-rank from the query window) but compares
+        # apples to oranges — warn loudly instead of silently
+        jvm = spark._jvm
+        P = jvm.org.apache.hadoop.fs.Path
+        fs = P(args.index).getFileSystem(spark._jsc.hadoopConfiguration())
+        side = _read_sidecar(fs, jvm, P, f"{args.index.rstrip('/')}/_params.json")
+        if side is not None:
+            drift = {
+                k: (getattr(args, k), side[k])
+                for k in ("t0", "t1", "step")
+                if side.get(k) != getattr(args, k)
+            }
+            if drift:
+                desc = ", ".join(
+                    f"{k} {got} != index {want}"
+                    for k, (got, want) in sorted(drift.items())
+                )
+                print(
+                    f"warning: query window differs from the index's"
+                    f" build window ({desc}) — nominations use the"
+                    " index's words, the correlation re-rank uses YOUR"
+                    " window",
+                    file=sys.stderr,
+                )
     rows = sax_topk(
         pts, args.pvname, args.t0, args.t1, args.step, k=args.k, index=idx
     ).collect()

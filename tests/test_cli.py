@@ -1572,3 +1572,30 @@ def test_rollup_refresh_refuses_legacy_flat_artifact(spark, tmp_path, capsys):
         cli.main(["--store", storep, "rollup", "--out", out, "--refresh"]) == 1
     )
     assert "flat (pre-per-run) rollup artifact" in capsys.readouterr().err
+
+
+def test_similar_cli_warns_on_window_drift_vs_index_sidecar(
+    spark, store, tmp_path, capsys
+):
+    """`pvarch similar --index` against an index_words artifact: a
+    query window differing from the sidecar's build window gets a loud
+    warning (nominations ride the index words, the re-rank rides the
+    query window), while the matching window stays quiet."""
+    out = str(tmp_path / "wordidx_sim")
+    assert (
+        cli.main(["--store", store, "index_words", "0", "2970", "30",
+                  "--out", out]) == 0
+    )
+    capsys.readouterr()
+    idx = out + "/words"
+    assert (
+        cli.main(["--store", store, "similar", "CLI:a.VAL",
+                  "0", "2970", "30", "--index", idx]) == 0
+    )
+    assert "warning" not in capsys.readouterr().err
+    assert (
+        cli.main(["--store", store, "similar", "CLI:a.VAL",
+                  "0", "1500", "30", "--index", idx]) == 0
+    )
+    err = capsys.readouterr().err
+    assert "differs from the index's build window" in err and "t1" in err

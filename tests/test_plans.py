@@ -840,3 +840,18 @@ def test_cusum_single_scan_single_exchange(spark):
     assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_cusum_warm_broadcasts_targets_single_points_exchange(spark):
+    """The warm-start lane (ts_cusum_warm) must add exactly ONE
+    broadcast hash join — the bytes-per-series target frame from
+    cusum_targets — on top of the target-lane window pipeline: the
+    live-half points scan feeds one series-keyed Exchange for the
+    window stage, the backfill-half aggregate reduces map-side before
+    its own exchange, and the join must never sort-merge (a shuffled
+    join on the series key would double the exchanges for a frame
+    joins exist to broadcast)."""
+    plan = _plan(spark, "ts_cusum_warm")
+    assert len(re.findall(r"\(\d+\) BroadcastHashJoin", plan)) == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
