@@ -158,6 +158,7 @@ def entry(spark: SparkSession) -> DataFrame:
 # (never-certified keys first, then oldest green driver row first).
 _R13_FRONT: list[str] = [
     "ts_cusum_warm",
+    "ts_discords_confirmed",
     "ts_sax_topk_auto_adaptive",
     "ts_sax_topk_auto_fence",
     "ts_sax_words_refresh_only",
@@ -206,7 +207,6 @@ _R13_FRONT: list[str] = [
     "doc_splits_indexed",
     "doc_survivors_indexed",
     "emb_corpus_drift",
-    "emb_dispersion",
 ]
 
 # per-(corpus dir, name) cache of written parquet artifacts — the
@@ -1595,6 +1595,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ts_cusum_warm"] = _ts_cusum_warm
     # HOT-SAX discords: rarest per-series SAX word over sliding windows
     q["ts_discords"] = lambda s, d: timeseries.sax_discords(
+        _points(s, d),
+        window=DISCORD_WINDOW,
+        n_segments=SAX_SEGMENTS,
+        alphabet=SAX_ALPHABET,
+        k=DISCORD_K,
+    )
+    # the exact-distance CONFIRM stage HOT-SAX's heuristic orders (the
+    # sax_discords docstring's promised bounded re-read, now real): k
+    # rarest windows per series re-ranked by exact BIGINT squared
+    # distance to their nearest non-overlapping window — the rarity
+    # heuristic nominates, the exact metric decides
+    q["ts_discords_confirmed"] = lambda s, d: timeseries.sax_discords_confirmed(
         _points(s, d),
         window=DISCORD_WINDOW,
         n_segments=SAX_SEGMENTS,

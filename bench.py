@@ -259,6 +259,7 @@ HEADLINE = [
     "ts_cusum_warm",
     "ts_sax_topk_auto_adaptive",
     "ts_sax_topk_auto_fence",
+    "ts_discords_confirmed",
 ]
 
 

@@ -1701,6 +1701,153 @@ def cusum_targets(
     )
 
 
+def sax_discords_confirmed(
+    points: DataFrame,
+    window: int = 16,
+    k: int = 3,
+    n_segments: int = 4,
+    alphabet: int = 4,
+    quantum: float = 0.01,
+    key: str = "pvname",
+) -> DataFrame:
+    """The exact-distance CONFIRM stage :func:`sax_discords`' docstring
+    promises — classic HOT-SAX uses the rare-word heuristic to ORDER a
+    search whose final metric is nearest-neighbor distance; this runs
+    that bounded final stage: for each of the k rarest-word windows
+    per series, the exact squared distance (integer ``quantum`` units,
+    BIGINT — engine-identical; the z-normalized variant would put a
+    per-window sqrt in the metric) to its nearest NON-OVERLAPPING
+    window in the same series (row offset ≥ ``window`` — trivial
+    self-matches excluded, the HOT-SAX exclusion zone). A TRUE discord
+    has a FAR nearest neighbor, so ``confirmed_rank`` re-orders the
+    candidates by ``nn_dist2_q`` DESC — the rarity heuristic nominates,
+    the exact metric decides. Candidates whose series is too short for
+    any non-overlapping neighbor (< 2·window full windows) drop: there
+    is nothing to confirm against.
+
+    Output ``(key, time, word, word_count, rank, nn_dist2_q, nn_time,
+    confirmed_rank)`` — ``rank`` is the rarity rank, ``nn_time`` the
+    neighbor window's start (ties on distance break to the earliest
+    neighbor), all exact.
+
+    Overflow budget: nn_dist2_q ≤ window·(2·max|q|)² — safe to
+    |value| ≈ 3·10⁶ at quantum 0.01, window 16.
+
+    Scale shape: ONE scan builds windows+words (the sax_window_words
+    expressions inline over the same collect_list frame, so arrays and
+    words share a pass), the k·series candidate frame BROADCASTS back
+    against the window frame (per series the pair space is k·n_windows
+    rows × window-length array ops — linear in the series, never n²),
+    and the confirm is one (key, candidate)-keyed partial aggregate."""
+    if window % n_segments:
+        raise ValueError("window must be divisible by n_segments")
+    if alphabet not in _SAX_BREAKPOINTS:
+        raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
+    bps = _SAX_BREAKPOINTS[alphabet]
+    letters = "abcdefgh"[:alphabet]
+    ss = window // n_segments
+    order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
+    wo = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    wf = wo.rowsBetween(0, window - 1)
+    q = F.round(F.col("value") / quantum).cast("long")
+    framed = (
+        points.filter(F.col("value").isNotNull())
+        .select(
+            F.col(key),
+            F.col("time"),
+            F.row_number().over(wo).alias("_i"),
+            F.collect_list(q).over(wf).alias("_arr"),
+        )
+        .filter(F.size("_arr") == window)
+    )
+
+    def isum(arr):
+        return F.aggregate(arr, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+    sw = isum(F.col("_arr"))
+    sww = F.aggregate(
+        F.col("_arr"), F.lit(0).cast("long"), lambda acc, x: acc + x * x
+    )
+    mu = sw.cast("double") / F.lit(float(window))
+    sig = F.sqrt(
+        F.greatest(sww.cast("double") / F.lit(float(window)) - mu * mu, F.lit(0.0))
+    )
+
+    def paa_r6(x):
+        return F.floor(F.abs(x) * F.lit(1e6) + F.lit(0.5)) * F.signum(x) / F.lit(1e6)
+
+    def letter(paa):
+        sym = F.lit(letters[0])
+        for i, bp in enumerate(bps):
+            sym = F.when(paa < F.lit(bp), sym).otherwise(F.lit(letters[i + 1]))
+        return sym
+
+    segs = [
+        letter(
+            paa_r6(
+                F.when(
+                    sig > 0,
+                    (
+                        isum(F.slice(F.col("_arr"), j * ss + 1, ss)).cast("double")
+                        / F.lit(float(ss))
+                        - mu
+                    )
+                    / sig,
+                ).otherwise(F.lit(0.0))
+            )
+        )
+        for j in range(n_segments)
+    ]
+    worded = framed.withColumn("word", F.concat(*segs))
+    cw = Window.partitionBy(key, "word")
+    rk = Window.partitionBy(key).orderBy(
+        F.col("word_count").asc(), F.col("time").asc(), F.col("word").asc()
+    )
+    cand = (
+        worded.withColumn("word_count", F.count(F.lit(1)).over(cw).cast("long"))
+        .withColumn("rank", F.row_number().over(rk).cast("long"))
+        .filter(F.col("rank") <= int(k))
+        .select(
+            F.col(key),
+            F.col("time").alias("_ct"),
+            F.col("word"),
+            F.col("word_count"),
+            F.col("rank"),
+            F.col("_i").alias("_ci"),
+            F.col("_arr").alias("_carr"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with("_arr", "_carr", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    pairs = framed.join(F.broadcast(cand), key).filter(
+        F.abs(F.col("_i") - F.col("_ci")) >= window
+    )
+    conf = (
+        pairs.withColumn("_d2", d2)
+        .groupBy(key, "_ct", "word", "word_count", "rank")
+        .agg(
+            F.min("_d2").alias("nn_dist2_q"),
+            F.min_by("time", F.struct("_d2", "time")).alias("nn_time"),
+        )
+    )
+    crk = Window.partitionBy(key).orderBy(
+        F.col("nn_dist2_q").desc(), F.col("_ct").asc()
+    )
+    return conf.select(
+        F.col(key),
+        F.col("_ct").alias("time"),
+        "word",
+        "word_count",
+        "rank",
+        "nn_dist2_q",
+        "nn_time",
+        F.row_number().over(crk).cast("long").alias("confirmed_rank"),
+    )
+
+
 def cusum_changepoints(
     points: DataFrame,
     k: float = 0.5,

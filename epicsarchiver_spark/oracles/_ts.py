@@ -2121,3 +2121,68 @@ def build(o: dict[str, str]) -> None:
         FROM drk WHERE rank <= {DISCORD_K}
         """
     )
+
+    # the exact-distance confirm of the k rarest windows: nearest
+    # NON-OVERLAPPING window (row offset >= window) by exact integer
+    # squared distance; earliest neighbor on distance ties; candidates
+    # re-ranked by nn distance DESC (far neighbor = true discord)
+    o["ts_discords_confirmed"] = (
+        P
+        + f""",
+        fr AS (
+          SELECT pvname, time,
+                 row_number() OVER (PARTITION BY pvname
+                                    ORDER BY time, event_id) AS i,
+                 list(CAST(round(value / 0.01) AS BIGINT))
+                   OVER (PARTITION BY pvname ORDER BY time, event_id
+                         ROWS BETWEEN CURRENT ROW AND {_dw - 1} FOLLOWING) AS arr
+          FROM points WHERE value IS NOT NULL
+        ),
+        fw AS (SELECT * FROM fr WHERE len(arr) = {_dw}),
+        mom AS (
+          SELECT pvname, time, i, arr, {_d_sum} / {float(_dw)} AS mu,
+                 sqrt(greatest(
+                   CAST(list_aggregate(list_transform(arr, x -> x * x), 'sum')
+                        AS DOUBLE) / {float(_dw)}
+                   - ({_d_sum} / {float(_dw)}) * ({_d_sum} / {float(_dw)}),
+                   0.0)) AS sig
+          FROM fw
+        ),
+        worded AS (SELECT pvname, time, i, arr, {_d_word} AS word FROM mom),
+        dcounts AS (SELECT pvname, word, CAST(count(*) AS BIGINT) AS word_count
+                    FROM worded GROUP BY 1, 2),
+        drk AS (
+          SELECT dw.pvname, dw.time, dw.word, dc.word_count, dw.i, dw.arr,
+                 row_number() OVER (PARTITION BY dw.pvname
+                                    ORDER BY dc.word_count ASC, dw.time ASC,
+                                             dw.word ASC) AS rank
+          FROM worded dw JOIN dcounts dc USING (pvname, word)
+        ),
+        cand AS (SELECT pvname, time AS ct, word, word_count, rank,
+                        i AS ci, arr AS carr
+                 FROM drk WHERE rank <= {DISCORD_K}),
+        pr AS (
+          SELECT f.pvname, c.ct, c.word, c.word_count, c.rank, f.time,
+                 CAST(list_aggregate(
+                   list_transform(generate_series(1, {_dw}),
+                                  j -> (f.arr[j] - c.carr[j])
+                                       * (f.arr[j] - c.carr[j])),
+                   'sum') AS BIGINT) AS d2
+          FROM fw f JOIN cand c USING (pvname)
+          WHERE abs(f.i - c.ci) >= {_dw}
+        ),
+        cf AS (SELECT pvname, ct, word, word_count, rank,
+                      CAST(min(d2) AS BIGINT) AS nn_dist2_q
+               FROM pr GROUP BY 1, 2, 3, 4, 5),
+        nt AS (SELECT pr.pvname, pr.ct, min(pr.time) AS nn_time
+               FROM pr JOIN cf ON pr.pvname = cf.pvname AND pr.ct = cf.ct
+                              AND pr.d2 = cf.nn_dist2_q
+               GROUP BY 1, 2)
+        SELECT cf.pvname, cf.ct AS time, cf.word, cf.word_count,
+               CAST(cf.rank AS BIGINT) AS rank, cf.nn_dist2_q, nt.nn_time,
+               CAST(row_number() OVER (PARTITION BY cf.pvname
+                                       ORDER BY cf.nn_dist2_q DESC, cf.ct ASC)
+                    AS BIGINT) AS confirmed_rank
+        FROM cf JOIN nt ON cf.pvname = nt.pvname AND cf.ct = nt.ct
+        """
+    )

@@ -15,8 +15,9 @@ from pyspark.sql import functions as F
 def test_pagerank_lane_decision_boundary():
     """The broadcast-vs-shuffle pick is pure arithmetic on the node
     count — pinned HERE so a threshold edit is a conscious act. The
-    crossover constant sits between the measured decades of SCALE r12c
-    (broadcast ~10× faster at ≤1e5 nodes, shuffle 1.4× faster at 1e6)."""
+    constant sits between the probed decades (SCALE r13a: the lanes
+    are within box noise at 1e5-1e6; past the threshold the shuffle
+    lane is the wall-free one, so the switch errs toward it)."""
     from epicsarchiver_spark.operators.related import (
         PAGERANK_BROADCAST_MAX_NODES,
         _pagerank_use_broadcast,
@@ -478,3 +479,46 @@ def test_stats_detector_missing_series_contract_documented(spark, tmp_path):
     )
     got_full = sax_words_refresh(pts, art, t0, t1, step, stats=stats_full)
     assert {r.pvname for r in got_full.collect()} == {"C:a", "C:b"}
+
+
+# ------------------------------------------------ confirmed discords
+
+
+def test_discords_confirmed_planted_anomaly_wins(spark):
+    """A planted spike window must come out confirmed_rank 1: its
+    nearest non-overlapping neighbor is far (the series is otherwise a
+    clean period-8 sawtooth, so every normal window has an exact twin
+    at distance 0)."""
+    from epicsarchiver_spark.operators.timeseries import sax_discords_confirmed
+
+    rows = []
+    for j in range(64):
+        v = float(j % 8)
+        if j == 29:
+            v = 40.0  # the discord
+        rows.append(("D:x", float(j), v))
+    got = sax_discords_confirmed(
+        _mk_points(spark, rows), window=8, k=3, n_segments=4
+    ).collect()
+    assert got, "candidates must confirm"
+    best = [r for r in got if r.confirmed_rank == 1][0]
+    # the anomalous value sits inside the rank-1 window
+    assert best.time <= 29.0 <= best.time + 7
+    assert best.nn_dist2_q > 0
+    # normal windows (if nominated) have an exact twin: distance 0
+    others = [r for r in got if r.confirmed_rank > 1 and (
+        r.time + 7 < 29.0 or r.time > 29.0)]
+    assert all(r.nn_dist2_q == 0 for r in others)
+
+
+def test_discords_confirmed_short_series_drop(spark):
+    """A series with fewer than 2*window full windows has no
+    non-overlapping neighbor — its candidates drop instead of
+    confirming against themselves."""
+    from epicsarchiver_spark.operators.timeseries import sax_discords_confirmed
+
+    rows = [("D:short", float(j), float(j % 3)) for j in range(12)]
+    got = sax_discords_confirmed(
+        _mk_points(spark, rows), window=8, k=3, n_segments=4
+    ).collect()
+    assert got == []
