@@ -673,15 +673,40 @@ def cmd_discords(args) -> int:
     ``timeseries.sax_discords`` (HOT-SAX rarest-word windows): list
     each series' top-k most anomalous subsequences from the points
     store, optionally only those whose word occurred once (the
-    never-seen-shape screen a dashboard would page on)."""
+    never-seen-shape screen a dashboard would page on). ``--confirm``
+    runs the exact-distance stage (``sax_discords_confirmed``) and
+    orders by the TRUE discord score — nearest non-overlapping
+    neighbor distance, farthest first — instead of word rarity."""
     from pyspark.sql import functions as F
 
-    from epicsarchiver_spark.operators.timeseries import sax_discords
+    from epicsarchiver_spark.operators.timeseries import (
+        sax_discords,
+        sax_discords_confirmed,
+    )
 
     spark = _spark("discords")
     pts = _points(spark, args)
     if args.pv:
         pts = pts.filter(F.col("pvname").isin(args.pv))
+    if args.confirm:
+        rows = sax_discords_confirmed(
+            pts,
+            window=args.window,
+            n_segments=args.segments,
+            alphabet=args.alphabet,
+            k=args.k,
+        )
+        if args.novel_only:
+            rows = rows.filter(F.col("word_count") == 1)
+        collected = rows.orderBy("pvname", "confirmed_rank").collect()
+        for r in collected:
+            print(
+                f"{r.pvname}  t={r.time:.3f}  word={r.word}  "
+                f"seen={r.word_count}x  nn_d2={r.nn_dist2_q}  "
+                f"confirmed={r.confirmed_rank}"
+            )
+        print(f"{len(collected)} confirmed discord window(s)")
+        return 0
     rows = sax_discords(
         pts,
         window=args.window,
@@ -2123,6 +2148,10 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("-k", type=int, default=3)
     s.add_argument("--novel-only", action="store_true",
                    help="only windows whose word occurred exactly once")
+    s.add_argument("--confirm", action="store_true",
+                   help="run the exact-distance confirm stage and order "
+                        "by true discord score (farthest nearest "
+                        "neighbor first)")
     s.set_defaults(fn=cmd_discords)
 
     s = sub.add_parser(

@@ -1599,3 +1599,16 @@ def test_similar_cli_warns_on_window_drift_vs_index_sidecar(
     )
     err = capsys.readouterr().err
     assert "differs from the index's build window" in err and "t1" in err
+
+
+def test_discords_cli_confirm_orders_by_exact_distance(spark, store, capsys):
+    """`pvarch discords --confirm`: the exact-distance stage lists
+    confirmed ranks with the nn distance, ordered farthest-neighbor
+    first per series."""
+    assert (
+        cli.main(["--store", store, "discords", "--window", "8", "-k", "2",
+                  "--confirm"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert "confirmed discord window(s)" in out
+    assert "nn_d2=" in out and "confirmed=1" in out
