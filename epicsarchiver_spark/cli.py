@@ -1084,15 +1084,29 @@ def cmd_cusum(args) -> int:
     regime and when before the dashboards do."""
     from pyspark.sql import functions as F
 
-    from epicsarchiver_spark.operators.timeseries import cusum_changepoints
+    from epicsarchiver_spark.operators.timeseries import (
+        cusum_changepoints,
+        cusum_targets,
+    )
 
     spark = _spark("cusum")
     pts = _points(spark, args)
     if args.pv:
         pts = pts.filter(F.col("pvname").isin(args.pv))
+    if args.split is not None:
+        # the warm-start composition (ts_cusum_warm): per-series
+        # reference levels from the backfill half, crossings detected
+        # on the live half — what a restarted monitor should report
+        # instead of re-averaging the anomaly into its own target
+        tg = cusum_targets(pts.filter(F.col("time") <= args.split))
+        chart = cusum_changepoints(
+            pts.filter(F.col("time") > args.split),
+            k=args.k, h=args.threshold, targets=tg,
+        )
+    else:
+        chart = cusum_changepoints(pts, k=args.k, h=args.threshold)
     rows = (
-        cusum_changepoints(pts, k=args.k, h=args.threshold)
-        .orderBy(F.desc("time"), "pvname", "side")
+        chart.orderBy(F.desc("time"), "pvname", "side")
         .limit(args.n)
         .collect()
     )
@@ -2198,6 +2212,9 @@ def build_parser() -> argparse.ArgumentParser:
     s.add_argument("--threshold", type=float, default=5.0,
                    help="decision threshold h, value units")
     s.add_argument("-n", type=int, default=20, help="newest N crossings")
+    s.add_argument("--split", type=float, default=None, metavar="T",
+                   help="warm start: per-series targets from points at "
+                        "or before T, crossings detected after T")
     s.set_defaults(fn=cmd_cusum)
 
     s = sub.add_parser(

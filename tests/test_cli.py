@@ -1612,3 +1612,23 @@ def test_discords_cli_confirm_orders_by_exact_distance(spark, store, capsys):
     out = capsys.readouterr().out
     assert "confirmed discord window(s)" in out
     assert "nn_d2=" in out and "confirmed=1" in out
+
+
+def test_cusum_cli_split_warm_start(spark, store, capsys):
+    """`pvarch cusum --split T`: reference levels from the backfill
+    half, crossings only on the live half — the warm-start composition
+    through the CLI. The sawtooth store holds its level, so a small
+    threshold still fires while an absurd one stays quiet."""
+    assert (
+        cli.main(["--store", store, "cusum", "--split", "1500",
+                  "--threshold", "1"]) == 0
+    )
+    out = capsys.readouterr().out
+    assert out.strip().splitlines()[-1].endswith("changepoint(s)")
+    assert "  up  " in out or "  down  " in out
+    # crossings reported only on the live half
+    times = [
+        float(line.split("t=")[1].split()[0])
+        for line in out.splitlines() if "t=" in line
+    ]
+    assert times and all(t > 1500 for t in times)
