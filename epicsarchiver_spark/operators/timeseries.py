@@ -1798,7 +1798,15 @@ def sax_discords_confirmed(
         )
         for j in range(n_segments)
     ]
-    worded = framed.withColumn("word", F.concat(*segs))
+    from epicsarchiver_spark.operators.dedup import _truncate_lineage
+
+    # ONE materialization of the window frames+words: the candidate
+    # branch and the confirm's probe side both consume this frame — an
+    # un-checkpointed plan replicates the corpus-wide collect_list
+    # window pipeline into both subtrees (measured 2 scans / 6 window
+    # nodes; checkpointed: 1 scan, each window once — the
+    # emb_pipeline_verdicts r12a lesson)
+    worded = _truncate_lineage(framed.withColumn("word", F.concat(*segs)))
     cw = Window.partitionBy(key, "word")
     rk = Window.partitionBy(key).orderBy(
         F.col("word_count").asc(), F.col("time").asc(), F.col("word").asc()
@@ -1822,9 +1830,9 @@ def sax_discords_confirmed(
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    pairs = framed.join(F.broadcast(cand), key).filter(
-        F.abs(F.col("_i") - F.col("_ci")) >= window
-    )
+    pairs = worded.select(key, "time", "_i", "_arr").join(
+        F.broadcast(cand), key
+    ).filter(F.abs(F.col("_i") - F.col("_ci")) >= window)
     conf = (
         pairs.withColumn("_d2", d2)
         .groupBy(key, "_ct", "word", "word_count", "rank")
