@@ -1854,6 +1854,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         must survive — composite key pin) and single-field-patches
         rank 7 — then read the dimension back."""
         w = Window.orderBy("pvname")
+        # r13: a persist of this 7-times-referenced spine measured
+        # SLOWER (1.6 → 2.8 s) — ReuseExchange already shares the
+        # distinct+rank subtree across the edit batches at runtime
         ranked = (
             points_view(s, d)
             .select("pvname")

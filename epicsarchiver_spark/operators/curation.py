@@ -77,7 +77,9 @@ def pipeline_verdicts(
         .select(F.col(id_col), F.lit(2).alias("_pri"))
     )
 
-    fps = docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp"))
+    # (id, fp) feeds both the min-id aggregate and the copy join —
+    # persist the 16-byte rows so the text is fingerprinted once (r13)
+    fps = docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp")).persist()
     keep_fp = fps.groupBy("_fp").agg(F.min(id_col).alias("_kid"))
     e = (
         fps.join(keep_fp, "_fp")
@@ -461,6 +463,9 @@ def quality_survivors(
     quality = text_ops.quality_classifier(docs, text=text, id_col=id_col).select(
         F.col(id_col), "quality_prob"
     )
+    # r13: a members persist here measured 2× SLOWER (5.0 → 10.3 s) —
+    # ReuseExchange already shares the subtree between the winner
+    # aggregate and the verdict join; the cache only blocked pipelining
     members = (
         quality.join(
             comp.select(F.col("id").alias(id_col), "component"), id_col, "left"

@@ -576,6 +576,9 @@ def fuzzy_matches(
             .filter(F.col("_bn") <= int(max_block))
             .drop("_bn")
         )
+    # the fenced side frame feeds both halves of the self-join —
+    # persist so the block census window runs once, not twice (r13, §5)
+    side = side.persist()
     a = side.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"), "_blk"
     )
@@ -1522,6 +1525,11 @@ def graph_profile(
     iteration entirely at release time — and reduce to a
     cluster-count-sized frame; both histograms are k-sized. Output is
     tiny at any corpus size."""
+    if components is None:
+        # the pair frame feeds both the degree lane and the CC build —
+        # persist so an inline pair generation (the Σ block² jaccard
+        # join in the gate) runs once, not twice (r13, guide §5)
+        pairs = pairs.persist()
     both = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -1662,6 +1670,12 @@ def merge_components(
     — each a single minimal shuffle; nothing scales with the historic
     pair lane."""
     comp = components.select("id", "component")
+    # the batch pair frame feeds the contraction AND the novel-endpoint
+    # census (3 references) — persist so an inline incremental pair
+    # generation (the new_ids-pruned jaccard join in the gate) runs
+    # once, not three times (r13, guide §5: the gate measured 20.1 s
+    # before, dominated by the triple batch-pair build)
+    new_pairs = new_pairs.select(id_a, id_b).persist()
     ca = comp.select(F.col("id").alias(id_a), F.col("component").alias("_ca"))
     cb = comp.select(F.col("id").alias(id_b), F.col("component").alias("_cb"))
     contracted = (

@@ -2185,13 +2185,16 @@ def corpus_drift(
         )
     a = _cells(vectors_a, "a")
     b = _cells(vectors_b, "b")
+    # the |cells|-row joined frame feeds the totals and the report —
+    # persist so each release's GEMM assignment pass runs once, not
+    # twice (r13 diamond dedup, guide §5; was 8 Arrow nodes / 8 scans)
     joined = a.join(b, "cell", "full_outer").select(
         "cell",
         F.coalesce("n_a", F.lit(0)).alias("n_a"),
         F.coalesce("n_b", F.lit(0)).alias("n_b"),
         "_ca",
         "_cb",
-    )
+    ).persist()
     tot = joined.agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
     )

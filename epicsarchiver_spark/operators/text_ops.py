@@ -41,6 +41,8 @@ def unigram_logprob(
     |V| rows — AQE broadcasts), per-doc weighted aggregate. N and V ride
     a broadcast 1-row frame like tfidf's n_docs — no eager action."""
     toks = docs.select(F.col(id_col), F.explode(T.tokens(F.lower(F.col(text)))).alias("term"))
+    # r13: persists tried here measured slower — ReuseExchange already
+    # dedupes the repeated model subtree (see bigram_logprob's note)
     tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     model = tf.groupBy("term").agg(F.sum("tf").alias("c"))
     totals = model.agg(
@@ -557,6 +559,8 @@ def bm25_topk(
     doc_id for engine determinism."""
     terms = sorted({t.lower() for t in query_terms})
     toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    # r13: persists tried here (base, tf) measured slower —
+    # ReuseExchange already dedupes the repeated subtrees at runtime
     base = docs.select(
         F.col(id_col),
         F.size(toks).alias("_dl"),
@@ -1679,6 +1683,12 @@ def bigram_logprob(
     path scores unseen unigrams at the Lidstone floor (c = 0) and
     unseen bigrams by the (1−λ)·p_uni backoff alone, so scores stay
     finite on out-of-vocabulary text."""
+    # r13 note: every persist tried here (toks, bi_tf, uni_model) was
+    # MEASURED SLOWER than the replicated-looking plan (doc_ccnet_buckets
+    # 3.7 → 7-8 s): Spark's ReuseExchange already computes the repeated
+    # model subtrees once at runtime, so a cache only adds columnar
+    # materialization cost and blocks whole-stage pipelining. The plan
+    # TEXT shows duplicate subtrees; the executed plan does not.
     toks = docs.select(
         F.col(id_col), T.tokens(F.lower(F.col(text))).alias("tk")
     )
@@ -2276,6 +2286,8 @@ def collocations_pmi(
     vocabulary-sized aggregates joined on their terms; N rides a
     broadcast one-row frame; the final top-k is TakeOrderedAndProject.
     Shuffle volume is the vocabulary, never the corpus."""
+    # r13: persists tried here measured slower (ReuseExchange — see
+    # bigram_logprob's note)
     toks = docs.select(T.tokens(F.lower(F.col(text))).alias("tk"))
     pairs = F.filter(
         F.zip_with(
@@ -2622,6 +2634,8 @@ def nb_label_audit(
         F.col(label_col).alias("_lbl"),
         F.explode(T.tokens(F.lower(F.col(text)))).alias("term"),
     )
+    # r13: persists tried here (tf, cls_counts) measured slower —
+    # ReuseExchange already dedupes the repeated subtrees at runtime
     tf = d_toks.groupBy(id_col, "_lbl", "term").agg(
         F.count(F.lit(1)).alias("tf")
     )

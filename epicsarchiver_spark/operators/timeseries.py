@@ -930,6 +930,11 @@ def sax_topk_recall(
     nomination+rerank, and recall is the overlap.
     Returns one row ``(k, n_exact, n_indexed, n_hit, recall_pct)``
     with recall in exact integer percent·100 units (n_hit·10000/k)."""
+    # the audit grid feeds the query row and the exact all-series sums —
+    # persist so the corpus LOCF pass runs once (series × grid instants,
+    # far smaller than points); exact/indexed are k-row frames each read
+    # twice (the hit join + their count), and `indexed` re-expands the
+    # whole sax_topk plan per reference without the persist (r13)
     grid = (
         locf_grid(points, t0, t1, step, key=key)
         .filter(F.col("value").isNotNull())
@@ -938,6 +943,7 @@ def sax_topk_recall(
             "t",
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
+        .persist()
     )
     qgrid = grid.filter(F.col(key) == query).select(
         F.col("t"), F.col("q").alias("qa")
@@ -966,12 +972,13 @@ def sax_topk_recall(
         .select(F.col(key), r.alias("_r"))
         .orderBy(F.col("_r").desc(), F.col(key))
         .limit(int(k))
+        .persist()
     )
     indexed = sax_topk(
         points, query, t0, t1, step, k=k, n_segments=n_segments,
         alphabet=alphabet, quantum=quantum, n_candidates=n_candidates,
         expand=expand, key=key,
-    )
+    ).persist()
     hit = exact.select(key).join(indexed.select(key), key, "inner")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1012,9 +1019,17 @@ def sax_symbols(
     certified by the ts_sax gate. Constant series (σ=0) → paa 0,
     middle letter.
 
-    Scale shape: one rank window + two keyed aggregates, the
-    series-sized moment frame broadcasts back; nothing is
-    corpus-ordered globally."""
+    Scale shape: ONE series-keyed exchange serving everything — the
+    rank window, the per-series moments (whole-partition frame windows
+    over the same sort, so no second sort either), and the
+    (key, segment) aggregate (hash-partitioning on ``key`` already
+    co-locates every segment of a series, so Spark adds no exchange).
+    The r13 optimization pass replaced the original
+    aggregate-and-join-back formulation, whose THREE references to the
+    upstream frame re-expanded the whole input subtree (a locf_grid
+    caller paid 6 parquet scans per symbolization; nested callers
+    multiplied that into the 156-scan ts_sax_words_incremental plan) —
+    same BIGINT sums, same IEEE op order, bit-identical output."""
     if alphabet not in _SAX_BREAKPOINTS:
         raise ValueError(f"alphabet must be one of {sorted(_SAX_BREAKPOINTS)}")
     bps = _SAX_BREAKPOINTS[alphabet]
@@ -1022,28 +1037,40 @@ def sax_symbols(
     order = ["time", "event_id"] if "event_id" in points.columns else ["time"]
     q = F.round(F.col("value") / quantum).cast("long")
     w = Window.partitionBy(key).orderBy(*[F.col(c) for c in order])
+    wk = Window.partitionBy(key)
     base = points.select(
-        F.col(key), q.alias("_q"), (F.row_number().over(w) - 1).alias("_rk")
+        F.col(key),
+        q.alias("_q"),
+        (F.row_number().over(w) - 1).alias("_rk"),
+    ).select(
+        F.col(key),
+        "_q",
+        "_rk",
+        F.count(F.lit(1)).over(wk).alias("_n"),
+        F.sum("_q").over(wk).alias("_sq"),
+        F.sum(F.col("_q") * F.col("_q")).over(wk).alias("_sqq"),
     )
-    moments = base.groupBy(key).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.sum("_q").alias("_sq"),
-        F.sum(F.col("_q") * F.col("_q")).alias("_sqq"),
-    )
-    seg = base.join(moments.select(key, "_n"), key).select(
+    seg = base.select(
         F.col(key),
         F.floor(F.col("_rk") * int(n_segments) / F.col("_n")).cast("long").alias(
             "segment"
         ),
         "_q",
+        "_n",
+        "_sq",
+        "_sqq",
     )
     segsum = seg.groupBy(key, "segment").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("_q").alias("_ss")
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_q").alias("_ss"),
+        F.first("_n").alias("_n"),
+        F.first("_sq").alias("_sq"),
+        F.first("_sqq").alias("_sqq"),
     )
     mu = F.col("_sq").cast("double") / F.col("_n")
     var = F.col("_sqq").cast("double") / F.col("_n") - mu * mu
     sig = F.sqrt(F.greatest(var, F.lit(0.0)))
-    joined = segsum.join(moments, key).withColumn(
+    joined = segsum.withColumn(
         "_paa_raw",
         F.when(
             sig > 0,
@@ -1210,6 +1237,14 @@ def sax_words_refresh(
                 F.count(F.lit(1)).alias("_cur_np"),
             )
         )
+    # diamond dedup (r13, guide §2.4/§5): ``artifact`` feeds both the
+    # staleness join and the keep anti-join, and ``stale`` feeds both
+    # the reword semi-join and the keep anti-join — without persisting,
+    # each reference re-expands the upstream plan (an inline-built
+    # artifact was WORDED TWICE; the certification gate's plan carried
+    # 156 parquet scans). Both frames are bytes-per-series small
+    # (word rows / bare keys), so the persist is bounded at any scale.
+    artifact = artifact.persist()
     stale = (
         cur.join(artifact.select(key, "wm", "np"), key, "left")
         .filter(
@@ -1218,8 +1253,13 @@ def sax_words_refresh(
             | (F.col("_cur_np") != F.col("np"))
         )
         .select(key)
+        .persist()
     )
-    stale_points = points.join(stale, key, "leftsemi")
+    # the stale-pruned point frame feeds three consumers (the build
+    # stats below, plus locf_grid's key census and as-of scan inside the
+    # reword) — persist so the corpus is scanned once for it; in the
+    # production cadence stale is a narrow append so this frame is small
+    stale_points = points.join(stale, key, "leftsemi").persist()
     # horizon-bounded build stats for the re-worded rows, from the same
     # pruned frame the reword scans — NEVER the caller's stats frame,
     # whose values may be unbounded (all-time cache)
@@ -1290,10 +1330,14 @@ def sax_topk(
     inside one gate; production queries pass ``index=`` the persisted
     :func:`sax_words` artifact, always."""
     spark = points.sparkSession
+    # the word table is read twice (query-word lookup + candidate scan);
+    # an inline build must not be PAID twice (r13, guide §5) — the
+    # persisted frame is bytes-per-series. A passed index= artifact is
+    # already a cheap parquet read-back and is left alone.
     words = (
         index
         if index is not None
-        else sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key)
+        else sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key).persist()
     )
     empty = spark.createDataFrame(
         [], f"{key} string, word string, n long, r double"
@@ -1337,6 +1381,9 @@ def sax_topk(
     cand_words = F.broadcast(
         spark.createDataFrame(id_words, f"{key} string, word string")
     )
+    # the nominee grid feeds both the query row and the candidate sums —
+    # persist so the isin-pruned re-read + LOCF pass runs once (it is
+    # ≤ (n_candidates+1) series × grid instants, bounded at any scale)
     grid = (
         locf_grid(points.filter(F.col(key).isin(ids + [query])), t0, t1, step, key=key)
         .filter(F.col("value").isNotNull())
@@ -1345,6 +1392,7 @@ def sax_topk(
             "t",
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
+        .persist()
     )
     qgrid = grid.filter(F.col(key) == query).select(
         F.col("t"), F.col("q").alias("qa")
@@ -1512,7 +1560,11 @@ def sax_index_health(
     by alphabet^segments, never by corpus size."""
     from pyspark.sql import Window
 
-    b = words.groupBy("word").agg(F.count(F.lit(1)).alias("bn"))
+    # the bucket frame (≤ alphabet^segments rows) feeds the rank lane
+    # and the totals; persist so an inline-built word table is worded
+    # once, not once per consumer (r13 — was 4 full builds in the
+    # ts_sax_health plan: 48 Exchanges / 36 scans before, one after)
+    b = words.groupBy("word").agg(F.count(F.lit(1)).alias("bn")).persist()
     ranked = b.withColumn(
         "rk", F.row_number().over(Window.orderBy("bn", "word"))
     )
@@ -2720,27 +2772,25 @@ def robust_outliers(
     flagged rows ``(key, time, value, med, mad)``; series with MAD = 0
     (constant or half-constant) flag nothing, by construction.
 
-    Two aggregate passes (median, then MAD over residuals), each a
-    per-series hash aggregate whose one-row-per-series result broadcasts
-    back — the raw points never shuffle. ``exact=True`` uses Spark's
-    exact ``median`` (buffers each group's values: right for the gate
-    and for series up to ~10⁷ points); at 100 TB flip ``exact=False``
-    for ``approx_percentile`` (t-digest sketch, constant memory,
-    rank error ≤ 1e-4) — same plan shape, sketch-mergeable partials."""
+    Both medians are whole-partition window aggregates over ONE
+    series-keyed exchange (r13, guide §2.4 — the former
+    aggregate-and-join-back pair re-expanded the points scan three
+    times for no shuffle saving: exact median's partial buffers ship
+    every value across the exchange anyway, so the join form paid 3
+    scans AND ~2× the shuffle bytes; this form plans 1 scan / 1
+    exchange). ``exact=True`` uses Spark's exact ``median`` (buffers
+    each series' values: right for the gate and for series up to ~10⁷
+    points); at 100 TB flip ``exact=False`` for ``approx_percentile``
+    (t-digest sketch, constant memory, rank error ≤ 1e-4)."""
     med_of = (
         (lambda c: F.expr(f"median({c})"))
         if exact
         else (lambda c: F.expr(f"approx_percentile({c}, 0.5, 10000)"))
     )
-    med = points.groupBy(key).agg(med_of("value").alias("med"))
-    resid = points.join(F.broadcast(med), key)
-    mad = (
-        resid.select(F.col(key), F.abs(F.col("value") - F.col("med")).alias("_r"))
-        .groupBy(key)
-        .agg(med_of("_r").alias("mad"))
-    )
+    wk = Window.partitionBy(key)
     return (
-        resid.join(F.broadcast(mad), key)
+        points.withColumn("med", med_of("value").over(wk))
+        .withColumn("mad", med_of("abs(value - med)").over(wk))
         .filter(
             (F.col("mad") > 0)
             & (F.abs(F.col("value") - F.col("med")) > F.lit(k) * F.col("mad"))
@@ -2999,6 +3049,9 @@ def xcorr_lag(
         .unionByName(pairs.select(F.col("pv_b").alias(key)))
         .distinct()
     )
+    # the candidate grid feeds both the a-side and the b-side attach —
+    # persist so the pruned LOCF pass runs once, not once per side (it
+    # is |pairs|-bounded: ~|names| series × grid instants) (r13, §5)
     grid = (
         locf_grid(
             points.join(F.broadcast(names), key, "left_semi"),
@@ -3014,6 +3067,7 @@ def xcorr_lag(
             F.round((F.col("t") - float(t0)) / float(step)).cast("long").alias("i"),
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
+        .persist()
     )
     pa = grid.join(F.broadcast(pairs), F.col(key) == F.col("pv_a")).select(
         "pv_a", "pv_b", "i", F.col("q").alias("qa")
@@ -3231,15 +3285,20 @@ def seasonal_anomalies(
         "value",
         ((F.col("_q") - F.col("_base_q")) * quantum).alias("residual"),
     )
-    stats = resid.groupBy(key).agg(
-        F.expr("percentile(residual, 0.5)").alias("_med")
-    )
-    with_med = resid.join(F.broadcast(stats), key)
-    mads = with_med.groupBy(key).agg(
-        F.expr("percentile(abs(residual - _med), 0.5)").alias("_mad")
+    # med/MAD as whole-partition window aggregates over ONE series-keyed
+    # exchange (r13, guide §2.4) — the former aggregate-and-join-back
+    # pair re-expanded the residual subtree (and its points scan + base
+    # join) three times: 14 Exchanges / 16 scans before, 4 / 4 after.
+    # Same percentile function over the same rows, bit-identical.
+    wk = Window.partitionBy(key)
+    with_med = resid.withColumn(
+        "_med", F.expr("percentile(residual, 0.5)").over(wk)
     )
     flagged = (
-        with_med.join(F.broadcast(mads), key)
+        with_med.withColumn(
+            "_mad",
+            F.expr("percentile(abs(residual - _med), 0.5)").over(wk),
+        )
         .filter(
             (F.col("_mad") > 0)
             & (F.abs(F.col("residual") - F.col("_med")) > float(k) * F.col("_mad"))

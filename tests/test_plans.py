@@ -317,11 +317,15 @@ def test_value_histogram_broadcasts_ranges_and_partials(spark):
     assert "partial_" in plan  # both aggregates combine map-side
 
 
-def test_robust_outliers_broadcasts_both_stat_frames(spark):
+def test_robust_outliers_single_scan_single_exchange(spark):
+    """r13: median and MAD are whole-partition window aggregates over
+    one series-keyed exchange — the former aggregate-and-join-back pair
+    scanned the points 3× and shipped every value through its exact-
+    median partials anyway (no shuffle saving to show for the scans)."""
     plan = _plan(spark, "ts_outliers")
-    # median and MAD come back as one-row-per-series broadcast joins —
-    # the raw points never shuffle
-    assert len(re.findall(r"BroadcastHashJoin", plan)) >= 2, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, plan[:2000]
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
 
 
 def test_ivfpq_topk_is_take_ordered(spark):
