@@ -715,6 +715,29 @@ def ivfpq_topk_rerank(
     )
 
 
+def _sq8_key_udf(qq: list[int]):
+    """Arrow-batched SQ8 nomination key ``⟨c, q8⟩ / √Σc²`` (−2.0 for
+    all-zero codes) over the comma-joined ``qvec`` column. All inputs
+    are small integers, so the float64 matrix products are EXACT (every
+    partial < 2⁵³) and the result is bit-identical to a BIGINT fold —
+    see the call site's note."""
+    qv = np.asarray([int(x) for x in qq], dtype=np.float64)
+
+    @F.pandas_udf("double")
+    def key(qvecs: pd.Series) -> pd.Series:
+        if len(qvecs) == 0:
+            return pd.Series([], dtype="float64")
+        flat = np.array(",".join(qvecs.tolist()).split(","), dtype=np.float64)
+        M = flat.reshape(len(qvecs), -1)
+        inner = M @ qv
+        ssq = (M * M).sum(axis=1)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            k = inner / np.sqrt(ssq)
+        return pd.Series(np.where(ssq > 0, k, -2.0))
+
+    return key
+
+
 def _sq8_query(query: list[float]) -> tuple[list[int], float]:
     """Symmetric int8 quantization of the query in python — the same
     IEEE ops (max|x|, /127, floor(x/s + 0.5)) any SQL engine computes
@@ -766,21 +789,19 @@ def sq8_topk_rerank(
         if index is not None
         else quantize_embeddings(vectors, vec_col=vec_col, id_col=id_col)
     )
-    q8 = F.transform(F.split(F.col("qvec"), ","), lambda t: t.cast("long"))
-    qq_lit = F.array(*[F.lit(int(x)).cast("long") for x in qq])
-    inner = F.aggregate(
-        F.zip_with(q8, qq_lit, lambda a, b: a * b),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    ssq = F.aggregate(
-        q8, F.lit(0).cast("long"), lambda acc, x: acc + x * x
-    )
-    key_expr = F.when(
-        ssq > 0, inner.cast("double") / F.sqrt(ssq.cast("double"))
-    ).otherwise(F.lit(-2.0))
+    # Stage-1 nomination key as ONE Arrow-batched numpy pass (r13,
+    # guide §4.2). The former JVM form — split(qvec) re-parsed inside
+    # THREE interpreted HOF folds (inner, and ssq twice: the >0 guard
+    # and the sqrt), with the inline lane's quantize expression inlined
+    # into each by collapsed projections — planned a giant interpreted
+    # expression per row. Bit-exactness is arithmetic, not luck: codes
+    # are ints ≤ 127, so every partial of Σc·q and Σc² is an integer
+    # < 2⁵³ — float64 holds each EXACTLY in any summation order, giving
+    # the same values as the old BIGINT folds cast to double; the final
+    # divide/sqrt are single correctly-rounded IEEE ops in both engines
+    # (inline ≡ indexed ≡ oracle pinned by tests).
     cand = (
-        art.select(F.col(id_col), key_expr.alias("_a"))
+        art.select(F.col(id_col), _sq8_key_udf(qq)(F.col("qvec")).alias("_a"))
         .orderBy(F.desc("_a"), F.col(id_col))
         .limit(int(n_candidates))
     )

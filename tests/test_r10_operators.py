@@ -154,6 +154,38 @@ def test_sq8_rerank_recall_and_index_equivalence(spark):
     ]
 
 
+def test_sq8_stage1_key_udf_bit_exact_vs_bigint_fold(spark):
+    """The Arrow stage-1 nomination key (r13) must equal the exact
+    BIGINT fold cast to double for every code row — the float64 matrix
+    products are exact because every partial of Σc·q and Σc² is an
+    integer < 2⁵³ — and return −2.0 for all-zero codes."""
+    import math
+    import random
+
+    from epicsarchiver_spark.operators.similarity import _sq8_key_udf
+
+    rng = random.Random(13)
+    qq = [rng.randint(-127, 127) for _ in range(16)]
+    codes = [[rng.randint(-127, 127) for _ in range(16)] for _ in range(63)]
+    codes.append([0] * 16)  # the codeless sentinel row
+    rows = [(i, ",".join(str(c) for c in cs)) for i, cs in enumerate(codes)]
+    df = spark.createDataFrame(rows, "vec_id long, qvec string")
+    got = {
+        r.vec_id: r.k
+        for r in df.select(
+            "vec_id", _sq8_key_udf(qq)("qvec").alias("k")
+        ).collect()
+    }
+    for i, cs in enumerate(codes):
+        ssq = sum(c * c for c in cs)  # exact python ints
+        want = (
+            sum(c * q for c, q in zip(cs, qq)) / math.sqrt(float(ssq))
+            if ssq > 0
+            else -2.0
+        )
+        assert got[i] == want, (i, got[i], want)
+
+
 def test_rake_prefers_multiword_terms(spark):
     """RAKE's point: words living in multi-word terms (high degree)
     outrank ubiquitous singletons, so the recurring compound phrase
