@@ -73,6 +73,19 @@ def score_sums(edges: DataFrame, nodes: list[str]) -> DataFrame:
 # broadcast OOMs.
 PAGERANK_BROADCAST_MAX_NODES = 200_000
 
+# Checkpoint the rank frame every Nth power-iteration round (plus the
+# final round) instead of every round. Eager checkpoints are sequential
+# materialization barriers — each one is its own job — and at the
+# dimension-sized rank frame the per-job fixed cost dominates the
+# per-round work, while a 4-deep nested plan is still far from the
+# doubling-analysis-cost wall that made per-round truncation necessary
+# in the first place (the cadence keeps lineage depth ≤ 4 regardless of
+# total rounds, so the bound is unchanged at any scale). Interleaved
+# same-JVM A/B at sf0.1, idle machine, outputs proven identical:
+# every-1 9.21 s / every-2 7.66 s / every-4 6.93 s median; every-8 was
+# no faster than every-4 on a second run and gives up the depth bound.
+PAGERANK_CKPT_EVERY = 4
+
 
 def _pagerank_use_broadcast(n_nodes: int) -> bool:
     """Lane decision for :func:`pagerank`'s per-round rank join (pure
@@ -122,10 +135,12 @@ def pagerank(
     undirected graph every node receives ≥1 contribution row (it is a
     dst of each incident edge), so no per-round spine re-join is needed
     — each round is exactly join + aggregate, and the tiny rank frame
-    is checkpointed eagerly so round k+1's broadcast builds from a
-    materialized 16-byte-per-node RDD instead of re-nesting round k's
-    plan (measured: nested broadcast subplans serialize into one long
-    final job — 6 s vs 0.6 s/round at sf0.1). The crossover comes
+    is checkpointed on a fixed cadence (``PAGERANK_CKPT_EVERY``, plus
+    the final round) so the plan never nests more than that many rounds
+    deep (unbounded nesting made the rounds serialize into one long
+    final job — 6 s vs 0.6 s/round at sf0.1 — while per-round eager
+    checkpoints paid a sequential job barrier each: 9.2 s vs 6.9 s for
+    the cadence, outputs identical). The crossover comes
     EARLIER than the broadcast memory wall — measured at 10⁶ nodes /
     10⁷ edges (SCALE r12c) the shuffle lane is already the cheaper one
     (5.7 vs 7.9 s/round on local[32]): re-broadcasting a node-sized
@@ -177,7 +192,7 @@ def pagerank(
         # distinct twice, ~1.5 s at 10⁶ edges)
         ranks = _truncate_lineage(ranks)
         broadcast_ranks = _pagerank_use_broadcast(ranks.count())
-    for _ in range(int(rounds)):
+    for i in range(int(rounds)):
         rk = F.broadcast(ranks) if broadcast_ranks else ranks
         contrib = (
             g.join(rk, g["src"] == ranks["id"])
@@ -185,12 +200,15 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("c"))
         )
-        ranks = _truncate_lineage(
-            contrib.select(
-                "id",
-                (F.lit(base) + F.expr("85 * c DIV 100")).cast("long").alias("r"),
-            )
+        ranks = contrib.select(
+            "id",
+            (F.lit(base) + F.expr("85 * c DIV 100")).cast("long").alias("r"),
         )
+        # every checkpoint is a sequential job barrier — truncate on a
+        # cadence (see PAGERANK_CKPT_EVERY), always including the final
+        # round so callers receive a materialized 16-byte-per-node frame
+        if (i + 1) % PAGERANK_CKPT_EVERY == 0 or i == int(rounds) - 1:
+            ranks = _truncate_lineage(ranks)
     return ranks.select(
         F.col("id").alias("pvname"),
         F.col("r").alias("rank_units"),

@@ -60,6 +60,52 @@ def test_pagerank_auto_lane_matches_forced_lanes(spark):
     assert len(runs[None]) == 4
 
 
+def test_pagerank_checkpoint_cadence_exact_at_any_round_count(spark):
+    """r13 optimization: the rank frame is checkpointed every
+    ``PAGERANK_CKPT_EVERY`` rounds instead of every round (job-barrier
+    cost), with the FINAL round always truncated. Round counts that do
+    and do not divide the cadence must both match the literal python
+    mirror of the integer recurrence, and the returned frame must be
+    the materialized (lineage-truncated) one the docstring promises."""
+    from epicsarchiver_spark.operators.related import (
+        PAGERANK_CKPT_EVERY,
+        pagerank,
+    )
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("A", "B", 1.0), ("B", "C", 3.0), ("C", "D", 1.0)],
+            columns=["pv1", "pv2", "score"],
+        )
+    )
+    scale, base = 10**9, (15 * 10**9) // 100
+    w = {("A", "B"): 1, ("B", "C"): 3, ("C", "D"): 1}
+    adj: dict = {}
+    for (u, v), ww in w.items():
+        adj.setdefault(u, {})[v] = ww
+        adj.setdefault(v, {})[u] = ww
+    wt = {u: sum(nb.values()) for u, nb in adj.items()}
+
+    def mirror(rounds):
+        r = {u: scale for u in adj}
+        for _ in range(rounds):
+            c = {u: 0 for u in adj}
+            for u, nb in adj.items():
+                for v, ww in nb.items():
+                    c[v] += (r[u] * ww) // wt[u]
+            r = {u: base + (85 * c[u]) // 100 for u in adj}
+        return r
+
+    # below / off-cadence / on-cadence / past-cadence round counts
+    for rounds in (2, PAGERANK_CKPT_EVERY + 1, PAGERANK_CKPT_EVERY, 2 * PAGERANK_CKPT_EVERY - 1):
+        df = pagerank(edges, rounds=rounds)
+        got = {r.pvname: r.rank_units for r in df.collect()}
+        assert got == mirror(rounds), rounds
+        # final-round truncation: the plan is a scan of the
+        # materialized RDD, not a re-nesting of the last rounds
+        assert "ExistingRDD" in df._jdf.queryExecution().executedPlan().toString(), rounds
+
+
 # ------------------------------------------------- CUSUM overflow guard
 
 
