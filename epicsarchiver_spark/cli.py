@@ -1068,6 +1068,15 @@ def cmd_index_words(args) -> int:
         fs.rename(P(cur), P(bak))
     fs.rename(P(tmp), P(cur))
     fs.delete(P(bak), True)
+    # the refresh lane PERSISTS the artifact's plan inside
+    # sax_words_refresh (diamond dedup); after the in-place swap those
+    # cache entries describe the replaced files, and Spark's cache
+    # matches plans by PATH — any later read of `cur` in this session
+    # would silently get the pre-swap rows. refreshByPath is the
+    # standard "files under this path changed" invalidation: it
+    # re-lists and re-caches every entry that references the path, so
+    # the count below (and the caller's session) sees the new artifact.
+    spark.catalog.refreshByPath(cur)
     n = spark.read.parquet(cur).count()
     print(
         f"word index: {n} series -> {cur}"

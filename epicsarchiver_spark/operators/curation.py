@@ -78,8 +78,13 @@ def pipeline_verdicts(
     )
 
     # (id, fp) feeds both the min-id aggregate and the copy join —
-    # persist the 16-byte rows so the text is fingerprinted once (r13)
-    fps = docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp")).persist()
+    # persist the 16-byte rows so the text is fingerprinted once (r13;
+    # private: the entry must not be matchable by other queries)
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    fps = private_persist(
+        docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp"))
+    )
     keep_fp = fps.groupBy("_fp").agg(F.min(id_col).alias("_kid"))
     e = (
         fps.join(keep_fp, "_fp")

@@ -577,8 +577,9 @@ def fuzzy_matches(
             .drop("_bn")
         )
     # the fenced side frame feeds both halves of the self-join —
-    # persist so the block census window runs once, not twice (r13, §5)
-    side = side.persist()
+    # persist so the block census window runs once, not twice (r13, §5;
+    # private: the entry must not be matchable by other queries)
+    side = private_persist(side)
     a = side.select(
         F.col(id_col).alias("id_a"), F.col(name_col).alias("name_a"), "_blk"
     )
@@ -790,6 +791,28 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def private_persist(df: DataFrame, level=None) -> DataFrame:
+    """Persist for an operator-INTERNAL diamond (one frame feeding
+    several consumers of the SAME query) without exposing the entry to
+    any other query. Spark's cache matches canonicalized plans, and
+    file relations canonicalize by PATH — so a plain persist of (say)
+    an artifact read or an inline build is silently served to every
+    later same-shaped plan in the session, even after the files under
+    the path changed (an in-place artifact swap, an appended run): the
+    later query gets the stale rows with no error. A per-call unique
+    no-op predicate (`lit(token) == lit(token)`) keeps the entry
+    matchable only by the consumers holding THIS frame; the optimizer
+    constant-folds the predicate away, so the executed plan and every
+    plan pin are unchanged. The entry still lives until the session's
+    next clearCache — callers that need the memory back sooner can
+    unpersist the returned frame after their action."""
+    from uuid import uuid4
+
+    tok = F.lit(uuid4().hex)
+    out = df.filter(tok == tok)
+    return out.persist(level) if level is not None else out.persist()
 
 
 def connected_components(
@@ -1528,8 +1551,9 @@ def graph_profile(
     if components is None:
         # the pair frame feeds both the degree lane and the CC build —
         # persist so an inline pair generation (the Σ block² jaccard
-        # join in the gate) runs once, not twice (r13, guide §5)
-        pairs = pairs.persist()
+        # join in the gate) runs once, not twice (r13, guide §5;
+        # private: the entry must not be matchable by other queries)
+        pairs = private_persist(pairs)
     both = pairs.select(
         F.col(id_a).alias("a"), F.col(id_b).alias("b")
     ).unionByName(pairs.select(F.col(id_b).alias("a"), F.col(id_a).alias("b")))
@@ -1674,8 +1698,9 @@ def merge_components(
     # census (3 references) — persist so an inline incremental pair
     # generation (the new_ids-pruned jaccard join in the gate) runs
     # once, not three times (r13, guide §5: the gate measured 20.1 s
-    # before, dominated by the triple batch-pair build)
-    new_pairs = new_pairs.select(id_a, id_b).persist()
+    # before, dominated by the triple batch-pair build; private: the
+    # entry must not be matchable by other queries)
+    new_pairs = private_persist(new_pairs.select(id_a, id_b))
     ca = comp.select(F.col("id").alias(id_a), F.col("component").alias("_ca"))
     cb = comp.select(F.col("id").alias(id_b), F.col("component").alias("_cb"))
     contracted = (

@@ -2208,14 +2208,19 @@ def corpus_drift(
     b = _cells(vectors_b, "b")
     # the |cells|-row joined frame feeds the totals and the report —
     # persist so each release's GEMM assignment pass runs once, not
-    # twice (r13 diamond dedup, guide §5; was 8 Arrow nodes / 8 scans)
-    joined = a.join(b, "cell", "full_outer").select(
-        "cell",
-        F.coalesce("n_a", F.lit(0)).alias("n_a"),
-        F.coalesce("n_b", F.lit(0)).alias("n_b"),
-        "_ca",
-        "_cb",
-    ).persist()
+    # twice (r13 diamond dedup, guide §5; was 8 Arrow nodes / 8 scans;
+    # private: the entry must not be matchable by other queries)
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    joined = private_persist(
+        a.join(b, "cell", "full_outer").select(
+            "cell",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            "_ca",
+            "_cb",
+        )
+    )
     tot = joined.agg(
         F.sum("n_a").alias("_ta"), F.sum("n_b").alias("_tb")
     )

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from epicsarchiver_spark.operators.dedup import private_persist
 from epicsarchiver_spark.operators.ordering import order_cols, order_struct
 
 
@@ -935,7 +936,7 @@ def sax_topk_recall(
     # far smaller than points); exact/indexed are k-row frames each read
     # twice (the hit join + their count), and `indexed` re-expands the
     # whole sax_topk plan per reference without the persist (r13)
-    grid = (
+    grid = private_persist(
         locf_grid(points, t0, t1, step, key=key)
         .filter(F.col("value").isNotNull())
         .select(
@@ -943,7 +944,6 @@ def sax_topk_recall(
             "t",
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
-        .persist()
     )
     qgrid = grid.filter(F.col(key) == query).select(
         F.col("t"), F.col("q").alias("qa")
@@ -967,18 +967,19 @@ def sax_topk_recall(
     r = cov.cast("double") / (
         F.sqrt(varx.cast("double")) * F.sqrt(vary.cast("double"))
     )
-    exact = (
+    exact = private_persist(
         sums.filter((varx > 0) & (vary > 0))
         .select(F.col(key), r.alias("_r"))
         .orderBy(F.col("_r").desc(), F.col(key))
         .limit(int(k))
-        .persist()
     )
-    indexed = sax_topk(
-        points, query, t0, t1, step, k=k, n_segments=n_segments,
-        alphabet=alphabet, quantum=quantum, n_candidates=n_candidates,
-        expand=expand, key=key,
-    ).persist()
+    indexed = private_persist(
+        sax_topk(
+            points, query, t0, t1, step, k=k, n_segments=n_segments,
+            alphabet=alphabet, quantum=quantum, n_candidates=n_candidates,
+            expand=expand, key=key,
+        )
+    )
     hit = exact.select(key).join(indexed.select(key), key, "inner")
     return (
         exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -1244,8 +1245,17 @@ def sax_words_refresh(
     # artifact was WORDED TWICE; the certification gate's plan carried
     # 156 parquet scans). Both frames are bytes-per-series small
     # (word rows / bare keys), so the persist is bounded at any scale.
-    artifact = artifact.persist()
-    stale = (
+    # LIFECYCLE: the persists are PRIVATE (per-call token, see
+    # dedup.private_persist) — a plain persist of the artifact's bare
+    # read was silently served to every later same-path plan in the
+    # session, including a post-swap read of the refreshed artifact
+    # (caught by the `pvarch index_words` CLI round-trip test) and a
+    # later from-scratch rebuild (caught by the stats-lane e2e test).
+    # The entries live until clearCache; the CLI additionally
+    # refreshByPath-es after its in-place swap (the standard Spark
+    # contract for externally-changed files).
+    artifact = private_persist(artifact)
+    stale = private_persist(
         cur.join(artifact.select(key, "wm", "np"), key, "left")
         .filter(
             F.col("wm").isNull()
@@ -1253,13 +1263,12 @@ def sax_words_refresh(
             | (F.col("_cur_np") != F.col("np"))
         )
         .select(key)
-        .persist()
     )
     # the stale-pruned point frame feeds three consumers (the build
     # stats below, plus locf_grid's key census and as-of scan inside the
     # reword) — persist so the corpus is scanned once for it; in the
     # production cadence stale is a narrow append so this frame is small
-    stale_points = points.join(stale, key, "leftsemi").persist()
+    stale_points = private_persist(points.join(stale, key, "leftsemi"))
     # horizon-bounded build stats for the re-worded rows, from the same
     # pruned frame the reword scans — NEVER the caller's stats frame,
     # whose values may be unbounded (all-time cache)
@@ -1337,7 +1346,9 @@ def sax_topk(
     words = (
         index
         if index is not None
-        else sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key).persist()
+        else private_persist(
+            sax_words(points, t0, t1, step, n_segments, alphabet, quantum, key)
+        )
     )
     empty = spark.createDataFrame(
         [], f"{key} string, word string, n long, r double"
@@ -1384,7 +1395,7 @@ def sax_topk(
     # the nominee grid feeds both the query row and the candidate sums —
     # persist so the isin-pruned re-read + LOCF pass runs once (it is
     # ≤ (n_candidates+1) series × grid instants, bounded at any scale)
-    grid = (
+    grid = private_persist(
         locf_grid(points.filter(F.col(key).isin(ids + [query])), t0, t1, step, key=key)
         .filter(F.col("value").isNotNull())
         .select(
@@ -1392,7 +1403,6 @@ def sax_topk(
             "t",
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
-        .persist()
     )
     qgrid = grid.filter(F.col(key) == query).select(
         F.col("t"), F.col("q").alias("qa")
@@ -1564,7 +1574,7 @@ def sax_index_health(
     # and the totals; persist so an inline-built word table is worded
     # once, not once per consumer (r13 — was 4 full builds in the
     # ts_sax_health plan: 48 Exchanges / 36 scans before, one after)
-    b = words.groupBy("word").agg(F.count(F.lit(1)).alias("bn")).persist()
+    b = private_persist(words.groupBy("word").agg(F.count(F.lit(1)).alias("bn")))
     ranked = b.withColumn(
         "rk", F.row_number().over(Window.orderBy("bn", "word"))
     )
@@ -3067,8 +3077,8 @@ def xcorr_lag(
             F.round((F.col("t") - float(t0)) / float(step)).cast("long").alias("i"),
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
-        .persist()
     )
+    grid = private_persist(grid)
     pa = grid.join(F.broadcast(pairs), F.col(key) == F.col("pv_a")).select(
         "pv_a", "pv_b", "i", F.col("q").alias("qa")
     )
