@@ -20,7 +20,7 @@ Scale notes (100 TB posture):
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Observation
 from pyspark.sql import functions as F
 
 from epicsarchiver_spark.functions.hashing import (
@@ -882,14 +882,21 @@ def connected_components(
         # (neither hop nor shortcut changed anything) implies the
         # propagation fixpoint, i.e. label = component min.
         lmap = prop.select(F.col("id").alias("_lid"), F.col("label").alias("_llab"))
+        # the convergence sum is OBSERVED during the round's checkpoint
+        # job (Dataset.observe — accumulator-collected), not a second
+        # per-round action: each round is ONE job instead of two (r14,
+        # guide §2.5/§2.6 — job barriers are the iterative lanes' tail)
+        obs = Observation()
         upd = _truncate(
-            prop.join(lmap, prop["label"] == lmap["_lid"], "left").select(
+            prop.join(lmap, prop["label"] == lmap["_lid"], "left")
+            .select(
                 "id",
                 F.coalesce("_llab", "label").alias("label"),
                 (F.coalesce("_llab", "label") < F.col("_old")).cast("int").alias("_chg"),
             )
+            .observe(obs, F.sum("_chg").alias("c"))
         )
-        changed = upd.agg(F.sum("_chg")).head()[0] or 0
+        changed = obs.get["c"] or 0
         labels = upd.select("id", "label")
         if changed == 0:
             break
@@ -959,14 +966,23 @@ def connected_components_star(
             .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
             .distinct()
         )
-        edges = _truncate_lineage(small)
         # order-independent, overflow-free fingerprint (ANSI sum() on
-        # xxhash64 values overflows long)
-        fp = tuple(
-            edges.agg(
-                F.count(F.lit(1)), F.bit_xor(F.xxhash64("u", "v"))
-            ).head()
+        # xxhash64 values overflows long), OBSERVED during the round's
+        # checkpoint materialization instead of a second per-round
+        # action — each round is ONE job instead of two (r14, guide
+        # §2.5/§2.6: the per-round job barrier was the 32-core wall on
+        # doc_dedup_shards; the fingerprint rides the checkpoint's
+        # accumulators for free)
+        obs = Observation()
+        edges = _truncate_lineage(
+            small.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(F.xxhash64("u", "v")).alias("x"),
+            )
         )
+        m = obs.get
+        fp = (m["n"], m["x"])
         if fp == prev_fp:
             break
         prev_fp = fp

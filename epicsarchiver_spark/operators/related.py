@@ -149,17 +149,24 @@ def pagerank(
     (≲10⁵ nodes — the sf0.1 graph).
 
     ``broadcast_ranks=None`` (default) therefore AUTO-SELECTS: the
-    node count falls out of the initial rank frame — one bounded
-    aggregate over the once-materialized edge list, paid before the
-    first round and amortized over all of them — and the lane is
-    broadcast iff nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES`` (the r12c
-    crossover, sized by when shuffle WINS, not by when the broadcast
-    OOMs; SCALE r13a re-measures both sides of the boundary through
-    the auto pick). Pass True/False to override — the probes' and
-    tests' pin-one-lane dial.
+    node count is OBSERVED on the out-weight aggregate while the edge
+    list materializes (``Dataset.observe`` — one row per src IS the
+    node count, collected by accumulator during the checkpoint job),
+    so the pick costs zero extra jobs; the lane is broadcast iff
+    nodes ≤ ``PAGERANK_BROADCAST_MAX_NODES`` (the r12c crossover,
+    sized by when shuffle WINS, not by when the broadcast OOMs; SCALE
+    r13a re-measures both sides of the boundary through the auto
+    pick). Pass True/False to override — the probes' and tests'
+    pin-one-lane dial. (r13 paid a pre-round checkpoint + count() of
+    the distinct-src rank frame for this — two extra sequential jobs
+    the driver measured at ~2.5 s of the gate; r14 removes both: the
+    initial rank frame itself is gone, because round 1's recurrence
+    reads r0(u) = scale — a constant the first join folds to.)
     Weights fold in exact integer cents; canonical dedup
     (least/greatest + max) runs once up front.
     """
+    from pyspark.sql import Observation
+
     from epicsarchiver_spark.operators.dedup import _truncate_lineage
 
     canon = canonical_pairs(edges, a, b, score)
@@ -179,27 +186,50 @@ def pagerank(
         .filter(F.col("w") > 0)
     )
     wout = both.groupBy("src").agg(F.sum("w").alias("wt"))
+    obs = None
+    if broadcast_ranks is None and int(rounds) >= 2:
+        # wout has exactly one row per node — count it as it flows into
+        # the join, inside the same checkpoint job (guide §1/§2.5: no
+        # separate driver action for a statistic the running job already
+        # computes). Rounds 0/1 never join a rank frame, so no pick.
+        obs = Observation()
+        wout = wout.observe(obs, F.count(F.lit(1)).alias("n"))
     g = _truncate_lineage(both.join(wout, "src"))
     base = (15 * int(scale)) // 100
-    ranks = g.select(F.col("src").alias("id")).distinct().withColumn(
-        "r", F.lit(int(scale)).cast("long")
-    )
-    if broadcast_ranks is None:
-        # materialize the initial rank frame ONCE, then the lane pick's
-        # node count is a near-free aggregate over it and round 1
-        # reuses the same 16-byte-per-node RDD instead of recomputing
-        # the edge-list distinct (measured: the naive count paid the
-        # distinct twice, ~1.5 s at 10⁶ edges)
-        ranks = _truncate_lineage(ranks)
-        broadcast_ranks = _pagerank_use_broadcast(ranks.count())
-    for i in range(int(rounds)):
-        rk = F.broadcast(ranks) if broadcast_ranks else ranks
-        contrib = (
-            g.join(rk, g["src"] == ranks["id"])
-            .select(F.col("dst").alias("id"), F.expr("r * w DIV wt").alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("c"))
+    if int(rounds) <= 0:
+        ranks = _truncate_lineage(
+            g.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("r", F.lit(int(scale)).cast("long"))
         )
+        return ranks.select(
+            F.col("id").alias("pvname"),
+            F.col("r").alias("rank_units"),
+            F.round(F.col("r") / float(scale), 6).alias("rank"),
+        )
+    if obs is not None:
+        broadcast_ranks = _pagerank_use_broadcast(obs.get["n"])
+    ranks = None
+    for i in range(int(rounds)):
+        if i == 0:
+            # r0(u) = scale for every node: the rank join of round 1
+            # folds to a constant column — no initial rank frame, no
+            # join, same integer arithmetic (`r * w DIV wt` with
+            # r = scale), bit-identical to joining the all-scale frame
+            contrib = (
+                g.withColumn("r", F.lit(int(scale)).cast("long"))
+                .select(F.col("dst").alias("id"), F.expr("r * w DIV wt").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("c"))
+            )
+        else:
+            rk = F.broadcast(ranks) if broadcast_ranks else ranks
+            contrib = (
+                g.join(rk, g["src"] == ranks["id"])
+                .select(F.col("dst").alias("id"), F.expr("r * w DIV wt").alias("c"))
+                .groupBy("id")
+                .agg(F.sum("c").alias("c"))
+            )
         ranks = contrib.select(
             "id",
             (F.lit(base) + F.expr("85 * c DIV 100")).cast("long").alias("r"),
