@@ -64,12 +64,17 @@ def cull_data(frame: DataFrame, max_points: int = 30_000, max_iter: int = 16, **
     aggregations), which is quadratic work in pass count and a real
     scale-killer at 100 TB. The returned frame is left persisted; callers
     that are done with it may ``unpersist()``."""
+    from epicsarchiver_spark.operators.dedup import private_persist
+
     out = frame
     prev: DataFrame | None = None
     for _ in range(max_iter):
         if out.count() <= max_points:
             break
-        out = cull_pass(out, **kw).persist()
+        # private: the pass frame derives from the caller's (typically
+        # parquet-read) input — a session-global cache entry for it
+        # would be served to later same-path plans (r13 hazard class)
+        out = private_persist(cull_pass(out, **kw))
         if prev is not None:
             prev.unpersist()
         prev = out

@@ -197,10 +197,14 @@ def minhash_candidates(
         # the signature subplan feeds candidate generation AND two
         # pair-side re-joins — persist (lazily: the first job fills the
         # cache, later consumers in the same action reuse it) so the
-        # expensive signatures compute once.
+        # expensive signatures compute once. Private: docs is typically
+        # a parquet read, and a session-global cache entry for it would
+        # be served to ANY later same-path plan — even after the files
+        # changed (the r13 stale-read class; r14 converts every
+        # pre-r13 plain persist of a path-derived frame).
         from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = private_persist(sigs, StorageLevel.MEMORY_AND_DISK)
     # candidate generation moves only (id, band, bucket) — signatures
     # (64×8 B each) stay out of the explode/join/dedup shuffles and are
     # re-attached once per surviving pair
@@ -299,7 +303,8 @@ def minhash_candidates_between(
         ).select(F.col(id_col).alias(out_id), "sig")
         from pyspark import StorageLevel
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        # private: path-derived frame (see minhash_candidates)
+        sigs = private_persist(sigs, StorageLevel.MEMORY_AND_DISK)
         return bucketed_from(sigs, out_id)
 
     new_sigs, new_bb = bucketed(new_docs, "new_id")
@@ -364,10 +369,11 @@ def simhash_near_duplicates(
     sigs = base.select(F.col(id_col), simhash64_udf()(F.col("bh")).alias("sh"))
     # the signature subplan (shingle hashing + the Arrow UDF) feeds BOTH
     # sides of the block self-join — persist lazily so it computes once,
-    # not twice (one long per doc; same discipline as minhash_candidates)
+    # not twice (one long per doc; same discipline as minhash_candidates,
+    # including the private-entry requirement for path-derived frames)
     from pyspark import StorageLevel
 
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = private_persist(sigs, StorageLevel.MEMORY_AND_DISK)
     block_width = 64 // blocks
     mask = (1 << block_width) - 1
     blocked = sigs.select(
@@ -759,10 +765,11 @@ def winnow_matches(
         fp = winnow_fingerprints(docs, k=k, w=w, text=text, id_col=id_col)
         # the fingerprint subplan (md5 fold + window-min) feeds the df
         # cap and BOTH join sides — persist lazily so it computes once
-        # (same discipline as the MinHash/SimHash signature subplans)
+        # (same discipline as the MinHash/SimHash signature subplans,
+        # private because docs is typically a parquet read)
         from pyspark import StorageLevel
 
-        fp = fp.persist(StorageLevel.MEMORY_AND_DISK)
+        fp = private_persist(fp, StorageLevel.MEMORY_AND_DISK)
     if max_df is not None:
         common = (
             fp.groupBy("fp")
@@ -1619,13 +1626,11 @@ def triangle_stats(
     join sides, node rollups) would otherwise each re-derive the pair
     lane — measured ~6× the pair-build cost before this persist
     (SCALE.md r9k)."""
-    e0 = (
+    e0 = private_persist(
         pairs.select(
             F.least(F.col(id_a), F.col(id_b)).alias("u"),
             F.greatest(F.col(id_a), F.col(id_b)).alias("v"),
-        )
-        .distinct()
-        .persist()
+        ).distinct()
     )
     e = e0
     if max_degree is not None:

@@ -582,9 +582,12 @@ def near_dup_media(
     sigs = media_ahash(media, codec=codec).select("media_id", "ahash")
     from pyspark import StorageLevel
 
+    from epicsarchiver_spark.operators.dedup import private_persist
+
     # signature subplan (per-payload decode) feeds both join sides —
-    # persist lazily so it decodes once (same discipline as SimHash)
-    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist lazily so it decodes once (same discipline as SimHash,
+    # private because the media frame is typically a parquet read)
+    sigs = private_persist(sigs, StorageLevel.MEMORY_AND_DISK)
     block_width = 64 // blocks
     mask = (1 << block_width) - 1
     blocked = sigs.select(

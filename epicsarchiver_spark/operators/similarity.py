@@ -717,25 +717,50 @@ def ivfpq_topk_rerank(
 
 def _sq8_key_udf(qq: list[int]):
     """Arrow-batched SQ8 nomination key ``⟨c, q8⟩ / √Σc²`` (−2.0 for
-    all-zero codes) over the comma-joined ``qvec`` column. All inputs
-    are small integers, so the float64 matrix products are EXACT (every
-    partial < 2⁵³) and the result is bit-identical to a BIGINT fold —
-    see the call site's note."""
+    all-zero, null or empty codes) over the comma-joined ``qvec``
+    column. All inputs are small integers, so the float64 matrix
+    products are EXACT (every partial < 2⁵³) and the result is
+    bit-identical to a BIGINT fold — see the call site's note.
+
+    Null/empty rows are masked to −2.0 BEFORE the join/reshape (which
+    need dense equal-width rows): ``quantize_embeddings`` can emit ''
+    for an empty embedding and null for a null one, and the pre-Arrow
+    SQL fold degraded those to a null/−2 key that ranked last — the
+    vectorized pass must not instead crash the stage. Ragged or
+    query-width-mismatched rows (artifact-contract violations) raise
+    with the widths in the message. The returned UDF is marked
+    non-deterministic (guide §4.4) so the optimizer never duplicates
+    the GEMM into a pushed-down sort key or filter — the plan must
+    show exactly ONE ArrowEvalPython (pinned in tests)."""
     qv = np.asarray([int(x) for x in qq], dtype=np.float64)
 
     @F.pandas_udf("double")
     def key(qvecs: pd.Series) -> pd.Series:
         if len(qvecs) == 0:
             return pd.Series([], dtype="float64")
-        flat = np.array(",".join(qvecs.tolist()).split(","), dtype=np.float64)
-        M = flat.reshape(len(qvecs), -1)
-        inner = M @ qv
-        ssq = (M * M).sum(axis=1)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            k = inner / np.sqrt(ssq)
-        return pd.Series(np.where(ssq > 0, k, -2.0))
+        vals = qvecs.fillna("")
+        good = (vals.str.len() > 0).to_numpy()
+        out = np.full(len(qvecs), -2.0, dtype=np.float64)
+        if good.any():
+            sub = vals[good]
+            flat = np.array(",".join(sub.tolist()).split(","), dtype=np.float64)
+            if flat.size % len(sub):
+                raise ValueError(
+                    f"ragged qvec rows: {flat.size} codes over {len(sub)} rows"
+                )
+            M = flat.reshape(len(sub), -1)
+            if M.shape[1] != qv.size:
+                raise ValueError(
+                    f"qvec width {M.shape[1]} != query width {qv.size}"
+                )
+            inner = M @ qv
+            ssq = (M * M).sum(axis=1)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                k = inner / np.sqrt(ssq)
+            out[good] = np.where(ssq > 0, k, -2.0)
+        return pd.Series(out)
 
-    return key
+    return key.asNondeterministic()
 
 
 def _sq8_query(query: list[float]) -> tuple[list[int], float]:
@@ -1601,8 +1626,11 @@ def embedding_verdicts(
         if dim is None:
             raise ValueError("pass centroids=... or dim=... for the LCG fallback")
         centroids = _hyperplanes(dim, n_cells, seed)
-    assigned = _cell_assignments(vectors, centroids, id_col, vec_col).persist(
-        StorageLevel.MEMORY_AND_DISK
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    assigned = private_persist(
+        _cell_assignments(vectors, centroids, id_col, vec_col),
+        StorageLevel.MEMORY_AND_DISK,
     )
     sd = semantic_dedup(
         vectors,
@@ -1670,15 +1698,20 @@ def cell_quality(
     # subtree into every branch (measured 16 ArrowEvalPython nodes
     # unpersisted — ~3× the assignment compute for a bounded
     # n_vecs × 4-column frame)
-    scored = prototype_scores(
-        vectors,
-        n_cells=n_cells,
-        seed=seed,
-        dim=dim,
-        centroids=centroids,
-        id_col=id_col,
-        vec_col=vec_col,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    scored = private_persist(
+        prototype_scores(
+            vectors,
+            n_cells=n_cells,
+            seed=seed,
+            dim=dim,
+            centroids=centroids,
+            id_col=id_col,
+            vec_col=vec_col,
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
     totals = scored.agg(F.count(F.lit(1)).alias("_tot"))
     out = (
         scored.groupBy("cell")

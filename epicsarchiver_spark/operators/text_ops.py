@@ -892,11 +892,15 @@ def qld_topk(
     # each re-tokenize the corpus through their own lineage — the
     # winnow-fingerprint persist precedent; rows are (id, dl, ≤|q|
     # matched tokens), tiny next to the text they summarize
-    base = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
-    ).persist()
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    base = private_persist(
+        docs.select(
+            F.col(id_col),
+            F.size(toks).alias("_dl"),
+            F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
+        )
+    )
     tot = base.agg(F.sum("_dl").cast("long").alias("_tt"))
     tf = (
         base.filter(F.size("_hit") > 0)
@@ -2352,10 +2356,13 @@ def related_terms(
     tgt = target.lower()
     w = int(window)
     # two consumers (co-occurrence lane, corpus unigram lane) share one
-    # tokenize via persist — the qld_topk discipline
-    toks = docs.select(
-        T.tokens(F.lower(F.coalesce(F.col(text), F.lit("")))).alias("tk")
-    ).persist()
+    # tokenize via persist — the qld_topk discipline (private: the
+    # tokenized frame derives from a path read, r13 hazard class)
+    from epicsarchiver_spark.operators.dedup import private_persist
+
+    toks = private_persist(
+        docs.select(T.tokens(F.lower(F.coalesce(F.col(text), F.lit("")))).alias("tk"))
+    )
     n = F.size("tk")
     # empty/whitespace docs tokenize to [] → sequence(1, 0) descends and
     # element_at(_, 0) throws; one such doc anywhere kills the whole scan
