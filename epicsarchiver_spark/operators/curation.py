@@ -77,14 +77,15 @@ def pipeline_verdicts(
         .select(F.col(id_col), F.lit(2).alias("_pri"))
     )
 
-    # (id, fp) feeds both the min-id aggregate and the copy join —
-    # persist the 16-byte rows so the text is fingerprinted once (r13;
-    # private: the entry must not be matchable by other queries)
-    from epicsarchiver_spark.operators.dedup import private_persist
-
-    fps = private_persist(
-        docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp"))
-    )
+    # (id, fp) feeds both the min-id aggregate and the copy join. A
+    # persist was tried here (r13, kept on a neutral measurement) and
+    # REVERTED in r14: the driver measured the gate −10% with it, and a
+    # fresh same-JVM interleaved A/B confirms (persist 3.90 s / plain
+    # 3.33 s median of 6 at sf0.1) — the join needs hash(_fp) on both
+    # sides and keep_fp derives from the same exchange, so ReuseExchange
+    # already computes the fingerprint scan once; the cache
+    # materialization was pure overhead (the r13 ReuseExchange lesson).
+    fps = docs.select(F.col(id_col), fingerprint64(F.col(text)).alias("_fp"))
     keep_fp = fps.groupBy("_fp").agg(F.min(id_col).alias("_kid"))
     e = (
         fps.join(keep_fp, "_fp")

@@ -234,12 +234,10 @@ def minhash_candidates(
 
 
 def minhash_near_duplicates(docs: DataFrame, threshold: float = 0.7, **kw) -> DataFrame:
-    """Near-dup pairs with estimated Jaccard ≥ threshold."""
-    return (
-        minhash_candidates(docs, **kw)
-        .filter(F.col("est_jaccard") >= threshold)
-        .orderBy("id_a", "id_b")
-    )
+    """Near-dup pairs with estimated Jaccard ≥ threshold. Unordered —
+    the CC/curation consumers re-shuffle anyway (r14, guide §2.4; the
+    jaccard_pairs_blocked note); direct gates sort at the gate."""
+    return minhash_candidates(docs, **kw).filter(F.col("est_jaccard") >= threshold)
 
 
 def dedup_against_corpus(
@@ -401,8 +399,8 @@ def simhash_near_duplicates(
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("hamming") <= max_hamming)
+        # unordered (r14, guide §2.4 — see jaccard_pairs_blocked)
         .select("id_a", "id_b", "hamming")
-        .orderBy("id_a", "id_b")
     )
 
 
@@ -520,7 +518,15 @@ def jaccard_pairs_blocked(
             F.greatest("id_a", "id_b").alias("id_b"),
             "jaccard",
         )
-    return out.select("id_a", "id_b", "jaccard").orderBy("id_a", "id_b")
+    # No trailing orderBy (r14, guide §2.4: a global sort used only for
+    # presentation): the graph consumers (CC loops, merge_components,
+    # graph_profile, triangle_stats, write_edges) either persist or
+    # re-shuffle this frame, and a sort below a projection/persist is
+    # NOT eliminated by EliminateSorts — graph_profile's plan carried
+    # two rangepartitioning exchanges purely to materialize an order
+    # nobody consumed. Gates that RETURN pairs directly sort at the
+    # gate (same visible order as before; the row set is unchanged).
+    return out.select("id_a", "id_b", "jaccard")
 
 
 def fuzzy_matches(

@@ -529,6 +529,29 @@ def tfidf_top_terms(
     )
 
 
+def query_match_base(
+    docs: DataFrame,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The ``(id, _dl, _hit)`` projection both keyword rankers start
+    from: doc length + the token array intersected with the (lowercased,
+    deduped, sorted) query. ``bm25_topk`` and ``qld_topk`` build exactly
+    this internally; a multi-lane caller (the RRF hybrid gate) builds it
+    ONCE, private_persists it, and passes it to both via ``base=`` so
+    the corpus is tokenized once instead of 5× (r14, guide §2.4 — two
+    operations keyed the same way share one pass). Rows are (id, int,
+    ≤|q| matched tokens) — tiny next to the text they summarize."""
+    terms = sorted({t.lower() for t in query_terms})
+    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("_dl"),
+        F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -537,6 +560,7 @@ def bm25_topk(
     b: float = 0.75,
     text: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """BM25 document retrieval — the standard keyword-relevance ranker
     (Robertson/Sparck Jones; the Lucene default), completing the text
@@ -557,15 +581,13 @@ def bm25_topk(
     the scan is |matches| ≤ N·|query| rows, and the top-k is
     TakeOrderedAndProject. Scores rounded to 6 dp; ties break on
     doc_id for engine determinism."""
-    terms = sorted({t.lower() for t in query_terms})
-    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
     # r13: persists tried here (base, tf) measured slower —
-    # ReuseExchange already dedupes the repeated subtrees at runtime
-    base = docs.select(
-        F.col(id_col),
-        F.size(toks).alias("_dl"),
-        F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
-    )
+    # ReuseExchange already dedupes the repeated subtrees at runtime.
+    # ``base``: a caller-built query_match_base(docs, query_terms) frame
+    # (typically persisted and shared with a qld_topk lane) — the same
+    # projection this builds inline, computed once for several lanes.
+    if base is None:
+        base = query_match_base(docs, query_terms, text=text, id_col=id_col)
     stats = base.agg(
         F.count(F.lit(1)).alias("_n"), F.avg("_dl").alias("_avgdl")
     )
@@ -862,6 +884,7 @@ def qld_topk(
     mu: float = 2000.0,
     text: str = "text",
     id_col: str = "doc_id",
+    base: DataFrame | None = None,
 ) -> DataFrame:
     """Query-likelihood retrieval with Dirichlet smoothing (Ponte/Croft
     '98, Zhai/Lafferty '01) — the other classical ranker next to BM25:
@@ -885,22 +908,25 @@ def qld_topk(
     constant/total frames ride broadcast nested loops (the annotated
     one-row-crossJoin pattern); top-k is TakeOrderedAndProject. Cache
     the tokenized base upstream if scoring many queries per batch."""
-    terms = sorted({t.lower() for t in query_terms})
-    toks = T.tokens(F.lower(F.coalesce(F.col(text), F.lit(""))))
     # persist the tokenized projection: five consumers (token total,
     # matched pairs, cf, constants, per-doc lengths) would otherwise
     # each re-tokenize the corpus through their own lineage — the
     # winnow-fingerprint persist precedent; rows are (id, dl, ≤|q|
-    # matched tokens), tiny next to the text they summarize
-    from epicsarchiver_spark.operators.dedup import private_persist
+    # matched tokens), tiny next to the text they summarize.
+    # ``base``: a caller-built (and typically already-persisted)
+    # query_match_base frame shared across ranker lanes (r14). Only a
+    # base built HERE is unpersisted here — unpersisting a shared one
+    # would silently evict it before the sibling lane executes (found
+    # the hard way: the r14 hybrid gate's bm25 lane re-tokenized the
+    # corpus because this function dropped the shared entry during its
+    # eager top-k checkpoint).
+    own_base = base is None
+    if own_base:
+        from epicsarchiver_spark.operators.dedup import private_persist
 
-    base = private_persist(
-        docs.select(
-            F.col(id_col),
-            F.size(toks).alias("_dl"),
-            F.filter(toks, lambda t: t.isin(*terms)).alias("_hit"),
+        base = private_persist(
+            query_match_base(docs, query_terms, text=text, id_col=id_col)
         )
-    )
     tot = base.agg(F.sum("_dl").cast("long").alias("_tt"))
     tf = (
         base.filter(F.size("_hit") > 0)
@@ -959,9 +985,12 @@ def qld_topk(
     # k rows: eager-checkpoint to cut lineage off the persisted base and
     # release the cache HERE (the cell_quality discipline,
     # similarity.py) instead of leaking one tokenized projection per
-    # call for the life of a SearchPipeline session
+    # call for the life of a SearchPipeline session. A caller-owned
+    # shared base stays persisted — the caller's other lanes still
+    # read it (lifecycle contract: caller unpersists / clearCache).
     out = out.localCheckpoint(eager=True)
-    base.unpersist()
+    if own_base:
+        base.unpersist()
     return out
 
 

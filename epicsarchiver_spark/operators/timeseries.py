@@ -3059,9 +3059,14 @@ def xcorr_lag(
         .unionByName(pairs.select(F.col("pv_b").alias(key)))
         .distinct()
     )
-    # the candidate grid feeds both the a-side and the b-side attach —
-    # persist so the pruned LOCF pass runs once, not once per side (it
-    # is |pairs|-bounded: ~|names| series × grid instants) (r13, §5)
+    # the candidate grid feeds both the a-side and the b-side attach.
+    # A persist was tried here (r13) and REVERTED in r14: the driver
+    # measured the gate −14% with it, and a fresh same-JVM interleaved
+    # A/B confirms (persist 2.75 s / plain 2.48 s median of 6 at
+    # sf0.1) — both attach sides re-expand the SAME series-keyed
+    # exchange + window subtree, which ReuseExchange already computes
+    # once at runtime; only the cheap post-window projections differ
+    # (the r13 ReuseExchange lesson).
     grid = (
         locf_grid(
             points.join(F.broadcast(names), key, "left_semi"),
@@ -3078,7 +3083,6 @@ def xcorr_lag(
             F.round(F.col("value") / quantum).cast("long").alias("q"),
         )
     )
-    grid = private_persist(grid)
     pa = grid.join(F.broadcast(pairs), F.col(key) == F.col("pv_a")).select(
         "pv_a", "pv_b", "i", F.col("q").alias("qa")
     )

@@ -34,8 +34,10 @@ def test_mirror_rejects_array_typed_columns():
         normalize_rows(["id", "vec"], [(1, [1.0]), (2, [2.0])])
 
 
-@pytest.mark.parametrize("name", sorted(ORACLES))
-def test_query_matches_oracle(spark, duck, name):
+def _compare_gate(spark, cursor, name) -> None:
+    """One gate's driver-style comparison (unchanged logic): Spark vs
+    DuckDB at sf0.01 — columns, row count, pandas dtypes, canonicalized
+    values."""
     import pandas as pd
 
     def _rows(pdf):
@@ -47,7 +49,7 @@ def test_query_matches_oracle(spark, duck, name):
     scols = list(spdf.columns)
     srows = _rows(spdf)
 
-    dpdf = duck.execute(ORACLES[name]).df()
+    dpdf = cursor.execute(ORACLES[name]).df()
     dcols = list(dpdf.columns)
     drows = _rows(dpdf)
 
@@ -67,6 +69,47 @@ def test_query_matches_oracle(spark, duck, name):
         (i, a, b) for i, (a, b) in enumerate(zip(snorm, dnorm)) if a != b
     ]
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+@pytest.fixture(scope="session")
+def parity_outcomes(spark, duck):
+    """Run EVERY gate's comparison once, a few at a time from driver
+    threads (guide §2.6: Spark happily runs several jobs in one
+    application — sequential gates at sf0.01 left most of the cores idle
+    in each gate's straggler tail, and the suite's ~25 min of oracle
+    parity was mostly that idle time). Each gate still runs exactly the
+    same comparison; per-gate results surface through the parametrized
+    test below so pass/fail granularity is unchanged. DuckDB work uses
+    one cursor per worker thread (the documented duckdb threading
+    model); artifact build-once is serialized by the entry's
+    _ARTIFACTS_LOCK."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = max(1, int(os.environ.get("SPARK_GRAFT_PARITY_WORKERS", "8")))
+    outcomes: dict[str, BaseException | None] = {}
+
+    def run(name: str):
+        cursor = duck.cursor()
+        try:
+            _compare_gate(spark, cursor, name)
+            return name, None
+        except BaseException as exc:  # re-raised in the gate's own test
+            return name, exc
+        finally:
+            cursor.close()
+
+    with ThreadPoolExecutor(max_workers=workers) as pool:
+        for name, exc in pool.map(run, sorted(ORACLES)):
+            outcomes[name] = exc
+    return outcomes
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(parity_outcomes, name):
+    exc = parity_outcomes[name]
+    if exc is not None:
+        raise exc
 
 
 _ROWS_ONLY = sorted(set(QUERIES) - set(ORACLES))

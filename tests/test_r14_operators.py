@@ -108,3 +108,129 @@ def test_sq8_stage1_exactly_one_arrow_eval(spark):
     )
     plan = cand._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") == 1, plan
+
+
+# ---------------------------------------- iterative-loop job barriers
+
+
+class _NoDriverActions:
+    """Context manager that pins 'no separate per-round driver action':
+    every DataFrame action that the r13 loops used for convergence /
+    lane statistics (count, head, collect, take) RAISES if called, and
+    lineage truncations are counted. Job counts are useless here — AQE
+    legitimately splits one action into many stage-materialization jobs
+    — but an operator calling .count()/.head() mid-loop is exactly the
+    extra job barrier VERDICT r13 items 1/3 banned, and it is visible
+    at the API layer."""
+
+    def __init__(self):
+        self.truncations = 0
+
+    def __enter__(self):
+        from pyspark.sql import DataFrame
+
+        from epicsarchiver_spark.operators import dedup
+
+        self._df = DataFrame
+        self._orig = {n: getattr(DataFrame, n) for n in ("count", "head", "collect", "take")}
+        self._dedup = dedup
+        self._orig_trunc = dedup._truncate_lineage
+
+        def forbid(name):
+            def fn(*a, **k):
+                raise AssertionError(f"driver action DataFrame.{name} inside the loop")
+
+            return fn
+
+        for n in self._orig:
+            setattr(DataFrame, n, forbid(n))
+
+        def counting_trunc(df):
+            self.truncations += 1
+            return self._orig_trunc(df)
+
+        dedup._truncate_lineage = counting_trunc
+        return self
+
+    def __exit__(self, *exc):
+        for n, f in self._orig.items():
+            setattr(self._df, n, f)
+        self._dedup._truncate_lineage = self._orig_trunc
+        return False
+
+
+def test_star_cc_no_per_round_driver_action(spark):
+    """r14 (VERDICT r13 item 3): the star-CC convergence fingerprint is
+    OBSERVED during the round's checkpoint materialization — no
+    per-round count/head action remains (the second sequential job the
+    r13 driver measured as the 32-core wall on doc_dedup_shards). A
+    12-node path cannot converge in 3 rounds, so max_iter=3 pins the
+    round count; truncations: 1 (edge list) + 3 (one per round)."""
+    from epicsarchiver_spark.operators.dedup import connected_components_star
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(11)], columns=["id_a", "id_b"])
+    )
+    with _NoDriverActions() as guard:
+        connected_components_star(pairs, max_iter=3)
+    assert guard.truncations == 4
+
+
+def test_propagation_cc_no_per_round_driver_action(spark):
+    """Same pin for the propagation loop: the convergence sum rides the
+    checkpoint job's accumulators (Dataset.observe), never a separate
+    .agg().head() action."""
+    from epicsarchiver_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        pd.DataFrame([(i, i + 1) for i in range(7)], columns=["id_a", "id_b"])
+    )
+    with _NoDriverActions():
+        connected_components(pairs, max_iter=2)
+
+
+def test_pagerank_no_pre_round_count_job(spark):
+    """r14 (VERDICT r13 item 1): the lane pick is observed on the
+    out-weight aggregate during the edge-list checkpoint and round 1
+    folds r0 = scale into the edge frame — no initial-rank frame
+    truncation, no pre-round .count(). Truncations for rounds=8 with
+    cadence 4: 1 (edge list) + 2 (checkpoints at rounds 4 and 8);
+    r13 paid 5 (initial-ranks truncate + count, per-round barriers)."""
+    from epicsarchiver_spark.operators.related import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("a", "b", 4.0), ("b", "c", 2.0), ("c", "d", 3.0)],
+            columns=["pv1", "pv2", "score"],
+        )
+    )
+    with _NoDriverActions() as guard:
+        pagerank(edges, rounds=8)
+    assert guard.truncations == 3
+
+
+def test_pagerank_round1_fold_matches_mirror(spark):
+    """rounds=1 exercises ONLY the r14 r0-fold path (no rank join at
+    all) — pin it against the literal integer-recurrence mirror."""
+    from epicsarchiver_spark.operators.related import pagerank
+
+    edges = spark.createDataFrame(
+        pd.DataFrame(
+            [("A", "B", 1.0), ("B", "C", 3.0), ("C", "D", 1.0)],
+            columns=["pv1", "pv2", "score"],
+        )
+    )
+    scale, base = 10**9, (15 * 10**9) // 100
+    w = {("A", "B"): 1, ("B", "C"): 3, ("C", "D"): 1}
+    adj: dict = {}
+    for (u, v), ww in w.items():
+        adj.setdefault(u, {})[v] = ww
+        adj.setdefault(v, {})[u] = ww
+    wt = {u: sum(nb.values()) for u, nb in adj.items()}
+    c = {u: 0 for u in adj}
+    for u, nb in adj.items():
+        for v, ww in nb.items():
+            c[v] += (scale * ww) // wt[u]
+    expect = {u: base + (85 * c[u]) // 100 for u in adj}
+    got = {r.pvname: r.rank_units for r in pagerank(edges, rounds=1).collect()}
+    assert got == expect

@@ -565,3 +565,40 @@ def test_standardize_embeddings_moments(spark):
         ]
     )
     assert (out == again).all()
+
+
+def test_keyword_lanes_shared_base_identical_to_inline(spark):
+    """r14: the hybrid gate builds ONE query_match_base frame and
+    passes it to both keyword rankers (guide §2.4 — two lanes keyed the
+    same way share one tokenize pass). Sharing may not change a single
+    row of either lane."""
+    import pandas as pd
+
+    from epicsarchiver_spark.operators.dedup import private_persist
+    from epicsarchiver_spark.operators.text_ops import (
+        bm25_topk,
+        qld_topk,
+        query_match_base,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            [
+                (1, "alpha beta gamma alpha"),
+                (2, "beta beta delta"),
+                (3, "gamma gamma gamma epsilon alpha"),
+                (4, "zeta eta theta"),
+                (5, ""),
+            ],
+            columns=["doc_id", "text"],
+        )
+    )
+    query = ["Alpha", "gamma", "beta"]
+    base = private_persist(query_match_base(docs, query))
+    try:
+        for fn in (bm25_topk, qld_topk):
+            inline = sorted(map(tuple, fn(docs, query, k=5).collect()))
+            shared = sorted(map(tuple, fn(docs, query, k=5, base=base).collect()))
+            assert inline == shared, fn.__name__
+    finally:
+        base.unpersist()
