@@ -271,13 +271,27 @@ def bench_ingest(spark, tmp: str) -> float:
     from pyspark.sql import functions as F
 
     from epicsarchiver_spark.catalog import points_view
-    from epicsarchiver_spark.streaming.ingest import archive_query, compressed_stream
+    from epicsarchiver_spark.streaming.ingest import (
+        archive_query,
+        compressed_stream,
+        ingest_session,
+    )
 
     src = f"{tmp}/events_in"
     points_view(spark, SF_DIR).select("pvname", "time", "value").coalesce(4).write.mode(
         "overwrite"
     ).parquet(src)
-    stream = spark.readStream.schema("pvname string, time double, value double").parquet(src)
+    # state partitions sized from input volume, not core count (r14:
+    # ingest_state_partitions — the stateful operator's per-partition
+    # fixed costs made the bench-scale stream FASTER at 8 cores than 32;
+    # the sizing rule is scale-adaptive, the stream runs on a sibling
+    # session so the bench session's conf is untouched). Timing
+    # methodology unchanged: same timed region, same availableNow run.
+    src_bytes = sum(
+        f.stat().st_size for f in __import__("pathlib").Path(src).glob("*.parquet")
+    )
+    s_ing = ingest_session(spark, src_bytes)
+    stream = s_ing.readStream.schema("pvname string, time double, value double").parquet(src)
     t0 = time.perf_counter()
     q = (
         archive_query(

@@ -58,6 +58,51 @@ STATE_SCHEMA = StructType(
 )
 
 
+def ingest_state_partitions(
+    input_bytes: int, bytes_per_partition: int = 64 * 1024 * 1024, floor: int = 4
+) -> int:
+    """Size the stateful operator's partition count from DATA VOLUME,
+    not core count. A streaming query pins its state-store partition
+    count to ``spark.sql.shuffle.partitions`` at first start (it is
+    written into the checkpoint), and every micro-batch then pays a
+    fixed cost PER state partition (store open + delta commit + Arrow
+    setup for the applyInPandasWithState kernel) regardless of how many
+    rows it carries. With partitions = cores (the batch default), a
+    bounded backfill on a 32-core box paid 32 of those fixed costs per
+    micro-batch for data that filled four — the r13 driver measured the
+    ingest bench FASTER at 8 cores than at 32 (scaling 0.54) purely on
+    this. One partition per ~64 MB of input (floor 4) keeps partitions
+    in the guide §2.2 size band at any scale: a 100 TB/day feed gets
+    ~10⁶ partitions' worth of daily volume spread over its real
+    parallelism, a bench-sized backfill gets the floor. Override with
+    $SPARK_GRAFT_INGEST_STATE_PARTITIONS where the deployment knows
+    better (e.g. sizing for a future volume on day one — the count is
+    fixed for the checkpoint's lifetime)."""
+    import os
+
+    env = os.environ.get("SPARK_GRAFT_INGEST_STATE_PARTITIONS")
+    if env:
+        return max(1, int(env))
+    return max(int(floor), int(input_bytes) // int(bytes_per_partition))
+
+
+def ingest_session(spark, input_bytes: int, **kw):
+    """A sibling SparkSession (shared SparkContext, own SQL conf) whose
+    ``spark.sql.shuffle.partitions`` is sized by
+    :func:`ingest_state_partitions` — the supported way to give ONE
+    streaming query a data-derived state-partition count without
+    mutating the caller's session (the conf is read at stream start and
+    pinned into the checkpoint; batch queries on the original session
+    keep their own setting). Build the ``readStream`` on the returned
+    session."""
+    s2 = spark.newSession()
+    s2.conf.set(
+        "spark.sql.shuffle.partitions",
+        str(ingest_state_partitions(input_bytes, **kw)),
+    )
+    return s2
+
+
 def _heartbeat_jitter(pvname: str, heartbeat_s: float) -> float:
     """Deterministic per-key jitter (±25%) — the reference randomizes each
     PV's force_time over 13-21 h to spread load (util.py:348-354); a
