@@ -17,6 +17,7 @@ must use medians with visible spread (r3 VERDICT task 5)."""
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -438,6 +439,16 @@ def main() -> None:
             # 1.2–1.6× drift with no code change in those queries
             # (VERDICT r5 item 2); every query pays its own cold cost.
             spark.catalog.clearCache()
+            # ...and localCheckpoint RDDs (the iterative lanes' lineage
+            # truncations) are NOT covered by clearCache — they free only
+            # after the Python DataFrame objects are collected and the
+            # ContextCleaner runs. Collect deterministically so a long
+            # bench does not accrue dead RDD blocks that pressure the
+            # end-of-suite queries (the r13 "end-of-bench drift"
+            # adjudicated on emb_pipeline_verdicts/stream_ingest). Same
+            # isolation rationale as the clearCache above; timing loop
+            # unchanged (runs OUTSIDE the timed region).
+            gc.collect()
 
     timings: dict[str, float] = {k: round(median(v), 4) for k, v in raw.items()}
 
