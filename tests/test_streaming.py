@@ -98,11 +98,28 @@ def test_streaming_matches_batch_spec(spark, events_dir, tmp_path):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
-    got = {
-        (r.pvname, r.time, r.value) for r in spark.sql("select * from compressed_out").collect()
-    }
-    assert got == batch_spec(synth_events())
+    # timer mode (flush_ms set) never terminates under availableNow —
+    # Spark keeps scheduling empty micro-batches once a processing-time
+    # timeout is registered (module docstring). The old fixed
+    # awaitTermination(120) therefore ALWAYS slept the full 120 s after
+    # the data was done in seconds; poll the sink for the expected rows
+    # under the same 120 s ceiling instead (r14 — identical assertion,
+    # identical failure mode at the deadline).
+    import time as _time
+
+    expect = batch_spec(synth_events())
+    deadline = _time.monotonic() + 120
+    got: set = set()
+    while _time.monotonic() < deadline:
+        got = {
+            (r.pvname, r.time, r.value)
+            for r in spark.sql("select * from compressed_out").collect()
+        }
+        if len(got) >= len(expect):
+            break
+        _time.sleep(0.5)
+    q.stop()
+    assert got == expect
 
 
 def test_streaming_matches_applyinpandas_batch(spark, events_dir):
