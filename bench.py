@@ -452,7 +452,14 @@ def main() -> None:
 
     timings: dict[str, float] = {k: round(median(v), 4) for k, v in raw.items()}
 
-    # single-run benches: long enough (≥5 s) to sit above the noise floor
+    # single-run benches: long enough (≥5 s) to sit above the noise floor.
+    # They run AFTER the 216-query loop — give them the same isolation the
+    # loop gives every query (clearCache + deterministic collection of
+    # dead checkpoint RDDs), or they inherit the whole suite's residue:
+    # these single-shot lanes were the r13 adjudicated end-of-bench
+    # drifters (d768 LSH 1.9 s isolated vs 6-10 s in-bench).
+    spark.catalog.clearCache()
+    gc.collect()
     timings["emb_topk_lsh_d768"] = round(bench_lsh_highdim(spark), 4)
 
     tmp = tempfile.mkdtemp(prefix="pvarch_bench_")
